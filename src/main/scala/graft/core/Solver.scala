@@ -1,0 +1,374 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Driver-side optimal-binning solver. Replaces the reference's OR-Tools
+  * CP-SAT / MIP formulations (`optbinning/binning/cp.py`,
+  * `optbinning/binning/mip.py`) with an exact interval-partition dynamic
+  * program over the <=max_n_prebins prebin aggregate. The CP model's
+  * x[i,j] structure ("bin ending at prebin i starts at prebin j",
+  * `cp.py:75-82`) is exactly the DP state space; all constraints are
+  * per-candidate-bin or adjacent-pair checks, so the DP is optimal for
+  * trends none/ascending/descending/peak_heuristic/valley_heuristic
+  * (pairwise monotonicity over a totally ordered scalar reduces to
+  * adjacent pairs). Free peak/valley solve the heuristic DP for every
+  * change point (mirrors the CP auxiliary change-point variable `t`,
+  * `cp.py:141-148`). Concave/convex and max_pvalue_policy="all" require
+  * non-adjacent pair/triple constraints and use a DFS enumeration with
+  * identical semantics (`cp.py:433-459`: all-triples midpoint condition).
+  */
+object Solver {
+
+  final case class Constraints(
+      minNBins: Option[Int] = None,
+      maxNBins: Option[Int] = None,
+      minBinSize: Option[Long] = None,      // absolute weighted records
+      maxBinSize: Option[Long] = None,
+      minBinNEvent: Option[Long] = None,
+      maxBinNEvent: Option[Long] = None,
+      minBinNNonevent: Option[Long] = None,
+      maxBinNNonevent: Option[Long] = None,
+      userSplitsFixed: Option[Array[Boolean]] = None, // length n-1
+      timeLimitMs: Long = 100000L)
+
+  final case class Result(status: String, solution: Array[Boolean],
+                          objective: Long)
+
+  /** Solve the generalized bin-merge problem.
+    *
+    * @param n number of prebins
+    * @param d D(i)(j): scaled rate/mean of candidate bin j..i (monotonicity)
+    * @param v V(i)(j): scaled objective contribution of candidate bin j..i
+    * @param nRecords per-prebin weighted record counts
+    * @param nEvent / nNonevent per-prebin counts (binary; empty arrays for
+    *        continuous where event-count constraints do not apply)
+    * @param trend one of null/"ascending"/"descending"/"concave"/"convex"/
+    *        "peak"/"valley"/"peak_heuristic"/"valley_heuristic"
+    * @param trendChange fixed change point for the heuristic modes
+    * @param adjacentViolations adjacent candidate pairs that may not both be
+    *        selected (p-value consecutive + min-diff)
+    * @param allViolations non-adjacent pairs (p-value policy "all")
+    */
+  def solve(n: Int,
+            d: Array[Array[Long]],
+            v: Array[Array[Long]],
+            nRecords: Array[Long],
+            nEvent: Array[Long],
+            nNonevent: Array[Long],
+            trend: Option[String],
+            trendChange: Int,
+            cons: Constraints,
+            adjacentViolations: Array[((Int, Int), (Int, Int))],
+            allViolations: Array[((Int, Int), (Int, Int))]): Result = {
+
+    val deadline = System.nanoTime() + cons.timeLimitMs * 1000000L
+
+    // prefix sums for O(1) candidate-bin stats
+    val cumRec = prefix(nRecords)
+    val cumEv = if (nEvent.nonEmpty) prefix(nEvent) else null
+    val cumNe = if (nNonevent.nonEmpty) prefix(nNonevent) else null
+
+    val fixed = cons.userSplitsFixed.getOrElse(Array.fill(math.max(n - 1, 0))(false))
+    // fixedBlock(j) = smallest allowed start for a bin ending >= j, i.e. a
+    // bin (s..e) is invalid if it crosses a fixed split at index i
+    // (s <= i < e).
+    def crossesFixed(s: Int, e: Int): Boolean = {
+      var i = s
+      while (i < e) {
+        if (i < fixed.length && fixed(i)) return true
+        i += 1
+      }
+      false
+    }
+
+    def binFeasible(s: Int, e: Int): Boolean = {
+      if (crossesFixed(s, e)) return false
+      val size = cumRec(e + 1) - cumRec(s)
+      if (cons.minBinSize.exists(size < _)) return false
+      if (cons.maxBinSize.exists(size > _)) return false
+      if (cumEv != null) {
+        val ev = cumEv(e + 1) - cumEv(s)
+        if (cons.minBinNEvent.exists(ev < _)) return false
+        if (cons.maxBinNEvent.exists(ev > _)) return false
+      }
+      if (cumNe != null) {
+        val ne = cumNe(e + 1) - cumNe(s)
+        if (cons.minBinNNonevent.exists(ne < _)) return false
+        if (cons.maxBinNNonevent.exists(ne > _)) return false
+      }
+      true
+    }
+
+    val adjViol = new mutable.HashSet[Long]
+    adjacentViolations.foreach { case ((i, r), (j, k)) =>
+      adjViol += pack(i, r, j, k)
+    }
+
+    trend match {
+      case Some("concave") | Some("convex") =>
+        dfsSolve(n, d, v, trend.get, binFeasible, adjViol, allViolations,
+                 cons, deadline)
+      case _ if allViolations.nonEmpty =>
+        dfsSolve(n, d, v, trend.orNull, binFeasible, adjViol, allViolations,
+                 cons, deadline)
+      case Some("peak") =>
+        bestOverChangePoints(n, d, v, "peak_heuristic", binFeasible,
+                             adjViol, cons, deadline)
+      case Some("valley") =>
+        bestOverChangePoints(n, d, v, "valley_heuristic", binFeasible,
+                             adjViol, cons, deadline)
+      case _ =>
+        dpSolve(n, d, v, trend.orNull, trendChange, binFeasible, adjViol,
+                cons)
+    }
+  }
+
+  private def prefix(a: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + 1)
+    var i = 0
+    while (i < a.length) { out(i + 1) = out(i) + a(i); i += 1 }
+    out
+  }
+
+  @inline private def pack(i: Int, r: Int, j: Int, k: Int): Long =
+    ((i.toLong & 0xffff) << 48) | ((r.toLong & 0xffff) << 32) |
+      ((j.toLong & 0xffff) << 16) | (k.toLong & 0xffff)
+
+  /** Adjacent-pair monotonicity check between bin A=(sA..eA) and the
+    * immediately following bin B=(eA+1..eB). */
+  @inline private def monoOk(trend: String, tc: Int,
+                             d: Array[Array[Long]],
+                             sA: Int, eA: Int, eB: Int): Boolean = {
+    if (trend == null) return true
+    val rA = d(eA)(sA)
+    val rB = d(eB)(eA + 1)
+    trend match {
+      case "ascending"  => rA <= rB
+      case "descending" => rA >= rB
+      case "peak_heuristic" =>
+        // ascending among bins ending < tc, descending among bins ending
+        // >= tc, free across the change point (`cp.py:498-530`)
+        if (eA < tc && eB < tc) rA <= rB
+        else if (eA >= tc && eB >= tc) rA >= rB
+        else true
+      case "valley_heuristic" =>
+        if (eA < tc && eB < tc) rA >= rB
+        else if (eA >= tc && eB >= tc) rA <= rB
+        else true
+      case _ => true
+    }
+  }
+
+  /** Exact DP. States (e, s) = partition of prebins 0..e whose last bin is
+    * (s..e); optional bin-count dimension when min/max n_bins set. */
+  private def dpSolve(n: Int, d: Array[Array[Long]], v: Array[Array[Long]],
+                      trend: String, trendChange: Int,
+                      binFeasible: (Int, Int) => Boolean,
+                      adjViol: mutable.HashSet[Long],
+                      cons: Constraints): Result = {
+    val needCount = cons.minNBins.isDefined || cons.maxNBins.isDefined
+    val maxB = if (needCount) math.min(cons.maxNBins.getOrElse(n), n) else 1
+    val NEG = Long.MinValue / 4
+
+    // dp(e)(s)(b-1): best objective; parent pointer for reconstruction
+    val dp = Array.fill(n, n, maxB)(NEG)
+    val par = Array.fill(n, n, maxB)(-1) // packed (sPrev, bPrev)
+
+    var e = 0
+    while (e < n) {
+      if (binFeasible(0, e)) dp(e)(0)(0) = v(e)(0)
+      e += 1
+    }
+
+    e = 0
+    while (e < n - 1) {
+      var s = 0
+      while (s <= e) {
+        var b = 0
+        while (b < maxB) {
+          val cur = dp(e)(s)(b)
+          if (cur > NEG && (!needCount || b + 1 < maxB)) {
+            val b2 = if (needCount) b + 1 else 0
+            var e2 = e + 1
+            while (e2 < n) {
+              if (binFeasible(e + 1, e2) &&
+                  monoOk(trend, trendChange, d, s, e, e2) &&
+                  !adjViol.contains(pack(e, s, e2, e + 1))) {
+                val cand = cur + v(e2)(e + 1)
+                if (cand > dp(e2)(e + 1)(b2)) {
+                  dp(e2)(e + 1)(b2) = cand
+                  par(e2)(e + 1)(b2) = s * maxB + b
+                }
+              }
+              e2 += 1
+            }
+          }
+          b += 1
+        }
+        s += 1
+      }
+      e += 1
+    }
+
+    // answer: full cover must end at prebin n-1
+    var best = NEG
+    var bestS = -1
+    var bestB = -1
+    var s = 0
+    while (s < n) {
+      var b = 0
+      while (b < maxB) {
+        val nb = b + 1
+        val okCount = !needCount ||
+          (cons.minNBins.forall(nb >= _) && cons.maxNBins.forall(nb <= _))
+        if (okCount && dp(n - 1)(s)(b) > best) {
+          best = dp(n - 1)(s)(b); bestS = s; bestB = b
+        }
+        b += 1
+      }
+      s += 1
+    }
+
+    if (bestS < 0) {
+      val sol = Array.fill(n)(false)
+      sol(n - 1) = true
+      Result("INFEASIBLE", sol, 0L)
+    } else {
+      val sol = Array.fill(n)(false)
+      var ce = n - 1; var cs = bestS; var cb = bestB
+      while (ce >= 0) {
+        sol(ce) = true
+        if (cs == 0) ce = -1
+        else {
+          val p = par(ce)(cs)(cb)
+          val pe = cs - 1
+          val ps = p / maxB
+          val pb = p % maxB
+          ce = pe; cs = ps; cb = pb
+        }
+      }
+      Result("OPTIMAL", sol, best)
+    }
+  }
+
+  private def bestOverChangePoints(n: Int, d: Array[Array[Long]],
+                                   v: Array[Array[Long]], heuristicTrend: String,
+                                   binFeasible: (Int, Int) => Boolean,
+                                   adjViol: mutable.HashSet[Long],
+                                   cons: Constraints,
+                                   deadline: Long): Result = {
+    var best: Result = null
+    var tc = 0
+    while (tc <= n && (best == null || System.nanoTime() < deadline)) {
+      val r = dpSolve(n, d, v, heuristicTrend, tc, binFeasible, adjViol, cons)
+      if (r.status == "OPTIMAL" &&
+          (best == null || best.status != "OPTIMAL" ||
+           r.objective > best.objective)) best = r
+      else if (best == null) best = r
+      tc += 1
+    }
+    best
+  }
+
+  /** DFS over bin-end subsets for the constraint families the DP cannot
+    * express: concave/convex all-triples midpoint conditions
+    * (`cp.py:433-459`) and non-adjacent p-value violation pairs
+    * (policy "all"). Exact for the default max_n_prebins=20; budget-guarded
+    * beyond that (returns best found with status FEASIBLE on timeout).
+    */
+  private def dfsSolve(n: Int, d: Array[Array[Long]], v: Array[Array[Long]],
+                       trend: String, binFeasible: (Int, Int) => Boolean,
+                       adjViol: mutable.HashSet[Long],
+                       allViolations: Array[((Int, Int), (Int, Int))],
+                       cons: Constraints, deadline: Long): Result = {
+    val allViol = new mutable.HashSet[Long]
+    allViolations.foreach { case ((i, r), (j, k)) =>
+      allViol += pack(i, r, j, k)
+    }
+    var bestObj = Long.MinValue
+    var bestBins: List[(Int, Int)] = null
+    var timedOut = false
+
+    val bins = new mutable.ArrayBuffer[(Int, Int)] // (start, end)
+    val rates = new mutable.ArrayBuffer[Long]
+
+    def violatesTriples(newRate: Long): Boolean = {
+      // concavity: for all a<b<new: r_a + r_new <= 2 r_b  (convex mirrored)
+      val m = rates.length
+      var b = 0
+      while (b < m) {
+        var a = 0
+        while (a < b) {
+          if (trend == "concave" && rates(a) + newRate > 2 * rates(b))
+            return true
+          if (trend == "convex" && rates(a) + newRate < 2 * rates(b))
+            return true
+          a += 1
+        }
+        b += 1
+      }
+      false
+    }
+
+    def violatesPairs(s: Int, e: Int): Boolean = {
+      var i = 0
+      while (i < bins.length) {
+        val (ps, pe) = bins(i)
+        if (allViol.contains(pack(pe, ps, e, s))) return true
+        i += 1
+      }
+      if (bins.nonEmpty) {
+        val (ps, pe) = bins.last
+        if (pe == s - 1 && adjViol.contains(pack(pe, ps, e, s))) return true
+      }
+      false
+    }
+
+    def monoPairOk(newRate: Long): Boolean = trend match {
+      case "ascending"  => rates.isEmpty || rates.last <= newRate
+      case "descending" => rates.isEmpty || rates.last >= newRate
+      case _            => true
+    }
+
+    def rec(start: Int, obj: Long): Unit = {
+      if (System.nanoTime() > deadline) { timedOut = true; return }
+      if (start == n) {
+        val nb = bins.length
+        val okCount = cons.minNBins.forall(nb >= _) &&
+          cons.maxNBins.forall(nb <= _)
+        if (okCount && obj > bestObj) {
+          bestObj = obj
+          bestBins = bins.toList
+        }
+        return
+      }
+      var e = start
+      while (e < n && !timedOut) {
+        if (binFeasible(start, e)) {
+          val rate = d(e)(start)
+          if (monoPairOk(rate) && !violatesTriples(rate) &&
+              !violatesPairs(start, e)) {
+            bins += ((start, e))
+            rates += rate
+            rec(e + 1, obj + v(e)(start))
+            bins.remove(bins.length - 1)
+            rates.remove(rates.length - 1)
+          }
+        }
+        e += 1
+      }
+    }
+
+    rec(0, 0L)
+
+    if (bestBins == null) {
+      val sol = Array.fill(n)(false)
+      sol(n - 1) = true
+      Result(if (timedOut) "UNKNOWN" else "INFEASIBLE", sol, 0L)
+    } else {
+      val sol = Array.fill(n)(false)
+      bestBins.foreach { case (_, e) => sol(e) = true }
+      Result(if (timedOut) "FEASIBLE" else "OPTIMAL", sol, bestObj)
+    }
+  }
+}

@@ -1,0 +1,639 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core._
+
+/** Binning estimator configuration; parameter-for-parameter mirror of
+  * `optbinning/binning/binning.py:252-530` (defaults identical).
+  */
+final case class BinningConfig(
+    name: String = "",
+    dtype: String = "numerical",                // "numerical" | "categorical"
+    prebinningMethod: String = "cart",          // cart|mdlp|quantile|uniform
+    divergence: String = "iv",                  // iv|js|hellinger|triangular
+    maxNPrebins: Int = 20,
+    minPrebinSize: Double = 0.05,
+    minNBins: Option[Int] = None,
+    maxNBins: Option[Int] = None,
+    minBinSize: Option[Double] = None,
+    maxBinSize: Option[Double] = None,
+    minBinNEvent: Option[Long] = None,
+    maxBinNEvent: Option[Long] = None,
+    minBinNNonevent: Option[Long] = None,
+    maxBinNNonevent: Option[Long] = None,
+    monotonicTrend: Option[String] = Some("auto"),
+    minEventRateDiff: Double = 0.0,
+    maxPvalue: Option[Double] = None,
+    maxPvaluePolicy: String = "consecutive",
+    catCutoff: Option[Double] = None,
+    catUnknown: Option[Any] = None,
+    userSplits: Option[Array[Double]] = None,
+    userSplitsCategorical: Option[Array[Array[String]]] = None,
+    userSplitsFixed: Option[Array[Boolean]] = None,
+    specialCodes: Option[SpecialCodes] = None,
+    splitDigits: Option[Int] = None,
+    timeLimitMs: Long = 100000L,
+    /** Spark-side knob: max value-level histogram buckets collected to the
+      * driver; above this, clean values are compressed onto an
+      * approx-quantile grid first (scale path for 100 TB inputs). */
+    histogramMaxBuckets: Int = 20000)
+
+/** Per-class aggregate collected by the fit job. */
+private[graft] final case class ClassTotals(w0: Double, w1: Double,
+                                            n: Long, w: Double)
+
+/** Optimal binning of one variable against a binary target.
+  *
+  * Spark-native re-expression of `optbinning.OptimalBinning`
+  * (`optbinning/binning/binning.py:252`): the data plane is two narrow
+  * aggregate jobs (row-class totals + value histogram — both partial-agg
+  * hash aggregations, no row data ever reaches the driver), and the
+  * pre-binning / refinement / constrained-optimization phases run
+  * driver-side on the <=`histogramMaxBuckets`-entry aggregate via
+  * `graft.core`. Scales with the cluster: the shuffle key cardinality is
+  * the histogram size, not the row count.
+  */
+object OptimalBinning {
+
+  def fit(df: DataFrame, xCol: String, yCol: String,
+          config: BinningConfig = BinningConfig(),
+          weightCol: Option[String] = None): FittedOptimalBinning = {
+    require(config.dtype == "numerical" || config.dtype == "categorical")
+    if (config.dtype == "numerical") fitNumerical(df, xCol, yCol, config, weightCol)
+    else fitCategorical(df, xCol, yCol, config, weightCol)
+  }
+
+  // ------------------------------------------------------------------
+  // numerical
+  // ------------------------------------------------------------------
+
+  private def fitNumerical(df: DataFrame, xCol: String, yCol: String,
+                           config: BinningConfig,
+                           weightCol: Option[String]): FittedOptimalBinning = {
+    val spark = df.sparkSession
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
+
+    val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
+
+    // Pass 1: one hash-agg keyed by row class — totals, clean min/max,
+    // approx distinct, and the quantile grid (only consumed on the
+    // compressed path).
+    val nGrid = config.histogramMaxBuckets
+    val probs = array((1 until nGrid).map(i => lit(i.toDouble / nGrid)): _*)
+    val statsRows = base
+      .groupBy("cls")
+      .agg(
+        sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+        sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
+        count(lit(1)).as("n"),
+        sum(col("w")).as("w"),
+        min(col("x")).as("minx"),
+        max(col("x")).as("maxx"),
+        approx_count_distinct(col("x")).as("ndv"),
+        percentile_approx(col("x"), probs, lit(10000)).as("grid"))
+      .collect()
+
+    val totals = statsRows.map { r =>
+      r.getInt(0) -> ClassTotals(r.getDouble(1), r.getDouble(2),
+                                 r.getLong(3), r.getDouble(4))
+    }.toMap
+    val cleanRow = statsRows.find(_.getInt(0) == Preprocess.CleanClass)
+    val nSamplesWeighted = totals.values.map(_.w).sum
+
+    val hist: Array[Prebinning.HistBucket] = cleanRow match {
+      case None => Array.empty
+      case Some(r) =>
+        val ndv = r.getLong(7)
+        if (ndv <= config.histogramMaxBuckets) {
+          collectExactHistogram(base)
+        } else {
+          val grid = r.getSeq[Double](8).toArray.distinct.sorted
+          collectGridHistogram(base, grid)
+        }
+    }
+
+    fitFromHistogram(hist, totals, nSamplesWeighted, config,
+                     categories = null, catOthers = null)
+  }
+
+  /** Exact value-level histogram: groupBy(x) over clean rows only — filter
+    * and projection push to the scan; shuffle cardinality = #distinct. */
+  private def collectExactHistogram(
+      base: DataFrame): Array[Prebinning.HistBucket] = {
+    base.where(col("cls") === Preprocess.CleanClass)
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
+      .collect()
+      .map(r => Prebinning.HistBucket(r.getDouble(0), r.getLong(1),
+                                      r.getDouble(2), r.getDouble(3)))
+      .sortBy(_.value)
+  }
+
+  /** Quantile-grid-compressed histogram for high-cardinality columns: x is
+    * collapsed to the largest grid edge <= x; bucket count bounded by the
+    * grid size regardless of input scale. */
+  private def collectGridHistogram(
+      base: DataFrame, grid: Array[Double]): Array[Prebinning.HistBucket] = {
+    val gridLit = lit(grid)
+    // index of last grid edge <= x via array filter size (codegen'd, no UDF)
+    val bucketVal = element_at(
+      gridLit,
+      greatest(lit(1),
+               size(filter(gridLit, g => g <= col("x")))))
+    base.where(col("cls") === Preprocess.CleanClass)
+      .groupBy(bucketVal.as("x"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
+      .collect()
+      .map(r => Prebinning.HistBucket(r.getDouble(0), r.getLong(1),
+                                      r.getDouble(2), r.getDouble(3)))
+      .sortBy(_.value)
+  }
+
+  // ------------------------------------------------------------------
+  // categorical
+  // ------------------------------------------------------------------
+
+  private def fitCategorical(df: DataFrame, xCol: String, yCol: String,
+                             config: BinningConfig, weightCol: Option[String])
+      : FittedOptimalBinning = {
+    val x = col(xCol).cast("string")
+    val y = col(yCol).cast(DoubleType)
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val cls = Preprocess.rowClass(x, isNumeric = false, config.specialCodes)
+
+    val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
+
+    val rows = base
+      .groupBy("cls", "x")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
+           sum(col("w")).as("w"))
+      .collect()
+
+    val totals = rows.groupBy(_.getInt(0)).map { case (k, rs) =>
+      k -> ClassTotals(rs.map(_.getDouble(3)).sum, rs.map(_.getDouble(4)).sum,
+                       rs.map(_.getLong(2)).sum, rs.map(_.getDouble(5)).sum)
+    }
+    val nSamplesWeighted = totals.values.map(_.w).sum
+
+    val cleanCats = rows.filter(_.getInt(0) == Preprocess.CleanClass).map {
+      r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+
+    // cat_cutoff -> "others" group (`preprocessing.py:32-42`)
+    val totalCleanW = cleanCats.map(c => c._3 + c._4).sum
+    val (kept, others) = config.catCutoff match {
+      case Some(cut) =>
+        cleanCats.partition(c => (c._3 + c._4) / totalCleanW >= cut)
+      case None => (cleanCats, Array.empty[(String, Long, Double, Double)])
+    }
+
+    // order categories by event rate (`preprocessing.py:24-29`)
+    val ordered = kept.sortBy { case (_, _, w0, w1) => w1 / (w0 + w1) }
+    val categories = ordered.map(_._1)
+
+    val hist = ordered.zipWithIndex.map { case ((_, n, w0, w1), i) =>
+      Prebinning.HistBucket(i.toDouble, n, w0, w1)
+    }
+
+    val othersTotals =
+      if (others.nonEmpty)
+        Some(ClassTotals(others.map(_._3).sum, others.map(_._4).sum,
+                         others.map(_._2).sum,
+                         others.map(c => c._3 + c._4).sum))
+      else None
+
+    fitFromHistogram(hist, totals.toMap, nSamplesWeighted, config,
+                     categories = categories, catOthers = others.map(_._1),
+                     othersTotals = othersTotals)
+  }
+
+  // ------------------------------------------------------------------
+  // shared driver-side phase
+  // ------------------------------------------------------------------
+
+  private[graft] def fitFromHistogram(
+      hist: Array[Prebinning.HistBucket],
+      totals: Map[Int, ClassTotals],
+      nSamplesWeighted: Double,
+      config: BinningConfig,
+      categories: Array[String],
+      catOthers: Array[String],
+      othersTotals: Option[ClassTotals] = None): FittedOptimalBinning = {
+
+    val isCategorical = categories != null
+
+    // candidate splits
+    val rawSplits: Array[Double] = config.userSplits match {
+      case Some(us) => us.sorted
+      case None =>
+        val minPrebinCount =
+          math.ceil(config.minPrebinSize * nSamplesWeighted).toLong
+        config.prebinningMethod match {
+          case "cart" =>
+            Prebinning.cartSplits(hist, config.maxNPrebins, minPrebinCount,
+                                  classification = true)
+          case "quantile" =>
+            Prebinning.quantileSplits(hist, config.maxNPrebins)
+          case "uniform" =>
+            if (hist.isEmpty) Array.empty[Double]
+            else Prebinning.uniformSplits(hist.head.value, hist.last.value,
+                                          config.maxNPrebins)
+          case "mdlp" =>
+            Prebinning.mdlpSplits(hist)
+          case other =>
+            throw new IllegalArgumentException(
+              s"prebinning method $other not supported")
+        }
+    }
+    val splitsRounded = config.splitDigits match {
+      case Some(d) =>
+        rawSplits.map(s => BigDecimal(s)
+          .setScale(d, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      case None => rawSplits
+    }
+
+    // prebin counts + pure-bin refinement (`binning.py:1085-1145`)
+    var splits = splitsRounded
+    var (nNonevent, nEvent) = prebinCounts(hist, splits)
+    var flagMinNEventNonevent = false
+    var fixed = config.userSplitsFixed
+    var refining = splits.nonEmpty
+    while (refining) {
+      val maskRemove = nNonevent.zip(nEvent).map { case (ne, e) =>
+        ne == 0.0 || e == 0.0
+      }
+      if (!maskRemove.exists(identity)) refining = false
+      else if (config.divergence == "hellinger" ||
+               config.divergence == "triangular") {
+        flagMinNEventNonevent = true
+        refining = false
+      } else {
+        // drop split i for pure bin i; merge the last two bins
+        val nB = maskRemove.length
+        val maskSplits =
+          if (nB < 2) maskRemove.take(splits.length)
+          else maskRemove.take(nB - 2) :+ (maskRemove(nB - 2) || maskRemove(nB - 1))
+        fixed.foreach { f =>
+          val fr = f.zip(maskSplits).exists { case (a, b) => a && b }
+          if (fr) throw new IllegalArgumentException(
+            "Fixed user_splits are removed because they produce pure prebins.")
+        }
+        fixed = fixed.map(_.zip(maskSplits).collect { case (v, false) => v })
+        splits = splits.zip(maskSplits).collect { case (s, false) => s }
+        val counts = prebinCounts(hist, splits)
+        nNonevent = counts._1
+        nEvent = counts._2
+        refining = splits.nonEmpty
+      }
+    }
+    if (splits.isEmpty) {
+      val c = prebinCounts(hist, splits)
+      nNonevent = c._1; nEvent = c._2
+    }
+
+    val n = nNonevent.length
+
+    // solve (`binning.py:907-1052`)
+    val (status, solution) =
+      if (n <= 1) ("OPTIMAL", Array.fill(math.max(n, 0))(false))
+      else {
+        val (trend, trendChange) =
+          resolveTrend(config, nNonevent, nEvent, isCategorical)
+        val md = ModelData.binary(config.divergence, nNonevent, nEvent,
+                                  config.maxPvalue, config.maxPvaluePolicy,
+                                  config.minEventRateDiff)
+        val (adjV, allV) =
+          if (config.maxPvaluePolicy == "all")
+            (md.minDiffViolations, md.pvalueViolations)
+          else (md.pvalueViolations ++ md.minDiffViolations,
+                Array.empty[((Int, Int), (Int, Int))])
+        val minBinNEvent =
+          if (flagMinNEventNonevent)
+            Some(config.minBinNEvent.map(math.max(_, 1L)).getOrElse(1L))
+          else config.minBinNEvent
+        val minBinNNonevent =
+          if (flagMinNEventNonevent)
+            Some(config.minBinNNonevent.map(math.max(_, 1L)).getOrElse(1L))
+          else config.minBinNNonevent
+        val cons = Solver.Constraints(
+          minNBins = config.minNBins,
+          maxNBins = config.maxNBins,
+          minBinSize = config.minBinSize.map(f =>
+            math.ceil(f * nSamplesWeighted).toLong),
+          maxBinSize = config.maxBinSize.map(f =>
+            math.ceil(f * nSamplesWeighted).toLong),
+          minBinNEvent = minBinNEvent,
+          maxBinNEvent = config.maxBinNEvent,
+          minBinNNonevent = minBinNNonevent,
+          maxBinNNonevent = config.maxBinNNonevent,
+          userSplitsFixed = fixed,
+          timeLimitMs = config.timeLimitMs)
+        val nRecords = nNonevent.zip(nEvent).map { case (a, b) =>
+          math.round(a + b)
+        }
+        val r = Solver.solve(n, md.d, md.v, nRecords,
+                             nEvent.map(math.round), nNonevent.map(math.round),
+                             trend, trendChange, cons, adjV, allV)
+        (r.status, r.solution)
+      }
+
+    val solutionFull =
+      if (n <= 1) Array.fill(n)(true)
+      else solution
+
+    // optimal splits: selected ends excluding the final prebin
+    val splitsOptimal: Array[Double] =
+      if (n <= 1) Array.empty
+      else splits.indices.collect {
+        case i if solutionFull(i) => splits(i)
+      }.toArray
+
+    // merge prebin counts into final bins
+    val mergedNe = BinningTables.mergeBySolution(
+      if (n <= 1) Array.fill(math.max(n, 1))(true).take(nNonevent.length)
+      else solutionFull, nNonevent)
+    val mergedEv = BinningTables.mergeBySolution(
+      if (n <= 1) Array.fill(math.max(n, 1))(true).take(nEvent.length)
+      else solutionFull, nEvent)
+
+    // synthetic trailing bins: [others,] special(s), missing
+    val missingIdx = Preprocess.missingClassIndex(config.specialCodes)
+    val specialGroups = config.specialCodes.map(_.groupNames).getOrElse(Seq("Special"))
+    val nSpecialBins =
+      config.specialCodes match {
+        case Some(SpecialDict(g)) => g.size
+        case _                    => 1
+      }
+    val specialNe = (1 to nSpecialBins).map { g =>
+      if (config.specialCodes.isDefined)
+        totals.get(g).map(_.w0).getOrElse(0.0)
+      else 0.0
+    }
+    val specialEv = (1 to nSpecialBins).map { g =>
+      if (config.specialCodes.isDefined)
+        totals.get(g).map(_.w1).getOrElse(0.0)
+      else 0.0
+    }
+    val missNe = totals.get(missingIdx).map(_.w0).getOrElse(0.0)
+    val missEv = totals.get(missingIdx).map(_.w1).getOrElse(0.0)
+
+    val hasOthers = catOthers != null && catOthers.nonEmpty
+    val allNe = (mergedNe.toSeq ++
+      (if (hasOthers) Seq(othersTotals.map(_.w0).getOrElse(0.0)) else Nil) ++
+      specialNe :+ missNe).toArray
+    val allEv = (mergedEv.toSeq ++
+      (if (hasOthers) Seq(othersTotals.map(_.w1).getOrElse(0.0)) else Nil) ++
+      specialEv :+ missEv).toArray
+
+    // bin labels
+    val nDataBins = mergedNe.length
+    val dataLabels: Array[String] =
+      if (!isCategorical) {
+        val edges = Double.NegativeInfinity +: splitsOptimal :+
+          Double.PositiveInfinity
+        BinningTables.binStrFormat(edges, 2)
+      } else {
+        categoricalBins(splitsOptimal, categories).map(b =>
+          b.mkString("[", ", ", "]"))
+      }
+    val labels = (dataLabels.toSeq ++
+      (if (hasOthers) Seq("Others") else Nil) ++
+      (config.specialCodes match {
+        case Some(SpecialDict(g)) => g.map(_._1)
+        case _                    => Seq("Special")
+      }) :+ "Missing").toArray
+
+    val table = new BinningTables.BinaryBinningTable(
+      config.name, config.dtype, splitsOptimal, allNe, allEv, labels,
+      nSpecialBins)
+
+    val catBins: Array[Array[String]] =
+      if (isCategorical) categoricalBins(splitsOptimal, categories)
+      else null
+
+    new FittedOptimalBinning(config, status, splitsOptimal, table,
+                             categories, catBins, catOthers, nDataBins)
+  }
+
+  /** Category membership of each final bin: ordinal ranges -> category
+    * arrays (`binning_statistics.py:80-109` bin_categorical). */
+  private def categoricalBins(splits: Array[Double],
+                              categories: Array[String])
+      : Array[Array[String]] = {
+    if (categories == null) return Array.empty
+    val nBins = splits.length + 1
+    val out = Array.fill(nBins)(
+      new scala.collection.mutable.ArrayBuffer[String])
+    categories.indices.foreach { i =>
+      val idx = upperBound(splits, i.toDouble)
+      out(idx) += categories(i)
+    }
+    out.map(_.toArray)
+  }
+
+  private def resolveTrend(config: BinningConfig, nNonevent: Array[Double],
+                           nEvent: Array[Double], isCategorical: Boolean)
+      : (Option[String], Int) = {
+    if (isCategorical) {
+      // categorical variables are event-rate ordered: trend is ascending
+      // whenever any monotonicity requested (`binning.py:992-995`)
+      return (config.monotonicTrend.map(_ => "ascending"), -1)
+    }
+    config.monotonicTrend match {
+      case Some(m @ ("auto" | "auto_heuristic" | "auto_asc_desc")) =>
+        val trend = AutoMonotonic.autoMonotonic(nNonevent, nEvent, m)
+        if (m == "auto_heuristic" && (trend == "peak" || trend == "valley")) {
+          val ht = trend + "_heuristic"
+          val rate = nEvent.zip(nNonevent).map { case (e, ne) =>
+            e / (e + ne)
+          }
+          val tc = AutoMonotonic.peakValleyTrendChangeHeuristic(rate, ht)
+          (Some(ht), tc)
+        } else (Some(trend), -1)
+      case Some(m @ ("peak_heuristic" | "valley_heuristic")) =>
+        val rate = nEvent.zip(nNonevent).map { case (e, ne) => e / (e + ne) }
+        (Some(m), AutoMonotonic.peakValleyTrendChangeHeuristic(rate, m))
+      case other => (other, -1)
+    }
+  }
+
+  /** np.digitize(x, splits, right=False): count of splits <= x. */
+  private[graft] def upperBound(splits: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = splits.length
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (splits(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def prebinCounts(hist: Array[Prebinning.HistBucket],
+                           splits: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val nBins = splits.length + 1
+    val ne = new Array[Double](nBins)
+    val ev = new Array[Double](nBins)
+    hist.foreach { h =>
+      val i = upperBound(splits, h.value)
+      ne(i) += h.y0
+      ev(i) += h.y1
+    }
+    (ne, ev)
+  }
+}
+
+/** Fitted model: optimal splits + per-bin statistics; builds pure-Catalyst
+  * transform expressions (generated CASE chains, whole-stage codegen, no
+  * UDFs — SURVEY §2.12).
+  */
+final class FittedOptimalBinning(
+    val config: BinningConfig,
+    val status: String,
+    val splits: Array[Double],
+    val table: BinningTables.BinaryBinningTable,
+    val categories: Array[String],
+    val catBins: Array[Array[String]],
+    val catOthers: Array[String],
+    val nDataBins: Int) extends Serializable {
+
+  def iv: Double = table.iv
+
+  /** Transform x into the requested metric
+    * (`optbinning/binning/transformations.py:230-316`).
+    * metric in {woe, event_rate, indices, bins};
+    * metricSpecial/metricMissing: "empirical" or a numeric constant.
+    */
+  def transform(xCol: Column, metric: String = "woe",
+                metricSpecial: Any = "empirical",
+                metricMissing: Any = "empirical"): Column = {
+    val isNumeric = config.dtype == "numerical"
+    val hasOthers = catOthers != null && catOthers.nonEmpty
+    val nSpecial = config.specialCodes match {
+      case Some(SpecialDict(g)) => g.size
+      case _                    => 1
+    }
+    // metric values indexed like the table rows:
+    // data bins (+ others), specials, missing
+    val nTableBins = table.nRecords.length
+
+    def metricValues: Array[Double] = metric match {
+      case "woe"        => table.woe
+      case "event_rate" => table.eventRate
+    }
+
+    val x = if (isNumeric) xCol.cast(DoubleType) else xCol.cast("string")
+
+    val (specialValue, missingValue, unknownValue): (Int => Column, Column, Column) =
+      metric match {
+      case "woe" | "event_rate" =>
+        val mv = metricValues
+        val meanEventRate = table.tEvent / table.tRecords
+        val unknown: Double = config.catUnknown match {
+          case Some(v: Double) => v
+          case Some(v: Int)    => v.toDouble
+          case _ =>
+            if (metric == "woe")
+              math.log((1 / meanEventRate - 1) *
+                table.tEvent / table.tNonevent)
+            else meanEventRate
+        }
+        val specialV: Int => Column = g => metricSpecial match {
+          case "empirical" => lit(mv(nDataBins + (if (hasOthers) 1 else 0) + g))
+          case v: Double   => lit(v)
+          case v: Int      => lit(v.toDouble)
+        }
+        val missingV = metricMissing match {
+          case "empirical" => lit(mv(nTableBins - 1))
+          case v: Double   => lit(v)
+          case v: Int      => lit(v.toDouble)
+        }
+        (specialV, missingV, lit(unknown))
+      case "indices" =>
+        val specialV: Int => Column = g => metricSpecial match {
+          case v: Int => lit(v)
+          case _      => lit(nDataBins + (if (hasOthers) 1 else 0) + g)
+        }
+        val missingV = metricMissing match {
+          case v: Int => lit(v)
+          case _      => lit(nTableBins - 1)
+        }
+        val unknown = config.catUnknown match {
+          case Some(v: Int) => lit(v)
+          case _            => lit(-1)
+        }
+        (specialV, missingV, unknown)
+      case "bins" =>
+        val labels = table.rows.map(_.bin)
+        val specialV: Int => Column = g =>
+          lit(labels(nDataBins + (if (hasOthers) 1 else 0) + g))
+        val missingV = lit(labels(nTableBins - 1))
+        val unknown = config.catUnknown match {
+          case Some(v: String) => lit(v)
+          case _               => lit("unknown")
+        }
+        (specialV, missingV, unknown)
+    }
+
+    def dataBinValue(i: Int): Column = metric match {
+      case "woe" | "event_rate" => lit(metricValues(i))
+      case "indices"            => lit(i)
+      case "bins"               => lit(table.rows(i).bin)
+    }
+
+    var expr = when(Preprocess.missingPredicate(x, isNumeric), missingValue)
+    config.specialCodes match {
+      case Some(SpecialList(values)) =>
+        expr = expr.when(x.isin(values: _*), specialValue(0))
+      case Some(SpecialDict(groups)) =>
+        groups.zipWithIndex.foreach { case ((_, values), g) =>
+          expr = expr.when(x.isin(values: _*), specialValue(g))
+        }
+      case None => ()
+    }
+
+    if (isNumeric) {
+      // bin i = [s_{i-1}, s_i); CASE x < s_0, x < s_1, ... else last bin
+      splits.indices.foreach { i =>
+        expr = expr.when(x < splits(i), dataBinValue(i))
+      }
+      expr.otherwise(dataBinValue(splits.length))
+    } else {
+      catBins.zipWithIndex.foreach { case (cats, i) =>
+        if (cats.nonEmpty) expr = expr.when(x.isin(cats: _*), dataBinValue(i))
+      }
+      if (hasOthers) {
+        val othersIdx = nDataBins
+        val v = metric match {
+          case "woe" | "event_rate" => lit(metricValues(othersIdx))
+          case "indices"            => lit(othersIdx)
+          case "bins"               => lit(table.rows(othersIdx).bin)
+        }
+        expr = expr.when(x.isin(catOthers: _*), v)
+      }
+      expr.otherwise(unknownValue)
+    }
+  }
+
+  /** JSON model mirroring the reference's `to_json` shape
+    * (`binning.py:1221-1238`) for cross-checking. */
+  def toJson: String = {
+    def arr(a: Array[Double]) = a.mkString("[", ",", "]")
+    def sarr(a: Array[String]) =
+      a.map(s => "\"" + s.replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    s"""{"name":"${config.name}","dtype":"${config.dtype}","status":"$status",""" +
+      s""""splits":${arr(splits)},"n_nonevent":${arr(table.nNonevent)},""" +
+      s""""n_event":${arr(table.nEvent)},"bins":${sarr(table.rows.map(_.bin))}}"""
+  }
+}

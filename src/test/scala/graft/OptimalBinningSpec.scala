@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** Shared local SparkSession for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val breastCancer = "/root/reference/tests/data/breast_cancer.parquet"
+  val sf0001 = "/root/testdata/sf0.001"
+}
+
+/** Golden-value tests from the reference's own suite
+  * (`tests/test_binning.py:164-190`): optimal splits and IV on sklearn
+  * breast-cancer "mean radius" with default parameters.
+  */
+class OptimalBinningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  test("breast cancer mean radius: default fit matches reference goldens") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    // reference target: 0 = malignant event? tests use y = data.target with
+    // event = 1... OptimalBinning treats y==0 as nonevent, y==1 as event.
+    val fitted = OptimalBinning.fit(df, "mean radius", "target",
+                                    BinningConfig(name = "mean radius"))
+    val expected = Array(11.42500019, 12.32999992, 13.09499979,
+                         13.70499992, 15.04500008, 16.92500019)
+    assert(fitted.status == "OPTIMAL")
+    assert(fitted.splits.length == expected.length,
+           s"got splits ${fitted.splits.mkString(",")}")
+    fitted.splits.zip(expected).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"split $a vs $b")
+    }
+    assert(math.abs(fitted.table.iv - 5.04392547) < 1e-6,
+           s"iv ${fitted.table.iv}")
+    assert(math.abs(fitted.table.gini - 0.87541620) < 1e-6,
+           s"gini ${fitted.table.gini}")
+    assert(math.abs(fitted.table.js - 0.39378376) < 1e-6,
+           s"js ${fitted.table.js}")
+  }
+
+  test("user splits with max_pvalue: golden IV (test_binning.py:207-217)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val userSplits = Array[Double](11, 12, 13, 14, 15, 17)
+    for (policy <- Seq("consecutive", "all")) {
+      val fitted = OptimalBinning.fit(
+        df, "mean radius", "target",
+        BinningConfig(name = "mean radius", userSplits = Some(userSplits),
+                      maxPvalue = Some(0.05), maxPvaluePolicy = policy))
+      assert(fitted.status == "OPTIMAL")
+      assert(fitted.splits.toSeq == Seq(13.0, 15.0, 17.0),
+             s"policy $policy splits ${fitted.splits.mkString(",")}")
+      assert(math.abs(fitted.table.iv - 4.819661314733627) < 1e-6,
+             s"policy $policy iv ${fitted.table.iv}")
+    }
+  }
+
+  test("transform woe: round-trip totality (clean/missing rows)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val fitted = OptimalBinning.fit(df, "mean radius", "target",
+                                    BinningConfig(name = "mean radius"))
+    val woeCol = fitted.transform(org.apache.spark.sql.functions.col("mean radius"))
+    val out = df.select(woeCol.as("woe")).as[Double].collect()
+    assert(out.length == 569)
+    assert(out.forall(v => !v.isNaN))
+    val distinctWoe = out.distinct.sorted
+    assert(distinctWoe.length == fitted.splits.length + 1)
+  }
+}
