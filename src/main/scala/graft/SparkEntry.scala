@@ -1,13 +1,511 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.pipeline._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-oracle SQL where the semantics are
+  * SQL-expressible (column names aligned; floats rounded to 6 digits on
+  * both sides so libm last-ulp differences cannot flip the hash compare).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Binary target used across the lineitem queries. */
+  private def liTarget(df: DataFrame): DataFrame =
+    df.withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+
+  private val liSplits = Array(25000.0, 50000.0, 75000.0)
+
+  private def binIdx(x: Column, splits: Array[Double]): Column =
+    splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>
+      when(x < splits(i), lit(i)).otherwise(acc)
+    }
+
+  /** Flagship: full optimal-binning fit (CART prebinning + DP solve) on
+    * sf0.001 lineitem, returning the binning table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = liTarget(T(spark, "/root/testdata/sf0.001", "lineitem"))
+    val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+                                    BinningConfig(name = "l_extendedprice"))
+    import spark.implicits._
+    fitted.table.rows.toSeq.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.2 projections / filters ---------------------------------
+    "q_split_classes" -> ((s, dir) => {
+      // missing/special row classification; x = nullif(l_quantity, 50)
+      // with special codes {1, 2}
+      val df = T(s, dir, "lineitem")
+        .withColumn("x", nullif(col("l_quantity"), lit(50.0)))
+      val cls = Preprocess.rowClass(col("x"), isNumeric = true,
+                                    Some(SpecialList(Seq(1.0, 2.0))))
+      df.select(cls.as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n"))
+        .orderBy("cls")
+    }),
+
+    "q_cat_others_cutoff" -> ((s, dir) => {
+      // categorical cutoff: brands with freq < 4% -> others
+      val p = T(s, dir, "part")
+      val total = p.count()
+      p.groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .withColumn("is_others",
+          (col("n") / lit(total.toDouble) < 0.04).cast("int"))
+        .orderBy("p_brand")
+    }),
+
+    "q_cat_rate_order" -> ((s, dir) => {
+      // categorical ordinalization: order categories by event rate
+      val o = T(s, dir, "orders")
+        .withColumn("y", when(col("o_orderstatus") === "F", 1.0)
+          .otherwise(0.0))
+      val agg = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(avg("y"), 6).as("event_rate"))
+      import org.apache.spark.sql.expressions.Window
+      agg.withColumn("ordinal",
+          row_number().over(Window.orderBy(col("event_rate"),
+                                           col("o_orderpriority"))) - 1)
+        .orderBy("ordinal")
+    }),
+
+    "q_outlier_iqr" -> ((s, dir) => {
+      // IQR (ETI) outlier bounds + inlier/outlier counts
+      val li = T(s, dir, "lineitem")
+      val b = Outliers.fitRange(li, "l_extendedprice")
+      li.agg(
+        round(lit(b.lower), 6).as("lower_bound"),
+        round(lit(b.upper), 6).as("upper_bound"),
+        sum(b.support(col("l_extendedprice")).cast("long")).as("n_outliers"),
+        sum(b.keep(col("l_extendedprice")).cast("long")).as("n_inliers"))
+    }),
+
+    "q_outlier_zscore" -> ((s, dir) => {
+      // modified Z-score outliers on o_totalprice
+      val o = T(s, dir, "orders")
+      val pred = Outliers.fitZScore(o, "o_totalprice")
+      o.agg(sum(pred.cast("long")).as("n_outliers"),
+            count(lit(1)).as("n"))
+    }),
+
+    // --- §2.4 aggregations ------------------------------------------
+    "q_prebin_agg" -> ((s, dir) => {
+      // per-bin weighted event/nonevent counts at fixed splits
+      val li = liTarget(T(s, dir, "lineitem"))
+      li.groupBy(binIdx(col("l_extendedprice"), liSplits).as("bin"))
+        .agg(sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nonevent"),
+             sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("event"))
+        .orderBy("bin")
+    }),
+
+    "q_binning_table" -> ((s, dir) => {
+      // full binary binning table via the library (user splits, no trend)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "l_extendedprice",
+                      userSplits = Some(liSplits), monotonicTrend = None))
+      import s.implicits._
+      fitted.table.rows.take(fitted.nDataBins).zipWithIndex.map {
+        case (r, i) =>
+          (i.toLong, r.count.toLong, r.nonevent.toLong, r.event.toLong,
+           scale6(r.eventRate), scale6(r.woe), scale6(r.iv))
+      }.toSeq.toDF("bin", "count", "nonevent", "event", "event_rate",
+                   "woe", "iv").orderBy("bin")
+    }),
+
+    "q_cont_table" -> ((s, dir) => {
+      // continuous binning table via the library (user splits, no trend)
+      val li = T(s, dir, "lineitem")
+      val fitted = ContinuousOptimalBinning.fit(li, "l_quantity",
+        "l_extendedprice",
+        BinningConfig(name = "l_quantity",
+                      userSplits = Some(Array(10.0, 25.0, 40.0)),
+                      monotonicTrend = None))
+      import s.implicits._
+      fitted.table.rows.take(fitted.nDataBins).zipWithIndex.map {
+        case (r, i) =>
+          (i.toLong, r.count.toLong, scale6(r.sum), scale6(r.mean),
+           scale6(r.std), scale6(r.min), scale6(r.max), r.zerosCount.toLong)
+      }.toSeq.toDF("bin", "count", "sum", "mean", "std", "min", "max",
+                   "zeros").orderBy("bin")
+    }),
+
+    // --- §2.12 transform --------------------------------------------
+    "q_woe_transform" -> ((s, dir) => {
+      // per-row WoE transform (generated CASE chain)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "l_extendedprice",
+                      userSplits = Some(liSplits), monotonicTrend = None))
+      li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        round(fitted.transform(col("l_extendedprice")), 6).as("woe"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- §2.5 ordered analytics -------------------------------------
+    "q_ks_gini" -> ((s, dir) => {
+      // KS and Gini over the fixed-split bin table
+      val li = liTarget(T(s, dir, "lineitem"))
+      val agg = li.groupBy(binIdx(col("l_extendedprice"), liSplits)
+          .as("bin"))
+        .agg(sum(when(col("y") === 0.0, 1.0).otherwise(0.0)).as("ne"),
+             sum(when(col("y") === 1.0, 1.0).otherwise(0.0)).as("ev"))
+        .collect()
+      val ne = agg.sortBy(_.getInt(0)).map(_.getDouble(1))
+      val ev = agg.sortBy(_.getInt(0)).map(_.getDouble(2))
+      val tne = ne.sum; val te = ev.sum
+      var cumNe = 0.0; var cumE = 0.0; var ks = 0.0
+      ne.indices.foreach { i =>
+        cumNe += ne(i) / tne; cumE += ev(i) / te
+        ks = math.max(ks, math.abs(cumE - cumNe))
+      }
+      val gini = graft.core.Metrics.gini(ev, ne)
+      import s.implicits._
+      Seq((scale6(ks), scale6(gini))).toDF("ks", "gini")
+    }),
+
+    // --- monitoring (§2.4 PSI) --------------------------------------
+    "q_psi" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val expected = o.where(col("o_orderdate") < cutoff)
+      val actual = o.where(col("o_orderdate") >= cutoff)
+      Monitoring.psi(expected, actual, "o_totalprice",
+                     Array(100000.0, 200000.0, 300000.0))
+        .select(col("bin"), col("count_e").cast("long").as("count_e"),
+                col("count_a").cast("long").as("count_a"),
+                round(col("psi"), 6).as("psi"))
+        .orderBy("bin")
+    }),
+
+    // --- pipeline: dedup --------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      // exact-dup groups on normalized text (md5 key for oracle parity)
+      val d = T(s, dir, "documents")
+      val key = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      d.groupBy(key.as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+        .groupBy("n_docs")
+        .agg(count(lit(1)).as("n_groups"),
+             min("canonical_id").as("min_canonical"))
+        .orderBy("n_docs")
+    }),
+
+    "q_minhash_bands" -> ((s, dir) => {
+      // MinHash-LSH: candidate pair count + banded bucket stats
+      val d = T(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(d, "text", "doc_id",
+                                          numHashes = 32, bands = 8)
+      cands.agg(count(lit(1)).as("n_candidate_pairs"),
+                countDistinct(col("id_a")).as("n_left_docs"))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      // SimHash signature stats: distinct signatures + popcount histogram
+      val d = T(s, dir, "documents")
+      d.select(Dedup.simhash(col("text")).as("sig"))
+        .select(bit_count(col("sig")).as("popcount"))
+        .groupBy("popcount").agg(count(lit(1)).as("n"))
+        .orderBy("popcount")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // pairwise 3-gram Jaccard on a deterministic small sample; shingle
+      // arrays materialized per doc before the pair join
+      val d = T(s, dir, "documents").where(col("doc_id") < 20)
+      val sh = d
+        .select(col("doc_id"),
+                split(Dedup.normalizeText(col("text")), " ").as("__tok"))
+        .select(col("doc_id"),
+                Dedup.wordShinglesOf(col("__tok"), 3).as("sh"))
+      val a = sh.toDF("id_a", "sh_a")
+      val b = sh.toDF("id_b", "sh_b")
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                round(Dedup.jaccardArrays(col("sh_a"), col("sh_b")), 6)
+                  .as("jaccard"))
+        .where(col("jaccard") > 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- pipeline: similarity ---------------------------------------
+    "q_embed_topk" -> ((s, dir) => {
+      // brute-force cosine top-k against the all-ones query vector;
+      // ordering on the rounded cosine so libm ulp noise cannot flip the
+      // boundary vs the oracle
+      val e = T(s, dir, "embeddings")
+      val q = array(Array.fill(64)(lit(1.0d)): _*)
+      e.select(col("vec_id"),
+               round(Similarity.cosine(col("embedding").cast("array<double>"),
+                                       q), 6).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs via hyperplane LSH buckets
+      val e = T(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(e, "embedding", "vec_id",
+                                    threshold = 0.9, nPlanes = 8)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // --- pipeline: text analysis ------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      // per-source quality aggregates
+      val d = T(s, dir, "documents")
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(TextAnalysis.tokenCount(col("text"))), 6)
+               .as("avg_tokens"),
+             round(avg(length(col("text"))), 6).as("avg_chars"))
+        .orderBy("source")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      // language-ID heuristic vs the labeled lang column
+      val d = T(s, dir, "documents")
+      d.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      // 64-bit rolling fingerprint distribution (library xxhash64 path)
+      val d = T(s, dir, "documents")
+      d.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(countDistinct(col("fp")).as("n_distinct"),
+             count(lit(1)).as("n_docs"))
+    }),
+
+    // --- multimodal plumbing ----------------------------------------
+    "q_multimodal_features" -> ((s, dir) => {
+      // binary-payload feature extraction (stub decoder, real plumbing)
+      val d = T(s, dir, "documents").limit(100)
+      val withPayload = Multimodal.withFakePayload(d, "doc_id")
+      val feats = Multimodal.extractFeatures(withPayload, "doc_id",
+                                             "payload", "image")
+      feats.agg(count(lit(1)).as("n_rows"),
+                sum(col("n_bytes").cast("long")).as("total_bytes"),
+                countDistinct(col("id")).as("n_ids"))
+    })
+  )
+
+  private def scale6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def oracleSql: Map[String, String] = Map(
+    "q_split_classes" ->
+      """SELECT CASE WHEN nullif(l_quantity, 50) IS NULL THEN 2
+                     WHEN nullif(l_quantity, 50) IN (1, 2) THEN 1
+                     ELSE 0 END AS cls,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_cat_others_cutoff" ->
+      """SELECT p_brand, count(*) AS n,
+                (count(*) * 1.0 / (SELECT count(*) FROM part) < 0.04)::INT
+                  AS is_others
+         FROM part GROUP BY 1 ORDER BY 1""",
+
+    "q_cat_rate_order" ->
+      """WITH agg AS (
+           SELECT o_orderpriority, count(*) AS n,
+                  round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0
+                            ELSE 0.0 END), 6) AS event_rate
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, n, event_rate,
+                row_number() OVER (ORDER BY event_rate, o_orderpriority) - 1
+                  AS ordinal
+         FROM agg ORDER BY ordinal""",
+
+    "q_outlier_iqr" ->
+      """WITH q AS (
+           SELECT quantile_cont(l_extendedprice, 0.25)::DOUBLE q1,
+                  quantile_cont(l_extendedprice, 0.75)::DOUBLE q3
+           FROM lineitem)
+         SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lower_bound,
+                round(q3 + 1.5 * (q3 - q1), 6) AS upper_bound,
+                (SELECT count(*) FROM lineitem, q
+                 WHERE l_extendedprice > q3 + 1.5 * (q3 - q1)
+                    OR l_extendedprice < q1 - 1.5 * (q3 - q1))
+                  AS n_outliers,
+                (SELECT count(*) FROM lineitem, q
+                 WHERE l_extendedprice <= q3 + 1.5 * (q3 - q1)
+                   AND l_extendedprice >= q1 - 1.5 * (q3 - q1))
+                  AS n_inliers
+         FROM q""",
+
+    "q_outlier_zscore" ->
+      """WITH m AS (SELECT median(o_totalprice)::DOUBLE med FROM orders),
+           d AS (SELECT median(abs(o_totalprice - med))::DOUBLE mad
+                 FROM orders, m)
+         SELECT (SELECT count(*) FROM orders, m, d
+                 WHERE abs(0.6745 * (o_totalprice - med) / mad) > 3.5)
+                  AS n_outliers,
+                (SELECT count(*) FROM orders) AS n""",
+
+    "q_prebin_agg" ->
+      """SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                     WHEN l_extendedprice < 50000 THEN 1
+                     WHEN l_extendedprice < 75000 THEN 2
+                     ELSE 3 END AS bin,
+                sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+                  AS nonevent,
+                sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                  AS event
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_binning_table" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT bin, count(*) AS n, sum(y) AS e, count(*) - sum(y) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg)
+         SELECT bin::BIGINT AS bin, n::BIGINT AS count,
+                ne::BIGINT AS nonevent, e::BIGINT AS event,
+                round(e * 1.0 / n, 6) AS event_rate,
+                round(ln((ne / tne) / (e / te)), 6) AS woe,
+                round((ne / tne - e / te) * ln((ne / tne) / (e / te)), 6)
+                  AS iv
+         FROM agg, tot ORDER BY bin""",
+
+    "q_cont_table" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 0
+                     WHEN l_quantity < 25 THEN 1
+                     WHEN l_quantity < 40 THEN 2
+                     ELSE 3 END::BIGINT AS bin,
+                count(*)::BIGINT AS count,
+                round(sum(l_extendedprice), 6) AS sum,
+                round(avg(l_extendedprice), 6) AS mean,
+                round(stddev_pop(l_extendedprice), 6) AS std,
+                round(min(l_extendedprice), 6) AS min,
+                round(max(l_extendedprice), 6) AS max,
+                sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS zeros
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_woe_transform" ->
+      """WITH b AS (
+           SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                  CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT bin, count(*) AS n, sum(y) AS e, count(*) - sum(y) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg),
+         woe AS (
+           SELECT bin, round(ln((ne / tne) / (e / te)), 6) AS woe
+           FROM agg, tot)
+         SELECT b.l_orderkey, b.l_linenumber, woe.woe
+         FROM b JOIN woe USING (bin)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_ks_gini" -> ksGiniSql,
+
+    "q_psi" ->
+      """WITH e AS (
+           SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                       WHEN o_totalprice < 200000 THEN 1
+                       WHEN o_totalprice < 300000 THEN 2
+                       ELSE 3 END AS bin, count(*) AS count_e
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1),
+         a AS (
+           SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                       WHEN o_totalprice < 200000 THEN 1
+                       WHEN o_totalprice < 300000 THEN 2
+                       ELSE 3 END AS bin, count(*) AS count_a
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+           GROUP BY 1),
+         t AS (SELECT (SELECT sum(count_e)::DOUBLE FROM e) te,
+                      (SELECT sum(count_a)::DOUBLE FROM a) ta)
+         SELECT coalesce(e.bin, a.bin) AS bin,
+                coalesce(count_e, 0)::BIGINT AS count_e,
+                coalesce(count_a, 0)::BIGINT AS count_a,
+                round(CASE WHEN coalesce(count_a, 0) > 0
+                            AND coalesce(count_e, 0) > 0
+                      THEN (count_a / ta - count_e / te)
+                           * ln((count_a / ta) / (count_e / te))
+                      ELSE 0 END, 6) AS psi
+         FROM e FULL OUTER JOIN a ON e.bin = a.bin, t
+         ORDER BY bin""",
+
+    "q_dedup_exact" ->
+      """WITH g AS (
+           SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    AS fp,
+                  count(*) AS n_docs, min(doc_id) AS canonical_id
+           FROM documents GROUP BY 1)
+         SELECT n_docs, count(*) AS n_groups,
+                min(canonical_id) AS min_canonical
+         FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_text_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\s+')) END), 6)
+                  AS avg_tokens,
+                round(avg(length(text)), 6) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_fingerprint" -> "",  // xxhash64 not available in DuckDB: rows-only
+
+    "q_embed_topk" ->
+      """SELECT vec_id,
+                round(list_sum(embedding::DOUBLE[])
+                      / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[]))
+                         * sqrt(64.0)), 6) AS cosine
+         FROM embeddings
+         ORDER BY cosine DESC, vec_id LIMIT 10"""
+  ).filter(_._2.nonEmpty)
+
+  private def ksGiniSql: String =
+    """WITH b AS (
+         SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                     WHEN l_extendedprice < 50000 THEN 1
+                     WHEN l_extendedprice < 75000 THEN 2
+                     ELSE 3 END AS bin,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem),
+       agg AS (
+         SELECT bin, sum(y)::DOUBLE ev, (count(*) - sum(y))::DOUBLE ne
+         FROM b GROUP BY 1),
+       tot AS (SELECT sum(ev) te, sum(ne) tne FROM agg),
+       cums AS (
+         SELECT bin,
+                sum(ev) OVER (ORDER BY bin) / te AS ce,
+                sum(ne) OVER (ORDER BY bin) / tne AS cn
+         FROM agg, tot),
+       ks AS (SELECT round(max(abs(ce - cn)), 6) AS ks FROM cums),
+       srt AS (
+         SELECT ev, ne, ne / (ev + ne) AS ner,
+                sum(ne) OVER (ORDER BY ne / (ev + ne), ev
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS cum_ne_prev
+         FROM agg),
+       gini AS (
+         SELECT round(1.0 - sum(ev * (ne + 2 * coalesce(cum_ne_prev, 0)))
+                      / (SELECT te * tne FROM tot), 6) AS gini
+         FROM srt)
+       SELECT ks.ks, gini.gini FROM ks, gini"""
 }

@@ -133,6 +133,20 @@ object ModelData {
     out.toArray
   }
 
+  /** Multiclass model data (`model_data.py:177-242`): per class one-vs-rest
+    * D/V tables plus per-class violation pairs; same scaling. */
+  def multiclass(nNonevent: Array[Array[Double]],  // (prebin)(class)
+                 nEvent: Array[Array[Double]],
+                 maxPvalue: Option[Double], maxPvaluePolicy: String,
+                 minEventRateDiff: Double)
+      : Array[BinaryModelData] = {
+    val nClasses = nEvent(0).length
+    Array.tabulate(nClasses) { c =>
+      binary("iv", nNonevent.map(_(c)), nEvent.map(_(c)), maxPvalue,
+             maxPvaluePolicy, minEventRateDiff)
+    }
+  }
+
   // --- continuous target ------------------------------------------------
 
   final case class ContinuousModelData(

@@ -160,6 +160,80 @@ object Prebinning {
     thresholds.toArray.sorted
   }
 
+  /** Exact greedy best-first CART for a k-class target: same structure as
+    * `cartSplits` with Gini impurity 1 - sum_c p_c^2 over the per-bucket
+    * class-count matrix `counts(bucket)(class)`.
+    */
+  def cartSplitsK(values: Array[Double], counts: Array[Array[Double]],
+                  nRows: Array[Long], maxLeafNodes: Int,
+                  minSamplesLeaf: Long): Array[Double] = {
+    val n = values.length
+    if (n < 2 || maxLeafNodes < 2) return Array.empty
+    val k = counts(0).length
+    val cumN = new Array[Long](n + 1)
+    val cum = Array.ofDim[Double](n + 1, k)
+    for (i <- 0 until n) {
+      cumN(i + 1) = cumN(i) + nRows(i)
+      var c = 0
+      while (c < k) {
+        cum(i + 1)(c) = cum(i)(c) + counts(i)(c); c += 1
+      }
+    }
+    val totalW = cum(n).sum
+
+    def weight(lo: Int, hi: Int): Double = {
+      var acc = 0.0; var c = 0
+      while (c < k) { acc += cum(hi)(c) - cum(lo)(c); c += 1 }
+      acc
+    }
+    def impurity(lo: Int, hi: Int): Double = {
+      val w = weight(lo, hi)
+      if (w <= 0) return 0.0
+      var acc = 0.0; var c = 0
+      while (c < k) {
+        val p = (cum(hi)(c) - cum(lo)(c)) / w
+        acc += p * p; c += 1
+      }
+      1.0 - acc
+    }
+
+    final case class Split(lo: Int, hi: Int, pos: Int, improvement: Double)
+    def bestSplit(lo: Int, hi: Int): Option[Split] = {
+      val nodeW = weight(lo, hi)
+      val nodeImp = impurity(lo, hi)
+      if (nodeW <= 0 || nodeImp <= 1e-12) return None
+      var best: Split = null
+      var p = lo + 1
+      while (p < hi) {
+        val nL = cumN(p) - cumN(lo)
+        val nR = cumN(hi) - cumN(p)
+        if (nL >= minSamplesLeaf && nR >= minSamplesLeaf) {
+          val wL = weight(lo, p); val wR = weight(p, hi)
+          val imp = nodeW / totalW *
+            (nodeImp - wL / nodeW * impurity(lo, p) -
+              wR / nodeW * impurity(p, hi))
+          if (best == null || imp > best.improvement)
+            best = Split(lo, hi, p, imp)
+        }
+        p += 1
+      }
+      Option(best)
+    }
+
+    val queue = mutable.PriorityQueue.empty[Split](Ordering.by(_.improvement))
+    bestSplit(0, n).foreach(queue.enqueue(_))
+    val thresholds = mutable.ArrayBuffer.empty[Double]
+    var leaves = 1
+    while (queue.nonEmpty && leaves < maxLeafNodes) {
+      val s = queue.dequeue()
+      thresholds += (values(s.pos - 1) + values(s.pos)) / 2.0
+      leaves += 1
+      bestSplit(s.lo, s.pos).foreach(queue.enqueue(_))
+      bestSplit(s.pos, s.hi).foreach(queue.enqueue(_))
+    }
+    thresholds.toArray.sorted
+  }
+
   /** MDLP discretization on the histogram
     * (`optbinning/binning/mdlp.py:99-193`): recursive entropy-minimizing
     * binary splits, stopping by the MDL criterion; candidate splits

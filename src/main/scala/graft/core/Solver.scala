@@ -123,6 +123,68 @@ object Solver {
     }
   }
 
+  /** Multiclass variant (`multiclass_cp.py`): shared bin structure,
+    * objective = sum of per-class scaled divergences, independent
+    * monotonicity constraint per class. Same DP; the transition check
+    * quantifies over classes.
+    */
+  def solveMulti(n: Int,
+                 d: Array[Array[Array[Long]]],     // per class
+                 v: Array[Array[Array[Long]]],     // per class
+                 nRecords: Array[Long],
+                 trends: Array[Option[String]],
+                 trendChanges: Array[Int],
+                 cons: Constraints,
+                 adjacentViolations: Array[((Int, Int), (Int, Int))])
+      : Result = {
+    val nClasses = d.length
+    val cumRec = prefix(nRecords)
+    val fixed =
+      cons.userSplitsFixed.getOrElse(Array.fill(math.max(n - 1, 0))(false))
+
+    def binFeasible(s: Int, e: Int): Boolean = {
+      var i = s
+      while (i < e) {
+        if (i < fixed.length && fixed(i)) return false
+        i += 1
+      }
+      val size = cumRec(e + 1) - cumRec(s)
+      !(cons.minBinSize.exists(size < _) || cons.maxBinSize.exists(size > _))
+    }
+
+    val adjViol = new mutable.HashSet[Long]
+    adjacentViolations.foreach { case ((i, r), (j, k)) =>
+      adjViol += pack(i, r, j, k)
+    }
+
+    // summed objective; per-class monotonic check via a combined V and a
+    // custom mono function — reuse dpSolve by building a synthetic "class"
+    // closure
+    val vSum = Array.tabulate(n) { i =>
+      Array.tabulate(i + 1) { j =>
+        var acc = 0L
+        var c = 0
+        while (c < nClasses) { acc += v(c)(i)(j); c += 1 }
+        acc
+      }
+    }
+
+    def monoAllOk(sA: Int, eA: Int, eB: Int): Boolean = {
+      var c = 0
+      while (c < nClasses) {
+        trends(c) match {
+          case Some(t) =>
+            if (!monoOk(t, trendChanges(c), d(c), sA, eA, eB)) return false
+          case None => ()
+        }
+        c += 1
+      }
+      true
+    }
+
+    dpSolveGeneric(n, vSum, monoAllOk, binFeasible, adjViol, cons)
+  }
+
   private def prefix(a: Array[Long]): Array[Long] = {
     val out = new Array[Long](a.length + 1)
     var i = 0
@@ -165,7 +227,16 @@ object Solver {
                       trend: String, trendChange: Int,
                       binFeasible: (Int, Int) => Boolean,
                       adjViol: mutable.HashSet[Long],
-                      cons: Constraints): Result = {
+                      cons: Constraints): Result =
+    dpSolveGeneric(n, v,
+                   (sA, eA, eB) => monoOk(trend, trendChange, d, sA, eA, eB),
+                   binFeasible, adjViol, cons)
+
+  private def dpSolveGeneric(n: Int, v: Array[Array[Long]],
+                             monoCheck: (Int, Int, Int) => Boolean,
+                             binFeasible: (Int, Int) => Boolean,
+                             adjViol: mutable.HashSet[Long],
+                             cons: Constraints): Result = {
     val needCount = cons.minNBins.isDefined || cons.maxNBins.isDefined
     val maxB = if (needCount) math.min(cons.maxNBins.getOrElse(n), n) else 1
     val NEG = Long.MinValue / 4
@@ -192,7 +263,7 @@ object Solver {
             var e2 = e + 1
             while (e2 < n) {
               if (binFeasible(e + 1, e2) &&
-                  monoOk(trend, trendChange, d, s, e, e2) &&
+                  monoCheck(s, e, e2) &&
                   !adjViol.contains(pack(e, s, e2, e + 1))) {
                 val cand = cur + v(e2)(e + 1)
                 if (cand > dp(e2)(e + 1)(b2)) {

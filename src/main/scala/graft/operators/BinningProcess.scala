@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
+
+import scala.collection.parallel.CollectionConverters._
+
+import graft.core.Prebinning
+
+/** Multi-variable binning process
+  * (`optbinning/binning/binning_process.py:438`), Spark-native shape per
+  * SURVEY §3.2: ALL numeric variables are melted to long format and
+  * aggregated in ONE shuffle (`groupBy(variable, value)` with map-side
+  * partial aggregation, so shuffle volume is bounded by
+  * n_vars x histogram buckets per partition, not by row count); the
+  * per-variable solve loop runs on the driver over the collected
+  * aggregates in parallel (replaces the reference's joblib threading).
+  * High-cardinality variables are collapsed onto per-variable uniform
+  * grids (constants broadcast via a literal map) before the partial
+  * aggregation.
+  */
+object BinningProcess {
+
+  final case class Selection(
+      minIv: Option[Double] = None, maxIv: Option[Double] = None,
+      minJs: Option[Double] = None, maxJs: Option[Double] = None,
+      minGini: Option[Double] = None,
+      minQuality: Option[Double] = None,
+      strategy: Option[String] = None, // "highest" | "lowest"
+      topK: Option[Int] = None)
+
+  def fit(df: DataFrame, variables: Seq[String], yCol: String,
+          targetType: String = "binary",
+          config: BinningConfig = BinningConfig(),
+          varOverrides: Map[String, BinningConfig] = Map.empty,
+          selection: Selection = Selection(),
+          weightCol: Option[String] = None,
+          maxGridBuckets: Int = 10000): FittedBinningProcess = {
+    val schema = df.schema
+    val (catVars, numVars) = variables.partition { v =>
+      schema(v).dataType == StringType
+    }
+    require((catVars ++ numVars).size == variables.size)
+
+    val y = col(yCol).cast(DoubleType)
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+
+    val numFits: Map[String, FittedOptimalBinning] =
+      if (numVars.isEmpty) Map.empty
+      else fitNumericBatch(df, numVars, y, w, targetType, config,
+                           varOverrides, maxGridBuckets)
+
+    val catFits: Map[String, FittedOptimalBinning] =
+      if (catVars.isEmpty) Map.empty
+      else fitCategoricalBatch(df, catVars, y, w, config, varOverrides)
+
+    val all = numFits ++ catFits
+    new FittedBinningProcess(variables.toArray, all, selection)
+  }
+
+  private def cfgFor(v: String, config: BinningConfig,
+                     overrides: Map[String, BinningConfig],
+                     dtype: String): BinningConfig =
+    overrides.getOrElse(v, config).copy(name = v, dtype = dtype)
+
+  private def fitNumericBatch(df: DataFrame, vars: Seq[String], y: Column,
+                              w: Column, targetType: String,
+                              config: BinningConfig,
+                              overrides: Map[String, BinningConfig],
+                              maxGridBuckets: Int)
+      : Map[String, FittedOptimalBinning] = {
+    require(targetType == "binary",
+            "continuous targets: use ContinuousBinningProcess")
+    val stackExpr =
+      s"stack(${vars.length}, " +
+        vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
+        ") as (var, x)"
+    val melted = df
+      .withColumn("__y", y).withColumn("__w", w)
+      .selectExpr("__y as y", "__w as w", stackExpr)
+
+    val specials = config.specialCodes
+    val cls = Preprocess.rowClass(col("x"), isNumeric = true, specials)
+    val base = melted.select(col("var"), col("x"), col("y"), col("w"),
+                             cls.as("cls"))
+
+    // Pass A: per-(var, cls) totals + range/ndv — one shuffle for all vars
+    val statsRows = base.groupBy("var", "cls")
+      .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
+           count(lit(1)).as("n"),
+           sum(col("w")).as("wt"),
+           min("x").as("minx"), max("x").as("maxx"),
+           approx_count_distinct(col("x")).as("ndv"))
+      .collect()
+
+    val totalsByVar: Map[String, Map[Int, ClassTotals]] =
+      statsRows.groupBy(_.getString(0)).map { case (v, rs) =>
+        v -> rs.map { r =>
+          r.getInt(1) -> ClassTotals(r.getDouble(2), r.getDouble(3),
+                                     r.getLong(4), r.getDouble(5))
+        }.toMap
+      }
+
+    // per-var uniform grid constants for high-cardinality compression
+    val gridInfo: Map[String, (Double, Double)] = statsRows
+      .filter(r => r.getInt(1) == Preprocess.CleanClass &&
+                   r.getLong(8) > maxGridBuckets)
+      .map(r => r.getString(0) -> (r.getDouble(6), r.getDouble(7)))
+      .toMap
+
+    val xRep: Column =
+      if (gridInfo.isEmpty) col("x")
+      else {
+        val g = lit(maxGridBuckets)
+        gridInfo.foldLeft(col("x")) { case (acc, (v, (mn, mx))) =>
+          val width = (mx - mn) / maxGridBuckets
+          if (width <= 0) acc
+          else when(col("var") === v,
+                    lit(mn) + floor((col("x") - mn) / width) * width)
+            .otherwise(acc)
+        }
+      }
+
+    // Pass B: the histogram shuffle for every variable at once
+    val histRows = base.where(col("cls") === Preprocess.CleanClass)
+      .select(col("var"), xRep.as("x"), col("y"), col("w"))
+      .groupBy("var", "x")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
+      .collect()
+
+    val histByVar = histRows.groupBy(_.getString(0)).map { case (v, rs) =>
+      v -> rs.map { r =>
+        Prebinning.HistBucket(r.getDouble(1), r.getLong(2), r.getDouble(3),
+                              r.getDouble(4))
+      }.sortBy(_.value)
+    }
+
+    // driver-side parallel solve per variable
+    vars.par.map { v =>
+      val totals = totalsByVar.getOrElse(v, Map.empty)
+      val nSamplesWeighted = totals.values.map(_.w).sum
+      val fitted = OptimalBinning.fitFromHistogram(
+        histByVar.getOrElse(v, Array.empty), totals, nSamplesWeighted,
+        cfgFor(v, config, overrides, "numerical"),
+        categories = null, catOthers = null)
+      v -> fitted
+    }.toList.toMap
+  }
+
+  private def fitCategoricalBatch(df: DataFrame, vars: Seq[String],
+                                  y: Column, w: Column,
+                                  config: BinningConfig,
+                                  overrides: Map[String, BinningConfig])
+      : Map[String, FittedOptimalBinning] = {
+    val stackExpr =
+      s"stack(${vars.length}, " +
+        vars.map(v => s"'$v', cast(`$v` as string)").mkString(", ") +
+        ") as (var, x)"
+    val melted = df
+      .withColumn("__y", y).withColumn("__w", w)
+      .selectExpr("__y as y", "__w as w", stackExpr)
+    val cls = Preprocess.rowClass(col("x"), isNumeric = false,
+                                  config.specialCodes)
+    val rows = melted
+      .select(col("var"), col("x"), col("y"), col("w"), cls.as("cls"))
+      .groupBy("var", "cls", "x")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
+      .collect()
+
+    val byVar = rows.groupBy(_.getString(0))
+    vars.par.map { v =>
+      val catRows = byVar.getOrElse(v, Array.empty).map { r =>
+        OptimalBinning.CatCountRow(r.getInt(1),
+                                   Option(r.getString(2)).getOrElse(""),
+                                   r.getLong(3), r.getDouble(4),
+                                   r.getDouble(5))
+      }
+      v -> OptimalBinning.fitCategoricalFromCounts(
+        catRows, cfgFor(v, config, overrides, "categorical"))
+    }.toList.toMap
+  }
+}
+
+/** Fitted multi-variable process: per-variable models, selection support,
+  * wide transform (one generated CASE column per selected variable — a
+  * single stage, no shuffle). */
+final class FittedBinningProcess(
+    val variables: Array[String],
+    val fits: Map[String, FittedOptimalBinning],
+    val selection: BinningProcess.Selection) extends Serializable {
+
+  /** Per-variable summary metrics (`binning_process.py:397-435`). */
+  lazy val summary: Seq[(String, String, String, Double, Double, Double,
+                         Int)] =
+    variables.toSeq.map { v =>
+      val f = fits(v)
+      (v, f.config.dtype, f.status, f.table.iv, f.table.js, f.table.gini,
+       f.nDataBins)
+    }
+
+  /** Selection support mask (`_support_selection_criteria`
+    * `binning_process.py:350-395`). */
+  lazy val support: Map[String, Boolean] = {
+    val s = selection
+    val base = variables.map { v =>
+      val f = fits(v)
+      var ok = true
+      s.minIv.foreach(b => ok &&= f.table.iv >= b)
+      s.maxIv.foreach(b => ok &&= f.table.iv <= b)
+      s.minJs.foreach(b => ok &&= f.table.js >= b)
+      s.maxJs.foreach(b => ok &&= f.table.js <= b)
+      s.minGini.foreach(b => ok &&= f.table.gini >= b)
+      v -> ok
+    }.toMap
+    (s.strategy, s.topK) match {
+      case (Some(strategy), Some(k)) =>
+        val eligible = variables.filter(base)
+        val ranked = eligible.sortBy(v =>
+          (if (strategy == "highest") -1 else 1) * fits(v).table.iv)
+        val keep = ranked.take(k).toSet
+        variables.map(v => v -> (base(v) && keep(v))).toMap
+      case _ => base
+    }
+  }
+
+  def selectedVariables: Array[String] = variables.filter(support)
+
+  /** Wide transform: metric column per selected variable. */
+  def transform(df: DataFrame, metric: String = "woe",
+                keepCols: Seq[String] = Seq.empty): DataFrame = {
+    val cols = keepCols.map(col) ++ selectedVariables.toSeq.map { v =>
+      fits(v).transform(col(v), metric).as(v)
+    }
+    df.select(cols: _*)
+  }
+}

@@ -54,12 +54,10 @@ object ContinuousOptimalBinning {
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
     val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
 
-    val nGrid = config.histogramMaxBuckets
-    val probs = array((1 until nGrid).map(i => lit(i.toDouble / nGrid)): _*)
     val statsRows = base.groupBy("cls")
       .agg(aggExprs.head, aggExprs.tail :+
         approx_count_distinct(col("x")).as("ndv") :+
-        percentile_approx(col("x"), probs, lit(10000)).as("grid"): _*)
+        min(col("x")).as("minx"): _*)
       .collect()
 
     val totals = statsRows.map { r =>
@@ -74,24 +72,36 @@ object ContinuousOptimalBinning {
       statsRows.find(_.getInt(0) == Preprocess.CleanClass) match {
         case None => Array.empty
         case Some(r) =>
-          val ndv = r.getLong(9)
           val baseClean = base.where(col("cls") === Preprocess.CleanClass)
-          val grouped =
-            if (ndv <= config.histogramMaxBuckets)
-              baseClean.groupBy("x")
-            else {
-              val grid = r.getSeq[Double](10).toArray.distinct.sorted
-              val gridLit = lit(grid)
-              val bucketVal = element_at(gridLit,
-                greatest(lit(1), size(filter(gridLit, g => g <= col("x")))))
-              baseClean.groupBy(bucketVal.as("x"))
-            }
-          grouped.agg(aggExprs.head, aggExprs.tail: _*)
-            .collect()
-            .map(r2 => ContBucket(r2.getDouble(0), r2.getLong(1),
-              r2.getDouble(2), r2.getDouble(3), r2.getDouble(4),
-              r2.getDouble(5), r2.getDouble(6), r2.getLong(7)))
-            .sortBy(_.value)
+          config.userSplits match {
+            case Some(us) =>
+              Histograms.exactPrebinBuckets(baseClean, us.sorted) { idx =>
+                baseClean.groupBy(idx.as("b"))
+                  .agg(aggExprs.head, aggExprs.tail: _*)
+                  .collect()
+                  .map(r2 => (r2.getInt(0), r2.getLong(1),
+                              (r2.getDouble(2), r2.getDouble(3),
+                               r2.getDouble(4), r2.getDouble(5),
+                               r2.getDouble(6), r2.getLong(7))))
+              }.map { case (rep, n, (w, wy, wy2, mn, mx, z)) =>
+                ContBucket(rep, n, w, wy, wy2, mn, mx, z)
+              }
+            case None =>
+              val ndv = r.getLong(9)
+              val grouped =
+                if (ndv <= config.histogramMaxBuckets)
+                  baseClean.groupBy("x")
+                else
+                  Histograms.gridCompress(baseClean, "x", r.getDouble(10),
+                                          config.histogramMaxBuckets)
+                    .groupBy("x")
+              grouped.agg(aggExprs.head, aggExprs.tail: _*)
+                .collect()
+                .map(r2 => ContBucket(r2.getDouble(0), r2.getLong(1),
+                  r2.getDouble(2), r2.getDouble(3), r2.getDouble(4),
+                  r2.getDouble(5), r2.getDouble(6), r2.getLong(7)))
+                .sortBy(_.value)
+          }
       }
 
     fitFromHistogram(hist, totals, nSamplesWeighted, config,

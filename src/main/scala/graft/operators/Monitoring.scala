@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population-stability monitoring (`optbinning/scorecard/monitoring.py`):
+  * PSI between an expected (train) and actual (production) cohort, and the
+  * supporting significance tests. Data plane: one groupBy per cohort (or a
+  * single groupBy(cohort, bin)) + a broadcast-size full-outer join on bin.
+  */
+object Monitoring {
+
+  /** Per-bin PSI contributions from two pre-binned cohorts.
+    * psi_i = (p_actual_i - p_expected_i) * ln(p_actual_i / p_expected_i)
+    * (`monitoring.py:502-545`). Inputs are (bin -> count) aggregates;
+    * the join is tiny (#bins rows) and broadcast.
+    */
+  def psiTable(expected: DataFrame, actual: DataFrame,
+               binCol: String = "bin",
+               countCol: String = "count"): DataFrame = {
+    val e = expected.select(col(binCol).as("bin"),
+                            col(countCol).cast("double").as("count_e"))
+    val a = actual.select(col(binCol).as("bin"),
+                          col(countCol).cast("double").as("count_a"))
+    val te = e.agg(sum("count_e")).head.getDouble(0)
+    val ta = a.agg(sum("count_a")).head.getDouble(0)
+    e.join(a, Seq("bin"), "full_outer")
+      .na.fill(0.0, Seq("count_e", "count_a"))
+      .withColumn("p_expected", col("count_e") / te)
+      .withColumn("p_actual", col("count_a") / ta)
+      .withColumn("psi",
+        when(col("p_actual") > 0 && col("p_expected") > 0,
+             (col("p_actual") - col("p_expected")) *
+               log(col("p_actual") / col("p_expected"))).otherwise(0.0))
+      .orderBy("bin")
+  }
+
+  /** One-shot PSI over a raw column given fixed splits: bins both cohorts
+    * with the same CASE chain and aggregates in one pass per cohort. */
+  def psi(expected: DataFrame, actual: DataFrame, xCol: String,
+          splits: Array[Double]): DataFrame = {
+    def binned(df: DataFrame): DataFrame = {
+      val x = col(xCol).cast("double")
+      val idx = splits.indices.foldRight(lit(splits.length): Column) {
+        (i, acc) => when(x < splits(i), lit(i)).otherwise(acc)
+      }
+      df.select(idx.as("bin")).groupBy("bin").agg(count(lit(1)).as("count"))
+    }
+    psiTable(binned(expected), binned(actual))
+  }
+
+  /** PSI significance thresholds (`monitoring.py:560-571`): psi total vs
+    * 0.1/0.25 traffic-light rule. */
+  def psiVerdict(psiTotal: Double): String =
+    if (psiTotal < 0.1) "Insignificant change"
+    else if (psiTotal < 0.25) "Requires investigation"
+    else "Significance change"
+
+  /** Chi-square test comparing event counts of two cohorts per bin
+    * (`monitoring.py:598-654` statistical tests, binary target). Expects
+    * per-bin (n_records, n_event) for both cohorts; computes per-bin
+    * 2x2 chi2 p-values driver-side (bin count is small).
+    */
+  def chi2Tests(bins: Array[(String, Double, Double, Double, Double)])
+      : Array[(String, Double, Double)] = {
+    bins.map { case (bin, nE, eE, nA, eA) =>
+      val obs = Array(Array(nE - eE, eE), Array(nA - eA, eA))
+      val (stat, p, _) = graft.core.Stats.chi2Contingency(obs)
+      (bin, stat, p)
+    }
+  }
+}

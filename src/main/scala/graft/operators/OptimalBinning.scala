@@ -39,7 +39,7 @@ final case class BinningConfig(
     /** Spark-side knob: max value-level histogram buckets collected to the
       * driver; above this, clean values are compressed onto an
       * approx-quantile grid first (scale path for 100 TB inputs). */
-    histogramMaxBuckets: Int = 20000)
+    histogramMaxBuckets: Int = 10000)
 
 /** Per-class aggregate collected by the fit job. */
 private[graft] final case class ClassTotals(w0: Double, w1: Double,
@@ -81,11 +81,7 @@ object OptimalBinning {
 
     val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
 
-    // Pass 1: one hash-agg keyed by row class — totals, clean min/max,
-    // approx distinct, and the quantile grid (only consumed on the
-    // compressed path).
-    val nGrid = config.histogramMaxBuckets
-    val probs = array((1 until nGrid).map(i => lit(i.toDouble / nGrid)): _*)
+    // Pass 1: one hash-agg keyed by row class — totals + approx distinct.
     val statsRows = base
       .groupBy("cls")
       .agg(
@@ -94,9 +90,7 @@ object OptimalBinning {
         count(lit(1)).as("n"),
         sum(col("w")).as("w"),
         min(col("x")).as("minx"),
-        max(col("x")).as("maxx"),
-        approx_count_distinct(col("x")).as("ndv"),
-        percentile_approx(col("x"), probs, lit(10000)).as("grid"))
+        approx_count_distinct(col("x")).as("ndv"))
       .collect()
 
     val totals = statsRows.map { r =>
@@ -109,54 +103,49 @@ object OptimalBinning {
     val hist: Array[Prebinning.HistBucket] = cleanRow match {
       case None => Array.empty
       case Some(r) =>
-        val ndv = r.getLong(7)
-        if (ndv <= config.histogramMaxBuckets) {
-          collectExactHistogram(base)
-        } else {
-          val grid = r.getSeq[Double](8).toArray.distinct.sorted
-          collectGridHistogram(base, grid)
+        val cleanBase = base.where(col("cls") === Preprocess.CleanClass)
+        config.userSplits match {
+          case Some(us) =>
+            // user-splits path: count per prebin EXACTLY with the split
+            // CASE (no histogram quantization); pseudo-histogram buckets
+            // carry one in-bin representative so refinement re-counting
+            // stays correct under any split subset
+            Histograms.exactPrebinBuckets(cleanBase, us.sorted) { idx =>
+              cleanBase.groupBy(idx.as("b"))
+                .agg(count(lit(1)).as("n"),
+                     sum(when(col("y") === 0.0, col("w")).otherwise(0.0))
+                       .as("w0"),
+                     sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0))
+                       .as("w1"))
+                .collect()
+                .map(r2 => (r2.getInt(0), r2.getLong(1),
+                            Array(r2.getDouble(2), r2.getDouble(3))))
+            }.map { case (rep, n, a) =>
+              Prebinning.HistBucket(rep, n, a(0), a(1))
+            }
+          case None =>
+            val ndv = r.getLong(6)
+            val keyed =
+              if (ndv <= config.histogramMaxBuckets) cleanBase
+              else Histograms.gridCompress(cleanBase, "x", r.getDouble(5),
+                                           config.histogramMaxBuckets)
+            keyed.groupBy("x")
+              .agg(count(lit(1)).as("n"),
+                   sum(when(col("y") === 0.0, col("w")).otherwise(0.0))
+                     .as("w0"),
+                   sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0))
+                     .as("w1"))
+              .collect()
+              .map(r2 => Prebinning.HistBucket(r2.getDouble(0),
+                                               r2.getLong(1),
+                                               r2.getDouble(2),
+                                               r2.getDouble(3)))
+              .sortBy(_.value)
         }
     }
 
     fitFromHistogram(hist, totals, nSamplesWeighted, config,
                      categories = null, catOthers = null)
-  }
-
-  /** Exact value-level histogram: groupBy(x) over clean rows only — filter
-    * and projection push to the scan; shuffle cardinality = #distinct. */
-  private def collectExactHistogram(
-      base: DataFrame): Array[Prebinning.HistBucket] = {
-    base.where(col("cls") === Preprocess.CleanClass)
-      .groupBy("x")
-      .agg(count(lit(1)).as("n"),
-           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
-           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
-      .collect()
-      .map(r => Prebinning.HistBucket(r.getDouble(0), r.getLong(1),
-                                      r.getDouble(2), r.getDouble(3)))
-      .sortBy(_.value)
-  }
-
-  /** Quantile-grid-compressed histogram for high-cardinality columns: x is
-    * collapsed to the largest grid edge <= x; bucket count bounded by the
-    * grid size regardless of input scale. */
-  private def collectGridHistogram(
-      base: DataFrame, grid: Array[Double]): Array[Prebinning.HistBucket] = {
-    val gridLit = lit(grid)
-    // index of last grid edge <= x via array filter size (codegen'd, no UDF)
-    val bucketVal = element_at(
-      gridLit,
-      greatest(lit(1),
-               size(filter(gridLit, g => g <= col("x")))))
-    base.where(col("cls") === Preprocess.CleanClass)
-      .groupBy(bucketVal.as("x"))
-      .agg(count(lit(1)).as("n"),
-           sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
-           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
-      .collect()
-      .map(r => Prebinning.HistBucket(r.getDouble(0), r.getLong(1),
-                                      r.getDouble(2), r.getDouble(3)))
-      .sortBy(_.value)
   }
 
   // ------------------------------------------------------------------
@@ -180,15 +169,32 @@ object OptimalBinning {
            sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
            sum(col("w")).as("w"))
       .collect()
+      .map(r => CatCountRow(r.getInt(0),
+                            Option(r.getString(1)).getOrElse(""),
+                            r.getLong(2), r.getDouble(3), r.getDouble(4)))
 
-    val totals = rows.groupBy(_.getInt(0)).map { case (k, rs) =>
-      k -> ClassTotals(rs.map(_.getDouble(3)).sum, rs.map(_.getDouble(4)).sum,
-                       rs.map(_.getLong(2)).sum, rs.map(_.getDouble(5)).sum)
+    fitCategoricalFromCounts(rows, config)
+  }
+
+  /** Per-(rowClass, category) count row of the categorical fit aggregate. */
+  private[graft] final case class CatCountRow(cls: Int, cat: String,
+                                              n: Long, w0: Double,
+                                              w1: Double)
+
+  /** Driver-side categorical phase shared by the single-variable fit and
+    * `BinningProcess`: cutoff -> others, event-rate ordinalization, then
+    * the common histogram fit. */
+  private[graft] def fitCategoricalFromCounts(
+      rows: Array[CatCountRow],
+      config: BinningConfig): FittedOptimalBinning = {
+    val totals = rows.groupBy(_.cls).map { case (k, rs) =>
+      k -> ClassTotals(rs.map(_.w0).sum, rs.map(_.w1).sum,
+                       rs.map(_.n).sum, rs.map(r => r.w0 + r.w1).sum)
     }
     val nSamplesWeighted = totals.values.map(_.w).sum
 
-    val cleanCats = rows.filter(_.getInt(0) == Preprocess.CleanClass).map {
-      r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val cleanCats = rows.filter(_.cls == Preprocess.CleanClass).map { r =>
+      (r.cat, r.n, r.w0, r.w1)
     }
 
     // cat_cutoff -> "others" group (`preprocessing.py:32-42`)
@@ -214,7 +220,7 @@ object OptimalBinning {
                          others.map(c => c._3 + c._4).sum))
       else None
 
-    fitFromHistogram(hist, totals.toMap, nSamplesWeighted, config,
+    fitFromHistogram(hist, totals, nSamplesWeighted, config,
                      categories = categories, catOthers = others.map(_._1),
                      othersTotals = othersTotals)
   }

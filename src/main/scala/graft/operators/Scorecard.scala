@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Credit scorecard (`optbinning/scorecard/scorecard.py:177`): binning
+  * process -> WoE transform -> linear estimator -> per-bin points with
+  * pdo/odds or min/max scaling. Spark-native: the estimator is
+  * `spark.ml` LogisticRegression/LinearRegression over the assembled WoE
+  * vector (one extra narrow projection), and scoring is a generated
+  * points-CASE column per variable summed row-wise — single stage, no
+  * shuffle, no model object needed at score time.
+  */
+object Scorecard {
+
+  final case class ScalingConfig(
+      method: Option[String] = None,            // "pdo_odds" | "min_max"
+      pdo: Double = 20, odds: Double = 50, scorecardPoints: Double = 600,
+      min: Double = 300, max: Double = 850,
+      reverseScorecard: Boolean = false,
+      interceptBased: Boolean = false,
+      rounding: Boolean = false)
+
+  final case class PointsRow(variable: String, binId: Int, bin: String,
+                             count: Double, eventRate: Double, woe: Double,
+                             coefficient: Double, points: Double)
+
+  def fit(df: DataFrame, variables: Seq[String], yCol: String,
+          binningConfig: BinningConfig = BinningConfig(),
+          selection: BinningProcess.Selection = BinningProcess.Selection(),
+      scaling: ScalingConfig = ScalingConfig(),
+      target: String = "binary",
+      regParam: Double = 0.0,
+      elasticNetParam: Double = 0.0): FittedScorecard = {
+
+    val process = BinningProcess.fit(df, variables, yCol,
+                                     targetType = "binary",
+                                     config = binningConfig,
+                                     selection = selection)
+    val selected = process.selectedVariables.toSeq
+    require(selected.nonEmpty, "no variables survive selection criteria")
+
+    // WoE design matrix (one generated CASE per variable; single stage)
+    val xt = process.transform(df, metric = "woe", keepCols = Seq(yCol))
+    val assembler = new VectorAssembler()
+      .setInputCols(selected.toArray).setOutputCol("features")
+    val assembled = assembler.transform(xt)
+      .select(col("features"), col(yCol).cast("double").as("label"))
+
+    val (coefs, intercept) = target match {
+      case "binary" =>
+        val lr = new LogisticRegression()
+          .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+          .setStandardization(false)
+        val m = lr.fit(assembled)
+        (m.coefficients.toArray, m.intercept)
+      case "continuous" =>
+        val lr = new LinearRegression()
+          .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+          .setStandardization(false)
+        val m = lr.fit(assembled)
+        (m.coefficients.toArray, m.intercept)
+    }
+
+    // points = woe * coef per bin (`scorecard.py:639-664`)
+    val n = selected.size
+    var rows: Seq[PointsRow] = selected.zipWithIndex.flatMap {
+      case (v, i) =>
+        val f = process.fits(v)
+        val c = coefs(i)
+        f.table.rows.zipWithIndex.map { case (r, binId) =>
+          PointsRow(v, binId, r.bin, r.count, r.eventRate, r.woe, c,
+                    r.woe * c)
+        }
+    }
+
+    // scaling (`scorecard.py:121-156`)
+    val sense = if (scaling.reverseScorecard) -1.0 else 1.0
+    rows = scaling.method match {
+      case Some("pdo_odds") =>
+        val factor = scaling.pdo / math.log(2)
+        val offset = scaling.scorecardPoints -
+          factor * math.log(scaling.odds)
+        rows.map(r => r.copy(points =
+          -(sense * r.points + intercept / n) * factor + offset / n))
+      case Some("min_max") =>
+        val byVar = rows.groupBy(_.variable)
+        val minP = byVar.values.map(_.map(_.points).min).sum
+        val maxP = byVar.values.map(_.map(_.points).max).sum
+        val smin = intercept + minP
+        val smax = intercept + maxP
+        val slope = sense * (scaling.min - scaling.max) / (smax - smin)
+        val shift =
+          if (scaling.reverseScorecard) scaling.min - slope * smin
+          else scaling.max - slope * smin
+        val basePoints = shift + slope * intercept
+        rows.map(r => r.copy(points = basePoints / n + slope * r.points))
+      case _ => rows
+    }
+
+    // intercept-based shift (`scorecard.py:159-174`)
+    var interceptOut = 0.0
+    if (scaling.interceptBased) {
+      val mins = rows.groupBy(_.variable).map { case (v, rs) =>
+        v -> rs.map(_.points).min
+      }
+      interceptOut = mins.values.sum
+      rows = rows.map(r => r.copy(points = r.points - mins(r.variable)))
+    }
+
+    if (scaling.rounding) {
+      rows = rows.map(r => r.copy(points = math.rint(r.points)))
+      interceptOut = math.rint(interceptOut)
+    }
+
+    new FittedScorecard(process, selected.toArray, coefs, intercept,
+                        rows.toArray, interceptOut, scaling)
+  }
+}
+
+final class FittedScorecard(
+    val process: FittedBinningProcess,
+    val selected: Array[String],
+    val coefficients: Array[Double],
+    val estimatorIntercept: Double,
+    val pointsTable: Array[Scorecard.PointsRow],
+    val baseIntercept: Double,
+    val scaling: Scorecard.ScalingConfig) extends Serializable {
+
+  /** Per-variable points expression: the variable's transform CASE chain
+    * with points as values (including special/missing rows). */
+  private def pointsColumn(v: String): Column = {
+    val f = process.fits(v)
+    val byBin = pointsTable.filter(_.variable == v)
+    // indices transform gives bin id; map id -> points via CASE
+    val idxCol = f.transform(col(v), metric = "indices")
+    byBin.foldLeft(lit(Double.NaN)) { (acc, r) =>
+      when(idxCol === r.binId, lit(r.points)).otherwise(acc)
+    }
+  }
+
+  /** Total score column (`scorecard.py:396-421`): sum of per-variable
+    * points (+ intercept when intercept_based). Pure projection. */
+  def scoreColumn(): Column =
+    selected.map(pointsColumn).reduce(_ + _) + lit(baseIntercept)
+
+  def score(df: DataFrame, keepCols: Seq[String] = Seq.empty): DataFrame =
+    df.select(keepCols.map(col) :+ scoreColumn().as("score"): _*)
+
+  /** Event probability via the logistic link on the linear predictor
+    * (equivalent to sklearn predict_proba on WoE features). */
+  def predictProbaColumn(): Column = {
+    val linear = selected.zipWithIndex.map { case (v, i) =>
+      process.fits(v).transform(col(v), metric = "woe") *
+        lit(coefficients(i))
+    }.reduce(_ + _) + lit(estimatorIntercept)
+    lit(1.0) / (lit(1.0) + exp(-linear))
+  }
+}

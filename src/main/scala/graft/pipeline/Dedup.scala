@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle-per-stage at 100 TB scale:
+  *
+  * - exact: hash-groupBy on a normalized fingerprint.
+  * - MinHash + LSH: shingle -> k minhashes -> b bands; candidate pairs come
+  *   from an equi-join on (band, band-signature) — no pairwise cross join.
+  * - SimHash: 64-bit bit-vote signature; near-dups share signature (or a
+  *   banded prefix).
+  * - n-gram Jaccard: verification metric on LSH candidates.
+  * - embedding cosine: see `Similarity` (hyperplane-LSH bucketed).
+  *
+  * All signature computation is Catalyst higher-order functions over token
+  * arrays — codegen, no UDFs, no driver round-trips.
+  */
+object Dedup {
+
+  /** Case-folded, whitespace-collapsed text. IMPORTANT: materialize this
+    * as a column (`withColumn`) before passing into the shingle helpers —
+    * higher-order-function lambdas re-evaluate captured expression trees
+    * per element, so feeding an unmaterialized regex into `shinglesOf`
+    * costs |text| regex evaluations per row.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character shingles of length n over a MATERIALIZED normalized-text
+    * column (plain column refs are cheap to capture in lambdas). */
+  def shinglesOf(norm: Column, n: Int): Column =
+    array_distinct(
+      when(length(norm) < n, array(norm)).otherwise(
+        transform(sequence(lit(1), length(norm) - n + 1),
+                  i => norm.substr(i, lit(n)))))
+
+  /** Convenience single-expression form — only for small inputs; see
+    * `normalizeText` note. */
+  def shingles(text: Column, n: Int = 5): Column =
+    shinglesOf(normalizeText(text), n)
+
+  /** Word n-gram shingles over a MATERIALIZED token-array column. */
+  def wordShinglesOf(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(concat_ws(" ", tokens))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))))
+
+  /** Convenience single-expression form — see `normalizeText` note. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesOf(split(normalizeText(text), " "), n)
+
+  /** k minhash values over a shingle array: minhash_j = min over shingles
+    * of hash64(shingle, seed_j). */
+  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+
+  /** LSH band keys: the signature split into b bands of r rows each,
+    * hashed; equal band-hash => candidate pair. Returns array of b hashes.
+    */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(signature, b * lit(rows) + 1,
+                                         lit(rows))), b))
+
+  /** Exact duplicate groups by normalized-content fingerprint:
+    * (fingerprint, n_docs, min doc id as canonical). */
+  def exactGroups(df: DataFrame, textCol: String,
+                  idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+              TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("canonical_id"))
+
+  /** Exact-dedup: keep one row (min id) per fingerprint. Implemented as a
+    * min-id aggregate + semi-join (two shuffles on the same key — AQE
+    * coalesces), never a window over the full data.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = fp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** Per-document banded MinHash signature, staged as materialized
+    * projections: each intermediate (normalized text, shingle array,
+    * signature) is computed ONCE per row. Nesting them in one expression
+    * would re-evaluate the captured subtree per lambda element — Catalyst
+    * does not CSE across higher-order-function lambdas.
+    */
+  def withMinhashBands(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int, bands: Int,
+                       shingleLen: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__norm", normalizeText(col("__text")))
+      .withColumn("__shingles", shinglesOf(col("__norm"), shingleLen))
+      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+      .select(col("id"),
+              posexplode(lshBands(col("__sig"), bands, rows))
+                .as(Seq("band", "bh")))
+  }
+
+  /** MinHash-LSH candidate pairs: returns (id_a, id_b, band) with
+    * id_a < id_b. One shuffle on the exploded band key; bucket sizes are
+    * bounded by near-dup cluster sizes, not the corpus.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleLen: Int = 5): DataFrame = {
+    val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
+                                  shingleLen)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+             col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.band").as("band"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
+    * hashes, bit set when the vote is positive. Bit packing avoids dynamic
+    * shifts via MSB-first Horner accumulation (acc*2 + bit). */
+  def simhash(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val bitArray: Column => Column = t => array(
+      (0 until 64).map(i =>
+        when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, lit(1L))
+          .otherwise(lit(-1L))): _*)
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, bitArray(t), (a, v) => a + v))
+    // shiftleft (bitwise, no ANSI overflow check) instead of acc*2: the
+    // top bit legitimately lands in the sign bit of the Long
+    aggregate(reverse(votes), lit(0L),
+              (acc, v) => shiftleft(acc, 1) + when(v > 0, 1L).otherwise(0L))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two precomputed (distinct-element) arrays. */
+  def jaccardArrays(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** n-gram Jaccard similarity between two texts. For joins, precompute
+    * `wordShingles` per side first and use `jaccardArrays` — this form
+    * re-tokenizes per comparison. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
+    jaccardArrays(wordShingles(textA, n), wordShingles(textB, n))
+
+  /** Verified near-dup pairs: LSH candidates filtered by n-gram Jaccard >=
+    * threshold. Shingle arrays are materialized per doc BEFORE the joins
+    * so tokenization runs once per document, not once per candidate pair.
+    */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   jaccardThreshold: Double = 0.8,
+                   numHashes: Int = 64, bands: Int = 16,
+                   jaccardNgram: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
+      .select("id_a", "id_b").distinct()
+    val sh = df.select(col(idCol).as("id"),
+                       split(normalizeText(col(textCol)), " ").as("__tok"))
+      .select(col("id"), wordShinglesOf(col("__tok"), jaccardNgram).as("sh"))
+    cands
+      .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

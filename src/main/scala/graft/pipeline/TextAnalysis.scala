@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting. All are
+  * pure Catalyst column expressions (codegen, no UDFs), so they pipeline
+  * inside the scan stage at 100 TB scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/null-safe. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-piece regex matches (letters runs, digit
+    * runs, single punctuation) — a deterministic proxy for tokenizer load.
+    */
+  def subwordCount(text: Column): Column =
+    when(text.isNull, lit(0))
+      .otherwise(size(regexp_extract_all(text,
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for",
+                "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del",
+                "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit",
+                "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "du", "des",
+                "est"))
+
+  /** Per-language stopword-hit count over the whitespace tokens. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = stopwords(lang)
+    val tokens = split(lower(text), "\\s+")
+    size(array_intersect(tokens, array(words.map(lit(_)): _*)))
+  }
+
+  /** N-gram/stopword heuristic language ID over {en, es, de, fr, zh}:
+    * CJK characters vote zh; otherwise the language with the most stopword
+    * hits wins, "und" (undetermined) when no hits. Deterministic tie-break
+    * by language order en > es > de > fr.
+    */
+  def langId(text: Column): Column = {
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"),
+                                      lit(0)))
+    val hits = Seq("en", "es", "de", "fr").map(l => l -> stopwordHits(text, l))
+    val maxHits = greatest(hits.map(_._2): _*)
+    // first language (in en,es,de,fr order) reaching maxHits wins
+    val ordered = hits.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (l, h)) => when(h === maxHits && maxHits > 0, lit(l))
+        .otherwise(acc)
+    }
+    when(text.isNull, lit("und"))
+      .when(cjk > 0, lit("zh"))
+      .otherwise(ordered)
+  }
+
+  /** Document quality features: length, token stats, punctuation/digit
+    * ratios, stopword ratio — the standard pre-training quality signals.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val nPunct = size(regexp_extract_all(text,
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+      .cast("double")
+    val nStop = stopwordHits(text, "en").cast("double")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_token_len" -> when(nTokens > 0,
+        (nChars - (nTokens - 1)) / nTokens).otherwise(lit(0.0)),
+      "punct_ratio" -> when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)),
+      "digit_ratio" -> when(nChars > 0, nDigit / nChars).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nTokens > 0, nStop / nTokens)
+        .otherwise(lit(0.0)))
+  }
+
+  /** Scalar quality score in [0,1]: logistic blend of the quality features
+    * (heuristic weights; deterministic).
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val raw = lit(0.0) +
+      when(f("n_tokens") >= 10 && f("n_tokens") <= 100000, lit(0.3))
+        .otherwise(lit(0.0)) +
+      when(f("mean_token_len") >= 2 && f("mean_token_len") <= 12, lit(0.3))
+        .otherwise(lit(0.0)) +
+      when(f("punct_ratio") <= 0.2, lit(0.2)).otherwise(lit(0.0)) +
+      when(f("stopword_ratio") >= 0.05, lit(0.2)).otherwise(lit(0.0))
+    raw
+  }
+
+  /** 64-bit content fingerprint of normalized text (case-folded,
+    * whitespace-collapsed) — exact-dup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
