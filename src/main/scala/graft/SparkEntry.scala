@@ -285,6 +285,135 @@ object SparkEntry {
              count(lit(1)).as("n_docs"))
     }),
 
+    // --- §2.4 multiclass / §2.9-2.10 solver+sketch surfaces ---------
+    "q_multiclass_agg" -> ((s, dir) => {
+      // per-(bin, class) counts at fixed splits (multiclass prebin matrix)
+      val o = T(s, dir, "orders")
+      o.groupBy(binIdx(col("o_totalprice"),
+                       Array(100000.0, 250000.0)).as("bin"))
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+               .as("n_f"),
+             sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L))
+               .as("n_p"),
+             sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+               .as("n_o"))
+        .orderBy("bin")
+    }),
+
+    "q_multiclass_fit" -> ((s, dir) => {
+      // full multiclass optimal binning (driver solve; rows-only check)
+      val o = T(s, dir, "orders")
+        .withColumn("y", when(col("o_orderstatus") === "F", 0.0)
+          .when(col("o_orderstatus") === "P", 1.0).otherwise(2.0))
+      val fitted = MulticlassOptimalBinning.fit(o, "o_totalprice", "y",
+                                                BinningConfig(name = "tp"))
+      import s.implicits._
+      fitted.binLabels.indices.map { i =>
+        (fitted.binLabels(i), fitted.nRecords(i).toLong,
+         scale6(fitted.meanWoe.applyOrElse(i, (_: Int) => 0.0)))
+      }.toDF("bin", "count", "mean_woe")
+    }),
+
+    "q_quantile_splits" -> ((s, dir) => {
+      // exact equal-frequency splits (quantile prebinning operator)
+      val li = T(s, dir, "lineitem")
+      li.agg(
+        round(percentile(col("l_quantity"), lit(0.2)), 6).as("q20"),
+        round(percentile(col("l_quantity"), lit(0.4)), 6).as("q40"),
+        round(percentile(col("l_quantity"), lit(0.6)), 6).as("q60"),
+        round(percentile(col("l_quantity"), lit(0.8)), 6).as("q80"))
+    }),
+
+    "q_uniform_splits" -> ((s, dir) => {
+      // equal-width splits (uniform prebinning operator)
+      val li = T(s, dir, "lineitem")
+      li.agg(min(col("l_extendedprice")).as("mn"),
+             max(col("l_extendedprice")).as("mx"))
+        .select(
+          round(col("mn") + (col("mx") - col("mn")) * 0.25, 6).as("s1"),
+          round(col("mn") + (col("mx") - col("mn")) * 0.50, 6).as("s2"),
+          round(col("mn") + (col("mx") - col("mn")) * 0.75, 6).as("s3"))
+    }),
+
+    "q_cap_curve" -> ((s, dir) => {
+      // CAP curve: cumulative event capture over bins ordered by event
+      // rate descending (`scorecard/plots.py:110-178` on binned data)
+      val li = liTarget(T(s, dir, "lineitem"))
+      import org.apache.spark.sql.expressions.Window
+      val agg = li
+        .groupBy(binIdx(col("l_extendedprice"), liSplits).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("ev"))
+        .withColumn("event_rate", round(col("ev") / col("n"), 6))
+      val w = Window.orderBy(desc("event_rate"), col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = agg.agg(sum("ev")).head.getDouble(0)
+      agg.withColumn("cum_capture", round(sum("ev").over(w) / tot, 6))
+        .select(col("bin"), col("n"), col("ev").cast("long").as("ev"),
+                col("event_rate"), col("cum_capture"))
+        .orderBy("bin")
+    }),
+
+    "q_events_window" -> ((s, dir) => {
+      // ordered analytics on the events stream table: per-user running
+      // value sum + event sequence number
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects even at schema inference — read with an explicit
+      // schema that omits ts; event_id is insertion-ordered, so ordered
+      // analytics use it
+      val e = s.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 50)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      e.select(col("user_id"), col("event_id"),
+               row_number().over(w).as("seq"),
+               round(sum(col("value"))
+                 .over(w.rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)), 6)
+                 .as("running_value"))
+        .orderBy("user_id", "seq")
+    }),
+
+    "q_sketch_binning" -> ((s, dir) => {
+      // streaming/mergeable sketch binning: add per half, merge, solve
+      val li = liTarget(T(s, dir, "lineitem"))
+      val sk = new graft.streaming.OptimalBinningSketch(
+        BinningConfig(name = "l_extendedprice"), eps = 1e-3)
+      sk.add(li.where(col("l_orderkey") % 2 === 0), "l_extendedprice", "y")
+      sk.add(li.where(col("l_orderkey") % 2 === 1), "l_extendedprice", "y")
+      val fitted = sk.solve()
+      import s.implicits._
+      fitted.table.rows.toSeq.map(r =>
+        (r.bin, r.count.toLong, scale6(r.eventRate), scale6(r.woe)))
+        .toDF("bin", "count", "event_rate", "woe")
+    }),
+
+    "q_process_summary" -> ((s, dir) => {
+      // multi-variable binning process: per-variable IV/JS/Gini summary
+      val li = liTarget(T(s, dir, "lineitem"))
+      val proc = BinningProcess.fit(
+        li, Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+        "y", config = BinningConfig())
+      import s.implicits._
+      proc.summary.map { case (v, dt, st, iv, js, gini, nb) =>
+        (v, dt, st, scale6(iv), scale6(js), scale6(gini), nb)
+      }.toDF("variable", "dtype", "status", "iv", "js", "gini", "n_bins")
+        .orderBy("variable")
+    }),
+
+    "q_scorecard" -> ((s, dir) => {
+      // scorecard: points table + score stats (spark.ml LR on WoE)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
+        scaling = Scorecard.ScalingConfig(method = Some("pdo_odds"),
+                                          rounding = true))
+      li.agg(count(lit(1)).as("n"),
+             round(avg(sc.scoreColumn()), 2).as("avg_score"),
+             round(min(sc.scoreColumn()), 2).as("min_score"),
+             round(max(sc.scoreColumn()), 2).as("max_score"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       // binary-payload feature extraction (stub decoder, real plumbing)
@@ -419,6 +548,70 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
 
     "q_ks_gini" -> ksGiniSql,
+
+    "q_multiclass_agg" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                     WHEN o_totalprice < 250000 THEN 1
+                     ELSE 2 END AS bin,
+                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_f,
+                sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_p,
+                sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_o
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_quantile_splits" ->
+      """SELECT round(quantile_cont(l_quantity, 0.2)::DOUBLE, 6) AS q20,
+                round(quantile_cont(l_quantity, 0.4)::DOUBLE, 6) AS q40,
+                round(quantile_cont(l_quantity, 0.6)::DOUBLE, 6) AS q60,
+                round(quantile_cont(l_quantity, 0.8)::DOUBLE, 6) AS q80
+         FROM lineitem""",
+
+    "q_uniform_splits" ->
+      """SELECT round(min(l_extendedprice)
+                      + (max(l_extendedprice) - min(l_extendedprice))
+                        * 0.25, 6) AS s1,
+                round(min(l_extendedprice)
+                      + (max(l_extendedprice) - min(l_extendedprice))
+                        * 0.50, 6) AS s2,
+                round(min(l_extendedprice)
+                      + (max(l_extendedprice) - min(l_extendedprice))
+                        * 0.75, 6) AS s3
+         FROM lineitem""",
+
+    "q_cap_curve" ->
+      """WITH agg AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  count(*) AS n,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT bin, n, ev::BIGINT AS ev,
+                  round(ev * 1.0 / n, 6) AS event_rate,
+                  sum(ev) OVER (ORDER BY round(ev * 1.0 / n, 6) DESC, bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_ev
+           FROM agg)
+         SELECT bin, n, ev, event_rate,
+                round(cum_ev * 1.0 / (SELECT sum(ev) FROM agg), 6)
+                  AS cum_capture
+         FROM r ORDER BY bin""",
+
+    "q_events_window" ->
+      """SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id) AS seq,
+                round(sum(value) OVER (PARTITION BY user_id
+                                       ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 6)
+                  AS running_value
+         FROM events WHERE user_id < 50
+         ORDER BY user_id, seq""",
 
     "q_psi" ->
       """WITH e AS (

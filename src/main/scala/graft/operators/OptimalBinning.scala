@@ -238,8 +238,6 @@ object OptimalBinning {
       catOthers: Array[String],
       othersTotals: Option[ClassTotals] = None): FittedOptimalBinning = {
 
-    val isCategorical = categories != null
-
     // candidate splits
     val rawSplits: Array[Double] = config.userSplits match {
       case Some(us) => us.sorted
@@ -263,6 +261,27 @@ object OptimalBinning {
               s"prebinning method $other not supported")
         }
     }
+    fitFromCounts(rawSplits, s => prebinCounts(hist, s), totals,
+                  nSamplesWeighted, config, categories, catOthers,
+                  othersTotals)
+  }
+
+  /** Driver-side phase shared by the histogram fit and the sketch fit:
+    * refinement + solve + table, with a pluggable per-split-set count
+    * function (`countFn` recomputes (n_nonevent, n_event) after each
+    * refinement drop — histogram re-digitize or sketch `bins()`).
+    */
+  private[graft] def fitFromCounts(
+      rawSplits: Array[Double],
+      countFn: Array[Double] => (Array[Double], Array[Double]),
+      totals: Map[Int, ClassTotals],
+      nSamplesWeighted: Double,
+      config: BinningConfig,
+      categories: Array[String],
+      catOthers: Array[String],
+      othersTotals: Option[ClassTotals] = None): FittedOptimalBinning = {
+
+    val isCategorical = categories != null
     val splitsRounded = config.splitDigits match {
       case Some(d) =>
         rawSplits.map(s => BigDecimal(s)
@@ -272,7 +291,7 @@ object OptimalBinning {
 
     // prebin counts + pure-bin refinement (`binning.py:1085-1145`)
     var splits = splitsRounded
-    var (nNonevent, nEvent) = prebinCounts(hist, splits)
+    var (nNonevent, nEvent) = countFn(splits)
     var flagMinNEventNonevent = false
     var fixed = config.userSplitsFixed
     var refining = splits.nonEmpty
@@ -298,14 +317,14 @@ object OptimalBinning {
         }
         fixed = fixed.map(_.zip(maskSplits).collect { case (v, false) => v })
         splits = splits.zip(maskSplits).collect { case (s, false) => s }
-        val counts = prebinCounts(hist, splits)
+        val counts = countFn(splits)
         nNonevent = counts._1
         nEvent = counts._2
         refining = splits.nonEmpty
       }
     }
     if (splits.isEmpty) {
-      val c = prebinCounts(hist, splits)
+      val c = countFn(splits)
       nNonevent = c._1; nEvent = c._2
     }
 

@@ -1,0 +1,84 @@
+package graft.streaming
+
+/** Binning sketch for a numerical variable against a binary target
+  * (`optbinning/binning/distributed/bsketch.py:65-268`): event and
+  * non-event values tracked in two separate GK sketches plus
+  * missing/special counters. The state is a commutative monoid — the
+  * Spark partial-aggregation buffer.
+  */
+final class BSketch(val eps: Double,
+                    val specialCodes: Array[Double]) extends Serializable {
+
+  val sketchE = new GKSketch(eps)
+  val sketchNe = new GKSketch(eps)
+  var countMissingE: Long = 0L
+  var countMissingNe: Long = 0L
+  var countSpecialE: Long = 0L
+  var countSpecialNe: Long = 0L
+
+  def nEvent: Long = sketchE.n
+  def nNonevent: Long = sketchNe.n
+  def n: Long = nEvent + nNonevent
+
+  /** Add one observation; x may be null/NaN (missing) or special. */
+  def add(x: java.lang.Double, y: Double): Unit = {
+    val isEvent = y == 1.0
+    if (x == null || x.isNaN) {
+      if (isEvent) countMissingE += 1 else countMissingNe += 1
+    } else if (specialCodes != null && specialCodes.contains(x.toDouble)) {
+      if (isEvent) countSpecialE += 1 else countSpecialNe += 1
+    } else {
+      if (isEvent) sketchE.add(x) else sketchNe.add(x)
+    }
+  }
+
+  def merge(other: BSketch): Unit = {
+    require(eps == other.eps, "bsketch does not share signature")
+    sketchE.merge(other.sketchE)
+    sketchNe.merge(other.sketchNe)
+    countMissingE += other.countMissingE
+    countMissingNe += other.countMissingNe
+    countSpecialE += other.countSpecialE
+    countSpecialNe += other.countSpecialNe
+  }
+
+  /** Per-bin (event, nonevent) counts from the sketch entries
+    * (`bsketch.py:148-174`): searchsorted side='left' — a value equal to a
+    * split goes to the LOWER bin, mirroring `_indices_count`.
+    */
+  def bins(splits: Array[Double]): (Array[Double], Array[Double]) = {
+    val nBins = splits.length + 1
+    val binsE = new Array[Double](nBins)
+    val binsNe = new Array[Double](nBins)
+    def accumulate(sk: GKSketch, out: Array[Double]): Unit = {
+      val (values, counts) = sk.entryCounts()
+      var i = 0
+      while (i < values.length) {
+        out(searchSortedLeft(splits, values(i))) += counts(i)
+        i += 1
+      }
+    }
+    accumulate(sketchE, binsE)
+    accumulate(sketchNe, binsNe)
+    (binsE, binsNe)
+  }
+
+  /** np.searchsorted(a, v, side='left'): count of a(i) < v. */
+  private def searchSortedLeft(a: Array[Double], v: Double): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (a(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Combined event+nonevent sketch for equi-quantile split generation
+    * (`bsketch.py:208-222` merge_sketches). */
+  def mergedSketch: GKSketch = {
+    val out = new GKSketch(eps)
+    out.merge(sketchE)
+    out.merge(sketchNe)
+    out
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.streaming._
+
+class SketchAndProcessSpec extends AnyFunSuite {
+
+  private def li = {
+    val spark = TestSpark.spark
+    spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+  }
+
+  test("GK sketch: quantiles within eps of exact") {
+    val gk = new GKSketch(0.01)
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(20000)(rnd.nextDouble() * 100)
+    values.foreach(gk.add)
+    val sorted = values.sorted
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val approx = gk.quantile(q)
+      val rank = sorted.indexWhere(_ >= approx)
+      assert(math.abs(rank.toDouble / values.length - q) < 0.02,
+             s"q=$q approx=$approx rank=$rank")
+    }
+  }
+
+  test("GK merge associativity: split-merge matches single-feed counts") {
+    val rnd = new scala.util.Random(11)
+    val values = Array.fill(9000)(rnd.nextDouble() * 50)
+    val whole = new GKSketch(0.01)
+    values.foreach(whole.add)
+    val parts = values.grouped(3000).map { chunk =>
+      val g = new GKSketch(0.01); chunk.foreach(g.add); g
+    }.toSeq
+    val merged = new GKSketch(0.01)
+    parts.foreach(merged.merge)
+    assert(merged.n == whole.n)
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val a = merged.quantile(q)
+      val b = whole.quantile(q)
+      val sorted = values.sorted
+      val ra = sorted.indexWhere(_ >= a).toDouble / values.length
+      val rb = sorted.indexWhere(_ >= b).toDouble / values.length
+      assert(math.abs(ra - rb) < 0.05, s"q=$q ranks $ra vs $rb")
+    }
+  }
+
+  test("OptimalBinningSketch: batch add+solve approximates exact fit") {
+    val df = li
+    val sk = new OptimalBinningSketch(
+      BinningConfig(name = "l_extendedprice", monotonicTrend = None),
+      eps = 1e-3)
+    sk.add(df, "l_extendedprice", "y")
+    val fitted = sk.solve()
+    assert(fitted.status == "OPTIMAL")
+    assert(fitted.table.tRecords.toLong == df.count())
+    // sketch-counted IV close to an exact quantile-prebinned fit
+    val exact = OptimalBinning.fit(df, "l_extendedprice", "y",
+      BinningConfig(name = "x", prebinningMethod = "quantile",
+                    monotonicTrend = None))
+    assert(math.abs(fitted.table.iv - exact.table.iv) < 0.05,
+           s"sketch iv ${fitted.table.iv} exact iv ${exact.table.iv}")
+  }
+
+  test("OptimalBinningSketch: incremental adds equal single add") {
+    val df = li
+    val whole = new OptimalBinningSketch(
+      BinningConfig(monotonicTrend = None), eps = 1e-3)
+    whole.add(df, "l_extendedprice", "y")
+    val parts = new OptimalBinningSketch(
+      BinningConfig(monotonicTrend = None), eps = 1e-3)
+    parts.add(df.where(col("l_orderkey") % 2 === 0), "l_extendedprice", "y")
+    parts.add(df.where(col("l_orderkey") % 2 === 1), "l_extendedprice", "y")
+    assert(whole.sketch.n == parts.sketch.n)
+    val a = whole.solve(); val b = parts.solve()
+    // counts agree within sketch eps tolerance
+    assert(math.abs(a.table.iv - b.table.iv) < 0.05)
+  }
+
+  test("BinningProcess: multi-variable single-shuffle fit + transform") {
+    val df = li
+    val proc = BinningProcess.fit(
+      df, Seq("l_extendedprice", "l_quantity", "l_discount",
+              "l_returnflag"),
+      "y", config = BinningConfig())
+    assert(proc.fits.size == 4)
+    assert(proc.fits("l_returnflag").config.dtype == "categorical")
+    // per-variable fits equal the single-variable path
+    val single = OptimalBinning.fit(df, "l_extendedprice", "y",
+                                    BinningConfig(name = "l_extendedprice"))
+    assert(proc.fits("l_extendedprice").splits.toSeq == single.splits.toSeq)
+    val out = proc.transform(df, "woe")
+    assert(out.columns.length == 4)
+    assert(out.count() == df.count())
+  }
+
+  test("Scorecard: fit + score monotone in event probability") {
+    val spark = TestSpark.spark
+    val df = li
+    val sc = Scorecard.fit(df, Seq("l_extendedprice", "l_quantity"), "y",
+      scaling = Scorecard.ScalingConfig(method = Some("pdo_odds"),
+                                        rounding = true))
+    assert(sc.pointsTable.nonEmpty)
+    val scored = df.select(col("y"), sc.scoreColumn().as("score"),
+                           sc.predictProbaColumn().as("p"))
+    val row = scored.agg(corr(col("score"), col("p"))).head
+    // pdo_odds: higher score => lower event probability (negative corr)
+    assert(row.getDouble(0) < 0, s"corr ${row.getDouble(0)}")
+  }
+
+  test("Multiclass binning: fit + mean_woe transform totality") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .withColumn("y", when(col("o_orderstatus") === "F", 0.0)
+        .when(col("o_orderstatus") === "P", 1.0).otherwise(2.0))
+    val fitted = MulticlassOptimalBinning.fit(df, "o_totalprice", "y",
+                                              BinningConfig(name = "tp"))
+    assert(fitted.status == "OPTIMAL")
+    assert(fitted.classes.toSeq == Seq(0.0, 1.0, 2.0))
+    val out = df.select(fitted.transform(col("o_totalprice")).as("mw"))
+    assert(out.where(col("mw").isNull).count() == 0)
+    assert(fitted.js >= 0)
+  }
+}
