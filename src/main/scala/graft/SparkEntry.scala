@@ -346,8 +346,11 @@ object SparkEntry {
         .withColumn("event_rate", round(col("ev") / col("n"), 6))
       val w = Window.orderBy(desc("event_rate"), col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = agg.agg(sum("ev")).head.getDouble(0)
-      agg.withColumn("cum_capture", round(sum("ev").over(w) / tot, 6))
+      // total via an unbounded window frame: one job, no driver round-trip
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)
+      agg.withColumn("cum_capture",
+                     round(sum("ev").over(w) / sum("ev").over(wAll), 6))
         .select(col("bin"), col("n"), col("ev").cast("long").as("ev"),
                 col("event_rate"), col("cum_capture"))
         .orderBy("bin")

@@ -51,11 +51,28 @@ object Dedup {
   def wordShingles(text: Column, n: Int = 3): Column =
     wordShinglesOf(split(normalizeText(text), " "), n)
 
-  /** k minhash values over a shingle array: minhash_j = min over shingles
-    * of hash64(shingle, seed_j). */
-  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+  /** Base 64-bit hash per shingle — computed ONCE per shingle. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s))
+
+  /** k minhash slots via one-permutation hashing (Li et al. 2012): slot j
+    * keeps the minimum of base hashes with h mod k == j. One cheap pass
+    * (pmod + compare) instead of k independent re-hashes per shingle —
+    * higher-order functions are interpreted (CodegenFallback), so per-
+    * element work must be trivial. Empty slots densify to the doc's
+    * global min hash (keeps band semantics deterministic for short docs).
+    */
+  def minhashSignatureFromHashes(hashArr: Column, k: Int): Column = {
+    val globalMin = array_min(hashArr)
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+      j => coalesce(array_min(filter(hashArr, h => pmod(h, lit(k)) === j)),
+                    globalMin))
+  }
+
+  /** k minhash values over a shingle array (convenience; for performance
+    * stage `shingleHashes` as a column first). */
+  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+    minhashSignatureFromHashes(shingleHashes(shingleArr), k)
 
   /** LSH band keys: the signature split into b bands of r rows each,
     * hashed; equal band-hash => candidate pair. Returns array of b hashes.
@@ -97,27 +114,36 @@ object Dedup {
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("__norm", normalizeText(col("__text")))
       .withColumn("__shingles", shinglesOf(col("__norm"), shingleLen))
-      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+      .withColumn("__hashes", shingleHashes(col("__shingles")))
+      .withColumn("__sig",
+                  minhashSignatureFromHashes(col("__hashes"), numHashes))
       .select(col("id"),
               posexplode(lshBands(col("__sig"), bands, rows))
                 .as(Seq("band", "bh")))
   }
 
   /** MinHash-LSH candidate pairs: returns (id_a, id_b, band) with
-    * id_a < id_b. One shuffle on the exploded band key; bucket sizes are
-    * bounded by near-dup cluster sizes, not the corpus.
+    * id_a < id_b. ONE scan computes signatures and ONE shuffle groups by
+    * (band, bucket-hash); pairs are generated inside each bucket with a
+    * pair-expansion expression — no self-join, so signatures are not
+    * recomputed for a second plan branch. Bucket sizes are bounded by
+    * near-dup cluster sizes, not the corpus.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleLen: Int = 5): DataFrame = {
     val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
                                   shingleLen)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-             col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.band").as("band"))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .withColumn("ids", array_sort(col("ids")))
+    buckets
+      .select(col("band"),
+              explode(flatten(transform(col("ids"), (a, i) =>
+                transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+                          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("band"))
       .distinct()
   }
 
@@ -126,14 +152,16 @@ object Dedup {
     * shifts via MSB-first Horner accumulation (acc*2 + bit). */
   def simhash(text: Column): Column = {
     val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val bitArray: Column => Column = t => array(
+    // aggregate over token HASHES (computed once per token) — building the
+    // bit array from the raw token would re-hash it 64 times per element
+    val bitArray: Column => Column = h => array(
       (0 until 64).map(i =>
-        when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, lit(1L))
+        when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L))
           .otherwise(lit(-1L))): _*)
     val votes = aggregate(
-      tokens,
+      transform(tokens, t => xxhash64(t)),
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitArray(t), (a, v) => a + v))
+      (acc, h) => zip_with(acc, bitArray(h), (a, v) => a + v))
     // shiftleft (bitwise, no ANSI overflow check) instead of acc*2: the
     // top bit legitimately lands in the sign bit of the Long
     aggregate(reverse(votes), lit(0L),
