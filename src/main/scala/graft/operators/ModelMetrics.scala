@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-performance metrics (`optbinning/metrics/classification.py`,
+  * `optbinning/metrics/regression.py`) as distributed DataFrame
+  * aggregations: score-level Gini/KS run on a quantile-compressed score
+  * distribution (one groupBy, no global sort of raw rows), confusion and
+  * regression metrics are single-pass aggregates.
+  */
+object ModelMetrics {
+
+  /** Gini = 2*AUC - 1 over (label, score). Exact when score cardinality
+    * is modest: computed from the per-score (event, nonevent) aggregate
+    * via the rank formula — no ROC materialization. */
+  def gini(df: DataFrame, labelCol: String, scoreCol: String): Double = {
+    val agg = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("double")).as("e"),
+           (count(lit(1)) - sum(col(labelCol).cast("double"))).as("ne"))
+      .orderBy("s")
+      .collect()
+    val ev = agg.map(_.getDouble(1))
+    val ne: Array[Double] = agg.map { r =>
+      r.get(2) match {
+        case l: java.lang.Long   => l.toDouble
+        case d: java.lang.Double => d.toDouble
+      }
+    }
+    // bins ordered by score ascending = ordered by event rate for AUC
+    val te = ev.sum; val tne = ne.sum
+    var cumNe = 0.0
+    var auc = 0.0
+    ev.indices.foreach { i =>
+      // trapezoid: events at this score see cumNe + ne/2 nonevents below
+      auc += ev(i) * (cumNe + ne(i) / 2.0)
+      cumNe += ne(i)
+    }
+    2.0 * (auc / (te * tne)) - 1.0
+  }
+
+  /** KS statistic over scores (`classification.py:34-67`): max gap of the
+    * class-conditional score CDFs; from the same per-score aggregate. */
+  def ks(df: DataFrame, labelCol: String, scoreCol: String): Double = {
+    val agg = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("double")).as("e"),
+           count(lit(1)).cast("double").as("n"))
+      .orderBy("s")
+      .collect()
+    val te = agg.map(_.getDouble(1)).sum
+    val tn = agg.map(_.getDouble(2)).sum
+    val tne = tn - te
+    var cumE = 0.0; var cumNe = 0.0; var best = 0.0
+    agg.foreach { r =>
+      cumE += r.getDouble(1)
+      cumNe += r.getDouble(2) - r.getDouble(1)
+      best = math.max(best, math.abs(cumNe / tne - cumE / te))
+    }
+    best
+  }
+
+  /** Imbalanced binary classification metrics from a prediction column
+    * (`classification.py:70-108`): TPR/TNR/FPR/FNR/balanced accuracy/
+    * discriminant power — one aggregate over the confusion counts. */
+  def imbalancedClassificationMetrics(df: DataFrame, labelCol: String,
+                                      predCol: String)
+      : Map[String, Double] = {
+    val y = col(labelCol).cast("double")
+    val p = col(predCol).cast("double")
+    val r = df.agg(
+      sum(when(y === 1.0 && p === 1.0, 1.0).otherwise(0.0)).as("tp"),
+      sum(when(y === 0.0 && p === 0.0, 1.0).otherwise(0.0)).as("tn"),
+      sum(when(y === 0.0 && p === 1.0, 1.0).otherwise(0.0)).as("fp"),
+      sum(when(y === 1.0 && p === 0.0, 1.0).otherwise(0.0)).as("fn")).head
+    val (tp, tn, fp, fn) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val tpr = tp / (tp + fn)
+    val tnr = tn / (fp + tn)
+    val dp = math.sqrt(3) / math.Pi *
+      (math.log(tpr / (1 - tnr)) + math.log(tnr / (1 - tpr)))
+    Map(
+      "True positive rate" -> tpr,
+      "True negative rate" -> tnr,
+      "False positive rate" -> (1.0 - tnr),
+      "False negative rate" -> (1.0 - tpr),
+      "Balanced accuracy" -> 0.5 * (tpr + tnr),
+      "Discriminant power" -> dp)
+  }
+
+  /** Regression metrics (`regression.py:17-166`) in ONE aggregate pass
+    * (medians via exact `median`, the rest closed-form). */
+  def regressionMetrics(df: DataFrame, labelCol: String,
+                        predCol: String): Map[String, Double] = {
+    val y = col(labelCol).cast("double")
+    val p = col(predCol).cast("double")
+    val err = y - p
+    val r = df.agg(
+      avg(abs(err)).as("mae"),
+      avg(err * err).as("mse"),
+      avg(abs(err / y)).as("mape"),
+      median(abs(err)).as("mdae"),
+      median(abs(err / y)).as("mdape"),
+      avg(abs(err) * lit(2.0) / (abs(y) + abs(p))).as("smape"),
+      variance(err).as("var_err"),
+      variance(y).as("var_y"),
+      avg(y).as("mean_y"),
+      avg(err).as("mean_err"),
+      count(lit(1)).cast("double").as("n"),
+      sum(err * err).as("sse"),
+      sum(y * y).as("syy"),
+      sum(y).as("sy")).head
+    val n = r.getDouble(10)
+    val sse = r.getDouble(11)
+    val sst = r.getDouble(12) - r.getDouble(13) * r.getDouble(13) / n
+    Map(
+      "Mean absolute error" -> r.getDouble(0),
+      "Mean squared error" -> r.getDouble(1),
+      "Mean absolute percentage error" -> r.getDouble(2),
+      "Median absolute error" -> r.getDouble(3),
+      "Median absolute percentage error" -> r.getDouble(4),
+      "Symmetric mean absolute percentage error" -> r.getDouble(5),
+      "Explained variance" -> (1.0 - r.getDouble(6) / r.getDouble(7)),
+      "R^2" -> (1.0 - sse / sst))
+  }
+}

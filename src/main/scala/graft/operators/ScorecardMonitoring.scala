@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scorecard monitoring (`optbinning/scorecard/monitoring.py:166`):
+  * population-stability and significance analysis between an expected
+  * (train) and actual (production) cohort. Every report is a small
+  * aggregate: score deciles from the expected cohort (one exact
+  * percentile agg), then one groupBy per cohort + a bins-sized join.
+  */
+final class ScorecardMonitoring(val scorecard: FittedScorecard,
+                                val psiNBins: Int = 20) {
+
+  private def scoreBins(expected: DataFrame): Array[Double] = {
+    val sc = scorecard.scoreColumn()
+    val probs = (1 until psiNBins).map(_.toDouble / psiNBins)
+    expected.select(percentile(sc, array(probs.map(lit(_)): _*)).as("q"))
+      .head.getSeq[Double](0).toArray.distinct.sorted
+  }
+
+  /** System stability: PSI over score deciles
+    * (`monitoring.py:502-545`). Returns (bin, count_e, count_a, psi). */
+  def psiTable(expected: DataFrame, actual: DataFrame): DataFrame = {
+    val splits = scoreBins(expected)
+    val sc = scorecard.scoreColumn()
+    def binned(df: DataFrame): DataFrame = {
+      val idx = splits.indices.foldRight(lit(splits.length): Column) {
+        (i, acc) => when(sc < splits(i), lit(i)).otherwise(acc)
+      }
+      df.select(idx.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as("count"))
+    }
+    Monitoring.psiTable(binned(expected), binned(actual))
+  }
+
+  def psiTotal(expected: DataFrame, actual: DataFrame): Double =
+    psiTable(expected, actual).agg(sum("psi")).head.getDouble(0)
+
+  /** Per-variable PSI over each selected variable's fitted bins
+    * (`monitoring.py:776-817`). Returns (variable, psi). */
+  def psiVariableTable(expected: DataFrame,
+                       actual: DataFrame): Seq[(String, Double)] = {
+    scorecard.selected.toSeq.map { v =>
+      val f = scorecard.process.fits(v)
+      val idx = f.transform(col(v), metric = "indices")
+      def binned(df: DataFrame) =
+        df.select(idx.as("bin")).groupBy("bin")
+          .agg(count(lit(1)).as("count"))
+      val psi = Monitoring.psiTable(binned(expected), binned(actual))
+        .agg(sum("psi")).head.getDouble(0)
+      v -> psi
+    }
+  }
+
+  /** Significance tests per score bin: 2-proportion Z-test of event rates
+    * between cohorts (`monitoring.py:598-654`). Returns
+    * (bin, er_expected, er_actual, z, p-value). */
+  def significanceTests(expected: DataFrame, actual: DataFrame,
+                        yCol: String)
+      : Array[(Int, Double, Double, Double, Double)] = {
+    val splits = scoreBins(expected)
+    val sc = scorecard.scoreColumn()
+    def agg(df: DataFrame) = {
+      val idx = splits.indices.foldRight(lit(splits.length): Column) {
+        (i, acc) => when(sc < splits(i), lit(i)).otherwise(acc)
+      }
+      df.select(idx.as("bin"), col(yCol).cast("double").as("y"))
+        .groupBy("bin")
+        .agg(sum("y").as("e"),
+             (count(lit(1)).cast("double") - sum("y")).as("ne"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    }
+    val e = agg(expected)
+    val a = agg(actual)
+    (e.keySet ++ a.keySet).toArray.sorted.map { b =>
+      val (e1, ne1) = e.getOrElse(b, (0.0, 0.0))
+      val (e2, ne2) = a.getOrElse(b, (0.0, 0.0))
+      val (z, p) = graft.core.Stats.testProportions(e1, ne1, e2, ne2)
+      (b, e1 / math.max(e1 + ne1, 1), e2 / math.max(e2 + ne2, 1), z, p)
+    }
+  }
+
+  /** Performance comparison: Gini/KS of the score on both cohorts
+    * (`monitoring.py:656-700`). */
+  def performance(expected: DataFrame, actual: DataFrame,
+                  yCol: String): Map[String, Double] = {
+    def withScore(df: DataFrame) =
+      df.select(col(yCol).as("y"), scorecard.predictProbaColumn().as("p"))
+    val e = withScore(expected)
+    val a = withScore(actual)
+    Map(
+      "gini_expected" -> ModelMetrics.gini(e, "y", "p"),
+      "gini_actual" -> ModelMetrics.gini(a, "y", "p"),
+      "ks_expected" -> ModelMetrics.ks(e, "y", "p"),
+      "ks_actual" -> ModelMetrics.ks(a, "y", "p"))
+  }
+}

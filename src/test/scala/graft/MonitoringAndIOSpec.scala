@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources._
+
+class MonitoringAndIOSpec extends AnyFunSuite {
+
+  private def li = {
+    val spark = TestSpark.spark
+    spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+  }
+
+  test("ModelIO: JSON round-trip preserves transform semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = li
+    val fitted = OptimalBinning.fit(df, "l_extendedprice", "y",
+                                    BinningConfig(name = "x"))
+    val restored = ModelIO.fromJson(ModelIO.toJson(fitted))
+    assert(restored.splits.toSeq == fitted.splits.toSeq)
+    assert(restored.table.iv == fitted.table.iv)
+    val a = df.select(fitted.transform(col("l_extendedprice")).as("w"))
+      .as[Double].collect()
+    val b = df.select(restored.transform(col("l_extendedprice")).as("w"))
+      .as[Double].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ScorecardMonitoring: psi/significance/performance reports") {
+    val df = li
+    val sc = Scorecard.fit(df, Seq("l_extendedprice", "l_quantity"), "y")
+    val mon = new ScorecardMonitoring(sc, psiNBins = 10)
+    val expected = df.where(col("l_orderkey") % 2 === 0)
+    val actual = df.where(col("l_orderkey") % 2 === 1)
+    val psi = mon.psiTotal(expected, actual)
+    // same-distribution halves: insignificant change
+    assert(psi >= 0 && psi < 0.1, s"psi $psi")
+    assert(Monitoring.psiVerdict(psi) == "Insignificant change")
+    val vpsi = mon.psiVariableTable(expected, actual)
+    assert(vpsi.size == sc.selected.length && vpsi.forall(_._2 < 0.1))
+    val tests = mon.significanceTests(expected, actual, "y")
+    assert(tests.nonEmpty && tests.forall(t => t._5 >= 0 && t._5 <= 1))
+    val perf = mon.performance(expected, actual, "y")
+    assert(perf("gini_expected") > -1 && perf("gini_expected") < 1)
+  }
+
+  test("ModelMetrics: gini/ks consistent with bin-table values") {
+    val df = li
+    val fitted = OptimalBinning.fit(df, "l_extendedprice", "y",
+                                    BinningConfig(name = "x"))
+    // scoring by event rate: score-level gini == bin-table gini
+    val scored = df.select(col("y"),
+      fitted.transform(col("l_extendedprice"), "event_rate").as("p"))
+    val g = ModelMetrics.gini(scored, "y", "p")
+    assert(math.abs(g - fitted.table.gini) < 1e-9,
+           s"score gini $g table ${fitted.table.gini}")
+    val k = ModelMetrics.ks(scored, "y", "p")
+    assert(k > 0 && k < 1)
+  }
+
+  test("ModelMetrics: regression metrics sanity") {
+    val df = li.select(col("l_extendedprice").as("y"))
+      .withColumn("p", col("y") * 1.1)
+    val m = ModelMetrics.regressionMetrics(df, "y", "p")
+    assert(math.abs(m("Mean absolute percentage error") - 0.1) < 1e-9)
+    assert(m("R^2") < 1.0)
+  }
+
+  test("Sources: csv + parquet disk fit, fitTransformDisk writes parquet") {
+    val spark = TestSpark.spark
+    val fitted = Sources.fitDisk(spark,
+      s"${TestSpark.sf0001}/lineitem.parquet", "l_extendedprice",
+      "l_linenumber", BinningConfig(name = "x", monotonicTrend = None))
+    assert(fitted.status == "OPTIMAL")
+    val out = java.nio.file.Files.createTempDirectory("graft").toString
+    val proc = Sources.fitTransformDisk(spark,
+      s"${TestSpark.sf0001}/lineitem.parquet", s"$out/woe",
+      Seq("l_extendedprice", "l_quantity"), "l_linenumber")
+    val written = spark.read.parquet(s"$out/woe")
+    assert(written.count() > 0 && written.columns.length == 3)
+  }
+
+  test("Streaming: foreachBatch sketch accumulation solves per batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Double, Double)]
+    val sk = new graft.streaming.OptimalBinningSketch(
+      BinningConfig(name = "x", monotonicTrend = None), eps = 1e-3)
+    var solves = 0
+    val q = sk.streamingQuery(
+      stream.toDF().toDF("x", "y"), "x", "y",
+      fitted => { solves += 1; assert(fitted.status == "OPTIMAL") })
+      .start()
+    val rnd = new scala.util.Random(3)
+    stream.addData((1 to 2000).map(_ =>
+      (rnd.nextDouble() * 100, if (rnd.nextBoolean()) 1.0 else 0.0)))
+    q.processAllAvailable()
+    stream.addData((1 to 2000).map(_ =>
+      (rnd.nextDouble() * 100, if (rnd.nextBoolean()) 1.0 else 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(solves == 2)
+    assert(sk.sketch.n == 4000)
+  }
+}
