@@ -417,6 +417,81 @@ object SparkEntry {
              round(max(sc.scoreColumn()), 2).as("max_score"))
     }),
 
+    "q_2d_agg" -> ((s, dir) => {
+      // 2D prebin grid: event/nonevent per (binX, binY) cell
+      val li = liTarget(T(s, dir, "lineitem"))
+      li.groupBy(binIdx(col("l_extendedprice"), Array(50000.0)).as("bx"),
+                 binIdx(col("l_quantity"), Array(25.0)).as("by"))
+        .agg(sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nonevent"),
+             sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("event"))
+        .orderBy("bx", "by")
+    }),
+
+    "q_2d_fit" -> ((s, dir) => {
+      // full 2D optimal binning (guillotine DP; rows-only check)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning2D.fit(li, "l_extendedprice",
+                                        "l_quantity", "y")
+      import s.implicits._
+      fitted.rects.toSeq.map(r =>
+        (fitted.binLabel(r), (r.event + r.nonevent).toLong,
+         scale6(fitted.woe(r))))
+        .toDF("bin", "count", "woe").orderBy("bin")
+    }),
+
+    "q_scenario_fit" -> ((s, dir) => {
+      // scenario-based stochastic binning (rows-only check)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val s1 = li.where(col("l_linenumber") <= 3)
+      val s2 = li.where(col("l_linenumber") > 3)
+      val fitted = SBOptimalBinning.fit(Seq((s1, 0.6), (s2, 0.4)),
+        "l_extendedprice", "y",
+        BinningConfig(name = "x", monotonicTrend = Some("ascending")))
+      import s.implicits._
+      fitted.table.rows.toSeq.map(r =>
+        (r.bin, r.count.toLong, scale6(r.eventRate)))
+        .toDF("bin", "count", "event_rate")
+    }),
+
+    "q_pw_transform" -> ((s, dir) => {
+      // piecewise event-rate curve stats (rows-only check)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val pw = PWBinning.fit(li, "l_extendedprice", "y",
+                             BinningConfig(name = "x"))
+      li.agg(count(lit(1)).as("n"),
+             round(avg(pw.predictColumn(col("l_extendedprice"))), 6)
+               .as("avg_pred"),
+             round(min(pw.predictColumn(col("l_extendedprice"))), 6)
+               .as("min_pred"),
+             round(max(pw.predictColumn(col("l_extendedprice"))), 6)
+               .as("max_pred"))
+    }),
+
+    "q_counterfactual" -> ((s, dir) => {
+      // counterfactual search over a fitted scorecard (rows-only check)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+      val bins = sc.selected.map(v => v -> 0).toMap
+      val cfs = Counterfactual.generate(sc, bins, 0.4, outcomeGe = true,
+                                        maxChanges = 2,
+                                        nCounterfactuals = 1)
+      import s.implicits._
+      cfs.map(cf => (cf.nChanges.toLong, scale6(cf.probability)))
+        .toDF("n_changes", "probability")
+    }),
+
+    "q_cont_process" -> ((s, dir) => {
+      // continuous-target multi-variable process (rows-only check)
+      val li = T(s, dir, "lineitem")
+      val fits = BinningProcess.fitContinuous(
+        li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+        BinningConfig())
+      import s.implicits._
+      fits.toSeq.sortBy(_._1).map { case (v, f) =>
+        (v, f.status, f.splits.length.toLong, scale6(f.table.tMean))
+      }.toDF("variable", "status", "n_splits", "t_mean")
+    }),
+
     // --- multimodal plumbing ----------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       // binary-payload feature extraction (stub decoder, real plumbing)
@@ -551,6 +626,15 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
 
     "q_ks_gini" -> ksGiniSql,
+
+    "q_2d_agg" ->
+      """SELECT CASE WHEN l_extendedprice < 50000 THEN 0 ELSE 1 END AS bx,
+                CASE WHEN l_quantity < 25 THEN 0 ELSE 1 END AS by,
+                sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+                  AS nonevent,
+                sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                  AS event
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_multiclass_agg" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 0

@@ -64,6 +64,68 @@ object BinningProcess {
                      dtype: String): BinningConfig =
     overrides.getOrElse(v, config).copy(name = v, dtype = dtype)
 
+  /** Continuous-target process: same melted single-shuffle shape with the
+    * continuous per-bucket stats; returns per-variable continuous fits. */
+  def fitContinuous(df: DataFrame, variables: Seq[String], yCol: String,
+                    config: BinningConfig = BinningConfig(),
+                    varOverrides: Map[String, BinningConfig] = Map.empty,
+                    weightCol: Option[String] = None)
+      : Map[String, FittedContinuousBinning] = {
+    val y = col(yCol).cast(DoubleType)
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val stackExpr =
+      s"stack(${variables.length}, " +
+        variables.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
+        ") as (var, x)"
+    val melted = df
+      .withColumn("__y", y).withColumn("__w", w)
+      .selectExpr("__y as y", "__w as w", stackExpr)
+    val cls = Preprocess.rowClass(col("x"), isNumeric = true,
+                                  config.specialCodes)
+    val base = melted.select(col("var"), col("x"), col("y"), col("w"),
+                             cls.as("cls"))
+    val aggExprs = Seq(
+      count(lit(1)).as("n"), sum(col("w")).as("wt"),
+      sum(col("w") * col("y")).as("wy"),
+      sum(col("w") * col("y") * col("y")).as("wy2"),
+      min(col("w") * col("y")).as("ymin"),
+      max(col("w") * col("y")).as("ymax"),
+      sum(when(col("w") * col("y") === 0.0, 1L).otherwise(0L)).as("zeros"),
+      stddev_pop(col("w") * col("y")).as("ystd"))
+
+    val statsRows = base.groupBy("var", "cls")
+      .agg(aggExprs.head, aggExprs.tail: _*).collect()
+    val totalsByVar = statsRows.groupBy(_.getString(0)).map {
+      case (v, rs) =>
+        v -> rs.map { r =>
+          r.getInt(1) -> ContClassTotals(r.getDouble(3), r.getDouble(4),
+            Option(r.get(9)).map(_.asInstanceOf[Double]).getOrElse(0.0),
+            r.getDouble(6), r.getDouble(7), r.getLong(8).toDouble)
+        }.toMap
+    }
+    // NOTE column positions: groupBy(var, cls) -> 0 var, 1 cls, 2 n,
+    // 3 wt, 4 wy, 5 wy2, 6 ymin, 7 ymax, 8 zeros, 9 ystd
+    val histRows = base.where(col("cls") === Preprocess.CleanClass)
+      .groupBy("var", "x")
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect()
+    val histByVar = histRows.groupBy(_.getString(0)).map { case (v, rs) =>
+      v -> rs.map { r =>
+        ContBucket(r.getDouble(1), r.getLong(2), r.getDouble(3),
+                   r.getDouble(4), r.getDouble(5), r.getDouble(6),
+                   r.getDouble(7), r.getLong(8))
+      }.sortBy(_.value)
+    }
+    variables.par.map { v =>
+      val totals = totalsByVar.getOrElse(v, Map.empty)
+      val nW = totals.values.map(_.n).sum
+      v -> ContinuousOptimalBinning.fitFromHistogram(
+        histByVar.getOrElse(v, Array.empty), totals, nW,
+        cfgFor(v, config, varOverrides, "numerical"),
+        categories = null, catOthers = null)
+    }.toList.toMap
+  }
+
   private def fitNumericBatch(df: DataFrame, vars: Seq[String], y: Column,
                               w: Column, targetType: String,
                               config: BinningConfig,
@@ -71,7 +133,7 @@ object BinningProcess {
                               maxGridBuckets: Int)
       : Map[String, FittedOptimalBinning] = {
     require(targetType == "binary",
-            "continuous targets: use ContinuousBinningProcess")
+            "continuous targets: use BinningProcess.fitContinuous")
     val stackExpr =
       s"stack(${vars.length}, " +
         vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import scala.collection.mutable
+
+import graft.core.Metrics
+
+/** Joint optimal binning of two numerical variables into rectangles
+  * against a binary target
+  * (`optbinning/binning/multidimensional/binning_2d.py:211`). Data plane:
+  * per-dimension quantile prebinning (two percentile aggregates) + ONE
+  * `groupBy(binX, binY)` shuffle producing the event/nonevent grid
+  * (`_prebinning_matrices` `binning_2d.py:775-811`).
+  *
+  * Solver: the reference enumerates all axis-aligned rectangles and packs
+  * them with CP connectivity constraints (`model_data_2d.py:49-167`);
+  * here the driver runs an exact guillotine-partition DP over the
+  * <=(mx x my) grid (memoized best split of every sub-rectangle into
+  * horizontal/vertical cuts or a leaf). Guillotine partitions are a
+  * subset of the reference's rectangle packings — objective values are
+  * comparable but can be <= the CP optimum; at the default 5x5 grid the
+  * gap is rarely material. IV per rectangle from 2D prefix sums.
+  */
+object OptimalBinning2D {
+
+  final case class Rect(x1: Int, x2: Int, y1: Int, y2: Int,
+                        nonevent: Double, event: Double, iv: Double)
+
+  final case class Config2D(
+      nameX: String = "x", nameY: String = "y",
+      maxNPrebinsX: Int = 5, maxNPrebinsY: Int = 5,
+      minBinSize: Option[Double] = None,
+      minBinNEvent: Option[Long] = None,
+      minBinNNonevent: Option[Long] = None,
+      divergence: String = "iv")
+
+  def fit(df: DataFrame, xCol: String, yCol: String, targetCol: String,
+          config: Config2D = Config2D()): Fitted2DBinning = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val t = col(targetCol).cast(DoubleType)
+
+    // per-dimension equal-frequency candidate splits (exact percentiles)
+    def dimSplits(c: Column, k: Int): Array[Double] = {
+      val probs = (1 until k).map(_.toDouble / k)
+      df.select(percentile(c, array(probs.map(lit(_)): _*)).as("q"))
+        .head.getSeq[Double](0).toArray.distinct.sorted
+    }
+    val splitsX = dimSplits(x, config.maxNPrebinsX)
+    val splitsY = dimSplits(y, config.maxNPrebinsY)
+
+    def idxExpr(c: Column, splits: Array[Double]): Column =
+      splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>
+        when(c < splits(i), lit(i)).otherwise(acc)
+      }
+
+    // one shuffle: the 2D grid aggregate
+    val grid = df
+      .groupBy(idxExpr(x, splitsX).as("bx"), idxExpr(y, splitsY).as("by"))
+      .agg(sum(when(t === 0.0, 1.0).otherwise(0.0)).as("ne"),
+           sum(when(t =!= 0.0, 1.0).otherwise(0.0)).as("ev"))
+      .collect()
+
+    val mx = splitsX.length + 1
+    val my = splitsY.length + 1
+    val ne = Array.fill(mx, my)(0.0)
+    val ev = Array.fill(mx, my)(0.0)
+    grid.foreach { r =>
+      ne(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      ev(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
+    }
+
+    // 2D prefix sums for O(1) rectangle stats
+    val cumNe = Array.fill(mx + 1, my + 1)(0.0)
+    val cumEv = Array.fill(mx + 1, my + 1)(0.0)
+    for (i <- 0 until mx; j <- 0 until my) {
+      cumNe(i + 1)(j + 1) = ne(i)(j) + cumNe(i)(j + 1) +
+        cumNe(i + 1)(j) - cumNe(i)(j)
+      cumEv(i + 1)(j + 1) = ev(i)(j) + cumEv(i)(j + 1) +
+        cumEv(i + 1)(j) - cumEv(i)(j)
+    }
+    val tNe = cumNe(mx)(my)
+    val tEv = cumEv(mx)(my)
+    val total = tNe + tEv
+    val minSize = config.minBinSize.map(_ * total).getOrElse(0.0)
+
+    def rectNe(x1: Int, x2: Int, y1: Int, y2: Int): Double =
+      cumNe(x2 + 1)(y2 + 1) - cumNe(x1)(y2 + 1) -
+        cumNe(x2 + 1)(y1) + cumNe(x1)(y1)
+    def rectEv(x1: Int, x2: Int, y1: Int, y2: Int): Double =
+      cumEv(x2 + 1)(y2 + 1) - cumEv(x1)(y2 + 1) -
+        cumEv(x2 + 1)(y1) + cumEv(x1)(y1)
+
+    def leafIv(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] = {
+      val e = rectEv(x1, x2, y1, y2)
+      val n = rectNe(x1, x2, y1, y2)
+      if (e <= 0 || n <= 0) return None
+      if (e + n < minSize) return None
+      if (config.minBinNEvent.exists(e < _)) return None
+      if (config.minBinNNonevent.exists(n < _)) return None
+      val p = e / tEv
+      val q = n / tNe
+      Some(config.divergence match {
+        case "js" =>
+          val m = 0.5 * (p + q)
+          0.5 * (Metrics.xlogy(p, p / m) + Metrics.xlogy(q, q / m))
+        case _ => (p - q) * math.log(p / q)
+      })
+    }
+
+    // guillotine DP: best(x1,x2,y1,y2) = max(leaf, split at any x or y)
+    val memo = mutable.HashMap.empty[Int, (Double, Int)]
+    @inline def key(x1: Int, x2: Int, y1: Int, y2: Int): Int =
+      ((x1 * mx + x2) * my + y1) * my + y2
+    // cut encoding: 0 = leaf; 1+k = vertical cut after column k;
+    // 1000+k = horizontal cut after row k
+    def best(x1: Int, x2: Int, y1: Int, y2: Int): (Double, Int) = {
+      val k = key(x1, x2, y1, y2)
+      memo.getOrElseUpdate(k, {
+        var bestV = leafIv(x1, x2, y1, y2).getOrElse(Double.NegativeInfinity)
+        var bestCut = 0
+        var c = x1
+        while (c < x2) {
+          val l = best(x1, c, y1, y2)._1
+          if (l > Double.NegativeInfinity) {
+            val r = best(c + 1, x2, y1, y2)._1
+            if (r > Double.NegativeInfinity && l + r > bestV) {
+              bestV = l + r; bestCut = 1 + c
+            }
+          }
+          c += 1
+        }
+        c = y1
+        while (c < y2) {
+          val b = best(x1, x2, y1, c)._1
+          if (b > Double.NegativeInfinity) {
+            val u = best(x1, x2, c + 1, y2)._1
+            if (u > Double.NegativeInfinity && b + u > bestV) {
+              bestV = b + u; bestCut = 1000 + c
+            }
+          }
+          c += 1
+        }
+        (bestV, bestCut)
+      })
+    }
+
+    val (obj, _) = best(0, mx - 1, 0, my - 1)
+    val rects = mutable.ArrayBuffer.empty[Rect]
+    def emit(x1: Int, x2: Int, y1: Int, y2: Int): Unit = {
+      val (_, cut) = best(x1, x2, y1, y2)
+      if (cut == 0) {
+        rects += Rect(x1, x2, y1, y2, rectNe(x1, x2, y1, y2),
+                      rectEv(x1, x2, y1, y2),
+                      leafIv(x1, x2, y1, y2).getOrElse(0.0))
+      } else if (cut < 1000) {
+        val c = cut - 1
+        emit(x1, c, y1, y2); emit(c + 1, x2, y1, y2)
+      } else {
+        val c = cut - 1000
+        emit(x1, x2, y1, c); emit(x1, x2, c + 1, y2)
+      }
+    }
+    val status =
+      if (obj > Double.NegativeInfinity) { emit(0, mx - 1, 0, my - 1); "OPTIMAL" }
+      else {
+        rects += Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0)
+        "INFEASIBLE"
+      }
+
+    new Fitted2DBinning(config, status, splitsX, splitsY, rects.toArray,
+                        tNe, tEv)
+  }
+}
+
+/** Fitted 2D binning: rectangle list + WoE transform (CASE over
+  * rectangle membership — pure Catalyst, no shuffle). */
+final class Fitted2DBinning(
+    val config: OptimalBinning2D.Config2D,
+    val status: String,
+    val splitsX: Array[Double],
+    val splitsY: Array[Double],
+    val rects: Array[OptimalBinning2D.Rect],
+    val tNonevent: Double,
+    val tEvent: Double) extends Serializable {
+
+  def iv: Double = rects.map(_.iv).sum
+
+  private def edge(splits: Array[Double], i: Int): Double =
+    if (i < 0) Double.NegativeInfinity
+    else if (i >= splits.length) Double.PositiveInfinity
+    else splits(i)
+
+  def binLabel(r: OptimalBinning2D.Rect): String = {
+    def f(v: Double) = if (v.isInfinite) v.toString else f"$v%.2f"
+    s"[${f(edge(splitsX, r.x1 - 1))}, ${f(edge(splitsX, r.x2))}) x " +
+      s"[${f(edge(splitsY, r.y1 - 1))}, ${f(edge(splitsY, r.y2))})"
+  }
+
+  def woe(r: OptimalBinning2D.Rect): Double =
+    if (r.event > 0 && r.nonevent > 0)
+      math.log((r.nonevent / tNonevent) / (r.event / tEvent))
+    else 0.0
+
+  /** Rectangle-membership WoE transform. */
+  def transform(xCol: Column, yCol: Column,
+                metric: String = "woe"): Column = {
+    val x = xCol.cast(DoubleType)
+    val y = yCol.cast(DoubleType)
+    def inRect(r: OptimalBinning2D.Rect): Column = {
+      val lx = edge(splitsX, r.x1 - 1); val ux = edge(splitsX, r.x2)
+      val ly = edge(splitsY, r.y1 - 1); val uy = edge(splitsY, r.y2)
+      val cx = (if (lx.isNegInfinity) lit(true) else x >= lx) &&
+        (if (ux.isPosInfinity) lit(true) else x < ux)
+      val cy = (if (ly.isNegInfinity) lit(true) else y >= ly) &&
+        (if (uy.isPosInfinity) lit(true) else y < uy)
+      cx && cy
+    }
+    rects.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (r, i)) =>
+      val v = metric match {
+        case "woe"        => lit(woe(r))
+        case "event_rate" => lit(r.event / (r.event + r.nonevent))
+        case "indices"    => lit(i.toDouble)
+      }
+      when(inRect(r), v).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class PWAndCounterfactualSpec extends AnyFunSuite {
+
+  private def bc = TestSpark.spark.read.parquet(TestSpark.breastCancer)
+
+  test("PWBinning: continuous piecewise event-rate curve, sane predictions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = bc
+    val pw = PWBinning.fit(df, "mean radius", "target",
+                           BinningConfig(name = "mean radius"))
+    assert(pw.splits.nonEmpty)
+    val preds = df.select(pw.predictColumn(col("mean radius")).as("p"))
+      .as[Double].collect()
+    assert(preds.forall(p => p >= 0 && p <= 1))
+    // piecewise curve must broadly track the descending event rate:
+    // low radius -> high benign rate, high radius -> low
+    val lo = df.where(col("mean radius") < 12)
+      .select(avg(pw.predictColumn(col("mean radius")))).head.getDouble(0)
+    val hi = df.where(col("mean radius") > 20)
+      .select(avg(pw.predictColumn(col("mean radius")))).head.getDouble(0)
+    assert(lo > hi, s"lo $lo hi $hi")
+    // continuity: predictions on either side of a split are close
+    val s = pw.splits(0)
+    val eps = 1e-6
+    val just = df.sparkSession.range(1).select(
+      pw.predictColumn(lit(s - eps)).as("a"),
+      pw.predictColumn(lit(s + eps)).as("b")).head
+    assert(math.abs(just.getDouble(0) - just.getDouble(1)) < 1e-4)
+  }
+
+  test("Counterfactual: minimal bin changes flip the outcome") {
+    val df = bc
+    val sc = Scorecard.fit(df, Seq("mean radius", "mean texture",
+                                   "mean perimeter"), "target")
+    // pick an instance predicted low-probability and ask to exceed 0.8
+    val row = df.select(col("mean radius"), col("mean texture"),
+                        col("mean perimeter"),
+                        sc.predictProbaColumn().as("p"))
+      .where(col("p") < 0.3).head
+    val bins = sc.selected.map { v =>
+      val f = sc.process.fits(v)
+      val x = row.getDouble(row.fieldIndex(v))
+      v -> f.splits.count(_ <= x)
+    }.toMap
+    val cfs = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+                                      maxChanges = 2, nCounterfactuals = 2)
+    assert(cfs.nonEmpty)
+    cfs.foreach { cf =>
+      assert(cf.probability >= 0.8)
+      assert(cf.nChanges <= 2 && cf.nChanges >= 1)
+    }
+    // diversity: the two counterfactuals differ
+    if (cfs.length == 2) assert(cfs(0).changes != cfs(1).changes)
+  }
+}
