@@ -70,6 +70,9 @@ final class OptimalBinningSketch(
   /** Merge another OptimalBinningSketch (cross-node/stream merge). */
   def merge(other: OptimalBinningSketch): Unit = _sketch.merge(other._sketch)
 
+  /** Merge a raw BSketch (used by the multi-variable process sketch). */
+  def mergeSketch(other: BSketch): Unit = _sketch.merge(other)
+
   /** Solve the optimal binning from the current sketch state
     * (`binning_sketch.py:570-647`): equi-quantile candidate splits from
     * the combined sketch, sketch-based prebin counts, then the standard

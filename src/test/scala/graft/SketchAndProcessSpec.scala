@@ -125,4 +125,16 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(out.where(col("mw").isNull).count() == 0)
     assert(fitted.js >= 0)
   }
+
+  test("BinningProcessSketch: per-variable sketches via one melted agg") {
+    val df = li
+    val ps = new graft.streaming.BinningProcessSketch(
+      Seq("l_extendedprice", "l_quantity"),
+      BinningConfig(monotonicTrend = None), eps = 1e-3)
+    ps.add(df, "y")
+    val solved = ps.solveAll()
+    assert(solved.size == 2)
+    solved.values.foreach(f => assert(f.status == "OPTIMAL"))
+    assert(ps.sketch("l_extendedprice").sketch.n == df.count())
+  }
 }
