@@ -52,13 +52,21 @@ object PWBinning {
     val binning = OptimalBinning.fit(df, xCol, yCol, config)
     val splits = binning.splits
 
-    // value histogram (sufficient statistics for the weighted LS)
+    // value histogram (sufficient statistics for the weighted LS); grid-
+    // compressed beyond the bucket budget like the fit data plane
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
-    val hist = df
-      .where(!x.isNull && !isnan(x))
-      .groupBy(x.as("x"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(y).as("rate"))
+    val clean = df.where(!x.isNull && !isnan(x))
+      .select(x.as("x"), y.as("y"))
+    val stats = clean.agg(approx_count_distinct(col("x")).as("ndv"),
+                          min(col("x")).as("mn")).head
+    val keyed =
+      if (stats.getLong(0) <= config.histogramMaxBuckets) clean
+      else Histograms.gridCompress(clean, "x", stats.getDouble(1),
+                                   config.histogramMaxBuckets)
+    val hist = keyed
+      .groupBy("x")
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("rate"))
       .collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
 

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.core._
+
+/** Property tests the reference lacks but the distributed design demands
+  * (SURVEY §5b): solver-vs-enumeration oracle and metric invariants.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** hand-rolled forAll: sample the generator n times (scalatestplus
+    * bridge is not in the offline cache). */
+  private def forAll[A](gen: Gen[A], n: Int = 80)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default,
+                org.scalacheck.rng.Seed(i.toLong)).foreach(f)
+    }
+
+  private val countsGen: Gen[(Array[Double], Array[Double])] = for {
+    n <- Gen.choose(2, 8)
+    ne <- Gen.listOfN(n, Gen.choose(1, 50))
+    ev <- Gen.listOfN(n, Gen.choose(1, 50))
+  } yield (ne.map(_.toDouble).toArray, ev.map(_.toDouble).toArray)
+
+  /** brute force: enumerate all split subsets, apply the same feasibility
+    * and monotonicity rules, return the best scaled objective. */
+  private def bruteForce(ne: Array[Double], ev: Array[Double],
+                         trend: Option[String]): Long = {
+    val n = ne.length
+    val md = ModelData.binary("iv", ne, ev, None, "consecutive", 0.0)
+    var best = Long.MinValue
+    // subsets of split positions 0..n-2; bins are maximal runs
+    for (mask <- 0 until (1 << (n - 1))) {
+      val ends = (0 until n - 1).filter(i => (mask & (1 << i)) != 0) :+ (n - 1)
+      val starts = 0 +: ends.dropRight(1).map(_ + 1)
+      val bins = starts.zip(ends)
+      val rates = bins.map { case (s, e) => md.d(e)(s) }
+      val ok = trend match {
+        case Some("ascending") =>
+          rates.sliding(2).forall(w => w.length < 2 || w(0) <= w(1))
+        case Some("descending") =>
+          rates.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+        case _ => true
+      }
+      if (ok) {
+        val obj = bins.map { case (s, e) => md.v(e)(s) }.sum
+        if (obj > best) best = obj
+      }
+    }
+    best
+  }
+
+  test("DP solver equals exhaustive enumeration (none/asc/desc trends)") {
+    forAll(countsGen) { case (ne, ev) =>
+      for (trend <- Seq(None, Some("ascending"), Some("descending"))) {
+        val n = ne.length
+        val md = ModelData.binary("iv", ne, ev, None, "consecutive", 0.0)
+        val r = Solver.solve(n, md.d, md.v,
+                             ne.zip(ev).map { case (a, b) =>
+                               math.round(a + b) },
+                             ev.map(math.round), ne.map(math.round),
+                             trend, -1, Solver.Constraints(),
+                             Array.empty, Array.empty)
+        val expected = bruteForce(ne, ev, trend)
+        assert(r.status == "OPTIMAL")
+        assert(r.objective == expected,
+               s"trend $trend dp ${r.objective} brute $expected " +
+                 s"ne=${ne.mkString(",")} ev=${ev.mkString(",")}")
+      }
+    }
+  }
+
+  test("gini is permutation invariant and bounded") {
+    forAll(countsGen) { case (ne, ev) =>
+      val g = Metrics.gini(ev, ne)
+      assert(g >= -1.0 - 1e-12 && g <= 1.0 + 1e-12)
+      val perm = scala.util.Random.shuffle(ev.indices.toList).toArray
+      val g2 = Metrics.gini(perm.map(ev), perm.map(ne))
+      assert(math.abs(g - g2) < 1e-9)
+    }
+  }
+
+  test("divergences are non-negative and zero iff identical distributions") {
+    forAll(countsGen) { case (ne, ev) =>
+      val p = ev.map(_ / ev.sum)
+      val q = ne.map(_ / ne.sum)
+      assert(Metrics.jeffreySum(p, q) >= -1e-12)
+      assert(Metrics.jensenShannonSum(p, q) >= -1e-12)
+      assert(Metrics.hellingerSum(p, q) >= -1e-12)
+      assert(Metrics.triangularSum(p, q) >= -1e-12)
+      assert(math.abs(Metrics.jeffreySum(p, p)) < 1e-12)
+    }
+  }
+
+  test("mergeBySolution conserves totals") {
+    forAll(countsGen) { case (ne, _) =>
+      val n = ne.length
+      forAll(Gen.listOfN(n - 1, Gen.oneOf(true, false)), 10) { sol0 =>
+        val sol = (sol0 :+ true).toArray
+        val merged = BinningTables.mergeBySolution(sol, ne)
+        assert(math.abs(merged.sum - ne.sum) < 1e-9)
+        assert(merged.length == sol.count(identity))
+      }
+    }
+  }
+}
