@@ -35,6 +35,9 @@ final case class BinningConfig(
     userSplitsFixed: Option[Array[Boolean]] = None,
     specialCodes: Option[SpecialCodes] = None,
     splitDigits: Option[Int] = None,
+    /** Per-class weight multipliers (class label -> weight), applied to
+      * the sample weight like `preprocessing.py:179-186`. */
+    classWeight: Option[Map[Double, Double]] = None,
     timeLimitMs: Long = 100000L,
     /** Spark-side knob: max value-level histogram buckets collected to the
       * driver; above this, clean values are compressed onto an
@@ -76,7 +79,14 @@ object OptimalBinning {
     val spark = df.sparkSession
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
-    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val w0 = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val w = config.classWeight match {
+      case Some(m) =>
+        m.foldLeft(w0) { case (acc, (label, cw)) =>
+          when(y === label, acc * cw).otherwise(acc)
+        }
+      case None => w0
+    }
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
 
     val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))

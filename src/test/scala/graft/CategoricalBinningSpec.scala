@@ -68,4 +68,39 @@ class CategoricalBinningSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(out.length == 101 && out.forall(v => !v.isNaN))
   }
+
+  test("sample weights: weight-2 rows equal duplicated rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = spark.read.parquet(TestSpark.breastCancer)
+      .select("mean radius", "target")
+    val weighted = df.withColumn("w",
+      org.apache.spark.sql.functions.lit(2.0))
+    val duplicated = df.union(df)
+    // fixed user splits isolate the counting path (CART's
+    // min_samples_leaf counts raw samples even under weights, mirroring
+    // sklearn/reference, so prebinning itself differs by design)
+    val us = Array(11.425, 12.33, 13.095, 13.705, 15.045, 16.925)
+    val a = OptimalBinning.fit(weighted, "mean radius", "target",
+      BinningConfig(name = "x", userSplits = Some(us),
+                    monotonicTrend = None), weightCol = Some("w"))
+    val b = OptimalBinning.fit(duplicated, "mean radius", "target",
+      BinningConfig(name = "x", userSplits = Some(us),
+                    monotonicTrend = None))
+    assert(a.splits.toSeq == b.splits.toSeq)
+    assert(math.abs(a.table.iv - b.table.iv) < 1e-9)
+    assert(a.table.nEvent.toSeq == b.table.nEvent.toSeq)
+  }
+
+  test("class weights scale event counts") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val cw = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(name = "x",
+                    classWeight = Some(Map(1.0 -> 2.0))))
+    val base = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(name = "x"))
+    assert(math.abs(cw.table.tEvent - 2 * base.table.tEvent) < 1e-9)
+    assert(math.abs(cw.table.tNonevent - base.table.tNonevent) < 1e-9)
+  }
 }
