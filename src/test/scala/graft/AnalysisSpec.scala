@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Stats
+import graft.operators._
+
+class AnalysisSpec extends AnyFunSuite {
+
+  test("binning table analysis: tests, quality score, trend type") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val fitted = OptimalBinning.fit(df, "mean radius", "target",
+                                    BinningConfig(name = "mean radius"))
+    val a = fitted.table.analysis()
+    assert(a.adjacentTests.length == fitted.nDataBins - 1)
+    a.adjacentTests.foreach { case (stat, p, pab, pba) =>
+      assert(p >= 0 && p <= 1)
+      assert(math.abs(pab + pba - 1.0) < 1e-9)
+    }
+    assert(a.qualityScore >= 0 && a.qualityScore <= 1)
+    assert(a.cramerV > 0)
+    // breast cancer mean radius: benign rate decreases with radius
+    assert(a.monotonicTrendType == "descending")
+    val fisher = fitted.table.analysis(pvalueTest = "fisher")
+    fisher.adjacentTests.foreach { case (_, p, _, _) =>
+      assert(p >= 0 && p <= 1)
+    }
+  }
+
+  test("Stats: hand-derivable values on known inputs") {
+    // chi2 for [[10,20],[30,40]]: E=[[12,18],[28,42]],
+    // stat = 4/12 + 4/18 + 4/28 + 4/42
+    val expected = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    val (stat, p, dof) = Stats.chi2Contingency(
+      Array(Array(10.0, 20.0), Array(30.0, 40.0)))
+    assert(dof == 1)
+    assert(math.abs(stat - expected) < 1e-12)
+    assert(p > 0 && p < 1)
+    // Fisher exact, balanced 2x2 => p = 1
+    val (odds1, fp1) = Stats.fisherExact(10, 10, 10, 10)
+    assert(odds1 == 1.0 && math.abs(fp1 - 1.0) < 1e-9)
+    // degenerate separation is highly significant
+    val (_, fp2) = Stats.fisherExact(10, 0, 0, 10)
+    assert(fp2 < 1e-4)
+    // Welch t: equal stats => t = 0, p = 1
+    val (t0, tp0) = Stats.ttestIndFromStats(5, 2, 30, 5, 2, 30)
+    assert(t0 == 0.0 && math.abs(tp0 - 1.0) < 1e-12)
+    // z-test symmetry
+    val (z1, zp1) = Stats.testProportions(10, 20, 20, 10)
+    val (z2, zp2) = Stats.testProportions(20, 10, 10, 20)
+    assert(math.abs(z1 - z2) < 1e-12 && math.abs(zp1 - zp2) < 1e-12)
+    // Bayesian A/B: symmetric posteriors => ~0.5
+    val (pab, _) = Stats.bayesianProbability(10, 10, 10, 10, 1000)
+    assert(math.abs(pab - 0.5) < 0.02)
+  }
+
+  test("YQuantile outlier detector flags per-bin outliers") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (1 to 2000).map { _ =>
+      val x = rnd.nextDouble() * 10
+      (x, 3 * x + rnd.nextGaussian())
+    }
+    val outliers = Seq((1.0, 500.0), (9.0, -500.0))
+    val df = (base ++ outliers).toDF("x", "y")
+    val pred = Outliers.fitYQuantile(df, "x", "y", "zscore", nBins = 4)
+    val flagged = df.where(pred).collect()
+    assert(flagged.length >= 2 && flagged.length < 50)
+    assert(flagged.exists(_.getDouble(1) == 500.0))
+    assert(flagged.exists(_.getDouble(1) == -500.0))
+  }
+}
