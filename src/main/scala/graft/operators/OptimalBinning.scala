@@ -193,7 +193,11 @@ object OptimalBinning {
 
   /** Driver-side categorical phase shared by the single-variable fit and
     * `BinningProcess`: cutoff -> others, event-rate ordinalization, then
-    * the common histogram fit. */
+    * the common histogram fit. With `userSplitsCategorical`, the given
+    * category GROUPS become the atomic prebins (ordered by pooled group
+    * event rate; categories outside every group fall into the others bin
+    * — `binning.py:781-816` user-splits categorical path).
+    */
   private[graft] def fitCategoricalFromCounts(
       rows: Array[CatCountRow],
       config: BinningConfig): FittedOptimalBinning = {
@@ -207,32 +211,81 @@ object OptimalBinning {
       (r.cat, r.n, r.w0, r.w1)
     }
 
-    // cat_cutoff -> "others" group (`preprocessing.py:32-42`)
-    val totalCleanW = cleanCats.map(c => c._3 + c._4).sum
-    val (kept, others) = config.catCutoff match {
-      case Some(cut) =>
-        cleanCats.partition(c => (c._3 + c._4) / totalCleanW >= cut)
-      case None => (cleanCats, Array.empty[(String, Long, Double, Double)])
+    config.userSplitsCategorical match {
+      case Some(groups) =>
+        val catToGroup = groups.zipWithIndex.flatMap { case (g, i) =>
+          g.map(_ -> i)
+        }.toMap
+        val (listed, others) =
+          cleanCats.partition(c => catToGroup.contains(c._1))
+        val groupStats = listed.groupBy(c => catToGroup(c._1)).map {
+          case (g, cs) =>
+            g -> (cs.map(_._2).sum, cs.map(_._3).sum, cs.map(_._4).sum)
+        }
+        // order GROUPS by pooled event rate
+        val orderedGroups = groups.indices
+          .filter(groupStats.contains)
+          .sortBy { g =>
+            val (_, w0, w1) = groupStats(g); w1 / (w0 + w1)
+          }
+        val hist = orderedGroups.zipWithIndex.map { case (g, i) =>
+          val (n, w0, w1) = groupStats(g)
+          Prebinning.HistBucket(i.toDouble, n, w0, w1)
+        }.toArray
+        val othersTotals =
+          if (others.nonEmpty)
+            Some(ClassTotals(others.map(_._3).sum, others.map(_._4).sum,
+                             others.map(_._2).sum,
+                             others.map(c => c._3 + c._4).sum))
+          else None
+        fitFromCounts(
+          // every group boundary is a candidate split
+          (1 until hist.length).map(_.toDouble - 0.5).toArray,
+          s => {
+            val nBins = s.length + 1
+            val ne = new Array[Double](nBins)
+            val ev = new Array[Double](nBins)
+            hist.foreach { h =>
+              val i = upperBound(s, h.value)
+              ne(i) += h.y0; ev(i) += h.y1
+            }
+            (ne, ev)
+          },
+          totals, nSamplesWeighted,
+          config.copy(userSplits = None),
+          categories = null, catOthers = others.map(_._1),
+          othersTotals = othersTotals,
+          ordinalGroups = orderedGroups.map(g => groups(g)).toArray)
+      case None =>
+        // cat_cutoff -> "others" group (`preprocessing.py:32-42`)
+        val totalCleanW = cleanCats.map(c => c._3 + c._4).sum
+        val (kept, others) = config.catCutoff match {
+          case Some(cut) =>
+            cleanCats.partition(c => (c._3 + c._4) / totalCleanW >= cut)
+          case None =>
+            (cleanCats, Array.empty[(String, Long, Double, Double)])
+        }
+
+        // order categories by event rate (`preprocessing.py:24-29`)
+        val ordered = kept.sortBy { case (_, _, w0, w1) => w1 / (w0 + w1) }
+        val categories = ordered.map(_._1)
+
+        val hist = ordered.zipWithIndex.map { case ((_, n, w0, w1), i) =>
+          Prebinning.HistBucket(i.toDouble, n, w0, w1)
+        }
+
+        val othersTotals =
+          if (others.nonEmpty)
+            Some(ClassTotals(others.map(_._3).sum, others.map(_._4).sum,
+                             others.map(_._2).sum,
+                             others.map(c => c._3 + c._4).sum))
+          else None
+
+        fitFromHistogram(hist, totals, nSamplesWeighted, config,
+                         categories = categories,
+                         catOthers = others.map(_._1),
+                         othersTotals = othersTotals)
     }
-
-    // order categories by event rate (`preprocessing.py:24-29`)
-    val ordered = kept.sortBy { case (_, _, w0, w1) => w1 / (w0 + w1) }
-    val categories = ordered.map(_._1)
-
-    val hist = ordered.zipWithIndex.map { case ((_, n, w0, w1), i) =>
-      Prebinning.HistBucket(i.toDouble, n, w0, w1)
-    }
-
-    val othersTotals =
-      if (others.nonEmpty)
-        Some(ClassTotals(others.map(_._3).sum, others.map(_._4).sum,
-                         others.map(_._2).sum,
-                         others.map(c => c._3 + c._4).sum))
-      else None
-
-    fitFromHistogram(hist, totals, nSamplesWeighted, config,
-                     categories = categories, catOthers = others.map(_._1),
-                     othersTotals = othersTotals)
   }
 
   // ------------------------------------------------------------------
@@ -289,9 +342,10 @@ object OptimalBinning {
       config: BinningConfig,
       categories: Array[String],
       catOthers: Array[String],
-      othersTotals: Option[ClassTotals] = None): FittedOptimalBinning = {
+      othersTotals: Option[ClassTotals] = None,
+      ordinalGroups: Array[Array[String]] = null): FittedOptimalBinning = {
 
-    val isCategorical = categories != null
+    val isCategorical = categories != null || ordinalGroups != null
     val splitsRounded = config.splitDigits match {
       case Some(d) =>
         rawSplits.map(s => BigDecimal(s)
@@ -434,15 +488,25 @@ object OptimalBinning {
 
     // bin labels
     val nDataBins = mergedNe.length
+    val binsOfCats: Array[Array[String]] =
+      if (!isCategorical) null
+      else if (ordinalGroups != null) {
+        // groups are atomic prebins at ordinal positions; a final bin
+        // flattens the member lists of its merged groups
+        val perGroupBin = ordinalGroups.indices.map(i =>
+          upperBound(splitsOptimal, i.toDouble))
+        (0 until nDataBins).map { b =>
+          ordinalGroups.indices.filter(perGroupBin(_) == b)
+            .flatMap(ordinalGroups(_)).toArray
+        }.toArray
+      } else categoricalBins(splitsOptimal, categories)
+
     val dataLabels: Array[String] =
       if (!isCategorical) {
         val edges = Double.NegativeInfinity +: splitsOptimal :+
           Double.PositiveInfinity
         BinningTables.binStrFormat(edges, 2)
-      } else {
-        categoricalBins(splitsOptimal, categories).map(b =>
-          b.mkString("[", ", ", "]"))
-      }
+      } else binsOfCats.map(_.mkString("[", ", ", "]"))
     val labels = (dataLabels.toSeq ++
       (if (hasOthers) Seq("Others") else Nil) ++
       (config.specialCodes match {
@@ -454,12 +518,11 @@ object OptimalBinning {
       config.name, config.dtype, splitsOptimal, allNe, allEv, labels,
       nSpecialBins)
 
-    val catBins: Array[Array[String]] =
-      if (isCategorical) categoricalBins(splitsOptimal, categories)
-      else null
-
+    val catsOut =
+      if (ordinalGroups != null) ordinalGroups.flatten
+      else categories
     new FittedOptimalBinning(config, status, splitsOptimal, table,
-                             categories, catBins, catOthers, nDataBins)
+                             catsOut, binsOfCats, catOthers, nDataBins)
   }
 
   /** Category membership of each final bin: ordinal ranges -> category

@@ -103,4 +103,31 @@ class CategoricalBinningSpec extends AnyFunSuite {
     assert(math.abs(cw.table.tEvent - 2 * base.table.tEvent) < 1e-9)
     assert(math.abs(cw.table.tNonevent - base.table.tNonevent) < 1e-9)
   }
+
+  test("categorical user-split groups become atomic prebins") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = x.zip(y.map(_.toDouble)).toSeq.toDF("occupation", "target")
+    val groups = Array(Array("Pensioner", "Working"),
+                       Array("Commercial associate"),
+                       Array("State servant"))
+    val fitted = OptimalBinning.fit(df, "occupation", "target",
+      BinningConfig(name = "occupation", dtype = "categorical",
+                    userSplitsCategorical = Some(groups),
+                    monotonicTrend = None))
+    assert(fitted.status == "OPTIMAL")
+    // every emitted bin is a union of whole groups
+    fitted.catBins.foreach { bin =>
+      groups.foreach { g =>
+        val inter = bin.toSet.intersect(g.toSet)
+        assert(inter.isEmpty || inter == g.toSet,
+               s"group split across bins: ${bin.mkString(",")}")
+      }
+    }
+    assert(fitted.table.tRecords.toLong == 100L)
+    val out = df.select(fitted.transform(
+      org.apache.spark.sql.functions.col("occupation")).as("w"))
+      .as[Double].collect()
+    assert(out.forall(v => !v.isNaN))
+  }
 }
