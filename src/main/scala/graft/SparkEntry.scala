@@ -492,6 +492,28 @@ object SparkEntry {
       }.toDF("variable", "status", "n_splits", "t_mean")
     }),
 
+    "q_ann_topk" -> ((s, dir) => {
+      // bucketed ANN: corpus vs a 20-query sample through hyperplane LSH
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val res = Similarity.annTopK(e, queries, "embedding", "vec_id",
+                                   "qid", k = 5, nPlanes = 8)
+      res.agg(count(lit(1)).as("n_results"),
+              countDistinct(col("qid")).as("n_queries"),
+              round(avg(col("cosine")), 6).as("avg_cosine"))
+    }),
+
+    "q_frame_sampling" -> ((s, dir) => {
+      // multimodal frame-sampling plumbing over fake binary payloads
+      val d = T(s, dir, "documents").limit(50)
+      val withPayload = Multimodal.withFakePayload(d, "doc_id")
+      Multimodal.sampleFrames(withPayload, "doc_id", "payload", 4)
+        .agg(count(lit(1)).as("n_frames"),
+             countDistinct(col("id")).as("n_docs"),
+             sum(length(col("frame_bytes")).cast("long")).as("total_bytes"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       // binary-payload feature extraction (stub decoder, real plumbing)
