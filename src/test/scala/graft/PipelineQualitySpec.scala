@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.pipeline._
+
+class PipelineQualitySpec extends AnyFunSuite {
+
+  test("HDI outlier bounds: shortest interval beats ETI on skewed data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // right-skewed: lognormal-ish
+    val values = (1 to 5000).map(_ => math.exp(rnd.nextGaussian()))
+    val df = values.toDF("x")
+    val eti = Outliers.fitRange(df, "x", method = "ETI")
+    val hdi = Outliers.fitRange(df, "x", method = "HDI")
+    assert(hdi.upper - hdi.lower > 0)
+    // HDI interval is the shortest 50% interval: its raw width is <= ETI's
+    val etiWidth = (eti.upper - eti.lower) / 4.0 // undo k=1.5 expansion: w*(1+2k)
+    val hdiWidth = (hdi.upper - hdi.lower) / 4.0
+    assert(hdiWidth <= etiWidth + 1e-9, s"hdi $hdiWidth eti $etiWidth")
+  }
+
+  test("embedding LSH near-dup recall vs brute force") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    // 200 base vectors + 50 near-duplicates (small perturbations)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 50).map { i =>
+      val (srcId, v) = base(i)
+      (1000L + i, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val lsh = Similarity.cosineNearDupPairs(df, "embedding", "vec_id",
+                                            threshold = 0.98, nPlanes = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force ground truth
+    val all = (base ++ dups)
+    val truth = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      a = all(i)._2.map(_.toDouble); b = all(j)._2.map(_.toDouble)
+      dot = a.zip(b).map { case (p, q) => p * q }.sum
+      na = math.sqrt(a.map(v => v * v).sum)
+      nb = math.sqrt(b.map(v => v * v).sum)
+      if dot / (na * nb) >= 0.98
+    } yield (math.min(all(i)._1, all(j)._1),
+             math.max(all(i)._1, all(j)._1))).toSet
+    assert(truth.nonEmpty)
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    // 6 hyperplanes on 0.98-cosine pairs: high collision probability
+    assert(recall >= 0.8, s"recall $recall (${lsh.size} vs ${truth.size})")
+    // precision: every returned pair is a true near-dup (exact cosine
+    // verified in-bucket)
+    assert(lsh.subsetOf(truth))
+  }
+
+  test("langId identifies real-language samples") {
+    // (the testdata lang column is a synthetic label over English word
+    // salads, so it cannot validate a detector; use real snippets)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and looked at the dog for a while"),
+      ("es", "el perro y el gato viven en la casa de los abuelos"),
+      ("de", "der Hund und die Katze sind mit dem Kind in das Haus"),
+      ("fr", "le chien et le chat sont dans la maison des grands parents"),
+      ("zh", "数据处理引擎"),
+      ("und", "zzz qqq xxx"))
+    val df = samples.toDF("expected", "text")
+    val out = df.select(col("expected"),
+                        TextAnalysis.langId(col("text")).as("pred"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+             s"expected ${r.getString(0)} got ${r.getString(1)}")
+    }
+  }
+}
