@@ -172,18 +172,43 @@ object OptimalBinning {
 
     val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
 
-    val rows = base
+    val countsDf = base
       .groupBy("cls", "x")
       .agg(count(lit(1)).as("n"),
            sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
            sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
            sum(col("w")).as("w"))
-      .collect()
-      .map(r => CatCountRow(r.getInt(0),
-                            Option(r.getString(1)).getOrElse(""),
-                            r.getLong(2), r.getDouble(3), r.getDouble(4)))
 
-    fitCategoricalFromCounts(rows, config)
+    def toRow(r: org.apache.spark.sql.Row) =
+      CatCountRow(r.getInt(0), Option(r.getString(1)).getOrElse(""),
+                  r.getLong(2), r.getDouble(3), r.getDouble(4))
+
+    // bounded driver collect: if the distinct-category count exceeds the
+    // histogram budget, keep the top-K by weight and pool the long tail
+    // into a catch-all others bin (the tail cannot affect the <=
+    // max_n_prebins bin structure materially, and enumerating millions of
+    // categories in a CASE chain is a non-starter at scale)
+    val cap = config.histogramMaxBuckets
+    val probe = countsDf.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      fitCategoricalFromCounts(probe.map(toRow), config)
+    } else {
+      val nonClean = countsDf.where(col("cls") =!= Preprocess.CleanClass)
+        .collect().map(toRow)
+      val top = countsDf.where(col("cls") === Preprocess.CleanClass)
+        .orderBy(desc("w")).limit(cap).collect().map(toRow)
+      val cleanTotals = base.where(col("cls") === Preprocess.CleanClass)
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+             sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
+        .head
+      val tail = CatCountRow(Preprocess.CleanClass, "",
+        cleanTotals.getLong(0) - top.map(_.n).sum,
+        cleanTotals.getDouble(1) - top.map(_.w0).sum,
+        cleanTotals.getDouble(2) - top.map(_.w1).sum)
+      fitCategoricalFromCounts(top ++ nonClean, config,
+                               tailOthers = Some(tail))
+    }
   }
 
   /** Per-(rowClass, category) count row of the categorical fit aggregate. */
@@ -200,10 +225,13 @@ object OptimalBinning {
     */
   private[graft] def fitCategoricalFromCounts(
       rows: Array[CatCountRow],
-      config: BinningConfig): FittedOptimalBinning = {
+      config: BinningConfig,
+      tailOthers: Option[CatCountRow] = None): FittedOptimalBinning = {
     val totals = rows.groupBy(_.cls).map { case (k, rs) =>
-      k -> ClassTotals(rs.map(_.w0).sum, rs.map(_.w1).sum,
-                       rs.map(_.n).sum, rs.map(r => r.w0 + r.w1).sum)
+      val extra = tailOthers.filter(_.cls == k).toSeq
+      val all = rs ++ extra
+      k -> ClassTotals(all.map(_.w0).sum, all.map(_.w1).sum,
+                       all.map(_.n).sum, all.map(r => r.w0 + r.w1).sum)
     }
     val nSamplesWeighted = totals.values.map(_.w).sum
 
@@ -258,7 +286,8 @@ object OptimalBinning {
           ordinalGroups = orderedGroups.map(g => groups(g)).toArray)
       case None =>
         // cat_cutoff -> "others" group (`preprocessing.py:32-42`)
-        val totalCleanW = cleanCats.map(c => c._3 + c._4).sum
+        val totalCleanW = cleanCats.map(c => c._3 + c._4).sum +
+          tailOthers.map(t => t.w0 + t.w1).getOrElse(0.0)
         val (kept, others) = config.catCutoff match {
           case Some(cut) =>
             cleanCats.partition(c => (c._3 + c._4) / totalCleanW >= cut)
@@ -274,17 +303,26 @@ object OptimalBinning {
           Prebinning.HistBucket(i.toDouble, n, w0, w1)
         }
 
+        val tailW0 = tailOthers.map(_.w0).getOrElse(0.0)
+        val tailW1 = tailOthers.map(_.w1).getOrElse(0.0)
+        val tailN = tailOthers.map(_.n).getOrElse(0L)
         val othersTotals =
-          if (others.nonEmpty)
-            Some(ClassTotals(others.map(_._3).sum, others.map(_._4).sum,
-                             others.map(_._2).sum,
-                             others.map(c => c._3 + c._4).sum))
+          if (others.nonEmpty || tailOthers.isDefined)
+            Some(ClassTotals(others.map(_._3).sum + tailW0,
+                             others.map(_._4).sum + tailW1,
+                             others.map(_._2).sum + tailN,
+                             others.map(c => c._3 + c._4).sum +
+                               tailW0 + tailW1))
           else None
 
         fitFromHistogram(hist, totals, nSamplesWeighted, config,
                          categories = categories,
-                         catOthers = others.map(_._1),
-                         othersTotals = othersTotals)
+                         catOthers =
+                           if (tailOthers.isDefined && others.isEmpty)
+                             Array("__tail__")
+                           else others.map(_._1),
+                         othersTotals = othersTotals,
+                         othersCatchAll = tailOthers.isDefined)
     }
   }
 
@@ -299,7 +337,8 @@ object OptimalBinning {
       config: BinningConfig,
       categories: Array[String],
       catOthers: Array[String],
-      othersTotals: Option[ClassTotals] = None): FittedOptimalBinning = {
+      othersTotals: Option[ClassTotals] = None,
+      othersCatchAll: Boolean = false): FittedOptimalBinning = {
 
     // candidate splits
     val rawSplits: Array[Double] = config.userSplits match {
@@ -326,7 +365,7 @@ object OptimalBinning {
     }
     fitFromCounts(rawSplits, s => prebinCounts(hist, s), totals,
                   nSamplesWeighted, config, categories, catOthers,
-                  othersTotals)
+                  othersTotals, othersCatchAll = othersCatchAll)
   }
 
   /** Driver-side phase shared by the histogram fit and the sketch fit:
@@ -343,7 +382,8 @@ object OptimalBinning {
       categories: Array[String],
       catOthers: Array[String],
       othersTotals: Option[ClassTotals] = None,
-      ordinalGroups: Array[Array[String]] = null): FittedOptimalBinning = {
+      ordinalGroups: Array[Array[String]] = null,
+      othersCatchAll: Boolean = false): FittedOptimalBinning = {
 
     val isCategorical = categories != null || ordinalGroups != null
     val splitsRounded = config.splitDigits match {
@@ -522,7 +562,8 @@ object OptimalBinning {
       if (ordinalGroups != null) ordinalGroups.flatten
       else categories
     new FittedOptimalBinning(config, status, splitsOptimal, table,
-                             catsOut, binsOfCats, catOthers, nDataBins)
+                             catsOut, binsOfCats, catOthers, nDataBins,
+                             othersCatchAll)
   }
 
   /** Category membership of each final bin: ordinal ranges -> category
@@ -604,7 +645,10 @@ final class FittedOptimalBinning(
     val categories: Array[String],
     val catBins: Array[Array[String]],
     val catOthers: Array[String],
-    val nDataBins: Int) extends Serializable {
+    val nDataBins: Int,
+    /** true when the others bin is a long-tail catch-all: the transform's
+      * ELSE branch maps to others (the tail cannot be enumerated). */
+    val othersCatchAll: Boolean = false) extends Serializable {
 
   def iv: Double = table.iv
 
@@ -718,6 +762,7 @@ final class FittedOptimalBinning(
           case "indices"            => lit(othersIdx)
           case "bins"               => lit(table.rows(othersIdx).bin)
         }
+        if (othersCatchAll) return expr.otherwise(v)
         expr = expr.when(x.isin(catOthers: _*), v)
       }
       expr.otherwise(unknownValue)

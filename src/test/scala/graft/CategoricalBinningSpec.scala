@@ -130,4 +130,27 @@ class CategoricalBinningSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(out.forall(v => !v.isNaN))
   }
+
+  test("high-cardinality categorical: top-K + catch-all others bin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = spark.read
+      .parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("l_returnflag") === "R",
+              1.0).otherwise(0.0))
+      .withColumn("catx", org.apache.spark.sql.functions
+        .col("l_shipdate").cast("string"))
+    val fitted = OptimalBinning.fit(df, "catx", "y",
+      BinningConfig(name = "catx", dtype = "categorical",
+                    histogramMaxBuckets = 100))
+    assert(fitted.status == "OPTIMAL")
+    assert(fitted.othersCatchAll)
+    // totals conserved: every row lands in a bin incl. the tail
+    assert(fitted.table.tRecords.toLong == df.count())
+    val out = df.select(fitted.transform(
+      org.apache.spark.sql.functions.col("catx")).as("w"))
+      .as[Double].collect()
+    assert(out.forall(v => !v.isNaN))
+  }
 }
