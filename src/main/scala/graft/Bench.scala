@@ -11,9 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up the session (codegen, parquet footers, JIT) outside timing
+    // Warm up outside timing: parquet footers, then every query once on the
+    // smallest scale factor so codegen/JIT/BLAS one-time costs don't land in
+    // the measured pass (we report steady-state throughput).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
