@@ -57,7 +57,8 @@ object ContinuousOptimalBinning {
     val statsRows = base.groupBy("cls")
       .agg(aggExprs.head, aggExprs.tail :+
         approx_count_distinct(col("x")).as("ndv") :+
-        min(col("x")).as("minx"): _*)
+        min(col("x")).as("minx") :+
+        max(col("x")).as("maxx"): _*)
       .collect()
 
     val totals = statsRows.map { r =>
@@ -93,6 +94,7 @@ object ContinuousOptimalBinning {
                   baseClean.groupBy("x")
                 else
                   Histograms.gridCompress(baseClean, "x", r.getDouble(10),
+                                          r.getDouble(11),
                                           config.histogramMaxBuckets)
                     .groupBy("x")
               grouped.agg(aggExprs.head, aggExprs.tail: _*)

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.Bucketizer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -8,10 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * The fit data plane aggregates clean rows to a (value -> target stats)
   * histogram. When the approximate distinct count exceeds the budget, the
-  * column is first collapsed onto an approx-quantile grid; bucketing is an
-  * ml `Bucketizer` (binary search per row, O(log grid)) — NOT a
-  * linear-scan array filter, which at 100 TB would cost rows x gridSize
-  * comparisons.
+  * column is first collapsed onto a uniform [min, max] grid as a pure
+  * column expression — zero extra scans and O(1) codegen, unlike a
+  * quantile grid which costs a full percentile pass plus a
+  * grid-sized literal in the generated code. The optimal-binning solve
+  * only needs ~maxNPrebins split candidates out of `maxBuckets` grid
+  * cells, so uniform resolution at 10k cells loses nothing material.
   */
 object Histograms {
 
@@ -36,29 +37,17 @@ object Histograms {
     agg(idx).sortBy(_._1).map { case (b, n, a) => (rep(b), n, a) }
   }
 
-  /** Replace column `xCol` with its grid representative (the largest grid
-    * edge <= x; rows below the first edge map to minX). One extra
-    * aggregate pass computes the grid; the Bucketizer projection then
-    * feeds the histogram groupBy with bounded key cardinality.
+  /** Replace column `xCol` with its uniform-grid representative (the
+    * largest grid edge <= x). Same snapping as
+    * `BinningProcess.fitNumericBatch` — the path the golden WoE parity
+    * fixture validates. No Spark job is launched here; the caller feeds
+    * min/max from its pass-1 stats aggregate.
     */
-  def gridCompress(df: DataFrame, xCol: String, minX: Double,
+  def gridCompress(df: DataFrame, xCol: String, minX: Double, maxX: Double,
                    maxBuckets: Int): DataFrame = {
-    val probs = array((1 until maxBuckets)
-      .map(i => lit(i.toDouble / maxBuckets)): _*)
-    val grid = df.select(
-        percentile_approx(col(xCol), probs, lit(10000)).as("grid"))
-      .head.getSeq[Double](0).toArray
-    val edges = (minX +: grid).distinct.sorted
-    val splits = edges :+ Double.PositiveInfinity
-    val bucketizer = new Bucketizer()
-      .setInputCol(xCol)
-      .setOutputCol("__bucket")
-      .setSplits(splits)
-      .setHandleInvalid("keep")
-    val edgesLit = lit(edges)
-    bucketizer.transform(df)
-      .withColumn(xCol,
-        element_at(edgesLit, col("__bucket").cast("int") + 1))
-      .drop("__bucket")
+    val width = (maxX - minX) / maxBuckets
+    if (width <= 0 || !java.lang.Double.isFinite(width)) df
+    else df.withColumn(
+      xCol, lit(minX) + floor((col(xCol) - minX) / width) * width)
   }
 }

@@ -37,7 +37,8 @@ object MulticlassOptimalBinning {
       .agg(classCountExprs.head, classCountExprs.tail :+
         count(lit(1)).as("n") :+
         approx_count_distinct(col("x")).as("ndv") :+
-        min(col("x")).as("minx"): _*)
+        min(col("x")).as("minx") :+
+        max(col("x")).as("maxx"): _*)
       .collect()
     def classCounts(r: org.apache.spark.sql.Row): Array[Double] =
       (0 until k).map(i => r.getLong(1 + i).toDouble).toArray
@@ -55,6 +56,7 @@ object MulticlassOptimalBinning {
         val keyed =
           if (ndv <= config.histogramMaxBuckets) baseClean
           else Histograms.gridCompress(baseClean, "x", r.getDouble(3 + k),
+                                       r.getDouble(4 + k),
                                        config.histogramMaxBuckets)
         keyed.groupBy("x")
           .agg(classCountExprs.head,

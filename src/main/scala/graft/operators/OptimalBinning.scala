@@ -100,6 +100,7 @@ object OptimalBinning {
         count(lit(1)).as("n"),
         sum(col("w")).as("w"),
         min(col("x")).as("minx"),
+        max(col("x")).as("maxx"),
         approx_count_distinct(col("x")).as("ndv"))
       .collect()
 
@@ -134,10 +135,11 @@ object OptimalBinning {
               Prebinning.HistBucket(rep, n, a(0), a(1))
             }
           case None =>
-            val ndv = r.getLong(6)
+            val ndv = r.getLong(7)
             val keyed =
               if (ndv <= config.histogramMaxBuckets) cleanBase
               else Histograms.gridCompress(cleanBase, "x", r.getDouble(5),
+                                           r.getDouble(6),
                                            config.histogramMaxBuckets)
             keyed.groupBy("x")
               .agg(count(lit(1)).as("n"),

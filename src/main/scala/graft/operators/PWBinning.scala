@@ -59,10 +59,12 @@ object PWBinning {
     val clean = df.where(!x.isNull && !isnan(x))
       .select(x.as("x"), y.as("y"))
     val stats = clean.agg(approx_count_distinct(col("x")).as("ndv"),
-                          min(col("x")).as("mn")).head
+                          min(col("x")).as("mn"),
+                          max(col("x")).as("mx")).head
     val keyed =
       if (stats.getLong(0) <= config.histogramMaxBuckets) clean
       else Histograms.gridCompress(clean, "x", stats.getDouble(1),
+                                   stats.getDouble(2),
                                    config.histogramMaxBuckets)
     val hist = keyed
       .groupBy("x")

@@ -4,20 +4,22 @@ import graft.operators._
 
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-      .withColumn("y", F.when(F.col("l_returnflag")==="R",1.0).otherwise(0.0))
-    // the melted histogram aggregate plan (BinningProcess pass B shape)
-    val vars = Seq("l_extendedprice","l_quantity","l_discount","l_tax")
-    val stackExpr = s"stack(${vars.length}, " + vars.map(v=>s"'$v', cast(`$v` as double)").mkString(", ") + ") as (var, x)"
-    val melted = li.withColumn("__y", F.col("y")).selectExpr("__y as y", stackExpr)
-    val agg = melted.groupBy("var","x").agg(
-      F.count(F.lit(1)).as("n"),
-      F.sum(F.when(F.col("y")===0.0, 1.0).otherwise(0.0)).as("w0"))
-    agg.explain("formatted")
-    spark.stop(); println("DRIVE_DONE")
+    val dir = "/root/testdata/sf0.1"
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("y", F.when(F.col("o_orderstatus")==="F", 0.0)
+        .when(F.col("o_orderstatus")==="P", 1.0).otherwise(2.0))
+    // warm
+    MulticlassOptimalBinning.fit(
+      o.limit(2000), "o_totalprice", "y", BinningConfig(name="tp"))
+    (1 to 3).foreach { p =>
+      val t0 = System.nanoTime()
+      val f = MulticlassOptimalBinning.fit(o, "o_totalprice", "y",
+                                           BinningConfig(name="tp"))
+      println(f"DRIVE multiclass pass$p ${(System.nanoTime()-t0)/1e9}%.2f s bins=${f.binLabels.length}")
+    }
   }
 }
