@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hash kernels as custom Catalyst expressions.
+  *
+  * The composable higher-order-function formulations in
+  * `graft.pipeline.Dedup` are the semantic reference (and remain as
+  * test oracles), but HOF lambdas are interpreted element-by-element:
+  * a k-slot one-permutation minhash costs O(shingles x k) closure
+  * dispatches per document. These expressions compute identical results
+  * in one JIT-compiled pass per row — O(len + k) for minhash,
+  * O(tokens x 64) primitive ops for simhash — with zero per-shingle
+  * allocations (shingles are hashed as byte slices of the input
+  * `UTF8String`, never materialized).
+  *
+  * Hash function matches `functions.xxhash64` (XXH64, seed 42) so
+  * signatures are interchangeable with the HOF pipeline's.
+  */
+object TextHashExprs {
+  private[functions] val Seed = 42L
+
+  def minhashSig(norm: Column, shingleLen: Int, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSigExpr(ExpressionUtils.expression(norm), shingleLen, k))
+
+  def simhash64(norm: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(norm)))
+}
+
+/** One-permutation-hashing minhash signature of character shingles
+  * (`Dedup.minhashSignatureFromHashes` over `Dedup.shinglesOf`
+  * semantics): shingle s's base hash h lands in slot pmod(h, k); each
+  * slot keeps its minimum, empty slots densify to the global minimum.
+  * Strings shorter than `shingleLen` contribute the whole string as one
+  * shingle. Duplicate shingles cannot change a minimum, so no distinct
+  * pass is needed.
+  */
+final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val nBytes = s.numBytes
+
+    val slots = Array.fill(k)(Long.MaxValue)
+    var globalMin = Long.MaxValue
+    var empty = true
+
+    @inline def accept(h: Long): Unit = {
+      val m = h % k
+      val slot = (if (m < 0) m + k else m).toInt
+      if (h < slots(slot)) slots(slot) = h
+      if (h < globalMin) globalMin = h
+      empty = false
+    }
+
+    // char-start byte offsets (shingles are CHARACTER n-grams; hashing
+    // byte windows directly would break on multi-byte UTF-8)
+    val nChars = s.numChars()
+    if (nChars < shingleLen) {
+      accept(XXH64.hashUnsafeBytes(base, offset, nBytes, TextHashExprs.Seed))
+    } else {
+      val charOff = new Array[Int](nChars + 1)
+      var i = 0
+      var b = 0
+      while (b < nBytes) {
+        charOff(i) = b
+        b += UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, offset + b))
+        i += 1
+      }
+      charOff(nChars) = nBytes
+      var c = 0
+      val last = nChars - shingleLen
+      while (c <= last) {
+        val from = charOff(c)
+        val len = charOff(c + shingleLen) - from
+        accept(XXH64.hashUnsafeBytes(base, offset + from, len,
+                                     TextHashExprs.Seed))
+        c += 1
+      }
+    }
+
+    if (empty) return new GenericArrayData(new Array[Long](0))
+    var j = 0
+    while (j < k) {
+      if (slots(j) == Long.MaxValue) slots(j) = globalMin
+      j += 1
+    }
+    new GenericArrayData(slots)
+  }
+}
+
+/** 64-bit SimHash over single-space-separated tokens (`Dedup.simhash`
+  * semantics): each token's xxhash64 votes +1/-1 per bit position;
+  * output bit i is set when votes(i) > 0. Tokens are NOT deduplicated
+  * (repeated tokens vote repeatedly), matching `split(norm, " ")`.
+  */
+final case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash64Expr = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val nBytes = s.numBytes
+
+    val votes = new Array[Int](64)
+    var tokStart = 0
+    var b = 0
+    while (b <= nBytes) {
+      val atEnd = b == nBytes
+      if (atEnd ||
+          org.apache.spark.unsafe.Platform.getByte(base, offset + b) == ' ') {
+        // token = bytes [tokStart, b) — split(" ") keeps empty tokens
+        val h = XXH64.hashUnsafeBytes(base, offset + tokStart, b - tokStart,
+                                      TextHashExprs.Seed)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+        tokStart = b + 1
+      }
+      b += 1
+    }
+
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}

@@ -113,10 +113,9 @@ object Dedup {
     val rows = numHashes / bands
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("__norm", normalizeText(col("__text")))
-      .withColumn("__shingles", shinglesOf(col("__norm"), shingleLen))
-      .withColumn("__hashes", shingleHashes(col("__shingles")))
       .withColumn("__sig",
-                  minhashSignatureFromHashes(col("__hashes"), numHashes))
+                  graft.functions.TextHashExprs.minhashSig(
+                    col("__norm"), shingleLen, numHashes))
       .select(col("id"),
               posexplode(lshBands(col("__sig"), bands, rows))
                 .as(Seq("band", "bh")))
@@ -150,7 +149,12 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
     * hashes, bit set when the vote is positive. Bit packing avoids dynamic
     * shifts via MSB-first Horner accumulation (acc*2 + bit). */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.TextHashExprs.simhash64(normalizeText(text))
+
+  /** Reference HOF formulation of [[simhash]] — kept as the semantic
+    * oracle for `SimHash64Expr` (asserted equal in tests). */
+  def simhashHof(text: Column): Column = {
     val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
     // aggregate over token HASHES (computed once per token) — building the
     // bit array from the raw token would re-hash it 64 times per element

@@ -1,6 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.{SparkSession, functions => F}
-import graft.operators._
+import graft.pipeline._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -8,18 +8,22 @@ object Drive {
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .withColumn("y", F.when(F.col("o_orderstatus")==="F", 0.0)
-        .when(F.col("o_orderstatus")==="P", 1.0).otherwise(2.0))
-    // warm
-    MulticlassOptimalBinning.fit(
-      o.limit(2000), "o_totalprice", "y", BinningConfig(name="tp"))
-    (1 to 3).foreach { p =>
-      val t0 = System.nanoTime()
-      val f = MulticlassOptimalBinning.fit(o, "o_totalprice", "y",
-                                           BinningConfig(name="tp"))
-      println(f"DRIVE multiclass pass$p ${(System.nanoTime()-t0)/1e9}%.2f s bins=${f.binLabels.length}")
-    }
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    d.count()
+    val banded = Dedup.withMinhashBands(d, "text", "doc_id", 32, 8, 5)
+    val t0 = System.nanoTime()
+    banded.count()
+    println(f"DRIVE banded ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val sizes = banded.groupBy("band","bh").agg(count(lit(1)).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("buckets"))
+      .orderBy(desc("m")).limit(12).collect()
+    sizes.foreach(r => println(s"DRIVE bucket m=${r.getLong(0)} x${r.getLong(1)}"))
+    val t1 = System.nanoTime()
+    val n = Dedup.minhashCandidates(d, "text", "doc_id", 32, 8).count()
+    println(f"DRIVE candidates ${(System.nanoTime()-t1)/1e9}%.2f s n=$n")
+    val t2 = System.nanoTime()
+    val n2 = Dedup.minhashCandidates(d, "text", "doc_id", 32, 8).count()
+    println(f"DRIVE candidates2 ${(System.nanoTime()-t2)/1e9}%.2f s n=$n2")
   }
 }

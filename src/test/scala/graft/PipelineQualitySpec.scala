@@ -82,4 +82,35 @@ class PipelineQualitySpec extends AnyFunSuite {
              s"expected ${r.getString(0)} got ${r.getString(1)}")
     }
   }
+
+  test("custom hash expressions match HOF reference formulations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "the  QUICK   brown fox ", // normalization collapses/cases
+      "ab", // shorter than shingle length
+      "", // empty
+      "a a a a repeated tokens vote repeatedly",
+      "naïve café résumé — multi-byte UTF-8 ügür",
+      "x" * 500)
+    val df = texts.toDF("text")
+
+    // simhash: custom expression vs HOF oracle
+    val sh = df.select(Dedup.simhash(col("text")).as("fast"),
+                       Dedup.simhashHof(col("text")).as("ref")).collect()
+    sh.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+
+    // minhash signature: custom expression vs HOF oracle
+    val k = 16
+    val norm = Dedup.normalizeText(col("text"))
+    val mh = df.select(
+      graft.functions.TextHashExprs.minhashSig(norm, 5, k).as("fast"),
+      Dedup.minhashSignatureFromHashes(
+        Dedup.shingleHashes(Dedup.shinglesOf(norm, 5)), k).as("ref"))
+      .collect()
+    mh.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
 }
