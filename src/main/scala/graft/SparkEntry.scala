@@ -427,6 +427,18 @@ object SparkEntry {
         .orderBy("bx", "by")
     }),
 
+    "q_gamma_outlier_fit" -> ((s, dir) => {
+      // gamma-regularized fit with pre-fit outlier filtering (rows-only)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "x", gamma = 2.0,
+                      outlierDetector = Some("zscore")))
+      import s.implicits._
+      fitted.table.rows.toSeq.map(r =>
+        (r.bin, r.count.toLong, scale6(r.eventRate)))
+        .toDF("bin", "count", "event_rate")
+    }),
+
     "q_2d_fit" -> ((s, dir) => {
       // full 2D optimal binning (guillotine DP; rows-only check)
       val li = liTarget(T(s, dir, "lineitem"))

@@ -29,6 +29,11 @@ object Solver {
       minBinNNonevent: Option[Long] = None,
       maxBinNNonevent: Option[Long] = None,
       userSplitsFixed: Option[Array[Boolean]] = None, // length n-1
+      /** Scaled bin-size-spread regularization: objective loses
+        * gammaReg * (max bin size - min bin size), with gammaReg =
+        * ceil(M * gamma / total_records) like `cp.py:69-78`. Couples all
+        * bins globally, so gamma > 0 routes to the DFS enumeration. */
+      gammaReg: Long = 0L,
       timeLimitMs: Long = 100000L)
 
   final case class Result(status: String, solution: Array[Boolean],
@@ -104,19 +109,26 @@ object Solver {
       adjViol += pack(i, r, j, k)
     }
 
+    def binRecords(s: Int, e: Int): Long = cumRec(e + 1) - cumRec(s)
+    val needDfs = allViolations.nonEmpty || cons.gammaReg > 0
+
     trend match {
       case Some("concave") | Some("convex") =>
-        dfsSolve(n, d, v, trend.get, binFeasible, adjViol, allViolations,
-                 cons, deadline)
-      case _ if allViolations.nonEmpty =>
-        dfsSolve(n, d, v, trend.orNull, binFeasible, adjViol, allViolations,
-                 cons, deadline)
-      case Some("peak") =>
-        bestOverChangePoints(n, d, v, "peak_heuristic", binFeasible,
-                             adjViol, cons, deadline)
-      case Some("valley") =>
-        bestOverChangePoints(n, d, v, "valley_heuristic", binFeasible,
-                             adjViol, cons, deadline)
+        dfsSolve(n, d, v, trend.get, 0, binFeasible, binRecords, adjViol,
+                 allViolations, cons, deadline)
+      case Some("peak") | Some("valley") =>
+        val h = if (trend.contains("peak")) "peak_heuristic"
+                else "valley_heuristic"
+        if (needDfs)
+          bestOverChangePointsBy(n, deadline, tc =>
+            dfsSolve(n, d, v, h, tc, binFeasible, binRecords, adjViol,
+                     allViolations, cons, deadline))
+        else
+          bestOverChangePoints(n, d, v, h, binFeasible, adjViol, cons,
+                               deadline)
+      case _ if needDfs =>
+        dfsSolve(n, d, v, trend.orNull, trendChange, binFeasible,
+                 binRecords, adjViol, allViolations, cons, deadline)
       case _ =>
         dpSolve(n, d, v, trend.orNull, trendChange, binFeasible, adjViol,
                 cons)
@@ -327,11 +339,18 @@ object Solver {
                                    binFeasible: (Int, Int) => Boolean,
                                    adjViol: mutable.HashSet[Long],
                                    cons: Constraints,
-                                   deadline: Long): Result = {
+                                   deadline: Long): Result =
+    bestOverChangePointsBy(n, deadline,
+      tc => dpSolve(n, d, v, heuristicTrend, tc, binFeasible, adjViol, cons))
+
+  /** Free peak/valley = best heuristic solve over every change point
+    * (mirrors the CP auxiliary variable `t`, `cp.py:141-148`). */
+  private def bestOverChangePointsBy(n: Int, deadline: Long,
+                                     solveAt: Int => Result): Result = {
     var best: Result = null
     var tc = 0
     while (tc <= n && (best == null || System.nanoTime() < deadline)) {
-      val r = dpSolve(n, d, v, heuristicTrend, tc, binFeasible, adjViol, cons)
+      val r = solveAt(tc)
       if (r.status == "OPTIMAL" &&
           (best == null || best.status != "OPTIMAL" ||
            r.objective > best.objective)) best = r
@@ -348,7 +367,9 @@ object Solver {
     * beyond that (returns best found with status FEASIBLE on timeout).
     */
   private def dfsSolve(n: Int, d: Array[Array[Long]], v: Array[Array[Long]],
-                       trend: String, binFeasible: (Int, Int) => Boolean,
+                       trend: String, trendChange: Int,
+                       binFeasible: (Int, Int) => Boolean,
+                       binRecords: (Int, Int) => Long,
                        adjViol: mutable.HashSet[Long],
                        allViolations: Array[((Int, Int), (Int, Int))],
                        cons: Constraints, deadline: Long): Result = {
@@ -395,11 +416,11 @@ object Solver {
       false
     }
 
-    def monoPairOk(newRate: Long): Boolean = trend match {
-      case "ascending"  => rates.isEmpty || rates.last <= newRate
-      case "descending" => rates.isEmpty || rates.last >= newRate
-      case _            => true
-    }
+    def monoPairOk(e: Int): Boolean =
+      bins.isEmpty || {
+        val (ps, pe) = bins.last
+        monoOk(trend, trendChange, d, ps, pe, e)
+      }
 
     def rec(start: Int, obj: Long): Unit = {
       if (System.nanoTime() > deadline) { timedOut = true; return }
@@ -407,8 +428,20 @@ object Solver {
         val nb = bins.length
         val okCount = cons.minNBins.forall(nb >= _) &&
           cons.maxNBins.forall(nb <= _)
-        if (okCount && obj > bestObj) {
-          bestObj = obj
+        var effObj = obj
+        if (cons.gammaReg > 0) {
+          // gamma regularization: penalize bin-size spread (`cp.py:69-78`)
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          bins.foreach { case (s, e) =>
+            val sz = binRecords(s, e)
+            if (sz < mn) mn = sz
+            if (sz > mx) mx = sz
+          }
+          effObj -= cons.gammaReg * (mx - mn)
+        }
+        if (okCount && effObj > bestObj) {
+          bestObj = effObj
           bestBins = bins.toList
         }
         return
@@ -417,8 +450,11 @@ object Solver {
       while (e < n && !timedOut) {
         if (binFeasible(start, e)) {
           val rate = d(e)(start)
-          if (monoPairOk(rate) && !violatesTriples(rate) &&
-              !violatesPairs(start, e)) {
+          val trendOk =
+            if (trend == "concave" || trend == "convex")
+              !violatesTriples(rate)
+            else monoPairOk(e)
+          if (trendOk && !violatesPairs(start, e)) {
             bins += ((start, e))
             rates += rate
             rec(e + 1, obj + v(e)(start))

@@ -52,7 +52,8 @@ object ContinuousOptimalBinning {
     val y = col(yCol).cast(DoubleType)
     val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
-    val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
+    val base = OptimalBinning.applyOutlierFilter(
+      df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config)
 
     val statsRows = base.groupBy("cls")
       .agg(aggExprs.head, aggExprs.tail :+
@@ -241,6 +242,8 @@ object ContinuousOptimalBinning {
           maxBinSize = config.maxBinSize.map(f =>
             math.ceil(f * nSamplesWeighted).toLong),
           userSplitsFixed = config.userSplitsFixed,
+          gammaReg = OptimalBinning.gammaRegOf(
+            config.gamma, math.round(nRecords.sum)),
           timeLimitMs = config.timeLimitMs)
         val r = Solver.solve(n, md.d, md.v, nRecords.map(math.round),
                              Array.empty, Array.empty,

@@ -28,6 +28,13 @@ final case class BinningConfig(
     minEventRateDiff: Double = 0.0,
     maxPvalue: Option[Double] = None,
     maxPvaluePolicy: String = "consecutive",
+    /** Bin-size-spread regularization strength (`binning.py:454`,
+      * `cp.py:69-78`); 0 disables. */
+    gamma: Double = 0.0,
+    /** Pre-fit outlier filtering of clean rows, "range" | "zscore"
+      * (`binning.py:455`, `preprocessing.py:230-249`). */
+    outlierDetector: Option[String] = None,
+    outlierParams: Map[String, Any] = Map.empty,
     catCutoff: Option[Double] = None,
     catUnknown: Option[Any] = None,
     userSplits: Option[Array[Double]] = None,
@@ -69,6 +76,51 @@ object OptimalBinning {
     else fitCategorical(df, xCol, yCol, config, weightCol)
   }
 
+  private[graft] def gammaRegOf(gamma: Double, totalRecords: Long): Long =
+    if (gamma <= 0 || totalRecords <= 0) 0L
+    else math.ceil(graft.core.ModelData.M * gamma / totalRecords).toLong
+
+  private[graft] def nSamplesInBins(nNonevent: Array[Double],
+                                    nEvent: Array[Double]): Double =
+    nNonevent.sum + nEvent.sum
+
+  /** Pre-fit outlier row filter (`preprocessing.py:230-249`): fit the
+    * requested detector on CLEAN rows of the working frame (columns
+    * `x`/`y`/`cls`) and drop clean rows it flags; missing/special rows
+    * are never filtered. Adds detector-specific aggregate passes only
+    * when configured.
+    */
+  private[graft] def applyOutlierFilter(base: DataFrame,
+                                        config: BinningConfig): DataFrame =
+    config.outlierDetector match {
+      case None => base
+      case Some(method) =>
+        val p = config.outlierParams
+        def num(key: String, dflt: Double): Double = p.get(key) match {
+          case Some(v: Number) => v.doubleValue()
+          case _ => dflt
+        }
+        val cleanDf = base.where(col("cls") === Preprocess.CleanClass)
+        val drop: org.apache.spark.sql.Column = method match {
+          case "range" =>
+            Outliers.fitRange(cleanDf, "x",
+              intervalLength = num("interval_length", 0.5),
+              k = num("k", 1.5),
+              method = p.get("method").map(_.toString).getOrElse("ETI"))
+              .support(col("x"))
+          case "zscore" =>
+            Outliers.fitZScore(cleanDf, "x", num("threshold", 3.5))
+          case "yquantile" =>
+            Outliers.fitYQuantile(cleanDf, "x", "y",
+              detector = p.get("detector").map(_.toString)
+                .getOrElse("zscore"),
+              nBins = num("n_bins", 5).toInt)
+          case other => throw new IllegalArgumentException(
+            s"outlier_detector $other not supported")
+        }
+        base.where(!(col("cls") === Preprocess.CleanClass && drop))
+    }
+
   // ------------------------------------------------------------------
   // numerical
   // ------------------------------------------------------------------
@@ -89,7 +141,8 @@ object OptimalBinning {
     }
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
 
-    val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
+    val base = applyOutlierFilter(
+      df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config)
 
     // Pass 1: one hash-agg keyed by row class — totals + approx distinct.
     val statsRows = base
@@ -470,6 +523,9 @@ object OptimalBinning {
           minBinNNonevent = minBinNNonevent,
           maxBinNNonevent = config.maxBinNNonevent,
           userSplitsFixed = fixed,
+          gammaReg = gammaRegOf(config.gamma,
+                                math.round(nSamplesInBins(nNonevent,
+                                                          nEvent))),
           timeLimitMs = config.timeLimitMs)
         val nRecords = nNonevent.zip(nEvent).map { case (a, b) =>
           math.round(a + b)

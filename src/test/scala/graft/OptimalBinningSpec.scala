@@ -82,4 +82,43 @@ class OptimalBinningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val distinctWoe = out.distinct.sorted
     assert(distinctWoe.length == fitted.splits.length + 1)
   }
+
+  val goldenSplits = Array(11.42500019, 12.32999992, 13.09499979,
+                           13.70499992, 15.04500008, 16.92500019)
+
+  test("outlier detectors reproduce reference goldens (test_binning.py:394)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    // zscore: default threshold keeps all golden splits
+    val zs = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(outlierDetector = Some("zscore")))
+    assert(zs.splits.length == goldenSplits.length,
+           zs.splits.mkString(","))
+    zs.splits.zip(goldenSplits).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6) }
+    // range ETI and HDI at interval_length 0.9: same goldens
+    for (m <- Seq("ETI", "HDI")) {
+      val r = OptimalBinning.fit(df, "mean radius", "target",
+        BinningConfig(outlierDetector = Some("range"),
+                      outlierParams = Map("interval_length" -> 0.9,
+                                          "method" -> m)))
+      assert(r.splits.length == goldenSplits.length,
+             s"$m: ${r.splits.mkString(",")}")
+      r.splits.zip(goldenSplits).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6) }
+    }
+  }
+
+  test("gamma regularization merges dominating bins (test_binning.py:424)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val g = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(gamma = 4.0))
+    assert(g.status == "OPTIMAL")
+    assert(g.splits.length < 6, g.splits.mkString(","))
+    // sanity: gamma=0 objective is an upper bound on the pure-IV part
+    val base = OptimalBinning.fit(df, "mean radius", "target",
+                                  BinningConfig())
+    assert(g.table.iv <= base.table.iv + 1e-9)
+  }
 }
