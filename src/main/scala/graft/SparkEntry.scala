@@ -427,6 +427,29 @@ object SparkEntry {
         .orderBy("bx", "by")
     }),
 
+    "q_cont_2d_fit" -> ((s, dir) => {
+      // continuous-target 2D rectangle binning (rows-only check)
+      val li = T(s, dir, "lineitem")
+      val f = OptimalBinning2D.fitContinuous(li, "l_quantity", "l_discount",
+        "l_extendedprice",
+        OptimalBinning2D.Config2D(maxNPrebinsX = 4, maxNPrebinsY = 4))
+      import s.implicits._
+      f.rects.toSeq.sortBy(r => (r.x1, r.y1)).map(r =>
+        (f.binLabel(r), r.n.toLong, scale6(r.mean)))
+        .toDF("bin", "count", "mean")
+    }),
+
+    "q_cont_pw" -> ((s, dir) => {
+      // continuous piecewise prediction curve stats (rows-only check)
+      val li = T(s, dir, "lineitem")
+      val pw = PWBinning.fitContinuous(li, "l_quantity", "l_extendedprice",
+                                       BinningConfig(name = "x"))
+      li.agg(count(lit(1)).as("n"),
+             round(avg(pw.predictColumn(col("l_quantity"))), 6)
+               .as("avg_pred"),
+             round(avg(col("l_extendedprice")), 6).as("avg_actual"))
+    }),
+
     "q_gamma_outlier_fit" -> ((s, dir) => {
       // gamma-regularized fit with pre-fit outlier filtering (rows-only)
       val li = liTarget(T(s, dir, "lineitem"))

@@ -111,7 +111,26 @@ object OptimalBinning2D {
       })
     }
 
-    // guillotine DP: best(x1,x2,y1,y2) = max(leaf, split at any x or y)
+    val (status, leaves) = guillotineSolve(mx, my, leafIv)
+    val rects =
+      if (status == "OPTIMAL")
+        leaves.map { case (x1, x2, y1, y2, v) =>
+          Rect(x1, x2, y1, y2, rectNe(x1, x2, y1, y2),
+               rectEv(x1, x2, y1, y2), v)
+        }
+      else Array(Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0))
+
+    new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe, tEv)
+  }
+
+  /** Exact guillotine-partition DP over an (mx x my) prebin grid.
+    * `leafVal(x1,x2,y1,y2)` returns the objective value of keeping that
+    * rectangle as one bin, or None if infeasible. Returns the leaf
+    * rectangles of the best partition with their values.
+    */
+  private def guillotineSolve(mx: Int, my: Int,
+                              leafVal: (Int, Int, Int, Int) => Option[Double])
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val memo = mutable.HashMap.empty[Int, (Double, Int)]
     @inline def key(x1: Int, x2: Int, y1: Int, y2: Int): Int =
       ((x1 * mx + x2) * my + y1) * my + y2
@@ -120,7 +139,7 @@ object OptimalBinning2D {
     def best(x1: Int, x2: Int, y1: Int, y2: Int): (Double, Int) = {
       val k = key(x1, x2, y1, y2)
       memo.getOrElseUpdate(k, {
-        var bestV = leafIv(x1, x2, y1, y2).getOrElse(Double.NegativeInfinity)
+        var bestV = leafVal(x1, x2, y1, y2).getOrElse(Double.NegativeInfinity)
         var bestCut = 0
         var c = x1
         while (c < x2) {
@@ -149,14 +168,12 @@ object OptimalBinning2D {
     }
 
     val (obj, _) = best(0, mx - 1, 0, my - 1)
-    val rects = mutable.ArrayBuffer.empty[Rect]
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Double)]
     def emit(x1: Int, x2: Int, y1: Int, y2: Int): Unit = {
       val (_, cut) = best(x1, x2, y1, y2)
-      if (cut == 0) {
-        rects += Rect(x1, x2, y1, y2, rectNe(x1, x2, y1, y2),
-                      rectEv(x1, x2, y1, y2),
-                      leafIv(x1, x2, y1, y2).getOrElse(0.0))
-      } else if (cut < 1000) {
+      if (cut == 0)
+        out += ((x1, x2, y1, y2, leafVal(x1, x2, y1, y2).getOrElse(0.0)))
+      else if (cut < 1000) {
         val c = cut - 1
         emit(x1, c, y1, y2); emit(c + 1, x2, y1, y2)
       } else {
@@ -164,15 +181,96 @@ object OptimalBinning2D {
         emit(x1, x2, y1, c); emit(x1, x2, c + 1, y2)
       }
     }
-    val status =
-      if (obj > Double.NegativeInfinity) { emit(0, mx - 1, 0, my - 1); "OPTIMAL" }
-      else {
-        rects += Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0)
-        "INFEASIBLE"
+    if (obj > Double.NegativeInfinity) {
+      emit(0, mx - 1, 0, my - 1)
+      ("OPTIMAL", out.toArray)
+    } else ("INFEASIBLE", Array.empty)
+  }
+
+  final case class ContRect(x1: Int, x2: Int, y1: Int, y2: Int,
+                            n: Double, sum: Double, ssum: Double,
+                            value: Double) {
+    def mean: Double = if (n > 0) sum / n else 0.0
+    def std: Double =
+      if (n > 0) math.sqrt(math.max(ssum / n - mean * mean, 0.0)) else 0.0
+  }
+
+  /** Continuous-target 2D binning
+    * (`multidimensional/continuous_binning_2d.py:286`): same grid data
+    * plane with (n, sum z, sum z^2) cells; leaf objective is the L1 norm
+    * |mean_rect - t_mean| (`model_data_2d.py:253-257`).
+    */
+  def fitContinuous(df: DataFrame, xCol: String, yCol: String,
+                    zCol: String,
+                    config: Config2D = Config2D()): FittedContinuous2D = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val z = col(zCol).cast(DoubleType)
+
+    def dimSplits(c: Column, k: Int): Array[Double] = {
+      val probs = (1 until k).map(_.toDouble / k)
+      df.select(percentile(c, array(probs.map(lit(_)): _*)).as("q"))
+        .head.getSeq[Double](0).toArray.distinct.sorted
+    }
+    val splitsX = dimSplits(x, config.maxNPrebinsX)
+    val splitsY = dimSplits(y, config.maxNPrebinsY)
+
+    def idxExpr(c: Column, splits: Array[Double]): Column =
+      splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>
+        when(c < splits(i), lit(i)).otherwise(acc)
       }
 
-    new Fitted2DBinning(config, status, splitsX, splitsY, rects.toArray,
-                        tNe, tEv)
+    val grid = df
+      .groupBy(idxExpr(x, splitsX).as("bx"), idxExpr(y, splitsY).as("by"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(z).as("s"), sum(z * z).as("ss"))
+      .collect()
+
+    val mx = splitsX.length + 1
+    val my = splitsY.length + 1
+    val nG = Array.fill(mx, my)(0.0)
+    val sG = Array.fill(mx, my)(0.0)
+    val ssG = Array.fill(mx, my)(0.0)
+    grid.foreach { r =>
+      nG(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      sG(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
+      ssG(r.getInt(0))(r.getInt(1)) = r.getDouble(4)
+    }
+
+    def prefix(a: Array[Array[Double]]): Array[Array[Double]] = {
+      val c = Array.fill(mx + 1, my + 1)(0.0)
+      for (i <- 0 until mx; j <- 0 until my)
+        c(i + 1)(j + 1) = a(i)(j) + c(i)(j + 1) + c(i + 1)(j) - c(i)(j)
+      c
+    }
+    val cumN = prefix(nG); val cumS = prefix(sG); val cumSS = prefix(ssG)
+    def rectOf(c: Array[Array[Double]])(x1: Int, x2: Int, y1: Int,
+                                        y2: Int): Double =
+      c(x2 + 1)(y2 + 1) - c(x1)(y2 + 1) - c(x2 + 1)(y1) + c(x1)(y1)
+
+    val total = cumN(mx)(my)
+    val tMean = if (total > 0) cumS(mx)(my) / total else 0.0
+    val minSize = config.minBinSize.map(_ * total).getOrElse(0.0)
+
+    def leafNorm(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] = {
+      val n = rectOf(cumN)(x1, x2, y1, y2)
+      if (n <= 0 || n < minSize) return None
+      val m = rectOf(cumS)(x1, x2, y1, y2) / n
+      Some(math.abs(m - tMean))
+    }
+
+    val (status, leaves) = guillotineSolve(mx, my, leafNorm)
+    val rects =
+      if (status == "OPTIMAL")
+        leaves.map { case (x1, x2, y1, y2, v) =>
+          ContRect(x1, x2, y1, y2, rectOf(cumN)(x1, x2, y1, y2),
+                   rectOf(cumS)(x1, x2, y1, y2),
+                   rectOf(cumSS)(x1, x2, y1, y2), v)
+        }
+      else Array(ContRect(0, mx - 1, 0, my - 1, total, cumS(mx)(my),
+                          cumSS(mx)(my), 0.0))
+
+    new FittedContinuous2D(config, status, splitsX, splitsY, rects, tMean)
   }
 }
 
@@ -224,6 +322,54 @@ final class Fitted2DBinning(
         case "woe"        => lit(woe(r))
         case "event_rate" => lit(r.event / (r.event + r.nonevent))
         case "indices"    => lit(i.toDouble)
+      }
+      when(inRect(r), v).otherwise(acc)
+    }
+  }
+}
+
+/** Fitted continuous-target 2D binning: rectangle list + mean transform
+  * (`multidimensional/transformations_2d.py` metric "mean"). */
+final class FittedContinuous2D(
+    val config: OptimalBinning2D.Config2D,
+    val status: String,
+    val splitsX: Array[Double],
+    val splitsY: Array[Double],
+    val rects: Array[OptimalBinning2D.ContRect],
+    val tMean: Double) extends Serializable {
+
+  /** Sum of per-rectangle L1 norms (the solver objective). */
+  def l1Norm: Double = rects.map(_.value).sum
+
+  private def edge(splits: Array[Double], i: Int): Double =
+    if (i < 0) Double.NegativeInfinity
+    else if (i >= splits.length) Double.PositiveInfinity
+    else splits(i)
+
+  def binLabel(r: OptimalBinning2D.ContRect): String = {
+    def f(v: Double) = if (v.isInfinite) v.toString else f"$v%.2f"
+    s"[${f(edge(splitsX, r.x1 - 1))}, ${f(edge(splitsX, r.x2))}) x " +
+      s"[${f(edge(splitsY, r.y1 - 1))}, ${f(edge(splitsY, r.y2))})"
+  }
+
+  /** Rectangle-membership transform: metric "mean" or "indices". */
+  def transform(xCol: Column, yCol: Column,
+                metric: String = "mean"): Column = {
+    val x = xCol.cast(DoubleType)
+    val y = yCol.cast(DoubleType)
+    def inRect(r: OptimalBinning2D.ContRect): Column = {
+      val lx = edge(splitsX, r.x1 - 1); val ux = edge(splitsX, r.x2)
+      val ly = edge(splitsY, r.y1 - 1); val uy = edge(splitsY, r.y2)
+      val cx = (if (lx.isNegInfinity) lit(true) else x >= lx) &&
+        (if (ux.isPosInfinity) lit(true) else x < ux)
+      val cy = (if (ly.isNegInfinity) lit(true) else y >= ly) &&
+        (if (uy.isPosInfinity) lit(true) else y < uy)
+      cx && cy
+    }
+    rects.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (r, i)) =>
+      val v = metric match {
+        case "mean"    => lit(r.mean)
+        case "indices" => lit(i.toDouble)
       }
       when(inRect(r), v).otherwise(acc)
     }

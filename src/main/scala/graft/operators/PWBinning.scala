@@ -72,6 +72,71 @@ object PWBinning {
       .collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
 
+    val coef = splineLeastSquares(hist, splits)
+    val rates = hist.map(_._3)
+    FittedPW(splits, coef, binning,
+             lb = math.max(rates.min, 1e-6),
+             ub = math.min(rates.max, 1 - 1e-6))
+  }
+
+  /** Continuous-target piecewise binning
+    * (`piecewise/continuous_binning.py:24`): optimal bins from
+    * `ContinuousOptimalBinning`, then the same closed-form linear-spline
+    * least squares on the per-value mean-y histogram. `lb`/`ub` are
+    * optional user prediction bounds (unbounded by default — a continuous
+    * target has no [0, 1] range).
+    */
+  final case class FittedContPW(
+      splits: Array[Double],
+      coef: Array[Double],
+      binning: FittedContinuousBinning,
+      lb: Option[Double], ub: Option[Double]) extends Serializable {
+
+    def predictColumn(xCol: Column): Column = {
+      val x = xCol.cast(DoubleType)
+      val linear = splits.indices.foldLeft(
+        lit(coef(0)) + lit(coef(1)) * x) { (acc, j) =>
+        acc + lit(coef(j + 2)) * greatest(lit(0.0), x - splits(j))
+      }
+      val lo = lb.map(v => greatest(linear, lit(v))).getOrElse(linear)
+      ub.map(v => least(lo, lit(v))).getOrElse(lo)
+    }
+  }
+
+  def fitContinuous(df: DataFrame, xCol: String, yCol: String,
+                    config: BinningConfig = BinningConfig(),
+                    lb: Option[Double] = None,
+                    ub: Option[Double] = None): FittedContPW = {
+    val binning = ContinuousOptimalBinning.fit(df, xCol, yCol, config)
+    val splits = binning.splits
+
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val clean = df.where(!x.isNull && !isnan(x))
+      .select(x.as("x"), y.as("y"))
+    val stats = clean.agg(approx_count_distinct(col("x")).as("ndv"),
+                          min(col("x")).as("mn"),
+                          max(col("x")).as("mx")).head
+    val keyed =
+      if (stats.getLong(0) <= config.histogramMaxBuckets) clean
+      else Histograms.gridCompress(clean, "x", stats.getDouble(1),
+                                   stats.getDouble(2),
+                                   config.histogramMaxBuckets)
+    val hist = keyed
+      .groupBy("x")
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("rate"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+
+    val coef = splineLeastSquares(hist, splits)
+    FittedContPW(splits, coef, binning, lb, ub)
+  }
+
+  /** Weighted least squares of the truncated-power linear spline on a
+    * (value, weight, target) histogram — shared by the binary and
+    * continuous fits. */
+  private def splineLeastSquares(hist: Array[(Double, Double, Double)],
+                                 splits: Array[Double]): Array[Double] = {
     val k = splits.length
     val p = k + 2
     val xtx = DenseMatrix.zeros[Double](p, p)
@@ -94,13 +159,7 @@ object PWBinning {
         a += 1
       }
     }
-    // ridge epsilon for numerical stability of the tiny system
     (0 until p).foreach(i => xtx(i, i) += 1e-9)
-    val coef = xtx \ xty
-
-    val rates = hist.map(_._3)
-    FittedPW(splits, coef.toArray, binning,
-             lb = math.max(rates.min, 1e-6),
-             ub = math.min(rates.max, 1 - 1e-6))
+    (xtx \ xty).toArray
   }
 }

@@ -54,4 +54,56 @@ class ContinuousBinningSpec extends AnyFunSuite {
         .as("m")).as[Double].collect()
     assert(out.length == 506 && out.forall(!_.isNaN))
   }
+
+  test("ContinuousOptimalBinning2D: rectangle means partition the grid") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // z has a clear 2x2 block structure over (x, y)
+    val rows = (1 to 4000).map { _ =>
+      val x = rnd.nextDouble() * 10
+      val y = rnd.nextDouble() * 10
+      val block = (if (x < 5) 0 else 1) * 2 + (if (y < 5) 0 else 1)
+      (x, y, block * 10.0 + rnd.nextGaussian())
+    }
+    val df = rows.toDF("x", "y", "z")
+    val f = OptimalBinning2D.fitContinuous(df, "x", "y", "z",
+      OptimalBinning2D.Config2D(maxNPrebinsX = 4, maxNPrebinsY = 4))
+    assert(f.status == "OPTIMAL")
+    // rectangles tile the grid: counts sum to n
+    assert(math.abs(f.rects.map(_.n).sum - 4000.0) < 1e-9)
+    // weighted rect means reproduce the global mean
+    val wMean = f.rects.map(r => r.n * r.mean).sum / 4000.0
+    assert(math.abs(wMean - f.tMean) < 1e-9)
+    // transform assigns every row a mean and they average to the target
+    val preds = df.select(f.transform(col("x"), col("y")).as("m"))
+      .agg(avg("m"), count(when(isnan(col("m")), 1))).head
+    assert(preds.getLong(1) == 0)
+    assert(math.abs(preds.getDouble(0) - f.tMean) < 0.5)
+  }
+
+  test("continuous PW binning recovers a linear relationship") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 5000).map { _ =>
+      val x = rnd.nextDouble() * 100
+      (x, 2.0 * x + 5.0 + rnd.nextGaussian() * 0.5)
+    }
+    val df = rows.toDF("x", "y")
+    val f = PWBinning.fitContinuous(df, "x", "y")
+    // prediction at a grid of points tracks 2x + 5
+    val err = df.select(
+      avg(abs(f.predictColumn(col("x")) - col("y"))).as("mae")).head
+      .getDouble(0)
+    assert(err < 1.0, s"mae $err")
+    // bounds clamp when provided
+    val fb = PWBinning.fitContinuous(df, "x", "y", lb = Some(50.0),
+                                     ub = Some(100.0))
+    val mn = df.select(min(fb.predictColumn(col("x"))),
+                       max(fb.predictColumn(col("x")))).head
+    assert(mn.getDouble(0) >= 50.0 - 1e-9 && mn.getDouble(1) <= 100.0 + 1e-9)
+  }
 }
