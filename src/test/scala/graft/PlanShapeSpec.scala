@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.pipeline._
+
+/** Plan-shape regression tests: the properties that matter at 100 TB are
+  * visible in the physical plan at any scale factor — column-pruned
+  * scans, single shuffles for single-pass aggregates, whole-stage
+  * codegen on transforms, and the absence of cartesian products. These
+  * assertions pin them so a refactor cannot silently regress the plan.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("WoE transform is one codegen'd projection over a pruned scan") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+                                    BinningConfig(name = "x"))
+    val out = li.select(fitted.transform(col("l_extendedprice")).as("woe"))
+    val plan = physical(out)
+    // no shuffle, no join: transform is a generated CASE projection
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    // "*(1)" prefix marks a WholeStageCodegen stage in toString output
+    assert(plan.contains("*(1)"), plan)
+    // scan reads only the needed column
+    assert(plan.contains("ReadSchema"), plan)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("melted multi-variable fit aggregate has exactly one shuffle") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val vars = Seq("l_extendedprice", "l_quantity", "l_discount")
+    val stackExpr = s"stack(${vars.length}, " +
+      vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
+      ") as (var, x)"
+    val melted = li
+      .withColumn("__y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      .selectExpr("__y as y", stackExpr)
+    val agg = melted.groupBy("var", "x")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, 1.0).otherwise(0.0)).as("w0"))
+    val plan = physical(agg)
+    assert(countOccurrences(plan, "Exchange") == 1, plan)
+    // partial aggregation before the exchange (map-side combine)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("minhash LSH candidate generation is a single shuffle, no join") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val cands = Dedup.minhashCandidates(d, "text", "doc_id",
+                                        numHashes = 16, bands = 4)
+    val plan = physical(cands)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // one exchange for the bucket groupBy + one for the final distinct
+    assert(countOccurrences(plan, "Exchange") <= 2, plan)
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val q = li.where(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+                         "GreaterThan(l_quantity,"), plan)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("scorecard scoring is join-free codegen over the bin CASE columns") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+    val scored = li.select(sc.scoreColumn().as("score"))
+    val plan = physical(scored)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("*(1)"), plan)
+  }
+}
