@@ -109,7 +109,8 @@ object OptimalBinning {
               method = p.get("method").map(_.toString).getOrElse("ETI"))
               .support(col("x"))
           case "zscore" =>
-            Outliers.fitZScore(cleanDf, "x", num("threshold", 3.5))
+            Outliers.fitZScore(cleanDf, "x", num("threshold", 3.5),
+              approx = p.get("approx").exists(_ == true))
           case "yquantile" =>
             Outliers.fitYQuantile(cleanDf, "x", "y",
               detector = p.get("detector").map(_.toString)

@@ -56,14 +56,22 @@ object Outliers {
     Bounds(lb - k * iqr, ub + k * iqr)
   }
 
-  /** Modified Z-score detector (`outlier.py:149-162`): two exact-median
-    * passes (median, then MAD), predicate |0.6745 (x-med)/MAD| > threshold.
+  /** Modified Z-score detector (`outlier.py:149-162`): two median passes
+    * (median, then MAD), predicate |0.6745 (x-med)/MAD| > threshold.
+    * Exact `median` matches the reference but is a single-buffer global
+    * aggregate; pass `approx=true` at very large scale to use the
+    * mergeable quantile sketch instead.
     */
-  def fitZScore(df: DataFrame, xCol: String,
-                threshold: Double = 3.5): Column = {
+  def fitZScore(df: DataFrame, xCol: String, threshold: Double = 3.5,
+                approx: Boolean = false): Column = {
     val x = col(xCol).cast(DoubleType)
-    val med = df.select(median(x)).head.getDouble(0)
-    val mad = df.select(median(abs(x - lit(med)))).head.getDouble(0)
+    def med1(c: Column): Double = {
+      val expr = if (approx) percentile_approx(c, lit(0.5), lit(10000))
+                 else median(c)
+      df.select(expr.cast(DoubleType)).head.getDouble(0)
+    }
+    val med = med1(x)
+    val mad = med1(abs(x - lit(med)))
     abs(lit(0.6745) * (x - lit(med)) / lit(mad)) > threshold
   }
 

@@ -76,7 +76,9 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"),
                            col(embCol).cast("array<double>").as("qemb"))
       .withColumn("sig", lshSignature(col("qemb"), nPlanes))
-    val scored = q.join(c, Seq("sig"))
+    // query set << corpus by construction: broadcast it so the corpus
+    // never shuffles (bucket matching happens map-side in every scan task)
+    val scored = c.join(broadcast(q), Seq("sig"))
       .withColumn("cosine", cosine(col("qemb"), col("cemb")))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
     scored.withColumn("rank", row_number().over(w))
