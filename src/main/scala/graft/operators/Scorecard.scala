@@ -112,12 +112,88 @@ object Scorecard {
     }
 
     if (scaling.rounding) {
-      rows = rows.map(r => r.copy(points = math.rint(r.points)))
+      rows =
+        if (scaling.method.isDefined) roundMinMaxPreserving(rows)
+        else rows.map(r => r.copy(points = math.rint(r.points)))
       interceptOut = math.rint(interceptOut)
     }
 
     new FittedScorecard(process, selected.toArray, coefs, intercept,
                         rows.toArray, interceptOut, scaling)
+  }
+
+  /** Integer rounding preserving the exact total min/max score
+    * (`scorecard/rounding.py:13-110`). The reference solves a CBC MIP:
+    * minimize the L1 distortion sum |p - points| over integer p subject
+    * to sum of per-variable minima == rint(total min) and sum of maxima
+    * == rint(total max). Each optimal p is the floor or ceil of its real
+    * value, so the exact optimum is: enumerate floor/ceil per bin within
+    * each variable, keep the Pareto-minimal cost per attained
+    * (min, max) pair, then a DP across variables over the (sum-of-mins,
+    * sum-of-maxs) offsets. Falls back to nearest rounding if no
+    * assignment hits the targets (cannot happen for min_max/pdo_odds
+    * scaled tables, whose real sums are the targets).
+    */
+  private[graft] def roundMinMaxPreserving(
+      rows: Seq[PointsRow]): Seq[PointsRow] = {
+    val vars = rows.map(_.variable).distinct
+    val byVar = vars.map(v => v -> rows.filter(_.variable == v)).toMap
+    val minPoint = math.rint(vars.map(v => byVar(v).map(_.points).min).sum)
+    val maxPoint = math.rint(vars.map(v => byVar(v).map(_.points).max).sum)
+
+    // per variable: (min, max) -> (cost, per-bin points)
+    val candsByVar: Seq[Map[(Long, Long), (Double, Array[Double])]] =
+      vars.map { v =>
+        val ps = byVar(v).map(_.points).toArray
+        val nBins = ps.length
+        require(nBins <= 20, s"rounding enumeration cap exceeded: $nBins")
+        val best =
+          scala.collection.mutable.HashMap
+            .empty[(Long, Long), (Double, Array[Double])]
+        (0 until (1 << nBins)).foreach { mask =>
+          val p = new Array[Double](nBins)
+          var cost = 0.0
+          var i = 0
+          while (i < nBins) {
+            p(i) = if ((mask & (1 << i)) != 0) math.ceil(ps(i))
+                   else math.floor(ps(i))
+            cost += math.abs(p(i) - ps(i))
+            i += 1
+          }
+          val key = (p.min.toLong, p.max.toLong)
+          if (!best.contains(key) || cost < best(key)._1)
+            best(key) = (cost, p)
+        }
+        best.toMap
+      }
+
+    // DP across variables on (sum of mins, sum of maxs)
+    var states = Map((0L, 0L) -> (0.0, List.empty[Array[Double]]))
+    candsByVar.foreach { cands =>
+      val next =
+        scala.collection.mutable.HashMap
+          .empty[(Long, Long), (Double, List[Array[Double]])]
+      states.foreach { case ((sm, sx), (cost, acc)) =>
+        cands.foreach { case ((m, x), (c, p)) =>
+          val key = (sm + m, sx + x)
+          val tot = cost + c
+          if (!next.contains(key) || tot < next(key)._1)
+            next(key) = (tot, p :: acc)
+        }
+      }
+      states = next.toMap
+    }
+
+    states.get((minPoint.toLong, maxPoint.toLong)) match {
+      case Some((_, assignRev)) =>
+        val assign = assignRev.reverse
+        vars.zip(assign).flatMap { case (v, p) =>
+          byVar(v).zipWithIndex.map { case (r, i) =>
+            r.copy(points = p(i))
+          }
+        }
+      case None => rows.map(r => r.copy(points = math.rint(r.points)))
+    }
   }
 }
 

@@ -59,4 +59,25 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
     // diversity: the two counterfactuals differ
     if (cfs.length == 2) assert(cfs(0).changes != cfs(1).changes)
   }
+
+  test("rounding preserves exact min/max total score " +
+       "(test_scorecard.py:310-332)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val vars = df.columns.filter(_ != "target").toSeq
+    val sc = Scorecard.fit(df, vars, "target",
+      scaling = Scorecard.ScalingConfig(method = Some("min_max"),
+                                        min = 200, max = 851,
+                                        rounding = true))
+    val byVar = sc.pointsTable.groupBy(_.variable)
+    // every point is an integer
+    sc.pointsTable.foreach(r =>
+      assert(r.points == math.rint(r.points), s"${r.variable} ${r.points}"))
+    // the reference MIP contract: sums of per-variable minima/maxima hit
+    // the scaling bounds exactly after rounding
+    val scMin = byVar.values.map(_.map(_.points).min).sum
+    val scMax = byVar.values.map(_.map(_.points).max).sum
+    assert(scMin == 200.0, s"scMin $scMin")
+    assert(scMax == 851.0, s"scMax $scMax")
+  }
 }
