@@ -7,10 +7,18 @@ package graft.streaming
   * Spark partial-aggregation buffer.
   */
 final class BSketch(val eps: Double,
-                    val specialCodes: Array[Double]) extends Serializable {
+                    val specialCodes: Array[Double],
+                    val sketchType: String = "gk") extends Serializable {
 
-  val sketchE = new GKSketch(eps)
-  val sketchNe = new GKSketch(eps)
+  private def mkSketch(): QuantileSketch = sketchType match {
+    case "gk"       => new GKSketch(eps)
+    case "t-digest" => new TDigest()
+    case other => throw new IllegalArgumentException(
+      s"sketch must be gk or t-digest; got $other")
+  }
+
+  val sketchE: QuantileSketch = mkSketch()
+  val sketchNe: QuantileSketch = mkSketch()
   var countMissingE: Long = 0L
   var countMissingNe: Long = 0L
   var countSpecialE: Long = 0L
@@ -33,9 +41,10 @@ final class BSketch(val eps: Double,
   }
 
   def merge(other: BSketch): Unit = {
-    require(eps == other.eps, "bsketch does not share signature")
-    sketchE.merge(other.sketchE)
-    sketchNe.merge(other.sketchNe)
+    require(eps == other.eps && sketchType == other.sketchType,
+            "bsketch does not share signature")
+    sketchE.mergeSketch(other.sketchE)
+    sketchNe.mergeSketch(other.sketchNe)
     countMissingE += other.countMissingE
     countMissingNe += other.countMissingNe
     countSpecialE += other.countSpecialE
@@ -50,7 +59,7 @@ final class BSketch(val eps: Double,
     val nBins = splits.length + 1
     val binsE = new Array[Double](nBins)
     val binsNe = new Array[Double](nBins)
-    def accumulate(sk: GKSketch, out: Array[Double]): Unit = {
+    def accumulate(sk: QuantileSketch, out: Array[Double]): Unit = {
       val (values, counts) = sk.entryCounts()
       var i = 0
       while (i < values.length) {
@@ -75,10 +84,10 @@ final class BSketch(val eps: Double,
 
   /** Combined event+nonevent sketch for equi-quantile split generation
     * (`bsketch.py:208-222` merge_sketches). */
-  def mergedSketch: GKSketch = {
-    val out = new GKSketch(eps)
-    out.merge(sketchE)
-    out.merge(sketchNe)
+  def mergedSketch: QuantileSketch = {
+    val out = mkSketch()
+    out.mergeSketch(sketchE)
+    out.mergeSketch(sketchNe)
     out
   }
 }

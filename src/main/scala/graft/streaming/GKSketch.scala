@@ -10,7 +10,13 @@ import scala.collection.mutable.ArrayBuffer
   * Mergeable and serializable — the partial-aggregation buffer for the
   * Spark binning sketch aggregate.
   */
-final class GKSketch(val eps: Double) extends Serializable {
+final class GKSketch(val eps: Double) extends QuantileSketch {
+
+  override def mergeSketch(other: QuantileSketch): Unit = other match {
+    case gk: GKSketch => merge(gk)
+    case _ => throw new IllegalArgumentException(
+      "cannot merge GK with t-digest")
+  }
 
   final case class Entry(var value: Double, var g: Double, var delta: Double)
     extends Serializable

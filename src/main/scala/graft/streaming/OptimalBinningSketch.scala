@@ -19,9 +19,10 @@ final case class SketchInput(x: Option[Double], y: Double)
   * .rst:27-52`) but expressed as a DataFrame aggregate so it composes with
   * groupBy (per-variable sketches) and Structured Streaming.
   */
-final class BSketchAggregator(eps: Double, specialCodes: Array[Double])
+final class BSketchAggregator(eps: Double, specialCodes: Array[Double],
+                              sketchType: String = "gk")
     extends Aggregator[SketchInput, BSketch, BSketch] {
-  override def zero: BSketch = new BSketch(eps, specialCodes)
+  override def zero: BSketch = new BSketch(eps, specialCodes, sketchType)
   override def reduce(b: BSketch, in: SketchInput): BSketch = {
     b.add(in.x.map(java.lang.Double.valueOf).orNull, in.y)
     b
@@ -41,14 +42,15 @@ final class BSketchAggregator(eps: Double, specialCodes: Array[Double])
   */
 final class OptimalBinningSketch(
     val config: BinningConfig = BinningConfig(),
-    val eps: Double = 1e-4) extends Serializable {
+    val eps: Double = 1e-4,
+    val sketchType: String = "gk") extends Serializable {
 
   private val specials: Array[Double] = config.specialCodes match {
     case Some(SpecialList(vs)) => vs.map(_.toString.toDouble).toArray
     case _                     => Array.empty[Double]
   }
 
-  private var _sketch: BSketch = new BSketch(eps, specials)
+  private var _sketch: BSketch = new BSketch(eps, specials, sketchType)
 
   def sketch: BSketch = _sketch
 
@@ -57,7 +59,7 @@ final class OptimalBinningSketch(
   def add(df: DataFrame, xCol: String, yCol: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val agg = new BSketchAggregator(eps, specials)
+    val agg = new BSketchAggregator(eps, specials, sketchType)
     val batchSketch = df
       .select(col(xCol).cast("double").as("x"),
               col(yCol).cast("double").as("y"))

@@ -137,4 +137,65 @@ class SketchAndProcessSpec extends AnyFunSuite {
     solved.values.foreach(f => assert(f.status == "OPTIMAL"))
     assert(ps.sketch("l_extendedprice").sketch.n == df.count())
   }
+
+  test("t-digest: quantiles accurate, tails tighter than interior") {
+    val td = new TDigest(100)
+    val rnd = new scala.util.Random(17)
+    val values = Array.fill(50000)(rnd.nextGaussian() * 10 + 50)
+    values.foreach(td.add)
+    assert(td.n == 50000)
+    val sorted = values.sorted
+    for (q <- Seq(0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999)) {
+      val approx = td.quantile(q)
+      val rank = sorted.indexWhere(_ >= approx).toDouble / values.length
+      val tol = if (q < 0.05 || q > 0.95) 0.005 else 0.02
+      assert(math.abs(rank - q) < tol, s"q=$q approx=$approx rank=$rank")
+    }
+    assert(td.quantile(0.0) == sorted.head)
+    assert(td.quantile(1.0) == sorted.last)
+  }
+
+  test("t-digest merge: split-merge quantiles match single-feed") {
+    val rnd = new scala.util.Random(23)
+    val values = Array.fill(30000)(math.exp(rnd.nextGaussian()))
+    val whole = new TDigest(100)
+    values.foreach(whole.add)
+    val merged = new TDigest(100)
+    values.grouped(10000).foreach { chunk =>
+      val t = new TDigest(100); chunk.foreach(t.add)
+      merged.mergeSketch(t)
+    }
+    assert(merged.n == whole.n)
+    assert(math.abs(merged.sum - whole.sum) < 1e-6 * math.abs(whole.sum))
+    val sorted = values.sorted
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      val ra = sorted.indexWhere(_ >= merged.quantile(q)).toDouble /
+        values.length
+      assert(math.abs(ra - q) < 0.02, s"q=$q rank=$ra")
+    }
+  }
+
+  test("OptimalBinningSketch with t-digest solves like GK") {
+    val spark = TestSpark.spark
+    val df = spark.read
+      .parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("l_returnflag") === "R",
+              1.0).otherwise(0.0))
+    val cfg = BinningConfig(name = "x", monotonicTrend = None)
+    val gk = new OptimalBinningSketch(cfg, eps = 1e-3, sketchType = "gk")
+    val td = new OptimalBinningSketch(cfg, eps = 1e-3,
+                                      sketchType = "t-digest")
+    gk.add(df, "l_extendedprice", "y")
+    td.add(df, "l_extendedprice", "y")
+    val fg = gk.solve()
+    val ft = td.solve()
+    assert(fg.status == "OPTIMAL" && ft.status == "OPTIMAL")
+    assert(ft.table.rows.map(_.count).sum ==
+             fg.table.rows.map(_.count).sum)
+    // both quantile ladders land splits in the same region
+    assert(math.abs(ft.splits.head - fg.splits.head) <
+             0.2 * math.abs(fg.splits.head),
+           s"${ft.splits.mkString(",")} vs ${fg.splits.mkString(",")}")
+  }
 }
