@@ -455,7 +455,10 @@ object SparkEntry {
       val li = liTarget(T(s, dir, "lineitem"))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "x", gamma = 2.0,
-                      outlierDetector = Some("zscore")))
+                      outlierDetector = Some("zscore"),
+                      // mergeable-sketch medians: the 100 TB path (exact
+                      // median is a single-buffer global sort)
+                      outlierParams = Map("approx" -> true)))
       import s.implicits._
       fitted.table.rows.toSeq.map(r =>
         (r.bin, r.count.toLong, scale6(r.eventRate)))

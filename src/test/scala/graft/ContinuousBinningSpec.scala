@@ -53,6 +53,12 @@ class ContinuousBinningSpec extends AnyFunSuite {
       fitted.transform(org.apache.spark.sql.functions.col("LSTAT"))
         .as("m")).as[Double].collect()
     assert(out.length == 506 && out.forall(!_.isNaN))
+    // golden transform values (`test_continuous_binning.py:267-272`)
+    val expected = Array(30.47142857, 25.56067416, 39.718, 39.718,
+                         30.47142857)
+    out.take(5).zip(expected).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
   }
 
   test("ContinuousOptimalBinning2D: rectangle means partition the grid") {
