@@ -43,10 +43,14 @@ object OptimalBinning2D {
     val y = col(yCol).cast(DoubleType)
     val t = col(targetCol).cast(DoubleType)
 
-    // per-dimension equal-frequency candidate splits (exact percentiles)
+    // per-dimension equal-frequency candidate splits
     def dimSplits(c: Column, k: Int): Array[Double] = {
+      // mergeable quantile sketch, not exact percentile (single-buffer
+      // global sort): identical below the accuracy threshold, scale-safe
+      // above it
       val probs = (1 until k).map(_.toDouble / k)
-      df.select(percentile(c, array(probs.map(lit(_)): _*)).as("q"))
+      df.select(percentile_approx(c, array(probs.map(lit(_)): _*),
+                                  lit(10000)).as("q"))
         .head.getSeq[Double](0).toArray.distinct.sorted
     }
     val splitsX = dimSplits(x, config.maxNPrebinsX)
@@ -208,8 +212,12 @@ object OptimalBinning2D {
     val z = col(zCol).cast(DoubleType)
 
     def dimSplits(c: Column, k: Int): Array[Double] = {
+      // mergeable quantile sketch, not exact percentile (single-buffer
+      // global sort): identical below the accuracy threshold, scale-safe
+      // above it
       val probs = (1 until k).map(_.toDouble / k)
-      df.select(percentile(c, array(probs.map(lit(_)): _*)).as("q"))
+      df.select(percentile_approx(c, array(probs.map(lit(_)): _*),
+                                  lit(10000)).as("q"))
         .head.getSeq[Double](0).toArray.distinct.sorted
     }
     val splitsX = dimSplits(x, config.maxNPrebinsX)
