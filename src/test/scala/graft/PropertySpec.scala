@@ -105,4 +105,57 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** brute force including the gamma bin-size-spread penalty. */
+  private def bruteForceGamma(ne: Array[Double], ev: Array[Double],
+                              trend: Option[String],
+                              gammaReg: Long): Long = {
+    val n = ne.length
+    val md = ModelData.binary("iv", ne, ev, None, "consecutive", 0.0)
+    val rec = ne.zip(ev).map { case (a, b) => math.round(a + b) }
+    var best = Long.MinValue
+    for (mask <- 0 until (1 << (n - 1))) {
+      val ends = (0 until n - 1).filter(i => (mask & (1 << i)) != 0) :+ (n - 1)
+      val starts = 0 +: ends.dropRight(1).map(_ + 1)
+      val bins = starts.zip(ends)
+      val rates = bins.map { case (s, e) => md.d(e)(s) }
+      val ok = trend match {
+        case Some("ascending") =>
+          rates.sliding(2).forall(w => w.length < 2 || w(0) <= w(1))
+        case Some("descending") =>
+          rates.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+        case _ => true
+      }
+      if (ok) {
+        val sizes = bins.map { case (s, e) => (s to e).map(rec).sum }
+        val obj = bins.map { case (s, e) => md.v(e)(s) }.sum -
+          gammaReg * (sizes.max - sizes.min)
+        if (obj > best) best = obj
+      }
+    }
+    best
+  }
+
+  test("gamma DFS solver equals exhaustive enumeration") {
+    forAll(countsGen, n = 40) { case (ne, ev) =>
+      for (trend <- Seq(None, Some("ascending"));
+           gammaReg <- Seq(1L, 50L)) {
+        val n = ne.length
+        val md = ModelData.binary("iv", ne, ev, None, "consecutive", 0.0)
+        val r = Solver.solve(n, md.d, md.v,
+                             ne.zip(ev).map { case (a, b) =>
+                               math.round(a + b) },
+                             ev.map(math.round), ne.map(math.round),
+                             trend, -1,
+                             Solver.Constraints(gammaReg = gammaReg),
+                             Array.empty, Array.empty)
+        val expected = bruteForceGamma(ne, ev, trend, gammaReg)
+        assert(r.status == "OPTIMAL")
+        assert(r.objective == expected,
+               s"trend $trend gamma $gammaReg dfs ${r.objective} " +
+                 s"brute $expected ne=${ne.mkString(",")} " +
+                 s"ev=${ev.mkString(",")}")
+      }
+    }
+  }
 }
