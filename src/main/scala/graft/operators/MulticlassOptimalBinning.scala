@@ -15,9 +15,17 @@ import graft.core._
   */
 object MulticlassOptimalBinning {
 
+  /** @param trendPerClass explicit monotonic trend per class (the
+    *        reference's list form of `monotonic_trend`,
+    *        `multiclass_binning.py:94-108`), indexed like the sorted
+    *        class labels; None falls back to `config.monotonicTrend`
+    *        resolved per class.
+    */
   def fit(df: DataFrame, xCol: String, yCol: String,
           config: BinningConfig = BinningConfig(),
-          weightCol: Option[String] = None): FittedMulticlassBinning = {
+          weightCol: Option[String] = None,
+          trendPerClass: Option[Seq[Option[String]]] = None)
+      : FittedMulticlassBinning = {
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
@@ -143,8 +151,10 @@ object MulticlassOptimalBinning {
         // per-class trend resolution (`multiclass_binning.py:695-735`)
         val trends = new Array[Option[String]](k)
         val trendChanges = Array.fill(k)(-1)
+        trendPerClass.foreach(ts => require(ts.length == k,
+          s"trendPerClass has ${ts.length} entries for $k classes"))
         (0 until k).foreach { c =>
-          config.monotonicTrend match {
+          trendPerClass.map(_(c)).getOrElse(config.monotonicTrend) match {
             case Some(m @ ("auto" | "auto_heuristic" | "auto_asc_desc")) =>
               var t = AutoMonotonic.autoMonotonic(
                 nNonevent.map(_(c)), nEvent.map(_(c)), m)

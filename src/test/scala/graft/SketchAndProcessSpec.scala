@@ -124,6 +124,21 @@ class SketchAndProcessSpec extends AnyFunSuite {
     val out = df.select(fitted.transform(col("o_totalprice")).as("mw"))
     assert(out.where(col("mw").isNull).count() == 0)
     assert(fitted.js >= 0)
+
+    // per-class explicit trend list (reference's list-form monotonic_trend)
+    val fitted2 = MulticlassOptimalBinning.fit(df, "o_totalprice", "y",
+      BinningConfig(name = "tp"),
+      trendPerClass = Some(Seq(Some("ascending"), None,
+                               Some("descending"))))
+    assert(fitted2.status == "OPTIMAL")
+    // per-class event-rate curves over merged DATA bins respect the trends
+    val n = fitted2.nDataBins
+    def rates(c: Int): Seq[Double] = (0 until n).map(i =>
+      fitted2.nEvent(i)(c) / fitted2.nRecords(i))
+    rates(0).sliding(2).foreach(w =>
+      if (w.length == 2) assert(w(0) <= w(1) + 1e-12, w.mkString(",")))
+    rates(2).sliding(2).foreach(w =>
+      if (w.length == 2) assert(w(0) >= w(1) - 1e-12, w.mkString(",")))
   }
 
   test("BinningProcessSketch: per-variable sketches via one melted agg") {
