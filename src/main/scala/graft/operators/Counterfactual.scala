@@ -24,13 +24,24 @@ object Counterfactual {
     *        (from `fits(v).transform(..., "indices")` on the instance row)
     * @param outcomeGe target: predicted probability >= (true) or <= this
     */
+  /** @param actionableFeatures restrict changes to these variables
+    *        (`counterfactual.py:106-118`); None = all selected variables
+    */
   def generate(scorecard: FittedScorecard,
                instanceBins: Map[String, Int],
                targetProbability: Double,
                outcomeGe: Boolean,
                maxChanges: Int = 3,
-               nCounterfactuals: Int = 1): Seq[CFResult] = {
+               nCounterfactuals: Int = 1,
+               actionableFeatures: Option[Set[String]] = None)
+      : Seq[CFResult] = {
     val vars = scorecard.selected
+    val actionable: Int => Boolean = actionableFeatures match {
+      case Some(fs) =>
+        val mask = vars.map(fs.contains)
+        i => mask(i)
+      case None => _ => true
+    }
     val coefs = scorecard.coefficients
     // per-variable candidate WoE per DATA bin (special/missing excluded as
     // actionable targets)
@@ -68,6 +79,7 @@ object Counterfactual {
         if (varIdx >= vars.length || changes.length >= maxChanges) return
         // skip this variable
         rec(varIdx + 1, changes, linear, shift)
+        if (!actionable(varIdx)) return
         // or change it to any other bin
         val cur = instanceBins(vars(varIdx))
         val curContrib = woeByVar(varIdx)(cur) * coefs(varIdx)

@@ -58,6 +58,13 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
     }
     // diversity: the two counterfactuals differ
     if (cfs.length == 2) assert(cfs(0).changes != cfs(1).changes)
+
+    // actionable_features: changes confined to the allowed set
+    val cfa = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+      maxChanges = 2, nCounterfactuals = 1,
+      actionableFeatures = Some(Set("mean radius")))
+    cfa.foreach(cf =>
+      assert(cf.changes.keySet.subsetOf(Set("mean radius")), cf.changes))
   }
 
   test("rounding preserves exact min/max total score " +
