@@ -542,6 +542,18 @@ object SparkEntry {
               round(avg(col("cosine")), 6).as("avg_cosine"))
     }),
 
+    "q_ivf_topk" -> ((s, dir) => {
+      // IVF ANN: k-means cells + nProbe probing (rows-only check)
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val res = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+                                   "qid", k = 5, nLists = 16, nProbe = 4)
+      res.agg(count(lit(1)).as("n_results"),
+              countDistinct(col("qid")).as("n_queries"),
+              round(avg(col("cosine")), 6).as("avg_cosine"))
+    }),
+
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
       val d = T(s, dir, "documents").limit(50)

@@ -86,6 +86,54 @@ object Similarity {
       .select("qid", "cid", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer
+    * (`spark.ml.clustering.KMeans`, distributed fit) partitions the
+    * corpus into nLists cells; each query probes its nProbe nearest
+    * cells and ranks candidates by exact cosine. Scale shape: corpus is
+    * assigned once (narrow `model.transform`), the probe join is an
+    * equi-join on cell id with the (small) query side broadcast, so the
+    * corpus never shuffles and each query scans ~nProbe/nLists of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+              idCol: String, qidCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    val feat = c.withColumn("features", array_to_vector(col("cemb")))
+    val model = new KMeans().setK(nLists).setSeed(7)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feat)
+    val assigned = model.transform(feat).select("cid", "cemb", "cell")
+
+    // per-query nProbe nearest centroids (centroids are a tiny literal)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val centroidLit = array(centroids.map(ctr =>
+      array(ctr.map(lit(_)): _*)): _*)
+    val q = queries.select(col(qidCol).as("qid"),
+                           col(embCol).cast("array<double>").as("qemb"))
+      .withColumn("__cells",
+        slice(transform(
+          array_sort(transform(centroidLit, (ctr, ci) =>
+            struct(aggregate(zip_with(col("qemb"), ctr,
+                                      (a, b) => (a - b) * (a - b)),
+                             lit(0.0d), (acc, v) => acc + v).as("d2"),
+                   ci.as("cell")))),
+          s => s.getField("cell")), 1, nProbe))
+      .select(col("qid"), col("qemb"),
+              explode(col("__cells")).as("cell"))
+
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", cosine(col("qemb"), col("cemb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

@@ -165,4 +165,46 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     gotSplits.zip(refSplits).foreach { case (g, r) =>
       assert(math.abs(g - r) < 1.0, s"$g vs $r") }
   }
+
+  test("Streaming: watermarked windowed aggregation drops late events") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = graft.streaming.EventWindows.typeStatsPerWindow(
+      df, "ts", "10 minutes", watermarkDelay = Some("5 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ew_counts").start()
+
+    def t(min: Int) = new Timestamp(3600L * 1000 * 24 * 1000 +
+                                    min * 60000L)
+    // batch 1: events in [0, 10) and [10, 20)
+    stream.addData(Seq((t(2), 1L, "click", 1.0), (t(4), 2L, "click", 2.0),
+                       (t(12), 1L, "view", 3.0)))
+    q.processAllAvailable()
+    // batch 2: advance watermark far ahead -> closes earlier windows
+    stream.addData(Seq((t(40), 3L, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the long-closed [0, 10) window + advance
+    stream.addData(Seq((t(3), 9L, "click", 100.0),
+                       (t(55), 3L, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ew_counts")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect()
+    val clickW0 = rows.filter(r =>
+      r.getTimestamp(0).getTime == t(0).getTime &&
+        r.getString(1) == "click")
+    // the [0, 10) click window was emitted once with the 2 on-time events;
+    // the late event (value 100) was dropped by the watermark
+    assert(clickW0.length == 1, rows.mkString(";"))
+    assert(clickW0.head.getLong(2) == 2)
+    assert(math.abs(clickW0.head.getDouble(3) - 3.0) < 1e-9)
+  }
 }

@@ -83,6 +83,45 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: high recall vs brute-force top-k on clustered data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 8 well-separated clusters of 100 vectors each
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val corpus = (0 until 800).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = (0 until 20).map { i =>
+      val c = centers(i % 8)
+      (1000L + i, c.map(v => (v + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val queryDf = queries.toDF("vec_id", "embedding")
+
+    val ivf = Similarity.ivfTopK(corpusDf, queryDf, "embedding",
+                                 "vec_id", "vec_id", k = 5,
+                                 nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ground truth per query by brute force
+    val truth = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) =>
+        val a = qv.map(_.toDouble); val b = cv.map(_.toDouble)
+        val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+          (math.sqrt(a.map(v => v * v).sum) *
+           math.sqrt(b.map(v => v * v).sum))
+        (qid, cid, cos)
+      }.sortBy(-_._3).take(5).map(t => (t._1, t._2))
+    }.toSet
+
+    val recall = ivf.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall")
+    // every query returned exactly k results
+    assert(ivf.size == 100, ivf.size)
+  }
+
   test("custom hash expressions match HOF reference formulations") {
     val spark = TestSpark.spark
     import spark.implicits._
