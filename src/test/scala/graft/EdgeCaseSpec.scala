@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Degenerate-input behavior: constant columns, all-missing columns,
+  * single-class targets, tiny inputs. A 100 TB pipeline will contain
+  * all of these somewhere; fits must degrade to sensible one-bin
+  * tables, never throw.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  test("constant column fits to a single bin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 500).map(i => (7.5, i % 2)).toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y", BinningConfig(name = "x"))
+    assert(f.splits.isEmpty)
+    val woe = df.select(f.transform(col("x")).as("w"))
+      .as[Double].collect()
+    assert(woe.forall(!_.isNaN))
+    assert(math.abs(f.table.rows.map(_.count).sum - 500.0) < 1e-9)
+  }
+
+  test("all-missing column: counts land in the missing bin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 300)
+      .map(i => (Option.empty[java.lang.Double], i % 2)).toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y", BinningConfig(name = "x"))
+    assert(f.splits.isEmpty)
+    val missingRow = f.table.rows.find(_.bin == "Missing")
+    assert(missingRow.isDefined && missingRow.get.count == 300.0,
+           f.table.rows.map(r => s"${r.bin}:${r.count}").mkString(","))
+  }
+
+  test("single-class target: fit degrades without throwing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toDouble, 0)).toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y", BinningConfig(name = "x"))
+    // pure-bin refinement merges everything: nothing to separate
+    assert(f.splits.isEmpty, f.splits.mkString(","))
+    assert(f.table.rows.map(_.count).sum == 400.0)
+  }
+
+  test("continuous fit on constant target") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toDouble, 5.0)).toDF("x", "y")
+    val f = ContinuousOptimalBinning.fit(df, "x", "y",
+                                         BinningConfig(name = "x"))
+    assert(f.table.tMean == 5.0)
+    val m = df.select(f.transform(col("x")).as("m")).as[Double].collect()
+    assert(m.forall(v => math.abs(v - 5.0) < 1e-9))
+  }
+
+  test("tiny input (fewer rows than prebins)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)).toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y", BinningConfig(name = "x"))
+    assert(f.table.rows.map(_.count).sum == 4.0)
+    val woe = df.select(f.transform(col("x")).as("w"))
+      .as[Double].collect()
+    assert(woe.forall(!_.isNaN))
+  }
+
+  test("categorical with a single category") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 200).map(i => ("only", i % 2)).toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y",
+      BinningConfig(name = "x", dtype = "categorical"))
+    assert(f.table.rows.map(_.count).sum == 200.0)
+  }
+}

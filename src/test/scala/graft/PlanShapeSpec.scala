@@ -74,6 +74,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(plan, "Exchange") <= 2, plan)
   }
 
+  test("ANN probe joins broadcast the query side") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = Similarity.annTopK(e, q, "embedding", "vec_id", "qid",
+                                 k = 3, nPlanes = 6)
+    val plan = physical(res)
+    assert(plan.contains("BroadcastHashJoin") ||
+             plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("filter + projection push down to the parquet scan") {
     val spark = TestSpark.spark
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
