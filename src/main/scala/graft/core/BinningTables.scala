@@ -125,6 +125,25 @@ object BinningTables {
                    nEvent(i), eventRate(i), woe(i), ivValues(i), jsValues(i))
     }.toArray
 
+    /** Reference-shaped table DataFrame
+      * (`BinningTable.build()`, `binning_statistics.py:515-608`):
+      * same column names, optional Totals row. */
+    def toDF(spark: org.apache.spark.sql.SparkSession,
+             addTotals: Boolean = true)
+        : org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val body = rows.toSeq.map(r =>
+        (r.bin, r.count, r.countPct, r.nonevent, r.event,
+         r.eventRate, r.woe, r.iv, r.js))
+      val withTotals =
+        if (addTotals)
+          body :+ (("Totals", tRecords, 1.0, tNonevent, tEvent,
+                    tEvent / tRecords, Double.NaN, iv, js))
+        else body
+      withTotals.toDF("Bin", "Count", "Count (%)", "Non-event", "Event",
+                      "Event rate", "WoE", "IV", "JS")
+    }
+
     /** Statistical analysis (`binning_statistics.py:879-1005`): adjacent-bin
       * significance tests over the non-synthetic bins, Cramer's V, quality
       * score, and the monotonic-trend classification.
@@ -216,5 +235,25 @@ object BinningTables {
                        stds(i), means(i), mins(i), maxs(i), nZeros(i),
                        woe(i), ivValues(i))
     }.toArray
+
+    /** Reference-shaped table DataFrame
+      * (`binning_statistics.py:1604-1700`). */
+    def toDF(spark: org.apache.spark.sql.SparkSession,
+             addTotals: Boolean = true)
+        : org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val body = rows.toSeq.map(r =>
+        (r.bin, r.count, r.countPct, r.sum, r.std, r.mean, r.min, r.max,
+         r.zerosCount, r.woe, r.iv))
+      val withTotals =
+        if (addTotals)
+          body :+ (("Totals", tRecords, 1.0, tSum, Double.NaN, tMean,
+                    mins.filter(!_.isNaN).minOption.getOrElse(Double.NaN),
+                    maxs.filter(!_.isNaN).maxOption.getOrElse(Double.NaN),
+                    nZeros.sum, tWoe, iv))
+        else body
+      withTotals.toDF("Bin", "Count", "Count (%)", "Sum", "Std", "Mean",
+                      "Min", "Max", "Zeros count", "WoE", "IV")
+    }
   }
 }

@@ -68,6 +68,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(woe.forall(!_.isNaN))
   }
 
+  test("binning table toDF mirrors the reference build() shape") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val f = OptimalBinning.fit(df, "mean radius", "target",
+                               BinningConfig(name = "mean radius"))
+    val t = f.table.toDF(spark)
+    assert(t.columns.toSeq == Seq("Bin", "Count", "Count (%)", "Non-event",
+                                  "Event", "Event rate", "WoE", "IV", "JS"))
+    val totals = t.where(col("Bin") === "Totals").head
+    assert(totals.getDouble(1) == 569.0)
+    assert(math.abs(totals.getDouble(7) - 5.04392547) < 1e-6)
+
+    val cf = ContinuousOptimalBinning.fit(
+      spark.read.parquet("src/test/resources/boston_housing.parquet"),
+      "LSTAT", "target", BinningConfig(name = "LSTAT"))
+    val ct = cf.table.toDF(spark)
+    assert(ct.columns.contains("Zeros count"))
+    assert(ct.where(col("Bin") === "Totals").head.getDouble(1) == 506.0)
+  }
+
   test("categorical with a single category") {
     val spark = TestSpark.spark
     import spark.implicits._
