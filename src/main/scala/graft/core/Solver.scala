@@ -34,6 +34,13 @@ object Solver {
         * ceil(M * gamma / total_records) like `cp.py:69-78`. Couples all
         * bins globally, so gamma > 0 routes to the DFS enumeration. */
       gammaReg: Long = 0L,
+      /** Apply the reference CP's ascending/descending dominance
+        * preprocessing (`cp.py:404-431`): ban singleton prebins whose
+        * local pair violates the trend direction. The cut is part of the
+        * reference's observable behavior (it can even force INFEASIBLE
+        * against fixed splits), so the binary fit opts in whenever
+        * min_event_rate_diff == 0, matching `cp.py`'s guard. */
+      monoPreprocess: Boolean = false,
       timeLimitMs: Long = 100000L)
 
   final case class Result(status: String, solution: Array[Boolean],
@@ -74,20 +81,22 @@ object Solver {
     val cumNe = if (nNonevent.nonEmpty) prefix(nNonevent) else null
 
     val fixed = cons.userSplitsFixed.getOrElse(Array.fill(math.max(n - 1, 0))(false))
-    // fixedBlock(j) = smallest allowed start for a bin ending >= j, i.e. a
-    // bin (s..e) is invalid if it crosses a fixed split at index i
-    // (s <= i < e).
-    def crossesFixed(s: Int, e: Int): Boolean = {
+    // Fixed split i forces x[i, i] == 1 in the reference CP
+    // (`cp.py:580-584`): the prebin ENDING at that split is a bin on its
+    // own. Any bin containing a fixed prebin i must be the singleton
+    // (i, i).
+    def violatesFixed(s: Int, e: Int): Boolean = {
       var i = s
-      while (i < e) {
-        if (i < fixed.length && fixed(i)) return true
+      val hi = math.min(e, fixed.length - 1)
+      while (i <= hi) {
+        if (fixed(i) && (s != i || e != i)) return true
         i += 1
       }
       false
     }
 
     def binFeasible(s: Int, e: Int): Boolean = {
-      if (crossesFixed(s, e)) return false
+      if (violatesFixed(s, e)) return false
       val size = cumRec(e + 1) - cumRec(s)
       if (cons.minBinSize.exists(size < _)) return false
       if (cons.maxBinSize.exists(size > _)) return false
@@ -109,29 +118,36 @@ object Solver {
       adjViol += pack(i, r, j, k)
     }
 
+    val binFeasibleFinal: (Int, Int) => Boolean =
+      if (cons.monoPreprocess &&
+          (trend.contains("ascending") || trend.contains("descending"))) {
+        val banned = singletonBans(n, d, trend.contains("ascending"))
+        (s, e) => !(s == e && banned(s)) && binFeasible(s, e)
+      } else binFeasible
+
     def binRecords(s: Int, e: Int): Long = cumRec(e + 1) - cumRec(s)
     val needDfs = allViolations.nonEmpty || cons.gammaReg > 0
 
     trend match {
       case Some("concave") | Some("convex") =>
-        dfsSolve(n, d, v, trend.get, 0, binFeasible, binRecords, adjViol,
-                 allViolations, cons, deadline)
+        dfsSolve(n, d, v, trend.get, 0, binFeasibleFinal, binRecords,
+                 adjViol, allViolations, cons, deadline)
       case Some("peak") | Some("valley") =>
         val h = if (trend.contains("peak")) "peak_heuristic"
                 else "valley_heuristic"
         if (needDfs)
           bestOverChangePointsBy(n, deadline, tc =>
-            dfsSolve(n, d, v, h, tc, binFeasible, binRecords, adjViol,
+            dfsSolve(n, d, v, h, tc, binFeasibleFinal, binRecords, adjViol,
                      allViolations, cons, deadline))
         else
-          bestOverChangePoints(n, d, v, h, binFeasible, adjViol, cons,
+          bestOverChangePoints(n, d, v, h, binFeasibleFinal, adjViol, cons,
                                deadline)
       case _ if needDfs =>
-        dfsSolve(n, d, v, trend.orNull, trendChange, binFeasible,
+        dfsSolve(n, d, v, trend.orNull, trendChange, binFeasibleFinal,
                  binRecords, adjViol, allViolations, cons, deadline)
       case _ =>
-        dpSolve(n, d, v, trend.orNull, trendChange, binFeasible, adjViol,
-                cons)
+        dpSolve(n, d, v, trend.orNull, trendChange, binFeasibleFinal,
+                adjViol, cons)
     }
   }
 
@@ -155,9 +171,11 @@ object Solver {
       cons.userSplitsFixed.getOrElse(Array.fill(math.max(n - 1, 0))(false))
 
     def binFeasible(s: Int, e: Int): Boolean = {
+      // singleton fixed-prebin rule, as in `solve` (`cp.py:580-584`)
       var i = s
-      while (i < e) {
-        if (i < fixed.length && fixed(i)) return false
+      val hi = math.min(e, fixed.length - 1)
+      while (i <= hi) {
+        if (fixed(i) && (s != i || e != i)) return false
         i += 1
       }
       val size = cumRec(e + 1) - cumRec(s)
@@ -195,6 +213,32 @@ object Solver {
     }
 
     dpSolveGeneric(n, vSum, monoAllOk, binFeasible, adjViol, cons)
+  }
+
+  /** Reference CP dominance preprocessing (`cp.py:404-431`): for plain
+    * ascending/descending trends with min_event_rate_diff == 0, ban
+    * singleton prebin i when merging it into its successor moves the
+    * rate against the trend (and propagate along the run of violating
+    * pairs, mirroring the reference's inner loop).
+    */
+  private def singletonBans(n: Int, d: Array[Array[Long]],
+                            ascending: Boolean): Array[Boolean] = {
+    val banned = new Array[Boolean](n)
+    @inline def viol(pairEnd: Int, start: Int): Boolean =
+      if (ascending) d(pairEnd)(start) > d(pairEnd)(pairEnd)
+      else d(pairEnd)(start) < d(pairEnd)(pairEnd)
+    var i = 0
+    while (i < n - 1) {
+      if (viol(i + 1, i)) {
+        var j = 0
+        while (j < n - i - 1) {
+          if (viol(i + 1 + j, i)) banned(i + j) = true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    banned
   }
 
   private def prefix(a: Array[Long]): Array[Long] = {

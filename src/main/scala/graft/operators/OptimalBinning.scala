@@ -524,6 +524,7 @@ object OptimalBinning {
           minBinNNonevent = minBinNNonevent,
           maxBinNNonevent = config.maxBinNNonevent,
           userSplitsFixed = fixed,
+          monoPreprocess = config.minEventRateDiff == 0,
           gammaReg = gammaRegOf(config.gamma,
                                 math.round(nSamplesInBins(nNonevent,
                                                           nEvent))),

@@ -109,6 +109,55 @@ class OptimalBinningSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("auto trend modes reproduce the golden splits (test_binning.py:370)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    for (trend <- Seq("auto", "auto_heuristic", "auto_asc_desc",
+                      "descending")) {
+      val f = OptimalBinning.fit(df, "mean radius", "target",
+        BinningConfig(monotonicTrend = Some(trend)))
+      assert(f.status == "OPTIMAL", trend)
+      assert(f.splits.length == goldenSplits.length,
+             s"$trend: ${f.splits.mkString(",")}")
+      f.splits.zip(goldenSplits).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"$trend $a vs $b") }
+    }
+  }
+
+  test("min/max n_bins bound the solution (test_binning.py:384)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val f = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(minNBins = Some(2), maxNBins = Some(5)))
+    assert(f.status == "OPTIMAL")
+    assert(f.splits.length + 1 >= 2 && f.splits.length + 1 <= 5,
+           f.splits.mkString(","))
+  }
+
+  test("user_splits_fixed semantics (test_binning.py:233-281)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    // fixing a split that pure-bin refinement must drop -> INFEASIBLE
+    val bad = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(
+        userSplits = Some(Array(11, 12, 13, 14, 15, 16, 17)),
+        userSplitsFixed = Some(Array(false, false, false, false, false,
+                                     true, false))))
+    assert(bad.status == "INFEASIBLE", bad.status)
+    // a feasible fixed split is honored and costs some objective
+    val fixed = OptimalBinning.fit(df, "mean radius", "target",
+      BinningConfig(
+        userSplits = Some(Array(11, 12, 13, 14, 15, 17)),
+        userSplitsFixed = Some(Array(false, true, false, false, false,
+                                     false))))
+    assert(fixed.status == "OPTIMAL")
+    assert(fixed.splits.exists(s => math.abs(s - 12.0) < 1e-9),
+           fixed.splits.mkString(","))
+    val free = OptimalBinning.fit(df, "mean radius", "target",
+                                  BinningConfig())
+    assert(fixed.table.iv <= free.table.iv + 1e-9)
+  }
+
   test("gamma regularization merges dominating bins (test_binning.py:424)") {
     val spark = TestSpark.spark
     val df = spark.read.parquet(TestSpark.breastCancer)
