@@ -67,6 +67,44 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
       assert(cf.changes.keySet.subsetOf(Set("mean radius")), cf.changes))
   }
 
+  test("min_max scaling contracts: plain, intercept_based, reverse " +
+       "(test_scorecard.py:262-306)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val vars = df.columns.filter(_ != "target").toSeq
+
+    def minMaxSums(sc: FittedScorecard): (Double, Double) = {
+      val byVar = sc.pointsTable.groupBy(_.variable)
+      (byVar.values.map(_.map(_.points).min).sum,
+       byVar.values.map(_.map(_.points).max).sum)
+    }
+
+    val plain = Scorecard.fit(df, vars, "target",
+      scaling = Scorecard.ScalingConfig(method = Some("min_max"),
+                                        min = 300, max = 850))
+    val (pMin, pMax) = minMaxSums(plain)
+    assert(math.abs(pMin - 300) < 1e-6, pMin)
+    assert(math.abs(pMax - 850) < 1e-6, pMax)
+
+    val ib = Scorecard.fit(df, vars, "target",
+      scaling = Scorecard.ScalingConfig(method = Some("min_max"),
+                                        min = 300, max = 850,
+                                        interceptBased = true))
+    val (iMin, iMax) = minMaxSums(ib)
+    assert(math.abs(iMin - (300 - ib.baseIntercept)) < 1e-6,
+           s"$iMin vs ${300 - ib.baseIntercept}")
+    assert(math.abs(iMax - (850 - ib.baseIntercept)) < 1e-6,
+           s"$iMax vs ${850 - ib.baseIntercept}")
+
+    val rev = Scorecard.fit(df, vars, "target",
+      scaling = Scorecard.ScalingConfig(method = Some("min_max"),
+                                        min = 300, max = 850,
+                                        reverseScorecard = true))
+    val (rMin, rMax) = minMaxSums(rev)
+    assert(math.abs(rMin - 300) < 1e-6, rMin)
+    assert(math.abs(rMax - 850) < 1e-6, rMax)
+  }
+
   test("rounding preserves exact min/max total score " +
        "(test_scorecard.py:310-332)") {
     val spark = TestSpark.spark
