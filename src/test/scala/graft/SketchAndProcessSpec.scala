@@ -153,6 +153,27 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(ps.sketch("l_extendedprice").sketch.n == df.count())
   }
 
+  test("sketch binning reproduces breast-cancer goldens within 1% " +
+       "(test_binning_sketch.py:123-136)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    // 1% is the reference's tolerance for GK (its tested path); the
+    // t-digest ladder interpolates centroids, so allow 3% there
+    for ((sk, tol) <- Seq(("gk", 1e-2), ("t-digest", 3e-2))) {
+      val optb = new OptimalBinningSketch(
+        BinningConfig(name = "mean radius"), eps = 1e-4, sketchType = sk)
+      optb.add(df, "mean radius", "target")
+      val f = optb.solve()
+      assert(f.status == "OPTIMAL", sk)
+      assert(math.abs(f.table.iv - 5.04392547) / 5.04392547 < tol,
+             s"$sk iv ${f.table.iv}")
+      assert(math.abs(f.table.gini - 0.87541620) / 0.87541620 < tol,
+             s"$sk gini ${f.table.gini}")
+      assert(math.abs(f.table.js - 0.39378376) / 0.39378376 < tol,
+             s"$sk js ${f.table.js}")
+    }
+  }
+
   test("t-digest: quantiles accurate, tails tighter than interior") {
     val td = new TDigest(100)
     val rnd = new scala.util.Random(17)
