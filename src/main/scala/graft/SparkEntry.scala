@@ -217,9 +217,9 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
-      // pairwise 3-gram Jaccard on a deterministic small sample; shingle
+      // pairwise 3-gram Jaccard on a deterministic sample; shingle
       // arrays materialized per doc before the pair join
-      val d = T(s, dir, "documents").where(col("doc_id") < 20)
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
       val sh = d
         .select(col("doc_id"),
                 split(Dedup.normalizeText(col("text")), " ").as("__tok"))
@@ -799,6 +799,33 @@ object SparkEntry {
                       ELSE 0 END, 6) AS psi
          FROM e FULL OUTER JOIN a ON e.bin = a.bin, t
          ORDER BY bin""",
+
+    "q_ngram_jaccard" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents WHERE doc_id < 200
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM norm
+         ), pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(CASE WHEN len(list_distinct(
+                                     list_concat(a.sh, b.sh))) > 0
+                             THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                                  len(list_distinct(
+                                      list_concat(a.sh, b.sh)))
+                             ELSE 0.0 END, 6) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM pairs
+         WHERE jaccard > 0.05 ORDER BY id_a, id_b""",
 
     "q_dedup_exact" ->
       """WITH g AS (
