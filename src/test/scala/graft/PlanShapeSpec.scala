@@ -101,6 +101,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    val spark = TestSpark.spark
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_bucket_wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b").saveAsTable("li_b")
+      o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/o_b").saveAsTable("o_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_extendedprice").as("rev"))
+      val plan = physical(joined)
+      // bucketing pre-partitions both sides on the join key: the join
+      // itself needs NO Exchange (only the final aggregation may)
+      val joinSection = plan.split("HashAggregate").last
+      assert(!joinSection.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("scorecard scoring is join-free codegen over the bin CASE columns") {
     val spark = TestSpark.spark
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
