@@ -47,23 +47,30 @@ object Scorecard {
     val xt = process.transform(df, metric = "woe", keepCols = Seq(yCol))
     val assembler = new VectorAssembler()
       .setInputCols(selected.toArray).setOutputCol("features")
+    // persist: L-BFGS iterations otherwise re-evaluate the WoE CASE
+    // projection every pass over the data
     val assembled = assembler.transform(xt)
       .select(col("features"), col(yCol).cast("double").as("label"))
+      .persist()
 
-    val (coefs, intercept) = target match {
-      case "binary" =>
-        val lr = new LogisticRegression()
-          .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-          .setStandardization(false)
-        val m = lr.fit(assembled)
-        (m.coefficients.toArray, m.intercept)
-      case "continuous" =>
-        val lr = new LinearRegression()
-          .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-          .setStandardization(false)
-        val m = lr.fit(assembled)
-        (m.coefficients.toArray, m.intercept)
-    }
+    val (coefs, intercept) = try {
+      target match {
+        case "binary" =>
+          // tol 1e-4 matches the reference estimator default
+          // (sklearn LogisticRegression)
+          val lr = new LogisticRegression()
+            .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+            .setStandardization(false).setTol(1e-4)
+          val m = lr.fit(assembled)
+          (m.coefficients.toArray, m.intercept)
+        case "continuous" =>
+          val lr = new LinearRegression()
+            .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+            .setStandardization(false)
+          val m = lr.fit(assembled)
+          (m.coefficients.toArray, m.intercept)
+      }
+    } finally assembled.unpersist()
 
     // points = woe * coef per bin (`scorecard.py:639-664`)
     val n = selected.size
