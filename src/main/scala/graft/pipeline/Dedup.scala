@@ -125,23 +125,36 @@ object Dedup {
     * id_a < id_b. ONE scan computes signatures and ONE shuffle groups by
     * (band, bucket-hash); pairs are generated inside each bucket with a
     * pair-expansion expression — no self-join, so signatures are not
-    * recomputed for a second plan branch. Bucket sizes are bounded by
-    * near-dup cluster sizes, not the corpus.
+    * recomputed for a second plan branch.
+    *
+    * Skew guard: a bucket of m near-identical documents would emit
+    * m(m-1)/2 pairs — quadratic blowup on degenerate mega-clusters
+    * (boilerplate/spam) at corpus scale. Buckets larger than
+    * `starThreshold` switch to STAR expansion: every member pairs with
+    * the bucket's minimum id only (m-1 pairs). For dedup this loses
+    * nothing — the cluster stays one connected component — while
+    * bounding output linearly in bucket size.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleLen: Int = 5): DataFrame = {
+                        shingleLen: Int = 5,
+                        starThreshold: Int = 256): DataFrame = {
     val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
                                   shingleLen)
     val buckets = banded.groupBy("band", "bh")
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1)
       .withColumn("ids", array_sort(col("ids")))
+    val allPairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+                b => struct(a.as("id_a"), b.as("id_b")))))
+    val starPairs = transform(
+      slice(col("ids"), lit(2), size(col("ids")) - 1),
+      b => struct(element_at(col("ids"), 1).as("id_a"), b.as("id_b")))
     buckets
       .select(col("band"),
-              explode(flatten(transform(col("ids"), (a, i) =>
-                transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-                          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+              explode(when(size(col("ids")) > starThreshold, starPairs)
+                        .otherwise(allPairs)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("band"))
       .distinct()
   }

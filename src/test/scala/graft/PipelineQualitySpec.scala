@@ -122,6 +122,31 @@ class PipelineQualitySpec extends AnyFunSuite {
     assert(ivf.size == 100, ivf.size)
   }
 
+  test("minhash skew guard: mega-cluster emits linear star pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 400 exact copies (one mega bucket) + 50 distinct docs
+    val rnd = new scala.util.Random(41)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 400).map(i => (i.toLong, boiler)) ++
+      (0 until 50).map(i => (1000L + i,
+        Seq.fill(12)(rnd.alphanumeric.take(6).mkString).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+
+    val cands = Dedup.minhashCandidates(df, "text", "doc_id",
+      numHashes = 16, bands = 4, starThreshold = 64)
+    val pairs = cands.select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // the 400-cluster contributes ~399 star pairs, not 79,800 all-pairs
+    val clusterPairs = pairs.filter { case (a, b) => a < 400 && b < 400 }
+    assert(clusterPairs.length == 399, clusterPairs.length)
+    // every member connects to the canonical min id -> one component
+    assert(clusterPairs.forall(_._1 == 0L))
+    val covered = clusterPairs.map(_._2).toSet + 0L
+    assert(covered == (0L until 400L).toSet)
+  }
+
   test("custom hash expressions match HOF reference formulations") {
     val spark = TestSpark.spark
     import spark.implicits._
