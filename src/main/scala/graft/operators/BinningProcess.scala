@@ -294,10 +294,20 @@ final class FittedBinningProcess(
   def selectedVariables: Array[String] = variables.filter(support)
 
   /** Wide transform: metric column per selected variable. */
+  /** Wide transform: one generated CASE per selected variable in a
+    * single projection. `transformParams` carries per-variable
+    * (metric_special, metric_missing) overrides — the reference's
+    * `binning_transform_params` (`binning_process.py:452-460`).
+    */
   def transform(df: DataFrame, metric: String = "woe",
-                keepCols: Seq[String] = Seq.empty): DataFrame = {
+                keepCols: Seq[String] = Seq.empty,
+                transformParams: Map[String, (Any, Any)] = Map.empty)
+      : DataFrame = {
     val cols = keepCols.map(col) ++ selectedVariables.toSeq.map { v =>
-      fits(v).transform(col(v), metric).as(v)
+      val (sp, mi) =
+        transformParams.getOrElse(v, ("empirical", "empirical"))
+      fits(v).transform(col(v), metric, metricSpecial = sp,
+                        metricMissing = mi).as(v)
     }
     df.select(cols: _*)
   }
