@@ -68,6 +68,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(woe.forall(!_.isNaN))
   }
 
+  test("spark.ml Pipeline composition: binning stage -> assembler -> LR") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+      .withColumnRenamed("target", "label")
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.classification.LogisticRegression
+    import graft.ml.OptimalBinningEstimator
+
+    val binRadius = new OptimalBinningEstimator()
+      .setInputCol("mean radius").setOutputCol("woe_radius")
+    val binTexture = new OptimalBinningEstimator()
+      .setInputCol("mean texture").setOutputCol("woe_texture")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("woe_radius", "woe_texture"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(25)
+    val pipeline = new Pipeline()
+      .setStages(Array(binRadius, binTexture, assembler, lr))
+
+    val model = pipeline.fit(df)
+    val scored = model.transform(df)
+    assert(scored.columns.contains("prediction"))
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setRawPredictionCol("rawPrediction").evaluate(scored)
+    assert(auc > 0.9, s"auc $auc")
+    // fitted binning accessible from the pipeline model
+    val fitted = model.stages(0)
+      .asInstanceOf[graft.ml.OptimalBinningModel].fitted
+    assert(fitted.splits.nonEmpty)
+  }
+
   test("binning table toDF mirrors the reference build() shape") {
     val spark = TestSpark.spark
     val df = spark.read.parquet(TestSpark.breastCancer)
