@@ -106,6 +106,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("monoPreprocess only removes solutions (objective never improves)") {
+    forAll(countsGen, n = 60) { case (ne, ev) =>
+      for (trend <- Seq(Some("ascending"), Some("descending"))) {
+        val n = ne.length
+        val md = ModelData.binary("iv", ne, ev, None, "consecutive", 0.0)
+        def run(pre: Boolean) = Solver.solve(
+          n, md.d, md.v,
+          ne.zip(ev).map { case (a, b) => math.round(a + b) },
+          ev.map(math.round), ne.map(math.round),
+          trend, -1, Solver.Constraints(monoPreprocess = pre),
+          Array.empty, Array.empty)
+        val plain = run(false)
+        val cut = run(true)
+        // the dominance cut is a restriction: objective can only drop
+        if (plain.status == "OPTIMAL" && cut.status == "OPTIMAL")
+          assert(cut.objective <= plain.objective,
+                 s"$trend cut ${cut.objective} > plain ${plain.objective}")
+        // and a cut OPTIMAL solution is valid under the plain model too:
+        // same bins must satisfy the trend (checked via brute force bound)
+        if (cut.status == "OPTIMAL")
+          assert(cut.objective <= bruteForce(ne, ev, trend))
+      }
+    }
+  }
+
   /** brute force including the gamma bin-size-spread penalty. */
   private def bruteForceGamma(ne: Array[Double], ev: Array[Double],
                               trend: Option[String],
