@@ -94,6 +94,15 @@ object SparkEntry {
             count(lit(1)).as("n"))
     }),
 
+    "q_yquantile_outlier" -> ((s, dir) => {
+      // per-x-quantile-bin modified-Z outlier removal on y
+      val li = T(s, dir, "lineitem")
+      val pred = Outliers.fitYQuantile(li, "l_extendedprice", "l_quantity",
+                                       detector = "zscore", nBins = 4)
+      li.agg(sum(pred.cast("long")).as("n_outliers"),
+             count(lit(1)).as("n"))
+    }),
+
     // --- §2.4 aggregations ------------------------------------------
     "q_prebin_agg" -> ((s, dir) => {
       // per-bin weighted event/nonevent counts at fixed splits
@@ -278,11 +287,25 @@ object SparkEntry {
     }),
 
     "q_fingerprint" -> ((s, dir) => {
-      // 64-bit rolling fingerprint distribution (library xxhash64 path)
+      // polynomial rolling fingerprint: distinct keys + checksum
       val d = T(s, dir, "documents")
-      d.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      d.select(TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .agg(countDistinct(col("fp")).as("n_distinct"),
-             count(lit(1)).as("n_docs"))
+             count(lit(1)).as("n_docs"),
+             sum(col("fp")).as("fp_sum"))
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      // per-source document quality scoring (pre-training quality signals)
+      val d = T(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text")).toMap
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(TextAnalysis.qualityScore(col("text"))), 6)
+               .as("avg_quality"),
+             round(avg(f("punct_ratio")), 6).as("avg_punct_ratio"),
+             round(avg(f("stopword_ratio")), 6).as("avg_stopword_ratio"))
+        .orderBy("source")
     }),
 
     // --- §2.4 multiclass / §2.9-2.10 solver+sketch surfaces ---------
@@ -333,6 +356,19 @@ object SparkEntry {
           round(col("mn") + (col("mx") - col("mn")) * 0.25, 6).as("s1"),
           round(col("mn") + (col("mx") - col("mn")) * 0.50, 6).as("s2"),
           round(col("mn") + (col("mx") - col("mn")) * 0.75, 6).as("s3"))
+    }),
+
+    "q_mdlp_splits" -> ((s, dir) => {
+      // MDLP entropy discretization as the prebinning method, full fit
+      // (rows-only: recursive MDL stopping is not SQL-expressible)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "l_extendedprice",
+                      prebinningMethod = "mdlp"))
+      import s.implicits._
+      Seq((fitted.status, fitted.splits.length.toLong,
+           scale6(fitted.table.iv)))
+        .toDF("status", "n_splits", "iv")
     }),
 
     "q_cap_curve" -> ((s, dir) => {
@@ -510,7 +546,19 @@ object SparkEntry {
       val li = liTarget(T(s, dir, "lineitem"))
       val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
       val bins = sc.selected.map(v => v -> 0).toMap
-      val cfs = Counterfactual.generate(sc, bins, 0.4, outcomeGe = true,
+      // data-adaptive target: halfway between the instance's probability
+      // and the best achievable one, so a counterfactual exists at any SF
+      val contrib = sc.selected.zipWithIndex.map { case (v, i) =>
+        val woe = sc.process.fits(v).table.woe
+          .take(sc.process.fits(v).nDataBins)
+        (woe(bins(v)) * sc.coefficients(i),
+         woe.map(_ * sc.coefficients(i)).max)
+      }
+      val baseLin = contrib.map(_._1).sum + sc.estimatorIntercept
+      val maxLin = contrib.map(_._2).sum + sc.estimatorIntercept
+      def proba(l: Double) = 1.0 / (1.0 + math.exp(-l))
+      val target = (proba(baseLin) + proba(maxLin)) / 2.0
+      val cfs = Counterfactual.generate(sc, bins, target, outcomeGe = true,
                                         maxChanges = 2,
                                         nCounterfactuals = 1)
       import s.implicits._
@@ -556,24 +604,29 @@ object SparkEntry {
 
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
-      val d = T(s, dir, "documents").limit(50)
+      // (deterministic doc sample so the oracle sees the same payloads)
+      val d = T(s, dir, "documents").where(col("doc_id") < 50)
       val withPayload = Multimodal.withFakePayload(d, "doc_id")
       Multimodal.sampleFrames(withPayload, "doc_id", "payload", 4)
         .agg(count(lit(1)).as("n_frames"),
              countDistinct(col("id")).as("n_docs"),
-             sum(length(col("frame_bytes")).cast("long")).as("total_bytes"))
+             sum(length(col("frame_bytes")).cast("long")).as("total_bytes"),
+             sum(ascii(substring(col("frame_bytes").cast("string"), 1, 1))
+               .cast("long")).as("first_byte_sum"))
     }),
 
     // --- multimodal plumbing ----------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       // binary-payload feature extraction (stub decoder, real plumbing)
-      val d = T(s, dir, "documents").limit(100)
+      val d = T(s, dir, "documents").where(col("doc_id") < 100)
       val withPayload = Multimodal.withFakePayload(d, "doc_id")
       val feats = Multimodal.extractFeatures(withPayload, "doc_id",
                                              "payload", "image")
       feats.agg(count(lit(1)).as("n_rows"),
                 sum(col("n_bytes").cast("long")).as("total_bytes"),
-                countDistinct(col("id")).as("n_ids"))
+                countDistinct(col("id")).as("n_ids"),
+                sum(col("width").cast("long")).as("width_sum"),
+                sum(col("height").cast("long")).as("height_sum"))
     })
   )
 
@@ -846,7 +899,157 @@ object SparkEntry {
                 round(avg(length(text)), 6) AS avg_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "q_fingerprint" -> "",  // xxhash64 not available in DuckDB: rows-only
+    "q_fingerprint" ->
+      // polynomial rolling hash over code points of normalized text;
+      // DuckDB unicode() == Spark ascii() (full code point)
+      """WITH f AS (
+           SELECT list_reduce(
+                    list_prepend(0::BIGINT,
+                      [unicode(c)::BIGINT FOR c IN regexp_extract_all(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         '(?s).')]),
+                    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+           FROM documents)
+         SELECT count(DISTINCT fp) AS n_distinct, count(*) AS n_docs,
+                sum(fp)::BIGINT AS fp_sum
+         FROM f""",
+
+    "q_quality_score" ->
+      """WITH q AS (
+           SELECT source,
+                  length(text)::DOUBLE AS n_chars,
+                  (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                   END)::DOUBLE AS n_tokens,
+                  length(regexp_extract_all(text,
+                    '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['the','and','of','to','a','in','is','that','for',
+                     'with']))::DOUBLE AS n_stop
+           FROM documents),
+         feat AS (
+           SELECT source,
+                  CASE WHEN n_tokens > 0
+                       THEN (n_chars - (n_tokens - 1)) / n_tokens
+                       ELSE 0 END AS mean_token_len,
+                  CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                       ELSE 0 END AS punct_ratio,
+                  CASE WHEN n_tokens > 0 THEN n_stop / n_tokens
+                       ELSE 0 END AS stopword_ratio,
+                  n_tokens
+           FROM q),
+         scored AS (
+           SELECT source, punct_ratio, stopword_ratio,
+                  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                        THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12
+                        THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+                + (CASE WHEN stopword_ratio >= 0.05 THEN 0.2 ELSE 0.0 END)
+                  AS quality
+           FROM feat)
+         SELECT source, count(*) AS n_docs,
+                round(avg(quality), 6) AS avg_quality,
+                round(avg(punct_ratio), 6) AS avg_punct_ratio,
+                round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+         FROM scored GROUP BY 1 ORDER BY 1""",
+
+    "q_lang_id" ->
+      """WITH h AS (
+           SELECT lang, text IS NULL AS is_null,
+                  length(regexp_extract_all(text,
+                    '[\x{4e00}-\x{9fff}]')) AS cjk,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['the','and','of','to','a','in','is','that','for',
+                     'with'])) AS h_en,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['el','la','de','que','y','en','un','los','del',
+                     'las'])) AS h_es,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['der','die','und','das','ist','von','den','mit',
+                     'ein','zu'])) AS h_de,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['le','la','les','de','et','un','une','du','des',
+                     'est'])) AS h_fr
+           FROM documents),
+         p AS (
+           SELECT lang,
+                  CASE WHEN is_null THEN 'und'
+                       WHEN cjk > 0 THEN 'zh'
+                       WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                       WHEN h_en = greatest(h_en, h_es, h_de, h_fr)
+                         THEN 'en'
+                       WHEN h_es = greatest(h_en, h_es, h_de, h_fr)
+                         THEN 'es'
+                       WHEN h_de = greatest(h_en, h_es, h_de, h_fr)
+                         THEN 'de'
+                       ELSE 'fr' END AS pred
+           FROM h)
+         SELECT lang, pred, count(*) AS n
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_yquantile_outlier" ->
+      """WITH s AS (
+           SELECT quantile_cont(l_extendedprice, 0.25)::DOUBLE s1,
+                  quantile_cont(l_extendedprice, 0.50)::DOUBLE s2,
+                  quantile_cont(l_extendedprice, 0.75)::DOUBLE s3
+           FROM lineitem),
+         b AS (
+           SELECT l_quantity::DOUBLE AS y,
+                  CASE WHEN l_extendedprice < s1 THEN 0
+                       WHEN l_extendedprice < s2 THEN 1
+                       WHEN l_extendedprice < s3 THEN 2
+                       ELSE 3 END AS bin
+           FROM lineitem, s),
+         m AS (SELECT bin, median(y)::DOUBLE AS med FROM b GROUP BY 1),
+         d AS (
+           SELECT b.bin, median(abs(y - med))::DOUBLE AS mad
+           FROM b JOIN m USING (bin) GROUP BY 1)
+         SELECT sum(CASE WHEN abs(0.6745 * (y - med) / mad) > 3.5
+                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                count(*) AS n
+         FROM b JOIN m USING (bin) JOIN d USING (bin)""",
+
+    "q_frame_sampling" ->
+      """WITH p AS (
+           SELECT sha256(doc_id::VARCHAR || '-payload') AS pay
+           FROM documents WHERE doc_id < 50),
+         fr AS (
+           SELECT pay, f AS frame,
+                  pay[1 + f * (length(pay) // 4) :
+                      f * (length(pay) // 4)
+                        + greatest(1, length(pay) // 4)] AS frame_bytes
+           FROM p, (SELECT unnest(range(4)) AS f))
+         SELECT count(*) AS n_frames,
+                count(DISTINCT pay) AS n_docs,
+                sum(length(frame_bytes))::BIGINT AS total_bytes,
+                sum(unicode(frame_bytes[1]))::BIGINT AS first_byte_sum
+         FROM fr""",
+
+    "q_multimodal_features" ->
+      """WITH p AS (
+           SELECT sha256(doc_id::VARCHAR || '-payload') AS pay
+           FROM documents WHERE doc_id < 100),
+         f AS (
+           SELECT length(pay) AS n_bytes, pay,
+                  (unicode(pay[1]) * 16777216 + unicode(pay[2]) * 65536
+                   + unicode(pay[3]) * 256 + unicode(pay[4])) % 4096
+                    AS width,
+                  (unicode(pay[5]) * 16777216 + unicode(pay[6]) * 65536
+                   + unicode(pay[7]) * 256 + unicode(pay[8])) % 4096
+                    AS height
+           FROM p)
+         SELECT count(*) AS n_rows, sum(n_bytes)::BIGINT AS total_bytes,
+                count(DISTINCT pay) AS n_ids,
+                sum(width)::BIGINT AS width_sum,
+                sum(height)::BIGINT AS height_sum
+         FROM f""",
 
     "q_embed_topk" ->
       """SELECT vec_id,

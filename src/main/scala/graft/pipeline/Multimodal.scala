@@ -101,9 +101,9 @@ object Multimodal {
   }
 
   /** Wrap a table with synthetic binary payloads for testing the plumbing
-    * (deterministic bytes from the id). */
-  def withFakePayload(df: DataFrame, idCol: String,
-                      nBytes: Int = 256): DataFrame =
+    * (deterministic bytes from the id; sha-256 hex so a SQL oracle can
+    * reproduce the payload byte-for-byte). */
+  def withFakePayload(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("payload",
-      sha2(concat_ws("-", col(idCol), lit("payload")), 512).cast("binary"))
+      sha2(concat_ws("-", col(idCol), lit("payload")), 256).cast("binary"))
 }

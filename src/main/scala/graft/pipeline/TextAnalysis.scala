@@ -102,4 +102,18 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Order-sensitive polynomial rolling fingerprint (base 131, mod 1e9+7)
+    * over the code points of normalized text. Same dedup-key role as
+    * `fingerprint` but arithmetic-only, so an external SQL engine can
+    * reproduce it bit-for-bit (`ascii` returns the full code point,
+    * matching DuckDB `unicode`). Stays inside whole-stage codegen: one
+    * regexp pass + a higher-order aggregate, no UDF.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val chars = regexp_extract_all(norm, lit("(?s)."), lit(0))
+    aggregate(chars, lit(0L),
+      (acc, c) => (acc * lit(131L) + ascii(c)) % lit(1000000007L))
+  }
 }
