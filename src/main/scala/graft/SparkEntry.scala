@@ -226,14 +226,19 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
-      // pairwise 3-gram Jaccard on a deterministic sample; shingle
-      // arrays materialized per doc before the pair join
+      // pairwise 3-gram Jaccard on a deterministic sample; the
+      // repartition is a materialization barrier: without it Catalyst
+      // collapses the shingle projection into the post-join expression
+      // and recomputes shingles per PAIR (O(n^2)) instead of per doc —
+      // with it, shingles are computed once per doc below one exchange
+      // that both self-join branches reuse
       val d = T(s, dir, "documents").where(col("doc_id") < 200)
       val sh = d
         .select(col("doc_id"),
                 split(Dedup.normalizeText(col("text")), " ").as("__tok"))
         .select(col("doc_id"),
                 Dedup.wordShinglesOf(col("__tok"), 3).as("sh"))
+        .repartition(8)
       val a = sh.toDF("id_a", "sh_a")
       val b = sh.toDF("id_b", "sh_b")
       a.join(b, col("id_a") < col("id_b"))

@@ -43,14 +43,28 @@ object Scorecard {
     val selected = process.selectedVariables.toSeq
     require(selected.nonEmpty, "no variables survive selection criteria")
 
-    // WoE design matrix (one generated CASE per variable; single stage)
+    // WoE design matrix (one generated CASE per variable; single stage).
+    // WoE is piecewise-constant in the bin index, so the matrix collapses
+    // to one weighted row per (bin combination, label): the estimator
+    // optimizes an identical weighted objective over <= prod(n_bins) rows
+    // instead of scanning every input row per L-BFGS iteration. One
+    // aggregate pass over the data, then driver-sized iterations — the
+    // row count is bounded by the bin-combination count, not data scale.
     val xt = process.transform(df, metric = "woe", keepCols = Seq(yCol))
     val assembler = new VectorAssembler()
       .setInputCols(selected.toArray).setOutputCol("features")
-    // persist: L-BFGS iterations otherwise re-evaluate the WoE CASE
-    // projection every pass over the data
-    val assembled = assembler.transform(xt)
-      .select(col("features"), col(yCol).cast("double").as("label"))
+    val nCombos = selected
+      .map(v => process.fits(v).table.rows.length.toDouble)
+      .product * 2
+    val compact =
+      if (nCombos <= 1e5)
+        xt.groupBy(selected.map(col) :+ col(yCol): _*)
+          .agg(count(lit(1)).cast("double").as("w"))
+          .coalesce(1)
+      else xt.withColumn("w", lit(1.0))
+    val assembled = assembler.transform(compact)
+      .select(col("features"), col(yCol).cast("double").as("label"),
+              col("w"))
       .persist()
 
     val (coefs, intercept) = try {
@@ -60,13 +74,13 @@ object Scorecard {
           // (sklearn LogisticRegression)
           val lr = new LogisticRegression()
             .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-            .setStandardization(false).setTol(1e-4)
+            .setStandardization(false).setTol(1e-4).setWeightCol("w")
           val m = lr.fit(assembled)
           (m.coefficients.toArray, m.intercept)
         case "continuous" =>
           val lr = new LinearRegression()
             .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-            .setStandardization(false)
+            .setStandardization(false).setWeightCol("w")
           val m = lr.fit(assembled)
           (m.coefficients.toArray, m.intercept)
       }

@@ -22,7 +22,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Single-pass native cosine (`graft.functions.CosineSimExpr`): one
+    * loop computes dot and both norms with no intermediate arrays — the
+    * hot-path form for pair joins. `cosineHof` is the composable
+    * reference implementation (identical results; kept as test oracle).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = norm(a)
     val nb = norm(b)
@@ -86,30 +94,82 @@ object Similarity {
       .select("qid", "cid", "cosine", "rank")
   }
 
-  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer
-    * (`spark.ml.clustering.KMeans`, distributed fit) partitions the
-    * corpus into nLists cells; each query probes its nProbe nearest
-    * cells and ranks candidates by exact cosine. Scale shape: corpus is
-    * assigned once (narrow `model.transform`), the probe join is an
-    * equi-join on cell id with the (small) query side broadcast, so the
-    * corpus never shuffles and each query scans ~nProbe/nLists of it.
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer trained
+    * on a bounded driver-side sample partitions the corpus into nLists
+    * cells; each query probes its nProbe nearest cells and ranks
+    * candidates by exact cosine. Scale shape: corpus cells are assigned
+    * in one narrow argmin-over-centroid-literal projection, the probe
+    * join is an equi-join on cell id with the (small) query side
+    * broadcast, so the corpus never shuffles and each query scans
+    * ~nProbe/nLists of it.
     */
+  /** Lloyd's k-means on a driver-side sample — the IVF coarse quantizer.
+    * Standard IVF practice: the quantizer trains on a bounded sample
+    * (quality needs only a sketch of the distribution), while cell
+    * ASSIGNMENT of the full corpus stays distributed. Replaces an
+    * iterative spark.ml KMeans (one cluster job per iteration) with a
+    * single sample collect + in-memory iterations.
+    */
+  private def sampleKMeans(sample: Array[Array[Double]], k: Int,
+                           iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val dim = sample.head.length
+    // seeded distinct starting points
+    val centers = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < n) {
+        val x = sample(r)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = d2(x, centers(c)); if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
+        r += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+        centers(c)(j) = sums(c)(j) / counts(c)
+    }
+    centers
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
               idCol: String, qidCol: String, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-
+              nLists: Int = 16, nProbe: Int = 4,
+              maxTrainSample: Int = 20000): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"),
                           col(embCol).cast("array<double>").as("cemb"))
-    val feat = c.withColumn("features", array_to_vector(col("cemb")))
-    val model = new KMeans().setK(nLists).setSeed(7)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(feat)
-    val assigned = model.transform(feat).select("cid", "cemb", "cell")
 
-    // per-query nProbe nearest centroids (centroids are a tiny literal)
-    val centroids = model.clusterCenters.map(_.toArray)
+    // quantizer training sample: count is parquet-metadata cheap; the
+    // sample is bounded regardless of corpus scale
+    val n = c.count()
+    val fraction = math.min(1.0, maxTrainSample.toDouble / math.max(1L, n))
+    val sample = c.select("cemb")
+      .sample(withReplacement = false, fraction, seed = 7)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = sampleKMeans(sample, nLists, iters = 10, seed = 7)
+
+    // distributed cell assignment: argmin over the literal centroid array
+    val centroidLitA = array(centroids.map(ctr =>
+      array(ctr.map(lit(_)): _*)): _*)
+    def cellOf(emb: Column): Column =
+      array_sort(transform(centroidLitA, (ctr, ci) =>
+        struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
+                         lit(0.0d), (acc, v) => acc + v).as("d2"),
+               ci.as("cell"))))(0).getField("cell")
+    val assigned = c.withColumn("cell", cellOf(col("cemb")))
     val centroidLit = array(centroids.map(ctr =>
       array(ctr.map(lit(_)): _*)): _*)
     val q = queries.select(col(qidCol).as("qid"),

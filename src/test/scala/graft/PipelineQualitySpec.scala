@@ -177,4 +177,37 @@ class PipelineQualitySpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
     }
   }
+
+  test("native cosine expression matches the HOF reference (float+double)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f),
+       Array.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // double-cast path (sequential HOF arithmetic order == native loop)
+    val d = df.select(
+      Similarity.cosine(col("a").cast("array<double>"),
+                        col("b").cast("array<double>")).as("native"),
+      Similarity.cosineHof(col("a").cast("array<double>"),
+                           col("b").cast("array<double>")).as("hof"))
+      .collect()
+    d.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+                          r.toString))
+    // native float path (no cast) stays within float rounding of the ref
+    val f = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a").cast("array<double>"),
+                           col("b").cast("array<double>")).as("hof"))
+      .collect()
+    f.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5,
+                          r.toString))
+    // zero vector -> 0.0 (HOF otherwise-branch semantics)
+    val z = Seq((Array.fill(4)(0.0), Array(1.0, 2.0, 3.0, 4.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(z == 0.0)
+  }
 }
