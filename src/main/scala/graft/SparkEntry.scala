@@ -94,6 +94,44 @@ object SparkEntry {
             count(lit(1)).as("n"))
     }),
 
+    "q_outlier_hdi" -> ((s, dir) => {
+      // HDI (shortest-interval) outlier bounds + counts
+      val li = T(s, dir, "lineitem")
+      val b = Outliers.fitRange(li, "l_extendedprice", method = "HDI")
+      li.agg(
+        round(lit(b.lower), 6).as("lower_bound"),
+        round(lit(b.upper), 6).as("upper_bound"),
+        sum(b.support(col("l_extendedprice")).cast("long")).as("n_outliers"),
+        count(lit(1)).as("n"))
+    }),
+
+    "q_reg_metrics" -> ((s, dir) => {
+      // regression metrics in one aggregate (pred = deterministic proxy)
+      val li = T(s, dir, "lineitem")
+        .withColumn("pred", col("l_quantity") * 1000.0)
+      val m = ModelMetrics.regressionMetrics(li, "l_extendedprice", "pred")
+      import s.implicits._
+      Seq((scale2(m("Mean absolute error")),
+           scale2(m("Median absolute error")),
+           scale6(m("Mean absolute percentage error")),
+           scale6(m("Symmetric mean absolute percentage error")),
+           scale6(m("R^2"))))
+        .toDF("mae", "mdae", "mape", "smape", "r2")
+    }),
+
+    "q_class_metrics" -> ((s, dir) => {
+      // confusion-count classification metrics (threshold predictor)
+      val li = liTarget(T(s, dir, "lineitem"))
+        .withColumn("pred",
+          (col("l_extendedprice") > 50000).cast("double"))
+      val m = ModelMetrics.imbalancedClassificationMetrics(li, "y", "pred")
+      import s.implicits._
+      Seq((scale6(m("True positive rate")),
+           scale6(m("True negative rate")),
+           scale6(m("Balanced accuracy"))))
+        .toDF("tpr", "tnr", "balanced_acc")
+    }),
+
     "q_yquantile_outlier" -> ((s, dir) => {
       // per-x-quantile-bin modified-Z outlier removal on y
       val li = T(s, dir, "lineitem")
@@ -638,6 +676,11 @@ object SparkEntry {
   private def scale6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Coarser rounding for large-magnitude aggregates, where engine
+    * summation order makes the 6th decimal unstable. */
+  private def scale2(v: Double): Double =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def oracleSql: Map[String, String] = Map(
     "q_split_classes" ->
       """SELECT CASE WHEN nullif(l_quantity, 50) IS NULL THEN 2
@@ -998,6 +1041,70 @@ object SparkEntry {
            FROM h)
          SELECT lang, pred, count(*) AS n
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_outlier_hdi" ->
+      // shortest 50%-mass interval from order statistics, k=1.5 expansion
+      """WITH v AS (
+           SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+         s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+         params AS (
+           SELECT count(*) AS n,
+                  CAST(ceil(0.5 * count(*)) AS BIGINT) AS m
+           FROM v),
+         iv AS (
+           SELECT s1.x AS lo, s2.x AS hi
+           FROM s s1 CROSS JOIN params
+           JOIN s s2 ON s2.rn = s1.rn + params.m
+           ORDER BY s2.x - s1.x, s1.rn LIMIT 1),
+         b AS (
+           SELECT lo - 1.5 * (hi - lo) AS lb, hi + 1.5 * (hi - lo) AS ub
+           FROM iv)
+         SELECT round(lb, 6) AS lower_bound, round(ub, 6) AS upper_bound,
+                (SELECT count(*) FROM lineitem, b
+                 WHERE l_extendedprice > ub OR l_extendedprice < lb)
+                  AS n_outliers,
+                (SELECT count(*) FROM lineitem) AS n
+         FROM b""",
+
+    "q_reg_metrics" ->
+      """WITH e AS (
+           SELECT l_extendedprice::DOUBLE AS y,
+                  (l_quantity * 1000.0)::DOUBLE AS p
+           FROM lineitem),
+         agg AS (
+           SELECT avg(abs(y - p)) AS mae,
+                  median(abs(y - p))::DOUBLE AS mdae,
+                  avg(abs((y - p) / y)) AS mape,
+                  avg(abs(y - p) * 2.0 / (abs(y) + abs(p))) AS smape,
+                  sum((y - p) * (y - p)) AS sse,
+                  sum(y * y) - sum(y) * sum(y) / count(*) AS sst
+           FROM e)
+         SELECT round(mae, 2) AS mae, round(mdae, 2) AS mdae,
+                round(mape, 6) AS mape, round(smape, 6) AS smape,
+                round(1.0 - sse / sst, 6) AS r2
+         FROM agg""",
+
+    "q_class_metrics" ->
+      """WITH c AS (
+           SELECT sum(CASE WHEN l_returnflag = 'R'
+                            AND l_extendedprice > 50000
+                           THEN 1.0 ELSE 0.0 END) AS tp,
+                  sum(CASE WHEN l_returnflag <> 'R'
+                            AND l_extendedprice <= 50000
+                           THEN 1.0 ELSE 0.0 END) AS tn,
+                  sum(CASE WHEN l_returnflag <> 'R'
+                            AND l_extendedprice > 50000
+                           THEN 1.0 ELSE 0.0 END) AS fp,
+                  sum(CASE WHEN l_returnflag = 'R'
+                            AND l_extendedprice <= 50000
+                           THEN 1.0 ELSE 0.0 END) AS fn
+           FROM lineitem)
+         SELECT round(tp / (tp + fn), 6) AS tpr,
+                round(tn / (fp + tn), 6) AS tnr,
+                round(0.5 * (tp / (tp + fn) + tn / (fp + tn)), 6)
+                  AS balanced_acc
+         FROM c""",
 
     "q_yquantile_outlier" ->
       """WITH s AS (
