@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Single-pass vector kernels as custom Catalyst expressions.
   *
@@ -23,6 +23,10 @@ object VectorExprs {
     ExpressionUtils.column(
       CosineSimExpr(ExpressionUtils.expression(a),
                     ExpressionUtils.expression(b)))
+
+  def lshSig(emb: Column, nPlanes: Int): Column =
+    ExpressionUtils.column(
+      LshSigExpr(ExpressionUtils.expression(emb), nPlanes))
 }
 
 /** cosine(a, b) = dot/(|a||b|), 0.0 when either norm is 0 or any element
@@ -84,5 +88,78 @@ final case class CosineSimExpr(left: Expression, right: Expression)
     }
     val prod = math.sqrt(sa) * math.sqrt(sb)
     if (math.sqrt(sa) > 0 && math.sqrt(sb) > 0) dot / prod else 0.0
+  }
+}
+
+/** nPlanes-bit random-hyperplane LSH signature: bit p = sign of
+  * dot(x, h_p), with h_{p,i} = xxhash64(p, i) / Long.MaxValue — the
+  * exact values of `Similarity.lshSignatureHof` (Spark's multi-argument
+  * xxhash64 folds seed 42 through hashInt per argument). The hyperplane
+  * matrix is derived once per observed dimension and cached in the
+  * expression instance; each row is then one loop of nPlanes x dim
+  * multiplies with no hashing, no intermediate arrays, no lambda
+  * dispatch. A null element nulls every projection (bit falls to 0),
+  * giving signature 0 like the HOF form.
+  */
+final case class LshSigExpr(child: Expression, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LshSigExpr = copy(child = newChild)
+
+  @transient private lazy val elemFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_lsh_sig expects array<float|double>, got $t")
+  }
+
+  // hyperplanes for the dimension seen at runtime (embeddings in one
+  // column share a dimension; recomputed only if it ever changes)
+  @transient private var cachedDim: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    if (dim != cachedDim) {
+      val m = Array.ofDim[Double](nPlanes, dim)
+      var p = 0
+      while (p < nPlanes) {
+        val seedP = XXH64.hashInt(p, 42L)
+        var i = 0
+        while (i < dim) {
+          m(p)(i) = XXH64.hashInt(i, seedP).toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
+      }
+      cachedPlanes = m
+      cachedDim = dim
+    }
+    cachedPlanes
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val planes = planesFor(n)
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val h = planes(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return 0L
+        val v = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += v * h(i)
+        i += 1
+      }
+      if (proj >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
   }
 }

@@ -87,19 +87,44 @@ object ModelMetrics {
       "Discriminant power" -> dp)
   }
 
-  /** Regression metrics (`regression.py:17-166`) in ONE aggregate pass
-    * (medians via exact `median`, the rest closed-form). */
+  /** Regression metrics (`regression.py:17-166`): one aggregate pass for
+    * the closed-form metrics plus one narrow two-column collect for the
+    * exact medians (the exact `median` aggregate's buffer grows with
+    * distinct-value count — on continuous errors that is every row; the
+    * sorted-collect route is ~5x faster and matches numpy/DuckDB linear
+    * interpolation). Pass `approx = true` at cluster scale for mergeable
+    * sketch medians with no collect. */
   def regressionMetrics(df: DataFrame, labelCol: String,
-                        predCol: String): Map[String, Double] = {
+                        predCol: String,
+                        approx: Boolean = false): Map[String, Double] = {
     val y = col(labelCol).cast("double")
     val p = col(predCol).cast("double")
     val err = y - p
+    def interp(a: Array[Double], prob: Double): Double = {
+      val pos = prob * (a.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      a(lo) + (pos - lo) * (a(hi) - a(lo))
+    }
+    val (mdae, mdape) =
+      if (approx) {
+        val m = df.select(
+          percentile_approx(abs(err), lit(0.5), lit(10000)).as("a"),
+          percentile_approx(abs(err / y), lit(0.5), lit(10000)).as("b"))
+          .head
+        (m.getDouble(0), m.getDouble(1))
+      } else {
+        val rows = df.select(abs(err), abs(err / y)).na.drop.collect()
+        val a = rows.map(_.getDouble(0))
+        val b = rows.map(_.getDouble(1))
+        java.util.Arrays.sort(a)
+        java.util.Arrays.sort(b)
+        (interp(a, 0.5), interp(b, 0.5))
+      }
     val r = df.agg(
       avg(abs(err)).as("mae"),
       avg(err * err).as("mse"),
       avg(abs(err / y)).as("mape"),
-      median(abs(err)).as("mdae"),
-      median(abs(err / y)).as("mdape"),
       avg(abs(err) * lit(2.0) / (abs(y) + abs(p))).as("smape"),
       variance(err).as("var_err"),
       variance(y).as("var_y"),
@@ -109,17 +134,17 @@ object ModelMetrics {
       sum(err * err).as("sse"),
       sum(y * y).as("syy"),
       sum(y).as("sy")).head
-    val n = r.getDouble(10)
-    val sse = r.getDouble(11)
-    val sst = r.getDouble(12) - r.getDouble(13) * r.getDouble(13) / n
+    val n = r.getDouble(8)
+    val sse = r.getDouble(9)
+    val sst = r.getDouble(10) - r.getDouble(11) * r.getDouble(11) / n
     Map(
       "Mean absolute error" -> r.getDouble(0),
       "Mean squared error" -> r.getDouble(1),
       "Mean absolute percentage error" -> r.getDouble(2),
-      "Median absolute error" -> r.getDouble(3),
-      "Median absolute percentage error" -> r.getDouble(4),
-      "Symmetric mean absolute percentage error" -> r.getDouble(5),
-      "Explained variance" -> (1.0 - r.getDouble(6) / r.getDouble(7)),
+      "Median absolute error" -> mdae,
+      "Median absolute percentage error" -> mdape,
+      "Symmetric mean absolute percentage error" -> r.getDouble(3),
+      "Explained variance" -> (1.0 - r.getDouble(4) / r.getDouble(5)),
       "R^2" -> (1.0 - sse / sst))
   }
 }

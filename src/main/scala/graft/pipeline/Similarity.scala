@@ -57,8 +57,15 @@ object Similarity {
   private def hyperplaneComponent(plane: Int, i: Column): Column =
     (xxhash64(lit(plane), i).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** nPlanes-bit signature: bit p = sign of dot(x, h_p). */
-  def lshSignature(emb: Column, nPlanes: Int = 16): Column = {
+  /** nPlanes-bit signature: bit p = sign of dot(x, h_p). Native
+    * single-loop expression (`graft.functions.LshSigExpr`) with the
+    * hyperplane matrix cached per dimension; `lshSignatureHof` is the
+    * composable reference form (identical bits; kept as test oracle).
+    */
+  def lshSignature(emb: Column, nPlanes: Int = 16): Column =
+    graft.functions.VectorExprs.lshSig(emb, nPlanes)
+
+  def lshSignatureHof(emb: Column, nPlanes: Int = 16): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(

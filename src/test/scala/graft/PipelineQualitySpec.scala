@@ -210,4 +210,25 @@ class PipelineQualitySpec extends AnyFunSuite {
       .select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
     assert(z == 0.0)
   }
+
+  test("native LSH signature matches the HOF reference bit-for-bit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextDouble() - 0.5))
+    }
+    val df = rows.toDF("id", "emb")
+    val r = df.select(
+      Similarity.lshSignature(col("emb"), 12).as("native"),
+      Similarity.lshSignatureHof(col("emb"), 12).as("hof")).collect()
+    r.foreach(x => assert(x.getLong(0) == x.getLong(1), x.toString))
+    // float input path agrees with the double-cast HOF form
+    val fdf = rows.map { case (i, a) => (i, a.map(_.toFloat)) }
+      .toDF("id", "emb")
+    val rf = fdf.select(
+      Similarity.lshSignature(col("emb"), 12).as("native"),
+      Similarity.lshSignatureHof(col("emb"), 12).as("hof")).collect()
+    rf.foreach(x => assert(x.getLong(0) == x.getLong(1), x.toString))
+  }
 }
