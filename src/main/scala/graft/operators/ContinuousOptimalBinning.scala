@@ -52,8 +52,10 @@ object ContinuousOptimalBinning {
     val y = col(yCol).cast(DoubleType)
     val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
-    val base = OptimalBinning.applyOutlierFilter(
-      df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config)
+    val base = OptimalBinning.applyBoundFilter(
+      OptimalBinning.applyOutlierFilter(
+        df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config),
+      config)
 
     val statsRows = base.groupBy("cls")
       .agg(aggExprs.head, aggExprs.tail :+

@@ -35,6 +35,9 @@ final case class BinningConfig(
       * (`binning.py:455`, `preprocessing.py:230-249`). */
     outlierDetector: Option[String] = None,
     outlierParams: Map[String, Any] = Map.empty,
+    /** Clean-row bound filter (`preprocessing.py:251-261`). */
+    fixLb: Option[Double] = None,
+    fixUb: Option[Double] = None,
     catCutoff: Option[Double] = None,
     catUnknown: Option[Any] = None,
     userSplits: Option[Array[Double]] = None,
@@ -122,6 +125,23 @@ object OptimalBinning {
         base.where(!(col("cls") === Preprocess.CleanClass && drop))
     }
 
+  /** Clean-row bound filter (`preprocessing.py:251-261`): keep clean rows
+    * with fix_lb <= x <= fix_ub (each bound optional); missing/special
+    * rows pass through untouched. Pure predicate — pushes into the scan.
+    * Note: when BOTH bounds are set the reference's if/elif chain applies
+    * only fix_lb (its both-bounds branch is unreachable); we apply both,
+    * the documented intent.
+    */
+  private[graft] def applyBoundFilter(base: DataFrame,
+                                      config: BinningConfig): DataFrame =
+    (config.fixLb, config.fixUb) match {
+      case (None, None) => base
+      case (lb, ub) =>
+        val keep = (lb.map(col("x") >= _) ++ ub.map(col("x") <= _))
+          .reduce(_ && _)
+        base.where(!(col("cls") === Preprocess.CleanClass) || keep)
+    }
+
   // ------------------------------------------------------------------
   // numerical
   // ------------------------------------------------------------------
@@ -142,8 +162,9 @@ object OptimalBinning {
     }
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
 
-    val base = applyOutlierFilter(
-      df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config)
+    val base = applyBoundFilter(applyOutlierFilter(
+      df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config),
+      config)
 
     // Pass 1: one hash-agg keyed by row class — totals + approx distinct.
     val statsRows = base

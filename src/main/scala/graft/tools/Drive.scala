@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators._
 
 /** Scratch driver for ad-hoc verification runs. */
 object Drive {
@@ -10,44 +11,20 @@ object Drive {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"DRIVE $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
-    // warm the scan
-    time("count-warm") { li.count() }
-    time("count") { li.count() }
-    time("pct-exact") {
-      li.select(percentile(col("l_extendedprice"),
-        array(lit(0.25), lit(0.75)))).head
-    }
-    time("pct-exact-2") {
-      li.select(percentile(col("l_extendedprice"),
-        array(lit(0.25), lit(0.75)))).head
-    }
-    time("groupby-val") {
-      li.groupBy(col("l_extendedprice")).agg(count(lit(1))).count()
-    }
-    time("agg-pass") {
-      li.agg(sum((col("l_extendedprice") > 50000).cast("long")),
-             count(lit(1))).head
-    }
-    time("collect-doubles") {
-      import spark.implicits._
-      val a = li.select(col("l_extendedprice")).na.drop
-        .as[Double].collect()
-      java.util.Arrays.sort(a)
-      println("n=" + a.length + " q25=" + a((0.25 * (a.length - 1)).toInt))
-    }
-    time("collect-doubles-2") {
-      import spark.implicits._
-      val a = li.select(col("l_extendedprice")).na.drop
-        .as[Double].collect()
-      java.util.Arrays.sort(a)
-      println("n=" + a.length)
-    }
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    // bound filter drive: restrict clean rows to a price band, fit, inspect
+    val f = OptimalBinning.fit(li, "l_extendedprice", "y",
+      BinningConfig(name = "x", fixLb = Some(20000.0), fixUb = Some(80000.0)))
+    println("DRIVE status=" + f.status + " splits=" + f.splits.length)
+    f.table.rows.foreach(r =>
+      println(f"DRIVE bin=${r.bin}%-22s n=${r.count}%.0f er=${r.eventRate}%.4f"))
+    val total = f.table.rows.map(_.count).sum
+    val inBand = li.where(col("l_extendedprice").between(20000.0, 80000.0)).count()
+    println(s"DRIVE tableTotal=$total inBandRows=$inBand (should match: no missing/special here)")
+    // splits must respect the band
+    assert(f.splits.forall(s => s >= 20000.0 && s <= 80000.0))
+    println("DRIVE OK")
     spark.stop()
   }
 }

@@ -128,4 +128,20 @@ class EdgeCaseSpec extends AnyFunSuite {
       BinningConfig(name = "x", dtype = "categorical"))
     assert(f.table.rows.map(_.count).sum == 200.0)
   }
+
+  test("fix_lb/fix_ub bound filter restricts clean rows only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (i.toDouble, i % 2)) :+
+      ((Double.NaN, 1))
+    val df = rows.toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y",
+      BinningConfig(name = "x", fixLb = Some(50.0), fixUb = Some(350.0),
+                    monotonicTrend = None))
+    // clean mass is exactly the in-bound rows; missing row is preserved
+    val dataCount = f.table.rows.take(f.nDataBins).map(_.count).sum
+    assert(math.abs(dataCount - 301.0) < 1e-9, s"dataCount $dataCount")
+    val missingRow = f.table.rows.find(_.bin == "Missing")
+    assert(missingRow.exists(_.count == 1.0))
+  }
 }
