@@ -35,6 +35,77 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
     assert(math.abs(just.getDouble(0) - just.getDouble(1)) < 1e-4)
   }
 
+  test("PWBinning: degree-2 curve is C1-continuous at knots") {
+    val df = bc
+    val pw = PWBinning.fit(df, "mean radius", "target",
+                           BinningConfig(name = "mean radius"), degree = 2)
+    val s = pw.splits(0)
+    val h = 1e-5
+    val r = df.sparkSession.range(1).select(
+      pw.predictColumn(lit(s - h)).as("a"),
+      pw.predictColumn(lit(s + h)).as("b"),
+      // one-sided slopes
+      ((pw.predictColumn(lit(s - h)) - pw.predictColumn(lit(s - 2 * h)))
+        / h).as("dl"),
+      ((pw.predictColumn(lit(s + 2 * h)) - pw.predictColumn(lit(s + h)))
+        / h).as("dr")).head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-2,
+           s"slopes ${r.getDouble(2)} vs ${r.getDouble(3)}")
+  }
+
+  test("PWBinning: monotonic descending constraint holds everywhere") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = bc
+    val pw = PWBinning.fit(df, "mean radius", "target",
+                           BinningConfig(name = "mean radius"),
+                           monotonicTrend = Some("descending"))
+    // evaluate on a dense grid: predictions must never increase
+    val grid = (0 to 400).map(i => 5.0 + i * 0.06)
+    val preds = grid.toDF("x")
+      .select(pw.curve.predict(col("x")).as("p"))
+      .as[Double].collect()
+    preds.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"increase $a -> $b")
+    }
+  }
+
+  test("PWBinning: l1 objective resists a corrupted histogram cell") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // clean linear relation + one massive outlier cell
+    val base = (1 to 300).map(i => (i.toDouble, i.toDouble))
+    val rows = base ++ Seq.fill(5)((150.0, 10000.0))
+    val df = rows.toDF("x", "y")
+    val cfg = BinningConfig(name = "x", monotonicTrend = None)
+    val l2 = PWBinning.fitContinuous(df, "x", "y", cfg)
+    val l1 = PWBinning.fitContinuous(df, "x", "y", cfg, objective = "l1")
+    def predAt(f: PWBinning.FittedContPW, v: Double): Double =
+      df.sparkSession.range(1).select(f.predictColumn(lit(v))).head
+        .getDouble(0)
+    // the l1 fit should stay near the y=x line at x=150; l2 gets pulled
+    val e1 = math.abs(predAt(l1, 150.0) - 150.0)
+    val e2 = math.abs(predAt(l2, 150.0) - 150.0)
+    assert(e1 < e2, s"l1 err $e1 l2 err $e2")
+    assert(e1 < 30.0, s"l1 err $e1")
+  }
+
+  test("PWBinning: discontinuous per-bin fit predicts bin means (deg 0)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = bc
+    val pw = PWBinning.fit(df, "mean radius", "target",
+                           BinningConfig(name = "mean radius"), degree = 0)
+    // degree-0 prediction inside a bin equals that bin's event rate
+    val er = df
+      .where(col("mean radius") < pw.splits(0))
+      .agg(avg(col("target"))).head.getDouble(0)
+    val p = df.sparkSession.range(1)
+      .select(pw.predictColumn(lit(pw.splits(0) - 0.5))).head.getDouble(0)
+    assert(math.abs(p - er) < 0.05, s"pred $p er $er")
+  }
+
   test("Counterfactual: minimal bin changes flip the outcome") {
     val df = bc
     val sc = Scorecard.fit(df, Seq("mean radius", "mean texture",
