@@ -233,6 +233,33 @@ object SparkEntry {
     }),
 
     // --- pipeline: dedup --------------------------------------------
+    "q_drift_ztest" -> ((s, dir) => {
+      // per-bin 2-proportion z drift test between two date cohorts
+      // (`monitoring.py:598-654` semantics on fixed bins)
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val bin = binIdx(col("o_totalprice"), Array(100000.0, 250000.0))
+      def agg(df: DataFrame): Map[Int, (Double, Double)] =
+        df.select(bin.as("bin"),
+                  when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)
+                    .as("y"))
+          .groupBy("bin")
+          .agg(sum("y").as("e"),
+               (count(lit(1)).cast("double") - sum("y")).as("ne"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+      val e = agg(o.where(col("o_orderdate") < cutoff))
+      val a = agg(o.where(col("o_orderdate") >= cutoff))
+      import s.implicits._
+      (e.keySet ++ a.keySet).toSeq.sorted.map { b =>
+        val (e1, ne1) = e.getOrElse(b, (0.0, 0.0))
+        val (e2, ne2) = a.getOrElse(b, (0.0, 0.0))
+        val (z, _) = graft.core.Stats.testProportions(e1, ne1, e2, ne2)
+        (b, scale6(e1 / (e1 + ne1)), scale6(e2 / (e2 + ne2)), scale6(z))
+      }.toDF("bin", "rate_e", "rate_a", "z").orderBy("bin")
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       // exact-dup groups on normalized text (md5 key for oracle parity)
       val d = T(s, dir, "documents")
@@ -1041,6 +1068,32 @@ object SparkEntry {
            FROM h)
          SELECT lang, pred, count(*) AS n
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_drift_ztest" ->
+      """WITH b AS (
+           SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                       WHEN o_totalprice < 250000 THEN 1
+                       ELSE 2 END AS bin,
+                  CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+                  (o_orderdate < TIMESTAMP '1998-01-01') AS is_e
+           FROM orders),
+         g AS (
+           SELECT bin,
+                  sum(CASE WHEN is_e THEN y ELSE 0 END) AS e1,
+                  sum(CASE WHEN is_e THEN 1 - y ELSE 0 END) AS ne1,
+                  sum(CASE WHEN NOT is_e THEN y ELSE 0 END) AS e2,
+                  sum(CASE WHEN NOT is_e THEN 1 - y ELSE 0 END) AS ne2
+           FROM b GROUP BY 1),
+         z AS (
+           SELECT bin,
+                  e1 / (e1 + ne1) AS p1, e2 / (e2 + ne2) AS p2,
+                  (e1 + e2) / (e1 + ne1 + e2 + ne2) AS p,
+                  e1 + ne1 AS n1, e2 + ne2 AS n2
+           FROM g)
+         SELECT bin, round(p1, 6) AS rate_e, round(p2, 6) AS rate_a,
+                round(abs((p1 - p2)
+                          / sqrt(p * (1 - p) * (1 / n1 + 1 / n2))), 6) AS z
+         FROM z ORDER BY bin""",
 
     "q_outlier_hdi" ->
       // shortest 50%-mass interval from order statistics, k=1.5 expansion
