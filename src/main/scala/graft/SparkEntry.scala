@@ -498,6 +498,27 @@ object SparkEntry {
         .toDF("bin", "count", "event_rate", "woe")
     }),
 
+    "q_cat_sketch" -> ((s, dir) => {
+      // mergeable categorical sketch binning: split-add + merge + solve
+      // (rows-only: solver-driven; equality with batch fit is unit-tested)
+      val o = T(s, dir, "orders")
+        .withColumn("y", when(col("o_orderstatus") === "F", 1.0)
+          .otherwise(0.0))
+      val cfg = BinningConfig(name = "o_orderpriority",
+                              dtype = "categorical")
+      val skA = new graft.streaming.OptimalBinningCatSketch(cfg)
+      val skB = new graft.streaming.OptimalBinningCatSketch(cfg)
+      skA.add(o.where(col("o_orderkey") % 2 === 0), "o_orderpriority", "y")
+      skB.add(o.where(col("o_orderkey") % 2 === 1), "o_orderpriority", "y")
+      skA.merge(skB)
+      val fitted = skA.solve()
+      import s.implicits._
+      fitted.table.rows.take(fitted.nDataBins).zipWithIndex.map {
+        case (r, i) => (i.toLong, r.count.toLong, scale6(r.eventRate),
+                        scale6(r.woe))
+      }.toSeq.toDF("bin", "count", "event_rate", "woe")
+    }),
+
     "q_process_summary" -> ((s, dir) => {
       // multi-variable binning process: per-variable IV/JS/Gini summary
       val li = liTarget(T(s, dir, "lineitem"))

@@ -234,4 +234,27 @@ class SketchAndProcessSpec extends AnyFunSuite {
              0.2 * math.abs(fg.splits.head),
            s"${ft.splits.mkString(",")} vs ${fg.splits.mkString(",")}")
   }
+
+  test("categorical sketch: stream solve equals batch fit exactly") {
+    val df = li
+    val cfg = BinningConfig(name = "l_linestatus", dtype = "categorical")
+    val batch = OptimalBinning.fit(df, "l_linestatus", "y", cfg)
+
+    // single add
+    val sk = new OptimalBinningCatSketch(cfg)
+    sk.add(df, "l_linestatus", "y")
+    val once = sk.solve()
+    assert(once.catBins.map(_.toSeq).toSeq == batch.catBins.map(_.toSeq).toSeq)
+    assert(math.abs(once.table.iv - batch.table.iv) < 1e-12)
+
+    // incremental adds + merge: same exact result (order-insensitive)
+    val skA = new OptimalBinningCatSketch(cfg)
+    val skB = new OptimalBinningCatSketch(cfg)
+    skA.add(df.where(col("l_orderkey") % 2 === 0), "l_linestatus", "y")
+    skB.add(df.where(col("l_orderkey") % 2 === 1), "l_linestatus", "y")
+    skA.merge(skB)
+    val merged = skA.solve()
+    assert(merged.catBins.map(_.toSeq).toSeq == batch.catBins.map(_.toSeq).toSeq)
+    assert(math.abs(merged.table.iv - batch.table.iv) < 1e-12)
+  }
 }
