@@ -146,4 +146,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("ngram-jaccard join evaluates on materialized shingles, not " +
+       "per-pair recomputation") {
+    val spark = TestSpark.spark
+    val plan = physical(
+      graft.SparkEntry.queries("q_ngram_jaccard")(spark, TestSpark.sf0001))
+    // the repartition barrier materializes shingle arrays below the join;
+    // the join condition and post-join projection must then reference
+    // shingle COLUMNS only. Without the barrier CollapseProject inlines
+    // the shingle-building expression (concat_ws over token slices) into
+    // the per-pair join condition — O(pairs) recomputation.
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    val jaccardLines = plan.linesIterator
+      .filter(_.contains("AS jaccard")).toSeq
+    assert(joinLines.nonEmpty, plan)
+    assert(joinLines.forall(!_.contains("concat_ws")), joinLines)
+    assert(jaccardLines.forall(!_.contains("concat_ws")), jaccardLines)
+    // shingles are built exactly once per side (2 concat_ws occurrences
+    // inside each side's single shingle projection), below the exchanges
+    assert(countOccurrences(plan, "concat_ws") <= 4, plan)
+  }
+
+  test("native vector kernels appear in the plan (no HOF lambda chains)") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupPairs(e, "embedding", "vec_id",
+                                              threshold = 0.9, nPlanes = 8)
+    val plan = physical(pairs)
+    assert(plan.contains("graft_lsh_sig"), plan)
+    assert(plan.contains("graft_cosine"), plan)
+    // the interpreted HOF kernels must NOT be in this hot path
+    assert(!plan.contains("zip_with"), plan)
+    assert(!plan.contains("aggregate("), plan)
+  }
+
+  test("IVF corpus assignment is one narrow projection (no ml job chain)") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = Similarity.ivfTopK(e, q, "embedding", "vec_id", "qid",
+                                 k = 3, nLists = 4, nProbe = 2)
+    val plan = physical(res)
+    // probe join broadcasts the exploded query side; corpus not shuffled
+    // before the join (only the window ranking shuffles candidates)
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastExchange"), plan)
+  }
 }
