@@ -75,8 +75,18 @@ object OptimalBinning {
           config: BinningConfig = BinningConfig(),
           weightCol: Option[String] = None): FittedOptimalBinning = {
     require(config.dtype == "numerical" || config.dtype == "categorical")
-    if (config.dtype == "numerical") fitNumerical(df, xCol, yCol, config, weightCol)
-    else fitCategorical(df, xCol, yCol, config, weightCol)
+    val t0 = System.nanoTime()
+    val fitted =
+      if (config.dtype == "numerical")
+        fitNumerical(df, xCol, yCol, config, weightCol)
+      else fitCategorical(df, xCol, yCol, config, weightCol)
+    val total = (System.nanoTime() - t0) / 1e9
+    val accounted = fitted.timings.values.sum
+    fitted.timings ++= Map(
+      "total" -> total,
+      // the Spark aggregate passes are everything not spent driver-side
+      "data_pass" -> math.max(0.0, total - accounted))
+    fitted
   }
 
   private[graft] def gammaRegOf(gamma: Double, totalRecords: Long): Long =
@@ -511,6 +521,7 @@ object OptimalBinning {
 
     val n = nNonevent.length
 
+    val tSolve0 = System.nanoTime()
     // solve (`binning.py:907-1052`)
     val (status, solution) =
       if (n <= 1) ("OPTIMAL", Array.fill(math.max(n, 0))(false))
@@ -558,6 +569,8 @@ object OptimalBinning {
                              trend, trendChange, cons, adjV, allV)
         (r.status, r.solution)
       }
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
+    val tPost0 = System.nanoTime()
 
     val solutionFull =
       if (n <= 1) Array.fill(n)(true)
@@ -642,9 +655,14 @@ object OptimalBinning {
     val catsOut =
       if (ordinalGroups != null) ordinalGroups.flatten
       else categories
-    new FittedOptimalBinning(config, status, splitsOptimal, table,
-                             catsOut, binsOfCats, catOthers, nDataBins,
-                             othersCatchAll)
+    val fitted =
+      new FittedOptimalBinning(config, status, splitsOptimal, table,
+                               catsOut, binsOfCats, catOthers, nDataBins,
+                               othersCatchAll)
+    fitted.timings = Map(
+      "solver" -> tSolve,
+      "postprocessing" -> (System.nanoTime() - tPost0) / 1e9)
+    fitted
   }
 
   /** Category membership of each final bin: ordinal ranges -> category
@@ -732,6 +750,25 @@ final class FittedOptimalBinning(
     val othersCatchAll: Boolean = false) extends Serializable {
 
   def iv: Double = table.iv
+
+  /** Per-phase wall times in seconds — the reference's `information()`
+    * breakdown (`binning.py:528-534, 670-702`): "data_pass" (the Spark
+    * aggregate jobs), "solver", "postprocessing", "total". Empty when the
+    * model was loaded from JSON rather than fitted. */
+  @transient var timings: Map[String, Double] = Map.empty
+
+  /** Human-readable fit summary (`information()` mirror). */
+  def information(): String = {
+    val t = timings.withDefaultValue(0.0)
+    f"""optimal binning fit: ${config.name}%s (${config.dtype}%s)
+       |  status           ${status}%s
+       |  bins             ${nDataBins}%d data + special/missing
+       |  iv               ${table.iv}%.8f
+       |  time total       ${t("total")}%.4f s
+       |    data pass      ${t("data_pass")}%.4f s
+       |    solver         ${t("solver")}%.4f s
+       |    postprocessing ${t("postprocessing")}%.4f s""".stripMargin
+  }
 
   /** Transform x into the requested metric
     * (`optbinning/binning/transformations.py:230-316`).
