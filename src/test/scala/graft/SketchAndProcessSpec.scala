@@ -257,4 +257,21 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(merged.catBins.map(_.toSeq).toSeq == batch.catBins.map(_.toSeq).toSeq)
     assert(math.abs(merged.table.iv - batch.table.iv) < 1e-12)
   }
+
+  test("BinningProcessSketch routes categorical variables to CatSketch") {
+    val df = li
+    val bps = new BinningProcessSketch(
+      Seq("l_extendedprice"), BinningConfig(),
+      catVariables = Seq("l_linestatus"))
+    bps.add(df, "y")
+    val fits = bps.solveAll()
+    assert(fits.contains("l_extendedprice"))
+    assert(fits.contains("l_linestatus"))
+    val cat = fits("l_linestatus")
+    // categorical result equals the exact batch categorical fit
+    val batch = OptimalBinning.fit(df, "l_linestatus", "y",
+      BinningConfig(name = "l_linestatus", dtype = "categorical"))
+    assert(cat.catBins.map(_.toSeq).toSeq == batch.catBins.map(_.toSeq).toSeq)
+    assert(math.abs(cat.table.iv - batch.table.iv) < 1e-12)
+  }
 }
