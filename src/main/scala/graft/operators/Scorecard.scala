@@ -67,6 +67,36 @@ object Scorecard {
               col("w"))
       .persist()
 
+    // WoE mean + Cholesky whitening factor of inv(cov) over the SAME
+    // compact aggregate (weights = multiplicities, so this equals the
+    // reference's row-level np.cov/chol on the transformed matrix,
+    // `counterfactual/problem_data.py:52-55`) — feeds the counterfactual
+    // "closeness" (Mahalanobis) objective. None when degenerate.
+    val woeStats: Option[(Array[Double], Array[Array[Double]])] =
+      if (nCombos > 1e5) None
+      else try {
+        val rows = compact.collect()
+        val p = selected.size
+        val wTot = rows.map(_.getDouble(p + 1)).sum
+        val mu = new Array[Double](p)
+        rows.foreach { r =>
+          val w = r.getDouble(p + 1)
+          (0 until p).foreach(i => mu(i) += w * r.getDouble(i))
+        }
+        (0 until p).foreach(i => mu(i) /= wTot)
+        val cov = breeze.linalg.DenseMatrix.zeros[Double](p, p)
+        rows.foreach { r =>
+          val w = r.getDouble(p + 1)
+          val d = (0 until p).map(i => r.getDouble(i) - mu(i))
+          for (i <- 0 until p; j <- 0 until p)
+            cov(i, j) += w * d(i) * d(j)
+        }
+        cov :/= (wTot - 1.0)
+        (0 until p).foreach(i => cov(i, i) += 1e-12)
+        val f = breeze.linalg.cholesky(breeze.linalg.inv(cov))
+        Some((mu, Array.tabulate(p, p)((i, j) => f(i, j))))
+      } catch { case _: Exception => None }
+
     val (coefs, intercept) = try {
       target match {
         case "binary" =>
@@ -140,7 +170,7 @@ object Scorecard {
     }
 
     new FittedScorecard(process, selected.toArray, coefs, intercept,
-                        rows.toArray, interceptOut, scaling)
+                        rows.toArray, interceptOut, scaling, woeStats)
   }
 
   /** Integer rounding preserving the exact total min/max score
@@ -225,7 +255,11 @@ final class FittedScorecard(
     val estimatorIntercept: Double,
     val pointsTable: Array[Scorecard.PointsRow],
     val baseIntercept: Double,
-    val scaling: Scorecard.ScalingConfig) extends Serializable {
+    val scaling: Scorecard.ScalingConfig,
+    /** (mean, cholesky(inv(cov))) of the WoE design — Mahalanobis basis
+      * for counterfactual closeness; None when unavailable. */
+    val woeStats: Option[(Array[Double], Array[Array[Double]])] = None)
+    extends Serializable {
 
   /** Per-variable points expression: the variable's transform CASE chain
     * with points as values (including special/missing rows). */

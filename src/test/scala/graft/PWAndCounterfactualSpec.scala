@@ -138,6 +138,57 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
       assert(cf.changes.keySet.subsetOf(Set("mean radius")), cf.changes))
   }
 
+  test("Counterfactual objectives: weighted and hierarchical methods") {
+    val df = bc
+    val sc = Scorecard.fit(df, Seq("mean radius", "mean texture",
+                                   "mean perimeter"), "target")
+    assert(sc.woeStats.isDefined, "closeness basis should be available")
+    val row = df.select(col("mean radius"), col("mean texture"),
+                        col("mean perimeter"),
+                        sc.predictProbaColumn().as("p"))
+      .where(col("p") < 0.3).head
+    val bins = sc.selected.map { v =>
+      val f = sc.process.fits(v)
+      val x = row.getDouble(row.fieldIndex(v))
+      v -> f.splits.count(_ <= x)
+    }.toMap
+
+    val weighted = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+      maxChanges = 2, method = "weighted")
+    assert(weighted.nonEmpty)
+    assert(weighted.head.objectives.contains("proximity"))
+    assert(weighted.head.objectives.contains("closeness"))
+    assert(weighted.head.objectives.values.forall(_ >= 0))
+
+    val hier = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+      maxChanges = 2, method = "hierarchical")
+    assert(hier.nonEmpty)
+    assert(hier.head.probability >= 0.8)
+
+    // proximity-only weighted search returns the minimum-proximity CF:
+    // no other satisfying candidate may have smaller proximity
+    val proxOnly = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+      maxChanges = 1, method = "weighted",
+      objectives = Some(Map("proximity" -> 1.0)))
+    val brute = for {
+      (v, i) <- sc.selected.zipWithIndex
+      f = sc.process.fits(v)
+      woe = f.table.woe.take(f.nDataBins)
+      cur = bins(v)
+      b <- woe.indices if b != cur
+      linear = sc.selected.zipWithIndex.map { case (v2, j) =>
+        val f2 = sc.process.fits(v2)
+        val w2 = f2.table.woe.take(f2.nDataBins)
+        (if (v2 == v) w2(b) else w2(bins(v2))) * sc.coefficients(j)
+      }.sum + sc.estimatorIntercept
+      p = 1.0 / (1.0 + math.exp(-linear)) if p >= 0.8
+      range = woe.max - woe.min if range > 0
+    } yield math.abs(woe(b) - woe(cur)) / range
+    if (proxOnly.nonEmpty && brute.nonEmpty)
+      assert(proxOnly.head.objectives("proximity") <= brute.min + 1e-9,
+             s"${proxOnly.head.objectives} vs brute ${brute.min}")
+  }
+
   test("min_max scaling contracts: plain, intercept_based, reverse " +
        "(test_scorecard.py:262-306)") {
     val spark = TestSpark.spark
