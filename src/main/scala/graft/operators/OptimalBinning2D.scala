@@ -17,12 +17,13 @@ import graft.core.Metrics
   *
   * Solver: the reference enumerates all axis-aligned rectangles and packs
   * them with CP connectivity constraints (`model_data_2d.py:49-167`);
-  * here the driver runs an exact guillotine-partition DP over the
-  * <=(mx x my) grid (memoized best split of every sub-rectangle into
-  * horizontal/vertical cuts or a leaf). Guillotine partitions are a
-  * subset of the reference's rectangle packings — objective values are
-  * comparable but can be <= the CP optimum; at the default 5x5 grid the
-  * gap is rarely material. IV per rectangle from 2D prefix sums.
+  * here the driver searches the SAME solution space exactly for grids of
+  * <= 30 cells (first-gap rectangle tiling with full bitmask
+  * memoization — includes non-guillotine patterns like pinwheels the CP
+  * can also produce), and falls back to the polynomial
+  * guillotine-partition DP beyond (its cut structure is a strict subset;
+  * gap rarely material at larger grids). IV per rectangle from 2D prefix
+  * sums.
   */
 object OptimalBinning2D {
 
@@ -115,7 +116,7 @@ object OptimalBinning2D {
       })
     }
 
-    val (status, leaves) = guillotineSolve(mx, my, leafIv)
+    val (status, leaves) = tilingSolve(mx, my, leafIv)
     val rects =
       if (status == "OPTIMAL")
         leaves.map { case (x1, x2, y1, y2, v) =>
@@ -125,6 +126,88 @@ object OptimalBinning2D {
       else Array(Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0))
 
     new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe, tEv)
+  }
+
+  /** Best rectangle partition of the (mx x my) prebin grid: the exact
+    * tiling search for small grids (the reference CP's full search space
+    * — includes non-guillotine patterns like pinwheels,
+    * `binning_2d.py:813-945` candidate-rectangle cover), guillotine DP
+    * beyond (polynomial; its cut structure is a strict subset).
+    */
+  private[graft] def tilingSolve(mx: Int, my: Int,
+                                 leafVal: (Int, Int, Int, Int) => Option[Double])
+      : (String, Array[(Int, Int, Int, Int, Double)]) =
+    if (mx * my <= 30) exactTilingSolve(mx, my, leafVal)
+    else guillotineSolve(mx, my, leafVal)
+
+  /** Exact maximum-value rectangle TILING via first-gap branch and bound
+    * with full memoization on the covered-cell bitmask: the first
+    * uncovered cell (row-major) must be the top-left corner of the next
+    * rectangle, so the optimal completion is a pure function of the mask.
+    * Covers every rectangle partition — the same solution space as the
+    * reference's 2D CP (`cp_2d.py:14-150`).
+    */
+  private[graft] def exactTilingSolve(mx: Int, my: Int,
+                                      leafVal: (Int, Int, Int, Int) => Option[Double])
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
+    val nCells = mx * my
+    val full = if (nCells == 64) -1L else (1L << nCells) - 1
+    @inline def bit(ix: Int, iy: Int): Int = iy * mx + ix
+    // memo: mask -> (best completion value, chosen rect for first gap)
+    val memo = mutable.HashMap.empty[Long, (Double, (Int, Int, Int, Int))]
+
+    def best(mask: Long): (Double, (Int, Int, Int, Int)) = {
+      if (mask == full) return (0.0, null)
+      memo.getOrElseUpdate(mask, {
+        val gap = java.lang.Long.numberOfTrailingZeros(~mask & full)
+        val gx = gap % mx
+        val gy = gap / mx
+        var bestV = Double.NegativeInfinity
+        var bestR: (Int, Int, Int, Int) = null
+        var x2 = gx
+        var maxX2 = mx - 1
+        while (x2 <= maxX2) {
+          // row gy from gx..x2 must be free (cells left of gap are set)
+          if ((mask & (1L << bit(x2, gy))) != 0) {
+            maxX2 = x2 - 1 // cannot extend past an occupied cell
+          } else {
+            // bitmask row-span checks: row y2's span is one AND
+            val span = ((1L << (x2 - gx + 1)) - 1) << gx
+            var rectMask = 0L
+            var y2 = gy
+            var ok = true
+            while (ok && y2 < my) {
+              val rowMask = span << (y2 * mx)
+              if ((mask & rowMask) != 0) ok = false
+              else {
+                rectMask |= rowMask
+                leafVal(gx, x2, gy, y2).foreach { v =>
+                  val rest = best(mask | rectMask)._1
+                  if (rest > Double.NegativeInfinity && v + rest > bestV) {
+                    bestV = v + rest; bestR = (gx, x2, gy, y2)
+                  }
+                }
+                y2 += 1
+              }
+            }
+          }
+          x2 += 1
+        }
+        (bestV, bestR)
+      })
+    }
+
+    val (obj, _) = best(0L)
+    if (obj == Double.NegativeInfinity) return ("INFEASIBLE", Array.empty)
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Double)]
+    var mask = 0L
+    while (mask != full) {
+      val (_, r) = best(mask)
+      val (x1, x2, y1, y2) = r
+      out += ((x1, x2, y1, y2, leafVal(x1, x2, y1, y2).get))
+      for (yy <- y1 to y2; xx <- x1 to x2) mask |= 1L << bit(xx, yy)
+    }
+    ("OPTIMAL", out.toArray)
   }
 
   /** Exact guillotine-partition DP over an (mx x my) prebin grid.
@@ -267,7 +350,7 @@ object OptimalBinning2D {
       Some(math.abs(m - tMean))
     }
 
-    val (status, leaves) = guillotineSolve(mx, my, leafNorm)
+    val (status, leaves) = tilingSolve(mx, my, leafNorm)
     val rects =
       if (status == "OPTIMAL")
         leaves.map { case (x1, x2, y1, y2, v) =>
