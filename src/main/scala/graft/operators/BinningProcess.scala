@@ -22,13 +22,28 @@ import graft.core.Prebinning
   */
 object BinningProcess {
 
+  /** Per-metric selection rule (`selection_criteria` entry,
+    * `binning_process.py:160-200`): min/max bounds plus an optional
+    * top-k pick — `top` an integer count, or a (0,1) fraction of the
+    * still-eligible variables (`binning_process.py:378-384`). */
+  final case class MetricCriteria(
+      min: Option[Double] = None, max: Option[Double] = None,
+      strategy: Option[String] = None, // "highest" | "lowest"
+      top: Option[Double] = None)
+
   final case class Selection(
       minIv: Option[Double] = None, maxIv: Option[Double] = None,
       minJs: Option[Double] = None, maxJs: Option[Double] = None,
       minGini: Option[Double] = None,
       minQuality: Option[Double] = None,
       strategy: Option[String] = None, // "highest" | "lowest"
-      topK: Option[Int] = None)
+      topK: Option[Int] = None,
+      /** Reference-shaped criteria: metric ("iv"|"js"|"gini"|"quality")
+        * -> rule, applied in metric order after the flat bounds above. */
+      criteria: Map[String, MetricCriteria] = Map.empty,
+      /** Always-selected variables (`fixed_variables`,
+        * `binning_process.py:392-395`). */
+      fixedVariables: Seq[String] = Seq.empty)
 
   def fit(df: DataFrame, variables: Seq[String], yCol: String,
           targetType: String = "binary",
@@ -280,7 +295,7 @@ final class FittedBinningProcess(
       s.minGini.foreach(b => ok &&= f.table.gini >= b)
       v -> ok
     }.toMap
-    (s.strategy, s.topK) match {
+    var mask = (s.strategy, s.topK) match {
       case (Some(strategy), Some(k)) =>
         val eligible = variables.filter(base)
         val ranked = eligible.sortBy(v =>
@@ -289,6 +304,49 @@ final class FittedBinningProcess(
         variables.map(v => v -> (base(v) && keep(v))).toMap
       case _ => base
     }
+    // reference-shaped per-metric criteria, metric order fixed like
+    // `_METRICS` iteration (`binning_process.py:361-389`)
+    def metricOf(v: String, m: String): Double = m match {
+      case "iv" => fits(v).table.iv
+      case "js" => fits(v).table.js
+      case "gini" => fits(v).table.gini
+      case "quality" | "quality_score" =>
+        fits(v).table.analysis().qualityScore
+      case other =>
+        throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    Seq("iv", "js", "gini", "quality", "quality_score").foreach { m =>
+      s.criteria.get(m).foreach { c =>
+        c.min.foreach { b =>
+          mask = mask.map { case (v, ok) =>
+            v -> (ok && metricOf(v, m) >= b)
+          }
+        }
+        c.max.foreach { b =>
+          mask = mask.map { case (v, ok) =>
+            v -> (ok && metricOf(v, m) <= b)
+          }
+        }
+        (c.strategy, c.top) match {
+          case (Some(strategy), Some(top)) =>
+            val eligible = variables.filter(mask)
+            val n = math.min(
+              eligible.length,
+              if (top >= 1.0) top.toInt
+              else math.ceil(eligible.length * top).toInt)
+            val ranked = eligible.sortBy(v =>
+              (if (strategy == "highest") -1 else 1) * metricOf(v, m))
+            val keep = ranked.take(n).toSet
+            mask = mask.map { case (v, ok) => v -> (ok && keep(v)) }
+          case _ =>
+        }
+      }
+    }
+    // fixed variables are always selected
+    s.fixedVariables.foreach { fv =>
+      if (mask.contains(fv)) mask += fv -> true
+    }
+    mask
   }
 
   def selectedVariables: Array[String] = variables.filter(support)

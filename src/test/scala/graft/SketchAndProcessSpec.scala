@@ -274,4 +274,34 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(cat.catBins.map(_.toSeq).toSeq == batch.catBins.map(_.toSeq).toSeq)
     assert(math.abs(cat.table.iv - batch.table.iv) < 1e-12)
   }
+
+  test("selection criteria: per-metric min/top rules and fixed variables") {
+    val df = li
+    val vars = Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax")
+    // top-2 by IV among those passing a (permissive) min bound
+    val proc = BinningProcess.fit(df, vars, "y",
+      selection = BinningProcess.Selection(criteria = Map(
+        "iv" -> BinningProcess.MetricCriteria(
+          min = Some(0.0), strategy = Some("highest"), top = Some(2)))))
+    val sel = proc.selectedVariables.toSet
+    assert(sel.size == 2, sel)
+    val ivs = vars.map(v => v -> proc.fits(v).table.iv).toMap
+    val top2 = vars.sortBy(v => -ivs(v)).take(2).toSet
+    assert(sel == top2, s"$sel vs $top2 ivs=$ivs")
+
+    // fractional top: 0.5 of eligible = ceil(4 * 0.5) = 2
+    val procF = BinningProcess.fit(df, vars, "y",
+      selection = BinningProcess.Selection(criteria = Map(
+        "iv" -> BinningProcess.MetricCriteria(
+          strategy = Some("highest"), top = Some(0.5)))))
+    assert(procF.selectedVariables.length == 2)
+
+    // fixed variable survives an impossible bound
+    val procFix = BinningProcess.fit(df, vars, "y",
+      selection = BinningProcess.Selection(
+        criteria = Map("iv" -> BinningProcess.MetricCriteria(
+          min = Some(1e9))),
+        fixedVariables = Seq("l_tax")))
+    assert(procFix.selectedVariables.toSeq == Seq("l_tax"))
+  }
 }
