@@ -281,6 +281,11 @@ final class FittedScorecard(
   def score(df: DataFrame, keepCols: Seq[String] = Seq.empty): DataFrame =
     df.select(keepCols.map(col) :+ scoreColumn().as("score"): _*)
 
+  /** Predicted class label via the probability threshold
+    * (`scorecard.py:335-354` predict). */
+  def predictColumn(threshold: Double = 0.5): Column =
+    (predictProbaColumn() >= threshold).cast("double")
+
   /** Event probability via the logistic link on the linear predictor
     * (equivalent to sklearn predict_proba on WoE features). */
   def predictProbaColumn(): Column = {

@@ -97,4 +97,64 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
       "ks_expected" -> ModelMetrics.ks(e, "y", "p"),
       "ks_actual" -> ModelMetrics.ks(a, "y", "p"))
   }
+
+  /** Target analysis: count/event statistics per cohort
+    * (`monitoring.py` target report). */
+  def targetAnalysis(expected: DataFrame, actual: DataFrame,
+                     yCol: String): Seq[(String, Double, Double)] = {
+    def stats(df: DataFrame): (Double, Double) = {
+      val r = df.agg(count(lit(1)).cast("double"),
+                     avg(col(yCol).cast("double"))).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (ne, re) = stats(expected)
+    val (na, ra) = stats(actual)
+    Seq(("count", ne, na), ("event_rate", re, ra))
+  }
+
+  /** Text overview mirroring the reference's `system_stability_report`
+    * (`monitoring.py:73-163`): PSI total + verdict and the per-bin PSI /
+    * p-value histograms, target analysis, performance metrics.
+    */
+  def systemStabilityReport(expected: DataFrame, actual: DataFrame,
+                            yCol: String): String = {
+    val psi = psiTable(expected, actual)
+      .select("psi").collect().map(_.getDouble(0))
+    val tPsi = psi.sum
+    def histo(vals: Array[Double], splits: Seq[Double]): Array[Int] = {
+      val bins = Array.fill(splits.length + 1)(0)
+      vals.foreach { v =>
+        bins(splits.count(v > _)) += 1
+      }
+      bins
+    }
+    val psiBins = histo(psi, Seq(0.10, 0.25))
+    val pvals = significanceTests(expected, actual, yCol).map(_._5)
+    val pvalBins = histo(pvals, Seq(0.05, 0.10, 0.50))
+    val ta = targetAnalysis(expected, actual, yCol)
+    val perf = performance(expected, actual, yCol)
+    val sb = new StringBuilder
+    sb ++= "System stability report\n\n"
+    sb ++= "  Population Stability Index (PSI)\n"
+    val verdict = Monitoring.psiVerdict(tPsi)
+    sb ++= f"    PSI total: $tPsi%7.4f ($verdict%s)\n"
+    Seq("[0.00, 0.10)", "[0.10, 0.25)", "[0.25, Inf+)")
+      .zip(psiBins).foreach { case (l, c) =>
+        sb ++= f"    $l%-14s $c%5d\n"
+      }
+    sb ++= "\n  Significance tests (H0: actual == expected)\n"
+    Seq("[0.00, 0.05)", "[0.05, 0.10)", "[0.10, 0.50)", "[0.50, 1.00)")
+      .zip(pvalBins).foreach { case (l, c) =>
+        sb ++= f"    $l%-14s $c%5d\n"
+      }
+    sb ++= "\n  Target analysis\n"
+    ta.foreach { case (k, e, a) =>
+      sb ++= f"    $k%-12s expected $e%12.6f actual $a%12.6f\n"
+    }
+    sb ++= "\n  Performance metrics\n"
+    perf.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb ++= f"    $k%-14s $v%10.6f\n"
+    }
+    sb.result()
+  }
 }

