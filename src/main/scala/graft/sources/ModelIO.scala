@@ -7,7 +7,8 @@ import org.json4s.jackson.JsonMethods
 import org.json4s.JsonDSL._
 
 import graft.core.BinningTables
-import graft.operators.{BinningConfig, FittedOptimalBinning, SpecialList}
+import graft.operators.{BinningConfig, BinningProcess, FittedBinningProcess,
+  FittedOptimalBinning, FittedScorecard, Scorecard, SpecialList}
 
 /** Model persistence mirroring the reference's `to_json`/`read_json`
   * surface (`optbinning/binning/binning.py:1189-1255`): the model IS the
@@ -82,4 +83,85 @@ object ModelIO {
 
   def load(path: String): FittedOptimalBinning =
     fromJson(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  // ------------------------------------------------------------------
+  // multi-variable process + scorecard persistence
+  // (`binning_process.py:317-349`, `scorecard.py:507-538` — the
+  // reference pickles; JSON here so models are portable/inspectable)
+  // ------------------------------------------------------------------
+
+  def processToJson(p: FittedBinningProcess): String = {
+    val json: JObject =
+      ("variables" -> p.variables.toList) ~
+      ("fits" -> p.variables.toList.map(v =>
+        JsonMethods.parse(toJson(p.fits(v)))))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  def processFromJson(s: String): FittedBinningProcess = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val variables = (j \ "variables").extract[List[String]]
+    val fits = (j \ "fits").extract[List[JValue]]
+      .map(v => fromJson(JsonMethods.compact(JsonMethods.render(v))))
+    new FittedBinningProcess(
+      variables.toArray,
+      variables.zip(fits).toMap,
+      BinningProcess.Selection())
+  }
+
+  def saveProcess(p: FittedBinningProcess, path: String): Unit =
+    Files.write(Paths.get(path), processToJson(p).getBytes("UTF-8"),
+                StandardOpenOption.CREATE,
+                StandardOpenOption.TRUNCATE_EXISTING)
+
+  def loadProcess(path: String): FittedBinningProcess =
+    processFromJson(
+      new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  def scorecardToJson(sc: FittedScorecard): String = {
+    val json: JObject =
+      ("process" -> JsonMethods.parse(processToJson(sc.process))) ~
+      ("selected" -> sc.selected.toList) ~
+      ("coefficients" -> sc.coefficients.toList) ~
+      ("estimator_intercept" -> sc.estimatorIntercept) ~
+      ("base_intercept" -> sc.baseIntercept) ~
+      ("points" -> sc.pointsTable.toList.map { r =>
+        ("variable" -> r.variable) ~ ("bin_id" -> r.binId) ~
+        ("bin" -> r.bin) ~ ("count" -> r.count) ~
+        ("event_rate" -> r.eventRate) ~ ("woe" -> r.woe) ~
+        ("coefficient" -> r.coefficient) ~ ("points" -> r.points)
+      })
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  def scorecardFromJson(s: String): FittedScorecard = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val process = processFromJson(
+      JsonMethods.compact(JsonMethods.render(j \ "process")))
+    val selected = (j \ "selected").extract[List[String]].toArray
+    val coefs = (j \ "coefficients").extract[List[Double]].toArray
+    val intercept = (j \ "estimator_intercept").extract[Double]
+    val base = (j \ "base_intercept").extract[Double]
+    val points = (j \ "points").extract[List[JValue]].map { r =>
+      Scorecard.PointsRow(
+        (r \ "variable").extract[String], (r \ "bin_id").extract[Int],
+        (r \ "bin").extract[String], (r \ "count").extract[Double],
+        (r \ "event_rate").extract[Double], (r \ "woe").extract[Double],
+        (r \ "coefficient").extract[Double],
+        (r \ "points").extract[Double])
+    }.toArray
+    new FittedScorecard(process, selected, coefs, intercept, points,
+                        base, Scorecard.ScalingConfig())
+  }
+
+  def saveScorecard(sc: FittedScorecard, path: String): Unit =
+    Files.write(Paths.get(path), scorecardToJson(sc).getBytes("UTF-8"),
+                StandardOpenOption.CREATE,
+                StandardOpenOption.TRUNCATE_EXISTING)
+
+  def loadScorecard(path: String): FittedScorecard =
+    scorecardFromJson(
+      new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
 }

@@ -228,4 +228,35 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     // MDLP facade equals the internal mdlp prebinning path's input splits
     assert(splits.forall(s => s > 0))
   }
+
+  test("process and scorecard JSON round-trip preserves scoring") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+
+    val pj = graft.sources.ModelIO.processToJson(sc.process)
+    val p2 = graft.sources.ModelIO.processFromJson(pj)
+    // transform through the round-tripped process equals the original
+    val a = sc.process.transform(li, "woe").agg(
+      sum("l_extendedprice"), sum("l_quantity")).head
+    val b = p2.transform(li, "woe").agg(
+      sum("l_extendedprice"), sum("l_quantity")).head
+    assert(math.abs(a.getDouble(0) - b.getDouble(0)) < 1e-6)
+    assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+
+    val sj = graft.sources.ModelIO.scorecardToJson(sc)
+    val sc2 = graft.sources.ModelIO.scorecardFromJson(sj)
+    val s1 = li.select(sc.scoreColumn().as("s")).agg(sum("s"))
+      .head.getDouble(0)
+    val s2 = li.select(sc2.scoreColumn().as("s")).agg(sum("s"))
+      .head.getDouble(0)
+    assert(math.abs(s1 - s2) < 1e-6, s"$s1 vs $s2")
+    val pr1 = li.select(sc.predictProbaColumn().as("p")).agg(avg("p"))
+      .head.getDouble(0)
+    val pr2 = li.select(sc2.predictProbaColumn().as("p")).agg(avg("p"))
+      .head.getDouble(0)
+    assert(math.abs(pr1 - pr2) < 1e-9)
+  }
 }
