@@ -189,6 +189,13 @@ object BinningTables {
       qualityScore: Double,
       monotonicTrendType: String)
 
+  /** Continuous analysis result: adjacent Welch t-tests
+    * (binA, binB, t, p), quality score, monotonic trend type. */
+  final case class ContinuousAnalysis(
+      adjacentTests: Array[(Int, Int, Double, Double)],
+      qualityScore: Double,
+      monotonicTrendType: String)
+
   /** One row of a continuous binning table
     * (`binning_statistics.py:1674-1686`). */
   final case class ContinuousBinRow(bin: String, count: Double,
@@ -235,6 +242,29 @@ object BinningTables {
                        stds(i), means(i), mins(i), maxs(i), nZeros(i),
                        woe(i), ivValues(i))
     }.toArray
+
+    /** Continuous table analysis (`binning_statistics.py:1951-2035`):
+      * Welch t-tests between consecutive data bins from the stored
+      * (mean, std, n) triples, the continuous quality score
+      * (`metrics.py:353-366`), and the monotonic-trend type of the mean
+      * sequence. Data bins = all but the trailing special/missing rows.
+      */
+    def analysis(): ContinuousAnalysis = {
+      val nMetric = binLabels.length - 2 // Special, Missing
+      val tests = (0 until math.max(nMetric - 1, 0)).map { i =>
+        val (t, p) = graft.core.Stats.ttestIndFromStats(
+          means(i), stds(i), nRecords(i),
+          means(i + 1), stds(i + 1), nRecords(i + 1))
+        (i, i + 1, t, p)
+      }.toArray
+      val rwoe = if (tMean == 0) tWoe else tWoe / math.abs(tMean)
+      val score1 = if (rwoe == 0) 0.0 else math.max(1 - 1 / rwoe, 0.0)
+      val score2 = tests.map(1.0 - _._4).product
+      val quality = score1 * score2 * (1.0 - hhiNorm)
+      val trendType = graft.core.AutoMonotonic.typeOfMonotonicTrend(
+        means.dropRight(2))
+      ContinuousAnalysis(tests, quality, trendType)
+    }
 
     /** Reference-shaped table DataFrame
       * (`binning_statistics.py:1604-1700`). */

@@ -112,4 +112,24 @@ class ContinuousBinningSpec extends AnyFunSuite {
                        max(fb.predictColumn(col("x")))).head
     assert(mn.getDouble(0) >= 50.0 - 1e-9 && mn.getDouble(1) <= 100.0 + 1e-9)
   }
+
+  test("continuous analysis: Welch tests, quality score, trend type") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // strictly rising mean: y = x + small noise
+    val df = (1 to 4000)
+      .map(i => (i.toDouble, i.toDouble + rnd.nextGaussian() * 5))
+      .toDF("x", "y")
+    val f = ContinuousOptimalBinning.fit(df, "x", "y",
+      BinningConfig(name = "x"))
+    val a = f.table.analysis()
+    assert(a.adjacentTests.length == f.nDataBins - 1)
+    a.adjacentTests.foreach { case (_, _, t, p) =>
+      assert(!t.isNaN)
+      assert(p >= 0 && p <= 1, s"p=$p")
+    }
+    assert(a.qualityScore >= 0 && a.qualityScore <= 1)
+    assert(a.monotonicTrendType == "ascending", a.monotonicTrendType)
+  }
 }
