@@ -286,6 +286,26 @@ final class FittedMulticlassBinning(
     Metrics.jensenShannonMultivariate(pEvent)
   }
 
+  /** Multiclass table analysis (`binning_statistics.py:1398-1460`):
+    * chi-square tests of the class contingency between consecutive data
+    * bins (+ Cramer's V) and the multiclass quality score
+    * (JS normalized by log k, `metrics.py:347-350`). */
+  def analysis(): (Array[(Int, Int, Double, Double)], Double) = {
+    val tests = (0 until math.max(nDataBins - 1, 0)).map { i =>
+      val obs = Array(nEvent(i), nEvent(i + 1))
+      val (stat, p, _) = graft.core.Stats.chi2Contingency(obs)
+      (i, i + 1, stat, p)
+    }.toArray
+    val pRecords = nRecords.map(_ / nRecords.sum)
+    val hhiNorm = Metrics.hhi(pRecords, normalized = true)
+    val jsNorm = js / math.log(k)
+    val c = 0.39573882184806863
+    val score1 = jsNorm * math.exp(0.5 * (1 - math.pow(jsNorm / c, 2))) / c
+    val score2 = tests.map(1.0 - _._4).product
+    val quality = score1 * score2 * (1.0 - hhiNorm)
+    (tests, quality)
+  }
+
   def transform(xCol: Column, metric: String = "mean_woe",
                 metricSpecial: Any = "empirical",
                 metricMissing: Any = "empirical"): Column = {

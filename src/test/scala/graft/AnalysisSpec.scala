@@ -72,4 +72,21 @@ class AnalysisSpec extends AnyFunSuite {
     assert(flagged.exists(_.getDouble(1) == 500.0))
     assert(flagged.exists(_.getDouble(1) == -500.0))
   }
+
+  test("multiclass analysis: adjacent chi2 tests and quality score") {
+    val spark = TestSpark.spark
+    val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .withColumn("cls",
+        when(col("o_orderstatus") === "F", 0.0)
+          .when(col("o_orderstatus") === "P", 1.0).otherwise(2.0))
+    val f = MulticlassOptimalBinning.fit(o, "o_totalprice", "cls",
+      BinningConfig(name = "o_totalprice"))
+    val (tests, quality) = f.analysis()
+    assert(tests.length == f.nDataBins - 1)
+    tests.foreach { case (_, _, stat, p) =>
+      assert(stat >= 0)
+      assert(p >= 0 && p <= 1)
+    }
+    assert(quality >= 0 && quality <= 1, s"quality $quality")
+  }
 }
