@@ -215,7 +215,7 @@ object OptimalBinning2D {
     * rectangle as one bin, or None if infeasible. Returns the leaf
     * rectangles of the best partition with their values.
     */
-  private def guillotineSolve(mx: Int, my: Int,
+  private[graft] def guillotineSolve(mx: Int, my: Int,
                               leafVal: (Int, Int, Int, Int) => Option[Double])
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val memo = mutable.HashMap.empty[Int, (Double, Int)]

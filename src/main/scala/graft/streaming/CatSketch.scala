@@ -107,6 +107,20 @@ final class OptimalBinningCatSketch(
   def merge(other: OptimalBinningCatSketch): Unit =
     _sketch.merge(other._sketch)
 
+  /** Structured Streaming mode: accumulate per micro-batch and re-solve
+    * at every trigger (`foreachBatch`, like the numeric sketch). Caller
+    * starts/stops the returned query. */
+  def streamingQuery(stream: DataFrame, xCol: String, yCol: String,
+                     onSolve: FittedOptimalBinning => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        add(batch, xCol, yCol)
+        onSolve(solve())
+    }
+  }
+
   /** Solve from current state: identical driver path to the batch
     * categorical fit, so stream == batch at every solve point. */
   def solve(): FittedOptimalBinning = {

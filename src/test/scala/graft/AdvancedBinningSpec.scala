@@ -86,4 +86,24 @@ class AdvancedBinningSpec extends AnyFunSuite {
       assert(cov.length == 16 && cov.toSet.size == 16)
     }
   }
+
+  test("exact tiling objective dominates guillotine on random grids") {
+    val rnd = new scala.util.Random(17)
+    (1 to 30).foreach { _ =>
+      // random per-rectangle values with random infeasible holes
+      val cache = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), Option[Double]]
+      def lv(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+        cache.getOrElseUpdate((x1, x2, y1, y2),
+          if (rnd.nextDouble() < 0.15) None
+          else Some(rnd.nextDouble()))
+      val (se, le) = OptimalBinning2D.exactTilingSolve(4, 4, lv)
+      val (sg, lg) = OptimalBinning2D.guillotineSolve(4, 4, lv)
+      if (sg == "OPTIMAL") {
+        assert(se == "OPTIMAL") // guillotine feasible => tiling feasible
+        assert(le.map(_._5).sum >= lg.map(_._5).sum - 1e-9,
+               s"exact ${le.map(_._5).sum} < guillotine ${lg.map(_._5).sum}")
+      }
+    }
+  }
 }
