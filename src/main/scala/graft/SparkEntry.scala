@@ -632,6 +632,24 @@ object SparkEntry {
                .as("max_pred"))
     }),
 
+    "q_pw_monotone" -> ((s, dir) => {
+      // monotone-constrained robust piecewise fit (degree 1, huber,
+      // ascending slope QP) — rows-only: solver-driven
+      val li = T(s, dir, "lineitem")
+      val pw = PWBinning.fitContinuous(li, "l_quantity",
+        "l_extendedprice", BinningConfig(name = "x"),
+        objective = "huber", monotonicTrend = Some("ascending"))
+      val checks = (5 to 45 by 5).map(_.toDouble)
+      import s.implicits._
+      val grid = checks.toDF("x")
+        .select(round(pw.predictColumn(col("x")), 6).as("pred"))
+        .collect().map(_.getDouble(0))
+      Seq((grid.length.toLong,
+           (grid.zip(grid.tail).forall { case (a, b) => b >= a - 1e-9 }),
+           scale6(grid.head), scale6(grid.last)))
+        .toDF("n_points", "is_monotone", "first_pred", "last_pred")
+    }),
+
     "q_counterfactual" -> ((s, dir) => {
       // counterfactual search over a fitted scorecard (rows-only check)
       val li = liTarget(T(s, dir, "lineitem"))
