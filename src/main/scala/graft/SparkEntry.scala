@@ -1144,11 +1144,15 @@ object SparkEntry {
            SELECT count(*) AS n,
                   CAST(ceil(0.5 * count(*)) AS BIGINT) AS m
            FROM v),
+         lo AS (
+           -- equi-joinable offset column (a 3-relation join condition
+           -- would nested-loop over n^2 rows)
+           SELECT s.x AS lo, s.rn + p.m AS rn2, s.rn
+           FROM s, params p),
          iv AS (
-           SELECT s1.x AS lo, s2.x AS hi
-           FROM s s1 CROSS JOIN params
-           JOIN s s2 ON s2.rn = s1.rn + params.m
-           ORDER BY s2.x - s1.x, s1.rn LIMIT 1),
+           SELECT lo.lo, s2.x AS hi
+           FROM lo JOIN s s2 ON s2.rn = lo.rn2
+           ORDER BY s2.x - lo.lo, lo.rn LIMIT 1),
          b AS (
            SELECT lo - 1.5 * (hi - lo) AS lb, hi + 1.5 * (hi - lo) AS ub
            FROM iv)
