@@ -152,11 +152,14 @@ object SparkEntry {
     }),
 
     "q_binning_table" -> ((s, dir) => {
-      // full binary binning table via the library (user splits, no trend)
+      // full binary binning table via the library (user splits, no
+      // trend; bin count pinned so the solve keeps every split at any
+      // scale factor — the oracle enumerates exactly these bins)
       val li = liTarget(T(s, dir, "lineitem"))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "l_extendedprice",
-                      userSplits = Some(liSplits), monotonicTrend = None))
+                      userSplits = Some(liSplits), monotonicTrend = None,
+                      minNBins = Some(4), maxNBins = Some(4)))
       import s.implicits._
       fitted.table.rows.take(fitted.nDataBins).zipWithIndex.map {
         case (r, i) =>
@@ -185,11 +188,13 @@ object SparkEntry {
 
     // --- §2.12 transform --------------------------------------------
     "q_woe_transform" -> ((s, dir) => {
-      // per-row WoE transform (generated CASE chain)
+      // per-row WoE transform (generated CASE chain); bin count pinned
+      // as in q_binning_table so the fit matches the oracle at any SF
       val li = liTarget(T(s, dir, "lineitem"))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "l_extendedprice",
-                      userSplits = Some(liSplits), monotonicTrend = None))
+                      userSplits = Some(liSplits), monotonicTrend = None,
+                      minNBins = Some(4), maxNBins = Some(4)))
       li.select(col("l_orderkey"), col("l_linenumber").cast("long")
           .as("l_linenumber"),
         round(fitted.transform(col("l_extendedprice")), 6).as("woe"))
