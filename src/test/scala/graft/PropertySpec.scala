@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 
 import graft.core._
+import graft.operators._
 
 /** Property tests the reference lacks but the distributed design demands
   * (SURVEY §5b): solver-vs-enumeration oracle and metric invariants.
@@ -181,6 +182,36 @@ class PropertySpec extends AnyFunSuite {
                  s"brute $expected ne=${ne.mkString(",")} " +
                  s"ev=${ev.mkString(",")}")
       }
+    }
+  }
+
+  test("integer sample weights equal row duplication (numerical fit)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 800).map { _ =>
+      (rnd.nextDouble() * 100, if (rnd.nextDouble() < 0.3) 1.0 else 0.0,
+       1 + rnd.nextInt(3))
+    }
+    val weighted = rows.toDF("x", "y", "w")
+    val duplicated = rows.flatMap { case (x, y, w) =>
+      Seq.fill(w)((x, y))
+    }.toDF("x", "y")
+    // fixed splits: prebin sizing is row-count-based by reference
+    // semantics (min_prebin_size * len(x), unweighted), so free fits may
+    // legitimately differ; the weighted AGGREGATES must not
+    val cfg = BinningConfig(name = "x", monotonicTrend = None,
+      userSplits = Some(Array(25.0, 50.0, 75.0)),
+      minNBins = Some(4), maxNBins = Some(4))
+    val fw = OptimalBinning.fit(weighted, "x", "y", cfg,
+                                weightCol = Some("w"))
+    val fd = OptimalBinning.fit(duplicated, "x", "y", cfg)
+    assert(fw.splits.toSeq == fd.splits.toSeq,
+           s"${fw.splits.toSeq} vs ${fd.splits.toSeq}")
+    assert(math.abs(fw.table.iv - fd.table.iv) < 1e-9)
+    fw.table.rows.zip(fd.table.rows).foreach { case (a, b) =>
+      assert(math.abs(a.nonevent - b.nonevent) < 1e-9, s"$a vs $b")
+      assert(math.abs(a.event - b.event) < 1e-9, s"$a vs $b")
     }
   }
 }
