@@ -144,4 +144,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     val missingRow = f.table.rows.find(_.bin == "Missing")
     assert(missingRow.exists(_.count == 1.0))
   }
+
+  test("special-code dict groups get separate bins and transforms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 900).map { i =>
+      val x = i % 9 match {
+        case 7 => -1.0   // special group "sentinel"
+        case 8 => -2.0   // special group "error"
+        case _ => rnd.nextDouble() * 100
+      }
+      (x, if (rnd.nextDouble() < 0.4) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y",
+      BinningConfig(name = "x",
+        specialCodes = Some(SpecialDict(Seq(
+          "sentinel" -> Seq(-1.0), "error" -> Seq(-2.0)))),
+        monotonicTrend = None))
+    val labels = f.table.rows.map(_.bin)
+    assert(labels.contains("sentinel"), labels.toSeq)
+    assert(labels.contains("error"), labels.toSeq)
+    val sentinelRow = f.table.rows.find(_.bin == "sentinel").get
+    val errorRow = f.table.rows.find(_.bin == "error").get
+    assert(sentinelRow.count == 100.0, sentinelRow)
+    assert(errorRow.count == 100.0, errorRow)
+    // transform maps each group to ITS OWN empirical event-rate value
+    val t = df.select(col("x"),
+      f.transform(col("x"), metric = "event_rate").as("er"))
+    val erSent = t.where(col("x") === -1.0).select("er").distinct().collect()
+    val erErr = t.where(col("x") === -2.0).select("er").distinct().collect()
+    assert(erSent.length == 1 && erErr.length == 1)
+    assert(math.abs(erSent(0).getDouble(0) - sentinelRow.eventRate) < 1e-9)
+    assert(math.abs(erErr(0).getDouble(0) - errorRow.eventRate) < 1e-9)
+  }
 }
