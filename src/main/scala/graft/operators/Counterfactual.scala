@@ -42,6 +42,12 @@ object Counterfactual {
     * @param method "weighted" | "hierarchical"
     * @param objectives objective -> weight; None = reference defaults
     */
+  /** @param outcomeRange hard probability window for the counterfactual
+    *        ("min_outcome"/"max_outcome" hard constraints,
+    *        `counterfactual.py:30-40`); overrides the Ge/Le rule
+    * @param softDiffOutcome weight of the "diff_outcome" soft term
+    *        (`mip.py:346-348`): penalizes |probability - target|
+    */
   def generate(scorecard: FittedScorecard,
                instanceBins: Map[String, Int],
                targetProbability: Double,
@@ -50,7 +56,9 @@ object Counterfactual {
                nCounterfactuals: Int = 1,
                actionableFeatures: Option[Set[String]] = None,
                method: String = "weighted",
-               objectives: Option[Map[String, Double]] = None)
+               objectives: Option[Map[String, Double]] = None,
+               outcomeRange: Option[(Double, Double)] = None,
+               softDiffOutcome: Double = 0.0)
       : Seq[CFResult] = {
     require(method == "weighted" || method == "hierarchical",
             s"method $method not supported")
@@ -86,8 +94,11 @@ object Counterfactual {
       scorecard.estimatorIntercept
 
     def proba(linear: Double): Double = 1.0 / (1.0 + math.exp(-linear))
-    def satisfied(p: Double): Boolean =
-      if (outcomeGe) p >= targetProbability else p <= targetProbability
+    def satisfied(p: Double): Boolean = outcomeRange match {
+      case Some((lo, hi)) => p >= lo && p <= hi
+      case None =>
+        if (outcomeGe) p >= targetProbability else p <= targetProbability
+    }
 
     val useCloseness = objWeights.contains("closeness") &&
       scorecard.woeStats.isDefined
@@ -148,8 +159,13 @@ object Counterfactual {
           changes.map { case (i, b) => vars(i) -> b }.toMap,
           proba(linear), changes.length, shift,
           objs.filter { case (k, _) => objWeights.contains(k) })
+        val diffOut = softDiffOutcome *
+          math.abs(proba(linear) - targetProbability)
         val sc = scoreOf(Map("proximity" -> objs("proximity"),
-                             "closeness" -> objs("closeness")))
+                             "closeness" -> objs("closeness"))) match {
+          case Right(v) => Right(v + diffOut)
+          case Left(vs) => Left(vs :+ diffOut) // lowest priority
+        }
         val tieBreak = best != null && !better(sc, bestScore) &&
           !better(bestScore, sc) &&
           (cand.nChanges < best.nChanges ||

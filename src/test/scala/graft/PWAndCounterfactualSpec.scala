@@ -247,4 +247,33 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
     assert(scMin == 200.0, s"scMin $scMin")
     assert(scMax == 851.0, s"scMax $scMax")
   }
+
+  test("Counterfactual outcome-range and diff_outcome soft constraint") {
+    val df = bc
+    val sc = Scorecard.fit(df, Seq("mean radius", "mean texture",
+                                   "mean perimeter"), "target")
+    val row = df.select(col("mean radius"), col("mean texture"),
+                        col("mean perimeter"),
+                        sc.predictProbaColumn().as("p"))
+      .where(col("p") < 0.3).head
+    val bins = sc.selected.map { v =>
+      val f = sc.process.fits(v)
+      val x = row.getDouble(row.fieldIndex(v))
+      v -> f.splits.count(_ <= x)
+    }.toMap
+    // hard window: probability must land inside [0.5, 0.7]
+    val windowed = Counterfactual.generate(sc, bins, 0.6, outcomeGe = true,
+      maxChanges = 2, outcomeRange = Some((0.5, 0.7)))
+    windowed.foreach { cf =>
+      assert(cf.probability >= 0.5 && cf.probability <= 0.7, cf)
+    }
+    // diff_outcome pulls the chosen CF's probability toward the target
+    val free = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+      maxChanges = 2)
+    val pulled = Counterfactual.generate(sc, bins, 0.8, outcomeGe = true,
+      maxChanges = 2, softDiffOutcome = 100.0)
+    if (free.nonEmpty && pulled.nonEmpty)
+      assert(math.abs(pulled.head.probability - 0.8) <=
+             math.abs(free.head.probability - 0.8) + 1e-9)
+  }
 }
