@@ -489,6 +489,24 @@ object SparkEntry {
         .orderBy("user_id", "seq")
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization over the event stream (gaps-and-islands;
+      // event_id is the insertion-ordered axis — ts is TIMESTAMP(NANOS),
+      // which Spark's parquet reader rejects)
+      val e = s.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 100)
+      graft.streaming.Sessionize
+        .sessionStats(e, "user_id", "event_id", "value", gap = 1000.0)
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"),
+             sum(col("n_events")).as("n_events"),
+             round(sum(col("value_sum")), 6).as("total_value"),
+             max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
     "q_sketch_binning" -> ((s, dir) => {
       // streaming/mergeable sketch binning: add per half, merge, solve
       val li = liTarget(T(s, dir, "lineitem"))
@@ -943,6 +961,36 @@ object SparkEntry {
                   AS running_value
          FROM events WHERE user_id < 50
          ORDER BY user_id, seq""",
+
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value FROM events
+           WHERE user_id < 100),
+         g AS (
+           SELECT *,
+                  lag(event_id) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS prev
+           FROM e),
+         m AS (
+           SELECT *,
+                  CASE WHEN prev IS NULL OR event_id - prev > 1000
+                       THEN 1 ELSE 0 END AS brk
+           FROM g),
+         sid AS (
+           SELECT user_id, value, event_id,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+           FROM m),
+         sess AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  sum(value) AS value_sum
+           FROM sid GROUP BY 1, 2)
+         SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+                sum(n_events)::BIGINT AS n_events,
+                round(sum(value_sum), 6) AS total_value,
+                max(n_events)::BIGINT AS max_session_events
+         FROM sess GROUP BY 1 ORDER BY 1""",
 
     "q_psi" ->
       """WITH e AS (

@@ -304,4 +304,23 @@ class SketchAndProcessSpec extends AnyFunSuite {
         fixedVariables = Seq("l_tax")))
     assert(procFix.selectedVariables.toSeq == Seq("l_tax"))
   }
+
+  test("sessionize: gap rule produces the expected islands") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // user 1: events at 1,2,3, 100,101, 500 with gap 10 -> 3 sessions
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+                 (1L, 100L, 2.0), (1L, 101L, 2.0),
+                 (1L, 500L, 5.0),
+                 (2L, 7L, 1.0))
+      .toDF("user_id", "event_id", "value")
+    val s = graft.streaming.Sessionize
+      .sessionStats(df, "user_id", "event_id", "value", gap = 10.0)
+      .orderBy("user_id", "session_id").collect()
+    val u1 = s.filter(_.getLong(0) == 1L)
+    assert(u1.length == 3, s.mkString(";"))
+    assert(u1.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L)) // n_events
+    assert(u1.map(_.getDouble(4)).toSeq == Seq(3.0, 4.0, 5.0)) // sums
+    assert(s.count(_.getLong(0) == 2L) == 1)
+  }
 }
