@@ -319,6 +319,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // connected components over verified near-dup pairs (canonical
+      // selection step of the dedup pipeline)
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
+      val sh = d
+        .select(col("doc_id"),
+                split(Dedup.normalizeText(col("text")), " ").as("__tok"))
+        .select(col("doc_id"),
+                Dedup.wordShinglesOf(col("__tok"), 3).as("sh"))
+        .repartition(8)
+      val a = sh.toDF("id_a", "sh_a")
+      val b = sh.toDF("id_b", "sh_b")
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                Dedup.jaccardArrays(col("sh_a"), col("sh_b")).as("j"))
+        .where(col("j") >= 0.5)
+      val comps = Dedup.connectedComponents(pairs)
+      comps.groupBy("comp").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"),
+             sum(col("sz")).cast("long").as("n_nodes"),
+             max(col("sz")).as("max_size"),
+             min(col("comp")).as("min_canonical"))
+    }),
+
     // --- pipeline: similarity ---------------------------------------
     "q_embed_topk" -> ((s, dir) => {
       // brute-force cosine top-k against the all-ones query vector;
@@ -1046,6 +1070,46 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM pairs
          WHERE jaccard > 0.05 ORDER BY id_a, id_b""",
+
+    "q_dedup_clusters" ->
+      // transitive closure of the near-dup pairs via a recursive CTE;
+      // component label = min reachable id (tiny clusters, closed fast)
+      """WITH RECURSIVE norm AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents WHERE doc_id < 200
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM norm
+         ), pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CASE WHEN len(list_distinct(
+                             list_concat(a.sh, b.sh))) > 0
+                      THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                           len(list_distinct(list_concat(a.sh, b.sh)))
+                      ELSE 0.0 END >= 0.5
+         ), edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+         ),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY 1)
+         SELECT count(*) AS n_components, sum(sz)::BIGINT AS n_nodes,
+                max(sz) AS max_size, min(comp) AS min_canonical
+         FROM sizes""",
 
     "q_dedup_exact" ->
       """WITH g AS (

@@ -221,4 +221,48 @@ object Dedup {
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Connected components over a duplicate-pair edge list — the cluster
+    * step of a dedup pipeline (pick one canonical doc per component).
+    * Iterative minimum-label propagation: each round joins labels across
+    * the symmetric edge list and keeps the per-node minimum; rounds
+    * needed = graph diameter (near-dup clusters are shallow). Each
+    * round is one shuffle join + one aggregate, fully distributed; the
+    * per-round `localCheckpoint` cuts the growing lineage so plans stay
+    * flat at scale. Returns (id, component) with component = the
+    * minimum id in the node's component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(idA).cast("long").as("src"),
+                           col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"),
+                          col(idA).cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+                least(col("comp"), coalesce(col("ncomp"), col("comp")))
+                  .as("comp"))
+        .localCheckpoint()
+      val changes = updated.as("u")
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .where(col("comp") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      it += 1
+    }
+    labels
+  }
 }

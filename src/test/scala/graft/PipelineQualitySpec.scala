@@ -231,4 +231,19 @@ class PipelineQualitySpec extends AnyFunSuite {
       Similarity.lshSignatureHof(col("emb"), 12).as("hof")).collect()
     rf.foreach(x => assert(x.getLong(0) == x.getLong(1), x.toString))
   }
+
+  test("connected components: chains, triangles, disjoint clusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (11L, 12L), (10L, 12L),
+                    (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L), comps)
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L), comps)
+    assert(Seq(20L, 21L).forall(comps(_) == 20L), comps)
+    assert(comps.size == 10)
+  }
 }
