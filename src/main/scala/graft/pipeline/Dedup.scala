@@ -250,16 +250,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val updated = labels
+      // one materialization carries both the update and the old label,
+      // so convergence is a cheap count on checkpointed data (no second
+      // join per round)
+      val joined = labels
         .join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
                 least(col("comp"), coalesce(col("ncomp"), col("comp")))
                   .as("comp"))
         .localCheckpoint()
-      val changes = updated.as("u")
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .where(col("comp") =!= col("old")).count()
-      labels = updated
+      val changes = joined.where(col("comp") =!= col("old")).count()
+      labels = joined.select("id", "comp")
       converged = changes == 0
       it += 1
     }
