@@ -377,6 +377,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_subword_count" -> ((s, dir) => {
+      // BPE-ish subword counting (tokenizer-load proxy) per source
+      val d = T(s, dir, "documents")
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(TextAnalysis.subwordCount(col("text")).cast("long"))
+               .as("total_subwords"),
+             round(avg(TextAnalysis.subwordCount(col("text"))), 6)
+               .as("avg_subwords"))
+        .orderBy("source")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       // language-ID heuristic vs the labeled lang column
       val d = T(s, dir, "documents")
@@ -1186,6 +1198,19 @@ object SparkEntry {
                 round(avg(punct_ratio), 6) AS avg_punct_ratio,
                 round(avg(stopword_ratio), 6) AS avg_stopword_ratio
          FROM scored GROUP BY 1 ORDER BY 1""",
+
+    "q_subword_count" ->
+      """WITH s AS (
+           SELECT source,
+                  CASE WHEN text IS NULL THEN 0
+                       ELSE length(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  END AS n
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                sum(n)::BIGINT AS total_subwords,
+                round(avg(n), 6) AS avg_subwords
+         FROM s GROUP BY 1 ORDER BY 1""",
 
     "q_lang_id" ->
       """WITH h AS (
