@@ -259,4 +259,37 @@ class MonitoringAndIOSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(math.abs(pr1 - pr2) < 1e-9)
   }
+
+  test("Streaming: categorical sketch foreachBatch equals batch fit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val cfg = BinningConfig(name = "x", dtype = "categorical")
+    val sk = new graft.streaming.OptimalBinningCatSketch(cfg)
+    var lastFit: FittedOptimalBinning = null
+    val q = sk.streamingQuery(
+      stream.toDF().toDF("x", "y"), "x", "y",
+      fitted => lastFit = fitted).start()
+    val rnd = new scala.util.Random(7)
+    val cats = Array("a", "b", "c", "d", "e")
+    def batch() = (1 to 1500).map { _ =>
+      val c = cats(rnd.nextInt(5))
+      (c, if (rnd.nextDouble() < 0.2 + 0.1 * (c(0) - 'a')) 1.0 else 0.0)
+    }
+    val b1 = batch(); val b2 = batch()
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    assert(lastFit != null && lastFit.status == "OPTIMAL")
+    // converged stream == batch fit over the union of both batches
+    val all = (b1 ++ b2).toDF("x", "y")
+    val bf = OptimalBinning.fit(all, "x", "y", cfg)
+    assert(lastFit.catBins.map(_.toSeq).toSeq ==
+           bf.catBins.map(_.toSeq).toSeq)
+    assert(math.abs(lastFit.table.iv - bf.table.iv) < 1e-12)
+  }
 }
