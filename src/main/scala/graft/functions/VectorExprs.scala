@@ -40,6 +40,9 @@ final case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // returns null on array-length mismatch even when both inputs are
+  // non-null, so nullability must not derive from the children
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object ModelMetrics {
 
+  /** Bound on the exact-median collect (mirrors Outliers.MaxExactCollect). */
+  private val MaxExactCollect = 20000000L
+
   /** Gini = 2*AUC - 1 over (label, score). Exact when score cardinality
     * is modest: computed from the per-score (event, nonevent) aggregate
     * via the rank formula — no ROC materialization. */
@@ -100,6 +103,12 @@ object ModelMetrics {
     val y = col(labelCol).cast("double")
     val p = col(predCol).cast("double")
     val err = y - p
+    // y=0 rows have no defined percentage error: null them explicitly
+    // (ANSI mode would otherwise raise DIVIDE_BY_ZERO) so averages and
+    // medians run over the defined rows, like DuckDB's null-on-div-0
+    val ape = when(y =!= 0.0, abs(err / y))
+    val sden = abs(y) + abs(p)
+    val sape = when(sden =!= 0.0, abs(err) * lit(2.0) / sden)
     def interp(a: Array[Double], prob: Double): Double = {
       val pos = prob * (a.length - 1)
       val lo = math.floor(pos).toInt
@@ -110,13 +119,19 @@ object ModelMetrics {
       if (approx) {
         val m = df.select(
           percentile_approx(abs(err), lit(0.5), lit(10000)).as("a"),
-          percentile_approx(abs(err / y), lit(0.5), lit(10000)).as("b"))
+          percentile_approx(ape, lit(0.5), lit(10000)).as("b"))
           .head
         (m.getDouble(0), m.getDouble(1))
       } else {
-        val rows = df.select(abs(err), abs(err / y)).na.drop.collect()
-        val a = rows.map(_.getDouble(0))
-        val b = rows.map(_.getDouble(1))
+        // per-column null drops: y=0 rows null only err/y, and must stay
+        // in the mdae median (median(abs(err)) semantics)
+        val rows = df.select(abs(err).as("a"), ape.as("b"))
+          .collect()
+        require(rows.length <= MaxExactCollect,
+                s"exact median collects the error columns (n=${rows.length}); " +
+                "use approx = true at this scale")
+        val a = rows.collect { case r if !r.isNullAt(0) => r.getDouble(0) }
+        val b = rows.collect { case r if !r.isNullAt(1) => r.getDouble(1) }
         java.util.Arrays.sort(a)
         java.util.Arrays.sort(b)
         (interp(a, 0.5), interp(b, 0.5))
@@ -124,8 +139,8 @@ object ModelMetrics {
     val r = df.agg(
       avg(abs(err)).as("mae"),
       avg(err * err).as("mse"),
-      avg(abs(err / y)).as("mape"),
-      avg(abs(err) * lit(2.0) / (abs(y) + abs(p))).as("smape"),
+      avg(ape).as("mape"),
+      avg(sape).as("smape"),
       variance(err).as("var_err"),
       variance(y).as("var_y"),
       avg(y).as("mean_y"),

@@ -264,6 +264,11 @@ object Dedup {
       converged = changes == 0
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds maxIter and its labels are only " +
+        "partially propagated; raise maxIter")
     labels
   }
 }

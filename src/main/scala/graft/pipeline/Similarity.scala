@@ -119,11 +119,14 @@ object Similarity {
     */
   private def sampleKMeans(sample: Array[Array[Double]], k: Int,
                            iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "sampleKMeans needs a non-empty sample")
     val rnd = new scala.util.Random(seed)
     val n = sample.length
     val dim = sample.head.length
+    // a corpus smaller than k cannot support k distinct cells
+    val kEff = math.min(k, n)
     // seeded distinct starting points
-    val centers = rnd.shuffle(sample.indices.toVector).take(k)
+    val centers = rnd.shuffle(sample.indices.toVector).take(kEff)
       .map(i => sample(i).clone).toArray
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -131,13 +134,13 @@ object Similarity {
       s
     }
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
       var r = 0
       while (r < n) {
         val x = sample(r)
         var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < k) {
+        while (c < kEff) {
           val d = d2(x, centers(c)); if (d < bd) { bd = d; best = c }
           c += 1
         }
@@ -146,7 +149,7 @@ object Similarity {
         while (j < dim) { sums(best)(j) += x(j); j += 1 }
         r += 1
       }
-      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+      for (c <- 0 until kEff if counts(c) > 0; j <- 0 until dim)
         centers(c)(j) = sums(c)(j) / counts(c)
     }
     centers
@@ -166,8 +169,27 @@ object Similarity {
     val sample = c.select("cemb")
       .sample(withReplacement = false, fraction, seed = 7)
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = sampleKMeans(sample, nLists, iters = 10, seed = 7)
+    if (sample.isEmpty) {
+      // empty (or sampled-to-empty tiny) corpus: rescan without sampling;
+      // a truly empty corpus yields no candidates
+      val full = c.select("cemb").limit(maxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      if (full.isEmpty)
+        return queries.select(col(qidCol).as("qid")).limit(0)
+          .crossJoin(c.select(col("cid")))
+          .withColumn("cosine", lit(0.0d))
+          .withColumn("rank", lit(1))
+          .select("qid", "cid", "cosine", "rank")
+      return ivfScore(c, queries, embCol, qidCol, k, nProbe,
+                      sampleKMeans(full, nLists, iters = 10, seed = 7))
+    }
+    ivfScore(c, queries, embCol, qidCol, k, nProbe,
+             sampleKMeans(sample, nLists, iters = 10, seed = 7))
+  }
 
+  private def ivfScore(c: DataFrame, queries: DataFrame, embCol: String,
+                       qidCol: String, k: Int, nProbe: Int,
+                       centroids: Array[Array[Double]]): DataFrame = {
     // distributed cell assignment: argmin over the literal centroid array
     val centroidLitA = array(centroids.map(ctr =>
       array(ctr.map(lit(_)): _*)): _*)

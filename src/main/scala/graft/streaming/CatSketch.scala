@@ -82,8 +82,12 @@ final class OptimalBinningCatSketch(
     extends Serializable {
 
   private val specials: Array[String] = config.specialCodes match {
+    case None                  => Array.empty[String]
     case Some(SpecialList(vs)) => vs.map(_.toString).toArray
-    case _                     => Array.empty[String]
+    case Some(other) => throw new IllegalArgumentException(
+      "OptimalBinningCatSketch supports only a flat special-code list " +
+      s"(SpecialList) or none; got $other — grouped special codes need " +
+      "the batch categorical fit, which bins each group separately")
   }
 
   private var _sketch: CatSketch = new CatSketch(specials)

@@ -122,6 +122,30 @@ class PipelineQualitySpec extends AnyFunSuite {
     assert(ivf.size == 100, ivf.size)
   }
 
+  test("IVF ANN: corpus smaller than nLists clamps k and still answers") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 5 vectors < nLists = 16 (the replaced spark.ml path's crash case)
+    val corpus = (0 until 5).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val queryDf = Seq((100L, corpus(2)._2)).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(corpus.toDF("vec_id", "embedding"),
+                                 queryDf, "embedding", "vec_id", "vec_id",
+                                 k = 3, nLists = 16, nProbe = 4)
+      .collect()
+    assert(res.nonEmpty)
+    // the query equals corpus vector 2: it must rank first with cosine 1
+    val top = res.minBy(_.getInt(3))
+    assert(top.getLong(1) == 2L && math.abs(top.getDouble(2) - 1.0) < 1e-9)
+
+    // empty corpus: no candidates, no crash
+    val empty = Similarity.ivfTopK(
+      corpus.toDF("vec_id", "embedding").limit(0), queryDf,
+      "embedding", "vec_id", "vec_id", k = 3, nLists = 16, nProbe = 4)
+    assert(empty.collect().isEmpty)
+  }
+
   test("minhash skew guard: mega-cluster emits linear star pairs") {
     val spark = TestSpark.spark
     import spark.implicits._
