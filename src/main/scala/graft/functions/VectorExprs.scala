@@ -24,9 +24,21 @@ object VectorExprs {
       CosineSimExpr(ExpressionUtils.expression(a),
                     ExpressionUtils.expression(b)))
 
-  def lshSig(emb: Column, nPlanes: Int): Column =
+  def lshSig(emb: Column, nPlanes: Int, portable: Boolean = false): Column =
     ExpressionUtils.column(
-      LshSigExpr(ExpressionUtils.expression(emb), nPlanes))
+      LshSigExpr(ExpressionUtils.expression(emb), nPlanes, portable))
+
+  /** Lehmer-style plane component shared by the native expression and the
+    * HOF reference: quadratic mix then a Park-Miller (minstd, 48271) step,
+    * all mod 2^31-1 — plain 64-bit integer arithmetic, so an external SQL
+    * engine (the correctness oracle) reproduces the exact bits.
+    */
+  private[graft] def portablePlaneComponent(p: Long, i: Long): Double = {
+    val P = 2147483647L
+    val m = (p * 1315423911L + i * 2654435761L + 97531L) % P
+    val h = (((m * m) % P) * 48271L) % P
+    h * 2.0 / P - 1.0
+  }
 }
 
 /** cosine(a, b) = dot/(|a||b|), 0.0 when either norm is 0 or any element
@@ -97,14 +109,18 @@ final case class CosineSimExpr(left: Expression, right: Expression)
 /** nPlanes-bit random-hyperplane LSH signature: bit p = sign of
   * dot(x, h_p), with h_{p,i} = xxhash64(p, i) / Long.MaxValue — the
   * exact values of `Similarity.lshSignatureHof` (Spark's multi-argument
-  * xxhash64 folds seed 42 through hashInt per argument). The hyperplane
-  * matrix is derived once per observed dimension and cached in the
-  * expression instance; each row is then one loop of nPlanes x dim
-  * multiplies with no hashing, no intermediate arrays, no lambda
-  * dispatch. A null element nulls every projection (bit falls to 0),
-  * giving signature 0 like the HOF form.
+  * xxhash64 folds seed 42 through hashInt per argument). With
+  * `portable = true` the plane components come from
+  * `VectorExprs.portablePlaneComponent` instead (integer-arithmetic
+  * Lehmer mix, reproducible in plain SQL by the correctness oracle).
+  * The hyperplane matrix is derived once per observed dimension and
+  * cached in the expression instance; each row is then one loop of
+  * nPlanes x dim multiplies with no hashing, no intermediate arrays, no
+  * lambda dispatch. A null element nulls every projection (bit falls to
+  * 0), giving signature 0 like the HOF form.
   */
-final case class LshSigExpr(child: Expression, nPlanes: Int)
+final case class LshSigExpr(child: Expression, nPlanes: Int,
+                            portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -133,7 +149,9 @@ final case class LshSigExpr(child: Expression, nPlanes: Int)
         val seedP = XXH64.hashInt(p, 42L)
         var i = 0
         while (i < dim) {
-          m(p)(i) = XXH64.hashInt(i, seedP).toDouble / Long.MaxValue.toDouble
+          m(p)(i) =
+            if (portable) VectorExprs.portablePlaneComponent(p.toLong, i.toLong)
+            else XXH64.hashInt(i, seedP).toDouble / Long.MaxValue.toDouble
           i += 1
         }
         p += 1

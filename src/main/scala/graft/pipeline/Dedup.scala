@@ -82,6 +82,14 @@ object Dedup {
       b => xxhash64(concat_ws(",", slice(signature, b * lit(rows) + 1,
                                          lit(rows))), b))
 
+  /** Portable band keys: the band's slot values joined as a string
+    * instead of xxhash64-compressed — identical bucketing semantics (the
+    * hash only compresses the key), reproducible in plain SQL by the
+    * correctness oracle. */
+  def lshBandsPortable(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(signature, b * lit(rows) + 1, lit(rows))))
+
   /** Exact duplicate groups by normalized-content fingerprint:
     * (fingerprint, n_docs, min doc id as canonical). */
   def exactGroups(df: DataFrame, textCol: String,
@@ -109,16 +117,19 @@ object Dedup {
     */
   def withMinhashBands(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int, bands: Int,
-                       shingleLen: Int): DataFrame = {
+                       shingleLen: Int,
+                       portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
+    val bandKeys: Column => Column =
+      if (portable) lshBandsPortable(_, bands, rows)
+      else lshBands(_, bands, rows)
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("__norm", normalizeText(col("__text")))
       .withColumn("__sig",
                   graft.functions.TextHashExprs.minhashSig(
-                    col("__norm"), shingleLen, numHashes))
+                    col("__norm"), shingleLen, numHashes, portable))
       .select(col("id"),
-              posexplode(lshBands(col("__sig"), bands, rows))
-                .as(Seq("band", "bh")))
+              posexplode(bandKeys(col("__sig"))).as(Seq("band", "bh")))
   }
 
   /** MinHash-LSH candidate pairs: returns (id_a, id_b, band) with
@@ -138,9 +149,10 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleLen: Int = 5,
-                        starThreshold: Int = 256): DataFrame = {
+                        starThreshold: Int = 256,
+                        portable: Boolean = false): DataFrame = {
     val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
-                                  shingleLen)
+                                  shingleLen, portable)
     val buckets = banded.groupBy("band", "bh")
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1)
@@ -162,8 +174,8 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
     * hashes, bit set when the vote is positive. Bit packing avoids dynamic
     * shifts via MSB-first Horner accumulation (acc*2 + bit). */
-  def simhash(text: Column): Column =
-    graft.functions.TextHashExprs.simhash64(normalizeText(text))
+  def simhash(text: Column, portable: Boolean = false): Column =
+    graft.functions.TextHashExprs.simhash64(normalizeText(text), portable)
 
   /** Reference HOF formulation of [[simhash]] — kept as the semantic
     * oracle for `SimHash64Expr` (asserted equal in tests). */

@@ -61,9 +61,14 @@ object Similarity {
     * single-loop expression (`graft.functions.LshSigExpr`) with the
     * hyperplane matrix cached per dimension; `lshSignatureHof` is the
     * composable reference form (identical bits; kept as test oracle).
+    * `portable = true` switches plane generation to the
+    * integer-arithmetic Lehmer mix that external SQL engines can
+    * reproduce bit-exactly (used by the oracled driver queries; same
+    * plan shape and per-row cost, planes are built once either way).
     */
-  def lshSignature(emb: Column, nPlanes: Int = 16): Column =
-    graft.functions.VectorExprs.lshSig(emb, nPlanes)
+  def lshSignature(emb: Column, nPlanes: Int = 16,
+                   portable: Boolean = false): Column =
+    graft.functions.VectorExprs.lshSig(emb, nPlanes, portable)
 
   def lshSignatureHof(emb: Column, nPlanes: Int = 16): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
@@ -83,14 +88,14 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
               idCol: String, qidCol: String, k: Int,
-              nPlanes: Int = 12): DataFrame = {
+              nPlanes: Int = 12, portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("cid"),
                           col(embCol).cast("array<double>").as("cemb"))
-      .withColumn("sig", lshSignature(col("cemb"), nPlanes))
+      .withColumn("sig", lshSignature(col("cemb"), nPlanes, portable))
     val q = queries.select(col(qidCol).as("qid"),
                            col(embCol).cast("array<double>").as("qemb"))
-      .withColumn("sig", lshSignature(col("qemb"), nPlanes))
+      .withColumn("sig", lshSignature(col("qemb"), nPlanes, portable))
     // query set << corpus by construction: broadcast it so the corpus
     // never shuffles (bucket matching happens map-side in every scan task)
     val scored = c.join(broadcast(q), Seq("sig"))
@@ -227,10 +232,11 @@ object Similarity {
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                          threshold: Double = 0.95,
-                         nPlanes: Int = 12): DataFrame = {
+                         nPlanes: Int = 12,
+                         portable: Boolean = false): DataFrame = {
     val e = df.select(col(idCol).as("id"),
                       col(embCol).cast("array<double>").as("emb"))
-      .withColumn("sig", lshSignature(col("emb"), nPlanes))
+      .withColumn("sig", lshSignature(col("emb"), nPlanes, portable))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))

@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators._
 import graft.pipeline.{Dedup, Similarity}
 
 object Drive {
@@ -11,48 +10,51 @@ object Drive {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    // 1. IVF on a corpus smaller than nLists (ADVICE r03 medium): real
-    //    embeddings table, 5 rows, nLists=16 — crashed before the clamp.
-    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val tiny = e.limit(5).cache()
-    val q = tiny.limit(1)
-    val ivf = Similarity.ivfTopK(tiny, q, "embedding", "vec_id", "vec_id",
-                                 k = 3, nLists = 16, nProbe = 4).collect()
-    println(s"DRIVE ivf-tiny rows=${ivf.length} " +
-      s"top=${ivf.minBy(_.getInt(3)).getLong(1)} " +
-      s"cos=${ivf.minBy(_.getInt(3)).getDouble(2)}")
-    val ivfEmpty = Similarity.ivfTopK(e.limit(0), q, "embedding",
-                                      "vec_id", "vec_id", k = 3).collect()
-    println(s"DRIVE ivf-empty rows=${ivfEmpty.length}")
+    val dir = "/root/testdata/sf0.01"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
 
-    // 2. mdae semantics: y=0 rows must stay in median(abs(err)).
-    val df = Seq((0.0, 1.0), (2.0, 1.0), (4.0, 1.0), (10.0, 1.0), (6.0, 1.0))
-      .toDF("y", "p")
-    val mm = ModelMetrics.regressionMetrics(df, "y", "p")
-    println(s"DRIVE mdae=${mm("Median absolute error")} " +
-      s"mdape=${mm("Median absolute percentage error")}")
+    // 1. portable vs fast simhash: different hashes, similar popcount
+    //    spread; portable top 4 bits (62/63) never set.
+    val sh = d.select(Dedup.simhash(col("text")).as("fast"),
+                      Dedup.simhash(col("text"), portable = true).as("port"))
+      .collect()
+    val maxBit = sh.map(r => 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(r.getLong(1), 1L))).max
+    println(s"DRIVE simhash rows=${sh.length} portableMaxBit=$maxBit " +
+      s"distinctFast=${sh.map(_.getLong(0)).distinct.length} " +
+      s"distinctPort=${sh.map(_.getLong(1)).distinct.length}")
 
-    // 3. connected components: chain longer than maxIter must throw.
-    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val ok = Dedup.connectedComponents(chain, maxIter = 25)
-      .agg(countDistinct("comp")).head.getLong(0)
-    println(s"DRIVE cc-converged comps=$ok")
-    val threw =
-      try { Dedup.connectedComponents(chain, maxIter = 2); false }
-      catch { case _: IllegalStateException => true }
-    println(s"DRIVE cc-nonconverged-throws=$threw")
+    // 2. portable minhash candidates vs fast-path candidates: both find
+    //    candidate pairs; portable count matches the DuckDB-oracle value.
+    val fast = Dedup.minhashCandidates(d, "text", "doc_id",
+                                       numHashes = 32, bands = 8).count()
+    val port = Dedup.minhashCandidates(d, "text", "doc_id",
+                                       numHashes = 32, bands = 8,
+                                       portable = true).count()
+    println(s"DRIVE minhash fastPairs=$fast portablePairs=$port")
 
-    // 4. cat sketch rejects grouped special codes.
-    val rejected =
-      try {
-        new graft.streaming.OptimalBinningCatSketch(
-          BinningConfig(dtype = "categorical",
-            specialCodes = Some(SpecialDict(Seq("g" -> Seq("A"))))))
-        false
-      } catch { case _: IllegalArgumentException => true }
-    println(s"DRIVE catsketch-groups-rejected=$rejected")
+    // 3. portable LSH near-dup: plan shape must stay scan -> project(sig)
+    //    -> shuffle on sig -> join (no extra exchanges vs fast path).
+    val nd = Similarity.cosineNearDupPairs(e, "embedding", "vec_id",
+                                           threshold = 0.3, nPlanes = 8,
+                                           portable = true)
+    println(s"DRIVE neardup pairs=${nd.count()}")
+    val plan = nd.queryExecution.executedPlan.toString
+    println(s"DRIVE neardup exchanges=" +
+      plan.linesIterator.count(_.contains("Exchange")) +
+      s" hasUdf=${plan.contains("BatchEvalPython")}")
+
+    // 4. ANN with portable planes: bucket join stays broadcast on the
+    //    query side (corpus never shuffles for the join).
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val ann = Similarity.annTopK(e, q, "embedding", "vec_id", "qid",
+                                 k = 5, nPlanes = 8, portable = true)
+    val annPlan = ann.queryExecution.executedPlan.toString
+    println(s"DRIVE ann rows=${ann.count()} broadcast=" +
+      annPlan.contains("BroadcastHashJoin"))
     spark.stop()
   }
 }

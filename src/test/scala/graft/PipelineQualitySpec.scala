@@ -202,6 +202,87 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("portable hash modes match first-principles reimplementations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // independent reference of the documented portable formulas (the
+    // same arithmetic the DuckDB oracle SQL encodes)
+    def poly(cps: Array[Int], base: Long, mod: Long): Long =
+      cps.foldLeft(0L)((h, cp) => (h * base + cp) % mod)
+    def cpsOf(s: String): Array[Int] = {
+      val b = Array.newBuilder[Int]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); b += cp; i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    def normalize(t: String): String =
+      t.trim.toLowerCase.replaceAll("\\s+", " ")
+
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "the  QUICK   brown fox ", "ab", "",
+      "a a a a repeated tokens vote repeatedly",
+      "naïve café résumé — multi-byte UTF-8 ügür 😀 emoji",
+      "x" * 500)
+    val df = texts.toDF("text")
+
+    // simhash portable
+    val sh = df.select(Dedup.simhash(col("text"), portable = true))
+      .collect().map(_.getLong(0))
+    val shRef = texts.map { t =>
+      val votes = new Array[Int](64)
+      normalize(t).split(" ", -1).foreach { tok =>
+        val cps = cpsOf(tok)
+        val h = (poly(cps, 131L, 1000000007L) << 30) |
+                poly(cps, 137L, 998244353L)
+        (0 until 64).foreach(i =>
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 64).foldLeft(0L)((s, i) =>
+        if (votes(i) > 0) s | (1L << i) else s)
+    }
+    assert(sh.toSeq == shRef)
+
+    // minhash portable (k = 32, shingleLen = 5)
+    val k = 32
+    val mh = df.select(graft.functions.TextHashExprs.minhashSig(
+        Dedup.normalizeText(col("text")), 5, k, portable = true))
+      .collect().map(_.getSeq[Long](0))
+    val mhRef = texts.map { t =>
+      val cps = cpsOf(normalize(t))
+      val hs =
+        if (cps.length < 5) Seq(poly(cps, 131L, 1000000007L))
+        else (0 to cps.length - 5).map(i =>
+          poly(cps.slice(i, i + 5), 131L, 1000000007L))
+      val gm = hs.min
+      (0 until k).map(j => hs.filter(_ % k == j)
+        .reduceOption(_ min _).getOrElse(gm))
+    }
+    assert(mh.map(_.toSeq).toSeq == mhRef)
+
+    // portable LSH planes (Lehmer mix)
+    val P = 2147483647L
+    def comp(p: Long, i: Long): Double = {
+      val m = (p * 1315423911L + i * 2654435761L + 97531L) % P
+      ((((m * m) % P) * 48271L) % P) * 2.0 / P - 1.0
+    }
+    val rnd = new scala.util.Random(23)
+    val vecs = (1 to 100).map(_ => Array.fill(16)(rnd.nextDouble() - 0.5))
+    val sigs = vecs.toDF("emb")
+      .select(Similarity.lshSignature(col("emb"), 8, portable = true))
+      .collect().map(_.getLong(0))
+    val sigRef = vecs.map { v =>
+      (0 until 8).foldLeft(0L) { (s, p) =>
+        val proj = v.indices.foldLeft(0.0)((a, i) =>
+          a + v(i) * comp(p.toLong, i.toLong))
+        if (proj >= 0) s | (1L << p) else s
+      }
+    }
+    assert(sigs.toSeq == sigRef)
+  }
+
   test("native cosine expression matches the HOF reference (float+double)") {
     val spark = TestSpark.spark
     import spark.implicits._
