@@ -223,6 +223,112 @@ object SparkEntry {
       Seq((scale6(ks), scale6(gini))).toDF("ks", "gini")
     }),
 
+    // --- §2.8 statistical tests (binning-table analysis() surface) ---
+    "q_chi2_adjacent" -> ((s, dir) => {
+      // adjacent-bin Pearson chi2 (no correction) + Cramer's V on the
+      // fixed-split binary table (`binning_statistics.py` analysis()
+      // semantics via Stats.chi2CramerV)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val agg = li.groupBy(binIdx(col("l_extendedprice"), liSplits)
+          .as("bin"))
+        .agg(sum(when(col("y") === 0.0, 1.0).otherwise(0.0)).as("ne"),
+             sum(when(col("y") === 1.0, 1.0).otherwise(0.0)).as("ev"))
+        .collect().sortBy(_.getInt(0))
+      val ne = agg.map(_.getDouble(1))
+      val ev = agg.map(_.getDouble(2))
+      import s.implicits._
+      (0 until ne.length - 1).map { i =>
+        val (t, cv) = graft.core.Stats.chi2CramerV(
+          Array(ne(i), ne(i + 1)), Array(ev(i), ev(i + 1)))
+        (i.toLong, scale6(t), scale6(cv))
+      }.toDF("pair", "chi2", "cramer_v").orderBy("pair")
+    }),
+
+    "q_welch_adjacent" -> ((s, dir) => {
+      // adjacent-bin Welch t (equal_var=False, from summary stats) on the
+      // continuous table (`model_data.py:75-90` via ttestIndFromStats)
+      val li = T(s, dir, "lineitem")
+      val agg = li.groupBy(binIdx(col("l_quantity"),
+                                  Array(10.0, 25.0, 40.0)).as("bin"))
+        .agg(count(lit(1)).cast("double").as("n"),
+             avg("l_extendedprice").as("mean"),
+             stddev_pop(col("l_extendedprice")).as("std"))
+        .collect().sortBy(_.getInt(0))
+      val n = agg.map(_.getDouble(1))
+      val u = agg.map(_.getDouble(2))
+      val sd = agg.map(_.getDouble(3))
+      import s.implicits._
+      (0 until n.length - 1).map { i =>
+        val (t, _) = graft.core.Stats.ttestIndFromStats(
+          u(i), sd(i), n(i), u(i + 1), sd(i + 1), n(i + 1))
+        val vn1 = sd(i) * sd(i) / n(i)
+        val vn2 = sd(i + 1) * sd(i + 1) / n(i + 1)
+        val dof = (vn1 + vn2) * (vn1 + vn2) /
+          (vn1 * vn1 / (n(i) - 1) + vn2 * vn2 / (n(i + 1) - 1))
+        (i.toLong, scale6(t), scale6(dof))
+      }.toDF("pair", "t", "dof").orderBy("pair")
+    }),
+
+    "q_divergences" -> ((s, dir) => {
+      // Jeffrey / Jensen-Shannon / Hellinger / triangular divergences
+      // between two date-cohort bin distributions (`metrics.py:107-253`
+      // via core.Metrics)
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val bin = binIdx(col("o_totalprice"),
+                       Array(100000.0, 200000.0, 300000.0))
+      def dist(df: DataFrame): Array[Double] = {
+        val m = df.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+        val v = (0 to 3).map(b => m.getOrElse(b, 0.0)).toArray
+        val t = v.sum
+        v.map(_ / t)
+      }
+      val p = dist(o.where(col("o_orderdate") < cutoff))
+      val q = dist(o.where(col("o_orderdate") >= cutoff))
+      import graft.core.Metrics
+      import s.implicits._
+      Seq((scale6(Metrics.jeffreySum(p, q)),
+           scale6(Metrics.jensenShannonSum(p, q)),
+           scale6(Metrics.hellingerSum(p, q)),
+           scale6(Metrics.triangularSum(p, q))))
+        .toDF("jeffrey", "js", "hellinger", "triangular")
+    }),
+
+    "q_hhi" -> ((s, dir) => {
+      // Herfindahl-Hirschman concentration of the bin-share vector
+      // (`metrics.py:307-329` via core.Metrics.hhi)
+      val li = T(s, dir, "lineitem")
+      val m = li.groupBy(binIdx(col("l_extendedprice"), liSplits)
+          .as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+      val v = (0 to 3).map(b => m.getOrElse(b, 0.0)).toArray
+      val t = v.sum
+      val s2 = v.map(_ / t)
+      import graft.core.Metrics
+      import s.implicits._
+      Seq((scale6(Metrics.hhi(s2)), scale6(Metrics.hhi(s2, true))))
+        .toDF("hhi", "hhi_norm")
+    }),
+
+    // --- §2.1 sources: CSV round-trip through the disk reader --------
+    "q_csv_source" -> ((s, dir) => {
+      // write nation as header CSV, read back via Sources.readTable
+      // (inferred schema), aggregate — lossless for int/string columns
+      val tmp = "target/tmp/nation_roundtrip.csv"
+      T(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite")
+        .option("header", true).csv(tmp)
+      graft.sources.Sources.readTable(s, tmp)
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_nationkey").cast("long")).as("key_sum"),
+             sum(col("n_regionkey").cast("long")).as("region_sum"),
+             min(col("n_name")).as("first_name"),
+             max(col("n_name")).as("last_name"))
+    }),
+
     // --- monitoring (§2.4 PSI) --------------------------------------
     "q_psi" -> ((s, dir) => {
       val o = T(s, dir, "orders")
@@ -938,6 +1044,145 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
 
     "q_ks_gini" -> ksGiniSql,
+
+    "q_chi2_adjacent" ->
+      // Pearson chi2 cell order mirrors Stats.chi2Contingency:
+      // (ne1,ne2,ev1,ev2), e_ij = (rowSum_i * colSum_j) / total
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT bin,
+                  sum(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) AS ne,
+                  sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS ev
+           FROM b GROUP BY 1),
+         p AS (
+           SELECT a.bin AS pair, a.ne AS ne1, a.ev AS ev1,
+                  c.ne AS ne2, c.ev AS ev2
+           FROM agg a JOIN agg c ON c.bin = a.bin + 1),
+         e AS (
+           SELECT pair, ne1, ne2, ev1, ev2,
+                  ne1 + ne2 + ev1 + ev2 AS tot,
+                  ((ne1 + ne2) * (ne1 + ev1)) / (ne1 + ne2 + ev1 + ev2)
+                    AS e11,
+                  ((ne1 + ne2) * (ne2 + ev2)) / (ne1 + ne2 + ev1 + ev2)
+                    AS e12,
+                  ((ev1 + ev2) * (ne1 + ev1)) / (ne1 + ne2 + ev1 + ev2)
+                    AS e21,
+                  ((ev1 + ev2) * (ne2 + ev2)) / (ne1 + ne2 + ev1 + ev2)
+                    AS e22
+           FROM p),
+         s AS (
+           SELECT pair, tot,
+                  ((ne1 - e11) * (ne1 - e11)) / e11
+                  + ((ne2 - e12) * (ne2 - e12)) / e12
+                  + ((ev1 - e21) * (ev1 - e21)) / e21
+                  + ((ev2 - e22) * (ev2 - e22)) / e22 AS stat
+           FROM e)
+         SELECT pair::BIGINT AS pair, round(stat, 6) AS chi2,
+                round(sqrt(stat / tot), 6) AS cramer_v
+         FROM s ORDER BY pair""",
+
+    "q_welch_adjacent" ->
+      """WITH agg AS (
+           SELECT CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bin,
+                  count(*)::DOUBLE AS n,
+                  avg(l_extendedprice) AS u,
+                  stddev_pop(l_extendedprice) AS s
+           FROM lineitem GROUP BY 1),
+         p AS (
+           SELECT a.bin AS pair, a.n n1, a.u u1, a.s s1,
+                  c.n n2, c.u u2, c.s s2
+           FROM agg a JOIN agg c ON c.bin = a.bin + 1),
+         v AS (
+           SELECT pair, u1, u2, n1, n2,
+                  (s1 * s1) / n1 AS vn1, (s2 * s2) / n2 AS vn2
+           FROM p)
+         SELECT pair::BIGINT AS pair,
+                round((u1 - u2) / sqrt(vn1 + vn2), 6) AS t,
+                round(((vn1 + vn2) * (vn1 + vn2))
+                      / ((vn1 * vn1) / (n1 - 1)
+                         + (vn2 * vn2) / (n2 - 1)), 6) AS dof
+         FROM v ORDER BY pair""",
+
+    "q_divergences" ->
+      // term formulas and the left-to-right bin-ordered summation mirror
+      // core.Metrics (jeffrey/jensenShannon/hellinger/triangular)
+      """WITH b AS (
+           SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                       WHEN o_totalprice < 200000 THEN 1
+                       WHEN o_totalprice < 300000 THEN 2
+                       ELSE 3 END AS bin,
+                  (o_orderdate < TIMESTAMP '1998-01-01') AS is_e
+           FROM orders),
+         g0 AS (
+           SELECT bin,
+                  sum(CASE WHEN is_e THEN 1 ELSE 0 END)::DOUBLE AS ce,
+                  sum(CASE WHEN is_e THEN 0 ELSE 1 END)::DOUBLE AS ca
+           FROM b GROUP BY 1),
+         g AS (
+           SELECT r.bin, coalesce(ce, 0.0) AS ce, coalesce(ca, 0.0) AS ca
+           FROM (SELECT unnest(range(0, 4)) AS bin) r
+           LEFT JOIN g0 ON g0.bin = r.bin),
+         t AS (SELECT sum(ce) te, sum(ca) ta FROM g),
+         d AS (SELECT bin, ce / te AS p, ca / ta AS q FROM g, t),
+         c AS (
+           SELECT bin, p, q,
+                  CASE WHEN p - q = 0 THEN 0.0
+                       ELSE (p - q) * ln(p / q) END AS jf,
+                  0.5 * ((CASE WHEN p = 0 THEN 0.0
+                          ELSE p * ln(p / (0.5 * (p + q))) END)
+                       + (CASE WHEN q = 0 THEN 0.0
+                          ELSE q * ln(q / (0.5 * (p + q))) END)) AS js,
+                  0.5 * (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) AS hl,
+                  CASE WHEN p + q = 0 THEN 0.0
+                       ELSE (p - q) * (p - q) / (p + q) END AS tr
+           FROM d)
+         SELECT
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(jf ORDER BY bin)), (a, b) -> a + b), 6) AS jeffrey,
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(js ORDER BY bin)), (a, b) -> a + b), 6) AS js,
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(hl ORDER BY bin)), (a, b) -> a + b), 6) AS hellinger,
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(tr ORDER BY bin)), (a, b) -> a + b), 6) AS triangular
+         FROM c""",
+
+    "q_hhi" ->
+      """WITH g0 AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  count(*)::DOUBLE AS n
+           FROM lineitem GROUP BY 1),
+         g AS (
+           SELECT r.bin, coalesce(n, 0.0) AS n
+           FROM (SELECT unnest(range(0, 4)) AS bin) r
+           LEFT JOIN g0 ON g0.bin = r.bin),
+         t AS (SELECT sum(n) AS tot FROM g),
+         h AS (
+           SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                  list((n / tot) * (n / tot) ORDER BY bin)),
+                  (a, b) -> a + b) AS hhi
+           FROM g, t)
+         SELECT round(hhi, 6) AS hhi,
+                round((hhi - 1.0 / 4) / (1 - 1.0 / 4), 6) AS hhi_norm
+         FROM h""",
+
+    "q_csv_source" ->
+      """SELECT count(*) AS n, sum(n_nationkey)::BIGINT AS key_sum,
+                sum(n_regionkey)::BIGINT AS region_sum,
+                min(n_name) AS first_name, max(n_name) AS last_name
+         FROM nation""",
 
     "q_2d_agg" ->
       """SELECT CASE WHEN l_extendedprice < 50000 THEN 0 ELSE 1 END AS bx,
