@@ -329,6 +329,44 @@ object SparkEntry {
              max(col("n_name")).as("last_name"))
     }),
 
+    "q_fisher_exact" -> ((s, dir) => {
+      // Fisher exact two-sided test on a 2x2 supplier table
+      // (`metrics.py:276` scipy semantics via Stats.fisherExact; the
+      // oracle rebuilds the hypergeometric pmf from lgamma terms)
+      val sup = T(s, dir, "supplier")
+      val r = sup.agg(
+        sum(when(col("s_acctbal") < 4500 && col("s_nationkey") < 12, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("s_acctbal") < 4500 && col("s_nationkey") >= 12, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("s_acctbal") >= 4500 && col("s_nationkey") < 12, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("s_acctbal") >= 4500 && col("s_nationkey") >= 12, 1L)
+          .otherwise(0L)).as("d")).collect()(0)
+      val (odds, p) = graft.core.Stats.fisherExact(
+        r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble)
+      import s.implicits._
+      Seq((scale6(odds), scale6(p))).toDF("odds_ratio", "p_value")
+    }),
+
+    "q_transform_sink" -> ((s, dir) => {
+      // fit_transform_disk equivalent (`binning_process.py:733-787`):
+      // WoE-transform lineitem, write parquet, read back, histogram the
+      // transformed column — exercises the sink+source roundtrip
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "l_extendedprice",
+                      userSplits = Some(liSplits), monotonicTrend = None,
+                      minNBins = Some(4), maxNBins = Some(4)))
+      val tmp = "target/tmp/woe_sink.parquet"
+      li.select(round(fitted.transform(col("l_extendedprice")), 6)
+          .as("woe"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("woe").agg(count(lit(1)).as("n")).orderBy("woe")
+    }),
+
     // --- monitoring (§2.4 PSI) --------------------------------------
     "q_psi" -> ((s, dir) => {
       val o = T(s, dir, "orders")
@@ -1183,6 +1221,58 @@ object SparkEntry {
                 sum(n_regionkey)::BIGINT AS region_sum,
                 min(n_name) AS first_name, max(n_name) AS last_name
          FROM nation""",
+
+    "q_fisher_exact" ->
+      // hypergeometric pmf via lgamma; scipy's two-sided rule: sum pmf(x)
+      // over the support where pmf(x) <= pmf(observed) * (1 + 1e-7)
+      """WITH t AS (
+           SELECT sum(CASE WHEN s_acctbal < 4500 AND s_nationkey < 12
+                      THEN 1 ELSE 0 END)::BIGINT AS a,
+                  sum(CASE WHEN s_acctbal < 4500 AND s_nationkey >= 12
+                      THEN 1 ELSE 0 END)::BIGINT AS b,
+                  sum(CASE WHEN s_acctbal >= 4500 AND s_nationkey < 12
+                      THEN 1 ELSE 0 END)::BIGINT AS c,
+                  sum(CASE WHEN s_acctbal >= 4500 AND s_nationkey >= 12
+                      THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM supplier),
+         par AS (
+           SELECT a, b, c, d, a+b+c+d AS n, a+b AS k, a+c AS m FROM t),
+         grid AS (
+           SELECT par.*,
+                  unnest(range(greatest(0, k-(n-m)), least(k, m)+1)) AS x
+           FROM par),
+         pmf AS (
+           SELECT *, exp( lgamma(m+1) - lgamma(x+1) - lgamma(m-x+1)
+                        + lgamma(n-m+1) - lgamma(k-x+1)
+                        - lgamma(n-m-k+x+1)
+                        - (lgamma(n+1) - lgamma(k+1) - lgamma(n-k+1)) )
+                     AS p
+           FROM grid),
+         obs AS (SELECT p AS p_obs FROM pmf WHERE x = a)
+         SELECT round(CASE WHEN b*c = 0 THEN 'inf'::DOUBLE
+                      ELSE (a*d)::DOUBLE / (b*c) END, 6) AS odds_ratio,
+                round(least(sum(CASE WHEN p <= p_obs * (1 + 1e-7)
+                                THEN p ELSE 0 END), 1.0), 6) AS p_value
+         FROM pmf, obs GROUP BY ALL""",
+
+    "q_transform_sink" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT bin, sum(y) AS e, count(*) - sum(y) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg),
+         woe AS (
+           SELECT bin, round(ln((ne / tne) / (e / te)), 6) AS woe
+           FROM agg, tot)
+         SELECT woe.woe, count(*) AS n
+         FROM b JOIN woe USING (bin)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_2d_agg" ->
       """SELECT CASE WHEN l_extendedprice < 50000 THEN 0 ELSE 1 END AS bx,
