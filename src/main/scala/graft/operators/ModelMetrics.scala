@@ -14,15 +14,47 @@ object ModelMetrics {
   /** Bound on the exact-median collect (mirrors Outliers.MaxExactCollect). */
   private val MaxExactCollect = 20000000L
 
+  /** Bound on the per-score-value aggregate collected for Gini/KS; past
+    * it the driver would hold one row per distinct score. */
+  private val MaxScoreValues = 2000000
+
+  /** Snap scores onto a bounded uniform grid (one min/max pass +
+    * Histograms.gridCompress) so the per-score aggregate — and the
+    * driver collect — stay O(grid) at any data scale. Rank-formula
+    * AUC/KS on the quantized distribution is the standard histogram
+    * approximation; error is bounded by the grid width. */
+  private def quantizeScores(df: DataFrame, s: String): DataFrame = {
+    val st = df.agg(min(col(s)), max(col(s))).head
+    if (st.isNullAt(0)) df
+    else Histograms.gridCompress(df, s, st.getDouble(0), st.getDouble(1),
+                                 100000)
+  }
+
+  private def boundedScoreAgg(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    // orderBy + limit plans as TakeOrdered: the driver sees at most
+    // MaxScoreValues + 1 rows no matter the score cardinality
+    val agg = df.limit(MaxScoreValues + 1).collect()
+    require(agg.length <= MaxScoreValues,
+            s"score cardinality exceeds $MaxScoreValues distinct values; " +
+            "use approx = true to quantize onto a bounded grid")
+    agg
+  }
+
   /** Gini = 2*AUC - 1 over (label, score). Exact when score cardinality
     * is modest: computed from the per-score (event, nonevent) aggregate
-    * via the rank formula — no ROC materialization. */
-  def gini(df: DataFrame, labelCol: String, scoreCol: String): Double = {
-    val agg = df.groupBy(col(scoreCol).as("s"))
+    * via the rank formula — no ROC materialization. `approx = true`
+    * grid-quantizes scores first (the 100 TB path: bounded aggregate,
+    * bounded collect). */
+  def gini(df: DataFrame, labelCol: String, scoreCol: String,
+           approx: Boolean = false): Double = {
+    val base =
+      if (approx) quantizeScores(df.select(col(scoreCol).cast("double")
+        .as(scoreCol), col(labelCol)), scoreCol)
+      else df
+    val agg = boundedScoreAgg(base.groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol).cast("double")).as("e"),
            (count(lit(1)) - sum(col(labelCol).cast("double"))).as("ne"))
-      .orderBy("s")
-      .collect()
+      .orderBy("s"))
     val ev = agg.map(_.getDouble(1))
     val ne: Array[Double] = agg.map { r =>
       r.get(2) match {
@@ -43,13 +75,18 @@ object ModelMetrics {
   }
 
   /** KS statistic over scores (`classification.py:34-67`): max gap of the
-    * class-conditional score CDFs; from the same per-score aggregate. */
-  def ks(df: DataFrame, labelCol: String, scoreCol: String): Double = {
-    val agg = df.groupBy(col(scoreCol).as("s"))
+    * class-conditional score CDFs; from the same per-score aggregate.
+    * `approx = true` grid-quantizes scores first (bounded at any scale). */
+  def ks(df: DataFrame, labelCol: String, scoreCol: String,
+         approx: Boolean = false): Double = {
+    val base =
+      if (approx) quantizeScores(df.select(col(scoreCol).cast("double")
+        .as(scoreCol), col(labelCol)), scoreCol)
+      else df
+    val agg = boundedScoreAgg(base.groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol).cast("double")).as("e"),
            count(lit(1)).cast("double").as("n"))
-      .orderBy("s")
-      .collect()
+      .orderBy("s"))
     val te = agg.map(_.getDouble(1)).sum
     val tn = agg.map(_.getDouble(2)).sum
     val tne = tn - te

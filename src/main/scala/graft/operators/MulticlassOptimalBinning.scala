@@ -31,9 +31,17 @@ object MulticlassOptimalBinning {
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
     val base = df.select(x.as("x"), y.as("y"), cls.as("cls"))
 
-    // classes discovered from data (sorted, like np.unique)
-    val classes = base.select("y").distinct().collect()
-      .map(_.getDouble(0)).sorted
+    // classes discovered from data (sorted, like np.unique); the limit
+    // probe keeps the collect bounded when a continuous column is passed
+    // as y by mistake (one-vs-rest binning is only meaningful for a
+    // small label set)
+    val maxClasses = 100
+    val classRows = base.select("y").distinct().limit(maxClasses + 1)
+      .collect()
+    require(classRows.length <= maxClasses,
+            s"multiclass target has > $maxClasses distinct labels — " +
+            "is y a continuous column?")
+    val classes = classRows.map(_.getDouble(0)).sorted
     val k = classes.length
     require(k >= 2, "multiclass target needs >= 2 classes")
 

@@ -62,6 +62,20 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(k > 0 && k < 1)
   }
 
+  test("ModelMetrics: approx gini/ks close to exact on continuous scores") {
+    // continuous scores (every row distinct): approx path grid-quantizes
+    // before the per-score aggregate; on a 100k-bucket grid the rank
+    // formula lands within grid-width error of exact
+    val scored = li.select(col("y"),
+      (col("l_extendedprice") * 1e-5 + col("l_quantity")).as("p"))
+    val gE = ModelMetrics.gini(scored, "y", "p")
+    val gA = ModelMetrics.gini(scored, "y", "p", approx = true)
+    assert(math.abs(gE - gA) < 1e-3, s"gini exact $gE approx $gA")
+    val kE = ModelMetrics.ks(scored, "y", "p")
+    val kA = ModelMetrics.ks(scored, "y", "p", approx = true)
+    assert(math.abs(kE - kA) < 1e-3, s"ks exact $kE approx $kA")
+  }
+
   test("ModelMetrics: regression metrics sanity") {
     val df = li.select(col("l_extendedprice").as("y"))
       .withColumn("p", col("y") * 1.1)
