@@ -62,10 +62,11 @@ object Scorecard {
           .agg(count(lit(1)).cast("double").as("w"))
           .coalesce(1)
       else xt.withColumn("w", lit(1.0))
-    val assembled = assembler.transform(compact)
-      .select(col("features"), col(yCol).cast("double").as("label"),
-              col("w"))
-      .persist()
+
+    // ONE collect of the compact aggregate feeds both the counterfactual
+    // closeness basis and the driver-side estimator below
+    val compactRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (nCombos > 1e5) None else Some(compact.collect())
 
     // WoE mean + Cholesky whitening factor of inv(cov) over the SAME
     // compact aggregate (weights = multiplicities, so this equals the
@@ -73,9 +74,7 @@ object Scorecard {
     // `counterfactual/problem_data.py:52-55`) — feeds the counterfactual
     // "closeness" (Mahalanobis) objective. None when degenerate.
     val woeStats: Option[(Array[Double], Array[Array[Double]])] =
-      if (nCombos > 1e5) None
-      else try {
-        val rows = compact.collect()
+      compactRows.flatMap { rows => try {
         val p = selected.size
         val wTot = rows.map(_.getDouble(p + 1)).sum
         val mu = new Array[Double](p)
@@ -96,25 +95,46 @@ object Scorecard {
         val f = breeze.linalg.cholesky(breeze.linalg.inv(cov))
         Some((mu, Array.tabulate(p, p)((i, j) => f(i, j))))
       } catch { case _: Exception => None }
-
-    val (coefs, intercept) = try {
-      target match {
-        case "binary" =>
-          // tol 1e-4 matches the reference estimator default
-          // (sklearn LogisticRegression)
-          val lr = new LogisticRegression()
-            .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-            .setStandardization(false).setTol(1e-4).setWeightCol("w")
-          val m = lr.fit(assembled)
-          (m.coefficients.toArray, m.intercept)
-        case "continuous" =>
-          val lr = new LinearRegression()
-            .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-            .setStandardization(false).setWeightCol("w")
-          val m = lr.fit(assembled)
-          (m.coefficients.toArray, m.intercept)
       }
-    } finally assembled.unpersist()
+
+    // Estimator. Unregularized fits on a collected compact table solve on
+    // the driver (IRLS / weighted normal equations — the same MLE spark.ml
+    // converges to, without one treeAggregate job per L-BFGS iteration;
+    // at sf0.1 that overhead dominates the fit). Regularized objectives
+    // and oversized combination spaces keep the distributed spark.ml
+    // path — the 100 TB fallback when the aggregate can't collapse.
+    def sparkMlFit(): (Array[Double], Double) = {
+      val assembled = assembler.transform(compact)
+        .select(col("features"), col(yCol).cast("double").as("label"),
+                col("w"))
+        .persist()
+      try {
+        target match {
+          case "binary" =>
+            // tol 1e-4 matches the reference estimator default
+            // (sklearn LogisticRegression)
+            val lr = new LogisticRegression()
+              .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+              .setStandardization(false).setTol(1e-4).setWeightCol("w")
+            val m = lr.fit(assembled)
+            (m.coefficients.toArray, m.intercept)
+          case "continuous" =>
+            val lr = new LinearRegression()
+              .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+              .setStandardization(false).setWeightCol("w")
+            val m = lr.fit(assembled)
+            (m.coefficients.toArray, m.intercept)
+        }
+      } finally assembled.unpersist()
+    }
+
+    val (coefs, intercept) = compactRows match {
+      case Some(rows) if regParam == 0.0 && elasticNetParam == 0.0 &&
+                         rows.nonEmpty =>
+        try driverGlmFit(rows, selected.size, target)
+        catch { case _: Exception => sparkMlFit() }
+      case _ => sparkMlFit()
+    }
 
     // points = woe * coef per bin (`scorecard.py:639-664`)
     val n = selected.size
@@ -128,6 +148,17 @@ object Scorecard {
         }
     }
 
+    val (scaled, interceptOut) = applyScaling(rows, intercept, n, scaling)
+    new FittedScorecard(process, selected.toArray, coefs, intercept,
+                        scaled.toArray, interceptOut, scaling, woeStats)
+  }
+
+  /** Scaling + intercept-based shift + rounding, shared by the binary and
+    * continuous-target fits (`scorecard.py:121-174`). */
+  private def applyScaling(rows0: Seq[PointsRow], intercept: Double,
+                           n: Int, scaling: ScalingConfig)
+      : (Seq[PointsRow], Double) = {
+    var rows = rows0
     // scaling (`scorecard.py:121-156`)
     val sense = if (scaling.reverseScorecard) -1.0 else 1.0
     rows = scaling.method match {
@@ -168,9 +199,159 @@ object Scorecard {
         else rows.map(r => r.copy(points = math.rint(r.points)))
       interceptOut = math.rint(interceptOut)
     }
+    (rows, interceptOut)
+  }
 
-    new FittedScorecard(process, selected.toArray, coefs, intercept,
-                        rows.toArray, interceptOut, scaling, woeStats)
+  /** Continuous-target scorecard (`scorecard.py:580-584`: target_dtype
+    * "continuous" -> continuous optimal binning, metric "mean",
+    * LinearRegression, Points = Mean * coef). The estimator solves on
+    * the driver from the per-bin-combination aggregate: the mean
+    * transform is piecewise-constant, so groupBy(features) with
+    * (count, avg(y)) carries the exact weighted-least-squares
+    * sufficient statistics at any data scale; an oversized combination
+    * space falls back to distributed spark.ml. Variable selection
+    * criteria are not applied (fit all passed variables). */
+  def fitContinuousTarget(df: DataFrame, variables: Seq[String],
+                          yCol: String,
+                          binningConfig: BinningConfig = BinningConfig(),
+                          scaling: ScalingConfig = ScalingConfig())
+      : FittedContinuousScorecard = {
+    val fits = BinningProcess.fitContinuous(df, variables, yCol,
+                                            binningConfig)
+    val y = col(yCol).cast("double")
+    val xt = df.select(variables.map(v =>
+      fits(v).transform(col(v), metric = "mean").as(v)) :+ y.as("__y"): _*)
+    val nCombos = variables
+      .map(v => fits(v).table.rows.length.toDouble).product
+    val p = variables.size
+    val (coefs, intercept) =
+      if (nCombos <= 1e5) {
+        val compact = xt.groupBy(variables.map(col): _*)
+          .agg(avg(col("__y")).as("__ybar"),
+               count(lit(1)).cast("double").as("__w"))
+          .collect()
+        driverGlmFit(compact, p, "continuous")
+      } else {
+        val assembler = new VectorAssembler()
+          .setInputCols(variables.toArray).setOutputCol("features")
+        val lr = new LinearRegression().setStandardization(false)
+        val m = lr.fit(assembler.transform(xt)
+          .select(col("features"), col("__y").as("label")))
+        (m.coefficients.toArray, m.intercept)
+      }
+
+    val rows: Seq[PointsRow] = variables.zipWithIndex.flatMap {
+      case (v, i) =>
+        val f = fits(v)
+        val c = coefs(i)
+        f.table.rows.zipWithIndex.map { case (r, binId) =>
+          // eventRate/woe fields carry the bin mean (the continuous
+          // analogue): Points = Mean * coef
+          PointsRow(v, binId, r.bin, r.count, r.mean, r.mean, c,
+                    r.mean * c)
+        }
+    }
+    val (scaled, interceptOut) = applyScaling(rows, intercept, p, scaling)
+    new FittedContinuousScorecard(fits, variables.toArray, coefs,
+                                  intercept, scaled.toArray, interceptOut,
+                                  scaling)
+  }
+
+  /** Weighted GLM solve on the collected compact aggregate: Newton-IRLS
+    * for the binary logistic MLE, weighted normal equations for the
+    * continuous least-squares fit. Same optimum the spark.ml estimators
+    * converge to at regParam = 0, without one treeAggregate job per
+    * iteration. Throws on divergence or a singular system — the caller
+    * falls back to the distributed spark.ml path. Row layout of the
+    * compact aggregate: [woe_0..woe_{p-1}, y, w]. */
+  private def driverGlmFit(rows: Array[org.apache.spark.sql.Row], p: Int,
+                           target: String): (Array[Double], Double) = {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val k = rows.length
+    val d = p + 1 // features + intercept column
+    val xs = Array.ofDim[Double](k, d)
+    val ys = new Array[Double](k)
+    val ws = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val r = rows(i)
+      var j = 0
+      while (j < p) { xs(i)(j) = r.getDouble(j); j += 1 }
+      xs(i)(p) = 1.0
+      ys(i) = numericValue(r.get(p))
+      ws(i) = r.getDouble(p + 1)
+      i += 1
+    }
+    def solveWls(wts: Array[Double],
+                 z: Array[Double]): DenseVector[Double] = {
+      val a = DenseMatrix.zeros[Double](d, d)
+      val b = DenseVector.zeros[Double](d)
+      var i = 0
+      while (i < k) {
+        val w = wts(i)
+        var r = 0
+        while (r < d) {
+          val xr = xs(i)(r)
+          b(r) += w * xr * z(i)
+          var c = 0
+          while (c < d) { a(r, c) += w * xr * xs(i)(c); c += 1 }
+          r += 1
+        }
+        i += 1
+      }
+      val beta = a \ b
+      require(beta.forall(v => java.lang.Double.isFinite(v)),
+              "singular or diverging weighted least squares")
+      beta
+    }
+    target match {
+      case "continuous" =>
+        val beta = solveWls(ws, ys)
+        (Array.tabulate(p)(beta(_)), beta(p))
+      case "binary" =>
+        var beta = DenseVector.zeros[Double](d)
+        var converged = false
+        var it = 0
+        val wrk = new Array[Double](k)
+        val z = new Array[Double](k)
+        while (!converged && it < 100) {
+          var i = 0
+          while (i < k) {
+            var eta = 0.0
+            var j = 0
+            while (j < d) { eta += xs(i)(j) * beta(j); j += 1 }
+            val mu = 1.0 / (1.0 + math.exp(-eta))
+            val v = math.max(mu * (1.0 - mu), 1e-12)
+            wrk(i) = ws(i) * v
+            z(i) = eta + (ys(i) - mu) / v
+            i += 1
+          }
+          val next = solveWls(wrk, z)
+          val delta = breeze.linalg.max(breeze.numerics.abs(next - beta))
+          beta = next
+          converged = delta < 1e-10
+          it += 1
+        }
+        // perfectly separable data has no finite MLE — let spark.ml's
+        // tolerance-capped L-BFGS produce the reference-like answer
+        require(converged, "IRLS did not converge in 100 iterations")
+        (Array.tabulate(p)(beta(_)), beta(p))
+      case other =>
+        throw new IllegalArgumentException(s"unknown target $other")
+    }
+  }
+
+  private def numericValue(v: Any): Double = v match {
+    case d: java.lang.Double  => d
+    case l: java.lang.Long    => l.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case f: java.lang.Float   => f.toDouble
+    case s: java.lang.Short   => s.toDouble
+    case b: java.lang.Byte    => b.toDouble
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case d: java.math.BigDecimal => d.doubleValue
+    case other =>
+      throw new IllegalArgumentException(s"non-numeric label $other")
   }
 
   /** Integer rounding preserving the exact total min/max score
@@ -295,4 +476,41 @@ final class FittedScorecard(
     }.reduce(_ + _) + lit(estimatorIntercept)
     lit(1.0) / (lit(1.0) + exp(-linear))
   }
+}
+
+/** Continuous-target scorecard: per-variable continuous fits, points =
+  * scaled Mean * coef (`scorecard.py` with target_dtype "continuous").
+  * Scoring and prediction are generated CASE-chain projections, same as
+  * the binary scorecard — single stage, no shuffle. */
+final class FittedContinuousScorecard(
+    val fits: Map[String, FittedContinuousBinning],
+    val selected: Array[String],
+    val coefficients: Array[Double],
+    val estimatorIntercept: Double,
+    val pointsTable: Array[Scorecard.PointsRow],
+    val baseIntercept: Double,
+    val scaling: Scorecard.ScalingConfig) extends Serializable {
+
+  private def pointsColumn(v: String): Column = {
+    val byBin = pointsTable.filter(_.variable == v)
+    val idxCol = fits(v).transform(col(v), metric = "indices")
+    byBin.foldLeft(lit(Double.NaN)) { (acc, r) =>
+      when(idxCol === r.binId, lit(r.points)).otherwise(acc)
+    }
+  }
+
+  /** Total score column: sum of per-variable points (+ intercept when
+    * intercept_based). */
+  def scoreColumn(): Column =
+    selected.map(pointsColumn).reduce(_ + _) + lit(baseIntercept)
+
+  def score(df: DataFrame, keepCols: Seq[String] = Seq.empty): DataFrame =
+    df.select(keepCols.map(col) :+ scoreColumn().as("score"): _*)
+
+  /** Linear prediction of the continuous target (sklearn
+    * LinearRegression.predict on mean-transformed features). */
+  def predictColumn(): Column =
+    selected.zipWithIndex.map { case (v, i) =>
+      fits(v).transform(col(v), metric = "mean") * lit(coefficients(i))
+    }.reduce(_ + _) + lit(estimatorIntercept)
 }

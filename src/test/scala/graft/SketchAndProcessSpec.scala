@@ -112,6 +112,47 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(row.getDouble(0) < 0, s"corr ${row.getDouble(0)}")
   }
 
+  test("Scorecard: driver IRLS matches the spark.ml estimator") {
+    val df = li
+    // regParam = 0 -> driver-side IRLS on the compact aggregate;
+    // regParam = 1e-9 -> spark.ml L-BFGS path with a negligible penalty.
+    // Both converge to the same MLE within the L-BFGS tolerance.
+    val irls = Scorecard.fit(df, Seq("l_extendedprice", "l_quantity"), "y")
+    val lbfgs = Scorecard.fit(df, Seq("l_extendedprice", "l_quantity"),
+                              "y", regParam = 1e-9)
+    irls.coefficients.zip(lbfgs.coefficients).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 5e-3 * math.max(1.0, math.abs(b)),
+             s"coef $a vs $b")
+    }
+    assert(math.abs(irls.estimatorIntercept - lbfgs.estimatorIntercept)
+             < 5e-3 * math.max(1.0, math.abs(lbfgs.estimatorIntercept)))
+
+    // continuous target: driver WLS on the grouped sufficient statistics
+    // equals spark.ml LinearRegression on the row-level transform
+    val csc = Scorecard.fitContinuousTarget(
+      df, Seq("l_quantity", "l_discount"), "l_extendedprice")
+    val xt = df.select(
+      csc.fits("l_quantity").transform(col("l_quantity"), "mean")
+        .as("l_quantity"),
+      csc.fits("l_discount").transform(col("l_discount"), "mean")
+        .as("l_discount"),
+      col("l_extendedprice").cast("double").as("label"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount"))
+      .setOutputCol("features").transform(xt)
+    val m = new org.apache.spark.ml.regression.LinearRegression()
+      .setStandardization(false).fit(assembled)
+    csc.coefficients.zip(m.coefficients.toArray).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6 * math.max(1.0, math.abs(b)),
+             s"coef $a vs $b")
+    }
+    assert(math.abs(csc.estimatorIntercept - m.intercept)
+             < 1e-6 * math.max(1.0, math.abs(m.intercept)))
+    // scoring projection is total
+    assert(df.select(csc.scoreColumn().as("s")).where(col("s").isNull)
+             .count() == 0)
+  }
+
   test("Multiclass binning: fit + mean_woe transform totality") {
     val spark = TestSpark.spark
     val df = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
