@@ -367,6 +367,34 @@ object SparkEntry {
         .groupBy("woe").agg(count(lit(1)).as("n")).orderBy("woe")
     }),
 
+    "q_scorecard_cont" -> ((s, dir) => {
+      // continuous-target scorecard (target_dtype "continuous"):
+      // mean-metric transform + driver WLS; points = Mean * coef.
+      // Pinned user splits keep the fit oracle-stable at any SF; the
+      // oracle recovers the same slope/intercept via regr_slope on the
+      // bin-mean feature
+      val li = T(s, dir, "lineitem")
+      val sc = Scorecard.fitContinuousTarget(li, Seq("l_quantity"),
+        "l_extendedprice",
+        BinningConfig(name = "l_quantity",
+                      userSplits = Some(Array(10.0, 25.0, 40.0)),
+                      monotonicTrend = None))
+      val nData = sc.fits("l_quantity").nDataBins
+      import s.implicits._
+      // intercept is algebraically 0 here (slope-1 regression on the
+      // bin-mean feature): round to 2 and normalize -0.0 so residual
+      // solver noise can't flip the 6-decimal hash
+      val icpt = math.rint(sc.estimatorIntercept * 100) / 100 + 0.0
+      sc.pointsTable.filter(_.binId < nData).toSeq.map { r =>
+        // points at 4 decimals: 5e4-magnitude means put the 6th decimal
+        // inside cross-engine averaging noise
+        (r.binId.toLong,
+         BigDecimal(r.points).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+           .toDouble,
+         scale6(r.coefficient), icpt)
+      }.toDF("bin", "points", "coef", "intercept").orderBy("bin")
+    }),
+
     // --- monitoring (§2.4 PSI) --------------------------------------
     "q_psi" -> ((s, dir) => {
       val o = T(s, dir, "orders")
@@ -1273,6 +1301,24 @@ object SparkEntry {
          SELECT woe.woe, count(*) AS n
          FROM b JOIN woe USING (bin)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_scorecard_cont" ->
+      // the mean-transformed feature is piecewise-constant, so the WLS
+      // fit is a simple regression of y on the bin-mean feature
+      """WITH b AS (
+           SELECT CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bin,
+                  l_extendedprice::DOUBLE AS y
+           FROM lineitem),
+         m AS (SELECT bin, avg(y) AS f FROM b GROUP BY 1),
+         j AS (SELECT b.y, m.f FROM b JOIN m USING (bin)),
+         r AS (SELECT regr_slope(y, f) AS c, regr_intercept(y, f) AS i
+               FROM j)
+         SELECT m.bin::BIGINT AS bin, round(m.f * r.c, 4) AS points,
+                round(r.c, 6) AS coef, round(r.i, 2) + 0.0 AS intercept
+         FROM m, r ORDER BY bin""",
 
     "q_2d_agg" ->
       """SELECT CASE WHEN l_extendedprice < 50000 THEN 0 ELSE 1 END AS bx,

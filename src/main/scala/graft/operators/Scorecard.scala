@@ -306,8 +306,47 @@ object Scorecard {
     }
     target match {
       case "continuous" =>
-        val beta = solveWls(ws, ys)
-        (Array.tabulate(p)(beta(_)), beta(p))
+        // centered normal equations: the raw system suffers catastrophic
+        // cancellation at large feature magnitudes (intercept noise ~1e-6
+        // on 5e4-scale responses); centering keeps ~1e-12 relative error
+        val wTot = ws.sum
+        val fMean = new Array[Double](p)
+        var yMean = 0.0
+        var i2 = 0
+        while (i2 < k) {
+          val w = ws(i2)
+          var j = 0
+          while (j < p) { fMean(j) += w * xs(i2)(j); j += 1 }
+          yMean += w * ys(i2)
+          i2 += 1
+        }
+        var j2 = 0
+        while (j2 < p) { fMean(j2) /= wTot; j2 += 1 }
+        yMean /= wTot
+        val a = DenseMatrix.zeros[Double](p, p)
+        val b = DenseVector.zeros[Double](p)
+        i2 = 0
+        while (i2 < k) {
+          val w = ws(i2)
+          var r = 0
+          while (r < p) {
+            val xr = xs(i2)(r) - fMean(r)
+            b(r) += w * xr * (ys(i2) - yMean)
+            var c = 0
+            while (c < p) {
+              a(r, c) += w * xr * (xs(i2)(c) - fMean(c)); c += 1
+            }
+            r += 1
+          }
+          i2 += 1
+        }
+        val beta = a \ b
+        require(beta.forall(v => java.lang.Double.isFinite(v)),
+                "singular or diverging weighted least squares")
+        var icpt = yMean
+        var j3 = 0
+        while (j3 < p) { icpt -= beta(j3) * fMean(j3); j3 += 1 }
+        (Array.tabulate(p)(beta(_)), icpt)
       case "binary" =>
         var beta = DenseVector.zeros[Double](d)
         var converged = false

@@ -40,6 +40,12 @@ final class BSketchAggregator(eps: Double, specialCodes: Array[Double],
   * the data arrived in one batch or many (order-insensitive mergeable
   * state; no watermarking needed).
   */
+object OptimalBinningSketch {
+  /** One row of the solve trajectory (`binning_sketch.py:956-961`). */
+  final case class SolveStat(nAdd: Long, nRecords: Long,
+                             divergence: Double)
+}
+
 final class OptimalBinningSketch(
     val config: BinningConfig = BinningConfig(),
     val eps: Double = 1e-4,
@@ -52,7 +58,17 @@ final class OptimalBinningSketch(
 
   private var _sketch: BSketch = new BSketch(eps, specials, sketchType)
 
+  private var _nAdd = 0L
+  private val _solveStats =
+    scala.collection.mutable.ArrayBuffer.empty[OptimalBinningSketch.SolveStat]
+
   def sketch: BSketch = _sketch
+
+  /** Per-solve streaming statistics (`binning_sketch.py:944-961`
+    * `_update_streaming_stats` / `plots.py` progress trajectory): one
+    * entry per solve() with the add-count, record-count, and the solved
+    * table's divergence (config.divergence measure). */
+  def solveStats: Seq[OptimalBinningSketch.SolveStat] = _solveStats.toSeq
 
   /** Add a batch DataFrame (xCol, yCol) into the sketch via the typed
     * aggregate (one job, partial agg per partition). */
@@ -67,6 +83,7 @@ final class OptimalBinningSketch(
       .select(agg.toColumn.name("sketch"))
       .head()
     _sketch.merge(batchSketch)
+    _nAdd += 1
   }
 
   /** Merge another OptimalBinningSketch (cross-node/stream merge). */
@@ -110,11 +127,19 @@ final class OptimalBinningSketch(
       _sketch.countMissingNe + _sketch.countSpecialE +
       _sketch.countSpecialNe
 
-    OptimalBinning.fitFromCounts(
+    val fitted = OptimalBinning.fitFromCounts(
       splits,
       s => { val (e, ne) = _sketch.bins(s); (ne, e) },
       totals, nSamples.toDouble, config,
       categories = null, catOthers = null)
+    val dv = config.divergence match {
+      case "js"         => fitted.table.js
+      case "hellinger"  => fitted.table.hellinger
+      case "triangular" => fitted.table.triangular
+      case _            => fitted.table.iv
+    }
+    _solveStats += OptimalBinningSketch.SolveStat(_nAdd, nSamples, dv)
+    fitted
   }
 
   /** Structured Streaming mode: accumulate per micro-batch and re-solve at

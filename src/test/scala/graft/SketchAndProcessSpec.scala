@@ -79,6 +79,16 @@ class SketchAndProcessSpec extends AnyFunSuite {
     val a = whole.solve(); val b = parts.solve()
     // counts agree within sketch eps tolerance
     assert(math.abs(a.table.iv - b.table.iv) < 0.05)
+
+    // solve trajectory (`binning_sketch.py:944-961`): one stat per solve,
+    // carrying add-count, record-count and the solved divergence
+    parts.solve()
+    val stats = parts.solveStats
+    assert(stats.length == 2)
+    assert(stats.forall(_.nAdd == 2))
+    assert(stats.forall(_.nRecords == parts.sketch.n))
+    assert(stats.forall(s => s.divergence > 0))
+    assert(math.abs(stats(0).divergence - b.table.iv) < 1e-12)
   }
 
   test("BinningProcess: multi-variable single-shuffle fit + transform") {
