@@ -7,8 +7,10 @@ import org.json4s.jackson.JsonMethods
 import org.json4s.JsonDSL._
 
 import graft.core.BinningTables
-import graft.operators.{BinningConfig, BinningProcess, FittedBinningProcess,
-  FittedOptimalBinning, FittedScorecard, Scorecard, SpecialList}
+import graft.operators.{BinningConfig, BinningProcess,
+  FittedBinningProcess, FittedContinuousBinning,
+  FittedContinuousScorecard, FittedOptimalBinning, FittedScorecard,
+  Scorecard, SpecialList}
 
 /** Model persistence mirroring the reference's `to_json`/`read_json`
   * surface (`optbinning/binning/binning.py:1189-1255`): the model IS the
@@ -163,5 +165,134 @@ object ModelIO {
 
   def loadScorecard(path: String): FittedScorecard =
     scorecardFromJson(
+      new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  // ------------------------------------------------------------------
+  // continuous-target fits (`continuous_binning.py` to_json analogue:
+  // the model is splits + per-bin sufficient statistics)
+  // ------------------------------------------------------------------
+
+  def continuousToJson(f: FittedContinuousBinning): String = {
+    val t = f.table
+    val json: JObject =
+      ("name" -> f.config.name) ~
+      ("dtype" -> f.config.dtype) ~
+      ("status" -> f.status) ~
+      ("splits" -> f.splits.toList) ~
+      ("n_records" -> t.nRecords.toList) ~
+      ("sums" -> t.sums.toList) ~
+      ("stds" -> t.stds.toList) ~
+      ("mins" -> t.mins.toList) ~
+      ("maxs" -> t.maxs.toList) ~
+      ("n_zeros" -> t.nZeros.toList) ~
+      ("bin_labels" -> t.binLabels.toList) ~
+      ("n_data_bins" -> f.nDataBins) ~
+      ("categories" ->
+        Option(f.categories).map(_.toList).getOrElse(Nil)) ~
+      ("cat_bins" ->
+        Option(f.catBins).map(_.map(_.toList).toList).getOrElse(Nil)) ~
+      ("cat_others" ->
+        Option(f.catOthers).map(_.toList).getOrElse(Nil)) ~
+      ("special_codes" -> (f.config.specialCodes match {
+        case Some(SpecialList(vs)) => vs.map(_.toString).toList
+        case _                     => Nil
+      }))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  def continuousFromJson(s: String): FittedContinuousBinning = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val name = (j \ "name").extract[String]
+    val dtype = (j \ "dtype").extract[String]
+    val status = (j \ "status").extract[String]
+    val splits = (j \ "splits").extract[List[Double]].toArray
+    val nRecords = (j \ "n_records").extract[List[Double]].toArray
+    val sums = (j \ "sums").extract[List[Double]].toArray
+    val stds = (j \ "stds").extract[List[Double]].toArray
+    val mins = (j \ "mins").extract[List[Double]].toArray
+    val maxs = (j \ "maxs").extract[List[Double]].toArray
+    val nZeros = (j \ "n_zeros").extract[List[Double]].toArray
+    val labels = (j \ "bin_labels").extract[List[String]].toArray
+    val nDataBins = (j \ "n_data_bins").extract[Int]
+    val categories = (j \ "categories").extract[List[String]].toArray
+    val catBins = (j \ "cat_bins").extract[List[List[String]]]
+      .map(_.toArray).toArray
+    val catOthers = (j \ "cat_others").extract[List[String]].toArray
+    val specials = (j \ "special_codes").extract[List[String]]
+    val config = BinningConfig(
+      name = name, dtype = dtype,
+      specialCodes =
+        if (specials.nonEmpty)
+          Some(SpecialList(specials.map(_.toDouble)))
+        else None)
+    val table = new BinningTables.ContinuousBinningTable(
+      name, dtype, splits, nRecords, sums, stds, mins, maxs, nZeros,
+      labels)
+    new FittedContinuousBinning(
+      config, status, splits, table,
+      if (categories.nonEmpty) categories else null,
+      if (catBins.nonEmpty) catBins else null,
+      if (catOthers.nonEmpty) catOthers else null,
+      nDataBins)
+  }
+
+  def saveContinuous(f: FittedContinuousBinning, path: String): Unit =
+    Files.write(Paths.get(path), continuousToJson(f).getBytes("UTF-8"),
+                StandardOpenOption.CREATE,
+                StandardOpenOption.TRUNCATE_EXISTING)
+
+  def loadContinuous(path: String): FittedContinuousBinning =
+    continuousFromJson(
+      new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  def continuousScorecardToJson(sc: FittedContinuousScorecard): String = {
+    val json: JObject =
+      ("fits" -> sc.selected.toList.map(v =>
+        JsonMethods.parse(continuousToJson(sc.fits(v))))) ~
+      ("selected" -> sc.selected.toList) ~
+      ("coefficients" -> sc.coefficients.toList) ~
+      ("estimator_intercept" -> sc.estimatorIntercept) ~
+      ("base_intercept" -> sc.baseIntercept) ~
+      ("points" -> sc.pointsTable.toList.map { r =>
+        ("variable" -> r.variable) ~ ("bin_id" -> r.binId) ~
+        ("bin" -> r.bin) ~ ("count" -> r.count) ~
+        ("event_rate" -> r.eventRate) ~ ("woe" -> r.woe) ~
+        ("coefficient" -> r.coefficient) ~ ("points" -> r.points)
+      })
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  def continuousScorecardFromJson(s: String): FittedContinuousScorecard = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val selected = (j \ "selected").extract[List[String]].toArray
+    val fits = (j \ "fits").extract[List[JValue]].map(v =>
+      continuousFromJson(JsonMethods.compact(JsonMethods.render(v))))
+    val coefs = (j \ "coefficients").extract[List[Double]].toArray
+    val intercept = (j \ "estimator_intercept").extract[Double]
+    val base = (j \ "base_intercept").extract[Double]
+    val points = (j \ "points").extract[List[JValue]].map { r =>
+      Scorecard.PointsRow(
+        (r \ "variable").extract[String], (r \ "bin_id").extract[Int],
+        (r \ "bin").extract[String], (r \ "count").extract[Double],
+        (r \ "event_rate").extract[Double], (r \ "woe").extract[Double],
+        (r \ "coefficient").extract[Double],
+        (r \ "points").extract[Double])
+    }.toArray
+    new FittedContinuousScorecard(
+      selected.zip(fits).toMap, selected, coefs, intercept, points,
+      base, Scorecard.ScalingConfig())
+  }
+
+  def saveContinuousScorecard(sc: FittedContinuousScorecard,
+                              path: String): Unit =
+    Files.write(Paths.get(path),
+                continuousScorecardToJson(sc).getBytes("UTF-8"),
+                StandardOpenOption.CREATE,
+                StandardOpenOption.TRUNCATE_EXISTING)
+
+  def loadContinuousScorecard(path: String): FittedContinuousScorecard =
+    continuousScorecardFromJson(
       new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
 }

@@ -274,6 +274,36 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(math.abs(pr1 - pr2) < 1e-9)
   }
 
+  test("continuous fit and scorecard JSON round-trip preserves scoring") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+
+    val f = ContinuousOptimalBinning.fit(li, "l_quantity",
+      "l_extendedprice", BinningConfig(name = "l_quantity"))
+    val f2 = graft.sources.ModelIO.continuousFromJson(
+      graft.sources.ModelIO.continuousToJson(f))
+    val a = li.select(f.transform(col("l_quantity")).as("m"))
+      .agg(sum("m")).head.getDouble(0)
+    val b = li.select(f2.transform(col("l_quantity")).as("m"))
+      .agg(sum("m")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+
+    val sc = Scorecard.fitContinuousTarget(
+      li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+    val sc2 = graft.sources.ModelIO.continuousScorecardFromJson(
+      graft.sources.ModelIO.continuousScorecardToJson(sc))
+    val s1 = li.select(sc.scoreColumn().as("s")).agg(sum("s"))
+      .head.getDouble(0)
+    val s2 = li.select(sc2.scoreColumn().as("s")).agg(sum("s"))
+      .head.getDouble(0)
+    assert(math.abs(s1 - s2) < 1e-6, s"$s1 vs $s2")
+    val p1 = li.select(sc.predictColumn().as("p")).agg(avg("p"))
+      .head.getDouble(0)
+    val p2 = li.select(sc2.predictColumn().as("p")).agg(avg("p"))
+      .head.getDouble(0)
+    assert(math.abs(p1 - p2) < 1e-6)
+  }
+
   test("Streaming: categorical sketch foreachBatch equals batch fit") {
     val spark = TestSpark.spark
     import spark.implicits._
