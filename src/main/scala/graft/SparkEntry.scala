@@ -845,6 +845,19 @@ object SparkEntry {
         .toDF("bin", "count", "woe").orderBy("bin")
     }),
 
+    "q_2d_cart" -> ((s, dir) => {
+      // 2D binning, CART strategy: greedy recursive axis-parallel
+      // splitting, leaves = bins (rows-only check; solver-driven)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning2D.fit(li, "l_extendedprice",
+        "l_quantity", "y", OptimalBinning2D.Config2D(strategy = "cart"))
+      import s.implicits._
+      Seq((fitted.rects.length.toLong,
+           fitted.rects.map(r => r.event + r.nonevent).sum.toLong,
+           scale6(fitted.iv)))
+        .toDF("n_bins", "n_records", "iv")
+    }),
+
     "q_scenario_fit" -> ((s, dir) => {
       // scenario-based stochastic binning (rows-only check)
       val li = liTarget(T(s, dir, "lineitem"))

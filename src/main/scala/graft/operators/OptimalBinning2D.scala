@@ -36,7 +36,11 @@ object OptimalBinning2D {
       minBinSize: Option[Double] = None,
       minBinNEvent: Option[Long] = None,
       minBinNNonevent: Option[Long] = None,
-      divergence: String = "iv")
+      divergence: String = "iv",
+      /** "grid": optimal tiling over the full prebin grid; "cart":
+        * greedy recursive axis-parallel splitting, leaves = bins
+        * (`binning_2d.py:63` strategy, `model_data_cart_2d.py`). */
+      strategy: String = "grid")
 
   def fit(df: DataFrame, xCol: String, yCol: String, targetCol: String,
           config: Config2D = Config2D()): Fitted2DBinning = {
@@ -116,7 +120,15 @@ object OptimalBinning2D {
       })
     }
 
-    val (status, leaves) = tilingSolve(mx, my, leafIv)
+    val (status, leaves) = config.strategy match {
+      case "cart" =>
+        cartSolve(mx, my, leafIv,
+                  config.maxNPrebinsX * config.maxNPrebinsY)
+      case "grid" => tilingSolve(mx, my, leafIv)
+      case other =>
+        throw new IllegalArgumentException(
+          s"strategy must be grid or cart, got $other")
+    }
     val rects =
       if (status == "OPTIMAL")
         leaves.map { case (x1, x2, y1, y2, v) =>
@@ -126,6 +138,64 @@ object OptimalBinning2D {
       else Array(Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0))
 
     new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe, tEv)
+  }
+
+  /** CART-strategy partition (`binning_2d.py` strategy="cart" via
+    * `model_data_cart_2d.py`): greedy best-first axis-parallel recursive
+    * splitting of the prebin grid. Each step cuts the leaf whose best
+    * guillotine cut yields the largest divergence gain; children must
+    * individually satisfy the bin constraints (leafVal defined). Stops
+    * at maxLeaves or when no cut gains. Leaves are the bins. */
+  private[graft] def cartSolve(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      maxLeaves: Int)
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
+    final case class Leaf(x1: Int, x2: Int, y1: Int, y2: Int, v: Double)
+    val rootV = leafVal(0, mx - 1, 0, my - 1)
+    if (rootV.isEmpty) return ("INFEASIBLE", Array.empty)
+    var leaves = List(Leaf(0, mx - 1, 0, my - 1, rootV.get))
+    var grown = true
+    while (grown && leaves.size < maxLeaves) {
+      // best (leaf, cut): maximize sum-of-children gain over the leaf
+      var bestGain = 1e-12
+      var bestLeaf: Leaf = null
+      var bestParts: (Leaf, Leaf) = null
+      leaves.foreach { l =>
+        // vertical cuts x1 <= c < x2 (left = [x1,c], right = [c+1,x2])
+        var c = l.x1
+        while (c < l.x2) {
+          (leafVal(l.x1, c, l.y1, l.y2),
+           leafVal(c + 1, l.x2, l.y1, l.y2)) match {
+            case (Some(a), Some(b)) if a + b - l.v > bestGain =>
+              bestGain = a + b - l.v
+              bestLeaf = l
+              bestParts = (Leaf(l.x1, c, l.y1, l.y2, a),
+                           Leaf(c + 1, l.x2, l.y1, l.y2, b))
+            case _ => ()
+          }
+          c += 1
+        }
+        // horizontal cuts
+        c = l.y1
+        while (c < l.y2) {
+          (leafVal(l.x1, l.x2, l.y1, c),
+           leafVal(l.x1, l.x2, c + 1, l.y2)) match {
+            case (Some(a), Some(b)) if a + b - l.v > bestGain =>
+              bestGain = a + b - l.v
+              bestLeaf = l
+              bestParts = (Leaf(l.x1, l.x2, l.y1, c, a),
+                           Leaf(l.x1, l.x2, c + 1, l.y2, b))
+            case _ => ()
+          }
+          c += 1
+        }
+      }
+      if (bestLeaf == null) grown = false
+      else leaves = bestParts._1 :: bestParts._2 ::
+        leaves.filterNot(_ eq bestLeaf)
+    }
+    ("OPTIMAL",
+     leaves.map(l => (l.x1, l.x2, l.y1, l.y2, l.v)).toArray)
   }
 
   /** Best rectangle partition of the (mx x my) prebin grid: the exact
@@ -350,7 +420,12 @@ object OptimalBinning2D {
       Some(math.abs(m - tMean))
     }
 
-    val (status, leaves) = tilingSolve(mx, my, leafNorm)
+    val (status, leaves) = config.strategy match {
+      case "cart" =>
+        cartSolve(mx, my, leafNorm,
+                  config.maxNPrebinsX * config.maxNPrebinsY)
+      case _ => tilingSolve(mx, my, leafNorm)
+    }
     val rects =
       if (status == "OPTIMAL")
         leaves.map { case (x1, x2, y1, y2, v) =>

@@ -49,6 +49,31 @@ class AdvancedBinningSpec extends AnyFunSuite {
     assert(out.distinct.length == fitted.rects.length)
   }
 
+  test("OptimalBinning2D cart strategy: greedy tree leaves tile the " +
+       "grid and never beat the optimal tiling") {
+    val df = li
+    val grid = OptimalBinning2D.fit(df, "l_extendedprice", "l_quantity",
+                                    "y")
+    val cart = OptimalBinning2D.fit(df, "l_extendedprice", "l_quantity",
+      "y", OptimalBinning2D.Config2D(strategy = "cart"))
+    assert(cart.status == "OPTIMAL")
+    // leaves tile the grid: counts sum to totals
+    val totalN = cart.rects.map(r => r.event + r.nonevent).sum
+    assert(totalN.toLong == df.count(), s"cover $totalN")
+    // greedy guillotine growth cannot exceed the exact tiling optimum
+    assert(cart.iv <= grid.iv + 1e-9, s"cart ${cart.iv} grid ${grid.iv}")
+    assert(cart.iv > 0)
+    // leaf cap: maxNPrebinsX * maxNPrebinsY
+    assert(cart.rects.length <= 25)
+
+    // continuous variant drives the same hook
+    val cc = OptimalBinning2D.fitContinuous(df, "l_quantity", "l_discount",
+      "l_extendedprice", OptimalBinning2D.Config2D(
+        maxNPrebinsX = 4, maxNPrebinsY = 4, strategy = "cart"))
+    assert(cc.status == "OPTIMAL")
+    assert(cc.rects.map(_.n).sum.toLong == df.count())
+  }
+
   test("exact 2D tiling finds non-guillotine optima (pinwheel) and " +
        "never loses to the guillotine DP") {
     // 3x3 grid where the pinwheel tiling (four 1x2 dominoes around the
