@@ -51,10 +51,16 @@ object BinningProcess {
           varOverrides: Map[String, BinningConfig] = Map.empty,
           selection: Selection = Selection(),
           weightCol: Option[String] = None,
-          maxGridBuckets: Int = 10000): FittedBinningProcess = {
+          maxGridBuckets: Int = 10000,
+          /** Force these variables into the categorical batch regardless
+            * of column type (`categorical_variables`,
+            * `binning_process.py:559`; values are cast to string). */
+          categoricalVariables: Seq[String] = Seq.empty)
+      : FittedBinningProcess = {
     val schema = df.schema
+    val forced = categoricalVariables.toSet
     val (catVars, numVars) = variables.partition { v =>
-      schema(v).dataType == StringType
+      forced(v) || schema(v).dataType == StringType
     }
     require((catVars ++ numVars).size == variables.size)
 

@@ -108,6 +108,20 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(out.count() == df.count())
   }
 
+  test("BinningProcess: categoricalVariables forces numeric into " +
+       "categorical batch") {
+    val df = li
+    val proc = BinningProcess.fit(
+      df, Seq("l_extendedprice", "l_linenumber"), "y",
+      config = BinningConfig(),
+      categoricalVariables = Seq("l_linenumber"))
+    assert(proc.fits("l_linenumber").config.dtype == "categorical")
+    assert(proc.fits("l_extendedprice").config.dtype == "numerical")
+    // transform stays total over the forced-categorical column
+    val out = proc.transform(df, "woe")
+    assert(out.where(col("l_linenumber").isNull).count() == 0)
+  }
+
   test("Scorecard: fit + score monotone in event probability") {
     val spark = TestSpark.spark
     val df = li
