@@ -248,13 +248,52 @@ object BinningProcess {
       .selectExpr("__y as y", "__w as w", stackExpr)
     val cls = Preprocess.rowClass(col("x"), isNumeric = false,
                                   config.specialCodes)
-    val rows = melted
+    val base = melted
       .select(col("var"), col("x"), col("y"), col("w"), cls.as("cls"))
+    val agg = base
       .groupBy("var", "cls", "x")
       .agg(count(lit(1)).as("n"),
            sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
-           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
-      .collect()
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
+           sum(col("w")).as("wt"))
+
+    // bounded driver collect (mirrors the single-variable categorical
+    // path): beyond the per-variable histogram budget, keep the top-K
+    // categories by weight and pool each variable's long tail into its
+    // others bin — the collect stays O(vars * cap) at any cardinality
+    val cap = config.histogramMaxBuckets
+    val probe = agg.limit(vars.length * cap + 1).collect()
+    val (rows, tails) =
+      if (probe.length <= vars.length * cap)
+        (probe, Map.empty[String, OptimalBinning.CatCountRow])
+      else {
+        val nonClean =
+          agg.where(col("cls") =!= Preprocess.CleanClass).collect()
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy("var").orderBy(desc("wt"))
+        val top = agg.where(col("cls") === Preprocess.CleanClass)
+          .withColumn("__rn", row_number().over(wnd))
+          .where(col("__rn") <= cap).drop("__rn").collect()
+        val topByVar = top.groupBy(_.getString(0))
+        val tailMap = base.where(col("cls") === Preprocess.CleanClass)
+          .groupBy("var")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("y") === 0.0, col("w")).otherwise(0.0))
+                 .as("w0"),
+               sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0))
+                 .as("w1"))
+          .collect().flatMap { t =>
+            val v = t.getString(0)
+            val kept = topByVar.getOrElse(v, Array.empty)
+            val tailN = t.getLong(1) - kept.map(_.getLong(3)).sum
+            if (tailN <= 0) None
+            else Some(v -> OptimalBinning.CatCountRow(
+              Preprocess.CleanClass, "", tailN,
+              t.getDouble(2) - kept.map(_.getDouble(4)).sum,
+              t.getDouble(3) - kept.map(_.getDouble(5)).sum))
+          }.toMap
+        (top ++ nonClean, tailMap)
+      }
 
     val byVar = rows.groupBy(_.getString(0))
     vars.par.map { v =>
@@ -265,7 +304,8 @@ object BinningProcess {
                                    r.getDouble(5))
       }
       v -> OptimalBinning.fitCategoricalFromCounts(
-        catRows, cfgFor(v, config, overrides, "categorical"))
+        catRows, cfgFor(v, config, overrides, "categorical"),
+        tailOthers = tails.get(v))
     }.toList.toMap
   }
 }

@@ -122,6 +122,21 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(out.where(col("l_linenumber").isNull).count() == 0)
   }
 
+  test("BinningProcess: categorical batch pools the tail beyond the " +
+       "histogram budget") {
+    val df = li
+    // cap of 1 on a 3-category column forces the top-K + pooled-tail
+    // path; every row still lands in a bin and totals are preserved
+    val proc = BinningProcess.fit(
+      df, Seq("l_returnflag"), "y",
+      config = BinningConfig(histogramMaxBuckets = 1))
+    val f = proc.fits("l_returnflag")
+    assert(f.table.nRecords.sum.toLong == df.count(),
+           s"totals ${f.table.nRecords.sum}")
+    val out = proc.transform(df, "woe")
+    assert(out.where(col("l_returnflag").isNull).count() == 0)
+  }
+
   test("Scorecard: fit + score monotone in event probability") {
     val spark = TestSpark.spark
     val df = li
