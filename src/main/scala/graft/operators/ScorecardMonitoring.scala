@@ -10,13 +10,63 @@ import org.apache.spark.sql.functions._
   * percentile agg), then one groupBy per cohort + a bins-sized join.
   */
 final class ScorecardMonitoring(val scorecard: FittedScorecard,
-                                val psiNBins: Int = 20) {
+                                val psiNBins: Int = 20,
+                                /** Score prebinning for the PSI bins:
+                                  * "quantile" | "uniform" | "cart"
+                                  * (`monitoring.py:195` psi_method;
+                                  * reference default "cart"). cart
+                                  * needs `psiYCol`. */
+                                val psiMethod: String = "quantile",
+                                val psiMinBinSize: Double = 0.05,
+                                /** Target column for cart score bins
+                                  * (`monitoring.py:492-498` fits
+                                  * PreBinning on (score, y_expected)). */
+                                val psiYCol: Option[String] = None) {
+
+  require(Set("quantile", "uniform", "cart")(psiMethod),
+          s"psi_method must be uniform, quantile or cart; got $psiMethod")
 
   private def scoreBins(expected: DataFrame): Array[Double] = {
     val sc = scorecard.scoreColumn()
-    val probs = (1 until psiNBins).map(_.toDouble / psiNBins)
-    expected.select(percentile(sc, array(probs.map(lit(_)): _*)).as("q"))
-      .head.getSeq[Double](0).toArray.distinct.sorted
+    psiMethod match {
+      case "quantile" =>
+        val probs = (1 until psiNBins).map(_.toDouble / psiNBins)
+        expected
+          .select(percentile(sc, array(probs.map(lit(_)): _*)).as("q"))
+          .head.getSeq[Double](0).toArray.distinct.sorted
+      case "uniform" =>
+        val r = expected.agg(min(sc), max(sc)).head
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        (1 until psiNBins)
+          .map(i => lo + (hi - lo) * i / psiNBins).toArray
+      case "cart" =>
+        val y = psiYCol.getOrElse(throw new IllegalArgumentException(
+          "psi_method=cart needs psiYCol (CART fits on (score, y))"))
+        // bounded per-score histogram (grid-compressed beyond 10k
+        // buckets), then the same greedy CART used for prebinning
+        val base = expected.select(sc.as("s"),
+                                   col(y).cast("double").as("y"))
+        val st = base.agg(count(lit(1)), min(col("s")), max(col("s")))
+          .head
+        val keyed =
+          if (st.getLong(0) <= 10000) base
+          else Histograms.gridCompress(base, "s", st.getDouble(1),
+                                       st.getDouble(2), 10000)
+        val hist = keyed.groupBy("s")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("y") === 0.0, 1.0).otherwise(0.0)).as("y0"),
+               sum(when(col("y") =!= 0.0, 1.0).otherwise(0.0)).as("y1"))
+          .collect()
+          .map(r => graft.core.Prebinning.HistBucket(
+            r.getDouble(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3)))
+          .sortBy(_.value)
+        val total = hist.map(_.n).sum
+        graft.core.Prebinning.cartSplits(
+          hist, maxLeafNodes = psiNBins,
+          minSamplesLeaf = math.ceil(psiMinBinSize * total).toLong,
+          classification = true)
+    }
   }
 
   /** System stability: PSI over score deciles

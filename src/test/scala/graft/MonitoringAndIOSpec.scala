@@ -46,6 +46,17 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(tests.nonEmpty && tests.forall(t => t._5 >= 0 && t._5 <= 1))
     val perf = mon.performance(expected, actual, "y")
     assert(perf("gini_expected") > -1 && perf("gini_expected") < 1)
+
+    // cart psi_method (the reference default): same-distribution halves
+    // stay insignificant on tree-derived score bins too
+    val monCart = new ScorecardMonitoring(sc, psiNBins = 10,
+      psiMethod = "cart", psiYCol = Some("y"))
+    val psiCart = monCart.psiTotal(expected, actual)
+    assert(psiCart >= 0 && psiCart < 0.1, s"cart psi $psiCart")
+    val monUni = new ScorecardMonitoring(sc, psiNBins = 10,
+      psiMethod = "uniform")
+    val psiUni = monUni.psiTotal(expected, actual)
+    assert(psiUni >= 0 && psiUni < 0.1, s"uniform psi $psiUni")
   }
 
   test("ModelMetrics: gini/ks consistent with bin-table values") {
