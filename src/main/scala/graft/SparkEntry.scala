@@ -845,6 +845,28 @@ object SparkEntry {
         .toDF("bin", "count", "woe").orderBy("bin")
     }),
 
+    "q_stability_report" -> ((s, dir) => {
+      // scorecard monitoring system report (`monitoring.py:166`): PSI on
+      // cart score bins + per-bin significance + cohort performance
+      // (rows-only: scorecard-solver-driven)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+      val expected = li.where(col("l_orderkey") % 2 === 0)
+      val actual = li.where(col("l_orderkey") % 2 === 1)
+      val mon = new ScorecardMonitoring(sc, psiNBins = 10,
+        psiMethod = "cart", psiYCol = Some("y"))
+      val psi = mon.psiTotal(expected, actual)
+      val tests = mon.significanceTests(expected, actual, "y")
+      val perf = mon.performance(expected, actual, "y")
+      import s.implicits._
+      Seq((scale6(psi), Monitoring.psiVerdict(psi),
+           tests.length.toLong,
+           tests.count(t => t._5 < 0.05).toLong,
+           scale6(perf("gini_expected")), scale6(perf("gini_actual"))))
+        .toDF("psi", "verdict", "n_bins", "n_significant",
+              "gini_expected", "gini_actual")
+    }),
+
     "q_2d_cart" -> ((s, dir) => {
       // 2D binning, CART strategy: greedy recursive axis-parallel
       // splitting, leaves = bins (rows-only check; solver-driven)
