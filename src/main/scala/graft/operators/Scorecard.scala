@@ -34,7 +34,13 @@ object Scorecard {
       scaling: ScalingConfig = ScalingConfig(),
       target: String = "binary",
       regParam: Double = 0.0,
-      elasticNetParam: Double = 0.0): FittedScorecard = {
+      elasticNetParam: Double = 0.0,
+      /** WoE value used for special/missing rows in the design matrix
+        * and their Points (`scorecard.py:265` fit defaults
+        * metric_special=0, metric_missing=0; "empirical" uses the
+        * fitted WoE like every other bin). */
+      metricSpecial: Any = 0.0,
+      metricMissing: Any = 0.0): FittedScorecard = {
 
     val process = BinningProcess.fit(df, variables, yCol,
                                      targetType = "binary",
@@ -50,7 +56,9 @@ object Scorecard {
     // instead of scanning every input row per L-BFGS iteration. One
     // aggregate pass over the data, then driver-sized iterations — the
     // row count is bounded by the bin-combination count, not data scale.
-    val xt = process.transform(df, metric = "woe", keepCols = Seq(yCol))
+    val xt = process.transform(df, metric = "woe", keepCols = Seq(yCol),
+      transformParams =
+        selected.map(v => v -> ((metricSpecial, metricMissing))).toMap)
     val assembler = new VectorAssembler()
       .setInputCols(selected.toArray).setOutputCol("features")
     val nCombos = selected
@@ -136,21 +144,39 @@ object Scorecard {
       case _ => sparkMlFit()
     }
 
-    // points = woe * coef per bin (`scorecard.py:639-664`)
+    // points = woe * coef per bin; special/missing rows take
+    // metric_special/metric_missing * coef unless "empirical"
+    // (`scorecard.py:639-664`, the loc overrides at :651-660)
+    def metricValue(m: Any, empirical: Double): Double = m match {
+      case "empirical" => empirical
+      case v: Double   => v
+      case v: Int      => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"metric must be a number or \"empirical\"; got $other")
+    }
     val n = selected.size
     var rows: Seq[PointsRow] = selected.zipWithIndex.flatMap {
       case (v, i) =>
         val f = process.fits(v)
         val c = coefs(i)
+        val nTable = f.table.rows.length
+        val nOthers =
+          if (f.catOthers != null && f.catOthers.nonEmpty) 1 else 0
         f.table.rows.zipWithIndex.map { case (r, binId) =>
+          val base =
+            if (binId == nTable - 1) metricValue(metricMissing, r.woe)
+            else if (binId >= f.nDataBins + nOthers)
+              metricValue(metricSpecial, r.woe)
+            else r.woe
           PointsRow(v, binId, r.bin, r.count, r.eventRate, r.woe, c,
-                    r.woe * c)
+                    base * c)
         }
     }
 
     val (scaled, interceptOut) = applyScaling(rows, intercept, n, scaling)
     new FittedScorecard(process, selected.toArray, coefs, intercept,
-                        scaled.toArray, interceptOut, scaling, woeStats)
+                        scaled.toArray, interceptOut, scaling, woeStats,
+                        metricSpecial, metricMissing)
   }
 
   /** Scaling + intercept-based shift + rounding, shared by the binary and
@@ -478,7 +504,11 @@ final class FittedScorecard(
     val scaling: Scorecard.ScalingConfig,
     /** (mean, cholesky(inv(cov))) of the WoE design — Mahalanobis basis
       * for counterfactual closeness; None when unavailable. */
-    val woeStats: Option[(Array[Double], Array[Array[Double]])] = None)
+    val woeStats: Option[(Array[Double], Array[Array[Double]])] = None,
+    /** Stored metric_special/metric_missing from fit — prediction uses
+      * the same special/missing WoE policy (`scorecard.py:350`). */
+    val metricSpecial: Any = 0.0,
+    val metricMissing: Any = 0.0)
     extends Serializable {
 
   /** Per-variable points expression: the variable's transform CASE chain
@@ -510,7 +540,9 @@ final class FittedScorecard(
     * (equivalent to sklearn predict_proba on WoE features). */
   def predictProbaColumn(): Column = {
     val linear = selected.zipWithIndex.map { case (v, i) =>
-      process.fits(v).transform(col(v), metric = "woe") *
+      process.fits(v).transform(col(v), metric = "woe",
+                                metricSpecial = metricSpecial,
+                                metricMissing = metricMissing) *
         lit(coefficients(i))
     }.reduce(_ + _) + lit(estimatorIntercept)
     lit(1.0) / (lit(1.0) + exp(-linear))

@@ -121,6 +121,20 @@ object ModelIO {
     processFromJson(
       new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
 
+  private def metricJson(m: Any): JValue = m match {
+    case "empirical" => JString("empirical")
+    case v: Double   => JDouble(v)
+    case v: Int      => JDouble(v.toDouble)
+    case other       => JString(other.toString)
+  }
+
+  private def metricFromJson(j: JValue): Any = j match {
+    case JString(s) => s
+    case JDouble(d) => d
+    case JInt(i)    => i.toDouble
+    case _          => 0.0
+  }
+
   def scorecardToJson(sc: FittedScorecard): String = {
     val json: JObject =
       ("process" -> JsonMethods.parse(processToJson(sc.process))) ~
@@ -128,6 +142,8 @@ object ModelIO {
       ("coefficients" -> sc.coefficients.toList) ~
       ("estimator_intercept" -> sc.estimatorIntercept) ~
       ("base_intercept" -> sc.baseIntercept) ~
+      ("metric_special" -> metricJson(sc.metricSpecial)) ~
+      ("metric_missing" -> metricJson(sc.metricMissing)) ~
       ("points" -> sc.pointsTable.toList.map { r =>
         ("variable" -> r.variable) ~ ("bin_id" -> r.binId) ~
         ("bin" -> r.bin) ~ ("count" -> r.count) ~
@@ -155,7 +171,9 @@ object ModelIO {
         (r \ "points").extract[Double])
     }.toArray
     new FittedScorecard(process, selected, coefs, intercept, points,
-                        base, Scorecard.ScalingConfig())
+                        base, Scorecard.ScalingConfig(), None,
+                        metricFromJson(j \ "metric_special"),
+                        metricFromJson(j \ "metric_missing"))
   }
 
   def saveScorecard(sc: FittedScorecard, path: String): Unit =

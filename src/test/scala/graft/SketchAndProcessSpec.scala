@@ -151,6 +151,40 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(row.getDouble(0) < 0, s"corr ${row.getDouble(0)}")
   }
 
+  test("Scorecard metric_special/metric_missing: reference-default zero " +
+       "points on special bins, empirical restores fitted WoE") {
+    val df = li
+    // treat quantity 1 as a special code so special rows exist
+    val cfg = BinningConfig(
+      specialCodes = Some(SpecialList(Seq(1.0))))
+    val sc0 = Scorecard.fit(df, Seq("l_quantity", "l_extendedprice"), "y",
+                            binningConfig = cfg)
+    val f = sc0.process.fits("l_quantity")
+    val nOthers = 0
+    val specialRows = sc0.pointsTable.filter(r =>
+      r.variable == "l_quantity" && r.binId >= f.nDataBins + nOthers &&
+      r.binId < f.table.rows.length - 1)
+    assert(specialRows.nonEmpty)
+    // default metric_special = 0 -> special points = 0 * coef = 0
+    assert(specialRows.forall(_.points == 0.0),
+           specialRows.map(_.points).mkString(","))
+    // missing row too (no missing values in lineitem, but the row exists)
+    val missingRow = sc0.pointsTable.filter(r =>
+      r.variable == "l_quantity" &&
+      r.binId == f.table.rows.length - 1).head
+    assert(missingRow.points == 0.0)
+
+    val scE = Scorecard.fit(df, Seq("l_quantity", "l_extendedprice"), "y",
+                            binningConfig = cfg,
+                            metricSpecial = "empirical",
+                            metricMissing = "empirical")
+    val specialE = scE.pointsTable.filter(r =>
+      r.variable == "l_quantity" && r.binId >= f.nDataBins &&
+      r.binId < f.table.rows.length - 1)
+    // empirical: points = fitted WoE * coef (nonzero for a populated bin)
+    assert(specialE.exists(r => r.points != 0.0 && r.count > 0))
+  }
+
   test("Scorecard: driver IRLS matches the spark.ml estimator") {
     val df = li
     // regParam = 0 -> driver-side IRLS on the compact aggregate;
