@@ -1016,6 +1016,63 @@ object SparkEntry {
                 countDistinct(col("id")).as("n_ids"),
                 sum(col("width").cast("long")).as("width_sum"),
                 sum(col("height").cast("long")).as("height_sum"))
+    }),
+
+    // --- pipeline: curation -----------------------------------------
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub: the synthetic corpus is clean, so the query plants a
+      // deterministic mix (email/url/phone by doc_id residue), then
+      // counts matches and the redaction length delta
+      val d = T(s, dir, "documents")
+      val injected = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+             lit(" contact us at team@example.com")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+             lit(" see https://example.com/data?id=1")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+             lit(" call 555-867-5309")).otherwise(lit("")))
+      val counts = TextAnalysis.piiCounts(injected).toMap
+      d.select(counts("email").as("e"), counts("url").as("u"),
+               counts("phone").as("p"),
+               (length(injected) -
+                length(TextAnalysis.redactPii(injected))).as("delta"))
+        .agg(sum(col("e").cast("long")).as("n_emails"),
+             sum(col("u").cast("long")).as("n_urls"),
+             sum(col("p").cast("long")).as("n_phones"),
+             sum(col("delta").cast("long")).as("chars_removed"))
+    }),
+
+    "q_contamination" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing a 5-gram with the
+      // first-20-doc "eval set" (broadcast n-gram semi-match, one scan)
+      val d = T(s, dir, "documents")
+      val hits = Dedup.contamination(d.where(col("doc_id") >= 20),
+                                     d.where(col("doc_id") < 20),
+                                     "text", "doc_id", n = 5)
+      hits.agg(count(lit(1)).as("n_contaminated"),
+               sum(col("n_matched_grams")).cast("long").as("total_matched"),
+               min(col("id")).as("first_doc"))
+    }),
+
+    "q_hash_split" -> ((s, dir) => {
+      // deterministic content-addressed train/val/test assignment
+      val d = T(s, dir, "documents")
+      d.groupBy(Curation.hashSplit(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+             max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
+    "q_quality_filter" -> ((s, dir) => {
+      // percentile quality gate: keep docs at or above the 75th
+      // percentile of subword count (exact percentile, one aggregate)
+      val d = T(s, dir, "documents")
+      val metric = TextAnalysis.subwordCount(col("text")).cast("double")
+      val thr = Curation.percentileThreshold(d, metric, 0.75)
+      d.where(metric >= thr)
+        .agg(count(lit(1)).as("n_kept"),
+             round(lit(thr), 6).as("threshold"),
+             round(avg(length(col("text"))), 6).as("avg_chars"))
     })
   )
 
@@ -1943,7 +2000,87 @@ object SparkEntry {
                 AND x.doc_id < y.doc_id)
          SELECT count(*) AS n_candidate_pairs,
                 count(DISTINCT id_a) AS n_left_docs
-         FROM cand"""
+         FROM cand""",
+
+    "q_pii_redact" ->
+      """WITH inj AS (
+           SELECT text
+             || (CASE WHEN doc_id % 7 = 0
+                 THEN ' contact us at team@example.com' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0
+                 THEN ' see https://example.com/data?id=1' ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-867-5309' ELSE '' END) AS t
+           FROM documents),
+         red AS (
+           SELECT t,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                    'https?://[^\s]+', '<PII>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<PII>', 'g'),
+                    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PII>', 'g')
+                    AS r
+           FROM inj)
+         SELECT sum(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                  ::BIGINT AS n_emails,
+                sum(len(regexp_extract_all(t, 'https?://[^\s]+')))
+                  ::BIGINT AS n_urls,
+                sum(len(regexp_extract_all(t,
+                  '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')))
+                  ::BIGINT AS n_phones,
+                sum(length(t) - length(r))::BIGINT AS chars_removed
+         FROM red""",
+
+    "q_contamination" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, greatest(len(t) - 4, 0)))
+                          AS i
+                 FROM tok)
+           UNION ALL
+           SELECT doc_id, array_to_string(t, ' ') AS g
+           FROM tok WHERE len(t) < 5),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+         hits AS (
+           SELECT c.doc_id, count(DISTINCT c.g) AS n_matched
+           FROM grams c JOIN bench USING (g)
+           WHERE c.doc_id >= 20
+           GROUP BY 1)
+         SELECT count(*) AS n_contaminated,
+                sum(n_matched)::BIGINT AS total_matched,
+                min(doc_id) AS first_doc
+         FROM hits""",
+
+    "q_hash_split" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'b'
+                         THEN 'train'
+                       WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'd'
+                         THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, count(*) AS n, min(doc_id) AS min_id,
+                max(doc_id) AS max_id
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_quality_filter" ->
+      """WITH s AS (
+           SELECT text,
+                  len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE AS n
+           FROM documents),
+         thr AS (SELECT quantile_cont(n, 0.75)::DOUBLE AS t FROM s)
+         SELECT count(*) AS n_kept, round(t, 6) AS threshold,
+                round(avg(length(text)), 6) AS avg_chars
+         FROM s, thr WHERE n >= t GROUP BY t"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle CTE: portable hyperplane-LSH signature over the

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * reproducible train/val/test assignment and quality-percentile
+  * filtering, composing with the dedup/text-analysis stages into an
+  * end-to-end curation pass.
+  *
+  * Everything here is a pure projection or a single bounded aggregate —
+  * no RNG state, no driver-side row loops — so a re-run over 100 TB
+  * assigns every document to the same split byte-for-byte.
+  */
+object Curation {
+
+  /** Deterministic split assignment from the md5 of the id rendered as a
+    * string: hex nibble '0'-'b' -> train (12/16), 'c'-'d' -> val (2/16),
+    * 'e'-'f' -> test (2/16). Content-addressed (no RNG, no row order
+    * dependence): adding or removing rows never reassigns any other row,
+    * which is what makes incremental corpus refreshes reproducible.
+    */
+  def hashSplit(id: Column): Column = {
+    val h = substring(md5(id.cast("string").cast("binary")), 1, 1)
+    when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+  }
+
+  /** Exact percentile threshold of `metric` over `df` — ONE aggregate
+    * job. Exact `percentile` buffers per-distinct-value counts: right
+    * for metrics with bounded distinct values (token/subword counts,
+    * small-int scores). For unbounded continuous metrics at cluster
+    * scale set `approx = true` (mergeable GK sketch, bounded memory).
+    */
+  def percentileThreshold(df: DataFrame, metric: Column, frac: Double,
+                          approx: Boolean = false): Double = {
+    val expr = if (approx) percentile_approx(metric, lit(frac), lit(10000))
+               else percentile(metric, lit(frac))
+    df.agg(expr.cast("double")).collect()(0).getDouble(0)
+  }
+
+  /** Keep rows whose quality metric reaches the `frac` percentile
+    * (computed on the same data, one extra aggregate pass). The
+    * "top-(1-frac) by quality" curation filter.
+    */
+  def qualityFilter(df: DataFrame, metric: Column, frac: Double,
+                    approx: Boolean = false): DataFrame =
+    df.where(metric >= lit(percentileThreshold(df, metric, frac, approx)))
+
+  /** End-to-end curation pass: quality-percentile filter -> exact dedup
+    * (min-id canonical per normalized fingerprint) -> PII scrub ->
+    * deterministic split label. Returns the input columns with `textCol`
+    * scrubbed plus a `split` column. Two aggregate jobs (threshold +
+    * dedup key), everything else pipelines in the scan.
+    */
+  def curate(df: DataFrame, textCol: String, idCol: String,
+             qualityFrac: Double = 0.25,
+             approx: Boolean = false): DataFrame = {
+    val filtered = qualityFilter(
+      df, TextAnalysis.qualityScore(col(textCol)), qualityFrac, approx)
+    val deduped = Dedup.exactDedup(filtered, textCol, idCol)
+    deduped
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      .withColumn("split", hashSplit(col(idCol)))
+  }
+}

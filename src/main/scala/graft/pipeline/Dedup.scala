@@ -234,6 +234,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark-contamination check (decontamination step of a training
+    * pipeline): corpus documents sharing at least one word n-gram with
+    * any benchmark/eval document. Returns (id, n_matched_grams) for
+    * contaminated docs only.
+    *
+    * Scale shape: the benchmark side is eval-set sized (thousands of
+    * docs), so its distinct n-gram set is broadcast; the corpus is
+    * scanned ONCE, n-grams exploded and matched map-side by the
+    * broadcast hash join, then one aggregate by doc id. No corpus
+    * self-shuffle, no benchmark re-scan per partition.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, keepId: Boolean): DataFrame = {
+      val base = df
+        .select((if (keepId) Seq(col(idCol).as("id")) else Seq.empty) :+
+                split(normalizeText(col(textCol)), " ").as("__tok"): _*)
+      base.select((if (keepId) Seq(col("id")) else Seq.empty) :+
+                  explode(wordShinglesOf(col("__tok"), n)).as("g"): _*)
+    }
+    val bench = grams(benchmark, keepId = false).distinct()
+    grams(corpus, keepId = true)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("id")
+      .agg(countDistinct(col("g")).as("n_matched_grams"))
+  }
+
   /** Connected components over a duplicate-pair edge list — the cluster
     * step of a dedup pipeline (pick one canonical doc per component).
     * Iterative minimum-label propagation: each round joins labels across

@@ -97,6 +97,32 @@ object TextAnalysis {
     raw
   }
 
+  /** PII patterns (emails, URLs, NANP-style phone numbers). Restricted
+    * to the RE2-compatible regex subset so an external SQL engine
+    * reproduces match counts exactly; extraction order in [[redactPii]]
+    * runs URL first so an address inside a URL is swallowed whole.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://[^\\s]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b")
+
+  /** Per-kind PII match counts (url/email/phone) — one codegen'd regex
+    * pass per pattern, no UDFs. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (k, p) =>
+      k -> when(text.isNull, lit(0))
+        .otherwise(size(regexp_extract_all(text, lit(p), lit(0))))
+    }
+
+  /** Text with every PII match replaced by `replacement` — the scrubbing
+    * step of a training-data pipeline. Pure projection: pipelines inside
+    * the scan stage, safe to run over 100 TB as a select. */
+  def redactPii(text: Column, replacement: String = "<PII>"): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, p)) =>
+      regexp_replace(acc, p, replacement)
+    }
+
   /** 64-bit content fingerprint of normalized text (case-folded,
     * whitespace-collapsed) — exact-dup key that survives formatting noise.
     */

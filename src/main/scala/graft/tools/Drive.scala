@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Curation, Dedup, TextAnalysis}
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -13,48 +13,34 @@ object Drive {
 
     val dir = "/root/testdata/sf0.01"
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
 
-    // 1. portable vs fast simhash: different hashes, similar popcount
-    //    spread; portable top 4 bits (62/63) never set.
-    val sh = d.select(Dedup.simhash(col("text")).as("fast"),
-                      Dedup.simhash(col("text"), portable = true).as("port"))
-      .collect()
-    val maxBit = sh.map(r => 63 - java.lang.Long.numberOfLeadingZeros(
-      math.max(r.getLong(1), 1L))).max
-    println(s"DRIVE simhash rows=${sh.length} portableMaxBit=$maxBit " +
-      s"distinctFast=${sh.map(_.getLong(0)).distinct.length} " +
-      s"distinctPort=${sh.map(_.getLong(1)).distinct.length}")
+    // 1. end-to-end curation pass over the real documents table
+    val curated = Curation.curate(d, "text", "doc_id", qualityFrac = 0.25)
+    val bySplit = curated.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"DRIVE curate input=${d.count()} output=${bySplit.values.sum} " +
+            s"splits=$bySplit")
 
-    // 2. portable minhash candidates vs fast-path candidates: both find
-    //    candidate pairs; portable count matches the DuckDB-oracle value.
-    val fast = Dedup.minhashCandidates(d, "text", "doc_id",
-                                       numHashes = 32, bands = 8).count()
-    val port = Dedup.minhashCandidates(d, "text", "doc_id",
-                                       numHashes = 32, bands = 8,
-                                       portable = true).count()
-    println(s"DRIVE minhash fastPairs=$fast portablePairs=$port")
+    // 2. contamination: corpus vs first-20-doc benchmark
+    val hits = Dedup.contamination(d.where(col("doc_id") >= 20),
+                                   d.where(col("doc_id") < 20),
+                                   "text", "doc_id", n = 5)
+    println("DRIVE contamination " +
+      hits.agg(count(lit(1)), sum("n_matched_grams")).collect()(0))
 
-    // 3. portable LSH near-dup: plan shape must stay scan -> project(sig)
-    //    -> shuffle on sig -> join (no extra exchanges vs fast path).
-    val nd = Similarity.cosineNearDupPairs(e, "embedding", "vec_id",
-                                           threshold = 0.3, nPlanes = 8,
-                                           portable = true)
-    println(s"DRIVE neardup pairs=${nd.count()}")
-    val plan = nd.queryExecution.executedPlan.toString
-    println(s"DRIVE neardup exchanges=" +
-      plan.linesIterator.count(_.contains("Exchange")) +
-      s" hasUdf=${plan.contains("BatchEvalPython")}")
+    // 3. plan shape: curation scoring/scrub/split is projection-only over
+    //    the scan (no shuffle besides the dedup aggregate), and the
+    //    contamination join broadcasts the benchmark gram side
+    val scrubPlan = d.select(TextAnalysis.redactPii(col("text")).as("t"),
+                             Curation.hashSplit(col("doc_id")).as("s"))
+      .queryExecution.executedPlan.toString
+    println("DRIVE scrubPlan exchanges=" +
+      "Exchange".r.findAllIn(scrubPlan).length +
+      " codegen=" + scrubPlan.contains("WholeStageCodegen"))
+    val contPlan = hits.queryExecution.executedPlan.toString
+    println("DRIVE contPlan broadcast=" +
+      contPlan.contains("BroadcastHashJoin"))
 
-    // 4. ANN with portable planes: bucket join stays broadcast on the
-    //    query side (corpus never shuffles for the join).
-    val q = e.where(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding"))
-    val ann = Similarity.annTopK(e, q, "embedding", "vec_id", "qid",
-                                 k = 5, nPlanes = 8, portable = true)
-    val annPlan = ann.queryExecution.executedPlan.toString
-    println(s"DRIVE ann rows=${ann.count()} broadcast=" +
-      annPlan.contains("BroadcastHashJoin"))
     spark.stop()
   }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+class CurationSpec extends AnyFunSuite {
+
+  test("redactPii scrubs emails, urls, and phone numbers; counts match") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at alice@corp.io or https://corp.io/a?x=1 today"),
+      (2L, "call 555-867-5309 or 555.123.4567 now"),
+      (3L, "clean text with no identifiers at all"),
+      (4L, "mail bob.smith+tag@sub.domain.org please")).toDF("id", "text")
+    val counts = TextAnalysis.piiCounts(col("text")).toMap
+    val got = df.select(col("id"),
+        counts("email").as("e"), counts("url").as("u"),
+        counts("phone").as("p"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(2L)._3 == 2)
+    assert(got(3L) == ((0, 0, 0, "clean text with no identifiers at all")))
+    assert(got(4L)._1 == 1)
+    assert(got(1L)._4 == "reach me at <PII> or <PII> today")
+    assert(got(2L)._4 == "call <PII> or <PII> now")
+    assert(!got(4L)._4.contains("@"))
+  }
+
+  test("hashSplit is deterministic, total, and roughly 12/2/2 by nibble") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("id")
+    val a = df.groupBy(Curation.hashSplit(col("id")).as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = df.groupBy(Curation.hashSplit(col("id")).as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)                       // deterministic across runs
+    assert(a.values.sum == 4000L)        // total: every row assigned
+    assert(a.keySet == Set("train", "val", "test"))
+    // md5 nibbles are uniform: train 12/16, val 2/16, test 2/16
+    assert(math.abs(a("train") - 3000.0) < 150, a.toString)
+    assert(math.abs(a("val") - 500.0) < 100, a.toString)
+    assert(math.abs(a("test") - 500.0) < 100, a.toString)
+  }
+
+  test("contamination flags docs sharing an n-gram with the benchmark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "prefix words then the quick brown fox jumps too"),   // 5-gram hit
+      (11L, "completely different content with no overlap here"),
+      (12L, "quick brown fox jumps over and more text after")     // 5-gram hit
+    ).toDF("id", "text")
+    val hits = Dedup.contamination(corpus, bench, "text", "id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(10L, 12L), hits.toString)
+    assert(hits.values.forall(_ >= 1))
+  }
+
+  test("qualityFilter keeps the top quartile; curate end-to-end") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 100 docs with token counts 1..100 (subword count == token count)
+    val docs = (1 to 100).map { i =>
+      (i.toLong, (1 to i).map(k => "tok" + (k % 7)).mkString(" "))
+    }.toDF("id", "text")
+    val metric = TextAnalysis.subwordCount(col("text")).cast("double")
+    val kept = Curation.qualityFilter(docs, metric, 0.75)
+    // exact percentile of 1..100 at 0.75 = 75.25 -> keep counts >= 75.25
+    assert(kept.count() == 25)
+
+    val curated = Curation.curate(docs, "text", "id", qualityFrac = 0.10)
+    val rows = curated.select("id", "split").collect()
+    // qualityScore is discrete (0.0..1.0 in 0.1 steps): >= threshold
+    // keeps ties, so only assert the gate executed and kept a subset
+    assert(rows.length <= 100 && rows.nonEmpty)
+    assert(rows.map(_.getString(1)).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
+  test("contamination plan broadcasts the benchmark gram side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d e f g h")).toDF("id", "text")
+    val corpus = (0 until 100).map(i => (100L + i, s"doc $i a b c d e f g"))
+      .toDF("id", "text")
+    val plan = Dedup.contamination(corpus, bench, "text", "id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastExchange"), plan)
+  }
+}
