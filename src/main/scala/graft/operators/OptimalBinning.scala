@@ -89,6 +89,24 @@ object OptimalBinning {
     fitted
   }
 
+  /** sklearn-style `class_weight="balanced"` weights for a binary target
+    * (`preprocessing.py:179-186` via `compute_sample_weight`):
+    * weight(c) = n_samples / (n_classes * count(c)). ONE narrow
+    * aggregate; pass the result as `BinningConfig.classWeight`.
+    */
+  def balancedClassWeight(df: DataFrame, yCol: String)
+      : Map[Double, Double] = {
+    val y = col(yCol).cast(DoubleType)
+    val r = df.agg(
+      sum(when(y === 0.0, 1L).otherwise(0L)).as("n0"),
+      sum(when(y =!= 0.0, 1L).otherwise(0L)).as("n1")).collect()(0)
+    val n0 = r.getLong(0).toDouble
+    val n1 = r.getLong(1).toDouble
+    val n = n0 + n1
+    Map(0.0 -> (if (n0 > 0) n / (2.0 * n0) else 1.0),
+        1.0 -> (if (n1 > 0) n / (2.0 * n1) else 1.0))
+  }
+
   private[graft] def gammaRegOf(gamma: Double, totalRecords: Long): Long =
     if (gamma <= 0 || totalRecords <= 0) 0L
     else math.ceil(graft.core.ModelData.M * gamma / totalRecords).toLong

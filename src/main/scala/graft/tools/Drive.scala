@@ -41,6 +41,38 @@ object Drive {
     println("DRIVE contPlan broadcast=" +
       contPlan.contains("BroadcastHashJoin"))
 
+    // 4. streaming drift monitor over real lineitem scores: trajectory
+    //    equals batch PSI on the union of the micro-batches
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val splits = Array(25000.0, 50000.0, 75000.0)
+    val expectedCohort = li.where(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("score"))
+    val mon = graft.streaming.StreamingDriftMonitor
+      .fromExpected(expectedCohort, "score", splits)
+    val actualCohort = li.where(col("l_orderkey") % 2 === 1)
+      .select(col("l_extendedprice").as("score"))
+    mon.add(actualCohort.where(col("score") < 40000))
+    mon.add(actualCohort.where(col("score") >= 40000))
+    val batchPsi = graft.operators.Monitoring
+      .psi(expectedCohort, actualCohort, "score", splits)
+      .agg(sum("psi")).collect()(0).getDouble(0)
+    println(s"DRIVE drift streaming=${mon.psiTotal} batch=$batchPsi " +
+      s"equal=${math.abs(mon.psiTotal - batchPsi) < 1e-12} " +
+      s"verdict=${mon.verdict}")
+
+    // 5. balanced class weights on the real binary target make the
+    //    weighted event mass equal the nonevent mass
+    val liY = li.withColumn("y",
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val cw = graft.operators.OptimalBinning.balancedClassWeight(liY, "y")
+    val fitted = graft.operators.OptimalBinning.fit(liY,
+      "l_extendedprice", "y",
+      graft.operators.BinningConfig(name = "x", classWeight = Some(cw)))
+    val tbl = fitted.table
+    println(s"DRIVE balanced cw=$cw binsEventMass=" +
+      f"${tbl.rows.map(_.event).sum}%.2f nonEventMass=" +
+      f"${tbl.rows.map(_.nonevent).sum}%.2f status=${fitted.status}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamingCuration, StreamingDriftMonitor}
+
+class StreamingCurationSpec extends AnyFunSuite {
+
+  test("streaming exact dedup drops in-watermark duplicate content") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val dedup = StreamingCuration.exactDedup(df, "text", "ts", "10 minutes")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("sc_dedup").start()
+
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // batch 1: two distinct texts + one duplicate (differs only in case
+    // and spacing — same fingerprint)
+    stream.addData(Seq((t(1), 1L, "alpha beta gamma"),
+                       (t(2), 2L, "delta epsilon"),
+                       (t(3), 3L, "Alpha  beta   GAMMA")))
+    q.processAllAvailable()
+    // batch 2: another duplicate of doc 1 within the watermark + one new
+    stream.addData(Seq((t(4), 4L, "alpha beta gamma"),
+                       (t(5), 5L, "zeta eta")))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("sc_dedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), kept.toString)
+  }
+
+  test("streaming drift monitor PSI equals batch PSI at every point") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val splits = Array(10.0, 20.0)
+    val expected = (1 to 300).map(i => (i % 30).toDouble).toDF("score")
+    val mon = StreamingDriftMonitor.fromExpected(expected, "score", splits)
+    assert(mon.psiTotal == 0.0)
+
+    // shifted production cohort arriving in two "micro-batches"
+    val batch1 = (1 to 100).map(i => (i % 25 + 5).toDouble).toDF("score")
+    val batch2 = (1 to 80).map(i => (i % 28 + 2).toDouble).toDF("score")
+    mon.add(batch1)
+    val psiAfter1 = mon.psiTotal
+    mon.add(batch2)
+    val psiAfter2 = mon.psiTotal
+
+    // batch-PSI oracle over everything seen so far (Monitoring.psi)
+    def batchPsi(actual: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Monitoring.psi(expected, actual, "score", splits)
+        .agg(sum("psi")).collect()(0).getDouble(0)
+    assert(math.abs(psiAfter1 - batchPsi(batch1)) < 1e-12)
+    assert(math.abs(psiAfter2 - batchPsi(batch1.union(batch2))) < 1e-12)
+    assert(psiAfter2 > 0.0)
+    assert(Set("Insignificant change", "Requires investigation",
+               "Significance change").contains(mon.verdict))
+  }
+
+  test("drift monitor via a real foreachBatch stream") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val splits = Array(50.0)
+    val expected = (1 to 100).map(_.toDouble % 100).toDF("score")
+    val mon = StreamingDriftMonitor.fromExpected(expected, "score", splits)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Double]
+    val q = stream.toDF().toDF("score").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        mon.add(df)
+      }.start()
+    stream.addData((1 to 60).map(_ => 75.0))
+    q.processAllAvailable()
+    stream.addData((1 to 40).map(_ => 25.0))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(mon.actualCounts.toSeq == Seq(40.0, 60.0))
+    assert(mon.psiTotal > 0.0)
+  }
+
+  test("balanced class weights: n / (2 * class count)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (Seq.fill(90)(0.0) ++ Seq.fill(10)(1.0)).toDF("y")
+    val w = graft.operators.OptimalBinning.balancedClassWeight(df, "y")
+    assert(math.abs(w(0.0) - 100.0 / 180.0) < 1e-12)
+    assert(math.abs(w(1.0) - 100.0 / 20.0) < 1e-12)
+  }
+}
