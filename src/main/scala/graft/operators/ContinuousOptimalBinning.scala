@@ -507,4 +507,42 @@ final class FittedContinuousBinning(
       expr.otherwise(unknownValue)
     }
   }
+
+  /** Flat CASE mapping each table bin to a caller-provided value on the
+    * RAW column — scorecard points vehicle; see the binary counterpart
+    * `FittedOptimalBinning.transformValues` for rationale. */
+  def transformValues(xCol: Column, values: Array[Double],
+                      unknown: Double = Double.NaN): Column = {
+    val nTableBins = table.nRecords.length
+    require(values.length == nTableBins,
+            s"need one value per table row ($nTableBins); got ${values.length}")
+    val isNumeric = config.dtype == "numerical"
+    val hasOthers = catOthers != null && catOthers.nonEmpty
+    val x = if (isNumeric) xCol.cast(DoubleType) else xCol.cast("string")
+    val specialBase = nDataBins + (if (hasOthers) 1 else 0)
+    var expr = when(Preprocess.missingPredicate(x, isNumeric),
+                    lit(values(nTableBins - 1)))
+    config.specialCodes match {
+      case Some(SpecialList(vs)) =>
+        expr = expr.when(x.isin(vs: _*), lit(values(specialBase)))
+      case Some(SpecialDict(groups)) =>
+        groups.zipWithIndex.foreach { case ((_, vs), g) =>
+          expr = expr.when(x.isin(vs: _*), lit(values(specialBase + g)))
+        }
+      case None => ()
+    }
+    if (isNumeric) {
+      splits.indices.foreach { i =>
+        expr = expr.when(x < splits(i), lit(values(i)))
+      }
+      expr.otherwise(lit(values(splits.length)))
+    } else {
+      catBins.zipWithIndex.foreach { case (cats, i) =>
+        if (cats.nonEmpty) expr = expr.when(x.isin(cats: _*), lit(values(i)))
+      }
+      if (hasOthers)
+        expr = expr.when(x.isin(catOthers: _*), lit(values(nDataBins)))
+      expr.otherwise(lit(unknown))
+    }
+  }
 }

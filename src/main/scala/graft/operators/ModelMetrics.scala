@@ -99,6 +99,34 @@ object ModelMetrics {
     best
   }
 
+  /** Gini and KS from ONE per-score aggregate (they share the same
+    * sufficient statistic — the score-conditional class histogram).
+    * Use for monitoring reports that need both: halves the scan count
+    * vs calling [[gini]] and [[ks]] separately. */
+  def giniAndKs(df: DataFrame, labelCol: String, scoreCol: String,
+                approx: Boolean = false): (Double, Double) = {
+    val base =
+      if (approx) quantizeScores(df.select(col(scoreCol).cast("double")
+        .as(scoreCol), col(labelCol)), scoreCol)
+      else df
+    val agg = boundedScoreAgg(base.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("double")).as("e"),
+           count(lit(1)).cast("double").as("n"))
+      .orderBy("s"))
+    val ev = agg.map(_.getDouble(1))
+    val ne = agg.map(r => r.getDouble(2) - r.getDouble(1))
+    val te = ev.sum; val tne = ne.sum
+    var cumNe = 0.0; var auc = 0.0
+    var cumE = 0.0; var cumNeF = 0.0; var best = 0.0
+    ev.indices.foreach { i =>
+      auc += ev(i) * (cumNe + ne(i) / 2.0)
+      cumNe += ne(i)
+      cumE += ev(i); cumNeF += ne(i)
+      best = math.max(best, math.abs(cumNeF / tne - cumE / te))
+    }
+    (2.0 * (auc / (te * tne)) - 1.0, best)
+  }
+
   /** Imbalanced binary classification metrics from a prediction column
     * (`classification.py:70-108`): TPR/TNR/FPR/FNR/balanced accuracy/
     * discriminant power — one aggregate over the confusion counts. */

@@ -18,21 +18,36 @@ object Monitoring {
   def psiTable(expected: DataFrame, actual: DataFrame,
                binCol: String = "bin",
                countCol: String = "count"): DataFrame = {
-    val e = expected.select(col(binCol).as("bin"),
-                            col(countCol).cast("double").as("count_e"))
-    val a = actual.select(col(binCol).as("bin"),
-                          col(countCol).cast("double").as("count_a"))
-    val te = e.agg(sum("count_e")).head.getDouble(0)
-    val ta = a.agg(sum("count_a")).head.getDouble(0)
-    e.join(a, Seq("bin"), "full_outer")
-      .na.fill(0.0, Seq("count_e", "count_a"))
-      .withColumn("p_expected", col("count_e") / te)
-      .withColumn("p_actual", col("count_a") / ta)
-      .withColumn("psi",
-        when(col("p_actual") > 0 && col("p_expected") > 0,
-             (col("p_actual") - col("p_expected")) *
-               log(col("p_actual") / col("p_expected"))).otherwise(0.0))
-      .orderBy("bin")
+    // The binned aggregates are bins-sized: ONE collect each, then the
+    // align/totals/psi arithmetic runs driver-side. (The previous
+    // full-outer-join formulation cost two extra total-count jobs and
+    // re-evaluated both aggregate branches inside the join.)
+    import scala.jdk.CollectionConverters._
+    val spark = expected.sparkSession
+    val binType = expected.schema(binCol).dataType
+    def counts(df: DataFrame, cc: String): Map[Any, Double] =
+      df.select(col(binCol).as("bin"), col(countCol).cast("double").as(cc))
+        .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val e = counts(expected, "count_e")
+    val a = counts(actual, "count_a")
+    val te = e.values.sum
+    val ta = a.values.sum
+    val rows = (e.keySet ++ a.keySet).toSeq.map { b =>
+      val ce = e.getOrElse(b, 0.0)
+      val ca = a.getOrElse(b, 0.0)
+      val pe = ce / te
+      val pa = ca / ta
+      val psi = if (pe > 0 && pa > 0) (pa - pe) * math.log(pa / pe)
+                else 0.0
+      org.apache.spark.sql.Row(b, ce, ca, pe, pa, psi)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bin", binType),
+      StructField("count_e", DoubleType), StructField("count_a", DoubleType),
+      StructField("p_expected", DoubleType),
+      StructField("p_actual", DoubleType), StructField("psi", DoubleType)))
+    spark.createDataFrame(rows.asJava, schema).orderBy("bin")
   }
 
   /** One-shot PSI over a raw column given fixed splits: bins both cohorts

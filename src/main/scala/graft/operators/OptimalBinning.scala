@@ -905,6 +905,50 @@ final class FittedOptimalBinning(
     }
   }
 
+  /** Flat CASE mapping each table bin (data bins, others, special
+    * groups, missing — indexed like `table.rows`) to a caller-provided
+    * value, evaluated directly on the RAW column. This is the vehicle
+    * for scorecard points columns: ONE branch per bin, instead of an
+    * indices-chain nested inside a value-lookup chain whose expression
+    * size is O(bins^2) per evaluation. `unknown` is emitted for unseen
+    * categories. */
+  def transformValues(xCol: Column, values: Array[Double],
+                      unknown: Double = Double.NaN): Column = {
+    val nTableBins = table.nRecords.length
+    require(values.length == nTableBins,
+            s"need one value per table row ($nTableBins); got ${values.length}")
+    val isNumeric = config.dtype == "numerical"
+    val hasOthers = catOthers != null && catOthers.nonEmpty
+    val x = if (isNumeric) xCol.cast(DoubleType) else xCol.cast("string")
+    val specialBase = nDataBins + (if (hasOthers) 1 else 0)
+    var expr = when(Preprocess.missingPredicate(x, isNumeric),
+                    lit(values(nTableBins - 1)))
+    config.specialCodes match {
+      case Some(SpecialList(vs)) =>
+        expr = expr.when(x.isin(vs: _*), lit(values(specialBase)))
+      case Some(SpecialDict(groups)) =>
+        groups.zipWithIndex.foreach { case ((_, vs), g) =>
+          expr = expr.when(x.isin(vs: _*), lit(values(specialBase + g)))
+        }
+      case None => ()
+    }
+    if (isNumeric) {
+      splits.indices.foreach { i =>
+        expr = expr.when(x < splits(i), lit(values(i)))
+      }
+      expr.otherwise(lit(values(splits.length)))
+    } else {
+      catBins.zipWithIndex.foreach { case (cats, i) =>
+        if (cats.nonEmpty) expr = expr.when(x.isin(cats: _*), lit(values(i)))
+      }
+      if (hasOthers) {
+        if (othersCatchAll) return expr.otherwise(lit(values(nDataBins)))
+        expr = expr.when(x.isin(catOthers: _*), lit(values(nDataBins)))
+      }
+      expr.otherwise(lit(unknown))
+    }
+  }
+
   /** JSON model mirroring the reference's `to_json` shape
     * (`binning.py:1221-1238`) for cross-checking. */
   def toJson: String = {

@@ -511,16 +511,17 @@ final class FittedScorecard(
     val metricMissing: Any = 0.0)
     extends Serializable {
 
-  /** Per-variable points expression: the variable's transform CASE chain
-    * with points as values (including special/missing rows). */
+  /** Per-variable points expression: a FLAT per-bin CASE over the raw
+    * column (points indexed by table bin id). Flat matters: nesting the
+    * indices chain inside a points lookup would make every score
+    * evaluation O(bins^2) branch tests, which multiplies again when a
+    * monitoring query bins the score. */
   private def pointsColumn(v: String): Column = {
     val f = process.fits(v)
-    val byBin = pointsTable.filter(_.variable == v)
-    // indices transform gives bin id; map id -> points via CASE
-    val idxCol = f.transform(col(v), metric = "indices")
-    byBin.foldLeft(lit(Double.NaN)) { (acc, r) =>
-      when(idxCol === r.binId, lit(r.points)).otherwise(acc)
-    }
+    val values = new Array[Double](f.table.rows.length)
+    pointsTable.filter(_.variable == v)
+      .foreach(r => values(r.binId) = r.points)
+    f.transformValues(col(v), values)
   }
 
   /** Total score column (`scorecard.py:396-421`): sum of per-variable
@@ -563,11 +564,11 @@ final class FittedContinuousScorecard(
     val scaling: Scorecard.ScalingConfig) extends Serializable {
 
   private def pointsColumn(v: String): Column = {
-    val byBin = pointsTable.filter(_.variable == v)
-    val idxCol = fits(v).transform(col(v), metric = "indices")
-    byBin.foldLeft(lit(Double.NaN)) { (acc, r) =>
-      when(idxCol === r.binId, lit(r.points)).otherwise(acc)
-    }
+    val f = fits(v)
+    val values = new Array[Double](f.table.rows.length)
+    pointsTable.filter(_.variable == v)
+      .foreach(r => values(r.binId) = r.points)
+    f.transformValues(col(v), values)
   }
 
   /** Total score column: sum of per-variable points (+ intercept when

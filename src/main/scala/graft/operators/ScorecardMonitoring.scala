@@ -26,7 +26,20 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
   require(Set("quantile", "uniform", "cart")(psiMethod),
           s"psi_method must be uniform, quantile or cart; got $psiMethod")
 
+  /** Score-bin splits are a function of the EXPECTED cohort only and are
+    * fitted once per monitor (the reference's `fit(X_expected)` computes
+    * them once, `monitoring.py:480-500`); every report against the same
+    * monitor reuses them, so psi/tests/report never re-run the
+    * prebinning jobs. */
+  private var splitsCache: Array[Double] = _
+
   private def scoreBins(expected: DataFrame): Array[Double] = {
+    if (splitsCache != null) return splitsCache
+    splitsCache = computeScoreBins(expected)
+    splitsCache
+  }
+
+  private def computeScoreBins(expected: DataFrame): Array[Double] = {
     val sc = scorecard.scoreColumn()
     psiMethod match {
       case "quantile" =>
@@ -71,16 +84,24 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
 
   /** System stability: PSI over score deciles
     * (`monitoring.py:502-545`). Returns (bin, count_e, count_a, psi). */
+  /** Score staged as its own projection, then the bin chain compares a
+    * plain attribute. Inlining the score into every `when` branch would
+    * evaluate the full points CASE once per split per row (CollapseProject
+    * keeps the stage because the alias is non-cheap and referenced by
+    * every branch). */
+  private def binnedScore(df: DataFrame, splits: Array[Double]): Column = {
+    val s = col("__score")
+    splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>
+      when(s < splits(i), lit(i)).otherwise(acc)
+    }
+  }
+
   def psiTable(expected: DataFrame, actual: DataFrame): DataFrame = {
     val splits = scoreBins(expected)
-    val sc = scorecard.scoreColumn()
-    def binned(df: DataFrame): DataFrame = {
-      val idx = splits.indices.foldRight(lit(splits.length): Column) {
-        (i, acc) => when(sc < splits(i), lit(i)).otherwise(acc)
-      }
-      df.select(idx.as("bin")).groupBy("bin")
-        .agg(count(lit(1)).as("count"))
-    }
+    def binned(df: DataFrame): DataFrame =
+      df.select(scorecard.scoreColumn().as("__score"))
+        .select(binnedScore(df, splits).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("count"))
     Monitoring.psiTable(binned(expected), binned(actual))
   }
 
@@ -110,12 +131,10 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
                         yCol: String)
       : Array[(Int, Double, Double, Double, Double)] = {
     val splits = scoreBins(expected)
-    val sc = scorecard.scoreColumn()
     def agg(df: DataFrame) = {
-      val idx = splits.indices.foldRight(lit(splits.length): Column) {
-        (i, acc) => when(sc < splits(i), lit(i)).otherwise(acc)
-      }
-      df.select(idx.as("bin"), col(yCol).cast("double").as("y"))
+      df.select(scorecard.scoreColumn().as("__score"),
+                col(yCol).cast("double").as("y"))
+        .select(binnedScore(df, splits).as("bin"), col("y"))
         .groupBy("bin")
         .agg(sum("y").as("e"),
              (count(lit(1)).cast("double") - sum("y")).as("ne"))
@@ -139,13 +158,14 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
                   yCol: String): Map[String, Double] = {
     def withScore(df: DataFrame) =
       df.select(col(yCol).as("y"), scorecard.predictProbaColumn().as("p"))
-    val e = withScore(expected)
-    val a = withScore(actual)
+    // gini and ks share the per-score aggregate: one scan per cohort
+    val (ge, ke) = ModelMetrics.giniAndKs(withScore(expected), "y", "p")
+    val (ga, ka) = ModelMetrics.giniAndKs(withScore(actual), "y", "p")
     Map(
-      "gini_expected" -> ModelMetrics.gini(e, "y", "p"),
-      "gini_actual" -> ModelMetrics.gini(a, "y", "p"),
-      "ks_expected" -> ModelMetrics.ks(e, "y", "p"),
-      "ks_actual" -> ModelMetrics.ks(a, "y", "p"))
+      "gini_expected" -> ge,
+      "gini_actual" -> ga,
+      "ks_expected" -> ke,
+      "ks_actual" -> ka)
   }
 
   /** Target analysis: count/event statistics per cohort

@@ -14,6 +14,36 @@ object Drive {
     val dir = "/root/testdata/sf0.01"
     val d = spark.read.parquet(s"$dir/documents.parquet")
 
+    // 0. stability-report phase timing at sf0.1
+    {
+      val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+          .otherwise(0.0))
+      def tm[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"DRIVE phase $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      (1 to 2).foreach { pass =>
+        println(s"DRIVE pass $pass")
+        val sc = tm("scorecard.fit") {
+          graft.operators.Scorecard.fit(li0,
+            Seq("l_extendedprice", "l_quantity"), "y")
+        }
+        val expected = li0.where(col("l_orderkey") % 2 === 0)
+        val actual = li0.where(col("l_orderkey") % 2 === 1)
+        val mon = new graft.operators.ScorecardMonitoring(sc,
+          psiNBins = 10, psiMethod = "cart", psiYCol = Some("y"))
+        val psi = tm("psiTotal") { mon.psiTotal(expected, actual) }
+        val tests = tm("sigTests") {
+          mon.significanceTests(expected, actual, "y") }
+        val perf = tm("performance") { mon.performance(expected, actual, "y") }
+        println(s"DRIVE psi=$psi nTests=${tests.length} " +
+                s"gini=${perf("gini_expected")}")
+      }
+    }
+
     // 1. end-to-end curation pass over the real documents table
     val curated = Curation.curate(d, "text", "doc_id", qualityFrac = 0.25)
     val bySplit = curated.groupBy("split").count().collect()
