@@ -1073,6 +1073,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
              round(lit(thr), 6).as("threshold"),
              round(avg(length(col("text"))), 6).as("avg_chars"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      // word-repetition curation signals per source (Gopher-style
+      // top-bigram share and duplicate-trigram share); pure per-row
+      // column expressions, one aggregate
+      val d = T(s, dir, "documents")
+      val rep = TextAnalysis.repetitionFeatures(col("text")).toMap
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(rep("top_bigram_frac")), 6)
+               .as("avg_top_bigram_frac"),
+             round(avg(rep("dup_trigram_frac")), 6)
+               .as("avg_dup_trigram_frac"))
+        .orderBy("source")
+    }),
+
+    "q_stratified_sample" -> ((s, dir) => {
+      // exact deterministic 25% stratified sample per language:
+      // within-stratum rank by (md5(id), id), keep ceil(0.25 * n)
+      val d = T(s, dir, "documents")
+      Curation.stratifiedSample(d, col("lang"), col("doc_id"), 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+             sum("doc_id").cast("double").as("sum_id"))
+        .orderBy("lang")
     })
   )
 
@@ -2080,7 +2106,46 @@ object SparkEntry {
          thr AS (SELECT quantile_cont(n, 0.75)::DOUBLE AS t FROM s)
          SELECT count(*) AS n_kept, round(t, 6) AS threshold,
                 round(avg(length(text)), 6) AS avg_chars
-         FROM s, thr WHERE n >= t GROUP BY t"""
+         FROM s, thr WHERE n >= t GROUP BY t""",
+
+    "q_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1])) AS g
+           FROM w),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+         bt AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_frac
+                FROM bc GROUP BY 1),
+         tr AS (
+           SELECT doc_id, source,
+                  list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS t
+           FROM w)
+         SELECT tr.source, count(*) AS n_docs,
+                round(avg(coalesce(bt.top_frac, 0.0)), 6)
+                  AS avg_top_bigram_frac,
+                round(avg(CASE WHEN len(t) > 0
+                          THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t)
+                          ELSE 0.0 END), 6) AS avg_dup_trigram_frac
+         FROM tr LEFT JOIN bt USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_stratified_sample" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, count(*) AS n_sampled,
+                CAST(sum(doc_id) AS DOUBLE) AS sum_id
+         FROM r WHERE rn <= ceil(n * 0.25)
+         GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle CTE: portable hyperplane-LSH signature over the

@@ -46,6 +46,30 @@ object Curation {
                     approx: Boolean = false): DataFrame =
     df.where(metric >= lit(percentileThreshold(df, metric, frac, approx)))
 
+  /** Exact deterministic stratified sample: within every stratum keep the
+    * `ceil(frac * n_stratum)` rows that rank first by `(md5(id), id)` —
+    * exact per-stratum proportions (unlike Bernoulli `sampleBy`), no RNG,
+    * and content-addressed order so re-runs pick the same rows.
+    *
+    * Cost: one shuffle on the stratum key plus a per-stratum sort (the
+    * window rank). Strata counts are usually few-and-large (languages,
+    * sources), so at cluster scale the sort dominates; when exactness
+    * isn't required, [[hashSplit]]-style nibble thresholds give a
+    * shuffle-free approximate alternative.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, id: Column,
+                       frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1]; got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(id.cast("string").cast("binary"))
+    val rank = Window.partitionBy(strata).orderBy(h, id)
+    val n = Window.partitionBy(strata)
+    df.withColumn("__rn", row_number().over(rank))
+      .withColumn("__n", count(lit(1)).over(n))
+      .where(col("__rn") <= ceil(col("__n") * lit(frac)))
+      .drop("__rn", "__n")
+  }
+
   /** End-to-end curation pass: quality-percentile filter -> exact dedup
     * (min-id canonical per normalized fingerprint) -> PII scrub ->
     * deterministic split label. Returns the input columns with `textCol`

@@ -123,6 +123,55 @@ object TextAnalysis {
       regexp_replace(acc, p, replacement)
     }
 
+  /** Word n-grams of `words` joined with single spaces; empty array when
+    * the document has fewer than `n` words (guards Spark's descending
+    * `sequence` when size - n < 0). */
+  def wordNgrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(words, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Longest run of equal adjacent elements in an already-sorted array =
+    * the count of its most frequent element. Higher-order `aggregate`
+    * (single pass, per-row, no shuffle). */
+  private def maxEqualRun(sortedArr: Column): Column = {
+    def step(st: Column, x: Column): Column =
+      when(x === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1L))
+    aggregate(sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => struct(
+        x.as("prev"),
+        step(st, x).as("run"),
+        greatest(st.getField("best"), step(st, x)).as("best")),
+      st => st.getField("best"))
+  }
+
+  /** Word-repetition quality signals (the Gopher/MassiveText repetition
+    * filters, word-count flavor): `top_bigram_frac` = share of word
+    * bigrams taken by the single most frequent bigram, `dup_trigram_frac`
+    * = share of word trigrams that are repeats of an earlier trigram.
+    * High values flag boilerplate/spam for the curation gate. Pure
+    * per-row column expressions — embarrassingly parallel, no shuffle,
+    * safe in a 100 TB scan stage.
+    *
+    * Reference scope note: the reference library has no text-curation
+    * surface; this extends the pipeline operators (SURVEY §2 "beyond the
+    * reference" set) alongside [[qualityFeatures]].
+    */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val words = split(trim(text), "\\s+")
+    val bi = wordNgrams(words, 2)
+    val tri = wordNgrams(words, 3)
+    Seq(
+      "top_bigram_frac" -> when(size(bi) > 0,
+        maxEqualRun(array_sort(bi)).cast("double") / size(bi))
+        .otherwise(lit(0.0)),
+      "dup_trigram_frac" -> when(size(tri) > 0,
+        lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+        .otherwise(lit(0.0)))
+  }
+
   /** 64-bit content fingerprint of normalized text (case-folded,
     * whitespace-collapsed) — exact-dup key that survives formatting noise.
     */

@@ -85,6 +85,49 @@ class CurationSpec extends AnyFunSuite {
       Set("train", "val", "test")))
   }
 
+  test("repetitionFeatures: top-bigram share and dup-trigram share") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),          // bigrams: ab ba ab ba ab -> top 3/5
+      (2L, "w x y z q r"),          // all bigrams/trigrams distinct
+      (3L, "solo"),                 // < 2 words: both 0.0
+      (4L, "k k k k")               // bigrams kk x3 -> 3/3; tris kkk x2 -> dup 1/2
+    ).toDF("id", "text")
+    val rep = TextAnalysis.repetitionFeatures(col("text")).toMap
+    val got = df.select(col("id"), rep("top_bigram_frac").as("t"),
+        rep("dup_trigram_frac").as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got(1L)._1 - 3.0 / 5) < 1e-12)
+    // trigrams of doc1: aba bab aba bab -> 2 distinct of 4 -> dup 0.5
+    assert(math.abs(got(1L)._2 - 0.5) < 1e-12)
+    assert(got(2L)._1 == 0.2 && got(2L)._2 == 0.0)
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L)._1 == 1.0 && math.abs(got(4L)._2 - 0.5) < 1e-12)
+  }
+
+  test("stratifiedSample keeps exact ceil(frac*n) per stratum, stable") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (0 until 103).map(i => (i.toLong, "s" + (i % 3)))
+      .toDF("id", "stratum")
+    val s1 = Curation.stratifiedSample(df, col("stratum"), col("id"), 0.25)
+    val got = s1.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata sizes: s0 = 35, s1 = 34, s2 = 34 -> ceil(.25*n) = 9, 9, 9
+    assert(got == Map("s0" -> 9L, "s1" -> 9L, "s2" -> 9L), got.toString)
+    // deterministic: same rows both runs
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedSample(df, col("stratum"), col("id"), 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // subset invariance: rows sampled from a stratum are the hash-least,
+    // so frac=1.0 returns everything
+    assert(Curation.stratifiedSample(df, col("stratum"), col("id"), 1.0)
+      .count() == 103)
+  }
+
   test("contamination plan broadcasts the benchmark gram side") {
     val spark = TestSpark.spark
     import spark.implicits._
