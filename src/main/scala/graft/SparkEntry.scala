@@ -855,14 +855,14 @@ object SparkEntry {
       val actual = li.where(col("l_orderkey") % 2 === 1)
       val mon = new ScorecardMonitoring(sc, psiNBins = 10,
         psiMethod = "cart", psiYCol = Some("y"))
-      val psi = mon.psiTotal(expected, actual)
-      val tests = mon.significanceTests(expected, actual, "y")
-      val perf = mon.performance(expected, actual, "y")
+      // one fused aggregate job for psi + tests + gini/ks
+      val st = mon.stabilityStats(expected, actual, "y")
       import s.implicits._
-      Seq((scale6(psi), Monitoring.psiVerdict(psi),
-           tests.length.toLong,
-           tests.count(t => t._5 < 0.05).toLong,
-           scale6(perf("gini_expected")), scale6(perf("gini_actual"))))
+      Seq((scale6(st.psiTotal), Monitoring.psiVerdict(st.psiTotal),
+           st.tests.length.toLong,
+           st.tests.count(t => t._5 < 0.05).toLong,
+           scale6(st.performance("gini_expected")),
+           scale6(st.performance("gini_actual"))))
         .toDF("psi", "verdict", "n_bins", "n_significant",
               "gini_expected", "gini_actual")
     }),

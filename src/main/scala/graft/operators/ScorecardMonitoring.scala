@@ -168,6 +168,115 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
       "ks_actual" -> ka)
   }
 
+  private val MaxScoreCollect = 2000000
+
+  /** Everything the stability report needs from ONE tagged-union
+    * aggregate job: per-(cohort, score, proba) target counts, from which
+    * the driver derives the per-bin PSI table, per-bin 2-proportion
+    * z-tests, target analysis, and per-cohort Gini/KS — six cohort scans
+    * fused into one (the score-bin splits stay a separate cached fit,
+    * mirroring the reference's `monitoring.fit(X_expected)`). The collect
+    * is bounded: a fitted scorecard's distinct (score, proba) pairs are
+    * at most its bin-combination count, guarded like
+    * `ModelMetrics.boundedScoreAgg`.
+    */
+  def stabilityStats(expected: DataFrame, actual: DataFrame,
+                     yCol: String): ScorecardMonitoring.StabilityStats = {
+    val sCol = scorecard.scoreColumn().cast("double")
+    val pCol = scorecard.predictProbaColumn().cast("double")
+    def side(df: DataFrame, tag: Int) =
+      df.select(lit(tag).as("c"), sCol.as("s"), pCol.as("p"),
+                col(yCol).cast("double").as("y"))
+    val agg = side(expected, 0).unionAll(side(actual, 1))
+      .groupBy("c", "s", "p")
+      .agg(count(lit(1)).cast("double").as("n"), sum("y").as("e"))
+      .limit(MaxScoreCollect + 1).collect()
+    require(agg.length <= MaxScoreCollect,
+            s"scorecard score cardinality exceeds $MaxScoreCollect " +
+            "distinct values; use the per-report methods with approx paths")
+    case class R(c: Int, s: Double, p: Double, n: Double, e: Double)
+    val rows = agg.map(r => R(r.getInt(0), r.getDouble(1), r.getDouble(2),
+                              r.getDouble(3), r.getDouble(4)))
+
+    // cart score bins fit directly on the expected slice of this same
+    // aggregate (the exact per-score histogram — no extra jobs, and no
+    // grid compression since the collect is already bounded); quantile/
+    // uniform splits still come from their dedicated one-job paths
+    val splits: Array[Double] =
+      if (splitsCache != null) splitsCache
+      else if (psiMethod == "cart") {
+        val hist = rows.filter(_.c == 0).groupBy(_.s).toArray
+          .map { case (s, rs) =>
+            val n = rs.map(_.n).sum; val e = rs.map(_.e).sum
+            graft.core.Prebinning.HistBucket(s, n.toLong, n - e, e)
+          }.sortBy(_.value)
+        val total = hist.map(_.n).sum
+        splitsCache = graft.core.Prebinning.cartSplits(
+          hist, maxLeafNodes = psiNBins,
+          minSamplesLeaf = math.ceil(psiMinBinSize * total).toLong,
+          classification = true)
+        splitsCache
+      } else scoreBins(expected)
+    def binOf(s: Double): Int = splits.count(_ <= s)
+
+    // per-(cohort, bin) record/event counts -> PSI + z-tests
+    def binAgg(c: Int): Map[Int, (Double, Double)] =
+      rows.filter(_.c == c).groupBy(r => binOf(r.s))
+        .map { case (b, rs) => b -> ((rs.map(_.n).sum, rs.map(_.e).sum)) }
+    val eBins = binAgg(0)
+    val aBins = binAgg(1)
+    val te = eBins.values.map(_._1).sum
+    val ta = aBins.values.map(_._1).sum
+    val allBins = (eBins.keySet ++ aBins.keySet).toArray.sorted
+    val psiBins = allBins.map { b =>
+      val ce = eBins.getOrElse(b, (0.0, 0.0))._1
+      val ca = aBins.getOrElse(b, (0.0, 0.0))._1
+      val (pe, pa) = (ce / te, ca / ta)
+      val psi = if (pe > 0 && pa > 0) (pa - pe) * math.log(pa / pe) else 0.0
+      (b, ce, ca, psi)
+    }
+    val tests = allBins.map { b =>
+      val (n1, e1) = eBins.getOrElse(b, (0.0, 0.0))
+      val (n2, e2) = aBins.getOrElse(b, (0.0, 0.0))
+      val (z, p) = graft.core.Stats.testProportions(e1, n1 - e1, e2, n2 - e2)
+      (b, e1 / math.max(n1, 1), e2 / math.max(n2, 1), z, p)
+    }
+
+    // per-cohort Gini/KS over the proba aggregate (same arithmetic as
+    // ModelMetrics.giniAndKs: rank-formula AUC, max ECDF gap)
+    def giniKs(c: Int): (Double, Double) = {
+      val byP = rows.filter(_.c == c).groupBy(_.p).toArray.sortBy(_._1)
+      val ev = byP.map(_._2.map(_.e).sum)
+      val ne = byP.map(g => g._2.map(_.n).sum - g._2.map(_.e).sum)
+      val tE = ev.sum; val tNe = ne.sum
+      var cumNe = 0.0; var auc = 0.0
+      var cumE = 0.0; var cumNeF = 0.0; var best = 0.0
+      ev.indices.foreach { i =>
+        auc += ev(i) * (cumNe + ne(i) / 2.0)
+        cumNe += ne(i)
+        cumE += ev(i); cumNeF += ne(i)
+        best = math.max(best, math.abs(cumNeF / tNe - cumE / tE))
+      }
+      (2.0 * (auc / (tE * tNe)) - 1.0, best)
+    }
+    val (ge, ke) = giniKs(0)
+    val (ga, ka) = giniKs(1)
+
+    val eventsE = eBins.values.map(_._2).sum
+    val eventsA = aBins.values.map(_._2).sum
+    ScorecardMonitoring.StabilityStats(
+      psiBins = psiBins,
+      psiTotal = psiBins.map(_._4).sum,
+      tests = tests,
+      performance = Map(
+        "gini_expected" -> ge, "gini_actual" -> ga,
+        "ks_expected" -> ke, "ks_actual" -> ka),
+      targetAnalysis = Seq(
+        ("count", te, ta),
+        ("event_rate", eventsE / math.max(te, 1),
+                       eventsA / math.max(ta, 1))))
+  }
+
   /** Target analysis: count/event statistics per cohort
     * (`monitoring.py` target report). */
   def targetAnalysis(expected: DataFrame, actual: DataFrame,
@@ -188,9 +297,9 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
     */
   def systemStabilityReport(expected: DataFrame, actual: DataFrame,
                             yCol: String): String = {
-    val psi = psiTable(expected, actual)
-      .select("psi").collect().map(_.getDouble(0))
-    val tPsi = psi.sum
+    val st = stabilityStats(expected, actual, yCol)
+    val psi = st.psiBins.map(_._4)
+    val tPsi = st.psiTotal
     def histo(vals: Array[Double], splits: Seq[Double]): Array[Int] = {
       val bins = Array.fill(splits.length + 1)(0)
       vals.foreach { v =>
@@ -199,10 +308,10 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
       bins
     }
     val psiBins = histo(psi, Seq(0.10, 0.25))
-    val pvals = significanceTests(expected, actual, yCol).map(_._5)
+    val pvals = st.tests.map(_._5)
     val pvalBins = histo(pvals, Seq(0.05, 0.10, 0.50))
-    val ta = targetAnalysis(expected, actual, yCol)
-    val perf = performance(expected, actual, yCol)
+    val ta = st.targetAnalysis
+    val perf = st.performance
     val sb = new StringBuilder
     sb ++= "System stability report\n\n"
     sb ++= "  Population Stability Index (PSI)\n"
@@ -227,4 +336,17 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
     }
     sb.result()
   }
+}
+
+object ScorecardMonitoring {
+  /** Bundle of [[ScorecardMonitoring.stabilityStats]]: the full
+    * stability report's numbers from one aggregate job.
+    * `psiBins` rows are (bin, count_expected, count_actual, psi);
+    * `tests` rows are (bin, er_expected, er_actual, z, p-value). */
+  final case class StabilityStats(
+      psiBins: Array[(Int, Double, Double, Double)],
+      psiTotal: Double,
+      tests: Array[(Int, Double, Double, Double, Double)],
+      performance: Map[String, Double],
+      targetAnalysis: Seq[(String, Double, Double)])
 }

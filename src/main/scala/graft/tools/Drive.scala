@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Curation, TextAnalysis}
+import graft.operators._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -11,30 +11,39 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = "/root/testdata/sf0.01"
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def tm[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"DRIVE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
-    // 1. repetition features: results + plan shape
-    val rep = TextAnalysis.repetitionFeatures(col("text")).toMap
-    val repQ = d.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-           round(avg(rep("top_bigram_frac")), 6).as("top_bi"),
-           round(avg(rep("dup_trigram_frac")), 6).as("dup_tri"))
-      .orderBy("source")
-    repQ.show(5, truncate = false)
-    println("=== repetition plan ===")
-    println(repQ.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .take(3000))
-
-    // 2. stratified sample: results + plan shape
-    val samp = Curation.stratifiedSample(d, col("lang"), col("doc_id"), 0.25)
-      .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sid"))
-      .orderBy("lang")
-    samp.show(10, truncate = false)
-    println("=== stratified plan ===")
-    println(samp.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .take(3000))
+    val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+        .otherwise(0.0))
+    (1 to 2).foreach { pass =>
+      println(s"DRIVE pass $pass")
+      val sc = tm("scorecard.fit") {
+        Scorecard.fit(li0, Seq("l_extendedprice", "l_quantity"), "y")
+      }
+      val expected = li0.where(col("l_orderkey") % 2 === 0)
+      val actual = li0.where(col("l_orderkey") % 2 === 1)
+      val mon = new ScorecardMonitoring(sc, psiNBins = 10,
+        psiMethod = "cart", psiYCol = Some("y"))
+      // fresh monitor: cart splits derive inside the fused aggregate
+      val st = tm("stabilityStats(fused, fresh cart)") {
+        mon.stabilityStats(expected, actual, "y")
+      }
+      // same monitor: multi-job methods reuse the cached splits
+      val psi = tm("psiTotal(cached splits)") {
+        mon.psiTotal(expected, actual)
+      }
+      val perf = tm("performance(multi-job)") {
+        mon.performance(expected, actual, "y")
+      }
+      println(s"DRIVE fused=${st.psiTotal} psi=$psi " +
+        s"giniF=${st.performance("gini_expected")} " +
+        s"gini=${perf("gini_expected")}")
+    }
   }
 }

@@ -57,6 +57,24 @@ class MonitoringAndIOSpec extends AnyFunSuite {
       psiMethod = "uniform")
     val psiUni = monUni.psiTotal(expected, actual)
     assert(psiUni >= 0 && psiUni < 0.1, s"uniform psi $psiUni")
+
+    // fused single-job bundle equals the per-report methods
+    val st = mon.stabilityStats(expected, actual, "y")
+    assert(math.abs(st.psiTotal - psi) < 1e-9, s"${st.psiTotal} vs $psi")
+    assert(st.tests.length == tests.length)
+    st.tests.zip(tests).foreach { case (b, t) =>
+      assert(b._1 == t._1 && math.abs(b._5 - t._5) < 1e-9, s"$b vs $t")
+    }
+    Seq("gini_expected", "gini_actual", "ks_expected", "ks_actual")
+      .foreach { k =>
+        assert(math.abs(st.performance(k) - perf(k)) < 1e-9,
+               s"$k: ${st.performance(k)} vs ${perf(k)}")
+      }
+    val ta = mon.targetAnalysis(expected, actual, "y")
+    st.targetAnalysis.zip(ta).foreach { case (b, t) =>
+      assert(b._1 == t._1 && math.abs(b._2 - t._2) < 1e-6 &&
+             math.abs(b._3 - t._3) < 1e-6, s"$b vs $t")
+    }
   }
 
   test("ModelMetrics: gini/ks consistent with bin-table values") {
