@@ -685,6 +685,29 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_roc_points" -> ((s, dir) => {
+      // ROC curve points (fpr, tpr per threshold) over bins ordered by
+      // event rate descending (`scorecard/plots.py:21-107` on binned
+      // scores) — the data behind plot_auc_roc
+      val li = liTarget(T(s, dir, "lineitem"))
+      import org.apache.spark.sql.expressions.Window
+      val agg = li
+        .groupBy(binIdx(col("l_extendedprice"), liSplits).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("ev"))
+        .withColumn("ne", col("n") - col("ev"))
+        .withColumn("event_rate", round(col("ev") / col("n"), 6))
+      val w = Window.orderBy(desc("event_rate"), col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)
+      agg.withColumn("tpr",
+                     round(sum("ev").over(w) / sum("ev").over(wAll), 6))
+        .withColumn("fpr",
+                    round(sum("ne").over(w) / sum("ne").over(wAll), 6))
+        .select(col("bin"), col("event_rate"), col("fpr"), col("tpr"))
+        .orderBy("bin")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // ordered analytics on the events stream table: per-user running
       // value sum + event sequence number
@@ -1497,6 +1520,32 @@ object SparkEntry {
          SELECT bin, n, ev, event_rate,
                 round(cum_ev * 1.0 / (SELECT sum(ev) FROM agg), 6)
                   AS cum_capture
+         FROM r ORDER BY bin""",
+
+    "q_roc_points" ->
+      """WITH agg AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  count(*) AS n,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT bin, n, ev, n - ev AS ne,
+                  round(ev * 1.0 / n, 6) AS event_rate,
+                  sum(ev) OVER (ORDER BY round(ev * 1.0 / n, 6) DESC, bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_ev,
+                  sum(n - ev) OVER (ORDER BY round(ev * 1.0 / n, 6) DESC,
+                                    bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_ne
+           FROM agg)
+         SELECT bin, event_rate,
+                round(cum_ne * 1.0 / (SELECT sum(n - ev) FROM agg), 6)
+                  AS fpr,
+                round(cum_ev * 1.0 / (SELECT sum(ev) FROM agg), 6) AS tpr
          FROM r ORDER BY bin""",
 
     "q_events_window" ->
