@@ -42,6 +42,13 @@ object TextHashExprs {
     ExpressionUtils.column(
       SimHash64Expr(ExpressionUtils.expression(norm), portable))
 
+  /** [top_bigram_frac, dup_trigram_frac] word-repetition kernel — same
+    * values as `TextAnalysis.repetitionFeaturesHof` (parity-tested) in
+    * one pass instead of four interpreted HOF traversals per row. */
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(
+      RepetitionStatsExpr(ExpressionUtils.expression(text)))
+
   /** Code points of a string (surrogate pairs combined) — the unit the
     * portable hashes fold over, matching SQL `unicode()` per character. */
   private[functions] def codePoints(s: String): Array[Int] = {
@@ -241,5 +248,64 @@ final case class SimHash64Expr(child: Expression,
       i += 1
     }
     sig
+  }
+}
+
+/** Word-repetition statistics in one pass: returns
+  * `array(top_bigram_frac, dup_trigram_frac)` where words are
+  * `split(trim(text), "\s+")` — exactly the HOF formulation in
+  * `TextAnalysis.repetitionFeaturesHof` (space-only trim like SQL
+  * `trim`, Java-regex split like Spark `split`), so the two are
+  * interchangeable and parity-tested. The HOF chain re-evaluates the
+  * split per feature and sorts the bigram array to find the mode; this
+  * kernel tokenizes once and counts with a hash map — O(words) time,
+  * no array materialization beyond the token list.
+  */
+final case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RepetitionStatsExpr = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // SQL trim strips 0x20 only (String.trim would also strip controls)
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val words = raw.substring(lo, hi).split("\\s+", -1)
+
+    if (words.length < 2)
+      return new GenericArrayData(Array(0.0, 0.0))
+
+    val nBi = words.length - 1
+    val biCounts = new java.util.HashMap[String, Integer]()
+    var best = 0
+    var i = 0
+    while (i < nBi) {
+      val g = words(i) + " " + words(i + 1)
+      val c = biCounts.merge(g, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    val top = best.toDouble / nBi
+
+    var dup = 0.0
+    if (words.length >= 3) {
+      val nTri = words.length - 2
+      val tris = new java.util.HashSet[String]()
+      i = 0
+      while (i < nTri) {
+        tris.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+        i += 1
+      }
+      dup = 1.0 - tris.size.toDouble / nTri
+    }
+    new GenericArrayData(Array(top, dup))
   }
 }

@@ -151,15 +151,27 @@ object TextAnalysis {
     * filters, word-count flavor): `top_bigram_frac` = share of word
     * bigrams taken by the single most frequent bigram, `dup_trigram_frac`
     * = share of word trigrams that are repeats of an earlier trigram.
-    * High values flag boilerplate/spam for the curation gate. Pure
-    * per-row column expressions — embarrassingly parallel, no shuffle,
-    * safe in a 100 TB scan stage.
+    * High values flag boilerplate/spam for the curation gate. Per-row
+    * column expressions — embarrassingly parallel, no shuffle, safe in a
+    * 100 TB scan stage; computed by the single-pass
+    * `graft.functions.TextHashExprs.repetitionStats` kernel
+    * (the HOF formulation below stays as its parity oracle).
     *
     * Reference scope note: the reference library has no text-curation
     * surface; this extends the pipeline operators (SURVEY §2 "beyond the
     * reference" set) alongside [[qualityFeatures]].
     */
   def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val stats = graft.functions.TextHashExprs.repetitionStats(
+      coalesce(text, lit("")))
+    Seq(
+      "top_bigram_frac" -> element_at(stats, 1),
+      "dup_trigram_frac" -> element_at(stats, 2))
+  }
+
+  /** Higher-order-function formulation of [[repetitionFeatures]] —
+    * semantic reference and test oracle for the native kernel. */
+  def repetitionFeaturesHof(text: Column): Seq[(String, Column)] = {
     val words = split(trim(text), "\\s+")
     val bi = wordNgrams(words, 2)
     val tri = wordNgrams(words, 3)

@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators._
+import graft.pipeline.TextAnalysis
 
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -18,32 +19,19 @@ object Drive {
       r
     }
 
-    val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
-        .otherwise(0.0))
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // bench-exact shape: groupBy(source), round(avg, 6), orderBy, count()
+    def benchQ(m: Map[String, org.apache.spark.sql.Column]) =
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(m("top_bigram_frac")), 6).as("avg_top_bigram_frac"),
+             round(avg(m("dup_trigram_frac")), 6).as("avg_dup_trigram_frac"))
+        .orderBy("source")
+    val hof = TextAnalysis.repetitionFeaturesHof(col("text")).toMap
+    val nat = TextAnalysis.repetitionFeatures(col("text")).toMap
     (1 to 2).foreach { pass =>
-      println(s"DRIVE pass $pass")
-      val sc = tm("scorecard.fit") {
-        Scorecard.fit(li0, Seq("l_extendedprice", "l_quantity"), "y")
-      }
-      val expected = li0.where(col("l_orderkey") % 2 === 0)
-      val actual = li0.where(col("l_orderkey") % 2 === 1)
-      val mon = new ScorecardMonitoring(sc, psiNBins = 10,
-        psiMethod = "cart", psiYCol = Some("y"))
-      // fresh monitor: cart splits derive inside the fused aggregate
-      val st = tm("stabilityStats(fused, fresh cart)") {
-        mon.stabilityStats(expected, actual, "y")
-      }
-      // same monitor: multi-job methods reuse the cached splits
-      val psi = tm("psiTotal(cached splits)") {
-        mon.psiTotal(expected, actual)
-      }
-      val perf = tm("performance(multi-job)") {
-        mon.performance(expected, actual, "y")
-      }
-      println(s"DRIVE fused=${st.psiTotal} psi=$psi " +
-        s"giniF=${st.performance("gini_expected")} " +
-        s"gini=${perf("gini_expected")}")
+      tm(s"bench-shape nat pass$pass") { benchQ(nat).count() }
+      tm(s"bench-shape hof pass$pass") { benchQ(hof).count() }
     }
   }
 }

@@ -107,6 +107,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L)._1 == 1.0 && math.abs(got(4L)._2 - 0.5) < 1e-12)
   }
 
+  test("repetition kernel matches the HOF oracle on awkward whitespace") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      "a b a b a b", "w x y z", "solo", "k k k k", "",
+      "  leading and trailing  ", "tab\tseparated\twords here",
+      "double  space  gap", "x", "p q p q p q p q p q",
+      "\tstarts with tab after space-trim",
+      (1 to 200).map(i => "w" + (i % 9)).mkString(" ")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val nat = TextAnalysis.repetitionFeatures(col("text")).toMap
+    val hof = TextAnalysis.repetitionFeaturesHof(col("text")).toMap
+    val rows = docs.select(col("id"),
+        nat("top_bigram_frac"), nat("dup_trigram_frac"),
+        hof("top_bigram_frac"), hof("dup_trigram_frac"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(3) &&
+             r.getDouble(2) == r.getDouble(4),
+             s"id ${r.getLong(0)}: native (${r.getDouble(1)}, " +
+             s"${r.getDouble(2)}) vs hof (${r.getDouble(3)}, " +
+             s"${r.getDouble(4)})")
+    }
+  }
+
   test("stratifiedSample keeps exact ceil(frac*n) per stratum, stable") {
     val spark = TestSpark.spark
     import spark.implicits._
