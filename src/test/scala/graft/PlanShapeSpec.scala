@@ -181,6 +181,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate("), plan)
   }
 
+  test("driver contract: every oracle names a query; q_repetition codegen") {
+    // an oracleSql entry whose key has no matching queries entry would
+    // silently never be checked by the driver
+    val orphans = graft.SparkEntry.oracleSql.keySet --
+      graft.SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"orphan oracles: $orphans")
+    // repetition signals use the native kernel, not the HOF chain whose
+    // inlined split re-evaluates per lambda element in aggregate shapes
+    val spark = TestSpark.spark
+    val plan = physical(
+      graft.SparkEntry.queries("q_repetition")(spark, TestSpark.sf0001))
+    assert(plan.contains("graft_repetition_stats"), plan)
+    assert(!plan.contains("array_sort"), plan)
+  }
+
   test("IVF corpus assignment is one narrow projection (no ml job chain)") {
     val spark = TestSpark.spark
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
