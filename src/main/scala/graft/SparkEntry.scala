@@ -2193,7 +2193,7 @@ object SparkEntry {
            FROM documents)
          SELECT lang, count(*) AS n_sampled,
                 CAST(sum(doc_id) AS DOUBLE) AS sum_id
-         FROM r WHERE rn <= ceil(n * 0.25)
+         FROM r WHERE rn <= ceil(round(n * 0.25, 9))
          GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 

@@ -64,9 +64,11 @@ object Curation {
     val h = md5(id.cast("string").cast("binary"))
     val rank = Window.partitionBy(strata).orderBy(h, id)
     val n = Window.partitionBy(strata)
+    // round before ceil: bare ceil(n * frac) overshoots on binary float
+    // artifacts (30 * 0.1 = 3.0000000000000004 -> 4)
     df.withColumn("__rn", row_number().over(rank))
       .withColumn("__n", count(lit(1)).over(n))
-      .where(col("__rn") <= ceil(col("__n") * lit(frac)))
+      .where(col("__rn") <= ceil(round(col("__n") * lit(frac), 9)))
       .drop("__rn", "__n")
   }
 

@@ -151,6 +151,11 @@ class CurationSpec extends AnyFunSuite {
     // so frac=1.0 returns everything
     assert(Curation.stratifiedSample(df, col("stratum"), col("id"), 1.0)
       .count() == 103)
+    // float-artifact guard: 30 * 0.1 = 3.0000000000000004 in binary;
+    // a bare ceil would keep 4 rows instead of 3
+    val df30 = (0 until 30).map(i => (i.toLong, "s")).toDF("id", "stratum")
+    assert(Curation.stratifiedSample(df30, col("stratum"), col("id"), 0.1)
+      .count() == 3)
   }
 
   test("contamination plan broadcasts the benchmark gram side") {
