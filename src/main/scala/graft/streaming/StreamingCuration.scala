@@ -62,10 +62,14 @@ final class StreamingDriftMonitor(
       when(x < splits(i), lit(i)).otherwise(acc)
     }
 
-  /** Fold one micro-batch into the per-bin counters (one aggregate). */
+  /** Fold one micro-batch into the per-bin counters (one aggregate).
+    * Null/NaN scores are excluded — the CASE chain would otherwise drop
+    * them silently into the last bin and distort PSI. */
   def add(batch: DataFrame): Unit = {
+    val x = col(xCol).cast("double")
     val rows = batch
-      .select(binIdx(col(xCol).cast("double")).as("bin"))
+      .where(x.isNotNull && !isnan(x))
+      .select(binIdx(x).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .collect()
     rows.foreach(r => actual(r.getInt(0)) += r.getLong(1).toDouble)
@@ -97,12 +101,14 @@ object StreamingDriftMonitor {
     */
   def fromExpected(expected: DataFrame, xCol: String,
                    splits: Array[Double]): StreamingDriftMonitor = {
+    val x = col(xCol).cast("double")
     val idx = splits.indices.foldRight(lit(splits.length): Column) {
-      (i, acc) => when(col(xCol).cast("double") < splits(i), lit(i))
-        .otherwise(acc)
+      (i, acc) => when(x < splits(i), lit(i)).otherwise(acc)
     }
     val counts = new Array[Double](splits.length + 1)
-    expected.select(idx.as("bin")).groupBy("bin")
+    // same null/NaN exclusion as add() so both cohorts bin identically
+    expected.where(x.isNotNull && !isnan(x))
+      .select(idx.as("bin")).groupBy("bin")
       .agg(count(lit(1)).as("n")).collect()
       .foreach(r => counts(r.getInt(0)) = r.getLong(1).toDouble)
     new StreamingDriftMonitor(counts, splits, xCol)

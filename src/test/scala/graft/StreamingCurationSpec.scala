@@ -63,6 +63,14 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(psiAfter2 > 0.0)
     assert(Set("Insignificant change", "Requires investigation",
                "Significance change").contains(mon.verdict))
+
+    // null/NaN scores are excluded, not silently binned into the top bin
+    val mon2 = StreamingDriftMonitor.fromExpected(expected, "score", splits)
+    mon2.add(batch1)
+    val counts1 = mon2.actualCounts
+    mon2.add(Seq[Option[Double]](None, Some(Double.NaN))
+      .toDF("score"))
+    assert(mon2.actualCounts.toSeq == counts1.toSeq)
   }
 
   test("drift monitor via a real foreachBatch stream") {
