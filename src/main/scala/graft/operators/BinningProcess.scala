@@ -270,7 +270,9 @@ object BinningProcess {
         val nonClean =
           agg.where(col("cls") =!= Preprocess.CleanClass).collect()
         val wnd = org.apache.spark.sql.expressions.Window
-          .partitionBy("var").orderBy(desc("wt"))
+          // category tie-break keeps the top-K selection deterministic
+          // when weights tie (re-runs must fit identical bins)
+          .partitionBy("var").orderBy(desc("wt"), col("x"))
         val top = agg.where(col("cls") === Preprocess.CleanClass)
           .withColumn("__rn", row_number().over(wnd))
           .where(col("__rn") <= cap).drop("__rn").collect()
