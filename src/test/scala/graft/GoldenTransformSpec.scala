@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
+import graft.sources.Sources
 
 /** Strongest end-to-end parity test: the reference's
   * `tests/results/breast_cancer_woe.csv` is the default BinningProcess
@@ -55,5 +56,52 @@ class GoldenTransformSpec extends AnyFunSuite {
     assert(nMismatch == 0,
            s"$nMismatch/$totalCells cells differ in vars: " +
              mismatchVars.mkString(", "))
+  }
+
+  test("fitTransformDisk csv->parquet matches the disk-path golden CSV") {
+    // the reference's test_default_fit_transform_disk writes
+    // breast_cancer_woe_2.csv via the chunked disk path with default
+    // parameters; our disk path must reproduce every cell from the raw
+    // csv input (column names carry spaces -> underscore them for the
+    // parquet sink, mapping back for the golden compare)
+    val spark = TestSpark.spark
+    val raw = Sources.readTable(
+      spark, "/root/reference/tests/data/breast_cancer.csv")
+    val variables = raw.columns.filter(_ != "target").toSeq
+    val safe = variables.map(v => v -> v.replace(' ', '_')).toMap
+    val renamed = variables.foldLeft(raw) { (d, v) =>
+      d.withColumnRenamed(v, safe(v))
+    }
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_golden_in").toString + "/bc.parquet"
+    renamed.coalesce(1).write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_golden_out").toString + "/woe.parquet"
+
+    Sources.fitTransformDisk(spark, in, out,
+                             variables.map(safe), "target")
+
+    val mine = spark.read.parquet(out).collect()
+    // the reference test APPENDS chunks to the committed results file, so
+    // the golden holds two stacked copies separated by a repeated header
+    // line (1139 rows); compare against the first 569-row block, parsing
+    // explicitly since the embedded header forces a string schema
+    val golden = spark.read.option("header", "true")
+      .csv("/root/reference/tests/results/breast_cancer_woe_2.csv")
+      .collect()
+      .filter(r => r.getString(0) != variables.head)
+      .take(mine.length)
+    assert(mine.length == golden.length)
+    var nMismatch = 0
+    mine.zip(golden).foreach { case (m, g) =>
+      variables.foreach { v =>
+        val a = m.getDouble(m.fieldIndex(safe(v)))
+        val b = g.getString(g.fieldIndex(v)).toDouble
+        if (math.abs(a - b) > 1e-6 * math.max(1.0, math.abs(b)))
+          nMismatch += 1
+      }
+    }
+    assert(nMismatch == 0,
+           s"$nMismatch/${mine.length * variables.length} cells differ")
   }
 }
