@@ -1126,12 +1126,14 @@ object SparkEntry {
   )
 
   private def scale6(v: Double): Double =
-    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (!java.lang.Double.isFinite(v)) v  // BigDecimal rejects inf/NaN
+    else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Coarser rounding for large-magnitude aggregates, where engine
     * summation order makes the 6th decimal unstable. */
   private def scale2(v: Double): Double =
-    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (!java.lang.Double.isFinite(v)) v
+    else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def oracleSql: Map[String, String] = Map(
     "q_split_classes" ->
