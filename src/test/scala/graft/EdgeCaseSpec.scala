@@ -12,6 +12,22 @@ import graft.operators._
   */
 class EdgeCaseSpec extends AnyFunSuite {
 
+  test("empty input: fit yields an empty one-bin table, transform total") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq.empty[(Double, Int)].toDF("x", "y")
+    val f = OptimalBinning.fit(df, "x", "y", BinningConfig(name = "x"))
+    assert(f.splits.isEmpty)
+    assert(f.table.rows.map(_.count).sum == 0.0)
+    // transform over fresh data must still be a total function
+    val woe = Seq((1.0, 0)).toDF("x", "y")
+      .select(f.transform(col("x")).as("w")).as[Double].collect()
+    assert(woe.length == 1 && !woe(0).isNaN)
+    // curation ops on empty frames
+    assert(graft.pipeline.Curation.stratifiedSample(
+      df, col("y"), col("x"), 0.5).count() == 0)
+  }
+
   test("constant column fits to a single bin") {
     val spark = TestSpark.spark
     import spark.implicits._
