@@ -24,12 +24,17 @@ object Bench {
     // two timed passes, report the min: async C2 compilation and GC from
     // the preceding queries otherwise land randomly in single-pass times
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query must not masquerade as a fast one
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
