@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,13 +91,24 @@ object TextHashExprs {
   */
 final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int,
                                 portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSigExpr = copy(child = newChild)
+
+  /** Kernel entry for generated code — keeps the expression inside
+    * whole-stage codegen instead of a row-materializing fallback. */
+  def kernel(s: UTF8String): GenericArrayData =
+    nullSafeEval(s).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
@@ -183,13 +194,22 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int,
   */
 final case class SimHash64Expr(child: Expression,
                                portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
   override protected def withNewChildInternal(newChild: Expression)
       : SimHash64Expr = copy(child = newChild)
+
+  /** Kernel entry for generated code (see MinHashSigExpr.kernel). */
+  def kernel(s: UTF8String): Long = nullSafeEval(s).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
@@ -262,7 +282,7 @@ final case class SimHash64Expr(child: Expression,
   * no array materialization beyond the token list.
   */
 final case class RepetitionStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
@@ -270,6 +290,16 @@ final case class RepetitionStatsExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression)
       : RepetitionStatsExpr = copy(child = newChild)
+
+  /** Kernel entry for generated code (see MinHashSigExpr.kernel). */
+  def kernel(s: UTF8String): GenericArrayData =
+    nullSafeEval(s).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -48,7 +48,7 @@ object VectorExprs {
   * while both norms stay defined).
   */
 final case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
@@ -69,6 +69,23 @@ final case class CosineSimExpr(left: Expression, right: Expression)
 
   @transient private lazy val leftFloat = elemIsFloat(left)
   @transient private lazy val rightFloat = elemIsFloat(right)
+
+  /** Boxed kernel shared by interpreted eval and generated code — stays
+    * inside whole-stage codegen (a `CodegenFallback` would materialize
+    * the full input row per call in the ANN scan hot path). */
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val r = nullSafeEval(a, b)
+    if (r == null) null else java.lang.Double.valueOf(r.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double r = $ref.kernel($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.doubleValue(); }""".stripMargin)
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
@@ -121,13 +138,23 @@ final case class CosineSimExpr(left: Expression, right: Expression)
   */
 final case class LshSigExpr(child: Expression, nPlanes: Int,
                             portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_sig"
 
   override protected def withNewChildInternal(newChild: Expression)
       : LshSigExpr = copy(child = newChild)
+
+  /** Unboxed kernel for generated code (see CosineSimExpr.kernel). */
+  def kernel(arr: ArrayData): Long =
+    nullSafeEval(arr).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 
   @transient private lazy val elemFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
