@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import scala.collection.mutable
 
-import graft.core.Metrics
+import graft.core.{Metrics, Prebinning}
 
 /** Joint optimal binning of two numerical variables into rectangles
   * against a binary target
@@ -32,7 +32,11 @@ object OptimalBinning2D {
 
   final case class Config2D(
       nameX: String = "x", nameY: String = "y",
+      /** Per-dimension candidate-split fit: "cart" (reference default,
+        * `binning_2d.py` prebinning_method) or "quantile". */
+      prebinningMethod: String = "cart",
       maxNPrebinsX: Int = 5, maxNPrebinsY: Int = 5,
+      minPrebinSizeX: Double = 0.05, minPrebinSizeY: Double = 0.05,
       minBinSize: Option[Double] = None,
       minBinNEvent: Option[Long] = None,
       minBinNNonevent: Option[Long] = None,
@@ -41,6 +45,65 @@ object OptimalBinning2D {
         * greedy recursive axis-parallel splitting, leaves = bins
         * (`binning_2d.py:63` strategy, `model_data_cart_2d.py`). */
       strategy: String = "grid")
+
+  /** Per-dimension exact greedy CART candidate splits — both dimensions
+    * melt into ONE stats job + ONE histogram job (same bounded-histogram
+    * scale path as the 1-D fits: values grid-snap beyond 10k distinct).
+    * `classification = false` uses MSE impurity on the continuous target.
+    */
+  private def cartDimSplits(df: DataFrame, xv: Column, yv: Column,
+                            target: Column, config: Config2D,
+                            classification: Boolean)
+      : (Array[Double], Array[Double]) = {
+    val melted = df.select(target.as("t"), xv.as("vx"), yv.as("vy"))
+      .selectExpr("t", "stack(2, 'x', vx, 'y', vy) as (dim, v)")
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val st = melted.groupBy("dim")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
+           approx_count_distinct(col("v")).as("ndv"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val cap = 10000
+    val vRep = Seq("x", "y").foldLeft(col("v")) { (acc, d) =>
+      st.get(d) match {
+        case Some((_, mn, mx, ndv)) if ndv > cap && mx > mn =>
+          val w = (mx - mn) / cap
+          when(col("dim") === d,
+               lit(mn) + floor((col("v") - mn) / w) * w).otherwise(acc)
+        case _ => acc
+      }
+    }
+    val aggs =
+      if (classification) Seq(
+        count(lit(1)).as("n"),
+        sum(when(col("t") === 0.0, 1.0).otherwise(0.0)).as("a"),
+        sum(when(col("t") =!= 0.0, 1.0).otherwise(0.0)).as("b"))
+      else Seq(count(lit(1)).as("n"), sum(col("t")).as("a"),
+               sum(col("t") * col("t")).as("b"))
+    val hist = melted.select(col("dim"), vRep.as("v"), col("t"))
+      .groupBy("dim", "v").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def splitsFor(d: String, k: Int, frac: Double): Array[Double] = {
+      val h = hist.filter(_.getString(0) == d).map { r =>
+        if (classification)
+          Prebinning.HistBucket(r.getDouble(1), r.getLong(2),
+                                r.getDouble(3), r.getDouble(4))
+        else
+          Prebinning.HistBucket(r.getDouble(1), r.getLong(2), 0.0, 0.0,
+                                sum = r.getDouble(3), ssum = r.getDouble(4))
+      }.sortBy(_.value)
+      val n = st.get(d).map(_._1).getOrElse(0L)
+      if (h.isEmpty) Array.empty[Double]
+      else Prebinning.cartSplits(
+        h, maxLeafNodes = k,
+        minSamplesLeaf = math.ceil(frac * n).toLong,
+        classification = classification)
+    }
+    (splitsFor("x", config.maxNPrebinsX, config.minPrebinSizeX),
+     splitsFor("y", config.maxNPrebinsY, config.minPrebinSizeY))
+  }
 
   def fit(df: DataFrame, xCol: String, yCol: String, targetCol: String,
           config: Config2D = Config2D()): Fitted2DBinning = {
@@ -58,8 +121,14 @@ object OptimalBinning2D {
                                   lit(10000)).as("q"))
         .head.getSeq[Double](0).toArray.distinct.sorted
     }
-    val splitsX = dimSplits(x, config.maxNPrebinsX)
-    val splitsY = dimSplits(y, config.maxNPrebinsY)
+    val (splitsX, splitsY) = config.prebinningMethod match {
+      case "cart" =>
+        cartDimSplits(df, x, y, t, config, classification = true)
+      case "quantile" =>
+        (dimSplits(x, config.maxNPrebinsX), dimSplits(y, config.maxNPrebinsY))
+      case other => throw new IllegalArgumentException(
+        s"prebinning_method $other not supported for 2D (cart|quantile)")
+    }
 
     def idxExpr(c: Column, splits: Array[Double]): Column =
       splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>
@@ -373,8 +442,15 @@ object OptimalBinning2D {
                                   lit(10000)).as("q"))
         .head.getSeq[Double](0).toArray.distinct.sorted
     }
-    val splitsX = dimSplits(x, config.maxNPrebinsX)
-    val splitsY = dimSplits(y, config.maxNPrebinsY)
+    val (splitsX, splitsY) = config.prebinningMethod match {
+      case "cart" =>
+        // regression CART (MSE impurity) on the continuous target
+        cartDimSplits(df, x, y, z, config, classification = false)
+      case "quantile" =>
+        (dimSplits(x, config.maxNPrebinsX), dimSplits(y, config.maxNPrebinsY))
+      case other => throw new IllegalArgumentException(
+        s"prebinning_method $other not supported for 2D (cart|quantile)")
+    }
 
     def idxExpr(c: Column, splits: Array[Double]): Column =
       splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>

@@ -30,6 +30,17 @@ class AdvancedBinningSpec extends AnyFunSuite {
     }
   }
 
+  test("OptimalBinning2D default matches the reference golden IV") {
+    // test_binning_2d.py:169-183: mean radius x worst concavity,
+    // defaults (cart prebinning, 5x5) -> IV 7.63248244
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val f = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+                                 "target")
+    assert(f.status == "OPTIMAL")
+    assert(math.abs(f.iv - 7.63248244) < 1e-6, s"iv ${f.iv}")
+  }
+
   test("OptimalBinning2D: rectangles cover grid, transform total") {
     val spark = TestSpark.spark
     import spark.implicits._
