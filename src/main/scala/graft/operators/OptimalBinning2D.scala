@@ -529,6 +529,16 @@ final class Fitted2DBinning(
 
   def iv: Double = rects.map(_.iv).sum
 
+  /** Gini over the rectangle bins (`binning_table.analysis()` of the 2D
+    * table — same bin-level accuracy-ratio formula as the 1-D table). */
+  def gini: Double =
+    Metrics.gini(rects.map(_.event), rects.map(_.nonevent))
+
+  /** Jensen-Shannon total over the rectangle bins. */
+  def js: Double =
+    Metrics.jensenShannonSum(rects.map(_.event / tEvent),
+                             rects.map(_.nonevent / tNonevent))
+
   private def edge(splits: Array[Double], i: Int): Double =
     if (i < 0) Double.NegativeInfinity
     else if (i >= splits.length) Double.PositiveInfinity

@@ -39,6 +39,8 @@ class AdvancedBinningSpec extends AnyFunSuite {
                                  "target")
     assert(f.status == "OPTIMAL")
     assert(math.abs(f.iv - 7.63248244) < 1e-6, s"iv ${f.iv}")
+    assert(math.abs(f.gini - 0.96381005) < 1e-6, s"gini ${f.gini}")
+    assert(math.abs(f.js - 0.53356918) < 1e-6, s"js ${f.js}")
   }
 
   test("OptimalBinning2D: rectangles cover grid, transform total") {
