@@ -91,7 +91,9 @@ object OptimalBinning2D {
           Prebinning.HistBucket(r.getDouble(1), r.getLong(2),
                                 r.getDouble(3), r.getDouble(4))
         else
-          Prebinning.HistBucket(r.getDouble(1), r.getLong(2), 0.0, 0.0,
+          // regression convention: y0 carries the bucket weight
+          Prebinning.HistBucket(r.getDouble(1), r.getLong(2),
+                                r.getLong(2).toDouble, 0.0,
                                 sum = r.getDouble(3), ssum = r.getDouble(4))
       }.sortBy(_.value)
       val n = st.get(d).map(_._1).getOrElse(0L)
@@ -590,8 +592,19 @@ final class FittedContinuous2D(
     val rects: Array[OptimalBinning2D.ContRect],
     val tMean: Double) extends Serializable {
 
-  /** Sum of per-rectangle L1 norms (the solver objective). */
+  /** Sum of per-rectangle L1 norms (the solver objective). The
+    * reference's continuous table "woe" total additionally counts its
+    * empty Special and Missing bins, each contributing |0 - mean|:
+    * reference_woe = l1Norm + 2 * tMean when both are empty. */
   def l1Norm: Double = rects.map(_.value).sum
+
+  /** Continuous IV = sum |mean_i - mean| * p_i over the rectangle bins
+    * (`binning_table.build()` of the continuous 2D table). */
+  def iv: Double = {
+    val tN = rects.map(_.n).sum
+    if (tN <= 0) 0.0
+    else rects.map(r => math.abs(r.mean - tMean) * r.n / tN).sum
+  }
 
   private def edge(splits: Array[Double], i: Int): Double =
     if (i < 0) Double.NegativeInfinity

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.operators.OptimalBinning2D
 
 object Drive {
@@ -11,13 +10,15 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // reference test_binning_2d.py golden: mean radius x worst concavity,
-    // defaults -> IV 7.63248244, gini 0.96381005, js 0.53356918
-    val df = spark.read.parquet(
-      "/root/reference/tests/data/breast_cancer.parquet")
-    val f = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
-                                 "target")
+    // test_continuous_binning_2d.py golden: AGE x INDUS -> MEDV,
+    // defaults -> IV 4.80825509, woe total 171.946019
+    val df = spark.read.parquet("src/test/resources/boston_housing.parquet")
+    val f = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target")
     println(s"DRIVE status=${f.status} nBins=${f.rects.length}")
-    println(s"DRIVE iv=${f.iv}")
+    println(s"DRIVE l1Norm=${f.l1Norm}")
+    val tN = f.rects.map(_.n).sum
+    val iv = f.rects.map(r => math.abs(r.mean - f.tMean) * r.n / tN).sum
+    val woe = f.rects.map(r => math.abs(r.mean - f.tMean)).sum
+    println(s"DRIVE iv=$iv woeTotal=$woe")
   }
 }

@@ -43,6 +43,19 @@ class AdvancedBinningSpec extends AnyFunSuite {
     assert(math.abs(f.js - 0.53356918) < 1e-6, s"js ${f.js}")
   }
 
+  test("ContinuousOptimalBinning2D default matches the reference golden") {
+    // test_continuous_binning_2d.py:140-154: AGE x INDUS -> target,
+    // defaults -> IV 4.80825509; table woe 171.946019 = l1Norm + 2*mean
+    // (the reference table's empty Special/Missing bins add |0 - mean|)
+    val spark = TestSpark.spark
+    val df = spark.read.parquet("src/test/resources/boston_housing.parquet")
+    val f = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target")
+    assert(f.status == "OPTIMAL")
+    assert(math.abs(f.iv - 4.80825509) < 1e-6, s"iv ${f.iv}")
+    assert(math.abs(f.l1Norm + 2 * f.tMean - 171.946019) < 1e-4,
+           s"woe ${f.l1Norm + 2 * f.tMean}")
+  }
+
   test("OptimalBinning2D: rectangles cover grid, transform total") {
     val spark = TestSpark.spark
     import spark.implicits._
