@@ -158,4 +158,42 @@ object Stats {
     val p = acc / nSamples
     (p, 1 - p)
   }
+
+  /** Exact 1-feature L2-regularized logistic regression on a weighted
+    * value histogram — sklearn `LogisticRegression()` default objective
+    * (C = 1: 0.5 * beta^2 + sum log-loss; intercept unpenalized), solved
+    * by full Newton to machine precision (sklearn's lbfgs stops at
+    * tol = 1e-4, so agreement is ~1e-4 relative). Returns (alpha, beta)
+    * of P[y=1|x] = sigmoid(alpha + beta * x).
+    */
+  def logistic1D(values: Array[Double], weights: Array[Double],
+                 rates: Array[Double], l2: Double = 1.0): (Double, Double) = {
+    var a = 0.0; var b = 0.0
+    var it = 0
+    while (it < 200) {
+      var g0 = 0.0; var g1 = 0.0
+      var h00 = 0.0; var h01 = 0.0; var h11 = 0.0
+      var i = 0
+      while (i < values.length) {
+        val x = values(i); val w = weights(i); val y = rates(i)
+        val z = a + b * x
+        val s = 1.0 / (1.0 + math.exp(-z))
+        val d = w * (s - y)
+        val h = math.max(w * s * (1.0 - s), 1e-300)
+        g0 += d; g1 += d * x
+        h00 += h; h01 += h * x; h11 += h * x * x
+        i += 1
+      }
+      g1 += l2 * b
+      h11 += l2
+      val det = h00 * h11 - h01 * h01
+      if (math.abs(det) < 1e-300) return (a, b)
+      val da = (h11 * g0 - h01 * g1) / det
+      val db = (h00 * g1 - h01 * g0) / det
+      a -= da; b -= db
+      if (math.abs(da) < 1e-13 && math.abs(db) < 1e-13) return (a, b)
+      it += 1
+    }
+    (a, b)
+  }
 }

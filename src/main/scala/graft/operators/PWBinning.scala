@@ -73,7 +73,12 @@ object PWBinning {
       splits: Array[Double],
       curve: PWCurve,
       binning: FittedOptimalBinning,
-      lb: Double, ub: Double) extends Serializable {
+      lb: Double, ub: Double,
+      /** Asymptotic IV (Jeffrey) of the fitted curve — the reference PW
+        * table's IV (`piecewise/metrics.py` divergences_asymptotic):
+        * per-row jeffrey((1-er)/(1-p), er/p) averaged over clean rows,
+        * er clipped to [1e-8, 1-1e-8]. */
+      asymptoticIv: Double = Double.NaN) extends Serializable {
 
     /** Predicted event rate, clipped to [lb, ub]. */
     def predictColumn(xCol: Column): Column =
@@ -96,16 +101,64 @@ object PWBinning {
           hEpsilon: Double = 1.35,
           quantileTau: Double = 0.5,
           monotonicTrend: Option[String] = None,
-          continuous: Boolean = true): FittedPW = {
+          continuous: Boolean = true,
+          /** Curve-fit target: "logistic" (the reference default — a
+            * 1-feature L2-regularized logistic regression's predicted
+            * probabilities, `piecewise/binning.py:360-371`) or
+            * "empirical" (raw per-value event rates). */
+          estimator: String = "logistic"): FittedPW = {
+    require(Set("logistic", "empirical")(estimator),
+            s"estimator $estimator not supported (logistic|empirical)")
     val binning = OptimalBinning.fit(df, xCol, yCol, config)
     val hist = valueHistogram(df, xCol, yCol, config)
-    val curve = solveCurve(hist, binning.splits, degree, objective,
+    val target =
+      if (estimator == "empirical") hist
+      else {
+        val (alpha, beta) = graft.core.Stats.logistic1D(
+          hist.map(_._1), hist.map(_._2), hist.map(_._3))
+        hist.map { case (v, w, _) =>
+          (v, w, 1.0 / (1.0 + math.exp(-(alpha + beta * v))))
+        }
+      }
+    val curve = solveCurve(target, binning.splits, degree, objective,
                            hEpsilon, quantileTau, monotonicTrend,
                            continuous)
     val rates = hist.map(_._3)
+
+    // asymptotic divergence IV over the fitted curve (clean rows; the
+    // histogram weights ARE the row multiplicities)
+    val p = binning.table.tEvent /
+      math.max(binning.table.tEvent + binning.table.tNonevent, 1.0)
+    val evalPoly: Double => Double = { x =>
+      val c = curve.coefs
+      if (curve.continuous && curve.degree >= 1) {
+        var v = 0.0
+        (0 to curve.degree).foreach(i => v += c(0)(i) * math.pow(x, i))
+        binning.splits.indices.foreach { j =>
+          val t = math.max(0.0, x - binning.splits(j))
+          v += c(0)(curve.degree + 1 + j) *
+            (if (curve.degree == 1) t else math.pow(t, curve.degree))
+        }
+        v
+      } else {
+        val bin = binning.splits.count(_ <= x)
+        c(bin).zipWithIndex.map { case (ci, i) => ci * math.pow(x, i) }.sum
+      }
+    }
+    val nClean = hist.map(_._2).sum
+    val iv =
+      if (nClean <= 0 || p <= 0 || p >= 1) Double.NaN
+      else hist.map { case (v, w, _) =>
+        val er = math.min(math.max(evalPoly(v), 1e-8), 1 - 1e-8)
+        val pi = (1.0 - er) / (1.0 - p)
+        val qi = er / p
+        w * (pi - qi) * math.log(pi / qi)
+      }.sum / nClean
+
     FittedPW(binning.splits, curve, binning,
              lb = math.max(rates.min, 1e-6),
-             ub = math.min(rates.max, 1 - 1e-6))
+             ub = math.min(rates.max, 1 - 1e-6),
+             asymptoticIv = iv)
   }
 
   /** Continuous-target piecewise binning

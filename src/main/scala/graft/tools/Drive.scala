@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.OptimalBinning2D
+import graft.operators.{BinningConfig, PWBinning}
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -10,15 +10,17 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // test_continuous_binning_2d.py golden: AGE x INDUS -> MEDV,
-    // defaults -> IV 4.80825509, woe total 171.946019
-    val df = spark.read.parquet("src/test/resources/boston_housing.parquet")
-    val f = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target")
-    println(s"DRIVE status=${f.status} nBins=${f.rects.length}")
-    println(s"DRIVE l1Norm=${f.l1Norm}")
-    val tN = f.rects.map(_.n).sum
-    val iv = f.rects.map(r => math.abs(r.mean - f.tMean) * r.n / tN).sum
-    val woe = f.rects.map(r => math.abs(r.mean - f.tMean)).sum
-    println(s"DRIVE iv=$iv woeTotal=$woe")
+    // test_binning_piecewise.py:172-177 golden: mean radius defaults ->
+    // binning_table IV 5.87474602 (curve fit to sklearn LR proba)
+    val df = spark.read.parquet(
+      "/root/reference/tests/data/breast_cancer.parquet")
+    Seq("logistic", "empirical").foreach { est =>
+      val f = PWBinning.fit(df, "mean radius", "target",
+                            BinningConfig(name = "mean radius"),
+                            monotonicTrend = Some("descending"),
+                            estimator = est)
+      println(s"DRIVE est=$est asymptoticIv=${f.asymptoticIv} " +
+        s"splits=${f.splits.length}")
+    }
   }
 }

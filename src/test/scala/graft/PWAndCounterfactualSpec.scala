@@ -9,6 +9,26 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
 
   private def bc = TestSpark.spark.read.parquet(TestSpark.breastCancer)
 
+  test("PWBinning default (logistic estimator) matches the reference " +
+       "golden IV") {
+    // test_binning_piecewise.py:172-177: mean radius, defaults ->
+    // binning_table IV 5.87474602. The curve target is a 1-feature
+    // L2-regularized logistic regression's probabilities; we solve the
+    // LR by exact Newton while sklearn's lbfgs stops at tol=1e-4, so
+    // parity is asserted at 1e-3 relative (measured gap ~5e-4).
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val f = PWBinning.fit(df, "mean radius", "target",
+                          BinningConfig(name = "mean radius"))
+    assert(math.abs(f.asymptoticIv - 5.87474602) / 5.87474602 < 1e-3,
+           s"asymptotic iv ${f.asymptoticIv}")
+    // the empirical-rate target is a materially different curve
+    val fe = PWBinning.fit(df, "mean radius", "target",
+                           BinningConfig(name = "mean radius"),
+                           estimator = "empirical")
+    assert(math.abs(fe.asymptoticIv - f.asymptoticIv) > 0.1)
+  }
+
   test("PWBinning: continuous piecewise event-rate curve, sane predictions") {
     val spark = TestSpark.spark
     import spark.implicits._
