@@ -100,7 +100,7 @@ object PWBinning {
           objective: String = "l2",
           hEpsilon: Double = 1.35,
           quantileTau: Double = 0.5,
-          monotonicTrend: Option[String] = None,
+          monotonicTrend: Option[String] = Some("auto"),
           continuous: Boolean = true,
           /** Curve-fit target: "logistic" (the reference default — a
             * 1-feature L2-regularized logistic regression's predicted
@@ -188,7 +188,7 @@ object PWBinning {
                     objective: String = "l2",
                     hEpsilon: Double = 1.35,
                     quantileTau: Double = 0.5,
-                    monotonicTrend: Option[String] = None,
+                    monotonicTrend: Option[String] = Some("auto"),
                     continuous: Boolean = true): FittedContPW = {
     val binning = ContinuousOptimalBinning.fit(df, xCol, yCol, config)
     val hist = valueHistogram(df, xCol, yCol, config)
@@ -234,12 +234,44 @@ object PWBinning {
     require(degree >= 0 && degree <= 3, "degree must be in [0, 3]")
     require(Set("l2", "l1", "huber", "quantile")(objective),
             s"objective $objective not supported")
-    monotonicTrend.foreach { t =>
-      require(Set("ascending", "descending")(t),
-              s"monotonic_trend $t not supported for piecewise fits")
-      require(degree == 1 && continuous,
-              "monotonic piecewise fits require degree=1, continuous")
+
+    // "auto" resolves from the per-bin target means like the reference
+    // (`piecewise/base.py:439-449`: digitize, bin means, trend typing;
+    // undefined/non-monotonic -> unconstrained)
+    val binMeans: Array[Double] = {
+      val k = splits.length
+      val sums = new Array[Double](k + 1)
+      val ws = new Array[Double](k + 1)
+      hist.foreach { case (v, w, r) =>
+        val b = splits.count(_ <= v)
+        sums(b) += w * r; ws(b) += w
+      }
+      (0 to k).map(b => if (ws(b) > 0) sums(b) / ws(b) else 0.0).toArray
     }
+    val resolved: Option[(String, Int)] = monotonicTrend.flatMap {
+      case "auto" if degree != 1 || !continuous =>
+        // constraints are only expressible on the degree-1 continuous
+        // basis; the default "auto" degrades to unconstrained elsewhere
+        None
+      case "auto" =>
+        graft.core.AutoMonotonic.typeOfMonotonicTrend(binMeans) match {
+          case t if t.contains("peak") =>
+            Some(("peak", binMeans.indexOf(binMeans.max)))
+          case t if t.contains("valley") =>
+            Some(("valley", binMeans.indexOf(binMeans.min)))
+          case "ascending"  => Some(("ascending", 0))
+          case "descending" => Some(("descending", 0))
+          case _            => None
+        }
+      case t @ ("ascending" | "descending") => Some((t, 0))
+      case "peak"   => Some(("peak", binMeans.indexOf(binMeans.max)))
+      case "valley" => Some(("valley", binMeans.indexOf(binMeans.min)))
+      case other => throw new IllegalArgumentException(
+        s"monotonic_trend $other not supported for piecewise fits")
+    }
+    require(resolved.isEmpty || (degree == 1 && continuous),
+            "explicit monotonic piecewise fits require degree=1, continuous")
+
     if (degree == 0 || !continuous)
       PWCurve(splits, degree, continuous = false,
               perBinFit(hist, splits, degree, objective, hEpsilon,
@@ -262,20 +294,27 @@ object PWBinning {
       }
       val rows = hist.map { case (v, w, r) => (basis(v), w, r) }
       val coef = irls(rows, p, objective, hEpsilon, quantileTau,
-                      constraints(monotonicTrend, degree, k))
+                      constraints(resolved, degree, k))
       PWCurve(splits, degree, continuous = true, Array(coef))
     }
   }
 
   /** Monotonicity constraint rows A (A c >= 0) for the degree-1
-    * truncated basis: segment m's slope is c(1) + sum_{j<=m} c(2+j). */
-  private def constraints(trend: Option[String], degree: Int,
+    * truncated basis: segment m's slope is c(1) + sum_{j<=m} c(2+j).
+    * peak/valley flip the slope sign after the change-point bin. */
+  private def constraints(trend: Option[(String, Int)], degree: Int,
                           k: Int): Array[Array[Double]] = trend match {
     case None => Array.empty
-    case Some(t) =>
-      val sign = if (t == "ascending") 1.0 else -1.0
+    case Some((t, changePoint)) =>
+      def segSign(m: Int): Double = t match {
+        case "ascending"  => 1.0
+        case "descending" => -1.0
+        case "peak"       => if (m < changePoint) 1.0 else -1.0
+        case "valley"     => if (m < changePoint) -1.0 else 1.0
+      }
       (0 to k).map { m =>
         val row = new Array[Double](degree + 1 + k)
+        val sign = segSign(m)
         row(1) = sign
         (0 until m).foreach(j => row(degree + 1 + j) = sign)
         row

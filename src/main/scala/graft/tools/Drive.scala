@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.operators.{BinningConfig, PWBinning}
 
 object Drive {
@@ -10,17 +11,20 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // test_binning_piecewise.py:172-177 golden: mean radius defaults ->
-    // binning_table IV 5.87474602 (curve fit to sklearn LR proba)
-    val df = spark.read.parquet(
+    // continuous PW golden (defaults now = auto trend):
+    // [31.46014643, 23.87619986, 37.31237732]
+    val bos = spark.read.parquet("src/test/resources/boston_housing.parquet")
+    val fc = PWBinning.fitContinuous(bos, "LSTAT", "target",
+                                     BinningConfig(name = "LSTAT"))
+    bos.limit(3).select(col("LSTAT"), fc.predictColumn(col("LSTAT")).as("p"))
+      .collect().foreach(r =>
+        println(s"DRIVE cont x=${r.getDouble(0)} pred=${r.getDouble(1)}"))
+
+    // binary PW golden (defaults): IV 5.87474602
+    val bc = spark.read.parquet(
       "/root/reference/tests/data/breast_cancer.parquet")
-    Seq("logistic", "empirical").foreach { est =>
-      val f = PWBinning.fit(df, "mean radius", "target",
-                            BinningConfig(name = "mean radius"),
-                            monotonicTrend = Some("descending"),
-                            estimator = est)
-      println(s"DRIVE est=$est asymptoticIv=${f.asymptoticIv} " +
-        s"splits=${f.splits.length}")
-    }
+    val fb = PWBinning.fit(bc, "mean radius", "target",
+                           BinningConfig(name = "mean radius"))
+    println(s"DRIVE bin asymptoticIv=${fb.asymptoticIv}")
   }
 }

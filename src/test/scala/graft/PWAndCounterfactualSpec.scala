@@ -29,6 +29,24 @@ class PWAndCounterfactualSpec extends AnyFunSuite {
     assert(math.abs(fe.asymptoticIv - f.asymptoticIv) > 0.1)
   }
 
+  test("ContinuousOptimalPWBinning default transform matches the " +
+       "reference golden") {
+    // test_continuous_binning_piecewise.py:33-39: LSTAT defaults; the
+    // auto trend resolves to descending and the constrained exact QP
+    // reproduces ropwr to ~1e-9
+    val spark = TestSpark.spark
+    val df = spark.read.parquet("src/test/resources/boston_housing.parquet")
+    val f = PWBinning.fitContinuous(df, "LSTAT", "target",
+                                    BinningConfig(name = "LSTAT"))
+    val got = df.limit(3)
+      .select(f.predictColumn(col("LSTAT")).as("p"))
+      .collect().map(_.getDouble(0))
+    val expected = Array(31.46014643, 23.87619986, 37.31237732)
+    got.zip(expected).foreach { case (a, b) =>
+      assert(math.abs(a - b) / b < 1e-6, s"$a vs $b")
+    }
+  }
+
   test("PWBinning: continuous piecewise event-rate curve, sane predictions") {
     val spark = TestSpark.spark
     import spark.implicits._
