@@ -61,20 +61,23 @@ object Scorecard {
         selected.map(v => v -> ((metricSpecial, metricMissing))).toMap)
     val assembler = new VectorAssembler()
       .setInputCols(selected.toArray).setOutputCol("features")
-    val nCombos = selected
-      .map(v => process.fits(v).table.rows.length.toDouble)
-      .product * 2
+    // probe the ACTUAL distinct (bin-combination, label) count with a
+    // bounded collect — the per-variable bin-count product is wildly
+    // pessimistic (30 variables x 6 bins ~ 6^30 while the data holds at
+    // most min(rows, combos) distinct combinations)
+    val MaxCombos = 100000
+    val grouped = xt.groupBy(selected.map(col) :+ col(yCol): _*)
+      .agg(count(lit(1)).cast("double").as("w"))
+    val probe = grouped.limit(MaxCombos + 1).collect()
+    val oversized = probe.length > MaxCombos
     val compact =
-      if (nCombos <= 1e5)
-        xt.groupBy(selected.map(col) :+ col(yCol): _*)
-          .agg(count(lit(1)).cast("double").as("w"))
-          .coalesce(1)
-      else xt.withColumn("w", lit(1.0))
+      if (oversized) xt.withColumn("w", lit(1.0))
+      else grouped.coalesce(1)
 
     // ONE collect of the compact aggregate feeds both the counterfactual
     // closeness basis and the driver-side estimator below
     val compactRows: Option[Array[org.apache.spark.sql.Row]] =
-      if (nCombos > 1e5) None else Some(compact.collect())
+      if (oversized) None else Some(probe)
 
     // WoE mean + Cholesky whitening factor of inv(cov) over the SAME
     // compact aggregate (weights = multiplicities, so this equals the
@@ -137,9 +140,13 @@ object Scorecard {
     }
 
     val (coefs, intercept) = compactRows match {
-      case Some(rows) if regParam == 0.0 && elasticNetParam == 0.0 &&
-                         rows.nonEmpty =>
-        try driverGlmFit(rows, selected.size, target)
+      case Some(rows) if elasticNetParam == 0.0 && rows.nonEmpty &&
+                         (regParam == 0.0 || target == "binary") =>
+        // L2 via penalized Newton: lambda = regParam * total weight maps
+        // spark.ml's (1/W) sum loss + regParam * 0.5 |beta|^2 objective
+        // onto the summed form (sklearn C maps as regParam = 1/(C * W))
+        val wTot = rows.map(r => r.getDouble(selected.size + 1)).sum
+        try driverGlmFit(rows, selected.size, target, l2 = regParam * wTot)
         catch { case _: Exception => sparkMlFit() }
       case _ => sparkMlFit()
     }
@@ -291,7 +298,11 @@ object Scorecard {
     * falls back to the distributed spark.ml path. Row layout of the
     * compact aggregate: [woe_0..woe_{p-1}, y, w]. */
   private def driverGlmFit(rows: Array[org.apache.spark.sql.Row], p: Int,
-                           target: String): (Array[Double], Double) = {
+                           target: String,
+                           /** Summed-form L2 strength: objective
+                             * sum w*loss + 0.5*l2*|beta|^2 (intercept
+                             * unpenalized). Binary only. */
+                           l2: Double = 0.0): (Array[Double], Double) = {
     import breeze.linalg.{DenseMatrix, DenseVector}
     val k = rows.length
     val d = p + 1 // features + intercept column
@@ -325,11 +336,17 @@ object Scorecard {
         }
         i += 1
       }
+      // ridge on the coefficient block only (penalized IRLS: the
+      // lambda*J term joins the Hessian; intercept stays unpenalized)
+      var rr = 0
+      while (rr < p) { a(rr, rr) += l2; rr += 1 }
       val beta = a \ b
       require(beta.forall(v => java.lang.Double.isFinite(v)),
               "singular or diverging weighted least squares")
       beta
     }
+    require(l2 == 0.0 || target == "binary",
+            "l2 regularization is implemented for the binary IRLS only")
     target match {
       case "continuous" =>
         // centered normal equations: the raw system suffers catastrophic
