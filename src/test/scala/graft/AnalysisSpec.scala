@@ -73,6 +73,28 @@ class AnalysisSpec extends AnyFunSuite {
     assert(flagged.exists(_.getDouble(1) == -500.0))
   }
 
+  test("outlier detectors match the reference goldens on boston LSTAT") {
+    // test_outlier.py:73-91: ModifiedZScoreDetector flags exactly
+    // x = [37.97, 36.98]; YQuantileDetector (defaults: 5 bins, zscore)
+    // flags 8 rows with x = [7.56, 9.59, 7.26, 11.25, 14.79, 7.44,
+    // 9.53, 8.88] and y = [39.8, 33.8, 43.1, 31, 30.7, 50, 50, 50]
+    val spark = TestSpark.spark
+    val df = spark.read.parquet("src/test/resources/boston_housing.parquet")
+
+    val zx = df.where(Outliers.fitZScore(df, "LSTAT"))
+      .select("LSTAT").collect().map(_.getDouble(0)).sorted
+    assert(zx.toSeq == Seq(36.98, 37.97), zx.mkString(","))
+
+    val yq = Outliers.fitYQuantile(df, "LSTAT", "target",
+                                   detector = "zscore", nBins = 5)
+    val rows = df.where(yq).select("LSTAT", "target").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    val expected = Seq((7.26, 43.1), (7.44, 50.0), (7.56, 39.8),
+                       (8.88, 50.0), (9.53, 50.0), (9.59, 33.8),
+                       (11.25, 31.0), (14.79, 30.7))
+    assert(rows.toSeq == expected, rows.mkString(","))
+  }
+
   test("multiclass analysis: adjacent chi2 tests and quality score") {
     val spark = TestSpark.spark
     val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
