@@ -40,6 +40,12 @@ object OptimalBinning2D {
       minBinSize: Option[Double] = None,
       minBinNEvent: Option[Long] = None,
       minBinNNonevent: Option[Long] = None,
+      /** Strict event-rate monotonicity across rectangles sharing a
+        * vertical (X) / horizontal (Y) boundary, "ascending" |
+        * "descending" (`binning_2d.py` monotonic_trend_x/y;
+        * `cp_2d.py:137-185` forbids violating selected pairs). */
+      monotonicTrendX: Option[String] = None,
+      monotonicTrendY: Option[String] = None,
       divergence: String = "iv",
       /** "grid": optimal tiling over the full prebin grid; "cart":
         * greedy recursive axis-parallel splitting, leaves = bins
@@ -191,10 +197,22 @@ object OptimalBinning2D {
       })
     }
 
+    val monotone = config.monotonicTrendX.isDefined ||
+      config.monotonicTrendY.isDefined
     val (status, leaves) = config.strategy match {
+      case "cart" if monotone =>
+        throw new IllegalArgumentException(
+          "monotonic_trend_x/y requires strategy=grid")
       case "cart" =>
         cartSolve(mx, my, leafIv,
                   config.maxNPrebinsX * config.maxNPrebinsY)
+      case "grid" if monotone =>
+        def er(x1: Int, x2: Int, y1: Int, y2: Int): Double = {
+          val e = rectEv(x1, x2, y1, y2); val n = rectNe(x1, x2, y1, y2)
+          if (e + n > 0) e / (e + n) else 0.0
+        }
+        monotonicTilingSolve(mx, my, leafIv, er,
+                             config.monotonicTrendX, config.monotonicTrendY)
       case "grid" => tilingSolve(mx, my, leafIv)
       case other =>
         throw new IllegalArgumentException(
@@ -349,6 +367,116 @@ object OptimalBinning2D {
       for (yy <- y1 to y2; xx <- x1 to x2) mask |= 1L << bit(xx, yy)
     }
     ("OPTIMAL", out.toArray)
+  }
+
+  /** Exact monotone-constrained tiling: first-gap DFS branch-and-bound
+    * WITHOUT mask memoization (the trend couples every placed rectangle
+    * pair sharing a boundary, so the optimal completion is not a pure
+    * function of the mask). Adjacent selected pairs must be STRICTLY
+    * monotone in event rate along each constrained axis, matching the
+    * reference CP's forbidden-pair encoding (`cp_2d.py:137-185`,
+    * min_diff = 0). Pruned by an optimistic per-cell value bound; exact
+    * for the <= 30-cell grids the default config produces.
+    */
+  private[graft] def monotonicTilingSolve(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      rectEr: (Int, Int, Int, Int) => Double,
+      trendX: Option[String], trendY: Option[String])
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
+    val nCells = mx * my
+    require(nCells <= 30,
+            s"monotonic 2D needs a grid of <= 30 cells; got $nCells " +
+            "(lower max_n_prebins_x/y)")
+    val full = (1L << nCells) - 1
+    @inline def bit(ix: Int, iy: Int): Int = iy * mx + ix
+
+    // optimistic bound: best value-per-cell over rectangles covering
+    // each cell; remaining potential = sum over free cells
+    val cellBound = new Array[Double](nCells)
+    for (x1 <- 0 until mx; x2 <- x1 until mx;
+         y1 <- 0 until my; y2 <- y1 until my)
+      leafVal(x1, x2, y1, y2).foreach { v =>
+        val density = math.max(v, 0.0) / ((x2 - x1 + 1) * (y2 - y1 + 1))
+        for (yy <- y1 to y2; xx <- x1 to x2) {
+          val b = bit(xx, yy)
+          if (density > cellBound(b)) cellBound(b) = density
+        }
+      }
+
+    final case class R(x1: Int, x2: Int, y1: Int, y2: Int,
+                       v: Double, er: Double)
+    def mono(lo: Double, hi: Double, trend: String): Boolean =
+      if (trend == "ascending") lo < hi else lo > hi
+    def overlap(a1: Int, a2: Int, b1: Int, b2: Int): Boolean =
+      a1 <= b2 && b1 <= a2
+    def consistent(r: R, placed: List[R]): Boolean = placed.forall { p =>
+      val xOk = trendX.forall { t =>
+        if (p.x2 + 1 == r.x1 && overlap(p.y1, p.y2, r.y1, r.y2))
+          mono(p.er, r.er, t)
+        else if (r.x2 + 1 == p.x1 && overlap(p.y1, p.y2, r.y1, r.y2))
+          mono(r.er, p.er, t)
+        else true
+      }
+      val yOk = trendY.forall { t =>
+        if (p.y2 + 1 == r.y1 && overlap(p.x1, p.x2, r.x1, r.x2))
+          mono(p.er, r.er, t)
+        else if (r.y2 + 1 == p.y1 && overlap(p.x1, p.x2, r.x1, r.x2))
+          mono(r.er, p.er, t)
+        else true
+      }
+      xOk && yOk
+    }
+
+    var best = Double.NegativeInfinity
+    var bestTiling: List[R] = Nil
+
+    def dfs(mask: Long, placed: List[R], acc: Double,
+            potential: Double): Unit = {
+      if (mask == full) {
+        if (acc > best) { best = acc; bestTiling = placed }
+        return
+      }
+      if (acc + potential <= best) return
+      val gap = java.lang.Long.numberOfTrailingZeros(~mask & full)
+      val gx = gap % mx
+      val gy = gap / mx
+      var x2 = gx
+      var maxX2 = mx - 1
+      while (x2 <= maxX2) {
+        if ((mask & (1L << bit(x2, gy))) != 0) {
+          maxX2 = x2 - 1
+        } else {
+          val span = ((1L << (x2 - gx + 1)) - 1) << gx
+          var rectMask = 0L
+          var y2 = gy
+          var ok = true
+          while (ok && y2 < my) {
+            val rowMask = span << (y2 * mx)
+            if ((mask & rowMask) != 0) ok = false
+            else {
+              rectMask |= rowMask
+              leafVal(gx, x2, gy, y2).foreach { v =>
+                val r = R(gx, x2, gy, y2, v, rectEr(gx, x2, gy, y2))
+                if (consistent(r, placed)) {
+                  var lost = 0.0
+                  for (yy <- gy to y2; xx <- gx to x2)
+                    lost += cellBound(bit(xx, yy))
+                  dfs(mask | rectMask, r :: placed, acc + v,
+                      potential - lost)
+                }
+              }
+              y2 += 1
+            }
+          }
+        }
+        x2 += 1
+      }
+    }
+
+    dfs(0L, Nil, 0.0, cellBound.sum)
+    if (best == Double.NegativeInfinity) ("INFEASIBLE", Array.empty)
+    else ("OPTIMAL",
+          bestTiling.map(r => (r.x1, r.x2, r.y1, r.y2, r.v)).toArray)
   }
 
   /** Exact guillotine-partition DP over an (mx x my) prebin grid.

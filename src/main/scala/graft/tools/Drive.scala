@@ -1,8 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.{BinningConfig, PWBinning}
+import graft.operators.OptimalBinning2D
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -11,20 +10,17 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // continuous PW golden (defaults now = auto trend):
-    // [31.46014643, 23.87619986, 37.31237732]
-    val bos = spark.read.parquet("src/test/resources/boston_housing.parquet")
-    val fc = PWBinning.fitContinuous(bos, "LSTAT", "target",
-                                     BinningConfig(name = "LSTAT"))
-    bos.limit(3).select(col("LSTAT"), fc.predictColumn(col("LSTAT")).as("p"))
-      .collect().foreach(r =>
-        println(s"DRIVE cont x=${r.getDouble(0)} pred=${r.getDouble(1)}"))
-
-    // binary PW golden (defaults): IV 5.87474602
-    val bc = spark.read.parquet(
+    // test_binning_2d.py:220-246 goldens: desc/desc -> IV 7.59474677;
+    // asc/asc -> IV ~0 (single rectangle)
+    val df = spark.read.parquet(
       "/root/reference/tests/data/breast_cancer.parquet")
-    val fb = PWBinning.fit(bc, "mean radius", "target",
-                           BinningConfig(name = "mean radius"))
-    println(s"DRIVE bin asymptoticIv=${fb.asymptoticIv}")
+    Seq("descending", "ascending").foreach { t =>
+      val t0 = System.nanoTime()
+      val f = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+        "target", OptimalBinning2D.Config2D(
+          monotonicTrendX = Some(t), monotonicTrendY = Some(t)))
+      println(f"DRIVE trend=$t status=${f.status} nBins=${f.rects.length} " +
+        f"iv=${f.iv} solve=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 }

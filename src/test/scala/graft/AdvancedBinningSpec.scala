@@ -43,6 +43,25 @@ class AdvancedBinningSpec extends AnyFunSuite {
     assert(math.abs(f.js - 0.53356918) < 1e-6, s"js ${f.js}")
   }
 
+  test("OptimalBinning2D monotonic_trend_x/y matches the reference goldens") {
+    // test_binning_2d.py:220-246: descending/descending -> IV 7.59474677;
+    // ascending/ascending is infeasible beyond one bin on this data ->
+    // single rectangle, IV 0
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val fd = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(
+        monotonicTrendX = Some("descending"),
+        monotonicTrendY = Some("descending")))
+    assert(fd.status == "OPTIMAL")
+    assert(math.abs(fd.iv - 7.59474677) < 1e-6, s"iv ${fd.iv}")
+    val fa = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(
+        monotonicTrendX = Some("ascending"),
+        monotonicTrendY = Some("ascending")))
+    assert(fa.rects.length == 1 && math.abs(fa.iv) < 1e-9, s"iv ${fa.iv}")
+  }
+
   test("ContinuousOptimalBinning2D default matches the reference golden") {
     // test_continuous_binning_2d.py:140-154: AGE x INDUS -> target,
     // defaults -> IV 4.80825509; table woe 171.946019 = l1Norm + 2*mean
