@@ -41,6 +41,19 @@ class AdvancedBinningSpec extends AnyFunSuite {
     assert(math.abs(f.iv - 7.63248244) < 1e-6, s"iv ${f.iv}")
     assert(math.abs(f.gini - 0.96381005) < 1e-6, s"gini ${f.gini}")
     assert(math.abs(f.js - 0.53356918) < 1e-6, s"js ${f.js}")
+    // transform goldens (test_binning_2d.py:269-291), first five rows
+    val got = df.limit(5).select(
+        f.transform(col("mean radius"), col("worst concavity")).as("woe"),
+        f.transform(col("mean radius"), col("worst concavity"),
+                    metric = "event_rate").as("er"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val expWoe = Array(5.37317977, 3.51688178, 5.37317977, 0.52114951,
+                       5.37317977)
+    val expEr = Array(0.00775194, 0.04761905, 0.00775194, 0.5, 0.00775194)
+    got.zip(expWoe.zip(expEr)).foreach { case ((w, e), (ew, ee)) =>
+      assert(math.abs(w - ew) < 1e-6, s"woe $w vs $ew")
+      assert(math.abs(e - ee) < 1e-6, s"er $e vs $ee")
+    }
   }
 
   test("OptimalBinning2D monotonic_trend_x/y matches the reference goldens") {
