@@ -32,6 +32,13 @@ object OptimalBinning2D {
 
   final case class Config2D(
       nameX: String = "x", nameY: String = "y",
+      /** "numerical" | "categorical" per dimension (`binning_2d.py`
+        * dtype_x/dtype_y). A categorical dimension maps categories to
+        * ordinals sorted ascending by target rate
+        * (`preprocessing.py:24-29` categorical_transform); bins along it
+        * are contiguous runs of that order. */
+      dtypeX: String = "numerical",
+      dtypeY: String = "numerical",
       /** Per-dimension candidate-split fit: "cart" (reference default,
         * `binning_2d.py` prebinning_method) or "quantile". */
       prebinningMethod: String = "cart",
@@ -113,11 +120,45 @@ object OptimalBinning2D {
      splitsFor("y", config.maxNPrebinsY, config.minPrebinSizeY))
   }
 
+  /** Event-rate-sorted category order for a categorical dimension — ONE
+    * bounded aggregate (ties broken by category for determinism; pandas
+    * sort_values ordering coincides on distinct rates). */
+  private[graft] def categoricalOrder(df: DataFrame, dim: Column,
+                                      target: Column,
+                                      maxCats: Int = 100000)
+      : Array[String] = {
+    val rows = df.where(dim.isNotNull)
+      .groupBy(dim.cast("string").as("c"))
+      .agg(avg(target).as("er"))
+      .orderBy(col("er"), col("c"))
+      .limit(maxCats + 1).collect()
+    require(rows.length <= maxCats,
+            s"categorical 2D dimension exceeds $maxCats categories")
+    rows.map(_.getString(0))
+  }
+
+  private def ordinalColumn(dim: Column, order: Array[String]): Column = {
+    val m = typedLit(order.zipWithIndex.map {
+      case (c, i) => c -> i.toDouble
+    }.toMap)
+    element_at(m, dim.cast("string"))
+  }
+
   def fit(df: DataFrame, xCol: String, yCol: String, targetCol: String,
           config: Config2D = Config2D()): Fitted2DBinning = {
-    val x = col(xCol).cast(DoubleType)
-    val y = col(yCol).cast(DoubleType)
     val t = col(targetCol).cast(DoubleType)
+    val catOrderX =
+      if (config.dtypeX == "categorical")
+        Some(categoricalOrder(df, col(xCol), t))
+      else None
+    val catOrderY =
+      if (config.dtypeY == "categorical")
+        Some(categoricalOrder(df, col(yCol), t))
+      else None
+    val x = catOrderX.map(o => ordinalColumn(col(xCol), o))
+      .getOrElse(col(xCol).cast(DoubleType))
+    val y = catOrderY.map(o => ordinalColumn(col(yCol), o))
+      .getOrElse(col(yCol).cast(DoubleType))
 
     // per-dimension equal-frequency candidate splits
     def dimSplits(c: Column, k: Int): Array[Double] = {
@@ -226,7 +267,8 @@ object OptimalBinning2D {
         }
       else Array(Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0))
 
-    new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe, tEv)
+    new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe, tEv,
+                        catOrderX, catOrderY)
   }
 
   /** CART-strategy partition (`binning_2d.py` strategy="cart" via
@@ -655,7 +697,11 @@ final class Fitted2DBinning(
     val splitsY: Array[Double],
     val rects: Array[OptimalBinning2D.Rect],
     val tNonevent: Double,
-    val tEvent: Double) extends Serializable {
+    val tEvent: Double,
+    /** Event-rate-sorted category order per categorical dimension —
+      * transform maps raw categories onto these ordinals first. */
+    val catOrderX: Option[Array[String]] = None,
+    val catOrderY: Option[Array[String]] = None) extends Serializable {
 
   def iv: Double = rects.map(_.iv).sum
 
@@ -685,11 +731,19 @@ final class Fitted2DBinning(
       math.log((r.nonevent / tNonevent) / (r.event / tEvent))
     else 0.0
 
-  /** Rectangle-membership WoE transform. */
+  /** Rectangle-membership WoE transform (categorical dimensions map
+    * through their fitted ordinal order; unknown categories fall to the
+    * NaN else-branch). */
   def transform(xCol: Column, yCol: Column,
                 metric: String = "woe"): Column = {
-    val x = xCol.cast(DoubleType)
-    val y = yCol.cast(DoubleType)
+    def ordinal(c: Column, order: Array[String]): Column =
+      element_at(typedLit(order.zipWithIndex.map {
+        case (cat, i) => cat -> i.toDouble
+      }.toMap), c.cast("string"))
+    val x = catOrderX.map(o => ordinal(xCol, o))
+      .getOrElse(xCol.cast(DoubleType))
+    val y = catOrderY.map(o => ordinal(yCol, o))
+      .getOrElse(yCol.cast(DoubleType))
     def inRect(r: OptimalBinning2D.Rect): Column = {
       val lx = edge(splitsX, r.x1 - 1); val ux = edge(splitsX, r.x2)
       val ly = edge(splitsY, r.y1 - 1); val uy = edge(splitsY, r.y2)

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.operators.OptimalBinning2D
 
 object Drive {
@@ -10,17 +11,22 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // test_binning_2d.py:220-246 goldens: desc/desc -> IV 7.59474677;
-    // asc/asc -> IV ~0 (single rectangle)
+    // test_binning_2d.py:302-317 goldens:
+    // num x cat -> woe[:5] = [5.28332344 x3, -2.44333022, 5.28332344]
+    // cat x cat -> woe[:5] = [2.86295531] * 5
     val df = spark.read.parquet(
       "/root/reference/tests/data/breast_cancer.parquet")
-    Seq("descending", "ascending").foreach { t =>
-      val t0 = System.nanoTime()
-      val f = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
-        "target", OptimalBinning2D.Config2D(
-          monotonicTrendX = Some(t), monotonicTrendY = Some(t)))
-      println(f"DRIVE trend=$t status=${f.status} nBins=${f.rects.length} " +
-        f"iv=${f.iv} solve=${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    val fnc = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(dtypeY = "categorical"))
+    val w1 = df.limit(5).select(fnc.transform(col("mean radius"),
+      col("worst concavity")).as("w")).collect().map(_.getDouble(0))
+    println(s"DRIVE numcat ${w1.mkString(", ")}")
+
+    val fcc = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(dtypeX = "categorical",
+                                          dtypeY = "categorical"))
+    val w2 = df.limit(5).select(fcc.transform(col("mean radius"),
+      col("worst concavity")).as("w")).collect().map(_.getDouble(0))
+    println(s"DRIVE catcat ${w2.mkString(", ")}")
   }
 }

@@ -75,6 +75,29 @@ class AdvancedBinningSpec extends AnyFunSuite {
     assert(fa.rects.length == 1 && math.abs(fa.iv) < 1e-9, s"iv ${fa.iv}")
   }
 
+  test("OptimalBinning2D categorical dimensions match the reference " +
+       "goldens") {
+    // test_binning_2d.py:302-317: numerical x categorical and
+    // categorical x categorical woe transforms, first five rows
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val fnc = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(dtypeY = "categorical"))
+    val w1 = df.limit(5).select(fnc.transform(col("mean radius"),
+      col("worst concavity")).as("w")).collect().map(_.getDouble(0))
+    val exp1 = Array(5.28332344, 5.28332344, 5.28332344, -2.44333022,
+                     5.28332344)
+    w1.zip(exp1).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+    val fcc = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(dtypeX = "categorical",
+                                          dtypeY = "categorical"))
+    val w2 = df.limit(5).select(fcc.transform(col("mean radius"),
+      col("worst concavity")).as("w")).collect().map(_.getDouble(0))
+    w2.foreach(a => assert(math.abs(a - 2.86295531) < 1e-6, a.toString))
+  }
+
   test("ContinuousOptimalBinning2D default matches the reference golden") {
     // test_continuous_binning_2d.py:140-154: AGE x INDUS -> target,
     // defaults -> IV 4.80825509; table woe 171.946019 = l1Norm + 2*mean
