@@ -617,17 +617,25 @@ object SparkEntry {
     }),
 
     "q_multiclass_fit" -> ((s, dir) => {
-      // full multiclass optimal binning (driver solve; rows-only check)
+      // full multiclass optimal binning (driver solve), verified as a
+      // hard invariant: the solved splits are emitted as a pinned string
+      // and the per-bin per-class counts are re-aggregated EXACTLY over
+      // the raw table at those splits — the oracle inlines the same
+      // split literals and recomputes the counts, so a hash match proves
+      // both the solver output and the aggregation
       val o = T(s, dir, "orders")
         .withColumn("y", when(col("o_orderstatus") === "F", 0.0)
           .when(col("o_orderstatus") === "P", 1.0).otherwise(2.0))
       val fitted = MulticlassOptimalBinning.fit(o, "o_totalprice", "y",
                                                 BinningConfig(name = "tp"))
-      import s.implicits._
-      fitted.binLabels.indices.map { i =>
-        (fitted.binLabels(i), fitted.nRecords(i).toLong,
-         scale6(fitted.meanWoe.applyOrElse(i, (_: Int) => 0.0)))
-      }.toDF("bin", "count", "mean_woe")
+      val sp = fitted.splits
+      o.groupBy(binIdx(col("o_totalprice"), sp).cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"),
+             sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_f"),
+             sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_p"),
+             sum(when(col("y") === 2.0, 1L).otherwise(0L)).as("n_o"))
+        .withColumn("splits", lit(sp.mkString(",")))
+        .orderBy("bin")
     }),
 
     "q_quantile_splits" -> ((s, dir) => {
@@ -652,16 +660,29 @@ object SparkEntry {
     }),
 
     "q_mdlp_splits" -> ((s, dir) => {
-      // MDLP entropy discretization as the prebinning method, full fit
-      // (rows-only: recursive MDL stopping is not SQL-expressible)
-      val li = liTarget(T(s, dir, "lineitem"))
+      // MDLP entropy discretization as the prebinning method, full fit.
+      // The recursive MDL stopping rule is not SQL-expressible, so the
+      // oracle checks the invariant instead: solved splits pinned as
+      // literals + exact per-bin (count, event) re-aggregated at them
+      // every pair of synthetic columns is independent (no cross-column
+      // signal), so construct one: y = net price over threshold, where
+      // the independent discount column injects noise — P(y|x) is a
+      // staircase over x in [40000, 44445), pure 0/1 outside, a real
+      // transition band for the MDL criterion to cut
+      val li = T(s, dir, "lineitem")
+        .withColumn("y",
+          when(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            >= 40000, 1.0).otherwise(0.0))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "l_extendedprice",
                       prebinningMethod = "mdlp"))
-      import s.implicits._
-      Seq((fitted.status, fitted.splits.length.toLong,
-           scale6(fitted.table.iv)))
-        .toDF("status", "n_splits", "iv")
+      val sp = fitted.splits
+      li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("count"), sum(col("y")).cast("long")
+          .as("event"))
+        .withColumn("splits", lit(sp.mkString(",")))
+        .orderBy("bin")
     }),
 
     "q_cap_curve" -> ((s, dir) => {
@@ -749,17 +770,22 @@ object SparkEntry {
     }),
 
     "q_sketch_binning" -> ((s, dir) => {
-      // streaming/mergeable sketch binning: add per half, merge, solve
+      // streaming/mergeable sketch binning: add per half, merge, solve.
+      // The GK-sketch solve is not SQL-expressible, so the oracle checks
+      // the invariant: sketch-solved splits pinned as literals + exact
+      // per-bin (count, event) re-aggregated over the raw table at them
       val li = liTarget(T(s, dir, "lineitem"))
       val sk = new graft.streaming.OptimalBinningSketch(
         BinningConfig(name = "l_extendedprice"), eps = 1e-3)
       sk.add(li.where(col("l_orderkey") % 2 === 0), "l_extendedprice", "y")
       sk.add(li.where(col("l_orderkey") % 2 === 1), "l_extendedprice", "y")
       val fitted = sk.solve()
-      import s.implicits._
-      fitted.table.rows.toSeq.map(r =>
-        (r.bin, r.count.toLong, scale6(r.eventRate), scale6(r.woe)))
-        .toDF("bin", "count", "event_rate", "woe")
+      val sp = fitted.splits
+      li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"), sum(col("y")).cast("long")
+          .as("event"))
+        .withColumn("splits", lit(sp.mkString(",")))
+        .orderBy("bin")
     }),
 
     "q_cat_sketch" -> ((s, dir) => {
@@ -784,28 +810,78 @@ object SparkEntry {
     }),
 
     "q_process_summary" -> ((s, dir) => {
-      // multi-variable binning process: per-variable IV/JS/Gini summary
+      // multi-variable binning process, verified as a hard invariant:
+      // per-variable solved splits pinned as strings + IV recomputed
+      // from an EXACT re-aggregation at those splits (one melted job
+      // across all variables — same single-shuffle shape as the fit).
+      // The oracle inlines the same split literals per variable.
       val li = liTarget(T(s, dir, "lineitem"))
-      val proc = BinningProcess.fit(
-        li, Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
-        "y", config = BinningConfig())
+      val vars = Seq("l_extendedprice", "l_quantity", "l_discount",
+                     "l_tax")
+      val proc = BinningProcess.fit(li, vars, "y",
+                                    config = BinningConfig())
+      val spByVar = vars.map(v => v -> proc.fits(v).splits).toMap
+      val stackExpr = s"stack(${vars.length}, " +
+        vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
+        ") as (var, x)"
+      val melted = li.withColumn("__y", col("y"))
+        .selectExpr("__y as y", stackExpr)
+      val binCol = vars.tail.foldLeft(
+        when(col("var") === vars.head,
+             binIdx(col("x"), spByVar(vars.head)))) { (acc, v) =>
+        acc.when(col("var") === v, binIdx(col("x"), spByVar(v)))
+      }
+      val rows = melted.groupBy(col("var"), binCol.as("bin"))
+        .agg(sum(when(col("y") === 1.0, 1.0).otherwise(0.0)).as("e"),
+             sum(when(col("y") =!= 1.0, 1.0).otherwise(0.0)).as("ne"))
+        .collect()
       import s.implicits._
-      proc.summary.map { case (v, dt, st, iv, js, gini, nb) =>
-        (v, dt, st, scale6(iv), scale6(js), scale6(gini), nb)
-      }.toDF("variable", "dtype", "status", "iv", "js", "gini", "n_bins")
-        .orderBy("variable")
+      rows.groupBy(_.getString(0)).toSeq.map { case (v, rs) =>
+        val e = rs.map(_.getDouble(2))
+        val ne = rs.map(_.getDouble(3))
+        val (te, tne) = (e.sum, ne.sum)
+        val iv = e.indices.map { i =>
+          (ne(i) / tne - e(i) / te) *
+            math.log((ne(i) / tne) / (e(i) / te))
+        }.sum
+        (v, rs.length.toLong, scale6(iv), spByVar(v).mkString(","))
+      }.toDF("variable", "n_bins", "iv", "splits").orderBy("variable")
     }),
 
     "q_scorecard" -> ((s, dir) => {
-      // scorecard: points table + score stats (spark.ml LR on WoE)
+      // binary scorecard END-TO-END on one WoE-encoded variable with
+      // pinned splits (`scorecard.py:177` fit -> :633-709 points ->
+      // :396-421 score). The logistic MLE is closed-form here: the model
+      // is saturated and, under the optbinning WoE sign
+      // woe = ln((ne/tne)/(e/te)), the per-bin empirical logit is
+      // ln(te/tne) - woe — so coef = -1, intercept = ln(te/tne) exactly.
+      // The DuckDB oracle therefore recomputes the WHOLE chain
+      // binning -> WoE -> estimator -> pdo/odds points -> per-row score
+      // with no iterative solver in the loop, turning this into a hard
+      // hash check of the scorecard pipeline.
       val li = liTarget(T(s, dir, "lineitem"))
-      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
-        scaling = Scorecard.ScalingConfig(method = Some("pdo_odds"),
-                                          rounding = true))
-      li.agg(count(lit(1)).as("n"),
-             round(avg(sc.scoreColumn()), 2).as("avg_score"),
-             round(min(sc.scoreColumn()), 2).as("min_score"),
-             round(max(sc.scoreColumn()), 2).as("max_score"))
+      val sc = Scorecard.fit(li, Seq("l_extendedprice"), "y",
+        binningConfig = BinningConfig(name = "l_extendedprice",
+          userSplits = Some(liSplits), monotonicTrend = None,
+          minNBins = Some(4), maxNBins = Some(4)),
+        scaling = Scorecard.ScalingConfig(method = Some("pdo_odds")))
+      val score = sc.scoreColumn()
+      val st = li.agg(avg(score), min(score), max(score)).collect()(0)
+      val nData = sc.process.fits("l_extendedprice").nDataBins
+      import s.implicits._
+      sc.pointsTable.filter(_.binId < nData).toSeq.map { r =>
+        (r.binId.toLong, r.count.toLong, scale6(r.woe),
+         BigDecimal(r.points).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+           .toDouble,
+         scale6(r.coefficient), scale6(sc.estimatorIntercept),
+         BigDecimal(st.getDouble(0)).setScale(2,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(st.getDouble(1)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(st.getDouble(2)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("bin", "count", "woe", "points", "coef", "intercept",
+             "avg_score", "min_score", "max_score").orderBy("bin")
     }),
 
     "q_2d_agg" -> ((s, dir) => {
@@ -1444,6 +1520,146 @@ object SparkEntry {
          SELECT woe.woe, count(*) AS n
          FROM b JOIN woe USING (bin)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_scorecard" ->
+      // saturated single-variable WoE logistic fit: MLE is coef = -1,
+      // intercept = ln(te/tne); points = (woe - b0)*factor + offset with
+      // factor = pdo/ln 2, offset = 600 - factor*ln(odds). The oracle
+      // recomputes binning -> WoE -> points -> score without any solver.
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT bin, count(*) AS n, sum(y) AS e, count(*) - sum(y) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg),
+         w AS (
+           SELECT bin, n, ln((ne / tne) / (e / te)) AS woe,
+                  ln(te / tne) AS b0
+           FROM agg, tot),
+         pts AS (
+           SELECT bin, n, woe, b0,
+                  (woe - b0) * (20.0 / ln(2))
+                    + (600.0 - (20.0 / ln(2)) * ln(50.0)) AS points
+           FROM w),
+         st AS (
+           SELECT round(sum(n * points) / sum(n), 2) AS avg_score,
+                  round(min(points), 4) AS min_score,
+                  round(max(points), 4) AS max_score
+           FROM pts)
+         SELECT bin::BIGINT AS bin, n::BIGINT AS count,
+                round(woe, 6) AS woe, round(points, 4) AS points,
+                -1.0 AS coef, round(b0, 6) AS intercept,
+                avg_score, min_score, max_score
+         FROM pts, st ORDER BY bin""",
+
+    // invariant oracles for the solver-driven fits: the solved splits
+    // (deterministic at the driver's sf0.01 verify) are inlined as
+    // literals, and the per-bin counts are recomputed exactly — a hash
+    // match proves the solver reproduced the pinned splits AND the
+    // engine's aggregation at them is exact
+    "q_multiclass_fit" ->
+      """SELECT CASE WHEN o_totalprice < 84365.78487450001 THEN 0
+                     ELSE 1 END::BIGINT AS bin,
+                count(*)::BIGINT AS count,
+                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                    END)::BIGINT AS n_f,
+                sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                    END)::BIGINT AS n_p,
+                sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+                    END)::BIGINT AS n_o,
+                '84365.78487450001' AS splits
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_mdlp_splits" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 40078.372181 THEN 0
+                       WHEN l_extendedprice < 40890.321449 THEN 1
+                       WHEN l_extendedprice < 42129.064563 THEN 2
+                       WHEN l_extendedprice < 43357.398071 THEN 3
+                       WHEN l_extendedprice < 43929.926401000004 THEN 4
+                       ELSE 5 END AS bin,
+                  CASE WHEN l_extendedprice * (1.0 - l_discount) >= 40000
+                       THEN 1 ELSE 0 END AS y
+           FROM lineitem)
+         SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
+                sum(y)::BIGINT AS event,
+                '40078.372181,40890.321449,42129.064563,43357.398071,43929.926401000004'
+                  AS splits
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_sketch_binning" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 11412.27 THEN 0
+                       WHEN l_extendedprice < 58456.22 THEN 1
+                       WHEN l_extendedprice < 63870.74 THEN 2
+                       WHEN l_extendedprice < 84345.74 THEN 3
+                       WHEN l_extendedprice < 94766.06 THEN 4
+                       ELSE 5 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem)
+         SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
+                sum(y)::BIGINT AS event,
+                '11412.27,58456.22,63870.74,84345.74,94766.06' AS splits
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_process_summary" ->
+      """WITH li AS (
+           SELECT *, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         bins AS (
+           SELECT 'l_extendedprice' AS variable,
+                  CASE WHEN l_extendedprice < 6372.067953 THEN 0
+                       WHEN l_extendedprice < 17458.298343000002 THEN 1
+                       WHEN l_extendedprice < 57628.967897 THEN 2
+                       WHEN l_extendedprice < 65134.293823 THEN 3
+                       WHEN l_extendedprice < 84392.06492300001 THEN 4
+                       WHEN l_extendedprice < 97653.902967 THEN 5
+                       ELSE 6 END AS bin, y FROM li
+           UNION ALL
+           SELECT 'l_quantity',
+                  CASE WHEN l_quantity < 3.5 THEN 0
+                       WHEN l_quantity < 7.5 THEN 1
+                       WHEN l_quantity < 10.5 THEN 2
+                       WHEN l_quantity < 43.5 THEN 3
+                       ELSE 4 END, y FROM li
+           UNION ALL
+           SELECT 'l_discount',
+                  CASE WHEN l_discount < 0.025 THEN 0
+                       WHEN l_discount < 0.035 THEN 1
+                       WHEN l_discount < 0.065 THEN 2
+                       WHEN l_discount < 0.08499999999999999 THEN 3
+                       ELSE 4 END, y FROM li
+           UNION ALL
+           SELECT 'l_tax',
+                  CASE WHEN l_tax < 0.035 THEN 0
+                       WHEN l_tax < 0.045 THEN 1
+                       WHEN l_tax < 0.055 THEN 2
+                       ELSE 3 END, y FROM li),
+         agg AS (
+           SELECT variable, bin, sum(y)::DOUBLE AS e,
+                  (count(*) - sum(y))::DOUBLE AS ne
+           FROM bins GROUP BY 1, 2),
+         tot AS (
+           SELECT variable, sum(e) AS te, sum(ne) AS tne
+           FROM agg GROUP BY 1),
+         iv AS (
+           SELECT agg.variable, count(*)::BIGINT AS n_bins,
+                  round(sum((ne / tne - e / te)
+                            * ln((ne / tne) / (e / te))), 6) AS iv
+           FROM agg JOIN tot ON agg.variable = tot.variable
+           GROUP BY 1)
+         SELECT variable, n_bins, iv,
+                CASE variable
+                  WHEN 'l_extendedprice' THEN '6372.067953,17458.298343000002,57628.967897,65134.293823,84392.06492300001,97653.902967'
+                  WHEN 'l_quantity' THEN '3.5,7.5,10.5,43.5'
+                  WHEN 'l_discount' THEN '0.025,0.035,0.065,0.08499999999999999'
+                  ELSE '0.035,0.045,0.055' END AS splits
+         FROM iv ORDER BY variable""",
 
     "q_scorecard_cont" ->
       // the mean-transformed feature is piecewise-constant, so the WLS

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass text-hash kernels as custom Catalyst expressions.
@@ -48,6 +48,18 @@ object TextHashExprs {
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(
       RepetitionStatsExpr(ExpressionUtils.expression(text)))
+
+  /** Single-pass language-ID kernel — same result as the HOF
+    * formulation in `TextAnalysis.langIdHof` (parity-tested): CJK char
+    * anywhere -> "zh", else the language (in `langs` order) with the
+    * most DISTINCT stopword hits over the whitespace tokens of the
+    * lowercased text, "und" when no hits. The HOF chain re-tokenizes
+    * per language and duplicates the hit expressions inside the
+    * argmax-when chain (~12 split+intersect evaluations per row); this
+    * tokenizes once and scores every language together. */
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(text),
+                                      langs))
 
   /** Code points of a string (surrogate pairs combined) — the unit the
     * portable hashes fold over, matching SQL `unicode()` per character. */
@@ -337,5 +349,90 @@ final case class RepetitionStatsExpr(child: Expression)
       dup = 1.0 - tris.size.toDouble / nTri
     }
     new GenericArrayData(Array(top, dup))
+  }
+}
+
+/** One-pass language ID over a fixed stopword table (see
+  * `TextHashExprs.langId`). Tokenization matches
+  * `split(lower(text), "\s+")` (UTF8String lowercase, Java-regex split
+  * keeping empty tokens); hits count DISTINCT stopwords present
+  * (`array_intersect` semantics); ties break by `langs` order.
+  */
+final case class LangIdExpr(child: Expression,
+                            langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  require(langs.size <= 30, "lang bitmask capacity")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LangIdExpr = copy(child = newChild)
+
+  // word -> bitmask of languages containing it (a stopword may belong
+  // to several languages, e.g. "de" in both es and fr)
+  @transient private lazy val wordMask: java.util.HashMap[String, Integer] =
+    {
+      val m = new java.util.HashMap[String, Integer]()
+      langs.zipWithIndex.foreach { case ((_, words), i) =>
+        words.foreach { w =>
+          m.merge(w, 1 << i, (a: Integer, b: Integer) => a | b)
+        }
+      }
+      m
+    }
+  @transient private lazy val langOut: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+  @transient private lazy val zhOut = UTF8String.fromString("zh")
+  @transient private lazy val undOut = UTF8String.fromString("und")
+
+  /** Kernel entry for generated code (see MinHashSigExpr.kernel). */
+  def kernel(s: UTF8String): UTF8String =
+    nullSafeEval(s).asInstanceOf[UTF8String]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // UTF8String.toLowerCase = Spark `lower` exactly
+    val str = input.asInstanceOf[UTF8String].toLowerCase.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) return zhOut
+      i += Character.charCount(cp)
+    }
+    val tokens = str.split("\\s+", -1)
+    val counts = new Array[Int](langs.size)
+    val seen = new java.util.HashSet[String]()
+    var t = 0
+    while (t < tokens.length) {
+      val m = wordMask.get(tokens(t))
+      if (m != null && seen.add(tokens(t))) {
+        val mask = m.intValue
+        var l = 0
+        while (l < counts.length) {
+          if ((mask & (1 << l)) != 0) counts(l) += 1
+          l += 1
+        }
+      }
+      t += 1
+    }
+    var best = 0
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > best) best = counts(l)
+      l += 1
+    }
+    if (best == 0) undOut
+    else {
+      var w = 0
+      while (counts(w) != best) w += 1
+      langOut(w)
+    }
   }
 }

@@ -186,17 +186,27 @@ object BinningProcess {
         }.toMap
       }
 
+    // variables with pinned user splits need no value histogram at all:
+    // snap each row to an in-bin representative (exact split comparisons,
+    // same rep convention as `Histograms.exactPrebinBuckets`), so the
+    // histogram holds <= splits+1 exact per-bin rows at ANY cardinality —
+    // no grid quantization drift across the pinned boundaries
+    val pinnedSplits: Map[String, Array[Double]] = vars.flatMap { v =>
+      cfgFor(v, config, overrides, "numerical").userSplits
+        .map(ss => v -> ss.sorted)
+    }.toMap
+
     // per-var uniform grid constants for high-cardinality compression
     val gridInfo: Map[String, (Double, Double)] = statsRows
       .filter(r => r.getInt(1) == Preprocess.CleanClass &&
-                   r.getLong(8) > maxGridBuckets)
+                   r.getLong(8) > maxGridBuckets &&
+                   !pinnedSplits.contains(r.getString(0)))
       .map(r => r.getString(0) -> (r.getDouble(6), r.getDouble(7)))
       .toMap
 
-    val xRep: Column =
+    val xRepGrid: Column =
       if (gridInfo.isEmpty) col("x")
       else {
-        val g = lit(maxGridBuckets)
         gridInfo.foldLeft(col("x")) { case (acc, (v, (mn, mx))) =>
           val width = (mx - mn) / maxGridBuckets
           if (width <= 0) acc
@@ -204,6 +214,15 @@ object BinningProcess {
                     lit(mn) + floor((col("x") - mn) / width) * width)
             .otherwise(acc)
         }
+      }
+    val xRep: Column =
+      pinnedSplits.foldLeft(xRepGrid) { case (acc, (v, ss)) =>
+        val rep = ss.indices.foldRight(
+            lit(ss.last): Column) { (i, e) =>
+          when(col("x") < ss(i),
+               lit(if (i == 0) ss(0) - 1.0 else ss(i - 1))).otherwise(e)
+        }
+        when(col("var") === v, rep).otherwise(acc)
       }
 
     // Pass B: the histogram shuffle for every variable at once

@@ -40,15 +40,28 @@ object TextAnalysis {
     size(array_intersect(tokens, array(words.map(lit(_)): _*)))
   }
 
+  private val langOrder = Seq("en", "es", "de", "fr")
+
   /** N-gram/stopword heuristic language ID over {en, es, de, fr, zh}:
     * CJK characters vote zh; otherwise the language with the most stopword
     * hits wins, "und" (undetermined) when no hits. Deterministic tie-break
-    * by language order en > es > de > fr.
+    * by language order en > es > de > fr. Single-pass native kernel
+    * ([[graft.functions.TextHashExprs.langId]]); [[langIdHof]] is the
+    * composable-HOF parity oracle.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    when(text.isNull, lit("und"))
+      .otherwise(graft.functions.TextHashExprs.langId(
+        text, langOrder.map(l => l -> stopwords(l))))
+
+  /** HOF formulation of [[langId]] — semantic reference and test oracle
+    * for the native kernel. Re-tokenizes per language and duplicates the
+    * hit expressions inside the argmax chain, so it is ~12 interpreted
+    * split+intersect evaluations per row. */
+  def langIdHof(text: Column): Column = {
     val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"),
                                       lit(0)))
-    val hits = Seq("en", "es", "de", "fr").map(l => l -> stopwordHits(text, l))
+    val hits = langOrder.map(l => l -> stopwordHits(text, l))
     val maxHits = greatest(hits.map(_._2): _*)
     // first language (in en,es,de,fr order) reaching maxHits wins
     val ordered = hits.reverse.foldLeft(lit("und"): Column) {

@@ -83,6 +83,25 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("langId kernel matches the HOF formulation on documents + edges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edges = Seq("", "   ", "the", "THE AND OF", "le la les 数据",
+                    "de de de", "un le el", "\tthe\nand of")
+      .toDF("text")
+    Seq(docs, edges).foreach { df =>
+      val diff = df.select(
+          TextAnalysis.langId(col("text")).as("k"),
+          TextAnalysis.langIdHof(col("text")).as("h"))
+        .where(col("k") =!= col("h"))
+      assert(diff.count() == 0,
+             diff.limit(5).collect().mkString(" "))
+    }
+  }
+
   test("IVF ANN: high recall vs brute-force top-k on clustered data") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -33,13 +33,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -71,4 +73,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else
                   "/root/testdata/sf0.01",
-                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"))
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout",
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3
+                  else None))
