@@ -169,6 +169,26 @@ object SparkEntry {
                    "woe", "iv").orderBy("bin")
     }),
 
+    "q_weighted_fit" -> ((s, dir) => {
+      // sample_weight support (`binning.py:538-562` fit(x, y,
+      // sample_weight)): weighted per-bin counts/rates/WoE at pinned
+      // splits, weight = l_quantity (integral, so the weighted sums are
+      // exact in both engines)
+      val li = liTarget(T(s, dir, "lineitem"))
+      val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "l_extendedprice",
+                      userSplits = Some(liSplits), monotonicTrend = None,
+                      minNBins = Some(4), maxNBins = Some(4)),
+        weightCol = Some("l_quantity"))
+      import s.implicits._
+      fitted.table.rows.take(fitted.nDataBins).zipWithIndex.map {
+        case (r, i) =>
+          (i.toLong, r.count.toLong, r.nonevent.toLong, r.event.toLong,
+           scale6(r.eventRate), scale6(r.woe))
+      }.toSeq.toDF("bin", "count", "nonevent", "event", "event_rate",
+                   "woe").orderBy("bin")
+    }),
+
     "q_cont_table" -> ((s, dir) => {
       // continuous binning table via the library (user splits, no trend)
       val li = T(s, dir, "lineitem")
@@ -493,6 +513,20 @@ object SparkEntry {
                   .as("jaccard"))
         .where(col("jaccard") > 0.05)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q_neardup_pairs" -> ((s, dir) => {
+      // the PRODUCTION near-dup path end-to-end over the whole corpus:
+      // MinHash-LSH candidates (portable hashes, banded buckets, no
+      // all-pairs join) -> word-3-gram Jaccard verification — the exact
+      // operator chain a 100 TB dedup run uses, replayed by the oracle
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(d, "text", "doc_id",
+        jaccardThreshold = 0.5, numHashes = 32, bands = 8,
+        jaccardNgram = 3, portable = true)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+                countDistinct(col("id_a")).as("n_left_docs"),
+                round(avg(round(col("jaccard"), 6)), 6).as("avg_jaccard"))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
@@ -1079,15 +1113,20 @@ object SparkEntry {
     }),
 
     "q_ivf_topk" -> ((s, dir) => {
-      // IVF ANN: k-means cells + nProbe probing (rows-only check)
+      // IVF ANN with the portable deterministic quantizer (Lehmer-mix
+      // centroids): cell assignment, nProbe probing, and exact-cosine
+      // ranking are all integer/float arithmetic DuckDB replays
+      // bit-exactly — hard oracle for the whole IVF plan shape
       val e = T(s, dir, "embeddings")
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
-      val res = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
-                                   "qid", k = 5, nLists = 16, nProbe = 4)
+      val res = Similarity.ivfTopKPortable(e, queries, "embedding",
+                                           "vec_id", "qid", k = 5,
+                                           dim = 64, nLists = 16,
+                                           nProbe = 4)
       res.agg(count(lit(1)).as("n_results"),
               countDistinct(col("qid")).as("n_queries"),
-              round(avg(col("cosine")), 6).as("avg_cosine"))
+              round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
     }),
 
     "q_frame_sampling" -> ((s, dir) => {
@@ -1291,6 +1330,27 @@ object SparkEntry {
                 round(ln((ne / tne) / (e / te)), 6) AS woe,
                 round((ne / tne - e / te) * ln((ne / tne) / (e / te)), 6)
                   AS iv
+         FROM agg, tot ORDER BY bin""",
+
+    "q_weighted_fit" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN l_quantity
+                       ELSE 0 END AS we,
+                  CASE WHEN l_returnflag <> 'R' THEN l_quantity
+                       ELSE 0 END AS wne
+           FROM lineitem),
+         agg AS (
+           SELECT bin, sum(we + wne) AS n, sum(we) AS e, sum(wne) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg)
+         SELECT bin::BIGINT AS bin, n::BIGINT AS count,
+                ne::BIGINT AS nonevent, e::BIGINT AS event,
+                round(e / (e + ne), 6) AS event_rate,
+                round(ln((ne / tne) / (e / te)), 6) AS woe
          FROM agg, tot ORDER BY bin""",
 
     "q_cont_table" ->
@@ -2227,6 +2287,55 @@ object SparkEntry {
                 round(avg(round(cosine, 6)), 6) AS avg_cosine
          FROM rk WHERE rank <= 5"""),
 
+    // portable IVF: centroid component = Lehmer mix of (1000+cell, dim)
+    // — bit-exact with Similarity.portableCentroids; assignment = argmin
+    // d2 (tie-break by cell), probe = 4 nearest cells, rank by exact
+    // cosine (ties by cid) — replays ivfTopKPortable end-to-end
+    "q_ivf_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cent AS (
+           SELECT l AS cell,
+                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647)
+                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 65)] AS ctr
+           FROM range(0, 16) t(l)),
+         ad AS (
+           SELECT vec_id, emb, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn
+           FROM (
+             SELECT e.vec_id, e.emb, c.cell,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      [ (e.emb[d] - c.ctr[d]) * (e.emb[d] - c.ctr[d])
+                        FOR d IN range(1, 65)]),
+                      (a, b) -> a + b) AS d2
+             FROM emb e CROSS JOIN cent c) t),
+         corpus AS (
+           SELECT vec_id AS cid, emb AS cemb, cell FROM ad WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS qid, emb AS qemb, cell
+           FROM ad WHERE vec_id < 20 AND rn <= 4),
+         cand AS (
+           SELECT p.qid, c.cid,
+                  list_dot_product(p.qemb, c.cemb)
+                    / (sqrt(list_dot_product(p.qemb, p.qemb))
+                       * sqrt(list_dot_product(c.cemb, c.cemb))) AS cosine
+           FROM corpus c JOIN probes p USING (cell)),
+         rk AS (
+           SELECT qid, cid, cosine,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid) AS rank
+           FROM cand)
+         SELECT count(*) AS n_results,
+                count(DISTINCT qid) AS n_queries,
+                round(avg(round(cosine, 6)), 6) AS avg_cosine
+         FROM rk WHERE rank <= 5""",
+
     // portable SimHash: token hash = (rk131 mod 1e9+7) << 30 | (rk137 mod
     // 998244353) over code points — bit-exact with SimHash64Expr portable
     "q_simhash" ->
@@ -2294,6 +2403,71 @@ object SparkEntry {
          SELECT count(*) AS n_candidate_pairs,
                 count(DISTINCT id_a) AS n_left_docs
          FROM cand""",
+
+    // production LSH -> verify chain: minhash candidates (as in
+    // q_minhash_bands) filtered by word-3-gram Jaccard >= 0.5 (as in
+    // q_ngram_jaccard) over the WHOLE corpus
+    "q_neardup_pairs" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS nm
+           FROM documents),
+         cp AS (
+           SELECT doc_id,
+                  [unicode(c)::BIGINT FOR c IN
+                   regexp_extract_all(nm, '(?s).')] AS cps,
+                  string_split(nm, ' ') AS tok
+           FROM n),
+         hs AS (
+           SELECT doc_id, tok,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM cp),
+         sigs AS (
+           SELECT doc_id, tok,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         sh AS (
+           SELECT doc_id, sig,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM sigs),
+         bnd AS (
+           SELECT doc_id, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sh, (SELECT unnest(range(0, 8)) AS b) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bnd x JOIN bnd y
+             ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id),
+         ver AS (
+           SELECT id_a, id_b,
+                  CASE WHEN len(list_distinct(
+                              list_concat(a.sh, b.sh))) > 0
+                       THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                            len(list_distinct(list_concat(a.sh, b.sh)))
+                       ELSE 0.0 END AS jaccard
+           FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                     JOIN sh b ON cand.id_b = b.doc_id)
+         SELECT count(*) AS n_pairs,
+                count(DISTINCT id_a) AS n_left_docs,
+                round(avg(round(jaccard, 6)), 6) AS avg_jaccard
+         FROM ver WHERE jaccard >= 0.5""",
 
     "q_pii_redact" ->
       """WITH inj AS (

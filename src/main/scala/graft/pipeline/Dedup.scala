@@ -220,8 +220,10 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    jaccardThreshold: Double = 0.8,
                    numHashes: Int = 64, bands: Int = 16,
-                   jaccardNgram: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
+                   jaccardNgram: Int = 3,
+                   portable: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands,
+                                  portable = portable)
       .select("id_a", "id_b").distinct()
     val sh = df.select(col(idCol).as("id"),
                        split(normalizeText(col(textCol)), " ").as("__tok"))

@@ -167,15 +167,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"),
                           col(embCol).cast("array<double>").as("cemb"))
 
-    // quantizer training sample: count is parquet-metadata cheap; the
-    // sample is bounded regardless of corpus scale
-    val n = c.count()
-    val fraction = math.min(1.0, maxTrainSample.toDouble / math.max(1L, n))
-    val sample = c.select("cemb")
-      .sample(withReplacement = false, fraction, seed = 7)
+    // quantizer training sample in ONE bounded scan (no separate count
+    // job): hash-select ~1/16 of rows, and the limit stops the scan as
+    // soon as the cap is reached — bounded collect at any corpus scale
+    val sample = c
+      .where(pmod(xxhash64(col("cid")), lit(16)) === 0)
+      .select("cemb")
+      .limit(maxTrainSample)
       .collect().map(_.getSeq[Double](0).toArray)
     if (sample.isEmpty) {
-      // empty (or sampled-to-empty tiny) corpus: rescan without sampling;
+      // hash-sampled-to-empty tiny corpus: rescan without the filter;
       // a truly empty corpus yields no candidates
       val full = c.select("cemb").limit(maxTrainSample)
         .collect().map(_.getSeq[Double](0).toArray)
@@ -190,6 +191,31 @@ object Similarity {
     }
     ivfScore(c, queries, embCol, qidCol, k, nProbe,
              sampleKMeans(sample, nLists, iters = 10, seed = 7))
+  }
+
+  /** Deterministic portable IVF centroids: component j of centroid l is
+    * `VectorExprs.portablePlaneComponent(1000 + l, j)` — plain integer
+    * Lehmer arithmetic an external SQL engine replays bit-exactly.
+    * Random directions cluster worse than a trained quantizer, but the
+    * plan shape and cost are identical, so the oracled driver query uses
+    * this variant to make assignment + probe + rank fully replayable.
+    */
+  def portableCentroids(nLists: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nLists, dim) { (l, j) =>
+      graft.functions.VectorExprs.portablePlaneComponent(1000L + l,
+                                                         j.toLong)
+    }
+
+  /** [[ivfTopK]] with the portable deterministic quantizer (no training
+    * scan at all): same distributed assignment + probe join. */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame,
+                      embCol: String, idCol: String, qidCol: String,
+                      k: Int, dim: Int, nLists: Int = 16,
+                      nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    ivfScore(c, queries, embCol, qidCol, k, nProbe,
+             portableCentroids(nLists, dim))
   }
 
   private def ivfScore(c: DataFrame, queries: DataFrame, embCol: String,
