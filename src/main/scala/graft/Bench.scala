@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration filter (unset for driver runs = all queries)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,13 +20,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val warmDir = "/root/testdata/sf0.001"
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // two timed passes, report the min: async C2 compilation and GC from
     // the preceding queries otherwise land randomly in single-pass times
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -59,9 +59,14 @@ object OptimalBinning2D {
         * (`binning_2d.py:63` strategy, `model_data_cart_2d.py`). */
       strategy: String = "grid")
 
-  /** Per-dimension exact greedy CART candidate splits — both dimensions
-    * melt into ONE stats job + ONE histogram job (same bounded-histogram
-    * scale path as the 1-D fits: values grid-snap beyond 10k distinct).
+  /** Per-dimension exact greedy CART candidate splits. Both dimensions
+    * melt into ONE bounded-probe histogram job: the exact (dim, value)
+    * histogram is collected when it fits 2x10k buckets (every realistic
+    * pair of binning dimensions), and per-dim totals roll up from the
+    * buckets on the driver — no separate stats pass. Dims whose combined
+    * exact histogram overflows the probe take the previous two-pass path
+    * (per-dim stats job, then a grid-snapped histogram) — the
+    * ultra-high-cardinality escape hatch, unchanged semantics.
     * `classification = false` uses MSE impurity on the continuous target.
     */
   private def cartDimSplits(df: DataFrame, xv: Column, yv: Column,
@@ -71,23 +76,7 @@ object OptimalBinning2D {
     val melted = df.select(target.as("t"), xv.as("vx"), yv.as("vy"))
       .selectExpr("t", "stack(2, 'x', vx, 'y', vy) as (dim, v)")
       .where(col("v").isNotNull && !isnan(col("v")))
-    val st = melted.groupBy("dim")
-      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
-           approx_count_distinct(col("v")).as("ndv"))
-      .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
-      .toMap
     val cap = 10000
-    val vRep = Seq("x", "y").foldLeft(col("v")) { (acc, d) =>
-      st.get(d) match {
-        case Some((_, mn, mx, ndv)) if ndv > cap && mx > mn =>
-          val w = (mx - mn) / cap
-          when(col("dim") === d,
-               lit(mn) + floor((col("v") - mn) / w) * w).otherwise(acc)
-        case _ => acc
-      }
-    }
     val aggs =
       if (classification) Seq(
         count(lit(1)).as("n"),
@@ -95,9 +84,42 @@ object OptimalBinning2D {
         sum(when(col("t") =!= 0.0, 1.0).otherwise(0.0)).as("b"))
       else Seq(count(lit(1)).as("n"), sum(col("t")).as("a"),
                sum(col("t") * col("t")).as("b"))
-    val hist = melted.select(col("dim"), vRep.as("v"), col("t"))
-      .groupBy("dim", "v").agg(aggs.head, aggs.tail: _*)
-      .collect()
+    def twoPass(): Array[org.apache.spark.sql.Row] = {
+      val st = melted.groupBy("dim")
+        .agg(min("v").as("mn"), max("v").as("mx"),
+             approx_count_distinct(col("v")).as("ndv"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+      val vRep = Seq("x", "y").foldLeft(col("v")) { (acc, d) =>
+        st.get(d) match {
+          case Some((mn, mx, ndv)) if ndv > cap && mx > mn =>
+            val w = (mx - mn) / cap
+            when(col("dim") === d,
+                 lit(mn) + floor((col("v") - mn) / w) * w).otherwise(acc)
+          case _ => acc
+        }
+      }
+      melted.select(col("dim"), vRep.as("v"), col("t"))
+        .groupBy("dim", "v").agg(aggs.head, aggs.tail: _*)
+        .collect()
+    }
+    // one-partition-sized sniff: a dim pair already showing > cap
+    // distinct values within 50k rows cannot fit the exact-histogram
+    // probe, so go straight to the two-pass snapped path — the probe
+    // shuffle that would only overflow is never paid at scale
+    val sniff = melted.limit(50000).groupBy("dim")
+      .agg(approx_count_distinct(col("v")).as("ndv"))
+      .collect().map(_.getLong(1)).sum
+    val hist: Array[org.apache.spark.sql.Row] =
+      if (sniff > cap) twoPass()
+      else {
+        val probe = melted.groupBy("dim", "v")
+          .agg(aggs.head, aggs.tail: _*)
+          .limit(2 * cap + 2).collect()
+        if (probe.length <= 2 * cap + 1) probe else twoPass()
+      }
     def splitsFor(d: String, k: Int, frac: Double): Array[Double] = {
       val h = hist.filter(_.getString(0) == d).map { r =>
         if (classification)
@@ -109,7 +131,7 @@ object OptimalBinning2D {
                                 r.getLong(2).toDouble, 0.0,
                                 sum = r.getDouble(3), ssum = r.getDouble(4))
       }.sortBy(_.value)
-      val n = st.get(d).map(_._1).getOrElse(0L)
+      val n = h.map(_.n).sum
       if (h.isEmpty) Array.empty[Double]
       else Prebinning.cartSplits(
         h, maxLeafNodes = k,
