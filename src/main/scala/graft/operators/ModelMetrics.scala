@@ -116,6 +116,8 @@ object ModelMetrics {
     val ev = agg.map(_.getDouble(1))
     val ne = agg.map(r => r.getDouble(2) - r.getDouble(1))
     val te = ev.sum; val tne = ne.sum
+    // one-class cohort: gini/ks are undefined — report 0 (not NaN/Inf)
+    if (te == 0 || tne == 0) return (0.0, 0.0)
     var cumNe = 0.0; var auc = 0.0
     var cumE = 0.0; var cumNeF = 0.0; var best = 0.0
     ev.indices.foreach { i =>

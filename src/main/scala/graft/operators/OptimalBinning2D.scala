@@ -57,7 +57,13 @@ object OptimalBinning2D {
       /** "grid": optimal tiling over the full prebin grid; "cart":
         * greedy recursive axis-parallel splitting, leaves = bins
         * (`binning_2d.py:63` strategy, `model_data_cart_2d.py`). */
-      strategy: String = "grid")
+      strategy: String = "grid",
+      /** Largest grid (in cells) solved by the EXACT rectangle-tiling
+        * search — the reference CP's full space including non-guillotine
+        * patterns (`cp_2d.py:14-150`). Beyond this (or 64, the bitmask
+        * capacity) the guillotine DP solves a strict cut subset.
+        * 56 cells ~ 8s driver worst case; the 5x5 default is ~0.1s. */
+      exactCellLimit: Int = 56)
 
   /** Per-dimension exact greedy CART candidate splits. Both dimensions
     * melt into ONE bounded-probe histogram job: the exact (dim, value)
@@ -276,7 +282,7 @@ object OptimalBinning2D {
         }
         monotonicTilingSolve(mx, my, leafIv, er,
                              config.monotonicTrendX, config.monotonicTrendY)
-      case "grid" => tilingSolve(mx, my, leafIv)
+      case "grid" => tilingSolve(mx, my, leafIv, config.exactCellLimit)
       case other =>
         throw new IllegalArgumentException(
           s"strategy must be grid or cart, got $other")
@@ -358,9 +364,11 @@ object OptimalBinning2D {
     * beyond (polynomial; its cut structure is a strict subset).
     */
   private[graft] def tilingSolve(mx: Int, my: Int,
-                                 leafVal: (Int, Int, Int, Int) => Option[Double])
+                                 leafVal: (Int, Int, Int, Int) => Option[Double],
+                                 exactCellLimit: Int = 56)
       : (String, Array[(Int, Int, Int, Int, Double)]) =
-    if (mx * my <= 30) exactTilingSolve(mx, my, leafVal)
+    if (mx * my <= math.min(exactCellLimit, 64))
+      exactTilingSolve(mx, my, leafVal)
     else guillotineSolve(mx, my, leafVal)
 
   /** Exact maximum-value rectangle TILING via first-gap branch and bound
@@ -493,6 +501,11 @@ object OptimalBinning2D {
 
     var best = Double.NegativeInfinity
     var bestTiling: List[R] = Nil
+    // hard node budget: general rectangulations explode combinatorially
+    // and the optimistic density bound can be weak under loose
+    // constraints — fail with guidance instead of effectively hanging
+    val maxNodes = 50000000L
+    var nodes = 0L
 
     def dfs(mask: Long, placed: List[R], acc: Double,
             potential: Double): Unit = {
@@ -500,6 +513,12 @@ object OptimalBinning2D {
         if (acc > best) { best = acc; bestTiling = placed }
         return
       }
+      nodes += 1
+      if (nodes > maxNodes)
+        throw new IllegalStateException(
+          s"monotonic 2D search exceeded $maxNodes nodes on a " +
+          s"$mx x $my grid; lower max_n_prebins_x/y or drop " +
+          "monotonic_trend_x/y")
       if (acc + potential <= best) return
       val gap = java.lang.Long.numberOfTrailingZeros(~mask & full)
       val gx = gap % mx
@@ -694,7 +713,7 @@ object OptimalBinning2D {
       case "cart" =>
         cartSolve(mx, my, leafNorm,
                   config.maxNPrebinsX * config.maxNPrebinsY)
-      case _ => tilingSolve(mx, my, leafNorm)
+      case _ => tilingSolve(mx, my, leafNorm, config.exactCellLimit)
     }
     val rects =
       if (status == "OPTIMAL")

@@ -64,12 +64,19 @@ object Scorecard {
     // probe the ACTUAL distinct (bin-combination, label) count with a
     // bounded collect — the per-variable bin-count product is wildly
     // pessimistic (30 variables x 6 bins ~ 6^30 while the data holds at
-    // most min(rows, combos) distinct combinations)
+    // most min(rows, combos) distinct combinations). The product still
+    // serves as a free pre-filter: when it is astronomically large the
+    // aggregate cannot plausibly collapse, so skip the probe entirely
+    // instead of paying a full shuffle whose result would be discarded.
     val MaxCombos = 100000
-    val grouped = xt.groupBy(selected.map(col) :+ col(yCol): _*)
+    val comboProduct = selected
+      .map(v => process.fits(v).table.rows.length.toDouble).product
+    lazy val grouped = xt.groupBy(selected.map(col) :+ col(yCol): _*)
       .agg(count(lit(1)).cast("double").as("w"))
-    val probe = grouped.limit(MaxCombos + 1).collect()
-    val oversized = probe.length > MaxCombos
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (comboProduct > 1e9) Array.empty
+      else grouped.limit(MaxCombos + 1).collect()
+    val oversized = comboProduct > 1e9 || probe.length > MaxCombos
     val compact =
       if (oversized) xt.withColumn("w", lit(1.0))
       else grouped.coalesce(1)
@@ -108,12 +115,14 @@ object Scorecard {
       } catch { case _: Exception => None }
       }
 
-    // Estimator. Unregularized fits on a collected compact table solve on
-    // the driver (IRLS / weighted normal equations — the same MLE spark.ml
+    // Estimator. Fits on a collected compact table solve on the driver
+    // (IRLS / weighted normal equations — the same MLE spark.ml
     // converges to, without one treeAggregate job per L-BFGS iteration;
-    // at sf0.1 that overhead dominates the fit). Regularized objectives
-    // and oversized combination spaces keep the distributed spark.ml
-    // path — the 100 TB fallback when the aggregate can't collapse.
+    // at sf0.1 that overhead dominates the fit). Binary L2 also solves
+    // on the driver (penalized IRLS); only elastic-net, regularized
+    // continuous targets, and oversized combination spaces take the
+    // distributed spark.ml path — the 100 TB fallback when the
+    // aggregate can't collapse.
     def sparkMlFit(): (Array[Double], Double) = {
       val assembled = assembler.transform(compact)
         .select(col("features"), col(yCol).cast("double").as("label"),

@@ -198,14 +198,26 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
     val rows = agg.map(r => R(r.getInt(0), r.getDouble(1), r.getDouble(2),
                               r.getDouble(3), r.getDouble(4)))
 
-    // cart score bins fit directly on the expected slice of this same
-    // aggregate (the exact per-score histogram — no extra jobs, and no
-    // grid compression since the collect is already bounded); quantile/
-    // uniform splits still come from their dedicated one-job paths
+    // cart score bins fit on the expected slice of this same aggregate
+    // (no extra jobs). The SAME >10k-row grid compression
+    // computeScoreBins applies runs here driver-side, so splitsCache is
+    // identical whichever entry point populates it first (call-order
+    // independence of psiTable/significanceTests vs stabilityStats)
     val splits: Array[Double] =
       if (splitsCache != null) splitsCache
       else if (psiMethod == "cart") {
-        val hist = rows.filter(_.c == 0).groupBy(_.s).toArray
+        val exp = rows.filter(_.c == 0)
+        val nRows = exp.map(_.n).sum
+        val snap: Double => Double =
+          if (nRows > 10000 && exp.nonEmpty) {
+            val mn = exp.map(_.s).min
+            val mx = exp.map(_.s).max
+            val w = (mx - mn) / 10000
+            if (w > 0 && java.lang.Double.isFinite(w))
+              (s: Double) => mn + math.floor((s - mn) / w) * w
+            else identity
+          } else identity
+        val hist = exp.groupBy(r => snap(r.s)).toArray
           .map { case (s, rs) =>
             val n = rs.map(_.n).sum; val e = rs.map(_.e).sum
             graft.core.Prebinning.HistBucket(s, n.toLong, n - e, e)
@@ -249,6 +261,9 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
       val ev = byP.map(_._2.map(_.e).sum)
       val ne = byP.map(g => g._2.map(_.n).sum - g._2.map(_.e).sum)
       val tE = ev.sum; val tNe = ne.sum
+      // one-class cohort: gini/ks undefined — report 0 like
+      // ModelMetrics.giniAndKs (not NaN/Inf in the performance map)
+      if (tE == 0 || tNe == 0) return (0.0, 0.0)
       var cumNe = 0.0; var auc = 0.0
       var cumE = 0.0; var cumNeF = 0.0; var best = 0.0
       ev.indices.foreach { i =>

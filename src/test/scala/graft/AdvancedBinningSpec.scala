@@ -193,6 +193,34 @@ class AdvancedBinningSpec extends AnyFunSuite {
     }
   }
 
+  test("exact tiling beyond 30 cells: 6x6 pinwheel + 7x6 superadditive") {
+    // scaled pinwheel on 36 cells: four 2x4 arms + a 2x2 center — a
+    // non-guillotine partition (no full-width/height cut line exists),
+    // so the guillotine DP provably cannot reach the optimum
+    val pinwheel = Set((0, 3, 0, 1), (4, 5, 0, 3), (2, 5, 4, 5),
+                       (0, 1, 2, 5), (2, 3, 2, 3))
+    def leaf(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+      Some(if (pinwheel((x1, x2, y1, y2))) 10.0 else 0.001)
+    // routed through tilingSolve: the default exactCellLimit must send
+    // a 36-cell grid to the exact search
+    val (st, leaves) = OptimalBinning2D.tilingSolve(6, 6, leaf)
+    assert(st == "OPTIMAL")
+    assert(leaves.map(l => (l._1, l._2, l._3, l._4)).toSet == pinwheel)
+    assert(math.abs(leaves.map(_._5).sum - 50.0) < 1e-9)
+    val (sg, lg) = OptimalBinning2D.guillotineSolve(6, 6, leaf)
+    assert(sg == "OPTIMAL" && lg.map(_._5).sum < 50.0 - 1e-9)
+
+    // superadditive values on 42 cells: the optimum is one rectangle
+    // covering the whole grid — any split strictly loses
+    def quad(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] = {
+      val c = (x2 - x1 + 1) * (y2 - y1 + 1)
+      Some(c.toDouble * c)
+    }
+    val (s2, l2) = OptimalBinning2D.tilingSolve(7, 6, quad)
+    assert(s2 == "OPTIMAL" && l2.length == 1 &&
+           math.abs(l2.head._5 - 42.0 * 42.0) < 1e-9)
+  }
+
   test("exact tiling objective dominates guillotine on random grids") {
     val rnd = new scala.util.Random(17)
     (1 to 30).foreach { _ =>

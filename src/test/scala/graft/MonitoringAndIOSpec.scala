@@ -77,6 +77,31 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     }
   }
 
+  test("cart psi splits are call-order independent beyond 10k rows") {
+    // >10k expected rows triggers the score-grid compression in
+    // computeScoreBins; stabilityStats must apply the SAME compression
+    // so the cached splits (and every downstream report) are identical
+    // whichever entry point runs first
+    val spark = TestSpark.spark
+    val df = spark.read
+      .parquet(s"${TestSpark.sf001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+        .otherwise(0.0))
+    val sc = Scorecard.fit(df, Seq("l_extendedprice", "l_quantity"), "y")
+    val expected = df.where(col("l_orderkey") % 2 === 0)
+    val actual = df.where(col("l_orderkey") % 2 === 1)
+    def mkMon() = new ScorecardMonitoring(sc, psiNBins = 10,
+      psiMethod = "cart", psiYCol = Some("y"))
+    val monA = mkMon()
+    val psiA = monA.psiTotal(expected, actual) // cache via computeScoreBins
+    val stA = monA.stabilityStats(expected, actual, "y")
+    val monB = mkMon()
+    val stB = monB.stabilityStats(expected, actual, "y") // cache via stats
+    assert(stA.psiBins.toSeq == stB.psiBins.toSeq,
+           s"${stA.psiBins.toSeq} vs ${stB.psiBins.toSeq}")
+    assert(math.abs(stB.psiTotal - psiA) < 1e-9)
+  }
+
   test("ModelMetrics: gini/ks consistent with bin-table values") {
     val df = li
     val fitted = OptimalBinning.fit(df, "l_extendedprice", "y",

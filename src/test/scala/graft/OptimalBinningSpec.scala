@@ -21,6 +21,7 @@ object TestSpark {
   }
   val breastCancer = "/root/reference/tests/data/breast_cancer.parquet"
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }
 
 /** Golden-value tests from the reference's own suite
