@@ -823,8 +823,10 @@ object SparkEntry {
     }),
 
     "q_cat_sketch" -> ((s, dir) => {
-      // mergeable categorical sketch binning: split-add + merge + solve
-      // (rows-only: solver-driven; equality with batch fit is unit-tested)
+      // mergeable categorical sketch binning (split-add + merge +
+      // solve), verified as a hard invariant: the solved category->bin
+      // grouping is pinned as strings and the per-bin counts are
+      // re-aggregated exactly; the oracle replays the IN-list grouping
       val o = T(s, dir, "orders")
         .withColumn("y", when(col("o_orderstatus") === "F", 1.0)
           .otherwise(0.0))
@@ -836,11 +838,25 @@ object SparkEntry {
       skB.add(o.where(col("o_orderkey") % 2 === 1), "o_orderpriority", "y")
       skA.merge(skB)
       val fitted = skA.solve()
+      val cats = fitted.categories
+      val sp = fitted.splits
+      val catsPerBin: Array[Array[String]] = cats.indices
+        .groupBy(j => sp.count(_ <= j.toDouble)).toSeq.sortBy(_._1)
+        .map(_._2.map(cats(_)).toArray).toArray
+      val binCol = catsPerBin.zipWithIndex.tail.foldLeft(
+        lit(0): org.apache.spark.sql.Column) { case (acc, (cs, i)) =>
+        when(col("o_orderpriority").isin(cs.toSeq: _*), lit(i))
+          .otherwise(acc)
+      }
+      val agg = o.groupBy(binCol.cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("e"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2).toLong))).toMap
       import s.implicits._
-      fitted.table.rows.take(fitted.nDataBins).zipWithIndex.map {
-        case (r, i) => (i.toLong, r.count.toLong, scale6(r.eventRate),
-                        scale6(r.woe))
-      }.toSeq.toDF("bin", "count", "event_rate", "woe")
+      catsPerBin.indices.map { i =>
+        val (n, e) = agg(i.toLong)
+        (i.toLong, catsPerBin(i).sorted.mkString("|"), n, e)
+      }.toDF("bin", "cats", "count", "event").orderBy("bin")
     }),
 
     "q_process_summary" -> ((s, dir) => {
@@ -929,53 +945,91 @@ object SparkEntry {
     }),
 
     "q_cont_2d_fit" -> ((s, dir) => {
-      // continuous-target 2D rectangle binning (rows-only check)
+      // continuous-target 2D rectangle binning, verified as a hard
+      // invariant: solved splits + rectangle layout pinned as strings,
+      // per-rect count/mean recomputed by the oracle from the same
+      // literals
       val li = T(s, dir, "lineitem")
       val f = OptimalBinning2D.fitContinuous(li, "l_quantity", "l_discount",
         "l_extendedprice",
         OptimalBinning2D.Config2D(maxNPrebinsX = 4, maxNPrebinsY = 4))
       import s.implicits._
       f.rects.toSeq.sortBy(r => (r.x1, r.y1)).map(r =>
-        (f.binLabel(r), r.n.toLong, scale6(r.mean)))
-        .toDF("bin", "count", "mean")
+        (s"${r.x1}-${r.x2}:${r.y1}-${r.y2}", r.n.toLong, scale6(r.mean)))
+        .toDF("rect", "count", "mean")
+        .withColumn("splits_x", lit(f.splitsX.mkString(",")))
+        .withColumn("splits_y", lit(f.splitsY.mkString(",")))
+        .orderBy("rect")
     }),
 
     "q_cont_pw" -> ((s, dir) => {
-      // continuous piecewise prediction curve stats (rows-only check)
+      // continuous piecewise prediction curve, verified as a hard
+      // invariant: the fitted truncated-power curve (splits +
+      // coefficients) is pinned and the oracle recomputes the same
+      // prediction stats from those literals over the raw table
       val li = T(s, dir, "lineitem")
       val pw = PWBinning.fitContinuous(li, "l_quantity", "l_extendedprice",
                                        BinningConfig(name = "x"))
+      val cv = pw.curve
       li.agg(count(lit(1)).as("n"),
-             round(avg(pw.predictColumn(col("l_quantity"))), 6)
+             // 4 decimals: 5e4-magnitude means put the 6th decimal
+             // inside cross-engine averaging noise
+             round(avg(pw.predictColumn(col("l_quantity"))), 4)
                .as("avg_pred"),
-             round(avg(col("l_extendedprice")), 6).as("avg_actual"))
+             round(avg(col("l_extendedprice")), 4).as("avg_actual"))
+        .withColumn("curve", lit(
+          cv.splits.mkString(",") + ";" +
+          cv.coefs.map(_.mkString(",")).mkString("|")))
     }),
 
     "q_gamma_outlier_fit" -> ((s, dir) => {
-      // gamma-regularized fit with pre-fit outlier filtering (rows-only)
+      // gamma-regularized fit with pre-fit outlier filtering, verified
+      // as a hard invariant: the detector's med/MAD and the solved
+      // splits are pinned, per-bin counts re-aggregated exactly over
+      // the FILTERED rows; the oracle replays filter + binning from the
+      // same literals
       val li = liTarget(T(s, dir, "lineitem"))
+      val x = col("l_extendedprice")
+      // same approx med/MAD route the fit's detector takes
+      // (`Outliers.fitZScore(approx = true)`)
+      def med1(c: org.apache.spark.sql.Column): Double =
+        li.select(percentile_approx(c, lit(0.5), lit(10000))
+          .cast("double")).head.getDouble(0)
+      val med = med1(x)
+      val mad = med1(abs(x - lit(med)))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "x", gamma = 2.0,
                       outlierDetector = Some("zscore"),
                       // mergeable-sketch medians: the 100 TB path (exact
                       // median is a single-buffer global sort)
                       outlierParams = Map("approx" -> true)))
-      import s.implicits._
-      fitted.table.rows.toSeq.map(r =>
-        (r.bin, r.count.toLong, scale6(r.eventRate)))
-        .toDF("bin", "count", "event_rate")
+      val sp = fitted.splits
+      li.where(!(abs(lit(0.6745) * (x - lit(med)) / lit(mad)) > 3.5))
+        .groupBy(binIdx(x, sp).cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"),
+             sum(col("y")).cast("long").as("event"))
+        .withColumn("med_mad", lit(s"$med,$mad"))
+        .withColumn("splits", lit(sp.mkString(",")))
+        .orderBy("bin")
     }),
 
     "q_2d_fit" -> ((s, dir) => {
-      // full 2D optimal binning (guillotine DP; rows-only check)
+      // full 2D optimal binning (exact rectangle tiling), verified as a
+      // hard invariant: solved splits + rectangle layout pinned as
+      // strings, per-rect count/event/WoE recomputed by the oracle from
+      // the same literals
       val li = liTarget(T(s, dir, "lineitem"))
-      val fitted = OptimalBinning2D.fit(li, "l_extendedprice",
-                                        "l_quantity", "y")
+      val f = OptimalBinning2D.fit(li, "l_extendedprice",
+                                   "l_quantity", "y")
       import s.implicits._
-      fitted.rects.toSeq.map(r =>
-        (fitted.binLabel(r), (r.event + r.nonevent).toLong,
-         scale6(fitted.woe(r))))
-        .toDF("bin", "count", "woe").orderBy("bin")
+      f.rects.toSeq.sortBy(r => (r.x1, r.y1)).map(r =>
+        (s"${r.x1}-${r.x2}:${r.y1}-${r.y2}",
+         (r.event + r.nonevent).toLong, r.event.toLong,
+         scale6(f.woe(r))))
+        .toDF("rect", "count", "event", "woe")
+        .withColumn("splits_x", lit(f.splitsX.mkString(",")))
+        .withColumn("splits_y", lit(f.splitsY.mkString(",")))
+        .orderBy("rect")
     }),
 
     "q_stability_report" -> ((s, dir) => {
@@ -1001,37 +1055,56 @@ object SparkEntry {
     }),
 
     "q_2d_cart" -> ((s, dir) => {
-      // 2D binning, CART strategy: greedy recursive axis-parallel
-      // splitting, leaves = bins (rows-only check; solver-driven)
+      // 2D binning, CART strategy (greedy recursive axis-parallel
+      // splitting, leaves = bins), verified like q_2d_fit: pinned
+      // splits + leaf layout, per-leaf stats recomputed by the oracle
       val li = liTarget(T(s, dir, "lineitem"))
-      val fitted = OptimalBinning2D.fit(li, "l_extendedprice",
+      val f = OptimalBinning2D.fit(li, "l_extendedprice",
         "l_quantity", "y", OptimalBinning2D.Config2D(strategy = "cart"))
       import s.implicits._
-      Seq((fitted.rects.length.toLong,
-           fitted.rects.map(r => r.event + r.nonevent).sum.toLong,
-           scale6(fitted.iv)))
-        .toDF("n_bins", "n_records", "iv")
+      f.rects.toSeq.sortBy(r => (r.x1, r.y1)).map(r =>
+        (s"${r.x1}-${r.x2}:${r.y1}-${r.y2}",
+         (r.event + r.nonevent).toLong, r.event.toLong,
+         scale6(f.woe(r))))
+        .toDF("rect", "count", "event", "woe")
+        .withColumn("splits_x", lit(f.splitsX.mkString(",")))
+        .withColumn("splits_y", lit(f.splitsY.mkString(",")))
+        .orderBy("rect")
     }),
 
     "q_scenario_fit" -> ((s, dir) => {
-      // scenario-based stochastic binning (rows-only check)
+      // scenario-based stochastic binning, verified as a hard
+      // invariant: solved splits pinned + exact per-(bin, scenario)
+      // counts re-aggregated; the oracle replays both from literals
       val li = liTarget(T(s, dir, "lineitem"))
       val s1 = li.where(col("l_linenumber") <= 3)
       val s2 = li.where(col("l_linenumber") > 3)
       val fitted = SBOptimalBinning.fit(Seq((s1, 0.6), (s2, 0.4)),
         "l_extendedprice", "y",
         BinningConfig(name = "x", monotonicTrend = Some("ascending")))
-      import s.implicits._
-      fitted.table.rows.toSeq.map(r =>
-        (r.bin, r.count.toLong, scale6(r.eventRate)))
-        .toDF("bin", "count", "event_rate")
+      val sp = fitted.splits
+      val sc1 = col("l_linenumber") <= 3
+      li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long")
+          .as("bin"))
+        .agg(sum(when(sc1, 1L).otherwise(0L)).as("n1"),
+             sum(when(sc1, col("y")).otherwise(0.0)).cast("long")
+               .as("e1"),
+             sum(when(!sc1, 1L).otherwise(0L)).as("n2"),
+             sum(when(!sc1, col("y")).otherwise(0.0)).cast("long")
+               .as("e2"))
+        .withColumn("splits", lit(sp.mkString(",")))
+        .orderBy("bin")
     }),
 
     "q_pw_transform" -> ((s, dir) => {
-      // piecewise event-rate curve stats (rows-only check)
+      // piecewise event-rate curve, verified as a hard invariant: the
+      // fitted curve (splits + coefficients + [lb, ub] clip) is pinned
+      // and the oracle recomputes the prediction stats from those
+      // literals over the raw table
       val li = liTarget(T(s, dir, "lineitem"))
       val pw = PWBinning.fit(li, "l_extendedprice", "y",
                              BinningConfig(name = "x"))
+      val cv = pw.curve
       li.agg(count(lit(1)).as("n"),
              round(avg(pw.predictColumn(col("l_extendedprice"))), 6)
                .as("avg_pred"),
@@ -1039,24 +1112,30 @@ object SparkEntry {
                .as("min_pred"),
              round(max(pw.predictColumn(col("l_extendedprice"))), 6)
                .as("max_pred"))
+        .withColumn("curve", lit(
+          cv.splits.mkString(",") + ";" +
+          cv.coefs.map(_.mkString(",")).mkString("|") + ";" +
+          pw.lb + "," + pw.ub))
     }),
 
     "q_pw_monotone" -> ((s, dir) => {
       // monotone-constrained robust piecewise fit (degree 1, huber,
-      // ascending slope QP) — rows-only: solver-driven
+      // ascending slope QP), verified as a hard invariant: the QP's
+      // solved curve is pinned and the oracle replays the prediction
+      // grid from the same literals
       val li = T(s, dir, "lineitem")
       val pw = PWBinning.fitContinuous(li, "l_quantity",
         "l_extendedprice", BinningConfig(name = "x"),
         objective = "huber", monotonicTrend = Some("ascending"))
-      val checks = (5 to 45 by 5).map(_.toDouble)
+      val cv = pw.curve
       import s.implicits._
-      val grid = checks.toDF("x")
-        .select(round(pw.predictColumn(col("x")), 6).as("pred"))
-        .collect().map(_.getDouble(0))
-      Seq((grid.length.toLong,
-           (grid.zip(grid.tail).forall { case (a, b) => b >= a - 1e-9 }),
-           scale6(grid.head), scale6(grid.last)))
-        .toDF("n_points", "is_monotone", "first_pred", "last_pred")
+      (5 to 45 by 5).map(_.toDouble).toDF("x")
+        .select(col("x"), round(pw.predictColumn(col("x")), 6)
+          .as("pred"))
+        .withColumn("curve", lit(
+          cv.splits.mkString(",") + ";" +
+          cv.coefs.map(_.mkString(",")).mkString("|")))
+        .orderBy("x")
     }),
 
     "q_counterfactual" -> ((s, dir) => {
@@ -1085,15 +1164,36 @@ object SparkEntry {
     }),
 
     "q_cont_process" -> ((s, dir) => {
-      // continuous-target multi-variable process (rows-only check)
+      // continuous-target multi-variable process, verified as a hard
+      // invariant: per-variable solved splits pinned + exact per-bin
+      // (count, mean) re-aggregated in one melted job; the oracle
+      // replays from the same literals
       val li = T(s, dir, "lineitem")
+      val vars = Seq("l_quantity", "l_discount")
       val fits = BinningProcess.fitContinuous(
-        li, Seq("l_quantity", "l_discount"), "l_extendedprice",
-        BinningConfig())
-      import s.implicits._
-      fits.toSeq.sortBy(_._1).map { case (v, f) =>
-        (v, f.status, f.splits.length.toLong, scale6(f.table.tMean))
-      }.toDF("variable", "status", "n_splits", "t_mean")
+        li, vars, "l_extendedprice", BinningConfig())
+      val spByVar = vars.map(v => v -> fits(v).splits).toMap
+      val stackExpr = s"stack(${vars.length}, " +
+        vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
+        ") as (var, x)"
+      val melted = li.withColumn("__t", col("l_extendedprice"))
+        .selectExpr("__t as t", stackExpr)
+      val binCol = vars.tail.foldLeft(
+        when(col("var") === vars.head,
+             binIdx(col("x"), spByVar(vars.head)))) { (acc, v) =>
+        acc.when(col("var") === v, binIdx(col("x"), spByVar(v)))
+      }
+      melted.groupBy(col("var").as("variable"),
+                     binCol.cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"),
+             // 4 decimals: 5e4-magnitude means put the 6th decimal
+             // inside cross-engine averaging noise
+             round(avg(col("t")), 4).as("mean"))
+        .withColumn("splits",
+          when(col("variable") === vars.head,
+               lit(spByVar(vars.head).mkString(",")))
+            .otherwise(lit(spByVar(vars(1)).mkString(","))))
+        .orderBy("variable", "bin")
     }),
 
     "q_ann_topk" -> ((s, dir) => {
@@ -1738,6 +1838,221 @@ object SparkEntry {
          SELECT m.bin::BIGINT AS bin, round(m.f * r.c, 4) AS points,
                 round(r.c, 6) AS coef, round(r.i, 2) + 0.0 AS intercept
          FROM m, r ORDER BY bin""",
+
+    // pinned categorical sketch solve: the solved category->bin
+    // grouping replayed as an IN-list CASE
+    "q_cat_sketch" ->
+      """WITH b AS (
+           SELECT CASE WHEN o_orderpriority = '2-HIGH' THEN 1
+                       WHEN o_orderpriority = '3-MEDIUM' THEN 2
+                       WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 3
+                       WHEN o_orderpriority = '1-URGENT' THEN 4
+                       ELSE 0 END AS bin,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders)
+         SELECT bin::BIGINT AS bin,
+                CASE bin WHEN 0 THEN '5-LOW' WHEN 1 THEN '2-HIGH'
+                         WHEN 2 THEN '3-MEDIUM'
+                         WHEN 3 THEN '4-NOT SPECIFIED'
+                         ELSE '1-URGENT' END AS cats,
+                count(*)::BIGINT AS count, sum(y)::BIGINT AS event
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // pinned zscore outlier filter (approx med/MAD literals) + solved
+    // splits (empty: the filtered noise target solves to one bin)
+    "q_gamma_outlier_fit" ->
+      """SELECT 0::BIGINT AS bin, count(*)::BIGINT AS count,
+                sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                    END)::BIGINT AS event,
+                '53020.59,26150.540000000008' AS med_mad,
+                '' AS splits
+         FROM lineitem
+         WHERE NOT (abs(0.6745 * (l_extendedprice - 53020.59)
+                        / 26150.540000000008) > 3.5)""",
+
+    "q_scenario_fit" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 84392.06492300001 THEN 0
+                       WHEN l_extendedprice < 97653.902967 THEN 1
+                       ELSE 2 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                  CASE WHEN l_linenumber <= 3 THEN 1 ELSE 0 END AS s1
+           FROM lineitem)
+         SELECT bin::BIGINT AS bin, sum(s1)::BIGINT AS n1,
+                sum(s1 * y)::BIGINT AS e1,
+                sum(1 - s1)::BIGINT AS n2,
+                sum((1 - s1) * y)::BIGINT AS e2,
+                '84392.06492300001,97653.902967' AS splits
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_cont_process" ->
+      """WITH bins AS (
+           SELECT 'l_quantity' AS variable,
+                  CASE WHEN l_quantity < 23.5 THEN 0
+                       WHEN l_quantity < 47.5 THEN 1
+                       ELSE 2 END AS bin,
+                  l_extendedprice AS t, '23.5,47.5' AS splits
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount',
+                  CASE WHEN l_discount < 0.015 THEN 0
+                       WHEN l_discount < 0.025 THEN 1
+                       WHEN l_discount < 0.055 THEN 2
+                       WHEN l_discount < 0.065 THEN 3
+                       ELSE 4 END,
+                  l_extendedprice, '0.015,0.025,0.055,0.065'
+           FROM lineitem)
+         SELECT variable, bin::BIGINT AS bin, count(*)::BIGINT AS count,
+                round(avg(t), 4) AS mean, splits
+         FROM bins GROUP BY variable, bin, splits
+         ORDER BY variable, bin""",
+
+    // pinned truncated-power piecewise curves: predictions recomputed
+    // from the solved coefficient literals (same left-to-right term
+    // order as the generated Spark expression)
+    "q_pw_transform" ->
+      """WITH p AS (
+           SELECT least(greatest(
+                    0.3318395644204207
+                    + 4.2547535056308685E-8 * l_extendedprice
+                    + -3.774878292197856E-11
+                      * greatest(0.0, l_extendedprice - 6372.067953)
+                    + 1.0547225907285169E-10
+                      * greatest(0.0, l_extendedprice - 17458.298343000002)
+                    + 1.0714925660301585E-10
+                      * greatest(0.0, l_extendedprice - 57628.967897)
+                    + -9.483307410489476E-12
+                      * greatest(0.0, l_extendedprice - 65134.293823)
+                    + 5.3380123968900854E-11
+                      * greatest(0.0, l_extendedprice - 84392.06492300001)
+                    + 2.223083738944805E-11
+                      * greatest(0.0, l_extendedprice - 97653.902967),
+                    1.0E-6), 0.999999) AS pred
+           FROM lineitem)
+         SELECT count(*)::BIGINT AS n, round(avg(pred), 6) AS avg_pred,
+                round(min(pred), 6) AS min_pred,
+                round(max(pred), 6) AS max_pred,
+                '6372.067953,17458.298343000002,57628.967897,65134.293823,84392.06492300001,97653.902967;0.3318395644204207,4.2547535056308685E-8,-3.774878292197856E-11,1.0547225907285169E-10,1.0714925660301585E-10,-9.483307410489476E-12,5.3380123968900854E-11,2.223083738944805E-11;1.0E-6,0.999999'
+                  AS curve
+         FROM p""",
+
+    "q_cont_pw" ->
+      """WITH p AS (
+           SELECT 52912.802660871625
+                  + 4.904815899992396 * l_quantity
+                  + -4.904815899992399 * greatest(0.0, l_quantity - 23.5)
+                  + 589.5193914692201 * greatest(0.0, l_quantity - 47.5)
+                    AS pred,
+                  l_extendedprice AS t
+           FROM lineitem)
+         SELECT count(*)::BIGINT AS n, round(avg(pred), 4) AS avg_pred,
+                round(avg(t), 4) AS avg_actual,
+                '23.5,47.5;52912.802660871625,4.904815899992396,-4.904815899992399,589.5193914692201'
+                  AS curve
+         FROM p""",
+
+    "q_pw_monotone" ->
+      """SELECT (5.0 * g)::DOUBLE AS x,
+                round(52989.39059292516
+                      + 4.6031400541700506E-15 * (5.0 * g)
+                      + 12.6913724434282
+                        * greatest(0.0, 5.0 * g - 23.5)
+                      + 247.24871169472462
+                        * greatest(0.0, 5.0 * g - 47.5), 6) AS pred,
+                '23.5,47.5;52989.39059292516,4.6031400541700506E-15,12.6913724434282,247.24871169472462'
+                  AS curve
+         FROM range(1, 10) t(g) ORDER BY x""",
+
+    // pinned 2D fits: solved splits inlined as literals; the solved
+    // layout is all singleton cells (IV is superadditive under
+    // splitting, so the unconstrained optimum is the finest partition),
+    // which the rect key concat replays — a merged layout would change
+    // the expected keys and hash-fail
+    "q_2d_fit" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 6372.067953 THEN 0
+                       WHEN l_extendedprice < 70599.33697300001 THEN 1
+                       WHEN l_extendedprice < 79114.394681 THEN 2
+                       WHEN l_extendedprice < 84392.06492300001 THEN 3
+                       ELSE 4 END AS bx,
+                  CASE WHEN l_quantity < 3.5 THEN 0
+                       WHEN l_quantity < 7.5 THEN 1
+                       WHEN l_quantity < 10.5 THEN 2
+                       WHEN l_quantity < 15.5 THEN 3
+                       ELSE 4 END AS by,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         r AS (
+           SELECT bx::VARCHAR || '-' || bx::VARCHAR || ':'
+                    || by::VARCHAR || '-' || by::VARCHAR AS rect, y
+           FROM b),
+         agg AS (
+           SELECT rect, count(*) AS n, sum(y) AS e,
+                  count(*) - sum(y) AS ne
+           FROM r GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg)
+         SELECT rect, n::BIGINT AS count, e::BIGINT AS event,
+                round(CASE WHEN e > 0 AND ne > 0
+                      THEN ln((ne / tne) / (e / te))
+                      ELSE 0.0 END, 6) AS woe,
+                '6372.067953,70599.33697300001,79114.394681,84392.06492300001'
+                  AS splits_x,
+                '3.5,7.5,10.5,15.5' AS splits_y
+         FROM agg, tot ORDER BY rect""",
+
+    "q_2d_cart" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 6372.067953 THEN 0
+                       WHEN l_extendedprice < 70599.33697300001 THEN 1
+                       WHEN l_extendedprice < 79114.394681 THEN 2
+                       WHEN l_extendedprice < 84392.06492300001 THEN 3
+                       ELSE 4 END AS bx,
+                  CASE WHEN l_quantity < 3.5 THEN 0
+                       WHEN l_quantity < 7.5 THEN 1
+                       WHEN l_quantity < 10.5 THEN 2
+                       WHEN l_quantity < 15.5 THEN 3
+                       ELSE 4 END AS by,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         r AS (
+           SELECT bx::VARCHAR || '-' || bx::VARCHAR || ':'
+                    || by::VARCHAR || '-' || by::VARCHAR AS rect, y
+           FROM b),
+         agg AS (
+           SELECT rect, count(*) AS n, sum(y) AS e,
+                  count(*) - sum(y) AS ne
+           FROM r GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg)
+         SELECT rect, n::BIGINT AS count, e::BIGINT AS event,
+                round(CASE WHEN e > 0 AND ne > 0
+                      THEN ln((ne / tne) / (e / te))
+                      ELSE 0.0 END, 6) AS woe,
+                '6372.067953,70599.33697300001,79114.394681,84392.06492300001'
+                  AS splits_x,
+                '3.5,7.5,10.5,15.5' AS splits_y
+         FROM agg, tot ORDER BY rect""",
+
+    "q_cont_2d_fit" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_quantity < 23.5 THEN 0
+                       WHEN l_quantity < 44.5 THEN 1
+                       WHEN l_quantity < 47.5 THEN 2
+                       ELSE 3 END AS bx,
+                  CASE WHEN l_discount < 0.015 THEN 0
+                       WHEN l_discount < 0.055 THEN 1
+                       WHEN l_discount < 0.065 THEN 2
+                       ELSE 3 END AS by,
+                  l_extendedprice AS t
+           FROM lineitem),
+         r AS (
+           SELECT bx::VARCHAR || '-' || bx::VARCHAR || ':'
+                    || by::VARCHAR || '-' || by::VARCHAR AS rect, t
+           FROM b)
+         SELECT rect, count(*)::BIGINT AS count,
+                round(avg(t), 6) AS mean,
+                '23.5,44.5,47.5' AS splits_x,
+                '0.015,0.055,0.065' AS splits_y
+         FROM r GROUP BY rect ORDER BY rect""",
 
     "q_2d_agg" ->
       """SELECT CASE WHEN l_extendedprice < 50000 THEN 0 ELSE 1 END AS bx,
