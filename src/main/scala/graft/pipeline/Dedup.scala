@@ -215,18 +215,28 @@ object Dedup {
 
   /** Verified near-dup pairs: LSH candidates filtered by n-gram Jaccard >=
     * threshold. Shingle arrays are materialized per doc BEFORE the joins
-    * so tokenization runs once per document, not once per candidate pair.
+    * so tokenization runs once per document, not once per candidate pair
+    * — and only for documents that appear in some candidate pair (a
+    * semi-join against the candidate id set): at corpus scale the
+    * candidate members are a small fraction of the corpus, so the
+    * expensive shingle projection never runs on the clean majority.
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    jaccardThreshold: Double = 0.8,
                    numHashes: Int = 64, bands: Int = 16,
                    jaccardNgram: Int = 3,
                    portable: Boolean = false): DataFrame = {
+    // the candidate subtree feeds both the member-id semi-join and the
+    // pair join; its bucket shuffle is identical in both branches, so
+    // ReusedExchange materializes it once
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands,
                                   portable = portable)
       .select("id_a", "id_b").distinct()
-    val sh = df.select(col(idCol).as("id"),
-                       split(normalizeText(col(textCol)), " ").as("__tok"))
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+              split(normalizeText(col(textCol)), " ").as("__tok"))
       .select(col("id"), wordShinglesOf(col("__tok"), jaccardNgram).as("sh"))
     cands
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
