@@ -21,6 +21,18 @@ object SparkEntry {
     df.withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
 
   private val liSplits = Array(25000.0, 50000.0, 75000.0)
+  private val qtySplits = Array(10.0, 25.0, 40.0)
+
+  /** Pinned per-variable binning for the oracled scorecard queries:
+    * user splits take the exact aggregation path, so the oracle can
+    * re-derive every WoE from the raw data at the same literals. */
+  private def scOverrides: Map[String, BinningConfig] = Map(
+    "l_extendedprice" -> BinningConfig(name = "l_extendedprice",
+      userSplits = Some(liSplits), monotonicTrend = None,
+      minNBins = Some(4), maxNBins = Some(4)),
+    "l_quantity" -> BinningConfig(name = "l_quantity",
+      userSplits = Some(qtySplits), monotonicTrend = None,
+      minNBins = Some(4), maxNBins = Some(4)))
 
   private def binIdx(x: Column, splits: Array[Double]): Column =
     splits.indices.foldRight(lit(splits.length): Column) { (i, acc) =>
@@ -1034,10 +1046,14 @@ object SparkEntry {
 
     "q_stability_report" -> ((s, dir) => {
       // scorecard monitoring system report (`monitoring.py:166`): PSI on
-      // cart score bins + per-bin significance + cohort performance
-      // (rows-only: scorecard-solver-driven)
+      // cart score bins + per-bin significance + cohort performance.
+      // Verified as a hard invariant: the scorecard bins on PINNED user
+      // splits (exact WoEs the oracle re-derives from data), the solved
+      // coefficients/intercept and cart score-bin splits are pinned, and
+      // the oracle replays score -> bins -> PSI/z-tests/Gini end-to-end
       val li = liTarget(T(s, dir, "lineitem"))
-      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"),
+        "y", varOverrides = scOverrides)
       val expected = li.where(col("l_orderkey") % 2 === 0)
       val actual = li.where(col("l_orderkey") % 2 === 1)
       val mon = new ScorecardMonitoring(sc, psiNBins = 10,
@@ -1049,9 +1065,13 @@ object SparkEntry {
            st.tests.length.toLong,
            st.tests.count(t => t._5 < 0.05).toLong,
            scale6(st.performance("gini_expected")),
-           scale6(st.performance("gini_actual"))))
+           scale6(st.performance("gini_actual")),
+           sc.coefficients.mkString(","),
+           sc.estimatorIntercept.toString,
+           mon.fittedScoreSplits.map(_.mkString(",")).getOrElse("")))
         .toDF("psi", "verdict", "n_bins", "n_significant",
-              "gini_expected", "gini_actual")
+              "gini_expected", "gini_actual", "coefs", "intercept",
+              "score_splits")
     }),
 
     "q_2d_cart" -> ((s, dir) => {
@@ -1139,9 +1159,15 @@ object SparkEntry {
     }),
 
     "q_counterfactual" -> ((s, dir) => {
-      // counterfactual search over a fitted scorecard (rows-only check)
+      // counterfactual search over a fitted scorecard, verified as a
+      // hard invariant: the scorecard bins on PINNED user splits (exact
+      // WoEs the oracle re-derives from the data), the solved
+      // coefficients/intercept and the found counterfactual's bins are
+      // pinned, and the oracle recomputes the counterfactual's
+      // probability from data-derived WoEs + those literals
       val li = liTarget(T(s, dir, "lineitem"))
-      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"),
+        "y", varOverrides = scOverrides)
       val bins = sc.selected.map(v => v -> 0).toMap
       // data-adaptive target: halfway between the instance's probability
       // and the best achievable one, so a counterfactual exists at any SF
@@ -1159,8 +1185,14 @@ object SparkEntry {
                                         maxChanges = 2,
                                         nCounterfactuals = 1)
       import s.implicits._
-      cfs.map(cf => (cf.nChanges.toLong, scale6(cf.probability)))
-        .toDF("n_changes", "probability")
+      cfs.map { cf =>
+        val finalBins = sc.selected.toSeq
+          .map(v => cf.changes.getOrElse(v, bins(v)))
+        (cf.nChanges.toLong, scale6(cf.probability),
+         finalBins.mkString(","), sc.coefficients.mkString(","),
+         sc.estimatorIntercept.toString, target.toString)
+      }.toDF("n_changes", "probability", "cf_bins", "coefs",
+             "intercept", "target")
     }),
 
     "q_cont_process" -> ((s, dir) => {
@@ -1838,6 +1870,142 @@ object SparkEntry {
          SELECT m.bin::BIGINT AS bin, round(m.f * r.c, 4) AS points,
                 round(r.c, 6) AS coef, round(r.i, 2) + 0.0 AS intercept
          FROM m, r ORDER BY bin""",
+
+    // pinned counterfactual: WoEs re-derived from data at the pinned
+    // user splits; solved coefficients/intercept and the found
+    // counterfactual's bins inlined as literals
+    "q_counterfactual" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bep,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bq,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         tot AS (SELECT sum(y)::DOUBLE te,
+                        (count(*) - sum(y))::DOUBLE tne FROM b),
+         wep AS (
+           SELECT bep AS bin,
+                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
+           FROM b, tot GROUP BY bep, te, tne),
+         wq AS (
+           SELECT bq AS bin,
+                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
+           FROM b, tot GROUP BY bq, te, tne)
+         SELECT 1::BIGINT AS n_changes,
+                round(1 / (1 + exp(-(
+                  (-0.9989917765792892)
+                    * (SELECT woe FROM wep WHERE bin = 3)
+                  + (-0.9958554474378966)
+                    * (SELECT woe FROM wq WHERE bin = 0)
+                  + (-0.6896991597712958)))), 6) AS probability,
+                '3,0' AS cf_bins,
+                '-0.9989917765792892,-0.9958554474378966' AS coefs,
+                '-0.6896991597712958' AS intercept,
+                '0.337592025618602' AS target""",
+
+    // pinned stability report: WoEs from data at pinned splits; solved
+    // coefficients + cart score-bin splits as literals; PSI, z-test
+    // significance counts, and per-cohort Gini replayed end-to-end
+    "q_stability_report" ->
+      """WITH b AS (
+           SELECT l_orderkey % 2 AS c,
+                  CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bep,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bq,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         tot AS (SELECT sum(y)::DOUBLE te,
+                        (count(*) - sum(y))::DOUBLE tne FROM b),
+         wep AS (
+           SELECT bep AS bin,
+                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
+           FROM b, tot GROUP BY bep, te, tne),
+         wq AS (
+           SELECT bq AS bin,
+                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
+           FROM b, tot GROUP BY bq, te, tne),
+         scored AS (
+           SELECT b.c, b.y,
+                  (-0.9989917765792892) * wep.woe
+                    + (-0.9958554474378966) * wq.woe AS score,
+                  1 / (1 + exp(-((-0.9989917765792892) * wep.woe
+                                 + (-0.9958554474378966) * wq.woe
+                                 + (-0.6896991597712958)))) AS p
+           FROM b JOIN wep ON b.bep = wep.bin
+                  JOIN wq ON b.bq = wq.bin),
+         sb AS (
+           SELECT c, y, p,
+                  CASE WHEN score >= -0.013764718346404024 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.010336983181281074 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.007854645254088282 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.006240857530362515 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.0022215789139070873 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.002346351785808375 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.009339431921953368 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.010971091049042654 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.01614307518244506 THEN 1 ELSE 0 END
+                    AS bin
+           FROM scored),
+         bins AS (
+           SELECT bin,
+                  sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::DOUBLE ce,
+                  sum(CASE WHEN c = 0 THEN y ELSE 0 END)::DOUBLE ee,
+                  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE ca,
+                  sum(CASE WHEN c = 1 THEN y ELSE 0 END)::DOUBLE ea
+           FROM sb GROUP BY 1),
+         bt AS (SELECT sum(ce) tce, sum(ca) tca FROM bins),
+         ps AS (
+           SELECT round(sum(CASE WHEN ce > 0 AND ca > 0
+                            THEN (ca/tca - ce/tce) * ln((ca/tca)/(ce/tce))
+                            ELSE 0 END), 6) AS psi,
+                  count(*)::BIGINT AS n_bins,
+                  sum(CASE WHEN ce > 0 AND ca > 0
+                           AND (ee + ea) > 0
+                           AND (ce - ee + ca - ea) > 0
+                           AND abs((ee/ce - ea/ca)
+                               / sqrt(((ee+ea)/(ce+ca))
+                                      * (1 - (ee+ea)/(ce+ca))
+                                      * (1/ce + 1/ca)))
+                             > 1.9599639845400545
+                           THEN 1 ELSE 0 END)::BIGINT AS n_significant
+           FROM bins, bt),
+         gp AS (SELECT c, p, sum(y)::DOUBLE ev,
+                       (count(*) - sum(y))::DOUBLE ne
+                FROM sb GROUP BY c, p),
+         gw AS (
+           SELECT c, p, ev, ne,
+                  coalesce(sum(ne) OVER (PARTITION BY c ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_ne
+           FROM gp),
+         gt AS (SELECT c, sum(ev) tev, sum(ne) tne2 FROM gp GROUP BY c),
+         g AS (
+           SELECT gw.c,
+                  round(2.0 * sum(ev * (cum_ne + ne/2))
+                        / (max(tev) * max(tne2)) - 1.0, 6) AS gini
+           FROM gw JOIN gt ON gw.c = gt.c GROUP BY gw.c)
+         SELECT ps.psi AS psi,
+                CASE WHEN ps.psi < 0.1 THEN 'Insignificant change'
+                     WHEN ps.psi < 0.25 THEN 'Requires investigation'
+                     ELSE 'Significance change' END AS verdict,
+                ps.n_bins, ps.n_significant,
+                (SELECT gini FROM g WHERE c = 0) AS gini_expected,
+                (SELECT gini FROM g WHERE c = 1) AS gini_actual,
+                '-0.9989917765792892,-0.9958554474378966' AS coefs,
+                '-0.6896991597712958' AS intercept,
+                '-0.013764718346404024,-0.010336983181281074,-0.007854645254088282,-0.006240857530362515,-0.0022215789139070873,0.002346351785808375,0.009339431921953368,0.010971091049042654,0.01614307518244506'
+                  AS score_splits
+         FROM ps""",
 
     // pinned categorical sketch solve: the solved category->bin
     // grouping replayed as an IN-list CASE

@@ -30,6 +30,10 @@ object Scorecard {
 
   def fit(df: DataFrame, variables: Seq[String], yCol: String,
           binningConfig: BinningConfig = BinningConfig(),
+          /** Per-variable binning overrides (`binning_fit_params`,
+            * `scorecard.py:219-224`) — e.g. pinned user splits per
+            * variable. */
+          varOverrides: Map[String, BinningConfig] = Map.empty,
           selection: BinningProcess.Selection = BinningProcess.Selection(),
       scaling: ScalingConfig = ScalingConfig(),
       target: String = "binary",
@@ -45,6 +49,7 @@ object Scorecard {
     val process = BinningProcess.fit(df, variables, yCol,
                                      targetType = "binary",
                                      config = binningConfig,
+                                     varOverrides = varOverrides,
                                      selection = selection)
     val selected = process.selectedVariables.toSeq
     require(selected.nonEmpty, "no variables survive selection criteria")

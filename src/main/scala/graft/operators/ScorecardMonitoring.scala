@@ -39,6 +39,10 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
     splitsCache
   }
 
+  /** The fitted score-bin splits, once any report has run (None before).
+    * Exposed for verification/replay. */
+  def fittedScoreSplits: Option[Array[Double]] = Option(splitsCache)
+
   private def computeScoreBins(expected: DataFrame): Array[Double] = {
     val sc = scorecard.scoreColumn()
     psiMethod match {
