@@ -286,7 +286,43 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          /** Edge budget for the driver union-find fast
+                            * path: near-dup edges are VERIFIED pairs —
+                            * tiny relative to the corpus — so most dedup
+                            * runs resolve components in one bounded
+                            * collect instead of one Spark job per
+                            * propagation round. Distributed min-label
+                            * propagation handles edge sets beyond the
+                            * budget (tests pass 0 to force it). */
+                          driverEdgeBudget: Int = 5000000): DataFrame = {
+    val probe =
+      if (driverEdgeBudget <= 0) Array.empty[org.apache.spark.sql.Row]
+      else pairs.select(col(idA).cast("long").as("src"),
+                        col(idB).cast("long").as("dst"))
+        .limit(driverEdgeBudget + 1).collect()
+    if (driverEdgeBudget > 0 && probe.length <= driverEdgeBudget) {
+      // driver union-find: O(E alpha) with path compression
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      probe.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val ids = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "comp")
+    }
     val sym = pairs.select(col(idA).cast("long").as("src"),
                            col(idB).cast("long").as("dst"))
       .union(pairs.select(col(idB).cast("long").as("src"),

@@ -363,11 +363,16 @@ class PipelineQualitySpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
                     (10L, 11L), (11L, 12L), (10L, 12L),
                     (20L, 21L)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 5L).forall(comps(_) == 1L), comps)
-    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L), comps)
-    assert(Seq(20L, 21L).forall(comps(_) == 20L), comps)
-    assert(comps.size == 10)
+    // both paths must agree: driver union-find (default budget) and the
+    // distributed min-label propagation (budget 0 forces it)
+    Seq(5000000, 0).foreach { budget =>
+      val comps = Dedup.connectedComponents(pairs,
+          driverEdgeBudget = budget).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 5L).forall(comps(_) == 1L), comps)
+      assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L), comps)
+      assert(Seq(20L, 21L).forall(comps(_) == 20L), comps)
+      assert(comps.size == 10)
+    }
   }
 }
