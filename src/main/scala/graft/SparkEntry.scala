@@ -1013,8 +1013,11 @@ object SparkEntry {
         BinningConfig(name = "x", gamma = 2.0,
                       outlierDetector = Some("zscore"),
                       // mergeable-sketch medians: the 100 TB path (exact
-                      // median is a single-buffer global sort)
-                      outlierParams = Map("approx" -> true)))
+                      // median is a single-buffer global sort); the
+                      // already-derived stats pass through so the fit
+                      // does not repeat the two percentile jobs
+                      outlierParams = Map("approx" -> true,
+                                          "med" -> med, "mad" -> mad)))
       val sp = fitted.splits
       li.where(!(abs(lit(0.6745) * (x - lit(med)) / lit(mad)) > 3.5))
         .groupBy(binIdx(x, sp).cast("long").as("bin"))

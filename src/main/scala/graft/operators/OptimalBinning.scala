@@ -140,8 +140,16 @@ object OptimalBinning {
               method = p.get("method").map(_.toString).getOrElse("ETI"))
               .support(col("x"))
           case "zscore" =>
+            // "med"/"mad" in outlierParams skip the stats jobs (caller
+            // already derived them, e.g. for oracle pinning)
+            val pre = (p.get("med"), p.get("mad")) match {
+              case (Some(m: Number), Some(d: Number)) =>
+                Some((m.doubleValue(), d.doubleValue()))
+              case _ => None
+            }
             Outliers.fitZScore(cleanDf, "x", num("threshold", 3.5),
-              approx = p.get("approx").exists(_ == true))
+              approx = p.get("approx").exists(_ == true),
+              precomputed = pre)
           case "yquantile" =>
             Outliers.fitYQuantile(cleanDf, "x", "y",
               detector = p.get("detector").map(_.toString)

@@ -88,10 +88,15 @@ object Outliers {
     * distributed two-sketch route for very large inputs.
     */
   def fitZScore(df: DataFrame, xCol: String, threshold: Double = 3.5,
-                approx: Boolean = false): Column = {
+                approx: Boolean = false,
+                /** Precomputed (median, MAD) — skips both stats jobs
+                  * when the caller already derived them (e.g. to pin
+                  * them for an external verification replay). */
+                precomputed: Option[(Double, Double)] = None): Column = {
     val x = col(xCol).cast(DoubleType)
     val (med, mad) =
-      if (approx) {
+      if (precomputed.isDefined) precomputed.get
+      else if (approx) {
         def med1(c: Column): Double =
           df.select(percentile_approx(c, lit(0.5), lit(10000))
             .cast(DoubleType)).head.getDouble(0)
