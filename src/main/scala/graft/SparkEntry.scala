@@ -39,6 +39,22 @@ object SparkEntry {
       when(x < splits(i), lit(i)).otherwise(acc)
     }
 
+  /** Pin a solver-derived vector for oracle literals: 8 significant
+    * digits plus a vector-relative zero floor. Distributed float sums
+    * carry ~1e-12 relative accumulation-order noise that varies with
+    * the partition count, so full-precision pins would not reproduce
+    * across Spark configurations; 8 digits is far above the noise and
+    * far below every rounding threshold the value outputs use. The
+    * floor zeroes coefficients that are pure noise around an active
+    * constraint (e.g. a monotone QP slope of ~1e-15). */
+  private def pinVec(vs: Array[Double]): Array[Double] = {
+    val floor = vs.map(math.abs).max * 1e-11
+    vs.map { v =>
+      if (math.abs(v) <= floor) 0.0
+      else BigDecimal(v).round(new java.math.MathContext(8)).toDouble
+    }
+  }
+
   /** Flagship: full optimal-binning fit (CART prebinning + DP solve) on
     * sf0.001 lineitem, returning the binning table. */
   def entry(spark: SparkSession): DataFrame = {
@@ -982,11 +998,12 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
       val pw = PWBinning.fitContinuous(li, "l_quantity", "l_extendedprice",
                                        BinningConfig(name = "x"))
-      val cv = pw.curve
+      // predictions rebuilt from the PINNED curve (see q_pw_transform)
+      val cv = pw.curve.copy(coefs = pw.curve.coefs.map(pinVec))
       li.agg(count(lit(1)).as("n"),
              // 4 decimals: 5e4-magnitude means put the 6th decimal
              // inside cross-engine averaging noise
-             round(avg(pw.predictColumn(col("l_quantity"))), 4)
+             round(avg(cv.predict(col("l_quantity"))), 4)
                .as("avg_pred"),
              round(avg(col("l_extendedprice")), 4).as("avg_actual"))
         .withColumn("curve", lit(
@@ -1064,14 +1081,18 @@ object SparkEntry {
       // one fused aggregate job for psi + tests + gini/ks
       val st = mon.stabilityStats(expected, actual, "y")
       import s.implicits._
+      // pins at 8 significant digits (pinVec): stable under
+      // partitioning-order float noise; the rounded literals move the
+      // replayed scores by ~1e-9, far from every score-bin boundary
+      val pc = pinVec(sc.coefficients :+ sc.estimatorIntercept)
       Seq((scale6(st.psiTotal), Monitoring.psiVerdict(st.psiTotal),
            st.tests.length.toLong,
            st.tests.count(t => t._5 < 0.05).toLong,
            scale6(st.performance("gini_expected")),
            scale6(st.performance("gini_actual")),
-           sc.coefficients.mkString(","),
-           sc.estimatorIntercept.toString,
-           mon.fittedScoreSplits.map(_.mkString(",")).getOrElse("")))
+           pc.init.mkString(","), pc.last.toString,
+           mon.fittedScoreSplits.map(sp => pinVec(sp).mkString(","))
+             .getOrElse("")))
         .toDF("psi", "verdict", "n_bins", "n_significant",
               "gini_expected", "gini_actual", "coefs", "intercept",
               "score_splits")
@@ -1127,18 +1148,42 @@ object SparkEntry {
       val li = liTarget(T(s, dir, "lineitem"))
       val pw = PWBinning.fit(li, "l_extendedprice", "y",
                              BinningConfig(name = "x"))
-      val cv = pw.curve
+      // the raw truncated-power coefficients are collinear (knot deltas
+      // ~1e-11 carry ~1e-5 relative accumulation noise), but the curve
+      // itself is stable — so pin it in PREDICTION space: knot values +
+      // per-segment slopes (partial coefficient sums, noise-cancelling),
+      // and rebuild the piecewise-linear predictor from those pins so
+      // the oracle's literal replay is term-for-term identical
+      val c = pw.curve.coefs(0)
+      val t = pw.curve.splits
+      require(pw.curve.degree == 1 && pw.curve.continuous)
+      def predAt(v: Double): Double =
+        c(0) + c(1) * v +
+          t.indices.map(j => c(2 + j) * math.max(0.0, v - t(j))).sum
+      val vs = pinVec(t.map(predAt))
+      val slopes = pinVec(
+        (0 to t.length).map(m => c(1) + (0 until m).map(j => c(2 + j)).sum)
+          .toArray)
+      def pred(x: Column): Column = {
+        val k = t.length
+        val last = lit(vs(k - 1)) + lit(slopes(k)) * (x - lit(t(k - 1)))
+        val mids = (1 until k).foldRight(last) { (m, acc) =>
+          when(x < t(m),
+               lit(vs(m - 1)) + lit(slopes(m)) * (x - lit(t(m - 1))))
+            .otherwise(acc)
+        }
+        val lin = when(x < t(0),
+                       lit(vs(0)) + lit(slopes(0)) * (x - lit(t(0))))
+          .otherwise(mids)
+        least(greatest(lin, lit(pw.lb)), lit(pw.ub))
+      }
       li.agg(count(lit(1)).as("n"),
-             round(avg(pw.predictColumn(col("l_extendedprice"))), 6)
-               .as("avg_pred"),
-             round(min(pw.predictColumn(col("l_extendedprice"))), 6)
-               .as("min_pred"),
-             round(max(pw.predictColumn(col("l_extendedprice"))), 6)
-               .as("max_pred"))
+             round(avg(pred(col("l_extendedprice"))), 6).as("avg_pred"),
+             round(min(pred(col("l_extendedprice"))), 6).as("min_pred"),
+             round(max(pred(col("l_extendedprice"))), 6).as("max_pred"))
         .withColumn("curve", lit(
-          cv.splits.mkString(",") + ";" +
-          cv.coefs.map(_.mkString(",")).mkString("|") + ";" +
-          pw.lb + "," + pw.ub))
+          t.mkString(",") + ";" + vs.mkString(",") + ";" +
+          slopes.mkString(",") + ";" + pw.lb + "," + pw.ub))
     }),
 
     "q_pw_monotone" -> ((s, dir) => {
@@ -1150,11 +1195,13 @@ object SparkEntry {
       val pw = PWBinning.fitContinuous(li, "l_quantity",
         "l_extendedprice", BinningConfig(name = "x"),
         objective = "huber", monotonicTrend = Some("ascending"))
-      val cv = pw.curve
+      // predictions rebuilt from the PINNED curve (see q_pw_transform);
+      // the pin's zero floor also collapses the QP's ~1e-15 noise slope
+      // around the active monotonicity constraint to an exact 0
+      val cv = pw.curve.copy(coefs = pw.curve.coefs.map(pinVec))
       import s.implicits._
       (5 to 45 by 5).map(_.toDouble).toDF("x")
-        .select(col("x"), round(pw.predictColumn(col("x")), 6)
-          .as("pred"))
+        .select(col("x"), round(cv.predict(col("x")), 6).as("pred"))
         .withColumn("curve", lit(
           cv.splits.mkString(",") + ";" +
           cv.coefs.map(_.mkString(",")).mkString("|")))
@@ -1188,12 +1235,17 @@ object SparkEntry {
                                         maxChanges = 2,
                                         nCounterfactuals = 1)
       import s.implicits._
+      // coefficients/intercept/target pinned at 8 significant digits
+      // (pinVec): partitioning-order float noise cannot flip the pins,
+      // and the rounded literals shift the replayed probability by
+      // ~1e-9 — far inside the 6-decimal output rounding
+      val pc = pinVec(sc.coefficients :+ sc.estimatorIntercept)
       cfs.map { cf =>
         val finalBins = sc.selected.toSeq
           .map(v => cf.changes.getOrElse(v, bins(v)))
         (cf.nChanges.toLong, scale6(cf.probability),
-         finalBins.mkString(","), sc.coefficients.mkString(","),
-         sc.estimatorIntercept.toString, target.toString)
+         finalBins.mkString(","), pc.init.mkString(","),
+         pc.last.toString, pinVec(Array(target)).head.toString)
       }.toDF("n_changes", "probability", "cf_bins", "coefs",
              "intercept", "target")
     }),
@@ -1901,15 +1953,15 @@ object SparkEntry {
            FROM b, tot GROUP BY bq, te, tne)
          SELECT 1::BIGINT AS n_changes,
                 round(1 / (1 + exp(-(
-                  (-0.9989917765792892)
+                  (-0.99899178)
                     * (SELECT woe FROM wep WHERE bin = 3)
-                  + (-0.9958554474378966)
+                  + (-0.99585545)
                     * (SELECT woe FROM wq WHERE bin = 0)
-                  + (-0.6896991597712958)))), 6) AS probability,
+                  + (-0.68969916)))), 6) AS probability,
                 '3,0' AS cf_bins,
-                '-0.9989917765792892,-0.9958554474378966' AS coefs,
-                '-0.6896991597712958' AS intercept,
-                '0.337592025618602' AS target""",
+                '-0.99899178,-0.99585545' AS coefs,
+                '-0.68969916' AS intercept,
+                '0.33759203' AS target""",
 
     // pinned stability report: WoEs from data at pinned splits; solved
     // coefficients + cart score-bin splits as literals; PSI, z-test
@@ -1939,24 +1991,24 @@ object SparkEntry {
            FROM b, tot GROUP BY bq, te, tne),
          scored AS (
            SELECT b.c, b.y,
-                  (-0.9989917765792892) * wep.woe
-                    + (-0.9958554474378966) * wq.woe AS score,
-                  1 / (1 + exp(-((-0.9989917765792892) * wep.woe
-                                 + (-0.9958554474378966) * wq.woe
-                                 + (-0.6896991597712958)))) AS p
+                  (-0.99899178) * wep.woe
+                    + (-0.99585545) * wq.woe AS score,
+                  1 / (1 + exp(-((-0.99899178) * wep.woe
+                                 + (-0.99585545) * wq.woe
+                                 + (-0.68969916)))) AS p
            FROM b JOIN wep ON b.bep = wep.bin
                   JOIN wq ON b.bq = wq.bin),
          sb AS (
            SELECT c, y, p,
-                  CASE WHEN score >= -0.013764718346404024 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.010336983181281074 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.007854645254088282 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.006240857530362515 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.0022215789139070873 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.002346351785808375 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.009339431921953368 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.010971091049042654 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.01614307518244506 THEN 1 ELSE 0 END
+                  CASE WHEN score >= -0.013764718 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.010336983 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.0078546453 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.0062408575 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= -0.0022215789 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.0023463518 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.0093394319 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.010971091 THEN 1 ELSE 0 END
+                  + CASE WHEN score >= 0.016143075 THEN 1 ELSE 0 END
                     AS bin
            FROM scored),
          bins AS (
@@ -2004,9 +2056,9 @@ object SparkEntry {
                 ps.n_bins, ps.n_significant,
                 (SELECT gini FROM g WHERE c = 0) AS gini_expected,
                 (SELECT gini FROM g WHERE c = 1) AS gini_actual,
-                '-0.9989917765792892,-0.9958554474378966' AS coefs,
-                '-0.6896991597712958' AS intercept,
-                '-0.013764718346404024,-0.010336983181281074,-0.007854645254088282,-0.006240857530362515,-0.0022215789139070873,0.002346351785808375,0.009339431921953368,0.010971091049042654,0.01614307518244506'
+                '-0.99899178,-0.99585545' AS coefs,
+                '-0.68969916' AS intercept,
+                '-0.013764718,-0.010336983,-0.0078546453,-0.0062408575,-0.0022215789,0.0023463518,0.0093394319,0.010971091,0.016143075'
                   AS score_splits
          FROM ps""",
 
@@ -2084,53 +2136,60 @@ object SparkEntry {
     "q_pw_transform" ->
       """WITH p AS (
            SELECT least(greatest(
-                    0.3318395644204207
-                    + 4.2547535056308685E-8 * l_extendedprice
-                    + -3.774878292197856E-11
-                      * greatest(0.0, l_extendedprice - 6372.067953)
-                    + 1.0547225907285169E-10
-                      * greatest(0.0, l_extendedprice - 17458.298343000002)
-                    + 1.0714925660301585E-10
-                      * greatest(0.0, l_extendedprice - 57628.967897)
-                    + -9.483307410489476E-12
-                      * greatest(0.0, l_extendedprice - 65134.293823)
-                    + 5.3380123968900854E-11
-                      * greatest(0.0, l_extendedprice - 84392.06492300001)
-                    + 2.223083738944805E-11
-                      * greatest(0.0, l_extendedprice - 97653.902967),
-                    1.0E-6), 0.999999) AS pred
+             CASE
+               WHEN l_extendedprice < 6372.067953
+                 THEN 0.33211068
+                      + 4.2547536E-8 * (l_extendedprice - 6372.067953)
+               WHEN l_extendedprice < 17458.298343000002
+                 THEN 0.33211068
+                      + 4.2509786E-8 * (l_extendedprice - 6372.067953)
+               WHEN l_extendedprice < 57628.967897
+                 THEN 0.33258195
+                      + 4.2615259E-8 * (l_extendedprice - 17458.298343000002)
+               WHEN l_extendedprice < 65134.293823
+                 THEN 0.33429384
+                      + 4.2722408E-8 * (l_extendedprice - 57628.967897)
+               WHEN l_extendedprice < 84392.06492300001
+                 THEN 0.33461448
+                      + 4.2712924E-8 * (l_extendedprice - 65134.293823)
+               WHEN l_extendedprice < 97653.902967
+                 THEN 0.33543704
+                      + 4.2766305E-8 * (l_extendedprice - 84392.06492300001)
+               ELSE 0.3360042
+                    + 4.2788535E-8 * (l_extendedprice - 97653.902967)
+             END, 1.0E-6), 0.999999) AS pred
            FROM lineitem)
          SELECT count(*)::BIGINT AS n, round(avg(pred), 6) AS avg_pred,
                 round(min(pred), 6) AS min_pred,
                 round(max(pred), 6) AS max_pred,
-                '6372.067953,17458.298343000002,57628.967897,65134.293823,84392.06492300001,97653.902967;0.3318395644204207,4.2547535056308685E-8,-3.774878292197856E-11,1.0547225907285169E-10,1.0714925660301585E-10,-9.483307410489476E-12,5.3380123968900854E-11,2.223083738944805E-11;1.0E-6,0.999999'
+                '6372.067953,17458.298343000002,57628.967897,65134.293823,84392.06492300001,97653.902967;0.33211068,0.33258195,0.33429384,0.33461448,0.33543704,0.3360042;4.2547536E-8,4.2509786E-8,4.2615259E-8,4.2722408E-8,4.2712924E-8,4.2766305E-8,4.2788535E-8;1.0E-6,0.999999'
                   AS curve
          FROM p""",
 
     "q_cont_pw" ->
       """WITH p AS (
-           SELECT 52912.802660871625
-                  + 4.904815899992396 * l_quantity
-                  + -4.904815899992399 * greatest(0.0, l_quantity - 23.5)
-                  + 589.5193914692201 * greatest(0.0, l_quantity - 47.5)
+           SELECT 52912.803
+                  + 4.9048159 * l_quantity
+                  + -4.9048159 * greatest(0.0, l_quantity - 23.5)
+                  + 589.51939 * greatest(0.0, l_quantity - 47.5)
                     AS pred,
                   l_extendedprice AS t
            FROM lineitem)
          SELECT count(*)::BIGINT AS n, round(avg(pred), 4) AS avg_pred,
                 round(avg(t), 4) AS avg_actual,
-                '23.5,47.5;52912.802660871625,4.904815899992396,-4.904815899992399,589.5193914692201'
+                '23.5,47.5;52912.803,4.9048159,-4.9048159,589.51939'
                   AS curve
          FROM p""",
 
     "q_pw_monotone" ->
       """SELECT (5.0 * g)::DOUBLE AS x,
-                round(52989.39059292516
-                      + 4.6031400541700506E-15 * (5.0 * g)
-                      + 12.6913724434282
+                round(52989.391
+                      + 0.0 * (5.0 * g)
+                      + 12.691372
                         * greatest(0.0, 5.0 * g - 23.5)
-                      + 247.24871169472462
+                      + 247.24871
                         * greatest(0.0, 5.0 * g - 47.5), 6) AS pred,
-                '23.5,47.5;52989.39059292516,4.6031400541700506E-15,12.6913724434282,247.24871169472462'
+                '23.5,47.5;52989.391,0.0,12.691372,247.24871'
                   AS curve
          FROM range(1, 10) t(g) ORDER BY x""",
 

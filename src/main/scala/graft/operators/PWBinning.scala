@@ -219,6 +219,10 @@ object PWBinning {
       .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("rate"))
       .collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      // collect order depends on the shuffle partition count; the
+      // driver-side solves accumulate in array order, so sort to keep
+      // the fitted coefficients identical across Spark configurations
+      .sortBy(_._1)
   }
 
   // ------------------------------------------------------------------

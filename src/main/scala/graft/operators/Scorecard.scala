@@ -81,6 +81,11 @@ object Scorecard {
     val probe: Array[org.apache.spark.sql.Row] =
       if (comboProduct > 1e9) Array.empty
       else grouped.limit(MaxCombos + 1).collect()
+        // collect order depends on the shuffle partition count; the
+        // driver IRLS/WLS accumulates in row order, so impose a total
+        // order to keep coefficients identical across configurations
+        .sortBy(r => (0 to selected.size)
+          .map(i => numericValue(r.get(i)).toString).mkString("|"))
     val oversized = comboProduct > 1e9 || probe.length > MaxCombos
     val compact =
       if (oversized) xt.withColumn("w", lit(1.0))
@@ -277,6 +282,9 @@ object Scorecard {
           .agg(avg(col("__y")).as("__ybar"),
                count(lit(1)).cast("double").as("__w"))
           .collect()
+          // deterministic accumulation order (see the binary fit)
+          .sortBy(r => (0 until p).map(i => r.getDouble(i).toString)
+            .mkString("|"))
         driverGlmFit(compact, p, "continuous")
       } else {
         val assembler = new VectorAssembler()
