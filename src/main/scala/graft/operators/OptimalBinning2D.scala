@@ -282,7 +282,8 @@ object OptimalBinning2D {
         }
         monotonicTilingSolve(mx, my, leafIv, er,
                              config.monotonicTrendX, config.monotonicTrendY)
-      case "grid" => tilingSolve(mx, my, leafIv, config.exactCellLimit)
+      case "grid" => tilingSolve(mx, my, leafIv, config.exactCellLimit,
+                              refinementOptimal = true)
       case other =>
         throw new IllegalArgumentException(
           s"strategy must be grid or cart, got $other")
@@ -365,11 +366,44 @@ object OptimalBinning2D {
     */
   private[graft] def tilingSolve(mx: Int, my: Int,
                                  leafVal: (Int, Int, Int, Int) => Option[Double],
-                                 exactCellLimit: Int = 56)
-      : (String, Array[(Int, Int, Int, Int, Double)]) =
-    if (mx * my <= math.min(exactCellLimit, 64))
+                                 exactCellLimit: Int = 56,
+                                 refinementOptimal: Boolean = false)
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
+    val nCells = mx * my
+    // Both fit objectives are superadditive under refinement — IV/JS by
+    // the log-sum inequality (f-divergences), the continuous |mean - mu|
+    // by the convex-combination triangle inequality — so when EVERY 1x1
+    // cell individually satisfies the bin constraints, the all-singletons
+    // tiling is provably optimal and no search is needed. Callers whose
+    // leafVal has that structure pass refinementOptimal = true;
+    // arbitrary objectives (tests, future callers) keep the full search.
+    if (refinementOptimal) {
+      val singles = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Double)]
+      var allFeasible = true
+      var y = 0
+      while (allFeasible && y < my) {
+        var x = 0
+        while (allFeasible && x < mx) {
+          leafVal(x, x, y, y) match {
+            case Some(v) => singles += ((x, x, y, y, v))
+            case None => allFeasible = false
+          }
+          x += 1
+        }
+        y += 1
+      }
+      if (allFeasible) return ("OPTIMAL", singles.toArray)
+    }
+    if (nCells <= math.min(exactCellLimit, 64))
       exactTilingSolve(mx, my, leafVal)
+    else if (nCells <= 128)
+      // budgeted exact attempt over the full rectangulation space (the
+      // CP's search space with its time_limit spirit); guillotine DP if
+      // the state space blows the budget
+      exactTilingSolve128(mx, my, leafVal)
+        .getOrElse(guillotineSolve(mx, my, leafVal))
     else guillotineSolve(mx, my, leafVal)
+  }
 
   /** Exact maximum-value rectangle TILING via first-gap branch and bound
     * with full memoization on the covered-cell bitmask: the first
@@ -441,14 +475,119 @@ object OptimalBinning2D {
     ("OPTIMAL", out.toArray)
   }
 
+  /** Budgeted exact tiling for 65..128-cell grids: the same first-gap
+    * memoized search as [[exactTilingSolve]] over a two-word (128-bit)
+    * occupancy mask. Returns None when the memo table exceeds the node
+    * budget — the reachable-mask space grows exponentially with grid
+    * area, so large loosely-constrained grids bail out and the caller
+    * falls back to the guillotine DP (mirrors the reference CP's
+    * `time_limit` bail-out on the same space, `binning_2d.py:362`).
+    */
+  private[graft] def exactTilingSolve128(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      nodeBudget: Int = 2000000)
+      : Option[(String, Array[(Int, Int, Int, Int, Double)])] = {
+    val nCells = mx * my
+    require(nCells <= 128, s"grid has $nCells cells; limit 128")
+    val fullLo = if (nCells >= 64) -1L else (1L << nCells) - 1
+    val fullHi =
+      if (nCells <= 64) 0L
+      else if (nCells == 128) -1L
+      else (1L << (nCells - 64)) - 1
+    // contiguous bits a..b inclusive of a 128-bit word, as (lo, hi)
+    @inline def rangeLo(a: Int, b: Int): Long =
+      if (a >= 64 || b < a) 0L
+      else {
+        val hiB = math.min(b, 63)
+        (((1L << (hiB - a)) << 1) - 1) << a // avoids 1L<<64 overflow
+      }
+    @inline def rangeHi(a: Int, b: Int): Long =
+      if (b < 64) 0L
+      else {
+        val loA = math.max(a, 64) - 64; val hiB = b - 64
+        (((1L << (hiB - loA)) << 1) - 1) << loA
+      }
+    // memo: mask -> (best completion value, rect covering the first gap)
+    val memo =
+      mutable.HashMap.empty[(Long, Long), (Double, (Int, Int, Int, Int))]
+    var exceeded = false
+
+    def best(lo: Long, hi: Long): (Double, (Int, Int, Int, Int)) = {
+      if (lo == fullLo && hi == fullHi) return (0.0, null)
+      memo.getOrElseUpdate((lo, hi), {
+        if (memo.size > nodeBudget) { exceeded = true; return (0.0, null) }
+        val gapLo = ~lo & fullLo
+        val gap =
+          if (gapLo != 0) java.lang.Long.numberOfTrailingZeros(gapLo)
+          else 64 + java.lang.Long.numberOfTrailingZeros(~hi & fullHi)
+        val gx = gap % mx
+        val gy = gap / mx
+        var bestV = Double.NegativeInfinity
+        var bestR: (Int, Int, Int, Int) = null
+        var x2 = gx
+        var maxX2 = mx - 1
+        while (x2 <= maxX2 && !exceeded) {
+          val cb = gy * mx + x2
+          val cellSet =
+            if (cb < 64) (lo & (1L << cb)) != 0
+            else (hi & (1L << (cb - 64))) != 0
+          if (cellSet) {
+            maxX2 = x2 - 1
+          } else {
+            var rmLo = 0L; var rmHi = 0L
+            var y2 = gy
+            var ok = true
+            while (ok && y2 < my && !exceeded) {
+              val a = y2 * mx + gx; val b = y2 * mx + x2
+              val rowLo = rangeLo(a, b); val rowHi = rangeHi(a, b)
+              if ((lo & rowLo) != 0 || (hi & rowHi) != 0) ok = false
+              else {
+                rmLo |= rowLo; rmHi |= rowHi
+                leafVal(gx, x2, gy, y2).foreach { v =>
+                  val rest = best(lo | rmLo, hi | rmHi)._1
+                  if (rest > Double.NegativeInfinity && v + rest > bestV) {
+                    bestV = v + rest; bestR = (gx, x2, gy, y2)
+                  }
+                }
+                y2 += 1
+              }
+            }
+          }
+          x2 += 1
+        }
+        (bestV, bestR)
+      })
+    }
+
+    val (obj, _) = best(0L, 0L)
+    if (exceeded) return None
+    if (obj == Double.NegativeInfinity)
+      return Some(("INFEASIBLE", Array.empty))
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Double)]
+    var lo = 0L; var hi = 0L
+    while (lo != fullLo || hi != fullHi) {
+      val (_, r) = best(lo, hi)
+      val (x1, x2, y1, y2) = r
+      out += ((x1, x2, y1, y2, leafVal(x1, x2, y1, y2).get))
+      var yy = y1
+      while (yy <= y2) {
+        val a = yy * mx + x1; val b = yy * mx + x2
+        lo |= rangeLo(a, b); hi |= rangeHi(a, b)
+        yy += 1
+      }
+    }
+    Some(("OPTIMAL", out.toArray))
+  }
+
   /** Exact monotone-constrained tiling: first-gap DFS branch-and-bound
     * WITHOUT mask memoization (the trend couples every placed rectangle
     * pair sharing a boundary, so the optimal completion is not a pure
     * function of the mask). Adjacent selected pairs must be STRICTLY
     * monotone in event rate along each constrained axis, matching the
     * reference CP's forbidden-pair encoding (`cp_2d.py:137-185`,
-    * min_diff = 0). Pruned by an optimistic per-cell value bound; exact
-    * for the <= 30-cell grids the default config produces.
+    * min_diff = 0). Pruned by an optimistic per-cell value bound and a
+    * hard node budget; exact whenever the search completes (any grid up
+    * to 64 cells — the default config produces 25).
     */
   private[graft] def monotonicTilingSolve(mx: Int, my: Int,
       leafVal: (Int, Int, Int, Int) => Option[Double],
@@ -456,10 +595,12 @@ object OptimalBinning2D {
       trendX: Option[String], trendY: Option[String])
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
-    require(nCells <= 30,
-            s"monotonic 2D needs a grid of <= 30 cells; got $nCells " +
+    // the node budget below bounds runtime; beyond 64 cells the Long
+    // occupancy mask runs out of bits
+    require(nCells <= 64,
+            s"monotonic 2D needs a grid of <= 64 cells; got $nCells " +
             "(lower max_n_prebins_x/y)")
-    val full = (1L << nCells) - 1
+    val full = if (nCells == 64) -1L else (1L << nCells) - 1
     @inline def bit(ix: Int, iy: Int): Int = iy * mx + ix
 
     // optimistic bound: best value-per-cell over rectangles covering
@@ -713,7 +854,8 @@ object OptimalBinning2D {
       case "cart" =>
         cartSolve(mx, my, leafNorm,
                   config.maxNPrebinsX * config.maxNPrebinsY)
-      case _ => tilingSolve(mx, my, leafNorm, config.exactCellLimit)
+      case _ => tilingSolve(mx, my, leafNorm, config.exactCellLimit,
+                            refinementOptimal = true)
     }
     val rects =
       if (status == "OPTIMAL")

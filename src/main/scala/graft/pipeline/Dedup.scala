@@ -150,7 +150,8 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleLen: Int = 5,
                         starThreshold: Int = 256,
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false,
+                        keepBand: Boolean = true): DataFrame = {
     val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
                                   shingleLen, portable)
     val buckets = banded.groupBy("band", "bh")
@@ -163,12 +164,16 @@ object Dedup {
     val starPairs = transform(
       slice(col("ids"), lit(2), size(col("ids")) - 1),
       b => struct(element_at(col("ids"), 1).as("id_a"), b.as("id_b")))
-    buckets
+    val pairs = buckets
       .select(col("band"),
               explode(when(size(col("ids")) > starThreshold, starPairs)
                         .otherwise(allPairs)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("band"))
-      .distinct()
+    // keepBand=false dedupes straight to (id_a, id_b) — one distinct
+    // shuffle instead of a band-level distinct plus a re-distinct in the
+    // caller
+    if (keepBand) pairs.distinct()
+    else pairs.select("id_a", "id_b").distinct()
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
@@ -226,18 +231,25 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    jaccardNgram: Int = 3,
                    portable: Boolean = false): DataFrame = {
-    // the candidate subtree feeds both the member-id semi-join and the
-    // pair join; its bucket shuffle is identical in both branches, so
-    // ReusedExchange materializes it once
+    // the candidate subtree feeds the member-id semi-join AND the pair
+    // join, and the member-shingle projection feeds both join sides;
+    // without materialization Spark re-derives each branch from the
+    // corpus scan (7 scans, no ReusedExchange — the projections above
+    // the shuffles differ). Both intermediates are dup-suspect-sized
+    // (a small fraction of the corpus), so MEMORY_AND_DISK
+    // materialization is the scale-correct trade: LSH runs once,
+    // shingling runs once, and the corpus is scanned 2x total.
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands,
-                                  portable = portable)
-      .select("id_a", "id_b").distinct()
-    val candIds = cands.select(col("id_a").as(idCol))
-      .union(cands.select(col("id_b").as(idCol))).distinct()
+                                  portable = portable, keepBand = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("id"),
               split(normalizeText(col(textCol)), " ").as("__tok"))
       .select(col("id"), wordShinglesOf(col("__tok"), jaccardNgram).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))

@@ -221,6 +221,77 @@ class AdvancedBinningSpec extends AnyFunSuite {
            math.abs(l2.head._5 - 42.0 * 42.0) < 1e-9)
   }
 
+  test("budgeted exact tiling beyond 64 cells: 13x5 pinwheel beats " +
+       "guillotine; parity with the 64-bit solver; budget bail-out") {
+    // 65-cell grid: classic 5-rect pinwheel on the left 5x5 block (four
+    // 2x3 arms + center cell), full-height single-column strips on the
+    // right. No guillotine cut sequence reaches all five pinwheel rects.
+    val pin = Set((0, 1, 0, 2), (2, 4, 0, 1), (3, 4, 2, 4),
+                  (0, 2, 3, 4), (2, 2, 2, 2))
+    def leaf(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+      if (pin((x1, x2, y1, y2))) Some(10.0)
+      else if (x1 == x2 && x1 >= 5 && y1 == 0 && y2 == 4) Some(1.0)
+      else if (x1 == x2 && y1 == y2) Some(0.001)
+      else None
+    // routed through tilingSolve: 65 cells > exactCellLimit takes the
+    // budgeted 128-bit exact path
+    val (st, leaves) = OptimalBinning2D.tilingSolve(13, 5, leaf)
+    assert(st == "OPTIMAL")
+    assert(math.abs(leaves.map(_._5).sum - 58.0) < 1e-9,
+           s"got ${leaves.map(_._5).sum}")
+    assert(pin.subsetOf(leaves.map(l => (l._1, l._2, l._3, l._4)).toSet))
+    val cov = leaves.flatMap { case (x1, x2, y1, y2, _) =>
+      for (i <- x1 to x2; j <- y1 to y2) yield (i, j)
+    }
+    assert(cov.length == 65 && cov.toSet.size == 65)
+    val (sg, lg) = OptimalBinning2D.guillotineSolve(13, 5, leaf)
+    assert(sg == "OPTIMAL" && lg.map(_._5).sum < 58.0 - 1e-9)
+
+    // parity: the 128-bit solver must equal the 64-bit exact solver on
+    // grids both can handle
+    val rnd = new scala.util.Random(23)
+    (1 to 10).foreach { _ =>
+      val cache = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), Option[Double]]
+      def lv(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+        cache.getOrElseUpdate((x1, x2, y1, y2),
+          if (rnd.nextDouble() < 0.15) None else Some(rnd.nextDouble()))
+      val (s64, l64) = OptimalBinning2D.exactTilingSolve(4, 5, lv)
+      val r128 = OptimalBinning2D.exactTilingSolve128(4, 5, lv)
+      assert(r128.isDefined)
+      val (s128, l128) = r128.get
+      assert(s64 == s128)
+      if (s64 == "OPTIMAL")
+        assert(math.abs(l64.map(_._5).sum - l128.map(_._5).sum) < 1e-9)
+    }
+
+    // budget bail-out: a tiny node budget returns None and tilingSolve
+    // still yields a valid (guillotine) partition
+    assert(OptimalBinning2D
+      .exactTilingSolve128(13, 5, leaf, nodeBudget = 5).isEmpty)
+  }
+
+  test("monotone tiling handles grids beyond 30 cells up to the 64-cell " +
+       "Long-mask limit") {
+    // only full-height column strips are feasible; event rate ascends
+    // with x, so the ascending-x trend admits exactly that tiling
+    def colsOnly(my: Int)(x1: Int, x2: Int, y1: Int, y2: Int)
+        : Option[Double] =
+      if (x1 == x2 && y1 == 0 && y2 == my - 1) Some(1.0) else None
+    def er(x1: Int, x2: Int, y1: Int, y2: Int): Double = x1.toDouble
+    for ((mx, my) <- Seq((6, 6), (8, 8))) { // 36 and 64 cells
+      val (st, leaves) = OptimalBinning2D.monotonicTilingSolve(
+        mx, my, colsOnly(my), er, Some("ascending"), None)
+      assert(st == "OPTIMAL", s"$mx x $my: $st")
+      assert(leaves.length == mx)
+      assert(math.abs(leaves.map(_._5).sum - mx) < 1e-9)
+    }
+    // descending trend against ascending rates is infeasible
+    val (sd, _) = OptimalBinning2D.monotonicTilingSolve(
+      6, 6, colsOnly(6), er, Some("descending"), None)
+    assert(sd == "INFEASIBLE")
+  }
+
   test("exact tiling objective dominates guillotine on random grids") {
     val rnd = new scala.util.Random(17)
     (1 to 30).foreach { _ =>
