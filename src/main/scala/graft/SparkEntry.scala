@@ -1316,6 +1316,25 @@ object SparkEntry {
               round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
     }),
 
+    "q_pq_topk" -> ((s, dir) => {
+      // product-quantization ANN with portable deterministic codebooks:
+      // distributed per-subspace encode (argmin over codewords) + ADC
+      // table-lookup scan — corpus vectors become m=4 small codes and
+      // the scan scores via m lookups. All integer/float arithmetic
+      // DuckDB replays bit-exactly — hard oracle for the whole
+      // encode + ADC plan shape
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val res = Similarity.pqTopKPortable(e, queries, "embedding",
+                                          "vec_id", "qid", k = 5,
+                                          dim = 64, m = 4, ksub = 16)
+      res.agg(count(lit(1)).as("n_results"),
+              countDistinct(col("qid")).as("n_queries"),
+              round(avg(round(col("cosine_pq"), 6)), 6)
+                .as("avg_cosine_pq"))
+    }),
+
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
       // (deterministic doc sample so the oracle sees the same payloads)
@@ -2879,6 +2898,73 @@ object SparkEntry {
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
                 round(avg(round(cosine, 6)), 6) AS avg_cosine
+         FROM rk WHERE rank <= 5""",
+
+    // portable PQ: per-subspace Lehmer codebooks (p = 5000 + s*16 + c),
+    // argmin encode with (d2, c) tie-break, ADC dot tables, rank by
+    // approximate cosine — replays Similarity.pqTopKPortable bit-exactly
+    "q_pq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cb AS (
+           SELECT s, c,
+                  [ (((((((5000 + s*16 + c)*1315423911
+                          + (d-1)*2654435761 + 97531) % 2147483647)
+                      * (((5000 + s*16 + c)*1315423911
+                          + (d-1)*2654435761 + 97531) % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 17)] AS ctr
+           FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c)),
+         enc0 AS (
+           SELECT e.vec_id, b.s, b.c,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ (e.emb[b.s*16 + d] - b.ctr[d])
+                      * (e.emb[b.s*16 + d] - b.ctr[d])
+                      FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS d2
+           FROM emb e CROSS JOIN cb b),
+         enc AS (
+           SELECT vec_id AS cid, s, c AS code
+           FROM (SELECT vec_id, s, c,
+                        row_number() OVER (PARTITION BY vec_id, s
+                                           ORDER BY d2, c) AS rn
+                 FROM enc0)
+           WHERE rn = 1),
+         parts AS (
+           SELECT q.vec_id AS qid, en.cid, en.s,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ q.emb[en.s*16 + d] * b.ctr[d]
+                      FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS dot_s,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ b.ctr[d] * b.ctr[d] FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS n2_s
+           FROM enc en
+           JOIN cb b ON b.s = en.s AND b.c = en.code
+           CROSS JOIN (SELECT vec_id, emb FROM emb
+                       WHERE vec_id < 20) q),
+         sc AS (
+           SELECT qid, cid,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(dot_s ORDER BY s)), (a, x) -> a + x) AS dotp,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(n2_s ORDER BY s)), (a, x) -> a + x) AS cn2
+           FROM parts GROUP BY qid, cid),
+         qn AS (
+           SELECT vec_id AS qid,
+                  sqrt(list_dot_product(emb, emb)) AS qnorm
+           FROM emb WHERE vec_id < 20),
+         rk AS (
+           SELECT s.qid, s.cid,
+                  s.dotp / (q.qnorm * sqrt(s.cn2)) AS cosine_pq,
+                  row_number() OVER (PARTITION BY s.qid
+                    ORDER BY s.dotp / (q.qnorm * sqrt(s.cn2)) DESC,
+                             s.cid) AS rank
+           FROM sc s JOIN qn q USING (qid))
+         SELECT count(*) AS n_results,
+                count(DISTINCT qid) AS n_queries,
+                round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq
          FROM rk WHERE rank <= 5""",
 
     // portable SimHash: token hash = (rk131 mod 1e9+7) << 30 | (rk137 mod

@@ -254,6 +254,129 @@ object Similarity {
       .select("qid", "cid", "cosine", "rank")
   }
 
+  /** Product-quantization ANN (ADC scan). The d-dim embedding splits
+    * into `m` subvectors; each is quantized against a `ksub`-codeword
+    * per-subspace codebook, so a corpus vector is stored as `m` small
+    * ints. Queries carry per-subspace DOT TABLES (m x ksub doubles,
+    * computed once per query and broadcast with it); the corpus scan
+    * scores a document with m table lookups — no full-vector arithmetic
+    * on the big side, and the corpus never shuffles. Ranking is
+    * approximate cosine against the PQ-reconstructed corpus vector:
+    * dot_pq / (|q| * sqrt(sum_s |codeword|^2)). At 100 TB this is the
+    * standard memory-bound ANN compression: 64-dim float vectors (256 B)
+    * become m=4 codes (4 B) after a one-off encode pass.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+             idCol: String, qidCol: String, k: Int,
+             m: Int = 4, ksub: Int = 16,
+             maxTrainSample: Int = 20000): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    // ONE bounded hash-sampled scan trains every subspace codebook
+    // (same sampling shape as ivfTopK)
+    val sample = {
+      val s = c.where(pmod(xxhash64(col("cid")), lit(16)) === 0)
+        .select("cemb").limit(maxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      if (s.nonEmpty) s
+      else c.select("cemb").limit(maxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
+    if (sample.isEmpty)
+      return queries.select(col(qidCol).as("qid")).limit(0)
+        .crossJoin(c.select(col("cid")))
+        .withColumn("cosine_pq", lit(0.0d))
+        .withColumn("rank", lit(1))
+        .select("qid", "cid", "cosine_pq", "rank")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      sampleKMeans(sample.map(v => v.slice(s * dsub, (s + 1) * dsub)),
+                   math.min(ksub, sample.length), iters = 10,
+                   seed = 7 + s)
+    }
+    pqScore(c, queries, embCol, qidCol, k, codebooks)
+  }
+
+  /** Deterministic portable PQ codebooks (Lehmer-mix components, like
+    * [[portableCentroids]]): codeword c of subspace s is
+    * `portablePlaneComponent(5000 + s*ksub + c, j)` over j < dsub —
+    * integer arithmetic an external SQL engine replays bit-exactly, so
+    * the oracled driver query can verify the whole encode + ADC plan.
+    */
+  def pqPortableCodebooks(m: Int, ksub: Int, dsub: Int)
+      : Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub, dsub) { (s, c, j) =>
+      graft.functions.VectorExprs.portablePlaneComponent(
+        5000L + s.toLong * ksub + c, j.toLong)
+    }
+
+  /** [[pqTopK]] with the portable deterministic codebooks (no training
+    * scan): same distributed encode + ADC scan. */
+  def pqTopKPortable(corpus: DataFrame, queries: DataFrame,
+                     embCol: String, idCol: String, qidCol: String,
+                     k: Int, dim: Int, m: Int = 4,
+                     ksub: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    pqScore(c, queries, embCol, qidCol, k,
+            pqPortableCodebooks(m, ksub, dim / m))
+  }
+
+  private def pqScore(c: DataFrame, queries: DataFrame, embCol: String,
+                      qidCol: String, k: Int,
+                      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cbLit = array(codebooks.map(cb =>
+      array(cb.map(ctr => array(ctr.map(lit(_)): _*)): _*)): _*)
+    // distributed encode: per subspace, argmin_c ||sub - codeword_c||^2
+    // (ties break to the lower code, matching array_sort on (d2, c))
+    def codeOf(emb: Column): Column =
+      transform(cbLit, (cb, s) =>
+        array_sort(transform(cb, (ctr, ci) =>
+          struct(aggregate(
+                   zip_with(slice(emb, s * lit(dsub) + lit(1), lit(dsub)),
+                            ctr, (a, b) => (a - b) * (a - b)),
+                   lit(0.0d), (acc, v) => acc + v).as("d2"),
+                 ci.as("c"))))(0).getField("c"))
+    val encoded = c.withColumn("code", codeOf(col("cemb")))
+    // codeword squared norms are data-independent driver literals
+    val n2Lit = array(codebooks.map(cb =>
+      array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
+        : _*)): _*)
+    // query side: per-subspace dot tables (m x ksub), computed once per
+    // query row and broadcast — the ADC structure
+    val q = queries
+      .select(col(qidCol).as("qid"),
+              col(embCol).cast("array<double>").as("qemb"))
+      .withColumn("qnorm", norm(col("qemb")))
+      .withColumn("dtab",
+        transform(cbLit, (cb, s) =>
+          transform(cb, ctr => aggregate(
+            zip_with(slice(col("qemb"), s * lit(dsub) + lit(1),
+                           lit(dsub)),
+                     ctr, (a, b) => a * b),
+            lit(0.0d), (acc, v) => acc + v))))
+      .select("qid", "qnorm", "dtab")
+    // scan: m table lookups per (doc, query); corpus side stationary
+    val lookupSum: (Column, Column) => Column = (tab, code) =>
+      aggregate(zip_with(tab, code,
+                         (t, cd) => element_at(t, cd.cast("int") + lit(1))),
+                lit(0.0d), (acc, v) => acc + v)
+    val scored = encoded.crossJoin(broadcast(q))
+      .withColumn("dotp", lookupSum(col("dtab"), col("code")))
+      .withColumn("cn2", lookupSum(n2Lit, col("code")))
+      .withColumn("cosine_pq", col("dotp") / (col("qnorm") * sqrt(col("cn2"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine_pq"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cosine_pq", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

@@ -165,6 +165,55 @@ class PipelineQualitySpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("PQ ANN: trained codebooks recover cluster structure; portable " +
+       "variant is deterministic and structurally sound") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 8 well-separated clusters: PQ codes must keep same-cluster vectors
+    // closer than cross-cluster ones
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val corpus = (0 until 800).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = (0 until 16).map { i =>
+      val c = centers(i % 8)
+      (1000L + i, c.map(v => (v + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val queryDf = queries.toDF("vec_id", "embedding")
+
+    val pq = Similarity.pqTopK(corpusDf, queryDf, "embedding", "vec_id",
+                               "vec_id", k = 5, m = 4, ksub = 16)
+      .collect()
+    // every query returns exactly k ranked results
+    assert(pq.length == 16 * 5)
+    assert(pq.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(3)).sorted.toSeq == (1 to 5).toSeq))
+    // ADC ranking respects cluster membership: the top-5 for query i are
+    // from cluster i % 8 (clusters are far apart, PQ noise is small)
+    val clusterHit = pq.count(r =>
+      (r.getLong(1) % 8) == ((r.getLong(0) - 1000) % 8))
+    assert(clusterHit >= 76, s"cluster hits $clusterHit / 80")
+
+    // portable variant: deterministic across invocations, codes stable
+    val a = Similarity.pqTopKPortable(corpusDf, queryDf, "embedding",
+                                      "vec_id", "vec_id", k = 3,
+                                      dim = 16, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Similarity.pqTopKPortable(corpusDf, queryDf, "embedding",
+                                      "vec_id", "vec_id", k = 3,
+                                      dim = 16, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+    // codebooks themselves are reproducible pure functions
+    val cb1 = Similarity.pqPortableCodebooks(2, 4, 3)
+    val cb2 = Similarity.pqPortableCodebooks(2, 4, 3)
+    assert(cb1.map(_.map(_.toVector).toVector).toVector ==
+           cb2.map(_.map(_.toVector).toVector).toVector)
+  }
+
   test("minhash skew guard: mega-cluster emits linear star pairs") {
     val spark = TestSpark.spark
     import spark.implicits._
