@@ -558,21 +558,15 @@ object SparkEntry {
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
-      // connected components over verified near-dup pairs (canonical
-      // selection step of the dedup pipeline)
-      val d = T(s, dir, "documents").where(col("doc_id") < 200)
-      val sh = d
-        .select(col("doc_id"),
-                split(Dedup.normalizeText(col("text")), " ").as("__tok"))
-        .select(col("doc_id"),
-                Dedup.wordShinglesOf(col("__tok"), 3).as("sh"))
-        .repartition(8)
-      val a = sh.toDF("id_a", "sh_a")
-      val b = sh.toDF("id_b", "sh_b")
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-                Dedup.jaccardArrays(col("sh_a"), col("sh_b")).as("j"))
-        .where(col("j") >= 0.5)
+      // the FULL production dedup chain end-to-end: MinHash-LSH
+      // candidates -> n-gram Jaccard verification -> connected
+      // components (canonical selection step). The oracle replays the
+      // same LSH + verify SQL as q_neardup_pairs, then closes the edge
+      // set with a recursive CTE
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(d, "text", "doc_id",
+        jaccardThreshold = 0.5, numHashes = 32, bands = 8,
+        jaccardNgram = 3, portable = true)
       val comps = Dedup.connectedComponents(pairs)
       comps.groupBy("comp").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
@@ -2488,31 +2482,67 @@ object SparkEntry {
          WHERE jaccard > 0.05 ORDER BY id_a, id_b""",
 
     "q_dedup_clusters" ->
-      // transitive closure of the near-dup pairs via a recursive CTE;
-      // component label = min reachable id (tiny clusters, closed fast)
-      """WITH RECURSIVE norm AS (
+      // the production chain: portable MinHash-LSH candidates + n-gram
+      // Jaccard verification (same CTEs as q_neardup_pairs), then
+      // transitive closure via a recursive CTE; component label = min
+      // reachable id (tiny clusters, closed fast)
+      """WITH RECURSIVE n AS (
            SELECT doc_id,
-                  string_split(regexp_replace(lower(trim(text)),
-                                              '\s+', ' ', 'g'), ' ') AS tok
-           FROM documents WHERE doc_id < 200
-         ), sh AS (
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS nm
+           FROM documents),
+         cp AS (
            SELECT doc_id,
+                  [unicode(c)::BIGINT FOR c IN
+                   regexp_extract_all(nm, '(?s).')] AS cps,
+                  string_split(nm, ' ') AS tok
+           FROM n),
+         hs AS (
+           SELECT doc_id, tok,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM cp),
+         sigs AS (
+           SELECT doc_id, tok,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         sh AS (
+           SELECT doc_id, sig,
                   CASE WHEN len(tok) < 3
                        THEN [array_to_string(tok, ' ')]
                        ELSE list_distinct(
                               [array_to_string(tok[i:i+2], ' ')
                                for i in range(1, len(tok) - 1)])
                   END AS sh
-           FROM norm
-         ), pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           FROM sigs),
+         bnd AS (
+           SELECT doc_id, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sh, (SELECT unnest(range(0, 8)) AS b) b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bnd x JOIN bnd y
+             ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id),
+         pairs AS (
+           SELECT id_a, id_b
+           FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                     JOIN sh b ON cand.id_b = b.doc_id
            WHERE CASE WHEN len(list_distinct(
                              list_concat(a.sh, b.sh))) > 0
                       THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
                            len(list_distinct(list_concat(a.sh, b.sh)))
-                      ELSE 0.0 END >= 0.5
-         ), edges AS (
+                      ELSE 0.0 END >= 0.5),
+         edges AS (
            SELECT id_a AS a, id_b AS b FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs
          ), nodes AS (SELECT DISTINCT a AS id FROM edges),

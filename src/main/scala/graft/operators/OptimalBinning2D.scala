@@ -17,13 +17,15 @@ import graft.core.{Metrics, Prebinning}
   *
   * Solver: the reference enumerates all axis-aligned rectangles and packs
   * them with CP connectivity constraints (`model_data_2d.py:49-167`);
-  * here the driver searches the SAME solution space exactly for grids of
-  * <= 30 cells (first-gap rectangle tiling with full bitmask
-  * memoization — includes non-guillotine patterns like pinwheels the CP
-  * can also produce), and falls back to the polynomial
-  * guillotine-partition DP beyond (its cut structure is a strict subset;
-  * gap rarely material at larger grids). IV per rectangle from 2D prefix
-  * sums.
+  * here the driver searches the SAME solution space exactly — first-gap
+  * rectangle tiling with full bitmask memoization (includes
+  * non-guillotine patterns like pinwheels the CP can also produce):
+  * unbudgeted to `exactCellLimit` (default 56) cells, node-budgeted with
+  * a two-word mask to 128 cells, with the polynomial guillotine-partition
+  * DP as the budget-exhaustion/large-grid fallback (its cut structure is
+  * a strict subset). Unconstrained fits shortcut to the provably-optimal
+  * all-singletons tiling (refinement superadditivity). IV per rectangle
+  * from 2D prefix sums.
   */
 object OptimalBinning2D {
 

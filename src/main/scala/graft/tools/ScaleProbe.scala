@@ -4,13 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BinningConfig, OptimalBinning, Scorecard}
+import graft.pipeline.{Dedup, Similarity}
 
 /** Scale probe: fit the same operators on 1x / 4x / 16x multiplied
   * lineitem (in-memory explode — nothing written) and print wall times.
   * The aggregate-then-solve design claims fit cost is bounded by the
   * value histogram, not the row count: data passes should scale roughly
   * linearly in rows (scan-bound) while shuffle volume and driver work
-  * stay constant. Usage: runMain graft.tools.ScaleProbe [sfDir]
+  * stay constant. A second section scales the documents/embeddings
+  * pipeline paths (near-dup LSH+verify, PQ ANN) the same way: candidate
+  * generation is one bucket shuffle, verification cost follows the
+  * dup-suspect fraction, and ADC scoring is one stationary scan.
+  * Usage: runMain graft.tools.ScaleProbe [sfDir]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -48,6 +53,45 @@ object ScaleProbe {
         if (pass == 2)
           println(f"PROBE mult=$mult%2d rows=$n%9d " +
             f"single_fit=$tFit%6.2f s scorecard_fit=$tSc%6.2f s")
+      }
+    }
+
+    // pipeline paths: replicate documents/embeddings with distinct ids.
+    // Every copy is an exact duplicate of its original, so the dup
+    // fraction GROWS with mult (each doc gains mult-1 exact near-dups)
+    // — deliberately harsher than real growth, where candidate density
+    // stays roughly constant; the star-expansion guard and the
+    // suspect-bounded shingle join are what keep this sublinear
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Seq(1, 4, 16).foreach { mult =>
+      def rep(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        if (mult == 1) df
+        else df.crossJoin(
+            spark.range(mult.toLong).select(col("id").as("__rep")))
+          .withColumn(idCol,
+            col(idCol) * mult + col("__rep")).drop("__rep")
+      val d = rep(docs, "doc_id")
+      val e = rep(emb, "vec_id")
+      val nd = d.count(); val ne = e.count()
+      (1 to 2).foreach { pass =>
+        val tNd = timed {
+          Dedup.nearDupPairs(d, "text", "doc_id",
+                             jaccardThreshold = 0.5, numHashes = 32,
+                             bands = 8, jaccardNgram = 3)
+            .agg(count(lit(1))).collect()
+        }
+        val queries = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val tPq = timed {
+          Similarity.pqTopK(e, queries, "embedding", "vec_id", "qid",
+                            k = 5).agg(count(lit(1))).collect()
+        }
+        if (pass == 2)
+          println(f"PROBE mult=$mult%2d docs=$nd%9d vecs=$ne%8d " +
+            f"neardup=$tNd%6.2f s pq_topk=$tPq%6.2f s")
       }
     }
     spark.stop()
