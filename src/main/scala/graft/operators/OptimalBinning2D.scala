@@ -291,7 +291,7 @@ object OptimalBinning2D {
           s"strategy must be grid or cart, got $other")
     }
     val rects =
-      if (status == "OPTIMAL")
+      if (status == "OPTIMAL" || status == "FEASIBLE")
         leaves.map { case (x1, x2, y1, y2, v) =>
           Rect(x1, x2, y1, y2, rectNe(x1, x2, y1, y2),
                rectEv(x1, x2, y1, y2), v)
@@ -594,7 +594,8 @@ object OptimalBinning2D {
   private[graft] def monotonicTilingSolve(mx: Int, my: Int,
       leafVal: (Int, Int, Int, Int) => Option[Double],
       rectEr: (Int, Int, Int, Int) => Double,
-      trendX: Option[String], trendY: Option[String])
+      trendX: Option[String], trendY: Option[String],
+      maxNodes: Long = 50000000L)
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
     // the node budget below bounds runtime; beyond 64 cells the Long
@@ -646,9 +647,13 @@ object OptimalBinning2D {
     var bestTiling: List[R] = Nil
     // hard node budget: general rectangulations explode combinatorially
     // and the optimistic density bound can be weak under loose
-    // constraints — fail with guidance instead of effectively hanging
-    val maxNodes = 50000000L
+    // constraints — on budget exhaustion keep the best COMPLETE tiling
+    // found so far and report FEASIBLE, mirroring the reference CP's
+    // time_limit behavior (OPTIMAL and FEASIBLE are both accepted,
+    // `binning_2d.py:362` + cp status handling); with no complete tiling
+    // yet, fail with guidance instead of effectively hanging
     var nodes = 0L
+    var exhausted = false
 
     def dfs(mask: Long, placed: List[R], acc: Double,
             potential: Double): Unit = {
@@ -656,12 +661,17 @@ object OptimalBinning2D {
         if (acc > best) { best = acc; bestTiling = placed }
         return
       }
+      if (exhausted) return
       nodes += 1
-      if (nodes > maxNodes)
-        throw new IllegalStateException(
-          s"monotonic 2D search exceeded $maxNodes nodes on a " +
-          s"$mx x $my grid; lower max_n_prebins_x/y or drop " +
-          "monotonic_trend_x/y")
+      if (nodes > maxNodes) {
+        exhausted = true
+        if (best == Double.NegativeInfinity)
+          throw new IllegalStateException(
+            s"monotonic 2D search exceeded $maxNodes nodes on a " +
+            s"$mx x $my grid with no feasible tiling found; lower " +
+            "max_n_prebins_x/y or drop monotonic_trend_x/y")
+        return
+      }
       if (acc + potential <= best) return
       val gap = java.lang.Long.numberOfTrailingZeros(~mask & full)
       val gx = gap % mx
@@ -701,7 +711,7 @@ object OptimalBinning2D {
 
     dfs(0L, Nil, 0.0, cellBound.sum)
     if (best == Double.NegativeInfinity) ("INFEASIBLE", Array.empty)
-    else ("OPTIMAL",
+    else (if (exhausted) "FEASIBLE" else "OPTIMAL",
           bestTiling.map(r => (r.x1, r.x2, r.y1, r.y2, r.v)).toArray)
   }
 
@@ -860,7 +870,7 @@ object OptimalBinning2D {
                             refinementOptimal = true)
     }
     val rects =
-      if (status == "OPTIMAL")
+      if (status == "OPTIMAL" || status == "FEASIBLE")
         leaves.map { case (x1, x2, y1, y2, v) =>
           ContRect(x1, x2, y1, y2, rectOf(cumN)(x1, x2, y1, y2),
                    rectOf(cumS)(x1, x2, y1, y2),

@@ -290,6 +290,23 @@ class AdvancedBinningSpec extends AnyFunSuite {
     val (sd, _) = OptimalBinning2D.monotonicTilingSolve(
       6, 6, colsOnly(6), er, Some("descending"), None)
     assert(sd == "INFEASIBLE")
+
+    // budget exhaustion AFTER a complete tiling was found returns the
+    // best-so-far as FEASIBLE (the reference CP's time_limit semantics);
+    // before any tiling, it throws with guidance
+    def anyRect(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+      Some(1.0)
+    val (sf, lf) = OptimalBinning2D.monotonicTilingSolve(
+      4, 4, anyRect, er, Some("ascending"), None, maxNodes = 40)
+    assert(sf == "FEASIBLE" && lf.nonEmpty)
+    val cov = lf.flatMap { case (x1, x2, y1, y2, _) =>
+      for (i <- x1 to x2; j <- y1 to y2) yield (i, j)
+    }
+    assert(cov.length == 16 && cov.toSet.size == 16)
+    intercept[IllegalStateException] {
+      OptimalBinning2D.monotonicTilingSolve(
+        6, 6, colsOnly(6), er, Some("ascending"), None, maxNodes = 1)
+    }
   }
 
   test("exact tiling objective dominates guillotine on random grids") {
