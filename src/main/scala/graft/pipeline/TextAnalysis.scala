@@ -23,7 +23,7 @@ object TextAnalysis {
       .otherwise(size(regexp_extract_all(text,
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for",
                 "with"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del",
@@ -40,7 +40,7 @@ object TextAnalysis {
     size(array_intersect(tokens, array(words.map(lit(_)): _*)))
   }
 
-  private val langOrder = Seq("en", "es", "de", "fr")
+  private[graft] val langOrder = Seq("en", "es", "de", "fr")
 
   /** N-gram/stopword heuristic language ID over {en, es, de, fr, zh}:
     * CJK characters vote zh; otherwise the language with the most stopword

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextHashExprs, VectorExprs}
+import graft.pipeline.TextAnalysis
+
+/** `GraftExtensions` SQL surface: every registered function must agree
+  * with its Column-API kernel on the same inputs, and reject non-literal
+  * config arguments with a clear error.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("SQL functions match the Column API kernels") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.install(spark)
+
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and the cat",
+      "la casa de el perro y los gatos en un jardin del sur",
+      "a a a a a a a a a a a a",
+      "").toDF("text")
+    docs.createOrReplaceTempView("__ext_docs")
+
+    val sql = spark.sql(
+      """SELECT graft_simhash64(text) AS sh,
+                graft_simhash64(text, true) AS shp,
+                graft_minhash_sig(text, 3, 16, true) AS mh,
+                graft_lang_id(text) AS lang,
+                graft_repetition_stats(text) AS rep
+         FROM __ext_docs""").collect()
+    val api = docs.select(
+      TextHashExprs.simhash64(col("text")).as("sh"),
+      TextHashExprs.simhash64(col("text"), portable = true).as("shp"),
+      TextHashExprs.minhashSig(col("text"), 3, 16, portable = true)
+        .as("mh"),
+      graft.functions.TextHashExprs.langId(col("text"),
+        TextAnalysis.langOrder.map(l => l -> TextAnalysis.stopwords(l)))
+        .as("lang"),
+      TextHashExprs.repetitionStats(col("text")).as("rep")).collect()
+    assert(sql.map(_.toString).toSeq == api.map(_.toString).toSeq)
+
+    val vecs = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))
+      .toDF("a", "b")
+    vecs.createOrReplaceTempView("__ext_vecs")
+    val vsql = spark.sql(
+      """SELECT graft_cosine_sim(a, b) AS cos,
+                graft_lsh_sig(a, 8, true) AS sig
+         FROM __ext_vecs""").head
+    val vapi = vecs.select(
+      VectorExprs.cosineSim(col("a"), col("b")).as("cos"),
+      VectorExprs.lshSig(col("a"), 8, portable = true).as("sig")).head
+    assert(vsql.getDouble(0) == vapi.getDouble(0))
+    assert(vsql.getLong(1) == vapi.getLong(1))
+  }
+
+  test("non-literal config arguments are rejected with guidance") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    Seq("doc").toDF("text").createOrReplaceTempView("__ext_docs")
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash_sig(text, length(text), 16) " +
+        "FROM __ext_docs").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+           err.getMessage.toLowerCase.contains("graft_minhash_sig"))
+  }
+}
