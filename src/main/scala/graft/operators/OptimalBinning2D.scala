@@ -47,14 +47,32 @@ object OptimalBinning2D {
       maxNPrebinsX: Int = 5, maxNPrebinsY: Int = 5,
       minPrebinSizeX: Double = 0.05, minPrebinSizeY: Double = 0.05,
       minBinSize: Option[Double] = None,
+      maxBinSize: Option[Double] = None,
       minBinNEvent: Option[Long] = None,
+      maxBinNEvent: Option[Long] = None,
       minBinNNonevent: Option[Long] = None,
+      maxBinNNonevent: Option[Long] = None,
+      /** Global bin-count bounds (`binning_2d.py` min_n_bins/max_n_bins;
+        * CP `add_constraint_min_max_bins`). Routed through the
+        * constrained branch-and-bound search. */
+      minNBins: Option[Int] = None,
+      maxNBins: Option[Int] = None,
+      /** Size-uniformity regularization (`binning_2d.py` gamma; CP
+        * objective -= gamma/total * (largest bin - smallest bin)). */
+      gamma: Double = 0.0,
       /** Strict event-rate monotonicity across rectangles sharing a
         * vertical (X) / horizontal (Y) boundary, "ascending" |
         * "descending" (`binning_2d.py` monotonic_trend_x/y;
         * `cp_2d.py:137-185` forbids violating selected pairs). */
       monotonicTrendX: Option[String] = None,
       monotonicTrendY: Option[String] = None,
+      /** Minimum separation the monotone trend must achieve between
+        * adjacent selected rectangles: event-rate gap for binary fits
+        * (`binning_2d.py` min_event_rate_diff_x/y), mean gap for
+        * continuous fits (`continuous_binning_2d.py` min_mean_diff_x/y).
+        */
+      minEventRateDiffX: Double = 0.0,
+      minEventRateDiffY: Double = 0.0,
       divergence: String = "iv",
       /** "grid": optimal tiling over the full prebin grid; "cart":
         * greedy recursive axis-parallel splitting, leaves = bins
@@ -251,13 +269,17 @@ object OptimalBinning2D {
       cumEv(x2 + 1)(y2 + 1) - cumEv(x1)(y2 + 1) -
         cumEv(x2 + 1)(y1) + cumEv(x1)(y1)
 
+    val maxSize = config.maxBinSize.map(_ * total)
+      .getOrElse(Double.PositiveInfinity)
     def leafIv(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] = {
       val e = rectEv(x1, x2, y1, y2)
       val n = rectNe(x1, x2, y1, y2)
       if (e <= 0 || n <= 0) return None
-      if (e + n < minSize) return None
+      if (e + n < minSize || e + n > maxSize) return None
       if (config.minBinNEvent.exists(e < _)) return None
+      if (config.maxBinNEvent.exists(e > _)) return None
       if (config.minBinNNonevent.exists(n < _)) return None
+      if (config.maxBinNNonevent.exists(n > _)) return None
       val p = e / tEv
       val q = n / tNe
       Some(config.divergence match {
@@ -270,20 +292,34 @@ object OptimalBinning2D {
 
     val monotone = config.monotonicTrendX.isDefined ||
       config.monotonicTrendY.isDefined
+    // bin-count bounds and gamma couple every selected rectangle, so
+    // they route through the same constrained branch-and-bound as the
+    // monotone trends (CP `add_constraint_min_max_bins` + gamma terms)
+    val globallyConstrained = monotone || config.minNBins.isDefined ||
+      config.maxNBins.isDefined || config.gamma > 0
     val (status, leaves) = config.strategy match {
       case "cart" if monotone =>
         throw new IllegalArgumentException(
           "monotonic_trend_x/y requires strategy=grid")
       case "cart" =>
         cartSolve(mx, my, leafIv,
-                  config.maxNPrebinsX * config.maxNPrebinsY)
-      case "grid" if monotone =>
+                  config.maxNBins.getOrElse(
+                    config.maxNPrebinsX * config.maxNPrebinsY))
+      case "grid" if globallyConstrained =>
         def er(x1: Int, x2: Int, y1: Int, y2: Int): Double = {
           val e = rectEv(x1, x2, y1, y2); val n = rectNe(x1, x2, y1, y2)
           if (e + n > 0) e / (e + n) else 0.0
         }
         monotonicTilingSolve(mx, my, leafIv, er,
-                             config.monotonicTrendX, config.monotonicTrendY)
+                             config.monotonicTrendX, config.monotonicTrendY,
+                             minDiffX = config.minEventRateDiffX,
+                             minDiffY = config.minEventRateDiffY,
+                             minBins = config.minNBins,
+                             maxBins = config.maxNBins,
+                             gamma = config.gamma,
+                             rectN = (a, b, c, d) =>
+                               rectEv(a, b, c, d) + rectNe(a, b, c, d),
+                             totalRecords = total)
       case "grid" => tilingSolve(mx, my, leafIv, config.exactCellLimit,
                               refinementOptimal = true)
       case other =>
@@ -595,7 +631,12 @@ object OptimalBinning2D {
       leafVal: (Int, Int, Int, Int) => Option[Double],
       rectEr: (Int, Int, Int, Int) => Double,
       trendX: Option[String], trendY: Option[String],
-      maxNodes: Long = 50000000L)
+      maxNodes: Long = 50000000L,
+      minDiffX: Double = 0.0, minDiffY: Double = 0.0,
+      minBins: Option[Int] = None, maxBins: Option[Int] = None,
+      gamma: Double = 0.0,
+      rectN: (Int, Int, Int, Int) => Double = null,
+      totalRecords: Double = 0.0)
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
     // the node budget below bounds runtime; beyond 64 cells the Long
@@ -621,23 +662,28 @@ object OptimalBinning2D {
 
     final case class R(x1: Int, x2: Int, y1: Int, y2: Int,
                        v: Double, er: Double)
-    def mono(lo: Double, hi: Double, trend: String): Boolean =
-      if (trend == "ascending") lo < hi else lo > hi
+    // reference forbidden-pair encoding with min_diff
+    // (`cp_2d.py:137-199`): ascending requires lo + minDiff < hi between
+    // the lower-coordinate rect (lo) and its higher-coordinate neighbor
+    // (hi); descending requires lo > hi + minDiff
+    def mono(lo: Double, hi: Double, trend: String,
+             minDiff: Double): Boolean =
+      if (trend == "ascending") lo + minDiff < hi else lo > hi + minDiff
     def overlap(a1: Int, a2: Int, b1: Int, b2: Int): Boolean =
       a1 <= b2 && b1 <= a2
     def consistent(r: R, placed: List[R]): Boolean = placed.forall { p =>
       val xOk = trendX.forall { t =>
         if (p.x2 + 1 == r.x1 && overlap(p.y1, p.y2, r.y1, r.y2))
-          mono(p.er, r.er, t)
+          mono(p.er, r.er, t, minDiffX)
         else if (r.x2 + 1 == p.x1 && overlap(p.y1, p.y2, r.y1, r.y2))
-          mono(r.er, p.er, t)
+          mono(r.er, p.er, t, minDiffX)
         else true
       }
       val yOk = trendY.forall { t =>
         if (p.y2 + 1 == r.y1 && overlap(p.x1, p.x2, r.x1, r.x2))
-          mono(p.er, r.er, t)
+          mono(p.er, r.er, t, minDiffY)
         else if (r.y2 + 1 == p.y1 && overlap(p.x1, p.x2, r.x1, r.x2))
-          mono(r.er, p.er, t)
+          mono(r.er, p.er, t, minDiffY)
         else true
       }
       xOk && yOk
@@ -655,13 +701,32 @@ object OptimalBinning2D {
     var nodes = 0L
     var exhausted = false
 
-    def dfs(mask: Long, placed: List[R], acc: Double,
+    // gamma penalizes size spread of the SELECTED bins:
+    // objective -= gamma/total * (largest - smallest) (`cp_2d.py:50-57`,
+    // continuous double form of the CP's scaled-integer term). The
+    // penalty is >= 0, so the optimistic bound without it stays
+    // admissible.
+    def sizeOf(r: R): Double =
+      if (rectN == null) 0.0 else rectN(r.x1, r.x2, r.y1, r.y2)
+    def objective(acc: Double, placed: List[R]): Double =
+      if (gamma <= 0 || totalRecords <= 0) acc
+      else {
+        val sizes = placed.map(sizeOf)
+        acc - gamma * (sizes.max - sizes.min) / totalRecords
+      }
+
+    def dfs(mask: Long, placed: List[R], cnt: Int, acc: Double,
             potential: Double): Unit = {
       if (mask == full) {
-        if (acc > best) { best = acc; bestTiling = placed }
+        if (minBins.forall(cnt >= _)) {
+          val obj = objective(acc, placed)
+          if (obj > best) { best = obj; bestTiling = placed }
+        }
         return
       }
       if (exhausted) return
+      // a full cover needs at least one more rectangle
+      if (maxBins.exists(cnt >= _)) return
       nodes += 1
       if (nodes > maxNodes) {
         exhausted = true
@@ -697,7 +762,7 @@ object OptimalBinning2D {
                   var lost = 0.0
                   for (yy <- gy to y2; xx <- gx to x2)
                     lost += cellBound(bit(xx, yy))
-                  dfs(mask | rectMask, r :: placed, acc + v,
+                  dfs(mask | rectMask, r :: placed, cnt + 1, acc + v,
                       potential - lost)
                 }
               }
@@ -709,7 +774,7 @@ object OptimalBinning2D {
       }
     }
 
-    dfs(0L, Nil, 0.0, cellBound.sum)
+    dfs(0L, Nil, 0, 0.0, cellBound.sum)
     if (best == Double.NegativeInfinity) ("INFEASIBLE", Array.empty)
     else (if (exhausted) "FEASIBLE" else "OPTIMAL",
           bestTiling.map(r => (r.x1, r.x2, r.y1, r.y2, r.v)).toArray)
@@ -855,17 +920,45 @@ object OptimalBinning2D {
     val tMean = if (total > 0) cumS(mx)(my) / total else 0.0
     val minSize = config.minBinSize.map(_ * total).getOrElse(0.0)
 
+    val maxSizeC = config.maxBinSize.map(_ * total)
+      .getOrElse(Double.PositiveInfinity)
     def leafNorm(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] = {
       val n = rectOf(cumN)(x1, x2, y1, y2)
-      if (n <= 0 || n < minSize) return None
+      if (n <= 0 || n < minSize || n > maxSizeC) return None
       val m = rectOf(cumS)(x1, x2, y1, y2) / n
       Some(math.abs(m - tMean))
     }
 
+    val contMonotone = config.monotonicTrendX.isDefined ||
+      config.monotonicTrendY.isDefined
+    val contConstrained = contMonotone || config.minNBins.isDefined ||
+      config.maxNBins.isDefined || config.gamma > 0
     val (status, leaves) = config.strategy match {
+      case "cart" if contMonotone =>
+        throw new IllegalArgumentException(
+          "monotonic_trend_x/y requires strategy=grid")
       case "cart" =>
         cartSolve(mx, my, leafNorm,
-                  config.maxNPrebinsX * config.maxNPrebinsY)
+                  config.maxNBins.getOrElse(
+                    config.maxNPrebinsX * config.maxNPrebinsY))
+      case _ if contConstrained =>
+        // monotone trend on bin MEANS with min_mean_diff_x/y
+        // (`continuous_binning_2d.py` monotonic_trend_x/y; same CP
+        // forbidden-pair encoding as binary, mean in place of rate),
+        // plus min/max_n_bins and gamma
+        def meanOf(x1: Int, x2: Int, y1: Int, y2: Int): Double = {
+          val n = rectOf(cumN)(x1, x2, y1, y2)
+          if (n > 0) rectOf(cumS)(x1, x2, y1, y2) / n else 0.0
+        }
+        monotonicTilingSolve(mx, my, leafNorm, meanOf,
+                             config.monotonicTrendX, config.monotonicTrendY,
+                             minDiffX = config.minEventRateDiffX,
+                             minDiffY = config.minEventRateDiffY,
+                             minBins = config.minNBins,
+                             maxBins = config.maxNBins,
+                             gamma = config.gamma,
+                             rectN = rectOf(cumN),
+                             totalRecords = total)
       case _ => tilingSolve(mx, my, leafNorm, config.exactCellLimit,
                             refinementOptimal = true)
     }

@@ -111,6 +111,81 @@ class AdvancedBinningSpec extends AnyFunSuite {
            s"woe ${f.l1Norm + 2 * f.tMean}")
   }
 
+  test("OptimalBinning2D min/max_n_bins, gamma, and per-bin max bounds") {
+    // test_binning_2d.py:248-266: min_n_bins=2 / max_n_bins=5 solves
+    // OPTIMAL within bounds; gamma=600 with min_bin_size=0.05 shrinks
+    // the size spread of the selected bins
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val fb = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(minNBins = Some(2),
+                                          maxNBins = Some(5)))
+    assert(fb.status == "OPTIMAL")
+    assert(fb.rects.length >= 2 && fb.rects.length <= 5,
+           s"${fb.rects.length} bins")
+
+    def spread(f: Fitted2DBinning): Double = {
+      val sizes = f.rects.map(r => r.nonevent + r.event)
+      sizes.max - sizes.min
+    }
+    val f0 = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(minBinSize = Some(0.05)))
+    val fg = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(minBinSize = Some(0.05),
+                                          gamma = 600.0))
+    assert(fg.status == "OPTIMAL")
+    assert(spread(fg) <= spread(f0) + 1e-9,
+           s"gamma spread ${spread(fg)} vs ${spread(f0)}")
+
+    // per-bin upper bounds hold on every returned rectangle of a
+    // solved fit (an infeasibly tight bound degrades to the single
+    // whole-grid fallback rect, which is exempt by construction)
+    val total = df.count().toDouble
+    val fm = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(maxBinSize = Some(0.5)))
+    assert(fm.status == "OPTIMAL", fm.status)
+    assert(fm.rects.length > 1)
+    fm.rects.foreach { r =>
+      assert(r.nonevent + r.event <= 0.5 * total + 1e-9)
+    }
+    // infeasibly tight bound: single-rect fallback, not a crash
+    val fi = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(maxBinSize = Some(0.001)))
+    assert(fi.rects.length == 1)
+  }
+
+  test("ContinuousOptimalBinning2D monotone trends match the reference " +
+       "goldens") {
+    // test_continuous_binning_2d.py:182-215: AGE x INDUS -> target,
+    // descending/descending -> IV 4.5296802; ascending/ascending -> 0
+    // (only the single whole-grid bin satisfies the trend)
+    val spark = TestSpark.spark
+    val df = spark.read.parquet("src/test/resources/boston_housing.parquet")
+    val fd = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target",
+      OptimalBinning2D.Config2D(monotonicTrendX = Some("descending"),
+                                monotonicTrendY = Some("descending")))
+    assert(fd.status == "OPTIMAL")
+    assert(math.abs(fd.iv - 4.5296802) < 1e-6, s"iv ${fd.iv}")
+    val fa = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target",
+      OptimalBinning2D.Config2D(monotonicTrendX = Some("ascending"),
+                                monotonicTrendY = Some("ascending")))
+    assert(math.abs(fa.iv) < 1e-9, s"iv ${fa.iv}")
+    // min_mean_diff prunes weakly-separated neighbors: a large gap
+    // requirement forces fewer bins (objective can only drop)
+    val fg = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target",
+      OptimalBinning2D.Config2D(monotonicTrendX = Some("descending"),
+                                monotonicTrendY = Some("descending"),
+                                minEventRateDiffX = 5.0,
+                                minEventRateDiffY = 5.0))
+    assert(fg.iv <= fd.iv + 1e-9, s"iv ${fg.iv} vs ${fd.iv}")
+    // cart strategy + monotone trend is rejected, like the binary path
+    intercept[IllegalArgumentException] {
+      OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target",
+        OptimalBinning2D.Config2D(strategy = "cart",
+                                  monotonicTrendX = Some("ascending")))
+    }
+  }
+
   test("OptimalBinning2D: rectangles cover grid, transform total") {
     val spark = TestSpark.spark
     import spark.implicits._
