@@ -892,31 +892,16 @@ object SparkEntry {
                      "l_tax")
       val proc = BinningProcess.fit(li, vars, "y",
                                     config = BinningConfig())
-      val spByVar = vars.map(v => v -> proc.fits(v).splits).toMap
-      val stackExpr = s"stack(${vars.length}, " +
-        vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
-        ") as (var, x)"
-      val melted = li.withColumn("__y", col("y"))
-        .selectExpr("__y as y", stackExpr)
-      val binCol = vars.tail.foldLeft(
-        when(col("var") === vars.head,
-             binIdx(col("x"), spByVar(vars.head)))) { (acc, v) =>
-        acc.when(col("var") === v, binIdx(col("x"), spByVar(v)))
-      }
-      val rows = melted.groupBy(col("var"), binCol.as("bin"))
-        .agg(sum(when(col("y") === 1.0, 1.0).otherwise(0.0)).as("e"),
-             sum(when(col("y") =!= 1.0, 1.0).otherwise(0.0)).as("ne"))
-        .collect()
+      // output = the fit's OWN solved numbers (no extra data pass): the
+      // oracle replays the per-variable grid compression (min/max and
+      // width are SQL-computable; only l_extendedprice exceeds the 10k
+      // exact-histogram cap on this data) plus the pinned splits, so
+      // the hash checks the exact driver-side aggregate the solver
+      // consumed
       import s.implicits._
-      rows.groupBy(_.getString(0)).toSeq.map { case (v, rs) =>
-        val e = rs.map(_.getDouble(2))
-        val ne = rs.map(_.getDouble(3))
-        val (te, tne) = (e.sum, ne.sum)
-        val iv = e.indices.map { i =>
-          (ne(i) / tne - e(i) / te) *
-            math.log((ne(i) / tne) / (e(i) / te))
-        }.sum
-        (v, rs.length.toLong, scale6(iv), spByVar(v).mkString(","))
+      vars.map { v =>
+        val f = proc.fits(v)
+        (v, f.nDataBins.toLong, scale6(f.iv), f.splits.mkString(","))
       }.toDF("variable", "n_bins", "iv", "splits").orderBy("variable")
     }),
 
@@ -1868,18 +1853,30 @@ object SparkEntry {
          FROM b GROUP BY 1 ORDER BY 1""",
 
     "q_process_summary" ->
+      // the fit consumes a grid-compressed histogram for
+      // l_extendedprice (ndv > 10000): x -> mn + floor((x-mn)/w)*w,
+      // w = (max-min)/10000 — all SQL-computable, so the oracle bins
+      // the SAME compressed values the solver saw
       """WITH li AS (
            SELECT *, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
            FROM lineitem),
+         m AS (
+           SELECT min(l_extendedprice) AS mn,
+                  (max(l_extendedprice) - min(l_extendedprice)) / 10000
+                    AS w
+           FROM li),
          bins AS (
            SELECT 'l_extendedprice' AS variable,
-                  CASE WHEN l_extendedprice < 6372.067953 THEN 0
-                       WHEN l_extendedprice < 17458.298343000002 THEN 1
-                       WHEN l_extendedprice < 57628.967897 THEN 2
-                       WHEN l_extendedprice < 65134.293823 THEN 3
-                       WHEN l_extendedprice < 84392.06492300001 THEN 4
-                       WHEN l_extendedprice < 97653.902967 THEN 5
-                       ELSE 6 END AS bin, y FROM li
+                  CASE WHEN xs < 6372.067953 THEN 0
+                       WHEN xs < 17458.298343000002 THEN 1
+                       WHEN xs < 57628.967897 THEN 2
+                       WHEN xs < 65134.293823 THEN 3
+                       WHEN xs < 84392.06492300001 THEN 4
+                       WHEN xs < 97653.902967 THEN 5
+                       ELSE 6 END AS bin, y
+           FROM (SELECT mn + floor((l_extendedprice - mn) / w) * w AS xs,
+                        y
+                 FROM li CROSS JOIN m)
            UNION ALL
            SELECT 'l_quantity',
                   CASE WHEN l_quantity < 3.5 THEN 0
