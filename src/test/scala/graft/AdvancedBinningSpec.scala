@@ -384,6 +384,94 @@ class AdvancedBinningSpec extends AnyFunSuite {
     }
   }
 
+  test("constrained solver matches brute-force enumeration on small " +
+       "grids (min/max bins, gamma, monotone)") {
+    // enumerate EVERY rectangle tiling of a 3x3 grid by first-gap
+    // recursion, apply the constraints directly, and compare optima
+    def allTilings(mx: Int, my: Int)
+        : Seq[List[(Int, Int, Int, Int)]] = {
+      val full = (1 << (mx * my)) - 1
+      def bit(x: Int, y: Int) = y * mx + x
+      def rec(mask: Int): Seq[List[(Int, Int, Int, Int)]] =
+        if (mask == full) Seq(Nil)
+        else {
+          val gap = java.lang.Integer.numberOfTrailingZeros(~mask & full)
+          val gx = gap % mx; val gy = gap / mx
+          for {
+            x2 <- gx until mx
+            if (gx to x2).forall(x => (mask & (1 << bit(x, gy))) == 0)
+            y2 <- gy until my
+            if (gx to x2).forall(x => (gy to y2).forall(y =>
+              (mask & (1 << bit(x, y))) == 0))
+            rm = (for (x <- gx to x2; y <- gy to y2)
+                    yield 1 << bit(x, y)).sum
+            rest <- rec(mask | rm)
+          } yield (gx, x2, gy, y2) :: rest
+        }
+      rec(0)
+    }
+    val tilings = allTilings(3, 3)
+    assert(tilings.nonEmpty)
+    val rnd = new scala.util.Random(53)
+    (1 to 10).foreach { _ =>
+      val vCache = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), Double]
+      def v(r: (Int, Int, Int, Int)): Double =
+        vCache.getOrElseUpdate(r, rnd.nextDouble())
+      def n(r: (Int, Int, Int, Int)): Double =
+        (r._2 - r._1 + 1).toDouble * (r._4 - r._3 + 1)
+      val lv = (a: Int, b: Int, c: Int, d: Int) => Some(v((a, b, c, d)))
+      val rn = (a: Int, b: Int, c: Int, d: Int) => n((a, b, c, d))
+      val er = (a: Int, b: Int, c: Int, d: Int) => 0.0
+
+      // min/max bins
+      val (minB, maxB) = (2, 4)
+      val bfCount = tilings
+        .filter(t => t.length >= minB && t.length <= maxB)
+        .map(_.map(v).sum).max
+      val (s1, l1) = OptimalBinning2D.monotonicTilingSolve(
+        3, 3, lv, er, None, None, minBins = Some(minB),
+        maxBins = Some(maxB))
+      assert(s1 == "OPTIMAL")
+      assert(l1.length >= minB && l1.length <= maxB)
+      assert(math.abs(l1.map(_._5).sum - bfCount) < 1e-9,
+             s"count-constrained ${l1.map(_._5).sum} vs $bfCount")
+
+      // gamma: penalized objective over all tilings
+      val g = 3.0
+      val bfGamma = tilings.map { t =>
+        val sizes = t.map(n)
+        t.map(v).sum - g * (sizes.max - sizes.min) / 9.0
+      }.max
+      val (s2, l2) = OptimalBinning2D.monotonicTilingSolve(
+        3, 3, lv, er, None, None, gamma = g, rectN = rn,
+        totalRecords = 9.0)
+      assert(s2 == "OPTIMAL")
+      val sizes2 = l2.map(r => n((r._1, r._2, r._3, r._4)))
+      val got2 = l2.map(_._5).sum - g * (sizes2.max - sizes2.min) / 9.0
+      assert(math.abs(got2 - bfGamma) < 1e-9,
+             s"gamma-penalized $got2 vs $bfGamma")
+
+      // monotone-x on a random per-rect rate: brute-force the same
+      // adjacency/trend filter
+      val eCache = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), Double]
+      def e(r: (Int, Int, Int, Int)): Double =
+        eCache.getOrElseUpdate(r, rnd.nextDouble())
+      def xAdj(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)) =
+        a._2 + 1 == b._1 && a._3 <= b._4 && b._3 <= a._4
+      val bfMono = tilings.filter { t =>
+        t.forall(a => t.forall(b => !xAdj(a, b) || e(a) < e(b)))
+      }.map(_.map(v).sum).max
+      val (s3, l3) = OptimalBinning2D.monotonicTilingSolve(
+        3, 3, lv, (a, b, c, d) => e((a, b, c, d)),
+        Some("ascending"), None)
+      assert(s3 == "OPTIMAL")
+      assert(math.abs(l3.map(_._5).sum - bfMono) < 1e-9,
+             s"monotone $l3 vs $bfMono")
+    }
+  }
+
   test("exact tiling objective dominates guillotine on random grids") {
     val rnd = new scala.util.Random(17)
     (1 to 30).foreach { _ =>
