@@ -88,6 +88,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("PQ ADC scan: corpus side never shuffles before scoring; query " +
+       "tables broadcast") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = Similarity.pqTopKPortable(e, q, "embedding", "vec_id",
+                                        "qid", k = 3, dim = 64)
+    val plan = physical(res)
+    // the scoring join is a broadcast of the (tiny) per-query dot
+    // tables against the encoded corpus — no corpus-side shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+             plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only Exchange is the top-k window's hash partitioning on qid
+    // (rank over per-query candidates), never on the corpus relation
+    val exchanges = plan.linesIterator
+      .filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("qid")), plan)
+  }
+
   test("filter + projection push down to the parquet scan") {
     val spark = TestSpark.spark
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
