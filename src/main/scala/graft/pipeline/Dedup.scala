@@ -230,7 +230,16 @@ object Dedup {
                    jaccardThreshold: Double = 0.8,
                    numHashes: Int = 64, bands: Int = 16,
                    jaccardNgram: Int = 3,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false,
+                   /** persist the candidate-pair and member-shingle
+                     * intermediates (both dup-suspect-sized). Set false
+                     * to keep the plan fully lazy — each branch then
+                     * recomputes from the corpus scan (3x LSH, 2x
+                     * shingling). The cached data lives until the
+                     * returned frame's session clears it
+                     * (`spark.catalog.clearCache()` or unpersist on the
+                     * upstream frames). */
+                   materialize: Boolean = true): DataFrame = {
     // the candidate subtree feeds the member-id semi-join AND the pair
     // join, and the member-shingle projection feeds both join sides;
     // without materialization Spark re-derives each branch from the
@@ -239,17 +248,21 @@ object Dedup {
     // (a small fraction of the corpus), so MEMORY_AND_DISK
     // materialization is the scale-correct trade: LSH runs once,
     // shingling runs once, and the corpus is scanned 2x total.
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands,
-                                  portable = portable, keepBand = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def mat(d: DataFrame): DataFrame =
+      if (materialize)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    val cands = mat(
+      minhashCandidates(df, textCol, idCol, numHashes, bands,
+                        portable = portable, keepBand = false))
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
-    val sh = df.join(candIds, Seq(idCol), "left_semi")
+    val sh = mat(df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("id"),
               split(normalizeText(col(textCol)), " ").as("__tok"))
-      .select(col("id"), wordShinglesOf(col("__tok"), jaccardNgram).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"),
+              wordShinglesOf(col("__tok"), jaccardNgram).as("sh")))
     cands
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))

@@ -265,6 +265,12 @@ object Similarity {
     * dot_pq / (|q| * sqrt(sum_s |codeword|^2)). At 100 TB this is the
     * standard memory-bound ANN compression: 64-dim float vectors (256 B)
     * become m=4 codes (4 B) after a one-off encode pass.
+    *
+    * Every query scores every code (the ADC contract), so cost is
+    * |corpus| x |queries| table lookups — right for query batches up to
+    * a few thousand. For larger batches compose with [[ivfTopK]]'s cell
+    * assignment first (IVF-PQ): bucket both sides by cell, then ADC
+    * within the probed cells only.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
              idCol: String, qidCol: String, k: Int,
