@@ -258,11 +258,16 @@ object Dedup {
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
+    // shingles are carried as 64-bit hashes: Jaccard over distinct
+    // hashes equals Jaccard over distinct shingle strings (collisions
+    // are ~n^2/2^64), while the pair join shuffles 8-byte longs instead
+    // of full n-gram strings and intersects on long equality
     val sh = mat(df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("id"),
               split(normalizeText(col(textCol)), " ").as("__tok"))
       .select(col("id"),
-              wordShinglesOf(col("__tok"), jaccardNgram).as("sh")))
+              shingleHashes(wordShinglesOf(col("__tok"), jaccardNgram))
+                .as("sh")))
     cands
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
