@@ -2525,11 +2525,19 @@ object SparkEntry {
            SELECT doc_id, b.b AS band,
                   array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
            FROM sh, (SELECT unnest(range(0, 8)) AS b) b),
+         bsz AS (
+           SELECT doc_id, band, key,
+                  count(*) OVER (PARTITION BY band, key) AS n,
+                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
+           FROM bnd),
          cand AS (
+           -- star-expansion guard replay: buckets larger than 256 pair
+           -- every member with the bucket minimum only
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           FROM bnd x JOIN bnd y
+           FROM bsz x JOIN bsz y
              ON x.band = y.band AND x.key = y.key
-                AND x.doc_id < y.doc_id),
+                AND x.doc_id < y.doc_id
+           WHERE x.n <= 256 OR x.doc_id = x.bmin),
          pairs AS (
            SELECT id_a, id_b
            FROM cand JOIN sh a ON cand.id_a = a.doc_id
@@ -3053,11 +3061,19 @@ object SparkEntry {
            SELECT doc_id, b.b AS band,
                   array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
            FROM sigs, (SELECT unnest(range(0, 8)) AS b) b),
+         bsz AS (
+           SELECT doc_id, band, key,
+                  count(*) OVER (PARTITION BY band, key) AS n,
+                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
+           FROM bnd),
          cand AS (
+           -- star-expansion guard replay: buckets larger than 256 pair
+           -- every member with the bucket minimum only
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.band
-           FROM bnd x JOIN bnd y
+           FROM bsz x JOIN bsz y
              ON x.band = y.band AND x.key = y.key
-                AND x.doc_id < y.doc_id)
+                AND x.doc_id < y.doc_id
+           WHERE x.n <= 256 OR x.doc_id = x.bmin)
          SELECT count(*) AS n_candidate_pairs,
                 count(DISTINCT id_a) AS n_left_docs
          FROM cand""",
@@ -3108,11 +3124,19 @@ object SparkEntry {
            SELECT doc_id, b.b AS band,
                   array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
            FROM sh, (SELECT unnest(range(0, 8)) AS b) b),
+         bsz AS (
+           SELECT doc_id, band, key,
+                  count(*) OVER (PARTITION BY band, key) AS n,
+                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
+           FROM bnd),
          cand AS (
+           -- star-expansion guard replay: buckets larger than 256 pair
+           -- every member with the bucket minimum only
            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           FROM bnd x JOIN bnd y
+           FROM bsz x JOIN bsz y
              ON x.band = y.band AND x.key = y.key
-                AND x.doc_id < y.doc_id),
+                AND x.doc_id < y.doc_id
+           WHERE x.n <= 256 OR x.doc_id = x.bmin),
          ver AS (
            SELECT id_a, id_b,
                   CASE WHEN len(list_distinct(

@@ -78,12 +78,16 @@ object OptimalBinning2D {
         * greedy recursive axis-parallel splitting, leaves = bins
         * (`binning_2d.py:63` strategy, `model_data_cart_2d.py`). */
       strategy: String = "grid",
-      /** Largest grid (in cells) solved by the EXACT rectangle-tiling
-        * search — the reference CP's full space including non-guillotine
-        * patterns (`cp_2d.py:14-150`). Beyond this (or 64, the bitmask
-        * capacity) the guillotine DP solves a strict cut subset.
-        * 56 cells ~ 8s driver worst case; the 5x5 default is ~0.1s. */
-      exactCellLimit: Int = 56)
+      /** Largest grid (in cells) the EXACT rectangle-tiling search may
+        * attempt — the reference CP's full space including
+        * non-guillotine patterns (`cp_2d.py:14-150`). Up to 56 cells the
+        * search is unbudgeted (guaranteed exact, ~8s driver worst case;
+        * the 5x5 default is ~0.1s); 57..128 cells run a node-budgeted
+        * search that falls back to the guillotine DP (a strict cut
+        * subset) on budget exhaustion, the CP `time_limit` spirit.
+        * Beyond this limit (or 128) the guillotine DP solves directly.
+        * Lower it to cap exact-search driver cost. */
+      exactCellLimit: Int = 128)
 
   /** Per-dimension exact greedy CART candidate splits. Both dimensions
     * melt into ONE bounded-probe histogram job: the exact (dim, value)
@@ -298,30 +302,41 @@ object OptimalBinning2D {
     val globallyConstrained = monotone || config.minNBins.isDefined ||
       config.maxNBins.isDefined || config.gamma > 0
     val (status, leaves) = config.strategy match {
-      case "cart" if monotone =>
-        throw new IllegalArgumentException(
-          "monotonic_trend_x/y requires strategy=grid")
-      case "cart" =>
+      case "cart" if !globallyConstrained =>
         cartSolve(mx, my, leafIv,
                   config.maxNBins.getOrElse(
                     config.maxNPrebinsX * config.maxNPrebinsY))
-      case "grid" if globallyConstrained =>
+      case "cart" | "grid" =>
         def er(x1: Int, x2: Int, y1: Int, y2: Int): Double = {
           val e = rectEv(x1, x2, y1, y2); val n = rectNe(x1, x2, y1, y2)
           if (e + n > 0) e / (e + n) else 0.0
         }
-        monotonicTilingSolve(mx, my, leafIv, er,
-                             config.monotonicTrendX, config.monotonicTrendY,
-                             minDiffX = config.minEventRateDiffX,
-                             minDiffY = config.minEventRateDiffY,
-                             minBins = config.minNBins,
-                             maxBins = config.maxNBins,
-                             gamma = config.gamma,
-                             rectN = (a, b, c, d) =>
-                               rectEv(a, b, c, d) + rectNe(a, b, c, d),
-                             totalRecords = total)
-      case "grid" => tilingSolve(mx, my, leafIv, config.exactCellLimit,
-                              refinementOptimal = true)
+        if (globallyConstrained) {
+          // cart + constraints mirrors the reference: the greedy tree's
+          // node rectangles become the candidate set and the constrained
+          // search selects a cover among them
+          // (`model_data_cart_2d.py:73-100` + CP constraints); grid uses
+          // the full rectangle space
+          val lv: (Int, Int, Int, Int) => Option[Double] =
+            if (config.strategy == "cart") {
+              val cand = cartCandidateRects(mx, my, leafIv,
+                config.maxNPrebinsX * config.maxNPrebinsY)
+              (a, b, c, d) =>
+                if (cand((a, b, c, d))) leafIv(a, b, c, d) else None
+            } else leafIv
+          monotonicTilingSolve(mx, my, lv, er,
+                               config.monotonicTrendX,
+                               config.monotonicTrendY,
+                               minDiffX = config.minEventRateDiffX,
+                               minDiffY = config.minEventRateDiffY,
+                               minBins = config.minNBins,
+                               maxBins = config.maxNBins,
+                               gamma = config.gamma,
+                               rectN = (a, b, c, d) =>
+                                 rectEv(a, b, c, d) + rectNe(a, b, c, d),
+                               totalRecords = total)
+        } else tilingSolve(mx, my, leafIv, config.exactCellLimit,
+                           refinementOptimal = true)
       case other =>
         throw new IllegalArgumentException(
           s"strategy must be grid or cart, got $other")
@@ -344,20 +359,25 @@ object OptimalBinning2D {
     * guillotine cut yields the largest divergence gain; children must
     * individually satisfy the bin constraints (leafVal defined). Stops
     * at maxLeaves or when no cut gains. Leaves are the bins. */
-  private[graft] def cartSolve(mx: Int, my: Int,
+  private[graft] final case class CartLeaf(x1: Int, x2: Int, y1: Int,
+                                           y2: Int, v: Double)
+
+  /** Shared greedy growth: returns (final leaves, every tree-node rect
+    * created — root, internal nodes, leaves). */
+  private def cartGrow(mx: Int, my: Int,
       leafVal: (Int, Int, Int, Int) => Option[Double],
       maxLeaves: Int)
-      : (String, Array[(Int, Int, Int, Int, Double)]) = {
-    final case class Leaf(x1: Int, x2: Int, y1: Int, y2: Int, v: Double)
+      : (List[CartLeaf], Set[(Int, Int, Int, Int)]) = {
     val rootV = leafVal(0, mx - 1, 0, my - 1)
-    if (rootV.isEmpty) return ("INFEASIBLE", Array.empty)
-    var leaves = List(Leaf(0, mx - 1, 0, my - 1, rootV.get))
+    if (rootV.isEmpty) return (Nil, Set.empty)
+    val nodes = mutable.Set[(Int, Int, Int, Int)]((0, mx - 1, 0, my - 1))
+    var leaves = List(CartLeaf(0, mx - 1, 0, my - 1, rootV.get))
     var grown = true
     while (grown && leaves.size < maxLeaves) {
       // best (leaf, cut): maximize sum-of-children gain over the leaf
       var bestGain = 1e-12
-      var bestLeaf: Leaf = null
-      var bestParts: (Leaf, Leaf) = null
+      var bestLeaf: CartLeaf = null
+      var bestParts: (CartLeaf, CartLeaf) = null
       leaves.foreach { l =>
         // vertical cuts x1 <= c < x2 (left = [x1,c], right = [c+1,x2])
         var c = l.x1
@@ -367,8 +387,8 @@ object OptimalBinning2D {
             case (Some(a), Some(b)) if a + b - l.v > bestGain =>
               bestGain = a + b - l.v
               bestLeaf = l
-              bestParts = (Leaf(l.x1, c, l.y1, l.y2, a),
-                           Leaf(c + 1, l.x2, l.y1, l.y2, b))
+              bestParts = (CartLeaf(l.x1, c, l.y1, l.y2, a),
+                           CartLeaf(c + 1, l.x2, l.y1, l.y2, b))
             case _ => ()
           }
           c += 1
@@ -381,20 +401,46 @@ object OptimalBinning2D {
             case (Some(a), Some(b)) if a + b - l.v > bestGain =>
               bestGain = a + b - l.v
               bestLeaf = l
-              bestParts = (Leaf(l.x1, l.x2, l.y1, c, a),
-                           Leaf(l.x1, l.x2, c + 1, l.y2, b))
+              bestParts = (CartLeaf(l.x1, l.x2, l.y1, c, a),
+                           CartLeaf(l.x1, l.x2, c + 1, l.y2, b))
             case _ => ()
           }
           c += 1
         }
       }
       if (bestLeaf == null) grown = false
-      else leaves = bestParts._1 :: bestParts._2 ::
-        leaves.filterNot(_ eq bestLeaf)
+      else {
+        nodes += ((bestParts._1.x1, bestParts._1.x2,
+                   bestParts._1.y1, bestParts._1.y2))
+        nodes += ((bestParts._2.x1, bestParts._2.x2,
+                   bestParts._2.y1, bestParts._2.y2))
+        leaves = bestParts._1 :: bestParts._2 ::
+          leaves.filterNot(_ eq bestLeaf)
+      }
     }
-    ("OPTIMAL",
-     leaves.map(l => (l.x1, l.x2, l.y1, l.y2, l.v)).toArray)
+    (leaves, nodes.toSet)
   }
+
+  private[graft] def cartSolve(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      maxLeaves: Int)
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
+    val (leaves, _) = cartGrow(mx, my, leafVal, maxLeaves)
+    if (leaves.isEmpty) ("INFEASIBLE", Array.empty)
+    else ("OPTIMAL",
+          leaves.map(l => (l.x1, l.x2, l.y1, l.y2, l.v)).toArray)
+  }
+
+  /** Candidate rectangle set for constrained cart fits: every node of
+    * the greedy cart tree. Mirrors the reference, which keeps ALL
+    * tree-node rectangles as CP candidates
+    * (`model_data_cart_2d.py:73-100` get_rectangles over the whole
+    * tree) and lets the solver pick a cover under the global
+    * constraints. */
+  private[graft] def cartCandidateRects(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      maxLeaves: Int): Set[(Int, Int, Int, Int)] =
+    cartGrow(mx, my, leafVal, maxLeaves)._2
 
   /** Best rectangle partition of the (mx x my) prebin grid: the exact
     * tiling search for small grids (the reference CP's full search space
@@ -404,7 +450,7 @@ object OptimalBinning2D {
     */
   private[graft] def tilingSolve(mx: Int, my: Int,
                                  leafVal: (Int, Int, Int, Int) => Option[Double],
-                                 exactCellLimit: Int = 56,
+                                 exactCellLimit: Int = 128,
                                  refinementOptimal: Boolean = false)
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
@@ -432,9 +478,13 @@ object OptimalBinning2D {
       }
       if (allFeasible) return ("OPTIMAL", singles.toArray)
     }
-    if (nCells <= math.min(exactCellLimit, 64))
+    // up to 56 cells: unbudgeted exact (guaranteed); up to
+    // min(exactCellLimit, 128): budgeted exact with guillotine fallback.
+    // A user-lowered exactCellLimit caps BOTH exact paths, so the knob
+    // bounds driver-side search cost as documented.
+    if (nCells <= math.min(exactCellLimit, 56))
       exactTilingSolve(mx, my, leafVal)
-    else if (nCells <= 128)
+    else if (nCells <= math.min(exactCellLimit, 128))
       // budgeted exact attempt over the full rectangulation space (the
       // CP's search space with its time_limit spirit); guillotine DP if
       // the state space blows the budget
@@ -475,7 +525,8 @@ object OptimalBinning2D {
             maxX2 = x2 - 1 // cannot extend past an occupied cell
           } else {
             // bitmask row-span checks: row y2's span is one AND
-            val span = ((1L << (x2 - gx + 1)) - 1) << gx
+            // <<1 split avoids the 1L<<64 wrap on a 64-cell-wide row
+          val span = (((1L << (x2 - gx)) << 1) - 1) << gx
             var rectMask = 0L
             var y2 = gy
             var ok = true
@@ -642,8 +693,9 @@ object OptimalBinning2D {
     // the node budget below bounds runtime; beyond 64 cells the Long
     // occupancy mask runs out of bits
     require(nCells <= 64,
-            s"monotonic 2D needs a grid of <= 64 cells; got $nCells " +
-            "(lower max_n_prebins_x/y)")
+            s"constrained 2D search (monotonic_trend_x/y, " +
+            s"min/max_n_bins, gamma) needs a grid of <= 64 cells; got " +
+            s"$nCells (lower max_n_prebins_x/y or drop the constraint)")
     val full = if (nCells == 64) -1L else (1L << nCells) - 1
     @inline def bit(ix: Int, iy: Int): Int = iy * mx + ix
 
@@ -747,7 +799,8 @@ object OptimalBinning2D {
         if ((mask & (1L << bit(x2, gy))) != 0) {
           maxX2 = x2 - 1
         } else {
-          val span = ((1L << (x2 - gx + 1)) - 1) << gx
+          // <<1 split avoids the 1L<<64 wrap on a 64-cell-wide row
+          val span = (((1L << (x2 - gx)) << 1) - 1) << gx
           var rectMask = 0L
           var y2 = gy
           var ok = true
@@ -934,10 +987,7 @@ object OptimalBinning2D {
     val contConstrained = contMonotone || config.minNBins.isDefined ||
       config.maxNBins.isDefined || config.gamma > 0
     val (status, leaves) = config.strategy match {
-      case "cart" if contMonotone =>
-        throw new IllegalArgumentException(
-          "monotonic_trend_x/y requires strategy=grid")
-      case "cart" =>
+      case "cart" if !contConstrained =>
         cartSolve(mx, my, leafNorm,
                   config.maxNBins.getOrElse(
                     config.maxNPrebinsX * config.maxNPrebinsY))
@@ -945,12 +995,20 @@ object OptimalBinning2D {
         // monotone trend on bin MEANS with min_mean_diff_x/y
         // (`continuous_binning_2d.py` monotonic_trend_x/y; same CP
         // forbidden-pair encoding as binary, mean in place of rate),
-        // plus min/max_n_bins and gamma
+        // plus min/max_n_bins and gamma; cart restricts candidates to
+        // the greedy tree's node rectangles like the reference
         def meanOf(x1: Int, x2: Int, y1: Int, y2: Int): Double = {
           val n = rectOf(cumN)(x1, x2, y1, y2)
           if (n > 0) rectOf(cumS)(x1, x2, y1, y2) / n else 0.0
         }
-        monotonicTilingSolve(mx, my, leafNorm, meanOf,
+        val lv: (Int, Int, Int, Int) => Option[Double] =
+          if (config.strategy == "cart") {
+            val cand = cartCandidateRects(mx, my, leafNorm,
+              config.maxNPrebinsX * config.maxNPrebinsY)
+            (a, b, c, d) =>
+              if (cand((a, b, c, d))) leafNorm(a, b, c, d) else None
+          } else leafNorm
+        monotonicTilingSolve(mx, my, lv, meanOf,
                              config.monotonicTrendX, config.monotonicTrendY,
                              minDiffX = config.minEventRateDiffX,
                              minDiffY = config.minEventRateDiffY,

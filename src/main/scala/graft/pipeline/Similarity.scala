@@ -348,11 +348,19 @@ object Similarity {
                             ctr, (a, b) => (a - b) * (a - b)),
                    lit(0.0d), (acc, v) => acc + v).as("d2"),
                  ci.as("c"))))(0).getField("c"))
-    val encoded = c.withColumn("code", codeOf(col("cemb")))
     // codeword squared norms are data-independent driver literals
     val n2Lit = array(codebooks.map(cb =>
       array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
         : _*)): _*)
+    val lookupSum: (Column, Column) => Column = (tab, code) =>
+      aggregate(zip_with(tab, code,
+                         (t, cd) => element_at(t, cd.cast("int") + lit(1))),
+                lit(0.0d), (acc, v) => acc + v)
+    // the reconstructed norm is a per-DOCUMENT quantity: compute it on
+    // the corpus side once, not once per (doc, query) pair after the
+    // join
+    val encoded = c.withColumn("code", codeOf(col("cemb")))
+      .withColumn("cnorm", sqrt(lookupSum(n2Lit, col("code"))))
     // query side: per-subspace dot tables (m x ksub), computed once per
     // query row and broadcast — the ADC structure
     val q = queries
@@ -368,14 +376,10 @@ object Similarity {
             lit(0.0d), (acc, v) => acc + v))))
       .select("qid", "qnorm", "dtab")
     // scan: m table lookups per (doc, query); corpus side stationary
-    val lookupSum: (Column, Column) => Column = (tab, code) =>
-      aggregate(zip_with(tab, code,
-                         (t, cd) => element_at(t, cd.cast("int") + lit(1))),
-                lit(0.0d), (acc, v) => acc + v)
     val scored = encoded.crossJoin(broadcast(q))
       .withColumn("dotp", lookupSum(col("dtab"), col("code")))
-      .withColumn("cn2", lookupSum(n2Lit, col("code")))
-      .withColumn("cosine_pq", col("dotp") / (col("qnorm") * sqrt(col("cn2"))))
+      .withColumn("cosine_pq",
+                  col("dotp") / (col("qnorm") * col("cnorm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine_pq"), col("cid"))
     scored.withColumn("rank", row_number().over(w))

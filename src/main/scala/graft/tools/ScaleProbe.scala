@@ -57,11 +57,12 @@ object ScaleProbe {
     }
 
     // pipeline paths: replicate documents/embeddings with distinct ids.
-    // Every copy is an exact duplicate of its original, so the dup
-    // fraction GROWS with mult (each doc gains mult-1 exact near-dups)
-    // — deliberately harsher than real growth, where candidate density
-    // stays roughly constant; the star-expansion guard and the
-    // suspect-bounded shingle join are what keep this sublinear
+    // Every copy is an exact duplicate of its original, so duplicate
+    // CLUSTERS grow to mult members and candidate pairs grow
+    // quadratically in mult (bounded by the star-expansion guard at
+    // 256) — deliberately harsher than real corpus growth, where dup
+    // density stays constant. Near-dup cost should track the candidate
+    // pair count, never corpus^2
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -92,6 +93,11 @@ object ScaleProbe {
         if (pass == 2)
           println(f"PROBE mult=$mult%2d docs=$nd%9d vecs=$ne%8d " +
             f"neardup=$tNd%6.2f s pq_topk=$tPq%6.2f s")
+        // nearDupPairs persists dup-suspect-sized intermediates per
+        // call; drop them after EVERY pass so the measured pass is a
+        // cold-cache warm-JIT run of the full pipeline, not a replay of
+        // the warm-up's cached candidates
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -152,6 +152,22 @@ class AdvancedBinningSpec extends AnyFunSuite {
     val fi = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
       "target", OptimalBinning2D.Config2D(maxBinSize = Some(0.001)))
     assert(fi.rects.length == 1)
+
+    // cart + bin-count bounds: constrained selection over the greedy
+    // tree's node rectangles (not silently ignored)
+    val fcb = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(strategy = "cart",
+                                          minNBins = Some(2),
+                                          maxNBins = Some(4)))
+    assert(fcb.status == "OPTIMAL" || fcb.status == "FEASIBLE")
+    assert(fcb.rects.length >= 2 && fcb.rects.length <= 4,
+           s"${fcb.rects.length} bins")
+    // cart + monotone no longer throws: descending/descending solves
+    val fcm = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+      "target", OptimalBinning2D.Config2D(strategy = "cart",
+        monotonicTrendX = Some("descending"),
+        monotonicTrendY = Some("descending")))
+    assert(fcm.status == "OPTIMAL" || fcm.status == "FEASIBLE")
   }
 
   test("ContinuousOptimalBinning2D monotone trends match the reference " +
@@ -178,11 +194,31 @@ class AdvancedBinningSpec extends AnyFunSuite {
                                 minEventRateDiffX = 5.0,
                                 minEventRateDiffY = 5.0))
     assert(fg.iv <= fd.iv + 1e-9, s"iv ${fg.iv} vs ${fd.iv}")
-    // cart strategy + monotone trend is rejected, like the binary path
-    intercept[IllegalArgumentException] {
-      OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target",
-        OptimalBinning2D.Config2D(strategy = "cart",
-                                  monotonicTrendX = Some("ascending")))
+    // cart + monotone: candidates restricted to the greedy tree's node
+    // rectangles, constrained selection among them (the reference's
+    // model_data_cart + CP shape). The SOLVER objective (unweighted
+    // sum of |mean - tMean|, `model_data_2d.py:253-257`) over the cart
+    // subset cannot beat the full-space grid optimum; the REPORTED
+    // table iv is n-weighted and need not be ordered the same way.
+    val fcd = OptimalBinning2D.fitContinuous(df, "AGE", "INDUS", "target",
+      OptimalBinning2D.Config2D(strategy = "cart",
+                                monotonicTrendX = Some("descending"),
+                                monotonicTrendY = Some("descending")))
+    assert(fcd.status == "OPTIMAL" || fcd.status == "FEASIBLE", fcd.status)
+    def solverObj(f: FittedContinuous2D): Double = {
+      val tMean = f.tMean
+      f.rects.map(r => math.abs(r.mean - tMean)).sum
+    }
+    assert(solverObj(fcd) <= solverObj(fd) + 1e-9,
+           s"cart ${solverObj(fcd)} vs grid ${solverObj(fd)}")
+    // every adjacent pair of the cart tiling respects the trends
+    def xAdj(a: OptimalBinning2D.ContRect, b: OptimalBinning2D.ContRect) =
+      a.x2 + 1 == b.x1 && a.y1 <= b.y2 && b.y1 <= a.y2
+    def yAdj(a: OptimalBinning2D.ContRect, b: OptimalBinning2D.ContRect) =
+      a.y2 + 1 == b.y1 && a.x1 <= b.x2 && b.x1 <= a.x2
+    for (a <- fcd.rects; b <- fcd.rects) {
+      if (xAdj(a, b)) assert(a.mean > b.mean, s"$a !> $b along x")
+      if (yAdj(a, b)) assert(a.mean > b.mean, s"$a !> $b along y")
     }
   }
 
@@ -365,6 +401,16 @@ class AdvancedBinningSpec extends AnyFunSuite {
     val (sd, _) = OptimalBinning2D.monotonicTilingSolve(
       6, 6, colsOnly(6), er, Some("descending"), None)
     assert(sd == "INFEASIBLE")
+
+    // 64x1 grid: a 64-cell-wide rectangle's row-span mask must not wrap
+    // (1L << 64 == 1); the tiling returned must be an exact cover
+    val (s64, l64w) = OptimalBinning2D.monotonicTilingSolve(
+      64, 1, (a: Int, b: Int, c: Int, d: Int) => Some(1.0), er,
+      Some("ascending"), None, maxNodes = 20000)
+    assert(s64 == "OPTIMAL" || s64 == "FEASIBLE", s64)
+    val cov64 = l64w.flatMap { case (x1, x2, _, _, _) => x1 to x2 }
+    assert(cov64.length == 64 && cov64.toSet.size == 64,
+           s"cover ${cov64.length}/${cov64.toSet.size}")
 
     // budget exhaustion AFTER a complete tiling was found returns the
     // best-so-far as FEASIBLE (the reference CP's time_limit semantics);
