@@ -20,12 +20,12 @@ import graft.core.{Metrics, Prebinning}
   * here the driver searches the SAME solution space exactly — first-gap
   * rectangle tiling with full bitmask memoization (includes
   * non-guillotine patterns like pinwheels the CP can also produce):
-  * unbudgeted to `exactCellLimit` (default 56) cells, node-budgeted with
-  * a two-word mask to 128 cells, with the polynomial guillotine-partition
-  * DP as the budget-exhaustion/large-grid fallback (its cut structure is
-  * a strict subset). Unconstrained fits shortcut to the provably-optimal
-  * all-singletons tiling (refinement superadditivity). IV per rectangle
-  * from 2D prefix sums.
+  * unbudgeted to 56 cells, node-budgeted with a two-word mask to
+  * min(`exactCellLimit`, 128) cells, with the polynomial
+  * guillotine-partition DP as the budget-exhaustion/large-grid fallback
+  * (its cut structure is a strict subset). Unconstrained fits shortcut
+  * to the provably-optimal all-singletons tiling (refinement
+  * superadditivity). IV per rectangle from 2D prefix sums.
   */
 object OptimalBinning2D {
 
@@ -298,45 +298,46 @@ object OptimalBinning2D {
       config.monotonicTrendY.isDefined
     // bin-count bounds and gamma couple every selected rectangle, so
     // they route through the same constrained branch-and-bound as the
-    // monotone trends (CP `add_constraint_min_max_bins` + gamma terms)
+    // monotone trends (CP `add_constraint_min_max_bins` + gamma terms).
+    // Exception: cart with ONLY max_n_bins keeps the greedy leaf cap —
+    // the pre-existing semantics — so >64-cell grids stay supported
+    // (the constrained solver's Long mask cannot reach them).
     val globallyConstrained = monotone || config.minNBins.isDefined ||
-      config.maxNBins.isDefined || config.gamma > 0
+      config.gamma > 0 ||
+      (config.maxNBins.isDefined && config.strategy != "cart")
     val (status, leaves) = config.strategy match {
       case "cart" if !globallyConstrained =>
         cartSolve(mx, my, leafIv,
                   config.maxNBins.getOrElse(
                     config.maxNPrebinsX * config.maxNPrebinsY))
-      case "cart" | "grid" =>
+      case "cart" | "grid" if globallyConstrained =>
         def er(x1: Int, x2: Int, y1: Int, y2: Int): Double = {
           val e = rectEv(x1, x2, y1, y2); val n = rectNe(x1, x2, y1, y2)
           if (e + n > 0) e / (e + n) else 0.0
         }
-        if (globallyConstrained) {
-          // cart + constraints mirrors the reference: the greedy tree's
-          // node rectangles become the candidate set and the constrained
-          // search selects a cover among them
-          // (`model_data_cart_2d.py:73-100` + CP constraints); grid uses
-          // the full rectangle space
-          val lv: (Int, Int, Int, Int) => Option[Double] =
-            if (config.strategy == "cart") {
-              val cand = cartCandidateRects(mx, my, leafIv,
-                config.maxNPrebinsX * config.maxNPrebinsY)
-              (a, b, c, d) =>
-                if (cand((a, b, c, d))) leafIv(a, b, c, d) else None
-            } else leafIv
-          monotonicTilingSolve(mx, my, lv, er,
-                               config.monotonicTrendX,
-                               config.monotonicTrendY,
-                               minDiffX = config.minEventRateDiffX,
-                               minDiffY = config.minEventRateDiffY,
-                               minBins = config.minNBins,
-                               maxBins = config.maxNBins,
-                               gamma = config.gamma,
-                               rectN = (a, b, c, d) =>
-                                 rectEv(a, b, c, d) + rectNe(a, b, c, d),
-                               totalRecords = total)
-        } else tilingSolve(mx, my, leafIv, config.exactCellLimit,
-                           refinementOptimal = true)
+        // cart + constraints mirrors the reference: the greedy tree's
+        // node rectangles become the candidate set and the constrained
+        // search selects a cover among them
+        // (`model_data_cart_2d.py:73-100` + CP constraints); grid uses
+        // the full rectangle space
+        val lv =
+          if (config.strategy == "cart")
+            restrictToCartCandidates(mx, my, leafIv,
+              config.maxNPrebinsX * config.maxNPrebinsY)
+          else leafIv _
+        monotonicTilingSolve(mx, my, lv, er,
+                             config.monotonicTrendX,
+                             config.monotonicTrendY,
+                             minDiffX = config.minEventRateDiffX,
+                             minDiffY = config.minEventRateDiffY,
+                             minBins = config.minNBins,
+                             maxBins = config.maxNBins,
+                             gamma = config.gamma,
+                             rectN = (a, b, c, d) =>
+                               rectEv(a, b, c, d) + rectNe(a, b, c, d),
+                             totalRecords = total)
+      case "grid" => tilingSolve(mx, my, leafIv, config.exactCellLimit,
+                                 refinementOptimal = true)
       case other =>
         throw new IllegalArgumentException(
           s"strategy must be grid or cart, got $other")
@@ -442,6 +443,16 @@ object OptimalBinning2D {
       maxLeaves: Int): Set[(Int, Int, Int, Int)] =
     cartGrow(mx, my, leafVal, maxLeaves)._2
 
+  /** leafVal restricted to the greedy cart tree's node rectangles —
+    * the candidate-set wrapper both fit paths hand to the constrained
+    * solver under strategy="cart". */
+  private def restrictToCartCandidates(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      maxLeaves: Int): (Int, Int, Int, Int) => Option[Double] = {
+    val cand = cartCandidateRects(mx, my, leafVal, maxLeaves)
+    (a, b, c, d) => if (cand((a, b, c, d))) leafVal(a, b, c, d) else None
+  }
+
   /** Best rectangle partition of the (mx x my) prebin grid: the exact
     * tiling search for small grids (the reference CP's full search space
     * — includes non-guillotine patterns like pinwheels,
@@ -526,7 +537,7 @@ object OptimalBinning2D {
           } else {
             // bitmask row-span checks: row y2's span is one AND
             // <<1 split avoids the 1L<<64 wrap on a 64-cell-wide row
-          val span = (((1L << (x2 - gx)) << 1) - 1) << gx
+            val span = (((1L << (x2 - gx)) << 1) - 1) << gx
             var rectMask = 0L
             var y2 = gy
             var ok = true
@@ -984,14 +995,17 @@ object OptimalBinning2D {
 
     val contMonotone = config.monotonicTrendX.isDefined ||
       config.monotonicTrendY.isDefined
+    // same routing rule as the binary fit: cart with ONLY max_n_bins
+    // keeps the greedy leaf cap (supports >64-cell grids)
     val contConstrained = contMonotone || config.minNBins.isDefined ||
-      config.maxNBins.isDefined || config.gamma > 0
+      config.gamma > 0 ||
+      (config.maxNBins.isDefined && config.strategy != "cart")
     val (status, leaves) = config.strategy match {
       case "cart" if !contConstrained =>
         cartSolve(mx, my, leafNorm,
                   config.maxNBins.getOrElse(
                     config.maxNPrebinsX * config.maxNPrebinsY))
-      case _ if contConstrained =>
+      case "cart" | "grid" if contConstrained =>
         // monotone trend on bin MEANS with min_mean_diff_x/y
         // (`continuous_binning_2d.py` monotonic_trend_x/y; same CP
         // forbidden-pair encoding as binary, mean in place of rate),
@@ -1001,13 +1015,11 @@ object OptimalBinning2D {
           val n = rectOf(cumN)(x1, x2, y1, y2)
           if (n > 0) rectOf(cumS)(x1, x2, y1, y2) / n else 0.0
         }
-        val lv: (Int, Int, Int, Int) => Option[Double] =
-          if (config.strategy == "cart") {
-            val cand = cartCandidateRects(mx, my, leafNorm,
+        val lv =
+          if (config.strategy == "cart")
+            restrictToCartCandidates(mx, my, leafNorm,
               config.maxNPrebinsX * config.maxNPrebinsY)
-            (a, b, c, d) =>
-              if (cand((a, b, c, d))) leafNorm(a, b, c, d) else None
-          } else leafNorm
+          else leafNorm _
         monotonicTilingSolve(mx, my, lv, meanOf,
                              config.monotonicTrendX, config.monotonicTrendY,
                              minDiffX = config.minEventRateDiffX,
@@ -1017,8 +1029,11 @@ object OptimalBinning2D {
                              gamma = config.gamma,
                              rectN = rectOf(cumN),
                              totalRecords = total)
-      case _ => tilingSolve(mx, my, leafNorm, config.exactCellLimit,
-                            refinementOptimal = true)
+      case "grid" => tilingSolve(mx, my, leafNorm, config.exactCellLimit,
+                                 refinementOptimal = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"strategy must be grid or cart, got $other")
     }
     val rects =
       if (status == "OPTIMAL" || status == "FEASIBLE")
