@@ -212,6 +212,18 @@ class PipelineQualitySpec extends AnyFunSuite {
     val cb2 = Similarity.pqPortableCodebooks(2, 4, 3)
     assert(cb1.map(_.map(_.toVector).toVector).toVector ==
            cb2.map(_.map(_.toVector).toVector).toVector)
+
+    // edge cases: empty corpus answers empty (no crash); a dimension
+    // not divisible by m is rejected with guidance
+    val empty = Similarity.pqTopK(corpusDf.limit(0), queryDf,
+                                  "embedding", "vec_id", "vec_id", k = 3)
+    assert(empty.collect().isEmpty)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopKPortable(corpusDf, queryDf, "embedding",
+                                "vec_id", "vec_id", k = 3, dim = 16,
+                                m = 5)
+    }
+    assert(err.getMessage.contains("divisible"))
   }
 
   test("minhash skew guard: mega-cluster emits linear star pairs") {
