@@ -1314,6 +1314,25 @@ object SparkEntry {
                 .as("avg_cosine_pq"))
     }),
 
+    "q_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ: coarse cells bound the scanned fraction, ADC codes
+      // bound per-vector memory — the standard big-corpus ANN shape,
+      // with portable centroids AND codebooks so DuckDB replays
+      // assign + encode + probe + score bit-exactly
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val res = Similarity.ivfPqTopKPortable(e, queries, "embedding",
+                                             "vec_id", "qid", k = 5,
+                                             dim = 64, nLists = 16,
+                                             nProbe = 4, m = 4,
+                                             ksub = 16)
+      res.agg(count(lit(1)).as("n_results"),
+              countDistinct(col("qid")).as("n_queries"),
+              round(avg(round(col("cosine_pq"), 6)), 6)
+                .as("avg_cosine_pq"))
+    }),
+
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
       // (deterministic doc sample so the oracle sees the same payloads)
@@ -2979,6 +2998,96 @@ object SparkEntry {
            JOIN cb b ON b.s = en.s AND b.c = en.code
            CROSS JOIN (SELECT vec_id, emb FROM emb
                        WHERE vec_id < 20) q),
+         sc AS (
+           SELECT qid, cid,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(dot_s ORDER BY s)), (a, x) -> a + x) AS dotp,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(n2_s ORDER BY s)), (a, x) -> a + x) AS cn2
+           FROM parts GROUP BY qid, cid),
+         qn AS (
+           SELECT vec_id AS qid,
+                  sqrt(list_dot_product(emb, emb)) AS qnorm
+           FROM emb WHERE vec_id < 20),
+         rk AS (
+           SELECT s.qid, s.cid,
+                  s.dotp / (q.qnorm * sqrt(s.cn2)) AS cosine_pq,
+                  row_number() OVER (PARTITION BY s.qid
+                    ORDER BY s.dotp / (q.qnorm * sqrt(s.cn2)) DESC,
+                             s.cid) AS rank
+           FROM sc s JOIN qn q USING (qid))
+         SELECT count(*) AS n_results,
+                count(DISTINCT qid) AS n_queries,
+                round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq
+         FROM rk WHERE rank <= 5""",
+
+    // IVF-PQ: the q_ivf_topk cell-assignment CTEs (Lehmer centroids,
+    // p = 1000+l) composed with the q_pq_topk encode/ADC CTEs (Lehmer
+    // codebooks, p = 5000 + s*16 + c); scoring runs only inside the
+    // nProbe=4 probed cells
+    "q_ivfpq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cent AS (
+           SELECT l AS cell,
+                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647)
+                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 65)] AS ctr
+           FROM range(0, 16) t(l)),
+         ad AS (
+           SELECT vec_id, emb, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn
+           FROM (
+             SELECT e.vec_id, e.emb, c.cell,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      [ (e.emb[d] - c.ctr[d]) * (e.emb[d] - c.ctr[d])
+                        FOR d IN range(1, 65)]),
+                      (a, b) -> a + b) AS d2
+             FROM emb e CROSS JOIN cent c) t),
+         corpus AS (
+           SELECT vec_id AS cid, cell FROM ad WHERE rn = 1),
+         cb AS (
+           SELECT s, c,
+                  [ (((((((5000 + s*16 + c)*1315423911
+                          + (d-1)*2654435761 + 97531) % 2147483647)
+                      * (((5000 + s*16 + c)*1315423911
+                          + (d-1)*2654435761 + 97531) % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 17)] AS ctr
+           FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c)),
+         enc AS (
+           SELECT vec_id AS cid, s, c AS code
+           FROM (SELECT e.vec_id, b.s, b.c,
+                        row_number() OVER (PARTITION BY e.vec_id, b.s
+                          ORDER BY list_reduce(list_prepend(0.0::DOUBLE,
+                            [ (e.emb[b.s*16 + d] - b.ctr[d])
+                              * (e.emb[b.s*16 + d] - b.ctr[d])
+                              FOR d IN range(1, 17)]),
+                            (a, x) -> a + x), b.c) AS rn
+                 FROM emb e CROSS JOIN cb b)
+           WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS qid, emb AS qemb, cell
+           FROM ad WHERE vec_id < 20 AND rn <= 4),
+         parts AS (
+           SELECT p.qid, co.cid, en.s,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ p.qemb[en.s*16 + d] * b.ctr[d]
+                      FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS dot_s,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ b.ctr[d] * b.ctr[d] FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS n2_s
+           FROM probes p
+           JOIN corpus co USING (cell)
+           JOIN enc en ON en.cid = co.cid
+           JOIN cb b ON b.s = en.s AND b.c = en.code),
          sc AS (
            SELECT qid, cid,
                   list_reduce(list_prepend(0.0::DOUBLE,

@@ -387,6 +387,141 @@ object Similarity {
       .select("qid", "cid", "cosine_pq", "rank")
   }
 
+  /** IVF-PQ ANN: the standard big-corpus composition. The coarse
+    * quantizer assigns every corpus vector to one of `nLists` cells and
+    * queries probe only `nProbe` cells (bounding the scanned fraction);
+    * within the probed cells, scoring is the PQ ADC table lookup
+    * (bounding per-vector memory to m codes). Corpus: one encode pass
+    * (cell + codes), then stationary; queries broadcast (cells + dot
+    * tables). Use over [[pqTopK]] when query batches are large and over
+    * [[ivfTopK]] when vectors are too wide to keep raw.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+                idCol: String, qidCol: String, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ksub: Int = 16,
+                maxTrainSample: Int = 20000): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    // ONE bounded sample trains the coarse quantizer and every
+    // subspace codebook
+    val sample = {
+      val s = c.where(pmod(xxhash64(col("cid")), lit(16)) === 0)
+        .select("cemb").limit(maxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      if (s.nonEmpty) s
+      else c.select("cemb").limit(maxTrainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
+    if (sample.isEmpty)
+      return queries.select(col(qidCol).as("qid")).limit(0)
+        .crossJoin(c.select(col("cid")))
+        .withColumn("cosine_pq", lit(0.0d))
+        .withColumn("rank", lit(1))
+        .select("qid", "cid", "cosine_pq", "rank")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val centroids = sampleKMeans(sample, math.min(nLists, sample.length),
+                                 iters = 10, seed = 7)
+    val codebooks = Array.tabulate(m) { s =>
+      sampleKMeans(sample.map(v => v.slice(s * dsub, (s + 1) * dsub)),
+                   math.min(ksub, sample.length), iters = 10,
+                   seed = 7 + s)
+    }
+    ivfPqScore(c, queries, embCol, qidCol, k, nProbe, centroids,
+               codebooks)
+  }
+
+  /** [[ivfPqTopK]] with the portable deterministic coarse centroids
+    * ([[portableCentroids]]) and PQ codebooks ([[pqPortableCodebooks]])
+    * — no training scan; the whole assign + encode + probe + ADC plan
+    * is integer/float arithmetic an external SQL engine replays. */
+  def ivfPqTopKPortable(corpus: DataFrame, queries: DataFrame,
+                        embCol: String, idCol: String, qidCol: String,
+                        k: Int, dim: Int, nLists: Int = 16,
+                        nProbe: Int = 4, m: Int = 4,
+                        ksub: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    ivfPqScore(c, queries, embCol, qidCol, k, nProbe,
+               portableCentroids(nLists, dim),
+               pqPortableCodebooks(m, ksub, dim / m))
+  }
+
+  private def ivfPqScore(c: DataFrame, queries: DataFrame,
+                         embCol: String, qidCol: String, k: Int,
+                         nProbe: Int,
+                         centroids: Array[Array[Double]],
+                         codebooks: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val centroidLit = array(centroids.map(ctr =>
+      array(ctr.map(lit(_)): _*)): _*)
+    def cellOf(emb: Column): Column =
+      array_sort(transform(centroidLit, (ctr, ci) =>
+        struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
+                         lit(0.0d), (acc, v) => acc + v).as("d2"),
+               ci.as("cell"))))(0).getField("cell")
+    val cbLit = array(codebooks.map(cb =>
+      array(cb.map(ctr => array(ctr.map(lit(_)): _*)): _*)): _*)
+    def codeOf(emb: Column): Column =
+      transform(cbLit, (cb, s) =>
+        array_sort(transform(cb, (ctr, ci) =>
+          struct(aggregate(
+                   zip_with(slice(emb, s * lit(dsub) + lit(1), lit(dsub)),
+                            ctr, (a, b) => (a - b) * (a - b)),
+                   lit(0.0d), (acc, v) => acc + v).as("d2"),
+                 ci.as("c"))))(0).getField("c"))
+    val n2Lit = array(codebooks.map(cb =>
+      array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
+        : _*)): _*)
+    val lookupSum: (Column, Column) => Column = (tab, code) =>
+      aggregate(zip_with(tab, code,
+                         (t, cd) => element_at(t, cd.cast("int") + lit(1))),
+                lit(0.0d), (acc, v) => acc + v)
+    // corpus: cell + codes + reconstructed norm in ONE projection pass
+    val encoded = c
+      .withColumn("cell", cellOf(col("cemb")))
+      .withColumn("code", codeOf(col("cemb")))
+      .withColumn("cnorm", sqrt(lookupSum(n2Lit, col("code"))))
+      .select("cid", "cell", "code", "cnorm")
+    // queries: nProbe nearest cells + per-subspace dot tables
+    val q = queries
+      .select(col(qidCol).as("qid"),
+              col(embCol).cast("array<double>").as("qemb"))
+      .withColumn("qnorm", norm(col("qemb")))
+      .withColumn("dtab",
+        transform(cbLit, (cb, s) =>
+          transform(cb, ctr => aggregate(
+            zip_with(slice(col("qemb"), s * lit(dsub) + lit(1),
+                           lit(dsub)),
+                     ctr, (a, b) => a * b),
+            lit(0.0d), (acc, v) => acc + v))))
+      .withColumn("__cells",
+        slice(transform(
+          array_sort(transform(centroidLit, (ctr, ci) =>
+            struct(aggregate(zip_with(col("qemb"), ctr,
+                                      (a, b) => (a - b) * (a - b)),
+                             lit(0.0d), (acc, v) => acc + v).as("d2"),
+                   ci.as("cell")))),
+          s => s.getField("cell")), 1, nProbe))
+      .select(col("qid"), col("qnorm"), col("dtab"),
+              explode(col("__cells")).as("cell"))
+    // probe join on cell: only nProbe/nLists of the corpus is scored
+    val scored = encoded.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine_pq",
+                  lookupSum(col("dtab"), col("code")) /
+                    (col("qnorm") * col("cnorm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine_pq"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cosine_pq", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

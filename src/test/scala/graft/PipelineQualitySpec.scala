@@ -224,6 +224,24 @@ class PipelineQualitySpec extends AnyFunSuite {
                                 m = 5)
     }
     assert(err.getMessage.contains("divisible"))
+
+    // IVF-PQ composition: coarse cells bound the scan, ADC scores the
+    // probed fraction; on well-separated clusters the top-5 stays in
+    // the query's cluster
+    val ivfpq = Similarity.ivfPqTopK(corpusDf, queryDf, "embedding",
+                                     "vec_id", "vec_id", k = 5,
+                                     nLists = 8, nProbe = 2)
+      .collect()
+    assert(ivfpq.length == 16 * 5)
+    assert(ivfpq.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(3)).sorted.toSeq == (1 to 5).toSeq))
+    val ivfpqHit = ivfpq.count(r =>
+      (r.getLong(1) % 8) == ((r.getLong(0) - 1000) % 8))
+    assert(ivfpqHit >= 76, s"ivf-pq cluster hits $ivfpqHit / 80")
+    // empty corpus degrades cleanly here too
+    assert(Similarity.ivfPqTopK(corpusDf.limit(0), queryDf, "embedding",
+                                "vec_id", "vec_id", k = 3)
+      .collect().isEmpty)
   }
 
   test("minhash skew guard: mega-cluster emits linear star pairs") {
