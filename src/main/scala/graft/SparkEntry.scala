@@ -2961,15 +2961,20 @@ object SparkEntry {
       """WITH emb AS (
            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          cb AS (
-           SELECT s, c,
-                  [ (((((((5000 + s*16 + c)*1315423911
-                          + (d-1)*2654435761 + 97531) % 2147483647)
-                      * (((5000 + s*16 + c)*1315423911
-                          + (d-1)*2654435761 + 97531) % 2147483647))
-                      % 2147483647) * 48271) % 2147483647)
-                    * 2.0 / 2147483647.0 - 1.0
-                    FOR d IN range(1, 17)] AS ctr
-           FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c)),
+           SELECT s, c, ctr,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ ctr[d] * ctr[d] FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS n2_s
+           FROM (
+             SELECT s, c,
+                    [ (((((((5000 + s*16 + c)*1315423911
+                            + (d-1)*2654435761 + 97531) % 2147483647)
+                        * (((5000 + s*16 + c)*1315423911
+                            + (d-1)*2654435761 + 97531) % 2147483647))
+                        % 2147483647) * 48271) % 2147483647)
+                      * 2.0 / 2147483647.0 - 1.0
+                      FOR d IN range(1, 17)] AS ctr
+             FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c))),
          enc0 AS (
            SELECT e.vec_id, b.s, b.c,
                   list_reduce(list_prepend(0.0::DOUBLE,
@@ -2991,9 +2996,7 @@ object SparkEntry {
                     [ q.emb[en.s*16 + d] * b.ctr[d]
                       FOR d IN range(1, 17)]),
                     (a, x) -> a + x) AS dot_s,
-                  list_reduce(list_prepend(0.0::DOUBLE,
-                    [ b.ctr[d] * b.ctr[d] FOR d IN range(1, 17)]),
-                    (a, x) -> a + x) AS n2_s
+                  b.n2_s
            FROM enc en
            JOIN cb b ON b.s = en.s AND b.c = en.code
            CROSS JOIN (SELECT vec_id, emb FROM emb
@@ -3010,12 +3013,14 @@ object SparkEntry {
                   sqrt(list_dot_product(emb, emb)) AS qnorm
            FROM emb WHERE vec_id < 20),
          rk AS (
-           SELECT s.qid, s.cid,
-                  s.dotp / (q.qnorm * sqrt(s.cn2)) AS cosine_pq,
-                  row_number() OVER (PARTITION BY s.qid
-                    ORDER BY s.dotp / (q.qnorm * sqrt(s.cn2)) DESC,
-                             s.cid) AS rank
-           FROM sc s JOIN qn q USING (qid))
+           SELECT qid, cid, cosine_pq,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine_pq DESC, cid) AS rank
+           FROM (SELECT s.qid, s.cid,
+                        CASE WHEN q.qnorm > 0 AND s.cn2 > 0
+                             THEN s.dotp / (q.qnorm * sqrt(s.cn2))
+                             ELSE 0.0 END AS cosine_pq
+                 FROM sc s JOIN qn q USING (qid)))
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
                 round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq
@@ -3052,15 +3057,20 @@ object SparkEntry {
          corpus AS (
            SELECT vec_id AS cid, cell FROM ad WHERE rn = 1),
          cb AS (
-           SELECT s, c,
-                  [ (((((((5000 + s*16 + c)*1315423911
-                          + (d-1)*2654435761 + 97531) % 2147483647)
-                      * (((5000 + s*16 + c)*1315423911
-                          + (d-1)*2654435761 + 97531) % 2147483647))
-                      % 2147483647) * 48271) % 2147483647)
-                    * 2.0 / 2147483647.0 - 1.0
-                    FOR d IN range(1, 17)] AS ctr
-           FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c)),
+           SELECT s, c, ctr,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ ctr[d] * ctr[d] FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS n2_s
+           FROM (
+             SELECT s, c,
+                    [ (((((((5000 + s*16 + c)*1315423911
+                            + (d-1)*2654435761 + 97531) % 2147483647)
+                        * (((5000 + s*16 + c)*1315423911
+                            + (d-1)*2654435761 + 97531) % 2147483647))
+                        % 2147483647) * 48271) % 2147483647)
+                      * 2.0 / 2147483647.0 - 1.0
+                      FOR d IN range(1, 17)] AS ctr
+             FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c))),
          enc AS (
            SELECT vec_id AS cid, s, c AS code
            FROM (SELECT e.vec_id, b.s, b.c,
@@ -3081,9 +3091,7 @@ object SparkEntry {
                     [ p.qemb[en.s*16 + d] * b.ctr[d]
                       FOR d IN range(1, 17)]),
                     (a, x) -> a + x) AS dot_s,
-                  list_reduce(list_prepend(0.0::DOUBLE,
-                    [ b.ctr[d] * b.ctr[d] FOR d IN range(1, 17)]),
-                    (a, x) -> a + x) AS n2_s
+                  b.n2_s
            FROM probes p
            JOIN corpus co USING (cell)
            JOIN enc en ON en.cid = co.cid
@@ -3100,12 +3108,14 @@ object SparkEntry {
                   sqrt(list_dot_product(emb, emb)) AS qnorm
            FROM emb WHERE vec_id < 20),
          rk AS (
-           SELECT s.qid, s.cid,
-                  s.dotp / (q.qnorm * sqrt(s.cn2)) AS cosine_pq,
-                  row_number() OVER (PARTITION BY s.qid
-                    ORDER BY s.dotp / (q.qnorm * sqrt(s.cn2)) DESC,
-                             s.cid) AS rank
-           FROM sc s JOIN qn q USING (qid))
+           SELECT qid, cid, cosine_pq,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine_pq DESC, cid) AS rank
+           FROM (SELECT s.qid, s.cid,
+                        CASE WHEN q.qnorm > 0 AND s.cn2 > 0
+                             THEN s.dotp / (q.qnorm * sqrt(s.cn2))
+                             ELSE 0.0 END AS cosine_pq
+                 FROM sc s JOIN qn q USING (qid)))
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
                 round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq

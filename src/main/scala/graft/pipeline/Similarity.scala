@@ -160,35 +160,62 @@ object Similarity {
     centers
   }
 
+  /** Bounded quantizer-training collect shared by every trained ANN
+    * variant: hash-select ~1/16 of rows (the limit stops the scan as
+    * soon as the cap is reached — bounded at any corpus scale); a tiny
+    * corpus whose hash sample is empty rescans without the filter.
+    * Returns empty only when the corpus itself is empty.
+    */
+  private def trainSample(c: DataFrame, maxTrainSample: Int)
+      : Array[Array[Double]] = {
+    val s = c.where(pmod(xxhash64(col("cid")), lit(16)) === 0)
+      .select("cemb").limit(maxTrainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (s.nonEmpty) s
+    else c.select("cemb").limit(maxTrainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Empty-corpus result frame: zero rows, correct schema. */
+  private def emptyTopK(c: DataFrame, queries: DataFrame, qidCol: String,
+                        scoreCol: String): DataFrame =
+    queries.select(col(qidCol).as("qid")).limit(0)
+      .crossJoin(c.select(col("cid")))
+      .withColumn(scoreCol, lit(0.0d))
+      .withColumn("rank", lit(1))
+      .select("qid", "cid", scoreCol, "rank")
+
+  /** Nearest-cell assignment: argmin over the literal centroid array,
+    * ties to the lower cell id via the (d2, cell) struct sort. */
+  private def nearestCellExpr(centroids: Array[Array[Double]])
+                             (emb: Column): Column =
+    array_sort(transform(centroidLit(centroids), (ctr, ci) =>
+      struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
+                       lit(0.0d), (acc, v) => acc + v).as("d2"),
+             ci.as("cell"))))(0).getField("cell")
+
+  /** nProbe nearest cells for the query side (same tie-break sort). */
+  private def probeCellsExpr(centroids: Array[Array[Double]],
+                             nProbe: Int)(emb: Column): Column =
+    slice(transform(
+      array_sort(transform(centroidLit(centroids), (ctr, ci) =>
+        struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
+                         lit(0.0d), (acc, v) => acc + v).as("d2"),
+               ci.as("cell")))),
+      s => s.getField("cell")), 1, nProbe)
+
+  private def centroidLit(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(ctr => array(ctr.map(lit(_)): _*)): _*)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
               idCol: String, qidCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
               maxTrainSample: Int = 20000): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"),
                           col(embCol).cast("array<double>").as("cemb"))
-
-    // quantizer training sample in ONE bounded scan (no separate count
-    // job): hash-select ~1/16 of rows, and the limit stops the scan as
-    // soon as the cap is reached — bounded collect at any corpus scale
-    val sample = c
-      .where(pmod(xxhash64(col("cid")), lit(16)) === 0)
-      .select("cemb")
-      .limit(maxTrainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
-    if (sample.isEmpty) {
-      // hash-sampled-to-empty tiny corpus: rescan without the filter;
-      // a truly empty corpus yields no candidates
-      val full = c.select("cemb").limit(maxTrainSample)
-        .collect().map(_.getSeq[Double](0).toArray)
-      if (full.isEmpty)
-        return queries.select(col(qidCol).as("qid")).limit(0)
-          .crossJoin(c.select(col("cid")))
-          .withColumn("cosine", lit(0.0d))
-          .withColumn("rank", lit(1))
-          .select("qid", "cid", "cosine", "rank")
-      return ivfScore(c, queries, embCol, qidCol, k, nProbe,
-                      sampleKMeans(full, nLists, iters = 10, seed = 7))
-    }
+    val sample = trainSample(c, maxTrainSample)
+    if (sample.isEmpty)
+      return emptyTopK(c, queries, qidCol, "cosine")
     ivfScore(c, queries, embCol, qidCol, k, nProbe,
              sampleKMeans(sample, nLists, iters = 10, seed = 7))
   }
@@ -221,27 +248,12 @@ object Similarity {
   private def ivfScore(c: DataFrame, queries: DataFrame, embCol: String,
                        qidCol: String, k: Int, nProbe: Int,
                        centroids: Array[Array[Double]]): DataFrame = {
-    // distributed cell assignment: argmin over the literal centroid array
-    val centroidLitA = array(centroids.map(ctr =>
-      array(ctr.map(lit(_)): _*)): _*)
-    def cellOf(emb: Column): Column =
-      array_sort(transform(centroidLitA, (ctr, ci) =>
-        struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
-                         lit(0.0d), (acc, v) => acc + v).as("d2"),
-               ci.as("cell"))))(0).getField("cell")
-    val assigned = c.withColumn("cell", cellOf(col("cemb")))
-    val centroidLit = array(centroids.map(ctr =>
-      array(ctr.map(lit(_)): _*)): _*)
+    val assigned = c.withColumn("cell",
+                                nearestCellExpr(centroids)(col("cemb")))
     val q = queries.select(col(qidCol).as("qid"),
                            col(embCol).cast("array<double>").as("qemb"))
       .withColumn("__cells",
-        slice(transform(
-          array_sort(transform(centroidLit, (ctr, ci) =>
-            struct(aggregate(zip_with(col("qemb"), ctr,
-                                      (a, b) => (a - b) * (a - b)),
-                             lit(0.0d), (acc, v) => acc + v).as("d2"),
-                   ci.as("cell")))),
-          s => s.getField("cell")), 1, nProbe))
+                  probeCellsExpr(centroids, nProbe)(col("qemb")))
       .select(col("qid"), col("qemb"),
               explode(col("__cells")).as("cell"))
 
@@ -279,30 +291,24 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"),
                           col(embCol).cast("array<double>").as("cemb"))
     // ONE bounded hash-sampled scan trains every subspace codebook
-    // (same sampling shape as ivfTopK)
-    val sample = {
-      val s = c.where(pmod(xxhash64(col("cid")), lit(16)) === 0)
-        .select("cemb").limit(maxTrainSample)
-        .collect().map(_.getSeq[Double](0).toArray)
-      if (s.nonEmpty) s
-      else c.select("cemb").limit(maxTrainSample)
-        .collect().map(_.getSeq[Double](0).toArray)
-    }
+    val sample = trainSample(c, maxTrainSample)
     if (sample.isEmpty)
-      return queries.select(col(qidCol).as("qid")).limit(0)
-        .crossJoin(c.select(col("cid")))
-        .withColumn("cosine_pq", lit(0.0d))
-        .withColumn("rank", lit(1))
-        .select("qid", "cid", "cosine_pq", "rank")
+      return emptyTopK(c, queries, qidCol, "cosine_pq")
+    pqScore(c, queries, embCol, qidCol, k,
+            trainCodebooks(sample, m, ksub))
+  }
+
+  /** Per-subspace k-means codebooks over the slices of one training
+    * sample (sampleKMeans clamps k to the sample size internally). */
+  private def trainCodebooks(sample: Array[Array[Double]], m: Int,
+                             ksub: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val codebooks = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       sampleKMeans(sample.map(v => v.slice(s * dsub, (s + 1) * dsub)),
-                   math.min(ksub, sample.length), iters = 10,
-                   seed = 7 + s)
+                   ksub, iters = 10, seed = 7 + s)
     }
-    pqScore(c, queries, embCol, qidCol, k, codebooks)
   }
 
   /** Deterministic portable PQ codebooks (Lehmer-mix components, like
@@ -331,55 +337,82 @@ object Similarity {
             pqPortableCodebooks(m, ksub, dim / m))
   }
 
+  // ---- shared PQ expression builders (used by pqScore + ivfPqScore;
+  // any tie-break/overflow fix lands once and reaches both paths and
+  // their portable-oracle replays) ----
+
+  private def pqCodebookLit(codebooks: Array[Array[Array[Double]]])
+      : Column =
+    array(codebooks.map(cb =>
+      array(cb.map(ctr => array(ctr.map(lit(_)): _*)): _*)): _*)
+
+  /** Distributed encode: per subspace, argmin_c ||sub - codeword_c||^2
+    * (ties break to the lower code, matching array_sort on (d2, c)). */
+  private def pqCodeExpr(codebooks: Array[Array[Array[Double]]])
+                        (emb: Column): Column = {
+    val dsub = codebooks(0)(0).length
+    transform(pqCodebookLit(codebooks), (cb, s) =>
+      array_sort(transform(cb, (ctr, ci) =>
+        struct(aggregate(
+                 zip_with(slice(emb, s * lit(dsub) + lit(1), lit(dsub)),
+                          ctr, (a, b) => (a - b) * (a - b)),
+                 lit(0.0d), (acc, v) => acc + v).as("d2"),
+               ci.as("c"))))(0).getField("c"))
+  }
+
+  /** Codeword squared norms — data-independent driver literals. */
+  private def pqNorm2Lit(codebooks: Array[Array[Array[Double]]]): Column =
+    array(codebooks.map(cb =>
+      array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
+        : _*)): _*)
+
+  /** sum_s tab[s][code[s]] — the m-lookup ADC reduction. */
+  private def pqLookupSum(tab: Column, code: Column): Column =
+    aggregate(zip_with(tab, code,
+                       (t, cd) => element_at(t, cd.cast("int") + lit(1))),
+              lit(0.0d), (acc, v) => acc + v)
+
+  /** Query-side per-subspace dot tables (m x ksub) — the ADC structure,
+    * computed once per query row and broadcast. */
+  private def pqDotTabExpr(codebooks: Array[Array[Array[Double]]])
+                          (emb: Column): Column = {
+    val dsub = codebooks(0)(0).length
+    transform(pqCodebookLit(codebooks), (cb, s) =>
+      transform(cb, ctr => aggregate(
+        zip_with(slice(emb, s * lit(dsub) + lit(1), lit(dsub)),
+                 ctr, (a, b) => a * b),
+        lit(0.0d), (acc, v) => acc + v)))
+  }
+
+  /** PQ approximate cosine with the same zero-norm semantics as
+    * [[cosineHof]]/CosineSimExpr: 0.0 when either norm is zero. An
+    * unguarded division would score every candidate of a zero-norm
+    * query NaN, which Spark's desc sort ranks ABOVE all real scores. */
+  private def pqCosine(dotp: Column, qnorm: Column,
+                      cnorm: Column): Column =
+    when(qnorm > 0 && cnorm > 0, dotp / (qnorm * cnorm))
+      .otherwise(lit(0.0d))
+
   private def pqScore(c: DataFrame, queries: DataFrame, embCol: String,
                       qidCol: String, k: Int,
                       codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val cbLit = array(codebooks.map(cb =>
-      array(cb.map(ctr => array(ctr.map(lit(_)): _*)): _*)): _*)
-    // distributed encode: per subspace, argmin_c ||sub - codeword_c||^2
-    // (ties break to the lower code, matching array_sort on (d2, c))
-    def codeOf(emb: Column): Column =
-      transform(cbLit, (cb, s) =>
-        array_sort(transform(cb, (ctr, ci) =>
-          struct(aggregate(
-                   zip_with(slice(emb, s * lit(dsub) + lit(1), lit(dsub)),
-                            ctr, (a, b) => (a - b) * (a - b)),
-                   lit(0.0d), (acc, v) => acc + v).as("d2"),
-                 ci.as("c"))))(0).getField("c"))
-    // codeword squared norms are data-independent driver literals
-    val n2Lit = array(codebooks.map(cb =>
-      array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
-        : _*)): _*)
-    val lookupSum: (Column, Column) => Column = (tab, code) =>
-      aggregate(zip_with(tab, code,
-                         (t, cd) => element_at(t, cd.cast("int") + lit(1))),
-                lit(0.0d), (acc, v) => acc + v)
     // the reconstructed norm is a per-DOCUMENT quantity: compute it on
     // the corpus side once, not once per (doc, query) pair after the
     // join
-    val encoded = c.withColumn("code", codeOf(col("cemb")))
-      .withColumn("cnorm", sqrt(lookupSum(n2Lit, col("code"))))
-    // query side: per-subspace dot tables (m x ksub), computed once per
-    // query row and broadcast — the ADC structure
+    val encoded = c.withColumn("code", pqCodeExpr(codebooks)(col("cemb")))
+      .withColumn("cnorm",
+                  sqrt(pqLookupSum(pqNorm2Lit(codebooks), col("code"))))
     val q = queries
       .select(col(qidCol).as("qid"),
               col(embCol).cast("array<double>").as("qemb"))
       .withColumn("qnorm", norm(col("qemb")))
-      .withColumn("dtab",
-        transform(cbLit, (cb, s) =>
-          transform(cb, ctr => aggregate(
-            zip_with(slice(col("qemb"), s * lit(dsub) + lit(1),
-                           lit(dsub)),
-                     ctr, (a, b) => a * b),
-            lit(0.0d), (acc, v) => acc + v))))
+      .withColumn("dtab", pqDotTabExpr(codebooks)(col("qemb")))
       .select("qid", "qnorm", "dtab")
     // scan: m table lookups per (doc, query); corpus side stationary
     val scored = encoded.crossJoin(broadcast(q))
-      .withColumn("dotp", lookupSum(col("dtab"), col("code")))
+      .withColumn("dotp", pqLookupSum(col("dtab"), col("code")))
       .withColumn("cosine_pq",
-                  col("dotp") / (col("qnorm") * col("cnorm")))
+                  pqCosine(col("dotp"), col("qnorm"), col("cnorm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine_pq"), col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -405,32 +438,12 @@ object Similarity {
                           col(embCol).cast("array<double>").as("cemb"))
     // ONE bounded sample trains the coarse quantizer and every
     // subspace codebook
-    val sample = {
-      val s = c.where(pmod(xxhash64(col("cid")), lit(16)) === 0)
-        .select("cemb").limit(maxTrainSample)
-        .collect().map(_.getSeq[Double](0).toArray)
-      if (s.nonEmpty) s
-      else c.select("cemb").limit(maxTrainSample)
-        .collect().map(_.getSeq[Double](0).toArray)
-    }
+    val sample = trainSample(c, maxTrainSample)
     if (sample.isEmpty)
-      return queries.select(col(qidCol).as("qid")).limit(0)
-        .crossJoin(c.select(col("cid")))
-        .withColumn("cosine_pq", lit(0.0d))
-        .withColumn("rank", lit(1))
-        .select("qid", "cid", "cosine_pq", "rank")
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    val centroids = sampleKMeans(sample, math.min(nLists, sample.length),
-                                 iters = 10, seed = 7)
-    val codebooks = Array.tabulate(m) { s =>
-      sampleKMeans(sample.map(v => v.slice(s * dsub, (s + 1) * dsub)),
-                   math.min(ksub, sample.length), iters = 10,
-                   seed = 7 + s)
-    }
-    ivfPqScore(c, queries, embCol, qidCol, k, nProbe, centroids,
-               codebooks)
+      return emptyTopK(c, queries, qidCol, "cosine_pq")
+    ivfPqScore(c, queries, embCol, qidCol, k, nProbe,
+               sampleKMeans(sample, nLists, iters = 10, seed = 7),
+               trainCodebooks(sample, m, ksub))
   }
 
   /** [[ivfPqTopK]] with the portable deterministic coarse centroids
@@ -456,65 +469,28 @@ object Similarity {
                          centroids: Array[Array[Double]],
                          codebooks: Array[Array[Array[Double]]])
       : DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val centroidLit = array(centroids.map(ctr =>
-      array(ctr.map(lit(_)): _*)): _*)
-    def cellOf(emb: Column): Column =
-      array_sort(transform(centroidLit, (ctr, ci) =>
-        struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
-                         lit(0.0d), (acc, v) => acc + v).as("d2"),
-               ci.as("cell"))))(0).getField("cell")
-    val cbLit = array(codebooks.map(cb =>
-      array(cb.map(ctr => array(ctr.map(lit(_)): _*)): _*)): _*)
-    def codeOf(emb: Column): Column =
-      transform(cbLit, (cb, s) =>
-        array_sort(transform(cb, (ctr, ci) =>
-          struct(aggregate(
-                   zip_with(slice(emb, s * lit(dsub) + lit(1), lit(dsub)),
-                            ctr, (a, b) => (a - b) * (a - b)),
-                   lit(0.0d), (acc, v) => acc + v).as("d2"),
-                 ci.as("c"))))(0).getField("c"))
-    val n2Lit = array(codebooks.map(cb =>
-      array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
-        : _*)): _*)
-    val lookupSum: (Column, Column) => Column = (tab, code) =>
-      aggregate(zip_with(tab, code,
-                         (t, cd) => element_at(t, cd.cast("int") + lit(1))),
-                lit(0.0d), (acc, v) => acc + v)
     // corpus: cell + codes + reconstructed norm in ONE projection pass
     val encoded = c
-      .withColumn("cell", cellOf(col("cemb")))
-      .withColumn("code", codeOf(col("cemb")))
-      .withColumn("cnorm", sqrt(lookupSum(n2Lit, col("code"))))
+      .withColumn("cell", nearestCellExpr(centroids)(col("cemb")))
+      .withColumn("code", pqCodeExpr(codebooks)(col("cemb")))
+      .withColumn("cnorm",
+                  sqrt(pqLookupSum(pqNorm2Lit(codebooks), col("code"))))
       .select("cid", "cell", "code", "cnorm")
     // queries: nProbe nearest cells + per-subspace dot tables
     val q = queries
       .select(col(qidCol).as("qid"),
               col(embCol).cast("array<double>").as("qemb"))
       .withColumn("qnorm", norm(col("qemb")))
-      .withColumn("dtab",
-        transform(cbLit, (cb, s) =>
-          transform(cb, ctr => aggregate(
-            zip_with(slice(col("qemb"), s * lit(dsub) + lit(1),
-                           lit(dsub)),
-                     ctr, (a, b) => a * b),
-            lit(0.0d), (acc, v) => acc + v))))
+      .withColumn("dtab", pqDotTabExpr(codebooks)(col("qemb")))
       .withColumn("__cells",
-        slice(transform(
-          array_sort(transform(centroidLit, (ctr, ci) =>
-            struct(aggregate(zip_with(col("qemb"), ctr,
-                                      (a, b) => (a - b) * (a - b)),
-                             lit(0.0d), (acc, v) => acc + v).as("d2"),
-                   ci.as("cell")))),
-          s => s.getField("cell")), 1, nProbe))
+                  probeCellsExpr(centroids, nProbe)(col("qemb")))
       .select(col("qid"), col("qnorm"), col("dtab"),
               explode(col("__cells")).as("cell"))
     // probe join on cell: only nProbe/nLists of the corpus is scored
     val scored = encoded.join(broadcast(q), Seq("cell"))
       .withColumn("cosine_pq",
-                  lookupSum(col("dtab"), col("code")) /
-                    (col("qnorm") * col("cnorm")))
+                  pqCosine(pqLookupSum(col("dtab"), col("code")),
+                           col("qnorm"), col("cnorm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine_pq"), col("cid"))
     scored.withColumn("rank", row_number().over(w))
