@@ -242,6 +242,21 @@ class PipelineQualitySpec extends AnyFunSuite {
     assert(Similarity.ivfPqTopK(corpusDf.limit(0), queryDf, "embedding",
                                 "vec_id", "vec_id", k = 3)
       .collect().isEmpty)
+
+    // zero-norm query scores 0.0 on every candidate (an unguarded
+    // division yields NaN, which desc sort would rank FIRST)
+    val zeroQ = Seq((9999L, Array.fill(16)(0.0f)))
+      .toDF("vec_id", "embedding")
+    for (res <- Seq(
+           Similarity.pqTopK(corpusDf, zeroQ, "embedding", "vec_id",
+                             "vec_id", k = 3),
+           Similarity.ivfPqTopK(corpusDf, zeroQ, "embedding", "vec_id",
+                                "vec_id", k = 3, nLists = 8,
+                                nProbe = 2))) {
+      val scores = res.collect().map(_.getDouble(2))
+      assert(scores.nonEmpty && scores.forall(_ == 0.0),
+             s"zero-norm query scores: ${scores.mkString(",")}")
+    }
   }
 
   test("minhash skew guard: mega-cluster emits linear star pairs") {
