@@ -24,7 +24,9 @@ import graft.pipeline.TextAnalysis
   *  - `graft_minhash_sig(text, shingle_len, k[, portable])` -> ARRAY<BIGINT>
   *  - `graft_cosine_sim(a, b)` -> DOUBLE
   *  - `graft_lsh_sig(emb, n_planes[, portable])` -> BIGINT
-  *  - `graft_repetition_stats(text)` -> STRUCT (Gopher-style signals)
+  *  - `graft_repetition_stats(text)` -> ARRAY<DOUBLE> of
+  *    [top_bigram_frac, dup_trigram_frac] (Gopher-style signals;
+  *    access with `element_at(..., 1)` / `element_at(..., 2)`)
   *  - `graft_lang_id(text)` -> STRING (en/es/de/fr/zh/und heuristic)
   *
   * [[GraftExtensions.install]] registers the same functions into an

@@ -196,8 +196,21 @@ object OptimalBinning2D {
     element_at(m, dim.cast("string"))
   }
 
+  /** Trend strings reach [[monotonicTilingSolve]]'s two-way branch, so an
+    * unvalidated value (e.g. the 1-D "auto") would silently enforce
+    * descending; fail fast like strategy/prebinning_method do. */
+  private def validateTrends(config: Config2D): Unit =
+    Seq("monotonic_trend_x" -> config.monotonicTrendX,
+        "monotonic_trend_y" -> config.monotonicTrendY).foreach {
+      case (name, Some(t)) if t != "ascending" && t != "descending" =>
+        throw new IllegalArgumentException(
+          s"$name must be ascending or descending, got $t")
+      case _ => ()
+    }
+
   def fit(df: DataFrame, xCol: String, yCol: String, targetCol: String,
           config: Config2D = Config2D()): Fitted2DBinning = {
+    validateTrends(config)
     val t = col(targetCol).cast(DoubleType)
     val catOrderX =
       if (config.dtypeX == "categorical")
@@ -212,19 +225,27 @@ object OptimalBinning2D {
     val y = catOrderY.map(o => ordinalColumn(col(yCol), o))
       .getOrElse(col(yCol).cast(DoubleType))
 
+    // a row with a null/NaN coordinate (either dimension) or target has
+    // no grid cell: exclude it from prebinning AND the grid stats, like
+    // the 1-D path's clean/missing split (transform() maps such rows to
+    // NaN). Unfiltered, the CASE-chain bin index would silently route
+    // them into the top bin.
+    val data = df.where(x.isNotNull && !isnan(x) && y.isNotNull &&
+                        !isnan(y) && t.isNotNull && !isnan(t))
+
     // per-dimension equal-frequency candidate splits
     def dimSplits(c: Column, k: Int): Array[Double] = {
       // mergeable quantile sketch, not exact percentile (single-buffer
       // global sort): identical below the accuracy threshold, scale-safe
       // above it
       val probs = (1 until k).map(_.toDouble / k)
-      df.select(percentile_approx(c, array(probs.map(lit(_)): _*),
-                                  lit(10000)).as("q"))
+      data.select(percentile_approx(c, array(probs.map(lit(_)): _*),
+                                    lit(10000)).as("q"))
         .head.getSeq[Double](0).toArray.distinct.sorted
     }
     val (splitsX, splitsY) = config.prebinningMethod match {
       case "cart" =>
-        cartDimSplits(df, x, y, t, config, classification = true)
+        cartDimSplits(data, x, y, t, config, classification = true)
       case "quantile" =>
         (dimSplits(x, config.maxNPrebinsX), dimSplits(y, config.maxNPrebinsY))
       case other => throw new IllegalArgumentException(
@@ -236,8 +257,8 @@ object OptimalBinning2D {
         when(c < splits(i), lit(i)).otherwise(acc)
       }
 
-    // one shuffle: the 2D grid aggregate
-    val grid = df
+    // one shuffle: the 2D grid aggregate over the null-excluded rows
+    val grid = data
       .groupBy(idxExpr(x, splitsX).as("bx"), idxExpr(y, splitsY).as("by"))
       .agg(sum(when(t === 0.0, 1.0).otherwise(0.0)).as("ne"),
            sum(when(t =!= 0.0, 1.0).otherwise(0.0)).as("ev"))
@@ -924,23 +945,28 @@ object OptimalBinning2D {
   def fitContinuous(df: DataFrame, xCol: String, yCol: String,
                     zCol: String,
                     config: Config2D = Config2D()): FittedContinuous2D = {
+    validateTrends(config)
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
     val z = col(zCol).cast(DoubleType)
+
+    // same null/NaN row exclusion as the binary fit above
+    val data = df.where(x.isNotNull && !isnan(x) && y.isNotNull &&
+                        !isnan(y) && z.isNotNull && !isnan(z))
 
     def dimSplits(c: Column, k: Int): Array[Double] = {
       // mergeable quantile sketch, not exact percentile (single-buffer
       // global sort): identical below the accuracy threshold, scale-safe
       // above it
       val probs = (1 until k).map(_.toDouble / k)
-      df.select(percentile_approx(c, array(probs.map(lit(_)): _*),
-                                  lit(10000)).as("q"))
+      data.select(percentile_approx(c, array(probs.map(lit(_)): _*),
+                                    lit(10000)).as("q"))
         .head.getSeq[Double](0).toArray.distinct.sorted
     }
     val (splitsX, splitsY) = config.prebinningMethod match {
       case "cart" =>
         // regression CART (MSE impurity) on the continuous target
-        cartDimSplits(df, x, y, z, config, classification = false)
+        cartDimSplits(data, x, y, z, config, classification = false)
       case "quantile" =>
         (dimSplits(x, config.maxNPrebinsX), dimSplits(y, config.maxNPrebinsY))
       case other => throw new IllegalArgumentException(
@@ -952,7 +978,7 @@ object OptimalBinning2D {
         when(c < splits(i), lit(i)).otherwise(acc)
       }
 
-    val grid = df
+    val grid = data
       .groupBy(idxExpr(x, splitsX).as("bx"), idxExpr(y, splitsY).as("by"))
       .agg(count(lit(1)).cast("double").as("n"),
            sum(z).as("s"), sum(z * z).as("ss"))

@@ -32,19 +32,37 @@ object Curation {
     * scale set `approx = true` (mergeable GK sketch, bounded memory).
     */
   def percentileThreshold(df: DataFrame, metric: Column, frac: Double,
-                          approx: Boolean = false): Double = {
+                          approx: Boolean = false): Double =
+    percentileThresholdOpt(df, metric, frac, approx).getOrElse(
+      throw new IllegalArgumentException(
+        "percentile threshold is undefined: input is empty or the " +
+        "metric is entirely null"))
+
+  /** [[percentileThreshold]] that reports the undefined case (empty
+    * input / all-null metric) as None instead of an NPE from the null
+    * aggregate cell. */
+  private def percentileThresholdOpt(df: DataFrame, metric: Column,
+                                     frac: Double,
+                                     approx: Boolean): Option[Double] = {
     val expr = if (approx) percentile_approx(metric, lit(frac), lit(10000))
                else percentile(metric, lit(frac))
-    df.agg(expr.cast("double")).collect()(0).getDouble(0)
+    val r = df.agg(expr.cast("double")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
   /** Keep rows whose quality metric reaches the `frac` percentile
     * (computed on the same data, one extra aggregate pass). The
-    * "top-(1-frac) by quality" curation filter.
+    * "top-(1-frac) by quality" curation filter. When the percentile is
+    * undefined (empty input or all-null metric) no row can reach it:
+    * rows with a non-null metric would all qualify vacuously, but there
+    * are none — the result keeps only non-null-metric rows, i.e. none.
     */
   def qualityFilter(df: DataFrame, metric: Column, frac: Double,
                     approx: Boolean = false): DataFrame =
-    df.where(metric >= lit(percentileThreshold(df, metric, frac, approx)))
+    percentileThresholdOpt(df, metric, frac, approx) match {
+      case Some(t) => df.where(metric >= lit(t))
+      case None    => df.where(metric.isNotNull)
+    }
 
   /** Exact deterministic stratified sample: within every stratum keep the
     * `ceil(frac * n_stratum)` rows that rank first by `(md5(id), id)` —

@@ -91,22 +91,35 @@ object Dedup {
       b => concat_ws(",", slice(signature, b * lit(rows) + 1, lit(rows))))
 
   /** Exact duplicate groups by normalized-content fingerprint:
-    * (fingerprint, n_docs, min doc id as canonical). */
+    * (fingerprint, n_docs, min doc id as canonical). Null-text rows have
+    * no content to group on and are excluded (xxhash64 of a null input
+    * returns its seed, which would otherwise collapse every null-text
+    * document into one spurious group). */
   def exactGroups(df: DataFrame, textCol: String,
                   idCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
               TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("canonical_id"))
 
   /** Exact-dedup: keep one row (min id) per fingerprint. Implemented as a
     * min-id aggregate + semi-join (two shuffles on the same key — AQE
-    * coalesces), never a window over the full data.
+    * coalesces), never a window over the full data. Null-text rows are
+    * never duplicates of anything and all pass through: their group key
+    * is the (unique) doc id, not the degenerate null fingerprint.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val keep = fp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+    val fp = df
+      .withColumn("__null", col(textCol).isNull)
+      .withColumn("__fp",
+        when(col("__null"), xxhash64(col(idCol)))
+          .otherwise(TextAnalysis.fingerprint(col(textCol))))
+    // __null rides in the group key so a hash collision between a row
+    // id and a content fingerprint still cannot merge the two worlds
+    val keep = fp.groupBy("__fp", "__null").agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", "__null", idCol), "left_semi")
+      .drop("__fp", "__null")
   }
 
   /** Per-document banded MinHash signature, staged as materialized
@@ -119,6 +132,10 @@ object Dedup {
                        numHashes: Int, bands: Int,
                        shingleLen: Int,
                        portable: Boolean = false): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands " +
+      s"($bands) — otherwise band rows are truncated (or empty, which " +
+      "would bucket the whole corpus together)")
     val rows = numHashes / bands
     val bandKeys: Column => Column =
       if (portable) lshBandsPortable(_, bands, rows)
@@ -154,20 +171,42 @@ object Dedup {
                         keepBand: Boolean = true): DataFrame = {
     val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
                                   shingleLen, portable)
-    val buckets = banded.groupBy("band", "bh")
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .withColumn("ids", array_sort(col("ids")))
-    val allPairs = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-                b => struct(a.as("id_a"), b.as("id_b")))))
-    val starPairs = transform(
-      slice(col("ids"), lit(2), size(col("ids")) - 1),
-      b => struct(element_at(col("ids"), 1).as("id_a"), b.as("id_b")))
-    val pairs = buckets
+    // Bucket size + min id annotated per member by ONE window over the
+    // (band, bh) shuffle. Unlike a bucket-wide collect_list — whose
+    // single aggregation buffer must hold an entire mega-bucket in
+    // memory — WindowExec spills oversized partition groups to disk, so
+    // a degenerate spam/boilerplate bucket of any size stays bounded.
+    // Both branches below consume the IDENTICAL annotated subtree
+    // (small also groups on mn; per-branch column pruning would
+    // otherwise specialize the two copies and defeat exchange reuse),
+    // so AQE plans the shuffle once and reuses the stage: the corpus is
+    // scanned and signatures computed ONCE.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bh")
+    val ann = banded
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mn", min(col("id")).over(w))
+      .where(col("n") > 1)
+    // small buckets: in-bucket all-pairs expansion; the collect_list
+    // row is bounded by starThreshold members, and the (band, bh)
+    // partitioning already satisfies the grouping — no extra shuffle
+    val smallPairs = ann.where(col("n") <= starThreshold)
+      .groupBy("band", "bh", "mn")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
       .select(col("band"),
-              explode(when(size(col("ids")) > starThreshold, starPairs)
-                        .otherwise(allPairs)).as("p"))
+              explode(flatten(transform(col("ids"), (a, i) =>
+                transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+                          b => struct(a.as("id_a"), b.as("id_b"))))))
+                .as("p"))
+    // mega buckets switch to STAR expansion — every member pairs with
+    // the bucket minimum — as a pure per-row projection: m-1 pairs,
+    // bounded memory AND output, and for dedup nothing is lost (the
+    // cluster stays one connected component)
+    val starPairs = ann
+      .where(col("n") > starThreshold && col("id") =!= col("mn"))
+      .select(col("band"), struct(col("mn").as("id_a"),
+                                  col("id").as("id_b")).as("p"))
+    val pairs = smallPairs.union(starPairs)
       .select(col("p.id_a"), col("p.id_b"), col("band"))
     // keepBand=false dedupes straight to (id_a, id_b) — one distinct
     // shuffle instead of a band-level distinct plus a re-distinct in the
@@ -326,11 +365,26 @@ object Dedup {
                             * propagation handles edge sets beyond the
                             * budget (tests pass 0 to force it). */
                           driverEdgeBudget: Int = 5000000): DataFrame = {
+    // ids are label values: the long cast must be lossless. A string id
+    // would cast "doc-17" to null — NPE on the driver path, silently
+    // null components on the distributed path — so fail fast and tell
+    // the caller to pre-hash (e.g. xxhash64) instead.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType}
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral node ids; column $c is " +
+        s"$dt — pre-hash non-numeric ids to longs (e.g. xxhash64) first")
+    }
+    // an edge with a null endpoint connects nothing — drop defensively
+    val edges = pairs
+      .where(col(idA).isNotNull && col(idB).isNotNull)
+      .select(col(idA).cast("long").as("src"),
+              col(idB).cast("long").as("dst"))
     val probe =
       if (driverEdgeBudget <= 0) Array.empty[org.apache.spark.sql.Row]
-      else pairs.select(col(idA).cast("long").as("src"),
-                        col(idB).cast("long").as("dst"))
-        .limit(driverEdgeBudget + 1).collect()
+      else edges.limit(driverEdgeBudget + 1).collect()
     if (driverEdgeBudget > 0 && probe.length <= driverEdgeBudget) {
       // driver union-find: O(E alpha) with path compression
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -353,10 +407,8 @@ object Dedup {
       import spark.implicits._
       return ids.map(id => (id, find(id))).toSeq.toDF("id", "comp")
     }
-    val sym = pairs.select(col(idA).cast("long").as("src"),
-                           col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"),
-                          col(idA).cast("long").as("dst")))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

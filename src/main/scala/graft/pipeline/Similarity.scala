@@ -168,12 +168,22 @@ object Similarity {
     */
   private def trainSample(c: DataFrame, maxTrainSample: Int)
       : Array[Array[Double]] = {
-    val s = c.where(pmod(xxhash64(col("cid")), lit(16)) === 0)
-      .select("cemb").limit(maxTrainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+    // null embeddings are filtered in the scan; ragged rows (length
+    // differing from the sample's first vector) are dropped on the
+    // driver — k-means training tolerates the loss, and an unguarded
+    // row would NPE/AIOOBE inside sampleKMeans's distance loop
+    def clean(rows: Array[org.apache.spark.sql.Row])
+        : Array[Array[Double]] = {
+      val vecs = rows.map(_.getSeq[Double](0).toArray)
+      if (vecs.isEmpty) vecs
+      else { val dim = vecs.head.length; vecs.filter(_.length == dim) }
+    }
+    val s = clean(c.where(col("cemb").isNotNull &&
+                          pmod(xxhash64(col("cid")), lit(16)) === 0)
+      .select("cemb").limit(maxTrainSample).collect())
     if (s.nonEmpty) s
-    else c.select("cemb").limit(maxTrainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+    else clean(c.where(col("cemb").isNotNull)
+      .select("cemb").limit(maxTrainSample).collect())
   }
 
   /** Empty-corpus result frame: zero rows, correct schema. */

@@ -56,6 +56,38 @@ class AdvancedBinningSpec extends AnyFunSuite {
     }
   }
 
+  test("OptimalBinning2D: null coordinates are excluded from grid " +
+       "stats; invalid trends rejected") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val clean = OptimalBinning2D.fit(df, "mean radius", "worst concavity",
+                                     "target")
+    // appending null-coordinate rows must not perturb the fit — they
+    // have no grid cell (previously the CASE-chain index silently
+    // routed them into the top bin's statistics)
+    val noisy = df.union(
+      df.limit(50).withColumn("mean radius", lit(null).cast("double")))
+    val nf = OptimalBinning2D.fit(noisy, "mean radius", "worst concavity",
+                                  "target")
+    assert(math.abs(nf.iv - clean.iv) < 1e-9, s"${nf.iv} vs ${clean.iv}")
+    // continuous flavor: same exclusion
+    val cClean = OptimalBinning2D.fitContinuous(df, "mean radius",
+      "worst concavity", "mean area")
+    val cNf = OptimalBinning2D.fitContinuous(noisy, "mean radius",
+      "worst concavity", "mean area")
+    assert(cNf.rects.map(_.n).sum == cClean.rects.map(_.n).sum)
+    // the 1-D-valid "auto" would silently enforce descending
+    intercept[IllegalArgumentException] {
+      OptimalBinning2D.fit(df, "mean radius", "worst concavity", "target",
+        OptimalBinning2D.Config2D(monotonicTrendX = Some("auto")))
+    }
+    intercept[IllegalArgumentException] {
+      OptimalBinning2D.fitContinuous(df, "mean radius", "worst concavity",
+        "mean area",
+        OptimalBinning2D.Config2D(monotonicTrendY = Some("Ascending")))
+    }
+  }
+
   test("OptimalBinning2D monotonic_trend_x/y matches the reference goldens") {
     // test_binning_2d.py:220-246: descending/descending -> IV 7.59474677;
     // ascending/ascending is infeasible beyond one bin on this data ->

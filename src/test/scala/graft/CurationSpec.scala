@@ -85,6 +85,24 @@ class CurationSpec extends AnyFunSuite {
       Set("train", "val", "test")))
   }
 
+  test("qualityFilter: empty input and all-null metric return empty, " +
+       "not NPE; percentileThreshold reports the undefined case") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Curation.qualityFilter(empty,
+      TextAnalysis.subwordCount(col("text")).cast("double"), 0.5)
+      .count() == 0)
+    assert(Curation.curate(empty, "text", "id").count() == 0)
+    val allNull = Seq(1L, 2L).toDF("id")
+      .withColumn("m", lit(null).cast("double"))
+    assert(Curation.qualityFilter(allNull, col("m"), 0.5).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Curation.percentileThreshold(empty, col("id").cast("double"), 0.5)
+    }
+    assert(e.getMessage.contains("undefined"))
+  }
+
   test("repetitionFeatures: top-bigram share and dup-trigram share") {
     val spark = TestSpark.spark
     import spark.implicits._

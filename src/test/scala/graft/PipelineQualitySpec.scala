@@ -450,6 +450,60 @@ class PipelineQualitySpec extends AnyFunSuite {
     rf.foreach(x => assert(x.getLong(0) == x.getLong(1), x.toString))
   }
 
+  test("null-text rows: exactDedup keeps them all, exactGroups excludes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // xxhash64(null) returns its seed — ungrouped, every null-text doc
+    // would share fp=42 and all but one would be silently dropped
+    val df = Seq((1L, "same doc"), (2L, "same doc"), (3L, "unique"),
+                 (4L, null), (5L, null), (6L, null))
+      .toDF("doc_id", "text")
+    val dd = Dedup.exactDedup(df, "text", "doc_id")
+    assert(dd.where(col("text").isNull).count() == 3, "nulls must survive")
+    assert(dd.count() == 5) // 1+2 collapse to min id 1
+    assert(dd.where(col("doc_id") === 2L).count() == 0)
+    val groups = Dedup.exactGroups(df, "text", "doc_id")
+    assert(groups.count() == 2) // "same doc" + "unique"; no null group
+    assert(groups.agg(sum("n_docs")).head.getLong(0) == 3)
+  }
+
+  test("minhash bands must divide numHashes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // bands > numHashes -> empty band slices would bucket the whole
+    // corpus together; non-divisible -> trailing slots silently dropped
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(df, "text", "doc_id",
+                              numHashes = 64, bands = 128)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(df, "text", "doc_id",
+                              numHashes = 100, bands = 16)
+    }
+  }
+
+  test("connected components: non-integral ids rejected, null edges " +
+       "dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a string id would cast to null: NPE on the driver path, silently
+    // null components on the distributed path
+    val sPairs = Seq(("doc-1", "doc-2")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(sPairs)
+    }
+    assert(e.getMessage.contains("integral"))
+    val withNull = Seq((Some(1L), Some(2L)), (Some(2L), None))
+      .toDF("id_a", "id_b")
+    Seq(5000000, 0).foreach { budget =>
+      val comps = Dedup.connectedComponents(withNull,
+          driverEdgeBudget = budget).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L), comps)
+    }
+  }
+
   test("connected components: chains, triangles, disjoint clusters") {
     val spark = TestSpark.spark
     import spark.implicits._

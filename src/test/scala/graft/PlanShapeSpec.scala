@@ -61,17 +61,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
-  test("minhash LSH candidate generation is a single shuffle, no join") {
+  test("minhash LSH candidates: one scan, one reused corpus shuffle, " +
+       "no join") {
     val spark = TestSpark.spark
     val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val cands = Dedup.minhashCandidates(d, "text", "doc_id",
                                         numHashes = 16, bands = 4)
-    val plan = physical(cands)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("BroadcastHashJoin"), plan)
-    // one exchange for the bucket groupBy + one for the final distinct
-    assert(countOccurrences(plan, "Exchange") <= 2, plan)
+    cands.collect() // AQE stage reuse is decided at runtime
+    val finalPlan = physical(cands).split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+    assert(!finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    // the small-bucket and star branches must share ONE (band, bh)
+    // shuffle of the signature-annotated corpus: a single parquet scan
+    // plus a ReusedExchange. Per-branch column pruning diverging the
+    // two subtrees would silently double the scan + signature work.
+    assert(countOccurrences(finalPlan, "Scan parquet") == 1, finalPlan)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
   }
 
   test("ANN probe joins broadcast the query side") {
