@@ -1405,6 +1405,33 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q_seq_packing" -> ((s, dir) => {
+      // concat-and-chunk sequence packing: 512-token training sequences
+      // over 8 content-addressed shards; per-shard packing efficiency
+      val d = T(s, dir, "documents")
+      Packing.sequenceStats(d, "doc_id",
+                            TextAnalysis.tokenCount(col("text")),
+                            seqLen = 512, nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"), sum("n_docs").as("n_docs"),
+             sum("n_tokens").as("n_tokens"),
+             round(avg("fill"), 6).as("avg_fill"))
+        .orderBy("shard")
+    }),
+
+    "q_domain_mix" -> ((s, dir) => {
+      // waterfilled domain-mixture resampling: src0:src1:src2 = 2:1:1
+      // (exact binary weights), other sources dropped; deterministic
+      // md5 keep decision
+      val d = T(s, dir, "documents")
+      Curation.domainMixture(d, "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+             max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
     "q_quality_filter" -> ((s, dir) => {
       // percentile quality gate: keep docs at or above the 75th
       // percentile of subword count (exact percentile, one aggregate)
@@ -3338,6 +3365,57 @@ object SparkEntry {
          SELECT split, count(*) AS n, min(doc_id) AS min_id,
                 max(doc_id) AS max_id
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_seq_packing" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                    % 8 AS shard,
+                  least(CASE WHEN text IS NULL
+                               OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+')) END,
+                        512)::BIGINT AS tok
+           FROM documents),
+         pk AS (
+           SELECT shard, tok,
+                  floor((sum(tok) OVER (PARTITION BY shard
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         - tok) / 512.0)::BIGINT AS seq_id
+           FROM tok),
+         sq AS (
+           SELECT shard, seq_id, count(*) AS n_docs,
+                  sum(tok) AS n_tokens,
+                  round(sum(tok) / 512.0, 6) AS fill
+           FROM pk GROUP BY 1, 2)
+         SELECT shard, count(*) AS n_seqs, sum(n_docs) AS n_docs,
+                sum(n_tokens) AS n_tokens,
+                round(avg(fill), 6) AS avg_fill
+         FROM sq GROUP BY 1 ORDER BY 1""",
+
+    "q_domain_mix" ->
+      """WITH w(src, p) AS (
+           VALUES ('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE),
+                  ('src2', 0.25::DOUBLE)),
+         cnt AS (
+           SELECT source, count(*) AS n FROM documents
+           WHERE source IN (SELECT src FROM w) GROUP BY 1),
+         t AS (
+           SELECT min(n / p) AS t
+           FROM cnt JOIN w ON w.src = cnt.source),
+         thr AS (
+           SELECT cnt.source,
+                  floor(least(1.0::DOUBLE, p * t.t / n)
+                        * 16777216)::BIGINT AS thr
+           FROM cnt JOIN w ON w.src = cnt.source CROSS JOIN t),
+         kept AS (
+           SELECT d.source, d.doc_id
+           FROM documents d JOIN thr ON thr.source = d.source
+           WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
+                 < thr.thr)
+         SELECT source, count(*) AS n, min(doc_id) AS min_id,
+                max(doc_id) AS max_id
+         FROM kept GROUP BY 1 ORDER BY 1""",
 
     "q_quality_filter" ->
       """WITH s AS (

@@ -90,6 +90,52 @@ object Curation {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic domain-mixture resampling: downsample sources so the
+    * output matches target mixture `weights` (relative proportions, e.g.
+    * web -> 0.6, code -> 0.3, books -> 0.1) at the largest feasible
+    * size without upsampling.
+    *
+    * Waterfilling: with observed counts n_s and normalized target
+    * proportions p_s, the largest corpus honoring the mixture is
+    * `T = min_s n_s / p_s`; each source keeps `p_s * T / n_s` of its
+    * rows. The keep decision is content-addressed (md5-uniform draw per
+    * id, the same discipline as [[hashSplit]]): re-runs and incremental
+    * refreshes keep exactly the same rows. Sources not listed in
+    * `weights` are dropped.
+    *
+    * Scale shape: ONE bounded aggregate (per-source counts — sources
+    * are domains, a driver-sized set) + ONE filter scan. No shuffle of
+    * the kept data, no RNG state.
+    */
+  def domainMixture(df: DataFrame, sourceCol: String, idCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wSum = weights.values.sum
+    val target = weights.map { case (s, v) => s -> v / wSum }
+    val counts = df.where(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = target.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty,
+      "no source named in weights is present in the data")
+    val t = present.map { case (s, ps) => counts(s) / ps }.min
+    // integer threshold over the 24-bit md5-uniform draw; floor keeps
+    // the draw strictly reproducible in external SQL
+    val keepMax = (1L << 24).toDouble
+    val thresholds = present.map { case (s, ps) =>
+      s -> math.floor(math.min(1.0, ps * t / counts(s)) * keepMax).toLong
+    }
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    val thresholdExpr = thresholds.foldLeft(lit(-1L): Column) {
+      case (acc, (s, thr)) =>
+        when(col(sourceCol) === s, lit(thr)).otherwise(acc)
+    }
+    df.where(u < thresholdExpr)
+  }
+
   /** End-to-end curation pass: quality-percentile filter -> exact dedup
     * (min-id canonical per normalized fingerprint) -> PII scrub ->
     * deterministic split label. Returns the input columns with `textCol`

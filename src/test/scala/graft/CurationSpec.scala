@@ -103,6 +103,69 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undefined"))
   }
 
+  test("domainMixture: waterfilled proportions, deterministic, " +
+       "unlisted sources dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 400 web, 100 code, 50 books, 30 junk (unlisted)
+    val docs = ((1 to 400).map(i => (i.toLong, "web")) ++
+                (1 to 100).map(i => (1000L + i, "code")) ++
+                (1 to 50).map(i => (2000L + i, "books")) ++
+                (1 to 30).map(i => (3000L + i, "junk")))
+      .toDF("id", "source")
+    val mixed = Curation.domainMixture(docs, "source", "id",
+      Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25))
+    val n = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books is the binding source: T = 50/0.25 = 200 -> targets
+    // web 100, code 50, books 50 (books keeps everything)
+    assert(n.getOrElse("junk", 0L) == 0, n)
+    assert(n("books") == 50, n)
+    // md5-thresholded counts land within binomial noise of the target
+    assert(math.abs(n("web") - 100) < 30, n)
+    assert(math.abs(n("code") - 50) < 20, n)
+    // deterministic: identical result on a re-run
+    val again = Curation.domainMixture(docs, "source", "id",
+      Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == mixed.select("id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      Curation.domainMixture(docs, "source", "id", Map("absent" -> 1.0))
+    }
+  }
+
+  test("packSequences: concat-and-chunk invariants hold per shard") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))
+    }.toDF("id", "text")
+    val packed = Packing.packSequences(docs, "id",
+      TextAnalysis.tokenCount(col("text")), seqLen = 64, nShards = 4)
+      .select("id", "shard", "tok", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    assert(packed.length == 300) // total: no doc lost
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      // replay the token stream: seq_id must equal floor(start / 64)
+      var start = 0L
+      ordered.foreach { case (_, _, tok, seqId) =>
+        assert(seqId == start / 64, s"seq $seqId at offset $start")
+        start += tok
+      }
+      // seq ids are non-decreasing in id order and start at 0
+      assert(ordered.head._4 == 0L)
+    }
+    // stats roll-up: last sequence of a shard may be partial, others
+    // fill to >= 1.0 only via straddlers; fills are positive
+    val stats = Packing.sequenceStats(docs, "id",
+      TextAnalysis.tokenCount(col("text")), 64, 4).collect()
+    assert(stats.forall(_.getDouble(4) > 0))
+    assert(stats.map(_.getLong(2)).sum == 300)
+  }
+
   test("repetitionFeatures: top-bigram share and dup-trigram share") {
     val spark = TestSpark.spark
     import spark.implicits._
