@@ -1867,19 +1867,21 @@ object SparkEntry {
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_mdlp_splits" ->
+      // pins reflect the reference's max_candidates=32 boundary
+      // subsample (`mdlp.py:134-136`)
       """WITH b AS (
-           SELECT CASE WHEN l_extendedprice < 40078.372181 THEN 0
-                       WHEN l_extendedprice < 40890.321449 THEN 1
-                       WHEN l_extendedprice < 42129.064563 THEN 2
-                       WHEN l_extendedprice < 43357.398071 THEN 3
-                       WHEN l_extendedprice < 43929.926401000004 THEN 4
+           SELECT CASE WHEN l_extendedprice < 40807.044601 THEN 0
+                       WHEN l_extendedprice < 41192.200023 THEN 1
+                       WHEN l_extendedprice < 42139.474169 THEN 2
+                       WHEN l_extendedprice < 43305.350041 THEN 3
+                       WHEN l_extendedprice < 43950.745613 THEN 4
                        ELSE 5 END AS bin,
                   CASE WHEN l_extendedprice * (1.0 - l_discount) >= 40000
                        THEN 1 ELSE 0 END AS y
            FROM lineitem)
          SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
                 sum(y)::BIGINT AS event,
-                '40078.372181,40890.321449,42129.064563,43357.398071,43929.926401000004'
+                '40807.044601,41192.200023,42139.474169,43305.350041,43950.745613'
                   AS splits
          FROM b GROUP BY 1 ORDER BY 1""",
 

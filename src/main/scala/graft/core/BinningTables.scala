@@ -177,8 +177,12 @@ object BinningTables {
 
       val pValues = stats.map(_._2)
       val quality = Metrics.binningQualityScore(iv, pValues, hhiNorm)
+      // the same nMetric that bounds the tests: a SpecialDict (several
+      // special rows) or an Others bin leaves >2 trailing synthetic
+      // rows, which a hardcoded dropRight(2) would feed into the trend
+      // classifier as spurious 0.0 rates
       val trendType =
-        AutoMonotonic.typeOfMonotonicTrend(eventRate.dropRight(2))
+        AutoMonotonic.typeOfMonotonicTrend(eventRate.take(nMetric))
       BinaryAnalysis(cramerV, stats, quality, trendType)
     }
   }
@@ -218,7 +222,12 @@ object BinningTables {
       val mins: Array[Double],
       val maxs: Array[Double],
       val nZeros: Array[Double],
-      val binLabels: Array[String]) {
+      val binLabels: Array[String],
+      /** Count of leading DATA bins; -1 = infer as binLabels.length - 2
+        * (plain Special + Missing tail). Constructors that add Others or
+        * SpecialDict group rows must pass the real count so analysis()
+        * excludes every synthetic row. */
+      val nDataBins: Int = -1) {
 
     val tRecords: Double = nRecords.sum
     val tSum: Double = sums.sum
@@ -250,7 +259,10 @@ object BinningTables {
       * sequence. Data bins = all but the trailing special/missing rows.
       */
     def analysis(): ContinuousAnalysis = {
-      val nMetric = binLabels.length - 2 // Special, Missing
+      // all-but-synthetic rows; see nDataBins doc (Others/SpecialDict
+      // tails are longer than the default Special+Missing pair)
+      val nMetric = if (nDataBins >= 0) nDataBins
+                    else binLabels.length - 2
       val tests = (0 until math.max(nMetric - 1, 0)).map { i =>
         val (t, p) = graft.core.Stats.ttestIndFromStats(
           means(i), stds(i), nRecords(i),
@@ -262,7 +274,7 @@ object BinningTables {
       val score2 = tests.map(1.0 - _._4).product
       val quality = score1 * score2 * (1.0 - hhiNorm)
       val trendType = graft.core.AutoMonotonic.typeOfMonotonicTrend(
-        means.dropRight(2))
+        means.take(nMetric))
       ContinuousAnalysis(tests, quality, trendType)
     }
 

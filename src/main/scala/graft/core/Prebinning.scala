@@ -272,8 +272,7 @@ object Prebinning {
       // find split minimizing weighted entropy
       var bestPos = -1
       var bestE = Double.MaxValue
-      var p = lo + 1
-      while (p < hi) {
+      def evalPos(p: Int): Unit = {
         val (l0, l1) = counts(lo, p)
         val (r0, r1) = counts(p, hi)
         val nl = l0 + l1; val nr = r0 + r1
@@ -281,7 +280,21 @@ object Prebinning {
           val e = nl / total * ent(l0, l1) + nr / total * ent(r0, r1)
           if (e < bestE) { bestE = e; bestPos = p }
         }
-        p += 1
+      }
+      val nCand = hi - lo - 1
+      if (nCand > maxCandidates) {
+        // candidate cap (`mdlp.py:134-136`): beyond maxCandidates
+        // boundaries, evaluate maxCandidates evenly-rank-spaced ones
+        // (the reference's percentile subsample over unique midpoints)
+        var i = 0
+        val step = math.max(maxCandidates - 1, 1)
+        while (i < maxCandidates) {
+          evalPos(lo + 1 + ((i.toLong * (nCand - 1)) / step).toInt)
+          i += 1
+        }
+      } else {
+        var p = lo + 1
+        while (p < hi) { evalPos(p); p += 1 }
       }
       if (bestPos < 0) return
       // MDL stopping criterion (Fayyad & Irani)

@@ -166,6 +166,24 @@ object Solver {
                  adjacentViolations: Array[((Int, Int), (Int, Int))])
       : Result = {
     val nClasses = d.length
+    // fail fast on trends the pairwise transition check cannot express:
+    // monoOk's default branch would silently skip an unsupported trend,
+    // and a *_heuristic trend without a resolved change point (-1)
+    // degenerates to pure descending/ascending
+    trends.zipWithIndex.foreach { case (t, c) =>
+      t.foreach {
+        case "ascending" | "descending" => ()
+        case h @ ("peak_heuristic" | "valley_heuristic") =>
+          require(trendChanges(c) >= 0,
+            s"$h for class $c needs a resolved trend change point; " +
+            "compute it with AutoMonotonic.peakValleyTrendChangeHeuristic")
+        case other => throw new IllegalArgumentException(
+          s"per-class monotonic trend $other is not supported by the " +
+          "shared-bin solver (allowed: ascending, descending, " +
+          "peak_heuristic, valley_heuristic with a change point); " +
+          "concave/convex need the single-variable solver")
+      }
+    }
     val cumRec = prefix(nRecords)
     val fixed =
       cons.userSplitsFixed.getOrElse(Array.fill(math.max(n - 1, 0))(false))

@@ -17,6 +17,13 @@ private[graft] final case class ContClassTotals(n: Double, sum: Double,
                                                 std: Double, ymin: Double,
                                                 ymax: Double, zeros: Double)
 
+/** One (row-class, category) aggregate row of the continuous
+  * categorical fit. */
+private[graft] final case class ContCatRow(cls: Int, cat: String, n: Long,
+                                           w: Double, wy: Double,
+                                           wy2: Double, ymin: Double,
+                                           ymax: Double, zeros: Long)
+
 /** Optimal binning of one variable against a continuous target.
   * Spark-native re-expression of `optbinning.ContinuousOptimalBinning`
   * (`optbinning/binning/continuous_binning.py:185`): same two-pass
@@ -122,43 +129,85 @@ object ContinuousOptimalBinning {
     val cls = Preprocess.rowClass(x, isNumeric = false, config.specialCodes)
     val base = df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls"))
 
-    val rows = base.groupBy("cls", "x")
+    val grouped = base.groupBy("cls", "x")
       .agg(aggExprs.head, aggExprs.tail: _*)
-      .collect()
+    // aggregate row layout (TWO group keys, then aggExprs): cls(0),
+    // x(1), n(2), w(3), wy(4), wy2(5), ymin(6), ymax(7), zeros(8)
+    def toCat(r: org.apache.spark.sql.Row): ContCatRow =
+      ContCatRow(r.getInt(0), Option(r.getString(1)).getOrElse(""),
+                 r.getLong(2), r.getDouble(3), r.getDouble(4),
+                 r.getDouble(5), r.getDouble(6), r.getDouble(7),
+                 r.getLong(8))
 
-    val byCls = rows.groupBy(_.getInt(0))
-    def totalsOf(rs: Array[org.apache.spark.sql.Row]): ContClassTotals = {
-      val n = rs.map(_.getDouble(2)).sum
-      val s = rs.map(_.getDouble(3)).sum
-      val ss = rs.map(_.getDouble(4)).sum
-      val std = if (n > 0) math.sqrt(math.max(ss / n - (s / n) * (s / n), 0.0)) else 0.0
+    // bounded driver collect (same design as the binary categorical
+    // path, `OptimalBinning.fitCategorical`): beyond the histogram
+    // budget keep the top-K clean categories by weight, pool the
+    // remaining tail into the Others group via one exact anti-join
+    // aggregate — the collect is capped at any category cardinality
+    val cap = config.histogramMaxBuckets
+    val probe = grouped.limit(cap + 1).collect()
+    val (rows, tailRow: Option[ContCatRow]) =
+      if (probe.length <= cap) (probe.map(toCat), None)
+      else {
+        val nonClean = grouped
+          .where(col("cls") =!= Preprocess.CleanClass).collect().map(toCat)
+        val topDf = grouped.where(col("cls") === Preprocess.CleanClass)
+          .orderBy(desc("w")).limit(cap)
+        val top = topDf.collect().map(toCat)
+        val t = base.where(col("cls") === Preprocess.CleanClass)
+          .join(topDf.select("x"), Seq("x"), "left_anti")
+          .agg(aggExprs.head, aggExprs.tail: _*).head
+        val tail =
+          if (t.getLong(0) == 0L) None
+          else Some(ContCatRow(Preprocess.CleanClass, "", t.getLong(0),
+                               t.getDouble(1), t.getDouble(2),
+                               t.getDouble(3), t.getDouble(4),
+                               t.getDouble(5), t.getLong(6)))
+        (top ++ nonClean, tail)
+      }
+
+    val byCls = rows.groupBy(_.cls)
+    def totalsOf(rs: Seq[ContCatRow]): ContClassTotals = {
+      val n = rs.map(_.w).sum
+      val s = rs.map(_.wy).sum
+      val ss = rs.map(_.wy2).sum
+      val std =
+        if (n > 0) math.sqrt(math.max(ss / n - (s / n) * (s / n), 0.0))
+        else 0.0
       ContClassTotals(n, s, std,
-        if (rs.nonEmpty) rs.map(_.getDouble(5)).min else 0.0,
-        if (rs.nonEmpty) rs.map(_.getDouble(6)).max else 0.0,
-        rs.map(_.getLong(7)).sum.toDouble)
+        if (rs.nonEmpty) rs.map(_.ymin).min else 0.0,
+        if (rs.nonEmpty) rs.map(_.ymax).max else 0.0,
+        rs.map(_.zeros).sum.toDouble)
     }
-    val totals = byCls.map { case (k, rs) => k -> totalsOf(rs) }
-    val nSamplesWeighted = rows.map(_.getDouble(2)).sum
+    val cleanAll =
+      byCls.getOrElse(Preprocess.CleanClass, Array.empty[ContCatRow])
+        .toSeq ++ tailRow
+    val totals = byCls.map { case (k, rs) => k -> totalsOf(rs.toSeq) } +
+      (Preprocess.CleanClass -> totalsOf(cleanAll))
+    val nSamplesWeighted =
+      rows.map(_.w).sum + tailRow.map(_.w).getOrElse(0.0)
 
-    val cleanCats = byCls.getOrElse(Preprocess.CleanClass, Array.empty)
-
-    val totalCleanW = cleanCats.map(_.getDouble(2)).sum
-    val (kept, others) = config.catCutoff match {
+    val cleanCats =
+      byCls.getOrElse(Preprocess.CleanClass, Array.empty[ContCatRow]).toSeq
+    val totalCleanW = cleanAll.map(_.w).sum
+    val (kept, cutOthers) = config.catCutoff match {
       case Some(cut) =>
-        cleanCats.partition(r => r.getDouble(2) / totalCleanW >= cut)
-      case None => (cleanCats, Array.empty[org.apache.spark.sql.Row])
+        cleanCats.partition(r => r.w / totalCleanW >= cut)
+      case None => (cleanCats, Seq.empty[ContCatRow])
     }
+    val others = cutOthers ++ tailRow // pooled tail joins Others
     // order categories by target mean (`preprocessing.py:356-366`)
-    val ordered = kept.sortBy(r => r.getDouble(3) / r.getDouble(2))
-    val categories = ordered.map(_.getString(1))
+    val ordered = kept.sortBy(r => r.wy / r.w)
+    val categories = ordered.map(_.cat).toArray
     val hist = ordered.zipWithIndex.map { case (r, i) =>
-      ContBucket(i.toDouble, r.getLong(2), r.getDouble(2), r.getDouble(3),
-                 r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))
-    }
-    val othersTotals = if (others.nonEmpty) Some(totalsOf(others)) else None
+      ContBucket(i.toDouble, r.n, r.w, r.wy, r.wy2, r.ymin, r.ymax,
+                 r.zeros)
+    }.toArray
+    val othersTotals =
+      if (others.nonEmpty) Some(totalsOf(others)) else None
 
-    fitFromHistogram(hist, totals.toMap, nSamplesWeighted, config,
-                     categories, others.map(_.getString(1)), othersTotals)
+    fitFromHistogram(hist, totals, nSamplesWeighted, config,
+                     categories, others.map(_.cat).toArray, othersTotals)
   }
 
   private[graft] def fitFromHistogram(
@@ -320,7 +369,7 @@ object ContinuousOptimalBinning {
 
     val table = new BinningTables.ContinuousBinningTable(
       config.name, config.dtype, splitsOptimal, allR, allS, allStd,
-      allMin, allMax, allZ, labels)
+      allMin, allMax, allZ, labels, nDataBins)
 
     val catBins: Array[Array[String]] =
       if (isCategorical) categoricalBins(splitsOptimal, categories) else null

@@ -59,7 +59,12 @@ object Monitoring {
       val idx = splits.indices.foldRight(lit(splits.length): Column) {
         (i, acc) => when(x < splits(i), lit(i)).otherwise(acc)
       }
-      df.select(idx.as("bin")).groupBy("bin").agg(count(lit(1)).as("count"))
+      // null/NaN scores have no bin — the CASE chain would otherwise
+      // route them into the top bin and a cohort's null rate would
+      // masquerade as score drift (StreamingDriftMonitor.add applies
+      // the same exclusion, so the two PSI paths agree)
+      df.where(x.isNotNull && !isnan(x))
+        .select(idx.as("bin")).groupBy("bin").agg(count(lit(1)).as("count"))
     }
     psiTable(binned(expected), binned(actual))
   }

@@ -162,23 +162,28 @@ object MulticlassOptimalBinning {
         trendPerClass.foreach(ts => require(ts.length == k,
           s"trendPerClass has ${ts.length} entries for $k classes"))
         (0 until k).foreach { c =>
-          trendPerClass.map(_(c)).getOrElse(config.monotonicTrend) match {
-            case Some(m @ ("auto" | "auto_heuristic" | "auto_asc_desc")) =>
-              var t = AutoMonotonic.autoMonotonic(
-                nNonevent.map(_(c)), nEvent.map(_(c)), m)
-              if (t == "peak" || t == "valley") {
-                // free peak/valley per class would need a per-class change
-                // point product; use the heuristic change point (matches
-                // auto_heuristic semantics)
-                val ht = t + "_heuristic"
-                val rate = (0 until n).map(i =>
-                  nEvent(i)(c) / (nEvent(i)(c) + nNonevent(i)(c))).toArray
-                trendChanges(c) =
-                  AutoMonotonic.peakValleyTrendChangeHeuristic(rate, ht)
-                t = ht
-              }
-              trends(c) = Some(t)
-            case other => trends(c) = other
+          val resolved =
+            trendPerClass.map(_(c)).getOrElse(config.monotonicTrend).map {
+              case m @ ("auto" | "auto_heuristic" | "auto_asc_desc") =>
+                AutoMonotonic.autoMonotonic(
+                  nNonevent.map(_(c)), nEvent.map(_(c)), m)
+              case m => m
+            }
+          resolved match {
+            case Some(t0 @ ("peak" | "valley" | "peak_heuristic" |
+                            "valley_heuristic")) =>
+              // free peak/valley per class would need a per-class change
+              // point product; use the heuristic change point (matches
+              // auto_heuristic semantics — a documented approximation
+              // when the trend was requested explicitly)
+              val ht = if (t0.endsWith("_heuristic")) t0
+                       else t0 + "_heuristic"
+              val rate = (0 until n).map(i =>
+                nEvent(i)(c) / (nEvent(i)(c) + nNonevent(i)(c))).toArray
+              trendChanges(c) =
+                AutoMonotonic.peakValleyTrendChangeHeuristic(rate, ht)
+              trends(c) = Some(ht)
+            case other => trends(c) = other // solveMulti validates
           }
         }
         val mds = ModelData.multiclass(nNonevent, nEvent, config.maxPvalue,

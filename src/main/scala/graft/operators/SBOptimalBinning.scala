@@ -23,10 +23,15 @@ object SBOptimalBinning {
     val weights = scenarios.map(_._2)
     require(math.abs(weights.sum - 1.0) < 1e-9, "weights must sum to 1")
 
-    // union with scenario ids; ONE scan+shuffle aggregates all scenarios
+    // union with scenario ids; ONE scan+shuffle aggregates all
+    // scenarios. Null/NaN rows have no bin (the table's Special/Missing
+    // rows are not modeled for scenarios) — unfiltered, a null x would
+    // NPE the histogram collect and a NaN would count into bin 0.
     val tagged = scenarios.zipWithIndex.map { case ((df, _), i) =>
       df.select(col(xCol).cast(DoubleType).as("x"),
                 col(yCol).cast(DoubleType).as("y"))
+        .where(col("x").isNotNull && !isnan(col("x")) &&
+               col("y").isNotNull && !isnan(col("y")))
         .withColumn("sid", lit(i))
     }.reduce(_ unionByName _)
 
@@ -125,12 +130,29 @@ object SBOptimalBinning {
         val weightedV = mds.zipWithIndex.map { case (md, s) =>
           md.v.map(_.map(v => (v * weights(s)).toLong))
         }
-        val trend = config.monotonicTrend.map {
+        val resolved = config.monotonicTrend.map {
           case m @ ("auto" | "auto_heuristic" | "auto_asc_desc") =>
             // pooled auto trend
             AutoMonotonic.autoMonotonic(
               ne.map(_.sum), ev.map(_.sum), "auto_asc_desc")
           case m => m
+        }
+        var trendChange = -1
+        val trend = resolved match {
+          case Some(t0 @ ("peak" | "valley" | "peak_heuristic" |
+                          "valley_heuristic")) =>
+            // heuristic change point on the pooled event rate (the
+            // scenarios share bins, so they share the change point)
+            val ht = if (t0.endsWith("_heuristic")) t0
+                     else t0 + "_heuristic"
+            val rate = (0 until n).map { i =>
+              val e = ev(i).sum; val nn = ne(i).sum
+              if (e + nn > 0) e / (e + nn) else 0.0
+            }.toArray
+            trendChange =
+              AutoMonotonic.peakValleyTrendChangeHeuristic(rate, ht)
+            Some(ht)
+          case other => other // solveMulti validates asc/desc/concave…
         }
         val nRows = ne.indices.map(i =>
           math.round(ne(i).sum + ev(i).sum)).toArray
@@ -146,7 +168,8 @@ object SBOptimalBinning {
           md.pvalueViolations ++ md.minDiffViolations)
         val r = Solver.solveMulti(n, mds.map(_.d), weightedV, nRows,
                                   Array.fill(nScen)(trend),
-                                  Array.fill(nScen)(-1), cons, adjV)
+                                  Array.fill(nScen)(trendChange), cons,
+                                  adjV)
         (r.status, r.solution)
       }
 

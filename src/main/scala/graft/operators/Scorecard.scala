@@ -474,6 +474,10 @@ object Scorecard {
       rows: Seq[PointsRow]): Seq[PointsRow] = {
     val vars = rows.map(_.variable).distinct
     val byVar = vars.map(v => v -> rows.filter(_.variable == v)).toMap
+    // a variable beyond the 2^20 enumeration cap takes the documented
+    // nearest-rounding degradation instead of aborting the whole fit
+    if (byVar.values.exists(_.length > 20))
+      return rows.map(r => r.copy(points = math.rint(r.points)))
     val minPoint = math.rint(vars.map(v => byVar(v).map(_.points).min).sum)
     val maxPoint = math.rint(vars.map(v => byVar(v).map(_.points).max).sum)
 
@@ -482,7 +486,6 @@ object Scorecard {
       vars.map { v =>
         val ps = byVar(v).map(_.points).toArray
         val nBins = ps.length
-        require(nBins <= 20, s"rounding enumeration cap exceeded: $nBins")
         val best =
           scala.collection.mutable.HashMap
             .empty[(Long, Long), (Double, Array[Double])]

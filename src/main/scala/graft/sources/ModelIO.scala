@@ -246,7 +246,7 @@ object ModelIO {
         else None)
     val table = new BinningTables.ContinuousBinningTable(
       name, dtype, splits, nRecords, sums, stds, mins, maxs, nZeros,
-      labels)
+      labels, nDataBins)
     new FittedContinuousBinning(
       config, status, splits, table,
       if (categories.nonEmpty) categories else null,

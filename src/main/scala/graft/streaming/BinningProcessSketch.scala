@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinningConfig, FittedOptimalBinning}
+import graft.operators.{BinningConfig, FittedOptimalBinning, SpecialList}
 
 /** Multi-variable streaming binning
   * (`optbinning/binning/distributed/binning_process_sketch.py:123`): one
@@ -50,8 +50,14 @@ final class BinningProcessSketch(
 
       // typed Aggregator => ObjectHashAggregate with PARTIAL aggregation:
       // each task merges into per-variable sketch buffers before the
-      // shuffle, so only n_vars sketches cross the wire per partition
-      val specials = Array.empty[Double]
+      // shuffle, so only n_vars sketches cross the wire per partition.
+      // The batch aggregator must route the SAME special codes the
+      // per-variable solver sketches were built with — an empty list
+      // here would count special values into the clean GK sketches.
+      val specials: Array[Double] = config.specialCodes match {
+        case Some(SpecialList(vs)) => vs.map(_.toString.toDouble).toArray
+        case _                     => Array.empty[Double]
+      }
       val agg = new BSketchAggregator(eps, specials)
       val perVar = melted
         .as[(String, Option[Double], Double)]
@@ -78,7 +84,12 @@ final class BinningProcessSketch(
         .withColumn("__y", col(yCol).cast("double"))
         .selectExpr("__y as y", stackExpr)
         .select(col("var"), col("x"), col("y"))
-      val agg = new CatSketchAggregator(Array.empty)
+      // same special-code routing as the numeric family above
+      val catSpecials: Array[String] = config.specialCodes match {
+        case Some(SpecialList(vs)) => vs.map(_.toString).toArray
+        case _                     => Array.empty[String]
+      }
+      val agg = new CatSketchAggregator(catSpecials)
       val perVar = melted
         .as[(String, Option[String], Double)]
         .map { case (v, x, y) => (v, CatSketchInput(x, y)) }(

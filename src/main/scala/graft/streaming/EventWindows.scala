@@ -66,7 +66,11 @@ object EventWindows {
     val bin = splits.indices.foldRight(lit(splits.length): Column) {
       (i, acc) => when(scoreCol < splits(i), lit(i)).otherwise(acc)
     }
-    src.groupBy(window(col(tsCol), windowLength), bin.as("bin"))
+    // unscored (null/NaN) events have no cohort bin — same exclusion as
+    // Monitoring.psi / StreamingDriftMonitor, so downstream PSI tracks
+    // the score distribution, not the null rate
+    src.where(scoreCol.isNotNull && !isnan(scoreCol))
+      .groupBy(window(col(tsCol), windowLength), bin.as("bin"))
       .agg(count(lit(1)).as("count"))
       .select(col("window.start").as("window_start"), col("bin"),
               col("count"))

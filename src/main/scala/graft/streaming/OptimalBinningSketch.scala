@@ -52,8 +52,13 @@ final class OptimalBinningSketch(
     val sketchType: String = "gk") extends Serializable {
 
   private val specials: Array[Double] = config.specialCodes match {
+    case None                  => Array.empty[Double]
     case Some(SpecialList(vs)) => vs.map(_.toString.toDouble).toArray
-    case _                     => Array.empty[Double]
+    case Some(other) => throw new IllegalArgumentException(
+      "OptimalBinningSketch supports only a flat special-code list " +
+      s"(SpecialList) or none; got $other — grouped special codes need " +
+      "the batch fit, which bins each group separately (silently " +
+      "treating them as clean values would corrupt the clean bins)")
   }
 
   private var _sketch: BSketch = new BSketch(eps, specials, sketchType)

@@ -132,4 +132,46 @@ class ContinuousBinningSpec extends AnyFunSuite {
     assert(a.qualityScore >= 0 && a.qualityScore <= 1)
     assert(a.monotonicTrendType == "ascending", a.monotonicTrendType)
   }
+
+  test("categorical continuous fit: mean-ordered bins, totals, cutoff " +
+       "Others, and the bounded-collect tail pool") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic category -> mean structure: mean(catK) = 2k
+    val docs = (0 until 8).flatMap { k =>
+      (1 to 40 + k).map(i => (s"cat$k", 2.0 * k + (i % 3) - 1))
+    }.toDF("x", "y")
+    val f = ContinuousOptimalBinning.fit(docs, "x", "y",
+      BinningConfig(name = "x", dtype = "categorical"))
+    assert(f.status == "OPTIMAL")
+    // every row is accounted for
+    assert(f.table.tRecords == (0 until 8).map(40 + _).sum)
+    // bin means are ordered (categories ordinalized by target mean)
+    val dataMeans = f.table.means.take(f.nDataBins)
+    assert(dataMeans.sameElements(dataMeans.sorted), dataMeans.mkString(","))
+
+    // catCutoff pools rare categories into Others
+    val withRare = docs.union(Seq(("rare1", 99.0), ("rare2", -7.0))
+      .toDF("x", "y"))
+    val fc = ContinuousOptimalBinning.fit(withRare, "x", "y",
+      BinningConfig(name = "x", dtype = "categorical",
+                    catCutoff = Some(0.01)))
+    assert(fc.catOthers.toSet == Set("rare1", "rare2"), 
+           fc.catOthers.mkString(","))
+    assert(fc.table.tRecords == f.table.tRecords + 2)
+
+    // oversized-cardinality path: cap the histogram budget so the tail
+    // pools into Others via the exact anti-join aggregate; totals and
+    // per-row accounting must survive the pooling
+    val fb = ContinuousOptimalBinning.fit(withRare, "x", "y",
+      BinningConfig(name = "x", dtype = "categorical",
+                    histogramMaxBuckets = 5))
+    assert(fb.status == "OPTIMAL")
+    assert(fb.table.tRecords == fc.table.tRecords)
+    assert(fb.catOthers.nonEmpty) // the tail became Others
+    // analysis() excludes the Others/Special/Missing tail rows
+    val a = f.table.analysis()
+    assert(a.adjacentTests.length == math.max(f.nDataBins - 1, 0))
+  }
 }
