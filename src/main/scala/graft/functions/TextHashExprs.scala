@@ -127,14 +127,15 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int,
 
     val slots = Array.fill(k)(Long.MaxValue)
     var globalMin = Long.MaxValue
-    var empty = true
 
+    // every input branch below calls accept() at least once (the empty
+    // string hashes as one short shingle), so globalMin is always set
+    // and the densify pass always yields a full k-slot signature
     @inline def accept(h: Long): Unit = {
       val m = h % k
       val slot = (if (m < 0) m + k else m).toInt
       if (h < slots(slot)) slots(slot) = h
       if (h < globalMin) globalMin = h
-      empty = false
     }
 
     if (portable) {
@@ -184,7 +185,6 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int,
       }
     }
 
-    if (empty) return new GenericArrayData(new Array[Long](0))
     var j = 0
     while (j < k) {
       if (slots(j) == Long.MaxValue) slots(j) = globalMin

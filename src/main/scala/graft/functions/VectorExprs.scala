@@ -140,6 +140,11 @@ final case class LshSigExpr(child: Expression, nPlanes: Int,
                             portable: Boolean = false)
     extends UnaryExpression {
 
+  // a LongType signature holds at most 64 plane bits; 1L << p for p >= 64
+  // wraps mod 64 and would silently XOR-corrupt the low bits
+  require(nPlanes >= 1 && nPlanes <= 64,
+          s"graft_lsh_sig supports 1..64 hyperplanes, got $nPlanes")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_sig"
 

@@ -5,7 +5,8 @@ import org.apache.spark.ml.param.{Param, ParamMap}
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType,
+  StringType, StructField, StructType}
 
 import graft.operators.{BinningConfig, FittedOptimalBinning, OptimalBinning}
 
@@ -59,7 +60,20 @@ class OptimalBinningEstimator(override val uid: String)
     require(schema.fieldNames.contains($(inputCol)),
             s"missing input column ${$(inputCol)}")
     StructType(schema.fields :+
-      StructField($(outputCol), DoubleType, nullable = false))
+      StructField($(outputCol), OptimalBinningStage.outputType($(metric)),
+                  nullable = false))
+  }
+}
+
+private[ml] object OptimalBinningStage {
+  /** Output column type per transform metric — `bins` emits the string
+    * bin labels and `indices` the integer bin ids; declaring DoubleType
+    * for those would pass Pipeline schema validation and then break the
+    * downstream stage at runtime. */
+  def outputType(metric: String): DataType = metric match {
+    case "bins"    => StringType
+    case "indices" => IntegerType
+    case _         => DoubleType // woe | event_rate
   }
 }
 
@@ -82,5 +96,6 @@ class OptimalBinningModel(override val uid: String,
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema.fields :+
-      StructField($(outputCol), DoubleType, nullable = false))
+      StructField($(outputCol), OptimalBinningStage.outputType($(metric)),
+                  nullable = false))
 }

@@ -206,15 +206,25 @@ object ContinuousOptimalBinning {
     val othersTotals =
       if (others.nonEmpty) Some(totalsOf(others)) else None
 
-    fitFromHistogram(hist, totals, nSamplesWeighted, config,
-                     categories, others.map(_.cat).toArray, othersTotals)
+    // a pooled tail cannot be enumerated, so its Others bin must be the
+    // transform's catch-all ELSE branch (same contract as the binary
+    // path, `OptimalBinning.fitCategorical`); the "__tail__" placeholder
+    // keeps hasOthers true when no cutoff-others names exist
+    fitFromHistogram(hist, totals, nSamplesWeighted, config, categories,
+                     catOthers =
+                       if (tailRow.isDefined && cutOthers.isEmpty)
+                         Array("__tail__")
+                       else cutOthers.map(_.cat).toArray,
+                     othersTotals = othersTotals,
+                     othersCatchAll = tailRow.isDefined)
   }
 
   private[graft] def fitFromHistogram(
       hist: Array[ContBucket], totals: Map[Int, ContClassTotals],
       nSamplesWeighted: Double, config: BinningConfig,
       categories: Array[String], catOthers: Array[String],
-      othersTotals: Option[ContClassTotals] = None)
+      othersTotals: Option[ContClassTotals] = None,
+      othersCatchAll: Boolean = false)
       : FittedContinuousBinning = {
 
     val isCategorical = categories != null
@@ -375,7 +385,8 @@ object ContinuousOptimalBinning {
       if (isCategorical) categoricalBins(splitsOptimal, categories) else null
 
     new FittedContinuousBinning(config, status, splitsOptimal, table,
-                                categories, catBins, catOthers, nDataBins)
+                                categories, catBins, catOthers, nDataBins,
+                                othersCatchAll)
   }
 
   private def categoricalBins(splits: Array[Double],
@@ -467,7 +478,10 @@ final class FittedContinuousBinning(
     val categories: Array[String],
     val catBins: Array[Array[String]],
     val catOthers: Array[String],
-    val nDataBins: Int) extends Serializable {
+    val nDataBins: Int,
+    /** true when the others bin is a long-tail catch-all: the transform's
+      * ELSE branch maps to others (the tail cannot be enumerated). */
+    val othersCatchAll: Boolean = false) extends Serializable {
 
   def transform(xCol: Column, metric: String = "mean",
                 metricSpecial: Any = "empirical",
@@ -551,6 +565,7 @@ final class FittedContinuousBinning(
           case "indices" => lit(idx)
           case "bins"    => lit(table.rows(idx).bin)
         }
+        if (othersCatchAll) return expr.otherwise(v)
         expr = expr.when(x.isin(catOthers: _*), v)
       }
       expr.otherwise(unknownValue)
@@ -589,8 +604,10 @@ final class FittedContinuousBinning(
       catBins.zipWithIndex.foreach { case (cats, i) =>
         if (cats.nonEmpty) expr = expr.when(x.isin(cats: _*), lit(values(i)))
       }
-      if (hasOthers)
+      if (hasOthers) {
+        if (othersCatchAll) return expr.otherwise(lit(values(nDataBins)))
         expr = expr.when(x.isin(catOthers: _*), lit(values(nDataBins)))
+      }
       expr.otherwise(lit(unknown))
     }
   }

@@ -10,7 +10,7 @@ import graft.core.BinningTables
 import graft.operators.{BinningConfig, BinningProcess,
   FittedBinningProcess, FittedContinuousBinning,
   FittedContinuousScorecard, FittedOptimalBinning, FittedScorecard,
-  Scorecard, SpecialList}
+  Scorecard, SpecialCodes, SpecialDict, SpecialList}
 
 /** Model persistence mirroring the reference's `to_json`/`read_json`
   * surface (`optbinning/binning/binning.py:1189-1255`): the model IS the
@@ -18,6 +18,88 @@ import graft.operators.{BinningConfig, BinningProcess,
   * small JSON document (json4s ships on the Spark classpath).
   */
 object ModelIO {
+
+  // ------------------------------------------------------------------
+  // special-code round-trip: JSON must preserve BOTH the group
+  // structure (SpecialDict) and the value types — a string special like
+  // "N/A" on a categorical column and a numeric -9.0 compare through
+  // different isin() casts, and a flattened/stringified list would
+  // silently re-bin every special row after load.
+  // ------------------------------------------------------------------
+
+  private def specialValueJson(v: Any): JValue = v match {
+    case d: Double => JDouble(d)
+    case f: Float  => JDouble(f.toDouble)
+    case i: Int    => JInt(BigInt(i))
+    case l: Long   => JInt(BigInt(l))
+    case s: Short  => JInt(BigInt(s.toInt))
+    case b: Byte   => JInt(BigInt(b.toInt))
+    case other     => JString(other.toString)
+  }
+
+  private def specialValueFromJson(j: JValue): Any = j match {
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JInt(i)     => i.toLong
+    case JString(s)  => s
+    case other => throw new IllegalArgumentException(
+      s"unsupported special-code JSON value: $other")
+  }
+
+  private def specialCodesJson(sc: Option[SpecialCodes]): JValue =
+    sc match {
+      case None => JNothing
+      case Some(SpecialList(vs)) =>
+        ("kind" -> "list") ~
+        ("values" -> JArray(vs.map(specialValueJson).toList))
+      case Some(SpecialDict(groups)) =>
+        ("kind" -> "dict") ~
+        ("groups" -> JArray(groups.map { case (name, vs) =>
+          (("name" -> name) ~
+           ("values" -> JArray(vs.map(specialValueJson).toList))): JValue
+        }.toList))
+    }
+
+  private def specialCodesFromJson(j: JValue): Option[SpecialCodes] =
+    j match {
+      case JNothing | JNull => None
+      // legacy format (pre-typed): a flat list of stringified values
+      case JArray(items) =>
+        if (items.isEmpty) None
+        else Some(SpecialList(items.map {
+          case JString(s) =>
+            scala.util.Try(s.toDouble).getOrElse(s: Any)
+          case v => specialValueFromJson(v)
+        }))
+      case obj => (obj \ "kind") match {
+        case JString("list") =>
+          Some(SpecialList((obj \ "values") match {
+            case JArray(vs) => vs.map(specialValueFromJson)
+            case _          => Nil
+          }))
+        case JString("dict") =>
+          Some(SpecialDict((obj \ "groups") match {
+            case JArray(gs) => gs.map { g =>
+              val name = (g \ "name") match {
+                case JString(n) => n
+                case _          => ""
+              }
+              val vs = (g \ "values") match {
+                case JArray(xs) => xs.map(specialValueFromJson)
+                case _          => Nil
+              }
+              (name, vs)
+            }
+            case _ => Nil
+          }))
+        case _ => None
+      }
+    }
+
+  private def boolAt(j: JValue): Boolean = j match {
+    case JBool(b) => b
+    case _        => false
+  }
 
   def toJson(f: FittedOptimalBinning): String = {
     val json: JObject =
@@ -36,10 +118,8 @@ object ModelIO {
         Option(f.catBins).map(_.map(_.toList).toList).getOrElse(Nil)) ~
       ("cat_others" ->
         Option(f.catOthers).map(_.toList).getOrElse(Nil)) ~
-      ("special_codes" -> (f.config.specialCodes match {
-        case Some(SpecialList(vs)) => vs.map(_.toString).toList
-        case _                     => Nil
-      }))
+      ("others_catch_all" -> f.othersCatchAll) ~
+      ("special_codes" -> specialCodesJson(f.config.specialCodes))
     JsonMethods.compact(JsonMethods.render(json))
   }
 
@@ -65,14 +145,10 @@ object ModelIO {
     val catBins = (j \ "cat_bins").extract[List[List[String]]]
       .map(_.toArray).toArray
     val catOthers = (j \ "cat_others").extract[List[String]].toArray
-    val specials = (j \ "special_codes").extract[List[String]]
 
     val config = BinningConfig(
       name = name, dtype = dtype,
-      specialCodes =
-        if (specials.nonEmpty)
-          Some(SpecialList(specials.map(_.toDouble)))
-        else None)
+      specialCodes = specialCodesFromJson(j \ "special_codes"))
     val table = new BinningTables.BinaryBinningTable(
       name, dtype, splits, nNonevent, nEvent, labels, nSpecials)
     new FittedOptimalBinning(
@@ -80,7 +156,8 @@ object ModelIO {
       if (categories.nonEmpty) categories else null,
       if (catBins.nonEmpty) catBins else null,
       if (catOthers.nonEmpty) catOthers else null,
-      nDataBins)
+      nDataBins,
+      othersCatchAll = boolAt(j \ "others_catch_all"))
   }
 
   def load(path: String): FittedOptimalBinning =
@@ -92,9 +169,67 @@ object ModelIO {
   // reference pickles; JSON here so models are portable/inspectable)
   // ------------------------------------------------------------------
 
+  private def optJson(o: Option[Double]): JValue =
+    o.map(JDouble(_): JValue).getOrElse(JNothing)
+  private def optFromJson(j: JValue): Option[Double] = j match {
+    case JDouble(d)  => Some(d)
+    case JDecimal(d) => Some(d.toDouble)
+    case JInt(i)     => Some(i.toDouble)
+    case _           => None
+  }
+  private def optStr(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s)
+    case _          => None
+  }
+
+  private def selectionJson(s: BinningProcess.Selection): JValue =
+    ("min_iv" -> optJson(s.minIv)) ~ ("max_iv" -> optJson(s.maxIv)) ~
+    ("min_js" -> optJson(s.minJs)) ~ ("max_js" -> optJson(s.maxJs)) ~
+    ("min_gini" -> optJson(s.minGini)) ~
+    ("min_quality" -> optJson(s.minQuality)) ~
+    ("strategy" -> s.strategy.map(JString(_): JValue)
+       .getOrElse(JNothing)) ~
+    ("top_k" -> s.topK.map(k => JInt(BigInt(k)): JValue)
+       .getOrElse(JNothing)) ~
+    ("criteria" -> JObject(s.criteria.toList.map { case (m, c) =>
+      m -> (("min" -> optJson(c.min)) ~ ("max" -> optJson(c.max)) ~
+            ("strategy" -> c.strategy.map(JString(_): JValue)
+               .getOrElse(JNothing)) ~
+            ("top" -> optJson(c.top)): JValue)
+    })) ~
+    ("fixed_variables" -> s.fixedVariables.toList)
+
+  private def selectionFromJson(j: JValue): BinningProcess.Selection =
+    BinningProcess.Selection(
+      minIv = optFromJson(j \ "min_iv"),
+      maxIv = optFromJson(j \ "max_iv"),
+      minJs = optFromJson(j \ "min_js"),
+      maxJs = optFromJson(j \ "max_js"),
+      minGini = optFromJson(j \ "min_gini"),
+      minQuality = optFromJson(j \ "min_quality"),
+      strategy = optStr(j \ "strategy"),
+      topK = (j \ "top_k") match {
+        case JInt(i) => Some(i.toInt)
+        case _       => None
+      },
+      criteria = (j \ "criteria") match {
+        case JObject(fields) => fields.map { case (m, c) =>
+          m -> BinningProcess.MetricCriteria(
+            min = optFromJson(c \ "min"), max = optFromJson(c \ "max"),
+            strategy = optStr(c \ "strategy"),
+            top = optFromJson(c \ "top"))
+        }.toMap
+        case _ => Map.empty[String, BinningProcess.MetricCriteria]
+      },
+      fixedVariables = (j \ "fixed_variables") match {
+        case JArray(vs) => vs.collect { case JString(v) => v }
+        case _          => Nil
+      })
+
   def processToJson(p: FittedBinningProcess): String = {
     val json: JObject =
       ("variables" -> p.variables.toList) ~
+      ("selection" -> selectionJson(p.selection)) ~
       ("fits" -> p.variables.toList.map(v =>
         JsonMethods.parse(toJson(p.fits(v)))))
     JsonMethods.compact(JsonMethods.render(json))
@@ -109,7 +244,7 @@ object ModelIO {
     new FittedBinningProcess(
       variables.toArray,
       variables.zip(fits).toMap,
-      BinningProcess.Selection())
+      selectionFromJson(j \ "selection"))
   }
 
   def saveProcess(p: FittedBinningProcess, path: String): Unit =
@@ -135,6 +270,33 @@ object ModelIO {
     case _          => 0.0
   }
 
+  private def scalingJson(s: Scorecard.ScalingConfig): JValue =
+    ("method" -> s.method.map(JString(_): JValue).getOrElse(JNothing)) ~
+    ("pdo" -> s.pdo) ~ ("odds" -> s.odds) ~
+    ("scorecard_points" -> s.scorecardPoints) ~
+    ("min" -> s.min) ~ ("max" -> s.max) ~
+    ("reverse_scorecard" -> s.reverseScorecard) ~
+    ("intercept_based" -> s.interceptBased) ~
+    ("rounding" -> s.rounding)
+
+  private def scalingFromJson(j: JValue): Scorecard.ScalingConfig =
+    j match {
+      case JNothing | JNull => Scorecard.ScalingConfig()
+      case _ =>
+        val d = Scorecard.ScalingConfig()
+        Scorecard.ScalingConfig(
+          method = optStr(j \ "method"),
+          pdo = optFromJson(j \ "pdo").getOrElse(d.pdo),
+          odds = optFromJson(j \ "odds").getOrElse(d.odds),
+          scorecardPoints = optFromJson(j \ "scorecard_points")
+            .getOrElse(d.scorecardPoints),
+          min = optFromJson(j \ "min").getOrElse(d.min),
+          max = optFromJson(j \ "max").getOrElse(d.max),
+          reverseScorecard = boolAt(j \ "reverse_scorecard"),
+          interceptBased = boolAt(j \ "intercept_based"),
+          rounding = boolAt(j \ "rounding"))
+    }
+
   def scorecardToJson(sc: FittedScorecard): String = {
     val json: JObject =
       ("process" -> JsonMethods.parse(processToJson(sc.process))) ~
@@ -142,6 +304,11 @@ object ModelIO {
       ("coefficients" -> sc.coefficients.toList) ~
       ("estimator_intercept" -> sc.estimatorIntercept) ~
       ("base_intercept" -> sc.baseIntercept) ~
+      ("scaling" -> scalingJson(sc.scaling)) ~
+      ("woe_stats" -> sc.woeStats.map { case (mu, l) =>
+        (("mean" -> mu.toList) ~
+         ("chol" -> l.map(_.toList).toList)): JValue
+      }.getOrElse(JNothing)) ~
       ("metric_special" -> metricJson(sc.metricSpecial)) ~
       ("metric_missing" -> metricJson(sc.metricMissing)) ~
       ("points" -> sc.pointsTable.toList.map { r =>
@@ -170,8 +337,16 @@ object ModelIO {
         (r \ "coefficient").extract[Double],
         (r \ "points").extract[Double])
     }.toArray
+    val woeStats = (j \ "woe_stats") match {
+      case JNothing | JNull => None
+      case ws =>
+        val mu = (ws \ "mean").extract[List[Double]].toArray
+        val l = (ws \ "chol").extract[List[List[Double]]]
+          .map(_.toArray).toArray
+        if (mu.nonEmpty) Some((mu, l)) else None
+    }
     new FittedScorecard(process, selected, coefs, intercept, points,
-                        base, Scorecard.ScalingConfig(), None,
+                        base, scalingFromJson(j \ "scaling"), woeStats,
                         metricFromJson(j \ "metric_special"),
                         metricFromJson(j \ "metric_missing"))
   }
@@ -211,10 +386,8 @@ object ModelIO {
         Option(f.catBins).map(_.map(_.toList).toList).getOrElse(Nil)) ~
       ("cat_others" ->
         Option(f.catOthers).map(_.toList).getOrElse(Nil)) ~
-      ("special_codes" -> (f.config.specialCodes match {
-        case Some(SpecialList(vs)) => vs.map(_.toString).toList
-        case _                     => Nil
-      }))
+      ("others_catch_all" -> f.othersCatchAll) ~
+      ("special_codes" -> specialCodesJson(f.config.specialCodes))
     JsonMethods.compact(JsonMethods.render(json))
   }
 
@@ -237,13 +410,9 @@ object ModelIO {
     val catBins = (j \ "cat_bins").extract[List[List[String]]]
       .map(_.toArray).toArray
     val catOthers = (j \ "cat_others").extract[List[String]].toArray
-    val specials = (j \ "special_codes").extract[List[String]]
     val config = BinningConfig(
       name = name, dtype = dtype,
-      specialCodes =
-        if (specials.nonEmpty)
-          Some(SpecialList(specials.map(_.toDouble)))
-        else None)
+      specialCodes = specialCodesFromJson(j \ "special_codes"))
     val table = new BinningTables.ContinuousBinningTable(
       name, dtype, splits, nRecords, sums, stds, mins, maxs, nZeros,
       labels, nDataBins)
@@ -252,7 +421,8 @@ object ModelIO {
       if (categories.nonEmpty) categories else null,
       if (catBins.nonEmpty) catBins else null,
       if (catOthers.nonEmpty) catOthers else null,
-      nDataBins)
+      nDataBins,
+      othersCatchAll = boolAt(j \ "others_catch_all"))
   }
 
   def saveContinuous(f: FittedContinuousBinning, path: String): Unit =
@@ -272,6 +442,7 @@ object ModelIO {
       ("coefficients" -> sc.coefficients.toList) ~
       ("estimator_intercept" -> sc.estimatorIntercept) ~
       ("base_intercept" -> sc.baseIntercept) ~
+      ("scaling" -> scalingJson(sc.scaling)) ~
       ("points" -> sc.pointsTable.toList.map { r =>
         ("variable" -> r.variable) ~ ("bin_id" -> r.binId) ~
         ("bin" -> r.bin) ~ ("count" -> r.count) ~
@@ -300,7 +471,7 @@ object ModelIO {
     }.toArray
     new FittedContinuousScorecard(
       selected.zip(fits).toMap, selected, coefs, intercept, points,
-      base, Scorecard.ScalingConfig())
+      base, scalingFromJson(j \ "scaling"))
   }
 
   def saveContinuousScorecard(sc: FittedContinuousScorecard,

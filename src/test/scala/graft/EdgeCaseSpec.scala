@@ -114,6 +114,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     val fitted = model.stages(0)
       .asInstanceOf[graft.ml.OptimalBinningModel].fitted
     assert(fitted.splits.nonEmpty)
+
+    // transformSchema must declare the ACTUAL output type per metric:
+    // "bins" emits string labels and "indices" integer ids — a
+    // DoubleType declaration would pass Pipeline validation and break
+    // the downstream stage at runtime
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+    def declared(metric: String) = new OptimalBinningEstimator()
+      .setInputCol("mean radius").setOutputCol("out").setMetric(metric)
+      .transformSchema(df.schema).apply("out").dataType
+    assert(declared("woe") == DoubleType)
+    assert(declared("bins") == StringType)
+    assert(declared("indices") == IntegerType)
+    val binsModel = new OptimalBinningEstimator()
+      .setInputCol("mean radius").setOutputCol("binlab")
+      .setMetric("bins").fit(df)
+    assert(binsModel.transformSchema(df.schema)("binlab").dataType ==
+           StringType)
+    assert(binsModel.transform(df).schema("binlab").dataType ==
+           StringType)
   }
 
   test("binning table toDF mirrors the reference build() shape") {

@@ -390,4 +390,103 @@ class MonitoringAndIOSpec extends AnyFunSuite {
            bf.catBins.map(_.toSeq).toSeq)
     assert(math.abs(lastFit.table.iv - bf.table.iv) < 1e-12)
   }
+
+  test("ModelIO: SpecialDict, string specials, catch-all Others, " +
+       "selection and scaling survive the JSON round-trip") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    // SpecialDict on a numeric fit: special rows must route to their
+    // GROUP bins after load, not fall through into data bins
+    val df = li.withColumn("xs",
+      when(col("l_linenumber") === 1, lit(-9.0))
+        .when(col("l_linenumber") === 2, lit(-8.0))
+        .otherwise(col("l_extendedprice")))
+    val dictCfg = BinningConfig(name = "xs",
+      specialCodes = Some(SpecialDict(Seq(
+        "neg9" -> Seq(-9.0), "neg8" -> Seq(-8.0)))))
+    val fd = OptimalBinning.fit(df, "xs", "y", dictCfg)
+    val fd2 = ModelIO.fromJson(ModelIO.toJson(fd))
+    assert(fd2.config.specialCodes == dictCfg.specialCodes)
+    val sa = df.select(fd.transform(col("xs")).as("w")).as[Double]
+      .collect()
+    val sb = df.select(fd2.transform(col("xs")).as("w")).as[Double]
+      .collect()
+    assert(sa.toSeq == sb.toSeq)
+
+    // string special codes on a categorical fit: load() must not
+    // force-parse them as doubles
+    val cat = li.withColumn("c",
+      when(col("l_linenumber") === 1, lit("N/A"))
+        .otherwise(col("l_returnflag")))
+    val catCfg = BinningConfig(name = "c", dtype = "categorical",
+      specialCodes = Some(SpecialList(Seq("N/A"))))
+    val fc = OptimalBinning.fit(cat, "c", "y", catCfg)
+    val fc2 = ModelIO.fromJson(ModelIO.toJson(fc))
+    assert(fc2.config.specialCodes == Some(SpecialList(Seq("N/A"))))
+    val ca = cat.select(fc.transform(col("c")).as("w")).as[Double]
+      .collect()
+    val cb = cat.select(fc2.transform(col("c")).as("w")).as[Double]
+      .collect()
+    assert(ca.toSeq == cb.toSeq)
+
+    // catch-all Others (bounded-collect tail pool): unseen tail
+    // categories must still route to the Others bin after load
+    val wide = li.withColumn("c",
+      concat(lit("v"), (col("l_orderkey") % 500).cast("string")))
+    val fw = OptimalBinning.fit(wide, "c", "y",
+      BinningConfig(name = "c", dtype = "categorical",
+                    histogramMaxBuckets = 50))
+    assert(fw.othersCatchAll, "expected a pooled tail catch-all")
+    val fw2 = ModelIO.fromJson(ModelIO.toJson(fw))
+    assert(fw2.othersCatchAll)
+    val wa = wide.select(fw.transform(col("c")).as("w")).as[Double]
+      .collect()
+    val wb = wide.select(fw2.transform(col("c")).as("w")).as[Double]
+      .collect()
+    assert(wa.toSeq == wb.toSeq)
+
+    // selection criteria + scorecard scaling/woeStats round-trip
+    val sel = BinningProcess.Selection(minIv = Some(0.01),
+      topK = Some(2), fixedVariables = Seq("l_quantity"))
+    val scal = Scorecard.ScalingConfig(method = Some("pdo_odds"),
+      pdo = 25, odds = 40, scorecardPoints = 500, rounding = true)
+    val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"),
+      "y", selection = sel, scaling = scal)
+    val sc2 = ModelIO.scorecardFromJson(ModelIO.scorecardToJson(sc))
+    assert(sc2.process.selection == sel)
+    assert(sc2.scaling == scal)
+    assert(sc2.woeStats.isDefined == sc.woeStats.isDefined)
+    sc.woeStats.zip(sc2.woeStats).foreach { case ((m1, l1), (m2, l2)) =>
+      assert(m1.toSeq == m2.toSeq)
+      assert(l1.map(_.toSeq).toSeq == l2.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("continuous categorical tail pool: unseen tail categories route " +
+       "to Others (catch-all), and survive the round-trip") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map { i =>
+      val c = "cat" + rnd.nextInt(200)
+      (c, c.length * 1.5 + rnd.nextGaussian())
+    }.toDF("x", "y")
+    val f = ContinuousOptimalBinning.fit(df, "x", "y",
+      BinningConfig(name = "x", dtype = "categorical",
+                    histogramMaxBuckets = 20))
+    assert(f.othersCatchAll)
+    // a category the fit never enumerated must get the Others mean,
+    // not the unknown fallback (the table's overall mean)
+    val othersMean = f.table.means(f.nDataBins)
+    val probe = Seq(("cat_never_seen", 0.0)).toDF("x", "y")
+    val got = probe.select(f.transform(col("x")).as("m")).as[Double]
+      .head()
+    assert(math.abs(got - othersMean) < 1e-12, s"$got vs $othersMean")
+    val f2 = ModelIO.continuousFromJson(ModelIO.continuousToJson(f))
+    assert(f2.othersCatchAll)
+    val got2 = probe.select(f2.transform(col("x")).as("m")).as[Double]
+      .head()
+    assert(got2 == got)
+  }
 }

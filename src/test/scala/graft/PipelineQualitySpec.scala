@@ -523,4 +523,23 @@ class PipelineQualitySpec extends AnyFunSuite {
       assert(comps.size == 10)
     }
   }
+
+  test("lsh signature rejects nPlanes outside 1..64 (long overflow " +
+       "would silently corrupt bits)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(Array.fill(8)(0.5)).toDF("emb")
+    intercept[IllegalArgumentException] {
+      df.select(graft.functions.VectorExprs.lshSig(col("emb"), 96))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      df.select(graft.functions.VectorExprs.lshSig(col("emb"), 0))
+        .collect()
+    }
+    // 64 is the inclusive max: the full long width is addressable
+    val s = df.select(graft.functions.VectorExprs.lshSig(col("emb"), 64))
+      .collect()
+    assert(s.length == 1)
+  }
 }
