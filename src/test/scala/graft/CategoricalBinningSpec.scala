@@ -153,4 +153,44 @@ class CategoricalBinningSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(out.forall(v => !v.isNaN))
   }
+
+  test("cat_unknown: reference defaults and explicit overrides per " +
+       "metric (`transformations.py:153-158,291-297`)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = x.zip(y.map(_.toDouble)).toSeq.toDF("occupation", "target")
+    val probe = Seq(("NeverSeen", 0.0)).toDF("occupation", "target")
+    def fit(cfg: BinningConfig) =
+      OptimalBinning.fit(df, "occupation", "target", cfg)
+    val base = BinningConfig(name = "occupation", dtype = "categorical")
+
+    // default: unknown -> WoE of the mean event rate (== 0 by the WoE
+    // identity log((1/er - 1) * tE/tNe) at er = tE/(tE+tNe))
+    val f = fit(base)
+    val dWoe = probe.select(f.transform(col("occupation")).as("v"))
+      .as[Double].head()
+    assert(math.abs(dWoe) < 1e-12, s"default unknown woe $dWoe")
+    val dEr = probe.select(
+      f.transform(col("occupation"), "event_rate").as("v"))
+      .as[Double].head()
+    assert(math.abs(dEr - f.table.tEvent / f.table.tRecords) < 1e-12)
+    val dIdx = probe.select(
+      f.transform(col("occupation"), "indices").as("v")).as[Int].head()
+    assert(dIdx == -1)
+    val dBin = probe.select(
+      f.transform(col("occupation"), "bins").as("v")).as[String].head()
+    assert(dBin == "unknown")
+
+    // explicit overrides route through typed literals
+    val fo = fit(base.copy(catUnknown = Some(-99.5)))
+    assert(probe.select(fo.transform(col("occupation")).as("v"))
+      .as[Double].head() == -99.5)
+    val fi = fit(base.copy(catUnknown = Some(7)))
+    assert(probe.select(fi.transform(col("occupation"), "indices").as("v"))
+      .as[Int].head() == 7)
+    val fb = fit(base.copy(catUnknown = Some("none-of-the-above")))
+    assert(probe.select(fb.transform(col("occupation"), "bins").as("v"))
+      .as[String].head() == "none-of-the-above")
+  }
 }
