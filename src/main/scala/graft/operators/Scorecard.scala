@@ -44,13 +44,22 @@ object Scorecard {
         * metric_special=0, metric_missing=0; "empirical" uses the
         * fitted WoE like every other bin). */
       metricSpecial: Any = 0.0,
-      metricMissing: Any = 0.0): FittedScorecard = {
+      metricMissing: Any = 0.0,
+      /** Per-row sample weights (`scorecard.py:265` sample_weight,
+        * binary targets only like the reference, `:572-575`): weights
+        * flow into both the per-variable binning fits and the estimator
+        * objective. */
+      weightCol: Option[String] = None): FittedScorecard = {
 
+    require(weightCol.isEmpty || target == "binary",
+            "sample weights are only supported for binary targets " +
+            "(`scorecard.py:572-575`)")
     val process = BinningProcess.fit(df, variables, yCol,
                                      targetType = "binary",
                                      config = binningConfig,
                                      varOverrides = varOverrides,
-                                     selection = selection)
+                                     selection = selection,
+                                     weightCol = weightCol)
     val selected = process.selectedVariables.toSeq
     require(selected.nonEmpty, "no variables survive selection criteria")
 
@@ -61,7 +70,8 @@ object Scorecard {
     // instead of scanning every input row per L-BFGS iteration. One
     // aggregate pass over the data, then driver-sized iterations — the
     // row count is bounded by the bin-combination count, not data scale.
-    val xt = process.transform(df, metric = "woe", keepCols = Seq(yCol),
+    val xt = process.transform(df, metric = "woe",
+      keepCols = Seq(yCol) ++ weightCol,
       transformParams =
         selected.map(v => v -> ((metricSpecial, metricMissing))).toMap)
     val assembler = new VectorAssembler()
@@ -76,8 +86,14 @@ object Scorecard {
     val MaxCombos = 100000
     val comboProduct = selected
       .map(v => process.fits(v).table.rows.length.toDouble).product
+    // combination weight = count without sample weights, sum(weight)
+    // with them — the compact aggregate then carries the exact weighted
+    // objective for both IRLS and spark.ml
+    val comboW: Column = weightCol
+      .map(c => sum(col(c).cast("double")).cast("double"))
+      .getOrElse(count(lit(1)).cast("double"))
     lazy val grouped = xt.groupBy(selected.map(col) :+ col(yCol): _*)
-      .agg(count(lit(1)).cast("double").as("w"))
+      .agg(comboW.as("w"))
     val probe: Array[org.apache.spark.sql.Row] =
       if (comboProduct > 1e9) Array.empty
       else grouped.limit(MaxCombos + 1).collect()
@@ -88,7 +104,9 @@ object Scorecard {
           .map(i => numericValue(r.get(i)).toString).mkString("|"))
     val oversized = comboProduct > 1e9 || probe.length > MaxCombos
     val compact =
-      if (oversized) xt.withColumn("w", lit(1.0))
+      if (oversized)
+        xt.withColumn("w", weightCol.map(c => col(c).cast("double"))
+          .getOrElse(lit(1.0)))
       else grouped.coalesce(1)
 
     // ONE collect of the compact aggregate feeds both the counterfactual

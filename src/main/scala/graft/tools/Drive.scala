@@ -3,39 +3,53 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.sources.ModelIO
 
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val rnd = new scala.util.Random(3)
-    val df = (1 to 2000).map { i =>
-      val c = "cat" + rnd.nextInt(120)
-      (c, c.length * 2.0 + rnd.nextGaussian())
-    }.toDF("x", "y")
-    // bounded-collect tail pool + catch-all Others
-    val f = ContinuousOptimalBinning.fit(df, "x", "y",
-      BinningConfig(name = "x", dtype = "categorical",
-                    histogramMaxBuckets = 15))
-    println(s"DRIVE contcat status=${f.status} bins=${f.table.binLabels.length} catchAll=${f.othersCatchAll}")
-    // JSON round-trip must preserve the catch-all routing
-    val f2 = ModelIO.continuousFromJson(ModelIO.continuousToJson(f))
-    val probe = Seq(("tail_cat_unseen", 0.0)).toDF("x", "y")
-    val m1 = probe.select(f.transform(col("x")).as("m")).as[Double].head()
-    val m2 = probe.select(f2.transform(col("x")).as("m")).as[Double].head()
-    println(s"DRIVE roundtrip othersMean=${f.table.means(f.nDataBins)} got=$m1 reloaded=$m2")
-    // SpecialDict round-trip on binary
-    val bi = df.withColumn("y2", (col("y") > 10).cast("double"))
-      .withColumn("xs", when(length(col("x")) === 4, lit("-9")).otherwise(col("x")))
-    val fb = OptimalBinning.fit(bi, "xs", "y2",
-      BinningConfig(name = "xs", dtype = "categorical",
-        specialCodes = Some(SpecialDict(Seq("neg" -> Seq("-9"))))))
-    val fb2 = ModelIO.fromJson(ModelIO.toJson(fb))
-    println(s"DRIVE specialdict restored=${fb2.config.specialCodes} iv=${fb.table.iv - fb2.table.iv}")
+
+    // weighted Scorecard.fit on real testdata: weight = l_linenumber
+    // (integral 1..7), so the weighted fit must equal fitting on rows
+    // duplicated l_linenumber times
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .withColumn("y", when(col("l_extendedprice") * (lit(1.0) - col("l_discount")) >= 40000, 1.0).otherwise(0.0))
+      .select("l_extendedprice", "l_quantity", "y", "l_linenumber")
+    val dup = li.withColumn("dup", explode(
+        transform(sequence(lit(1), col("l_linenumber")), _ => lit(1))))
+      .drop("dup", "l_linenumber")
+
+    val ov = Map(
+      "l_extendedprice" -> BinningConfig(userSplits = Some(Array(20000.0, 40000.0, 60000.0))),
+      "l_quantity" -> BinningConfig(userSplits = Some(Array(10.0, 25.0, 40.0))))
+    val sw = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
+                           varOverrides = ov, weightCol = Some("l_linenumber"))
+    val sd = Scorecard.fit(dup, Seq("l_extendedprice", "l_quantity"), "y",
+                           varOverrides = ov)
+    println("DRIVE coefs weighted=" + sw.coefficients.map(c => f"$c%.8f").mkString(","))
+    println("DRIVE coefs duplicat=" + sd.coefficients.map(c => f"$c%.8f").mkString(","))
+    println(f"DRIVE intercept diff=${math.abs(sw.estimatorIntercept - sd.estimatorIntercept)}%.2e")
+    val maxCoefDiff = sw.coefficients.zip(sd.coefficients)
+      .map { case (a, b) => math.abs(a - b) }.max
+    println(f"DRIVE max coef diff=$maxCoefDiff%.2e")
+    sw.pointsTable.zip(sd.pointsTable).foreach { case (a, b) =>
+      assert(a.variable == b.variable && a.bin == b.bin)
+      assert(math.abs(a.count - b.count) < 1e-9, s"count $a vs $b")
+      assert(math.abs(a.points - b.points) < 1e-9, s"points $a vs $b")
+    }
+    println("DRIVE pointsTable identical rows=" + sw.pointsTable.length)
+    // score real rows with both models
+    val scored = li.select(sw.scoreColumn().as("s_w"), sd.scoreColumn().as("s_d"))
+      .agg(max(abs(col("s_w") - col("s_d"))).as("maxdiff"), avg("s_w").as("mean"))
+      .head
+    println(f"DRIVE score maxdiff=${scored.getDouble(0)}%.2e mean=${scored.getDouble(1)}%.3f")
+    // free binning (no pinned splits) under weights also runs end-to-end
+    val free = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
+                             weightCol = Some("l_linenumber"))
+    println("DRIVE free-binning weighted fit bins=" +
+      free.pointsTable.groupBy(_.variable).map { case (v, rs) => s"$v:${rs.size}" }.mkString(" "))
     spark.stop()
   }
 }

@@ -214,4 +214,52 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(a.event - b.event) < 1e-9, s"$a vs $b")
     }
   }
+
+  test("scorecard sample weights: integer weights equal row " +
+       "duplication (binning, coefficients, scores)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 1500).map { _ =>
+      val x1 = rnd.nextDouble() * 100
+      val x2 = rnd.nextDouble() * 10
+      val p = 1.0 / (1.0 + math.exp(-(x1 / 25 + x2 / 5 - 3)))
+      val y = if (rnd.nextDouble() < p) 1.0 else 0.0
+      val w = 1.0 + rnd.nextInt(3) // 1..3
+      (x1, x2, y, w)
+    }
+    val weighted = rows.toDF("x1", "x2", "y", "w")
+    val duplicated = rows.flatMap { case (x1, x2, y, w) =>
+      Seq.fill(w.toInt)((x1, x2, y))
+    }.toDF("x1", "x2", "y")
+
+    // pinned splits: CART prebinning's min-size constraints count ROWS
+    // (sklearn min_samples_leaf semantics the reference inherits), so
+    // free binning under weights legitimately differs from duplication;
+    // with fixed bins the whole estimator chain must match exactly
+    val ov = Map(
+      "x1" -> BinningConfig(userSplits = Some(Array(25.0, 50.0, 75.0))),
+      "x2" -> BinningConfig(userSplits = Some(Array(3.0, 6.0))))
+    val sw = Scorecard.fit(weighted, Seq("x1", "x2"), "y",
+                           varOverrides = ov, weightCol = Some("w"))
+    val sd = Scorecard.fit(duplicated, Seq("x1", "x2"), "y",
+                           varOverrides = ov)
+    sw.coefficients.zip(sd.coefficients).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"coef $a vs $b")
+    }
+    assert(math.abs(sw.estimatorIntercept - sd.estimatorIntercept) < 1e-6)
+    // per-bin weighted counts match the duplicated-row counts
+    sw.pointsTable.zip(sd.pointsTable).foreach { case (a, b) =>
+      assert(a.variable == b.variable && a.bin == b.bin)
+      assert(math.abs(a.count - b.count) < 1e-9, s"$a vs $b")
+      assert(math.abs(a.points - b.points) < 1e-9)
+    }
+    // scoring the SAME frame with both models is identical
+    import org.apache.spark.sql.functions.{sum => sqlSum}
+    val s1 = duplicated.select(sw.scoreColumn().as("s")).agg(sqlSum("s"))
+      .head.getDouble(0)
+    val s2 = duplicated.select(sd.scoreColumn().as("s")).agg(sqlSum("s"))
+      .head.getDouble(0)
+    assert(math.abs(s1 - s2) < 1e-4, s"$s1 vs $s2")
+  }
 }
