@@ -941,6 +941,44 @@ object SparkEntry {
              "avg_score", "min_score", "max_score").orderBy("bin")
     }),
 
+    "q_scorecard_weighted" -> ((s, dir) => {
+      // weighted binary scorecard END-TO-END (`scorecard.py:265`
+      // sample_weight): weight = l_linenumber, pinned splits. The
+      // saturated weighted logistic MLE keeps q_scorecard's closed
+      // form with WEIGHTED totals — coef = -1, intercept =
+      // ln(sum_w_events/sum_w_nonevents) — so the DuckDB oracle
+      // replays weighted binning -> WoE -> points -> weighted mean
+      // score with no iterative solver, a hard hash check of the
+      // weightCol path through binning AND estimator.
+      val li = liTarget(T(s, dir, "lineitem"))
+        .withColumn("wgt", col("l_linenumber").cast("double"))
+      val sc = Scorecard.fit(li, Seq("l_extendedprice"), "y",
+        binningConfig = BinningConfig(name = "l_extendedprice",
+          userSplits = Some(liSplits), monotonicTrend = None,
+          minNBins = Some(4), maxNBins = Some(4)),
+        scaling = Scorecard.ScalingConfig(method = Some("pdo_odds")),
+        weightCol = Some("wgt"))
+      val score = sc.scoreColumn()
+      val st = li.agg(
+        (sum(col("wgt") * score) / sum(col("wgt"))).as("a"),
+        min(score).as("mn"), max(score).as("mx")).collect()(0)
+      val nData = sc.process.fits("l_extendedprice").nDataBins
+      import s.implicits._
+      sc.pointsTable.filter(_.binId < nData).toSeq.map { r =>
+        (r.binId.toLong, r.count.toLong, scale6(r.woe),
+         BigDecimal(r.points).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+           .toDouble,
+         scale6(r.coefficient), scale6(sc.estimatorIntercept),
+         BigDecimal(st.getDouble(0)).setScale(2,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(st.getDouble(1)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(st.getDouble(2)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("bin", "count", "woe", "points", "coef", "intercept",
+             "avg_score", "min_score", "max_score").orderBy("bin")
+    }),
+
     "q_2d_agg" -> ((s, dir) => {
       // 2D prebin grid: event/nonevent per (binX, binY) cell
       val li = liTarget(T(s, dir, "lineitem"))
@@ -1837,6 +1875,43 @@ object SparkEntry {
                   (woe - b0) * (20.0 / ln(2))
                     + (600.0 - (20.0 / ln(2)) * ln(50.0)) AS points
            FROM w),
+         st AS (
+           SELECT round(sum(n * points) / sum(n), 2) AS avg_score,
+                  round(min(points), 4) AS min_score,
+                  round(max(points), 4) AS max_score
+           FROM pts)
+         SELECT bin::BIGINT AS bin, n::BIGINT AS count,
+                round(woe, 6) AS woe, round(points, 4) AS points,
+                -1.0 AS coef, round(b0, 6) AS intercept,
+                avg_score, min_score, max_score
+         FROM pts, st ORDER BY bin""",
+
+    "q_scorecard_weighted" ->
+      // weighted saturated WoE logistic: identical closed form to
+      // q_scorecard but every count is sum(weight) — WoE, totals,
+      // intercept and the mean score are all weight-carrying
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                  l_linenumber::DOUBLE AS w
+           FROM lineitem),
+         agg AS (
+           SELECT bin, sum(w) AS n, sum(w * y) AS e,
+                  sum(w) - sum(w * y) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg),
+         wo AS (
+           SELECT bin, n, ln((ne / tne) / (e / te)) AS woe,
+                  ln(te / tne) AS b0
+           FROM agg, tot),
+         pts AS (
+           SELECT bin, n, woe, b0,
+                  (woe - b0) * (20.0 / ln(2))
+                    + (600.0 - (20.0 / ln(2)) * ln(50.0)) AS points
+           FROM wo),
          st AS (
            SELECT round(sum(n * points) / sum(n), 2) AS avg_score,
                   round(min(points), 4) AS min_score,
