@@ -2,54 +2,64 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import graft.operators._
 
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    // weighted Scorecard.fit on real testdata: weight = l_linenumber
-    // (integral 1..7), so the weighted fit must equal fitting on rows
-    // duplicated l_linenumber times
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-      .withColumn("y", when(col("l_extendedprice") * (lit(1.0) - col("l_discount")) >= 40000, 1.0).otherwise(0.0))
-      .select("l_extendedprice", "l_quantity", "y", "l_linenumber")
-    val dup = li.withColumn("dup", explode(
-        transform(sequence(lit(1), col("l_linenumber")), _ => lit(1))))
-      .drop("dup", "l_linenumber")
-
-    val ov = Map(
-      "l_extendedprice" -> BinningConfig(userSplits = Some(Array(20000.0, 40000.0, 60000.0))),
-      "l_quantity" -> BinningConfig(userSplits = Some(Array(10.0, 25.0, 40.0))))
-    val sw = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
-                           varOverrides = ov, weightCol = Some("l_linenumber"))
-    val sd = Scorecard.fit(dup, Seq("l_extendedprice", "l_quantity"), "y",
-                           varOverrides = ov)
-    println("DRIVE coefs weighted=" + sw.coefficients.map(c => f"$c%.8f").mkString(","))
-    println("DRIVE coefs duplicat=" + sd.coefficients.map(c => f"$c%.8f").mkString(","))
-    println(f"DRIVE intercept diff=${math.abs(sw.estimatorIntercept - sd.estimatorIntercept)}%.2e")
-    val maxCoefDiff = sw.coefficients.zip(sd.coefficients)
-      .map { case (a, b) => math.abs(a - b) }.max
-    println(f"DRIVE max coef diff=$maxCoefDiff%.2e")
-    sw.pointsTable.zip(sd.pointsTable).foreach { case (a, b) =>
-      assert(a.variable == b.variable && a.bin == b.bin)
-      assert(math.abs(a.count - b.count) < 1e-9, s"count $a vs $b")
-      assert(math.abs(a.points - b.points) < 1e-9, s"points $a vs $b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    })
+    def phase(tag: String)(f: => Unit): Unit = {
+      val j0 = jobs.get(); val t0 = System.nanoTime()
+      f
+      println(f"DRIVE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s jobs=${jobs.get() - j0}")
     }
-    println("DRIVE pointsTable identical rows=" + sw.pointsTable.length)
-    // score real rows with both models
-    val scored = li.select(sw.scoreColumn().as("s_w"), sd.scoreColumn().as("s_d"))
-      .agg(max(abs(col("s_w") - col("s_d"))).as("maxdiff"), avg("s_w").as("mean"))
-      .head
-    println(f"DRIVE score maxdiff=${scored.getDouble(0)}%.2e mean=${scored.getDouble(1)}%.3f")
-    // free binning (no pinned splits) under weights also runs end-to-end
-    val free = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
-                             weightCol = Some("l_linenumber"))
-    println("DRIVE free-binning weighted fit bins=" +
-      free.pointsTable.groupBy(_.variable).map { case (v, rs) => s"$v:${rs.size}" }.mkString(" "))
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    li.count()
+    val x = col("l_extendedprice")
+    def med1(c: org.apache.spark.sql.Column): Double =
+      li.select(percentile_approx(c, lit(0.5), lit(10000))
+        .cast("double")).head.getDouble(0)
+    // warm every code path once
+    locally {
+      val medW = med1(x); val madW = med1(abs(x - lit(medW)))
+      OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "x", gamma = 2.0,
+                      outlierDetector = Some("zscore"),
+                      outlierParams = Map("approx" -> true,
+                                          "med" -> medW, "mad" -> madW)))
+    }
+    var med = 0.0; var mad = 0.0
+    phase("med") { med = med1(x) }
+    phase("mad") { mad = med1(abs(x - lit(med))) }
+    var fitted: FittedOptimalBinning = null
+    phase("fit.gamma") {
+      fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "x", gamma = 2.0,
+                      outlierDetector = Some("zscore"),
+                      outlierParams = Map("approx" -> true,
+                                          "med" -> med, "mad" -> mad)))
+    }
+    // same fit without gamma / outliers for comparison
+    phase("fit.plain") {
+      OptimalBinning.fit(li, "l_extendedprice", "y", BinningConfig(name = "x"))
+    }
+    phase("reagg") {
+      val sp = fitted.splits
+      val binIdx = sp.indices.foldRight(lit(sp.length): org.apache.spark.sql.Column) {
+        (i, acc) => when(x < sp(i), lit(i)).otherwise(acc) }
+      li.where(!(abs(lit(0.6745) * (x - lit(med)) / lit(mad)) > 3.5))
+        .groupBy(binIdx.cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"), sum(col("y")).cast("long").as("event"))
+        .orderBy("bin").collect()
+    }
     spark.stop()
   }
 }
