@@ -168,6 +168,26 @@ object BinningProcess {
     val base = melted.select(col("var"), col("x"), col("y"), col("w"),
                              cls.as("cls"))
 
+    // variables with pinned user splits need no value histogram at all:
+    // snap each row to an in-bin representative (exact split comparisons,
+    // same rep convention as `Histograms.exactPrebinBuckets`), so the
+    // histogram holds <= splits+1 exact per-bin rows at ANY cardinality —
+    // no grid quantization drift across the pinned boundaries
+    val pinnedSplits: Map[String, Array[Double]] = vars.flatMap { v =>
+      cfgFor(v, config, overrides, "numerical").userSplits
+        .map(ss => v -> ss.sorted)
+    }.toMap
+
+    // When EVERY variable is pinned, the stats pass is redundant: the
+    // rep-level aggregate already carries the per-(var, cls) totals as
+    // its margins, and min/max/ndv (only used to build compression
+    // grids) are never needed. ONE scan + one bounded shuffle replaces
+    // the two of the general path — on a scorecard refit over pinned
+    // splits this halves the data passes at any scale.
+    if (vars.nonEmpty && vars.forall(v =>
+          pinnedSplits.get(v).exists(_.nonEmpty)))
+      return fitPinnedBatch(base, vars, pinnedSplits, config, overrides)
+
     // Pass A: per-(var, cls) totals + range/ndv — one shuffle for all vars
     val statsRows = base.groupBy("var", "cls")
       .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
@@ -185,16 +205,6 @@ object BinningProcess {
                                      r.getLong(4), r.getDouble(5))
         }.toMap
       }
-
-    // variables with pinned user splits need no value histogram at all:
-    // snap each row to an in-bin representative (exact split comparisons,
-    // same rep convention as `Histograms.exactPrebinBuckets`), so the
-    // histogram holds <= splits+1 exact per-bin rows at ANY cardinality —
-    // no grid quantization drift across the pinned boundaries
-    val pinnedSplits: Map[String, Array[Double]] = vars.flatMap { v =>
-      cfgFor(v, config, overrides, "numerical").userSplits
-        .map(ss => v -> ss.sorted)
-    }.toMap
 
     // per-var uniform grid constants for high-cardinality compression
     val gridInfo: Map[String, (Double, Double)] = statsRows
@@ -250,6 +260,61 @@ object BinningProcess {
         cfgFor(v, config, overrides, "numerical"),
         categories = null, catOthers = null)
       v -> fitted
+    }.toList.toMap
+  }
+
+  /** All-pinned fast path: one `groupBy(var, cls, rep)` aggregate feeds
+    * BOTH the per-(var, cls) totals (margins over rep) and the exact
+    * per-prebin histogram (clean rows keyed by the in-bin
+    * representative). Non-clean rows collapse to a null rep so the
+    * shuffle key space stays `vars x (splits + row classes)` — bounded
+    * by config, not data. */
+  private def fitPinnedBatch(base: DataFrame, vars: Seq[String],
+                             pinnedSplits: Map[String, Array[Double]],
+                             config: BinningConfig,
+                             overrides: Map[String, BinningConfig])
+      : Map[String, FittedOptimalBinning] = {
+    val repClean: Column =
+      pinnedSplits.foldLeft(lit(Double.NaN): Column) {
+        case (acc, (v, ss)) =>
+          val rep = ss.indices.foldRight(lit(ss.last): Column) { (i, e) =>
+            when(col("x") < ss(i),
+                 lit(if (i == 0) ss(0) - 1.0 else ss(i - 1))).otherwise(e)
+          }
+          when(col("var") === v, rep).otherwise(acc)
+      }
+    val rep = when(col("cls") === Preprocess.CleanClass, repClean)
+      .otherwise(lit(null).cast(DoubleType))
+
+    // 0 var, 1 cls, 2 rep, 3 w0, 4 w1, 5 n, 6 wt
+    val rows = base
+      .select(col("var"), col("cls"), rep.as("rep"), col("y"), col("w"))
+      .groupBy("var", "cls", "rep")
+      .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
+           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
+           count(lit(1)).as("n"),
+           sum(col("w")).as("wt"))
+      .collect()
+
+    val byVar = rows.groupBy(_.getString(0))
+    vars.par.map { v =>
+      val rs = byVar.getOrElse(v, Array.empty)
+      val totals: Map[Int, ClassTotals] =
+        rs.groupBy(_.getInt(1)).map { case (c, cr) =>
+          c -> ClassTotals(cr.map(_.getDouble(3)).sum,
+                           cr.map(_.getDouble(4)).sum,
+                           cr.map(_.getLong(5)).sum,
+                           cr.map(_.getDouble(6)).sum)
+        }
+      val hist = rs.filter(r => r.getInt(1) == Preprocess.CleanClass)
+        .map(r => Prebinning.HistBucket(r.getDouble(2), r.getLong(5),
+                                        r.getDouble(3), r.getDouble(4)))
+        .sortBy(_.value)
+      val nSamplesWeighted = totals.values.map(_.w).sum
+      v -> OptimalBinning.fitFromHistogram(
+        hist, totals, nSamplesWeighted,
+        cfgFor(v, config, overrides, "numerical"),
+        categories = null, catOthers = null)
     }.toList.toMap
   }
 

@@ -23,43 +23,56 @@ object Drive {
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
     li.count()
-    val x = col("l_extendedprice")
-    def med1(c: org.apache.spark.sql.Column): Double =
-      li.select(percentile_approx(c, lit(0.5), lit(10000))
-        .cast("double")).head.getDouble(0)
-    // warm every code path once
-    locally {
-      val medW = med1(x); val madW = med1(abs(x - lit(medW)))
-      OptimalBinning.fit(li, "l_extendedprice", "y",
-        BinningConfig(name = "x", gamma = 2.0,
-                      outlierDetector = Some("zscore"),
-                      outlierParams = Map("approx" -> true,
-                                          "med" -> medW, "mad" -> madW)))
+
+    val ov = Map(
+      "l_extendedprice" -> BinningConfig(userSplits = Some(Array(20000.0, 40000.0, 60000.0))),
+      "l_quantity" -> BinningConfig(userSplits = Some(Array(10.0, 25.0, 40.0))))
+
+    // warm both code paths
+    BinningProcess.fit(li, Seq("l_extendedprice", "l_quantity"), "y", varOverrides = ov)
+    OptimalBinning.fit(li, "l_extendedprice", "y",
+      BinningConfig(name = "x", userSplits = Some(Array(20000.0, 40000.0, 60000.0))))
+
+    var proc: FittedBinningProcess = null
+    phase("process.pinned(fused)") {
+      proc = BinningProcess.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
+                                varOverrides = ov)
     }
-    var med = 0.0; var mad = 0.0
-    phase("med") { med = med1(x) }
-    phase("mad") { mad = med1(abs(x - lit(med))) }
-    var fitted: FittedOptimalBinning = null
-    phase("fit.gamma") {
-      fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
-        BinningConfig(name = "x", gamma = 2.0,
-                      outlierDetector = Some("zscore"),
-                      outlierParams = Map("approx" -> true,
-                                          "med" -> med, "mad" -> mad)))
+    var single: FittedOptimalBinning = null
+    phase("single.pinned") {
+      single = OptimalBinning.fit(li, "l_extendedprice", "y",
+        BinningConfig(name = "x", userSplits = Some(Array(20000.0, 40000.0, 60000.0))))
     }
-    // same fit without gamma / outliers for comparison
-    phase("fit.plain") {
-      OptimalBinning.fit(li, "l_extendedprice", "y", BinningConfig(name = "x"))
+    // fused batch fit must agree with the single-variable exact path
+    val b = proc.fits("l_extendedprice")
+    assert(b.splits.sameElements(single.splits),
+           s"splits ${b.splits.toSeq} vs ${single.splits.toSeq}")
+    val rows = b.table.rows.zip(single.table.rows)
+    rows.foreach { case (a, s) =>
+      assert(a.bin == s.bin, s"bin ${a.bin} vs ${s.bin}")
+      assert(math.abs(a.count - s.count) < 1e-9, s"count $a vs $s")
+      assert(math.abs(a.woe - s.woe) < 1e-9, s"woe ${a.woe} vs ${s.woe}")
     }
-    phase("reagg") {
-      val sp = fitted.splits
-      val binIdx = sp.indices.foldRight(lit(sp.length): org.apache.spark.sql.Column) {
-        (i, acc) => when(x < sp(i), lit(i)).otherwise(acc) }
-      li.where(!(abs(lit(0.6745) * (x - lit(med)) / lit(mad)) > 3.5))
-        .groupBy(binIdx.cast("long").as("bin"))
-        .agg(count(lit(1)).as("count"), sum(col("y")).cast("long").as("event"))
-        .orderBy("bin").collect()
+    println("DRIVE fused==single rows=" + rows.length +
+      " iv=" + f"${b.iv}%.8f/${single.iv}%.8f")
+    // totals: special + missing + clean must cover every input row
+    val n = li.count()
+    val binned = b.table.rows.map(_.count).sum
+    println(f"DRIVE coverage table=${binned}%.1f rows=$n")
+    assert(math.abs(binned - n) < 1e-6)
+    // mixed pinned/unpinned still takes the general path and agrees
+    var mixed: FittedBinningProcess = null
+    phase("process.mixed(general)") {
+      mixed = BinningProcess.fit(li, Seq("l_extendedprice", "l_quantity"), "y",
+        varOverrides = Map("l_extendedprice" ->
+          BinningConfig(userSplits = Some(Array(20000.0, 40000.0, 60000.0)))))
     }
+    val m = mixed.fits("l_extendedprice")
+    assert(m.splits.sameElements(single.splits))
+    m.table.rows.zip(single.table.rows).foreach { case (a, s) =>
+      assert(math.abs(a.count - s.count) < 1e-9 && math.abs(a.woe - s.woe) < 1e-9)
+    }
+    println("DRIVE mixed-path parity ok")
     spark.stop()
   }
 }
