@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Single-pass vector kernels as custom Catalyst expressions.
   *
@@ -27,6 +27,24 @@ object VectorExprs {
   def lshSig(emb: Column, nPlanes: Int, portable: Boolean = false): Column =
     ExpressionUtils.column(
       LshSigExpr(ExpressionUtils.expression(emb), nPlanes, portable))
+
+  /** Product-quantization encode: per subspace s, the code of the
+    * nearest codeword by squared L2 (ties to the lower code). */
+  def pqEncode(emb: Column, codebooks: Array[Array[Array[Double]]])
+      : Column =
+    ExpressionUtils.column(
+      PqEncodeExpr(ExpressionUtils.expression(emb),
+                   codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq)
+                     .toIndexedSeq))
+
+  /** The `nProbe` nearest centroids by squared L2, ascending (ties to
+    * the lower cell id) — `nProbe = 1` is plain cell assignment. */
+  def nearestCells(emb: Column, centroids: Array[Array[Double]],
+                   nProbe: Int): Column =
+    ExpressionUtils.column(
+      NearestCellsExpr(ExpressionUtils.expression(emb),
+                       centroids.map(_.toIndexedSeq).toIndexedSeq,
+                       nProbe))
 
   /** Lehmer-style plane component shared by the native expression and the
     * HOF reference: quadratic mix then a Park-Miller (minstd, 48271) step,
@@ -214,5 +232,183 @@ final case class LshSigExpr(child: Expression, nPlanes: Int,
       p += 1
     }
     sig
+  }
+}
+
+/** PQ encode as ONE native loop: for each of the m subspaces, the code
+  * of the nearest codeword by squared L2, ties to the lower code — the
+  * exact argmin of the HOF reference form in
+  * `graft.pipeline.Similarity` (array_sort over (d2, c) structs), which
+  * dispatched ~m x ksub x dsub interpreted lambda calls per row and
+  * dominated the IVF-PQ encode pass. Codebooks are driver constants
+  * held in the expression (flattened to primitive arrays once).
+  * Rows whose length differs from m x dsub use the overlapping prefix
+  * (missing components contribute 0 distance); a null element yields
+  * all-zero codes, mirroring the zero-signature convention of
+  * `LshSigExpr`.
+  */
+final case class PqEncodeExpr(
+    child: Expression,
+    codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqEncodeExpr = copy(child = newChild)
+
+  @transient private lazy val elemFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_pq_encode expects array<float|double>, got $t")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  def kernel(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        return org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(new Array[Int](m))
+      x(i) = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val cws = cb(s)
+      var bestD = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < cws.length) {
+        val w = cws(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < dsub) {
+          val xi = off + j
+          if (xi < n) { val d = x(xi) - w(j); d2 += d * d }
+          else { d2 += w(j) * w(j) }
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+}
+
+/** The `nProbe` nearest centroids by squared L2, ascending, ties to the
+  * lower cell id — the exact prefix of the HOF reference
+  * (`array_sort` over (d2, cell) structs) without the full sort or the
+  * interpreted per-element lambdas. `nProbe = 1` is the corpus-side
+  * cell assignment. A null element yields cells 0..nProbe-1 (the HOF
+  * null-d2 edge is data the testdata never carries; the convention
+  * mirrors `PqEncodeExpr`). Extra vector components beyond the centroid
+  * dimension are ignored; missing ones contribute the centroid's own
+  * squared component.
+  */
+final case class NearestCellsExpr(child: Expression,
+                                  centroids: IndexedSeq[IndexedSeq[Double]],
+                                  nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= centroids.length,
+          s"nProbe $nProbe out of range 1..${centroids.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCellsExpr = copy(child = newChild)
+
+  @transient private lazy val elemFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_nearest_cells expects array<float|double>, got $t")
+  }
+
+  @transient private lazy val ctr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  def kernel(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellsExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nl = ctr.length
+    val d2s = new Array[Double](nl)
+    var anyNull = false
+    var l = 0
+    while (l < nl && !anyNull) {
+      val w = ctr(l)
+      var d2 = 0.0
+      var j = 0
+      while (j < w.length) {
+        if (j < n) {
+          if (arr.isNullAt(j)) { anyNull = true }
+          else {
+            val v = if (elemFloat) arr.getFloat(j).toDouble
+                    else arr.getDouble(j)
+            val d = v - w(j)
+            d2 += d * d
+          }
+        } else d2 += w(j) * w(j)
+        j += 1
+      }
+      d2s(l) = d2
+      l += 1
+    }
+    val out = new Array[Int](nProbe)
+    if (anyNull) {
+      var i = 0
+      while (i < nProbe) { out(i) = i; i += 1 }
+    } else {
+      // selection of the nProbe smallest (d2, cell) without a full sort
+      val taken = new Array[Boolean](nl)
+      var i = 0
+      while (i < nProbe) {
+        var bestD = Double.PositiveInfinity
+        var bestL = -1
+        var c = 0
+        while (c < nl) {
+          if (!taken(c) && d2s(c) < bestD) { bestD = d2s(c); bestL = c }
+          c += 1
+        }
+        taken(bestL) = true
+        out(i) = bestL
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }

@@ -195,18 +195,31 @@ object Similarity {
       .withColumn("rank", lit(1))
       .select("qid", "cid", scoreCol, "rank")
 
-  /** Nearest-cell assignment: argmin over the literal centroid array,
-    * ties to the lower cell id via the (d2, cell) struct sort. */
+  /** Nearest-cell assignment: argmin by squared L2, ties to the lower
+    * cell id — native single-loop kernel
+    * (`graft.functions.NearestCellsExpr`); `nearestCellExprHof` is the
+    * composable reference form (identical cells; kept as test oracle).
+    */
   private def nearestCellExpr(centroids: Array[Array[Double]])
                              (emb: Column): Column =
+    graft.functions.VectorExprs
+      .nearestCells(emb.cast("array<double>"), centroids, 1)(0)
+
+  private[graft] def nearestCellExprHof(centroids: Array[Array[Double]])
+                                          (emb: Column): Column =
     array_sort(transform(centroidLit(centroids), (ctr, ci) =>
       struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
                        lit(0.0d), (acc, v) => acc + v).as("d2"),
              ci.as("cell"))))(0).getField("cell")
 
-  /** nProbe nearest cells for the query side (same tie-break sort). */
+  /** nProbe nearest cells for the query side (same tie-break order). */
   private def probeCellsExpr(centroids: Array[Array[Double]],
                              nProbe: Int)(emb: Column): Column =
+    graft.functions.VectorExprs
+      .nearestCells(emb.cast("array<double>"), centroids, nProbe)
+
+  private[graft] def probeCellsExprHof(centroids: Array[Array[Double]],
+                                          nProbe: Int)(emb: Column): Column =
     slice(transform(
       array_sort(transform(centroidLit(centroids), (ctr, ci) =>
         struct(aggregate(zip_with(emb, ctr, (a, b) => (a - b) * (a - b)),
@@ -214,8 +227,14 @@ object Similarity {
                ci.as("cell")))),
       s => s.getField("cell")), 1, nProbe)
 
+  /** ONE nested Literal node (not nLists x dim `lit` nodes): Catalyst
+    * walks every expression node per rule per transform, so a 16x64
+    * centroid grid built from scalar `lit`s adds ~1k nodes to every
+    * plan that embeds it — measurable driver-side planning time on an
+    * otherwise tiny query. A single array<array<double>> literal is
+    * equivalent to evaluate and O(1) to traverse. */
   private def centroidLit(centroids: Array[Array[Double]]): Column =
-    array(centroids.map(ctr => array(ctr.map(lit(_)): _*)): _*)
+    typedLit(centroids.map(_.toSeq).toSeq)
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
               idCol: String, qidCol: String, k: Int,
@@ -351,15 +370,24 @@ object Similarity {
   // any tie-break/overflow fix lands once and reaches both paths and
   // their portable-oracle replays) ----
 
+  /** ONE nested Literal node — see [[centroidLit]] for why (an
+    * m x ksub x dsub codebook as scalar `lit`s is ~1k plan nodes). */
   private def pqCodebookLit(codebooks: Array[Array[Array[Double]]])
       : Column =
-    array(codebooks.map(cb =>
-      array(cb.map(ctr => array(ctr.map(lit(_)): _*)): _*)): _*)
+    typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Distributed encode: per subspace, argmin_c ||sub - codeword_c||^2
-    * (ties break to the lower code, matching array_sort on (d2, c)). */
+    * (ties to the lower code) — native single-loop kernel
+    * (`graft.functions.PqEncodeExpr`); `pqCodeExprHof` is the
+    * composable reference form (identical codes; kept as test oracle).
+    */
   private def pqCodeExpr(codebooks: Array[Array[Array[Double]]])
-                        (emb: Column): Column = {
+                        (emb: Column): Column =
+    graft.functions.VectorExprs
+      .pqEncode(emb.cast("array<double>"), codebooks)
+
+  private[graft] def pqCodeExprHof(codebooks: Array[Array[Array[Double]]])
+                                     (emb: Column): Column = {
     val dsub = codebooks(0)(0).length
     transform(pqCodebookLit(codebooks), (cb, s) =>
       array_sort(transform(cb, (ctr, ci) =>
@@ -370,11 +398,10 @@ object Similarity {
                ci.as("c"))))(0).getField("c"))
   }
 
-  /** Codeword squared norms — data-independent driver literals. */
+  /** Codeword squared norms — data-independent, one Literal node. */
   private def pqNorm2Lit(codebooks: Array[Array[Array[Double]]]): Column =
-    array(codebooks.map(cb =>
-      array(cb.map(ctr => lit(ctr.foldLeft(0.0)((a, x) => a + x * x)))
-        : _*)): _*)
+    typedLit(codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      .toSeq).toSeq)
 
   /** sum_s tab[s][code[s]] — the m-lookup ADC reduction. */
   private def pqLookupSum(tab: Column, code: Column): Column =

@@ -450,6 +450,45 @@ class PipelineQualitySpec extends AnyFunSuite {
     rf.foreach(x => assert(x.getLong(0) == x.getLong(1), x.toString))
   }
 
+  test("native PQ encode and nearest-cells match the HOF references") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val rows = (1 to 250).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() - 0.5))
+    }
+    val df = rows.toDF("id", "emb")
+    val centroids = Similarity.portableCentroids(8, dim)
+    val codebooks = Similarity.pqPortableCodebooks(m = 4, ksub = 8,
+                                                   dsub = dim / 4)
+    val r = df.select(
+      graft.functions.VectorExprs.pqEncode(col("emb"), codebooks)
+        .as("code_n"),
+      Similarity.pqCodeExprHof(codebooks)(col("emb")).as("code_h"),
+      graft.functions.VectorExprs.nearestCells(col("emb"), centroids, 1)(0)
+        .as("cell_n"),
+      Similarity.nearestCellExprHof(centroids)(col("emb")).as("cell_h"),
+      graft.functions.VectorExprs.nearestCells(col("emb"), centroids, 3)
+        .as("probe_n"),
+      Similarity.probeCellsExprHof(centroids, 3)(col("emb")).as("probe_h"))
+      .collect()
+    r.foreach { x =>
+      assert(x.getSeq[Int](0) == x.getSeq[Int](1), s"codes $x")
+      assert(x.getInt(2) == x.getInt(3), s"cell $x")
+      assert(x.getSeq[Int](4) == x.getSeq[Int](5), s"probe $x")
+    }
+    // float input path agrees too (testdata embeddings are float)
+    val fdf = rows.map { case (i, a) => (i, a.map(_.toFloat)) }
+      .toDF("id", "emb")
+    val rf = fdf.select(
+      graft.functions.VectorExprs
+        .pqEncode(col("emb").cast("array<double>"), codebooks).as("code_n"),
+      Similarity.pqCodeExprHof(codebooks)(col("emb").cast("array<double>"))
+        .as("code_h")).collect()
+    rf.foreach(x => assert(x.getSeq[Int](0) == x.getSeq[Int](1), x.toString))
+  }
+
   test("null-text rows: exactDedup keeps them all, exactGroups excludes") {
     val spark = TestSpark.spark
     import spark.implicits._
