@@ -188,31 +188,56 @@ object BinningProcess {
           pinnedSplits.get(v).exists(_.nonEmpty)))
       return fitPinnedBatch(base, vars, pinnedSplits, config, overrides)
 
-    // Pass A: per-(var, cls) totals + range/ndv — one shuffle for all vars
-    val statsRows = base.groupBy("var", "cls")
-      .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
-           sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"),
-           count(lit(1)).as("n"),
-           sum(col("w")).as("wt"),
-           min("x").as("minx"), max("x").as("maxx"),
-           approx_count_distinct(col("x")).as("ndv"))
-      .collect()
+    // Pass A: per-(var, cls) totals + clean range/ndv. The class space is
+    // config-bounded (clean + special groups + missing), so instead of
+    // melting vars x rows through a groupBy shuffle, emit one conditional
+    // aggregate per (var, class, metric) over the UN-melted table: one
+    // data pass, no vars-fold row explosion, and a no-shuffle global
+    // aggregate (partial rows are a single row per partition) at any
+    // scale.
+    val nClasses = Preprocess.missingClassIndex(config.specialCodes) + 1
+    val aggCols: Seq[Column] = vars.zipWithIndex.flatMap { case (v, i) =>
+      val x = col(v).cast(DoubleType)
+      val cls = Preprocess.rowClass(x, isNumeric = true, specials)
+      val perClass = (0 until nClasses).flatMap { c =>
+        Seq(sum(when(cls === c && col("__y") === 0.0, col("__w"))
+              .otherwise(0.0)).as(s"w0_${i}_$c"),
+            sum(when(cls === c && col("__y") =!= 0.0, col("__w"))
+              .otherwise(0.0)).as(s"w1_${i}_$c"),
+            count(when(cls === c, lit(1))).as(s"n_${i}_$c"),
+            sum(when(cls === c, col("__w")).otherwise(0.0))
+              .as(s"wt_${i}_$c"))
+      }
+      val cleanX = when(cls === Preprocess.CleanClass, x)
+      perClass ++ Seq(min(cleanX).as(s"minx_$i"),
+                      max(cleanX).as(s"maxx_$i"),
+                      approx_count_distinct(cleanX).as(s"ndv_$i"))
+    }
+    val statsRow = df.withColumn("__y", y).withColumn("__w", w)
+      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
 
     val totalsByVar: Map[String, Map[Int, ClassTotals]] =
-      statsRows.groupBy(_.getString(0)).map { case (v, rs) =>
-        v -> rs.map { r =>
-          r.getInt(1) -> ClassTotals(r.getDouble(2), r.getDouble(3),
-                                     r.getLong(4), r.getDouble(5))
+      vars.zipWithIndex.map { case (v, i) =>
+        v -> (0 until nClasses).flatMap { c =>
+          val n = statsRow.getAs[Long](s"n_${i}_$c")
+          if (n == 0L) None
+          else Some(c -> ClassTotals(statsRow.getAs[Double](s"w0_${i}_$c"),
+                                     statsRow.getAs[Double](s"w1_${i}_$c"),
+                                     n,
+                                     statsRow.getAs[Double](s"wt_${i}_$c")))
         }.toMap
-      }
+      }.toMap
 
     // per-var uniform grid constants for high-cardinality compression
-    val gridInfo: Map[String, (Double, Double)] = statsRows
-      .filter(r => r.getInt(1) == Preprocess.CleanClass &&
-                   r.getLong(8) > maxGridBuckets &&
-                   !pinnedSplits.contains(r.getString(0)))
-      .map(r => r.getString(0) -> (r.getDouble(6), r.getDouble(7)))
-      .toMap
+    val gridInfo: Map[String, (Double, Double)] =
+      vars.zipWithIndex.flatMap { case (v, i) =>
+        if (statsRow.getAs[Long](s"ndv_$i") > maxGridBuckets &&
+            !pinnedSplits.contains(v) &&
+            !statsRow.isNullAt(statsRow.fieldIndex(s"minx_$i")))
+          Some(v -> (statsRow.getAs[Double](s"minx_$i"),
+                     statsRow.getAs[Double](s"maxx_$i")))
+        else None
+      }.toMap
 
     val xRepGrid: Column =
       if (gridInfo.isEmpty) col("x")

@@ -1,8 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.Similarity
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import graft.operators._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -10,31 +11,45 @@ object Drive {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    e.count()
-    def build(): DataFrame = {
-      val queries = e.where(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.ivfPqTopKPortable(e, queries, "embedding", "vec_id",
-                                   "qid", k = 5, dim = 64, nLists = 16,
-                                   nProbe = 4, m = 4, ksub = 16)
-        .agg(count(lit(1)).as("n_results"),
-             countDistinct(col("qid")).as("n_queries"),
-             round(avg(round(col("cosine_pq"), 6)), 6).as("avg_cosine_pq"))
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        starts.put(j.jobId, j.time); ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val dur = (j.time - starts.getOrDefault(j.jobId, j.time)) / 1e3
+        println(f"DRIVE   job ${j.jobId} ${dur}%.3f s")
+      }
+    })
+    def phase(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"DRIVE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    // warm everything once
-    build().collect()
-    for (i <- 1 to 3) {
-      var t0 = System.nanoTime()
-      val df = build()
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      t0 = System.nanoTime()
-      df.queryExecution.executedPlan // force analysis + optimization
-      val tPlan = (System.nanoTime() - t0) / 1e9
-      t0 = System.nanoTime()
-      df.collect()
-      val tExec = (System.nanoTime() - t0) / 1e9
-      println(f"DRIVE ivfpq[$i] build=$tBuild%.3f plan=$tPlan%.3f exec=$tExec%.3f")
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    li.count()
+    val vars = Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax")
+    // HLL cost probe: same conditional-agg shape with and without ndv
+    val aggsNoNdv = vars.flatMap { v =>
+      val x = col(v).cast("double")
+      Seq(sum(when(x.isNotNull && col("y") === 0.0, 1.0).otherwise(0.0)),
+          sum(when(x.isNotNull && col("y") =!= 0.0, 1.0).otherwise(0.0)),
+          count(when(x.isNotNull, lit(1))), min(x), max(x))
+    }
+    val aggsNdv = aggsNoNdv ++ vars.map(v => approx_count_distinct(col(v)))
+    val aggsNdvCoarse = aggsNoNdv ++
+      vars.map(v => approx_count_distinct(col(v), 0.15))
+    li.agg(aggsNdv.head, aggsNdv.tail: _*).collect()
+    for (i <- 1 to 2) {
+      phase(s"agg.nondv[$i]") { li.agg(aggsNoNdv.head, aggsNoNdv.tail: _*).collect(); () }
+      phase(s"agg.ndv[$i]") { li.agg(aggsNdv.head, aggsNdv.tail: _*).collect(); () }
+      phase(s"agg.ndv15[$i]") { li.agg(aggsNdvCoarse.head, aggsNdvCoarse.tail: _*).collect(); () }
+    }
+    for (i <- 1 to 2) {
+      phase(s"process.fit[$i]") {
+        BinningProcess.fit(li, vars, "y", config = BinningConfig())
+      }
     }
     spark.stop()
   }
