@@ -1453,7 +1453,10 @@ object SparkEntry {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_seqs"), sum("n_docs").as("n_docs"),
              sum("n_tokens").as("n_tokens"),
-             round(avg("fill"), 6).as("avg_fill"))
+             // avg fill from EXACT integer sums — one float division,
+             // order-independent (avg of per-seq rounded doubles is not)
+             round(sum("n_tokens") / (lit(512.0) * count(lit(1))), 6)
+               .as("avg_fill"))
         .orderBy("shard")
     }),
 
@@ -3462,12 +3465,11 @@ object SparkEntry {
            FROM tok),
          sq AS (
            SELECT shard, seq_id, count(*) AS n_docs,
-                  sum(tok) AS n_tokens,
-                  round(sum(tok) / 512.0, 6) AS fill
+                  sum(tok) AS n_tokens
            FROM pk GROUP BY 1, 2)
          SELECT shard, count(*) AS n_seqs, sum(n_docs) AS n_docs,
                 sum(n_tokens) AS n_tokens,
-                round(avg(fill), 6) AS avg_fill
+                round(sum(n_tokens) / (512.0 * count(*)), 6) AS avg_fill
          FROM sq GROUP BY 1 ORDER BY 1""",
 
     "q_domain_mix" ->

@@ -49,6 +49,19 @@ object TextHashExprs {
     ExpressionUtils.column(
       RepetitionStatsExpr(ExpressionUtils.expression(text)))
 
+  /** Distinct word n-gram hashes of a NORMALIZED (single-space) text —
+    * same values as
+    * `Dedup.shingleHashes(Dedup.wordShinglesOf(split(norm, " "), n))`
+    * (parity-tested, first-occurrence order) in one codegen'd pass:
+    * each gram is hashed as a byte window of the input `UTF8String`,
+    * never materialized as a string, and the interpreted HOF lambda
+    * (plus its projection-collapse re-evaluation of upstream regexes
+    * per element) disappears. */
+  def wordGramHashes(norm: Column, n: Int,
+                     portable: Boolean = false): Column =
+    ExpressionUtils.column(
+      WordGramHashesExpr(ExpressionUtils.expression(norm), n, portable))
+
   /** Single-pass language-ID kernel — same result as the HOF
     * formulation in `TextAnalysis.langIdHof` (parity-tested): CJK char
     * anywhere -> "zh", else the language (in `langs` order) with the
@@ -191,6 +204,105 @@ final case class MinHashSigExpr(child: Expression, shingleLen: Int, k: Int,
       j += 1
     }
     new GenericArrayData(slots)
+  }
+}
+
+/** Distinct word n-gram hashes over a single-space-separated text (see
+  * `TextHashExprs.wordGramHashes`). Tokenization matches
+  * `split(norm, " ")` keeping empty tokens; fewer than n tokens yields
+  * the whole string as one gram (`concat_ws(" ", tokens)` rejoins to
+  * the input exactly, empty tokens included); otherwise every n-token
+  * window is a gram. Because the joiner equals the separator, each gram
+  * IS a byte window of the input, so the default hash is
+  * `XXH64.hashUnsafeBytes` over that window (identical to
+  * `xxhash64(gram_string)`); `portable = true` swaps in the Rabin-Karp
+  * polynomial hash over code points (base 131 mod 1e9+7, matching
+  * `MinHashSigExpr`) for external-SQL replay. Output keeps
+  * first-occurrence order (`array_distinct` semantics).
+  */
+final case class WordGramHashesExpr(child: Expression, n: Int,
+                                    portable: Boolean = false)
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram length must be >= 1; got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordGramHashesExpr = copy(child = newChild)
+
+  /** Kernel entry for generated code (see MinHashSigExpr.kernel). */
+  def kernel(s: UTF8String): GenericArrayData =
+    nullSafeEval(s).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wgExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    // token boundaries as offsets into the hash unit (bytes for XXH64,
+    // code points for the portable polynomial hash — the ASCII space
+    // separator is one unit in both)
+    val (unitLen, isSpace, hashWindow) =
+      if (portable) {
+        val cps = TextHashExprs.codePoints(s.toString)
+        (cps.length,
+         (i: Int) => cps(i) == ' '.toInt,
+         (from: Int, to: Int) =>
+           TextHashExprs.polyHash(cps, from, to - from, 131L,
+                                  TextHashExprs.P1))
+      } else {
+        val base = s.getBaseObject
+        val offset = s.getBaseOffset
+        (s.numBytes,
+         (i: Int) => org.apache.spark.unsafe.Platform
+           .getByte(base, offset + i) == ' ',
+         (from: Int, to: Int) =>
+           XXH64.hashUnsafeBytes(base, offset + from, to - from,
+                                 TextHashExprs.Seed))
+      }
+
+    var nTok = 1
+    var b = 0
+    while (b < unitLen) {
+      if (isSpace(b)) nTok += 1
+      b += 1
+    }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    b = 0
+    while (b < unitLen) {
+      if (isSpace(b)) {
+        ends(t) = b
+        t += 1
+        starts(t) = b + 1
+      }
+      b += 1
+    }
+    ends(t) = unitLen
+
+    val nGrams = if (nTok < n) 1 else nTok - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nGrams)
+    if (nTok < n) {
+      val h = hashWindow(0, unitLen)
+      seen.add(h)
+      out += h
+    } else {
+      var i = 0
+      while (i <= nTok - n) {
+        val h = hashWindow(starts(i), ends(i + n - 1))
+        if (seen.add(h)) out += h
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 

@@ -324,17 +324,35 @@ object Dedup {
     * docs), so its distinct n-gram set is broadcast; the corpus is
     * scanned ONCE, n-grams exploded and matched map-side by the
     * broadcast hash join, then one aggregate by doc id. No corpus
-    * self-shuffle, no benchmark re-scan per partition.
+    * self-shuffle, no benchmark re-scan per partition. Grams are carried
+    * as 64-bit xxhash64 values computed by the single-pass native
+    * kernel [[graft.functions.TextHashExprs.wordGramHashes]] (the HOF
+    * shingle lambda is interpreted AND projection collapse re-inlines
+    * the normalize/split regexes into every lambda element — O(words^2)
+    * regex work per doc): the broadcast set, join keys, and
+    * countDistinct all operate on 8-byte longs instead of n-word
+    * strings. Matched-gram counts over distinct hashes equal counts
+    * over distinct gram strings (collisions ~n^2/2^64), so string-side
+    * oracles stay valid; `portable = true` keeps raw gram strings (the
+    * HOF formulation) for a literal external-SQL replay.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String,
-                    n: Int = 8): DataFrame = {
+                    n: Int = 8, portable: Boolean = false): DataFrame = {
     def grams(df: DataFrame, keepId: Boolean): DataFrame = {
-      val base = df
-        .select((if (keepId) Seq(col(idCol).as("id")) else Seq.empty) :+
+      val ids = if (keepId) Seq(col(idCol).as("id")) else Seq.empty
+      if (portable) {
+        val base = df.select(ids :+
                 split(normalizeText(col(textCol)), " ").as("__tok"): _*)
-      base.select((if (keepId) Seq(col("id")) else Seq.empty) :+
-                  explode(wordShinglesOf(col("__tok"), n)).as("g"): _*)
+        base.select((if (keepId) Seq(col("id")) else Seq.empty) :+
+                    explode(wordShinglesOf(col("__tok"), n)).as("g"): _*)
+      } else {
+        val base = df.select(ids :+
+                graft.functions.TextHashExprs.wordGramHashes(
+                  normalizeText(col(textCol)), n).as("__gh"): _*)
+        base.select((if (keepId) Seq(col("id")) else Seq.empty) :+
+                    explode(col("__gh")).as("g"): _*)
+      }
     }
     val bench = grams(benchmark, keepId = false).distinct()
     grams(corpus, keepId = true)

@@ -313,6 +313,36 @@ class PipelineQualitySpec extends AnyFunSuite {
     mh.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
     }
+
+    // word-gram hashes: custom expression vs HOF oracle (values AND
+    // first-occurrence order), across gram lengths straddling the
+    // shorter-than-n whole-string branch
+    for (n <- Seq(1, 3, 5, 20)) {
+      val wg = df.select(
+        graft.functions.TextHashExprs.wordGramHashes(norm, n).as("fast"),
+        Dedup.shingleHashes(
+          Dedup.wordShinglesOf(split(norm, " "), n)).as("ref"))
+        .collect()
+      wg.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n $r")
+      }
+    }
+  }
+
+  test("contamination hashed fast path matches the portable string path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"shared prefix tokens run $i plus trailing words " +
+        ("pad " * (i % 7)).trim)
+    }.toDF("id", "text")
+    val bench = docs.where(col("id") < 8)
+    val corpus = docs.where(col("id") >= 8)
+    def result(portable: Boolean) =
+      Dedup.contamination(corpus, bench, "text", "id", n = 5,
+                          portable = portable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(result(portable = false) == result(portable = true))
   }
 
   test("portable hash modes match first-principles reimplementations") {
