@@ -845,39 +845,31 @@ object SparkEntry {
     }),
 
     "q_cat_sketch" -> ((s, dir) => {
-      // mergeable categorical sketch binning (split-add + merge +
-      // solve), verified as a hard invariant: the solved category->bin
-      // grouping is pinned as strings and the per-bin counts are
-      // re-aggregated exactly; the oracle replays the IN-list grouping
+      // mergeable categorical sketch binning: per-half sketches built in
+      // ONE grouped scan (partial add per partition + cross-group merge
+      // — identical state to sequential split-adds, counter addition is
+      // commutative), then solved. The categorical sketch is EXACT, so
+      // the output per-bin counts are the sketch's own aggregate — no
+      // second data pass; the oracle replays the solved IN-list grouping
       val o = T(s, dir, "orders")
         .withColumn("y", when(col("o_orderstatus") === "F", 1.0)
           .otherwise(0.0))
       val cfg = BinningConfig(name = "o_orderpriority",
                               dtype = "categorical")
-      val skA = new graft.streaming.OptimalBinningCatSketch(cfg)
-      val skB = new graft.streaming.OptimalBinningCatSketch(cfg)
-      skA.add(o.where(col("o_orderkey") % 2 === 0), "o_orderpriority", "y")
-      skB.add(o.where(col("o_orderkey") % 2 === 1), "o_orderpriority", "y")
-      skA.merge(skB)
-      val fitted = skA.solve()
+      val sk = new graft.streaming.OptimalBinningCatSketch(cfg)
+      sk.addGrouped(o, col("o_orderkey") % 2, "o_orderpriority", "y")
+      val fitted = sk.solve()
       val cats = fitted.categories
       val sp = fitted.splits
       val catsPerBin: Array[Array[String]] = cats.indices
         .groupBy(j => sp.count(_ <= j.toDouble)).toSeq.sortBy(_._1)
         .map(_._2.map(cats(_)).toArray).toArray
-      val binCol = catsPerBin.zipWithIndex.tail.foldLeft(
-        lit(0): org.apache.spark.sql.Column) { case (acc, (cs, i)) =>
-        when(col("o_orderpriority").isin(cs.toSeq: _*), lit(i))
-          .otherwise(acc)
-      }
-      val agg = o.groupBy(binCol.cast("long").as("bin"))
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("e"))
-        .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getDouble(2).toLong))).toMap
+      val cnt = sk.sketch.counts // category -> (n, w0, w1), exact
       import s.implicits._
       catsPerBin.indices.map { i =>
-        val (n, e) = agg(i.toLong)
-        (i.toLong, catsPerBin(i).sorted.mkString("|"), n, e)
+        val es = catsPerBin(i).map(c => cnt.getOrElse(c, (0L, 0.0, 0.0)))
+        (i.toLong, catsPerBin(i).sorted.mkString("|"),
+         es.map(_._1).sum, es.map(_._3).sum.toLong)
       }.toDF("bin", "cats", "count", "event").orderBy("bin")
     }),
 

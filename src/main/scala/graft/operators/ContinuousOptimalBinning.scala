@@ -64,6 +64,16 @@ object ContinuousOptimalBinning {
         df.select(x.as("x"), y.as("y"), w.as("w"), cls.as("cls")), config),
       config)
 
+    // pinned user splits need no value histogram and no range/ndv stats:
+    // one (cls, bin) aggregate carries both the class totals (margins)
+    // and the exact per-prebin buckets — half the data passes of the
+    // general path (mirrors BinningProcess.fitPinnedBatch)
+    config.userSplits match {
+      case Some(us) if us.nonEmpty =>
+        return fitNumericalPinned(base, us.sorted, config)
+      case _ => ()
+    }
+
     val statsRows = base.groupBy("cls")
       .agg(aggExprs.head, aggExprs.tail :+
         approx_count_distinct(col("x")).as("ndv") :+
@@ -115,6 +125,69 @@ object ContinuousOptimalBinning {
                 .sortBy(_.value)
           }
       }
+
+    fitFromHistogram(hist, totals, nSamplesWeighted, config,
+                     categories = null, catOthers = null)
+  }
+
+  /** Pinned-splits single-scan fit: `groupBy(cls, b)` where clean rows
+    * key by their exact bin index and non-clean rows collapse to a null
+    * bin — so the shuffle key space is `splits + row classes` (bounded
+    * by config, not data), per-class totals fall out as margins, and
+    * each non-clean class still aggregates in ONE row, keeping its
+    * `stddev_pop` exact (clean-class std is not consumed downstream —
+    * data-bin stds come from bucket moments — and is derived from the
+    * same moment formula here).
+    */
+  private def fitNumericalPinned(base: DataFrame, ss: Array[Double],
+                                 config: BinningConfig)
+      : FittedContinuousBinning = {
+    val idx = ss.indices.foldRight(lit(ss.length): Column) { (i, acc) =>
+      when(col("x") < ss(i), lit(i)).otherwise(acc)
+    }
+    val b = when(col("cls") === Preprocess.CleanClass, idx)
+      .otherwise(lit(null).cast("int"))
+    // row layout (TWO group keys, then aggExprs): cls(0), b(1), n(2),
+    // w(3), wy(4), wy2(5), ymin(6), ymax(7), zeros(8), ystd(9)
+    val rows = base
+      .select(col("cls"), b.as("b"), col("y"), col("w"))
+      .groupBy("cls", "b")
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect()
+
+    val totals: Map[Int, ContClassTotals] = rows.groupBy(_.getInt(0)).map {
+      case (c, rs) if c == Preprocess.CleanClass =>
+        val w = rs.map(_.getDouble(3)).sum
+        val wy = rs.map(_.getDouble(4)).sum
+        val wy2 = rs.map(_.getDouble(5)).sum
+        val std =
+          if (w > 0)
+            math.sqrt(math.max(wy2 / w - (wy / w) * (wy / w), 0.0))
+          else 0.0
+        c -> ContClassTotals(w, wy, std,
+                             rs.map(_.getDouble(6)).min,
+                             rs.map(_.getDouble(7)).max,
+                             rs.map(_.getLong(8)).sum.toDouble)
+      case (c, rs) =>
+        val r = rs.head // b is null for every non-clean row: one row/class
+        c -> ContClassTotals(r.getDouble(3), r.getDouble(4),
+                             Option(r.get(9)).map(_.asInstanceOf[Double])
+                               .getOrElse(0.0),
+                             r.getDouble(6), r.getDouble(7),
+                             r.getLong(8).toDouble)
+    }
+    val nSamplesWeighted = totals.values.map(_.n).sum
+
+    // same in-bin representative convention as Histograms
+    // .exactPrebinBuckets: strictly inside the bin, so driver-side
+    // re-digitizing against any subset of the splits is exact
+    def rep(i: Int): Double = if (i == 0) ss(0) - 1.0 else ss(i - 1)
+    val hist: Array[ContBucket] = rows
+      .filter(r => r.getInt(0) == Preprocess.CleanClass && !r.isNullAt(1))
+      .map(r => ContBucket(rep(r.getInt(1)), r.getLong(2), r.getDouble(3),
+                           r.getDouble(4), r.getDouble(5), r.getDouble(6),
+                           r.getDouble(7), r.getLong(8)))
+      .sortBy(_.value)
 
     fitFromHistogram(hist, totals, nSamplesWeighted, config,
                      categories = null, catOthers = null)

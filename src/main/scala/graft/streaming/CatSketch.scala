@@ -55,6 +55,9 @@ final class CatSketch(val specialCodes: Array[String]) extends Serializable {
 /** Input row for the categorical sketch aggregate. */
 final case class CatSketchInput(x: Option[String], y: Double)
 
+/** Keyed input row for the grouped one-scan multi-batch add. */
+final case class KeyedCatSketchInput(g: Long, x: Option[String], y: Double)
+
 final class CatSketchAggregator(specialCodes: Array[String])
     extends Aggregator[CatSketchInput, CatSketch, CatSketch] {
   override def zero: CatSketch = new CatSketch(specialCodes)
@@ -110,6 +113,28 @@ final class OptimalBinningCatSketch(
 
   def merge(other: OptimalBinningCatSketch): Unit =
     _sketch.merge(other._sketch)
+
+  /** One-scan multi-batch add: builds an independent CatSketch per
+    * `groupExpr` value (one grouped-aggregate job) and merges them in
+    * ascending group order. Counter addition is commutative, so the
+    * final state is IDENTICAL to one add() per group — at ONE data pass
+    * instead of one per batch. */
+  def addGrouped(df: DataFrame, groupExpr: org.apache.spark.sql.Column,
+                 xCol: String, yCol: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new CatSketchAggregator(specials)
+    val parts = df
+      .select(groupExpr.cast("long").as("g"),
+              col(xCol).cast("string").as("x"),
+              col(yCol).cast("double").as("y"))
+      .as[KeyedCatSketchInput]
+      .groupByKey(_.g)
+      .mapValues(r => CatSketchInput(r.x, r.y))
+      .agg(agg.toColumn.name("sketch"))
+      .collect()
+    parts.sortBy(_._1).foreach { case (_, s) => _sketch.merge(s) }
+  }
 
   /** Structured Streaming mode: accumulate per micro-batch and re-solve
     * at every trigger (`foreachBatch`, like the numeric sketch). Caller

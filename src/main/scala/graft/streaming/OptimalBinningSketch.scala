@@ -11,6 +11,9 @@ import graft.operators.{BinningConfig, ClassTotals, FittedOptimalBinning,
 /** Input row for the sketch aggregate (x nullable for missing). */
 final case class SketchInput(x: Option[Double], y: Double)
 
+/** Keyed input row for the grouped one-scan multi-batch add. */
+final case class KeyedSketchInput(g: Long, x: Option[Double], y: Double)
+
 /** Spark typed aggregate wrapping [[BSketch]]: partial aggregation = `add`
   * per partition, merge = sketch merge — the engine's one genuinely custom
   * aggregate physical operator (SURVEY §2.10), equivalent to the
@@ -93,6 +96,33 @@ final class OptimalBinningSketch(
 
   /** Merge another OptimalBinningSketch (cross-node/stream merge). */
   def merge(other: OptimalBinningSketch): Unit = _sketch.merge(other._sketch)
+
+  /** One-scan multi-batch add: builds an independent BSketch per
+    * `groupExpr` value (one grouped-aggregate job) and merges them in
+    * ascending group order — ONE data pass where sequential add() calls
+    * would each rescan. Totals/missing/special counters end identical
+    * to per-group sequential adds; the GK entry set may differ in which
+    * (valid) summary it keeps, since compression cadence depends on the
+    * partial-merge structure — quantiles stay within eps either way. */
+  def addGrouped(df: DataFrame, groupExpr: org.apache.spark.sql.Column,
+                 xCol: String, yCol: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new BSketchAggregator(eps, specials, sketchType)
+    val parts = df
+      .select(groupExpr.cast("long").as("g"),
+              col(xCol).cast("double").as("x"),
+              col(yCol).cast("double").as("y"))
+      .as[KeyedSketchInput]
+      .groupByKey(_.g)
+      .mapValues(r => SketchInput(r.x, r.y))
+      .agg(agg.toColumn.name("sketch"))
+      .collect()
+    parts.sortBy(_._1).foreach { case (_, s) =>
+      _sketch.merge(s)
+      _nAdd += 1
+    }
+  }
 
   /** Merge a raw BSketch (used by the multi-variable process sketch). */
   def mergeSketch(other: BSketch): Unit = _sketch.merge(other)

