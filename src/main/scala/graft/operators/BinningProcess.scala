@@ -9,16 +9,25 @@ import scala.collection.parallel.CollectionConverters._
 import graft.core.Prebinning
 
 /** Multi-variable binning process
-  * (`optbinning/binning/binning_process.py:438`), Spark-native shape per
-  * SURVEY §3.2: ALL numeric variables are melted to long format and
-  * aggregated in ONE shuffle (`groupBy(variable, value)` with map-side
-  * partial aggregation, so shuffle volume is bounded by
-  * n_vars x histogram buckets per partition, not by row count); the
-  * per-variable solve loop runs on the driver over the collected
+  * (`optbinning/binning/binning_process.py:438`), Spark-native
+  * two-shape data plane per SURVEY §3.2:
+  *
+  *  - Pass A (class totals + range/ndv) runs as ONE no-shuffle global
+  *    conditional aggregate over the UN-melted table — one row per
+  *    partition — for normal batch widths, reverting to a melted
+  *    `groupBy(var, cls)` (one bounded shuffle) past ~1k aggregate
+  *    expressions where a single generated aggregate would blow the
+  *    Janino constant pool.
+  *  - Pass B (value histograms) melts all variables to long format and
+  *    aggregates in ONE shuffle (`groupBy(variable, value)` with
+  *    map-side partial aggregation, so shuffle volume is bounded by
+  *    n_vars x histogram buckets per partition, not by row count);
+  *    high-cardinality variables are collapsed onto per-variable
+  *    uniform grids first, and all-pinned batches skip Pass A entirely
+  *    (`fitPinnedBatch`).
+  *
+  * The per-variable solve loop runs on the driver over the collected
   * aggregates in parallel (replaces the reference's joblib threading).
-  * High-cardinality variables are collapsed onto per-variable uniform
-  * grids (constants broadcast via a literal map) before the partial
-  * aggregation.
   */
 object BinningProcess {
 
@@ -164,7 +173,23 @@ object BinningProcess {
       .selectExpr("__y as y", "__w as w", stackExpr)
 
     val specials = config.specialCodes
-    val cls = Preprocess.rowClass(col("x"), isNumeric = true, specials)
+    // per-variable configs may override specialCodes; the class column
+    // and the class-space sizes must follow the OVERRIDE config per var
+    // (fitFromHistogram interprets class indices by cfgFor(v)), so build
+    // a per-var class chain only when overrides actually differ
+    val cfgs: Map[String, BinningConfig] =
+      vars.map(v => v -> cfgFor(v, config, overrides, "numerical")).toMap
+    def nClassesOf(v: String): Int =
+      Preprocess.missingClassIndex(cfgs(v).specialCodes) + 1
+    def clsOf(v: String): Column =
+      Preprocess.rowClass(col("x"), isNumeric = true, cfgs(v).specialCodes)
+    val uniformSpecials = vars.forall(v => cfgs(v).specialCodes == specials)
+    val cls =
+      if (uniformSpecials)
+        Preprocess.rowClass(col("x"), isNumeric = true, specials)
+      else vars.tail.foldLeft(clsOf(vars.head)) { (acc, v) =>
+        when(col("var") === v, clsOf(v)).otherwise(acc)
+      }
     val base = melted.select(col("var"), col("x"), col("y"), col("w"),
                              cls.as("cls"))
 
@@ -194,50 +219,95 @@ object BinningProcess {
     // aggregate per (var, class, metric) over the UN-melted table: one
     // data pass, no vars-fold row explosion, and a no-shuffle global
     // aggregate (partial rows are a single row per partition) at any
-    // scale.
-    val nClasses = Preprocess.missingClassIndex(config.specialCodes) + 1
-    val aggCols: Seq[Column] = vars.zipWithIndex.flatMap { case (v, i) =>
-      val x = col(v).cast(DoubleType)
-      val cls = Preprocess.rowClass(x, isNumeric = true, specials)
-      val perClass = (0 until nClasses).flatMap { c =>
-        Seq(sum(when(cls === c && col("__y") === 0.0, col("__w"))
-              .otherwise(0.0)).as(s"w0_${i}_$c"),
-            sum(when(cls === c && col("__y") =!= 0.0, col("__w"))
-              .otherwise(0.0)).as(s"w1_${i}_$c"),
-            count(when(cls === c, lit(1))).as(s"n_${i}_$c"),
-            sum(when(cls === c, col("__w")).otherwise(0.0))
-              .as(s"wt_${i}_$c"))
-      }
-      val cleanX = when(cls === Preprocess.CleanClass, x)
-      perClass ++ Seq(min(cleanX).as(s"minx_$i"),
-                      max(cleanX).as(s"maxx_$i"),
-                      approx_count_distinct(cleanX).as(s"ndv_$i"))
-    }
-    val statsRow = df.withColumn("__y", y).withColumn("__w", w)
-      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    // scale. Wide batches are the exception: past ~a thousand aggregate
+    // expressions a single generated aggregate risks Janino
+    // constant-pool exhaustion and interpreted-mode fallback, so above
+    // the cap Pass A reverts to the melted groupBy(var, cls) shape —
+    // one shuffle whose volume is bounded by partitions x vars x
+    // classes, regardless of batch width.
+    val passAWidth = vars.map(v => 4 * nClassesOf(v) + 3).sum
+    val unMeltedPassA = passAWidth <= 1024
 
-    val totalsByVar: Map[String, Map[Int, ClassTotals]] =
-      vars.zipWithIndex.map { case (v, i) =>
-        v -> (0 until nClasses).flatMap { c =>
-          val n = statsRow.getAs[Long](s"n_${i}_$c")
-          if (n == 0L) None
-          else Some(c -> ClassTotals(statsRow.getAs[Double](s"w0_${i}_$c"),
-                                     statsRow.getAs[Double](s"w1_${i}_$c"),
-                                     n,
-                                     statsRow.getAs[Double](s"wt_${i}_$c")))
+    val (totalsByVar, gridInfo):
+        (Map[String, Map[Int, ClassTotals]], Map[String, (Double, Double)]) =
+      if (unMeltedPassA) {
+        val aggCols: Seq[Column] = vars.zipWithIndex.flatMap { case (v, i) =>
+          val x = col(v).cast(DoubleType)
+          val cls = Preprocess.rowClass(x, isNumeric = true,
+                                        cfgs(v).specialCodes)
+          val perClass = (0 until nClassesOf(v)).flatMap { c =>
+            Seq(sum(when(cls === c && col("__y") === 0.0, col("__w"))
+                  .otherwise(0.0)).as(s"w0_${i}_$c"),
+                sum(when(cls === c && col("__y") =!= 0.0, col("__w"))
+                  .otherwise(0.0)).as(s"w1_${i}_$c"),
+                count(when(cls === c, lit(1))).as(s"n_${i}_$c"),
+                sum(when(cls === c, col("__w")).otherwise(0.0))
+                  .as(s"wt_${i}_$c"))
+          }
+          val cleanX = when(cls === Preprocess.CleanClass, x)
+          perClass ++ Seq(min(cleanX).as(s"minx_$i"),
+                          max(cleanX).as(s"maxx_$i"),
+                          approx_count_distinct(cleanX).as(s"ndv_$i"))
+        }
+        val statsRow = df.withColumn("__y", y).withColumn("__w", w)
+          .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+
+        val totals: Map[String, Map[Int, ClassTotals]] =
+          vars.zipWithIndex.map { case (v, i) =>
+            v -> (0 until nClassesOf(v)).flatMap { c =>
+              val n = statsRow.getAs[Long](s"n_${i}_$c")
+              if (n == 0L) None
+              else Some(c -> ClassTotals(
+                statsRow.getAs[Double](s"w0_${i}_$c"),
+                statsRow.getAs[Double](s"w1_${i}_$c"),
+                n,
+                statsRow.getAs[Double](s"wt_${i}_$c")))
+            }.toMap
+          }.toMap
+
+        // per-var uniform grid constants for high-cardinality compression
+        val grid: Map[String, (Double, Double)] =
+          vars.zipWithIndex.flatMap { case (v, i) =>
+            if (statsRow.getAs[Long](s"ndv_$i") > maxGridBuckets &&
+                !pinnedSplits.contains(v) &&
+                !statsRow.isNullAt(statsRow.fieldIndex(s"minx_$i")))
+              Some(v -> (statsRow.getAs[Double](s"minx_$i"),
+                         statsRow.getAs[Double](s"maxx_$i")))
+            else None
+          }.toMap
+        (totals, grid)
+      } else {
+        // melted fallback: bounded-width aggregate at any batch size.
+        // Row layout: var(0) cls(1) w0(2) w1(3) n(4) wt(5) minx(6)
+        // maxx(7) ndv(8); min/max/ndv are only meaningful on the clean
+        // class's row (the only consumer).
+        val statsRows = base.groupBy("var", "cls")
+          .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0))
+                 .as("w0"),
+               sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0))
+                 .as("w1"),
+               count(lit(1)).as("n"),
+               sum(col("w")).as("wt"),
+               min(col("x")).as("minx"), max(col("x")).as("maxx"),
+               approx_count_distinct(col("x")).as("ndv"))
+          .collect()
+        val byVar = statsRows.groupBy(_.getString(0))
+        val totals: Map[String, Map[Int, ClassTotals]] =
+          vars.map { v =>
+            v -> byVar.getOrElse(v, Array.empty).map { r =>
+              r.getInt(1) -> ClassTotals(r.getDouble(2), r.getDouble(3),
+                                         r.getLong(4), r.getDouble(5))
+            }.toMap
+          }.toMap
+        val grid: Map[String, (Double, Double)] = vars.flatMap { v =>
+          byVar.getOrElse(v, Array.empty)
+            .find(_.getInt(1) == Preprocess.CleanClass)
+            .filter(r => r.getLong(8) > maxGridBuckets &&
+                         !pinnedSplits.contains(v) && !r.isNullAt(6))
+            .map(r => v -> (r.getDouble(6), r.getDouble(7)))
         }.toMap
-      }.toMap
-
-    // per-var uniform grid constants for high-cardinality compression
-    val gridInfo: Map[String, (Double, Double)] =
-      vars.zipWithIndex.flatMap { case (v, i) =>
-        if (statsRow.getAs[Long](s"ndv_$i") > maxGridBuckets &&
-            !pinnedSplits.contains(v) &&
-            !statsRow.isNullAt(statsRow.fieldIndex(s"minx_$i")))
-          Some(v -> (statsRow.getAs[Double](s"minx_$i"),
-                     statsRow.getAs[Double](s"maxx_$i")))
-        else None
-      }.toMap
+        (totals, grid)
+      }
 
     val xRepGrid: Column =
       if (gridInfo.isEmpty) col("x")

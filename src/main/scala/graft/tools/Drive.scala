@@ -33,9 +33,12 @@ object Drive {
     // HLL cost probe: same conditional-agg shape with and without ndv
     val aggsNoNdv = vars.flatMap { v =>
       val x = col(v).cast("double")
-      Seq(sum(when(x.isNotNull && col("y") === 0.0, 1.0).otherwise(0.0)),
-          sum(when(x.isNotNull && col("y") =!= 0.0, 1.0).otherwise(0.0)),
-          count(when(x.isNotNull, lit(1))), min(x), max(x))
+      // mirror Preprocess.missingPredicate (null OR NaN) so the probe's
+      // aggregate shape matches the production Pass A conditions
+      val clean = x.isNotNull && !isnan(x)
+      Seq(sum(when(clean && col("y") === 0.0, 1.0).otherwise(0.0)),
+          sum(when(clean && col("y") =!= 0.0, 1.0).otherwise(0.0)),
+          count(when(clean, lit(1))), min(x), max(x))
     }
     val aggsNdv = aggsNoNdv ++ vars.map(v => approx_count_distinct(col(v)))
     val aggsNdvCoarse = aggsNoNdv ++

@@ -108,6 +108,55 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(out.count() == df.count())
   }
 
+  test("BinningProcess: wide batch takes the melted Pass A and matches " +
+       "the un-melted path") {
+    val dfBase = li.select(col("y"), col("l_extendedprice"),
+                           col("l_quantity"))
+    // 120 derived variables: 11 agg expressions each puts Pass A well
+    // past the 1024-expression cap, forcing the melted groupBy fallback
+    val wideVars = (0 until 120).map(i => s"v$i")
+    val wide = wideVars.zipWithIndex.foldLeft(dfBase) { case (d, (v, i)) =>
+      d.withColumn(v, col("l_extendedprice") * (1.0 + i / 200.0) +
+                      col("l_quantity") * i)
+    }
+    val proc = BinningProcess.fit(wide, wideVars, "y",
+                                  config = BinningConfig())
+    assert(proc.fits.size == 120)
+    // fallback path must agree with the narrow un-melted path
+    val narrow = BinningProcess.fit(wide, Seq("v0", "v7"), "y",
+                                    config = BinningConfig())
+    for (v <- Seq("v0", "v7")) {
+      assert(proc.fits(v).splits.toSeq == narrow.fits(v).splits.toSeq, v)
+      assert(math.abs(proc.fits(v).iv - narrow.fits(v).iv) < 1e-12, v)
+    }
+  }
+
+  test("BinningProcess: per-variable specialCodes override is honored " +
+       "in the batch path") {
+    val df = li
+    // l_linenumber in 1..7: treat {1.0} as special for ONE variable only
+    val ov = Map("l_linenumber" ->
+      BinningConfig(specialCodes = Some(SpecialList(Seq(1.0)))))
+    val proc = BinningProcess.fit(
+      df, Seq("l_linenumber", "l_quantity"), "y",
+      config = BinningConfig(), varOverrides = ov)
+    val single = OptimalBinning.fit(df, "l_linenumber", "y",
+      BinningConfig(name = "l_linenumber",
+                    specialCodes = Some(SpecialList(Seq(1.0)))))
+    val batchFit = proc.fits("l_linenumber")
+    assert(batchFit.splits.toSeq == single.splits.toSeq)
+    // Special row carries the count of l_linenumber == 1 rows
+    val nSpecial = df.where(col("l_linenumber") === 1).count()
+    val specialRow = batchFit.table.rows
+      .find(_.bin == "Special").get
+    assert(specialRow.count.toLong == nSpecial,
+           s"special ${specialRow.count} vs $nSpecial")
+    // the un-overridden variable is untouched by the override
+    val plain = OptimalBinning.fit(df, "l_quantity", "y",
+                                   BinningConfig(name = "l_quantity"))
+    assert(proc.fits("l_quantity").splits.toSeq == plain.splits.toSeq)
+  }
+
   test("BinningProcess: categoricalVariables forces numeric into " +
        "categorical batch") {
     val df = li
