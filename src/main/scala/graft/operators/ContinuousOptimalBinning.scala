@@ -36,8 +36,18 @@ object ContinuousOptimalBinning {
   def fit(df: DataFrame, xCol: String, yCol: String,
           config: BinningConfig = BinningConfig(),
           weightCol: Option[String] = None): FittedContinuousBinning = {
-    if (config.dtype == "numerical") fitNumerical(df, xCol, yCol, config, weightCol)
-    else fitCategorical(df, xCol, yCol, config, weightCol)
+    val t0 = System.nanoTime()
+    val fitted =
+      if (config.dtype == "numerical")
+        fitNumerical(df, xCol, yCol, config, weightCol)
+      else fitCategorical(df, xCol, yCol, config, weightCol)
+    val total = (System.nanoTime() - t0) / 1e9
+    val accounted = fitted.timings.values.sum
+    fitted.timings ++= Map(
+      "total" -> total,
+      // the Spark aggregate passes are everything not spent driver-side
+      "data_pass" -> math.max(0.0, total - accounted))
+    fitted
   }
 
   private def aggExprs = Seq(
@@ -355,6 +365,7 @@ object ContinuousOptimalBinning {
     val ssums = stats.map(_._3)
     val n = nRecords.length
 
+    val tSolve0 = System.nanoTime()
     val (status, solution) =
       if (n <= 1) ("OPTIMAL", Array.fill(math.max(n, 0))(false))
       else {
@@ -385,6 +396,8 @@ object ContinuousOptimalBinning {
         (r.status, r.solution)
       }
 
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
+    val tPost0 = System.nanoTime()
     val solutionFull = if (n <= 1) Array.fill(n)(true) else solution
     val splitsOptimal: Array[Double] =
       if (n <= 1) Array.empty
@@ -457,9 +470,14 @@ object ContinuousOptimalBinning {
     val catBins: Array[Array[String]] =
       if (isCategorical) categoricalBins(splitsOptimal, categories) else null
 
-    new FittedContinuousBinning(config, status, splitsOptimal, table,
-                                categories, catBins, catOthers, nDataBins,
-                                othersCatchAll)
+    val fitted =
+      new FittedContinuousBinning(config, status, splitsOptimal, table,
+                                  categories, catBins, catOthers, nDataBins,
+                                  othersCatchAll)
+    fitted.timings = Map(
+      "solver" -> tSolve,
+      "postprocessing" -> (System.nanoTime() - tPost0) / 1e9)
+    fitted
   }
 
   private def categoricalBins(splits: Array[Double],
@@ -555,6 +573,24 @@ final class FittedContinuousBinning(
     /** true when the others bin is a long-tail catch-all: the transform's
       * ELSE branch maps to others (the tail cannot be enumerated). */
     val othersCatchAll: Boolean = false) extends Serializable {
+
+  /** Per-phase wall times in seconds — the reference's `information()`
+    * breakdown (`binning.py:670-702` shape, continuous estimator):
+    * "data_pass" (the Spark aggregate jobs), "solver",
+    * "postprocessing", "total". Empty when loaded from JSON. */
+  @transient var timings: Map[String, Double] = Map.empty
+
+  /** Human-readable fit summary (`information()` mirror). */
+  def information(): String = {
+    val t = timings.withDefaultValue(0.0)
+    f"""continuous optimal binning fit: ${config.name}%s (${config.dtype}%s)
+       |  status           ${status}%s
+       |  bins             ${nDataBins}%d data + special/missing
+       |  time total       ${t("total")}%.4f s
+       |    data pass      ${t("data_pass")}%.4f s
+       |    solver         ${t("solver")}%.4f s
+       |    postprocessing ${t("postprocessing")}%.4f s""".stripMargin
+  }
 
   def transform(xCol: Column, metric: String = "mean",
                 metricSpecial: Any = "empirical",

@@ -159,6 +159,39 @@ class OptimalBinningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fixed.table.iv <= free.table.iv + 1e-9)
   }
 
+  test("fit timings: phases account for the whole wall time " +
+       "(information() parity, binning.py:670-702)") {
+    val spark = TestSpark.spark
+    val df = spark.read.parquet(TestSpark.breastCancer)
+    val f = OptimalBinning.fit(df, "mean radius", "target", BinningConfig())
+    val t = f.timings
+    for (k <- Seq("total", "data_pass", "solver", "postprocessing")) {
+      assert(t.contains(k), s"missing phase $k")
+      assert(t(k) >= 0.0, s"$k negative: ${t(k)}")
+    }
+    assert(t("total") > 0.0)
+    val phaseSum = t("data_pass") + t("solver") + t("postprocessing")
+    assert(math.abs(t("total") - phaseSum) < 1e-6,
+           s"phases $phaseSum vs total ${t("total")}")
+    assert(f.information().contains("solver"))
+
+    val c = ContinuousOptimalBinning.fit(df, "mean radius", "mean area",
+                                         BinningConfig())
+    val ct = c.timings
+    val cSum = ct("data_pass") + ct("solver") + ct("postprocessing")
+    assert(math.abs(ct("total") - cSum) < 1e-6,
+           s"phases $cSum vs total ${ct("total")}")
+    assert(c.information().contains("data pass"))
+
+    // the pinned single-scan path reports the same phase breakdown
+    val p = ContinuousOptimalBinning.fit(df, "mean radius", "mean area",
+      BinningConfig(userSplits = Some(Array(12.0, 15.0)),
+                    monotonicTrend = None))
+    assert(math.abs(p.timings("total") -
+      (p.timings("data_pass") + p.timings("solver") +
+       p.timings("postprocessing"))) < 1e-6)
+  }
+
   test("gamma regularization merges dominating bins (test_binning.py:424)") {
     val spark = TestSpark.spark
     val df = spark.read.parquet(TestSpark.breastCancer)
