@@ -20,11 +20,12 @@ import graft.core.{Metrics, Prebinning}
   * here the driver searches the SAME solution space exactly — first-gap
   * rectangle tiling with full bitmask memoization (includes
   * non-guillotine patterns like pinwheels the CP can also produce):
-  * unbudgeted to 56 cells, node-budgeted with a two-word mask to
-  * min(`exactCellLimit`, 128) cells, with the polynomial
-  * guillotine-partition DP as the budget-exhaustion/large-grid fallback
-  * (its cut structure is a strict subset). Unconstrained fits shortcut
-  * to the provably-optimal all-singletons tiling (refinement
+  * unbudgeted to 56 cells, node-budgeted with a two-word mask to 128
+  * cells and with a word-vector mask at ANY larger grid, so every grid
+  * size keeps the full candidate-rectangle space; the polynomial
+  * guillotine-partition DP (a strict cut subset, result downgraded to
+  * FEASIBLE) runs only on budget exhaustion. Unconstrained fits
+  * shortcut to the provably-optimal all-singletons tiling (refinement
   * superadditivity). IV per rectangle from 2D prefix sums.
   */
 object OptimalBinning2D {
@@ -78,16 +79,18 @@ object OptimalBinning2D {
         * greedy recursive axis-parallel splitting, leaves = bins
         * (`binning_2d.py:63` strategy, `model_data_cart_2d.py`). */
       strategy: String = "grid",
-      /** Largest grid (in cells) the EXACT rectangle-tiling search may
+      /** Largest grid (in cells) the exact rectangle-tiling search may
         * attempt — the reference CP's full space including
-        * non-guillotine patterns (`cp_2d.py:14-150`). Up to 56 cells the
-        * search is unbudgeted (guaranteed exact, ~8s driver worst case;
-        * the 5x5 default is ~0.1s); 57..128 cells run a node-budgeted
-        * search that falls back to the guillotine DP (a strict cut
-        * subset) on budget exhaustion, the CP `time_limit` spirit.
-        * Beyond this limit (or 128) the guillotine DP solves directly.
-        * Lower it to cap exact-search driver cost. */
-      exactCellLimit: Int = 128)
+        * non-guillotine patterns (`cp_2d.py:14-150`). Up to
+        * min(this, 56) cells the search is unbudgeted (guaranteed
+        * exact, ~8s driver worst case; the 5x5 default is ~0.1s);
+        * larger grids — at ANY size — run a node-budgeted search over
+        * the same full space (two-word mask to 128 cells, word-vector
+        * mask beyond) that falls back to the guillotine DP (a strict
+        * cut subset, status FEASIBLE) on budget exhaustion, the CP
+        * `time_limit` spirit. Set a finite cap to skip exact search
+        * entirely above it (guillotine DP directly). */
+      exactCellLimit: Int = Int.MaxValue)
 
   /** Per-dimension exact greedy CART candidate splits. Both dimensions
     * melt into ONE bounded-probe histogram job: the exact (dim, value)
@@ -482,7 +485,7 @@ object OptimalBinning2D {
     */
   private[graft] def tilingSolve(mx: Int, my: Int,
                                  leafVal: (Int, Int, Int, Int) => Option[Double],
-                                 exactCellLimit: Int = 128,
+                                 exactCellLimit: Int = Int.MaxValue,
                                  refinementOptimal: Boolean = false)
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
@@ -510,19 +513,41 @@ object OptimalBinning2D {
       }
       if (allFeasible) return ("OPTIMAL", singles.toArray)
     }
-    // up to 56 cells: unbudgeted exact (guaranteed); up to
-    // min(exactCellLimit, 128): budgeted exact with guillotine fallback.
-    // A user-lowered exactCellLimit caps BOTH exact paths, so the knob
-    // bounds driver-side search cost as documented.
+    // up to 56 cells: unbudgeted exact (guaranteed); beyond, budgeted
+    // exact over the SAME full rectangulation space at any grid size
+    // (two-word mask to 128 cells, word-vector mask after), guillotine
+    // DP only on budget exhaustion. A user-lowered exactCellLimit skips
+    // exact search entirely above the cap.
     if (nCells <= math.min(exactCellLimit, 56))
       exactTilingSolve(mx, my, leafVal)
-    else if (nCells <= math.min(exactCellLimit, 128))
+    else if (nCells > exactCellLimit)
+      guillotineSolve(mx, my, leafVal) // user-capped: documented choice
+    else if (nCells <= 128)
       // budgeted exact attempt over the full rectangulation space (the
       // CP's search space with its time_limit spirit); guillotine DP if
-      // the state space blows the budget
+      // the state space blows the budget, downgraded to FEASIBLE since
+      // the guillotine space is a strict subset
       exactTilingSolve128(mx, my, leafVal)
-        .getOrElse(guillotineSolve(mx, my, leafVal))
-    else guillotineSolve(mx, my, leafVal)
+        .getOrElse(feasibleGuillotine(mx, my, leafVal))
+    else
+      // beyond 128 cells: same budgeted exact search over the full
+      // candidate-rectangle space with a word-vector occupancy mask
+      // (reference CP at any grid size, `model_data_2d.py:49-167`);
+      // guillotine DP only on budget exhaustion, reported FEASIBLE
+      exactTilingSolveBig(mx, my, leafVal)
+        .getOrElse(feasibleGuillotine(mx, my, leafVal))
+  }
+
+  /** Guillotine fallback of the budgeted exact searches: its cut space
+    * is a strict subset of the rectangulation space, so a result that
+    * stands in for an exhausted exact search is FEASIBLE, not OPTIMAL
+    * (mirrors the reference CP's time_limit status,
+    * `binning_2d.py:362`). */
+  private[graft] def feasibleGuillotine(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double])
+      : (String, Array[(Int, Int, Int, Int, Double)]) = {
+    val (st, rects) = guillotineSolve(mx, my, leafVal)
+    (if (st == "OPTIMAL") "FEASIBLE" else st, rects)
   }
 
   /** Exact maximum-value rectangle TILING via first-gap branch and bound
@@ -694,6 +719,135 @@ object OptimalBinning2D {
       while (yy <= y2) {
         val a = yy * mx + x1; val b = yy * mx + x2
         lo |= rangeLo(a, b); hi |= rangeHi(a, b)
+        yy += 1
+      }
+    }
+    Some(("OPTIMAL", out.toArray))
+  }
+
+  /** Budgeted exact tiling for grids beyond 128 cells: the same
+    * first-gap memoized branch and bound as [[exactTilingSolve]] /
+    * [[exactTilingSolve128]], with the occupancy mask widened to an
+    * `Array[Long]` word vector. The candidate space is the FULL
+    * rectangle enumeration of the reference's 2D model data
+    * (`model_data_2d.py:49-167`): every rectangle anchored at the first
+    * uncovered cell, pruned by `leafVal` infeasibility exactly as the
+    * reference skips pure and size-violating rectangles. Returns None
+    * when the memo exceeds the node budget — the caller keeps the
+    * guillotine DP result and reports FEASIBLE.
+    */
+  private[graft] def exactTilingSolveBig(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      nodeBudget: Int = 2000000)
+      : Option[(String, Array[(Int, Int, Int, Int, Double)])] = {
+    val nCells = mx * my
+    val nWords = (nCells + 63) >>> 6
+    val fullWords = new Array[Long](nWords)
+    var i = 0
+    while (i < nCells) {
+      fullWords(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+
+    // memo key: value-equal wrapper over the mask words
+    final class Mask(val w: Array[Long]) {
+      override val hashCode: Int = java.util.Arrays.hashCode(w)
+      override def equals(o: Any): Boolean = o match {
+        case m: Mask => java.util.Arrays.equals(w, m.w)
+        case _       => false
+      }
+    }
+
+    // any set bit / set all bits in the inclusive bit range [a, b]
+    // (a row span may straddle word boundaries at any grid width)
+    @inline def wordMask(k: Int, a: Int, b: Int): Long = {
+      val lo = if (k == (a >>> 6)) a & 63 else 0
+      val hi = if (k == (b >>> 6)) b & 63 else 63
+      (((1L << (hi - lo)) << 1) - 1) << lo // avoids the 1L<<64 wrap
+    }
+    @inline def anySet(w: Array[Long], a: Int, b: Int): Boolean = {
+      var k = a >>> 6
+      val kEnd = b >>> 6
+      while (k <= kEnd) {
+        if ((w(k) & wordMask(k, a, b)) != 0) return true
+        k += 1
+      }
+      false
+    }
+    @inline def setRange(w: Array[Long], a: Int, b: Int): Unit = {
+      var k = a >>> 6
+      val kEnd = b >>> 6
+      while (k <= kEnd) {
+        w(k) |= wordMask(k, a, b)
+        k += 1
+      }
+    }
+
+    val memo = mutable.HashMap.empty[Mask, (Double, (Int, Int, Int, Int))]
+    var exceeded = false
+
+    def best(mask: Mask): (Double, (Int, Int, Int, Int)) = {
+      if (java.util.Arrays.equals(mask.w, fullWords)) return (0.0, null)
+      memo.getOrElseUpdate(mask, {
+        if (memo.size > nodeBudget) { exceeded = true; return (0.0, null) }
+        var gap = -1
+        var k = 0
+        while (gap < 0 && k < nWords) {
+          val g = ~mask.w(k) & fullWords(k)
+          if (g != 0)
+            gap = (k << 6) + java.lang.Long.numberOfTrailingZeros(g)
+          k += 1
+        }
+        val gx = gap % mx
+        val gy = gap / mx
+        var bestV = Double.NegativeInfinity
+        var bestR: (Int, Int, Int, Int) = null
+        var x2 = gx
+        var maxX2 = mx - 1
+        while (x2 <= maxX2 && !exceeded) {
+          val cb = gy * mx + x2
+          if ((mask.w(cb >>> 6) & (1L << (cb & 63))) != 0) {
+            maxX2 = x2 - 1 // cannot extend past an occupied cell
+          } else {
+            // grow downward, accumulating the rect into a working copy
+            val acc = mask.w.clone()
+            var y2 = gy
+            var ok = true
+            while (ok && y2 < my && !exceeded) {
+              val a = y2 * mx + gx
+              val b = y2 * mx + x2
+              if (anySet(mask.w, a, b)) ok = false
+              else {
+                setRange(acc, a, b)
+                leafVal(gx, x2, gy, y2).foreach { v =>
+                  val rest = best(new Mask(acc.clone()))._1
+                  if (rest > Double.NegativeInfinity && v + rest > bestV) {
+                    bestV = v + rest; bestR = (gx, x2, gy, y2)
+                  }
+                }
+                y2 += 1
+              }
+            }
+          }
+          x2 += 1
+        }
+        (bestV, bestR)
+      })
+    }
+
+    val (obj, _) = best(new Mask(new Array[Long](nWords)))
+    if (exceeded) return None
+    if (obj == Double.NegativeInfinity)
+      return Some(("INFEASIBLE", Array.empty))
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Double)]
+    val cur = new Array[Long](nWords)
+    while (!java.util.Arrays.equals(cur, fullWords)) {
+      val (_, r) = best(new Mask(cur.clone()))
+      val (x1, x2, y1, y2) = r
+      out += ((x1, x2, y1, y2, leafVal(x1, x2, y1, y2).get))
+      var yy = y1
+      while (yy <= y2) {
+        setRange(cur, yy * mx + x1, yy * mx + x2)
         yy += 1
       }
     }

@@ -414,6 +414,66 @@ class AdvancedBinningSpec extends AnyFunSuite {
       .exactTilingSolve128(13, 5, leaf, nodeBudget = 5).isEmpty)
   }
 
+  test("word-vector exact tiling beyond 128 cells: 31x5 pinwheel beats " +
+       "guillotine; parity with the bounded solvers; FEASIBLE bail-out") {
+    // 155-cell grid: the 5-rect pinwheel fills the left 5x5 block
+    // (0.001 singletons feasible only there — the block's alternative
+    // tilings); only full-height single-column strips tile the rest.
+    // No guillotine cut line separates all five pinwheel arms, so the
+    // full-space search strictly beats the guillotine DP. (Feasible
+    // singletons EVERYWHERE would make each strip column a remembered
+    // binary choice — 2^26 masks — which is exactly the exponential
+    // shape the node budget + FEASIBLE fallback exists for.)
+    val pin = Set((0, 1, 0, 2), (2, 4, 0, 1), (3, 4, 2, 4),
+                  (0, 2, 3, 4), (2, 2, 2, 2))
+    def leaf(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+      if (pin((x1, x2, y1, y2))) Some(10.0)
+      else if (x1 == x2 && x1 >= 5 && y1 == 0 && y2 == 4) Some(1.0)
+      else if (x1 == x2 && y1 == y2 && x1 < 5) Some(0.001)
+      else None
+    // routed through tilingSolve: 155 cells take the word-vector path
+    val (st, leaves) = OptimalBinning2D.tilingSolve(31, 5, leaf)
+    assert(st == "OPTIMAL")
+    assert(math.abs(leaves.map(_._5).sum - 76.0) < 1e-9,
+           s"got ${leaves.map(_._5).sum}")
+    assert(pin.subsetOf(leaves.map(l => (l._1, l._2, l._3, l._4)).toSet))
+    val cov = leaves.flatMap { case (x1, x2, y1, y2, _) =>
+      for (i <- x1 to x2; j <- y1 to y2) yield (i, j)
+    }
+    assert(cov.length == 155 && cov.toSet.size == 155)
+    val (sg, lg) = OptimalBinning2D.guillotineSolve(31, 5, leaf)
+    assert(sg == "OPTIMAL" && lg.map(_._5).sum < 76.0 - 1e-9)
+
+    // parity: the word-vector solver equals the 64-bit and 128-bit
+    // exact solvers on grids all three can handle
+    val rnd = new scala.util.Random(29)
+    (1 to 10).foreach { _ =>
+      val cache = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), Option[Double]]
+      def lv(x1: Int, x2: Int, y1: Int, y2: Int): Option[Double] =
+        cache.getOrElseUpdate((x1, x2, y1, y2),
+          if (rnd.nextDouble() < 0.15) None else Some(rnd.nextDouble()))
+      val (s64, l64) = OptimalBinning2D.exactTilingSolve(4, 5, lv)
+      val r128 = OptimalBinning2D.exactTilingSolve128(4, 5, lv)
+      val rBig = OptimalBinning2D.exactTilingSolveBig(4, 5, lv)
+      assert(r128.isDefined && rBig.isDefined)
+      assert(rBig.get._1 == s64 && r128.get._1 == s64)
+      if (s64 == "OPTIMAL") {
+        assert(math.abs(l64.map(_._5).sum - rBig.get._2.map(_._5).sum)
+                 < 1e-9)
+        assert(math.abs(l64.map(_._5).sum - r128.get._2.map(_._5).sum)
+                 < 1e-9)
+      }
+    }
+
+    // budget bail-out returns None; the tilingSolve fallback downgrades
+    // the guillotine stand-in to FEASIBLE (subset space)
+    assert(OptimalBinning2D
+      .exactTilingSolveBig(31, 5, leaf, nodeBudget = 5).isEmpty)
+    val (sf, lf) = OptimalBinning2D.feasibleGuillotine(31, 5, leaf)
+    assert(sf == "FEASIBLE" && lf.nonEmpty)
+  }
+
   test("monotone tiling handles grids beyond 30 cells up to the 64-cell " +
        "Long-mask limit") {
     // only full-height column strips are feasible; event rate ascends
