@@ -844,6 +844,63 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_stream_binning" -> ((s, dir) => {
+      // END-TO-END Structured Streaming binning: the events table is
+      // staged as 3 range-partitioned parquet files and replayed as a
+      // real file stream (one file per trigger) through the
+      // foreachBatch incremental sketch — add + re-solve at every
+      // trigger. Oracle invariant (q_sketch_binning pattern): final
+      // solved splits pinned as literals + exact per-bin re-aggregation
+      // over the raw table, plus the sketch's own record count proving
+      // the stream delivered every row exactly once.
+      val e = s.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(s"$dir/events.parquet")
+        .withColumn("y", (col("user_id") % 2).cast("double"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_stream_stage").toString
+      // three SEQUENTIAL single-file writes: batch contents are a pure
+      // function of the data (a parallel repartition write would leave
+      // trigger order to task-completion mtimes, and repartitionByRange
+      // would sample boundaries by input parallelism — both de-pin the
+      // oracle), and strictly increasing mtimes fix the replay order
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      val stream = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, y DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val sk = new graft.streaming.OptimalBinningSketch(
+        BinningConfig(name = "value"), eps = 1e-3)
+      var last: Option[graft.operators.FittedOptimalBinning] = None
+      val q = sk.streamingQuery(stream, "value", "y",
+                                f => last = Some(f))
+        .option("checkpointLocation", s"$stage/_ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // stage + checkpoint are throwaway /tmp artifacts
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      val fitted = last.getOrElse(
+        throw new IllegalStateException("stream produced no solve"))
+      val sp = fitted.splits
+      val nSeen = sk.sketch.n + sk.sketch.countMissingE +
+        sk.sketch.countMissingNe + sk.sketch.countSpecialE +
+        sk.sketch.countSpecialNe
+      e.groupBy(binIdx(col("value"), sp).cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"),
+             sum(col("y")).cast("long").as("event"))
+        .withColumn("splits", lit(sp.mkString(",")))
+        .withColumn("n_seen", lit(nSeen))
+        .orderBy("bin")
+    }),
+
     "q_cat_sketch" -> ((s, dir) => {
       // mergeable categorical sketch binning: per-half sketches built in
       // ONE grouped scan (partial add per partition + cross-group merge
@@ -1953,6 +2010,25 @@ object SparkEntry {
                 sum(y)::BIGINT AS event,
                 '40807.044601,41192.200023,42139.474169,43305.350041,43950.745613'
                   AS splits
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_stream_binning" ->
+      // splits pinned from the deterministic 3-trigger stream replay
+      // (sequentially staged files, one file per trigger; verified
+      // identical at 8 and 32 threads)
+      """WITH e AS (
+           SELECT value, (user_id % 2)::DOUBLE AS y FROM events),
+         b AS (
+           SELECT CASE WHEN value < 39.82 THEN 0
+                       WHEN value < 79.87 THEN 1
+                       WHEN value < 113.62 THEN 2
+                       WHEN value < 147.65 THEN 3
+                       ELSE 4 END AS bin, y
+           FROM e)
+         SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
+                sum(y)::BIGINT AS event,
+                '39.82,79.87,113.62,147.65' AS splits,
+                (SELECT count(*) FROM e)::BIGINT AS n_seen
          FROM b GROUP BY 1 ORDER BY 1""",
 
     "q_sketch_binning" ->
