@@ -826,15 +826,16 @@ object SparkEntry {
     }),
 
     "q_sketch_binning" -> ((s, dir) => {
-      // streaming/mergeable sketch binning: add per half, merge, solve.
-      // The GK-sketch solve is not SQL-expressible, so the oracle checks
-      // the invariant: sketch-solved splits pinned as literals + exact
-      // per-bin (count, event) re-aggregated over the raw table at them
+      // streaming/mergeable sketch binning: per-half sketches built in
+      // ONE grouped scan (addGrouped — partial add per partition,
+      // cross-group merge in group order), then solved. The GK solve is
+      // not SQL-expressible, so the oracle checks the invariant:
+      // sketch-solved splits pinned as literals + exact per-bin
+      // (count, event) re-aggregated over the raw table at them
       val li = liTarget(T(s, dir, "lineitem"))
       val sk = new graft.streaming.OptimalBinningSketch(
         BinningConfig(name = "l_extendedprice"), eps = 1e-3)
-      sk.add(li.where(col("l_orderkey") % 2 === 0), "l_extendedprice", "y")
-      sk.add(li.where(col("l_orderkey") % 2 === 1), "l_extendedprice", "y")
+      sk.addGrouped(li, col("l_orderkey") % 2, "l_extendedprice", "y")
       val fitted = sk.solve()
       val sp = fitted.splits
       li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long").as("bin"))
