@@ -324,8 +324,7 @@ object OptimalBinning2D {
     // they route through the same constrained branch-and-bound as the
     // monotone trends (CP `add_constraint_min_max_bins` + gamma terms).
     // Exception: cart with ONLY max_n_bins keeps the greedy leaf cap —
-    // the pre-existing semantics — so >64-cell grids stay supported
-    // (the constrained solver's Long mask cannot reach them).
+    // the pre-existing semantics (cheap and budget-free at any grid).
     val globallyConstrained = monotone || config.minNBins.isDefined ||
       config.gamma > 0 ||
       (config.maxNBins.isDefined && config.strategy != "cart")
@@ -725,6 +724,54 @@ object OptimalBinning2D {
     Some(("OPTIMAL", out.toArray))
   }
 
+  // --- word-vector occupancy-mask helpers (grids beyond 64/128 cells;
+  // a row span may straddle word boundaries at any grid width) --------
+  private def fullMaskWords(nCells: Int): Array[Long] = {
+    val w = new Array[Long]((nCells + 63) >>> 6)
+    var i = 0
+    while (i < nCells) {
+      w(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    w
+  }
+  @inline private def wordMask(k: Int, a: Int, b: Int): Long = {
+    val lo = if (k == (a >>> 6)) a & 63 else 0
+    val hi = if (k == (b >>> 6)) b & 63 else 63
+    (((1L << (hi - lo)) << 1) - 1) << lo // avoids the 1L<<64 wrap
+  }
+  /** Any set bit in the inclusive bit range [a, b]. */
+  @inline private def anySet(w: Array[Long], a: Int, b: Int): Boolean = {
+    var k = a >>> 6
+    val kEnd = b >>> 6
+    while (k <= kEnd) {
+      if ((w(k) & wordMask(k, a, b)) != 0) return true
+      k += 1
+    }
+    false
+  }
+  /** Set all bits in the inclusive bit range [a, b]. */
+  @inline private def setRange(w: Array[Long], a: Int, b: Int): Unit = {
+    var k = a >>> 6
+    val kEnd = b >>> 6
+    while (k <= kEnd) {
+      w(k) |= wordMask(k, a, b)
+      k += 1
+    }
+  }
+  /** First uncovered bit, or -1 when the mask equals `full`. */
+  @inline private def firstGap(w: Array[Long],
+                               full: Array[Long]): Int = {
+    var k = 0
+    while (k < w.length) {
+      val g = ~w(k) & full(k)
+      if (g != 0)
+        return (k << 6) + java.lang.Long.numberOfTrailingZeros(g)
+      k += 1
+    }
+    -1
+  }
+
   /** Budgeted exact tiling for grids beyond 128 cells: the same
     * first-gap memoized branch and bound as [[exactTilingSolve]] /
     * [[exactTilingSolve128]], with the occupancy mask widened to an
@@ -742,12 +789,7 @@ object OptimalBinning2D {
       : Option[(String, Array[(Int, Int, Int, Int, Double)])] = {
     val nCells = mx * my
     val nWords = (nCells + 63) >>> 6
-    val fullWords = new Array[Long](nWords)
-    var i = 0
-    while (i < nCells) {
-      fullWords(i >>> 6) |= 1L << (i & 63)
-      i += 1
-    }
+    val fullWords = fullMaskWords(nCells)
 
     // memo key: value-equal wrapper over the mask words
     final class Mask(val w: Array[Long]) {
@@ -758,31 +800,6 @@ object OptimalBinning2D {
       }
     }
 
-    // any set bit / set all bits in the inclusive bit range [a, b]
-    // (a row span may straddle word boundaries at any grid width)
-    @inline def wordMask(k: Int, a: Int, b: Int): Long = {
-      val lo = if (k == (a >>> 6)) a & 63 else 0
-      val hi = if (k == (b >>> 6)) b & 63 else 63
-      (((1L << (hi - lo)) << 1) - 1) << lo // avoids the 1L<<64 wrap
-    }
-    @inline def anySet(w: Array[Long], a: Int, b: Int): Boolean = {
-      var k = a >>> 6
-      val kEnd = b >>> 6
-      while (k <= kEnd) {
-        if ((w(k) & wordMask(k, a, b)) != 0) return true
-        k += 1
-      }
-      false
-    }
-    @inline def setRange(w: Array[Long], a: Int, b: Int): Unit = {
-      var k = a >>> 6
-      val kEnd = b >>> 6
-      while (k <= kEnd) {
-        w(k) |= wordMask(k, a, b)
-        k += 1
-      }
-    }
-
     val memo = mutable.HashMap.empty[Mask, (Double, (Int, Int, Int, Int))]
     var exceeded = false
 
@@ -790,14 +807,7 @@ object OptimalBinning2D {
       if (java.util.Arrays.equals(mask.w, fullWords)) return (0.0, null)
       memo.getOrElseUpdate(mask, {
         if (memo.size > nodeBudget) { exceeded = true; return (0.0, null) }
-        var gap = -1
-        var k = 0
-        while (gap < 0 && k < nWords) {
-          val g = ~mask.w(k) & fullWords(k)
-          if (g != 0)
-            gap = (k << 6) + java.lang.Long.numberOfTrailingZeros(g)
-          k += 1
-        }
+        val gap = firstGap(mask.w, fullWords)
         val gx = gap % mx
         val gy = gap / mx
         var bestV = Double.NegativeInfinity
@@ -861,8 +871,11 @@ object OptimalBinning2D {
     * monotone in event rate along each constrained axis, matching the
     * reference CP's forbidden-pair encoding (`cp_2d.py:137-185`,
     * min_diff = 0). Pruned by an optimistic per-cell value bound and a
-    * hard node budget; exact whenever the search completes (any grid up
-    * to 64 cells — the default config produces 25).
+    * hard node budget; exact whenever the search completes. The
+    * occupancy mask is a word vector, so ANY grid size is accepted —
+    * there is no memo here (the trend couples placed pairs), only the
+    * node budget bounds the search (the default config produces 25
+    * cells).
     */
   private[graft] def monotonicTilingSolve(mx: Int, my: Int,
       leafVal: (Int, Int, Int, Int) => Option[Double],
@@ -876,13 +889,7 @@ object OptimalBinning2D {
       totalRecords: Double = 0.0)
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
-    // the node budget below bounds runtime; beyond 64 cells the Long
-    // occupancy mask runs out of bits
-    require(nCells <= 64,
-            s"constrained 2D search (monotonic_trend_x/y, " +
-            s"min/max_n_bins, gamma) needs a grid of <= 64 cells; got " +
-            s"$nCells (lower max_n_prebins_x/y or drop the constraint)")
-    val full = if (nCells == 64) -1L else (1L << nCells) - 1
+    val fullWords = fullMaskWords(nCells)
     @inline def bit(ix: Int, iy: Int): Int = iy * mx + ix
 
     // optimistic bound: best value-per-cell over rectangles covering
@@ -953,9 +960,9 @@ object OptimalBinning2D {
         acc - gamma * (sizes.max - sizes.min) / totalRecords
       }
 
-    def dfs(mask: Long, placed: List[R], cnt: Int, acc: Double,
+    def dfs(mask: Array[Long], placed: List[R], cnt: Int, acc: Double,
             potential: Double): Unit = {
-      if (mask == full) {
+      if (java.util.Arrays.equals(mask, fullWords)) {
         if (minBins.forall(cnt >= _)) {
           val obj = objective(acc, placed)
           if (obj > best) { best = obj; bestTiling = placed }
@@ -976,32 +983,33 @@ object OptimalBinning2D {
         return
       }
       if (acc + potential <= best) return
-      val gap = java.lang.Long.numberOfTrailingZeros(~mask & full)
+      val gap = firstGap(mask, fullWords)
       val gx = gap % mx
       val gy = gap / mx
       var x2 = gx
       var maxX2 = mx - 1
       while (x2 <= maxX2) {
-        if ((mask & (1L << bit(x2, gy))) != 0) {
+        val cb = bit(x2, gy)
+        if ((mask(cb >>> 6) & (1L << (cb & 63))) != 0) {
           maxX2 = x2 - 1
         } else {
-          // <<1 split avoids the 1L<<64 wrap on a 64-cell-wide row
-          val span = (((1L << (x2 - gx)) << 1) - 1) << gx
-          var rectMask = 0L
+          // grow downward, accumulating the rect into a working copy
+          val withRect = mask.clone()
           var y2 = gy
           var ok = true
           while (ok && y2 < my) {
-            val rowMask = span << (y2 * mx)
-            if ((mask & rowMask) != 0) ok = false
+            val a = y2 * mx + gx
+            val b = y2 * mx + x2
+            if (anySet(mask, a, b)) ok = false
             else {
-              rectMask |= rowMask
+              setRange(withRect, a, b)
               leafVal(gx, x2, gy, y2).foreach { v =>
                 val r = R(gx, x2, gy, y2, v, rectEr(gx, x2, gy, y2))
                 if (consistent(r, placed)) {
                   var lost = 0.0
                   for (yy <- gy to y2; xx <- gx to x2)
                     lost += cellBound(bit(xx, yy))
-                  dfs(mask | rectMask, r :: placed, cnt + 1, acc + v,
+                  dfs(withRect.clone(), r :: placed, cnt + 1, acc + v,
                       potential - lost)
                 }
               }
@@ -1013,7 +1021,7 @@ object OptimalBinning2D {
       }
     }
 
-    dfs(0L, Nil, 0, 0.0, cellBound.sum)
+    dfs(new Array[Long](fullWords.length), Nil, 0, 0.0, cellBound.sum)
     if (best == Double.NegativeInfinity) ("INFEASIBLE", Array.empty)
     else (if (exhausted) "FEASIBLE" else "OPTIMAL",
           bestTiling.map(r => (r.x1, r.x2, r.y1, r.y2, r.v)).toArray)
@@ -1176,7 +1184,7 @@ object OptimalBinning2D {
     val contMonotone = config.monotonicTrendX.isDefined ||
       config.monotonicTrendY.isDefined
     // same routing rule as the binary fit: cart with ONLY max_n_bins
-    // keeps the greedy leaf cap (supports >64-cell grids)
+    // keeps the greedy leaf cap (cheap and budget-free at any grid)
     val contConstrained = contMonotone || config.minNBins.isDefined ||
       config.gamma > 0 ||
       (config.maxNBins.isDefined && config.strategy != "cart")

@@ -474,15 +474,17 @@ class AdvancedBinningSpec extends AnyFunSuite {
     assert(sf == "FEASIBLE" && lf.nonEmpty)
   }
 
-  test("monotone tiling handles grids beyond 30 cells up to the 64-cell " +
-       "Long-mask limit") {
+  test("monotone tiling handles grids beyond 30 cells, including " +
+       "word-vector grids past 64 and 128 cells") {
     // only full-height column strips are feasible; event rate ascends
     // with x, so the ascending-x trend admits exactly that tiling
     def colsOnly(my: Int)(x1: Int, x2: Int, y1: Int, y2: Int)
         : Option[Double] =
       if (x1 == x2 && y1 == 0 && y2 == my - 1) Some(1.0) else None
     def er(x1: Int, x2: Int, y1: Int, y2: Int): Double = x1.toDouble
-    for ((mx, my) <- Seq((6, 6), (8, 8))) { // 36 and 64 cells
+    // 36, 64 (word boundary), 70 (past the old Long-mask limit), and
+    // 150 cells (past even the 128-bit tier)
+    for ((mx, my) <- Seq((6, 6), (8, 8), (10, 7), (15, 10))) {
       val (st, leaves) = OptimalBinning2D.monotonicTilingSolve(
         mx, my, colsOnly(my), er, Some("ascending"), None)
       assert(st == "OPTIMAL", s"$mx x $my: $st")
