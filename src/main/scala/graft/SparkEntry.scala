@@ -575,6 +575,19 @@ object SparkEntry {
              min(col("comp")).as("min_canonical"))
     }),
 
+    "q_dedup_survivors" -> ((s, dir) => {
+      // survivor selection on top of the cluster chain: keep the
+      // longest member (ties -> min doc_id) of each near-dup cluster,
+      // plus every unclustered doc; checksum the curated corpus
+      val d = T(s, dir, "documents")
+      Dedup.dedupSurvivors(d, "text", "doc_id", col("n_chars"),
+        jaccardThreshold = 0.5, numHashes = 32, bands = 8,
+        jaccardNgram = 3, portable = true)
+        .agg(count(lit(1)).as("n_kept"),
+             sum("n_chars").cast("long").as("kept_chars"),
+             sum("doc_id").cast("long").as("id_checksum"))
+    }),
+
     // --- pipeline: similarity ---------------------------------------
     "q_embed_topk" -> ((s, dir) => {
       // brute-force cosine top-k against the all-ones query vector;
@@ -613,6 +626,13 @@ object SparkEntry {
                .as("avg_tokens"),
              round(avg(length(col("text"))), 6).as("avg_chars"))
         .orderBy("source")
+    }),
+
+    "q_vocab_topk" -> ((s, dir) => {
+      // vocabulary head: top-20 tokens by term frequency with exact
+      // document frequency (tokenizer-training / coverage aggregate)
+      val d = T(s, dir, "documents")
+      TextAnalysis.vocabTopK(d, "text", "doc_id", k = 20)
     }),
 
     "q_subword_count" -> ((s, dir) => {
@@ -2757,6 +2777,95 @@ object SparkEntry {
                 max(sz) AS max_size, min(comp) AS min_canonical
          FROM sizes""",
 
+    "q_dedup_survivors" ->
+      // same chain through `comp` as q_dedup_clusters, then keep the
+      // longest member of each cluster (ties -> min doc_id) and every
+      // unclustered doc
+      """WITH RECURSIVE n AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS nm
+           FROM documents),
+         cp AS (
+           SELECT doc_id,
+                  [unicode(c)::BIGINT FOR c IN
+                   regexp_extract_all(nm, '(?s).')] AS cps,
+                  string_split(nm, ' ') AS tok
+           FROM n),
+         hs AS (
+           SELECT doc_id, tok,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM cp),
+         sigs AS (
+           SELECT doc_id, tok,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         sh AS (
+           SELECT doc_id, sig,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM sigs),
+         bnd AS (
+           SELECT doc_id, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sh, (SELECT unnest(range(0, 8)) AS b) b),
+         bsz AS (
+           SELECT doc_id, band, key,
+                  count(*) OVER (PARTITION BY band, key) AS n,
+                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
+           FROM bnd),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bsz x JOIN bsz y
+             ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id
+           WHERE x.n <= 256 OR x.doc_id = x.bmin),
+         pairs AS (
+           SELECT id_a, id_b
+           FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                     JOIN sh b ON cand.id_b = b.doc_id
+           WHERE CASE WHEN len(list_distinct(
+                             list_concat(a.sh, b.sh))) > 0
+                      THEN len(list_intersect(a.sh, b.sh))::DOUBLE /
+                           len(list_distinct(list_concat(a.sh, b.sh)))
+                      ELSE 0.0 END >= 0.5),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs
+         ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+         ),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         ranked AS (
+           SELECT c.id,
+                  row_number() OVER (
+                    PARTITION BY c.comp
+                    ORDER BY d.n_chars DESC, c.id) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.id),
+         dropped AS (SELECT id FROM ranked WHERE rn > 1)
+         SELECT count(*) AS n_kept,
+                sum(n_chars)::BIGINT AS kept_chars,
+                sum(doc_id)::BIGINT AS id_checksum
+         FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM dropped)""",
+
     "q_dedup_exact" ->
       """WITH g AS (
            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -2775,6 +2884,17 @@ object SparkEntry {
                   AS avg_tokens,
                 round(avg(length(text)), 6) AS avg_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_vocab_topk" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents)
+         SELECT token, count(*) AS term_freq,
+                count(DISTINCT doc_id) AS doc_freq
+         FROM t WHERE token <> ''
+         GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 20""",
 
     "q_fingerprint" ->
       // polynomial rolling hash over code points of normalized text;

@@ -26,6 +26,7 @@ object MulticlassOptimalBinning {
           weightCol: Option[String] = None,
           trendPerClass: Option[Seq[Option[String]]] = None)
       : FittedMulticlassBinning = {
+    val tFit0 = System.nanoTime()
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
     val cls = Preprocess.rowClass(x, isNumeric = true, config.specialCodes)
@@ -153,6 +154,7 @@ object MulticlassOptimalBinning {
       val t = row.sum; row.map(t - _)
     }
 
+    val tSolve0 = System.nanoTime()
     val (status, solution) =
       if (n <= 1) ("OPTIMAL", Array.fill(n)(true))
       else {
@@ -203,6 +205,8 @@ object MulticlassOptimalBinning {
                                   nRows, trends, trendChanges, cons, adjV)
         (r.status, r.solution)
       }
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
+    val tPost0 = System.nanoTime()
 
     val splitsOptimal: Array[Double] =
       if (n <= 1) Array.empty
@@ -245,8 +249,18 @@ object MulticlassOptimalBinning {
         case _                    => Seq("Special")
       }) :+ "Missing").toArray
 
-    new FittedMulticlassBinning(config, status, splitsOptimal, classes,
-                                allEv, labels, mergedEv.length)
+    val fitted =
+      new FittedMulticlassBinning(config, status, splitsOptimal, classes,
+                                  allEv, labels, mergedEv.length)
+    val total = (System.nanoTime() - tFit0) / 1e9
+    val tPost = (System.nanoTime() - tPost0) / 1e9
+    fitted.timings = Map(
+      "total" -> total,
+      "solver" -> tSolve,
+      "postprocessing" -> tPost,
+      // the Spark aggregate passes are everything not spent driver-side
+      "data_pass" -> math.max(0.0, total - tSolve - tPost))
+    fitted
   }
 }
 
@@ -264,6 +278,25 @@ final class FittedMulticlassBinning(
 
   private val k = classes.length
   val nRecords: Array[Double] = nEvent.map(_.sum)
+
+  /** Per-phase wall times in seconds — the reference's `information()`
+    * breakdown (`multiclass_binning.py` via `binning.py:670-702`):
+    * "data_pass", "solver", "postprocessing", "total". */
+  @transient var timings: Map[String, Double] = Map.empty
+
+  /** Human-readable fit summary (`information()` mirror). */
+  def information(): String = {
+    val t = timings.withDefaultValue(0.0)
+    f"""multiclass optimal binning fit: ${config.name}%s
+       |  status           ${status}%s
+       |  classes          ${k}%d
+       |  bins             ${nDataBins}%d data + special/missing
+       |  js               ${js}%.8f
+       |  time total       ${t("total")}%.4f s
+       |    data pass      ${t("data_pass")}%.4f s
+       |    solver         ${t("solver")}%.4f s
+       |    postprocessing ${t("postprocessing")}%.4f s""".stripMargin
+  }
 
   /** Per-(bin, class) one-vs-rest WoE (`transformations.py:352-368`). */
   lazy val woePerClass: Array[Array[Double]] = {

@@ -459,4 +459,41 @@ object Dedup {
         "partially propagated; raise maxIter")
     labels
   }
+
+  /** Near-dup survivor selection: run the production chain
+    * ([[nearDupPairs]] -> [[connectedComponents]]) and keep, per
+    * duplicate cluster, the single member ranking first by
+    * `(quality DESC, id ASC)`; every unclustered document is kept
+    * untouched. This is the step an LLM-data pipeline actually wants
+    * from dedup — not the cluster labels, but the curated corpus with
+    * the best representative of each duplicate family retained.
+    *
+    * Scale shape: clustered documents are a small fraction of the
+    * corpus (they are VERIFIED near-dup pairs), so the ranking window
+    * partitions over cluster-member rows only, and the final
+    * `left_anti` join removes a dropped-id set that is strictly
+    * smaller still. The corpus itself is never self-joined and never
+    * sorted globally.
+    *
+    * `quality` must be computable from `df`'s columns (e.g. a stored
+    * quality score, or [[TextAnalysis.qualityScore]] over the text).
+    */
+  def dedupSurvivors(df: DataFrame, textCol: String, idCol: String,
+                     quality: Column,
+                     jaccardThreshold: Double = 0.8,
+                     numHashes: Int = 64, bands: Int = 16,
+                     jaccardNgram: Int = 3,
+                     portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupPairs(df, textCol, idCol, jaccardThreshold,
+                             numHashes, bands, jaccardNgram, portable)
+    val comps = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val w = Window.partitionBy("comp").orderBy(quality.desc, col(idCol))
+    val dropped = df.join(comps, Seq(idCol)) // cluster members only
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -216,4 +216,34 @@ object TextAnalysis {
     aggregate(chars, lit(0L),
       (acc, c) => (acc * lit(131L) + ascii(c)) % lit(1000000007L))
   }
+
+  /** Corpus vocabulary head: top-k case-folded whitespace tokens by
+    * term frequency (ties broken by token), with document frequency —
+    * the aggregate a tokenizer-training / vocab-coverage pass needs.
+    *
+    * Scale shape: explode -> hash aggregate on the token key. Partial
+    * (map-side) aggregation bounds the shuffle by |vocab| x partitions,
+    * not by corpus token count; the final top-k is a TakeOrdered over
+    * the vocab-sized aggregate, never a global sort of the corpus.
+    * Exact `countDistinct(id)` expands the pre-shuffle key to
+    * (token, id) pairs — semantically required for exact doc frequency;
+    * pass `approxDocFreq = true` at extreme scale to keep the shuffle
+    * vocab-bounded (HLL, mergeable, ±2% default).
+    */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String, k: Int = 20,
+                approxDocFreq: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      col(idCol).as("__id"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+                     t => t =!= "")).as("token"))
+    val docFreq =
+      if (approxDocFreq) approx_count_distinct(col("__id"))
+      else countDistinct(col("__id"))
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("term_freq"), docFreq.as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -250,4 +250,39 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
            plan.contains("BroadcastExchange"), plan)
   }
+
+  test("dedupSurvivors keeps the best cluster member and all singletons") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 1,2,3 are near-identical (one cluster); 4 and 5 are unrelated
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 10),
+      (2L, "the quick brown fox jumps over the lazy dog tonight!!", 99),
+      (3L, "the quick brown fox jumps over the lazy dog today", 50),
+      (4L, "an entirely different document about spark aggregation", 7),
+      (5L, "yet another unrelated text with its own words only", 3))
+      .toDF("id", "text", "quality")
+    val kept = Dedup.dedupSurvivors(df, "text", "id", col("quality"),
+        jaccardThreshold = 0.4, numHashes = 16, bands = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(4L) && kept.contains(5L)) // singletons untouched
+    assert(kept.contains(2L), kept)    // highest-quality cluster member
+    assert(!kept.contains(1L) && !kept.contains(3L), kept)
+  }
+
+  test("vocabTopK: exact tf/df head with deterministic tie order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "Alpha  beta\tdelta"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "   "),
+      (5L, "gamma gamma gamma")).toDF("id", "text")
+    val rows = TextAnalysis.vocabTopK(df, "text", "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // gamma tf=4 (docs 1,5); beta tf=3 (docs 1,2); alpha tf=2 (docs 1,2)
+    assert(rows.toSeq == Seq(("gamma", 4L, 2L), ("beta", 3L, 2L),
+                             ("alpha", 2L, 2L)), rows.toSeq)
+  }
 }

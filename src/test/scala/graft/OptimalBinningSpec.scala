@@ -190,6 +190,19 @@ class OptimalBinningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(p.timings("total") -
       (p.timings("data_pass") + p.timings("solver") +
        p.timings("postprocessing"))) < 1e-6)
+
+    // multiclass reports the same contract
+    import org.apache.spark.sql.functions.{col, when}
+    val m3 = df.withColumn("cls3",
+      when(col("mean area") < 500, 0.0)
+        .when(col("mean area") < 800, 1.0).otherwise(2.0))
+    val m = MulticlassOptimalBinning.fit(m3, "mean radius", "cls3",
+                                         BinningConfig())
+    val mt = m.timings
+    val mSum = mt("data_pass") + mt("solver") + mt("postprocessing")
+    assert(math.abs(mt("total") - mSum) < 1e-6,
+           s"phases $mSum vs total ${mt("total")}")
+    assert(m.information().contains("classes"))
   }
 
   test("gamma regularization merges dominating bins (test_binning.py:424)") {
