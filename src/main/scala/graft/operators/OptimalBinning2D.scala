@@ -213,6 +213,7 @@ object OptimalBinning2D {
 
   def fit(df: DataFrame, xCol: String, yCol: String, targetCol: String,
           config: Config2D = Config2D()): Fitted2DBinning = {
+    val tFit0 = System.nanoTime()
     validateTrends(config)
     val t = col(targetCol).cast(DoubleType)
     val catOrderX =
@@ -328,6 +329,7 @@ object OptimalBinning2D {
     val globallyConstrained = monotone || config.minNBins.isDefined ||
       config.gamma > 0 ||
       (config.maxNBins.isDefined && config.strategy != "cart")
+    val tSolve0 = System.nanoTime()
     val (status, leaves) = config.strategy match {
       case "cart" if !globallyConstrained =>
         cartSolve(mx, my, leafIv,
@@ -365,6 +367,7 @@ object OptimalBinning2D {
         throw new IllegalArgumentException(
           s"strategy must be grid or cart, got $other")
     }
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
     val rects =
       if (status == "OPTIMAL" || status == "FEASIBLE")
         leaves.map { case (x1, x2, y1, y2, v) =>
@@ -373,8 +376,15 @@ object OptimalBinning2D {
         }
       else Array(Rect(0, mx - 1, 0, my - 1, tNe, tEv, 0.0))
 
-    new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe, tEv,
-                        catOrderX, catOrderY)
+    val fitted =
+      new Fitted2DBinning(config, status, splitsX, splitsY, rects, tNe,
+                          tEv, catOrderX, catOrderY)
+    val totalT = (System.nanoTime() - tFit0) / 1e9
+    fitted.timings = Map(
+      "total" -> totalT, "solver" -> tSolve,
+      // grid aggregation + prebin splits (the Spark jobs)
+      "data_pass" -> math.max(0.0, totalT - tSolve))
+    fitted
   }
 
   /** CART-strategy partition (`binning_2d.py` strategy="cart" via
@@ -1107,6 +1117,7 @@ object OptimalBinning2D {
   def fitContinuous(df: DataFrame, xCol: String, yCol: String,
                     zCol: String,
                     config: Config2D = Config2D()): FittedContinuous2D = {
+    val tFit0 = System.nanoTime()
     validateTrends(config)
     val x = col(xCol).cast(DoubleType)
     val y = col(yCol).cast(DoubleType)
@@ -1188,6 +1199,7 @@ object OptimalBinning2D {
     val contConstrained = contMonotone || config.minNBins.isDefined ||
       config.gamma > 0 ||
       (config.maxNBins.isDefined && config.strategy != "cart")
+    val tSolve0 = System.nanoTime()
     val (status, leaves) = config.strategy match {
       case "cart" if !contConstrained =>
         cartSolve(mx, my, leafNorm,
@@ -1223,6 +1235,7 @@ object OptimalBinning2D {
         throw new IllegalArgumentException(
           s"strategy must be grid or cart, got $other")
     }
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
     val rects =
       if (status == "OPTIMAL" || status == "FEASIBLE")
         leaves.map { case (x1, x2, y1, y2, v) =>
@@ -1233,7 +1246,14 @@ object OptimalBinning2D {
       else Array(ContRect(0, mx - 1, 0, my - 1, total, cumS(mx)(my),
                           cumSS(mx)(my), 0.0))
 
-    new FittedContinuous2D(config, status, splitsX, splitsY, rects, tMean)
+    val fitted =
+      new FittedContinuous2D(config, status, splitsX, splitsY, rects,
+                             tMean)
+    val totalT = (System.nanoTime() - tFit0) / 1e9
+    fitted.timings = Map(
+      "total" -> totalT, "solver" -> tSolve,
+      "data_pass" -> math.max(0.0, totalT - tSolve))
+    fitted
   }
 }
 
@@ -1251,6 +1271,22 @@ final class Fitted2DBinning(
       * transform maps raw categories onto these ordinals first. */
     val catOrderX: Option[Array[String]] = None,
     val catOrderY: Option[Array[String]] = None) extends Serializable {
+
+  /** Per-phase wall times — same `information()` contract as the 1-D
+    * estimators ("data_pass", "solver", "total"). */
+  @transient var timings: Map[String, Double] = Map.empty
+
+  /** Human-readable fit summary (`information()` mirror). */
+  def information(): String = {
+    val t = timings.withDefaultValue(0.0)
+    f"""optimal 2D binning fit (${config.strategy}%s)
+       |  status     ${status}%s
+       |  bins       ${rects.length}%d rectangles
+       |  iv         ${iv}%.8f
+       |  time total ${t("total")}%.4f s
+       |    data pass ${t("data_pass")}%.4f s
+       |    solver    ${t("solver")}%.4f s""".stripMargin
+  }
 
   def iv: Double = rects.map(_.iv).sum
 
@@ -1322,6 +1358,10 @@ final class FittedContinuous2D(
     val splitsY: Array[Double],
     val rects: Array[OptimalBinning2D.ContRect],
     val tMean: Double) extends Serializable {
+
+  /** Per-phase wall times — same `information()` contract as the 1-D
+    * estimators ("data_pass", "solver", "total"). */
+  @transient var timings: Map[String, Double] = Map.empty
 
   /** Sum of per-rectangle L1 norms (the solver objective). The
     * reference's continuous table "woe" total additionally counts its

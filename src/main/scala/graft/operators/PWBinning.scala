@@ -80,6 +80,24 @@ object PWBinning {
         * er clipped to [1e-8, 1-1e-8]. */
       asymptoticIv: Double = Double.NaN) extends Serializable {
 
+    /** Per-phase wall times — `information()` contract: "binning_fit"
+      * (inner OptimalBinning), "data_pass" (value histogram job),
+      * "solver" (curve QP), "postprocessing", "total". */
+    @transient var timings: Map[String, Double] = Map.empty
+
+    /** Human-readable fit summary (`information()` mirror). */
+    def information(): String = {
+      val t = timings.withDefaultValue(0.0)
+      f"""piecewise binning fit (degree ${curve.degree}%d)
+         |  bins        ${splits.length + 1}%d
+         |  iv          ${asymptoticIv}%.8f
+         |  time total  ${t("total")}%.4f s
+         |    binning fit    ${t("binning_fit")}%.4f s
+         |    data pass      ${t("data_pass")}%.4f s
+         |    solver         ${t("solver")}%.4f s
+         |    postprocessing ${t("postprocessing")}%.4f s""".stripMargin
+    }
+
     /** Predicted event rate, clipped to [lb, ub]. */
     def predictColumn(xCol: Column): Column =
       least(greatest(curve.predict(xCol), lit(lb)), lit(ub))
@@ -109,8 +127,13 @@ object PWBinning {
           estimator: String = "logistic"): FittedPW = {
     require(Set("logistic", "empirical")(estimator),
             s"estimator $estimator not supported (logistic|empirical)")
+    val tFit0 = System.nanoTime()
     val binning = OptimalBinning.fit(df, xCol, yCol, config)
+    val tBin = (System.nanoTime() - tFit0) / 1e9
+    val tHist0 = System.nanoTime()
     val hist = valueHistogram(df, xCol, yCol, config)
+    val tHist = (System.nanoTime() - tHist0) / 1e9
+    val tSolve0 = System.nanoTime()
     val target =
       if (estimator == "empirical") hist
       else {
@@ -123,6 +146,7 @@ object PWBinning {
     val curve = solveCurve(target, binning.splits, degree, objective,
                            hEpsilon, quantileTau, monotonicTrend,
                            continuous)
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
     val rates = hist.map(_._3)
 
     // asymptotic divergence IV over the fitted curve (clean rows; the
@@ -155,10 +179,16 @@ object PWBinning {
         w * (pi - qi) * math.log(pi / qi)
       }.sum / nClean
 
-    FittedPW(binning.splits, curve, binning,
-             lb = math.max(rates.min, 1e-6),
-             ub = math.min(rates.max, 1 - 1e-6),
-             asymptoticIv = iv)
+    val fitted = FittedPW(binning.splits, curve, binning,
+                          lb = math.max(rates.min, 1e-6),
+                          ub = math.min(rates.max, 1 - 1e-6),
+                          asymptoticIv = iv)
+    val total = (System.nanoTime() - tFit0) / 1e9
+    fitted.timings = Map(
+      "total" -> total, "binning_fit" -> tBin, "data_pass" -> tHist,
+      "solver" -> tSolve,
+      "postprocessing" -> math.max(0.0, total - tBin - tHist - tSolve))
+    fitted
   }
 
   /** Continuous-target piecewise binning
@@ -172,6 +202,9 @@ object PWBinning {
       curve: PWCurve,
       binning: FittedContinuousBinning,
       lb: Option[Double], ub: Option[Double]) extends Serializable {
+
+    /** Per-phase wall times — same contract as [[FittedPW.timings]]. */
+    @transient var timings: Map[String, Double] = Map.empty
 
     def predictColumn(xCol: Column): Column = {
       val linear = curve.predict(xCol)
@@ -190,12 +223,24 @@ object PWBinning {
                     quantileTau: Double = 0.5,
                     monotonicTrend: Option[String] = Some("auto"),
                     continuous: Boolean = true): FittedContPW = {
+    val tFit0 = System.nanoTime()
     val binning = ContinuousOptimalBinning.fit(df, xCol, yCol, config)
+    val tBin = (System.nanoTime() - tFit0) / 1e9
+    val tHist0 = System.nanoTime()
     val hist = valueHistogram(df, xCol, yCol, config)
+    val tHist = (System.nanoTime() - tHist0) / 1e9
+    val tSolve0 = System.nanoTime()
     val curve = solveCurve(hist, binning.splits, degree, objective,
                            hEpsilon, quantileTau, monotonicTrend,
                            continuous)
-    FittedContPW(binning.splits, curve, binning, lb, ub)
+    val tSolve = (System.nanoTime() - tSolve0) / 1e9
+    val fitted = FittedContPW(binning.splits, curve, binning, lb, ub)
+    val total = (System.nanoTime() - tFit0) / 1e9
+    fitted.timings = Map(
+      "total" -> total, "binning_fit" -> tBin, "data_pass" -> tHist,
+      "solver" -> tSolve,
+      "postprocessing" -> math.max(0.0, total - tBin - tHist - tSolve))
+    fitted
   }
 
   /** (value, weight, mean target) histogram; grid-compressed beyond the

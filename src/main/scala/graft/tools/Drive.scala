@@ -39,13 +39,15 @@ object Drive {
       require(nk <= n && nk > 0)
     }
 
-    // multiclass information() surface
-    val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-      .withColumn("cls", when(col("o_totalprice") < 50000, 0.0)
-        .when(col("o_totalprice") < 150000, 1.0).otherwise(2.0))
-    val m = MulticlassOptimalBinning.fit(orders, "o_totalprice", "cls",
-                                         BinningConfig())
-    println(m.information())
+    // 2D + PW information() surfaces on real lineitem data
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+        .otherwise(0.0))
+    val f2 = OptimalBinning2D.fit(li, "l_extendedprice", "l_quantity",
+                                  "y", OptimalBinning2D.Config2D())
+    println(f2.information())
+    val pw = PWBinning.fit(li, "l_extendedprice", "y")
+    println(pw.information())
     spark.stop()
   }
 }

@@ -203,6 +203,22 @@ class OptimalBinningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(mt("total") - mSum) < 1e-6,
            s"phases $mSum vs total ${mt("total")}")
     assert(m.information().contains("classes"))
+
+    // 2D: data_pass + solver account for the total
+    val f2 = OptimalBinning2D.fit(df, "mean radius", "mean texture",
+                                  "target", OptimalBinning2D.Config2D())
+    val t2 = f2.timings
+    assert(math.abs(t2("total") - (t2("data_pass") + t2("solver")))
+             < 1e-6, t2.toString)
+    assert(f2.information().contains("rectangles"))
+
+    // piecewise: binning_fit + data_pass + solver + postprocessing
+    val pw = PWBinning.fit(df, "mean radius", "target")
+    val pt = pw.timings
+    val pwSum = pt("binning_fit") + pt("data_pass") + pt("solver") +
+      pt("postprocessing")
+    assert(math.abs(pt("total") - pwSum) < 1e-6, pt.toString)
+    assert(pw.information().contains("binning fit"))
   }
 
   test("gamma regularization merges dominating bins (test_binning.py:424)") {
