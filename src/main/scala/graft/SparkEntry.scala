@@ -1422,6 +1422,21 @@ object SparkEntry {
                 .as("avg_cosine_pq"))
     }),
 
+    "q_ann_refined" -> ((s, dir) => {
+      // compressed-scan + exact re-rank, the production ANN closer:
+      // ADC top-20 candidate pool per query, exact cosine on the raw
+      // vectors of the pool only, final top-5. Ranks on the 6-digit
+      // rounded score so both engines break ulp ties identically;
+      // full result rows are the oracle surface
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.pqTopKRefinedPortable(e, queries, "embedding",
+          "vec_id", "qid", k = 5, dim = 64, refineFactor = 4,
+          m = 4, ksub = 16, scoreDigits = Some(6))
+        .orderBy("qid", "rank")
+    }),
+
     "q_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ: coarse cells bound the scanned fraction, ADC codes
       // bound per-vector memory — the standard big-corpus ANN shape,
@@ -3321,6 +3336,92 @@ object SparkEntry {
                 count(DISTINCT qid) AS n_queries,
                 round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq
          FROM rk WHERE rank <= 5""",
+
+    "q_ann_refined" ->
+      // same ADC replay as q_pq_topk through `rk`, then the refine
+      // stage: exact cosine on the top-20 pool, re-ranked on the
+      // 6-digit-rounded score
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cb AS (
+           SELECT s, c, ctr,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ ctr[d] * ctr[d] FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS n2_s
+           FROM (
+             SELECT s, c,
+                    [ (((((((5000 + s*16 + c)*1315423911
+                            + (d-1)*2654435761 + 97531) % 2147483647)
+                        * (((5000 + s*16 + c)*1315423911
+                            + (d-1)*2654435761 + 97531) % 2147483647))
+                        % 2147483647) * 48271) % 2147483647)
+                      * 2.0 / 2147483647.0 - 1.0
+                      FOR d IN range(1, 17)] AS ctr
+             FROM range(0, 4) t1(s) CROSS JOIN range(0, 16) t2(c))),
+         enc0 AS (
+           SELECT e.vec_id, b.s, b.c,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ (e.emb[b.s*16 + d] - b.ctr[d])
+                      * (e.emb[b.s*16 + d] - b.ctr[d])
+                      FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS d2
+           FROM emb e CROSS JOIN cb b),
+         enc AS (
+           SELECT vec_id AS cid, s, c AS code
+           FROM (SELECT vec_id, s, c,
+                        row_number() OVER (PARTITION BY vec_id, s
+                                           ORDER BY d2, c) AS rn
+                 FROM enc0)
+           WHERE rn = 1),
+         parts AS (
+           SELECT q.vec_id AS qid, en.cid, en.s,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    [ q.emb[en.s*16 + d] * b.ctr[d]
+                      FOR d IN range(1, 17)]),
+                    (a, x) -> a + x) AS dot_s,
+                  b.n2_s
+           FROM enc en
+           JOIN cb b ON b.s = en.s AND b.c = en.code
+           CROSS JOIN (SELECT vec_id, emb FROM emb
+                       WHERE vec_id < 20) q),
+         sc AS (
+           SELECT qid, cid,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(dot_s ORDER BY s)), (a, x) -> a + x) AS dotp,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(n2_s ORDER BY s)), (a, x) -> a + x) AS cn2
+           FROM parts GROUP BY qid, cid),
+         qn AS (
+           SELECT vec_id AS qid,
+                  sqrt(list_dot_product(emb, emb)) AS qnorm
+           FROM emb WHERE vec_id < 20),
+         rk AS (
+           SELECT qid, cid, cosine_pq,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine_pq DESC, cid) AS rank
+           FROM (SELECT s.qid, s.cid,
+                        CASE WHEN q.qnorm > 0 AND s.cn2 > 0
+                             THEN s.dotp / (q.qnorm * sqrt(s.cn2))
+                             ELSE 0.0 END AS cosine_pq
+                 FROM sc s JOIN qn q USING (qid))),
+         cand AS (SELECT qid, cid FROM rk WHERE rank <= 20),
+         ex AS (
+           SELECT c.qid, c.cid,
+                  round(CASE
+                    WHEN list_dot_product(ce.emb, ce.emb) > 0
+                     AND list_dot_product(qe.emb, qe.emb) > 0
+                    THEN list_dot_product(ce.emb, qe.emb) /
+                         (sqrt(list_dot_product(ce.emb, ce.emb)) *
+                          sqrt(list_dot_product(qe.emb, qe.emb)))
+                    ELSE 0.0 END, 6) AS cosine
+           FROM cand c JOIN emb ce ON ce.vec_id = c.cid
+                       JOIN emb qe ON qe.vec_id = c.qid),
+         fin AS (
+           SELECT qid, cid, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, cid) AS rank
+           FROM ex)
+         SELECT qid, cid, cosine, rank FROM fin WHERE rank <= 5""",
 
     // IVF-PQ: the q_ivf_topk cell-assignment CTEs (Lehmer centroids,
     // p = 1000+l) composed with the q_pq_topk encode/ADC CTEs (Lehmer

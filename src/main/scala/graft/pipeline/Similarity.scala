@@ -535,6 +535,88 @@ object Similarity {
       .select("qid", "cid", "cosine_pq", "rank")
   }
 
+  /** Exact re-rank (refine) stage — the standard production closer for
+    * a compressed ANN scan: the approximate stage retrieves a candidate
+    * pool per query (`refineFactor * k` ids), and only those candidates
+    * are re-scored with EXACT cosine against the raw vectors, restoring
+    * near-exact recall while the full corpus is only ever touched by
+    * the compressed scan.
+    *
+    * Scale shape: the candidate set is |queries| x (refineFactor * k)
+    * rows — query-batch sized, never corpus sized. The raw-vector
+    * fetch is an equi-join of the corpus against that small id set
+    * (AQE broadcasts it), the query vectors broadcast, and the final
+    * top-k is a window over candidate pools. The corpus never
+    * self-joins and its raw vectors never shuffle.
+    */
+  private def refineExact(corpus: DataFrame, queries: DataFrame,
+                          embCol: String, idCol: String, qidCol: String,
+                          k: Int, cand: DataFrame,
+                          /** Round scores to this many digits BEFORE
+                            * ranking — the same libm-ulp determinism
+                            * clamp as the oracle queries: near-identical
+                            * vectors (planted near-dups) can differ by
+                            * <1 ulp in cosine, and an unrounded rank
+                            * would then depend on summation order. */
+                          scoreDigits: Option[Int] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    val q = queries.select(col(qidCol).as("qid"),
+                           col(embCol).cast("array<double>").as("qemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    val raw = cosine(col("cemb"), col("qemb"))
+    cand.select("qid", "cid")
+      .join(c, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cosine",
+                  scoreDigits.map(d => round(raw, d)).getOrElse(raw))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
+  /** [[pqTopK]] + exact re-rank of the top `refineFactor * k` ADC
+    * candidates per query. Output schema matches [[bruteForceTopK]]
+    * (exact cosine), and equals it whenever the true top-k survive the
+    * candidate pool. */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame,
+                    embCol: String, idCol: String, qidCol: String,
+                    k: Int, refineFactor: Int = 4, m: Int = 4,
+                    ksub: Int = 16,
+                    maxTrainSample: Int = 20000): DataFrame =
+    refineExact(corpus, queries, embCol, idCol, qidCol, k,
+                pqTopK(corpus, queries, embCol, idCol, qidCol,
+                       k * refineFactor, m, ksub, maxTrainSample))
+
+  /** [[pqTopKRefined]] with the portable deterministic codebooks.
+    * `scoreDigits` rounds exact scores before ranking (cross-engine
+    * replay determinism; None ranks on the raw double). */
+  def pqTopKRefinedPortable(corpus: DataFrame, queries: DataFrame,
+                            embCol: String, idCol: String,
+                            qidCol: String, k: Int, dim: Int,
+                            refineFactor: Int = 4, m: Int = 4,
+                            ksub: Int = 16,
+                            scoreDigits: Option[Int] = None): DataFrame =
+    refineExact(corpus, queries, embCol, idCol, qidCol, k,
+                pqTopKPortable(corpus, queries, embCol, idCol, qidCol,
+                               k * refineFactor, dim, m, ksub),
+                scoreDigits)
+
+  /** [[ivfPqTopK]] + exact re-rank — the full big-corpus composition:
+    * coarse cells bound the scanned fraction, PQ codes bound memory,
+    * the refine join restores exact scores on the survivors. */
+  def ivfPqTopKRefined(corpus: DataFrame, queries: DataFrame,
+                       embCol: String, idCol: String, qidCol: String,
+                       k: Int, refineFactor: Int = 4,
+                       nLists: Int = 16, nProbe: Int = 4,
+                       m: Int = 4, ksub: Int = 16,
+                       maxTrainSample: Int = 20000): DataFrame =
+    refineExact(corpus, queries, embCol, idCol, qidCol, k,
+                ivfPqTopK(corpus, queries, embCol, idCol, qidCol,
+                          k * refineFactor, nLists, nProbe, m, ksub,
+                          maxTrainSample))
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

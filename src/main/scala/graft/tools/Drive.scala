@@ -39,6 +39,34 @@ object Drive {
       require(nk <= n && nk > 0)
     }
 
+    // refine recall probe: does pqTopKRefinedPortable equal exact
+    // brute-force top-k at the driver-tested scales?
+    import graft.pipeline.Similarity
+    for (sf <- Seq("sf0.01", "sf0.1"); rf <- Seq(2, 4, 8)) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val qs = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val refined = Similarity.pqTopKRefinedPortable(
+          e, qs, "embedding", "vec_id", "qid", k = 5, dim = 64,
+          refineFactor = rf)
+        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("c"))
+      // exact: every (query, doc) pair, rounded-cosine ranking
+      val c = e.select(col("vec_id").as("cid"),
+                       col("embedding").cast("array<double>").as("cemb"))
+      val q2 = qs.select(col("qid"),
+                         col("embedding").cast("array<double>").as("qemb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("c"), col("cid"))
+      val exact = c.crossJoin(q2)
+        .withColumn("c",
+          round(Similarity.cosine(col("cemb"), col("qemb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("qid", "cid", "c")
+      val miss = exact.except(refined).count()
+      println(s"DRIVE refine $sf rf=$rf missed=$miss")
+    }
+
     // 2D + PW information() surfaces on real lineitem data
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       .withColumn("y", when(col("l_returnflag") === "R", 1.0)

@@ -259,6 +259,64 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("refined ANN equals brute-force exact top-k on clustered data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // pool (refineFactor 8 -> 40) covers the WHOLE 40-doc corpus, so
+    // this pins the refine stage in isolation: whatever order the ADC
+    // scan hands over, the exact re-rank must reproduce the brute-force
+    // ranking — including the within-region order PQ quantization ties
+    // cannot see. (ADC pool recall on larger corpora is covered by the
+    // trained-codebook PQ test above.)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val corpusDf = (0 until 40).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + 0.05 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queryDf = (0 until 8).map { i =>
+      val c = centers(i)
+      (1000L + i, c.map(v => (v + 0.05 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+
+    val refined = Similarity.pqTopKRefined(corpusDf, queryDf,
+        "embedding", "vec_id", "vec_id", k = 5, refineFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet
+    // exact ranking per query via a full cross join on this small data
+    val c = corpusDf.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<double>").as("cemb"))
+    val q = queryDf.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    val exact = c.crossJoin(q)
+      .withColumn("cos", Similarity.cosine(col("cemb"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("qid", "cid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // well-separated clusters + refineFactor 8 -> the true top-5 all
+    // survive the ADC pool, so refine restores the exact ranking
+    assert(refined == exact,
+           s"refined missed ${(exact -- refined).size} of ${exact.size}")
+
+    // the refined scores are true cosines (not ADC approximations)
+    val withScores = Similarity.pqTopKRefined(corpusDf, queryDf,
+        "embedding", "vec_id", "vec_id", k = 3, refineFactor = 8)
+      .join(c.withColumnRenamed("cid", "cid2"),
+            col("cid") === col("cid2"))
+      .join(q.withColumnRenamed("qid", "qid2"),
+            col("qid") === col("qid2"))
+      .withColumn("truecos", Similarity.cosine(col("cemb"), col("qemb")))
+      .select(col("cosine"), col("truecos")).collect()
+    assert(withScores.nonEmpty)
+    withScores.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("minhash skew guard: mega-cluster emits linear star pairs") {
     val spark = TestSpark.spark
     import spark.implicits._
