@@ -1456,6 +1456,21 @@ object SparkEntry {
                 .as("avg_cosine_pq"))
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup: IVF cells bound candidates, the
+      // in-cell cosine threshold marks lower-id-keeps-wins duplicates.
+      // Portable quantizer so assignment + pairing + threshold replay
+      // bit-exactly in DuckDB
+      val e = T(s, dir, "embeddings")
+      val flags = Similarity.semanticDedupPortable(e, "embedding",
+          "vec_id", dim = 64, threshold = 0.3, nLists = 16)
+      flags.agg(count(lit(1)).as("n_docs"),
+                sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+                sum(when(!col("is_dup"), 1L).otherwise(0L))
+                  .as("n_survivors"),
+                countDistinct(col("cell")).as("n_cells"))
+    }),
+
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
       // (deterministic doc sample so the oracle sees the same payloads)
@@ -1543,6 +1558,51 @@ object SparkEntry {
              round(sum("n_tokens") / (lit(512.0) * count(lit(1))), 6)
                .as("avg_fill"))
         .orderBy("shard")
+    }),
+
+    "q_token_chunks" -> ((s, dir) => {
+      // sliding-window token chunking (32-token chunks, stride 24 —
+      // 8-token overlap): generator projection only — no shuffle;
+      // exact-integer sums make the derived average order-independent
+      val d = T(s, dir, "documents")
+      Packing.tokenChunks(d, "doc_id",
+                          TextAnalysis.tokenCount(col("text")),
+                          chunkSize = 32, stride = 24)
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_chunks"),
+             sum("chunk_tokens").as("sum_chunk_tokens"),
+             sum(when(col("is_full"), 1L).otherwise(0L)).as("n_full"),
+             round(sum("chunk_tokens") / count(lit(1)), 6)
+               .as("avg_chunk_tokens"))
+    }),
+
+    "q_incremental_dedup" -> ((s, dir) => {
+      // cross-crawl incremental dedup: the doc_id%3==0 "new batch"
+      // against the rest-of-corpus "snapshot" — anti-join on the
+      // content fingerprint, then batch-internal min-id dedup
+      val d = T(s, dir, "documents")
+      val surv = Dedup.incrementalDedup(
+        d.where(col("doc_id") % 3 === 0),
+        d.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", portable = true)
+      surv.agg(count(lit(1)).as("n_new"),
+               min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+               sum("doc_id").as("id_sum"))
+    }),
+
+    "q_lm_score" -> ((s, dir) => {
+      // corpus-trained unigram-LM quality signal (CCNet-style): add-one
+      // smoothed per-token NLL, integerized before summing so the
+      // result is aggregation-order independent
+      val d = T(s, dir, "documents")
+      val nll = TextAnalysis.unigramNll(d, "text", "doc_id")
+      nll.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("n_tokens"),
+             round(-sum(col("nll_micro_sum")) /
+                   (lit(1e6) * sum(col("n_tokens"))), 6).as("avg_nll"))
+        .orderBy("source")
     }),
 
     "q_domain_mix" -> ((s, dir) => {
@@ -3265,6 +3325,47 @@ object SparkEntry {
                 round(avg(round(cosine, 6)), 6) AS avg_cosine
          FROM rk WHERE rank <= 5""",
 
+    // SemDeDup replay: same Lehmer IVF cell assignment as q_ivf_topk,
+    // then within-cell pairs with cosine >= 0.3 mark the higher id dup
+    "q_semantic_dedup" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cent AS (
+           SELECT l AS cell,
+                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647)
+                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 65)] AS ctr
+           FROM range(0, 16) t(l)),
+         ad AS (
+           SELECT vec_id, emb, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn
+           FROM (
+             SELECT e.vec_id, e.emb, c.cell,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      [ (e.emb[d] - c.ctr[d]) * (e.emb[d] - c.ctr[d])
+                        FOR d IN range(1, 65)]),
+                      (a, b) -> a + b) AS d2
+             FROM emb e CROSS JOIN cent c) t),
+         corpus AS (
+           SELECT vec_id AS cid, emb AS cemb, cell FROM ad WHERE rn = 1),
+         dup AS (
+           SELECT DISTINCT b.cid
+           FROM corpus a JOIN corpus b
+             ON a.cell = b.cell AND a.cid < b.cid
+           WHERE list_dot_product(a.cemb, b.cemb)
+                   / (sqrt(list_dot_product(a.cemb, a.cemb))
+                      * sqrt(list_dot_product(b.cemb, b.cemb))) >= 0.3)
+         SELECT count(*) AS n_docs,
+                count(d.cid)::BIGINT AS n_dups,
+                (count(*) - count(d.cid))::BIGINT AS n_survivors,
+                count(DISTINCT c.cell) AS n_cells
+         FROM corpus c LEFT JOIN dup d ON c.cid = d.cid""",
+
     // portable PQ: per-subspace Lehmer codebooks (p = 5000 + s*16 + c),
     // argmin encode with (d2, c) tie-break, ADC dot tables, rank by
     // approximate cosine — replays Similarity.pqTopKPortable bit-exactly
@@ -3761,6 +3862,79 @@ object SparkEntry {
                 sum(n_tokens) AS n_tokens,
                 round(sum(n_tokens) / (512.0 * count(*)), 6) AS avg_fill
          FROM sq GROUP BY 1 ORDER BY 1""",
+
+    "q_token_chunks" ->
+      // chunk starts via the list-valued range(0, ntok, 24) (exclusive
+      // stop == starts < ntok); DuckDB's generate_series table function
+      // cannot take lateral column args
+      """WITH t AS (
+           SELECT doc_id,
+                  (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                   END)::BIGINT AS ntok
+           FROM documents),
+         c AS (
+           SELECT doc_id, s AS chunk_start,
+                  least(32, ntok - s) AS chunk_tokens
+           FROM (SELECT doc_id, ntok, unnest(range(0, ntok, 24)) AS s
+                 FROM t WHERE ntok > 0))
+         SELECT count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_chunks,
+                sum(chunk_tokens)::BIGINT AS sum_chunk_tokens,
+                sum(CASE WHEN chunk_tokens = 32 THEN 1 ELSE 0
+                    END)::BIGINT AS n_full,
+                round(sum(chunk_tokens) / count(*), 6)
+                  AS avg_chunk_tokens
+         FROM c""",
+
+    "q_incremental_dedup" ->
+      // `is_null` not `isnull` — the latter collides with DuckDB's
+      // isnull() function form and fails to parse as an alias
+      """WITH snap AS (
+           SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g')) AS fp
+           FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+         bf AS (
+           SELECT doc_id, (text IS NULL) AS is_null,
+                  CASE WHEN text IS NULL THEN md5(doc_id::VARCHAR)
+                       ELSE md5(regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g')) END AS fp
+           FROM documents WHERE doc_id % 3 = 0),
+         fresh AS (
+           SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM snap)),
+         keep AS (
+           SELECT fp, is_null, min(doc_id) AS doc_id
+           FROM fresh GROUP BY 1, 2)
+         SELECT count(*) AS n_new, min(doc_id) AS min_id,
+                max(doc_id) AS max_id, sum(doc_id)::BIGINT AS id_sum
+         FROM keep""",
+
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents),
+         t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         counts AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS n_corpus, count(*) AS n_vocab
+                 FROM counts),
+         scored AS (
+           SELECT token,
+                  CAST(round(ln((cnt + 1.0) / (n_corpus + n_vocab))
+                             * 1000000.0) AS BIGINT) AS logp_micro
+           FROM counts CROSS JOIN tot),
+         docs AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+                  sum(logp_micro)::BIGINT AS nll
+           FROM t JOIN scored USING (token) GROUP BY 1)
+         SELECT d.source, count(*) AS n_docs,
+                sum(docs.n_tokens)::BIGINT AS n_tokens,
+                round(-sum(docs.nll) / (1000000.0 * sum(docs.n_tokens)),
+                      6) AS avg_nll
+         FROM docs JOIN documents d USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_domain_mix" ->
       """WITH w(src, p) AS (

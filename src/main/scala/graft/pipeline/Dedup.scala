@@ -122,6 +122,44 @@ object Dedup {
       .drop("__fp", "__null")
   }
 
+  /** Incremental (snapshot) dedup — the cross-crawl shape: a new batch
+    * of documents is deduplicated AGAINST an already-curated snapshot
+    * without rescanning the snapshot's text (only its fingerprint set).
+    * A batch row survives iff (a) its content fingerprint is absent from
+    * the snapshot and (b) it is the min-id holder of its fingerprint
+    * within the batch (batch-internal exact dedup).
+    *
+    * Scale shape: one anti equi-join on the 8-byte fingerprint (the
+    * snapshot side is fingerprints only — at 100 TB corpus scale that is
+    * the standard "seen-set" table, bucketable by fp for a shuffle-free
+    * join), then the same min-id aggregate + semi-join as [[exactDedup]]
+    * on the (much smaller) surviving batch. Null-text rows pass through
+    * like in [[exactDedup]].
+    *
+    * `portable = true` keys on md5 (replayable by external SQL engines,
+    * used by the oracled driver query); production keys on xxhash64.
+    */
+  def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
+                       textCol: String, idCol: String,
+                       portable: Boolean = false): DataFrame = {
+    def contentFp(c: Column): Column = {
+      val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+      if (portable) md5(norm) else xxhash64(norm).cast("string")
+    }
+    val seen = snapshot.where(col(textCol).isNotNull)
+      .select(contentFp(col(textCol)).as("__fp")).distinct()
+    val fresh = batch
+      .withColumn("__null", col(textCol).isNull)
+      .withColumn("__fp",
+        when(col("__null"), md5(col(idCol).cast("string")))
+          .otherwise(contentFp(col(textCol))))
+      .join(seen, Seq("__fp"), "left_anti")
+    val keep = fresh.groupBy("__fp", "__null")
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(keep, Seq("__fp", "__null", idCol), "left_semi")
+      .drop("__fp", "__null")
+  }
+
   /** Per-document banded MinHash signature, staged as materialized
     * projections: each intermediate (normalized text, shingle array,
     * signature) is computed ONCE per row. Nesting them in one expression

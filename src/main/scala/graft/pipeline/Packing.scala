@@ -70,4 +70,35 @@ object Packing {
       .groupBy("shard", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
            round(sum(col("tok")) / lit(seqLen.toDouble), 6).as("fill"))
+
+  /** Sliding-window token chunking — the context-window splitter for
+    * long-document training/RAG prep: each document yields chunks of up
+    * to `chunkSize` tokens starting every `stride` tokens (overlap =
+    * chunkSize - stride when stride < chunkSize). Documents with zero
+    * tokens yield no chunks.
+    *
+    * One narrow projection + a generator (`explode(sequence(...))`) —
+    * no shuffle, no window: chunk starts depend only on the document's
+    * own token count, so this scales embarrassingly (each scan task
+    * chunks its own documents). Output: (idCol, chunk_idx, chunk_start,
+    * chunk_tokens, is_full).
+    */
+  def tokenChunks(df: DataFrame, idCol: String, tokens: Column,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive; got $chunkSize")
+    require(stride > 0, s"stride must be positive; got $stride")
+    df.withColumn("__ntok", tokens.cast("long"))
+      .where(col("__ntok") > 0)
+      .select(col(idCol),
+              col("__ntok"),
+              explode(sequence(lit(0L), col("__ntok") - 1L,
+                               lit(stride.toLong))).as("chunk_start"))
+      .select(col(idCol),
+              (col("chunk_start") / lit(stride.toLong)).cast("long")
+                .as("chunk_idx"),
+              col("chunk_start"),
+              least(lit(chunkSize.toLong),
+                    col("__ntok") - col("chunk_start")).as("chunk_tokens"))
+      .withColumn("is_full", col("chunk_tokens") === lit(chunkSize.toLong))
+  }
 }

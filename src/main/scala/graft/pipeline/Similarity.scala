@@ -617,6 +617,69 @@ object Similarity {
                           k * refineFactor, nLists, nProbe, m, ksub,
                           maxTrainSample))
 
+  /** SemDeDup-style semantic deduplication: documents whose embeddings
+    * are near-identical in meaning (cosine >= threshold) are collapsed to
+    * one survivor per near-dup relation. The corpus is first partitioned
+    * into IVF cells by the coarse quantizer (bounding the candidate set
+    * per item to its cell — never all-pairs), then within each cell the
+    * deterministic rule "drop x if some lower-id y in the cell has
+    * cos(x, y) >= threshold" marks duplicates.
+    *
+    * Scale shape: cell assignment is one narrow projection (native
+    * nearest-cell kernel); the only join is a self equi-join on `cell`,
+    * so candidate pairs are bounded by the per-cell population — at
+    * 100 TB, raise `nLists` so cells stay ~1e4 items (pairwise within a
+    * cell is then ~1e8 cheap dot products spread across executors, and
+    * AQE's skew-join split handles hot cells). This mirrors the
+    * published SemDeDup recipe (cluster, then pairwise inside clusters).
+    *
+    * Returns one row per input: (cid, cell, is_dup).
+    */
+  def semanticDedup(corpus: DataFrame, embCol: String, idCol: String,
+                    threshold: Double = 0.95, nLists: Int = 16,
+                    maxTrainSample: Int = 20000): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    val sample = trainSample(c, maxTrainSample)
+    val centroids =
+      if (sample.isEmpty) Array(Array.fill(1)(0.0))
+      else sampleKMeans(sample, nLists, iters = 10, seed = 7)
+    semanticDedupFlags(c, threshold, centroids)
+  }
+
+  /** [[semanticDedup]] with the portable deterministic quantizer — no
+    * training scan, and every stage (assignment, in-cell pairing, cosine
+    * threshold) is arithmetic an external SQL engine replays bit-exactly
+    * (the oracled driver query uses this variant). */
+  def semanticDedupPortable(corpus: DataFrame, embCol: String,
+                            idCol: String, dim: Int,
+                            threshold: Double = 0.95,
+                            nLists: Int = 16): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+                          col(embCol).cast("array<double>").as("cemb"))
+    semanticDedupFlags(c, threshold, portableCentroids(nLists, dim))
+  }
+
+  private def semanticDedupFlags(c: DataFrame, threshold: Double,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val assigned = c.withColumn("cell",
+                                nearestCellExpr(centroids)(col("cemb")))
+    val a = assigned.select(col("cell"), col("cid").as("id_a"),
+                            col("cemb").as("emb_a"))
+    val b = assigned.select(col("cell"), col("cid").as("id_b"),
+                            col("cemb").as("emb_b"))
+    // dup = any lower-id cell-mate above the cosine threshold; DISTINCT
+    // collapses multiple witnesses before the (small) flag join back
+    val dups = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+             cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("cid")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dups, Seq("cid"), "left")
+      .select(col("cid"), col("cell"),
+              coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

@@ -246,4 +246,47 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
   }
+
+  /** CCNet-style language-model quality score: a unigram word LM with
+    * add-one smoothing is trained on the corpus itself, and each
+    * document is scored by its per-token negative log-likelihood
+    * (low NLL = typical text, high NLL = rare-word noise — the standard
+    * perplexity-bucket curation signal).
+    *
+    * Plan shape: one token explode + groupBy trains the LM (shuffle
+    * bounded by |vocab| x partitions after map-side combine), a scalar
+    * subquery-style cross of the (1-row) corpus totals, then one
+    * token→count equi-join and a per-doc re-aggregate. At 100 TB the
+    * vocab table is the only broadcast-unsafe piece — it stays an equi
+    * shuffle join (hot tokens like "the" are high-frequency but the
+    * count table has ONE row per token, so no skew on the build side).
+    *
+    * Determinism across engines: per-token log-probabilities are
+    * integerized (`round(ln(p) * 1e6)` as BIGINT) before any sum, so
+    * aggregation order cannot move the result — same discipline as the
+    * seq-packing fix. Returns one row per non-empty document:
+    * (idCol, n_tokens, nll_micro_sum) with
+    * `avg_nll = -nll_micro_sum / (1e6 * n_tokens)` derivable exactly.
+    */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+                     t => t =!= "")).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("n_corpus"),
+                            count(lit(1)).as("n_vocab"))
+    // add-one smoothed log-prob, integerized at 6 digits for
+    // order-independent exact BIGINT sums downstream
+    val logpMicro = round(
+      log((col("cnt") + 1.0) / (col("n_corpus") + col("n_vocab"))) *
+        lit(1e6)).cast("long")
+    val scored = counts.crossJoin(broadcast(totals))
+      .select(col("token"), logpMicro.as("logp_micro"))
+    toks.join(scored, Seq("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+           sum("logp_micro").as("nll_micro_sum"))
+  }
 }

@@ -2,8 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators._
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Packing, Similarity, TextAnalysis}
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -18,64 +17,53 @@ object Drive {
     }
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     docs.count()
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb.count()
 
-    // vocabTopK: result + plan shape (partial agg before the shuffle,
-    // TakeOrdered instead of a global sort)
-    val vocab = TextAnalysis.vocabTopK(docs, "text", "doc_id", k = 10)
-    phase("vocabTopK") {
-      vocab.collect().foreach(r => println(s"DRIVE   vocab $r"))
-    }
-    val vplan = vocab.queryExecution.executedPlan.toString
-    println("DRIVE vocab TakeOrdered=" + vplan.contains("TakeOrderedAndProject")
-      + " partialAgg=" + vplan.contains("partial"))
-
-    // dedupSurvivors on the 0.1 corpus: kept count vs corpus count
-    phase("dedupSurvivors") {
-      val kept = Dedup.dedupSurvivors(docs, "text", "doc_id",
-        col("n_chars"), jaccardThreshold = 0.5, numHashes = 32, bands = 8,
-        jaccardNgram = 3)
-      val (n, nk) = (docs.count(), kept.count())
-      println(s"DRIVE   corpus=$n kept=$nk dropped=${n - nk}")
-      require(nk <= n && nk > 0)
+    // tokenChunks: plan must be scan -> generate -> project, NO shuffle
+    val chunks = Packing.tokenChunks(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), chunkSize = 256, stride = 192)
+    val cplan = chunks.queryExecution.executedPlan.toString
+    println("DRIVE chunks noExchange=" + !cplan.contains("Exchange") +
+      " generate=" + cplan.contains("Generate"))
+    phase("tokenChunks") {
+      val agg = chunks.agg(count(lit(1)), sum("chunk_tokens")).collect()(0)
+      println(s"DRIVE   n_chunks=${agg.getLong(0)} tok=${agg.getLong(1)}")
     }
 
-    // refine recall probe: does pqTopKRefinedPortable equal exact
-    // brute-force top-k at the driver-tested scales?
-    import graft.pipeline.Similarity
-    for (sf <- Seq("sf0.01", "sf0.1"); rf <- Seq(2, 4, 8)) {
-      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
-      val qs = e.where(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      val refined = Similarity.pqTopKRefinedPortable(
-          e, qs, "embedding", "vec_id", "qid", k = 5, dim = 64,
-          refineFactor = rf)
-        .select(col("qid"), col("cid"), round(col("cosine"), 6).as("c"))
-      // exact: every (query, doc) pair, rounded-cosine ranking
-      val c = e.select(col("vec_id").as("cid"),
-                       col("embedding").cast("array<double>").as("cemb"))
-      val q2 = qs.select(col("qid"),
-                         col("embedding").cast("array<double>").as("qemb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(desc("c"), col("cid"))
-      val exact = c.crossJoin(q2)
-        .withColumn("c",
-          round(Similarity.cosine(col("cemb"), col("qemb")), 6))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select("qid", "cid", "c")
-      val miss = exact.except(refined).count()
-      println(s"DRIVE refine $sf rf=$rf missed=$miss")
+    // semanticDedup: one cell-assign projection + one equi self-join on
+    // cell; count survivors at sf0.1
+    phase("semanticDedup") {
+      val flags = Similarity.semanticDedupPortable(emb, "embedding",
+        "vec_id", dim = 64, threshold = 0.3, nLists = 16)
+      val r = flags.agg(count(lit(1)),
+        sum(when(col("is_dup"), 1L).otherwise(0L))).collect()(0)
+      println(s"DRIVE   n=${r.getLong(0)} dups=${r.getLong(1)}")
+    }
+    val splan = Similarity.semanticDedupPortable(emb, "embedding",
+      "vec_id", dim = 64, threshold = 0.3, nLists = 16)
+      .queryExecution.executedPlan.toString
+    println("DRIVE semdedup sortMergeOrHash=" +
+      (splan.contains("SortMergeJoin") || splan.contains("ShuffledHashJoin")) +
+      " noCartesian=" + !splan.contains("Cartesian"))
+
+    // incrementalDedup at sf0.1: batch vs snapshot counts
+    phase("incrementalDedup") {
+      val surv = Dedup.incrementalDedup(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      println(s"DRIVE   new=${surv.count()}")
     }
 
-    // 2D + PW information() surfaces on real lineitem data
-    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
-        .otherwise(0.0))
-    val f2 = OptimalBinning2D.fit(li, "l_extendedprice", "l_quantity",
-                                  "y", OptimalBinning2D.Config2D())
-    println(f2.information())
-    val pw = PWBinning.fit(li, "l_extendedprice", "y")
-    println(pw.information())
+    // unigramNll at sf0.1: per-source NLL summary
+    phase("unigramNll") {
+      val nll = TextAnalysis.unigramNll(docs, "text", "doc_id")
+      val r = nll.agg(count(lit(1)), sum("n_tokens"),
+                      sum("nll_micro_sum")).collect()(0)
+      val avg = -r.getLong(2).toDouble / (1e6 * r.getLong(1))
+      println(f"DRIVE   docs=${r.getLong(0)} tokens=${r.getLong(1)} " +
+        f"avg_nll=$avg%.4f")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+/** Specs for the round-6 pipeline additions: semantic dedup, token
+  * chunking, incremental (snapshot) dedup, and the unigram-LM quality
+  * score. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  test("semanticDedup drops the higher id of a near-identical pair " +
+       "and keeps dissimilar vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // ~dup of 1
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal
+      (4L, Array(0.998f, 0.02f, 0.0f, 0.0f))  // ~dup of 1 and 2
+    ).toDF("vec_id", "embedding")
+    // nLists = 1 puts everything in one cell: pure threshold semantics
+    val flags = Similarity.semanticDedup(e, "embedding", "vec_id",
+        threshold = 0.95, nLists = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("semanticDedupPortable matches a brute-force in-cell replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dim = 8
+    val e = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j =>
+        (math.sin(i * 31 + j * 7) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val flags = Similarity.semanticDedupPortable(e, "embedding", "vec_id",
+        dim = dim, threshold = 0.8, nLists = 4)
+    // replay: for each (cell, id) pair marked dup there must exist a
+    // lower-id cell-mate above threshold, and vice versa
+    val rows = flags.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val byCell = rows.groupBy(_._2)
+    val emb = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+           math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((_, members) <- byCell; (id, _, isDup) <- members) {
+      val expect = members.exists { case (o, _, _) =>
+        o < id && cos(emb(o), emb(id)) >= 0.8 }
+      assert(isDup == expect, s"id $id")
+    }
+  }
+
+  test("tokenChunks yields strided windows with a short tail and " +
+       "skips empty/null docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c"),                          // 3 tokens: one partial
+      (3L, ""),                               // no chunks
+      (4L, null.asInstanceOf[String])         // no chunks
+    ).toDF("doc_id", "text")
+    val got = Packing.tokenChunks(d, "doc_id",
+        TextAnalysis.tokenCount(col("text")), chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L, true), (1L, 1L, 3L, 4L, true),
+      (1L, 2L, 6L, 4L, true), (1L, 3L, 9L, 1L, false),
+      (2L, 0L, 0L, 3L, false)))
+  }
+
+  test("incrementalDedup anti-joins the snapshot then dedups the batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val snapshot = Seq(
+      (100L, "seen before"), (101L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen  before"),   // dup of snapshot after normalization
+      (2L, "brand new"),
+      (3L, "brand new"),      // batch-internal dup of 2
+      (4L, null.asInstanceOf[String]), // null text always passes
+      (5L, "ALSO SEEN")       // case-normalized dup of snapshot
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, snapshot, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L))
+    // portable variant agrees
+    val gotP = Dedup.incrementalDedup(batch, snapshot, "text", "doc_id",
+                                      portable = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(gotP.toSeq == Seq(2L, 4L))
+  }
+
+  test("unigramNll computes add-one smoothed token NLL exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.unigramNll(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // counts: a->2, b->2, c->1; N=5, V=3 => p(a)=p(b)=3/8, p(c)=2/8
+    def micro(p: Double): Long = math.round(math.log(p) * 1e6)
+    val la = micro(3.0 / 8); val lc = micro(2.0 / 8)
+    assert(res(1L) == ((3L, 2 * la + la)))
+    assert(res(2L) == ((2L, la + lc)))
+    assert(!res.contains(3L)) // empty doc has no tokens
+  }
+}
