@@ -1605,6 +1605,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_bm25_topk" -> ((s, dir) => {
+      // full-text BM25 search: top-10 docs for a 3-term query; postings
+      // are filtered to query terms BEFORE any shuffle, scores are
+      // integerized per term for order-independent per-doc sums
+      val d = T(s, dir, "documents")
+      Search.bm25TopK(d, "text", "doc_id",
+                      Seq("spark", "window", "merge"), k = 10)
+    }),
+
     "q_domain_mix" -> ((s, dir) => {
       // waterfilled domain-mixture resampling: src0:src1:src2 = 2:1:1
       // (exact binary weights), other sources dropped; deterministic
@@ -3935,6 +3944,41 @@ object SparkEntry {
                       6) AS avg_nll
          FROM docs JOIN documents d USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+
+    // BM25 replay: expression grouping mirrors the Spark build exactly
+    // ((idf * tfnorm) * 1e6, integerized, summed as BIGINT per doc)
+    "q_bm25_topk" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                   END)::DOUBLE AS len
+           FROM documents),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n_corpus,
+                  sum(len) / count(*)::DOUBLE AS avg_len
+           FROM d),
+         tk AS (
+           SELECT doc_id, len,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM d),
+         p AS (
+           SELECT doc_id, len, token, count(*)::DOUBLE AS tf
+           FROM tk WHERE token IN ('spark', 'window', 'merge')
+           GROUP BY 1, 2, 3),
+         dfc AS (SELECT token, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         sc AS (
+           SELECT doc_id,
+                  CAST(round(
+                    ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg_len)))
+                    * 1000000.0) AS BIGINT) AS part
+           FROM p JOIN dfc USING (token) CROSS JOIN stats)
+         SELECT doc_id AS id, round(sum(part) / 1000000.0, 6) AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 10""",
 
     "q_domain_mix" ->
       """WITH w(src, p) AS (

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text keyword search over a document corpus: BM25 ranking.
+  *
+  * Plan shape (the part that matters at 100 TB):
+  *  - corpus-wide statistics (N, avg doc length) come from ONE narrow
+  *    aggregate over a token-count projection — no explode, no shuffle
+  *    of tokens;
+  *  - the token explode is filtered to the query's terms BEFORE any
+  *    shuffle (`array_contains` on a literal array), so the exploded
+  *    relation is |docs matching any term| x |query terms| — for a
+  *    10-term query this is a sliver of the corpus, not a token dump;
+  *  - document length rides in the aggregate key (it is functionally
+  *    dependent on the doc id), so no join back to the corpus is needed;
+  *  - per-term document frequencies are a tiny aggregate (≤ |query|
+  *    rows) broadcast into the scoring join.
+  * Net: one full scan (stats) + one filtered scan (postings), two small
+  * shuffles, a broadcast join, and a TakeOrdered top-k.
+  */
+object Search {
+
+  /** BM25 top-k: rank documents for a bag-of-words query.
+    * Standard Robertson/Sparck-Jones BM25 with the "+1" idf variant
+    * (always positive, as used by Lucene):
+    * idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    * score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avgLen)).
+    *
+    * `scoreDigits` rounds the score before ranking (ties break by id)
+    * so rankings replay identically across engines.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int, k1: Double = 1.2,
+               b: Double = 0.75, scoreDigits: Int = 6): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val qTerms = array(query.map(t => lit(t.toLowerCase)): _*)
+    val nTok = TextAnalysis.tokenCount(col(textCol)).cast("double")
+
+    // one narrow pass: corpus size and average length (exact int sums)
+    val stats = df.agg(count(lit(1)).cast("double").as("n_corpus"),
+                       sum(nTok).as("len_sum"))
+      .select(col("n_corpus"),
+              (col("len_sum") / col("n_corpus")).as("avg_len"))
+
+    // postings: explode ONLY the query-matching tokens; doc length is
+    // carried in the group key (functionally dependent on the id)
+    val postings = df
+      .select(col(idCol).as("id"), nTok.as("len"),
+              explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+                             t => array_contains(qTerms, t))).as("token"))
+      .groupBy("id", "len", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // per-term document frequency: at most |query| rows
+    val dfc = postings.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) +
+      (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("len") / col("avg_len")))
+
+    // per-term score contributions are integerized before the per-doc
+    // sum (exact BIGINT adds are aggregation-order independent; a float
+    // sum over shuffled term rows is not)
+    val scale = math.pow(10, scoreDigits)
+    postings
+      .join(broadcast(dfc), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+              round(idf * tfNorm * lit(scale)).cast("long")
+                .as("part_scaled"))
+      .groupBy("id")
+      .agg(round(sum(col("part_scaled")) / lit(scale), scoreDigits)
+             .as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+}

@@ -101,6 +101,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gotP.toSeq == Seq(2L, 4L))
   }
 
+  test("bm25TopK ranks by the exact BM25 formula and omits non-matches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "dog")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(d, "text", "doc_id",
+        Seq("apple", "cherry"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // N=3, avgLen=2, df(apple)=df(cherry)=1 => idf = ln(1 + 2.5/1.5)
+    val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    def tfn(tf: Double, len: Double): Double =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / 2.0))
+    def sc(parts: Seq[(Double, Double)]): Double = {
+      val micro = parts.map { case (tf, len) =>
+        math.round(idf * tfn(tf, len) * 1e6) }.sum
+      BigDecimal(micro / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 never matches
+    assert(got.toMap == Map(1L -> sc(Seq((2.0, 3.0))),
+                            2L -> sc(Seq((1.0, 2.0)))))
+  }
+
   test("unigramNll computes add-one smoothed token NLL exactly") {
     val spark = TestSpark.spark
     import spark.implicits._
