@@ -578,6 +578,44 @@ final class FittedBinningProcess(
 
   def selectedVariables: Array[String] = variables.filter(support)
 
+  /** Fitted model for one variable (`get_binned_variable`,
+    * `binning_process.py:944-961`). */
+  def getBinnedVariable(name: String): FittedOptimalBinning =
+    fits.getOrElse(name, throw new IllegalArgumentException(
+      s"name $name does not match a binned variable"))
+
+  /** Replace one variable's fitted model (`update_binned_variable`,
+    * `binning_process.py:963-1016`) — e.g. after re-fitting it with
+    * hand-tuned parameters. Returns a NEW process (immutability keeps
+    * broadcast copies of the old one valid); support and summary are
+    * re-derived lazily from the updated fit set. */
+  def updated(name: String, optb: FittedOptimalBinning)
+      : FittedBinningProcess = {
+    if (!fits.contains(name))
+      throw new IllegalArgumentException(
+        s"name $name does not match a binned variable")
+    if (optb.config.name.nonEmpty && optb.config.name != name)
+      throw new IllegalArgumentException(
+        s"name and object name must coincide; $name != ${optb.config.name}")
+    new FittedBinningProcess(variables, fits + (name -> optb), selection)
+  }
+
+  /** Overview text (`information()`,
+    * `binning_process.py:892-918`): variable counts by dtype and
+    * status, and the selection outcome. */
+  def information(): String = {
+    val nNum = variables.count(v => fits(v).config.dtype == "numerical")
+    val byStatus = variables.map(v => fits(v).status)
+      .groupBy(identity).view.mapValues(_.length).toMap
+      .toSeq.sortBy(_._1)
+      .map { case (s, n) => s"$s=$n" }.mkString(", ")
+    f"""binning process: ${variables.length}%d variables
+       |  numerical        $nNum%d
+       |  categorical      ${variables.length - nNum}%d
+       |  selected         ${selectedVariables.length}%d
+       |  status           $byStatus%s""".stripMargin
+  }
+
   /** Wide transform: metric column per selected variable. */
   /** Wide transform: one generated CASE per selected variable in a
     * single projection. `transformParams` carries per-variable

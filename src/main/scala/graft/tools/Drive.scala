@@ -55,6 +55,23 @@ object Drive {
       println(s"DRIVE   new=${surv.count()}")
     }
 
+    // BinningProcess parity surface: information + updated
+    phase("processInfo") {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+          .otherwise(0.0))
+      val proc = graft.operators.BinningProcess.fit(
+        li, Seq("l_extendedprice", "l_quantity"), "y",
+        config = graft.operators.BinningConfig())
+      println(proc.information())
+      val refit = graft.operators.OptimalBinning.fit(li, "l_quantity", "y",
+        graft.operators.BinningConfig(name = "l_quantity",
+                                      maxNBins = Some(2)))
+      val upd = proc.updated("l_quantity", refit)
+      println(s"DRIVE   updated bins=" +
+        upd.getBinnedVariable("l_quantity").nDataBins)
+    }
+
     // unigramNll at sf0.1: per-source NLL summary
     phase("unigramNll") {
       val nll = TextAnalysis.unigramNll(docs, "text", "doc_id")

@@ -108,6 +108,28 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(out.count() == df.count())
   }
 
+  test("BinningProcess: getBinnedVariable / updated / information") {
+    val proc = BinningProcess.fit(
+      li, Seq("l_extendedprice", "l_quantity"), "y",
+      config = BinningConfig())
+    assert(proc.getBinnedVariable("l_quantity").eq(proc.fits("l_quantity")))
+    intercept[IllegalArgumentException] {
+      proc.getBinnedVariable("nope")
+    }
+    // update one variable with a hand-refit (coarser) model
+    val refit = OptimalBinning.fit(li, "l_quantity", "y",
+      BinningConfig(name = "l_quantity", maxNBins = Some(2)))
+    val upd = proc.updated("l_quantity", refit)
+    assert(upd.fits("l_quantity").eq(refit))
+    assert(upd.fits("l_extendedprice").eq(proc.fits("l_extendedprice")))
+    assert(proc.fits("l_quantity").ne(refit)) // original untouched
+    intercept[IllegalArgumentException] {
+      proc.updated("nope", refit)
+    }
+    val info = proc.information()
+    assert(info.contains("2 variables") && info.contains("selected"))
+  }
+
   test("BinningProcess: wide batch takes the melted Pass A and matches " +
        "the un-melted path") {
     val dfBase = li.select(col("y"), col("l_extendedprice"),
