@@ -592,6 +592,24 @@ final class FittedScorecard(
   def score(df: DataFrame, keepCols: Seq[String] = Seq.empty): DataFrame =
     df.select(keepCols.map(col) :+ scoreColumn().as("score"): _*)
 
+  /** Scorecard table (`scorecard.py:423-453`): "summary" =
+    * (variable, bin, points); "detailed" adds bin id, count, event
+    * rate, WoE, and the estimator coefficient. */
+  def table(spark: org.apache.spark.sql.SparkSession,
+            style: String = "summary"): DataFrame = {
+    import spark.implicits._
+    val full = pointsTable.toSeq.toDF(
+      "variable", "bin_id", "bin", "count", "event_rate", "woe",
+      "coefficient", "points")
+    style match {
+      case "summary"  => full.select("variable", "bin", "points")
+      case "detailed" => full
+      case other => throw new IllegalArgumentException(
+        s"""Invalid value for style. Allowed string values are "summary" """ +
+        s"""and "detailed"; got $other""")
+    }
+  }
+
   /** Predicted class label via the probability threshold
     * (`scorecard.py:335-354` predict). */
   def predictColumn(threshold: Double = 0.5): Column =

@@ -222,6 +222,18 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(row.getDouble(0) < 0, s"corr ${row.getDouble(0)}")
   }
 
+  test("Scorecard.table styles: summary vs detailed columns") {
+    val spark = TestSpark.spark
+    val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"), "y")
+    val summary = sc.table(spark)
+    assert(summary.columns.toSeq == Seq("variable", "bin", "points"))
+    val detailed = sc.table(spark, "detailed")
+    assert(detailed.columns.toSeq == Seq("variable", "bin_id", "bin",
+      "count", "event_rate", "woe", "coefficient", "points"))
+    assert(summary.count() == detailed.count() && summary.count() > 0)
+    intercept[IllegalArgumentException] { sc.table(spark, "nope") }
+  }
+
   test("Scorecard metric_special/metric_missing: reference-default zero " +
        "points on special bins, empirical restores fitted WoE") {
     val df = li
