@@ -1605,6 +1605,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_curation_pipeline" -> ((s, dir) => {
+      // the composed pretraining-curation chain, end to end: exact
+      // dedup -> quality gate -> benchmark decontamination -> sequence
+      // packing, with per-stage survivor counts as the oracle surface.
+      // Catalyst fuses each stage's semi/anti join into one corpus
+      // pipeline; the count branches share scans via reused stages
+      val d = T(s, dir, "documents")
+      val bench = d.where(col("doc_id") < 20)
+      val corpus = d.where(col("doc_id") >= 20)
+      val deduped = Dedup.exactDedup(corpus, "text", "doc_id",
+                                     portable = true)
+      val quality = deduped.where(
+        TextAnalysis.qualityScore(col("text")) >= 0.9)
+      val clean = Curation.curateForTraining(corpus, bench, "text",
+        "doc_id", qualityMin = 0.9, gramN = 5, portable = true)
+      val packed = Packing.sequenceStats(clean, "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512, nShards = 8)
+      corpus.agg(count(lit(1)).as("n_input"))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(packed.agg(count(lit(1)).as("n_seqs"),
+                              sum("n_tokens").as("n_tokens")))
+    }),
+
     "q_bm25_topk" -> ((s, dir) => {
       // full-text BM25 search: top-10 docs for a 3-term query; postings
       // are filtered to query terms BEFORE any shuffle, scores are
@@ -3944,6 +3969,117 @@ object SparkEntry {
                       6) AS avg_nll
          FROM docs JOIN documents d USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+
+    // full curation-chain replay: md5 exact-dedup keep set, the
+    // q_quality_score formula, string 5-gram decontamination (the
+    // q_contamination CTEs), and the q_seq_packing window — stage
+    // counts as scalar subqueries
+    "q_curation_pipeline" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+         bf AS (
+           SELECT doc_id, text, (text IS NULL) AS is_null,
+                  CASE WHEN text IS NULL THEN md5(doc_id::VARCHAR)
+                       ELSE md5(regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g')) END AS fp
+           FROM corpus),
+         keep AS (
+           SELECT fp, is_null, min(doc_id) AS doc_id
+           FROM bf GROUP BY 1, 2),
+         dd AS (
+           SELECT bf.doc_id, bf.text
+           FROM bf JOIN keep USING (fp, is_null, doc_id)),
+         feat AS (
+           SELECT doc_id, text,
+                  length(text)::DOUBLE AS n_chars,
+                  (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                   END)::DOUBLE AS n_tokens,
+                  length(regexp_extract_all(text,
+                    '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['the','and','of','to','a','in','is','that','for',
+                     'with']))::DOUBLE AS n_stop
+           FROM dd),
+         scored AS (
+           SELECT doc_id, text,
+                  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                        THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN (CASE WHEN n_tokens > 0
+                              THEN (n_chars - (n_tokens - 1)) / n_tokens
+                              ELSE 0 END) >= 2
+                         AND (CASE WHEN n_tokens > 0
+                              THEN (n_chars - (n_tokens - 1)) / n_tokens
+                              ELSE 0 END) <= 12
+                        THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN (CASE WHEN n_chars > 0
+                              THEN n_punct / n_chars ELSE 0 END) <= 0.2
+                        THEN 0.2 ELSE 0.0 END)
+                + (CASE WHEN (CASE WHEN n_tokens > 0
+                              THEN n_stop / n_tokens ELSE 0 END) >= 0.05
+                        THEN 0.2 ELSE 0.0 END) AS quality
+           FROM feat),
+         q AS (SELECT doc_id, text FROM scored WHERE quality >= 0.9),
+         qtok AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS t
+           FROM q),
+         qgrams AS (
+           SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, greatest(len(t) - 4, 0)))
+                          AS i
+                 FROM qtok)
+           UNION ALL
+           SELECT doc_id, array_to_string(t, ' ') AS g
+           FROM qtok WHERE len(t) < 5),
+         btok AS (
+           SELECT string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS t
+           FROM documents WHERE doc_id < 20),
+         bgrams AS (
+           SELECT DISTINCT g FROM (
+             SELECT array_to_string(t[i:i+4], ' ') AS g
+             FROM (SELECT t,
+                          unnest(generate_series(1,
+                                                 greatest(len(t) - 4, 0)))
+                            AS i
+                   FROM btok)
+             UNION ALL
+             SELECT array_to_string(t, ' ') AS g
+             FROM btok WHERE len(t) < 5)),
+         cont AS (SELECT DISTINCT doc_id FROM qgrams JOIN bgrams USING (g)),
+         clean AS (
+           SELECT doc_id, text FROM q
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         ptok AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                    % 8 AS shard,
+                  least(CASE WHEN text IS NULL
+                               OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+')) END,
+                        512)::BIGINT AS tok
+           FROM clean),
+         pk AS (
+           SELECT shard, tok,
+                  floor((sum(tok) OVER (PARTITION BY shard
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         - tok) / 512.0)::BIGINT AS seq_id
+           FROM ptok),
+         sq AS (
+           SELECT shard, seq_id, sum(tok) AS n_tokens
+           FROM pk GROUP BY 1, 2)
+         SELECT (SELECT count(*) FROM corpus) AS n_input,
+                (SELECT count(*) FROM dd) AS n_dedup,
+                (SELECT count(*) FROM q) AS n_quality,
+                (SELECT count(*) FROM clean) AS n_clean,
+                (SELECT count(*) FROM sq) AS n_seqs,
+                (SELECT sum(n_tokens)::BIGINT FROM sq) AS n_tokens""",
 
     // BM25 replay: expression grouping mirrors the Spark build exactly
     // ((idf * tfnorm) * 1e6, integerized, summed as BIGINT per doc)

@@ -152,4 +152,29 @@ object Curation {
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .withColumn("split", hashSplit(col(idCol)))
   }
+
+  /** Pretraining-corpus curation chain: exact dedup (min-id canonical)
+    * -> absolute quality gate -> benchmark decontamination (drop any
+    * doc sharing a word `gramN`-gram with the eval set). The stages are
+    * the library's own operators composed as lazy DataFrames — Catalyst
+    * fuses the dedup semi-join, the quality predicate, and the
+    * decontamination anti-join into one pipeline over the corpus scan;
+    * the benchmark side is a broadcast gram set.
+    *
+    * `portable = true` switches every stage to its external-SQL
+    * replayable form (md5 keys, string grams) — used by the oracled
+    * driver query; production uses the 8-byte hashed forms.
+    */
+  def curateForTraining(corpus: DataFrame, benchmark: DataFrame,
+                        textCol: String, idCol: String,
+                        qualityMin: Double = 0.5, gramN: Int = 5,
+                        portable: Boolean = false): DataFrame = {
+    val deduped = Dedup.exactDedup(corpus, textCol, idCol, portable)
+    val quality = deduped.where(
+      TextAnalysis.qualityScore(col(textCol)) >= qualityMin)
+    val contaminated = Dedup
+      .contamination(quality, benchmark, textCol, idCol, gramN, portable)
+      .select(col("id").as(idCol))
+    quality.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -109,12 +109,21 @@ object Dedup {
     * never duplicates of anything and all pass through: their group key
     * is the (unique) doc id, not the degenerate null fingerprint.
     */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, textCol: String, idCol: String,
+                 /** md5 content keys (replayable by external SQL
+                   * engines) instead of the production xxhash64. */
+                 portable: Boolean = false): DataFrame = {
+    val contentFp =
+      if (portable)
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      else TextAnalysis.fingerprint(col(textCol)).cast("string")
     val fp = df
       .withColumn("__null", col(textCol).isNull)
       .withColumn("__fp",
-        when(col("__null"), xxhash64(col(idCol)))
-          .otherwise(TextAnalysis.fingerprint(col(textCol))))
+        when(col("__null"),
+             if (portable) md5(col(idCol).cast("string"))
+             else xxhash64(col(idCol)).cast("string"))
+          .otherwise(contentFp))
     // __null rides in the group key so a hash collision between a row
     // id and a content fingerprint still cannot merge the two worlds
     val keep = fp.groupBy("__fp", "__null").agg(min(col(idCol)).as(idCol))

@@ -126,6 +126,31 @@ class PipelineOpsSpec extends AnyFunSuite {
                             2L -> sc(Seq((1.0, 2.0)))))
   }
 
+  test("curateForTraining chains dedup, quality gate, and " +
+       "decontamination") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val prose = "the cat sat on a mat and the dog is that for " +
+      "with quiet joy in a warm sun today again" // good quality
+    val bench = Seq((900L, "leak five gram span here exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, prose),
+      (2L, prose),                                  // exact dup of 1
+      (3L, "x y"),                                  // too short: quality
+      (4L, prose + " leak five gram span here exactly") // contaminated
+    ).toDF("doc_id", "text")
+    val out = Curation.curateForTraining(corpus, bench, "text", "doc_id",
+        qualityMin = 0.9, gramN = 5, portable = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L))
+    // threshold relaxed: the short doc is still dropped only by quality
+    val out2 = Curation.curateForTraining(corpus, bench, "text", "doc_id",
+        qualityMin = 0.0, gramN = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == Seq(1L, 3L))
+  }
+
   test("unigramNll computes add-one smoothed token NLL exactly") {
     val spark = TestSpark.spark
     import spark.implicits._
