@@ -100,6 +100,51 @@ object ScaleProbe {
         spark.catalog.clearCache()
       }
     }
+
+    // round-6 curation/search paths. semanticDedup's documented scaling
+    // knob is nLists (cells stay ~constant-size as the corpus grows),
+    // so the probe raises it with mult — cost should track corpus size,
+    // not corpus^2. BM25 and the curation chain are scan-bound;
+    // unigramNll adds one vocab-bounded shuffle + one token join.
+    Seq(1, 4, 16).foreach { mult =>
+      def rep(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        if (mult == 1) df
+        else df.crossJoin(
+            spark.range(mult.toLong).select(col("id").as("__rep")))
+          .withColumn(idCol,
+            col(idCol) * mult + col("__rep")).drop("__rep")
+      val d = rep(docs, "doc_id")
+      val e = rep(emb, "vec_id")
+      val nd = d.count(); val ne = e.count()
+      val bench = d.where(col("doc_id") < 20)
+      val corpus = d.where(col("doc_id") >= 20)
+      (1 to 2).foreach { pass =>
+        val tSem = timed {
+          Similarity.semanticDedupPortable(e, "embedding", "vec_id",
+              dim = 64, threshold = 0.95, nLists = 16 * mult)
+            .agg(count(lit(1))).collect()
+        }
+        val tCur = timed {
+          graft.pipeline.Curation.curateForTraining(
+              corpus, bench, "text", "doc_id", qualityMin = 0.9,
+              gramN = 5)
+            .agg(count(lit(1))).collect()
+        }
+        val tBm = timed {
+          graft.pipeline.Search.bm25TopK(d, "text", "doc_id",
+              Seq("spark", "window", "merge"), k = 10).collect()
+        }
+        val tNll = timed {
+          graft.pipeline.TextAnalysis.unigramNll(d, "text", "doc_id")
+            .agg(count(lit(1))).collect()
+        }
+        if (pass == 2)
+          println(f"PROBE mult=$mult%2d docs=$nd%9d vecs=$ne%8d " +
+            f"semdedup=$tSem%6.2f s curate=$tCur%6.2f s " +
+            f"bm25=$tBm%6.2f s nll=$tNll%6.2f s")
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }
