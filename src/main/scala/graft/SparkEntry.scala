@@ -1471,6 +1471,26 @@ object SparkEntry {
                 countDistinct(col("cell")).as("n_cells"))
     }),
 
+    "q_embed_clusters" -> ((s, dir) => {
+      // distributed Lloyd k-means (2 rounds from the portable seed):
+      // topic-style clustering of the embedding corpus. Exact BIGINT
+      // component sums make every centroid update order-independent,
+      // so the full fit + final assignment replays bit-exactly in SQL;
+      // the integer member checksum proves the exact cluster contents,
+      // not just the sizes
+      val e = T(s, dir, "embeddings")
+      val cl = Similarity.kmeansPortable(e, "embedding", dim = 64,
+                                         k = 8, iters = 2)
+      cl.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+             min("vec_id").as("min_id"), max("vec_id").as("max_id"),
+             sum(aggregate(
+               transform(col("embedding").cast("array<double>"),
+                         x => floor(x * lit(1e6)).cast("long")),
+               lit(0L), (a, x) => a + x)).as("checksum"))
+        .orderBy("cluster")
+    }),
+
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
       // (deterministic doc sample so the oracle sees the same payloads)
@@ -3399,6 +3419,78 @@ object SparkEntry {
                 (count(*) - count(d.cid))::BIGINT AS n_survivors,
                 count(DISTINCT c.cell) AS n_cells
          FROM corpus c LEFT JOIN dup d ON c.cid = d.cid""",
+
+    // distributed Lloyd k-means replay: Lehmer seed centroids, two
+    // exact-BIGINT centroid updates (floor(x*1e6) component sums are
+    // aggregation-order independent), final assignment with the same
+    // (d2, cell) tie-break as the native kernel; empty cells keep the
+    // previous centroid (COALESCE)
+    "q_embed_clusters" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         qv AS (
+           SELECT vec_id, emb,
+                  [ CAST(floor(emb[d] * 1000000.0) AS BIGINT)
+                    FOR d IN range(1, 65)] AS q
+           FROM emb),
+         cent0 AS (
+           SELECT l AS cell,
+                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647)
+                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 65)] AS ctr
+           FROM range(0, 8) t(l)),
+         a1 AS (
+           SELECT vec_id, emb, q, cell FROM (
+             SELECT v.vec_id, v.emb, v.q, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM qv v CROSS JOIN cent0 c) t WHERE rn = 1),
+         s1 AS (
+           SELECT cell, d, sum(q[d]) AS s, count(*) AS n
+           FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
+         cent1 AS (
+           SELECT c0.cell, COALESCE(u.ctr, c0.ctr) AS ctr
+           FROM cent0 c0 LEFT JOIN (
+             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             FROM s1 GROUP BY cell) u USING (cell)),
+         a2 AS (
+           SELECT vec_id, emb, q, cell FROM (
+             SELECT v.vec_id, v.emb, v.q, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM qv v CROSS JOIN cent1 c) t WHERE rn = 1),
+         s2 AS (
+           SELECT cell, d, sum(q[d]) AS s, count(*) AS n
+           FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
+         cent2 AS (
+           SELECT c1.cell, COALESCE(u.ctr, c1.ctr) AS ctr
+           FROM cent1 c1 LEFT JOIN (
+             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             FROM s2 GROUP BY cell) u USING (cell)),
+         a3 AS (
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM qv v CROSS JOIN cent2 c) t WHERE rn = 1)
+         SELECT cell AS cluster, count(*) AS n,
+                min(vec_id) AS min_id, max(vec_id) AS max_id,
+                sum(list_reduce(list_prepend(0::BIGINT, q),
+                                (a, b) -> a + b)) AS checksum
+         FROM a3 GROUP BY 1 ORDER BY 1""",
 
     // portable PQ: per-subspace Lehmer codebooks (p = 5000 + s*16 + c),
     // argmin encode with (d2, c) tie-break, ADC dot tables, rank by

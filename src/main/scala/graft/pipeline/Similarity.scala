@@ -680,6 +680,62 @@ object Similarity {
               coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the corpus
+    * clustering primitive behind topic bucketing, cluster-balanced
+    * sampling, and per-cluster dedup/mixing at training-data scale.
+    *
+    * Scale shape: each iteration is ONE narrow assignment projection
+    * (native nearest-cell kernel over a broadcast centroid literal — no
+    * join, no shuffle of vectors) followed by ONE bounded aggregate of
+    * k rows x (dim+1) columns with map-side partial aggregation; the
+    * driver only ever holds k x dim doubles. Vectors never leave their
+    * scan task, so the per-iteration shuffle is the partial-aggregate
+    * rows, not the corpus — the loop costs `iters` scans at any scale.
+    *
+    * Determinism (what makes the fit hash-oracle-able): component sums
+    * are exact BIGINTs of floor(x * 1e6) — aggregation-order
+    * independent, the same integerize-before-sum trick as
+    * [[Search.bm25TopK]] — so every engine derives bit-identical
+    * centroids; assignment ties break to the lowest cell id in both the
+    * native kernel and the SQL replay. Empty clusters keep their
+    * previous centroid.
+    */
+  def kmeansCentroids(df: DataFrame, embCol: String, dim: Int, k: Int,
+                      iters: Int): Array[Array[Double]] = {
+    require(k > 0, s"k must be positive; got $k")
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    var centroids = portableCentroids(k, dim)
+    val emb = col(embCol).cast("array<double>")
+    val aggCols = count(lit(1)).as("n") +: (0 until dim).map(d =>
+      sum(floor(col("e").getItem(d) * lit(1e6)).cast("long")).as(s"s$d"))
+    for (_ <- 0 until iters) {
+      val rows = df
+        .select(nearestCellExpr(centroids)(emb).as("cell"), emb.as("e"))
+        .groupBy("cell").agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        var d = 0
+        while (d < dim) {
+          next(cell)(d) = r.getLong(2 + d) / (1e6 * n); d += 1
+        }
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** [[kmeansCentroids]] + final assignment: the input with a `cluster`
+    * column (one more narrow projection, no shuffle). */
+  def kmeansPortable(df: DataFrame, embCol: String, dim: Int, k: Int,
+                     iters: Int): DataFrame = {
+    val centroids = kmeansCentroids(df, embCol, dim, k, iters)
+    df.withColumn("cluster",
+                  nearestCellExpr(centroids)(col(embCol)))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

@@ -669,4 +669,56 @@ class PipelineQualitySpec extends AnyFunSuite {
       .collect()
     assert(s.length == 1)
   }
+
+  test("kmeans: converges to planted cluster means, assignment exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // two tight planted blobs far apart in 4-d
+    val blobA = (0 until 300).map(i =>
+      (i.toLong, Array.fill(4)(5.0 + 0.05 * rnd.nextGaussian())))
+    val blobB = (0 until 300).map(i =>
+      (1000L + i, Array.fill(4)(-5.0 + 0.05 * rnd.nextGaussian())))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansPortable(df, "embedding", dim = 4,
+                                        k = 2, iters = 3)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // after 3 Lloyd rounds the blobs must separate perfectly: every
+    // member of a blob lands in the same cluster, blobs in different ones
+    val cA = blobA.map(b => out(b._1)).distinct
+    val cB = blobB.map(b => out(b._1)).distinct
+    assert(cA.size == 1 && cB.size == 1 && cA.head != cB.head,
+           s"blob clusters A=$cA B=$cB")
+    // centroids land on the planted means (exact-BIGINT update path)
+    val cents = Similarity.kmeansCentroids(df, "embedding", dim = 4,
+                                           k = 2, iters = 3)
+    val near = (m: Double) => cents.exists(_.forall(c =>
+      math.abs(c - m) < 0.1))
+    assert(near(5.0) && near(-5.0),
+           s"centroids ${cents.map(_.mkString(",")).mkString(" | ")}")
+  }
+
+  test("kmeans: empty clusters keep their seed centroid; iters=0 is " +
+       "pure seed assignment; runs are deterministic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // one point: k=4 leaves >= 3 cells empty every round
+    val df = Seq((1L, Array.fill(4)(0.25))).toDF("vec_id", "embedding")
+    val seed = Similarity.portableCentroids(4, 4)
+    val after = Similarity.kmeansCentroids(df, "embedding", dim = 4,
+                                           k = 4, iters = 2)
+    val moved = after.indices.count(i =>
+      !after(i).sameElements(seed(i)))
+    assert(moved == 1, s"exactly the occupied cell moves; moved=$moved")
+    // determinism: a second identical run yields bit-identical centroids
+    val again = Similarity.kmeansCentroids(df, "embedding", dim = 4,
+                                           k = 4, iters = 2)
+    assert(after.indices.forall(i => after(i).sameElements(again(i))))
+    // iters=0: assignment against the raw seed
+    val a0 = Similarity.kmeansPortable(df, "embedding", dim = 4,
+                                       k = 4, iters = 0)
+      .select("cluster").collect()
+    assert(a0.length == 1)
+  }
 }
