@@ -1542,6 +1542,28 @@ object SparkEntry {
              sum(col("delta").cast("long")).as("chars_removed"))
     }),
 
+    "q_text_normalize" -> ((s, dir) => {
+      // canonicalization front of the curation pipeline: the corpus is
+      // clean, so the query plants deterministic noise (tags/url/email
+      // by doc_id residue) and proves the normalizer strips exactly it
+      val d = T(s, dir, "documents")
+      val raw = concat(
+        when(col("doc_id") % 3 === 0,
+             lit("<p>UPPER Case Title</p> ")).otherwise(lit("")),
+        coalesce(col("text"), lit("")),
+        when(col("doc_id") % 7 === 0,
+             lit(" Visit HTTPS://EXAMPLE.COM/A?b=1 now")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+             lit(" mail Bob.Smith@Example.org  please")).otherwise(lit("")))
+      d.select(raw.as("raw"), TextAnalysis.normalize(raw).as("norm"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L))
+               .as("n_changed"),
+             sum(length(col("raw")).cast("long")).as("len_raw"),
+             sum(length(col("norm")).cast("long")).as("len_norm"),
+             countDistinct(md5(col("norm"))).as("n_distinct"))
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // benchmark decontamination: corpus docs sharing a 5-gram with the
       // first-20-doc "eval set" (broadcast n-gram semi-match, one scan)
@@ -3893,6 +3915,40 @@ object SparkEntry {
                 count(DISTINCT id_a) AS n_left_docs,
                 round(avg(round(jaccard, 6)), 6) AS avg_jaccard
          FROM ver WHERE jaccard >= 0.5""",
+
+    // normalize replay: same injected noise, same ASCII regex chain
+    // (tags -> urls -> emails -> whitespace collapse -> trim); 'g' flag
+    // matches Spark's replace-all default
+    "q_text_normalize" ->
+      """WITH raw AS (
+           SELECT concat(
+                    CASE WHEN doc_id % 3 = 0
+                         THEN '<p>UPPER Case Title</p> ' ELSE '' END,
+                    coalesce(text, ''),
+                    CASE WHEN doc_id % 7 = 0
+                         THEN ' Visit HTTPS://EXAMPLE.COM/A?b=1 now'
+                         ELSE '' END,
+                    CASE WHEN doc_id % 11 = 0
+                         THEN ' mail Bob.Smith@Example.org  please'
+                         ELSE '' END) AS raw
+           FROM documents),
+         n AS (
+           SELECT raw,
+                  trim(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(lower(raw), '<[^>]+>', ' ', 'g'),
+                        'https?://\S+', ' ', 'g'),
+                      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS norm
+           FROM raw)
+         SELECT count(*) AS n_docs,
+                sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END)::BIGINT
+                  AS n_changed,
+                sum(length(raw))::BIGINT AS len_raw,
+                sum(length(norm))::BIGINT AS len_norm,
+                count(DISTINCT md5(norm)) AS n_distinct
+         FROM n""",
 
     "q_pii_redact" ->
       """WITH inj AS (

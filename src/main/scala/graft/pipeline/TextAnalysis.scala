@@ -136,6 +136,22 @@ object TextAnalysis {
       regexp_replace(acc, p, replacement)
     }
 
+  /** Canonicalize text for dedup/fingerprinting — the standard cleanup
+    * front of a web-scale curation pipeline: lowercase, strip HTML-ish
+    * tags, URLs and email addresses, collapse whitespace runs to one
+    * space, trim. A chain of codegen'd regexp_replace nodes (no UDF):
+    * pure projection, pipelines inside the scan stage at any scale.
+    * ASCII-regex only, so an external SQL engine replays it verbatim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(text), "<[^>]+>", " "),
+          "https?://\\S+", " "),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " "),
+      "\\s+", " "))
+
   /** Word n-grams of `words` joined with single spaces; empty array when
     * the document has fewer than `n` words (guards Spark's descending
     * `sequence` when size - n < 0). */

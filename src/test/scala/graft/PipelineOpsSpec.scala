@@ -166,4 +166,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res(2L) == ((2L, la + lc)))
     assert(!res.contains(3L)) // empty doc has no tokens
   }
+
+  test("normalize lowercases and strips tags/urls/emails, collapses " +
+       "whitespace, and is idempotent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Seq(
+      ("<b>Hello</b>  WORLD", "hello world"),
+      ("see HTTPS://Ex.COM/a?b=1 ok", "see ok"),
+      ("mail A.B@ex.org now", "mail now"),
+      ("  lots\t of\n space ", "lots of space"),
+      ("plain text", "plain text")).toDF("raw", "want")
+    val got = d.select(col("want"),
+                       TextAnalysis.normalize(col("raw")).as("norm"),
+                       TextAnalysis.normalize(
+                         TextAnalysis.normalize(col("raw"))).as("norm2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+             s"norm '${r.getString(1)}' want '${r.getString(0)}'")
+      assert(r.getString(2) == r.getString(1), "normalize not idempotent")
+    }
+    // null stays null (pure projection, no NPE)
+    val n = Seq(Tuple1(null: String)).toDF("raw")
+      .select(TextAnalysis.normalize(col("raw"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
