@@ -1681,6 +1681,17 @@ object SparkEntry {
                       Seq("spark", "window", "merge"), k = 10)
     }),
 
+    "q_tfidf_terms" -> ((s, dir) => {
+      // keyword extraction: corpus-wide smoothed idf scored against the
+      // first 10 docs' term counts, top-3 terms each; df aggregates
+      // per-doc DISTINCT tokens (array_distinct map-side), the
+      // vocab-sized (token, df) side broadcasts into the scoring join
+      val d = T(s, dir, "documents")
+      Search.tfidfTopTerms(d, d.where(col("doc_id") < 10),
+                           "text", "doc_id", k = 3)
+        .orderBy("id", "rank")
+    }),
+
     "q_domain_mix" -> ((s, dir) => {
       // waterfilled domain-mixture resampling: src0:src1:src2 = 2:1:1
       // (exact binary weights), other sources dropped; deterministic
@@ -4263,6 +4274,35 @@ object SparkEntry {
            FROM p JOIN dfc USING (token) CROSS JOIN stats)
          SELECT doc_id AS id, round(sum(part) / 1000000.0, 6) AS score
          FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 10""",
+
+    // tf-idf replay: corpus df over per-doc DISTINCT tokens, smoothed
+    // idf ln((1+N)/(1+df))+1, rank on the 6-digit-rounded score with
+    // token tie-break — mirrors Search.tfidfTopTerms exactly
+    "q_tfidf_terms" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents WHERE text IS NOT NULL),
+         dfc AS (
+           SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+           FROM tk WHERE token <> '' GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS n_corpus FROM documents),
+         tf AS (
+           SELECT doc_id AS id, token, count(*)::DOUBLE AS tf
+           FROM tk WHERE doc_id < 10 AND token <> '' GROUP BY 1, 2),
+         sc AS (
+           SELECT id, token,
+                  round(tf * (ln((1.0 + n_corpus) / (1.0 + df)) + 1.0),
+                        6) AS score
+           FROM tf JOIN dfc USING (token) CROSS JOIN stats),
+         rk AS (
+           SELECT id, token, score,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY score DESC, token) AS rank
+           FROM sc)
+         SELECT id, rank, token, score FROM rk WHERE rank <= 3
+         ORDER BY id, rank""",
 
     "q_domain_mix" ->
       """WITH w(src, p) AS (

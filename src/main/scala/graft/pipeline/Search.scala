@@ -89,4 +89,47 @@ object Search {
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
+
+  /** Per-document top-k keywords by smoothed tf-idf
+    * (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing): corpus-wide
+    * document frequencies scored against each target document's term
+    * counts — keyword tagging / topic features for a curation pipeline.
+    *
+    * Scale shape: document frequency is ONE aggregate over per-doc
+    * DISTINCT tokens (array_distinct runs map-side inside the scan
+    * task, so the shuffle carries each document's vocabulary once, not
+    * every token occurrence); N is a narrow count; the (token -> df)
+    * side is vocabulary-sized and broadcast into the scoring join, so
+    * target term rows never shuffle. Ranking windows partition by
+    * document — no global ordering anywhere.
+    *
+    * Ranking is on the `scoreDigits`-rounded score with ties broken by
+    * token, so result rows replay identically in an external engine.
+    */
+  def tfidfTopTerms(corpus: DataFrame, targets: DataFrame,
+                    textCol: String, idCol: String, k: Int,
+                    scoreDigits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nDocs = corpus.agg(count(lit(1)).cast("double").as("n_corpus"))
+    val dfc = corpus
+      .select(explode(array_distinct(toks)).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val tf = targets
+      .select(col(idCol).as("id"), explode(toks).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = log((lit(1.0) + col("n_corpus")) / (lit(1.0) + col("df"))) +
+      lit(1.0)
+    val w = Window.partitionBy("id")
+      .orderBy(desc("score"), col("token"))
+    tf.join(broadcast(dfc), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * idf, scoreDigits))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "token", "score")
+  }
 }

@@ -167,6 +167,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!res.contains(3L)) // empty doc has no tokens
   }
 
+  test("tfidfTopTerms scores tf * (ln((1+N)/(1+df)) + 1) with token " +
+       "tie-break; df counts documents once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // N=4; df: a->3, b->2, z->1. doc 1: a a b (a repeats -> df still 3)
+    val corpus = Seq((1L, "a a b"), (2L, "a b"), (3L, "a z"),
+                     (4L, "q")).toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(corpus, corpus.where(col("doc_id") === 1),
+                                   "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+                           r.getDouble(3)))
+    def sc(tf: Double, df: Double): Double =
+      BigDecimal(tf * (math.log(5.0 / (1.0 + df)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a: tf=2 df=3 -> 2*(ln(5/4)+1); b: tf=1 df=2 -> ln(5/3)+1
+    assert(out.toSeq == Seq((1L, 1, "a", sc(2, 3)), (1L, 2, "b", sc(1, 2))))
+  }
+
   test("normalize lowercases and strips tags/urls/emails, collapses " +
        "whitespace, and is idempotent") {
     val spark = TestSpark.spark
