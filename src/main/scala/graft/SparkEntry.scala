@@ -1656,19 +1656,25 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val bench = d.where(col("doc_id") < 20)
       val corpus = d.where(col("doc_id") >= 20)
-      val deduped = Dedup.exactDedup(corpus, "text", "doc_id",
-                                     portable = true)
-      val quality = deduped.where(
-        TextAnalysis.qualityScore(col("text")) >= 0.9)
+      // flag-annotated dedup: input/dedup/quality counts come from ONE
+      // conditional aggregate over flags (not one job per branch), and
+      // n_clean = sum(n_docs) of the packing roll-up — the whole query
+      // is two pipeline executions instead of five
+      val flags = Dedup.exactDedupFlag(corpus, "text", "doc_id",
+                                       portable = true)
+        .withColumn("__q",
+                    TextAnalysis.qualityScore(col("text")) >= 0.9)
       val clean = Curation.curateForTraining(corpus, bench, "text",
         "doc_id", qualityMin = 0.9, gramN = 5, portable = true)
       val packed = Packing.sequenceStats(clean, "doc_id",
         TextAnalysis.tokenCount(col("text")), seqLen = 512, nShards = 8)
-      corpus.agg(count(lit(1)).as("n_input"))
-        .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
-        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
-        .crossJoin(packed.agg(count(lit(1)).as("n_seqs"),
+      flags.agg(count(lit(1)).as("n_input"),
+                sum(when(col("is_canonical"), 1L).otherwise(0L))
+                  .as("n_dedup"),
+                sum(when(col("is_canonical") && col("__q"), 1L)
+                  .otherwise(0L)).as("n_quality"))
+        .crossJoin(packed.agg(sum("n_docs").as("n_clean"),
+                              count(lit(1)).as("n_seqs"),
                               sum("n_tokens").as("n_tokens")))
     }),
 

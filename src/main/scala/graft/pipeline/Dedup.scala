@@ -131,6 +131,32 @@ object Dedup {
       .drop("__fp", "__null")
   }
 
+  /** [[exactDedup]] as an annotation instead of a filter: every input
+    * row survives, carrying an `is_canonical` flag (true on the min-id
+    * row of its content group). Lets a multi-stage pipeline compute
+    * per-stage survivor stats in ONE conditional aggregate over flags
+    * rather than one job per filtered branch — same group-by + join
+    * shape and cost as exactDedup itself. */
+  def exactDedupFlag(df: DataFrame, textCol: String, idCol: String,
+                     portable: Boolean = false): DataFrame = {
+    val contentFp =
+      if (portable)
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      else TextAnalysis.fingerprint(col(textCol)).cast("string")
+    val fp = df
+      .withColumn("__null", col(textCol).isNull)
+      .withColumn("__fp",
+        when(col("__null"),
+             if (portable) md5(col(idCol).cast("string"))
+             else xxhash64(col(idCol)).cast("string"))
+          .otherwise(contentFp))
+    val keep = fp.groupBy("__fp", "__null")
+      .agg(min(col(idCol)).as("__minid"))
+    fp.join(keep, Seq("__fp", "__null"))
+      .withColumn("is_canonical", col(idCol) === col("__minid"))
+      .drop("__fp", "__null", "__minid")
+  }
+
   /** Incremental (snapshot) dedup — the cross-crawl shape: a new batch
     * of documents is deduplicated AGAINST an already-curated snapshot
     * without rescanning the snapshot's text (only its fingerprint set).

@@ -670,6 +670,25 @@ class PipelineQualitySpec extends AnyFunSuite {
     assert(s.length == 1)
   }
 
+  test("exactDedupFlag marks exactly the exactDedup survivors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a  B "), (3L, "c"),
+                 (4L, null: String), (5L, null: String))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val flagged = Dedup.exactDedupFlag(df, "text", "doc_id", portable)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flagged.size == 5, "every input row survives annotated")
+      val kept = Dedup.exactDedup(df, "text", "doc_id", portable)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged.filter(_._2).keySet == kept,
+             s"flags $flagged vs filter $kept (portable=$portable)")
+      // 1 canonicalizes {1,2}; 3 alone; null-text rows pass through
+      assert(kept == Set(1L, 3L, 4L, 5L))
+    }
+  }
+
   test("kmeans: converges to planted cluster means, assignment exact") {
     val spark = TestSpark.spark
     import spark.implicits._
