@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
 
@@ -10,21 +10,22 @@ import graft.core.Prebinning
 
 /** Multi-variable binning process
   * (`optbinning/binning/binning_process.py:438`), Spark-native
-  * two-shape data plane per SURVEY §3.2:
+  * two-pass data plane per SURVEY §3.2:
   *
-  *  - Pass A (class totals + range/ndv) runs as ONE no-shuffle global
-  *    conditional aggregate over the UN-melted table — one row per
-  *    partition — for normal batch widths, reverting to a melted
-  *    `groupBy(var, cls)` (one bounded shuffle) past ~1k aggregate
-  *    expressions where a single generated aggregate would blow the
-  *    Janino constant pool.
-  *  - Pass B (value histograms) melts all variables to long format and
-  *    aggregates in ONE shuffle (`groupBy(variable, value)` with
-  *    map-side partial aggregation, so shuffle volume is bounded by
-  *    n_vars x histogram buckets per partition, not by row count);
-  *    high-cardinality variables are collapsed onto per-variable
-  *    uniform grids first, and all-pinned batches skip Pass A entirely
-  *    (`fitPinnedBatch`).
+  *  - Pass A (class totals + range/ndv) is ALWAYS the no-shuffle
+  *    global conditional aggregate over the UN-melted table — one
+  *    partial row per partition — chunked into <= ~256-expression
+  *    aggregates that run as CONCURRENT driver actions, so each
+  *    generated method stays under HotSpot's JIT ceiling at any batch
+  *    width and each chunk's scan prunes to its own columns.
+  *  - Pass B (value histograms) melts all variables to long format via
+  *    [[chunkedMelt]] (a union of small stack() generators, same JIT
+  *    reasoning) and aggregates in ONE shuffle (`groupBy(variable,
+  *    value)` with map-side partial aggregation, so shuffle volume is
+  *    bounded by n_vars x histogram buckets per partition, not by row
+  *    count); high-cardinality variables are collapsed onto
+  *    per-variable uniform grids first, and all-pinned batches skip
+  *    Pass A entirely (`fitPinnedBatch`).
   *
   * The per-variable solve loop runs on the driver over the collected
   * aggregates in parallel (replaces the reference's joblib threading).
@@ -96,6 +97,33 @@ object BinningProcess {
 
   /** Continuous-target process: same melted single-shuffle shape with the
     * continuous per-bucket stats; returns per-variable continuous fits. */
+  /** UNION of <= `chunkSize`-variable stack() generators over
+    * pre-projected per-variable value/class columns — the one melt
+    * shape every batch path uses. One monolithic stack over hundreds
+    * of columns compiles the stage into a single generated method that
+    * crosses HotSpot's 8 KB JIT ceiling and runs INTERPRETED (measured
+    * 4-5x slower at 40 vars, superlinear in width); chunked stages
+    * each stay small (compiled), each chunk's parquet scan prunes to
+    * its own columns, and the union feeds ONE downstream aggregate.
+    * Per-var value/cls expressions sit in the chunk's projection, so
+    * per-row work is O(1) per (row, var) — no when(var === v) chains.
+    */
+  private def chunkedMelt(df: DataFrame, vars: Seq[String], y: Column,
+                          w: Column, valExpr: String => Column,
+                          clsExpr: String => Column,
+                          chunkSize: Int = 16): DataFrame =
+    vars.zipWithIndex.grouped(chunkSize).map { chunk =>
+      val repCols = chunk.flatMap { case (v, i) =>
+        Seq(valExpr(v).as(s"__x$i"), clsExpr(v).as(s"__c$i"))
+      }
+      val stackExpr = s"stack(${chunk.length}, " +
+        chunk.map { case (v, i) => s"'$v', __x$i, __c$i" }
+          .mkString(", ") + ") as (var, x, cls)"
+      df.withColumn("__y", y).withColumn("__w", w)
+        .select(col("__y").as("y") +: col("__w").as("w") +: repCols: _*)
+        .selectExpr("y", "w", stackExpr)
+    }.reduce(_ unionByName _)
+
   def fitContinuous(df: DataFrame, variables: Seq[String], yCol: String,
                     config: BinningConfig = BinningConfig(),
                     varOverrides: Map[String, BinningConfig] = Map.empty,
@@ -103,17 +131,11 @@ object BinningProcess {
       : Map[String, FittedContinuousBinning] = {
     val y = col(yCol).cast(DoubleType)
     val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
-    val stackExpr =
-      s"stack(${variables.length}, " +
-        variables.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
-        ") as (var, x)"
-    val melted = df
-      .withColumn("__y", y).withColumn("__w", w)
-      .selectExpr("__y as y", "__w as w", stackExpr)
-    val cls = Preprocess.rowClass(col("x"), isNumeric = true,
-                                  config.specialCodes)
-    val base = melted.select(col("var"), col("x"), col("y"), col("w"),
-                             cls.as("cls"))
+    val base = chunkedMelt(df, variables, y, w,
+        v => col(v).cast(DoubleType),
+        v => Preprocess.rowClass(col(v).cast(DoubleType),
+                                 isNumeric = true, config.specialCodes))
+      .select(col("var"), col("x"), col("y"), col("w"), col("cls"))
     val aggExprs = Seq(
       count(lit(1)).as("n"), sum(col("w")).as("wt"),
       sum(col("w") * col("y")).as("wy"),
@@ -164,34 +186,22 @@ object BinningProcess {
       : Map[String, FittedOptimalBinning] = {
     require(targetType == "binary",
             "continuous targets: use BinningProcess.fitContinuous")
-    val stackExpr =
-      s"stack(${vars.length}, " +
-        vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
-        ") as (var, x)"
-    val melted = df
-      .withColumn("__y", y).withColumn("__w", w)
-      .selectExpr("__y as y", "__w as w", stackExpr)
-
-    val specials = config.specialCodes
     // per-variable configs may override specialCodes; the class column
     // and the class-space sizes must follow the OVERRIDE config per var
-    // (fitFromHistogram interprets class indices by cfgFor(v)), so build
-    // a per-var class chain only when overrides actually differ
+    // (fitFromHistogram interprets class indices by cfgFor(v))
     val cfgs: Map[String, BinningConfig] =
       vars.map(v => v -> cfgFor(v, config, overrides, "numerical")).toMap
     def nClassesOf(v: String): Int =
       Preprocess.missingClassIndex(cfgs(v).specialCodes) + 1
-    def clsOf(v: String): Column =
-      Preprocess.rowClass(col("x"), isNumeric = true, cfgs(v).specialCodes)
-    val uniformSpecials = vars.forall(v => cfgs(v).specialCodes == specials)
-    val cls =
-      if (uniformSpecials)
-        Preprocess.rowClass(col("x"), isNumeric = true, specials)
-      else vars.tail.foldLeft(clsOf(vars.head)) { (acc, v) =>
-        when(col("var") === v, clsOf(v)).otherwise(acc)
-      }
-    val base = melted.select(col("var"), col("x"), col("y"), col("w"),
-                             cls.as("cls"))
+
+    // every melt below is a chunkedMelt (see scaladoc there) with the
+    // per-var OVERRIDE specialCodes driving each variable's class column
+    def meltedOf(valExpr: String => Column): DataFrame =
+      chunkedMelt(df, vars, y, w, valExpr,
+        v => Preprocess.rowClass(col(v).cast(DoubleType),
+                                 isNumeric = true, cfgs(v).specialCodes))
+    lazy val base = meltedOf(v => col(v).cast(DoubleType))
+      .select(col("var"), col("x"), col("y"), col("w"), col("cls"))
 
     // variables with pinned user splits need no value histogram at all:
     // snap each row to an in-bin representative (exact split comparisons,
@@ -225,35 +235,64 @@ object BinningProcess {
     // the cap Pass A reverts to the melted groupBy(var, cls) shape —
     // one shuffle whose volume is bounded by partitions x vars x
     // classes, regardless of batch width.
-    val passAWidth = vars.map(v => 4 * nClassesOf(v) + 3).sum
-    val unMeltedPassA = passAWidth <= 1024
+    val dbg = sys.env.contains("GRAFT_DEBUG_TIMING")
+    var tMark = System.nanoTime()
+    def mark(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"BPTIME $tag ${(now - tMark) / 1e9}%.3f s")
+      tMark = now
+    }
+    // Pass A is ALWAYS the un-melted no-shuffle conditional aggregate,
+    // chunked so each generated aggregate stays a JIT-compilable
+    // method: past ~256 aggregate expressions the monolithic codegen
+    // method crosses HotSpot's 8 KB ceiling and the whole stage runs
+    // interpreted (measured slower than a melted shuffle well before
+    // the old 1024-expression Janino cap). Chunks run as CONCURRENT
+    // driver actions — each is a single-stage scan whose parquet read
+    // prunes to its own variables, so wide batches cost the same bytes
+    // as one scan, split across simultaneously-running jobs.
+    val passAChunks: Seq[Seq[(String, Int)]] = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(String, Int)]]
+      var width = 0
+      vars.zipWithIndex.foreach { case (v, i) =>
+        val w = 4 * nClassesOf(v) + 3
+        if (buf.isEmpty || width + w > 256) {
+          buf += scala.collection.mutable.ArrayBuffer((v, i)); width = w
+        } else { buf.last += ((v, i)); width += w }
+      }
+      buf.map(_.toSeq).toSeq
+    }
 
     val (totalsByVar, gridInfo):
-        (Map[String, Map[Int, ClassTotals]], Map[String, (Double, Double)]) =
-      if (unMeltedPassA) {
-        val aggCols: Seq[Column] = vars.zipWithIndex.flatMap { case (v, i) =>
-          val x = col(v).cast(DoubleType)
-          val cls = Preprocess.rowClass(x, isNumeric = true,
-                                        cfgs(v).specialCodes)
-          val perClass = (0 until nClassesOf(v)).flatMap { c =>
-            Seq(sum(when(cls === c && col("__y") === 0.0, col("__w"))
-                  .otherwise(0.0)).as(s"w0_${i}_$c"),
-                sum(when(cls === c && col("__y") =!= 0.0, col("__w"))
-                  .otherwise(0.0)).as(s"w1_${i}_$c"),
-                count(when(cls === c, lit(1))).as(s"n_${i}_$c"),
-                sum(when(cls === c, col("__w")).otherwise(0.0))
-                  .as(s"wt_${i}_$c"))
+        (Map[String, Map[Int, ClassTotals]], Map[String, (Double, Double)]) = {
+      val wide = df.withColumn("__y", y).withColumn("__w", w)
+      val groupRows: Seq[(Seq[(String, Int)], Row)] =
+        passAChunks.par.map { group =>
+          val aggCols: Seq[Column] = group.flatMap { case (v, i) =>
+            val x = col(v).cast(DoubleType)
+            val cls = Preprocess.rowClass(x, isNumeric = true,
+                                          cfgs(v).specialCodes)
+            val perClass = (0 until nClassesOf(v)).flatMap { c =>
+              Seq(sum(when(cls === c && col("__y") === 0.0, col("__w"))
+                    .otherwise(0.0)).as(s"w0_${i}_$c"),
+                  sum(when(cls === c && col("__y") =!= 0.0, col("__w"))
+                    .otherwise(0.0)).as(s"w1_${i}_$c"),
+                  count(when(cls === c, lit(1))).as(s"n_${i}_$c"),
+                  sum(when(cls === c, col("__w")).otherwise(0.0))
+                    .as(s"wt_${i}_$c"))
+            }
+            val cleanX = when(cls === Preprocess.CleanClass, x)
+            perClass ++ Seq(min(cleanX).as(s"minx_$i"),
+                            max(cleanX).as(s"maxx_$i"),
+                            approx_count_distinct(cleanX).as(s"ndv_$i"))
           }
-          val cleanX = when(cls === Preprocess.CleanClass, x)
-          perClass ++ Seq(min(cleanX).as(s"minx_$i"),
-                          max(cleanX).as(s"maxx_$i"),
-                          approx_count_distinct(cleanX).as(s"ndv_$i"))
-        }
-        val statsRow = df.withColumn("__y", y).withColumn("__w", w)
-          .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+          group -> wide.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        }.toList
 
-        val totals: Map[String, Map[Int, ClassTotals]] =
-          vars.zipWithIndex.map { case (v, i) =>
+      val totals: Map[String, Map[Int, ClassTotals]] =
+        groupRows.flatMap { case (group, statsRow) =>
+          group.map { case (v, i) =>
             v -> (0 until nClassesOf(v)).flatMap { c =>
               val n = statsRow.getAs[Long](s"n_${i}_$c")
               if (n == 0L) None
@@ -263,81 +302,56 @@ object BinningProcess {
                 n,
                 statsRow.getAs[Double](s"wt_${i}_$c")))
             }.toMap
-          }.toMap
+          }
+        }.toMap
 
-        // per-var uniform grid constants for high-cardinality compression
-        val grid: Map[String, (Double, Double)] =
-          vars.zipWithIndex.flatMap { case (v, i) =>
+      // per-var uniform grid constants for high-cardinality compression
+      val grid: Map[String, (Double, Double)] =
+        groupRows.flatMap { case (group, statsRow) =>
+          group.flatMap { case (v, i) =>
             if (statsRow.getAs[Long](s"ndv_$i") > maxGridBuckets &&
                 !pinnedSplits.contains(v) &&
                 !statsRow.isNullAt(statsRow.fieldIndex(s"minx_$i")))
               Some(v -> (statsRow.getAs[Double](s"minx_$i"),
                          statsRow.getAs[Double](s"maxx_$i")))
             else None
-          }.toMap
-        (totals, grid)
-      } else {
-        // melted fallback: bounded-width aggregate at any batch size.
-        // Row layout: var(0) cls(1) w0(2) w1(3) n(4) wt(5) minx(6)
-        // maxx(7) ndv(8); min/max/ndv are only meaningful on the clean
-        // class's row (the only consumer).
-        val statsRows = base.groupBy("var", "cls")
-          .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0))
-                 .as("w0"),
-               sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0))
-                 .as("w1"),
-               count(lit(1)).as("n"),
-               sum(col("w")).as("wt"),
-               min(col("x")).as("minx"), max(col("x")).as("maxx"),
-               approx_count_distinct(col("x")).as("ndv"))
-          .collect()
-        val byVar = statsRows.groupBy(_.getString(0))
-        val totals: Map[String, Map[Int, ClassTotals]] =
-          vars.map { v =>
-            v -> byVar.getOrElse(v, Array.empty).map { r =>
-              r.getInt(1) -> ClassTotals(r.getDouble(2), r.getDouble(3),
-                                         r.getLong(4), r.getDouble(5))
-            }.toMap
-          }.toMap
-        val grid: Map[String, (Double, Double)] = vars.flatMap { v =>
-          byVar.getOrElse(v, Array.empty)
-            .find(_.getInt(1) == Preprocess.CleanClass)
-            .filter(r => r.getLong(8) > maxGridBuckets &&
-                         !pinnedSplits.contains(v) && !r.isNullAt(6))
-            .map(r => v -> (r.getDouble(6), r.getDouble(7)))
+          }
         }.toMap
-        (totals, grid)
-      }
+      (totals, grid)
+    }
 
-    val xRepGrid: Column =
-      if (gridInfo.isEmpty) col("x")
-      else {
-        gridInfo.foldLeft(col("x")) { case (acc, (v, (mn, mx))) =>
+    mark("passA")
+    // Pass B input: the chunked melt with each variable's grid /
+    // pinned-split representative baked into its own projected column
+    // (no when(var === v) chains — see meltedOf).
+    def repOf(v: String): Column = {
+      val x = col(v).cast(DoubleType)
+      gridInfo.get(v) match {
+        case Some((mn, mx)) =>
           val width = (mx - mn) / maxGridBuckets
-          if (width <= 0) acc
-          else when(col("var") === v,
-                    lit(mn) + floor((col("x") - mn) / width) * width)
-            .otherwise(acc)
+          if (width <= 0) x
+          else lit(mn) + floor((x - mn) / width) * lit(width)
+        case None => pinnedSplits.get(v) match {
+          case Some(ss) if ss.nonEmpty =>
+            ss.indices.foldRight(lit(ss.last): Column) { (i, e) =>
+              when(x < ss(i),
+                   lit(if (i == 0) ss(0) - 1.0 else ss(i - 1)))
+                .otherwise(e)
+            }
+          case _ => x
         }
       }
-    val xRep: Column =
-      pinnedSplits.foldLeft(xRepGrid) { case (acc, (v, ss)) =>
-        val rep = ss.indices.foldRight(
-            lit(ss.last): Column) { (i, e) =>
-          when(col("x") < ss(i),
-               lit(if (i == 0) ss(0) - 1.0 else ss(i - 1))).otherwise(e)
-        }
-        when(col("var") === v, rep).otherwise(acc)
-      }
+    }
 
     // Pass B: the histogram shuffle for every variable at once
-    val histRows = base.where(col("cls") === Preprocess.CleanClass)
-      .select(col("var"), xRep.as("x"), col("y"), col("w"))
+    val histRows = meltedOf(repOf)
+      .where(col("cls") === Preprocess.CleanClass)
       .groupBy("var", "x")
       .agg(count(lit(1)).as("n"),
            sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
            sum(when(col("y") =!= 0.0, col("w")).otherwise(0.0)).as("w1"))
       .collect()
+    mark("passB")
 
     val histByVar = histRows.groupBy(_.getString(0)).map { case (v, rs) =>
       v -> rs.map { r =>
@@ -347,7 +361,7 @@ object BinningProcess {
     }
 
     // driver-side parallel solve per variable
-    vars.par.map { v =>
+    val solved = vars.par.map { v =>
       val totals = totalsByVar.getOrElse(v, Map.empty)
       val nSamplesWeighted = totals.values.map(_.w).sum
       val fitted = OptimalBinning.fitFromHistogram(
@@ -356,6 +370,8 @@ object BinningProcess {
         categories = null, catOthers = null)
       v -> fitted
     }.toList.toMap
+    mark("solve")
+    solved
   }
 
   /** All-pinned fast path: one `groupBy(var, cls, rep)` aggregate feeds
@@ -418,17 +434,11 @@ object BinningProcess {
                                   config: BinningConfig,
                                   overrides: Map[String, BinningConfig])
       : Map[String, FittedOptimalBinning] = {
-    val stackExpr =
-      s"stack(${vars.length}, " +
-        vars.map(v => s"'$v', cast(`$v` as string)").mkString(", ") +
-        ") as (var, x)"
-    val melted = df
-      .withColumn("__y", y).withColumn("__w", w)
-      .selectExpr("__y as y", "__w as w", stackExpr)
-    val cls = Preprocess.rowClass(col("x"), isNumeric = false,
-                                  config.specialCodes)
-    val base = melted
-      .select(col("var"), col("x"), col("y"), col("w"), cls.as("cls"))
+    val base = chunkedMelt(df, vars, y, w,
+        v => col(v).cast(StringType),
+        v => Preprocess.rowClass(col(v).cast(StringType),
+                                 isNumeric = false, config.specialCodes))
+      .select(col("var"), col("x"), col("y"), col("w"), col("cls"))
     val agg = base
       .groupBy("var", "cls", "x")
       .agg(count(lit(1)).as("n"),

@@ -145,6 +145,33 @@ object ScaleProbe {
         spark.catalog.clearCache()
       }
     }
+
+    // Wide-batch BinningProcess: the ADVICE scenario — hundreds of
+    // variables through the stats pass. Pass A runs as concurrent
+    // <= 256-expression un-melted aggregates and Pass B as a chunked
+    // stack melt, so fit wall time must stay roughly linear in vars
+    // (a monolithic stage crossed HotSpot's JIT method ceiling and ran
+    // interpreted: 72 s at 40 vars before the chunked rewrite, ~11 s
+    // after; 120 vars ~16 s).
+    {
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+          .otherwise(0.0))
+      Seq(40, 120).foreach { nVars =>
+        val wide = base.select(
+          col("y") +: (0 until nVars).map(i =>
+            (col("l_extendedprice") * (1.0 + i * 0.01) +
+             col("l_quantity") * (i % 7)).as(s"v$i")): _*)
+        val vars = (0 until nVars).map(i => s"v$i")
+        (1 to 2).foreach { pass =>
+          val t = timed {
+            graft.operators.BinningProcess.fit(wide, vars, "y")
+          }
+          if (pass == 2)
+            println(f"PROBE wide-batch nVars=$nVars%4d fit=$t%6.2f s")
+        }
+      }
+    }
     spark.stop()
   }
 }
