@@ -130,12 +130,15 @@ class SketchAndProcessSpec extends AnyFunSuite {
     assert(info.contains("2 variables") && info.contains("selected"))
   }
 
-  test("BinningProcess: wide batch takes the melted Pass A and matches " +
-       "the un-melted path") {
+  test("BinningProcess: wide batch (chunked Pass A/B) matches the " +
+       "narrow path across chunk boundaries") {
     val dfBase = li.select(col("y"), col("l_extendedprice"),
                            col("l_quantity"))
-    // 120 derived variables: 11 agg expressions each puts Pass A well
-    // past the 1024-expression cap, forcing the melted groupBy fallback
+    // 120 derived variables: Pass A runs as several concurrent
+    // <= 256-expression aggregate chunks and Pass B as a union of
+    // 16-var stack melts — variables from the first, a middle, and the
+    // last chunk must all agree with a narrow fit (pins the
+    // global-index bookkeeping across chunk seams)
     val wideVars = (0 until 120).map(i => s"v$i")
     val wide = wideVars.zipWithIndex.foldLeft(dfBase) { case (d, (v, i)) =>
       d.withColumn(v, col("l_extendedprice") * (1.0 + i / 200.0) +
@@ -144,10 +147,10 @@ class SketchAndProcessSpec extends AnyFunSuite {
     val proc = BinningProcess.fit(wide, wideVars, "y",
                                   config = BinningConfig())
     assert(proc.fits.size == 120)
-    // fallback path must agree with the narrow un-melted path
-    val narrow = BinningProcess.fit(wide, Seq("v0", "v7"), "y",
+    val probeVars = Seq("v0", "v7", "v16", "v77", "v119")
+    val narrow = BinningProcess.fit(wide, probeVars, "y",
                                     config = BinningConfig())
-    for (v <- Seq("v0", "v7")) {
+    for (v <- probeVars) {
       assert(proc.fits(v).splits.toSeq == narrow.fits(v).splits.toSeq, v)
       assert(math.abs(proc.fits(v).iv - narrow.fits(v).iv) < 1e-12, v)
     }
