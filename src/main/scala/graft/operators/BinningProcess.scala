@@ -146,7 +146,10 @@ object BinningProcess {
       stddev_pop(col("w") * col("y")).as("ystd"))
 
     val statsRows = base.groupBy("var", "cls")
-      .agg(aggExprs.head, aggExprs.tail: _*).collect()
+      .agg(aggExprs.head, aggExprs.tail :+
+        approx_count_distinct(col("x")).as("ndv") :+
+        min(col("x")).as("minx") :+ max(col("x")).as("maxx"): _*)
+      .collect()
     val totalsByVar = statsRows.groupBy(_.getString(0)).map {
       case (v, rs) =>
         v -> rs.map { r =>
@@ -156,8 +159,40 @@ object BinningProcess {
         }.toMap
     }
     // NOTE column positions: groupBy(var, cls) -> 0 var, 1 cls, 2 n,
-    // 3 wt, 4 wy, 5 wy2, 6 ymin, 7 ymax, 8 zeros, 9 ystd
-    val histRows = base.where(col("cls") === Preprocess.CleanClass)
+    // 3 wt, 4 wy, 5 wy2, 6 ymin, 7 ymax, 8 zeros, 9 ystd, 10 ndv,
+    // 11 minx, 12 maxx
+
+    // per-var uniform grid for high-cardinality variables — the same
+    // Histograms.gridCompress semantics (and threshold) the single-var
+    // continuous path applies, so the per-var (var, x) histogram and
+    // the driver collect stay <= histogramMaxBuckets rows per variable
+    // at ANY cardinality instead of collecting every raw double
+    val gridInfo: Map[String, (Double, Double, Int)] =
+      statsRows.filter(_.getInt(1) == Preprocess.CleanClass)
+        .flatMap { r =>
+          val v = r.getString(0)
+          val cap = cfgFor(v, config, varOverrides, "numerical")
+            .histogramMaxBuckets
+          if (r.getLong(10) > cap && !r.isNullAt(11))
+            Some(v -> ((r.getDouble(11), r.getDouble(12), cap)))
+          else None
+        }.toMap
+    def repOf(v: String): Column = {
+      val x = col(v).cast(DoubleType)
+      gridInfo.get(v) match {
+        case Some((mn, mx, cap)) =>
+          val width = (mx - mn) / cap
+          if (width <= 0 || !java.lang.Double.isFinite(width)) x
+          else lit(mn) + floor((x - mn) / width) * lit(width)
+        case None => x
+      }
+    }
+    val histMelt =
+      if (gridInfo.isEmpty) base
+      else chunkedMelt(df, variables, y, w, repOf,
+          v => Preprocess.rowClass(col(v).cast(DoubleType),
+                                   isNumeric = true, config.specialCodes))
+    val histRows = histMelt.where(col("cls") === Preprocess.CleanClass)
       .groupBy("var", "x")
       .agg(aggExprs.head, aggExprs.tail: _*)
       .collect()

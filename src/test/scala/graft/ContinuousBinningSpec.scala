@@ -174,4 +174,25 @@ class ContinuousBinningSpec extends AnyFunSuite {
     val a = f.table.analysis()
     assert(a.adjacentTests.length == math.max(f.nDataBins - 1, 0))
   }
+
+  test("batch fitContinuous grid-compresses high-cardinality variables " +
+       "like the single-var path (bounded driver collect)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 30k distinct continuous x values >> histogramMaxBuckets=1000
+    val df = (1 to 30000).map { i =>
+      val x = i + rnd.nextDouble() * 0.5
+      (x, 3.0 * x + rnd.nextGaussian() * 10)
+    }.toDF("x", "y")
+    val cfg = BinningConfig(name = "x", histogramMaxBuckets = 1000)
+    val single = ContinuousOptimalBinning.fit(df, "x", "y", cfg)
+    val batch = BinningProcess.fitContinuous(df, Seq("x"), "y", cfg)("x")
+    assert(single.status == "OPTIMAL" && batch.status == "OPTIMAL")
+    // identical grid => identical histogram => identical solve
+    assert(batch.splits.toSeq == single.splits.toSeq,
+           s"batch ${batch.splits.mkString(",")} vs " +
+             s"single ${single.splits.mkString(",")}")
+    assert(batch.table.tRecords == single.table.tRecords)
+  }
 }
