@@ -39,14 +39,18 @@ final class BinningProcessSketch(
     import spark.implicits._
 
     if (variables.nonEmpty) {
-      val stackExpr =
-        s"stack(${variables.length}, " +
-          variables.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
-          ") as (var, x)"
-      val melted = df
-        .withColumn("__y", col(yCol).cast("double"))
-        .selectExpr("__y as y", stackExpr)
-        .select(col("var"), col("x"), col("y"))
+      // melt as a union of <= 16-var stack chunks: one monolithic
+      // stack over hundreds of variables compiles the stage past
+      // HotSpot's JIT method ceiling (see BinningProcess.chunkedMelt)
+      val melted = variables.grouped(16).map { chunk =>
+        val stackExpr =
+          s"stack(${chunk.length}, " +
+            chunk.map(v => s"'$v', cast(`$v` as double)")
+              .mkString(", ") + ") as (var, x)"
+        df.withColumn("__y", col(yCol).cast("double"))
+          .selectExpr("__y as y", stackExpr)
+          .select(col("var"), col("x"), col("y"))
+      }.reduce(_ unionByName _)
 
       // typed Aggregator => ObjectHashAggregate with PARTIAL aggregation:
       // each task merges into per-variable sketch buffers before the
@@ -75,15 +79,16 @@ final class BinningProcessSketch(
     }
 
     if (catVariables.nonEmpty) {
-      val stackExpr =
-        s"stack(${catVariables.length}, " +
-          catVariables.map(v => s"'$v', cast(`$v` as string)")
-            .mkString(", ") +
-          ") as (var, x)"
-      val melted = df
-        .withColumn("__y", col(yCol).cast("double"))
-        .selectExpr("__y as y", stackExpr)
-        .select(col("var"), col("x"), col("y"))
+      // same chunked-union melt as the numeric family
+      val melted = catVariables.grouped(16).map { chunk =>
+        val stackExpr =
+          s"stack(${chunk.length}, " +
+            chunk.map(v => s"'$v', cast(`$v` as string)")
+              .mkString(", ") + ") as (var, x)"
+        df.withColumn("__y", col(yCol).cast("double"))
+          .selectExpr("__y as y", stackExpr)
+          .select(col("var"), col("x"), col("y"))
+      }.reduce(_ unionByName _)
       // same special-code routing as the numeric family above
       val catSpecials: Array[String] = config.specialCodes match {
         case Some(SpecialList(vs)) => vs.map(_.toString).toArray
