@@ -254,9 +254,20 @@ object BinningProcess {
     // grids) are never needed. ONE scan + one bounded shuffle replaces
     // the two of the general path — on a scorecard refit over pinned
     // splits this halves the data passes at any scale.
+    // each variable's in-bin representative is baked into its own melt
+    // column (a when(var === v) rep-chain over melted rows would be
+    // O(rows x vars^2) — see chunkedMelt)
     if (vars.nonEmpty && vars.forall(v =>
           pinnedSplits.get(v).exists(_.nonEmpty)))
-      return fitPinnedBatch(base, vars, pinnedSplits, config, overrides)
+      return fitPinnedBatch(
+        meltedOf { v =>
+          val x = col(v).cast(DoubleType)
+          val ss = pinnedSplits(v)
+          ss.indices.foldRight(lit(ss.last): Column) { (i, e) =>
+            when(x < ss(i),
+                 lit(if (i == 0) ss(0) - 1.0 else ss(i - 1))).otherwise(e)
+          }
+        }, vars, config, overrides)
 
     // Pass A: per-(var, cls) totals + clean range/ndv. The class space is
     // config-bounded (clean + special groups + missing), so instead of
@@ -415,25 +426,19 @@ object BinningProcess {
     * representative). Non-clean rows collapse to a null rep so the
     * shuffle key space stays `vars x (splits + row classes)` — bounded
     * by config, not data. */
-  private def fitPinnedBatch(base: DataFrame, vars: Seq[String],
-                             pinnedSplits: Map[String, Array[Double]],
+  private def fitPinnedBatch(repMelted: DataFrame, vars: Seq[String],
                              config: BinningConfig,
                              overrides: Map[String, BinningConfig])
       : Map[String, FittedOptimalBinning] = {
-    val repClean: Column =
-      pinnedSplits.foldLeft(lit(Double.NaN): Column) {
-        case (acc, (v, ss)) =>
-          val rep = ss.indices.foldRight(lit(ss.last): Column) { (i, e) =>
-            when(col("x") < ss(i),
-                 lit(if (i == 0) ss(0) - 1.0 else ss(i - 1))).otherwise(e)
-          }
-          when(col("var") === v, rep).otherwise(acc)
-      }
-    val rep = when(col("cls") === Preprocess.CleanClass, repClean)
+    // the melt's x column already carries each variable's in-bin
+    // representative (baked in per var by the caller); non-clean rows
+    // collapse to a null rep so the shuffle key space stays
+    // vars x (splits + row classes)
+    val rep = when(col("cls") === Preprocess.CleanClass, col("x"))
       .otherwise(lit(null).cast(DoubleType))
 
     // 0 var, 1 cls, 2 rep, 3 w0, 4 w1, 5 n, 6 wt
-    val rows = base
+    val rows = repMelted
       .select(col("var"), col("cls"), rep.as("rep"), col("y"), col("w"))
       .groupBy("var", "cls", "rep")
       .agg(sum(when(col("y") === 0.0, col("w")).otherwise(0.0)).as("w0"),
