@@ -1491,6 +1491,22 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    "q_cluster_sample" -> ((s, dir) => {
+      // cluster-balanced sampling — the topic-mixing shape: k-means
+      // topic clusters (same portable fit as q_embed_clusters), then
+      // an exact deterministic 25% sample INSIDE each cluster, so
+      // dominant topics are downsampled proportionally
+      val e = T(s, dir, "embeddings")
+      val cl = Similarity.kmeansPortable(e, "embedding", dim = 64,
+                                         k = 8, iters = 2)
+      Curation.stratifiedSample(cl, col("cluster"), col("vec_id"), 0.25)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_sampled"),
+             min("vec_id").as("min_id"),
+             sum("vec_id").as("id_sum"))
+        .orderBy("cluster")
+    }),
+
     "q_frame_sampling" -> ((s, dir) => {
       // multimodal frame-sampling plumbing over fake binary payloads
       // (deterministic doc sample so the oracle sees the same payloads)
@@ -3530,6 +3546,79 @@ object SparkEntry {
                 sum(list_reduce(list_prepend(0::BIGINT, q),
                                 (a, b) -> a + b)) AS checksum
          FROM a3 GROUP BY 1 ORDER BY 1""",
+
+    // cluster-balanced sample replay: the q_embed_clusters assignment
+    // chain, then the md5-rank stratified sample inside each cluster
+    "q_cluster_sample" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         cent0 AS (
+           SELECT l AS cell,
+                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647)
+                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 65)] AS ctr
+           FROM range(0, 8) t(l)),
+         a1 AS (
+           SELECT vec_id, emb, cell FROM (
+             SELECT v.vec_id, v.emb, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM emb v CROSS JOIN cent0 c) t WHERE rn = 1),
+         s1 AS (
+           SELECT cell, d,
+                  sum(CAST(floor(emb[d] * 1000000.0) AS BIGINT)) AS s,
+                  count(*) AS n
+           FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
+         cent1 AS (
+           SELECT c0.cell, COALESCE(u.ctr, c0.ctr) AS ctr
+           FROM cent0 c0 LEFT JOIN (
+             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             FROM s1 GROUP BY cell) u USING (cell)),
+         a2 AS (
+           SELECT vec_id, emb, cell FROM (
+             SELECT v.vec_id, v.emb, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM emb v CROSS JOIN cent1 c) t WHERE rn = 1),
+         s2 AS (
+           SELECT cell, d,
+                  sum(CAST(floor(emb[d] * 1000000.0) AS BIGINT)) AS s,
+                  count(*) AS n
+           FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
+         cent2 AS (
+           SELECT c1.cell, COALESCE(u.ctr, c1.ctr) AS ctr
+           FROM cent1 c1 LEFT JOIN (
+             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             FROM s2 GROUP BY cell) u USING (cell)),
+         a3 AS (
+           SELECT vec_id, cell FROM (
+             SELECT v.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM emb v CROSS JOIN cent2 c) t WHERE rn = 1),
+         smp AS (
+           SELECT cell, vec_id,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+                  count(*) OVER (PARTITION BY cell) AS n
+           FROM a3)
+         SELECT cell AS cluster, count(*) AS n_sampled,
+                min(vec_id) AS min_id, sum(vec_id) AS id_sum
+         FROM smp WHERE rn <= ceil(round(n * 0.25, 9))
+         GROUP BY 1 ORDER BY 1""",
 
     // portable PQ: per-subspace Lehmer codebooks (p = 5000 + s*16 + c),
     // argmin encode with (d2, c) tie-break, ADC dot tables, rank by
