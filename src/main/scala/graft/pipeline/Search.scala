@@ -98,10 +98,12 @@ object Search {
     * Scale shape: document frequency is ONE aggregate over per-doc
     * DISTINCT tokens (array_distinct runs map-side inside the scan
     * task, so the shuffle carries each document's vocabulary once, not
-    * every token occurrence); N is a narrow count; the (token -> df)
-    * side is vocabulary-sized and broadcast into the scoring join, so
-    * target term rows never shuffle. Ranking windows partition by
-    * document — no global ordering anywhere.
+    * every token occurrence); N is a narrow count. The corpus
+    * vocabulary can be huge at scale, so the (token, df) side is first
+    * SEMI-JOINED against the targets' (small, broadcast) token set —
+    * a map-side filter, no vocab shuffle — and only the surviving
+    * target-vocabulary rows broadcast into the scoring join. Ranking
+    * windows partition by document — no global ordering anywhere.
     *
     * Ranking is on the `scoreDigits`-rounded score with ties broken by
     * token, so result rows replay identically in an external engine.
@@ -125,7 +127,9 @@ object Search {
       lit(1.0)
     val w = Window.partitionBy("id")
       .orderBy(desc("score"), col("token"))
-    tf.join(broadcast(dfc), Seq("token"))
+    val dfcNeeded = dfc.join(broadcast(tf.select("token").distinct()),
+                             Seq("token"), "left_semi")
+    tf.join(broadcast(dfcNeeded), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") * idf, scoreDigits))
       .withColumn("rank", row_number().over(w))
