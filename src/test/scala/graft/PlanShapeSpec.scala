@@ -237,4 +237,72 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
            plan.contains("BroadcastExchange"), plan)
   }
+
+  test("BM25: broadcast-only joins, top-k bound, no token-dump shuffle") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val res = Search.bm25TopK(d, "text", "doc_id",
+                              Seq("spark", "window", "merge"), k = 10)
+    val plan = physical(res)
+    // df-count and corpus-stats sides broadcast; nothing sort-merges,
+    // nothing goes cartesian
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // top-k is a TakeOrdered bound, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the query-term IN filter runs below the postings aggregate, so
+    // non-matching tokens never reach a shuffle: the generator stage
+    // itself carries the filter
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("tf-idf terms: corpus vocab is semi-joined down before broadcast") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val res = Search.tfidfTopTerms(d, d.where(col("doc_id") < 10),
+                                   "text", "doc_id", k = 3)
+    val plan = physical(res)
+    // the (token, df) side is reduced by a broadcast LEFT SEMI against
+    // the targets' token set before it broadcasts into scoring — the
+    // full corpus vocabulary never ships to the driver or executors
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("k-means final assignment is a native no-shuffle projection") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val res = Similarity.kmeansPortable(e, "embedding", dim = 16, k = 4,
+                                        iters = 0)
+    val plan = physical(res)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_nearest_cells"), plan)
+  }
+
+  test("sequence packing: window and roll-up share ONE shard shuffle") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val res = Packing.sequenceStats(
+      d, "doc_id", TextAnalysis.tokenCount(col("text")),
+      seqLen = 512, nShards = 4)
+    val plan = physical(res)
+    // the groupBy(shard, seq_id) clustering is satisfied by the window's
+    // hash-partitioning on shard — no second exchange
+    assert(countOccurrences(plan, "Exchange") == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("token chunking is generator-only: no shuffle, no window") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val res = Packing.tokenChunks(
+      d, "doc_id", TextAnalysis.tokenCount(col("text")),
+      chunkSize = 256, stride = 128)
+    val plan = physical(res)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
 }
