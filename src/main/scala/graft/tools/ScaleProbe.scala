@@ -138,10 +138,29 @@ object ScaleProbe {
           graft.pipeline.TextAnalysis.unigramNll(d, "text", "doc_id")
             .agg(count(lit(1))).collect()
         }
+        // topic clustering + cluster-balanced sample: per iteration one
+        // narrow native assignment + one k x (dim+1) aggregate, then an
+        // exact in-cluster sample — cost must track corpus size only
+        val tKm = timed {
+          val cl = Similarity.kmeansPortable(e, "embedding", dim = 64,
+                                             k = 8, iters = 2)
+          graft.pipeline.Curation
+            .stratifiedSample(cl, col("cluster"), col("vec_id"), 0.25)
+            .agg(count(lit(1))).collect()
+        }
+        // keyword tagging: vocab-bounded df aggregate, semi-joined to
+        // the target token set before the broadcast scoring join
+        val tTf = timed {
+          graft.pipeline.Search.tfidfTopTerms(
+              d, d.where(col("doc_id") % lit(1000L) === 0),
+              "text", "doc_id", k = 3)
+            .agg(count(lit(1))).collect()
+        }
         if (pass == 2)
           println(f"PROBE mult=$mult%2d docs=$nd%9d vecs=$ne%8d " +
             f"semdedup=$tSem%6.2f s curate=$tCur%6.2f s " +
-            f"bm25=$tBm%6.2f s nll=$tNll%6.2f s")
+            f"bm25=$tBm%6.2f s nll=$tNll%6.2f s " +
+            f"kmeans_sample=$tKm%6.2f s tfidf=$tTf%6.2f s")
         spark.catalog.clearCache()
       }
     }
