@@ -1763,6 +1763,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
              sum("doc_id").cast("double").as("sum_id"))
         .orderBy("lang")
+    }),
+
+    "q_source_cap" -> ((s, dir) => {
+      // per-source frequency cap (the anti-domain-dominance guard):
+      // keep <= 120 docs per source, content-addressed pick order
+      val d = T(s, dir, "documents")
+      Curation.sourceCap(d, col("source"), col("doc_id"), cap = 120)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum("doc_id").cast("double").as("sum_id"))
+        .orderBy("source")
     })
   )
 
@@ -4471,6 +4482,17 @@ object SparkEntry {
          SELECT lang, count(*) AS n_sampled,
                 CAST(sum(doc_id) AS DOUBLE) AS sum_id
          FROM r WHERE rn <= ceil(round(n * 0.25, 9))
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_source_cap" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM documents)
+         SELECT source, count(*) AS n_kept,
+                CAST(sum(doc_id) AS DOUBLE) AS sum_id
+         FROM r WHERE rn <= 120
          GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 

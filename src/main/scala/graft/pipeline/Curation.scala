@@ -90,6 +90,30 @@ object Curation {
       .drop("__rn", "__n")
   }
 
+  /** Per-source frequency cap: keep at most `cap` documents from each
+    * source (crawl dump, domain, site) — the standard guard against a
+    * single over-represented domain dominating a training mix. Within a
+    * source the kept rows are the first `cap` by `(md5(id), id)`:
+    * content-addressed, so re-runs and corpus refreshes keep the same
+    * documents, and adding rows to OTHER sources never changes this
+    * source's picks.
+    *
+    * Scale shape: same as [[stratifiedSample]] — one shuffle on the
+    * source key + a per-source window rank; sources are few-and-large
+    * so AQE's skew handling applies to mega-domains. Sources under the
+    * cap pass through untouched.
+    */
+  def sourceCap(df: DataFrame, source: Column, id: Column,
+                cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive; got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(id.cast("string").cast("binary"))
+    val rank = Window.partitionBy(source).orderBy(h, id)
+    df.withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic domain-mixture resampling: downsample sources so the
     * output matches target mixture `weights` (relative proportions, e.g.
     * web -> 0.6, code -> 0.3, books -> 0.1) at the largest feasible

@@ -239,6 +239,33 @@ class CurationSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("sourceCap bounds every source, passes small sources through, " +
+       "and other-source growth never changes a source's picks") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // s0 = 40 rows (over cap), s1 = 5 rows (under cap)
+    val df = ((0 until 40).map(i => (i.toLong, "s0")) ++
+              (100 until 105).map(i => (i.toLong, "s1")))
+      .toDF("id", "source")
+    val capped = Curation.sourceCap(df, col("source"), col("id"), cap = 10)
+    val got = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0" -> 10L, "s1" -> 5L), got.toString)
+    // content-addressed: the s0 picks are identical when s1 triples
+    val s0Picks = capped.where(col("source") === "s0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val grown = df.union(
+      (200 until 210).map(i => (i.toLong, "s1")).toDF("id", "source"))
+    val s0Picks2 = Curation.sourceCap(grown, col("source"), col("id"), 10)
+      .where(col("source") === "s0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s0Picks == s0Picks2)
+    // one shuffle: the window rank on source is the only exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+           plan)
+  }
+
   test("contamination plan broadcasts the benchmark gram side") {
     val spark = TestSpark.spark
     import spark.implicits._
