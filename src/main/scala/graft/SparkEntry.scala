@@ -1648,6 +1648,22 @@ object SparkEntry {
                sum("doc_id").as("id_sum"))
     }),
 
+    "q_bloom_dedup" -> ((s, dir) => {
+      // Bloom-routed incremental dedup: same EXACT semantics as
+      // q_incremental_dedup (the filter only routes; suspects verify
+      // with the anti-join), different physical path — the snapshot
+      // ships as a Bloom blob, cleared rows skip the join. The oracle
+      // replays the content-level semantics directly.
+      val d = T(s, dir, "documents")
+      val surv = Dedup.incrementalDedupBloom(
+        d.where(col("doc_id") % 4 === 0),
+        d.where(col("doc_id") % 4 =!= 0),
+        "text", "doc_id", expectedItems = 100000L, fpp = 0.03)
+      surv.agg(count(lit(1)).as("n_new"),
+               min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+               sum("doc_id").as("id_sum"))
+    }),
+
     "q_lm_score" -> ((s, dir) => {
       // corpus-trained unigram-LM quality signal (CCNet-style): add-one
       // smoothed per-token NLL, integerized before summing so the
@@ -4202,6 +4218,30 @@ object SparkEntry {
            FROM documents WHERE doc_id % 3 = 0),
          fresh AS (
            SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM snap)),
+         keep AS (
+           SELECT fp, is_null, min(doc_id) AS doc_id
+           FROM fresh GROUP BY 1, 2)
+         SELECT count(*) AS n_new, min(doc_id) AS min_id,
+                max(doc_id) AS max_id, sum(doc_id)::BIGINT AS id_sum
+         FROM keep""",
+
+    "q_bloom_dedup" ->
+      // the Bloom stage is routing-only, so the oracle replays the
+      // content-level dedup semantics (normalized text as the group
+      // key; null-text rows are their own groups and never "seen")
+      """WITH snap AS (
+           SELECT DISTINCT regexp_replace(lower(trim(text)),
+                                          '\s+', ' ', 'g') AS fp
+           FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL),
+         bf AS (
+           SELECT doc_id, (text IS NULL) AS is_null,
+                  CASE WHEN text IS NULL THEN doc_id::VARCHAR
+                       ELSE regexp_replace(lower(trim(text)),
+                                           '\s+', ' ', 'g') END AS fp
+           FROM documents WHERE doc_id % 4 = 0),
+         fresh AS (
+           SELECT * FROM bf
+           WHERE is_null OR fp NOT IN (SELECT fp FROM snap)),
          keep AS (
            SELECT fp, is_null, min(doc_id) AS doc_id
            FROM fresh GROUP BY 1, 2)

@@ -195,6 +195,58 @@ object Dedup {
       .drop("__fp", "__null")
   }
 
+  /** [[incrementalDedup]] with a Bloom-filter routing stage — the
+    * compact "seen-set" shape for snapshots too large to anti-join the
+    * whole batch against. The snapshot's fingerprint set is folded into
+    * a Bloom filter (one distributed aggregate; `expectedItems`/`fpp`
+    * bound its size, e.g. 1e9 items at 1% fpp is ~1.1 GiB) whose test
+    * compiles into the scan as a native codegen'd predicate
+    * (`BloomFilterMightContain` on the xxhash64 fingerprint). Batch rows
+    * the filter clears are DEFINITELY unseen (no false negatives) and
+    * bypass the snapshot join entirely; only the `might contain`
+    * suspects — true dups plus the fpp sliver — are exactly verified
+    * with the anti-join. The result is therefore EXACT (identical to
+    * [[incrementalDedup]]); the Bloom stage only routes.
+    *
+    * Scale shape: at a typical 1-5% cross-crawl dup rate the anti-join
+    * processes ~(dup rate + fpp) of the batch instead of all of it, and
+    * the snapshot ships to executors once as the filter blob instead of
+    * shuffling its fingerprint table per query.
+    */
+  def incrementalDedupBloom(batch: DataFrame, snapshot: DataFrame,
+                            textCol: String, idCol: String,
+                            expectedItems: Long,
+                            fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.{GraftExpressionBridge => EB}
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    def contentFp(c: Column): Column = xxhash64(normalizeText(c))
+    val seen = snapshot.where(col(textCol).isNotNull)
+      .select(contentFp(col(textCol)).as("__fp")).distinct()
+    val bloom = seen.stat.bloomFilter("__fp", expectedItems, fpp)
+    val blob = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val keyed = batch
+      .withColumn("__null", col(textCol).isNull)
+      .withColumn("__fp",
+        when(col("__null"), xxhash64(col(idCol)))
+          .otherwise(contentFp(col(textCol))))
+    val mightContain = EB.column(BloomFilterMightContain(
+      Literal(blob, BinaryType), EB.expression(col("__fp"))))
+    // cleared rows never touch the snapshot join; suspects verify
+    // exactly so a false positive cannot drop a genuinely new document
+    // unionByName: the using-key join reorders __fp to the front
+    val fresh = keyed.where(!mightContain).unionByName(
+      keyed.where(mightContain).join(seen, Seq("__fp"), "left_anti"))
+    val keep = fresh.groupBy("__fp", "__null")
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(keep, Seq("__fp", "__null", idCol), "left_semi")
+      .drop("__fp", "__null")
+  }
+
   /** Per-document banded MinHash signature, staged as materialized
     * projections: each intermediate (normalized text, shingle array,
     * signature) is computed ONCE per row. Nesting them in one expression

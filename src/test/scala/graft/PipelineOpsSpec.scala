@@ -101,6 +101,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gotP.toSeq == Seq(2L, 4L))
   }
 
+  test("incrementalDedupBloom: exact result equals incrementalDedup; " +
+       "the Bloom test compiles into the scan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val snapshot = Seq(
+      (100L, "seen before"), (101L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen  before"),
+      (2L, "brand new"),
+      (3L, "brand new"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ALSO SEEN")
+    ).toDF("doc_id", "text")
+    val routed = Dedup.incrementalDedupBloom(
+      batch, snapshot, "text", "doc_id", expectedItems = 1000L)
+    assert(routed.select("doc_id").as[Long].collect().sorted.toSeq ==
+           Seq(2L, 4L))
+    // routing only — identical to the plain path on a larger corpus
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf001}/documents.parquet")
+    val b = docs.where(col("doc_id") % 4 === 0)
+    val s = docs.where(col("doc_id") % 4 =!= 0)
+    val bloomDf = Dedup
+      .incrementalDedupBloom(b, s, "text", "doc_id", 100000L, 0.03)
+    val viaBloom = bloomDf
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaJoin = Dedup.incrementalDedup(b, s, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBloom == viaJoin)
+    // the native predicate is in the parquet-backed plan (the tiny
+    // LocalRelation case above constant-folds it away); cleared rows
+    // skip the snapshot join
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(4000))
+  }
+
   test("bm25TopK ranks by the exact BM25 formula and omits non-matches") {
     val spark = TestSpark.spark
     import spark.implicits._
