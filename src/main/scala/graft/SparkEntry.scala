@@ -1664,6 +1664,26 @@ object SparkEntry {
                sum("doc_id").as("id_sum"))
     }),
 
+    "q_chunk_dedup" -> ((s, dir) => {
+      // sub-document dedup at 12-token block granularity: duplicated
+      // blocks survive only at their globally-first (doc, pos); docs
+      // reassemble from surviving blocks. The aggregate pins per-doc
+      // outcomes via the id-weighted character checksum.
+      val d = T(s, dir, "documents")
+      val out = Dedup.chunkDedup(d, "text", "doc_id", blockTokens = 12)
+        .select(col("doc_id"), col("text").as("newtext"))
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      d.where(col("text").isNotNull)
+        .select(col("doc_id"), norm.as("norm"))
+        .join(out, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("newtext"))).cast("long").as("chars_kept"),
+             sum(when(col("newtext") =!= col("norm"), 1L).otherwise(0L))
+               .cast("long").as("n_changed"),
+             sum(col("doc_id") * length(col("newtext"))).cast("long")
+               .as("id_weighted"))
+    }),
+
     "q_lm_score" -> ((s, dir) => {
       // corpus-trained unigram-LM quality signal (CCNet-style): add-one
       // smoothed per-token NLL, integerized before summing so the
@@ -4248,6 +4268,40 @@ object SparkEntry {
          SELECT count(*) AS n_new, min(doc_id) AS min_id,
                 max(doc_id) AS max_id, sum(doc_id)::BIGINT AS id_sum
          FROM keep""",
+
+    "q_chunk_dedup" ->
+      // block grouping replays on the block STRING (the engine groups
+      // on its xxhash64); DuckDB list slices are 1-based inclusive
+      """WITH tok AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS norm,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ')
+                    AS t
+           FROM documents WHERE text IS NOT NULL),
+         blocks AS (
+           SELECT doc_id, i.i AS pos,
+                  array_to_string(t[(i.i*12+1):(i.i*12+12)], ' ') AS seg
+           FROM tok, LATERAL (SELECT unnest(range(((len(t)-1)//12)+1))
+                              AS i) i),
+         ranked AS (
+           SELECT doc_id, pos, seg, row_number() OVER (
+             PARTITION BY seg ORDER BY doc_id, pos) AS rn
+           FROM blocks),
+         rebuilt AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS newtext
+           FROM ranked WHERE rn = 1 GROUP BY doc_id),
+         fin AS (
+           SELECT tok.doc_id, tok.norm,
+                  coalesce(rebuilt.newtext, '') AS newtext
+           FROM tok LEFT JOIN rebuilt ON tok.doc_id = rebuilt.doc_id)
+         SELECT count(*) AS n_docs,
+                sum(length(newtext))::BIGINT AS chars_kept,
+                sum(CASE WHEN newtext <> norm THEN 1 ELSE 0 END)::BIGINT
+                  AS n_changed,
+                sum(doc_id * length(newtext))::BIGINT AS id_weighted
+         FROM fin""",
 
     "q_lm_score" ->
       """WITH toks AS (

@@ -195,6 +195,57 @@ object Dedup {
       .drop("__fp", "__null")
   }
 
+  /** Sub-document (chunk-level) dedup — the exact-substring-dedup
+    * approximation used on big web/code corpora: every document is cut
+    * into consecutive `blockTokens`-token blocks, a block that appears
+    * in multiple places survives only at its globally-first occurrence
+    * (min `(doc id, block position)`), and each document reassembles
+    * from its surviving blocks in order. Boilerplate shared across many
+    * pages (headers, license banners, navigation) disappears from all
+    * but one document while unique content is untouched. Null-text rows
+    * pass through; a fully-duplicated document reassembles to ''.
+    *
+    * Scale shape: blocks explode as a generator in the scan stage
+    * (array slicing is per-row arithmetic); the survivor choice is ONE
+    * window rank over the 8-byte block hash (shuffle volume = one row
+    * per block, 16 bytes of key+orderkey each, never the text); the
+    * reassembly groups each document's own surviving blocks — bounded
+    * by document size, no cross-document traffic on a key that was
+    * already the shuffle key.
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 blockTokens: Int): DataFrame = {
+    require(blockTokens > 0,
+      s"blockTokens must be positive; got $blockTokens")
+    import org.apache.spark.sql.expressions.Window
+    val k = blockTokens
+    val tok = split(normalizeText(col(textCol)), " ")
+    // consecutive k-token blocks rendered back to strings in the scan
+    val blocks = transform(
+      sequence(lit(0), floor((size(tok) - 1) / k).cast("int")),
+      i => array_join(slice(tok, i * k + 1, lit(k)), " "))
+    val hasText = df.where(col(textCol).isNotNull)
+    val seg = hasText
+      .select(col(idCol).as("id"), posexplode(blocks).as(Seq("pos", "seg")))
+      .withColumn("__fp", xxhash64(col("seg")))
+    val w = Window.partitionBy("__fp").orderBy(col("id"), col("pos"))
+    val kept = seg
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(array_join(array_sort(collect_list(struct(col("pos"),
+                                                     col("seg"))))
+             .getField("seg"), " ").as("__newtext"))
+    // left join back: docs whose every block was claimed elsewhere
+    // reassemble to '' (they vanish entirely, like exact dedup losers)
+    hasText
+      .join(rebuilt, col(idCol) === col("id"), "left")
+      .withColumn(textCol, coalesce(col("__newtext"), lit("")))
+      .drop("id", "__newtext")
+      .unionByName(df.where(col(textCol).isNull))
+  }
+
   /** [[incrementalDedup]] with a Bloom-filter routing stage — the
     * compact "seen-set" shape for snapshots too large to anti-join the
     * whole batch against. The snapshot's fingerprint set is folded into

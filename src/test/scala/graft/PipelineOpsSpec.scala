@@ -101,6 +101,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gotP.toSeq == Seq(2L, 4L))
   }
 
+  test("chunkDedup drops repeated blocks at non-first occurrences and " +
+       "reassembles documents in order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // blockTokens = 2: doc 1 = [a b][c d], doc 2 = [a b][x y],
+    // doc 3 = [c d] exactly, doc 4 = null
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "A  B x y"),   // [a b] duplicates doc 1 after normalization
+      (3L, "c d"),        // whole doc duplicated by doc 1's block 1
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "text", "doc_id", blockTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d")   // first occurrences everywhere
+    assert(out(2L) == "x y")       // lost its boilerplate prefix
+    assert(out(3L) == "")          // fully claimed by doc 1
+    assert(out(4L) == null)        // null text passes through
+    // deterministic across runs
+    val again = Dedup.chunkDedup(df, "text", "doc_id", blockTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("incrementalDedupBloom: exact result equals incrementalDedup; " +
        "the Bloom test compiles into the scan") {
     val spark = TestSpark.spark
