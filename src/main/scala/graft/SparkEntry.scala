@@ -1775,6 +1775,21 @@ object SparkEntry {
              round(avg(length(col("text"))), 6).as("avg_chars"))
     }),
 
+    "q_quality_by_lang" -> ((s, dir) => {
+      // per-language quality gate: each language keeps its own top-40%
+      // by subword count (a global cut would wipe out languages with
+      // systematically shorter docs). min_subwords pins each stratum's
+      // threshold through the hash.
+      val d = T(s, dir, "documents")
+      val metric = TextAnalysis.subwordCount(col("text")).cast("double")
+      Curation.qualityFilterBy(d, col("lang"), metric, 0.6)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+             round(avg(metric), 6).as("avg_subwords"),
+             round(min(metric), 6).as("min_subwords"))
+        .orderBy("lang")
+    }),
+
     "q_repetition" -> ((s, dir) => {
       // word-repetition curation signals per source (Gopher-style
       // top-bigram share and duplicate-trigram share); pure per-row
@@ -4538,6 +4553,20 @@ object SparkEntry {
          SELECT count(*) AS n_kept, round(t, 6) AS threshold,
                 round(avg(length(text)), 6) AS avg_chars
          FROM s, thr WHERE n >= t GROUP BY t""",
+
+    "q_quality_by_lang" ->
+      """WITH s AS (
+           SELECT lang,
+                  len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE AS n
+           FROM documents),
+         thr AS (SELECT lang, quantile_cont(n, 0.6)::DOUBLE AS t
+                 FROM s GROUP BY 1)
+         SELECT s.lang, count(*) AS n_kept,
+                round(avg(n), 6) AS avg_subwords,
+                round(min(n), 6) AS min_subwords
+         FROM s JOIN thr ON s.lang = thr.lang
+         WHERE n >= t GROUP BY 1 ORDER BY 1""",
 
     "q_repetition" ->
       """WITH w AS (

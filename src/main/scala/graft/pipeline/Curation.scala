@@ -64,6 +64,29 @@ object Curation {
       case None    => df.where(metric.isNotNull)
     }
 
+  /** Per-stratum [[qualityFilter]]: each stratum (language, source,
+    * domain) is gated at its OWN `frac` percentile, so a stratum with a
+    * systematically different metric distribution (short-sentence
+    * languages, code vs prose) is not wiped out by a global cut.
+    *
+    * One groupBy aggregate computes every threshold (strata are a
+    * driver-sized set, the exact `percentile` buffer is bounded by
+    * per-stratum distinct metric values — set `approx = true` for
+    * unbounded continuous metrics at cluster scale), broadcast back
+    * into the filter scan: no shuffle of the data itself.
+    */
+  def qualityFilterBy(df: DataFrame, strata: Column, metric: Column,
+                      frac: Double,
+                      approx: Boolean = false): DataFrame = {
+    val expr = if (approx) percentile_approx(metric, lit(frac), lit(10000))
+               else percentile(metric, lit(frac))
+    val thr = df.groupBy(strata.as("__stratum"))
+      .agg(expr.cast("double").as("__thr"))
+    df.join(broadcast(thr), strata === col("__stratum"), "left")
+      .where(metric >= col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Exact deterministic stratified sample: within every stratum keep the
     * `ceil(frac * n_stratum)` rows that rank first by `(md5(id), id)` —
     * exact per-stratum proportions (unlike Bernoulli `sampleBy`), no RNG,

@@ -266,6 +266,33 @@ class CurationSpec extends AnyFunSuite {
            plan)
   }
 
+  test("qualityFilterBy gates each stratum at its own percentile") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // stratum a: metrics 1..4 (p50 = 2.5); stratum b: 100..103
+    // (p50 = 101.5) — a global p50 would keep all of b, none of a
+    val df = ((1 to 4).map(i => ("a", i.toDouble)) ++
+              (100 to 103).map(i => ("b", i.toDouble)))
+      .toDF("stratum", "m")
+    val kept = Curation
+      .qualityFilterBy(df, col("stratum"), col("m"), 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(kept == Set(("a", 3.0), ("a", 4.0),
+                       ("b", 102.0), ("b", 103.0)), kept.toString)
+    // a stratum whose metric is entirely null keeps nothing
+    val withNull = df.union(
+      Seq(("c", null.asInstanceOf[java.lang.Double]))
+        .toDF("stratum", "m"))
+    val kept2 = Curation
+      .qualityFilterBy(withNull, col("stratum"), col("m"), 0.5)
+      .collect().map(_.getString(0)).toSet
+    assert(kept2 == Set("a", "b"))
+    // threshold side broadcasts: no shuffle of the data rows
+    val plan = Curation.qualityFilterBy(df, col("stratum"), col("m"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("contamination plan broadcasts the benchmark gram side") {
     val spark = TestSpark.spark
     import spark.implicits._
