@@ -82,7 +82,9 @@ object Curation {
                else percentile(metric, lit(frac))
     val thr = df.groupBy(strata.as("__stratum"))
       .agg(expr.cast("double").as("__thr"))
-    df.join(broadcast(thr), strata === col("__stratum"), "left")
+    // null-safe equality: the null stratum is a stratum like any other
+    // (as in stratifiedSample/sourceCap), gated at its own percentile
+    df.join(broadcast(thr), strata <=> col("__stratum"))
       .where(metric >= col("__thr"))
       .drop("__stratum", "__thr")
   }
@@ -101,17 +103,23 @@ object Curation {
   def stratifiedSample(df: DataFrame, strata: Column, id: Column,
                        frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1]; got $frac")
-    import org.apache.spark.sql.expressions.Window
-    val h = md5(id.cast("string").cast("binary"))
-    val rank = Window.partitionBy(strata).orderBy(h, id)
-    val n = Window.partitionBy(strata)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(strata)
     // round before ceil: bare ceil(n * frac) overshoots on binary float
     // artifacts (30 * 0.1 = 3.0000000000000004 -> 4)
-    df.withColumn("__rn", row_number().over(rank))
+    df.withColumn("__rn", row_number().over(contentRank(strata, id)))
       .withColumn("__n", count(lit(1)).over(n))
       .where(col("__rn") <= ceil(round(col("__n") * lit(frac), 9)))
       .drop("__rn", "__n")
   }
+
+  /** The shared content-addressed in-stratum ordering: rank by
+    * `(md5(id), id)` — the one hash discipline behind
+    * [[stratifiedSample]] and [[sourceCap]] (and mirrored by every
+    * external-SQL oracle), kept in one place so it cannot drift. */
+  private def contentRank(strata: Column, id: Column)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(strata)
+      .orderBy(md5(id.cast("string").cast("binary")), id)
 
   /** Per-source frequency cap: keep at most `cap` documents from each
     * source (crawl dump, domain, site) — the standard guard against a
@@ -129,10 +137,7 @@ object Curation {
   def sourceCap(df: DataFrame, source: Column, id: Column,
                 cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive; got $cap")
-    import org.apache.spark.sql.expressions.Window
-    val h = md5(id.cast("string").cast("binary"))
-    val rank = Window.partitionBy(source).orderBy(h, id)
-    df.withColumn("__rn", row_number().over(rank))
+    df.withColumn("__rn", row_number().over(contentRank(source, id)))
       .where(col("__rn") <= cap)
       .drop("__rn")
   }

@@ -202,16 +202,24 @@ object Dedup {
     * (min `(doc id, block position)`), and each document reassembles
     * from its surviving blocks in order. Boilerplate shared across many
     * pages (headers, license banners, navigation) disappears from all
-    * but one document while unique content is untouched. Null-text rows
-    * pass through; a fully-duplicated document reassembles to ''.
+    * but one document. Null-text rows pass through; a fully-duplicated
+    * document reassembles to ''.
+    *
+    * NOTE: output text is the case-folded whitespace-collapsed
+    * normalization for EVERY surviving document (blocks are cut and
+    * rejoined in normalized token space) — chunk dedup is a
+    * pre-tokenization stage, not a byte-preserving filter; callers that
+    * must keep original bytes should use the surviving doc/block ids to
+    * re-slice their own text.
     *
     * Scale shape: blocks explode as a generator in the scan stage
-    * (array slicing is per-row arithmetic); the survivor choice is ONE
-    * window rank over the 8-byte block hash (shuffle volume = one row
-    * per block, 16 bytes of key+orderkey each, never the text); the
-    * reassembly groups each document's own surviving blocks — bounded
-    * by document size, no cross-document traffic on a key that was
-    * already the shuffle key.
+    * (array slicing is per-row arithmetic); the survivor choice is one
+    * window rank keyed on the 8-byte block hash, and the reassembly is
+    * one per-document aggregate over surviving blocks (state bounded by
+    * document size). The corpus token stream rides those two exchanges
+    * — the dedup decision itself could be taken on hashes alone, but
+    * reassembly needs the text, and re-deriving it via a (doc, pos)
+    * self-join would shuffle the same bytes anyway.
     */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
                  blockTokens: Int): DataFrame = {
@@ -226,23 +234,24 @@ object Dedup {
       i => array_join(slice(tok, i * k + 1, lit(k)), " "))
     val hasText = df.where(col(textCol).isNotNull)
     val seg = hasText
-      .select(col(idCol).as("id"), posexplode(blocks).as(Seq("pos", "seg")))
-      .withColumn("__fp", xxhash64(col("seg")))
-    val w = Window.partitionBy("__fp").orderBy(col("id"), col("pos"))
+      .select(col(idCol).as("__id"),
+              posexplode(blocks).as(Seq("__pos", "__seg")))
+      .withColumn("__fp", xxhash64(col("__seg")))
+    val w = Window.partitionBy("__fp").orderBy(col("__id"), col("__pos"))
     val kept = seg
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
     val rebuilt = kept
-      .groupBy("id")
-      .agg(array_join(array_sort(collect_list(struct(col("pos"),
-                                                     col("seg"))))
-             .getField("seg"), " ").as("__newtext"))
+      .groupBy("__id")
+      .agg(array_join(array_sort(collect_list(struct(col("__pos"),
+                                                     col("__seg"))))
+             .getField("__seg"), " ").as("__newtext"))
     // left join back: docs whose every block was claimed elsewhere
     // reassemble to '' (they vanish entirely, like exact dedup losers)
     hasText
-      .join(rebuilt, col(idCol) === col("id"), "left")
+      .join(rebuilt, col(idCol) === col("__id"), "left")
       .withColumn(textCol, coalesce(col("__newtext"), lit("")))
-      .drop("id", "__newtext")
+      .drop("__id", "__newtext")
       .unionByName(df.where(col(textCol).isNull))
   }
 
@@ -260,9 +269,10 @@ object Dedup {
     * [[incrementalDedup]]); the Bloom stage only routes.
     *
     * Scale shape: at a typical 1-5% cross-crawl dup rate the anti-join
-    * processes ~(dup rate + fpp) of the batch instead of all of it, and
-    * the snapshot ships to executors once as the filter blob instead of
-    * shuffling its fingerprint table per query.
+    * processes ~(dup rate + fpp) of the batch instead of all of it. The
+    * snapshot fingerprints are read twice — the eager Bloom build and
+    * the lazy anti-join side — but both passes carry 8-byte hashes,
+    * never text.
     */
   def incrementalDedupBloom(batch: DataFrame, snapshot: DataFrame,
                             textCol: String, idCol: String,
@@ -273,8 +283,12 @@ object Dedup {
       BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     def contentFp(c: Column): Column = xxhash64(normalizeText(c))
+    // no distinct: Bloom insertion is idempotent and the anti-join only
+    // tests existence, so deduplicating the fingerprints would just add
+    // a shuffle to each of the two snapshot passes (the eager filter
+    // build here, and the lazy anti-join side below)
     val seen = snapshot.where(col(textCol).isNotNull)
-      .select(contentFp(col(textCol)).as("__fp")).distinct()
+      .select(contentFp(col(textCol)).as("__fp"))
     val bloom = seen.stat.bloomFilter("__fp", expectedItems, fpp)
     val blob = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -288,10 +302,15 @@ object Dedup {
     val mightContain = EB.column(BloomFilterMightContain(
       Literal(blob, BinaryType), EB.expression(col("__fp"))))
     // cleared rows never touch the snapshot join; suspects verify
-    // exactly so a false positive cannot drop a genuinely new document
-    // unionByName: the using-key join reorders __fp to the front
-    val fresh = keyed.where(!mightContain).unionByName(
-      keyed.where(mightContain).join(seen, Seq("__fp"), "left_anti"))
+    // exactly so a false positive cannot drop a genuinely new document.
+    // Null-text rows route straight past the Bloom test: they can never
+    // be in the snapshot, and keeping their (row-id-keyed) fingerprints
+    // out of the content anti-join preserves exactDedup's two-worlds
+    // invariant — an id hash colliding with a content hash still cannot
+    // drop the row. unionByName: the using-key join reorders __fp.
+    val fresh = keyed.where(col("__null") || !mightContain).unionByName(
+      keyed.where(!col("__null") && mightContain)
+        .join(seen, Seq("__fp"), "left_anti"))
     val keep = fresh.groupBy("__fp", "__null")
       .agg(min(col(idCol)).as(idCol))
     fresh.join(keep, Seq("__fp", "__null", idCol), "left_semi")

@@ -287,6 +287,16 @@ class CurationSpec extends AnyFunSuite {
       .qualityFilterBy(withNull, col("stratum"), col("m"), 0.5)
       .collect().map(_.getString(0)).toSet
     assert(kept2 == Set("a", "b"))
+    // a NULL stratum is a stratum like any other: gated at its own
+    // percentile, not silently dropped (null-safe join key)
+    val withNullStratum = df.union(
+      Seq((null.asInstanceOf[String], 7.0),
+          (null.asInstanceOf[String], 9.0)).toDF("stratum", "m"))
+    val keptNull = Curation
+      .qualityFilterBy(withNullStratum, col("stratum"), col("m"), 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .filter(_._1 == null).map(_._2).toSet
+    assert(keptNull == Set(9.0), keptNull.toString)
     // threshold side broadcasts: no shuffle of the data rows
     val plan = Curation.qualityFilterBy(df, col("stratum"), col("m"), 0.5)
       .queryExecution.executedPlan.toString

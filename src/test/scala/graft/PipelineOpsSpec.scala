@@ -123,6 +123,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Dedup.chunkDedup(df, "text", "doc_id", blockTokens = 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == out)
+    // an input whose id column is literally named "id" must not clash
+    // with the operator's internals
+    val outId = Dedup
+      .chunkDedup(df.withColumnRenamed("doc_id", "id"), "text", "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outId == out)
   }
 
   test("incrementalDedupBloom: exact result equals incrementalDedup; " +
