@@ -4214,9 +4214,10 @@ object SparkEntry {
          FROM sq GROUP BY 1 ORDER BY 1""",
 
     "q_token_chunks" ->
-      // chunk starts via the list-valued range(0, ntok, 24) (exclusive
-      // stop == starts < ntok); DuckDB's generate_series table function
-      // cannot take lateral column args
+      // chunk starts via the list-valued range(0, last+1, 24) where
+      // last = ceil((ntok-32)/24)*24 clamped at 0 (chunking stops at
+      // the first window reaching the end); DuckDB's generate_series
+      // table function cannot take lateral column args
       """WITH t AS (
            SELECT doc_id,
                   (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
@@ -4227,7 +4228,10 @@ object SparkEntry {
          c AS (
            SELECT doc_id, s AS chunk_start,
                   least(32, ntok - s) AS chunk_tokens
-           FROM (SELECT doc_id, ntok, unnest(range(0, ntok, 24)) AS s
+           FROM (SELECT doc_id, ntok,
+                        unnest(range(0,
+                          greatest(0, ((ntok - 32 + 23) // 24) * 24) + 1,
+                          24)) AS s
                  FROM t WHERE ntok > 0))
          SELECT count(DISTINCT doc_id) AS n_docs,
                 count(*) AS n_chunks,

@@ -131,10 +131,15 @@ object BinningProcess {
       : Map[String, FittedContinuousBinning] = {
     val y = col(yCol).cast(DoubleType)
     val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    // class column follows each variable's OVERRIDE config (same
+    // invariant as the binary batch path): a per-var specialCodes
+    // override must class its own rows, or special rows pollute the
+    // value histogram the override's solve expects to be clean
+    def clsOf(v: String): Column =
+      Preprocess.rowClass(col(v).cast(DoubleType), isNumeric = true,
+        cfgFor(v, config, varOverrides, "numerical").specialCodes)
     val base = chunkedMelt(df, variables, y, w,
-        v => col(v).cast(DoubleType),
-        v => Preprocess.rowClass(col(v).cast(DoubleType),
-                                 isNumeric = true, config.specialCodes))
+        v => col(v).cast(DoubleType), clsOf)
       .select(col("var"), col("x"), col("y"), col("w"), col("cls"))
     val aggExprs = Seq(
       count(lit(1)).as("n"), sum(col("w")).as("wt"),
@@ -189,9 +194,7 @@ object BinningProcess {
     }
     val histMelt =
       if (gridInfo.isEmpty) base
-      else chunkedMelt(df, variables, y, w, repOf,
-          v => Preprocess.rowClass(col(v).cast(DoubleType),
-                                   isNumeric = true, config.specialCodes))
+      else chunkedMelt(df, variables, y, w, repOf, clsOf)
     val histRows = histMelt.where(col("cls") === Preprocess.CleanClass)
       .groupBy("var", "x")
       .agg(aggExprs.head, aggExprs.tail: _*)
@@ -235,9 +238,6 @@ object BinningProcess {
       chunkedMelt(df, vars, y, w, valExpr,
         v => Preprocess.rowClass(col(v).cast(DoubleType),
                                  isNumeric = true, cfgs(v).specialCodes))
-    lazy val base = meltedOf(v => col(v).cast(DoubleType))
-      .select(col("var"), col("x"), col("y"), col("w"), col("cls"))
-
     // variables with pinned user splits need no value histogram at all:
     // snap each row to an in-bin representative (exact split comparisons,
     // same rep convention as `Histograms.exactPrebinBuckets`), so the
@@ -474,10 +474,13 @@ object BinningProcess {
                                   config: BinningConfig,
                                   overrides: Map[String, BinningConfig])
       : Map[String, FittedOptimalBinning] = {
+    // class column per variable's override config, as in the numeric
+    // and continuous batch paths
     val base = chunkedMelt(df, vars, y, w,
         v => col(v).cast(StringType),
         v => Preprocess.rowClass(col(v).cast(StringType),
-                                 isNumeric = false, config.specialCodes))
+          isNumeric = false,
+          cfgFor(v, config, overrides, "categorical").specialCodes))
       .select(col("var"), col("x"), col("y"), col("w"), col("cls"))
     val agg = base
       .groupBy("var", "cls", "x")

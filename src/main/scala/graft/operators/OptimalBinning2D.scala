@@ -793,12 +793,40 @@ object OptimalBinning2D {
     * when the memo exceeds the node budget — the caller keeps the
     * guillotine DP result and reports FEASIBLE.
     */
+  /** Run a driver-side recursive solve on a dedicated thread with a
+    * 512 MiB stack: the tiling searches recurse one frame per placed
+    * rectangle, so a singleton-heavy path on a large grid can reach
+    * ~nCells frames — far past the JVM's default ~1 MiB thread stack —
+    * before any node budget trips. */
+  private def withBigStack[T](f: => T): T = {
+    @volatile var out: Either[Throwable, T] = null
+    val t = new Thread(null,
+      () => out = try Right(f) catch { case e: Throwable => Left(e) },
+      "graft-2d-solve", 512L << 20)
+    t.setDaemon(true)
+    t.start(); t.join()
+    out match { case Right(v) => v; case Left(e) => throw e }
+  }
+
   private[graft] def exactTilingSolveBig(mx: Int, my: Int,
       leafVal: (Int, Int, Int, Int) => Option[Double],
       nodeBudget: Int = 2000000)
+      : Option[(String, Array[(Int, Int, Int, Int, Double)])] =
+    withBigStack(exactTilingSolveBigImpl(mx, my, leafVal, nodeBudget))
+
+  private def exactTilingSolveBigImpl(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      nodeBudget: Int)
       : Option[(String, Array[(Int, Int, Int, Int, Double)])] = {
     val nCells = mx * my
     val nWords = (nCells + 63) >>> 6
+    // bound the memo's MEMORY, not just its entry count: each key is an
+    // nWords-long array (+ object headers + the value tuple), so a huge
+    // grid at the flat 2M-entry budget would hold gigabytes; cap the
+    // memo at ~256 MiB and let budget exhaustion fall back to the
+    // guillotine FEASIBLE path as usual
+    val effectiveBudget = math.min(nodeBudget.toLong,
+      (256L << 20) / (8L * nWords + 96L)).toInt
     val fullWords = fullMaskWords(nCells)
 
     // memo key: value-equal wrapper over the mask words
@@ -816,7 +844,7 @@ object OptimalBinning2D {
     def best(mask: Mask): (Double, (Int, Int, Int, Int)) = {
       if (java.util.Arrays.equals(mask.w, fullWords)) return (0.0, null)
       memo.getOrElseUpdate(mask, {
-        if (memo.size > nodeBudget) { exceeded = true; return (0.0, null) }
+        if (memo.size > effectiveBudget) { exceeded = true; return (0.0, null) }
         val gap = firstGap(mask.w, fullWords)
         val gx = gap % mx
         val gy = gap / mx
@@ -897,6 +925,21 @@ object OptimalBinning2D {
       gamma: Double = 0.0,
       rectN: (Int, Int, Int, Int) => Double = null,
       totalRecords: Double = 0.0)
+      : (String, Array[(Int, Int, Int, Int, Double)]) =
+    withBigStack(monotonicTilingSolveImpl(mx, my, leafVal, rectEr,
+      trendX, trendY, maxNodes, minDiffX, minDiffY, minBins, maxBins,
+      gamma, rectN, totalRecords))
+
+  private def monotonicTilingSolveImpl(mx: Int, my: Int,
+      leafVal: (Int, Int, Int, Int) => Option[Double],
+      rectEr: (Int, Int, Int, Int) => Double,
+      trendX: Option[String], trendY: Option[String],
+      maxNodes: Long,
+      minDiffX: Double, minDiffY: Double,
+      minBins: Option[Int], maxBins: Option[Int],
+      gamma: Double,
+      rectN: (Int, Int, Int, Int) => Double,
+      totalRecords: Double)
       : (String, Array[(Int, Int, Int, Int, Double)]) = {
     val nCells = mx * my
     val fullWords = fullMaskWords(nCells)

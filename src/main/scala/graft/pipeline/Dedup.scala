@@ -109,21 +109,37 @@ object Dedup {
     * never duplicates of anything and all pass through: their group key
     * is the (unique) doc id, not the degenerate null fingerprint.
     */
+  /** The ONE content-fingerprint discipline shared by every exact /
+    * incremental dedup path: portable keys are md5 hex over normalized
+    * text (replayable by external SQL engines), production keys are
+    * xxhash64 rendered as a string ([[TextAnalysis.fingerprint]]). */
+  private def contentFpStr(text: Column, portable: Boolean): Column =
+    if (portable) md5(normalizeText(text))
+    else TextAnalysis.fingerprint(text).cast("string")
+
+  /** Row-id key for null-text rows, in the same portable/production
+    * rendering as [[contentFpStr]] — md5 hex vs xxhash64 string, so the
+    * two key worlds stay disjoint by format in portable mode and are
+    * guarded by `__null` in the group key everywhere. */
+  private def nullRowKey(id: Column, portable: Boolean): Column =
+    if (portable) md5(id.cast("string")) else xxhash64(id).cast("string")
+
+  /** (`__null`, `__fp`) key columns appended to `df` — the shared
+    * keying stage of [[exactDedup]]/[[exactDedupFlag]]/
+    * [[incrementalDedup]]. */
+  private def withContentKey(df: DataFrame, textCol: String,
+                             idCol: String,
+                             portable: Boolean): DataFrame =
+    df.withColumn("__null", col(textCol).isNull)
+      .withColumn("__fp",
+        when(col("__null"), nullRowKey(col(idCol), portable))
+          .otherwise(contentFpStr(col(textCol), portable)))
+
   def exactDedup(df: DataFrame, textCol: String, idCol: String,
                  /** md5 content keys (replayable by external SQL
                    * engines) instead of the production xxhash64. */
                  portable: Boolean = false): DataFrame = {
-    val contentFp =
-      if (portable)
-        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-      else TextAnalysis.fingerprint(col(textCol)).cast("string")
-    val fp = df
-      .withColumn("__null", col(textCol).isNull)
-      .withColumn("__fp",
-        when(col("__null"),
-             if (portable) md5(col(idCol).cast("string"))
-             else xxhash64(col(idCol)).cast("string"))
-          .otherwise(contentFp))
+    val fp = withContentKey(df, textCol, idCol, portable)
     // __null rides in the group key so a hash collision between a row
     // id and a content fingerprint still cannot merge the two worlds
     val keep = fp.groupBy("__fp", "__null").agg(min(col(idCol)).as(idCol))
@@ -139,17 +155,7 @@ object Dedup {
     * shape and cost as exactDedup itself. */
   def exactDedupFlag(df: DataFrame, textCol: String, idCol: String,
                      portable: Boolean = false): DataFrame = {
-    val contentFp =
-      if (portable)
-        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-      else TextAnalysis.fingerprint(col(textCol)).cast("string")
-    val fp = df
-      .withColumn("__null", col(textCol).isNull)
-      .withColumn("__fp",
-        when(col("__null"),
-             if (portable) md5(col(idCol).cast("string"))
-             else xxhash64(col(idCol)).cast("string"))
-          .otherwise(contentFp))
+    val fp = withContentKey(df, textCol, idCol, portable)
     val keep = fp.groupBy("__fp", "__null")
       .agg(min(col(idCol)).as("__minid"))
     fp.join(keep, Seq("__fp", "__null"))
@@ -177,18 +183,14 @@ object Dedup {
   def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
                        textCol: String, idCol: String,
                        portable: Boolean = false): DataFrame = {
-    def contentFp(c: Column): Column = {
-      val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
-      if (portable) md5(norm) else xxhash64(norm).cast("string")
-    }
     val seen = snapshot.where(col(textCol).isNotNull)
-      .select(contentFp(col(textCol)).as("__fp")).distinct()
-    val fresh = batch
-      .withColumn("__null", col(textCol).isNull)
-      .withColumn("__fp",
-        when(col("__null"), md5(col(idCol).cast("string")))
-          .otherwise(contentFp(col(textCol))))
-      .join(seen, Seq("__fp"), "left_anti")
+      .select(contentFpStr(col(textCol), portable).as("__fp")).distinct()
+    val keyed = withContentKey(batch, textCol, idCol, portable)
+    // null-text rows can never be in the snapshot: route them past the
+    // anti-join (two-worlds invariant — an id key colliding with a
+    // content key cannot drop the row)
+    val fresh = keyed.where(col("__null")).unionByName(
+      keyed.where(!col("__null")).join(seen, Seq("__fp"), "left_anti"))
     val keep = fresh.groupBy("__fp", "__null")
       .agg(min(col(idCol)).as(idCol))
     fresh.join(keep, Seq("__fp", "__null", idCol), "left_semi")

@@ -77,6 +77,12 @@ object Packing {
     * chunkSize - stride when stride < chunkSize). Documents with zero
     * tokens yield no chunks.
     *
+    * Chunking stops at the first window that reaches the document's
+    * end: a start whose window would be a strict suffix of the previous
+    * chunk emits nothing (its tokens are already fully covered), so no
+    * token is duplicated beyond the intended `chunkSize - stride`
+    * overlap.
+    *
     * One narrow projection + a generator (`explode(sequence(...))`) —
     * no shuffle, no window: chunk starts depend only on the document's
     * own token count, so this scales embarrassingly (each scan task
@@ -87,11 +93,16 @@ object Packing {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive; got $chunkSize")
     require(stride > 0, s"stride must be positive; got $stride")
+    // last start = ceil((ntok - chunkSize) / stride) * stride, clamped
+    // at 0 — integer arithmetic via floor((n - c + s - 1) / s)
+    val lastStart = greatest(lit(0L),
+      floor((col("__ntok") - chunkSize + (stride - 1)) /
+              lit(stride.toDouble)).cast("long") * stride)
     df.withColumn("__ntok", tokens.cast("long"))
       .where(col("__ntok") > 0)
       .select(col(idCol),
               col("__ntok"),
-              explode(sequence(lit(0L), col("__ntok") - 1L,
+              explode(sequence(lit(0L), lastStart,
                                lit(stride.toLong))).as("chunk_start"))
       .select(col(idCol),
               (col("chunk_start") / lit(stride.toLong)).cast("long")

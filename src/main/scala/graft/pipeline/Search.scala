@@ -129,7 +129,10 @@ object Search {
       .orderBy(desc("score"), col("token"))
     val dfcNeeded = dfc.join(broadcast(tf.select("token").distinct()),
                              Seq("token"), "left_semi")
-    tf.join(broadcast(dfcNeeded), Seq("token"))
+    // LEFT join + df=0 fallback: a target token absent from the corpus
+    // is the MOST distinctive (maximal smoothed idf), not a dropped row
+    tf.join(broadcast(dfcNeeded), Seq("token"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0.0)))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") * idf, scoreDigits))
       .withColumn("rank", row_number().over(w))

@@ -708,8 +708,14 @@ object Similarity {
     val emb = col(embCol).cast("array<double>")
     val aggCols = count(lit(1)).as("n") +: (0 until dim).map(d =>
       sum(floor(col("e").getItem(d) * lit(1e6)).cast("long")).as(s"s$d"))
+    // guard null/ragged embeddings out of the fit (an unguarded null
+    // yields a null cell group and the driver loop would NPE; a short
+    // vector would NPE inside the component sums) — same discipline as
+    // trainSample above
+    val clean = df.where(col(embCol).isNotNull &&
+                         size(col(embCol)) === dim)
     for (_ <- 0 until iters) {
-      val rows = df
+      val rows = clean
         .select(nearestCellExpr(centroids)(emb).as("cell"), emb.as("e"))
         .groupBy("cell").agg(aggCols.head, aggCols.tail: _*)
         .collect()

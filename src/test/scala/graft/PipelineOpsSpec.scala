@@ -73,10 +73,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
                  r.getBoolean(4)))
       .sortBy(t => (t._1, t._2))
+    // chunking stops at the first window reaching the end: a start-9
+    // window (tokens 9..9) would be a strict suffix of the start-6
+    // chunk (tokens 6..9) and is not emitted
     assert(got.toSeq == Seq(
       (1L, 0L, 0L, 4L, true), (1L, 1L, 3L, 4L, true),
-      (1L, 2L, 6L, 4L, true), (1L, 3L, 9L, 1L, false),
+      (1L, 2L, 6L, 4L, true),
       (2L, 0L, 0L, 3L, false)))
+    // ntok just past a full window still gets its covering tail chunk
+    val tail = Packing.tokenChunks(
+        Seq((9L, "a b c d e")).toDF("doc_id", "text"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(tail == Seq((0L, 4L), (3L, 2L)), tail.toString)
   }
 
   test("incrementalDedup anti-joins the snapshot then dedups the batch") {
@@ -249,6 +258,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // a: tf=2 df=3 -> 2*(ln(5/4)+1); b: tf=1 df=2 -> ln(5/3)+1
     assert(out.toSeq == Seq((1L, 1, "a", sc(2, 3)), (1L, 2, "b", sc(1, 2))))
+    // a target token the corpus has never seen is the MOST distinctive
+    // (df = 0 -> maximal smoothed idf), not a dropped row
+    val target = Seq((9L, "a unseen")).toDF("doc_id", "text")
+    val out2 = Search.tfidfTopTerms(corpus, target, "text", "doc_id", 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(out2.toSeq == Seq((1, "unseen", sc(1, 0)), (2, "a", sc(1, 3))),
+           out2.mkString(","))
   }
 
   test("normalize lowercases and strips tags/urls/emails, collapses " +

@@ -718,6 +718,22 @@ class PipelineQualitySpec extends AnyFunSuite {
            s"centroids ${cents.map(_.mkString(",")).mkString(" | ")}")
   }
 
+  test("kmeans: null and ragged embeddings are guarded out of the fit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val good = (0 until 20).map(i => (i.toLong, Array.fill(4)(1.0 + i)))
+    val bad = Seq((100L, null.asInstanceOf[Array[Double]]),
+                  (101L, Array(1.0, 2.0))) // short vector
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    // fit must not NPE on the driver; centroids equal the clean-only fit
+    val withBad = Similarity.kmeansCentroids(df, "embedding", dim = 4,
+                                             k = 2, iters = 2)
+    val cleanOnly = Similarity.kmeansCentroids(good.toDF("vec_id",
+        "embedding"), "embedding", dim = 4, k = 2, iters = 2)
+    assert(withBad.zip(cleanOnly).forall { case (a, b) =>
+      a.sameElements(b) })
+  }
+
   test("kmeans: empty clusters keep their seed centroid; iters=0 is " +
        "pure seed assignment; runs are deterministic") {
     val spark = TestSpark.spark
