@@ -865,6 +865,69 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_stream_sessions" -> ((s, dir) => {
+      // END-TO-END stateful streaming sessionization: the events table
+      // replays as a time-ordered file stream (3 sequential range
+      // files, one per trigger) through flatMapGroupsWithState with an
+      // event-time timeout. Oracle: gaps-and-islands sessionization
+      // over the raw table restricted to CLOSED sessions — every
+      // session below its user's last, plus last sessions whose
+      // (end + gap) fell strictly below the final watermark
+      // (max ts - delay), matching FlatMapGroupsWithStateExec's strict
+      // timeout eviction. Integer-only aggregates, no float sums.
+      // events.ts is TIMESTAMP_NTZ; normalize to UTC TIMESTAMP once at
+      // staging (session tz is UTC, so epoch values are unchanged and
+      // DuckDB's epoch_ms over the raw NTZ column replays identically)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("value"))
+      val Array(mnR, mxR) = ev
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_sess_stage").toString
+      val tsSec = col("ts").cast("long")
+      // only CROSS-file time order matters (the state fn sorts each
+      // batch in-memory), so no in-file sort — 3 single-file writes
+      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+        .zipWithIndex.foreach { case (p, g) =>
+          ev.where(p).repartition(1)
+            .write.mode("overwrite").parquet(s"$stage/b$g")
+        }
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val sess = graft.streaming.StreamingSessionize.sessions(
+        stream, "user_id", "ts", "value",
+        gapSeconds = 3600L, watermarkDelay = "600 seconds")
+      val q = sess.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_sessions")
+        .option("checkpointLocation", s"$stage/_ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table("graft_stream_sessions")
+        .agg(count(lit(1)).as("n_sessions"),
+             coalesce(sum(col("n_events")), lit(0L)).cast("long")
+               .as("n_events"),
+             coalesce(sum(col("end_ms") - col("start_ms")), lit(0L))
+               .cast("long").as("span_ms_total"),
+             coalesce(sum(col("user_id") * col("n_events")), lit(0L))
+               .cast("long").as("id_weighted"))
+        .collect()(0)
+      s.catalog.dropTempView("graft_stream_sessions")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      import s.implicits._
+      Seq((out.getLong(0), out.getLong(1), out.getLong(2),
+           out.getLong(3)))
+        .toDF("n_sessions", "n_events", "span_ms_total", "id_weighted")
+    }),
+
     "q_stream_binning" -> ((s, dir) => {
       // END-TO-END Structured Streaming binning: the events table is
       // staged as 3 range-partitioned parquet files and replayed as a
@@ -2278,6 +2341,41 @@ object SparkEntry {
                 '40807.044601,41192.200023,42139.474169,43305.350041,43950.745613'
                   AS splits
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_stream_sessions" ->
+      // closed sessions = every session below its user's last, plus
+      // last sessions with end + gap strictly below the final
+      // watermark (max ts - 600s); gap 3600s, all-integer aggregates
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms FROM events),
+         g AS (
+           SELECT user_id, ms,
+                  CASE WHEN lag(ms) OVER (PARTITION BY user_id
+                         ORDER BY ms) IS NULL
+                       OR ms - lag(ms) OVER (PARTITION BY user_id
+                         ORDER BY ms) > 3600000
+                       THEN 1 ELSE 0 END AS brk
+           FROM e),
+         s AS (
+           SELECT user_id, ms,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g),
+         a AS (
+           SELECT user_id, sid, min(ms) AS smin, max(ms) AS smax,
+                  count(*) AS n
+           FROM s GROUP BY 1, 2),
+         w AS (SELECT max(ms) - 600000 AS wm FROM e),
+         closed AS (
+           SELECT a.* FROM a, w
+           WHERE a.sid < (SELECT max(sid) FROM a a2
+                          WHERE a2.user_id = a.user_id)
+              OR a.smax + 3600000 < w.wm)
+         SELECT count(*)::BIGINT AS n_sessions,
+                sum(n)::BIGINT AS n_events,
+                sum(smax - smin)::BIGINT AS span_ms_total,
+                sum(user_id * n)::BIGINT AS id_weighted
+         FROM closed""",
 
     "q_stream_binning" ->
       // splits pinned from the deterministic 3-trigger stream replay

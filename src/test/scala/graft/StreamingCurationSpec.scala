@@ -97,6 +97,39 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(mon.psiTotal > 0.0)
   }
 
+  test("streaming sessionize: gap-closed sessions emit immediately, " +
+       "quiet users close by event-time timeout, open sessions stay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, Double)]
+    val df = stream.toDF().toDF("ts", "user_id", "value")
+    val sess = graft.streaming.StreamingSessionize.sessions(
+      df, "user_id", "ts", "value", gapSeconds = 600,
+      watermarkDelay = "5 minutes")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out").start()
+    def t(min: Int) = new Timestamp(86400000000L + min * 60000L)
+    // batch 1: u1 two events 4 min apart (one session), u2 one event
+    stream.addData(Seq((t(0), 1L, 1.0), (t(4), 1L, 2.0), (t(2), 2L, 5.0)))
+    q.processAllAvailable()
+    // batch 2: u1 event 30 min later -> closes u1's first session NOW
+    // (gap exceeded in-data); watermark 30-5=25 min also times out u2's
+    // session (2 + 10 < 25)
+    stream.addData(Seq((t(30), 1L, 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_out")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(x => (x._1, x._2))
+    // u1 session [0,4] (2 events, 3.0) and u2 session [2,2] closed;
+    // u1's session at t(30) is still open -> NOT emitted
+    assert(rows.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)),
+           rows.mkString(";"))
+  }
+
   test("balanced class weights: n / (2 * class count)") {
     val spark = TestSpark.spark
     import spark.implicits._
