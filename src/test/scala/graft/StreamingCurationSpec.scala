@@ -130,6 +130,44 @@ class StreamingCurationSpec extends AnyFunSuite {
            rows.mkString(";"))
   }
 
+  test("streaming sessionize: timeout eviction is STRICT (watermark " +
+       "must pass last + gap, equality keeps the session open)") {
+    // the q_stream_sessions oracle encodes `end + gap < max ts - delay`
+    // — this pins that FlatMapGroupsWithStateExec really evicts
+    // strictly, so an oracle drift would fail here first
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def run(otherTsSec: Long): Int = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Timestamp, Long, Double)]
+      val df = stream.toDF().toDF("ts", "user_id", "value")
+      val name = s"ss_bound_$otherTsSec"
+      val q = graft.streaming.StreamingSessionize.sessions(
+          df, "user_id", "ts", "value", gapSeconds = 600,
+          watermarkDelay = "300 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val base = 86400000000L
+      stream.addData(Seq((new Timestamp(base), 1L, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (new Timestamp(base + otherTsSec * 1000L), 2L, 1.0)))
+      q.processAllAvailable()
+      q.stop()
+      val n = spark.table(name)
+        .where(col("user_id") === 1L).count().toInt
+      spark.catalog.dropTempView(name)
+      n
+    }
+    // watermark lands EXACTLY on last + gap (900s - 300s = 600s = gap):
+    // strict eviction keeps u1's session open
+    assert(run(900L) == 0, "equality must NOT evict")
+    // one second past the boundary evicts
+    assert(run(901L) == 1, "past the boundary must evict")
+  }
+
   test("balanced class weights: n / (2 * class count)") {
     val spark = TestSpark.spark
     import spark.implicits._
