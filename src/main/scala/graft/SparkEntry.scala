@@ -1735,7 +1735,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val out = Dedup.chunkDedup(d, "text", "doc_id", blockTokens = 12)
         .select(col("doc_id"), col("text").as("newtext"))
-      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val norm = Dedup.normalizeText(col("text"))
       d.where(col("text").isNotNull)
         .select(col("doc_id"), norm.as("norm"))
         .join(out, Seq("doc_id"))
@@ -4646,10 +4646,13 @@ object SparkEntry {
          FROM kept GROUP BY 1 ORDER BY 1""",
 
     "q_quality_filter" ->
+      // null text counts 0 subwords, mirroring the engine's metric
       """WITH s AS (
            SELECT text,
-                  len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE AS n
+                  (CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   END)::DOUBLE AS n
            FROM documents),
          thr AS (SELECT quantile_cont(n, 0.75)::DOUBLE AS t FROM s)
          SELECT count(*) AS n_kept, round(t, 6) AS threshold,
@@ -4657,17 +4660,22 @@ object SparkEntry {
          FROM s, thr WHERE n >= t GROUP BY t""",
 
     "q_quality_by_lang" ->
+      // null text counts 0 subwords (the engine's subwordCount maps
+      // null -> 0) and a NULL lang is a stratum like any other (the
+      // engine joins thresholds null-safely)
       """WITH s AS (
            SELECT lang,
-                  len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE AS n
+                  (CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   END)::DOUBLE AS n
            FROM documents),
          thr AS (SELECT lang, quantile_cont(n, 0.6)::DOUBLE AS t
                  FROM s GROUP BY 1)
          SELECT s.lang, count(*) AS n_kept,
                 round(avg(n), 6) AS avg_subwords,
                 round(min(n), 6) AS min_subwords
-         FROM s JOIN thr ON s.lang = thr.lang
+         FROM s JOIN thr ON s.lang IS NOT DISTINCT FROM thr.lang
          WHERE n >= t GROUP BY 1 ORDER BY 1""",
 
     "q_repetition" ->

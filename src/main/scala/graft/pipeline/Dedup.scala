@@ -284,11 +284,14 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{
       BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
-    def contentFp(c: Column): Column = xxhash64(normalizeText(c))
+    // the production 8-byte content key IS TextAnalysis.fingerprint —
+    // one definition, so the Bloom path can never drift from
+    // incrementalDedup's keys.
     // no distinct: Bloom insertion is idempotent and the anti-join only
     // tests existence, so deduplicating the fingerprints would just add
     // a shuffle to each of the two snapshot passes (the eager filter
     // build here, and the lazy anti-join side below)
+    def contentFp(c: Column): Column = TextAnalysis.fingerprint(c)
     val seen = snapshot.where(col(textCol).isNotNull)
       .select(contentFp(col(textCol)).as("__fp"))
     val bloom = seen.stat.bloomFilter("__fp", expectedItems, fpp)

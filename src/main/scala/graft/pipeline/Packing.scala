@@ -94,10 +94,16 @@ object Packing {
     require(chunkSize > 0, s"chunkSize must be positive; got $chunkSize")
     require(stride > 0, s"stride must be positive; got $stride")
     // last start = ceil((ntok - chunkSize) / stride) * stride, clamped
-    // at 0 — integer arithmetic via floor((n - c + s - 1) / s)
-    val lastStart = greatest(lit(0L),
-      floor((col("__ntok") - chunkSize + (stride - 1)) /
-              lit(stride.toDouble)).cast("long") * stride)
+    // at 0 — integer arithmetic via floor((n - c + s - 1) / s). The
+    // least() bound only binds when stride > chunkSize (disjoint
+    // sampling): without it the covering-start formula could land past
+    // the document and emit zero/negative-token chunks
+    val lastStart = least(
+      greatest(lit(0L),
+        floor((col("__ntok") - chunkSize + (stride - 1)) /
+                lit(stride.toDouble)).cast("long") * stride),
+      floor((col("__ntok") - 1) / lit(stride.toDouble)).cast("long") *
+        stride)
     df.withColumn("__ntok", tokens.cast("long"))
       .where(col("__ntok") > 0)
       .select(col(idCol),

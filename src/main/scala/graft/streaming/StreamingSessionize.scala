@@ -84,7 +84,13 @@ object StreamingSessionize {
               else if (ms - cur.last > gapMs) {
                 out ::= close(user, cur)
                 cur = OpenSession(ms, ms, 1L, v)
-              } else
+              } else if (cur.start - ms > gapMs)
+                // a stray event more than one gap BEFORE the open
+                // session (possible when watermarkDelay > gap): its own
+                // immediately-closed session, never merged — merging
+                // would emit a session violating the gap invariant
+                out ::= close(user, OpenSession(ms, ms, 1L, v))
+              else
                 cur = OpenSession(math.min(cur.start, ms),
                                   math.max(cur.last, ms),
                                   cur.n + 1, cur.vsum + v)

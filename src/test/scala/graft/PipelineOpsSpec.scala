@@ -86,6 +86,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         TextAnalysis.tokenCount(col("text")), chunkSize = 4, stride = 3)
       .collect().map(r => (r.getLong(2), r.getLong(3))).sorted.toSeq
     assert(tail == Seq((0L, 4L), (3L, 2L)), tail.toString)
+    // stride > chunkSize (disjoint sampling): no zero/negative-token
+    // chunk may appear past the document end
+    val sparse = Packing.tokenChunks(
+        Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), chunkSize = 2, stride = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(sparse == Seq((0L, 2L)), sparse.toString)
   }
 
   test("incrementalDedup anti-joins the snapshot then dedups the batch") {

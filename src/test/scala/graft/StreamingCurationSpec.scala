@@ -130,6 +130,35 @@ class StreamingCurationSpec extends AnyFunSuite {
            rows.mkString(";"))
   }
 
+  test("streaming sessionize: a stray event a full gap behind the open " +
+       "session closes alone instead of merging across the gap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, Double)]
+    val df = stream.toDF().toDF("ts", "user_id", "value")
+    val q = graft.streaming.StreamingSessionize.sessions(
+        df, "user_id", "ts", "value", gapSeconds = 60,
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_stray").start()
+    def t(min: Int) = new Timestamp(86400000000L + min * 60000L)
+    stream.addData(Seq((t(30), 1L, 1.0)))
+    q.processAllAvailable()
+    // 20 min older than the open session's start, still above the
+    // watermark (delay 1 h): must NOT merge into [30, 30]
+    stream.addData(Seq((t(10), 1L, 2.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_stray")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.dropTempView("ss_stray")
+    assert(rows.toSeq == Seq((t(10).getTime, t(10).getTime, 1L)),
+           rows.mkString(";"))
+  }
+
   test("streaming sessionize: timeout eviction is STRICT (watermark " +
        "must pass last + gap, equality keeps the session open)") {
     // the q_stream_sessions oracle encodes `end + gap < max ts - delay`
