@@ -903,10 +903,18 @@ object SparkEntry {
       val sess = graft.streaming.StreamingSessionize.sessions(
         stream, "user_id", "ts", "value",
         gapSeconds = 3600L, watermarkDelay = "600 seconds")
-      val q = sess.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_sessions")
-        .option("checkpointLocation", s"$stage/_ckpt")
-        .start()
+      // 8 state-store partitions instead of the session's 32: per
+      // microbatch every store pays commit overhead, and the keyed
+      // state here is a few hundred users — width buys nothing. The
+      // conf only binds at checkpoint creation, scoped via finally.
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        sess.writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_sessions")
+          .option("checkpointLocation", s"$stage/_ckpt")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       q.processAllAvailable()
       q.stop()
       val out = s.table("graft_stream_sessions")
