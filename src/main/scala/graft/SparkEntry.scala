@@ -1544,11 +1544,12 @@ object SparkEntry {
 
     "q_embed_clusters" -> ((s, dir) => {
       // distributed Lloyd k-means (2 rounds from the portable seed):
-      // topic-style clustering of the embedding corpus. Exact BIGINT
-      // component sums make every centroid update order-independent,
-      // so the full fit + final assignment replays bit-exactly in SQL;
-      // the integer member checksum proves the exact cluster contents,
-      // not just the sizes
+      // topic-style clustering of the embedding corpus. The entire fit
+      // is integer arithmetic — quantized BIGINT components, exact
+      // integer assignment distances, BIGINT sums, integer
+      // floor-division updates — so the fit + final assignment replays
+      // bit-exactly in SQL on any engine; the integer member checksum
+      // proves the exact cluster contents, not just the sizes
       val e = T(s, dir, "embeddings")
       val cl = Similarity.kmeansPortable(e, "embedding", dim = 64,
                                          k = 8, iters = 2)
@@ -1681,11 +1682,12 @@ object SparkEntry {
                             seqLen = 512, nShards = 8)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_seqs"), sum("n_docs").as("n_docs"),
-             sum("n_tokens").as("n_tokens"),
-             // avg fill from EXACT integer sums — one float division,
-             // order-independent (avg of per-seq rounded doubles is not)
-             round(sum("n_tokens") / (lit(512.0) * count(lit(1))), 6)
-               .as("avg_fill"))
+             sum("n_tokens").as("n_tokens"))
+        // avg fill = n_tokens / (512 * n_seqs) is derivable from the
+        // emitted integer columns; it is NOT emitted because a rounded
+        // dyadic ratio can land exactly on a 6-digit rounding tie,
+        // where engines' HALF_UP vs HALF_EVEN conventions diverge —
+        // the oracle surface stays integer-only
         .orderBy("shard")
     }),
 
@@ -3643,35 +3645,39 @@ object SparkEntry {
                 count(DISTINCT c.cell) AS n_cells
          FROM corpus c LEFT JOIN dup d ON c.cid = d.cid""",
 
-    // distributed Lloyd k-means replay: Lehmer seed centroids, two
-    // exact-BIGINT centroid updates (floor(x*1e6) component sums are
-    // aggregation-order independent), final assignment with the same
-    // (d2, cell) tie-break as the native kernel; empty cells keep the
-    // previous centroid (COALESCE)
+    // distributed Lloyd k-means replay — INTEGER-ONLY surface: vectors
+    // and Lehmer seed centroids quantize once to floor(x*1e6) BIGINTs;
+    // assignment ranks on exact 64-bit integer squared distances (no
+    // float fold, so no dependence on evaluation order or FMA);
+    // centroid updates are exact BIGINT sums + integer floor-division
+    // staying on the 1e-6 grid; empty cells keep the previous centroid
+    // (COALESCE). (s - ((s % n) + n) % n) // n is floorDiv: the
+    // numerator is made exactly divisible, so truncation == floor.
     "q_embed_clusters" ->
       """WITH emb AS (
            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          qv AS (
-           SELECT vec_id, emb,
+           SELECT vec_id,
                   [ CAST(floor(emb[d] * 1000000.0) AS BIGINT)
                     FOR d IN range(1, 65)] AS q
            FROM emb),
          cent0 AS (
            SELECT l AS cell,
-                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
-                         % 2147483647)
-                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
-                         % 2147483647))
-                      % 2147483647) * 48271) % 2147483647)
-                    * 2.0 / 2147483647.0 - 1.0
-                    FOR d IN range(1, 65)] AS ctr
+                  [ CAST(floor((
+                      (((((((1000+l)*1315423911 + (d-1)*2654435761
+                            + 97531) % 2147483647)
+                         * (((1000+l)*1315423911 + (d-1)*2654435761
+                             + 97531) % 2147483647))
+                         % 2147483647) * 48271) % 2147483647)
+                      * 2.0 / 2147483647.0 - 1.0) * 1000000.0) AS BIGINT)
+                    FOR d IN range(1, 65)] AS qc
            FROM range(0, 8) t(l)),
          a1 AS (
-           SELECT vec_id, emb, q, cell FROM (
-             SELECT v.vec_id, v.emb, v.q, c.cell,
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
                           FOR d IN range(1, 65)]),
                         (a, b) -> a + b), c.cell) AS rn
              FROM qv v CROSS JOIN cent0 c) t WHERE rn = 1),
@@ -3679,16 +3685,17 @@ object SparkEntry {
            SELECT cell, d, sum(q[d]) AS s, count(*) AS n
            FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
          cent1 AS (
-           SELECT c0.cell, COALESCE(u.ctr, c0.ctr) AS ctr
+           SELECT c0.cell, COALESCE(u.qc, c0.qc) AS qc
            FROM cent0 c0 LEFT JOIN (
-             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             SELECT cell,
+                    list((s - ((s % n) + n) % n) // n ORDER BY d) AS qc
              FROM s1 GROUP BY cell) u USING (cell)),
          a2 AS (
-           SELECT vec_id, emb, q, cell FROM (
-             SELECT v.vec_id, v.emb, v.q, c.cell,
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
                           FOR d IN range(1, 65)]),
                         (a, b) -> a + b), c.cell) AS rn
              FROM qv v CROSS JOIN cent1 c) t WHERE rn = 1),
@@ -3696,16 +3703,17 @@ object SparkEntry {
            SELECT cell, d, sum(q[d]) AS s, count(*) AS n
            FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
          cent2 AS (
-           SELECT c1.cell, COALESCE(u.ctr, c1.ctr) AS ctr
+           SELECT c1.cell, COALESCE(u.qc, c1.qc) AS qc
            FROM cent1 c1 LEFT JOIN (
-             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             SELECT cell,
+                    list((s - ((s % n) + n) % n) // n ORDER BY d) AS qc
              FROM s2 GROUP BY cell) u USING (cell)),
          a3 AS (
            SELECT vec_id, q, cell FROM (
              SELECT v.vec_id, v.q, c.cell,
                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
                           FOR d IN range(1, 65)]),
                         (a, b) -> a + b), c.cell) AS rn
              FROM qv v CROSS JOIN cent2 c) t WHERE rn = 1)
@@ -3715,68 +3723,73 @@ object SparkEntry {
                                 (a, b) -> a + b)) AS checksum
          FROM a3 GROUP BY 1 ORDER BY 1""",
 
-    // cluster-balanced sample replay: the q_embed_clusters assignment
-    // chain, then the md5-rank stratified sample inside each cluster
+    // cluster-balanced sample replay: the q_embed_clusters INTEGER-ONLY
+    // assignment chain, then the md5-rank stratified sample inside each
+    // cluster
     "q_cluster_sample" ->
       """WITH emb AS (
            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+                  [ CAST(floor(emb[d] * 1000000.0) AS BIGINT)
+                    FOR d IN range(1, 65)] AS q
+           FROM emb),
          cent0 AS (
            SELECT l AS cell,
-                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
-                         % 2147483647)
-                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
-                         % 2147483647))
-                      % 2147483647) * 48271) % 2147483647)
-                    * 2.0 / 2147483647.0 - 1.0
-                    FOR d IN range(1, 65)] AS ctr
+                  [ CAST(floor((
+                      (((((((1000+l)*1315423911 + (d-1)*2654435761
+                            + 97531) % 2147483647)
+                         * (((1000+l)*1315423911 + (d-1)*2654435761
+                             + 97531) % 2147483647))
+                         % 2147483647) * 48271) % 2147483647)
+                      * 2.0 / 2147483647.0 - 1.0) * 1000000.0) AS BIGINT)
+                    FOR d IN range(1, 65)] AS qc
            FROM range(0, 8) t(l)),
          a1 AS (
-           SELECT vec_id, emb, cell FROM (
-             SELECT v.vec_id, v.emb, c.cell,
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
                           FOR d IN range(1, 65)]),
                         (a, b) -> a + b), c.cell) AS rn
-             FROM emb v CROSS JOIN cent0 c) t WHERE rn = 1),
+             FROM qv v CROSS JOIN cent0 c) t WHERE rn = 1),
          s1 AS (
-           SELECT cell, d,
-                  sum(CAST(floor(emb[d] * 1000000.0) AS BIGINT)) AS s,
-                  count(*) AS n
+           SELECT cell, d, sum(q[d]) AS s, count(*) AS n
            FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
          cent1 AS (
-           SELECT c0.cell, COALESCE(u.ctr, c0.ctr) AS ctr
+           SELECT c0.cell, COALESCE(u.qc, c0.qc) AS qc
            FROM cent0 c0 LEFT JOIN (
-             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             SELECT cell,
+                    list((s - ((s % n) + n) % n) // n ORDER BY d) AS qc
              FROM s1 GROUP BY cell) u USING (cell)),
          a2 AS (
-           SELECT vec_id, emb, cell FROM (
-             SELECT v.vec_id, v.emb, c.cell,
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
                           FOR d IN range(1, 65)]),
                         (a, b) -> a + b), c.cell) AS rn
-             FROM emb v CROSS JOIN cent1 c) t WHERE rn = 1),
+             FROM qv v CROSS JOIN cent1 c) t WHERE rn = 1),
          s2 AS (
-           SELECT cell, d,
-                  sum(CAST(floor(emb[d] * 1000000.0) AS BIGINT)) AS s,
-                  count(*) AS n
+           SELECT cell, d, sum(q[d]) AS s, count(*) AS n
            FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
          cent2 AS (
-           SELECT c1.cell, COALESCE(u.ctr, c1.ctr) AS ctr
+           SELECT c1.cell, COALESCE(u.qc, c1.qc) AS qc
            FROM cent1 c1 LEFT JOIN (
-             SELECT cell, list(s / (1000000.0 * n) ORDER BY d) AS ctr
+             SELECT cell,
+                    list((s - ((s % n) + n) % n) // n ORDER BY d) AS qc
              FROM s2 GROUP BY cell) u USING (cell)),
          a3 AS (
            SELECT vec_id, cell FROM (
              SELECT v.vec_id, c.cell,
                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                      list_reduce(list_prepend(0.0::DOUBLE,
-                        [ (v.emb[d] - c.ctr[d]) * (v.emb[d] - c.ctr[d])
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
                           FOR d IN range(1, 65)]),
                         (a, b) -> a + b), c.cell) AS rn
-             FROM emb v CROSS JOIN cent2 c) t WHERE rn = 1),
+             FROM qv v CROSS JOIN cent2 c) t WHERE rn = 1),
          smp AS (
            SELECT cell, vec_id,
                   row_number() OVER (PARTITION BY cell
@@ -4315,8 +4328,7 @@ object SparkEntry {
                   sum(tok) AS n_tokens
            FROM pk GROUP BY 1, 2)
          SELECT shard, count(*) AS n_seqs, sum(n_docs) AS n_docs,
-                sum(n_tokens) AS n_tokens,
-                round(sum(n_tokens) / (512.0 * count(*)), 6) AS avg_fill
+                sum(n_tokens) AS n_tokens
          FROM sq GROUP BY 1 ORDER BY 1""",
 
     "q_token_chunks" ->

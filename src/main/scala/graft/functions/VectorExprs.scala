@@ -46,6 +46,23 @@ object VectorExprs {
                        centroids.map(_.toIndexedSeq).toIndexedSeq,
                        nProbe))
 
+  /** Nearest cell by EXACT integer squared L2 over 1e-6-quantized
+    * components: the vector quantizes element-wise to
+    * `floor(x * 1e6)` (a BIGINT) and the distance to a quantized
+    * centroid is `sum((q_d - qc_d)^2)` in 64-bit integer arithmetic —
+    * no float enters the ranking, so any IEEE-compliant engine (the
+    * DuckDB correctness oracle included) reproduces the assignment
+    * bit-exactly regardless of fold order, FMA contraction, or
+    * codegen quirks. `floor(x * 1e6)` itself is deterministic: it is
+    * one IEEE multiply + floor of the same double on every engine.
+    * Ties break to the lower cell id. This is the k-means assignment
+    * kernel ([[graft.pipeline.Similarity.kmeansCentroids]]).
+    */
+  def nearestCellQ(emb: Column, qcentroids: Array[Array[Long]]): Column =
+    ExpressionUtils.column(
+      NearestCellQExpr(ExpressionUtils.expression(emb),
+                       qcentroids.map(_.toIndexedSeq).toIndexedSeq))
+
   /** Lehmer-style plane component shared by the native expression and the
     * HOF reference: quadratic mix then a Park-Miller (minstd, 48271) step,
     * all mod 2^31-1 — plain 64-bit integer arithmetic, so an external SQL
@@ -410,5 +427,78 @@ final case class NearestCellsExpr(child: Expression,
       }
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Nearest cell id by EXACT integer squared L2 over 1e-6-quantized
+  * components (see [[VectorExprs.nearestCellQ]] for the determinism
+  * contract). A null element yields cell 0 (the same convention as
+  * [[NearestCellsExpr]]'s nProbe=1 null edge). Extra vector components
+  * beyond the centroid dimension are ignored; missing ones contribute
+  * the centroid's own squared quantized component.
+  *
+  * Magnitude bound: components in [-B, B] quantize to |q| <= B*1e6, so
+  * a d-dimensional distance is <= d * (2*B*1e6)^2 — for the engine's
+  * unit-scale embeddings (B ~ 1, d = 64) that is ~2.6e14, far inside
+  * Long range; overflow needs B*sqrt(d) > ~48e3.
+  */
+final case class NearestCellQExpr(child: Expression,
+                                  qcentroids: IndexedSeq[IndexedSeq[Long]])
+    extends UnaryExpression {
+
+  require(qcentroids.nonEmpty, "qcentroids must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cells_q"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCellQExpr = copy(child = newChild)
+
+  @transient private lazy val elemFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_nearest_cells_q expects array<float|double>, got $t")
+  }
+
+  @transient private lazy val ctr: Array[Array[Long]] =
+    qcentroids.map(_.toArray).toArray
+
+  def kernel(arr: ArrayData): Int =
+    nullSafeEval(arr).asInstanceOf[Int]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellQExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val qx = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0
+      val v = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      qx(i) = math.floor(v * 1e6).toLong
+      i += 1
+    }
+    var bestD = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < ctr.length) {
+      val w = ctr(c)
+      var d2 = 0L
+      var j = 0
+      while (j < w.length) {
+        val d = (if (j < n) qx(j) else 0L) - w(j)
+        d2 += d * d
+        j += 1
+      }
+      if (d2 < bestD) { bestD = d2; bestC = c }
+      c += 1
+    }
+    bestC
   }
 }

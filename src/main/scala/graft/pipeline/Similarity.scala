@@ -205,6 +205,14 @@ object Similarity {
     graft.functions.VectorExprs
       .nearestCells(emb.cast("array<double>"), centroids, 1)(0)
 
+  /** Exact-integer nearest-cell assignment over 1e-6-quantized
+    * components — the k-means fit/assignment kernel (see
+    * [[graft.functions.VectorExprs.nearestCellQ]]). */
+  private def nearestCellQExpr(qcentroids: Array[Array[Long]])
+                              (emb: Column): Column =
+    graft.functions.VectorExprs
+      .nearestCellQ(emb.cast("array<double>"), qcentroids)
+
   private[graft] def nearestCellExprHof(centroids: Array[Array[Double]])
                                           (emb: Column): Column =
     array_sort(transform(centroidLit(centroids), (ctr, ci) =>
@@ -261,6 +269,14 @@ object Similarity {
       graft.functions.VectorExprs.portablePlaneComponent(1000L + l,
                                                          j.toLong)
     }
+
+  /** [[portableCentroids]] quantized to the 1e-6 integer grid
+    * (`floor(c * 1e6)` as a long) — the seed of the exact-integer
+    * k-means fit. The floor of one deterministic IEEE expression is
+    * itself deterministic, so the SQL oracle derives identical longs. */
+  def portableCentroidsQ(nLists: Int, dim: Int): Array[Array[Long]] =
+    portableCentroids(nLists, dim)
+      .map(_.map(c => math.floor(c * 1e6).toLong))
 
   /** [[ivfTopK]] with the portable deterministic quantizer (no training
     * scan at all): same distributed assignment + probe join. */
@@ -692,19 +708,27 @@ object Similarity {
     * scan task, so the per-iteration shuffle is the partial-aggregate
     * rows, not the corpus — the loop costs `iters` scans at any scale.
     *
-    * Determinism (what makes the fit hash-oracle-able): component sums
-    * are exact BIGINTs of floor(x * 1e6) — aggregation-order
-    * independent, the same integerize-before-sum trick as
-    * [[Search.bm25TopK]] — so every engine derives bit-identical
-    * centroids; assignment ties break to the lowest cell id in both the
-    * native kernel and the SQL replay. Empty clusters keep their
-    * previous centroid.
+    * Determinism (what makes the fit hash-oracle-able): the ENTIRE fit
+    * is integer arithmetic. Vectors quantize once to
+    * `floor(x * 1e6)` BIGINT components; assignment ranks on exact
+    * 64-bit integer squared distances ([[graft.functions.VectorExprs
+    * .nearestCellQ]] — no float fold whose result could depend on
+    * evaluation order or FMA contraction); component sums are exact
+    * BIGINTs (aggregation-order independent, the same
+    * integerize-before-sum trick as [[Search.bm25TopK]]); and the
+    * centroid update is the integer floor-division
+    * `floorDiv(sum, n)` staying on the 1e-6 grid. The only float op
+    * anywhere is the initial `floor(x * 1e6)` / seed quantization —
+    * one IEEE multiply + floor, identical on every engine — so the
+    * DuckDB oracle replays the fit and assignment bit-exactly. Ties
+    * break to the lowest cell id. Empty clusters keep their previous
+    * centroid.
     */
-  def kmeansCentroids(df: DataFrame, embCol: String, dim: Int, k: Int,
-                      iters: Int): Array[Array[Double]] = {
+  def kmeansCentroidsQ(df: DataFrame, embCol: String, dim: Int, k: Int,
+                       iters: Int): Array[Array[Long]] = {
     require(k > 0, s"k must be positive; got $k")
     require(iters >= 0, s"iters must be >= 0; got $iters")
-    var centroids = portableCentroids(k, dim)
+    var centroids = portableCentroidsQ(k, dim)
     val emb = col(embCol).cast("array<double>")
     val aggCols = count(lit(1)).as("n") +: (0 until dim).map(d =>
       sum(floor(col("e").getItem(d) * lit(1e6)).cast("long")).as(s"s$d"))
@@ -716,16 +740,16 @@ object Similarity {
                          size(col(embCol)) === dim)
     for (_ <- 0 until iters) {
       val rows = clean
-        .select(nearestCellExpr(centroids)(emb).as("cell"), emb.as("e"))
+        .select(nearestCellQExpr(centroids)(emb).as("cell"), emb.as("e"))
         .groupBy("cell").agg(aggCols.head, aggCols.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
       rows.foreach { r =>
         val cell = r.getInt(0)
-        val n = r.getLong(1).toDouble
+        val n = r.getLong(1)
         var d = 0
         while (d < dim) {
-          next(cell)(d) = r.getLong(2 + d) / (1e6 * n); d += 1
+          next(cell)(d) = Math.floorDiv(r.getLong(2 + d), n); d += 1
         }
       }
       centroids = next
@@ -733,13 +757,20 @@ object Similarity {
     centroids
   }
 
-  /** [[kmeansCentroids]] + final assignment: the input with a `cluster`
-    * column (one more narrow projection, no shuffle). */
+  /** [[kmeansCentroidsQ]] de-quantized to doubles (1e-6 grid) for
+    * callers that consume centroid coordinates. */
+  def kmeansCentroids(df: DataFrame, embCol: String, dim: Int, k: Int,
+                      iters: Int): Array[Array[Double]] =
+    kmeansCentroidsQ(df, embCol, dim, k, iters).map(_.map(_ / 1e6))
+
+  /** [[kmeansCentroidsQ]] + final assignment: the input with a `cluster`
+    * column (one more narrow projection, no shuffle, exact-integer
+    * ranking). */
   def kmeansPortable(df: DataFrame, embCol: String, dim: Int, k: Int,
                      iters: Int): DataFrame = {
-    val centroids = kmeansCentroids(df, embCol, dim, k, iters)
+    val centroids = kmeansCentroidsQ(df, embCol, dim, k, iters)
     df.withColumn("cluster",
-                  nearestCellExpr(centroids)(col(embCol)))
+                  nearestCellQExpr(centroids)(col(embCol)))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a

@@ -14,20 +14,17 @@ object Drive {
       f
       println(f"DRIVE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
-        .otherwise(0.0))
-    Seq(5, 10, 20, 40, 80, 120).foreach { n =>
-      val df = base.select(
-        col("y") +: (0 until n).map(i =>
-          (col("l_extendedprice") * (1.0 + i * 0.01) +
-           col("l_quantity") * (i % 7)).as(s"v$i")): _*)
-      df.count()
-      val vars = (0 until n).map(i => s"v$i")
-      phase(s"batch fit nVars=$n") {
-        graft.operators.BinningProcess.fit(df, vars, "y")
-      }
+    // exact-integer k-means: fit + assignment over real embeddings
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    phase("kmeansQ fit+assign sf0.1") {
+      val cl = graft.pipeline.Similarity
+        .kmeansPortable(e, "embedding", dim = 64, k = 8, iters = 2)
+      val agg = cl.groupBy("cluster").count().orderBy("cluster")
+      agg.show()
     }
+    val cl = graft.pipeline.Similarity
+      .kmeansPortable(e, "embedding", dim = 64, k = 8, iters = 0)
+    cl.explain("formatted")
     spark.stop()
   }
 }

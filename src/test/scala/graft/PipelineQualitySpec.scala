@@ -740,7 +740,9 @@ class PipelineQualitySpec extends AnyFunSuite {
     import spark.implicits._
     // one point: k=4 leaves >= 3 cells empty every round
     val df = Seq((1L, Array.fill(4)(0.25))).toDF("vec_id", "embedding")
-    val seed = Similarity.portableCentroids(4, 4)
+    // the fit's domain is the 1e-6-quantized seed, so "unchanged" means
+    // equal to the de-quantized quantized seed, not the raw doubles
+    val seed = Similarity.portableCentroidsQ(4, 4).map(_.map(_ / 1e6))
     val after = Similarity.kmeansCentroids(df, "embedding", dim = 4,
                                            k = 4, iters = 2)
     val moved = after.indices.count(i =>
