@@ -94,22 +94,19 @@ object Curation {
     * exact per-stratum proportions (unlike Bernoulli `sampleBy`), no RNG,
     * and content-addressed order so re-runs pick the same rows.
     *
-    * Cost: one shuffle on the stratum key plus a per-stratum sort (the
-    * window rank). Strata counts are usually few-and-large (languages,
-    * sources), so at cluster scale the sort dominates; when exactness
-    * isn't required, [[hashSplit]]-style nibble thresholds give a
-    * shuffle-free approximate alternative.
+    * Scale shape: see [[topKByContent]] — a per-stratum counts
+    * aggregate, an md5-prefix pre-filter that shrinks every
+    * mega-stratum to a ~1.5*k candidate sliver, then the window rank
+    * over the sliver only. A 1B-row stratum never reaches one task's
+    * sort.
     */
   def stratifiedSample(df: DataFrame, strata: Column, id: Column,
                        frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1]; got $frac")
-    val n = org.apache.spark.sql.expressions.Window.partitionBy(strata)
     // round before ceil: bare ceil(n * frac) overshoots on binary float
     // artifacts (30 * 0.1 = 3.0000000000000004 -> 4)
-    df.withColumn("__rn", row_number().over(contentRank(strata, id)))
-      .withColumn("__n", count(lit(1)).over(n))
-      .where(col("__rn") <= ceil(round(col("__n") * lit(frac), 9)))
-      .drop("__rn", "__n")
+    topKByContent(df, strata, id,
+                  ceil(round(col("__n") * lit(frac), 9)))
   }
 
   /** The shared content-addressed in-stratum ordering: rank by
@@ -121,6 +118,61 @@ object Curation {
     org.apache.spark.sql.expressions.Window.partitionBy(strata)
       .orderBy(md5(id.cast("string").cast("binary")), id)
 
+  /** 24-bit md5-prefix value of the id under the SAME rendering as
+    * [[contentRank]]'s ordering hash — a prefix of the order key, so
+    * ranking by the full key implies (non-strictly) ranking by it. */
+  private def contentPrefix(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long")
+
+  /** Exact per-stratum top-k by `(md5(id), id)` without ever sorting a
+    * mega-stratum on one task — the engine of [[stratifiedSample]] and
+    * [[sourceCap]]. `keepExpr` may reference the stratum size as
+    * `__n` (a BIGINT column).
+    *
+    * Plan: (1) ONE bounded counts aggregate (strata are a driver-sized
+    * set: languages, sources, clusters) broadcast-joined back onto the
+    * scan — no shuffle of the data; (2) a pre-filter keeping only rows
+    * whose 24-bit md5 prefix falls below `~(1.5*k + 64)/n` of the hash
+    * space, so each stratum's candidate sliver is ~1.5*k + 64 rows in
+    * expectation regardless of n; (3) the window rank runs over the
+    * sliver only. NOTE a window partition is ONE task's sort — AQE skew
+    * handling applies to shuffle joins, not windows — which is exactly
+    * why the sliver must be cut BEFORE the window.
+    *
+    * Exactness (not approximation): the true top-k rows all have md5
+    * strictly below any row outside the prefix cut whenever the sliver
+    * holds >= k rows (the prefix orders consistently with the full
+    * key), so the sliver contains the exact answer. The margin makes
+    * undershoot a < e^-40 Chernoff tail even at k = 1, and a window
+    * count guard turns that tail into a loud `raise_error` instead of
+    * a silently short sample; strata smaller than the margin skip the
+    * pre-filter entirely (threshold saturates the hash space).
+    */
+  private def topKByContent(df: DataFrame, strata: Column, id: Column,
+                            keepExpr: Column): DataFrame = {
+    val counts = df.groupBy(strata.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    // null-safe join: the null stratum is a stratum like any other
+    val withN = df.join(broadcast(counts), strata <=> col("__stratum"))
+    val prefixMax = (1L << 24).toDouble
+    val threshold = least(
+      lit(1L << 24),
+      ceil(lit(prefixMax) * (keepExpr * lit(1.5) + lit(64.0))
+             / col("__n")).cast("long"))
+    val sliver = withN.where(contentPrefix(id) < threshold)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(strata)
+    sliver
+      .withColumn("__rn", row_number().over(contentRank(strata, id)))
+      .withColumn("__c", count(lit(1)).over(w))
+      .where(when(col("__c") < keepExpr && col("__c") < col("__n"),
+                  raise_error(concat(
+                    lit("graft: md5-prefix pre-filter undershot top-k "
+                        + "in stratum "), strata.cast("string"))))
+               .otherwise(col("__rn") <= keepExpr))
+      .drop("__stratum", "__n", "__rn", "__c")
+  }
+
   /** Per-source frequency cap: keep at most `cap` documents from each
     * source (crawl dump, domain, site) — the standard guard against a
     * single over-represented domain dominating a training mix. Within a
@@ -129,17 +181,15 @@ object Curation {
     * documents, and adding rows to OTHER sources never changes this
     * source's picks.
     *
-    * Scale shape: same as [[stratifiedSample]] — one shuffle on the
-    * source key + a per-source window rank; sources are few-and-large
-    * so AQE's skew handling applies to mega-domains. Sources under the
-    * cap pass through untouched.
+    * Scale shape: see [[topKByContent]] — a mega-domain is pre-filtered
+    * to a ~1.5*cap candidate sliver before the window rank, so no task
+    * ever sorts a full domain. Sources under the cap pass through
+    * untouched.
     */
   def sourceCap(df: DataFrame, source: Column, id: Column,
                 cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive; got $cap")
-    df.withColumn("__rn", row_number().over(contentRank(source, id)))
-      .where(col("__rn") <= cap)
-      .drop("__rn")
+    topKByContent(df, source, id, lit(cap.toLong))
   }
 
   /** Deterministic domain-mixture resampling: downsample sources so the

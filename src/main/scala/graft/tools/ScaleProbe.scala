@@ -191,6 +191,44 @@ object ScaleProbe {
         }
       }
     }
+
+    // Skewed sourceCap: a 10x-skewed mega-source at >= 10M rows. The
+    // naive shape (window rank over everything) lands the whole
+    // mega-source on ONE task's external sort — AQE skew splitting
+    // applies to shuffle joins, not window partitions — while the
+    // skew-safe shape pre-filters each source to a ~1.5*cap + 64
+    // candidate sliver by md5 prefix BEFORE the window, so task time is
+    // bounded by the sliver regardless of source size. Both must pick
+    // the IDENTICAL rows (the pre-filter is exact, not approximate).
+    {
+      import org.apache.spark.sql.expressions.Window
+      val n = 20_000_000L
+      val skewed = spark.range(n).select(
+        col("id"),
+        when(col("id") < 10_000_000L, lit("mega"))
+          .otherwise(concat(lit("s"), col("id") % 10)).as("source"))
+      val cap = 1000
+      def naiveCap(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("id").cast("string").cast("binary")),
+                   col("id"))
+        df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= cap).drop("__rn")
+      }
+      (1 to 2).foreach { pass =>
+        val safe = graft.pipeline.Curation
+          .sourceCap(skewed, col("source"), col("id"), cap)
+        val tSafe = timed { safe.agg(count(lit(1))).collect() }
+        val tNaive = timed { naiveCap(skewed).agg(count(lit(1))).collect() }
+        if (pass == 2) {
+          val diff = safe.select("id")
+            .except(naiveCap(skewed).select("id")).count()
+          println(f"PROBE skew-cap rows=$n%9d cap=$cap " +
+            f"safe=$tSafe%6.2f s naive_one_task_sort=$tNaive%6.2f s " +
+            f"pick_diff=$diff")
+        }
+      }
+    }
     spark.stop()
   }
 }

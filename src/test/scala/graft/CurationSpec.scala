@@ -239,6 +239,33 @@ class CurationSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("topKByContent: md5-prefix pre-filter that ACTUALLY cuts still " +
+       "returns the exact content-ranked top-k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // n = 20_000 >> 1.5*cap + 64, so the prefix threshold is a real cut
+    // (~(79/20000) of the hash space); the result must still be the
+    // exact first `cap` ids by (md5(id), id), which we compute here
+    // with the same rendering Spark uses (lowercase hex of the utf8
+    // string bytes)
+    val n = 20000
+    val cap = 10
+    val df = (0 until n).map(i => (i.toLong, "big"))
+      .toDF("id", "source")
+    val got = Curation.sourceCap(df, col("source"), col("id"), cap)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0 until n).map(_.toLong)
+      .sortBy(i => (md5hex(i.toString), i)).take(cap).toSet
+    assert(got == want, s"got $got want $want")
+    // fraction path over the same big stratum: exact ceil count
+    val frac = Curation.stratifiedSample(df, col("source"), col("id"),
+                                         0.001)
+    assert(frac.count() == 20, frac.count().toString)
+  }
+
   test("sourceCap bounds every source, passes small sources through, " +
        "and other-source growth never changes a source's picks") {
     val spark = TestSpark.spark
@@ -260,10 +287,19 @@ class CurationSpec extends AnyFunSuite {
       .where(col("source") === "s0")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(s0Picks == s0Picks2)
-    // one shuffle: the window rank on source is the only exchange
+    // skew-safe shape: per-source counts broadcast back (no shuffle of
+    // the data for the join), the md5-prefix pre-filter sits BELOW the
+    // window's exchange (the window sorts only the candidate sliver),
+    // and the data itself shuffles exactly once (the window); the only
+    // other hash exchange carries the per-source count rows
     val plan = capped.queryExecution.executedPlan.toString
-    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
-           plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.sliding("Exchange hashpartitioning".length)
+             .count(_ == "Exchange hashpartitioning") == 2, plan)
+    val windowAt = plan.indexOf("Window [row_number()")
+    val filterAt = plan.indexOf("conv(substring(md5(")
+    assert(windowAt >= 0 && filterAt > windowAt,
+           s"prefix pre-filter must feed the window: $plan")
   }
 
   test("qualityFilterBy gates each stratum at its own percentile") {
