@@ -39,6 +39,33 @@ object SparkEntry {
       when(x < splits(i), lit(i)).otherwise(acc)
     }
 
+  /** Pin FileStreamSource replay order for a staged stream: files
+    * written in quick succession can TIE on a coarse-mtime filesystem
+    * (the source orders candidates by modification time), so batch
+    * `g`'s files are stamped a strictly increasing `base + g` seconds.
+    * Stamps every regular file under `stage/b<g>` — the `_`-prefixed
+    * markers are excluded from the scan by the source's hidden-file
+    * filter anyway. */
+  private def stampStageMtimes(stage: String, nBatches: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = System.currentTimeMillis() - nBatches * 2000L
+    (0 until nBatches).foreach { g =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$stage/b$g"))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime
+            .fromMillis(base + g * 1000L)))
+    }
+  }
+
+  /** Recursive delete for the throwaway /tmp staging dirs. */
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+  }
+
   /** Pin a solver-derived vector for oracle literals: 8 significant
     * digits plus a vector-relative zero floor. Distributed float sums
     * carry ~1e-12 relative accumulation-order noise that varies with
@@ -889,12 +916,20 @@ object SparkEntry {
         .createTempDirectory("graft_sess_stage").toString
       val tsSec = col("ts").cast("long")
       // only CROSS-file time order matters (the state fn sorts each
-      // batch in-memory), so no in-file sort — 3 single-file writes
+      // batch in-memory), so no in-file sort — 3 single-file writes,
+      // then explicit strictly increasing mtimes (the source orders
+      // candidates by modification time; rapid writes can tie on a
+      // coarse-mtime filesystem and replay out of order)
       Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
         .zipWithIndex.foreach { case (p, g) =>
           ev.where(p).repartition(1)
             .write.mode("overwrite").parquet(s"$stage/b$g")
         }
+      stampStageMtimes(stage, 3)
+      // checkpoint OUTSIDE the streamed path: state files must never
+      // depend on the source's hidden-file filter to stay out of scan
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sess_ckpt").toString
       val stream = s.readStream
         .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -912,7 +947,7 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         sess.writeStream.outputMode("append")
           .format("memory").queryName("graft_stream_sessions")
-          .option("checkpointLocation", s"$stage/_ckpt")
+          .option("checkpointLocation", ckpt)
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       q.processAllAvailable()
@@ -927,9 +962,8 @@ object SparkEntry {
                .cast("long").as("id_weighted"))
         .collect()(0)
       s.catalog.dropTempView("graft_stream_sessions")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
       import s.implicits._
       Seq((out.getLong(0), out.getLong(1), out.getLong(2),
            out.getLong(3)))
@@ -961,6 +995,9 @@ object SparkEntry {
           .repartition(1).sortWithinPartitions("event_id")
           .write.mode("overwrite").parquet(s"$stage/b$g")
       }
+      stampStageMtimes(stage, 3)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_ckpt").toString
       val stream = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, y DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -971,14 +1008,13 @@ object SparkEntry {
       var last: Option[graft.operators.FittedOptimalBinning] = None
       val q = sk.streamingQuery(stream, "value", "y",
                                 f => last = Some(f))
-        .option("checkpointLocation", s"$stage/_ckpt")
+        .option("checkpointLocation", ckpt)
         .start()
       q.processAllAvailable()
       q.stop()
       // stage + checkpoint are throwaway /tmp artifacts
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
       val fitted = last.getOrElse(
         throw new IllegalStateException("stream produced no solve"))
       val sp = fitted.splits

@@ -111,7 +111,12 @@ object BinningProcess {
   private def chunkedMelt(df: DataFrame, vars: Seq[String], y: Column,
                           w: Column, valExpr: String => Column,
                           clsExpr: String => Column,
-                          chunkSize: Int = 16): DataFrame =
+                          chunkSize: Int = 16): DataFrame = {
+    // a bare Nil would surface as an opaque empty.reduceLeft from the
+    // final union — fail with the actual contract instead (public
+    // entry points guard with an early Map.empty; this catches new
+    // callers)
+    require(vars.nonEmpty, "chunkedMelt requires at least one variable")
     vars.zipWithIndex.grouped(chunkSize).map { chunk =>
       val repCols = chunk.flatMap { case (v, i) =>
         Seq(valExpr(v).as(s"__x$i"), clsExpr(v).as(s"__c$i"))
@@ -123,12 +128,14 @@ object BinningProcess {
         .select(col("__y").as("y") +: col("__w").as("w") +: repCols: _*)
         .selectExpr("y", "w", stackExpr)
     }.reduce(_ unionByName _)
+  }
 
   def fitContinuous(df: DataFrame, variables: Seq[String], yCol: String,
                     config: BinningConfig = BinningConfig(),
                     varOverrides: Map[String, BinningConfig] = Map.empty,
                     weightCol: Option[String] = None)
       : Map[String, FittedContinuousBinning] = {
+    if (variables.isEmpty) return Map.empty
     val y = col(yCol).cast(DoubleType)
     val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
     // class column follows each variable's OVERRIDE config (same

@@ -28,6 +28,16 @@ class EdgeCaseSpec extends AnyFunSuite {
       df, col("y"), col("x"), 0.5).count() == 0)
   }
 
+  test("BinningProcess: empty variable list no-ops instead of an " +
+       "opaque empty.reduceLeft from the melt union") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toDouble, i % 2)).toDF("x", "y")
+    val p = BinningProcess.fit(df, Nil, "y")
+    assert(p.fits.isEmpty)
+    assert(BinningProcess.fitContinuous(df, Nil, "x").isEmpty)
+  }
+
   test("constant column fits to a single bin") {
     val spark = TestSpark.spark
     import spark.implicits._
