@@ -1029,6 +1029,92 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_stream_curation" -> ((s, dir) => {
+      // END-TO-END streaming curation monitor: the documents table
+      // replays as a 3-file stream (stamped mtimes pin trigger order).
+      // Stream 1 runs watermark-bounded streaming exact dedup on the
+      // portable rolling fingerprint; stream 2 feeds the PSI drift
+      // monitor, binned on token count against the doc_id%3==0
+      // training cohort. The watermark delay spans the whole synthetic
+      // ts range, so no dedup state evicts and survivors == global
+      // distinct fingerprints. Oracle surface is integer-only: per-bin
+      // expected/actual counts, survivor count, fp checksum, raw count.
+      val splits = Array(32.0, 64.0, 96.0)
+      val d = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("ts",
+                    timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        .select("doc_id", "text", "ts")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_cur_stage").toString
+      (0 until 3).foreach { g =>
+        d.where(pmod(col("doc_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      def staged = s.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      // stream 1: dedup survivors (count + portable-fp checksum);
+      // foreachBatch runs on the driver, so plain vars accumulate
+      var nSurv = 0L
+      var fpSum = 0L
+      val ckptD = java.nio.file.Files
+        .createTempDirectory("graft_cur_ckptd").toString
+      // 8 state-store partitions (q_stream_sessions discipline): the
+      // dedup state is a few hundred fingerprints — per-batch commit
+      // overhead scales with store count, width buys nothing. The conf
+      // binds at checkpoint creation, scoped via finally.
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val qD = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamingCuration
+          .exactDedup(staged, "text", "ts", "365 days", portable = true)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val r = b.agg(
+              count(lit(1)),
+              coalesce(sum(graft.pipeline.TextAnalysis
+                             .rollingFingerprint(col("text"))), lit(0L)))
+              .collect()(0)
+            nSurv += r.getLong(0)
+            fpSum += r.getLong(1)
+          }
+          .option("checkpointLocation", ckptD).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      qD.processAllAvailable(); qD.stop()
+      // stream 2: the raw replay through the drift monitor
+      val mon = graft.streaming.StreamingDriftMonitor.fromExpected(
+        d.where(col("doc_id") % 3 === 0)
+          .select(graft.pipeline.TextAnalysis.tokenCount(col("text"))
+                    .cast("double").as("score")),
+        "score", splits)
+      val ckptM = java.nio.file.Files
+        .createTempDirectory("graft_cur_ckptm").toString
+      val qM = staged
+        .select(graft.pipeline.TextAnalysis.tokenCount(col("text"))
+                  .cast("double").as("score"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => mon.add(b) }
+        .option("checkpointLocation", ckptM).start()
+      qM.processAllAvailable(); qM.stop()
+      deleteRecursively(stage)
+      deleteRecursively(ckptD)
+      deleteRecursively(ckptM)
+      val exp = mon.expectedTotals
+      val act = mon.actualCounts
+      val nRaw = act.sum.toLong
+      import s.implicits._
+      (0 to splits.length).map(i =>
+        (i, exp(i).toLong, act(i).toLong, nSurv, fpSum, nRaw))
+        .toDF("bin", "expected_n", "actual_n", "n_survivors",
+              "fp_checksum", "n_raw")
+        .orderBy("bin")
+    }),
+
     "q_cat_sketch" -> ((s, dir) => {
       // mergeable categorical sketch binning: per-half sketches built in
       // ONE grouped scan (partial add per partition + cross-group merge
@@ -2441,6 +2527,48 @@ object SparkEntry {
                 '39.82,79.87,113.62,147.65' AS splits,
                 (SELECT count(*) FROM e)::BIGINT AS n_seen
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    // streaming curation monitor replay: dedup survivors == global
+    // distinct rolling fingerprints (the watermark delay spans the
+    // whole synthetic ts range, so no state evicts), drift-monitor
+    // bins == token-count CASE chain over expected (doc_id%3==0) and
+    // actual (everything) cohorts — integer-only surface
+    "q_stream_curation" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(0::BIGINT,
+                      [unicode(c)::BIGINT FOR c IN regexp_extract_all(
+                         regexp_replace(lower(trim(text)), '\s+', ' ',
+                                        'g'),
+                         '(?s).')]),
+                    (a, b) -> (a * 131 + b) % 1000000007) AS fp,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE length(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                  END AS tk
+           FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id, fp,
+                  CASE WHEN tk < 32 THEN 0 WHEN tk < 64 THEN 1
+                       WHEN tk < 96 THEN 2 ELSE 3 END AS bin
+           FROM f),
+         s AS (
+           SELECT count(DISTINCT fp) AS n_survivors,
+                  COALESCE(sum(DISTINCT fp), 0)::BIGINT AS fp_checksum,
+                  count(*) AS n_raw
+           FROM b)
+         SELECT t.bin::INT AS bin,
+                COALESCE(e.n, 0)::BIGINT AS expected_n,
+                COALESCE(a.n, 0)::BIGINT AS actual_n,
+                s.n_survivors, s.fp_checksum, s.n_raw
+         FROM range(0, 4) t(bin)
+         LEFT JOIN (SELECT bin, count(*) AS n FROM b
+                    WHERE doc_id % 3 = 0 GROUP BY 1) e ON t.bin = e.bin
+         LEFT JOIN (SELECT bin, count(*) AS n FROM b GROUP BY 1) a
+           ON t.bin = a.bin
+         CROSS JOIN s
+         ORDER BY 1""",
 
     "q_sketch_binning" ->
       """WITH b AS (

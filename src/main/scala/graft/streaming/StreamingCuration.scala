@@ -22,12 +22,20 @@ object StreamingCuration {
     * event-time column.
     */
   def exactDedup(stream: DataFrame, textCol: String, tsCol: String,
-                 watermarkDelay: String): DataFrame =
+                 watermarkDelay: String,
+                 portable: Boolean = false): DataFrame = {
+    // portable = true keys on the arithmetic-only rolling fingerprint
+    // (same normalized-text equivalence classes) so an external SQL
+    // engine replays the dedup key bit-for-bit — the same convention
+    // as the batch Dedup operators; production uses xxhash64
+    val fp = if (portable) TextAnalysis.rollingFingerprint(col(textCol))
+             else TextAnalysis.fingerprint(col(textCol))
     stream
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__fp", fp)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  }
 }
 
 /** Continuous PSI drift monitor: accumulate per-bin counts of a scored
@@ -76,6 +84,8 @@ final class StreamingDriftMonitor(
   }
 
   def actualCounts: Array[Double] = actual.clone()
+
+  def expectedTotals: Array[Double] = expectedCounts.clone()
 
   /** Total PSI of the accumulated actual distribution vs expected. */
   def psiTotal: Double = {

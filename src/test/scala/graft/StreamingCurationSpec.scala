@@ -38,6 +38,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 5L), kept.toString)
   }
 
+  test("streaming exact dedup portable=true keys the same equivalence " +
+       "classes on the rolling fingerprint") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val dedup = StreamingCuration.exactDedup(df, "text", "ts",
+                                             "10 minutes",
+                                             portable = true)
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("sc_dedup_p").start()
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    stream.addData(Seq((t(1), 1L, "alpha beta gamma"),
+                       (t(2), 2L, "delta epsilon"),
+                       (t(3), 3L, "Alpha  beta   GAMMA")))
+    q.processAllAvailable()
+    stream.addData(Seq((t(4), 4L, "alpha beta gamma"),
+                       (t(5), 5L, "zeta eta")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sc_dedup_p").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    spark.catalog.dropTempView("sc_dedup_p")
+    assert(kept == Set(1L, 2L, 5L), kept.toString)
+  }
+
   test("streaming drift monitor PSI equals batch PSI at every point") {
     val spark = TestSpark.spark
     import spark.implicits._
