@@ -111,4 +111,33 @@ object StreamingSessionize {
 
   private def close(user: Long, s: OpenSession): ClosedSession =
     ClosedSession(user, s.start, s.last, s.n, s.vsum)
+
+  /** Fully-qualified RocksDB state-store provider — the scale option
+    * for keyed state that outgrows executor heap: the default
+    * HDFS-backed store keeps every key's state AND a full versioned
+    * copy per maintained snapshot ON-HEAP, while RocksDB holds state
+    * off-heap/on-disk with bounded block-cache memory. At millions of
+    * concurrently-open sessions per executor the heap store becomes
+    * the OOM risk, not the CPU. */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  /** Run `body` (typically `...writeStream...start()`) with the given
+    * state-store provider bound, restoring the previous conf after.
+    * The provider binds at CHECKPOINT CREATION — restarting an
+    * existing checkpoint with a different provider is rejected by
+    * Spark, so scope this around the first `start()`.
+    */
+  def withStateStoreProvider[T](spark: org.apache.spark.sql.SparkSession,
+                                provider: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

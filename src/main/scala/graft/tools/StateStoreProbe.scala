@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingSessionize
+
+/** State-store probe for stateful sessionization at >= 1M keyed
+  * sessions: the same 2-trigger file replay (1M open sessions in batch
+  * 1, a watermark-advancing event in batch 2 that times them all out)
+  * through the default HDFS-backed (on-heap) store and through
+  * RocksDB (`StreamingSessionize.RocksDBProvider`). Prints wall time,
+  * peak reported state rows and state memory per provider, and checks
+  * both providers emit the identical session count.
+  *
+  * Usage: runMain graft.tools.StateStoreProbe [nUsers]
+  */
+object StateStoreProbe {
+  def main(args: Array[String]): Unit = {
+    val nUsers = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t0 = 1700000000L
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_ss_stage").toString
+    // batch 1: one event per user inside a 600 s window -> nUsers open
+    // sessions; batch 2: one far-future event pushing the watermark
+    // past every last + gap, so every session closes by timeout
+    spark.range(nUsers).select(
+        col("id").as("user_id"),
+        timestamp_seconds(lit(t0) + (col("id") % 600)).as("ts"),
+        lit(1.0).as("value"))
+      .repartition(1).write.mode("overwrite").parquet(s"$stage/b0")
+    spark.range(1).select(
+        lit(-1L).as("user_id"),
+        timestamp_seconds(lit(t0 + 10000L)).as("ts"),
+        lit(0.0).as("value"))
+      .repartition(1).write.mode("overwrite").parquet(s"$stage/b1")
+    val base = System.currentTimeMillis() - 10000L
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$stage/$b"))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L)))
+    }
+
+    def runWith(tag: String, provider: Option[String]): Long = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ss_ckpt_$tag").toString
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val sess = StreamingSessionize.sessions(
+        stream, "user_id", "ts", "value",
+        gapSeconds = 3600L, watermarkDelay = "600 seconds")
+      def start() = sess.writeStream.outputMode("append")
+        .format("memory").queryName(s"ss_probe_$tag")
+        .option("checkpointLocation", ckpt).start()
+      val w0 = System.nanoTime()
+      val q = provider match {
+        case Some(p) =>
+          StreamingSessionize.withStateStoreProvider(spark, p)(start())
+        case None => start()
+      }
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - w0) / 1e9
+      val peakRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val peakMem = q.recentProgress
+        .flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+      q.stop()
+      val n = spark.table(s"ss_probe_$tag").count()
+      spark.catalog.dropTempView(s"ss_probe_$tag")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      println(f"PROBE state-store provider=$tag%-8s keys=$nUsers " +
+        f"wall=$wall%6.2f s peak_state_rows=$peakRows " +
+        f"peak_state_mem=${peakMem / 1048576.0}%8.1f MiB " +
+        f"closed_sessions=$n")
+      n
+    }
+
+    val nDefault = runWith("hdfs", None)
+    val nRocks = runWith("rocksdb",
+                         Some(StreamingSessionize.RocksDBProvider))
+    assert(nDefault == nRocks && nDefault == nUsers,
+           s"provider results diverge: $nDefault vs $nRocks ($nUsers)")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator()
+      .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    spark.stop()
+  }
+}

@@ -160,6 +160,49 @@ class StreamingCurationSpec extends AnyFunSuite {
            rows.mkString(";"))
   }
 
+  test("sessionize through the RocksDB state store emits the identical " +
+       "sessions; withStateStoreProvider restores the conf") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    def run(tag: String, rocks: Boolean): Seq[(Long, Long, Double)] = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Timestamp, Long, Double)]
+      val df = stream.toDF().toDF("ts", "user_id", "value")
+      val sess = graft.streaming.StreamingSessionize.sessions(
+        df, "user_id", "ts", "value", gapSeconds = 600,
+        watermarkDelay = "5 minutes")
+      def start() = sess.writeStream.outputMode("append")
+        .format("memory").queryName(s"ss_rdb_$tag").start()
+      val q =
+        if (rocks) graft.streaming.StreamingSessionize
+          .withStateStoreProvider(spark,
+            graft.streaming.StreamingSessionize.RocksDBProvider)(start())
+        else start()
+      def t(min: Int) = new Timestamp(86400000000L + min * 60000L)
+      stream.addData(Seq((t(0), 1L, 1.0), (t(4), 1L, 2.0),
+                         (t(2), 2L, 5.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((t(30), 1L, 3.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(s"ss_rdb_$tag")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      spark.catalog.dropTempView(s"ss_rdb_$tag")
+      rows
+    }
+    val viaDefault = run("d", rocks = false)
+    val viaRocks = run("r", rocks = true)
+    assert(viaRocks == viaDefault && viaDefault.nonEmpty,
+           s"$viaRocks vs $viaDefault")
+    assert(spark.conf.getOption(key) == before,
+           "withStateStoreProvider must restore the previous conf")
+  }
+
   test("streaming sessionize: a stray event a full gap behind the open " +
        "session closes alone instead of merging across the gap") {
     val spark = TestSpark.spark
