@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * (the JVM analogue of `mapInPandas` batches — one decoder instance per
   * partition, amortized init, bounded memory).
   *
-  * The actual codec is STUBBED (`DecoderStub`): this container ships no
-  * image/audio libraries, so the stub produces a deterministic fake
-  * feature vector from the bytes. The Spark-side contract — schema,
-  * batching, partitioning, null handling — is real and tested; swapping in
-  * a real decoder is replacing one pure function.
+  * Dimension decode is REAL for PNG/BMP/GIF payloads ([[Multimodal.ImageHeader]]
+  * parses the actual header byte layouts — pure JVM, no native codecs);
+  * the PIXEL stage stays stubbed (`DecoderStub` emits a deterministic
+  * hash-derived feature vector) because this container ships no image
+  * libraries. The Spark-side contract — schema, batching, partitioning,
+  * null handling — is real and tested; swapping in a full codec is
+  * replacing one pure function.
   */
 object Multimodal {
 
@@ -27,22 +29,66 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("features", ArrayType(FloatType), nullable = true)))
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic:
-    * features are derived from a rolling hash of the payload; dimensions
-    * are parsed from the fake header when present. Replace `decode` with a
-    * real codec (e.g. javax.imageio / ffmpeg bindings) in production.
+  /** Honest pure-JVM image header decoder: parses width/height from the
+    * REAL byte layout of PNG (8-byte signature + IHDR chunk,
+    * big-endian dims at offsets 16/20), BMP (`BM` magic + zeroed
+    * reserved words, little-endian BITMAPINFOHEADER dims at 18/22 —
+    * a negative height encodes top-down row order), and GIF
+    * (`GIF87a`/`GIF89a`, little-endian logical-screen dims at 6/8).
+    * No native codecs, no new dependencies. Unrecognized payloads
+    * return None and fall to the stub's fake-header path. The magic
+    * checks are deliberately strict (PNG 8 bytes, GIF 6, BMP 2 + 4
+    * zero reserved bytes) so a hash-derived synthetic payload cannot
+    * false-positive (collision odds <= 2^-48 per payload).
+    */
+  object ImageHeader {
+    final case class Info(format: String, width: Int, height: Int)
+
+    def parse(p: Array[Byte]): Option[Info] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le32(i: Int): Int =
+        (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+      def le16(i: Int): Int = (u8(i + 1) << 8) | u8(i)
+      if (p.length >= 24 &&
+          p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' &&
+          p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a &&
+          p(6) == 0x1a && p(7) == 0x0a &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        Some(Info("png", be32(16), be32(20)))
+      else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
+               p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0)
+        Some(Info("bmp", le32(18), math.abs(le32(22))))
+      else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' &&
+               p(2) == 'F' && p(3) == '8' &&
+               (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+        Some(Info("gif", le16(6), le16(8)))
+      else None
+    }
+  }
+
+  /** Decoder: REAL header parsing for recognized image payloads
+    * ([[ImageHeader]]), stub fallback otherwise. The feature vector
+    * remains a deterministic rolling hash of the payload — a stand-in
+    * for pixel features, since this container ships no pixel codecs.
     */
   object DecoderStub {
     final case class Decoded(width: Int, height: Int,
                              features: Array[Float])
 
     def decode(payload: Array[Byte], featureDim: Int): Decoded = {
-      // fake header: first 8 bytes = width/height if payload >= 8
-      val (w, h) =
-        if (payload.length >= 8)
-          (math.abs(java.nio.ByteBuffer.wrap(payload, 0, 4).getInt % 4096),
-           math.abs(java.nio.ByteBuffer.wrap(payload, 4, 4).getInt % 4096))
-        else (0, 0)
+      val (w, h) = ImageHeader.parse(payload) match {
+        case Some(info) => (info.width, info.height)
+        case None =>
+          // fake header: first 8 bytes = width/height if payload >= 8
+          if (payload.length >= 8)
+            (math.abs(
+               java.nio.ByteBuffer.wrap(payload, 0, 4).getInt % 4096),
+             math.abs(
+               java.nio.ByteBuffer.wrap(payload, 4, 4).getInt % 4096))
+          else (0, 0)
+      }
       var state = 1469598103934665603L // FNV offset
       val feats = new Array[Float](featureDim)
       var i = 0

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Multimodal
+
+/** The honest part of the multimodal decode path: ImageHeader parses
+  * the REAL byte layouts of PNG/BMP/GIF (generated here with javax
+  * ImageIO, not hand-faked), unrecognized payloads fall to the stub,
+  * and the Spark-side extractFeatures contract carries parsed
+  * dimensions through the batched mapPartitions plan.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageHeader parses real PNG and BMP bytes from ImageIO") {
+    val png = imageBytes("png", 37, 23)
+    assert(Multimodal.ImageHeader.parse(png)
+             .contains(Multimodal.ImageHeader.Info("png", 37, 23)))
+    val bmp = imageBytes("bmp", 5, 9)
+    assert(Multimodal.ImageHeader.parse(bmp)
+             .contains(Multimodal.ImageHeader.Info("bmp", 5, 9)))
+  }
+
+  test("ImageHeader parses a GIF logical screen descriptor") {
+    // GIF89a, width 300 (0x012C LE), height 70 (0x46 LE) + padding
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+                          0x2c, 0x01, 0x46, 0x00, 0, 0, 0, 0)
+    assert(Multimodal.ImageHeader.parse(gif)
+             .contains(Multimodal.ImageHeader.Info("gif", 300, 70)))
+  }
+
+  test("ImageHeader never false-positives on hash-derived payloads") {
+    val rnd = new scala.util.Random(11)
+    (0 until 20000).foreach { _ =>
+      val p = new Array[Byte](32)
+      rnd.nextBytes(p)
+      assert(Multimodal.ImageHeader.parse(p).isEmpty,
+             p.map("%02x".format(_)).mkString)
+    }
+    // short and empty payloads
+    assert(Multimodal.ImageHeader.parse(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.ImageHeader.parse(Array[Byte]('B', 'M')).isEmpty)
+  }
+
+  test("extractFeatures carries REAL parsed dimensions for image " +
+       "payloads and stub dimensions otherwise") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val png = imageBytes("png", 37, 23)
+    val fake = Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)
+    val df = Seq((1L, png), (2L, fake),
+                 (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(df, "doc_id", "payload", "image")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getInt(3), r.getInt(4)))))
+      .toMap
+    assert(out(1L) == Some((37, 23)), out.toString)
+    // fake payload: stub fake-header path (first 8 bytes, mod 4096)
+    val bb = java.nio.ByteBuffer.wrap(fake)
+    assert(out(2L) == Some((math.abs(bb.getInt(0) % 4096),
+                            math.abs(bb.getInt(4) % 4096))))
+    assert(out(3L).isEmpty) // null payload -> null dims
+  }
+}
