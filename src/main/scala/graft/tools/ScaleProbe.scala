@@ -192,6 +192,47 @@ object ScaleProbe {
       }
     }
 
+    // sf1-equivalent point (10x sf0.1 in-memory): the 6M-row
+    // multi-variable batch fit and the 50k-doc curation chain — the
+    // measured backing for the "scan-bound, histogram-bounded shuffle"
+    // scaling claims at a full order of magnitude above the bench SF.
+    {
+      val li10 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+          .otherwise(0.0))
+        .crossJoin(spark.range(10).select(col("id").as("__rep")))
+        .drop("__rep")
+      val nVars = 10
+      val wide = li10.select(
+        col("y") +: (0 until nVars).map(i =>
+          (col("l_extendedprice") * (1.0 + i * 0.01) +
+           col("l_quantity") * (i % 7)).as(s"v$i")): _*)
+      val n = wide.count()
+      val docs10 = docs
+        .crossJoin(spark.range(10).select(col("id").as("__rep")))
+        .withColumn("doc_id", col("doc_id") * 10 + col("__rep"))
+        .drop("__rep")
+      val nd = docs10.count()
+      val bench10 = docs10.where(col("doc_id") < 200)
+      val corpus10 = docs10.where(col("doc_id") >= 200)
+      (1 to 2).foreach { pass =>
+        val tFit = timed {
+          graft.operators.BinningProcess.fit(
+            wide, (0 until nVars).map(i => s"v$i"), "y")
+        }
+        val tCur = timed {
+          graft.pipeline.Curation.curateForTraining(
+              corpus10, bench10, "text", "doc_id", qualityMin = 0.9,
+              gramN = 5)
+            .agg(count(lit(1))).collect()
+        }
+        if (pass == 2)
+          println(f"PROBE sf1-equiv rows=$n%9d vars=$nVars " +
+            f"batch_fit=$tFit%6.2f s | docs=$nd%7d curate=$tCur%6.2f s")
+        spark.catalog.clearCache()
+      }
+    }
+
     // Skewed sourceCap: a 10x-skewed mega-source at >= 10M rows. The
     // naive shape (window rank over everything) lands the whole
     // mega-source on ONE task's external sort — AQE skew splitting
