@@ -584,6 +584,29 @@ object SparkEntry {
                 round(avg(round(col("jaccard"), 6)), 6).as("avg_jaccard"))
     }),
 
+    "q_cross_neardup" -> ((s, dir) => {
+      // cross-corpus incremental NEAR-dup — the refresh-crawl shape:
+      // the doc_id%3==0 "new batch" against the rest-of-corpus
+      // snapshot; MinHash band keys of the two corpora equi-join on
+      // (band, bucket) with the snapshot side of each bucket capped at
+      // 32 members by id rank (deterministic, replayed by the oracle),
+      // candidates verify by word-3-gram Jaccard >= 0.5, flagged batch
+      // docs drop. Integer-only surface: counts + survivor id sum.
+      val d = T(s, dir, "documents")
+      val surv = Dedup.crossCorpusNearDup(
+        d.where(col("doc_id") % 3 === 0),
+        d.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", jaccardThreshold = 0.5,
+        numHashes = 32, bands = 8, jaccardNgram = 3,
+        maxSnapshotPerBucket = 32, portable = true)
+      surv.agg(count(lit(1)).as("n_survivors"),
+               coalesce(sum("doc_id"), lit(0L)).cast("long")
+                 .as("survivor_id_sum"))
+        .crossJoin(d.where(col("doc_id") % 3 === 0)
+          .agg(count(lit(1)).as("n_batch")))
+        .select("n_batch", "n_survivors", "survivor_id_sum")
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // the FULL production dedup chain end-to-end: MinHash-LSH
       // candidates -> n-gram Jaccard verification -> connected
@@ -689,6 +712,17 @@ object SparkEntry {
         .agg(countDistinct(col("fp")).as("n_distinct"),
              count(lit(1)).as("n_docs"),
              sum(col("fp")).as("fp_sum"))
+    }),
+
+    "q_corpus_report" -> ((s, dir) => {
+      // corpus data card: per-source integer summary — docs, null
+      // texts, exact token/char totals, distinct content fingerprints
+      // (exact-dup rate evidence), language spread. One grouped
+      // aggregate, rounding-free surface
+      val d = T(s, dir, "documents")
+      Curation.corpusReport(d, "text", "doc_id", "source", "lang",
+                            portable = true)
+        .orderBy("source")
     }),
 
     "q_quality_score" -> ((s, dir) => {
@@ -1682,6 +1716,25 @@ object SparkEntry {
                transform(col("embedding").cast("array<double>"),
                          x => floor(x * lit(1e6)).cast("long")),
                lit(0L), (a, x) => a + x)).as("checksum"))
+        .orderBy("cluster")
+    }),
+
+    "q_embed_outliers" -> ((s, dir) => {
+      // per-cluster embedding outliers: top-10% by EXACT integer
+      // squared distance to the assigned quantized centroid — the
+      // embedding-space OOD/noise flag of a curation pass. The whole
+      // chain (fit, assignment, distance, rank) is integer arithmetic,
+      // so every emitted number replays bit-exactly in SQL
+      val e = T(s, dir, "embeddings")
+      Similarity.kmeansOutliers(e, "embedding", "vec_id", dim = 64,
+                                k = 8, iters = 2, frac = 0.1)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("is_outlier"), 1L).otherwise(0L))
+               .as("n_outliers"),
+             coalesce(sum(when(col("is_outlier"), col("vec_id"))),
+                      lit(0L)).cast("long").as("outlier_id_sum"),
+             max("d2").as("max_d2"))
         .orderBy("cluster")
     }),
 
@@ -3429,6 +3482,32 @@ object SparkEntry {
                 sum(fp)::BIGINT AS fp_sum
          FROM f""",
 
+    "q_corpus_report" ->
+      """WITH f AS (
+           SELECT source, lang, text,
+                  CASE WHEN text IS NULL THEN NULL ELSE
+                    list_reduce(list_prepend(0::BIGINT,
+                      [unicode(c)::BIGINT FOR c IN regexp_extract_all(
+                         regexp_replace(lower(trim(text)), '\s+', ' ',
+                                        'g'),
+                         '(?s).')]),
+                      (a, b) -> (a * 131 + b) % 1000000007) END AS fp,
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN 0
+                       ELSE length(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                  END AS tk,
+                  COALESCE(length(text), 0) AS ch
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_null_text,
+                sum(tk)::BIGINT AS total_tokens,
+                sum(ch)::BIGINT AS total_chars,
+                count(DISTINCT fp) AS n_unique_fp,
+                count(DISTINCT lang) AS n_langs
+         FROM f GROUP BY 1 ORDER BY 1""",
+
     "q_quality_score" ->
       """WITH q AS (
            SELECT source,
@@ -3886,6 +3965,92 @@ object SparkEntry {
                 sum(list_reduce(list_prepend(0::BIGINT, q),
                                 (a, b) -> a + b)) AS checksum
          FROM a3 GROUP BY 1 ORDER BY 1""",
+
+    // per-cluster integer-distance outlier replay: the q_embed_clusters
+    // integer chain to cent2, winning (cell, d2) per vector, rank d2
+    // DESC (ties to lower id) within each cluster, flag the top
+    // ceil(round(n * 0.1, 9))
+    "q_embed_outliers" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+                  [ CAST(floor(emb[d] * 1000000.0) AS BIGINT)
+                    FOR d IN range(1, 65)] AS q
+           FROM emb),
+         cent0 AS (
+           SELECT l AS cell,
+                  [ CAST(floor((
+                      (((((((1000+l)*1315423911 + (d-1)*2654435761
+                            + 97531) % 2147483647)
+                         * (((1000+l)*1315423911 + (d-1)*2654435761
+                             + 97531) % 2147483647))
+                         % 2147483647) * 48271) % 2147483647)
+                      * 2.0 / 2147483647.0 - 1.0) * 1000000.0) AS BIGINT)
+                    FOR d IN range(1, 65)] AS qc
+           FROM range(0, 8) t(l)),
+         a1 AS (
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM qv v CROSS JOIN cent0 c) t WHERE rn = 1),
+         s1 AS (
+           SELECT cell, d, sum(q[d]) AS s, count(*) AS n
+           FROM a1 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
+         cent1 AS (
+           SELECT c0.cell, COALESCE(u.qc, c0.qc) AS qc
+           FROM cent0 c0 LEFT JOIN (
+             SELECT cell,
+                    list((s - ((s % n) + n) % n) // n ORDER BY d) AS qc
+             FROM s1 GROUP BY cell) u USING (cell)),
+         a2 AS (
+           SELECT vec_id, q, cell FROM (
+             SELECT v.vec_id, v.q, c.cell,
+                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b), c.cell) AS rn
+             FROM qv v CROSS JOIN cent1 c) t WHERE rn = 1),
+         s2 AS (
+           SELECT cell, d, sum(q[d]) AS s, count(*) AS n
+           FROM a2 CROSS JOIN range(1, 65) t(d) GROUP BY cell, d),
+         cent2 AS (
+           SELECT c1.cell, COALESCE(u.qc, c1.qc) AS qc
+           FROM cent1 c1 LEFT JOIN (
+             SELECT cell,
+                    list((s - ((s % n) + n) % n) // n ORDER BY d) AS qc
+             FROM s2 GROUP BY cell) u USING (cell)),
+         a3d AS (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) AS rn
+             FROM (
+               SELECT v.vec_id, c.cell,
+                      list_reduce(list_prepend(0::BIGINT,
+                        [ (v.q[d] - c.qc[d]) * (v.q[d] - c.qc[d])
+                          FOR d IN range(1, 65)]),
+                        (a, b) -> a + b) AS d2
+               FROM qv v CROSS JOIN cent2 c) x) t WHERE rn = 1),
+         rk AS (
+           SELECT vec_id, cell, d2,
+                  row_number() OVER (PARTITION BY cell
+                                     ORDER BY d2 DESC, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY cell) AS n
+           FROM a3d)
+         SELECT cell AS cluster, count(*) AS n,
+                sum(CASE WHEN rn <= ceil(round(n * 0.1, 9))
+                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                COALESCE(sum(CASE WHEN rn <= ceil(round(n * 0.1, 9))
+                                  THEN vec_id END), 0)::BIGINT
+                  AS outlier_id_sum,
+                max(d2)::BIGINT AS max_d2
+         FROM rk GROUP BY 1 ORDER BY 1""",
 
     // cluster-balanced sample replay: the q_embed_clusters INTEGER-ONLY
     // assignment chain, then the md5-rank stratified sample inside each
@@ -4366,6 +4531,82 @@ object SparkEntry {
                 count(DISTINCT id_a) AS n_left_docs,
                 round(avg(round(jaccard, 6)), 6) AS avg_jaccard
          FROM ver WHERE jaccard >= 0.5""",
+
+    // cross-corpus near-dup replay: the q_neardup_pairs MinHash chain
+    // over the whole corpus, candidates restricted to batch x snapshot
+    // with the per-bucket snapshot cap (rank by id, keep <= 32), then
+    // jaccard verify and the batch anti-join
+    "q_cross_neardup" ->
+      """WITH n AS (
+           SELECT doc_id, doc_id % 3 = 0 AS isb,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS nm
+           FROM documents WHERE text IS NOT NULL),
+         cp AS (
+           SELECT doc_id, isb,
+                  [unicode(c)::BIGINT FOR c IN
+                   regexp_extract_all(nm, '(?s).')] AS cps,
+                  string_split(nm, ' ') AS tok
+           FROM n),
+         hs AS (
+           SELECT doc_id, isb, tok,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM cp),
+         sigs AS (
+           SELECT doc_id, isb, tok,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         sh AS (
+           SELECT doc_id, isb, sig,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM sigs),
+         bnd AS (
+           SELECT doc_id, isb, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sh, (SELECT unnest(range(0, 8)) AS b) b),
+         sbnd AS (
+           SELECT doc_id, band, key,
+                  row_number() OVER (PARTITION BY band, key
+                                     ORDER BY doc_id) AS rk
+           FROM bnd WHERE NOT isb),
+         cand AS (
+           SELECT DISTINCT b.doc_id AS id_b, s.doc_id AS id_s
+           FROM bnd b JOIN sbnd s
+             ON b.band = s.band AND b.key = s.key AND s.rk <= 32
+           WHERE b.isb),
+         flg AS (
+           SELECT DISTINCT c.id_b
+           FROM cand c JOIN sh a ON a.doc_id = c.id_b
+                       JOIN sh b2 ON b2.doc_id = c.id_s
+           WHERE CASE WHEN len(list_distinct(
+                             list_concat(a.sh, b2.sh))) > 0
+                      THEN len(list_intersect(a.sh, b2.sh))::DOUBLE /
+                           len(list_distinct(list_concat(a.sh, b2.sh)))
+                      ELSE 0.0 END >= 0.5),
+         bt AS (
+           SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         sv AS (
+           SELECT doc_id FROM bt
+           WHERE doc_id NOT IN (SELECT id_b FROM flg))
+         SELECT (SELECT count(*) FROM bt) AS n_batch,
+                (SELECT count(*) FROM sv) AS n_survivors,
+                (SELECT COALESCE(sum(doc_id), 0) FROM sv)::BIGINT
+                  AS survivor_id_sum""",
 
     // normalize replay: same injected noise, same ASCII regex chain
     // (tags -> urls -> emails -> whitespace collapse -> trim); 'g' flag

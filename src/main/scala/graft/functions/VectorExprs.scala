@@ -63,6 +63,16 @@ object VectorExprs {
       NearestCellQExpr(ExpressionUtils.expression(emb),
                        qcentroids.map(_.toIndexedSeq).toIndexedSeq))
 
+  /** [[nearestCellQ]] that also returns the winning distance:
+    * `array(cell, d2)` as longs — the per-vector evidence for
+    * distance-rank operators (centroid-distance outlier flagging)
+    * under the same exact-integer determinism contract. */
+  def nearestCellD2Q(emb: Column,
+                     qcentroids: Array[Array[Long]]): Column =
+    ExpressionUtils.column(
+      NearestCellD2QExpr(ExpressionUtils.expression(emb),
+                         qcentroids.map(_.toIndexedSeq).toIndexedSeq))
+
   /** Lehmer-style plane component shared by the native expression and the
     * HOF reference: quadratic mix then a Park-Miller (minstd, 48271) step,
     * all mod 2^31-1 — plain 64-bit integer arithmetic, so an external SQL
@@ -500,5 +510,82 @@ final case class NearestCellQExpr(child: Expression,
       c += 1
     }
     bestC
+  }
+}
+
+/** [[NearestCellQExpr]] returning `array(cell, d2)` (both longs): the
+  * winning cell id AND its exact integer squared distance, for
+  * operators that rank on the distance itself (per-cluster outlier
+  * flagging). A null element yields `array(0, 0)` (the cell-0
+  * convention; a null vector carries no distance evidence). Same
+  * magnitude bound as [[NearestCellQExpr]].
+  */
+final case class NearestCellD2QExpr(child: Expression,
+                                    qcentroids: IndexedSeq[IndexedSeq[Long]])
+    extends UnaryExpression {
+
+  require(qcentroids.nonEmpty, "qcentroids must be non-empty")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cell_d2_q"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCellD2QExpr = copy(child = newChild)
+
+  @transient private lazy val elemFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_nearest_cell_d2_q expects array<float|double>, got $t")
+  }
+
+  @transient private lazy val ctr: Array[Array[Long]] =
+    qcentroids.map(_.toArray).toArray
+
+  def kernel(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellD2QExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val qx = new Array[Long](n)
+    var i = 0
+    var isNull = false
+    while (i < n && !isNull) {
+      if (arr.isNullAt(i)) isNull = true
+      else {
+        val v = if (elemFloat) arr.getFloat(i).toDouble
+                else arr.getDouble(i)
+        qx(i) = math.floor(v * 1e6).toLong
+        i += 1
+      }
+    }
+    if (isNull)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array(0L, 0L))
+    var bestD = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < ctr.length) {
+      val w = ctr(c)
+      var d2 = 0L
+      var j = 0
+      while (j < w.length) {
+        val d = (if (j < n) qx(j) else 0L) - w(j)
+        d2 += d * d
+        j += 1
+      }
+      if (d2 < bestD) { bestD = d2; bestC = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(bestC.toLong, bestD))
   }
 }

@@ -279,4 +279,36 @@ object Curation {
       .select(col("id").as(idCol))
     quality.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Corpus data-card report: the per-source summary a dataset card /
+    * mixture-design pass needs, in ONE grouped aggregate — document
+    * and null-text counts, exact token and character totals, distinct
+    * content fingerprints (1 - unique/docs = the exact-dup rate), and
+    * language spread. All counters are integers (map-side partial
+    * aggregation, hash-oracle-able); rates are left to the reader so
+    * the surface stays rounding-free.
+    *
+    * `portable = true` fingerprints with the arithmetic-only rolling
+    * hash (external-SQL replayable); production uses xxhash64.
+    * Scale shape: one shuffle on the source key carrying counter
+    * tuples; `countDistinct` rewrites to a two-phase expand-aggregate
+    * whose first phase dedups (source, fp) map-side — no row-level
+    * data crosses the wire.
+    */
+  def corpusReport(df: DataFrame, textCol: String, idCol: String,
+                   sourceCol: String, langCol: String,
+                   portable: Boolean = false): DataFrame = {
+    val text = col(textCol)
+    val fp = if (portable) TextAnalysis.rollingFingerprint(text)
+             else TextAnalysis.fingerprint(text)
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(text.isNull, 1L).otherwise(0L)).as("n_null_text"),
+           sum(TextAnalysis.tokenCount(text).cast("long"))
+             .as("total_tokens"),
+           sum(coalesce(length(text).cast("long"), lit(0L)))
+             .as("total_chars"),
+           countDistinct(when(text.isNotNull, fp)).as("n_unique_fp"),
+           countDistinct(col(langCol)).as("n_langs"))
+  }
 }

@@ -515,6 +515,81 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus NEAR-dup filter — [[incrementalDedup]] at similarity
+    * (not equality) level, the refresh-crawl workflow: drop batch
+    * documents whose word-`jaccardNgram`-gram Jaccard against ANY
+    * snapshot document reaches `jaccardThreshold`.
+    *
+    * Scale shape: candidate generation is a bucketed equi-join of the
+    * two corpora's MinHash band keys on `(band, bucket-hash)` — never
+    * an all-pairs comparison, and the shuffle carries band-key longs,
+    * not text. The snapshot side of every bucket is capped at
+    * `maxSnapshotPerBucket` members (lowest ids, one window rank) so a
+    * degenerate boilerplate bucket bounds the join fan-out to
+    * `cap * batch-members`; a batch doc whose only witnesses were
+    * capped out is missed — the standard LSH recall trade, made
+    * explicit and deterministic here (selection is by id rank, so
+    * re-runs and the SQL oracle agree exactly). Verification
+    * materializes the shingle-hash array ONCE per candidate-involved
+    * document per side (semi-join first, so the clean majority of both
+    * corpora never shingles). Null-text batch rows pass through — they
+    * cannot be near-dup of anything.
+    */
+  def crossCorpusNearDup(batch: DataFrame, snapshot: DataFrame,
+                         textCol: String, idCol: String,
+                         jaccardThreshold: Double = 0.8,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleLen: Int = 5, jaccardNgram: Int = 3,
+                         maxSnapshotPerBucket: Int = 32,
+                         portable: Boolean = false,
+                         /** persist the candidate-pair intermediate
+                           * (dup-suspect-sized) — it feeds both
+                           * semi-joins AND the verify join, and without
+                           * materialization each branch re-derives BOTH
+                           * corpora's LSH scans ([[nearDupPairs]]'
+                           * rationale, doubled). */
+                         materialize: Boolean = true): DataFrame = {
+    require(maxSnapshotPerBucket > 0,
+      s"maxSnapshotPerBucket must be positive; got $maxSnapshotPerBucket")
+    import org.apache.spark.sql.expressions.Window
+    def mat(d: DataFrame): DataFrame =
+      if (materialize)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    val hasText = batch.where(col(textCol).isNotNull)
+    val snapText = snapshot.where(col(textCol).isNotNull)
+    val bb = withMinhashBands(hasText, textCol, idCol, numHashes,
+                              bands, shingleLen, portable)
+      .select(col("id").as("id_b"), col("band"), col("bh"))
+    val sb = withMinhashBands(snapText, textCol, idCol, numHashes,
+                              bands, shingleLen, portable)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("band", "bh").orderBy("id")))
+      .where(col("__rk") <= maxSnapshotPerBucket)
+      .select(col("id").as("id_s"), col("band"), col("bh"))
+    val cand = mat(bb.join(sb, Seq("band", "bh"))
+      .select("id_b", "id_s").distinct())
+    // shingle-hash materialization per involved doc (the jaccard-over-
+    // hashes == jaccard-over-strings argument of [[nearDupPairs]])
+    def shOf(df: DataFrame, ids: DataFrame, idName: String): DataFrame =
+      mat(df.select(col(idCol).as(idName), col(textCol).as("__text"))
+        .join(ids.distinct(), Seq(idName), "left_semi")
+        .select(col(idName),
+                shingleHashes(wordShinglesOf(
+                  split(normalizeText(col("__text")), " "),
+                  jaccardNgram)).as("__sh")))
+    val bSh = shOf(hasText, cand.select("id_b"), "id_b")
+      .withColumnRenamed("__sh", "sh_b")
+    val sSh = shOf(snapText, cand.select("id_s"), "id_s")
+      .withColumnRenamed("__sh", "sh_s")
+    val flagged = cand.join(bSh, Seq("id_b")).join(sSh, Seq("id_s"))
+      .where(jaccardArrays(col("sh_b"), col("sh_s"))
+               >= jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    hasText.join(flagged, Seq(idCol), "left_anti")
+      .unionByName(batch.where(col(textCol).isNull))
+  }
+
   /** Benchmark-contamination check (decontamination step of a training
     * pipeline): corpus documents sharing at least one word n-gram with
     * any benchmark/eval document. Returns (id, n_matched_grams) for

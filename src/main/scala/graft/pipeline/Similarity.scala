@@ -773,6 +773,58 @@ object Similarity {
                   nearestCellQExpr(centroids)(col(embCol)))
   }
 
+  /** Per-cluster embedding outliers by EXACT integer squared distance
+    * to the assigned quantized k-means centroid: within every cluster
+    * the `frac` fraction ranking highest by d2 is flagged (ties to the
+    * lower id, rank count `ceil(round(n * frac, 9))` — the
+    * [[graft.pipeline.Curation.stratifiedSample]] rounding discipline).
+    * The whole chain — fit, assignment, distance, rank — is integer
+    * arithmetic, so the flags are hash-oracle-able on any engine.
+    * Semantically this is the embedding-space analogue of the y-space
+    * outlier detectors: vectors far from every topic centroid are
+    * OOD/noise candidates a curation pass reviews or drops.
+    *
+    * Scale shape: one narrow kernel projection (cell + d2, no shuffle
+    * of vectors), then ONE k-partition window rank. With small k every
+    * cluster is one task's sort — for corpus scale set
+    * `approx = true`: per-cluster `percentile_approx` thresholds from
+    * one bounded aggregate (collected, k rows) are compiled back into
+    * the scan as a CASE chain, no window at all. The approx flags can
+    * differ from exact ranks near the threshold (sketch error), which
+    * is why the oracled driver query uses the exact path.
+    */
+  def kmeansOutliers(df: DataFrame, embCol: String, idCol: String,
+                     dim: Int, k: Int, iters: Int, frac: Double,
+                     approx: Boolean = false): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1]; got $frac")
+    val qc = kmeansCentroidsQ(df, embCol, dim, k, iters)
+    val cd = graft.functions.VectorExprs
+      .nearestCellD2Q(col(embCol).cast("array<double>"), qc)
+    val base = df.withColumn("__cd", cd)
+      .withColumn("cluster", col("__cd").getItem(0).cast("int"))
+      .withColumn("d2", col("__cd").getItem(1))
+      .drop("__cd")
+    if (approx) {
+      val thr = base.groupBy("cluster")
+        .agg(percentile_approx(col("d2"), lit(1.0 - frac), lit(10000))
+               .as("__thr"))
+      base.join(broadcast(thr), Seq("cluster"))
+        .withColumn("is_outlier", col("d2") >= col("__thr"))
+        .drop("__thr")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("d2").desc, col(idCol))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+      base.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .withColumn("is_outlier",
+                    col("__rn") <= ceil(round(col("__n") * lit(frac), 9)))
+        .drop("__rn", "__n")
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,

@@ -239,6 +239,35 @@ class CurationSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("corpusReport: integer per-source totals, dup fingerprints " +
+       "collapse, null text counted not fingerprinted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta", "s1", "en"),
+      (2L, "Alpha  BETA", "s1", "en"),   // normalized dup of 1
+      (3L, "gamma delta x", "s1", "es"),
+      (4L, null.asInstanceOf[String], "s1", "en"),
+      (5L, "solo", "s2", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source", "lang")
+    Seq(false, true).foreach { portable =>
+      val r = graft.pipeline.Curation
+        .corpusReport(df, "text", "doc_id", "source", "lang", portable)
+        .orderBy("source").collect()
+      assert(r.length == 2)
+      val s1 = r(0)
+      assert(s1.getString(0) == "s1" && s1.getLong(1) == 4 &&
+             s1.getLong(2) == 1 &&            // one null text
+             s1.getLong(3) == 2 + 2 + 3 &&    // token total
+             s1.getLong(5) == 2 &&            // dup pair collapses
+             s1.getLong(6) == 2,              // en, es
+             s"portable=$portable: $s1")
+      val s2 = r(1)
+      assert(s2.getLong(1) == 1 && s2.getLong(5) == 1 &&
+             s2.getLong(6) == 0)              // null lang not counted
+    }
+  }
+
   test("topKByContent: md5-prefix pre-filter that ACTUALLY cuts still " +
        "returns the exact content-ranked top-k") {
     val spark = TestSpark.spark

@@ -117,6 +117,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gotP.toSeq == Seq(2L, 4L))
   }
 
+  test("crossCorpusNearDup drops batch docs near-dup of the snapshot, " +
+       "keeps genuinely new and null-text docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val snapshot = Seq(
+      (100L, base),
+      (101L, "completely different snapshot content about databases " +
+             "and distributed query engines at scale")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of 100: one word changed out of ~19
+      (1L, base.replace("tonight", "today")),
+      (2L, "entirely novel text about cooking pasta with garlic " +
+           "butter and fresh basil leaves in summer"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    Seq(false, true).foreach { portable =>
+      val got = Dedup.crossCorpusNearDup(batch, snapshot, "text",
+          "doc_id", jaccardThreshold = 0.5, numHashes = 32, bands = 8,
+          jaccardNgram = 3, portable = portable)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(2L, 3L), s"portable=$portable: $got")
+    }
+  }
+
   test("chunkDedup drops repeated blocks at non-first occurrences and " +
        "reassembles documents in order") {
     val spark = TestSpark.spark

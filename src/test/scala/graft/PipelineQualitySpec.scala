@@ -734,6 +734,43 @@ class PipelineQualitySpec extends AnyFunSuite {
       a.sameElements(b) })
   }
 
+  test("kmeansOutliers flags the planted far point; exact and approx " +
+       "paths agree away from the threshold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // tight blob + one planted far point per cluster-ish region
+    val blob = (0 until 99).map(i =>
+      (i.toLong, Array.fill(4)(1.0 + 0.01 * rnd.nextGaussian())))
+    val far = Seq((999L, Array.fill(4)(3.5)))
+    val df = (blob ++ far).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansOutliers(df, "embedding", "vec_id",
+        dim = 4, k = 2, iters = 3, frac = 0.01)
+      .select("vec_id", "cluster", "d2", "is_outlier").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+                                 r.getBoolean(3))).toMap
+    // the far point must be flagged within its cluster (it ranks first
+    // by d2 wherever it lands)
+    assert(out(999L)._3, out(999L).toString)
+    // exactly ceil(0.01 * n) flags per cluster
+    val flagsByCluster = out.values.groupBy(_._1)
+      .map { case (c, vs) => c -> (vs.size, vs.count(_._3)) }
+    flagsByCluster.foreach { case (c, (n, f)) =>
+      assert(f == math.ceil(
+               BigDecimal(n * 0.01).setScale(9,
+                 BigDecimal.RoundingMode.HALF_UP).toDouble).toInt,
+             s"cluster $c: n=$n flagged=$f")
+    }
+    // d2 is nonnegative and integer-exact (longs)
+    assert(out.values.forall(_._2 >= 0L))
+    // approx path agrees on the unambiguous planted point
+    val approx = Similarity.kmeansOutliers(df, "embedding", "vec_id",
+        dim = 4, k = 2, iters = 3, frac = 0.01, approx = true)
+      .where(col("vec_id") === 999L).select("is_outlier")
+      .collect()(0).getBoolean(0)
+    assert(approx)
+  }
+
   test("kmeans: empty clusters keep their seed centroid; iters=0 is " +
        "pure seed assignment; runs are deterministic") {
     val spark = TestSpark.spark
