@@ -1149,6 +1149,65 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_stream_windows" -> ((s, dir) => {
+      // END-TO-END watermarked window aggregation in APPEND mode — the
+      // readStream -> withWatermark -> groupBy(window) -> writeStream
+      // shape: the events table replays as a TIME-ORDERED 3-file
+      // stream (time order keeps the watermark monotone under the
+      // staged boundaries, so no event is ever late-dropped and the
+      // sink equals the batch aggregate restricted by the final
+      // watermark); per-day per-type windows emit exactly when the
+      // watermark reaches the window end (emission at equality
+      // included — probed and pinned by unit test). Integer-only
+      // surface: counts + floor(value*1e6) sums.
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+                col("value"))
+      val Array(mnR, mxR) = ev
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_win_stage").toString
+      val tsSec = col("ts").cast("long")
+      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+        .zipWithIndex.foreach { case (p, g) =>
+          ev.where(p).repartition(1)
+            .write.mode("overwrite").parquet(s"$stage/b$g")
+        }
+      stampStageMtimes(stage, 3)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_win_ckpt").toString
+      val stream = s.readStream
+        .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val agg = graft.streaming.EventWindows.typeCountsPerWindowQ(
+        stream, "ts", "1 day", Some("1 hour"))
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        agg.writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_windows")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table("graft_stream_windows")
+        .select("window_start", "event_type", "n_events", "value_q_sum")
+        .orderBy("window_start", "event_type")
+        .collect()
+      s.catalog.dropTempView("graft_stream_windows")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                    r.getLong(3))).toSeq
+        .toDF("window_start", "event_type", "n_events", "value_q_sum")
+    }),
+
     "q_cat_sketch" -> ((s, dir) => {
       // mergeable categorical sketch binning: per-half sketches built in
       // ONE grouped scan (partial add per partition + cross-group merge
@@ -2622,6 +2681,25 @@ object SparkEntry {
            ON t.bin = a.bin
          CROSS JOIN s
          ORDER BY 1""",
+
+    // append-mode window-agg replay: per-day epoch-aligned windows,
+    // emitted iff window end <= final watermark = max(ts) - 1h
+    // (emission at watermark == end inclusive; the boundary here sits
+    // ~1h from any whole-day window end, so the sub-ms truncation in
+    // Spark's watermark arithmetic cannot flip a window)
+    "q_stream_windows" ->
+      """WITH w AS (
+           SELECT (epoch_us(ts) // 86400000000) * 86400 AS ws,
+                  event_type,
+                  CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+           FROM events),
+         wm AS (
+           SELECT epoch_us(max(ts)) - 3600000000 AS wus FROM events)
+         SELECT ws AS window_start, event_type,
+                count(*) AS n_events, sum(vq)::BIGINT AS value_q_sum
+         FROM w, wm
+         WHERE (ws + 86400) * 1000000 <= wm.wus
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_sketch_binning" ->
       """WITH b AS (

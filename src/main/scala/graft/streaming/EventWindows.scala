@@ -37,6 +37,32 @@ object EventWindows {
               col("sum_value"), col("avg_value"))
   }
 
+  /** [[typeStatsPerWindow]] in its hash-oracle-able integer form:
+    * values quantize to `floor(value * 1e6)` BIGINTs before the sum,
+    * so per-window totals are aggregation-order independent and an
+    * external SQL engine replays them bit-exactly — the same
+    * integerize-before-sum discipline as the k-means fit. This is the
+    * append-mode streaming surface: run it with
+    * `outputMode("append")` and a watermark, and the sink receives
+    * exactly the windows whose end has fallen to or below the
+    * watermark (emission at equality included — pinned by test).
+    */
+  def typeCountsPerWindowQ(events: DataFrame, tsCol: String,
+                           windowLength: String,
+                           watermarkDelay: Option[String] = None)
+      : DataFrame = {
+    val src = watermarkDelay match {
+      case Some(d) => events.withWatermark(tsCol, d)
+      case None    => events
+    }
+    src.groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(floor(col("value") * lit(1e6)).cast("long"))
+             .as("value_q_sum"))
+      .select(col("window.start").cast("long").as("window_start"),
+              col("event_type"), col("n_events"), col("value_q_sum"))
+  }
+
   /** Sliding-window per-user activity (windowLength every slide). */
   def userActivity(events: DataFrame, tsCol: String, windowLength: String,
                    slide: String,

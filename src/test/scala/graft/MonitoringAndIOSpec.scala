@@ -276,6 +276,40 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(math.abs(clickW0.head.getDouble(3) - 3.0) < 1e-9)
   }
 
+  test("Streaming: append-mode window emits AT watermark == window " +
+       "end (equality inclusive), integer value sums exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.EventWindows.typeCountsPerWindowQ(
+      df, "ts", "10 minutes", watermarkDelay = Some("10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ew_q").start()
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val w0 = 1700000000L - (1700000000L % 600)
+    stream.addData(Seq((t(10), "click", 1.25), (t(20), "click", 2.5)))
+    q.processAllAvailable()
+    // watermark = (w0+1200) - 600 == end of the first window EXACTLY:
+    // the emission predicate is end <= watermark, so it must emit NOW
+    stream.addData(Seq((new Timestamp((w0 + 1200) * 1000L),
+                        "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ew_q").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getLong(3)))
+    spark.catalog.dropTempView("ew_q")
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows(0)._1 == w0 && rows(0)._2 == "click" &&
+           rows(0)._3 == 2 &&
+           rows(0)._4 == 1250000L + 2500000L, rows(0).toString)
+  }
+
   test("system stability report and MDLP facade") {
     val spark = TestSpark.spark
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
