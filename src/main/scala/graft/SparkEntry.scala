@@ -46,7 +46,7 @@ object SparkEntry {
     * Stamps every regular file under `stage/b<g>` — the `_`-prefixed
     * markers are excluded from the scan by the source's hidden-file
     * filter anyway. */
-  private def stampStageMtimes(stage: String, nBatches: Int): Unit = {
+  private[graft] def stampStageMtimes(stage: String, nBatches: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val base = System.currentTimeMillis() - nBatches * 2000L
     (0 until nBatches).foreach { g =>
@@ -60,7 +60,7 @@ object SparkEntry {
   }
 
   /** Recursive delete for the throwaway /tmp staging dirs. */
-  private def deleteRecursively(dir: String): Unit = {
+  private[graft] def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
       .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
@@ -4041,7 +4041,7 @@ object SparkEntry {
          SELECT cell AS cluster, count(*) AS n,
                 min(vec_id) AS min_id, max(vec_id) AS max_id,
                 sum(list_reduce(list_prepend(0::BIGINT, q),
-                                (a, b) -> a + b)) AS checksum
+                                (a, b) -> a + b))::BIGINT AS checksum
          FROM a3 GROUP BY 1 ORDER BY 1""",
 
     // per-cluster integer-distance outlier replay: the q_embed_clusters
@@ -4204,7 +4204,7 @@ object SparkEntry {
                   count(*) OVER (PARTITION BY cell) AS n
            FROM a3)
          SELECT cell AS cluster, count(*) AS n_sampled,
-                min(vec_id) AS min_id, sum(vec_id) AS id_sum
+                min(vec_id) AS min_id, sum(vec_id)::BIGINT AS id_sum
          FROM smp WHERE rn <= ceil(round(n * 0.25, 9))
          GROUP BY 1 ORDER BY 1""",
 

@@ -130,9 +130,13 @@ object Curation {
     * [[sourceCap]]. `keepExpr` may reference the stratum size as
     * `__n` (a BIGINT column).
     *
-    * Plan: (1) ONE bounded counts aggregate (strata are a driver-sized
-    * set: languages, sources, clusters) broadcast-joined back onto the
-    * scan — no shuffle of the data; (2) a pre-filter keeping only rows
+    * Plan: (1) ONE narrow counts aggregate (strata column only) joined
+    * back onto the scan — auto-broadcast for the usual driver-sized
+    * strata (languages, sources, clusters), falling back to a shuffle
+    * join at extreme stratum cardinality (per-site caps) rather than
+    * forcing a driver collect; note the input subtree is evaluated
+    * twice (counts + main), so persist expensive derived inputs
+    * upstream; (2) a pre-filter keeping only rows
     * whose 24-bit md5 prefix falls below `~(1.5*k + 64)/n` of the hash
     * space, so each stratum's candidate sliver is ~1.5*k + 64 rows in
     * expectation regardless of n; (3) the window rank runs over the
@@ -153,14 +157,24 @@ object Curation {
                             keepExpr: Column): DataFrame = {
     val counts = df.groupBy(strata.as("__stratum"))
       .agg(count(lit(1)).as("__n"))
-    // null-safe join: the null stratum is a stratum like any other
-    val withN = df.join(broadcast(counts), strata <=> col("__stratum"))
+    // null-safe join: the null stratum is a stratum like any other.
+    // No broadcast() hint: strata are usually a driver-sized set and
+    // auto-broadcast under the threshold, but a per-URL/per-site cap
+    // with tens of millions of strata must be allowed to fall back to
+    // a shuffle join instead of OOMing the driver on a forced hint
+    val withN = df.join(counts, strata <=> col("__stratum"))
     val prefixMax = (1L << 24).toDouble
     val threshold = least(
       lit(1L << 24),
       ceil(lit(prefixMax) * (keepExpr * lit(1.5) + lit(64.0))
              / col("__n")).cast("long"))
-    val sliver = withN.where(contentPrefix(id) < threshold)
+    // a null id hashes to a null prefix, which ranks FIRST under the
+    // window's nulls-first md5 ordering — so null-id rows are always
+    // top-k candidates and must always enter the sliver (a bare
+    // `null < threshold` would silently drop them AND could fire the
+    // undershoot guard spuriously)
+    val pfx = contentPrefix(id)
+    val sliver = withN.where(pfx.isNull || pfx < threshold)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(strata)
     sliver
       .withColumn("__rn", row_number().over(contentRank(strata, id)))

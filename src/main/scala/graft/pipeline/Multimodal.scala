@@ -58,8 +58,20 @@ object Multimodal {
           p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
         Some(Info("png", be32(16), be32(20)))
       else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
-               p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0)
-        Some(Info("bmp", le32(18), math.abs(le32(22))))
+               p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0) {
+        // DIB header size at 14 disambiguates the two real layouts:
+        // BITMAPCOREHEADER (12) carries 16-bit dims at 18/20;
+        // BITMAPINFOHEADER and successors (>= 40) carry 32-bit dims at
+        // 18/22 (negative height = top-down row order; width must be
+        // positive in both). Anything else is not a BMP we can read —
+        // fall to the stub rather than emit garbage dimensions.
+        val dib = le32(14)
+        if (dib == 12)
+          Some(Info("bmp", le16(18), le16(20)))
+        else if (dib >= 40 && le32(18) > 0)
+          Some(Info("bmp", le32(18), math.abs(le32(22))))
+        else None
+      }
       else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' &&
                p(2) == 'F' && p(3) == '8' &&
                (p(4) == '7' || p(4) == '9') && p(5) == 'a')

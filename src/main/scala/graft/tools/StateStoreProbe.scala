@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.SparkEntry
 import graft.streaming.StreamingSessionize
 
 /** State-store probe for stateful sessionization at >= 1M keyed
@@ -39,15 +40,7 @@ object StateStoreProbe {
         timestamp_seconds(lit(t0 + 10000L)).as("ts"),
         lit(0.0).as("value"))
       .repartition(1).write.mode("overwrite").parquet(s"$stage/b1")
-    val base = System.currentTimeMillis() - 10000L
-    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$stage/$b"))
-        .iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L)))
-    }
+    SparkEntry.stampStageMtimes(stage, 2)
 
     def runWith(tag: String, provider: Option[String]): Long = {
       val ckpt = java.nio.file.Files
@@ -78,9 +71,7 @@ object StateStoreProbe {
       q.stop()
       val n = spark.table(s"ss_probe_$tag").count()
       spark.catalog.dropTempView(s"ss_probe_$tag")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      SparkEntry.deleteRecursively(ckpt)
       println(f"PROBE state-store provider=$tag%-8s keys=$nUsers " +
         f"wall=$wall%6.2f s peak_state_rows=$peakRows " +
         f"peak_state_mem=${peakMem / 1048576.0}%8.1f MiB " +
@@ -93,9 +84,7 @@ object StateStoreProbe {
                          Some(StreamingSessionize.RocksDBProvider))
     assert(nDefault == nRocks && nDefault == nUsers,
            s"provider results diverge: $nDefault vs $nRocks ($nUsers)")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(stage)).iterator()
-      .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    SparkEntry.deleteRecursively(stage)
     spark.stop()
   }
 }

@@ -295,6 +295,24 @@ class CurationSpec extends AnyFunSuite {
     assert(frac.count() == 20, frac.count().toString)
   }
 
+  test("topKByContent: null-id rows rank first (nulls-first md5 " +
+       "order) and survive the prefix pre-filter") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 5 non-null ids + 3 null ids in one source; cap 10 keeps all 8
+    val df = ((0 until 5).map(i => (java.lang.Long.valueOf(i.toLong),
+                                    "s")) ++
+              (0 until 3).map(_ => (null.asInstanceOf[java.lang.Long],
+                                    "s")))
+      .toDF("id", "source")
+    val all = Curation.sourceCap(df, col("source"), col("id"), cap = 10)
+    assert(all.count() == 8, all.count().toString)
+    // cap 2: null ids occupy the first ranks, so both picks are null
+    val two = Curation.sourceCap(df, col("source"), col("id"), cap = 2)
+      .select("id").collect().map(r => r.isNullAt(0))
+    assert(two.length == 2 && two.forall(identity), two.mkString(","))
+  }
+
   test("sourceCap bounds every source, passes small sources through, " +
        "and other-source growth never changes a source's picks") {
     val spark = TestSpark.spark

@@ -39,6 +39,30 @@ class MultimodalSpec extends AnyFunSuite {
              .contains(Multimodal.ImageHeader.Info("gif", 300, 70)))
   }
 
+  test("ImageHeader reads BITMAPCOREHEADER 16-bit dims and refuses " +
+       "unknown DIB layouts instead of misreading them") {
+    // hand-built OS/2 BITMAPCOREHEADER: 14-byte file header + 12-byte
+    // DIB (size=12, width=17, height=9 as LE16, planes=1, bpp=24)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte,
+                                   ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte,
+                                   ((v >> 8) & 0xff).toByte,
+                                   ((v >> 16) & 0xff).toByte,
+                                   ((v >> 24) & 0xff).toByte)
+    val core = Array[Byte]('B', 'M') ++ le32(26) ++ le32(0) ++
+      le32(26) ++ le32(12) ++ le16(17) ++ le16(9) ++ le16(1) ++ le16(24)
+    assert(Multimodal.ImageHeader.parse(core)
+             .contains(Multimodal.ImageHeader.Info("bmp", 17, 9)))
+    // unknown DIB size (e.g. 16) must fall to None, not garbage dims
+    val weird = Array[Byte]('B', 'M') ++ le32(30) ++ le32(0) ++
+      le32(30) ++ le32(16) ++ le32(17) ++ le32(9) ++ le32(0)
+    assert(Multimodal.ImageHeader.parse(weird).isEmpty)
+    // negative 32-bit width (crafted) must not parse
+    val negW = Array[Byte]('B', 'M') ++ le32(54) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(-5) ++ le32(9) ++ le32(0)
+    assert(Multimodal.ImageHeader.parse(negW).isEmpty)
+  }
+
   test("ImageHeader never false-positives on hash-derived payloads") {
     val rnd = new scala.util.Random(11)
     (0 until 20000).foreach { _ =>

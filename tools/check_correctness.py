@@ -39,8 +39,14 @@ def canon(df: pd.DataFrame, strict: bool) -> pd.DataFrame:
             coerced = pd.to_numeric(df[c], errors="coerce")
             if not coerced.isna().any():
                 df[c] = coerced
-        if pd.api.types.is_integer_dtype(df[c]) or \
-                pd.api.types.is_float_dtype(df[c]):
+        if pd.api.types.is_integer_dtype(df[c]):
+            # strict keeps integers INTEGER: a float64 cast would
+            # compare BIGINT checksums at 2^53 precision — exactly the
+            # class of silent near-miss --strict exists to catch
+            df[c] = df[c].astype("Int64" if strict else "float64")
+            if not strict:
+                df[c] = df[c].round(9)
+        elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
             if not strict:
                 df[c] = df[c].round(9)
