@@ -262,4 +262,42 @@ class PropertySpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(math.abs(s1 - s2) < 1e-4, s"$s1 vs $s2")
   }
+
+  test("integer nearest-cell kernels equal a brute-force quantized " +
+       "reference on random vectors and centroids") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val caseGen: Gen[(List[Double], List[List[Double]])] = for {
+      dim <- Gen.choose(1, 6)
+      k <- Gen.choose(1, 5)
+      v <- Gen.listOfN(dim, Gen.choose(-2.0, 2.0))
+      cs <- Gen.listOfN(k, Gen.listOfN(dim, Gen.choose(-2.0, 2.0)))
+    } yield (v, cs)
+    forAll(caseGen, n = 60) { case (v, cs) =>
+      val qc = cs.map(_.map(c => math.floor(c * 1e6).toLong).toArray)
+        .toArray
+      val qx = v.map(x => math.floor(x * 1e6).toLong).toArray
+      val d2s = qc.map { w =>
+        w.indices.map { j =>
+          val d = qx(j) - w(j); d * d
+        }.sum
+      }
+      val expectCell = d2s.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      val expectD2 = d2s(expectCell)
+      val row = Seq(Tuple1(v.toArray)).toDF("emb")
+        .select(
+          graft.functions.VectorExprs
+            .nearestCellQ(org.apache.spark.sql.functions.col("emb"), qc)
+            .as("cell"),
+          graft.functions.VectorExprs
+            .nearestCellD2Q(org.apache.spark.sql.functions.col("emb"), qc)
+            .as("cd"))
+        .collect()(0)
+      assert(row.getInt(0) == expectCell,
+             s"cell ${row.getInt(0)} vs $expectCell (v=$v cs=$cs)")
+      val cd = row.getSeq[Long](1)
+      assert(cd(0) == expectCell.toLong && cd(1) == expectD2,
+             s"cd $cd vs ($expectCell, $expectD2)")
+    }
+  }
 }
