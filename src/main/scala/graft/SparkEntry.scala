@@ -4810,8 +4810,8 @@ object SparkEntry {
            SELECT shard, seq_id, count(*) AS n_docs,
                   sum(tok) AS n_tokens
            FROM pk GROUP BY 1, 2)
-         SELECT shard, count(*) AS n_seqs, sum(n_docs) AS n_docs,
-                sum(n_tokens) AS n_tokens
+         SELECT shard, count(*) AS n_seqs, sum(n_docs)::BIGINT AS n_docs,
+                sum(n_tokens)::BIGINT AS n_tokens
          FROM sq GROUP BY 1 ORDER BY 1""",
 
     "q_token_chunks" ->
