@@ -34,6 +34,12 @@ object Bench {
     // the only stable statistic here.
     val results = queries.map { case (name, fn) =>
       var failed = false
+      // drop persisted intermediates left by prior queries/passes
+      // (operators with materialize=true persist per-invocation frames
+      // that are never unpersisted; across 100+ queries x 3 passes the
+      // dead copies squeeze execution memory and inflate the timings
+      // of exactly the queries that persist)
+      spark.catalog.clearCache()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
