@@ -59,6 +59,22 @@ object SparkEntry {
     }
   }
 
+  /** Throwaway staging/checkpoint dir for the streaming replays:
+    * prefers the tmpfs at /dev/shm when present — checkpoint commits
+    * are small-file fsync-bound, and on a disk-backed /tmp the host's
+    * I/O jitter dominates the measured trigger time (observed 2-4x
+    * swings). These dirs are deleted at the end of the query, so
+    * durability is irrelevant; production checkpoints belong on
+    * durable storage and do NOT use this helper. */
+  private[graft] def tmpWorkDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Recursive delete for the throwaway /tmp staging dirs. */
   private[graft] def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -946,8 +962,7 @@ object SparkEntry {
         .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_sess_stage").toString
+      val stage = tmpWorkDir("graft_sess_stage")
       val tsSec = col("ts").cast("long")
       // only CROSS-file time order matters (the state fn sorts each
       // batch in-memory), so no in-file sort — 3 single-file writes,
@@ -962,8 +977,7 @@ object SparkEntry {
       stampStageMtimes(stage, 3)
       // checkpoint OUTSIDE the streamed path: state files must never
       // depend on the source's hidden-file filter to stay out of scan
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_sess_ckpt").toString
+      val ckpt = tmpWorkDir("graft_sess_ckpt")
       val stream = s.readStream
         .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -1017,8 +1031,7 @@ object SparkEntry {
         .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
         .parquet(s"$dir/events.parquet")
         .withColumn("y", (col("user_id") % 2).cast("double"))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_stream_stage").toString
+      val stage = tmpWorkDir("graft_stream_stage")
       // three SEQUENTIAL single-file writes: batch contents are a pure
       // function of the data (a parallel repartition write would leave
       // trigger order to task-completion mtimes, and repartitionByRange
@@ -1030,8 +1043,7 @@ object SparkEntry {
           .write.mode("overwrite").parquet(s"$stage/b$g")
       }
       stampStageMtimes(stage, 3)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_ckpt").toString
+      val ckpt = tmpWorkDir("graft_stream_ckpt")
       val stream = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, y DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -1079,8 +1091,7 @@ object SparkEntry {
         .withColumn("ts",
                     timestamp_seconds(lit(1700000000L) + col("doc_id")))
         .select("doc_id", "text", "ts")
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_cur_stage").toString
+      val stage = tmpWorkDir("graft_cur_stage")
       (0 until 3).foreach { g =>
         d.where(pmod(col("doc_id"), lit(3)) === g)
           .repartition(1).sortWithinPartitions("doc_id")
@@ -1096,8 +1107,7 @@ object SparkEntry {
       // foreachBatch runs on the driver, so plain vars accumulate
       var nSurv = 0L
       var fpSum = 0L
-      val ckptD = java.nio.file.Files
-        .createTempDirectory("graft_cur_ckptd").toString
+      val ckptD = tmpWorkDir("graft_cur_ckptd")
       // 8 state-store partitions (q_stream_sessions discipline): the
       // dedup state is a few hundred fingerprints — per-batch commit
       // overhead scales with store count, width buys nothing. The conf
@@ -1126,8 +1136,7 @@ object SparkEntry {
           .select(graft.pipeline.TextAnalysis.tokenCount(col("text"))
                     .cast("double").as("score")),
         "score", splits)
-      val ckptM = java.nio.file.Files
-        .createTempDirectory("graft_cur_ckptm").toString
+      val ckptM = tmpWorkDir("graft_cur_ckptm")
       val qM = staged
         .select(graft.pipeline.TextAnalysis.tokenCount(col("text"))
                   .cast("double").as("score"))
@@ -1167,8 +1176,7 @@ object SparkEntry {
         .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_win_stage").toString
+      val stage = tmpWorkDir("graft_win_stage")
       val tsSec = col("ts").cast("long")
       Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
         .zipWithIndex.foreach { case (p, g) =>
@@ -1176,8 +1184,7 @@ object SparkEntry {
             .write.mode("overwrite").parquet(s"$stage/b$g")
         }
       stampStageMtimes(stage, 3)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_win_ckpt").toString
+      val ckpt = tmpWorkDir("graft_win_ckpt")
       val stream = s.readStream
         .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
