@@ -271,6 +271,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("crossCorpusNearDup candidate generation is a bucketed " +
+       "equi-join, never a cartesian product") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val res = Dedup.crossCorpusNearDup(
+      d.where(col("doc_id") % 3 === 0),
+      d.where(col("doc_id") % 3 =!= 0),
+      "text", "doc_id", jaccardThreshold = 0.5,
+      numHashes = 32, bands = 8, materialize = false)
+    val plan = physical(res)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("kmeansOutliers approx path flags via broadcast thresholds — " +
+       "no window over the corpus") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val res = Similarity.kmeansOutliers(e, "embedding", "vec_id",
+      dim = 16, k = 4, iters = 0, frac = 0.1, approx = true)
+    val plan = physical(res)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("graft_nearest_cell_d2_q"), plan)
+  }
+
   test("k-means final assignment is a native no-shuffle projection") {
     val spark = TestSpark.spark
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
