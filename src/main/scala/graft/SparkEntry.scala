@@ -904,6 +904,44 @@ object SparkEntry {
         .orderBy("user_id", "seq")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time (AS-OF) join — the feature-store / backtest
+      // lookup: every (user, probe-ts) picks the latest event at or
+      // before the probe, no leakage. Spark side is the union-tag +
+      // keyed-window operator (no join node at all); the oracle is
+      // DuckDB's NATIVE ASOF LEFT JOIN, so two independent
+      // implementations of the semantics must agree. Probe grid: every
+      // user x 3 timestamps at 1/4, 1/2, 3/4 of the observed span
+      // (integer epoch-second arithmetic). Events pre-aggregate to
+      // unique (user, ts) so the matched row is well-defined on both
+      // engines. Integer-only surface.
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("value"))
+      val eu = e.groupBy("user_id", "ts")
+        .agg(max("value").as("value"))
+      val Array(mn, mx) = e
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      import s.implicits._
+      val grid = (1 to 3).map(s0 => (s0, mn + s0 * ((mx - mn) / 4)))
+        .toDF("slot", "pts_sec")
+      val probes = e.select("user_id").distinct()
+        .crossJoin(grid)
+        .withColumn("ts", timestamp_seconds(col("pts_sec")))
+        .select("slot", "user_id", "ts")
+      graft.operators.AsofJoin
+        .asofJoin(probes, eu, "user_id", "ts", Seq("value"))
+        .groupBy("slot")
+        .agg(count(lit(1)).as("n_probes"),
+             count(col("asof_ts")).as("n_matched"),
+             coalesce(sum(floor(col("asof_value") * lit(1e6))
+                            .cast("long")), lit(0L)).as("value_q_sum"),
+             coalesce(sum(unix_micros(col("asof_ts"))), lit(0L))
+               .as("ts_us_sum"))
+        .orderBy("slot")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessionization over the event stream (gaps-and-islands;
       // event_id is the insertion-ordered axis — ts is TIMESTAMP(NANOS),
@@ -3263,6 +3301,37 @@ object SparkEntry {
                   AS running_value
          FROM events WHERE user_id < 50
          ORDER BY user_id, seq""",
+
+    // native ASOF LEFT JOIN replay of the union-tag window operator:
+    // unique (user, ts) events, probe grid at 1/4, 1/2, 3/4 of the
+    // span in integer epoch seconds (// truncation == Scala Long
+    // division for the positive span)
+    "q_asof_join" ->
+      """WITH e AS (
+           SELECT user_id, ts, value FROM events),
+         eu AS (
+           SELECT user_id, ts, max(value) AS v
+           FROM e GROUP BY 1, 2),
+         b AS (
+           SELECT min(epoch(ts))::BIGINT AS mn,
+                  max(epoch(ts))::BIGINT AS mx
+           FROM e),
+         grid AS (
+           SELECT s AS slot,
+                  to_timestamp(mn + s * ((mx - mn) // 4)) AS pts
+           FROM b, range(1, 4) t(s)),
+         p AS (
+           SELECT g.slot, u.user_id, g.pts
+           FROM grid g CROSS JOIN (SELECT DISTINCT user_id FROM e) u),
+         a AS (
+           SELECT p.slot, e2.ts AS ats, e2.v
+           FROM p ASOF LEFT JOIN eu e2
+             ON p.user_id = e2.user_id AND p.pts >= e2.ts)
+         SELECT slot, count(*) AS n_probes, count(ats) AS n_matched,
+                COALESCE(sum(CAST(floor(v * 1000000.0) AS BIGINT)),
+                         0)::BIGINT AS value_q_sum,
+                COALESCE(sum(epoch_us(ats)), 0)::BIGINT AS ts_us_sum
+         FROM a GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       """WITH e AS (

@@ -117,6 +117,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gotP.toSeq == Seq(2L, 4L))
   }
 
+  test("asofJoin picks the latest event at-or-before each probe " +
+       "(inclusive), left semantics for unmatched and null-ts probes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val events = Seq((1L, t(10), 100.0), (1L, t(20), 200.0),
+                     (2L, t(15), 50.0))
+      .toDF("k", "ts", "v")
+    val probes = Seq((1L, t(10)), (1L, t(15)), (1L, t(5)), (1L, t(25)),
+                     (2L, t(99)), (3L, t(1)),
+                     (1L, null.asInstanceOf[Timestamp]))
+      .toDF("k", "ts")
+    val out = graft.operators.AsofJoin
+      .asofJoin(probes, events, "k", "ts", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0),
+                 Option(r.getTimestamp(1)).map(_.getTime / 1000L),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    assert(out == Set(
+      (1L, Some(10L), Some(100.0)),   // inclusive <=
+      (1L, Some(15L), Some(100.0)),
+      (1L, Some(5L), None),           // nothing precedes
+      (1L, Some(25L), Some(200.0)),
+      (2L, Some(99L), Some(50.0)),
+      (3L, Some(1L), None),           // key absent from events
+      (1L, None, None)                // null-ts probe unmatched
+    ), out.toString)
+  }
+
   test("crossCorpusNearDup drops batch docs near-dup of the snapshot, " +
        "keeps genuinely new and null-text docs") {
     val spark = TestSpark.spark
