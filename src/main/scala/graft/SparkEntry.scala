@@ -942,6 +942,39 @@ object SparkEntry {
         .orderBy("slot")
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // interval (range) join — events against 15 overlapping global
+      // half-open windows (stride span/16, length 2*span/16, so every
+      // event lands in ~2 windows). The Spark side is the bucketed
+      // equi-join (interval rows explode to their buckets; a bare
+      // inequality condition would plan as a broadcast nested loop);
+      // the oracle is DuckDB's plain inequality join — two independent
+      // implementations of the same containment contract. Integer
+      // surface: counts + quantized value sums.
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("value"))
+      val Array(mn, mx) = e
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val step = (mx - mn) / 16
+      import s.implicits._
+      val iv = (0 until 15)
+        .map(i => (i, mn + i * step, mn + i * step + 2 * step))
+        .toDF("ivl", "ss", "es")
+        .select(col("ivl"), timestamp_seconds(col("ss")).as("istart"),
+                timestamp_seconds(col("es")).as("iend"))
+      graft.operators.RangeJoin
+        .intervalJoin(e, iv, "ts", "istart", "iend",
+                      bucketSeconds = math.max(1L, step))
+        .groupBy("ivl")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             sum(floor(col("value") * lit(1e6)).cast("long"))
+               .as("value_q_sum"))
+        .orderBy("ivl")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessionization over the event stream (gaps-and-islands;
       // event_id is the insertion-ordered axis — ts is TIMESTAMP(NANOS),
@@ -3301,6 +3334,30 @@ object SparkEntry {
                   AS running_value
          FROM events WHERE user_id < 50
          ORDER BY user_id, seq""",
+
+    // plain-inequality replay of the bucketed interval join: the same
+    // 15 overlapping windows in integer epoch-second arithmetic
+    "q_range_join" ->
+      """WITH b AS (
+           SELECT min(epoch(ts))::BIGINT AS mn,
+                  max(epoch(ts))::BIGINT AS mx
+           FROM events),
+         iv AS (
+           SELECT i AS ivl,
+                  mn + i * ((mx - mn) // 16) AS ss,
+                  mn + i * ((mx - mn) // 16) + 2 * ((mx - mn) // 16)
+                    AS es
+           FROM b, range(0, 15) t(i)),
+         j AS (
+           SELECT iv.ivl, e.user_id, e.value
+           FROM events e JOIN iv
+             ON epoch_us(e.ts) >= ss * 1000000
+                AND epoch_us(e.ts) < es * 1000000)
+         SELECT ivl, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                sum(CAST(floor(value * 1000000.0) AS BIGINT))::BIGINT
+                  AS value_q_sum
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     // native ASOF LEFT JOIN replay of the union-tag window operator:
     // unique (user, ts) events, probe grid at 1/4, 1/2, 3/4 of the

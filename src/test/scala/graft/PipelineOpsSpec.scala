@@ -148,6 +148,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     ), out.toString)
   }
 
+  test("intervalJoin: half-open containment, overlapping intervals, " +
+       "exactly-once matches across bucket splits") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // two overlapping intervals + one disjoint; bucket (10 s) far
+    // smaller than the intervals, so each interval explodes over many
+    // buckets and a match may sit in any of them
+    val iv = Seq((0, t(100), t(200)), (1, t(150), t(250)),
+                 (2, t(400), t(500)))
+      .toDF("ivl", "istart", "iend")
+    val pts = Seq((1L, t(100)),  // start inclusive -> ivl 0
+                  (2L, t(199)),  // in both 0 and 1
+                  (3L, t(200)),  // end exclusive for 0 -> only 1
+                  (4L, t(300)),  // matches nothing
+                  (5L, null.asInstanceOf[Timestamp]))
+      .toDF("id", "ts")
+    val got = graft.operators.RangeJoin
+      .intervalJoin(pts, iv, "ts", "istart", "iend", bucketSeconds = 10)
+      .select("id", "ivl").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 0), (2L, 0), (2L, 1), (3L, 1)),
+           got.toString)
+  }
+
   test("crossCorpusNearDup drops batch docs near-dup of the snapshot, " +
        "keeps genuinely new and null-text docs") {
     val spark = TestSpark.spark
