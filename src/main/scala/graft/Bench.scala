@@ -40,7 +40,11 @@ object Bench {
       // dead copies squeeze execution memory and inflate the timings
       // of exactly the queries that persist)
       spark.catalog.clearCache()
-      val times = (1 to 3).map { _ =>
+      // 4 passes, first discarded, min of 3: the host VM shows
+      // multi-second noise spikes (hypervisor neighbors), and a min
+      // over three post-JIT passes rejects a single bad window that a
+      // min of two cannot
+      val times = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           failed = true
