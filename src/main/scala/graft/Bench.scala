@@ -34,17 +34,14 @@ object Bench {
     // the only stable statistic here.
     val results = queries.map { case (name, fn) =>
       var failed = false
-      // drop persisted intermediates left by prior queries/passes
-      // (operators with materialize=true persist per-invocation frames
-      // that are never unpersisted; across 100+ queries x 3 passes the
-      // dead copies squeeze execution memory and inflate the timings
-      // of exactly the queries that persist)
-      spark.catalog.clearCache()
       // 4 passes, first discarded, min of 3: the host VM shows
       // multi-second noise spikes (hypervisor neighbors), and a min
       // over three post-JIT passes rejects a single bad window that a
-      // min of two cannot
+      // min of two cannot. clearCache runs per PASS: each invocation
+      // re-persists fresh frames, so without it pass N measures with
+      // N-1 dead cached copies squeezing execution memory.
       val times = (1 to 4).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           failed = true

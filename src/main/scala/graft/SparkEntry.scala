@@ -3339,8 +3339,8 @@ object SparkEntry {
     // 15 overlapping windows in integer epoch-second arithmetic
     "q_range_join" ->
       """WITH b AS (
-           SELECT min(epoch(ts))::BIGINT AS mn,
-                  max(epoch(ts))::BIGINT AS mx
+           SELECT min(epoch_us(ts) // 1000000) AS mn,
+                  max(epoch_us(ts) // 1000000) AS mx
            FROM events),
          iv AS (
            SELECT i AS ivl,
@@ -3370,8 +3370,8 @@ object SparkEntry {
            SELECT user_id, ts, max(value) AS v
            FROM e GROUP BY 1, 2),
          b AS (
-           SELECT min(epoch(ts))::BIGINT AS mn,
-                  max(epoch(ts))::BIGINT AS mx
+           SELECT min(epoch_us(ts) // 1000000) AS mn,
+                  max(epoch_us(ts) // 1000000) AS mx
            FROM e),
          grid AS (
            SELECT s AS slot,

@@ -66,9 +66,10 @@ object Multimodal {
         // positive in both). Anything else is not a BMP we can read —
         // fall to the stub rather than emit garbage dimensions.
         val dib = le32(14)
-        if (dib == 12)
+        if (dib == 12 && le16(18) > 0 && le16(20) > 0)
           Some(Info("bmp", le16(18), le16(20)))
-        else if (dib >= 40 && le32(18) > 0)
+        else if (dib >= 40 && le32(18) > 0 && le32(22) != 0 &&
+                 le32(22) != Int.MinValue) // abs(MinValue) overflows
           Some(Info("bmp", le32(18), math.abs(le32(22))))
         else None
       }

@@ -148,6 +148,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     ), out.toString)
   }
 
+  test("asofJoin carries the matched event ATOMICALLY: a null payload " +
+       "in the matched row stays null, never an older row's value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val events = Seq((1L, t(10), java.lang.Double.valueOf(100.0)),
+                     (1L, t(20), null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "ts", "v")
+    val probes = Seq((1L, t(25))).toDF("k", "ts")
+    val r = graft.operators.AsofJoin
+      .asofJoin(probes, events, "k", "ts", Seq("v")).collect()(0)
+    // asof_ts must be the ts=20 match AND asof_v its (null) payload —
+    // DuckDB ASOF JOIN returns exactly this row
+    assert(r.getTimestamp(2).getTime == 20000L, r.toString)
+    assert(r.isNullAt(3), r.toString)
+  }
+
+  test("asofJoin null keys never match (SQL equality semantics)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val events = Seq((null.asInstanceOf[java.lang.Long], t(10), 1.0))
+      .toDF("k", "ts", "v")
+    val probes = Seq((null.asInstanceOf[java.lang.Long], t(20)))
+      .toDF("k", "ts")
+    val r = graft.operators.AsofJoin
+      .asofJoin(probes, events, "k", "ts", Seq("v")).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3), r.toString)
+  }
+
   test("intervalJoin: half-open containment, overlapping intervals, " +
        "exactly-once matches across bucket splits") {
     val spark = TestSpark.spark

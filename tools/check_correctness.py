@@ -60,7 +60,11 @@ def first_diff(e: pd.DataFrame, a: pd.DataFrame) -> str:
     for i in range(len(e)):
         for c in e.columns:
             ev, av = e.at[i, c], a.at[i, c]
-            if ev != av and not (pd.isna(ev) and pd.isna(av)):
+            # isna FIRST: comparing a pd.NA (nullable Int64 cell)
+            # with != raises instead of returning a bool
+            if pd.isna(ev) and pd.isna(av):
+                continue
+            if pd.isna(ev) or pd.isna(av) or ev != av:
                 delta = ""
                 if isinstance(ev, float) and isinstance(av, float):
                     delta = f" (delta={av - ev!r})"
