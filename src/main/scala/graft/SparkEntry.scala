@@ -993,6 +993,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_funnel" -> ((s, dir) => {
+      // ordered-sequence conversion funnel: signup -> view -> click ->
+      // purchase, each step strictly after the user's earliest
+      // completion of the previous one. Chained per-step min-ts
+      // aggregates + equi-joins on user (no window over full history);
+      // integer-only surface (counts + user-id checksums)
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_type"))
+      graft.operators.Funnel.funnelCounts(
+        e, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
     "q_sketch_binning" -> ((s, dir) => {
       // streaming/mergeable sketch binning: per-half sketches built in
       // ONE grouped scan (addGrouped — partial add per partition,
@@ -2210,6 +2224,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
              sum("doc_id").cast("double").as("sum_id"))
         .orderBy("source")
+    }),
+
+    "q_token_budget" -> ((s, dir) => {
+      // per-source TOKEN-budget fill (training mixes are specified in
+      // tokens, not documents): content-addressed pick order, inclusive
+      // running total <= 800 tokens per source; integer-only surface
+      val d = T(s, dir, "documents")
+      Curation.tokenBudgetSample(d, col("source"), col("doc_id"),
+                                 TextAnalysis.tokenCount(col("text")),
+                                 budget = 800L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+               .as("tokens"),
+             sum("doc_id").as("sum_id"))
+        .orderBy("source")
     })
   )
 
@@ -3419,6 +3449,42 @@ object SparkEntry {
                 round(sum(value_sum), 6) AS total_value,
                 max(n_events)::BIGINT AS max_session_events
          FROM sess GROUP BY 1 ORDER BY 1""",
+
+    // greedy funnel replay: per-user earliest step-1 time, then each
+    // later step's earliest event strictly after the previous step's
+    // time — inner joins drop non-converting users per step, exactly
+    // the non-null step_ts_i sets of the Spark fold
+    "q_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id AS u, min(ts) AS t FROM events
+           WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
+         s2 AS (
+           SELECT s1.u, min(e.ts) AS t
+           FROM s1 JOIN events e
+             ON e.user_id = s1.u AND e.event_type = 'view'
+                AND e.ts > s1.t
+           GROUP BY 1),
+         s3 AS (
+           SELECT s2.u, min(e.ts) AS t
+           FROM s2 JOIN events e
+             ON e.user_id = s2.u AND e.event_type = 'click'
+                AND e.ts > s2.t
+           GROUP BY 1),
+         s4 AS (
+           SELECT s3.u, min(e.ts) AS t
+           FROM s3 JOIN events e
+             ON e.user_id = s3.u AND e.event_type = 'purchase'
+                AND e.ts > s3.t
+           GROUP BY 1)
+         SELECT 1::INT AS step, 'signup' AS step_type,
+                count(*) AS n_users, sum(u)::BIGINT AS sum_user FROM s1
+         UNION ALL
+         SELECT 2, 'view', count(*), sum(u)::BIGINT FROM s2
+         UNION ALL
+         SELECT 3, 'click', count(*), sum(u)::BIGINT FROM s3
+         UNION ALL
+         SELECT 4, 'purchase', count(*), sum(u)::BIGINT FROM s4
+         ORDER BY step""",
 
     "q_psi" ->
       """WITH e AS (
@@ -5362,6 +5428,29 @@ object SparkEntry {
          SELECT source, count(*) AS n_kept,
                 CAST(sum(doc_id) AS DOUBLE) AS sum_id
          FROM r WHERE rn <= 120
+         GROUP BY 1 ORDER BY 1""",
+
+    // token-budget replay: same md5 content order as q_source_cap, but
+    // the keep predicate is the inclusive running TOKEN total <= 800 —
+    // integer-only surface (whitespace token counts, BIGINT cumsum)
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+                  (CASE WHEN text IS NULL OR length(trim(text)) = 0
+                        THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                   END)::BIGINT AS n_tok
+           FROM documents),
+         r AS (
+           SELECT source, doc_id, n_tok,
+                  sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t WHERE n_tok >= 1)
+         SELECT source, count(*) AS n_kept, sum(n_tok)::BIGINT AS tokens,
+                sum(doc_id)::BIGINT AS sum_id
+         FROM r WHERE cum <= 800
          GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence conversion funnel over an event stream: for an
+  * ordered list of step types (e.g. signup -> view -> click ->
+  * purchase), a user converts through step i when they have a step-i
+  * event STRICTLY AFTER their (earliest-completion) step-(i-1) event.
+  * The per-user step time is the earliest such event — the canonical
+  * greedy funnel, which maximizes the number of users reaching every
+  * later step (any other witness choice for step i-1 only shrinks the
+  * set of admissible step-i events).
+  *
+  * Plan shape: one filtered min-timestamp aggregate per step, chained
+  * by an inner equi-join on the user key. Every aggregate is map-side
+  * partial (a per-user min), every join is on the same user key — with
+  * AQE the post-step-1 sides shrink monotonically (a funnel, by
+  * definition) and auto-broadcast as soon as they fit, so at 100 TB the
+  * cost is one shuffle of the per-step event subsets on user, never a
+  * window over a user's full history and never a driver collect. Step
+  * count is a query constant (funnel definitions are 3-7 steps), so the
+  * join chain depth is bounded and Catalyst sees it whole.
+  *
+  * Strict `>` between consecutive steps matches the usual funnel
+  * semantics (one event cannot witness two steps); events tied on
+  * timestamp across different steps do NOT chain. Ties within one
+  * step are harmless (min picks the time, not a row).
+  *
+  * Returns one row per user with `step_ts_1..k` (null once the user
+  * drops out) — feed to [[funnelCounts]] for the classic funnel report.
+  */
+object Funnel {
+
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events
+      .where(col(typeCol) === steps.head && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("step_ts_1"))
+    steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"step_ts_$i"
+      val cur = s"step_ts_${i + 1}"
+      val nxt = events
+        .where(col(typeCol) === step && col(tsCol).isNotNull)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      acc.join(nxt, col("user") === col("__u") &&
+                    col("__ts") > col(prev), "left")
+        .groupBy((col("user") +: (1 to i).map(j => col(s"step_ts_$j")))
+                   : _*)
+        .agg(min(col("__ts")).as(cur))
+    }
+  }
+
+  /** The funnel report: per step, how many users reached it and an
+    * id checksum of who — integer-only, oracle-friendly. */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, steps)
+    val perStep = steps.indices.map { i =>
+      times.where(col(s"step_ts_${i + 1}").isNotNull)
+        .agg(lit(i + 1).as("step"), lit(steps(i)).as("step_type"),
+             count(lit(1)).as("n_users"),
+             sum(col("user")).as("sum_user"))
+    }
+    perStep.reduce(_ unionByName _).orderBy("step")
+  }
+}

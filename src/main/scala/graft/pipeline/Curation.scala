@@ -223,6 +223,75 @@ object Curation {
     * are domains, a driver-sized set) + ONE filter scan. No shuffle of
     * the kept data, no RNG state.
     */
+  /** Per-source TOKEN-budget sampling: keep documents from each source,
+    * in the content-addressed `(md5(id), id)` order, while the source's
+    * inclusive running token total stays within `budget` — the "fill
+    * each source's token quota" primitive of a training-mix recipe
+    * (mixtures are specified in tokens, not documents, so a doc-count
+    * cap over- or under-shoots sources with atypical doc lengths).
+    *
+    * Rows whose `nTokens` is null or < 1 are dropped up front: a
+    * document contributing no tokens has no claim on a token budget,
+    * and excluding them is what bounds the kept set (<= budget rows).
+    * The pick order is content-addressed like [[sourceCap]]: re-runs
+    * and refreshes of OTHER sources never change this source's picks.
+    *
+    * Scale shape (the [[topKByContent]] discipline on token MASS
+    * instead of row count): ONE per-source aggregate computes
+    * (row count, token total); sources whose total fits the budget
+    * pass through whole (threshold saturates the hash space); a
+    * mega-source is pre-filtered to an md5-prefix sliver carrying
+    * ~1.5x budget + 64-doc-margin tokens in expectation, and only the
+    * sliver reaches the window cumsum — no task ever sorts a full
+    * source. Exact, not approximate: the prefix cut orders
+    * consistently with the full rank key, so whenever the sliver's
+    * token mass exceeds the budget the boundary row is inside the
+    * sliver; the undershoot tail (sliver mass <= budget while rows
+    * remain outside) is Chernoff-negligible and guarded by a loud
+    * `raise_error` instead of a silently short sample. NOTE `nTokens`
+    * is evaluated in both the counts pass and the main pass — persist
+    * expensive token-count inputs upstream.
+    */
+  def tokenBudgetSample(df: DataFrame, source: Column, id: Column,
+                        nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive; got $budget")
+    val tok = nTokens.cast("long")
+    val rows = df.where(tok.isNotNull && tok >= 1)
+    val counts = rows.groupBy(source.as("__stratum"))
+      .agg(count(lit(1)).as("__n"), sum(tok).as("__tot"))
+    // null-safe join, no forced broadcast — same reasoning as
+    // topKByContent (sources are usually driver-sized; per-site budgets
+    // at huge cardinality must be able to fall back to a shuffle join)
+    val withN = rows.join(counts, source <=> col("__stratum"))
+    val prefixMax = (1L << 24).toDouble
+    val threshold = least(
+      lit(1L << 24),
+      ceil(lit(prefixMax)
+             * (lit(1.5 * budget) + lit(64.0) * col("__tot") / col("__n"))
+             / col("__tot")).cast("long"))
+    // null ids rank FIRST under the nulls-first md5 window order, so
+    // they must always enter the sliver (see topKByContent)
+    val pfx = contentPrefix(id)
+    val sliver = withN.where(pfx.isNull || pfx < threshold)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(source)
+    val wCum = contentRank(source, id)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+                     .unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    sliver
+      .withColumn("__cum", sum(tok).over(wCum))
+      .withColumn("__smass", sum(tok).over(wAll))
+      .withColumn("__srows", count(lit(1)).over(wAll))
+      .where(when(col("__smass") <= lit(budget) &&
+                  col("__srows") < col("__n"),
+                  raise_error(concat(
+                    lit("graft: md5-prefix pre-filter undershot the "
+                        + "token budget in source "),
+                    source.cast("string"))))
+               .otherwise(col("__cum") <= lit(budget)))
+      .drop("__stratum", "__n", "__tot", "__cum", "__smass", "__srows")
+  }
+
   def domainMixture(df: DataFrame, sourceCol: String, idCol: String,
                     weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "weights must name at least one source")

@@ -432,4 +432,63 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("gamma", 4L, 2L), ("beta", 3L, 2L),
                              ("alpha", 2L, 2L)), rows.toSeq)
   }
+
+  test("tokenBudgetSample: inclusive cumsum <= budget in content " +
+       "order, zero-token rows dropped, under-budget sources whole") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // s0: 6 docs x 10 tokens (60 > budget 35 -> truncation at the
+    // content-order boundary); s1: 2 docs x 5 tokens (10 <= 35 ->
+    // passes whole); plus a zero-token doc that must never be kept
+    val df = ((0 until 6).map(i => (i.toLong, "s0", 10L)) ++
+              Seq((100L, "s1", 5L), (101L, "s1", 5L),
+                  (102L, "s1", 0L)))
+      .toDF("id", "source", "ntok")
+    val kept = Curation.tokenBudgetSample(df, col("source"), col("id"),
+                                          col("ntok"), budget = 35L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // expected s0 picks: first 3 by (md5(id), id) — 3*10=30 <= 35,
+    // the 4th would cross the budget
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val s0Want = (0 until 6).map(_.toLong)
+      .sortBy(i => (md5hex(i.toString), i)).take(3).toSet
+    assert(kept == s0Want + 100L + 101L, s"got $kept want $s0Want+s1")
+    // determinism: s0's picks are unchanged when s1 grows
+    val grown = df.unionByName(
+      Seq((200L, "s1", 5L)).toDF("id", "source", "ntok"))
+    val kept2 = Curation.tokenBudgetSample(grown, col("source"),
+                                           col("id"), col("ntok"), 35L)
+      .where(col("source") === "s0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == s0Want, kept2.toString)
+  }
+
+  test("tokenBudgetSample: mega-source prefilter stays exact (matches " +
+       "the brute-force cumsum) and the kept mass respects the budget") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val n = 20000
+    // variable token counts 1..40
+    val df = (0 until n).map(i => (i.toLong, "big", (i % 40 + 1).toLong))
+      .toDF("id", "source", "ntok")
+    val budget = 2000L
+    val got = Curation.tokenBudgetSample(df, col("source"), col("id"),
+                                         col("ntok"), budget)
+      .select("id", "ntok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (0 until n).map(_.toLong)
+      .sortBy(i => (md5hex(i.toString), i))
+    var cum = 0L
+    val want = ordered.takeWhile { i =>
+      cum += (i % 40 + 1); cum <= budget
+    }.toSet
+    assert(got.keySet == want,
+           s"sizes got=${got.size} want=${want.size}")
+    assert(got.values.sum <= budget, got.values.sum.toString)
+  }
 }

@@ -415,4 +415,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(TextAnalysis.normalize(col("raw"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("funnelCounts: strict-after chaining, dropouts, ties, and " +
+       "greedy earliest-witness semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // u1 converts fully: A@10 -> B@20 -> C@30
+    // u2 drops at B: A@10, C@5 (C before A cannot chain)
+    // u3's B ties A's ts exactly -> strict > excludes it, drops at B
+    // u4 has B/C but no A -> never enters the funnel
+    // u5: two A's (5, 50); earliest A@5 admits B@10 (greedy — had the
+    //     funnel picked A@50, B@10 would not chain)
+    val events = Seq(
+      (1L, t(10), "A"), (1L, t(20), "B"), (1L, t(30), "C"),
+      (2L, t(10), "A"), (2L, t(5), "C"),
+      (3L, t(10), "A"), (3L, t(10), "B"),
+      (4L, t(10), "B"), (4L, t(20), "C"),
+      (5L, t(5), "A"), (5L, t(50), "A"), (5L, t(10), "B"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel
+      .funnelCounts(events, "user_id", "ts", "event_type",
+                    Seq("A", "B", "C"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+                 if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // step1 A: u1,u2,u3,u5 (4 users, sum 11); step2 B: u1,u5 (2, 6);
+    // step3 C: u1 only (1, 1)
+    assert(got.toSeq == Seq((1, "A", 4L, 11L), (2, "B", 2L, 6L),
+                            (3, "C", 1L, 1L)), got.toSeq)
+  }
 }
