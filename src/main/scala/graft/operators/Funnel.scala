@@ -54,16 +54,30 @@ object Funnel {
   }
 
   /** The funnel report: per step, how many users reached it and an
-    * id checksum of who — integer-only, oracle-friendly. */
+    * id checksum of who — integer-only, oracle-friendly.
+    *
+    * ONE pass over the (per-user) funnel times: every step's
+    * (count, checksum) comes from a single global aggregate —
+    * `count(step_ts_i)` counts non-null completions — and `stack`
+    * melts the one aggregate row to the per-step report. A
+    * union-of-filters would recompute the whole join chain per step
+    * (k branches x k-stage chain = O(k^2) event scans).
+    */
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String]): DataFrame = {
     val times = funnelTimes(events, userCol, tsCol, typeCol, steps)
-    val perStep = steps.indices.map { i =>
-      times.where(col(s"step_ts_${i + 1}").isNotNull)
-        .agg(lit(i + 1).as("step"), lit(steps(i)).as("step_type"),
-             count(lit(1)).as("n_users"),
-             sum(col("user")).as("sum_user"))
+    val aggs = steps.indices.flatMap { i =>
+      Seq(count(col(s"step_ts_${i + 1}")).as(s"__n_$i"),
+          sum(when(col(s"step_ts_${i + 1}").isNotNull, col("user")))
+            .as(s"__s_$i"))
     }
-    perStep.reduce(_ unionByName _).orderBy("step")
+    val one = times.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = steps.indices.map { i =>
+      s"${i + 1}, '${steps(i).replace("'", "''")}', __n_$i, __s_$i"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS " +
+        "(step, step_type, n_users, sum_user)")
+      .orderBy("step")
   }
 }
