@@ -993,6 +993,31 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_rolling_stats" -> ((s, dir) => {
+      // per-user rolling time-series features (trailing-4-row quantized
+      // sum + step delta, (ts, event_id) order), integer-only checksums
+      // per event type — one shuffle on user_id, one shared window sort
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_id"), col("event_type"), col("value"))
+      graft.streaming.EventWindows
+        .rollingFeatures(e, "user_id", "ts", "event_id", "value",
+                         lookback = 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("roll_sum_q")).as("roll_q_sum"),
+             sum(abs(col("delta_q"))).as("abs_delta_sum"),
+             count(col("delta_q")).as("n_delta"))
+        .orderBy("event_type")
+    }),
+
+    "q_bigram_lm" -> ((s, dir) => {
+      // corpus bigram-LM head: top-20 adjacent pairs with exact
+      // integer-ppm conditional probability of w2 given w1
+      val d = T(s, dir, "documents")
+      TextAnalysis.bigramTopK(d, "text", k = 20)
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // ordered-sequence conversion funnel: signup -> view -> click ->
       // purchase, each step strictly after the user's earliest
@@ -3449,6 +3474,49 @@ object SparkEntry {
                 round(sum(value_sum), 6) AS total_value,
                 max(n_events)::BIGINT AS max_session_events
          FROM sess GROUP BY 1 ORDER BY 1""",
+
+    // rolling-feature replay: identical (ts, event_id) window order,
+    // identical floor(value*1e6) quantization — every emitted number
+    // is a BIGINT sum/count of exact integers
+    "q_rolling_stats" ->
+      """WITH q AS (
+           SELECT event_type, user_id, ts, event_id,
+                  CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+           FROM events),
+         r AS (
+           SELECT event_type, qv,
+                  sum(qv) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov,
+                  qv - lag(qv) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS delta
+           FROM q)
+         SELECT event_type, count(*) AS n,
+                sum(mov)::BIGINT AS roll_q_sum,
+                sum(abs(delta))::BIGINT AS abs_delta_sum,
+                count(delta) AS n_delta
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    // bigram-LM replay: same whitespace tokens, 1-indexed adjacent
+    // pairs, integer // division for the ppm conditional
+    "q_bigram_lm" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                 '\s+'),
+                              x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         bg AS (
+           SELECT unnest([w[i] || ' ' || w[i+1]
+                          FOR i IN range(1, len(w))]) AS bigram
+           FROM t),
+         c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+         f AS (SELECT split_part(bigram, ' ', 1) AS w1, bigram, cnt
+               FROM c),
+         fc AS (SELECT w1, sum(cnt) AS w1_cnt FROM f GROUP BY 1)
+         SELECT f.bigram, f.cnt::BIGINT AS cnt,
+                ((f.cnt * 1000000) // fc.w1_cnt)::BIGINT AS cond_ppm
+         FROM f JOIN fc USING (w1)
+         ORDER BY cnt DESC, bigram LIMIT 20""",
 
     // greedy funnel replay: per-user earliest step-1 time, then each
     // later step's earliest event strictly after the previous step's

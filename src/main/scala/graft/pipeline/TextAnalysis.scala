@@ -305,4 +305,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
            sum("logp_micro").as("nll_micro_sum"))
   }
+
+  /** Bigram head of the corpus LM: the top-k adjacent word pairs by
+    * occurrence count, each with the exact conditional probability of
+    * the second word given the first as parts-per-million — BIGINT
+    * `(cnt * 1e6) div first_word_total`, integer division, so the
+    * whole surface replays bit-exactly on any engine (the unigram-NLL
+    * integerize-before-aggregate discipline, taken to the next n).
+    *
+    * Plan shape: per-doc bigrams come from a generator over the token
+    * array (no shuffle), ONE groupBy counts bigrams (map-side combine
+    * bounds the shuffle by distinct bigrams per partition), and the
+    * first-word totals are an unordered window sum OVER THE COUNT
+    * TABLE (one row per bigram, partitioned by first word) — a join
+    * back would recompute the whole tokenize+count subtree for the
+    * build side. A hot first word's window partition is bounded by its
+    * distinct successors (<= vocab), not its corpus frequency. Top-k
+    * is a TakeOrdered, never a full sort.
+    */
+  def bigramTopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"),
+                       t => t =!= "")
+    val big = df.select(explode(wordNgrams(words, 2)).as("bigram"))
+    val counts = big.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("__w1")
+    counts
+      .withColumn("__w1_cnt", sum(col("cnt")).over(wFirst))
+      .select(col("bigram"), col("cnt"),
+              expr("(cnt * 1000000L) div __w1_cnt").as("cond_ppm"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+  }
 }

@@ -101,4 +101,38 @@ object EventWindows {
       .select(col("window.start").as("window_start"), col("bin"),
               col("count"))
   }
+
+  /** Per-key ordered rolling features over the event stream — the
+    * classic time-series feature block (trailing sum, step delta) a
+    * scoring pipeline derives per user before binning. The value is
+    * quantized ONCE to `floor(value * 1e6)` BIGINT (`value_q`), so the
+    * trailing sum and delta are exact integer arithmetic: no float
+    * accumulation, bit-identical on any engine and any row order —
+    * the integer-surface discipline of the k-means fit.
+    *
+    * Ordering is `(ts, id)` — the id column breaks timestamp ties
+    * deterministically. Emits the input plus `value_q`,
+    * `roll_sum_q` (trailing `lookback`+current rows, partial windows
+    * included at the head) and `delta_q` (null on each key's first
+    * row).
+    *
+    * Scale shape: ONE hash shuffle on the key + a per-key sort shared
+    * by both window functions (one Window node, same spec). A mega-key
+    * is one task's sort — same boundary as sessionization; bucket time
+    * into the key if a single key's history outgrows a task.
+    */
+  def rollingFeatures(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String,
+                      lookback: Int = 3): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1; got $lookback")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val qv = floor(col(valueCol) * lit(1e6)).cast("long")
+    events
+      .withColumn("value_q", qv)
+      .withColumn("roll_sum_q",
+        sum(col("value_q")).over(w.rowsBetween(-lookback, 0)))
+      .withColumn("delta_q",
+        col("value_q") - lag(col("value_q"), 1).over(w))
+  }
 }

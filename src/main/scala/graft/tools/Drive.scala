@@ -14,14 +14,14 @@ object Drive {
     // plan audit: q_token_budget — expect pruned ReadSchema (source,
     // doc_id, text only), one counts aggregate broadcast back, window
     // over the sliver, whole-stage codegen spans
-    println("=== q_token_budget plan ===")
-    graft.SparkEntry.queries("q_token_budget")(spark, dir)
+    println("=== q_rolling_stats plan ===")
+    graft.SparkEntry.queries("q_rolling_stats")(spark, dir)
       .explain("formatted")
 
     // plan audit: q_funnel — expect per-step partial aggregates and
     // broadcast joins once the funnel narrows, no window over history
-    println("=== q_funnel plan ===")
-    graft.SparkEntry.queries("q_funnel")(spark, dir)
+    println("=== q_bigram_lm plan ===")
+    graft.SparkEntry.queries("q_bigram_lm")(spark, dir)
       .explain("formatted")
   }
 }

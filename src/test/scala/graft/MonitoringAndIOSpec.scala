@@ -523,4 +523,58 @@ class MonitoringAndIOSpec extends AnyFunSuite {
       .head()
     assert(got2 == got)
   }
+
+  test("rollingFeatures: exact trailing sums, deltas, and (ts, id) " +
+       "tie-break order per key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // u1: values 1.5, 2.25, 4.0, 8.0 at increasing ts (ids 1-4);
+    // rows 3 and 4 share a ts — event_id must break the tie (3 < 4).
+    // u2: single row -> delta null, roll = own value.
+    val e = Seq(
+      (1L, t(10), 1L, 1.5), (1L, t(20), 2L, 2.25),
+      (1L, t(30), 3L, 4.0), (1L, t(30), 4L, 8.0),
+      (2L, t(10), 9L, 0.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.streaming.EventWindows
+      .rollingFeatures(e, "user_id", "ts", "event_id", "value",
+                       lookback = 2)
+      .select("user_id", "event_id", "value_q", "roll_sum_q", "delta_q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1500000L, 1500000L, None),
+      (1L, 2L, 2250000L, 3750000L, Some(750000L)),
+      (1L, 3L, 4000000L, 7750000L, Some(1750000L)),
+      (1L, 4L, 8000000L, 14250000L, Some(4000000L)),
+      (2L, 9L, 500000L, 500000L, None)), got.toSeq)
+  }
+
+  test("bigramTopK: exact pair counts and integer-ppm conditionals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the  dog\tsat"),          // awkward whitespace collapses
+      (4L, "solo"),                    // < 2 words -> no bigrams
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.pipeline.TextAnalysis.bigramTopK(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'the cat' 2 of 3 'the *' bigrams -> 666666 ppm (floor division);
+    // 'the dog' 1/3 -> 333333; others 1/1 -> 1000000
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("the cat") == ((2L, 666666L)), m.toString)
+    assert(m("the dog") == ((1L, 333333L)), m.toString)
+    assert(m("cat sat") == ((1L, 500000L)), m.toString)
+    assert(m("cat ran") == ((1L, 500000L)), m.toString)
+    assert(m("dog sat") == ((1L, 1000000L)), m.toString)
+    assert(got.head._1 == "the cat")   // count-desc, bigram tie order
+    assert(got.length == 5, got.mkString(","))
+  }
 }
