@@ -2163,6 +2163,16 @@ object SparkEntry {
                       Seq("spark", "window", "merge"), k = 10)
     }),
 
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid RAG retrieval: BM25 keyword list + embedding-cosine
+      // list fused by integer reciprocal-rank fusion (1e6 div (60+r))
+      val d = T(s, dir, "documents")
+      val e = T(s, dir, "embeddings")
+      Search.hybridRrf(d, e, "text", "doc_id", "vec_id", "embedding",
+                       Seq("spark", "window", "merge"),
+                       Array.fill(64)(1.0), kList = 20, k = 10)
+    }),
+
     "q_tfidf_terms" -> ((s, dir) => {
       // keyword extraction: corpus-wide smoothed idf scored against the
       // first 10 docs' term counts, top-3 terms each; df aggregates
@@ -5361,6 +5371,63 @@ object SparkEntry {
            FROM p JOIN dfc USING (token) CROSS JOIN stats)
          SELECT doc_id AS id, round(sum(part) / 1000000.0, 6) AS score
          FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 10""",
+
+    // hybrid-RRF replay: the q_bm25_topk scoring chain (kList=20) and
+    // the q_embed_topk cosine list (kList=20), each ranked, fused by
+    // exact integer 1e6 // (60 + rank) with 0 for a missing list
+    "q_hybrid_rrf" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                   END)::DOUBLE AS len
+           FROM documents),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n_corpus,
+                  sum(len) / count(*)::DOUBLE AS avg_len
+           FROM d),
+         tk AS (
+           SELECT doc_id, len,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM d),
+         p AS (
+           SELECT doc_id, len, token, count(*)::DOUBLE AS tf
+           FROM tk WHERE token IN ('spark', 'window', 'merge')
+           GROUP BY 1, 2, 3),
+         dfc AS (SELECT token, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         sc AS (
+           SELECT doc_id,
+                  CAST(round(
+                    ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg_len)))
+                    * 1000000.0) AS BIGINT) AS part
+           FROM p JOIN dfc USING (token) CROSS JOIN stats),
+         bml AS (
+           SELECT doc_id AS id, round(sum(part) / 1000000.0, 6) AS score
+           FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 20),
+         bm AS (
+           SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rt
+           FROM bml),
+         vel AS (
+           SELECT vec_id AS id,
+                  round(list_sum(embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[]))
+                           * sqrt(64.0)), 6) AS cosine
+           FROM embeddings ORDER BY cosine DESC, id LIMIT 20),
+         ve AS (
+           SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rv
+           FROM vel),
+         f AS (
+           SELECT COALESCE(bm.id, ve.id) AS id,
+                  COALESCE(1000000 // (60 + rt), 0)
+                    + COALESCE(1000000 // (60 + rv), 0) AS rrf_ppm
+           FROM bm FULL OUTER JOIN ve ON bm.id = ve.id)
+         SELECT id, rrf_ppm::BIGINT AS rrf_ppm FROM f
+         ORDER BY rrf_ppm DESC, id LIMIT 10""",
 
     // tf-idf replay: corpus df over per-doc DISTINCT tokens, smoothed
     // idf ln((1+N)/(1+df))+1, rank on the 6-digit-rounded score with

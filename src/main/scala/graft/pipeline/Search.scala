@@ -139,4 +139,54 @@ object Search {
       .where(col("rank") <= k)
       .select("id", "rank", "token", "score")
   }
+
+  /** Hybrid retrieval: keyword (BM25) and semantic (embedding-cosine)
+    * rank lists fused by reciprocal-rank fusion — the standard
+    * two-tower RAG retrieval recipe. Each ranker contributes
+    * `1e6 div (rrfK + rank)` (exact integer division on integer
+    * ranks, so the fusion surface replays bit-exactly; float RRF
+    * sums do not), a document in only one list gets only that list's
+    * contribution, and the fused top-`k` orders by
+    * (rrf_ppm DESC, id).
+    *
+    * Scale shape: each ranker bounds its own cost — BM25 prunes the
+    * token explode to the query terms before any shuffle
+    * ([[bm25TopK]]), the vector side is one narrow projection +
+    * TakeOrdered (brute force here; swap in an IVF/PQ list from
+    * [[Similarity]] behind the same (id, rank) contract at corpus
+    * scale). The fusion itself joins two <= `kList`-row lists — a
+    * broadcast full-outer join, driver-free.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                textCol: String, idCol: String,
+                embIdCol: String, embCol: String,
+                query: Seq[String], queryVec: Array[Double],
+                kList: Int = 20, k: Int = 10,
+                rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kList >= k, s"kList ($kList) must be >= k ($k)")
+    // both lists are <= kList rows: a global (unpartitioned) rank
+    // window is a single tiny task, NOT a scale concern — the limits
+    // run before it
+    val bm = bm25TopK(docs, textCol, idCol, query, kList)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("score"), col("id"))))
+      .select(col("id"), col("r").as("__rt"))
+    val qv = array(queryVec.map(lit(_)): _*)
+    val ve = embeddings
+      .select(col(embIdCol).as("id"),
+              round(Similarity.cosine(col(embCol).cast("array<double>"),
+                                      qv), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("id")).limit(kList)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("cosine"), col("id"))))
+      .select(col("id"), col("r").as("__rv"))
+    bm.join(ve, Seq("id"), "full_outer")
+      .select(col("id"),
+              (coalesce(expr(s"1000000L div ($rrfK + __rt)"), lit(0L)) +
+               coalesce(expr(s"1000000L div ($rrfK + __rv)"), lit(0L)))
+                .as("rrf_ppm"))
+      .orderBy(desc("rrf_ppm"), col("id"))
+      .limit(k)
+  }
 }

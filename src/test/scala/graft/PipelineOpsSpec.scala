@@ -446,4 +446,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "A", 4L, 11L), (2, "B", 2L, 6L),
                             (3, "C", 1L, 1L)), got.toSeq)
   }
+
+  test("hybridRrf fuses keyword and vector ranks with exact integer " +
+       "RRF; single-list docs get one contribution") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // doc 1 is the only keyword match; docs 2 and 3 only have vectors.
+    // query vec (1,0): doc 2 aligns perfectly (rank 1), doc 3 second.
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+                   (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val embs = Seq((2L, Seq(1.0f, 0.0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.pipeline.Search
+      .hybridRrf(docs, embs, "text", "doc_id", "vec_id", "embedding",
+                 Seq("alpha"), Array(1.0, 0.0), kList = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every present rank is 1 or 2: 1e6 div 61 = 16393, div 62 = 16129
+    assert(got.toSeq == Seq((1L, 16393L), (2L, 16393L), (3L, 16129L)),
+           got.toSeq)
+  }
 }
