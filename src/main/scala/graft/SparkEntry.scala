@@ -1325,6 +1325,79 @@ object SparkEntry {
         .toDF("window_start", "event_type", "n_events", "value_q_sum")
     }),
 
+    "q_stream_join" -> ((s, dir) => {
+      // END-TO-END STREAM-STREAM inner join: view events joined to the
+      // same user's purchase events within [view_ts, view_ts + 2h],
+      // both branches of ONE time-ordered 3-file replayed stream,
+      // watermarked 1h so the join state is evictable (the scale
+      // contract; inner-join EMISSION needs no watermark, so on this
+      // finite in-order replay the sink holds exactly the batch join —
+      // the DuckDB oracle replays it as a plain inequality join).
+      // Integer-only surface: pair/user counts, id checksum, quantized
+      // purchase values, whole-second lag sum.
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_type"), col("value"))
+      val Array(mnR, mxR) = ev
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
+      val stage = tmpWorkDir("graft_sjoin_stage")
+      val tsSec = col("ts").cast("long")
+      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+        .zipWithIndex.foreach { case (p, g) =>
+          ev.where(p).repartition(1)
+            .write.mode("overwrite").parquet(s"$stage/b$g")
+        }
+      stampStageMtimes(stage, 3)
+      val ckpt = tmpWorkDir("graft_sjoin_ckpt")
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+                "value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val views = stream.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val buys = stream.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(buys,
+        col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_join")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table("graft_stream_join")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("v_user")).as("n_users"),
+             coalesce(sum(col("v_user")), lit(0L)).as("sum_user"),
+             coalesce(sum(floor(col("p_value") * lit(1e6)).cast("long")),
+                      lit(0L)).as("pval_q_sum"),
+             coalesce(sum(col("p_ts").cast("long") -
+                          col("v_ts").cast("long")), lit(0L))
+               .as("lag_s_sum"))
+        .collect()(0)
+      s.catalog.dropTempView("graft_stream_join")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      Seq((out.getLong(0), out.getLong(1), out.getLong(2),
+           out.getLong(3), out.getLong(4)))
+        .toDF("n_pairs", "n_users", "sum_user", "pval_q_sum",
+              "lag_s_sum")
+    }),
+
     "q_cat_sketch" -> ((s, dir) => {
       // mergeable categorical sketch binning: per-half sketches built in
       // ONE grouped scan (partial add per partition + cross-group merge
@@ -3484,6 +3557,28 @@ object SparkEntry {
                 round(sum(value_sum), 6) AS total_value,
                 max(n_events)::BIGINT AS max_session_events
          FROM sess GROUP BY 1 ORDER BY 1""",
+
+    // stream-stream join replay: the same interval predicate as a
+    // plain batch inequality join; COALESCE(...,0) mirrors the Spark
+    // side's empty-result guard, and the lag sum subtracts per-side
+    // floored epoch seconds exactly as the Spark cast does
+    "q_stream_join" ->
+      """WITH v AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         p AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT count(*) AS n_pairs,
+                count(DISTINCT v.user_id) AS n_users,
+                COALESCE(sum(v.user_id), 0)::BIGINT AS sum_user,
+                COALESCE(sum(CAST(floor(p.value * 1000000.0) AS BIGINT)),
+                         0)::BIGINT AS pval_q_sum,
+                COALESCE(sum(epoch_us(p.ts) // 1000000
+                             - epoch_us(v.ts) // 1000000),
+                         0)::BIGINT AS lag_s_sum
+         FROM v JOIN p
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+              AND p.ts <= v.ts + INTERVAL 2 HOUR""",
 
     // rolling-feature replay: identical (ts, event_id) window order,
     // identical floor(value*1e6) quantization — every emitted number
