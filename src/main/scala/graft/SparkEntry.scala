@@ -997,9 +997,13 @@ object SparkEntry {
       // per-user rolling time-series features (trailing-4-row quantized
       // sum + step delta, (ts, event_id) order), integer-only checksums
       // per event type — one shuffle on user_id, one shared window sort
+      // null-ts guard in BOTH engines: Spark windows order nulls
+      // FIRST, DuckDB orders them LAST by default — a null ts would
+      // shift every frame in that user's partition differently
       val e = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
                 col("event_id"), col("event_type"), col("value"))
+        .where(col("ts").isNotNull)
       graft.streaming.EventWindows
         .rollingFeatures(e, "user_id", "ts", "event_id", "value",
                          lookback = 3)
@@ -3587,7 +3591,7 @@ object SparkEntry {
       """WITH q AS (
            SELECT event_type, user_id, ts, event_id,
                   CAST(floor(value * 1000000.0) AS BIGINT) AS qv
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          r AS (
            SELECT event_type, qv,
                   sum(qv) OVER (PARTITION BY user_id

@@ -223,6 +223,35 @@ object Curation {
     * are domains, a driver-sized set) + ONE filter scan. No shuffle of
     * the kept data, no RNG state.
     */
+  def domainMixture(df: DataFrame, sourceCol: String, idCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wSum = weights.values.sum
+    val target = weights.map { case (s, v) => s -> v / wSum }
+    val counts = df.where(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = target.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty,
+      "no source named in weights is present in the data")
+    val t = present.map { case (s, ps) => counts(s) / ps }.min
+    // integer threshold over the 24-bit md5-uniform draw; floor keeps
+    // the draw strictly reproducible in external SQL
+    val keepMax = (1L << 24).toDouble
+    val thresholds = present.map { case (s, ps) =>
+      s -> math.floor(math.min(1.0, ps * t / counts(s)) * keepMax).toLong
+    }
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    val thresholdExpr = thresholds.foldLeft(lit(-1L): Column) {
+      case (acc, (s, thr)) =>
+        when(col(sourceCol) === s, lit(thr)).otherwise(acc)
+    }
+    df.where(u < thresholdExpr)
+  }
+
   /** Per-source TOKEN-budget sampling: keep documents from each source,
     * in the content-addressed `(md5(id), id)` order, while the source's
     * inclusive running token total stays within `budget` — the "fill
@@ -282,7 +311,10 @@ object Curation {
       .withColumn("__cum", sum(tok).over(wCum))
       .withColumn("__smass", sum(tok).over(wAll))
       .withColumn("__srows", count(lit(1)).over(wAll))
-      .where(when(col("__smass") <= lit(budget) &&
+      // strict <: a sliver carrying EXACTLY budget tokens is complete
+      // (every excluded row has tok >= 1, so its inclusive total would
+      // exceed the budget) — the topKByContent guard discipline
+      .where(when(col("__smass") < lit(budget) &&
                   col("__srows") < col("__n"),
                   raise_error(concat(
                     lit("graft: md5-prefix pre-filter undershot the "
@@ -290,35 +322,6 @@ object Curation {
                     source.cast("string"))))
                .otherwise(col("__cum") <= lit(budget)))
       .drop("__stratum", "__n", "__tot", "__cum", "__smass", "__srows")
-  }
-
-  def domainMixture(df: DataFrame, sourceCol: String, idCol: String,
-                    weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty, "weights must name at least one source")
-    require(weights.values.forall(_ > 0), "weights must be positive")
-    val wSum = weights.values.sum
-    val target = weights.map { case (s, v) => s -> v / wSum }
-    val counts = df.where(col(sourceCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(sourceCol).cast("string").as("s"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = target.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
-    require(present.nonEmpty,
-      "no source named in weights is present in the data")
-    val t = present.map { case (s, ps) => counts(s) / ps }.min
-    // integer threshold over the 24-bit md5-uniform draw; floor keeps
-    // the draw strictly reproducible in external SQL
-    val keepMax = (1L << 24).toDouble
-    val thresholds = present.map { case (s, ps) =>
-      s -> math.floor(math.min(1.0, ps * t / counts(s)) * keepMax).toLong
-    }
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
-      .cast("long")
-    val thresholdExpr = thresholds.foldLeft(lit(-1L): Column) {
-      case (acc, (s, thr)) =>
-        when(col(sourceCol) === s, lit(thr)).otherwise(acc)
-    }
-    df.where(u < thresholdExpr)
   }
 
   /** End-to-end curation pass: quality-percentile filter -> exact dedup

@@ -111,7 +111,10 @@ object EventWindows {
     * the integer-surface discipline of the k-means fit.
     *
     * Ordering is `(ts, id)` — the id column breaks timestamp ties
-    * deterministically. Emits the input plus `value_q`,
+    * deterministically. Filter null timestamps upstream when an
+    * external replay must agree: Spark windows order nulls FIRST,
+    * most SQL engines default to nulls LAST, and a null ts shifts
+    * every frame in its key's partition. Emits the input plus `value_q`,
     * `roll_sum_q` (trailing `lookback`+current rows, partial windows
     * included at the head) and `delta_q` (null on each key's first
     * row).

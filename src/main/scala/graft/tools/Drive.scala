@@ -5,23 +5,35 @@ import org.apache.spark.sql.functions._
 
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-
-    // plan audit: q_token_budget — expect pruned ReadSchema (source,
-    // doc_id, text only), one counts aggregate broadcast back, window
-    // over the sliver, whole-stage codegen spans
-    println("=== q_rolling_stats plan ===")
-    graft.SparkEntry.queries("q_rolling_stats")(spark, dir)
-      .explain("formatted")
-
-    // plan audit: q_funnel — expect per-step partial aggregates and
-    // broadcast joins once the funnel narrows, no window over history
-    println("=== q_bigram_lm plan ===")
-    graft.SparkEntry.queries("q_bigram_lm")(spark, dir)
-      .explain("formatted")
+    val dir = "/root/testdata/sf0.1"
+    def timed(label: String)(f: => Unit): Unit = {
+      (1 to 3).foreach { p =>
+        val t0 = System.nanoTime(); f
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (p > 1) println(f"$label pass$p: $dt%6.2f s")
+      }
+    }
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val words = filter(split(lower(trim(col("text"))), "\\s+"),
+                       t => t =!= "")
+    timed("explode-count") {
+      d.select(explode(graft.pipeline.TextAnalysis.wordNgrams(words, 2))
+                 .as("bigram"))
+        .agg(count(lit(1))).collect()
+    }
+    timed("groupBy-count") {
+      d.select(explode(graft.pipeline.TextAnalysis.wordNgrams(words, 2))
+                 .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1))).collect()
+    }
+    timed("full-bigramTopK") {
+      graft.pipeline.TextAnalysis.bigramTopK(d, "text", 20).collect()
+    }
+    spark.stop()
   }
 }

@@ -270,6 +270,74 @@ object ScaleProbe {
         }
       }
     }
+
+    // round-7 event/search operators at 1x / 4x / 16x events (and
+    // docs for the text paths). funnel is k chained per-user min
+    // aggregates (scan-bound, funnel sides shrink); rollingFeatures is
+    // one shuffle + one shared window sort per key; tokenBudget's
+    // window runs over md5-prefix slivers only; bigram is one
+    // tokenize + one count shuffle; hybridRrf is two bounded lists +
+    // a tiny fusion join — all should scale ~linearly in rows
+    {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_id"), col("event_type"), col("value"))
+      Seq(1, 4, 16).foreach { mult =>
+        val e =
+          if (mult == 1) ev
+          else ev.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            // spread replicas over users so per-key history (ONE
+            // task's window sort) stays constant while rows scale;
+            // the offset must clear every SF's real user_id range or
+            // replica keys collide with original ones
+            .withColumn("user_id",
+              col("user_id") + col("__rep") * 10_000_000L)
+            .withColumn("event_id",
+              col("event_id") * mult + col("__rep")).drop("__rep")
+        val d =
+          if (mult == 1) docs
+          else docs.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn("doc_id",
+              col("doc_id") * mult + col("__rep")).drop("__rep")
+        val n = e.count(); val nd = d.count()
+        (1 to 2).foreach { pass =>
+          val tFun = timed {
+            graft.operators.Funnel.funnelCounts(e, "user_id", "ts",
+                "event_type", Seq("signup", "view", "click", "purchase"))
+              .collect()
+          }
+          val tRoll = timed {
+            graft.streaming.EventWindows
+              .rollingFeatures(e, "user_id", "ts", "event_id", "value")
+              .agg(sum(col("roll_sum_q"))).collect()
+          }
+          val tTb = timed {
+            graft.pipeline.Curation.tokenBudgetSample(d, col("source"),
+                col("doc_id"),
+                graft.pipeline.TextAnalysis.tokenCount(col("text")),
+                budget = 800L * mult)
+              .agg(count(lit(1))).collect()
+          }
+          val tBg = timed {
+            graft.pipeline.TextAnalysis.bigramTopK(d, "text", k = 20)
+              .collect()
+          }
+          val tRrf = timed {
+            graft.pipeline.Search.hybridRrf(d, emb, "text", "doc_id",
+                "vec_id", "embedding", Seq("spark", "window", "merge"),
+                Array.fill(64)(1.0)).collect()
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d events=$n%9d docs=$nd%8d " +
+              f"funnel=$tFun%6.2f s rolling=$tRoll%6.2f s " +
+              f"token_budget=$tTb%6.2f s bigram=$tBg%6.2f s " +
+              f"hybrid_rrf=$tRrf%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
     spark.stop()
   }
 }
