@@ -993,6 +993,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_group_median" -> ((s, dir) => {
+      // exact per-group lower median (k-th smallest element, k =
+      // ceil(n/2)) over the (group, value)-histogram — no
+      // interpolation, so the median is a raw parquet value both
+      // engines hold byte-identically
+      val li = T(s, dir, "lineitem")
+      graft.operators.Histograms
+        .groupedLowerMedian(li, "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
     "q_rolling_stats" -> ((s, dir) => {
       // per-user rolling time-series features (trailing-4-row quantized
       // sum + step delta, (ts, event_id) order), integer-only checksums
@@ -3583,6 +3594,25 @@ object SparkEntry {
          FROM v JOIN p
            ON p.user_id = v.user_id AND p.ts >= v.ts
               AND p.ts <= v.ts + INTERVAL 2 HOUR""",
+
+    // exact grouped lower-median replay: same histogram + running-count
+    // pick; the median is a raw stored value, no arithmetic on it
+    "q_group_median" ->
+      """WITH h AS (
+           SELECT l_returnflag AS g, l_extendedprice AS v,
+                  count(*) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (
+           SELECT g, v, c,
+                  sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY g) AS n
+           FROM h)
+         SELECT g AS l_returnflag, v AS median, n::BIGINT AS n
+         FROM r
+         WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+         ORDER BY 1""",
 
     // rolling-feature replay: identical (ts, event_id) window order,
     // identical floor(value*1e6) quantization — every emitted number

@@ -50,4 +50,42 @@ object Histograms {
     else df.withColumn(
       xCol, lit(minX) + floor((col(xCol) - minX) / width) * width)
   }
+
+  /** EXACT per-group lower median — the discrete quantile Spark's
+    * built-ins don't give you at scale (`percentile` interpolates,
+    * `percentile_approx` is approximate): the k-th smallest VALUE of
+    * the group for k = ceil(n/2), always an element of the data (no
+    * float interpolation, so the result is a byte-identical parquet
+    * value any engine reproduces).
+    *
+    * Scale shape: the rows collapse to a per-(group, value) count
+    * histogram FIRST (map-side combine; the shuffle carries one row
+    * per distinct value per group), then one window pass over the
+    * histogram computes running counts and picks the bucket straddling
+    * k. A group's window partition is bounded by its DISTINCT values —
+    * for real-world measure columns (prices, quantities, scores) that
+    * is orders of magnitude below its row count; for truly continuous
+    * unbounded columns, quantize upstream ([[gridCompress]]) or accept
+    * a sketch (`percentile_approx`). Null values are excluded (SQL
+    * aggregate semantics); all-null/empty groups emit no row.
+    *
+    * Returns one row per group: (groupCol, median = the k-th smallest
+    * value, n = non-null row count).
+    */
+  def groupedLowerMedian(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val k = expr("(__n + 1) div 2")  // integral: ceil(n/2), lower median
+    h.withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .where(col("__cum") - col("__c") < k && k <= col("__cum"))
+      .select(col(groupCol), col("__v").as("median"),
+              col("__n").as("n"))
+  }
 }

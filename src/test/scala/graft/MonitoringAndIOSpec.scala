@@ -554,6 +554,26 @@ class MonitoringAndIOSpec extends AnyFunSuite {
       (2L, 9L, 500000L, 500000L, None)), got.toSeq)
   }
 
+  test("groupedLowerMedian: k-th smallest element for odd/even sizes, " +
+       "duplicate mass, null exclusion, empty-group omission") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(3.0)), ("a", Some(1.0)), ("a", Some(2.0)),   // odd: 2
+      ("b", Some(4.0)), ("b", Some(1.0)),                      // even: 1 (lower)
+      ("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(1.0)),    // dup mass: 5
+      ("c", Some(5.0)),
+      ("d", None), ("d", Some(7.0)),                           // null excluded
+      ("e", None))                                             // all-null: no row
+      .toDF("g", "v")
+    val got = graft.operators.Histograms.groupedLowerMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1),
+                                              r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((2.0, 3L)), "b" -> ((1.0, 2L)),
+                      "c" -> ((5.0, 4L)), "d" -> ((7.0, 1L))),
+           got.toString)
+  }
+
   test("bigramTopK: exact pair counts and integer-ppm conditionals") {
     val spark = TestSpark.spark
     import spark.implicits._
