@@ -20,6 +20,12 @@ import graft.pipeline.{Dedup, Similarity}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated section filter (local
+    // iteration without re-running every section), e.g. "events"
+    val sections: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    def section(name: String)(body: => Unit): Unit =
+      if (sections.forall(_.contains(name))) body
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -34,6 +40,11 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    section("classic") {
     Seq(1, 4, 16).foreach { mult =>
       val df =
         if (mult == 1) li
@@ -63,10 +74,6 @@ object ScaleProbe {
     // 256) — deliberately harsher than real corpus growth, where dup
     // density stays constant. Near-dup cost should track the candidate
     // pair count, never corpus^2
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding")
     Seq(1, 4, 16).foreach { mult =>
       def rep(df: org.apache.spark.sql.DataFrame, idCol: String) =
         if (mult == 1) df
@@ -270,7 +277,9 @@ object ScaleProbe {
         }
       }
     }
+    } // section("classic")
 
+    section("events") {
     // round-7 event/search operators at 1x / 4x / 16x events (and
     // docs for the text paths). funnel is k chained per-user min
     // aggregates (scan-bound, funnel sides shrink); rollingFeatures is
@@ -295,9 +304,13 @@ object ScaleProbe {
               col("user_id") + col("__rep") * 10_000_000L)
             .withColumn("event_id",
               col("event_id") * mult + col("__rep")).drop("__rep")
+        // the shared `docs` val is (doc_id, text) only; the token
+        // budget needs the source column too
+        val docsS = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text", "source")
         val d =
-          if (mult == 1) docs
-          else docs.crossJoin(
+          if (mult == 1) docsS
+          else docsS.crossJoin(
               spark.range(mult.toLong).select(col("id").as("__rep")))
             .withColumn("doc_id",
               col("doc_id") * mult + col("__rep")).drop("__rep")
@@ -338,6 +351,7 @@ object ScaleProbe {
         }
       }
     }
+    } // section("events")
     spark.stop()
   }
 }
