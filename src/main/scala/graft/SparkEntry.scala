@@ -993,6 +993,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      // SCD2 interval build: each event becomes a [ts, next-ts)
+      // validity interval per user (open-ended tail); integer-only
+      // checksums — interval counts, open rows, whole-second span sum
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_id"))
+      graft.operators.Temporal
+        .scd2Intervals(e, "user_id", "ts", "event_id")
+        .agg(count(lit(1)).as("n_intervals"),
+             count(col("valid_to")).as("n_closed"),
+             sum(col("valid_to").cast("long") -
+                 col("valid_from").cast("long")).as("span_s_sum"))
+    }),
+
+    "q_transitions" -> ((s, dir) => {
+      // first-order event-type transition (Markov) counts per user
+      // journey — (prev, type) pairs with exact counts
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_id"), col("event_type"))
+      graft.operators.Temporal
+        .transitionCounts(e, "user_id", "ts", "event_id", "event_type")
+        .orderBy("prev_type", "type")
+    }),
+
     "q_group_median" -> ((s, dir) => {
       // exact per-group lower median (k-th smallest element, k =
       // ceil(n/2)) over the (group, value)-histogram — no
@@ -3594,6 +3620,35 @@ object SparkEntry {
          FROM v JOIN p
            ON p.user_id = v.user_id AND p.ts >= v.ts
               AND p.ts <= v.ts + INTERVAL 2 HOUR""",
+
+    // SCD2 replay: identical (ts, event_id) lead window; the span sum
+    // subtracts per-side floored epoch seconds like the Spark casts
+    "q_scd2" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id FROM events
+           WHERE ts IS NOT NULL),
+         i AS (
+           SELECT user_id, ts AS vf,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS vt
+           FROM e)
+         SELECT count(*) AS n_intervals, count(vt) AS n_closed,
+                sum(epoch_us(vt) // 1000000
+                    - epoch_us(vf) // 1000000)::BIGINT AS span_s_sum
+         FROM i""",
+
+    "q_transitions" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type FROM events
+           WHERE ts IS NOT NULL),
+         t AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type,
+                  event_type AS type
+           FROM e)
+         SELECT prev_type, type, count(*) AS n
+         FROM t WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // exact grouped lower-median replay: same histogram + running-count
     // pick; the median is a raw stored value, no arithmetic on it

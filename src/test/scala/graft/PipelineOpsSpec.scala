@@ -447,6 +447,37 @@ class PipelineOpsSpec extends AnyFunSuite {
                             (3, "C", 1L, 1L)), got.toSeq)
   }
 
+  test("scd2Intervals: lead-closed validity, open tails, tie " +
+       "zero-length intervals, null-ts exclusion; transitionCounts " +
+       "skips first events and counts exact pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val e = Seq(
+      (1L, t(10), 1L, "A"), (1L, t(20), 2L, "B"), (1L, t(20), 3L, "A"),
+      (2L, t(5), 4L, "B"),
+      (3L, null.asInstanceOf[Timestamp], 5L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val iv = graft.operators.Temporal
+      .scd2Intervals(e, "user_id", "ts", "event_id")
+      .select("event_id", "valid_from", "valid_to").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getTimestamp(1).getTime / 1000,
+          if (r.isNullAt(2)) -1L else r.getTimestamp(2).getTime / 1000)))
+      .toMap
+    // id 2 ties id 3 at t=20: id 2 (lower id) gets the zero-length
+    // interval, id 3 is the open tail; id 5 (null ts) is excluded
+    assert(iv == Map(1L -> ((10L, 20L)), 2L -> ((20L, 20L)),
+                     3L -> ((20L, -1L)), 4L -> ((5L, -1L))), iv.toString)
+    val tr = graft.operators.Temporal
+      .transitionCounts(e, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // u1 journey A -> B -> A (tie order by id); u2/u3 contribute none
+    assert(tr == Set(("A", "B", 1L), ("B", "A", 1L)), tr.toString)
+  }
+
   test("hybridRrf fuses keyword and vector ranks with exact integer " +
        "RRF; single-list docs get one contribution") {
     val spark = TestSpark.spark
