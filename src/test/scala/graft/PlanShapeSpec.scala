@@ -331,4 +331,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("Generate explode"), plan)
   }
+
+  test("bigramTopK tokenizes the corpus ONCE (single Generate) and " +
+       "tops out in a TakeOrdered, not a global sort") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val plan = physical(TextAnalysis.bigramTopK(d, "text", 20))
+    // one tokenize+explode subtree: a join-back for first-word totals
+    // would re-derive the whole scan+generate (2 occurrences)
+    assert(countOccurrences(plan, "Generate explode") == 1, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tokenBudgetSample: counts broadcast back, ONE data shuffle " +
+       "feeds the window over the sliver") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val res = Curation.tokenBudgetSample(d, col("source"), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), budget = 800L)
+    val plan = physical(res)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("funnelCounts is ONE linear chain: the k-step fold appears " +
+       "once, not once per report row") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+              col("event_type"))
+    val plan = physical(graft.operators.Funnel.funnelCounts(
+      e, "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase")))
+    // 4 steps = exactly 4 event scans; the old union-of-filters shape
+    // re-derived the chain per step (10 scans for 4 steps)
+    assert(countOccurrences(plan, "Scan parquet") == 4, plan)
+    assert(plan.contains("Generate stack"), plan)
+  }
+
+  test("groupedLowerMedian shuffles the (group, value) histogram, " +
+       "never sorts raw rows globally") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val plan = physical(Histograms.groupedLowerMedian(
+      li, "l_returnflag", "l_extendedprice"))
+    // histogram aggregate below the window: partial + final
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("GlobalSort"), plan)
+  }
 }
