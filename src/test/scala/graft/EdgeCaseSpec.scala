@@ -224,4 +224,46 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(math.abs(erSent(0).getDouble(0) - sentinelRow.eventRate) < 1e-9)
     assert(math.abs(erErr(0).getDouble(0) - errorRow.eventRate) < 1e-9)
   }
+
+  test("round-7 operators degrade cleanly on empty/degenerate inputs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // funnel with NO step-1 events: every step row emits 0 users
+    val ev = Seq((1L, new Timestamp(1000L), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val fun = graft.operators.Funnel
+      .funnelCounts(ev, "user_id", "ts", "event_type",
+                    Seq("signup", "view"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(fun.toSeq == Seq((1, 0L), (2, 0L)), fun.toSeq)
+    // token budget over an input with no positive-token rows: empty
+    val docs0 = Seq((1L, "s", 0L), (2L, "s", 0L))
+      .toDF("id", "source", "ntok")
+    assert(graft.pipeline.Curation.tokenBudgetSample(
+      docs0, col("source"), col("id"), col("ntok"), 10L).count() == 0)
+    // hybrid RRF when the keyword side matches nothing: vector-only
+    // contributions survive
+    val d = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val e = Seq((1L, Seq(1.0f)), (2L, Seq(0.5f)))
+      .toDF("vec_id", "embedding")
+    val rrf = graft.pipeline.Search.hybridRrf(
+      d, e, "text", "doc_id", "vec_id", "embedding",
+      Seq("zzz_nomatch"), Array(1.0), kList = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rrf.toSeq == Seq((1L, 16393L), (2L, 16129L)), rrf.toSeq)
+    // grouped median of an empty frame: no rows, no throw
+    assert(graft.operators.Histograms.groupedLowerMedian(
+      Seq.empty[(String, Option[Double])].toDF("g", "v"), "g", "v")
+      .count() == 0)
+    // scd2/transitions with all-null ts: empty, no throw
+    val nullTs = Seq((1L, null.asInstanceOf[Timestamp], 1L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.operators.Temporal
+      .scd2Intervals(nullTs, "user_id", "ts", "event_id").count() == 0)
+    assert(graft.operators.Temporal
+      .transitionCounts(nullTs, "user_id", "ts", "event_id",
+                        "event_type").count() == 0)
+  }
 }
