@@ -2277,6 +2277,21 @@ object SparkEntry {
                       Seq("spark", "window", "merge"), k = 10)
     }),
 
+    "q_setsim_join" -> ((s, dir) => {
+      // EXACT set-similarity self-join (prefix filter, no LSH): all
+      // pairs with distinct-token Jaccard >= 19/20, verified with
+      // integer intersect/union sizes — the oracle brute-forces every
+      // pair, so a hash match proves the prefix filter misses nothing
+      val d = T(s, dir, "documents")
+      Dedup.setSimJoinExact(d, "text", "doc_id", thrNum = 19,
+                            thrDen = 20)
+        .agg(count(lit(1)).as("n_pairs"),
+             coalesce(sum(col("id_a") + col("id_b")), lit(0L))
+               .as("id_sum"),
+             coalesce(sum(col("inter")), lit(0L)).as("inter_sum"),
+             coalesce(sum(col("uni")), lit(0L)).as("uni_sum"))
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // hybrid RAG retrieval: BM25 keyword list + embedding-cosine
       // list fused by integer reciprocal-rank fusion (1e6 div (60+r))
@@ -5555,6 +5570,29 @@ object SparkEntry {
            FROM p JOIN dfc USING (token) CROSS JOIN stats)
          SELECT doc_id AS id, round(sum(part) / 1000000.0, 6) AS score
          FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 10""",
+
+    // set-similarity replay: BRUTE-FORCE all pairs (no prefix filter)
+    // with the same integer test 20*|a n b| >= 19*|a u b| — an
+    // independent implementation proving the filter's exactness
+    "q_setsim_join" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_distinct(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> x <> '')) AS s
+           FROM documents WHERE text IS NOT NULL),
+         tt AS (SELECT * FROM t WHERE len(s) > 0),
+         p AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib,
+                  len(list_intersect(a.s, b.s))::BIGINT AS i,
+                  len(list_distinct(a.s || b.s))::BIGINT AS u
+           FROM tt a JOIN tt b ON a.doc_id < b.doc_id),
+         q AS (SELECT * FROM p WHERE 20 * i >= 19 * u)
+         SELECT count(*) AS n_pairs,
+                COALESCE(sum(ia + ib), 0)::BIGINT AS id_sum,
+                COALESCE(sum(i), 0)::BIGINT AS inter_sum,
+                COALESCE(sum(u), 0)::BIGINT AS uni_sum
+         FROM q""",
 
     // hybrid-RRF replay: the q_bm25_topk scoring chain (kList=20) and
     // the q_embed_topk cosine list (kList=20), each ranked, fused by

@@ -771,4 +771,80 @@ object Dedup {
       .select(col(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** EXACT set-similarity self-join by prefix filtering (the
+    * AllPairs/PPJoin family): every unordered document pair whose
+    * DISTINCT-token-set Jaccard reaches `thrNum/thrDen` — no LSH
+    * probability, no missed pairs, and a completely INTEGER surface:
+    * the threshold is a rational, the qualifying test is
+    * `thrDen * |a n b| >= thrNum * |a u b|`, and the prefix length is
+    * integer ceil-division, so an external engine replays the result
+    * bit-exactly with no float anywhere.
+    *
+    * Prefix filter: order each document's tokens by global rarity
+    * (document frequency asc, token asc — one vocabulary-sized
+    * aggregate joined back, ONE row per token so the build side cannot
+    * skew); a document's prefix is its first
+    * `|T| - ceil(thr * |T|) + 1` tokens. If J(a, b) >= thr then
+    * overlap >= ceil(thr * |a|), so some shared token sits inside a's
+    * prefix — joining a-prefix rows against b's FULL token rows with
+    * `id_a < id_b` finds every qualifying pair (the argument is
+    * symmetric, so one orientation suffices). Candidates then verify
+    * with exact `array_intersect` / `array_union` sizes on the
+    * distinct-token arrays.
+    *
+    * Scale shape: the join's bucket for token t is
+    * (a-prefixes containing t) x (documents containing t); prefix
+    * tokens are each document's RAREST tokens, so the prefix side of
+    * a hot token is near-empty and the product stays bounded — the
+    * standard AllPairs cost argument; AQE skew-join covers residual
+    * hot buckets. The per-document ranking window partitions by
+    * document (bounded by its distinct tokens). Verification cost is
+    * per-candidate, never corpus^2. At extreme scale swap the token
+    * STRING arrays for 8-byte hashes ([[nearDupPairs]]' memory trade,
+    * with its collision caveat); strings keep this operator exact.
+    *
+    * Returns (id_a, id_b, inter, uni) with id_a < id_b — integer
+    * overlap and union sizes; jaccard = inter/uni is derivable.
+    */
+  def setSimJoinExact(df: DataFrame, textCol: String, idCol: String,
+                      thrNum: Int, thrDen: Int): DataFrame = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold must be a rational in (0, 1]; got $thrNum/$thrDen")
+    import org.apache.spark.sql.expressions.Window
+    val tokArr = array_distinct(filter(
+      split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+    val sets = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), array_sort(tokArr).as("__set"))
+      .where(size(col("__set")) > 0)
+    val toks = sets.select(col("__id"),
+                           explode(col("__set")).as("token"))
+    val dfreq = toks.groupBy("token").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id")
+      .orderBy(col("__df"), col("token"))
+    val ranked = toks.join(dfreq, Seq("token"))
+      .withColumn("__pos", row_number().over(wDoc))
+      .withColumn("__sz",
+        count(lit(1)).over(Window.partitionBy("__id")))
+    val prefixLen = col("__sz") -
+      expr(s"($thrNum * __sz + $thrDen - 1) div $thrDen") + 1
+    val pre = ranked.where(col("__pos") <= prefixLen)
+      .select(col("__id").as("id_a"), col("token"))
+    val full = toks.select(col("__id").as("id_b"), col("token"))
+    val cand = pre.join(full, Seq("token"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val aSets = sets.select(col("__id").as("id_a"),
+                            col("__set").as("__sa"))
+    val bSets = sets.select(col("__id").as("id_b"),
+                            col("__set").as("__sb"))
+    cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              size(array_intersect(col("__sa"), col("__sb")))
+                .cast("long").as("inter"),
+              size(array_union(col("__sa"), col("__sb")))
+                .cast("long").as("uni"))
+      .where(lit(thrDen.toLong) * col("inter") >=
+             lit(thrNum.toLong) * col("uni"))
+  }
 }

@@ -447,6 +447,39 @@ class PipelineOpsSpec extends AnyFunSuite {
                             (3, "C", 1L, 1L)), got.toSeq)
   }
 
+  test("setSimJoinExact equals brute-force Jaccard at several " +
+       "rational thresholds (prefix filter misses nothing)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // overlapping word sets with varied sizes, dups, and noise docs
+    val base = Seq("a b c d e", "a b c d f", "a b c", "x y z",
+                   "x y z w", "a b c d e", "p q", "p q r s t u v",
+                   "  ", null.asInstanceOf[String])
+    val df = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def brute(thrNum: Int, thrDen: Int): Set[(Long, Long, Long, Long)] = {
+      def toks(s: String): Set[String] =
+        if (s == null) Set.empty
+        else s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      val sets = base.zipWithIndex
+        .map { case (t, i) => i.toLong -> toks(t) }
+        .filter(_._2.nonEmpty)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size.toLong; uni = (sa | sb).size.toLong
+        if thrDen * inter >= thrNum * uni
+      } yield (ia, ib, inter, uni)).toSet
+    }
+    for ((n, d) <- Seq((1, 2), (4, 5), (1, 4), (1, 1))) {
+      val got = graft.pipeline.Dedup
+        .setSimJoinExact(df, "text", "id", n, d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getLong(3))).toSet
+      assert(got == brute(n, d), s"thr=$n/$d got=$got want=${brute(n, d)}")
+    }
+  }
+
   test("scd2Intervals: lead-closed validity, open tails, tie " +
        "zero-length intervals, null-ts exclusion; transitionCounts " +
        "skips first events and counts exact pairs") {
