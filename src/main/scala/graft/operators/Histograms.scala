@@ -73,7 +73,21 @@ object Histograms {
     * value, n = non-null row count).
     */
   def groupedLowerMedian(df: DataFrame, groupCol: String,
-                         valueCol: String): DataFrame = {
+                         valueCol: String): DataFrame =
+    groupedDiscreteQuantile(df, groupCol, valueCol, 1, 2)
+      .withColumnRenamed("quantile", "median")
+
+  /** The general form of [[groupedLowerMedian]]: the k-th smallest
+    * VALUE per group for k = ceil(qNum/qDen * n) — the discrete
+    * (type-1) quantile at a RATIONAL level, so k is integer
+    * ceil-division and the whole surface stays float-free. qNum/qDen
+    * in (0, 1]; qDen/qDen = the group maximum.
+    */
+  def groupedDiscreteQuantile(df: DataFrame, groupCol: String,
+                              valueCol: String, qNum: Int,
+                              qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen,
+      s"quantile must be a rational in (0, 1]; got $qNum/$qDen")
     import org.apache.spark.sql.expressions.Window
     val h = df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("__v"))
@@ -81,11 +95,11 @@ object Histograms {
     val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCol)
-    val k = expr("(__n + 1) div 2")  // integral: ceil(n/2), lower median
+    val k = expr(s"($qNum * __n + $qDen - 1) div $qDen")
     h.withColumn("__cum", sum(col("__c")).over(wOrd))
       .withColumn("__n", sum(col("__c")).over(wAll))
       .where(col("__cum") - col("__c") < k && k <= col("__cum"))
-      .select(col(groupCol), col("__v").as("median"),
+      .select(col(groupCol), col("__v").as("quantile"),
               col("__n").as("n"))
   }
 }

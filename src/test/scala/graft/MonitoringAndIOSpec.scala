@@ -572,6 +572,14 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((2.0, 3L)), "b" -> ((1.0, 2L)),
                       "c" -> ((5.0, 4L)), "d" -> ((7.0, 1L))),
            got.toString)
+    // general rational quantile: p90 of 1..10 = ceil(9)th = 9.0;
+    // p25 = ceil(2.5)th = 3.0; p100 = max
+    val ten = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    def q(n: Int, d: Int): Double = graft.operators.Histograms
+      .groupedDiscreteQuantile(ten, "g", "v", n, d)
+      .collect()(0).getDouble(1)
+    assert(q(9, 10) == 9.0 && q(1, 4) == 3.0 && q(1, 1) == 10.0,
+           s"${q(9, 10)} ${q(1, 4)} ${q(1, 1)}")
   }
 
   test("bigramTopK: exact pair counts and integer-ppm conditionals") {
