@@ -1226,6 +1226,53 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_stream_topk" -> ((s, dir) => {
+      // END-TO-END streaming top-k vocabulary: complete-mode stateful
+      // aggregation (groupBy token) over a replayed 3-file stream —
+      // the canonical streaming frequency-table shape. State is
+      // vocab-sized (the honest bound; at cluster scale swap in a
+      // sketch); the final table's top-20 equals the batch vocabulary
+      // head exactly, which the oracle recomputes from the raw table.
+      val d = T(s, dir, "documents").where(col("text").isNotNull)
+        .select("doc_id", "text")
+      val stage = tmpWorkDir("graft_topk_stage")
+      (0 until 3).foreach { g =>
+        d.where(pmod(col("doc_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val toks = staged.select(
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+                       t => t =!= "")).as("token"))
+      val ckpt = tmpWorkDir("graft_topk_ckpt")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        toks.groupBy("token").agg(count(lit(1)).as("term_freq"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("graft_stream_topk")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table("graft_stream_topk")
+        .orderBy(desc("term_freq"), col("token"))
+        .limit(20).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      s.catalog.dropTempView("graft_stream_topk")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      out.toSeq.toDF("token", "term_freq")
+    }),
+
     "q_stream_curation" -> ((s, dir) => {
       // END-TO-END streaming curation monitor: the documents table
       // replays as a 3-file stream (stamped mtimes pin trigger order).
@@ -4009,6 +4056,17 @@ object SparkEntry {
                   AS avg_tokens,
                 round(avg(length(text)), 6) AS avg_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // streaming complete-mode vocabulary replay: the final state table
+    // equals the batch frequency head over everything streamed
+    "q_stream_topk" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS token
+           FROM documents WHERE text IS NOT NULL)
+         SELECT token, count(*) AS term_freq
+         FROM t WHERE token <> ''
+         GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 20""",
 
     "q_vocab_topk" ->
       """WITH t AS (
