@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist internal intermediates (near-dup chain,
+      // set-sim prefix sliver) must not pin blocks across the other
+      // 100+ dumps of this session
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

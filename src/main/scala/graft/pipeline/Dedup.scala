@@ -821,7 +821,11 @@ object Dedup {
                       /** persist the prefix-row sliver — it feeds BOTH
                         * sides of the candidate self-join, and without
                         * materialization each side re-derives the
-                        * tokenize + df-join + double-window subtree. */
+                        * tokenize + df-join + window subtree. The
+                        * blocks are prefix-sized (a ~(1-thr) sliver of
+                        * distinct tokens); as with [[nearDupPairs]],
+                        * release them via `spark.catalog.clearCache()`
+                        * (or unpersist) when the caller is done. */
                       materialize: Boolean = true): DataFrame = {
     require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold must be a rational in (0, 1]; got $thrNum/$thrDen")
@@ -831,15 +835,17 @@ object Dedup {
     val sets = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), array_sort(tokArr).as("__set"))
       .where(size(col("__set")) > 0)
+    // |T| rides along from size(__set) — a whole-partition count
+    // window here would re-pass the exploded token table for a value
+    // the array already knows
     val toks = sets.select(col("__id"),
+                           size(col("__set")).cast("long").as("__sz"),
                            explode(col("__set")).as("token"))
     val dfreq = toks.groupBy("token").agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy("__id")
       .orderBy(col("__df"), col("token"))
     val ranked = toks.join(dfreq, Seq("token"))
       .withColumn("__pos", row_number().over(wDoc))
-      .withColumn("__sz",
-        count(lit(1)).over(Window.partitionBy("__id")))
     val prefixLen = col("__sz") -
       expr(s"($thrNum * __sz + $thrDen - 1) div $thrDen") + 1
     val preRaw = ranked.where(col("__pos") <= prefixLen)

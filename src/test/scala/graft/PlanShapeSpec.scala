@@ -353,6 +353,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // exactly two hash shuffles — the counts aggregate and the one
+    // data shuffle feeding the window; a third would mean the sliver
+    // re-shuffles between pre-filter and rank
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2,
+           plan)
+    assert(countOccurrences(plan, "BroadcastExchange") == 1, plan)
   }
 
   test("funnelCounts is ONE linear chain: the k-step fold appears " +
@@ -379,6 +385,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // histogram aggregate below the window: partial + final
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.contains("Window"), plan)
-    assert(!plan.contains("GlobalSort"), plan)
+    // a global sort of raw rows would show as a rangepartitioning
+    // exchange; the histogram path never range-partitions
+    assert(!plan.contains("rangepartitioning"), plan)
   }
 }
