@@ -300,4 +300,59 @@ class PropertySpec extends AnyFunSuite {
              s"cd $cd vs ($expectCell, $expectD2)")
     }
   }
+
+  test("setSimJoinExact equals brute force on randomized corpora and " +
+       "thresholds (prefix + length + positional filters lose nothing)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val vocab = ('a' to 'p').map(_.toString)
+    for (trial <- 0 until 5) {
+      val nDocs = 30 + rnd.nextInt(20)
+      val docs = (0 until nDocs).map { i =>
+        val len = 1 + rnd.nextInt(8)
+        (i.toLong,
+         Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      val (n, d) = Seq((1, 2), (2, 3), (3, 4), (9, 10))(trial % 4)
+      val got = graft.pipeline.Dedup
+        .setSimJoinExact(df, "text", "id", n, d, materialize = false)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getLong(3))).toSet
+      val sets = docs.map { case (i, t) =>
+        i -> t.split(" ").filter(_.nonEmpty).toSet
+      }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size.toLong; uni = (sa | sb).size.toLong
+        if d * inter >= n * uni
+      } yield (ia, ib, inter, uni)).toSet
+      assert(got == want,
+             s"trial $trial thr=$n/$d: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("groupedDiscreteQuantile equals sorted-sequence indexing on " +
+       "randomized groups and rational levels") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { _ =>
+      (s"g${rnd.nextInt(6)}", (rnd.nextInt(40) + 1).toDouble)
+    }
+    val df = rows.toDF("g", "v")
+    for ((n, d) <- Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1))) {
+      val got = graft.operators.Histograms
+        .groupedDiscreteQuantile(df, "g", "v", n, d)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val k = (n * sorted.size + d - 1) / d  // ceil(n/d * size)
+        g -> sorted(k - 1)
+      }
+      assert(got == want, s"q=$n/$d got=$got want=$want")
+    }
+  }
 }
