@@ -1486,6 +1486,66 @@ object SparkEntry {
               "lag_s_sum")
     }),
 
+    "q_stream_asof" -> ((s, dir) => {
+      // STREAMING point-in-time enrichment: one replayed time-ordered
+      // stream carries purchases (state) and views (probes); each view
+      // emits with the latest purchase at-or-before it (stateful
+      // flatMapGroupsWithState, ONE fixed-size record per user). On
+      // the in-order replay the result equals DuckDB's native ASOF
+      // LEFT JOIN, which is the oracle. Integer-only surface.
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_type"), col("value"))
+      val Array(mnR, mxR) = ev
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
+      val stage = tmpWorkDir("graft_sasof_stage")
+      val tsSec = col("ts").cast("long")
+      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+        .zipWithIndex.foreach { case (p, g) =>
+          ev.where(p).repartition(1)
+            .write.mode("overwrite").parquet(s"$stage/b$g")
+        }
+      stampStageMtimes(stage, 3)
+      val ckpt = tmpWorkDir("graft_sasof_ckpt")
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+                "value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val enriched = graft.streaming.StreamingAsof.enrich(
+        stream, "user_id", "ts", "event_type", "value",
+        stateType = "purchase", probeType = "view",
+        watermarkDelay = "1 hour")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        enriched.toDF().writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_asof")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table("graft_stream_asof")
+        .agg(count(lit(1)).as("n_probes"),
+             count(when(col("matched"), 1)).as("n_matched"),
+             coalesce(sum(when(col("matched"), col("asof_ms"))),
+                      lit(0L)).as("asof_ms_sum"),
+             coalesce(sum(when(col("matched"), col("asof_value_q"))),
+                      lit(0L)).as("asof_vq_sum"))
+        .collect()(0)
+      s.catalog.dropTempView("graft_stream_asof")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      Seq((out.getLong(0), out.getLong(1), out.getLong(2),
+           out.getLong(3)))
+        .toDF("n_probes", "n_matched", "asof_ms_sum", "asof_vq_sum")
+    }),
+
     "q_cat_sketch" -> ((s, dir) => {
       // mergeable categorical sketch binning: per-half sketches built in
       // ONE grouped scan (partial add per partition + cross-group merge
@@ -3660,6 +3720,26 @@ object SparkEntry {
                 round(sum(value_sum), 6) AS total_value,
                 max(n_events)::BIGINT AS max_session_events
          FROM sess GROUP BY 1 ORDER BY 1""",
+
+    // streaming as-of enrichment replay: DuckDB's NATIVE ASOF LEFT
+    // JOIN over the same view/purchase split; epoch-ms sums floor
+    // per-side exactly like java.sql.Timestamp.getTime
+    "q_stream_asof" ->
+      """WITH v AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         p AS (
+           SELECT user_id, ts,
+                  CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+           FROM events WHERE event_type = 'purchase'),
+         a AS (
+           SELECT v.user_id, e.ts AS ats, e.vq
+           FROM v ASOF LEFT JOIN p e
+             ON v.user_id = e.user_id AND v.ts >= e.ts)
+         SELECT count(*) AS n_probes, count(ats) AS n_matched,
+                COALESCE(sum(epoch_us(ats) // 1000), 0)::BIGINT
+                  AS asof_ms_sum,
+                COALESCE(sum(vq), 0)::BIGINT AS asof_vq_sum
+         FROM a""",
 
     // stream-stream join replay: the same interval predicate as a
     // plain batch inequality join; COALESCE(...,0) mirrors the Spark

@@ -278,4 +278,50 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(math.abs(w(0.0) - 100.0 / 180.0) < 1e-12)
     assert(math.abs(w(1.0) - 100.0 / 20.0) < 1e-12)
   }
+
+  test("StreamingAsof: inclusive state-first ties, unmatched probes, " +
+       "stale state ignored, cross-batch carry") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String, Double)]
+    val df = stream.toDF().toDF("user_id", "ts", "event_type", "value")
+    val enriched = graft.streaming.StreamingAsof.enrich(
+      df, "user_id", "ts", "event_type", "value",
+      stateType = "purchase", probeType = "view",
+      watermarkDelay = "1 hour")
+    val q = enriched.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sa_test").start()
+    // batch 1: u1 probe BEFORE any state (unmatched), state@10,
+    // probe@10 (tie -> state-first, inclusive match), probe@20
+    stream.addData(Seq(
+      (1L, t(5), "view", 0.0), (1L, t(10), "purchase", 2.5),
+      (1L, t(10), "view", 0.0), (1L, t(20), "view", 0.0)))
+    q.processAllAvailable()
+    // batch 2: newer state@30, then a STALE state@25 arriving later in
+    // the same batch is sorted before it (ts order), so probe@40 sees
+    // state@30; u2 probe with no state ever (unmatched)
+    stream.addData(Seq(
+      (1L, t(30), "purchase", 7.0), (1L, t(25), "purchase", 4.0),
+      (1L, t(40), "view", 0.0), (2L, t(40), "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sa_test")
+      .select("user_id", "probe_ms", "matched", "asof_ms",
+              "asof_value_q")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1) - 1700000000000L) / 1000,
+                 r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    spark.catalog.dropTempView("sa_test")
+    assert(rows.toSeq == Seq(
+      (1L, 5L, false, -1L, -1L),
+      (1L, 10L, true, t(10).getTime, 2500000L),
+      (1L, 20L, true, t(10).getTime, 2500000L),
+      (1L, 40L, true, t(30).getTime, 7000000L),
+      (2L, 40L, false, -1L, -1L)), rows.toSeq)
+  }
 }
