@@ -1019,6 +1019,17 @@ object SparkEntry {
         .orderBy("prev_type", "type")
     }),
 
+    "q_retention" -> ((s, dir) => {
+      // daily retention triangle: users cohorted by first-event day,
+      // each (cohort, offset) cell counts users active again offset
+      // days later — integer epoch-day indices, distinct counts
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      graft.operators.Temporal
+        .retentionMatrix(e, "user_id", "ts", periodSeconds = 86400L)
+        .orderBy("cohort", "offset")
+    }),
+
     "q_group_median" -> ((s, dir) => {
       // exact per-group lower median (k-th smallest element, k =
       // ceil(n/2)) over the (group, value)-histogram — no
@@ -3790,6 +3801,19 @@ object SparkEntry {
            FROM e)
          SELECT prev_type, type, count(*) AS n
          FROM t WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // retention replay: identical floor-division epoch-day indices
+    "q_retention" ->
+      """WITH e AS (
+           SELECT user_id,
+                  epoch_us(ts) // 1000000 // 86400 AS p
+           FROM events WHERE ts IS NOT NULL),
+         c AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, p FROM e)
+         SELECT cohort, a.p - cohort AS offset,
+                count(DISTINCT a.user_id) AS n_keys
+         FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // exact grouped lower-median replay: same histogram + running-count

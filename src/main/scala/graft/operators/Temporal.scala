@@ -51,4 +51,38 @@ object Temporal {
       .groupBy(col("__prev").as("prev_type"), col(typeCol).as("type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Retention cohort matrix: keys are cohorted by the epoch-period of
+    * their FIRST event (`cohort = floorDiv(epoch_s(min ts), period)`),
+    * and each (cohort, offset) cell counts the keys active again
+    * `offset` periods after their cohort period (offset 0 = the cohort
+    * size itself) — the classic week-over-week retention triangle, on
+    * an integer-only surface (epoch floor-division period indices,
+    * distinct-key counts).
+    *
+    * Plan shape: join-free — ONE per-key aggregate computes both the
+    * cohort (min period) and the distinct active-period set in the
+    * same pass (map-side partial merge; set size is bounded by the
+    * number of periods in the data's time span, e.g. <=3653 for ten
+    * years of days, never by row count), then an explode and one
+    * final count bounded by cohorts x offsets. Each key contributes
+    * each offset at most once by construction, so the final count is
+    * a plain count, not a count-distinct — no Expand, no broadcast
+    * dependency, and no key-side re-shuffle at any key cardinality.
+    * Null-ts rows are excluded.
+    */
+  def retentionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0,
+      s"periodSeconds must be positive; got $periodSeconds")
+    val per = expr(
+      s"CAST(${tsCol} AS LONG) div ${periodSeconds}L")
+    events.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(min(per).as("cohort"), collect_set(per).as("__ps"))
+      .select(col("cohort"), explode(col("__ps")).as("__p"))
+      .select(col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -511,6 +511,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tr == Set(("A", "B", 1L), ("B", "A", 1L)), tr.toString)
   }
 
+  test("retentionMatrix: cohort by first-event period, offset counts, " +
+       "period dedup, null-ts exclusion") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Long, h: Long = 0L): Timestamp =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    // u1: first day 0, active days 0 (twice), 1, 3
+    // u2: first day 1, active days 1, 2
+    // u3: first day 0, active day 0 only; null-ts row ignored
+    val e = Seq(
+      (1L, t(0)), (1L, t(0, 5)), (1L, t(1)), (1L, t(3)),
+      (2L, t(1)), (2L, t(2)),
+      (3L, t(0)), (3L, null.asInstanceOf[Timestamp]))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Temporal
+      .retentionMatrix(e, "user_id", "ts", periodSeconds = 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+                      (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
+  }
+
   test("hybridRrf fuses keyword and vector ranks with exact integer " +
        "RRF; single-list docs get one contribution") {
     val spark = TestSpark.spark
