@@ -1030,6 +1030,17 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_topk_per_group" -> ((s, dir) => {
+      // top-3 documents per language by char count: bounded-state
+      // native aggregate (O(k) per group, map-side combined) instead
+      // of a full window sort — survives one language owning half
+      // the corpus
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Ranking
+        .topkPerGroup(d, Seq("lang"), "n_chars", "doc_id", k = 3)
+        .orderBy("lang", "rank")
+    }),
+
     "q_group_median" -> ((s, dir) => {
       // exact per-group lower median (k-th smallest element, k =
       // ceil(n/2)) over the (group, value)-histogram — no
@@ -3815,6 +3826,18 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // top-k replay: the bounded aggregate's (key desc, id asc) order is
+    // exactly this window's ORDER BY; integer columns only
+    "q_topk_per_group" ->
+      """WITH r AS (
+           SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS rank
+           FROM documents
+           WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+         SELECT lang, rank, doc_id, n_chars FROM r
+         WHERE rank <= 3 ORDER BY lang, rank""",
 
     // exact grouped lower-median replay: same histogram + running-count
     // pick; the median is a raw stored value, no arithmetic on it

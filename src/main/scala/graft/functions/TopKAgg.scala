@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
+
+/** Bounded top-k as a native aggregate.
+  *
+  * The textbook DataFrame top-k-per-group — `row_number` over
+  * `Window.partitionBy(group)` then `filter(rn <= k)` — shuffles EVERY
+  * row to its group's task and sorts the whole group there; a
+  * mega-group (one language holding half a 100 TB corpus) lands on one
+  * task's external sort. This aggregate keeps O(k) state per group and
+  * combines map-side like any partial aggregate, so the shuffle carries
+  * at most `k` (sortKey, id) pairs per group per map task — group skew
+  * becomes irrelevant and no full sort ever happens.
+  *
+  * Ordering is integer-exact and total: sortKey DESC, id ASC on ties —
+  * the same `ORDER BY` replays in ANSI SQL, so results hash-match a
+  * `row_number` oracle. Null sortKey/id rows are ignored (SQL window
+  * replays exclude them explicitly).
+  */
+object TopKAgg {
+
+  /** `array<struct<key:long, id:long>>` of the k largest keys in the
+    * group, ordered (key desc, id asc); ties beyond position k drop
+    * the larger id, deterministically. */
+  def topkLongs(sortKey: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKLongsAgg(ExpressionUtils.expression(sortKey),
+                   ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
+}
+
+/** Fixed-capacity buffer: parallel arrays kept sorted by
+  * (key desc, id asc), size ≤ k. Insert is O(k) array shift — k is
+  * single-digit in practice, far below heap-management constants. */
+final class TopKBuffer(val k: Int) extends Serializable {
+  val keys = new Array[Long](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  def insert(key: Long, id: Long): Unit = {
+    if (n == k) {
+      val wk = keys(n - 1)
+      if (key < wk || (key == wk && id >= ids(n - 1))) return
+      n -= 1
+    }
+    var i = n
+    while (i > 0 &&
+           (keys(i - 1) < key || (keys(i - 1) == key && ids(i - 1) > id))) {
+      keys(i) = keys(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    keys(i) = key; ids(i) = id; n += 1
+  }
+
+  def merge_(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.keys(i), o.ids(i)); i += 1 }
+  }
+}
+
+final case class TopKLongsAgg(
+    keyExpr: Expression, idExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"k must be positive; got $k")
+
+  override def children: Seq[Expression] = Seq(keyExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    new StructType().add("key", LongType, nullable = false)
+                    .add("id", LongType, nullable = false),
+    containsNull = false)
+  override def prettyName: String = "topk_longs"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val kv = keyExpr.eval(input)
+    val iv = idExpr.eval(input)
+    if (kv != null && iv != null)
+      b.insert(kv.asInstanceOf[Long], iv.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = {
+    b.merge_(o)
+    b
+  }
+
+  override def eval(b: TopKBuffer): Any = {
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) { rows(i) = InternalRow(b.keys(i), b.ids(i)); i += 1 }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 16 * b.n)
+    bb.putInt(b.k); bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.keys(i)); bb.putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.keys(i) = bb.getLong; buf.ids(i) = bb.getLong; i += 1 }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLongsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLongsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKLongsAgg =
+    copy(keyExpr = newChildren(0), idExpr = newChildren(1))
+}

@@ -10,13 +10,12 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-    val ret = graft.operators.Temporal
-      .retentionMatrix(e, "user_id", "ts", periodSeconds = 86400L)
-    ret.explain("formatted")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val tk = graft.operators.Ranking
+      .topkPerGroup(d, Seq("lang"), "n_chars", "doc_id", k = 3)
+    tk.explain("formatted")
     val t0 = System.nanoTime()
-    println("rows=" + ret.count())
+    println("rows=" + tk.count())
     println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
   }
 }

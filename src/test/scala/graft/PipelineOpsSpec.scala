@@ -534,6 +534,43 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("topkPerGroup: exact k largest per group, desc-key asc-id ties, " +
+       "null exclusion, groups smaller than k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // group a: 5 rows incl. a tie at key=9 (ids 7, 3 -> keep both,
+    //          id-asc order); group b: 1 row (< k); null key dropped
+    val df = Seq(
+      ("a", Some(9L), 7L), ("a", Some(9L), 3L), ("a", Some(5L), 1L),
+      ("a", Some(9L), 8L), ("a", Some(2L), 9L), ("b", Some(4L), 2L),
+      ("a", Option.empty[Long], 99L))
+      .toDF("g", "m", "id")
+    val got = graft.operators.Ranking
+      .topkPerGroup(df, Seq("g"), "m", "id", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 1, 3L, 9L), ("a", 2, 7L, 9L),
+                      ("a", 3, 8L, 9L), ("b", 1, 2L, 4L)), got.toString)
+  }
+
+  test("TopKBuffer: bounded insert keeps exact order under random " +
+       "interleave and merge equals sorted-take brute force") {
+    val rnd = new scala.util.Random(42)
+    val items = Array.fill(500)((rnd.nextInt(50).toLong, rnd.nextLong()))
+    val k = 7
+    val (l, r) = items.splitAt(230)
+    val a = new graft.functions.TopKBuffer(k)
+    val b = new graft.functions.TopKBuffer(k)
+    l.foreach { case (key, id) => a.insert(key, id) }
+    r.foreach { case (key, id) => b.insert(key, id) }
+    a.merge_(b)
+    val expect = items
+      .sortBy { case (key, id) => (-key, id) }.take(k).toList
+    val got = (0 until a.n).map(i => (a.keys(i), a.ids(i))).toList
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("hybridRrf fuses keyword and vector ranks with exact integer " +
        "RRF; single-list docs get one contribution") {
     val spark = TestSpark.spark
