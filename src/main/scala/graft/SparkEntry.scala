@@ -1030,6 +1030,27 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_snapshot_diff" -> ((s, dir) => {
+      // CDC between two deterministic snapshots of orders: old drops
+      // keys %7==0, new drops %5==0 and bumps o_custkey on %3==0 —
+      // yields all three change classes; integer-only summary
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val old = orders.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val nw = orders.where(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+                when(col("o_orderkey") % 3 === 0, col("o_custkey") + 1)
+                  .otherwise(col("o_custkey")).as("o_custkey"),
+                col("o_orderstatus"))
+      graft.operators.Temporal
+        .snapshotDiff(old, nw, Seq("o_orderkey"),
+                      Seq("o_custkey", "o_orderstatus"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("change")
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       // top-3 documents per language by char count: bounded-state
       // native aggregate (O(k) per group, map-side combined) instead
@@ -3826,6 +3847,28 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // CDC replay: same full-outer join + IS DISTINCT FROM null-safe
+    // compare; integer counts and key checksums only
+    "q_snapshot_diff" ->
+      """WITH old AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+           WHERE o_orderkey % 7 <> 0),
+         nw AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1
+                       ELSE o_custkey END AS o_custkey,
+                  o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0),
+         d AS (
+           SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                       WHEN n.o_orderkey IS NULL THEN 'D'
+                       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       THEN 'U' END AS change
+           FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey)
+         SELECT change, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+         FROM d WHERE change IS NOT NULL GROUP BY 1 ORDER BY 1""",
 
     // top-k replay: the bounded aggregate's (key desc, id asc) order is
     // exactly this window's ORDER BY; integer columns only

@@ -85,4 +85,46 @@ object Temporal {
       .groupBy("cohort", "offset")
       .agg(count(lit(1)).as("n_keys"))
   }
+
+  /** Snapshot diff (CDC): compare two keyed snapshots of the same
+    * table and emit one row per changed key — `change` is `'I'` (in
+    * new only), `'D'` (in old only), or `'U'` (present in both with
+    * any `compareCols` value differing, null-safely). Unchanged keys
+    * are dropped — at 100 TB the diff output is proportional to the
+    * churn, not the table. Keys must be unique within each snapshot
+    * (the CDC precondition); output carries the key columns + change.
+    *
+    * Plan shape: one full-outer shuffle join on the key over scans
+    * pruned to key + compare columns; AQE skew-split applies (it is a
+    * join, not a window). The presence test rides a non-null literal
+    * per side, so a snapshot whose compare columns are all null still
+    * diffs correctly.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+      .toDF(keyCols.map("__ko_" + _) ++ compareCols.map("__o_" + _)
+              :+ "__in_old": _*)
+    val n = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(1))
+      .toDF(keyCols.map("__kn_" + _) ++ compareCols.map("__n_" + _)
+              :+ "__in_new": _*)
+    val joinCond = keyCols.map(k =>
+      col("__ko_" + k) === col("__kn_" + k)).reduce(_ && _)
+    val differs = compareCols
+      .map(c => !(col("__o_" + c) <=> col("__n_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val change = when(col("__in_old").isNull, "I")
+      .when(col("__in_new").isNull, "D")
+      .when(differs, "U")
+    o.join(n, joinCond, "full_outer")
+      .withColumn("change", change)
+      .where(col("change").isNotNull)
+      .select(keyCols.map(k =>
+        coalesce(col("__ko_" + k), col("__kn_" + k)).as(k))
+          :+ col("change"): _*)
+  }
 }

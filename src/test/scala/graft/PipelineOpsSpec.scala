@@ -534,6 +534,25 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("snapshotDiff: insert/delete/update classes, null-safe value " +
+       "compare, unchanged dropped, all-null compare row diffs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+                  (4L, Some("d")))
+      .toDF("k", "v")
+    val nw = Seq((1L, Some("a")),                       // unchanged
+                 (2L, Some("B")),                       // updated
+                 (3L, Some("c")),                       // null -> value = U
+                 (5L, Option.empty[String]))            // insert, null value
+      .toDF("k", "v")
+    val got = graft.operators.Temporal
+      .snapshotDiff(old, nw, Seq("k"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "U"), (3L, "U"), (4L, "D"), (5L, "I")),
+           got.toString)
+  }
+
   test("topkPerGroup: exact k largest per group, desc-key asc-id ties, " +
        "null exclusion, groups smaller than k") {
     val spark = TestSpark.spark
