@@ -1030,6 +1030,22 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: purchases credited to the user's most
+      // recent view/click within a 1-day lookback, else 'direct';
+      // integer channel counts + id checksum
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("ts").cast("timestamp").as("ts"))
+      graft.operators.Funnel
+        .lastTouchAttribution(e, "user_id", "ts", "event_id",
+                              "event_type", Seq("view", "click"),
+                              "purchase", lookbackSeconds = 86400L)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy("channel")
+    }),
+
     "q_snapshot_diff" -> ((s, dir) => {
       // CDC between two deterministic snapshots of orders: old drops
       // keys %7==0, new drops %5==0 and bumps o_custkey on %3==0 —
@@ -3847,6 +3863,33 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // attribution replay: identical (sec, id) total order; both
+    // last_value IGNORE NULLS windows pick from the same last touch row
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL
+             AND event_type IN ('view', 'click', 'purchase')),
+         t AS (
+           SELECT *,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN sec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_sec,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_type
+           FROM e)
+         SELECT CASE WHEN t_sec IS NOT NULL AND sec - t_sec <= 86400
+                     THEN t_type ELSE 'direct' END AS channel,
+                count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
 
     // CDC replay: same full-outer join + IS DISTINCT FROM null-safe
     // compare; integer counts and key checksums only

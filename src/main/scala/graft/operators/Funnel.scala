@@ -80,4 +80,47 @@ object Funnel {
         "(step, step_type, n_users, sum_user)")
       .orderBy("step")
   }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * channel (event type) of the key's most recent touch event
+    * STRICTLY before it and within `lookbackSeconds`; conversions with
+    * no admissible touch credit `"direct"`. One row per conversion:
+    * key cols + conversion id + `channel`.
+    *
+    * Integer-exact by construction: ordering is (epoch second, event
+    * id) — a total order — and the window carries the touch's second
+    * and type from the same last non-null row, so the SQL replay's
+    * `last_value(... IGNORE NULLS)` picks identically.
+    *
+    * Plan shape: one shuffle on the key, one in-partition sort (the
+    * gaps-and-islands bound shared with [[Temporal.transitionCounts]]);
+    * rows not in `touchTypes + convType` are filtered before the
+    * shuffle, so at 100 TB the window input is the touch+conversion
+    * subset, not the full event stream.
+    */
+  def lastTouchAttribution(events: DataFrame, keyCol: String,
+                           tsCol: String, idCol: String, typeCol: String,
+                           touchTypes: Seq[String], convType: String,
+                           lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0,
+      s"lookbackSeconds must be positive; got $lookbackSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val sec = col(tsCol).cast("long")
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val w = Window.partitionBy(keyCol).orderBy(sec, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .where(col(tsCol).isNotNull &&
+             (isTouch || col(typeCol) === convType))
+      .select(col("*"), sec.as("__sec"),
+              last(when(isTouch, sec), ignoreNulls = true).over(w)
+                .as("__t_sec"),
+              last(when(isTouch, col(typeCol)), ignoreNulls = true)
+                .over(w).as("__t_type"))
+      .where(col(typeCol) === convType)
+      .select(col(keyCol), col(idCol),
+              when(col("__t_sec").isNotNull &&
+                   col("__sec") - col("__t_sec") <= lookbackSeconds,
+                   col("__t_type")).otherwise("direct").as("channel"))
+  }
 }

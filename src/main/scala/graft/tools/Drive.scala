@@ -10,20 +10,17 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val old = orders.where(col("o_orderkey") % 7 =!= 0)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-    val nw = orders.where(col("o_orderkey") % 5 =!= 0)
-      .select(col("o_orderkey"),
-              when(col("o_orderkey") % 3 === 0, col("o_custkey") + 1)
-                .otherwise(col("o_custkey")).as("o_custkey"),
-              col("o_orderstatus"))
-    val d = graft.operators.Temporal
-      .snapshotDiff(old, nw, Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
-      .groupBy("change").agg(count(lit(1)).as("n"))
-    d.explain("formatted")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts").cast("timestamp").as("ts"))
+    val a = graft.operators.Funnel
+      .lastTouchAttribution(e, "user_id", "ts", "event_id",
+                            "event_type", Seq("view", "click"),
+                            "purchase", 86400L)
+      .groupBy("channel").agg(count(lit(1)).as("n"))
+    a.explain("formatted")
     val t0 = System.nanoTime()
-    println("rows=" + d.count())
+    println("rows=" + a.count())
     println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
   }
 }

@@ -534,6 +534,33 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("lastTouchAttribution: strict-before touch, lookback cutoff, " +
+       "direct fallback, same-second id tiebreak") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // u1: view@10, click@20, purchase@25 -> click (latest touch)
+    // u1: purchase@20+86401+... out of lookback from click -> direct
+    // u2: purchase@5 with no touch before -> direct
+    // u3: touch and purchase same second: id order decides (touch id
+    //     1 < purchase id 2 -> touch is strictly before by id)
+    val e = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 25L, 3L, "purchase"), (1L, 90000L, 4L, "purchase"),
+      (2L, 5L, 5L, "purchase"),
+      (3L, 50L, 6L, "view"), (3L, 50L, 7L, "purchase"))
+      .map { case (u, s, i, ty) => (u, t(s), i, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Funnel
+      .lastTouchAttribution(e, "user_id", "ts", "event_id",
+                            "event_type", Seq("view", "click"),
+                            "purchase", 86400L)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(3L -> "click", 4L -> "direct", 5L -> "direct",
+                      7L -> "view"), got.toString)
+  }
+
   test("snapshotDiff: insert/delete/update classes, null-safe value " +
        "compare, unchanged dropped, all-null compare row diffs") {
     val spark = TestSpark.spark
