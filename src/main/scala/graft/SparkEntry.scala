@@ -1030,6 +1030,15 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_ngram_novelty" -> ((s, dir) => {
+      // per-source trigram novelty: how much of each source's shingle
+      // mass exists nowhere else — integer gram counts only
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup
+        .ngramNovelty(d, "doc_id", "text", "source", n = 3)
+        .orderBy("source")
+    }),
+
     "q_attribution" -> ((s, dir) => {
       // last-touch attribution: purchases credited to the user's most
       // recent view/click within a 1-day lookback, else 'direct';
@@ -3863,6 +3872,40 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // novelty replay: same normalize/split/3-gram chain as the
+    // q_ngram_jaccard oracle; df via count over per-doc distinct grams
+    "q_ngram_novelty" ->
+      """WITH norm AS (
+           SELECT doc_id, source,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents WHERE text IS NOT NULL
+         ), sh AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM norm
+         ), pairs AS (
+           SELECT doc_id, source, unnest(sh) AS gram FROM sh
+         ), bygram AS (
+           SELECT gram, count(*) AS df, min(source) AS src
+           FROM pairs GROUP BY 1
+         ), novel AS (
+           SELECT src AS source, count(*) AS n_novel
+           FROM bygram WHERE df = 1 GROUP BY 1
+         ), tot AS (
+           SELECT source, count(DISTINCT doc_id) AS n_docs,
+                  count(*) AS n_grams
+           FROM pairs GROUP BY 1)
+         SELECT t.source, n_docs, n_grams,
+                COALESCE(n_novel, 0) AS n_novel
+         FROM tot t LEFT JOIN novel USING (source)
+         ORDER BY t.source""",
 
     // attribution replay: identical (sec, id) total order; both
     // last_value IGNORE NULLS windows pick from the same last touch row

@@ -534,6 +534,29 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("ngramNovelty: df=1 grams credit their owner group, shared " +
+       "grams drop, short docs shingle whole, null text excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // docs 1,2 share the gram "a b c"; doc 1 adds a unique tail gram;
+    // doc 3 (other group) is short (<3 tokens -> whole-text shingle);
+    // doc 4 has null text
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c", "s1"),
+      (3L, "z q", "s2"), (4L, null.asInstanceOf[String], "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Dedup
+      .ngramNovelty(d, "doc_id", "text", "source", n = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // s1: docs 1,2; grams: doc1 {a b c, b c d}, doc2 {a b c};
+    //     n_grams=3, novel = {b c d} = 1
+    // s2: doc 3 only; gram {z q}; novel=1
+    assert(got == Map("s1" -> ((2L, 3L, 1L)), "s2" -> ((1L, 1L, 1L))),
+           got.toString)
+  }
+
   test("lastTouchAttribution: strict-before touch, lookback cutoff, " +
        "direct fallback, same-second id tiebreak") {
     val spark = TestSpark.spark
