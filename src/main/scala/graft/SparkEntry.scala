@@ -1030,6 +1030,16 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_copurchase" -> ((s, dir) => {
+      // market-basket: top-20 part pairs sharing an order, count desc
+      // with full (n, part_a, part_b) tiebreak — deterministic limit
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.operators.MarketBasket
+        .coOccurrence(li, "l_orderkey", "l_partkey")
+        .orderBy(col("n").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
     "q_ngram_novelty" -> ((s, dir) => {
       // per-source trigram novelty: how much of each source's shingle
       // mass exists nowhere else — integer gram counts only
@@ -3872,6 +3882,19 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // co-occurrence replay: distinct (basket,item) self-join with
+    // a<b ordering; same total tiebreak makes the LIMIT exact
+    "q_copurchase" ->
+      """WITH p AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         pr AS (
+           SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+           FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey)
+         SELECT item_a, item_b, count(*) AS n FROM pr
+         GROUP BY 1, 2 ORDER BY n DESC, item_a, item_b LIMIT 20""",
 
     // novelty replay: same normalize/split/3-gram chain as the
     // q_ngram_jaccard oracle; df via count over per-doc distinct grams

@@ -10,12 +10,13 @@ object Drive {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-    val nv = graft.pipeline.Dedup
-      .ngramNovelty(d, "doc_id", "text", "source", n = 3)
-    nv.explain("formatted")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val co = graft.operators.MarketBasket
+      .coOccurrence(li, "l_orderkey", "l_partkey")
+      .orderBy(col("n").desc, col("item_a"), col("item_b")).limit(20)
+    co.explain("formatted")
     val t0 = System.nanoTime()
-    println("rows=" + nv.count())
+    println("rows=" + co.count())
     println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
   }
 }

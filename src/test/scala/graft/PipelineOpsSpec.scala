@@ -534,6 +534,25 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("coOccurrence: sorted unordered pairs, per-basket item dedup, " +
+       "singleton baskets drop, counts across baskets") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(30L)), (1L, Some(10L)), (1L, Some(20L)),
+      (1L, Some(10L)),                               // dup item in basket
+      (2L, Some(10L)), (2L, Some(20L)),
+      (3L, Some(99L)),                               // singleton
+      (4L, Option.empty[Long]))                      // null item
+      .toDF("basket", "item")
+    val got = graft.operators.MarketBasket
+      .coOccurrence(df, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)),
+           got.toString)
+  }
+
   test("ngramNovelty: df=1 grams credit their owner group, shared " +
        "grams drop, short docs shingle whole, null text excluded") {
     val spark = TestSpark.spark
