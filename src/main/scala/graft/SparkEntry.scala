@@ -1030,6 +1030,17 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_triangles" -> ((s, dir) => {
+      // triangle census of the repeat co-purchase graph (pairs sharing
+      // >= 2 orders): degree-ordered orientation bounds the wedge join
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = graft.operators.MarketBasket
+        .coOccurrence(li, "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+      graft.operators.Graph
+        .triangleStats(edges, "item_a", "item_b")
+    }),
+
     "q_copurchase" -> ((s, dir) => {
       // market-basket: top-20 part pairs sharing an order, count desc
       // with full (n, part_a, part_b) tiebreak — deterministic limit
@@ -3882,6 +3893,28 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // triangle replay: canonical a<b edges chain x<y<z, so the 3-way
+    // join counts each triangle exactly once — no orientation needed
+    // at oracle scale
+    "q_triangles" ->
+      """WITH p AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         e AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         v AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+         t AS (
+           SELECT count(*) AS n_triangles
+           FROM e e1 JOIN e e2 ON e1.b = e2.a
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT (SELECT count(*) FROM v) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                n_triangles
+         FROM t""",
 
     // co-occurrence replay: distinct (basket,item) self-join with
     // a<b ordering; same total tiebreak makes the LIMIT exact

@@ -11,12 +11,13 @@ object Drive {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val co = graft.operators.MarketBasket
+    val edges = graft.operators.MarketBasket
       .coOccurrence(li, "l_orderkey", "l_partkey")
-      .orderBy(col("n").desc, col("item_a"), col("item_b")).limit(20)
-    co.explain("formatted")
+      .where(col("n") >= 2)
+    val t = graft.operators.Graph.triangleStats(edges, "item_a", "item_b")
     val t0 = System.nanoTime()
-    println("rows=" + co.count())
+    println(t.collect().mkString)
     println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    t.explain("formatted")
   }
 }

@@ -352,6 +352,86 @@ object ScaleProbe {
       }
     }
     } // section("events")
+
+    section("analytics") {
+    // retention/top-k/CDC/attribution/novelty/co-occurrence at 1x/16x.
+    // Replicas spread over NEW keys (users, orders, doc ids) so
+    // per-key state — the activity-period set, a basket's item array,
+    // one user's window sort — stays constant while rows scale; the
+    // replicated corpus makes every copy an exact dup, so novelty's
+    // df-1 set collapses toward 0 while its df-count shuffle still
+    // carries the full gram volume (the cost being probed).
+    {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_id"), col("event_type"))
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val docsS = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "source", "lang", "n_chars")
+      Seq(1, 16).foreach { mult =>
+        def repKey(df: org.apache.spark.sql.DataFrame, kc: String,
+                   stride: Long) =
+          if (mult == 1) df
+          else df.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn(kc, col(kc) + col("__rep") * stride)
+            .drop("__rep")
+        val e = repKey(ev, "user_id", 10_000_000L)
+        val li2 = repKey(liRaw, "l_orderkey", 1_000_000_000L)
+        val ord2 = repKey(ordRaw, "o_orderkey", 1_000_000_000L)
+        val d = repKey(docsS, "doc_id", 1_000_000_000L)
+        val n = e.count(); val nl = li2.count()
+        (1 to 2).foreach { pass =>
+          val tRet = timed {
+            graft.operators.Temporal
+              .retentionMatrix(e, "user_id", "ts", 86400L)
+              .agg(sum(col("n_keys"))).collect()
+          }
+          val tTk = timed {
+            graft.operators.Ranking
+              .topkPerGroup(d, Seq("lang"), "n_chars", "doc_id", 3)
+              .agg(count(lit(1))).collect()
+          }
+          val tCdc = timed {
+            val old = ord2.where(col("o_orderkey") % 7 =!= 0)
+            val nw = ord2.where(col("o_orderkey") % 5 =!= 0)
+              .withColumn("o_custkey",
+                when(col("o_orderkey") % 3 === 0, col("o_custkey") + 1)
+                  .otherwise(col("o_custkey")))
+            graft.operators.Temporal
+              .snapshotDiff(old, nw, Seq("o_orderkey"),
+                            Seq("o_custkey", "o_orderstatus"))
+              .groupBy("change").agg(count(lit(1))).collect()
+          }
+          val tAttr = timed {
+            graft.operators.Funnel
+              .lastTouchAttribution(e, "user_id", "ts", "event_id",
+                "event_type", Seq("view", "click"), "purchase", 86400L)
+              .groupBy("channel").agg(count(lit(1))).collect()
+          }
+          val tNov = timed {
+            graft.pipeline.Dedup
+              .ngramNovelty(d, "doc_id", "text", "source", 3)
+              .agg(sum(col("n_novel"))).collect()
+          }
+          val tCo = timed {
+            graft.operators.MarketBasket
+              .coOccurrence(li2, "l_orderkey", "l_partkey")
+              .agg(count(lit(1))).collect()
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d events=$n%9d lineitem=$nl%9d " +
+              f"retention=$tRet%6.2f s topk=$tTk%6.2f s cdc=$tCdc%6.2f s " +
+              f"attribution=$tAttr%6.2f s novelty=$tNov%6.2f s " +
+              f"copurchase=$tCo%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
+    } // section("analytics")
     spark.stop()
   }
 }

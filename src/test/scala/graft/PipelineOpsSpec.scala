@@ -534,6 +534,23 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("triangleStats: K4 has 4 triangles, star has none, reversed/" +
+       "duplicate/self-loop edges canonicalize away") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // K4 on {1,2,3,4} with noise: reversed copy, dup, self-loop;
+    // star center 10 -> {11,12,13} adds 3 nodes, 3 edges, 0 triangles
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (4L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L))
+      .toDF("x", "y")
+    val r = graft.operators.Graph.triangleStats(edges, "x", "y")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 9L, 4L)),
+           r.toString)
+  }
+
   test("coOccurrence: sorted unordered pairs, per-basket item dedup, " +
        "singleton baskets drop, counts across baskets") {
     val spark = TestSpark.spark
