@@ -25,14 +25,25 @@ object Graph {
     * closure check against the canonical edge set — all equi-joins
     * on integer keys; AQE skew handling applies throughout.
     */
-  def triangleStats(edges: DataFrame, aCol: String,
-                    bCol: String): DataFrame = {
-    val e = edges
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+                    /** persist the canonical edge set — it feeds four
+                      * plan branches (degrees, orientation, closure,
+                      * edge count), and the distilled graph is tiny
+                      * next to whatever produced it (a basket table, a
+                      * near-dup candidate join). Release via
+                      * `spark.catalog.clearCache()` when done. */
+                    materialize: Boolean = true): DataFrame = {
+    val eRaw = edges
       .where(col(aCol).isNotNull && col(bCol).isNotNull &&
              col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
               greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
+    val e =
+      if (materialize)
+        eRaw.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
+      else eRaw
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
