@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{CosineSimExpr, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg}
 import graft.pipeline.TextAnalysis
 
 /** SQL surface for the native Catalyst kernels, registered via
@@ -28,6 +28,8 @@ import graft.pipeline.TextAnalysis
   *    [top_bigram_frac, dup_trigram_frac] (Gopher-style signals;
   *    access with `element_at(..., 1)` / `element_at(..., 2)`)
   *  - `graft_lang_id(text)` -> STRING (en/es/de/fr/zh/und heuristic)
+  *  - `graft_topk_longs(key, id, k)` -> ARRAY<STRUCT<key,id>>, the
+  *    bounded-state grouped top-k aggregate (O(k) per group)
   *
   * [[GraftExtensions.install]] registers the same functions into an
   * already-running session (notebooks, tests).
@@ -102,6 +104,14 @@ object GraftExtensions {
        (args: Seq[Expression]) => args match {
          case Seq(t) => RepetitionStatsExpr(t)
          case other => bad("graft_repetition_stats", other)
+       }),
+      (new FunctionIdentifier("graft_topk_longs"),
+       new ExpressionInfo(classOf[TopKLongsAgg].getName,
+                          "graft_topk_longs"),
+       (args: Seq[Expression]) => args match {
+         case Seq(key, id, k) =>
+           TopKLongsAgg(key, id, litInt(k, "graft_topk_longs"))
+         case other => bad("graft_topk_longs", other)
        }),
       (new FunctionIdentifier("graft_lang_id"),
        new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),

@@ -1030,6 +1030,55 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_streaks" -> ((s, dir) => {
+      // distribution of per-user longest consecutive-day activity
+      // streaks — gaps-and-islands on integer epoch days
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      graft.operators.Temporal
+        .activityStreaks(e, "user_id", "ts", periodSeconds = 86400L)
+        .groupBy("max_streak")
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("user_id")).as("user_sum"))
+        .orderBy("max_streak")
+    }),
+
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL sink+source: write the documents metadata as JSON lines,
+      // read it back with an explicit schema (schema inference is a
+      // second full scan — never at 100 TB), aggregate per source.
+      // Matching the direct-parquet oracle proves the round-trip
+      // preserves every value exactly
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "lang", "n_chars")
+      val tmp = "target/tmp/docs_sink.jsonl"
+      d.write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, source STRING, lang STRING, " +
+                    "n_chars LONG")
+        .json(tmp)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    }),
+
+    "q_pagerank" -> ((s, dir) => {
+      // 2-iteration integer PageRank over the symmetrized repeat
+      // co-purchase graph; top-20 by (scaled rank desc, id)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = graft.operators.MarketBasket
+        .coOccurrence(li, "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+      val sym = edges.select(col("item_a").as("src"),
+                             col("item_b").as("dst"))
+        .unionByName(edges.select(col("item_b").as("src"),
+                                  col("item_a").as("dst")))
+      graft.operators.Graph.pageRank(sym, "src", "dst", iterations = 2)
+        .orderBy(col("rank").desc, col("v"))
+        .limit(20)
+    }),
+
     "q_triangles" -> ((s, dir) => {
       // triangle census of the repeat co-purchase graph (pairs sharing
       // >= 2 orders): degree-ordered orientation bounds the wedge join
@@ -3893,6 +3942,71 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // streak replay: same island id (period - row_number) on the same
+    // floor-division day indices
+    "q_streaks" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 1000000 // 86400 AS p
+           FROM events WHERE ts IS NOT NULL),
+         isl AS (
+           SELECT user_id,
+                  p - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY p) AS island
+           FROM e),
+         runs AS (
+           SELECT user_id, island, count(*) AS len
+           FROM isl GROUP BY 1, 2),
+         mx AS (
+           SELECT user_id, max(len) AS max_streak
+           FROM runs GROUP BY 1)
+         SELECT max_streak, count(*) AS n_users,
+                CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM mx GROUP BY 1 ORDER BY 1""",
+
+    // JSONL round-trip replay: the oracle reads the parquet directly —
+    // equality proves the sink+source path is lossless
+    "q_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                count(DISTINCT lang) AS n_langs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // PageRank replay: the two iterations unroll as CTEs with the
+    // same floor-per-edge integer contributions — bit-identical ranks
+    "q_pagerank" ->
+      """WITH p AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         e2 AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (SELECT a AS src, b AS dst FROM e2
+                UNION ALL SELECT b, a FROM e2),
+         deg AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+         nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+         r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS rank
+                FROM nodes),
+         c1 AS (SELECT ed.dst AS v,
+                       sum((85 * r0.rank) // (100 * deg.od)) AS cin
+                FROM ed JOIN r0 ON ed.src = r0.v
+                        JOIN deg ON ed.src = deg.src GROUP BY 1),
+         r1 AS (SELECT n.v,
+                       CAST(150000000000 + COALESCE(cin, 0) AS BIGINT)
+                         AS rank
+                FROM nodes n LEFT JOIN c1 ON n.v = c1.v),
+         c2 AS (SELECT ed.dst AS v,
+                       sum((85 * r1.rank) // (100 * deg.od)) AS cin
+                FROM ed JOIN r1 ON ed.src = r1.v
+                        JOIN deg ON ed.src = deg.src GROUP BY 1),
+         r2 AS (SELECT n.v,
+                       CAST(150000000000 + COALESCE(cin, 0) AS BIGINT)
+                         AS rank
+                FROM nodes n LEFT JOIN c2 ON n.v = c2.v)
+         SELECT v, rank FROM r2 ORDER BY rank DESC, v LIMIT 20""",
 
     // triangle replay: canonical a<b edges chain x<y<z, so the 3-way
     // join counts each triangle exactly once — no orientation needed

@@ -69,4 +69,67 @@ object Graph {
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Fixed-iteration PageRank on a DIRECTED edge list, in exact
+    * integer arithmetic so every iteration replays bit-identically in
+    * ANSI SQL (the float-in-oracle lesson): ranks are scaled longs
+    * (`scale`, default 1e12), the damping factor is the rational
+    * `dampNum/dampDen`, and each neighbor contribution is the
+    * integral `(dampNum * r) div (dampDen * outdeg)` — floor-per-edge,
+    * then summed, plus the constant base `(scale * (dampDen -
+    * dampNum)) div dampDen`. Nodes with no in-edges keep the base
+    * (left join from the node set); dangling-node mass is dropped,
+    * the usual simplification when ranking rather than modeling a
+    * distribution.
+    *
+    * Plan shape per iteration: one equi-join of the rank table onto
+    * the out-degree-annotated edges (both sides hash-partitioned on
+    * the same key, so the edge side's exchange is planned once and
+    * reused across iterations) and one map-side-partial sum by dst.
+    * Iteration count is a query constant — the loop unrolls into a
+    * bounded chain Catalyst sees whole; persist-per-iteration is
+    * deliberately NOT done because each iteration's input is the
+    * previous aggregate output (k × 16-byte rows), already shuffled.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, dampNum: Long = 85L,
+               dampDen: Long = 100L, scale: Long = 1000000000000L,
+               /** persist the degree-annotated edge list and node
+                 * set — the loop's STATIONARY inputs, consumed once
+                 * per iteration (the GraphX discipline: pin the
+                 * graph, stream the ranks). Without this a derived
+                 * edge input (a co-occurrence join, an LSH candidate
+                 * set) re-executes its whole producing subtree every
+                 * iteration. Release via `spark.catalog.clearCache()`
+                 * when done. */
+               materialize: Boolean = true): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0; got $iterations")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must be a rational in (0, 1); got $dampNum/$dampDen")
+    def mat(df: DataFrame): DataFrame =
+      if (materialize)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val ed = mat(e.join(deg, Seq("src")))
+    // derive nodes from the CACHED edge list, so a derived edge input
+    // computes exactly once (for ed's fill), not once more here
+    val nodes = mat(ed.select(col("src").as("v"))
+      .unionByName(ed.select(col("dst").as("v"))).distinct())
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val r0 = nodes.select(col("v"), lit(scale).as("rank"))
+    (1 to iterations).foldLeft(r0) { (r, _) =>
+      val contrib = ed
+        .join(r.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr(s"($dampNum * rank) div ($dampDen * __od)"))
+               .as("__in"))
+      nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+                (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+    }
+  }
 }

@@ -86,6 +86,35 @@ object Temporal {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Longest activity streak per key: the maximum run of CONSECUTIVE
+    * periods (days, weeks — `periodSeconds`) in which the key had at
+    * least one event. Gaps-and-islands on integer period indices:
+    * island id = period - row_number over the key's distinct periods
+    * (consecutive periods share it), streak = island size, result =
+    * per-key max. Null-ts rows are excluded.
+    *
+    * Plan shape: the distinct (key, period) pairs aggregate map-side
+    * first, then ONE hash shuffle on the key covers the row_number
+    * window and both group-bys above it (same-key partitioning
+    * reused); per-key window input is bounded by the time span's
+    * period count, like [[retentionMatrix]]'s sets.
+    */
+  def activityStreaks(events: DataFrame, keyCol: String, tsCol: String,
+                      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0,
+      s"periodSeconds must be positive; got $periodSeconds")
+    val per = expr(s"CAST(${tsCol} AS LONG) div ${periodSeconds}L")
+    val w = Window.partitionBy("__k").orderBy("__p")
+    events.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), per.as("__p"))
+      .distinct()
+      .withColumn("__island", col("__p") - row_number().over(w))
+      .groupBy("__k", "__island")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__len")).as("max_streak"))
+  }
+
   /** Snapshot diff (CDC): compare two keyed snapshots of the same
     * table and emit one row per changed key — `change` is `'I'` (in
     * new only), `'D'` (in old only), or `'U'` (present in both with

@@ -12,12 +12,14 @@ object Drive {
     val dir = "/root/testdata/sf0.1"
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val edges = graft.operators.MarketBasket
-      .coOccurrence(li, "l_orderkey", "l_partkey")
-      .where(col("n") >= 2)
-    val t = graft.operators.Graph.triangleStats(edges, "item_a", "item_b")
+      .coOccurrence(li, "l_orderkey", "l_partkey").where(col("n") >= 2)
+    val sym = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val pr = graft.operators.Graph.pageRank(sym, "src", "dst", 2)
+      .orderBy(col("rank").desc, col("v")).limit(20)
     val t0 = System.nanoTime()
-    println(t.collect().mkString)
+    println("rows=" + pr.count())
     println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    t.explain("formatted")
+    pr.explain("formatted")
   }
 }

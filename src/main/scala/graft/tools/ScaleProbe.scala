@@ -422,11 +422,32 @@ object ScaleProbe {
               .coOccurrence(li2, "l_orderkey", "l_partkey")
               .agg(count(lit(1))).collect()
           }
+          val tStk = timed {
+            graft.operators.Temporal
+              .activityStreaks(e, "user_id", "ts", 86400L)
+              .groupBy("max_streak").agg(count(lit(1))).collect()
+          }
+          // graph ops run on the replicated basket table's derived
+          // edges: replicas are disjoint copies of the base graph, so
+          // edges/triangles scale by mult while per-node degree stays
+          // constant — the orientation bound is what's probed
+          val tGr = timed {
+            val edges = graft.operators.MarketBasket
+              .coOccurrence(li2, "l_orderkey", "l_partkey")
+              .where(col("n") >= 2)
+            val sym = edges.select(col("item_a").as("src"),
+                                   col("item_b").as("dst"))
+              .unionByName(edges.select(col("item_b").as("src"),
+                                        col("item_a").as("dst")))
+            graft.operators.Graph.pageRank(sym, "src", "dst", 2)
+              .agg(sum(col("rank"))).collect()
+          }
           if (pass == 2)
             println(f"PROBE mult=$mult%2d events=$n%9d lineitem=$nl%9d " +
               f"retention=$tRet%6.2f s topk=$tTk%6.2f s cdc=$tCdc%6.2f s " +
               f"attribution=$tAttr%6.2f s novelty=$tNov%6.2f s " +
-              f"copurchase=$tCo%6.2f s")
+              f"copurchase=$tCo%6.2f s streaks=$tStk%6.2f s " +
+              f"pagerank=$tGr%6.2f s")
           spark.catalog.clearCache()
         }
       }

@@ -56,6 +56,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vsql.getLong(1) == vapi.getLong(1))
   }
 
+  test("graft_topk_longs works from pure SQL and matches the Column API") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    Seq(("a", 9L, 7L), ("a", 9L, 3L), ("a", 5L, 1L), ("b", 4L, 2L))
+      .toDF("g", "m", "id").createOrReplaceTempView("__ext_topk")
+    val sql = spark.sql(
+      "SELECT g, graft_topk_longs(m, id, 2) AS top FROM __ext_topk " +
+      "GROUP BY g ORDER BY g").collect()
+    assert(sql.length == 2)
+    val aTop = sql(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(aTop == Seq((9L, 3L), (9L, 7L)), aTop.toString)
+    val bTop = sql(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bTop == Seq((4L, 2L)), bTop.toString)
+  }
+
   test("non-literal config arguments are rejected with guidance") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -534,6 +534,44 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("activityStreaks: consecutive-day islands, same-day dedup, " +
+       "gap splits, null-ts excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Long, h: Long = 0L): Timestamp =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    // u1: days 0,1,2 then 5,6 -> max 3; u2: days 3,3(dup),4 -> 2;
+    // u3: single day + null ts -> 1
+    val e = Seq(
+      (1L, t(0)), (1L, t(1)), (1L, t(2)), (1L, t(5)), (1L, t(6)),
+      (2L, t(3)), (2L, t(3, 7)), (2L, t(4)),
+      (3L, t(9)), (3L, null.asInstanceOf[Timestamp]))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Temporal
+      .activityStreaks(e, "user_id", "ts", 86400L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), got.toString)
+  }
+
+  test("pageRank: hand-computed 2-iteration integer ranks, sink node " +
+       "keeps base, floor-per-edge contributions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 1->2, 2->1, 1->3 (3 is a sink); S=1e12, d=85/100, base=150e9
+    // r1: 1 -> base + (85S)//100       = 1_000_000_000_000
+    //     2 -> base + (85S)//200       =   575_000_000_000
+    //     3 -> same as 2               =   575_000_000_000
+    // r2: 1 -> base + (85*r1(2))//100  =   638_750_000_000
+    //     2 -> base + (85*r1(1))//200  =   575_000_000_000
+    //     3 -> same as 2               =   575_000_000_000
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val got = graft.operators.Graph.pageRank(e, "s", "d", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 638750000000L, 2L -> 575000000000L,
+                      3L -> 575000000000L), got.toString)
+  }
+
   test("triangleStats: K4 has 4 triangles, star has none, reversed/" +
        "duplicate/self-loop edges canonicalize away") {
     val spark = TestSpark.spark
