@@ -1030,6 +1030,16 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_data_quality" -> ((s, dir) => {
+      // single-pass table audit: row count, null counts, integer
+      // bounds, exact distinct counts — the expectations report
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      graft.operators.QualityChecks.audit(o,
+        nullCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+        boundCols = Seq("o_orderkey", "o_custkey"),
+        distinctCols = Seq("o_orderkey", "o_orderstatus"))
+    }),
+
     "q_streaks" -> ((s, dir) => {
       // distribution of per-user longest consecutive-day activity
       // streaks — gaps-and-islands on integer epoch days
@@ -3942,6 +3952,34 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // audit replay: one aggregate row melted to (metric, value)
+    "q_data_quality" ->
+      """WITH a AS (
+           SELECT count(*) AS nr,
+                  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS nc_cust,
+                  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS nc_stat,
+                  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS nc_comm,
+                  min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+                  min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+                  count(DISTINCT o_orderkey) AS d_ok,
+                  count(DISTINCT o_orderstatus) AS d_st
+           FROM orders)
+         SELECT metric, value FROM (
+           SELECT 'n_rows' AS metric, CAST(nr AS BIGINT) AS value FROM a
+           UNION ALL SELECT 'null_count:o_custkey', CAST(nc_cust AS BIGINT) FROM a
+           UNION ALL SELECT 'null_count:o_orderstatus', CAST(nc_stat AS BIGINT) FROM a
+           UNION ALL SELECT 'null_count:o_orderpriority', CAST(nc_comm AS BIGINT) FROM a
+           UNION ALL SELECT 'min:o_orderkey', CAST(mn_ok AS BIGINT) FROM a
+           UNION ALL SELECT 'max:o_orderkey', CAST(mx_ok AS BIGINT) FROM a
+           UNION ALL SELECT 'min:o_custkey', CAST(mn_ck AS BIGINT) FROM a
+           UNION ALL SELECT 'max:o_custkey', CAST(mx_ck AS BIGINT) FROM a
+           UNION ALL SELECT 'distinct:o_orderkey', CAST(d_ok AS BIGINT) FROM a
+           UNION ALL SELECT 'distinct:o_orderstatus', CAST(d_st AS BIGINT) FROM a)
+         ORDER BY metric""",
 
     // streak replay: same island id (period - row_number) on the same
     // floor-division day indices

@@ -534,6 +534,27 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("QualityChecks.audit: null counts, integer bounds, exact " +
+       "distincts; approx path keeps schema") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Option.empty[String]),
+                 (3L, Some("b")))
+      .toDF("k", "v")
+    val got = graft.operators.QualityChecks
+      .audit(df, nullCols = Seq("v"), boundCols = Seq("k"),
+             distinctCols = Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "n_rows" -> 4L, "null_count:v" -> 1L,
+      "min:k" -> 1L, "max:k" -> 3L,
+      "distinct:k" -> 3L, "distinct:v" -> 2L), got.toString)
+    val ap = graft.operators.QualityChecks
+      .audit(df, distinctCols = Seq("k"), approx = true)
+      .collect().map(r => r.getString(0)).toSet
+    assert(ap == Set("n_rows", "distinct:k"), ap.toString)
+  }
+
   test("activityStreaks: consecutive-day islands, same-day dedup, " +
        "gap splits, null-ts excluded") {
     val spark = TestSpark.spark
