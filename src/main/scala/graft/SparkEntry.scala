@@ -1030,6 +1030,61 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_stream_attribution" -> ((s, dir) => {
+      // STREAMING last-touch attribution: the batch q_attribution
+      // operator served online — one time-ordered replayed stream,
+      // one fixed-size last-touch record per user, conversions emit
+      // with their channel as they arrive. Oracle = the batch SQL:
+      // stream and batch paths must agree row-for-row
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_id"), col("event_type"))
+      val Array(mnR, mxR) = ev
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
+      val stage = tmpWorkDir("graft_sattr_stage")
+      val tsSec = col("ts").cast("long")
+      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+        .zipWithIndex.foreach { case (p, g) =>
+          ev.where(p).repartition(1)
+            .write.mode("overwrite").parquet(s"$stage/b$g")
+        }
+      stampStageMtimes(stage, 3)
+      val ckpt = tmpWorkDir("graft_sattr_ckpt")
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
+                "event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val attributed = graft.streaming.StreamingAttribution.attribute(
+        stream, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"), "purchase", lookbackSeconds = 86400L,
+        watermarkDelay = "1 hour")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        attributed.toDF().writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_attr")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val out = s.table("graft_stream_attr")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy("channel")
+        .collect().toSeq
+      s.catalog.dropTempView("graft_stream_attr")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("channel", "n", "id_sum")
+    }),
+
     "q_data_quality" -> ((s, dir) => {
       // single-pass table audit: row count, null counts, integer
       // bounds, exact distinct counts — the expectations report
@@ -3952,6 +4007,34 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // streaming attribution replay: the BATCH attribution oracle —
+    // on the in-order replay the stream's per-conversion channels
+    // equal the batch window's, so the grouped counts match exactly
+    "q_stream_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL
+             AND event_type IN ('view', 'click', 'purchase')),
+         t AS (
+           SELECT *,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN sec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_sec,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS t_type
+           FROM e)
+         SELECT CASE WHEN t_sec IS NOT NULL AND sec - t_sec <= 86400
+                     THEN t_type ELSE 'direct' END AS channel,
+                count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
 
     // audit replay: one aggregate row melted to (metric, value)
     "q_data_quality" ->

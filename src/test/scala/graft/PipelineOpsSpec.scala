@@ -534,6 +534,45 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("StreamingAttribution: cross-batch state carry, lookback " +
+       "cutoff, direct fallback, eviction past lookback stays direct") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String)]
+    val df = stream.toDF().toDF("user_id", "ts", "event_id",
+                                "event_type")
+    val out = graft.streaming.StreamingAttribution.attribute(
+      df, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click"), "purchase", lookbackSeconds = 100L,
+      watermarkDelay = "10 seconds")
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sattr_test").start()
+    // batch 1: u1 view@10 then purchase@20 (same batch, credited);
+    //          u2 purchase@15 with no touch (direct)
+    stream.addData(Seq((1L, t(10), 1L, "view"), (1L, t(20), 2L, "purchase"),
+                       (2L, t(15), 3L, "purchase")))
+    q.processAllAvailable()
+    // batch 2: u1 purchase@90 credits the batch-1 view (state carry);
+    //          u1 click@95 replaces the touch
+    stream.addData(Seq((1L, t(90), 4L, "purchase"), (1L, t(95), 5L, "click")))
+    q.processAllAvailable()
+    // batch 3: u1 purchase@300 — 205s past the click, beyond the
+    //          100s lookback -> direct (state may also have evicted;
+    //          both paths yield direct, the eviction-exactness claim)
+    stream.addData(Seq((1L, t(300), 6L, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sattr_test")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    spark.catalog.dropTempView("sattr_test")
+    assert(got == Map(2L -> "view", 3L -> "direct", 4L -> "view",
+                      6L -> "direct"), got.toString)
+  }
+
   test("QualityChecks.audit: null counts, integer bounds, exact " +
        "distincts; approx path keeps schema") {
     val spark = TestSpark.spark
