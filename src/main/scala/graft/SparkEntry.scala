@@ -1030,6 +1030,20 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_densify" -> ((s, dir) => {
+      // gap-filled daily activity: densify each user's day spine,
+      // then the active/dormant census per day — integer-only
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      graft.operators.Temporal
+        .densify(e, "user_id", "ts", periodSeconds = 86400L)
+        .groupBy("period")
+        .agg(count(when(col("n_events") === 0, 1)).as("dormant"),
+             count(when(col("n_events") > 0, 1)).as("active"),
+             sum(col("n_events")).as("n_events"))
+        .orderBy("period")
+    }),
+
     "q_stream_attribution" -> ((s, dir) => {
       // STREAMING last-touch attribution: the batch q_attribution
       // operator served online — one time-ordered replayed stream,
@@ -4007,6 +4021,26 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // densify replay: generate_series spine per key, left join the
+    // real counts, zero-fill — identical floor-division day indices
+    "q_densify" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS p
+           FROM events WHERE ts IS NOT NULL),
+         c AS (SELECT user_id, p, count(*) AS n FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(p) AS mn, max(p) AS mx
+                  FROM c GROUP BY 1),
+         spine AS (SELECT user_id, unnest(generate_series(mn, mx)) AS p
+                   FROM span),
+         d AS (SELECT s.user_id, s.p, COALESCE(c.n, 0) AS n
+               FROM spine s LEFT JOIN c
+                 ON s.user_id = c.user_id AND s.p = c.p)
+         SELECT p AS period,
+                count(*) FILTER (WHERE n = 0) AS dormant,
+                count(*) FILTER (WHERE n > 0) AS active,
+                CAST(sum(n) AS BIGINT) AS n_events
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     // streaming attribution replay: the BATCH attribution oracle —
     // on the in-order replay the stream's per-conversion channels

@@ -86,6 +86,38 @@ object Temporal {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Calendar densification: per key, one row for EVERY period between
+    * the key's first and last activity — zero-filled where no events
+    * fell — so downstream rollups (dormancy, moving averages) see a
+    * gap-free spine. Output: key, `period`, `n_events`.
+    *
+    * Join-free: one per-key aggregate builds (min, max, period→count
+    * map) in a single pass — the map is bounded by the key's ACTIVE
+    * period count, the spine by its span — then the spine explodes
+    * from `sequence(min, max)` and reads the map. A key whose span
+    * outgrows a task (decades of seconds-granularity periods) needs a
+    * coarser period or a span cap by problem definition; the row
+    * explosion IS the requested output.
+    */
+  def densify(events: DataFrame, keyCol: String, tsCol: String,
+              periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0,
+      s"periodSeconds must be positive; got $periodSeconds")
+    val per = expr(s"CAST(${tsCol} AS LONG) div ${periodSeconds}L")
+    events.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), per.as("__p"))
+      .groupBy("__k", "__p").agg(count(lit(1)).as("__n"))
+      .groupBy("__k")
+      .agg(min(col("__p")).as("__mn"), max(col("__p")).as("__mx"),
+           map_from_entries(collect_list(struct(col("__p"), col("__n"))))
+             .as("__m"))
+      .select(col("__k"), col("__m"),
+              explode(sequence(col("__mn"), col("__mx"))).as("period"))
+      .select(col("__k").as(keyCol), col("period"),
+              coalesce(element_at(col("__m"), col("period")), lit(0L))
+                .as("n_events"))
+  }
+
   /** Longest activity streak per key: the maximum run of CONSECUTIVE
     * periods (days, weeks — `periodSeconds`) in which the key had at
     * least one event. Gaps-and-islands on integer period indices:

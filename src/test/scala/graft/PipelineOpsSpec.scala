@@ -534,6 +534,27 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("densify: zero-fills interior gaps only, counts multiples, " +
+       "single-period keys, null-ts excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Long, h: Long = 0L): Timestamp =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    // u1: days 2 (twice), 5 -> spine 2..5 with zeros at 3,4
+    // u2: day 7 only -> one row; null ts ignored
+    val e = Seq(
+      (1L, t(2)), (1L, t(2, 3)), (1L, t(5)),
+      (2L, t(7)), (2L, null.asInstanceOf[Timestamp]))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Temporal
+      .densify(e, "user_id", "ts", 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 0L, (1L, 4L) -> 0L,
+                      (1L, 5L) -> 1L, (2L, 7L) -> 1L), got.toString)
+  }
+
   test("StreamingAttribution: cross-batch state carry, lookback " +
        "cutoff, direct fallback, eviction past lookback stays direct") {
     val spark = TestSpark.spark
