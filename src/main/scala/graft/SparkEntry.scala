@@ -1030,6 +1030,35 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_bucketed_join" -> ((s, dir) => {
+      // co-located join: both sides written bucketed on the join key
+      // (the repeated-join discipline at 100 TB) — the join then
+      // plans with NO exchange on either side (PlanShapeSpec pins
+      // it); managed tables drop afterwards, leaving no state
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.sources.Bucketing.writeBucketed(o, "graft_b_orders",
+                                            "o_custkey", 8)
+      graft.sources.Bucketing.writeBucketed(c, "graft_b_cust",
+                                            "c_custkey", 8)
+      val rows = graft.sources.Bucketing
+        .readBucketed(s, "graft_b_orders")
+        .join(graft.sources.Bucketing.readBucketed(s, "graft_b_cust"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("c_mktsegment")
+        .collect().toSeq
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_cust")
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("c_mktsegment", "n_orders", "key_sum")
+    }),
+
     "q_densify" -> ((s, dir) => {
       // gap-filled daily activity: densify each user's day spine,
       // then the active/dormant census per day — integer-only
@@ -4021,6 +4050,14 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // bucketed join replay: values are those of the plain join — the
+    // bucketing changes only the plan (no exchange), never the result
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     // densify replay: generate_series spine per key, left join the
     // real counts, zero-fill — identical floor-division day indices

@@ -132,21 +132,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val spark = TestSpark.spark
     import java.nio.file.Files
-    val wh = Files.createTempDirectory("graft_bucket_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
         .select("l_orderkey", "l_extendedprice")
       val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
         .select("o_orderkey", "o_totalprice")
-      li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li_b").saveAsTable("li_b")
-      o.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/o_b").saveAsTable("o_b")
-      val joined = spark.table("li_b")
-        .join(spark.table("o_b"),
+      graft.sources.Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(o, "o_b", "o_orderkey", 8)
+      val joined = graft.sources.Bucketing.readBucketed(spark, "li_b")
+        .join(graft.sources.Bucketing.readBucketed(spark, "o_b"),
               col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(sum("l_extendedprice").as("rev"))
