@@ -1030,6 +1030,24 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_incremental_agg" -> ((s, dir) => {
+      // materialized-view maintenance: the rollup of the OLD snapshot
+      // plus the CDC delta must equal the full recompute over the NEW
+      // snapshot (the oracle) — without rescanning old detail
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val old = orders.where(col("o_orderkey") % 7 =!= 0)
+      val nw = orders.where(col("o_orderkey") % 5 =!= 0)
+      val base = graft.operators.IncrementalAgg
+        .rollup(old, Seq("o_orderpriority"), Seq("o_orderkey"))
+      val inserts = nw.join(old, Seq("o_orderkey"), "left_anti")
+      val deletes = old.join(nw, Seq("o_orderkey"), "left_anti")
+      graft.operators.IncrementalAgg
+        .applyDelta(base, inserts, deletes,
+                    Seq("o_orderpriority"), Seq("o_orderkey"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // co-located join: both sides written bucketed on the join key
       // (the repeated-join discipline at 100 TB) — the join then
@@ -4050,6 +4068,14 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // incremental-agg replay: the FULL recompute over the new
+    // snapshot — equality proves the delta maintenance is exact
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_o_orderkey
+         FROM orders WHERE o_orderkey % 5 <> 0
+         GROUP BY 1 ORDER BY 1""",
 
     // bucketed join replay: values are those of the plain join — the
     // bucketing changes only the plan (no exchange), never the result

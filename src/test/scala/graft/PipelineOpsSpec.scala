@@ -534,6 +534,30 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("IncrementalAgg: delta maintenance equals full recompute, " +
+       "emptied groups drop, new groups appear") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val old = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L))
+      .toDF("g", "x")
+    val nw = Seq(("a", 1L), ("a", 5L), ("c", 4L), ("d", 6L))
+      .toDF("g", "x")   // b emptied, d new, a churned
+    val base = graft.operators.IncrementalAgg
+      .rollup(old, Seq("g"), Seq("x"))
+    val ins = nw.join(old, Seq("x"), "left_anti")
+    val del = old.join(nw, Seq("x"), "left_anti")
+    val got = graft.operators.IncrementalAgg
+      .applyDelta(base, ins, del, Seq("g"), Seq("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = graft.operators.IncrementalAgg
+      .rollup(nw, Seq("g"), Seq("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want, s"$got vs $want")
+    assert(!got.contains("b") && got.contains("d"), got.toString)
+  }
+
   test("densify: zero-fills interior gaps only, counts multiples, " +
        "single-period keys, null-ts excluded") {
     val spark = TestSpark.spark
