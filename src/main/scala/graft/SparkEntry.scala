@@ -1030,6 +1030,25 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_partition_prune" -> ((s, dir) => {
+      // hive-layout sink + partition-pruned source: orders written
+      // partitionBy(o_orderpriority); the filtered read-back scans
+      // ONLY the two matching directories (PlanShapeSpec pins the
+      // PartitionFilters; row-group stats never even open the rest)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderpriority"))
+      val tmp = "target/tmp/orders_part.parquet"
+      o.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_incremental_agg" -> ((s, dir) => {
       // materialized-view maintenance: the rollup of the OLD snapshot
       // plus the CDC delta must equal the full recompute over the NEW
@@ -4068,6 +4087,15 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // partition-prune replay: plain filtered aggregate — the layout
+    // changes the scan set, never the values
+    "q_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY 1 ORDER BY 1""",
 
     // incremental-agg replay: the FULL recompute over the new
     // snapshot — equality proves the delta maintenance is exact

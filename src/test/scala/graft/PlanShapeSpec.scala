@@ -129,6 +129,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("partitionBy layout prunes partitions at the source") {
+    val spark = TestSpark.spark
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_part_prune").toString
+    val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    val q = spark.read.parquet(tmp)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)))
+    val plan = physical(q)
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning), NOT as a row-level data filter after a full scan
+    assert(plan.contains("PartitionFilters") &&
+           plan.matches("(?s).*PartitionFilters: \\[[^\\]]*" +
+                        "o_orderpriority[^\\]]*\\].*"), plan)
+    graft.SparkEntry.deleteRecursively(tmp)
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val spark = TestSpark.spark
     import java.nio.file.Files
