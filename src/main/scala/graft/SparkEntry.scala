@@ -1030,6 +1030,28 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      // salted skew join: lineitem x part on partkey, fact salt from
+      // the unique (orderkey, partkey) id; result must equal the
+      // plain join — salting changes distribution, never values. The
+      // merge hint pins the shuffle-join path in the plan (a
+      // broadcast would bypass the salt; hints survive lazy
+      // execution where a session-conf toggle would not)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"),
+                col("l_quantity").cast("long").as("qty"))
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand")).hint("merge")
+      graft.operators.SkewJoin
+        .saltedEquiJoin(li, p, "l_partkey", "p_partkey",
+                        saltSource = concat_ws(":",
+                          col("l_orderkey"), col("l_partkey")),
+                        salt = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+        .orderBy("p_brand")
+    }),
+
     "q_partition_prune" -> ((s, dir) => {
       // hive-layout sink + partition-pruned source: orders written
       // partitionBy(o_orderpriority); the filtered read-back scans
@@ -4087,6 +4109,15 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // salted join replay: the plain join — equality proves the salt
+    // routing loses and duplicates nothing
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  AS qty_sum
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
 
     // partition-prune replay: plain filtered aggregate — the layout
     // changes the scan set, never the values

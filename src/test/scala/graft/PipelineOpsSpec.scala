@@ -534,6 +534,26 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("saltedEquiJoin equals the plain join under a hot key and " +
+       "keeps unmatched fact rows out") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 100 fact rows on ONE hot key + a few cold ones; dim misses key 3
+    val facts = ((1 to 100).map(i => (7L, i.toLong)) ++
+                 Seq((1L, 101L), (2L, 102L), (3L, 103L)))
+      .toDF("k", "fid")
+    val dim = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (9L, "unused"))
+      .toDF("dk", "name")
+    val got = graft.operators.SkewJoin
+      .saltedEquiJoin(facts, dim, "k", "dk", col("fid"), salt = 4)
+      .select("fid", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = facts.join(dim, col("k") === col("dk"))
+      .select("fid", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.size == 102, s"${got.size} vs $want")
+  }
+
   test("IncrementalAgg: delta maintenance equals full recompute, " +
        "emptied groups drop, new groups appear") {
     val spark = TestSpark.spark
