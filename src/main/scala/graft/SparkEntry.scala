@@ -1030,6 +1030,31 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_cube" -> ((s, dir) => {
+      // OLAP cube: all 4 grouping sets of (status, priority) in one
+      // pass — Spark's Expand feeds a single hash aggregate;
+      // grouping_id disambiguates NULL-as-total from NULL data
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("key_sum"),
+             grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // pivot: order counts per priority x status, statuses as
+      // columns — the wide-report shape; values list pinned so the
+      // schema is static (no extra distinct-scan, required at scale)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }),
+
     "q_salted_join" -> ((s, dir) => {
       // salted skew join: lineitem x part on partkey, fact salt from
       // the unique (orderkey, partkey) id; result must equal the
@@ -4109,6 +4134,26 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // cube replay: GROUP BY CUBE with the same grouping-id bitmask
+    // (status bit 2, priority bit 1) and null-as-total ordering
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                GROUPING(o_orderstatus, o_orderpriority) AS gid
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST,
+                  o_orderpriority NULLS FIRST""",
+
+    // pivot replay: conditional aggregation, one column per pinned
+    // status value — 0 where the combination is empty, like na.fill
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // salted join replay: the plain join — equality proves the salt
     // routing loses and duplicates nothing
