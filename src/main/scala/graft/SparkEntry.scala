@@ -1030,6 +1030,29 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_compact_latest" -> ((s, dir) => {
+      // changelog compaction: latest event per user by the (sec, id)
+      // total order — ONE aggregate with max_by over a struct key
+      // (map-side partial, O(1) per-group state), never a window
+      // sort over each key's history; the upsert-to-snapshot shape
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("ts").cast("timestamp").cast("long").as("sec"))
+      e.groupBy("user_id")
+        .agg(max_by(struct(col("event_id"), col("event_type")),
+                    struct(col("sec"), col("event_id"))).as("__last"),
+             count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("__last.event_id").as("event_id"),
+                col("__last.event_type").as("event_type"),
+                col("n_versions"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("event_id")).as("id_sum"),
+             sum(col("n_versions")).as("versions"))
+        .orderBy("event_type")
+    }),
+
     "q_cube" -> ((s, dir) => {
       // OLAP cube: all 4 grouping sets of (status, priority) in one
       // pass — Spark's Expand feeds a single hash aggregate;
@@ -4134,6 +4157,24 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // compaction replay: row_number desc over the same (sec, id)
+    // total order picks the identical latest row per key
+    "q_compact_latest" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY sec DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_versions
+           FROM e)
+         SELECT event_type, count(*) AS n_users,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                CAST(sum(n_versions) AS BIGINT) AS versions
+         FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
 
     // cube replay: GROUP BY CUBE with the same grouping-id bitmask
     // (status bit 2, priority bit 1) and null-as-total ordering
