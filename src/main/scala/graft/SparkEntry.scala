@@ -1030,6 +1030,46 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_time_weighted" -> ((s, dir) => {
+      // time-weighted value exposure: each user's event 'value' held
+      // until their next event (SCD2 intervals), clipped to the
+      // global horizon; corpus totals stay integer (value quantized
+      // 1e-6, durations in seconds)
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+                col("ts").cast("timestamp").as("ts"),
+                floor(col("value") * lit(1e6)).cast("long").as("vq"))
+      val horizon = e.agg(max(col("ts").cast("long"))).collect()(0)
+        .getLong(0) + 3600L
+      val iv = graft.operators.Temporal
+        .scd2Intervals(e, "user_id", "ts", "event_id")
+      graft.operators.Temporal
+        .timeWeightedTotals(iv, "user_id", "valid_from", "valid_to",
+                            "vq", horizon)
+        .agg(count(lit(1)).as("n_keys"),
+             sum(col("tw_sum")).as("tw_total"),
+             sum(col("dur_sum")).as("dur_total"))
+    }),
+
+    "q_funnel_latency" -> ((s, dir) => {
+      // time-to-convert: signup -> first later purchase, bucketed to
+      // integer hours — the funnel's latency histogram
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("event_type"))
+      val times = graft.operators.Funnel
+        .funnelTimes(e, "user_id", "ts", "event_type",
+                     Seq("signup", "purchase"))
+        .where(col("step_ts_2").isNotNull)
+      times.select(
+          expr("(CAST(step_ts_2 AS LONG) - CAST(step_ts_1 AS LONG)) " +
+               "div 3600L").as("delay_h"))
+        .groupBy("delay_h")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("delay_h")
+    }),
+
     "q_fuzzy_pairs" -> ((s, dir) => {
       // near-identical entity detection: edit-distance-1 customer-
       // name pairs via deletion-neighborhood blocking — the oracle
@@ -4170,6 +4210,51 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // time-weighted replay: same lead-per-key intervals on RAW
+    // timestamps (the SCD order), epoch floors applied at the
+    // duration step exactly like the Spark casts
+    "q_time_weighted" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+           FROM events WHERE ts IS NOT NULL),
+         h AS (SELECT max(epoch_us(ts) // 1000000) + 3600 AS horizon
+               FROM e),
+         iv AS (
+           SELECT user_id, vq, ts AS f,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS t
+           FROM e),
+         w AS (
+           SELECT user_id,
+                  greatest(least(COALESCE(epoch_us(t) // 1000000,
+                                          horizon), horizon)
+                           - epoch_us(f) // 1000000, 0) AS dur,
+                  vq
+           FROM iv, h WHERE epoch_us(f) // 1000000 < horizon),
+         k AS (SELECT user_id, sum(vq * dur) AS tws, sum(dur) AS durs
+               FROM w GROUP BY 1)
+         SELECT count(*) AS n_keys, CAST(sum(tws) AS BIGINT) AS tw_total,
+                CAST(sum(durs) AS BIGINT) AS dur_total
+         FROM k""",
+
+    // latency replay: same greedy two-step funnel; integer epoch
+    // seconds floor both sides (CAST AS LONG == epoch_us // 1e6)
+    "q_funnel_latency" ->
+      """WITH s1 AS (
+           SELECT user_id AS u, min(ts) AS t FROM events
+           WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
+         s2 AS (
+           SELECT s1.u, s1.t AS t1, min(e.ts) AS t2
+           FROM s1 JOIN events e
+             ON e.user_id = s1.u AND e.event_type = 'purchase'
+                AND e.ts > s1.t
+           GROUP BY 1, 2)
+         SELECT (epoch_us(t2) // 1000000 - epoch_us(t1) // 1000000)
+                  // 3600 AS delay_h,
+                count(*) AS n_users
+         FROM s2 GROUP BY 1 ORDER BY 1""",
 
     // fuzzy-pairs replay: brute-force levenshtein over the SAME
     // vocabulary — completeness proof for the blocked join

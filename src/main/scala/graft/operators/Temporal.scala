@@ -86,6 +86,33 @@ object Temporal {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Time-weighted totals over validity intervals (the consumer shape
+    * of [[scd2Intervals]]): per key, `tw_sum = Σ value_q * duration`
+    * and `dur_sum = Σ duration` in integer seconds, with open
+    * intervals (null `valid_to`) clipped to `horizonEndSec` and
+    * zero-length intervals contributing nothing. The time-weighted
+    * average is `tw_sum / dur_sum` — derivable, never emitted (the
+    * float-in-oracle discipline).
+    *
+    * One projection + one map-side-partial aggregate — no window, no
+    * join: the interval rows already carry their own bounds.
+    */
+  def timeWeightedTotals(intervals: DataFrame, keyCol: String,
+                         fromCol: String, toCol: String,
+                         valueQCol: String,
+                         horizonEndSec: Long): DataFrame = {
+    val fromSec = col(fromCol).cast("long")
+    val toSec = least(coalesce(col(toCol).cast("long"),
+                               lit(horizonEndSec)),
+                      lit(horizonEndSec))
+    val dur = greatest(toSec - fromSec, lit(0L))
+    intervals
+      .where(fromSec < lit(horizonEndSec))
+      .groupBy(col(keyCol))
+      .agg(sum(col(valueQCol) * dur).as("tw_sum"),
+           sum(dur).as("dur_sum"))
+  }
+
   /** Calendar densification: per key, one row for EVERY period between
     * the key's first and last activity — zero-filled where no events
     * fell — so downstream rollups (dormancy, moving averages) see a

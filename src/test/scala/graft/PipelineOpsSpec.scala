@@ -534,6 +534,32 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("timeWeightedTotals: open intervals clip to horizon, " +
+       "zero-length ties contribute nothing, post-horizon starts drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1: v=2 over [10,20), v=5 over [20,open) -> clip at 100
+    // u2: two rows tied at 30 (zero-length first), v=7 open
+    // u3: starts at 200, past horizon -> dropped entirely
+    val e = Seq(
+      (1L, 1L, t(10), 2L), (1L, 2L, t(20), 5L),
+      (2L, 3L, t(30), 9L), (2L, 4L, t(30), 7L),
+      (3L, 5L, t(200), 1L))
+      .toDF("user_id", "event_id", "ts", "vq")
+    val iv = graft.operators.Temporal
+      .scd2Intervals(e, "user_id", "ts", "event_id")
+    val got = graft.operators.Temporal
+      .timeWeightedTotals(iv, "user_id", "valid_from", "valid_to",
+                          "vq", horizonEndSec = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // u1: 2*10 + 5*80 = 420, dur 90; u2: 9*0 + 7*70 = 490, dur 70
+    assert(got == Map(1L -> ((420L, 90L)), 2L -> ((490L, 70L))),
+           got.toString)
+  }
+
   test("editDistance1Pairs: insert/delete/substitute found, equal-" +
        "length false positives rejected, exact matches brute force") {
     val spark = TestSpark.spark
