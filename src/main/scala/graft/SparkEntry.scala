@@ -75,6 +75,59 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
+  /** Staged time-ordered stream replay, the shared harness of the
+    * single-input streaming queries: split `ev` into three event-time
+    * thirds, stage them as separate files with strictly increasing
+    * mtimes (replay order pinned), run `xform` over the
+    * one-file-per-trigger parquet stream into an append-mode memory
+    * sink at 8 shuffle partitions, drain, then hand the drained table
+    * to `finish` before tearing everything down. Any fix to the
+    * replay discipline lives HERE once, not per query. */
+  private def replayThirds(s: SparkSession, ev: org.apache.spark.sql.DataFrame,
+                           tsColName: String, schemaStr: String,
+                           prefix: String)
+                          (xform: org.apache.spark.sql.DataFrame =>
+                                  org.apache.spark.sql.DataFrame)
+                          (finish: org.apache.spark.sql.DataFrame =>
+                                   Seq[org.apache.spark.sql.Row])
+      : Seq[org.apache.spark.sql.Row] = {
+    val Array(mnR, mxR) = ev
+      .agg(min(col(tsColName).cast("long")),
+           max(col(tsColName).cast("long")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
+    val stage = tmpWorkDir(s"${prefix}_stage")
+    val tsSec = col(tsColName).cast("long")
+    Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+      .zipWithIndex.foreach { case (p, g) =>
+        ev.where(p).repartition(1)
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+    stampStageMtimes(stage, 3)
+    val ckpt = tmpWorkDir(s"${prefix}_ckpt")
+    val stream = s.readStream
+      .schema(schemaStr)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(stage)
+    val out = xform(stream)
+    val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      out.writeStream.outputMode("append")
+        .format("memory").queryName(prefix)
+        .option("checkpointLocation", ckpt)
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+    q.processAllAvailable()
+    q.stop()
+    val rows = finish(s.table(prefix))
+    s.catalog.dropTempView(prefix)
+    deleteRecursively(stage)
+    deleteRecursively(ckpt)
+    rows
+  }
+
   /** Recursive delete for the throwaway /tmp staging dirs. */
   private[graft] def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1242,47 +1295,19 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
                 col("event_id"), col("event_type"))
-      val Array(mnR, mxR) = ev
-        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = tmpWorkDir("graft_sattr_stage")
-      val tsSec = col("ts").cast("long")
-      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
-        .zipWithIndex.foreach { case (p, g) =>
-          ev.where(p).repartition(1)
-            .write.mode("overwrite").parquet(s"$stage/b$g")
-        }
-      stampStageMtimes(stage, 3)
-      val ckpt = tmpWorkDir("graft_sattr_ckpt")
-      val stream = s.readStream
-        .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
-                "event_type STRING")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-      val attributed = graft.streaming.StreamingAttribution.attribute(
-        stream, "user_id", "ts", "event_id", "event_type",
-        Seq("view", "click"), "purchase", lookbackSeconds = 86400L,
-        watermarkDelay = "1 hour")
-      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        attributed.toDF().writeStream.outputMode("append")
-          .format("memory").queryName("graft_stream_attr")
-          .option("checkpointLocation", ckpt)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-      q.processAllAvailable()
-      q.stop()
-      val out = s.table("graft_stream_attr")
-        .groupBy("channel")
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
-        .orderBy("channel")
-        .collect().toSeq
-      s.catalog.dropTempView("graft_stream_attr")
-      deleteRecursively(stage)
-      deleteRecursively(ckpt)
+      val out = replayThirds(s, ev, "ts",
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
+        "event_type STRING", "graft_stream_attr") { stream =>
+        graft.streaming.StreamingAttribution.attribute(
+          stream, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click"), "purchase", lookbackSeconds = 86400L,
+          watermarkDelay = "1 hour").toDF()
+      } { t =>
+        t.groupBy("channel")
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+          .orderBy("channel")
+          .collect().toSeq
+      }
       import s.implicits._
       out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toDF("channel", "n", "id_sum")
@@ -1902,50 +1927,22 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
                 col("event_type"), col("value"))
-      val Array(mnR, mxR) = ev
-        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = tmpWorkDir("graft_sasof_stage")
-      val tsSec = col("ts").cast("long")
-      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
-        .zipWithIndex.foreach { case (p, g) =>
-          ev.where(p).repartition(1)
-            .write.mode("overwrite").parquet(s"$stage/b$g")
-        }
-      stampStageMtimes(stage, 3)
-      val ckpt = tmpWorkDir("graft_sasof_ckpt")
-      val stream = s.readStream
-        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
-                "value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-      val enriched = graft.streaming.StreamingAsof.enrich(
-        stream, "user_id", "ts", "event_type", "value",
-        stateType = "purchase", probeType = "view",
-        watermarkDelay = "1 hour")
-      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        enriched.toDF().writeStream.outputMode("append")
-          .format("memory").queryName("graft_stream_asof")
-          .option("checkpointLocation", ckpt)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-      q.processAllAvailable()
-      q.stop()
-      val out = s.table("graft_stream_asof")
-        .agg(count(lit(1)).as("n_probes"),
-             count(when(col("matched"), 1)).as("n_matched"),
-             coalesce(sum(when(col("matched"), col("asof_ms"))),
-                      lit(0L)).as("asof_ms_sum"),
-             coalesce(sum(when(col("matched"), col("asof_value_q"))),
-                      lit(0L)).as("asof_vq_sum"))
-        .collect()(0)
-      s.catalog.dropTempView("graft_stream_asof")
-      deleteRecursively(stage)
-      deleteRecursively(ckpt)
+      val out = replayThirds(s, ev, "ts",
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+        "value DOUBLE", "graft_stream_asof") { stream =>
+        graft.streaming.StreamingAsof.enrich(
+          stream, "user_id", "ts", "event_type", "value",
+          stateType = "purchase", probeType = "view",
+          watermarkDelay = "1 hour").toDF()
+      } { t =>
+        t.agg(count(lit(1)).as("n_probes"),
+              count(when(col("matched"), 1)).as("n_matched"),
+              coalesce(sum(when(col("matched"), col("asof_ms"))),
+                       lit(0L)).as("asof_ms_sum"),
+              coalesce(sum(when(col("matched"), col("asof_value_q"))),
+                       lit(0L)).as("asof_vq_sum"))
+          .collect().toSeq
+      }.head
       import s.implicits._
       Seq((out.getLong(0), out.getLong(1), out.getLong(2),
            out.getLong(3)))

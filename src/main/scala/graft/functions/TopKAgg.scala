@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
@@ -68,11 +68,16 @@ final class TopKBuffer(val k: Int) extends Serializable {
 final case class TopKLongsAgg(
     keyExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive; got $k")
 
   override def children: Seq[Expression] = Seq(keyExpr, idExpr)
+  // SQL callers can pass narrower integers; the analyzer widens them
+  // to LONG instead of letting update() cast-crash at runtime.
+  // (Return type inferred: AbstractDataType is private[sql], but the
+  // covariant Seq[LongType.type] conforms without naming it.)
+  override def inputTypes = Seq(LongType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     new StructType().add("key", LongType, nullable = false)

@@ -107,14 +107,17 @@ object Funnel {
     import org.apache.spark.sql.expressions.Window
     val sec = col(tsCol).cast("long")
     val isTouch = col(typeCol).isin(touchTypes: _*)
-    val w = Window.partitionBy(keyCol).orderBy(sec, col(idCol))
+    val w = Window.partitionBy(keyCol).orderBy(col("__sec"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     events
       .where(col(tsCol).isNotNull &&
              (isTouch || col(typeCol) === convType))
-      .select(col("*"), sec.as("__sec"),
-              last(when(isTouch, sec), ignoreNulls = true).over(w)
-                .as("__t_sec"),
+      // project to the four live columns BEFORE the key shuffle — the
+      // window must not carry payload columns the output drops anyway
+      .select(col(keyCol), col(idCol), col(typeCol), sec.as("__sec"))
+      .select(col(keyCol), col(idCol), col(typeCol), col("__sec"),
+              last(when(isTouch, col("__sec")), ignoreNulls = true)
+                .over(w).as("__t_sec"),
               last(when(isTouch, col(typeCol)), ignoreNulls = true)
                 .over(w).as("__t_type"))
       .where(col(typeCol) === convType)

@@ -76,7 +76,7 @@ object Temporal {
     require(periodSeconds > 0,
       s"periodSeconds must be positive; got $periodSeconds")
     val per = expr(
-      s"CAST(${tsCol} AS LONG) div ${periodSeconds}L")
+      s"CAST(`${tsCol}` AS LONG) div ${periodSeconds}L")
     events.where(col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("__k"))
       .agg(min(per).as("cohort"), collect_set(per).as("__ps"))
@@ -130,7 +130,7 @@ object Temporal {
               periodSeconds: Long): DataFrame = {
     require(periodSeconds > 0,
       s"periodSeconds must be positive; got $periodSeconds")
-    val per = expr(s"CAST(${tsCol} AS LONG) div ${periodSeconds}L")
+    val per = expr(s"CAST(`${tsCol}` AS LONG) div ${periodSeconds}L")
     events.where(col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"), per.as("__p"))
       .groupBy("__k", "__p").agg(count(lit(1)).as("__n"))
@@ -162,7 +162,7 @@ object Temporal {
                       periodSeconds: Long): DataFrame = {
     require(periodSeconds > 0,
       s"periodSeconds must be positive; got $periodSeconds")
-    val per = expr(s"CAST(${tsCol} AS LONG) div ${periodSeconds}L")
+    val per = expr(s"CAST(`${tsCol}` AS LONG) div ${periodSeconds}L")
     val w = Window.partitionBy("__k").orderBy("__p")
     events.where(col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"), per.as("__p"))

@@ -42,7 +42,8 @@ object StreamingAttribution {
     val lookback = lookbackSeconds
     events
       .withWatermark(tsCol, watermarkDelay)
-      .where(col(typeCol).isin(touchTypes :+ convType: _*))
+      .where(col(tsCol).isNotNull &&
+             col(typeCol).isin(touchTypes :+ convType: _*))
       .select(col(keyCol).cast("long").as("user_id"),
               col(tsCol).as("ts"),
               col(idCol).cast("long").as("event_id"),
@@ -65,8 +66,12 @@ object StreamingAttribution {
             evs.foreach { case (_, ts, id, tpe) =>
               val sec = ts.getTime / 1000L
               if (tpe == convType) {
+                // strictly-before by (sec, id), matching the batch
+                // window: a late-delivered conversion behind the
+                // stored touch must NOT credit it
                 val ch =
-                  if (cur != null && sec - cur.sec <= lookback)
+                  if (cur != null && sec - cur.sec <= lookback &&
+                      (cur.sec < sec || (cur.sec == sec && cur.id < id)))
                     cur.channel
                   else "direct"
                 out += Attributed(user, id, ch)

@@ -380,7 +380,19 @@ object ScaleProbe {
             .withColumn(kc, col(kc) + col("__rep") * stride)
             .drop("__rep")
         val e = repKey(ev, "user_id", 10_000_000L)
-        val li2 = repKey(liRaw, "l_orderkey", 1_000_000_000L)
+        // lineitem replicas must shift BOTH the basket key and the
+        // item key: shifting only orders would put identical parts in
+        // every replica's baskets, multiplying pair counts (and
+        // flooding the n>=2 graph) instead of adding disjoint copies
+        val li2 =
+          if (mult == 1) liRaw
+          else liRaw.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn("l_orderkey",
+              col("l_orderkey") + col("__rep") * 1_000_000_000L)
+            .withColumn("l_partkey",
+              col("l_partkey") + col("__rep") * 1_000_000_000L)
+            .drop("__rep")
         val ord2 = repKey(ordRaw, "o_orderkey", 1_000_000_000L)
         val d = repKey(docsS, "doc_id", 1_000_000_000L)
         val n = e.count(); val nl = li2.count()

@@ -72,6 +72,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val bTop = sql(1).getSeq[org.apache.spark.sql.Row](1)
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(bTop == Seq((4L, 2L)), bTop.toString)
+    // narrower integer inputs widen at analysis (ImplicitCastInputTypes)
+    // instead of cast-crashing at runtime
+    val widened = spark.sql(
+      "SELECT graft_topk_longs(CAST(m AS INT), id, 1) FROM __ext_topk")
+      .collect()
+    assert(widened.length == 1)
   }
 
   test("non-literal config arguments are rejected with guidance") {

@@ -678,15 +678,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     q.processAllAvailable()
     // batch 3: u1 purchase@300 — 205s past the click, beyond the
     //          100s lookback -> direct (state may also have evicted;
-    //          both paths yield direct, the eviction-exactness claim)
-    stream.addData(Seq((1L, t(300), 6L, "purchase")))
+    //          both paths yield direct, the eviction-exactness claim);
+    //          u1 LATE purchase@92 behind the stored click@95 — the
+    //          strict-before rule must refuse the future touch, and a
+    //          null-ts row must be ignored, not NPE
+    stream.addData(Seq((1L, t(300), 6L, "purchase"),
+                       (1L, t(92), 7L, "purchase"),
+                       (1L, null.asInstanceOf[Timestamp], 8L, "purchase")))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("sattr_test")
       .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
     spark.catalog.dropTempView("sattr_test")
     assert(got == Map(2L -> "view", 3L -> "direct", 4L -> "view",
-                      6L -> "direct"), got.toString)
+                      6L -> "direct", 7L -> "direct"), got.toString)
   }
 
   test("QualityChecks.audit: null counts, integer bounds, exact " +
