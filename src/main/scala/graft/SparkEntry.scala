@@ -1540,60 +1540,22 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
                 col("value"))
-      val Array(mnR, mxR) = ev
-        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = tmpWorkDir("graft_sess_stage")
-      val tsSec = col("ts").cast("long")
-      // only CROSS-file time order matters (the state fn sorts each
-      // batch in-memory), so no in-file sort — 3 single-file writes,
-      // then explicit strictly increasing mtimes (the source orders
-      // candidates by modification time; rapid writes can tie on a
-      // coarse-mtime filesystem and replay out of order)
-      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
-        .zipWithIndex.foreach { case (p, g) =>
-          ev.where(p).repartition(1)
-            .write.mode("overwrite").parquet(s"$stage/b$g")
-        }
-      stampStageMtimes(stage, 3)
-      // checkpoint OUTSIDE the streamed path: state files must never
-      // depend on the source's hidden-file filter to stay out of scan
-      val ckpt = tmpWorkDir("graft_sess_ckpt")
-      val stream = s.readStream
-        .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-      val sess = graft.streaming.StreamingSessionize.sessions(
-        stream, "user_id", "ts", "value",
-        gapSeconds = 3600L, watermarkDelay = "600 seconds")
-      // 8 state-store partitions instead of the session's 32: per
-      // microbatch every store pays commit overhead, and the keyed
-      // state here is a few hundred users — width buys nothing. The
-      // conf only binds at checkpoint creation, scoped via finally.
-      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        sess.writeStream.outputMode("append")
-          .format("memory").queryName("graft_stream_sessions")
-          .option("checkpointLocation", ckpt)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-      q.processAllAvailable()
-      q.stop()
-      val out = s.table("graft_stream_sessions")
-        .agg(count(lit(1)).as("n_sessions"),
-             coalesce(sum(col("n_events")), lit(0L)).cast("long")
-               .as("n_events"),
-             coalesce(sum(col("end_ms") - col("start_ms")), lit(0L))
-               .cast("long").as("span_ms_total"),
-             coalesce(sum(col("user_id") * col("n_events")), lit(0L))
-               .cast("long").as("id_weighted"))
-        .collect()(0)
-      s.catalog.dropTempView("graft_stream_sessions")
-      deleteRecursively(stage)
-      deleteRecursively(ckpt)
+      val out = replayThirds(s, ev, "ts",
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+        "graft_stream_sessions") { stream =>
+        graft.streaming.StreamingSessionize.sessions(
+          stream, "user_id", "ts", "value",
+          gapSeconds = 3600L, watermarkDelay = "600 seconds").toDF()
+      } { t =>
+        t.agg(count(lit(1)).as("n_sessions"),
+              coalesce(sum(col("n_events")), lit(0L)).cast("long")
+                .as("n_events"),
+              coalesce(sum(col("end_ms") - col("start_ms")), lit(0L))
+                .cast("long").as("span_ms_total"),
+              coalesce(sum(col("user_id") * col("n_events")), lit(0L))
+                .cast("long").as("id_weighted"))
+          .collect().toSeq
+      }.head
       import s.implicits._
       Seq((out.getLong(0), out.getLong(1), out.getLong(2),
            out.getLong(3)))
@@ -1801,43 +1763,16 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
                 col("value"))
-      val Array(mnR, mxR) = ev
-        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = tmpWorkDir("graft_win_stage")
-      val tsSec = col("ts").cast("long")
-      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
-        .zipWithIndex.foreach { case (p, g) =>
-          ev.where(p).repartition(1)
-            .write.mode("overwrite").parquet(s"$stage/b$g")
-        }
-      stampStageMtimes(stage, 3)
-      val ckpt = tmpWorkDir("graft_win_ckpt")
-      val stream = s.readStream
-        .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-      val agg = graft.streaming.EventWindows.typeCountsPerWindowQ(
-        stream, "ts", "1 day", Some("1 hour"))
-      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        agg.writeStream.outputMode("append")
-          .format("memory").queryName("graft_stream_windows")
-          .option("checkpointLocation", ckpt)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-      q.processAllAvailable()
-      q.stop()
-      val out = s.table("graft_stream_windows")
-        .select("window_start", "event_type", "n_events", "value_q_sum")
-        .orderBy("window_start", "event_type")
-        .collect()
-      s.catalog.dropTempView("graft_stream_windows")
-      deleteRecursively(stage)
-      deleteRecursively(ckpt)
+      val out = replayThirds(s, ev, "ts",
+        "event_type STRING, ts TIMESTAMP, value DOUBLE",
+        "graft_stream_windows") { stream =>
+        graft.streaming.EventWindows.typeCountsPerWindowQ(
+          stream, "ts", "1 day", Some("1 hour"))
+      } { t =>
+        t.select("window_start", "event_type", "n_events", "value_q_sum")
+          .orderBy("window_start", "event_type")
+          .collect().toSeq
+      }
       import s.implicits._
       out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
                     r.getLong(3))).toSeq
@@ -1857,59 +1792,31 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
                 col("event_type"), col("value"))
-      val Array(mnR, mxR) = ev
-        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
-      val stage = tmpWorkDir("graft_sjoin_stage")
-      val tsSec = col("ts").cast("long")
-      Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
-        .zipWithIndex.foreach { case (p, g) =>
-          ev.where(p).repartition(1)
-            .write.mode("overwrite").parquet(s"$stage/b$g")
-        }
-      stampStageMtimes(stage, 3)
-      val ckpt = tmpWorkDir("graft_sjoin_ckpt")
-      val stream = s.readStream
-        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
-                "value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-      val views = stream.where(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-        .withWatermark("v_ts", "1 hour")
-      val buys = stream.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-                col("value").as("p_value"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = views.join(buys,
-        col("v_user") === col("p_user") &&
-        col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
-      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream.outputMode("append")
-          .format("memory").queryName("graft_stream_join")
-          .option("checkpointLocation", ckpt)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-      q.processAllAvailable()
-      q.stop()
-      val out = s.table("graft_stream_join")
-        .agg(count(lit(1)).as("n_pairs"),
-             countDistinct(col("v_user")).as("n_users"),
-             coalesce(sum(col("v_user")), lit(0L)).as("sum_user"),
-             coalesce(sum(floor(col("p_value") * lit(1e6)).cast("long")),
-                      lit(0L)).as("pval_q_sum"),
-             coalesce(sum(col("p_ts").cast("long") -
-                          col("v_ts").cast("long")), lit(0L))
-               .as("lag_s_sum"))
-        .collect()(0)
-      s.catalog.dropTempView("graft_stream_join")
-      deleteRecursively(stage)
-      deleteRecursively(ckpt)
+      val out = replayThirds(s, ev, "ts",
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+        "value DOUBLE", "graft_stream_join") { stream =>
+        val views = stream.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val buys = stream.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                  col("value").as("p_value"))
+          .withWatermark("p_ts", "1 hour")
+        views.join(buys,
+          col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+      } { t =>
+        t.agg(count(lit(1)).as("n_pairs"),
+              countDistinct(col("v_user")).as("n_users"),
+              coalesce(sum(col("v_user")), lit(0L)).as("sum_user"),
+              coalesce(sum(floor(col("p_value") * lit(1e6)).cast("long")),
+                       lit(0L)).as("pval_q_sum"),
+              coalesce(sum(col("p_ts").cast("long") -
+                           col("v_ts").cast("long")), lit(0L))
+                .as("lag_s_sum"))
+          .collect().toSeq
+      }.head
       import s.implicits._
       Seq((out.getLong(0), out.getLong(1), out.getLong(2),
            out.getLong(3), out.getLong(4)))
