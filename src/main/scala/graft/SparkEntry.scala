@@ -1083,6 +1083,68 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_stream_rollup" -> ((s, dir) => {
+      // STREAMING materialized-view maintenance: the old->new CDC
+      // delta (update rows arriving as delete+insert halves) replays
+      // as a 3-trigger file stream; foreachBatch applies each batch
+      // to the rollup via IncrementalAgg. The maintained state is
+      // group-bounded (driver-held between triggers, the
+      // sketch-state pattern); delta application is commutative, so
+      // ANY batch split yields the same final rollup — which must
+      // equal the oracle's full recompute over the new snapshot
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderstatus"))
+      val old = orders.where(col("o_orderkey") % 7 =!= 0)
+      val nw = orders.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 3 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")))
+      val delta = nw.exceptAll(old).withColumn("op", lit("I"))
+        .unionByName(old.exceptAll(nw).withColumn("op", lit("D")))
+      val stage = tmpWorkDir("graft_srollup_stage")
+      (0 until 3).foreach { g =>
+        delta.where(pmod(col("o_orderkey"), lit(3)) === g)
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val ckpt = tmpWorkDir("graft_srollup_ckpt")
+      val keys = Seq("o_orderstatus")
+      val sums = Seq("o_custkey")
+      // driver-held rollup between triggers: group-bounded rows, the
+      // same discipline as the sketch re-solve queries
+      var base: Seq[(String, Long, Long)] =
+        graft.operators.IncrementalAgg
+          .rollup(old, keys, sums)
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val stream = s.readStream
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, " +
+                "o_orderstatus STRING, op STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      import s.implicits._
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = base.toDF("o_orderstatus", "n", "sum_o_custkey")
+          base = graft.operators.IncrementalAgg
+            .applyDelta(b, batch.where(col("op") === "I"),
+                        batch.where(col("op") === "D"), keys, sums)
+            .collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      base.toDF("o_orderstatus", "n", "sum_o_custkey")
+        .orderBy("o_orderstatus")
+    }),
+
     "q_time_weighted" -> ((s, dir) => {
       // time-weighted value exposure: each user's event 'value' held
       // until their next event (SCD2 intervals), clipped to the
@@ -4114,6 +4176,16 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // streaming rollup replay: the full recompute over the new
+    // snapshot — the maintained view must land exactly on it
+    "q_stream_rollup" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                              THEN o_custkey + 1 ELSE o_custkey END)
+                     AS BIGINT) AS sum_o_custkey
+         FROM orders WHERE o_orderkey % 5 <> 0
+         GROUP BY 1 ORDER BY 1""",
 
     // time-weighted replay: same lead-per-key intervals on RAW
     // timestamps (the SCD order), epoch floors applied at the
