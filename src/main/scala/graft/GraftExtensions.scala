@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{CosineSimExpr, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg}
+import graft.functions.{CosineSimExpr, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg, ZOrder2Expr}
 import graft.pipeline.TextAnalysis
 
 /** SQL surface for the native Catalyst kernels, registered via
@@ -104,6 +104,13 @@ object GraftExtensions {
        (args: Seq[Expression]) => args match {
          case Seq(t) => RepetitionStatsExpr(t)
          case other => bad("graft_repetition_stats", other)
+       }),
+      (new FunctionIdentifier("graft_zorder"),
+       new ExpressionInfo(classOf[ZOrder2Expr].getName, "graft_zorder"),
+       (args: Seq[Expression]) => args match {
+         case Seq(x, y, b) =>
+           ZOrder2Expr(x, y, litInt(b, "graft_zorder"))
+         case other => bad("graft_zorder", other)
        }),
       (new FunctionIdentifier("graft_topk_longs"),
        new ExpressionInfo(classOf[TopKLongsAgg].getName,

@@ -1083,6 +1083,18 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      // Z-order clustering-key distribution: the Morton key of
+      // (custkey, orderkey) at 16 bits, histogrammed by its top 10
+      // bits — the layout key behind 2D file-skipping OPTIMIZE
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.select(graft.functions.ZOrderExpr
+          .zorder(col("o_custkey"), col("o_orderkey"), 16).as("zk"))
+        .groupBy(expr("zk div 4194304").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("zk")).as("z_sum"))
+        .orderBy("bucket")
+    }),
+
     "q_stream_rollup" -> ((s, dir) => {
       // STREAMING materialized-view maintenance: the old->new CDC
       // delta (update rows arriving as delete+insert halves) replays
@@ -4176,6 +4188,21 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // z-order replay: the bit interleave unrolls as a DuckDB list
+    // comprehension over the same masked bits
+    "q_zorder" ->
+      """WITH z AS (
+           SELECT list_sum(
+                    [(((o_custkey % 65536) >> i) & 1)
+                       * (1::BIGINT << (2*i)) +
+                     (((o_orderkey % 65536) >> i) & 1)
+                       * (1::BIGINT << (2*i+1))
+                     for i in range(16)])::BIGINT AS zk
+           FROM orders)
+         SELECT zk // 4194304 AS bucket, count(*) AS n,
+                CAST(sum(zk) AS BIGINT) AS z_sum
+         FROM z GROUP BY 1 ORDER BY 1""",
 
     // streaming rollup replay: the full recompute over the new
     // snapshot — the maintained view must land exactly on it

@@ -534,6 +534,33 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("zorder: interleave matches brute force, masks beyond bits, " +
+       "SQL surface agrees, adjacent cells stay adjacent in key space") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+                  (65535L, 65535L), (65536L, 0L), (123456L, 654321L))
+    val df = pts.toDF("x", "y")
+    val got = df.select(graft.functions.ZOrderExpr
+        .zorder(col("x"), col("y"), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = pts.map { case (x, y) =>
+      ref(x & 0xFFFFL, y & 0xFFFFL, 16) }
+    assert(got == want, s"$got vs $want")
+    // z(1,0)=1, z(0,1)=2: unit steps move to nearby keys
+    assert(got(1) == 1L && got(2) == 2L)
+    GraftExtensions.install(spark)
+    df.createOrReplaceTempView("__z_pts")
+    val sql = spark.sql(
+      "SELECT graft_zorder(x, y, 16) FROM __z_pts")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sql == want, sql.toString)
+  }
+
   test("timeWeightedTotals: open intervals clip to horizon, " +
        "zero-length ties contribute nothing, post-horizon starts drop") {
     val spark = TestSpark.spark
