@@ -1083,6 +1083,20 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_throttle" -> ((s, dir) => {
+      // burst thinning: drop events under 30 min from the user's
+      // previous event; per-type survivor counts + id checksum
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("ts").cast("timestamp").as("ts"))
+      graft.operators.Temporal
+        .throttle(e, "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type")
+    }),
+
     "q_zorder" -> ((s, dir) => {
       // Z-order clustering-key distribution: the Morton key of
       // (custkey, orderkey) at 16 bits, histogrammed by its top 10
@@ -4188,6 +4202,22 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // throttle replay: same lag over the same (sec, id) total order
+    "q_throttle" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL),
+         l AS (
+           SELECT *,
+                  lag(sec) OVER (PARTITION BY user_id
+                                 ORDER BY sec, event_id) AS prev_sec
+           FROM e)
+         SELECT event_type, count(*) AS n_kept,
+                CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM l WHERE prev_sec IS NULL OR sec - prev_sec >= 1800
+         GROUP BY 1 ORDER BY 1""",
 
     // z-order replay: the bit interleave unrolls as a DuckDB list
     // comprehension over the same masked bits

@@ -174,6 +174,31 @@ object Temporal {
       .agg(max(col("__len")).as("max_streak"))
   }
 
+  /** Event throttle (debounce): drop events closer than `gapSeconds`
+    * to the key's PREVIOUS event in the `(sec, idCol)` total order —
+    * the burst-thinning filter in front of alerting or feature
+    * pipelines. Lag-based semantics (gap measured to the previous raw
+    * event, kept or not), which is windowable in one pass and
+    * replayable in SQL; greedy anchor-to-last-KEPT debounce is a
+    * different operator and needs a stateful scan. A key's first
+    * event always survives; null-ts rows are excluded.
+    *
+    * One key shuffle + one in-partition sort (the gaps-and-islands
+    * bound); all original columns pass through.
+    */
+  def throttle(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0,
+      s"gapSeconds must be positive; got $gapSeconds")
+    val sec = col(tsCol).cast("long")
+    val w = Window.partitionBy(keyCol).orderBy(sec, col(idCol))
+    events.where(col(tsCol).isNotNull)
+      .withColumn("__prev_sec", lag(sec, 1).over(w))
+      .where(col("__prev_sec").isNull ||
+             sec - col("__prev_sec") >= gapSeconds)
+      .drop("__prev_sec")
+  }
+
   /** Snapshot diff (CDC): compare two keyed snapshots of the same
     * table and emit one row per changed key — `change` is `'I'` (in
     * new only), `'D'` (in old only), or `'U'` (present in both with

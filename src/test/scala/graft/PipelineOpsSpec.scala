@@ -534,6 +534,24 @@ class PipelineOpsSpec extends AnyFunSuite {
                       (1L, 0L) -> 1L, (1L, 1L) -> 1L), got.toString)
   }
 
+  test("throttle: first event survives, sub-gap bursts drop vs the " +
+       "previous RAW event, exact-gap kept, null-ts excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1: 0, 5 (drop), 10 (drop: 10-5<10), 20 (keep: 20-10=10)
+    // u2: single event; null ts dropped
+    val e = Seq(
+      (1L, 1L, t(0)), (1L, 2L, t(5)), (1L, 3L, t(10)), (1L, 4L, t(20)),
+      (2L, 5L, t(7)), (2L, 6L, null.asInstanceOf[Timestamp]))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.operators.Temporal
+      .throttle(e, "user_id", "ts", "event_id", gapSeconds = 10L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L), got.toString)
+  }
+
   test("zorder: interleave matches brute force, masks beyond bits, " +
        "SQL surface agrees, adjacent cells stay adjacent in key space") {
     val spark = TestSpark.spark
