@@ -1083,6 +1083,26 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_rollup_hierarchy" -> ((s, dir) => {
+      // hierarchical rollup over the dimension chain: customers per
+      // (region, nation) with nation subtotals and the grand total —
+      // dims broadcast, one Expand-fed aggregate
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = s.read.parquet(s"$dir/region.parquet")
+        .select(col("r_regionkey"), col("r_name"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_custkey")).as("key_sum"),
+             grouping_id().as("gid"))
+        .orderBy(col("gid"), col("r_name").asc_nulls_first,
+                 col("n_name").asc_nulls_first)
+    }),
+
     "q_throttle" -> ((s, dir) => {
       // burst thinning: drop events under 30 min from the user's
       // previous event; per-type survivor counts + id checksum
@@ -4202,6 +4222,18 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // rollup replay: GROUP BY ROLLUP with the same grouping-id and
+    // null-as-subtotal ordering
+    "q_rollup_hierarchy" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+                CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+                GROUPING(r_name, n_name) AS gid
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
 
     // throttle replay: same lag over the same (sec, id) total order
     "q_throttle" ->
