@@ -1103,6 +1103,67 @@ object SparkEntry {
                  col("n_name").asc_nulls_first)
     }),
 
+    "q_skyline" -> ((s, dir) => {
+      // Pareto frontier of line items — no item both cheaper
+      // (floor-dollar) and higher-quantity: distributed bucketed
+      // sweep over 600k rows, integer axes only
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                floor(col("l_extendedprice")).cast("long")
+                  .as("price_fl"),
+                floor(col("l_quantity")).cast("long").as("qty"))
+      graft.operators.Skyline
+        .skyline2d(li, "price_fl", "qty",
+                   Seq("l_orderkey", "l_linenumber"),
+                   bucketWidth = 1000L)
+        .orderBy("price_fl", "qty", "l_orderkey", "l_linenumber")
+    }),
+
+    "q_overlap_peak" -> ((s, dir) => {
+      // peak concurrent event intervals per (type, day): each event
+      // holds [ts, ts + max(1, floor(value*60)) s); day-split sweep
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+                col("ts").cast("timestamp").cast("long").as("start_sec"),
+                greatest(lit(1L), floor(col("value") * 60).cast("long"))
+                  .as("dur_sec"))
+        .withColumn("end_sec", col("start_sec") + col("dur_sec"))
+      graft.operators.Temporal
+        .peakConcurrency(e, "event_type", "start_sec", "end_sec",
+                         "event_id")
+        .orderBy("event_type", "day")
+    }),
+
+    "q_bfs_hops" -> ((s, dir) => {
+      // 3-hop BFS over the symmetrized repeat co-purchase graph from
+      // the %25==0 seed catalog; per-level node counts + id checksum
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = graft.operators.MarketBasket
+        .coOccurrence(li, "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+      val sym = edges.select(col("item_a").as("src"),
+                             col("item_b").as("dst"))
+        .unionByName(edges.select(col("item_b").as("src"),
+                                  col("item_a").as("dst")))
+      val seeds = sym.select(col("src").as("v"))
+        .where(col("v") % 25 === 0).distinct()
+      graft.operators.Graph
+        .bfsDistances(sym, "src", "dst", seeds, "v", maxHops = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("v_sum"))
+        .orderBy("dist")
+    }),
+
+    "q_collocations" -> ((s, dir) => {
+      // top-20 collocations (multiword expressions) by exact integer
+      // PMI lift among bigrams seen >= 5 times
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+      graft.pipeline.TextAnalysis
+        .collocationTopK(d, "text", k = 20, minCount = 5L)
+    }),
+
     "q_throttle" -> ((s, dir) => {
       // burst thinning: drop events under 30 min from the user's
       // previous event; per-type survivor counts + id checksum
@@ -4236,6 +4297,119 @@ object SparkEntry {
          ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
 
     // throttle replay: same lag over the same (sec, id) total order
+    // skyline replay: the quadratic NOT-EXISTS dominance definition —
+    // the distributed sweep must land on exactly this set
+    "q_skyline" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_linenumber,
+                  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_fl,
+                  CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+         SELECT l_orderkey, l_linenumber, price_fl, qty FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.price_fl <= a.price_fl AND b.qty >= a.qty
+             AND (b.price_fl < a.price_fl OR b.qty > a.qty))
+         ORDER BY price_fl, qty, l_orderkey, l_linenumber""",
+
+    // overlap replay: same day-split + (-1 before +1) sweep order
+    "q_overlap_peak" ->
+      """WITH iv AS (
+           SELECT event_type AS k, event_id AS i,
+                  epoch_us(ts) // 1000000 AS s,
+                  epoch_us(ts) // 1000000
+                    + GREATEST(1, CAST(FLOOR(value * 60) AS BIGINT))
+                    AS e
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         seg AS (
+           SELECT k, i, d,
+                  GREATEST(s, d * 86400) AS ss,
+                  LEAST(e, (d + 1) * 86400) AS se
+           FROM iv, UNNEST(range(s // 86400, (e - 1) // 86400 + 1))
+                      AS t(d)),
+         pts AS (
+           SELECT k, d, ss AS t, 1 AS delta, i FROM seg
+           UNION ALL
+           SELECT k, d, se, -1, i FROM seg),
+         sw AS (
+           SELECT k, d,
+                  sum(delta) OVER (PARTITION BY k, d
+                                   ORDER BY t, delta, i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS open
+           FROM pts)
+         SELECT k AS event_type, d AS day,
+                CAST(max(open) AS BIGINT) AS peak,
+                (count(*) // 2) AS n_segments
+         FROM sw GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // BFS replay: three unrolled frontier levels (level-min fixpoint
+    // is order-insensitive, so set algebra lands on the same sets)
+    "q_bfs_hops" ->
+      """WITH p AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         e2 AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (SELECT a AS src, b AS dst FROM e2
+                UNION ALL SELECT b, a FROM e2),
+         d0 AS (SELECT DISTINCT src AS v FROM ed WHERE src % 25 = 0),
+         r1 AS (
+           SELECT DISTINCT ed.dst AS v FROM ed JOIN d0 ON ed.src = d0.v
+           WHERE ed.dst NOT IN (SELECT v FROM d0)),
+         r2 AS (
+           SELECT DISTINCT ed.dst AS v FROM ed JOIN r1 ON ed.src = r1.v
+           WHERE ed.dst NOT IN (SELECT v FROM d0
+                                UNION ALL SELECT v FROM r1)),
+         r3 AS (
+           SELECT DISTINCT ed.dst AS v FROM ed JOIN r2 ON ed.src = r2.v
+           WHERE ed.dst NOT IN (SELECT v FROM d0
+                                UNION ALL SELECT v FROM r1
+                                UNION ALL SELECT v FROM r2)),
+         lv AS (
+           SELECT v, 0 AS dist FROM d0
+           UNION ALL SELECT v, 1 FROM r1
+           UNION ALL SELECT v, 2 FROM r2
+           UNION ALL SELECT v, 3 FROM r3)
+         SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
+                CAST(sum(v) AS BIGINT) AS v_sum
+         FROM lv GROUP BY 1 ORDER BY 1""",
+
+    // collocation replay: same tokenize chain as q_bigram_lm, lift as
+    // the same BIGINT triple-product floor division
+    "q_collocations" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                 '\s+'),
+                              x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         uc AS (
+           SELECT tok, count(*) AS c
+           FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+         n AS (SELECT sum(c) AS n_total FROM uc),
+         bc AS (
+           SELECT bigram, count(*) AS cnt
+           FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+                                FOR i IN range(1, len(w))]) AS bigram
+                 FROM t)
+           GROUP BY 1 HAVING count(*) >= 5),
+         j AS (
+           SELECT bigram, cnt,
+                  split_part(bigram, ' ', 1) AS w1,
+                  split_part(bigram, ' ', 2) AS w2
+           FROM bc)
+         SELECT j.bigram, j.cnt::BIGINT AS cnt,
+                ((j.cnt * n.n_total * 1000000) // (u1.c * u2.c))::BIGINT
+                  AS lift_scaled
+         FROM j JOIN uc u1 ON j.w1 = u1.tok
+                JOIN uc u2 ON j.w2 = u2.tok
+                CROSS JOIN n
+         ORDER BY lift_scaled DESC, cnt DESC, bigram LIMIT 20""",
+
     "q_throttle" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type,

@@ -132,4 +132,49 @@ object Graph {
                 (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
     }
   }
+
+  /** Bounded-hop BFS: exact shortest-path distance (≤ `maxHops`) from
+    * a seed set over a DIRECTED edge list. Returns `(v, dist)` for
+    * every vertex reachable within the bound — the k-hop neighborhood
+    * expansion behind "related items within 3 links" queries.
+    *
+    * Frontier-based: each iteration joins ONLY the newly-discovered
+    * frontier onto the (cached) edge list, dedups candidates, and
+    * anti-joins the visited set — so per-iteration work is
+    * O(frontier-adjacent edges), not O(all edges), and the visited
+    * set grows monotonically. All-integer distances; the whole
+    * expansion replays as `maxHops` unrolled SQL CTEs (full min-
+    * recompute per level reaches the identical fixpoint — BFS levels
+    * are order-insensitive).
+    *
+    * The hop bound is the scale contract: unbounded iteration on a
+    * 100 TB graph belongs to a Pregel loop with convergence checks;
+    * a fixed small k unrolls into one bounded Catalyst plan. Both
+    * the edge list and the visited set persist across iterations
+    * (released via `spark.catalog.clearCache()`).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0; got $maxHops")
+    def mat(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = mat(edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val d0 = mat(seeds.select(col(seedCol).as("v")).distinct()
+      .withColumn("dist", lit(0L)))
+    var visited = d0
+    var frontier = d0
+    for (h <- 1 to maxHops) {
+      val next = mat(frontier
+        .join(e, frontier("v") === e("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("dist", lit(h.toLong)))
+      visited = mat(visited.unionByName(next))
+      frontier = next
+    }
+    visited
+  }
 }

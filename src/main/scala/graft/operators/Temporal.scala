@@ -240,4 +240,54 @@ object Temporal {
         coalesce(col("__ko_" + k), col("__kn_" + k)).as(k))
           :+ col("change"): _*)
   }
+
+  /** Peak interval concurrency per key: the sweep-line maximum of
+    * simultaneously-open `[startSec, endSec)` intervals, reported per
+    * (key, UTC day). The classic sweep is a global sort with a running
+    * +1/-1 sum — a single reducer; this one restores scale by
+    * day-splitting every interval first (a `sequence` generator, no
+    * shuffle), so the running sum windows over (key, day) partitions
+    * whose size is bounded by one key-day's traffic, never the whole
+    * table. Multi-day intervals contribute a clipped segment to each
+    * day they cross, so within-day concurrency is exact; a segment
+    * that ends exactly where another begins does NOT overlap it
+    * (half-open intervals: the `-1` sorts before the tied `+1`).
+    *
+    * Zero/negative-length intervals are dropped (a half-open `[t, t)`
+    * is empty). Output: one row per (key, day) with its peak and the
+    * number of interval-segments that day — integer-only.
+    */
+  def peakConcurrency(df: DataFrame, keyCol: String, startSecCol: String,
+                      endSecCol: String, idCol: String): DataFrame = {
+    val day = 86400L
+    val iv = df
+      .where(col(startSecCol).isNotNull && col(endSecCol).isNotNull &&
+             col(endSecCol) > col(startSecCol))
+      .select(col(keyCol).as("k"), col(idCol).as("i"),
+              col(startSecCol).cast("long").as("s"),
+              col(endSecCol).cast("long").as("e"))
+    // day-split: [s, e) -> one clipped segment per crossed day. The
+    // end point is exclusive, so an interval ending ON midnight owns
+    // no segment in the next day: day span uses e-1.
+    val seg = iv
+      .withColumn("d", explode(sequence(expr(s"s div ${day}L"),
+                                        expr(s"(e - 1) div ${day}L"))))
+      .select(col("k"), col("i"), col("d"),
+              greatest(col("s"), col("d") * day).as("ss"),
+              least(col("e"), (col("d") + 1) * day).as("se"))
+    // sweep: -1 (delta) sorts before +1 at the same instant -> a
+    // segment touching another end-to-start never counts as overlap
+    val pts = seg.select(col("k"), col("d"), col("ss").as("t"),
+                         lit(1).as("delta"), col("i"))
+      .unionByName(seg.select(col("k"), col("d"), col("se").as("t"),
+                              lit(-1).as("delta"), col("i")))
+    val wSweep = Window.partitionBy("k", "d")
+      .orderBy(col("t"), col("delta"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("__open", sum(col("delta")).over(wSweep))
+      .groupBy(col("k").as(keyCol), col("d").as("day"))
+      .agg(max("__open").cast("long").as("peak"),
+           expr("CAST(count(1) div 2 AS BIGINT)").as("n_segments"))
+  }
 }

@@ -344,4 +344,53 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
   }
+
+  /** Collocation mining: the top-k bigrams by pointwise-mutual-
+    * information LIFT — `P(xy) / (P(x)·P(y))`, the monotone core of
+    * PMI without the log — among bigrams seen at least `minCount`
+    * times. High-lift pairs are multiword expressions ("new york",
+    * "machine learning"): the vocabulary-merge signal behind BPE-style
+    * tokenizer construction and phrase-aware dedup shingling.
+    *
+    * The lift is the exact integer `(cnt_xy · N · scale) div
+    * (cnt_x · cnt_y)` (N = total corpus tokens) — integer-only
+    * end-to-end, so ranking replays bit-identically in ANSI SQL. The
+    * triple product must fit a long: cnt_xy·N·scale < 2^63, i.e. at
+    * webscale corpora drop `scale` a few decades (ranking granularity,
+    * not correctness, is what scale buys).
+    *
+    * Plan shape: ONE tokenize feeds both generators; unigram and
+    * bigram counts are map-side-combined aggregates whose shuffles
+    * carry (token, count) pairs bounded by per-partition distinct
+    * counts; the `minCount` filter prunes the bigram side BEFORE its
+    * two vocabulary joins; N broadcasts as a one-row cross join.
+    */
+  def collocationTopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      k: Int = 20, minCount: Long = 5L,
+                      scale: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"),
+                       t => t =!= "")
+    val toks = df.select(words.as("__tok"))
+    val uni = toks.select(explode(col("__tok")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n_total"))
+    val big = toks
+      .select(explode(wordNgrams(col("__tok"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+    big
+      .join(uni.select(col("w").as("__w1"), col("c").as("__c1")),
+            Seq("__w1"))
+      .join(uni.select(col("w").as("__w2"), col("c").as("__c2")),
+            Seq("__w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("bigram"), col("cnt"),
+              expr(s"(cnt * n_total * ${scale}L) div (__c1 * __c2)")
+                .as("lift_scaled"))
+      .orderBy(col("lift_scaled").desc, col("cnt").desc, col("bigram"))
+      .limit(k)
+  }
 }

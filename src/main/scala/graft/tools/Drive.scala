@@ -8,9 +8,11 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries("q_rollup_hierarchy")(spark, "/root/testdata/sf0.01")
+    val df = graft.SparkEntry.queries("q_skyline")(spark, "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    println("rows=" + df.count())
+    println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     df.explain("formatted")
-    df.show(40, truncate = false)
     spark.stop()
   }
 }
