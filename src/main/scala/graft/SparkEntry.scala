@@ -1103,6 +1103,48 @@ object SparkEntry {
                  col("n_name").asc_nulls_first)
     }),
 
+    "q_rank_transform" -> ((s, dir) => {
+      // exact global percentile-rank transform without a global sort:
+      // bucketed two-pass rank, summarized per decile
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(floor(col("l_extendedprice")).cast("long").as("v"))
+      graft.operators.DistributedRank
+        .withGlobalRank(li, "v", bucketWidth = 1000L)
+        .withColumn("decile", expr("((rank - 1) * 10) div __n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_rows"), min("v").as("v_min"),
+             max("v").as("v_max"), sum("rank").as("rank_sum"))
+        .orderBy("decile")
+    }),
+
+    "q_spearman" -> ((s, dir) => {
+      // exact integer Spearman: per return flag, 4x the classic sum of
+      // squared rank differences between price and quantity (average
+      // ranks doubled so ties stay exact)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"),
+                floor(col("l_extendedprice")).cast("long").as("x"),
+                floor(col("l_quantity")).cast("long").as("y"))
+      graft.operators.DistributedRank
+        .groupedSpearman(li, "l_returnflag", "x", "y",
+                         bucketWidthX = 1000L, bucketWidthY = 5L)
+        .orderBy("l_returnflag")
+    }),
+
+    "q_anomaly_mad" -> ((s, dir) => {
+      // grouped robust anomaly gate: per event type, rows beyond
+      // 3 MAD from the median of value-cents — exact doubled-integer
+      // median/MAD, distributed histogram passes only
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Outliers
+        .madAnomalySummary(e, "event_type", "cents", "event_id",
+                           kNum = 3L, kDen = 1L)
+        .orderBy("event_type")
+    }),
+
     "q_skyline" -> ((s, dir) => {
       // Pareto frontier of line items — no item both cheaper
       // (floor-dollar) and higher-quantity: distributed bucketed
@@ -4297,6 +4339,85 @@ object SparkEntry {
          ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
 
     // throttle replay: same lag over the same (sec, id) total order
+    // rank replay: the single-reducer rank() the distributed two-pass
+    // bucket rank must land on exactly
+    "q_rank_transform" ->
+      """WITH v AS (
+           SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (
+           SELECT v, rank() OVER (ORDER BY v) AS rank,
+                  count(*) OVER () AS n
+           FROM v)
+         SELECT ((rank - 1) * 10) // n AS decile, count(*) AS n_rows,
+                min(v) AS v_min, max(v) AS v_max,
+                CAST(sum(rank) AS BIGINT) AS rank_sum
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    // Spearman replay: doubled average rank = 2*(rank()-1) +
+    // tie-count + 1, identical algebra to the bucketed two-pass
+    "q_spearman" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g,
+                  CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+                  CAST(FLOOR(l_quantity) AS BIGINT) AS y
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         r AS (
+           SELECT g,
+                  2 * (rank() OVER (PARTITION BY g ORDER BY x) - 1)
+                    + count(*) OVER (PARTITION BY g, x) + 1 AS rx2,
+                  2 * (rank() OVER (PARTITION BY g ORDER BY y) - 1)
+                    + count(*) OVER (PARTITION BY g, y) + 1 AS ry2
+           FROM b)
+         SELECT g AS l_returnflag, count(*) AS n,
+                CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)
+                  AS sum_d2_x4
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    // MAD replay: doubled median = sum of the two middle order
+    // statistics; anomaly iff 2*kDen*|2x - median2| > kNum*mad2
+    "q_anomaly_mad" ->
+      """WITH x AS (
+           SELECT event_type AS g, event_id AS i,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         st AS (
+           SELECT g, i, v,
+                  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+           FROM x),
+         m AS (
+           SELECT g,
+                  sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END
+                    + CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END)
+                    AS median2
+           FROM st GROUP BY 1),
+         d AS (
+           SELECT x.g, x.i, abs(2 * x.v - m.median2) AS dev, m.median2
+           FROM x JOIN m ON x.g = m.g),
+         sd AS (
+           SELECT g, i, dev, median2,
+                  row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+           FROM d),
+         mad AS (
+           SELECT g,
+                  sum(CASE WHEN rn = (n + 1) // 2 THEN dev ELSE 0 END
+                    + CASE WHEN rn = n // 2 + 1 THEN dev ELSE 0 END)
+                    AS mad2
+           FROM sd GROUP BY 1)
+         SELECT d.g AS event_type, count(*) AS n,
+                CAST(max(d.median2) AS BIGINT) AS median2,
+                CAST(max(mad.mad2) AS BIGINT) AS mad2,
+                CAST(sum(CASE WHEN 2 * d.dev > 3 * mad.mad2
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_anomalies,
+                CAST(sum(CASE WHEN 2 * d.dev > 3 * mad.mad2
+                              THEN d.i ELSE 0 END) AS BIGINT) AS id_sum
+         FROM d JOIN mad ON d.g = mad.g
+         GROUP BY 1 ORDER BY 1""",
+
     // skyline replay: the quadratic NOT-EXISTS dominance definition —
     // the distributed sweep must land on exactly this set
     "q_skyline" ->

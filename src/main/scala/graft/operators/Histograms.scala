@@ -102,4 +102,36 @@ object Histograms {
       .select(col(groupCol), col("__v").as("quantile"),
               col("__n").as("n"))
   }
+
+  /** TWICE the exact per-group median — the sum of the lower- and
+    * upper-median order statistics (equal for odd n), so the classic
+    * interpolated median's `x.5` halves stay exact in integer
+    * arithmetic. Same histogram-first scale shape as
+    * [[groupedDiscreteQuantile]]: one (group, value)-count shuffle,
+    * one bounded window pass, one group aggregate; a histogram bucket
+    * straddling both middle positions contributes its value twice.
+    *
+    * Returns one row per group: (groupCol, median2 = 2·median, n).
+    */
+  def groupedDoubledMedian(df: DataFrame, groupCol: String,
+                           valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val kl = expr("(__n + 1) div 2")
+    val ku = expr("__n div 2 + 1")
+    def covers(k: org.apache.spark.sql.Column) =
+      col("__cum") - col("__c") < k && k <= col("__cum")
+    h.withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__contrib",
+        when(covers(kl), col("__v")).otherwise(lit(0L)) +
+        when(covers(ku), col("__v")).otherwise(lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum("__contrib").as("median2"), max("__n").as("n"))
+  }
 }

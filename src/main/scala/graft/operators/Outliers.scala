@@ -171,4 +171,50 @@ object Outliers {
         }
     }
   }
+
+  /** Fully-distributed, integer-exact grouped MAD anomaly summary —
+    * the cluster-scale sibling of [[fitZScore]] (which collects one
+    * sorted column, the reference's own single-variable regime). Per
+    * group: median and MAD of LONG column `valueCol` held as EXACT
+    * doubled integers (`median2 = 2·median`, `mad2 = 2·median(2|x−m|)
+    * = 4·MAD` — doubling keeps the even-n `.5` halves exact), and a
+    * row is anomalous iff `|x − median| > (kNum/kDen)·MAD`, evaluated
+    * as the integer cross-product `2·kDen·|2x − median2| > kNum·mad2`.
+    * No float enters the operator, so the whole surface replays
+    * bit-identically in SQL. Degenerate groups (MAD = 0, i.e. a
+    * majority-constant value) flag every deviating row — the standard
+    * MAD caveat, deterministic here.
+    *
+    * Scale shape: two [[Histograms.groupedDoubledMedian]] passes
+    * (each one histogram shuffle bounded by per-group distinct
+    * values + one bounded window), two stats joins (group-keyed;
+    * AQE broadcasts the small side), one final aggregate.
+    *
+    * Returns per group: (n, median2, mad2, n_anomalies, anomaly id
+    * checksum).
+    */
+  def madAnomalySummary(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, kNum: Long = 3L,
+                        kDen: Long = 1L): DataFrame = {
+    require(kNum > 0 && kDen > 0,
+      s"threshold must be a positive rational; got $kNum/$kDen")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+              col(valueCol).cast("long").as("__x"))
+    val med = Histograms.groupedDoubledMedian(base, groupCol, "__x")
+    val dev = base.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(lit(2) * col("__x") - col("median2")))
+    val mad = Histograms.groupedDoubledMedian(
+        dev.select(col(groupCol), col("__dev")), groupCol, "__dev")
+      .select(col(groupCol), col("median2").as("mad2"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn("__anom",
+        lit(2L * kDen) * col("__dev") > lit(kNum) * col("mad2"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("median2")).as("median2"),
+           max(col("mad2")).as("mad2"),
+           sum(when(col("__anom"), 1L).otherwise(0L)).as("n_anomalies"),
+           sum(when(col("__anom"), col(idCol)).otherwise(0L))
+             .as("id_sum"))
+  }
 }

@@ -86,6 +86,84 @@ class AnalyticsOps2Spec extends AnyFunSuite {
                       5L -> 2L))
   }
 
+  test("withGlobalRank matches a single-partition rank() including " +
+       "cross-bucket ties and negatives") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = Seq(-9L, -9L, -1L, 0L, 3L, 3L, 3L, 7L, 12L, 12L, 40L)
+    val df = new scala.util.Random(7).shuffle(vals).toDF("v")
+    val got = graft.operators.DistributedRank
+      .withGlobalRank(df, "v", bucketWidth = 5L)
+      .select("v", "rank", "__n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sorted = vals.sorted
+    got.foreach { case (v, rk, n) =>
+      assert(n == vals.length)
+      assert(rk == sorted.indexOf(v) + 1, s"value $v")
+    }
+  }
+
+  test("withGroupDoubledRank yields twice the average rank under ties") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 20L), ("g", 30L),
+                 ("h", 5L)).toDF("g", "v")
+    val got = graft.operators.DistributedRank
+      .withGroupDoubledRank(df, Seq("g"), "v", bucketWidth = 7L, "r2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // g: ranks of (10,10) avg 1.5 -> 3; 20 -> rank 3 -> 6; 30 -> 8
+    assert(got == Set(("g", 10L, 3L), ("g", 20L, 6L), ("g", 30L, 8L),
+                      ("h", 5L, 2L)))
+  }
+
+  test("groupedSpearman is exact on perfect and reversed orders") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val up = (1 to 10).map(i => ("up", i.toLong, i.toLong * 100))
+    val down = (1 to 10).map(i => ("down", i.toLong, (11 - i).toLong))
+    val df = (up ++ down).toDF("g", "x", "y")
+    val got = graft.operators.DistributedRank
+      .groupedSpearman(df, "g", "x", "y", 3L, 37L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // perfect agreement: sum d2 = 0; reversal: sum d2 = n(n^2-1)/3 = 330
+    assert(got("up") == (10L, 0L))
+    assert(got("down") == (10L, 1320L)) // 4 * sum d2 = 4 * 330
+  }
+
+  test("groupedDoubledMedian returns 2*median for odd and even groups") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("o", 1L), ("o", 5L), ("o", 9L),
+                 ("e", 2L), ("e", 4L), ("e", 10L), ("e", 20L),
+                 ("t", 7L), ("t", 7L), ("t", 7L), ("t", 99L))
+      .toDF("g", "v")
+    val got = graft.operators.Histograms
+      .groupedDoubledMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("o" -> (10L, 3L), "e" -> (14L, 4L),
+                      "t" -> (14L, 4L)))
+  }
+
+  test("madAnomalySummary flags exactly the rows beyond k MADs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // g: values 10,12,14,16,18 (median 14, MAD 2); 100 is >> 3 MAD
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 12L), ("g", 3L, 14L),
+                 ("g", 4L, 16L), ("g", 5L, 18L), ("g", 6L, 100L))
+      .toDF("g", "i", "v")
+    val got = graft.operators.Outliers
+      .madAnomalySummary(df, "g", "v", "i", kNum = 3L, kDen = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5)))
+    // n=6, lower med 14 upper 16 -> median2=30; devs |2v-30| =
+    // 10,6,2,2,6,170 sorted 2,2,6,6,10,170 -> mad2 = 6+6 = 12 (=4*MAD,
+    // MAD=3); anomaly iff 2*dev > 3*12=36 <=> dev>18: only 170 (id 6)
+    assert(got.toSeq == Seq(("g", 6L, 30L, 12L, 1L, 6L)))
+  }
+
   test("collocationTopK ranks by the exact integer lift") {
     val spark = TestSpark.spark
     import spark.implicits._
