@@ -1103,6 +1103,33 @@ object SparkEntry {
                  col("n_name").asc_nulls_first)
     }),
 
+    "q_ref_integrity" -> ((s, dir) => {
+      // referential-integrity audit: three real foreign keys plus a
+      // deterministically-broken one (parents with o_orderkey%11==0
+      // withheld) to prove orphan detection; anti-joins only
+      val cu = s.read.parquet(s"$dir/customer.parquet")
+      val na = s.read.parquet(s"$dir/nation.parquet")
+      val or = s.read.parquet(s"$dir/orders.parquet")
+      val pa = s.read.parquet(s"$dir/part.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val orSample = or.where(col("o_orderkey") % 11 =!= 0)
+      graft.operators.QualityChecks.referentialOrphans(Seq(
+        ("customer->nation", cu, "c_nationkey", na, "n_nationkey"),
+        ("orders->customer", or, "o_custkey", cu, "c_custkey"),
+        ("lineitem->part", li, "l_partkey", pa, "p_partkey"),
+        ("lineitem->orders_mod11", li, "l_orderkey", orSample,
+         "o_orderkey")))
+        .orderBy("relationship")
+    }),
+
+    "q_k_anonymity" -> ((s, dir) => {
+      // k-anonymity risk of the (nation, segment) quasi-identifier:
+      // combos shared by < 5 customers and the rows they expose
+      val cu = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.QualityChecks
+        .kAnonymity(cu, Seq("c_nationkey", "c_mktsegment"), k = 5L)
+    }),
+
     "q_rank_transform" -> ((s, dir) => {
       // exact global percentile-rank transform without a global sort:
       // bucketed two-pass rank, summarized per decile
@@ -4339,6 +4366,83 @@ object SparkEntry {
          ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
 
     // throttle replay: same lag over the same (sec, id) total order
+    // referential replay: NOT-IN anti semantics per relationship (the
+    // parent subqueries are null-guarded to keep NOT IN total)
+    "q_ref_integrity" ->
+      """WITH
+         c1 AS (SELECT count(*) AS n_child,
+                  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_null_keys
+                FROM customer),
+         o1 AS (SELECT count(*) AS n_orphans,
+                  CAST(COALESCE(sum(c_nationkey), 0) AS BIGINT)
+                    AS orphan_key_sum
+                FROM customer WHERE c_nationkey IS NOT NULL
+                  AND c_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation
+                     WHERE n_nationkey IS NOT NULL)),
+         c2 AS (SELECT count(*) AS n_child,
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_null_keys
+                FROM orders),
+         o2 AS (SELECT count(*) AS n_orphans,
+                  CAST(COALESCE(sum(o_custkey), 0) AS BIGINT)
+                    AS orphan_key_sum
+                FROM orders WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN
+                    (SELECT c_custkey FROM customer
+                     WHERE c_custkey IS NOT NULL)),
+         c3 AS (SELECT count(*) AS n_child,
+                  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_null_keys
+                FROM lineitem),
+         o3 AS (SELECT count(*) AS n_orphans,
+                  CAST(COALESCE(sum(l_partkey), 0) AS BIGINT)
+                    AS orphan_key_sum
+                FROM lineitem WHERE l_partkey IS NOT NULL
+                  AND l_partkey NOT IN
+                    (SELECT p_partkey FROM part
+                     WHERE p_partkey IS NOT NULL)),
+         c4 AS (SELECT count(*) AS n_child,
+                  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_null_keys
+                FROM lineitem),
+         o4 AS (SELECT count(*) AS n_orphans,
+                  CAST(COALESCE(sum(l_orderkey), 0) AS BIGINT)
+                    AS orphan_key_sum
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders
+                     WHERE o_orderkey IS NOT NULL
+                       AND o_orderkey % 11 <> 0))
+         SELECT 'customer->nation' AS relationship, c1.n_child,
+                c1.n_null_keys, o1.n_orphans, o1.orphan_key_sum
+         FROM c1, o1
+         UNION ALL
+         SELECT 'orders->customer', c2.n_child, c2.n_null_keys,
+                o2.n_orphans, o2.orphan_key_sum FROM c2, o2
+         UNION ALL
+         SELECT 'lineitem->part', c3.n_child, c3.n_null_keys,
+                o3.n_orphans, o3.orphan_key_sum FROM c3, o3
+         UNION ALL
+         SELECT 'lineitem->orders_mod11', c4.n_child, c4.n_null_keys,
+                o4.n_orphans, o4.orphan_key_sum FROM c4, o4
+         ORDER BY relationship""",
+
+    // k-anonymity replay: one combo histogram + one roll-up
+    "q_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS c
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                count(*) AS n_combos,
+                CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_risky_combos,
+                CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                  AS n_risky_rows,
+                CAST(min(c) AS BIGINT) AS min_combo_size
+         FROM g""",
+
     // rank replay: the single-reducer rank() the distributed two-pass
     // bucket rank must land on exactly
     "q_rank_transform" ->

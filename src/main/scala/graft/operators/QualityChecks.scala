@@ -46,4 +46,58 @@ object QualityChecks {
       s"stack(${names.length}, $stackArgs) AS (metric, value)")
       .orderBy("metric")
   }
+
+  /** Referential-integrity audit across table pairs: for each named
+    * (child, childKey, parent, parentKey) relationship, the child rows
+    * whose non-null key has no parent — orphans — as one report row
+    * `(relationship, n_child, n_orphans, orphan key checksum)`.
+    *
+    * Each relationship is a LEFT ANTI join on its key (AQE broadcasts
+    * dimension-sized parents; fact-to-fact pairs shuffle on the key,
+    * which is the minimum possible data movement for an exact check).
+    * Null child keys are counted separately (`n_null_keys`) — null is
+    * SQL's "no reference", not an orphan. At 100 TB run relationships
+    * independently (they union, not join — no combinatorial blowup).
+    */
+  def referentialOrphans(rels: Seq[(String, DataFrame, String,
+                                    DataFrame, String)]): DataFrame = {
+    rels.map { case (name, child, ck, parent, pk) =>
+      val keyed = child.select(col(ck).as("__k"))
+      val orphans = keyed.where(col("__k").isNotNull)
+        .join(parent.select(col(pk).as("__k")).distinct(),
+              Seq("__k"), "left_anti")
+      val tot = keyed.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val orp = orphans.agg(
+        count(lit(1)).as("n_orphans"),
+        coalesce(sum(col("__k")), lit(0L)).as("orphan_key_sum"))
+      tot.crossJoin(orp).select(lit(name).as("relationship"),
+        col("n_child"), col("n_null_keys"), col("n_orphans"),
+        col("orphan_key_sum"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** k-anonymity risk report over a quasi-identifier combination: how
+    * many identifier combos are shared by fewer than k rows, and how
+    * many rows that exposes. ONE grouped count on the quasi-identifier
+    * tuple (map-side combined) + one tiny aggregate over the combo
+    * histogram — the grouped shuffle carries one row per distinct
+    * combo. Output: a single row (n_rows, n_combos, n_risky_combos,
+    * n_risky_rows, min_combo_size).
+    */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1; got $k")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum("__c").as("n_rows"),
+           count(lit(1)).as("n_combos"),
+           sum(when(col("__c") < k, 1L).otherwise(0L))
+             .as("n_risky_combos"),
+           sum(when(col("__c") < k, col("__c")).otherwise(0L))
+             .as("n_risky_rows"),
+           min("__c").as("min_combo_size"))
+  }
 }

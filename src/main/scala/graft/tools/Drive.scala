@@ -8,14 +8,11 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q_spearman", "q_rank_transform", "q_anomaly_mad")) {
-      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-      val t0 = System.nanoTime()
-      println(s"$q rows=" + df.count())
-      println(f"$q sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    }
-    graft.SparkEntry.queries("q_spearman")(spark, "/root/testdata/sf0.1")
-      .explain("formatted")
+    val df = graft.SparkEntry.queries("q_ref_integrity")(spark, "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    df.show(10, truncate = false)
+    println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    df.explain("formatted")
     spark.stop()
   }
 }

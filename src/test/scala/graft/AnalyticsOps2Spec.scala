@@ -164,6 +164,32 @@ class AnalyticsOps2Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(("g", 6L, 30L, 12L, 1L, 6L)))
   }
 
+  test("referentialOrphans counts orphans and null keys per " +
+       "relationship") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = graft.operators.QualityChecks
+      .referentialOrphans(Seq(("c->p", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("c->p", 4L, 1L, 1L, 9L)))
+  }
+
+  test("kAnonymity reports risky combos below k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+              Seq.fill(1)(("FR", "A"))).toDF("country", "seg")
+    val got = graft.operators.QualityChecks
+      .kAnonymity(df, Seq("country", "seg"), k = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((8L, 3L, 2L, 3L, 1L)))
+  }
+
   test("collocationTopK ranks by the exact integer lift") {
     val spark = TestSpark.spark
     import spark.implicits._
