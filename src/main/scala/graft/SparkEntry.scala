@@ -3059,6 +3059,101 @@ object SparkEntry {
                .as("tokens"),
              sum("doc_id").as("sum_id"))
         .orderBy("source")
+    }),
+
+    "q_merge_upsert" -> ((s, dir) => {
+      // lakehouse MERGE: a synthetic changelog (every 7th order, op =
+      // D for custkeys ending in 0, else U carrying a fresh payload)
+      // compacts per key and applies onto the customer snapshot —
+      // anti-join + union, both sides keyed on c_custkey
+      val c = T(s, dir, "customer")
+      val chg = T(s, dir, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey").as("c_custkey"),
+                concat(lit("cust-upd-"), col("o_orderkey")).as("c_name"),
+                (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+                col("o_totalprice").as("c_acctbal"),
+                lit("MERGED").as("c_mktsegment"),
+                when(col("o_custkey") % 10 === 0, "D").otherwise("U")
+                  .as("op"),
+                col("o_orderdate").as("ts"),
+                col("o_orderkey").as("oid"))
+      graft.operators.Temporal
+        .mergeUpsert(c, chg, Seq("c_custkey"), "op", Seq("ts", "oid"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_life_table" -> ((s, dir) => {
+      // survival life table over user activity lifetimes (hour
+      // periods — the corpus spans 30 days, so hours give a real
+      // duration axis): at-risk / churned / censored counts per
+      // duration, the integer-exact Kaplan-Meier input
+      val e = T(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.operators.Temporal
+        .lifeTable(e, "user_id", "ts", periodSeconds = 3600L)
+        .orderBy("duration")
+    }),
+
+    "q_session_paths" -> ((s, dir) => {
+      // top-40 session journey paths: 30-min-gap sessions, first 5
+      // event types joined with '>' (truncation marked '>…'), counted
+      // per distinct path — (ts, event_id) order in both engines
+      val e = T(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.operators.Funnel
+        .topPaths(e, "user_id", "ts", "event_id", "event_type",
+                  gapSeconds = 1800L, maxSteps = 5, k = 40)
+    }),
+
+    "q_cusum" -> ((s, dir) => {
+      // CUSUM change-point scan on daily event counts per type: the
+      // peak |n·S_d| and its (earliest) period, all-integer via the
+      // n-scaled cumulative deviation
+      val e = T(s, dir, "events")
+        .select(col("event_type"),
+                expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400L")
+                  .as("p"))
+      graft.operators.Monitoring
+        .cusumScan(e, "event_type", "p")
+        .orderBy("event_type")
+    }),
+
+    "q_concentration" -> ((s, dir) => {
+      // revenue concentration (Gini sums) per order priority over
+      // cent-quantized order totals: (n, Σv, Σ2·avgrank·v) — the
+      // coefficient (w2-(n+1)s)/(n·s) is derivable, never computed
+      val o = T(s, dir, "orders")
+        .select(col("o_orderpriority"),
+                floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.DistributedRank
+        .groupedConcentration(o, "o_orderpriority", "cents",
+                              bucketWidth = 1000000L)
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_group_mode" -> ((s, dir) => {
+      // deterministic per-group mode (highest count, smallest value
+      // on ties) of the integral quantity column — histogram +
+      // struct-max, no window
+      val li = T(s, dir, "lineitem")
+      graft.operators.Histograms
+        .groupedMode(li, "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
+
+    "q_trend_sums" -> ((s, dir) => {
+      // per-priority price-over-time regression sufficient statistics:
+      // x = epoch-day offset from 1992-01-01 (day 8035), y = cents —
+      // raw BIGINT sums only, slope/intercept derivable downstream
+      val o = T(s, dir, "orders")
+        .select(col("o_orderpriority"),
+                (expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) " +
+                      "div 86400L") - lit(8035L)).as("x"),
+                floor(col("o_totalprice") * 100).cast("long").as("y"))
+      graft.operators.Histograms
+        .groupedTrendSums(o, "o_orderpriority", "x", "y")
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -7228,7 +7323,176 @@ object SparkEntry {
          SELECT source, count(*) AS n_kept, sum(n_tok)::BIGINT AS tokens,
                 sum(doc_id)::BIGINT AS sum_id
          FROM r WHERE cum <= 800
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // MERGE replay: same synthetic changelog, row_number compaction
+    // (latest (ts, oid) wins; oid is unique so no further ties), then
+    // NOT-IN survivors + surviving upserts
+    "q_merge_upsert" ->
+      """WITH chg AS (
+           SELECT o_custkey AS c_custkey,
+                  'cust-upd-' || o_orderkey AS c_name,
+                  CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  'MERGED' AS c_mktsegment,
+                  CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END
+                    AS op,
+                  o_orderdate AS ts, o_orderkey AS oid
+           FROM orders WHERE o_orderkey % 7 = 0),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY ts DESC, oid DESC) AS rn
+           FROM chg),
+         l AS (SELECT * FROM r WHERE rn = 1)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                c_mktsegment
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM l)
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                c_mktsegment
+         FROM l WHERE op = 'U'
+         ORDER BY c_custkey""",
+
+    // life-table replay: same floor-division day periods, same
+    // censoring horizon (corpus max last-period), suffix-sum at-risk
+    "q_life_table" ->
+      """WITH s AS (
+           SELECT user_id,
+                  min(epoch_us(ts) // 1000000 // 3600) AS fp,
+                  max(epoch_us(ts) // 1000000 // 3600) AS lp
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         m AS (
+           SELECT lp - fp AS duration,
+                  CASE WHEN lp < (SELECT max(lp) FROM s)
+                       THEN 1 ELSE 0 END AS churn
+           FROM s),
+         d AS (
+           SELECT duration, sum(churn)::BIGINT AS n_events,
+                  (count(*) - sum(churn))::BIGINT AS n_censored
+           FROM m GROUP BY 1)
+         SELECT duration,
+                sum(n_events + n_censored)
+                  OVER (ORDER BY duration DESC
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk,
+                n_events, n_censored
+         FROM d ORDER BY duration""",
+
+    // session-path replay: identical 30-min gap flags, island ids,
+    // in-session step numbers and '>'-joined 5-step prefixes; DuckDB
+    // string_agg skips the NULLed steps past the prefix exactly like
+    // Spark's collect_list
+    "q_session_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL),
+         f AS (
+           SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                            OR sec - lag(sec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS newf
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         g AS (
+           SELECT *, sum(newf) OVER (PARTITION BY user_id
+                       ORDER BY sec, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+           FROM f),
+         h AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                       ORDER BY sec, event_id) AS step
+           FROM g),
+         p AS (
+           SELECT user_id, sess, max(step) AS len,
+                  string_agg(CASE WHEN step <= 5 THEN event_type END,
+                             '>' ORDER BY step) AS prefix
+           FROM h GROUP BY 1, 2),
+         q AS (
+           SELECT prefix || CASE WHEN len > 5 THEN '>…' ELSE '' END
+                    AS path
+           FROM p)
+         SELECT path, count(*) AS n_sessions
+         FROM q GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 40""",
+
+    // CUSUM replay: same n-scaled cumulative deviation over observed
+    // day periods, arg-max with earliest-period tie-break
+    "q_cusum" ->
+      """WITH c AS (
+           SELECT event_type,
+                  epoch_us(ts) // 1000000 // 86400 AS p,
+                  count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         s AS (
+           SELECT event_type, p,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY p) AS idx,
+                  count(*) OVER (PARTITION BY event_type) AS n,
+                  sum(c) OVER (PARTITION BY event_type) AS total
+           FROM c),
+         ns AS (
+           SELECT event_type, p, n, total,
+                  abs(n * cum - idx * total) AS ns
+           FROM s),
+         r AS (
+           SELECT event_type, p, ns, n, total,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ns DESC, p) AS rk
+           FROM ns)
+         SELECT event_type, p AS change_period, ns::BIGINT AS n_s_max,
+                n::BIGINT AS n_periods, total::BIGINT AS total
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+
+    // concentration replay: doubled average rank of the cent value
+    // within each priority (2·lt + eq + 1), then the same three sums
+    "q_concentration" ->
+      """WITH v AS (
+           SELECT o_orderpriority AS g,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND floor(o_totalprice * 100) >= 0),
+         r AS (
+           SELECT g, cents,
+                  2 * (rank() OVER (PARTITION BY g ORDER BY cents) - 1)
+                    + count(*) OVER (PARTITION BY g, cents) + 1 AS r2
+           FROM v)
+         SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
+                sum(cents)::BIGINT AS s,
+                sum(r2 * cents)::BIGINT AS w2
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    // mode replay: histogram + (count desc, value asc) pick
+    "q_group_mode" ->
+      """WITH h AS (
+           SELECT l_returnflag AS g,
+                  CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         r AS (
+           SELECT g, v, c, sum(c) OVER (PARTITION BY g) AS n,
+                  row_number() OVER (PARTITION BY g
+                                     ORDER BY c DESC, v) AS rk
+           FROM h)
+         SELECT g AS l_returnflag, v AS mode, c::BIGINT AS mode_count,
+                n::BIGINT AS n
+         FROM r WHERE rk = 1 ORDER BY 1""",
+
+    // trend replay: identical epoch-day offsets and cent quantization,
+    // plain BIGINT sums
+    "q_trend_sums" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+                  epoch_us(o_orderdate) // 1000000 // 86400 - 8035
+                    AS x,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL)
+         SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+         FROM b GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle CTE: portable hyperplane-LSH signature over the

@@ -114,4 +114,32 @@ object DistributedRank {
            sum((col("__rx2") - col("__ry2")) *
                (col("__rx2") - col("__ry2"))).as("sum_d2_x4"))
   }
+
+  /** Concentration (Gini) sums per group, in integers: emits
+    * `(group, n, s = Σv, w2 = Σ 2·avgrank(v)·v)` over non-negative
+    * integer values. The Gini coefficient is derivable downstream as
+    * `G = (w2 − (n+1)·s) / (n·s)` — the classic
+    * `(2·Σ i·v_(i) − (n+1)·Σv) / (n·Σv)` with the rank sum computed
+    * on doubled AVERAGE ranks, which equals the sorted-order sum for
+    * any tie-breaking permutation (within a tied block Σ i·v is
+    * rank-assignment-invariant), so no per-row tiebreaker column is
+    * needed and the surface stays integer-exact. The float
+    * coefficient never enters the operator or its replay.
+    *
+    * Cost: one bucketed doubled-rank pass (bounded windows — never a
+    * whole-group sort; a 1B-row group holds) plus one group
+    * aggregate. Nulls and negative values are excluded (Gini is
+    * defined over a non-negative distribution).
+    */
+  def groupedConcentration(df: DataFrame, groupCol: String,
+                           valueCol: String,
+                           bucketWidth: Long): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(valueCol) >= 0)
+    withGroupDoubledRank(base, Seq(groupCol), valueCol, bucketWidth,
+                         "__r2")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col(valueCol)).as("s"),
+           sum(col("__r2") * col(valueCol)).as("w2"))
+  }
 }

@@ -126,4 +126,63 @@ object Funnel {
                    col("__sec") - col("__t_sec") <= lookbackSeconds,
                    col("__t_type")).otherwise("direct").as("channel"))
   }
+
+  /** Top-k session paths: sessionize by inactivity gap, render each
+    * session's first `maxSteps` event types as a `>`-joined path
+    * string, and count sessions per path — the journey/Sankey
+    * aggregate behind "what do users actually do" questions. Event
+    * order inside a session is `(ts, idCol)` (the id breaks timestamp
+    * ties deterministically); sessions longer than `maxSteps` keep
+    * their prefix with a `>…` suffix so truncated paths never collide
+    * with genuinely-short ones. Returned rows are the `k` most common
+    * paths, ties broken by path string ascending.
+    *
+    * Plan shape: one shuffle on the key with two window passes inside
+    * it (gap flags + in-session row numbers — same sort, Spark reuses
+    * it), then the per-session path folds through a bounded
+    * `sort_array(collect_list(...))` of at most `maxSteps` structs per
+    * session, a path-count aggregate whose cardinality is the number
+    * of DISTINCT paths (tiny), and a TakeOrdered top-k — no global
+    * sort. Null-ts rows are excluded.
+    */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, typeCol: String, gapSeconds: Long,
+               maxSteps: Int, k: Int): DataFrame = {
+    require(gapSeconds > 0 && maxSteps > 0 && k > 0,
+      s"gapSeconds/maxSteps/k must be positive; " +
+        s"got $gapSeconds/$maxSteps/$k")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keyCol).orderBy(col("__sec"), col(idCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)
+    val steps = events.where(col(tsCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(typeCol),
+              col(tsCol).cast("long").as("__sec"))
+      .withColumn("__new",
+        when(col("__sec") - lag(col("__sec"), 1).over(wOrd)
+               > gapSeconds, 1L).otherwise(
+          when(lag(col("__sec"), 1).over(wOrd).isNull, 1L)
+            .otherwise(0L)))
+      .withColumn("__sess", sum(col("__new")).over(wRun))
+      .withColumn("__step", row_number().over(
+        Window.partitionBy(col(keyCol), col("__sess"))
+          .orderBy(col("__sec"), col(idCol))))
+    val paths = steps
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(max(col("__step")).as("__len"),
+           array_join(
+             transform(
+               sort_array(collect_list(
+                 when(col("__step") <= maxSteps,
+                      struct(col("__step"), col(typeCol).as("t"))))),
+               s => s.getField("t")),
+             ">").as("__prefix"))
+      .select(concat(col("__prefix"),
+                     when(col("__len") > maxSteps, lit(">…"))
+                       .otherwise(lit(""))).as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -134,4 +134,48 @@ object Histograms {
       .groupBy(col(groupCol))
       .agg(sum("__contrib").as("median2"), max("__n").as("n"))
   }
+
+  /** Deterministic mode per group: the most frequent value, ties
+    * broken by SMALLEST value — a total order, so both engines agree
+    * on every group. Same histogram-first shape as the quantiles: one
+    * (group, value)-count aggregate, then ONE struct-max aggregate
+    * per group (no window at all — `max(struct(count, −value))` picks
+    * the highest count, then the most negative = smallest value).
+    * Value column must be integer-typed (the negation trick needs a
+    * signed total order that matches the natural one).
+    *
+    * Returns one row per group: (groupCol, mode, mode_count, n).
+    */
+  def groupedMode(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(max(struct(col("__c"), (-col("__v")).as("__nv"))).as("__m"),
+           sum(col("__c")).as("n"))
+      .select(col(groupCol), (-col("__m.__nv")).as("mode"),
+              col("__m.__c").as("mode_count"), col("n"))
+
+  /** Per-group simple-regression sufficient statistics over
+    * pre-quantized integer (x, y): `(n, sx, sy, sxy, sxx)` — one
+    * map-side-combinable aggregate, no window, no sort. Slope and
+    * intercept (and Pearson r with an extra syy the caller can add)
+    * are a driver-side division away:
+    * `slope = (n·sxy − sx·sy) / (n·sxx − sx²)`. Keeping the surface
+    * at the raw BIGINT sums (never the quotient) is what lets the
+    * result hash-match any other engine bit-for-bit. Callers are
+    * responsible for quantizing x into a small offset domain (e.g.
+    * days since corpus start) so `Σx·y` stays inside a long at their
+    * row count. Null x or y rows are excluded.
+    */
+  def groupedTrendSums(df: DataFrame, groupCol: String, xCol: String,
+                       yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+           sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+  }
 }

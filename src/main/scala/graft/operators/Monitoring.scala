@@ -89,4 +89,48 @@ object Monitoring {
       (bin, stat, p)
     }
   }
+
+  /** CUSUM change-point scan per group: over the per-period counts of
+    * each group, the cumulative-sum statistic
+    * `S_d = sum_{i<=d}(c_i - mean)` peaks at the most likely shift
+    * point of the count level. Everything stays integer by scaling
+    * with the period count: `n*S_d = n*cum_d - d_idx*total` (`n` =
+    * periods observed for the group). Output per group: the argmax
+    * period (`change_period`, earliest on ties), the scaled peak
+    * `n_s_max = max_d |n*S_d|`, `n_periods` and `total` — a caller
+    * recovers the usual normalized statistic as `n_s_max / n`.
+    * Only periods the group was observed in enter the scan
+    * (zero-fill first via [[Temporal.densify]] when absence itself is
+    * the signal).
+    *
+    * Plan shape: one (group, period) count aggregate (map-side
+    * partial), then ONE window sort per group over its distinct
+    * periods — bounded by the time span, never row count — and a
+    * struct-max aggregate for the arg-max. Null periods are excluded.
+    */
+  def cusumScan(df: DataFrame, groupCol: String,
+                periodCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = df.where(col(periodCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(periodCol).cast("long").as("p"))
+      .agg(count(lit(1)).as("c"))
+    val wRun = Window.partitionBy("g").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val scored = byP
+      .withColumn("cum", sum("c").over(wRun))
+      .withColumn("idx", count(lit(1)).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("c").over(wAll))
+      .withColumn("ns", abs(col("n") * col("cum") -
+                            col("idx") * col("total")))
+    scored.groupBy(col("g").as(groupCol))
+      // struct max over (|nS|, -p): peak first, EARLIEST period on ties
+      .agg(max(struct(col("ns"), (-col("p")).as("np"))).as("__m"),
+           first(col("n")).as("n_periods"),
+           first(col("total")).as("total"))
+      .select(col(groupCol), (-col("__m.np")).as("change_period"),
+              col("__m.ns").as("n_s_max"),
+              col("n_periods"), col("total"))
+  }
 }

@@ -257,6 +257,91 @@ object Temporal {
     * is empty). Output: one row per (key, day) with its peak and the
     * number of interval-segments that day — integer-only.
     */
+  /** MERGE INTO (lakehouse upsert): apply a changelog to a snapshot.
+    * `changes` carries the snapshot's columns plus `opCol` (`"U"` =
+    * insert-or-update, `"D"` = delete) and `orderCols` sequencing the
+    * log. Multiple ops on one key compact to the latest (max
+    * `orderCols`, later columns break ties) BEFORE application, so a
+    * U followed by a D deletes and a D followed by a U resurrects —
+    * Delta/Iceberg MERGE semantics without a table format.
+    *
+    * Plan shape: compaction is one `max_by`-style struct-max aggregate
+    * on the key (map-side partial, O(1) state per key — no window
+    * sort); application is a left-anti join of the snapshot against
+    * the compacted keys plus a union of the surviving upserts. Both
+    * sides shuffle on the SAME key columns, so at 100 TB the big
+    * snapshot shuffles once; when the changelog is small Spark/AQE
+    * broadcasts it and the snapshot never shuffles at all. Delete
+    * ops whose key was never in the snapshot are no-ops (standard
+    * MERGE `WHEN NOT MATCHED AND op='D' THEN skip`).
+    */
+  def mergeUpsert(snapshot: DataFrame, changes: DataFrame,
+                  keyCols: Seq[String], opCol: String,
+                  orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    require(orderCols.nonEmpty,
+      "mergeUpsert needs ordering columns to sequence the changelog")
+    val payload = snapshot.columns.toSeq
+    // struct-max compaction: (orderCols..., op, payload...) — the max
+    // struct IS the latest op + its full row, one aggregate, no window
+    val packed = struct(
+      (orderCols.map(col) :+ col(opCol)) ++ payload.map(col): _*)
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__last"))
+    val upserts = latest
+      .where(col(s"__last.$opCol") === "U")
+      .select(payload.map(c => col(s"__last.$c").as(c)): _*)
+    val touchedKeys = latest.select(keyCols.map(col): _*)
+    snapshot
+      .join(touchedKeys, keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** Survival life table over key lifetimes: each key lives
+    * `duration = lastPeriod - firstPeriod` periods (epoch
+    * floor-division on `tsCol`); a key whose last activity precedes
+    * the corpus-wide maximum period is an observed churn at its
+    * duration, a key active in the final period is right-censored
+    * (its true lifetime is only known to be >= duration). Output is
+    * the classic life table — one row per distinct duration with
+    * `n_risk` (keys whose lifetime reaches the duration), `n_events`
+    * (observed churns at it), `n_censored` — the integer-exact input
+    * to any Kaplan-Meier estimate, which is a per-row division away.
+    *
+    * Plan shape: one per-key min/max aggregate (map-side partial), a
+    * scalar max broadcast for the censoring horizon, then a
+    * per-duration count and a reversed running sum over the duration
+    * axis — the window sorts at most one row per distinct duration
+    * (<=3653 for ten years of days), never row count. Null-ts rows
+    * are excluded.
+    */
+  def lifeTable(events: DataFrame, keyCol: String, tsCol: String,
+                periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0,
+      s"periodSeconds must be positive; got $periodSeconds")
+    val per = expr(s"CAST(`${tsCol}` AS LONG) div ${periodSeconds}L")
+    val spans = events.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), per.as("p"))
+      .groupBy("k")
+      .agg(min("p").as("first_p"), max("p").as("last_p"))
+    val horizon = spans.agg(max("last_p").as("max_p"))
+    val marked = spans.crossJoin(broadcast(horizon))
+      .select((col("last_p") - col("first_p")).as("duration"),
+              (col("last_p") < col("max_p")).cast("long").as("churn"))
+    val byDur = marked.groupBy("duration")
+      .agg(sum("churn").as("n_events"),
+           (count(lit(1)) - sum("churn")).as("n_censored"))
+    // at-risk(d) = every key whose lifetime reaches d = suffix sum
+    val wSuffix = Window.orderBy(col("duration").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wSuffix))
+      .select(col("duration"), col("n_risk"),
+              col("n_events"), col("n_censored"))
+  }
+
   def peakConcurrency(df: DataFrame, keyCol: String, startSecCol: String,
                       endSecCol: String, idCol: String): DataFrame = {
     val day = 86400L

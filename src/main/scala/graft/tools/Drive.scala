@@ -8,11 +8,13 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries("q_ref_integrity")(spark, "/root/testdata/sf0.1")
-    val t0 = System.nanoTime()
-    df.show(10, truncate = false)
-    println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    df.explain("formatted")
+    for (q <- Seq("q_merge_upsert", "q_session_paths")) {
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      val t0 = System.nanoTime()
+      println(s"=== $q rows=${df.count()}")
+      println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }
