@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{CosineSimExpr, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg, ZOrder2Expr}
+import graft.functions.{CosineSimExpr, FreqLongsAgg, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg, ZOrder2Expr}
 import graft.pipeline.TextAnalysis
 
 /** SQL surface for the native Catalyst kernels, registered via
@@ -119,6 +119,14 @@ object GraftExtensions {
          case Seq(key, id, k) =>
            TopKLongsAgg(key, id, litInt(k, "graft_topk_longs"))
          case other => bad("graft_topk_longs", other)
+       }),
+      (new FunctionIdentifier("graft_freq_longs"),
+       new ExpressionInfo(classOf[FreqLongsAgg].getName,
+                          "graft_freq_longs"),
+       (args: Seq[Expression]) => args match {
+         case Seq(key, cap) =>
+           FreqLongsAgg(key, litInt(cap, "graft_freq_longs"))
+         case other => bad("graft_freq_longs", other)
        }),
       (new FunctionIdentifier("graft_lang_id"),
        new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),

@@ -3154,6 +3154,55 @@ object SparkEntry {
       graft.operators.Histograms
         .groupedTrendSums(o, "o_orderpriority", "x", "y")
         .orderBy("o_orderpriority")
+    }),
+
+    "q_interval_union" -> ((s, dir) => {
+      // uptime/SLA coverage: union length of each type's event
+      // intervals ([ts, ts + max(1, floor(value*60)) s), the
+      // q_overlap_peak derivation) — merged-run count + covered secs
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+                col("ts").cast("timestamp").cast("long").as("start_sec"),
+                greatest(lit(1L), floor(col("value") * 60).cast("long"))
+                  .as("dur_sec"))
+        .withColumn("end_sec", col("start_sec") + col("dur_sec"))
+      graft.operators.Temporal
+        .intervalUnion(e, "event_type", "start_sec", "end_sec")
+        .orderBy("event_type")
+    }),
+
+    "q_weighted_median" -> ((s, dir) => {
+      // quantity-weighted median price per line status: the smallest
+      // price whose cumulative quantity reaches half the group total —
+      // rational level, integer weights, raw stored answer
+      val li = T(s, dir, "lineitem")
+      graft.operators.Histograms
+        .groupedWeightedQuantile(li, "l_linestatus", "l_extendedprice",
+                                 "l_quantity", 1, 2)
+        .orderBy("l_linestatus")
+    }),
+
+    "q_group_p90" -> ((s, dir) => {
+      // per-status p90 price: the rational-level discrete quantile
+      // (k = ceil(9n/10)-th smallest stored value)
+      val li = T(s, dir, "lineitem")
+      graft.operators.Histograms
+        .groupedDiscreteQuantile(li, "l_linestatus", "l_extendedprice",
+                                 9, 10)
+        .orderBy("l_linestatus")
+    }),
+
+    "q_heavy_hitters" -> ((s, dir) => {
+      // EXACT >1%-of-group heavy users per event type via the
+      // Misra-Gries route-then-verify pattern (capacity 128 >
+      // thetaDen 100 keeps the superset guarantee; the sketch bounds
+      // the exact pass, the output is the exact count)
+      val e = T(s, dir, "events")
+      graft.operators.Ranking
+        .heavyHitters(e, Seq("event_type"), "user_id",
+                      thetaDen = 100, capacity = 128)
+        .orderBy("event_type", "user_id")
     })
   )
 
@@ -7492,7 +7541,96 @@ object SparkEntry {
          SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
-         FROM b GROUP BY 1 ORDER BY 1"""
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    // interval-union replay: same half-open intervals, running-max
+    // island flags ((s, e) is the full sort key, so tied rows are
+    // identical and the aggregate is order-invariant), per-run
+    // max(e)-min(s) coverage
+    "q_interval_union" ->
+      """WITH iv AS (
+           SELECT event_type AS k,
+                  epoch_us(ts) // 1000000 AS s,
+                  epoch_us(ts) // 1000000 +
+                    greatest(1, CAST(floor(value * 60) AS BIGINT)) AS e
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         p AS (
+           SELECT k, s, e,
+                  max(e) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS pmax
+           FROM iv WHERE e > s),
+         r AS (
+           SELECT k, s, e,
+                  CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                    AS newf
+           FROM p),
+         ru AS (
+           SELECT *, sum(newf) OVER (PARTITION BY k ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS run
+           FROM r),
+         runs AS (
+           SELECT k, run, max(e) - min(s) AS cov, count(*) AS n
+           FROM ru GROUP BY 1, 2)
+         SELECT k AS event_type, sum(cov)::BIGINT AS covered_sec,
+                count(*)::BIGINT AS n_merged, sum(n)::BIGINT AS n_input
+         FROM runs GROUP BY 1 ORDER BY 1""",
+
+    // weighted-median replay: same (group, value) weight histogram,
+    // cumulative-weight crossing at ceil(W/2)
+    "q_weighted_median" ->
+      """WITH h AS (
+           SELECT l_linestatus AS g, l_extendedprice AS v,
+                  sum(CAST(l_quantity AS BIGINT)) AS w, count(*) AS c
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND l_quantity IS NOT NULL AND l_quantity > 0
+           GROUP BY 1, 2),
+         r AS (
+           SELECT g, v, w, c,
+                  sum(w) OVER (PARTITION BY g ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(w) OVER (PARTITION BY g) AS tw,
+                  sum(c) OVER (PARTITION BY g) AS n
+           FROM h)
+         SELECT g AS l_linestatus, v AS quantile, tw::BIGINT AS w,
+                n::BIGINT AS n
+         FROM r
+         WHERE cum - w < (tw + 1) // 2 AND (tw + 1) // 2 <= cum
+         ORDER BY 1""",
+
+    // p90 replay: k = ceil(9n/10)-th smallest stored value
+    "q_group_p90" ->
+      """WITH h AS (
+           SELECT l_linestatus AS g, l_extendedprice AS v,
+                  count(*) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (
+           SELECT g, v, c,
+                  sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY g) AS n
+           FROM h)
+         SELECT g AS l_linestatus, v AS quantile, n::BIGINT AS n
+         FROM r
+         WHERE cum - c < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum
+         ORDER BY 1""",
+
+    // heavy-hitters replay: sketch-free exact counts — the engine's
+    // Misra-Gries pass only bounds which rows its exact pass touches,
+    // the RESULT is the plain >1%-of-group predicate
+    "q_heavy_hitters" ->
+      """WITH c AS (
+           SELECT event_type, user_id, count(*) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.event_type, c.user_id, c.n::BIGINT AS n,
+                t.tot::BIGINT AS group_total
+         FROM c JOIN t USING (event_type)
+         WHERE c.n * 100 > t.tot
+         ORDER BY event_type, user_id"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle CTE: portable hyperplane-LSH signature over the

@@ -135,6 +135,43 @@ object Histograms {
       .agg(sum("__contrib").as("median2"), max("__n").as("n"))
   }
 
+  /** Weighted discrete quantile per group: the smallest value whose
+    * cumulative INTEGER weight reaches `ceil(qNum/qDen · W)` (W = the
+    * group's total weight) — the weighted median at 1/2, the weighted
+    * p90 at 9/10, all float-free (rational level, integer weights, the
+    * answer is a raw stored value). Same histogram-first shape as
+    * [[groupedDiscreteQuantile]]: one (group, value)-weight-sum
+    * shuffle, one bounded window over distinct values, never a row
+    * sort. Rows with null value/weight or weight ≤ 0 are excluded;
+    * all-excluded groups emit no row.
+    *
+    * Returns one row per group: (groupCol, quantile, w = total
+    * weight, n = contributing rows).
+    */
+  def groupedWeightedQuantile(df: DataFrame, groupCol: String,
+                              valueCol: String, weightCol: String,
+                              qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen,
+      s"quantile must be a rational in (0, 1]; got $qNum/$qDen")
+    import org.apache.spark.sql.expressions.Window
+    val h = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+             col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"),
+           count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val k = expr(s"($qNum * __tw + $qDen - 1) div $qDen")
+    h.withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .where(col("__cum") - col("__w") < k && k <= col("__cum"))
+      .select(col(groupCol), col("__v").as("quantile"),
+              col("__tw").as("w"), col("__n").as("n"))
+  }
+
   /** Deterministic mode per group: the most frequent value, ties
     * broken by SMALLEST value — a total order, so both engines agree
     * on every group. Same histogram-first shape as the quantiles: one

@@ -241,6 +241,48 @@ object Temporal {
           :+ col("change"): _*)
   }
 
+  /** Interval-union coverage per key: total seconds covered by the
+    * union of the key's half-open `[startSec, endSec)` intervals, with
+    * the merged-interval count — the uptime/SLA aggregate. Overlapping
+    * AND touching intervals merge (`[1,2) ∪ [2,3)` is one covered run
+    * of 2; for pure length the distinction is immaterial, for
+    * `n_merged` it makes adjacency one run, matching how an uptime
+    * report reads). Gaps-and-islands: a new run starts where the start
+    * exceeds the running max of all previous ends; per-run coverage is
+    * `max(end) − min(start)`. Zero/negative-length inputs are dropped.
+    *
+    * Plan shape: one shuffle on the key, one in-partition sort (the
+    * shared gaps-and-islands bound: a single key's history is one
+    * task's sort — day-split into the key first via
+    * [[peakConcurrency]]'s segment trick if a key outgrows a task),
+    * then two bounded aggregates. Integer-only output.
+    */
+  def intervalUnion(df: DataFrame, keyCol: String, startSecCol: String,
+                    endSecCol: String): DataFrame = {
+    val iv = df
+      .where(col(startSecCol).isNotNull && col(endSecCol).isNotNull &&
+             col(endSecCol) > col(startSecCol))
+      .select(col(keyCol).as("k"), col(startSecCol).cast("long").as("s"),
+              col(endSecCol).cast("long").as("e"))
+    val wPrev = Window.partitionBy("k").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("k").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("__pmax", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__new")).over(wRun))
+      .groupBy(col("k"), col("__run"))
+      .agg((max("e") - min("s")).as("__cov"),
+           count(lit(1)).as("__n"))
+      .groupBy(col("k").as(keyCol))
+      .agg(sum("__cov").as("covered_sec"),
+           count(lit(1)).as("n_merged"),
+           sum("__n").as("n_input"))
+  }
+
   /** Peak interval concurrency per key: the sweep-line maximum of
     * simultaneously-open `[startSec, endSec)` intervals, reported per
     * (key, UTC day). The classic sweep is a global sort with a running

@@ -129,6 +129,37 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 1L, 2L, 5L), ("b", 2L, 1L, 1L)))
   }
 
+  test("intervalUnion: overlapping and touching intervals merge, " +
+       "gaps split runs, coverage is exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // key a: [0,10) ∪ [5,12) ∪ [12,15) -> one run covering 15;
+    // [20,21) -> second run of 1. key b: empty interval dropped.
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 12L), ("a", 12L, 15L),
+                 ("a", 20L, 21L), ("b", 3L, 3L))
+      .toDF("k", "s", "e")
+    val got = graft.operators.Temporal.intervalUnion(df, "k", "s", "e")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 16L, 2L, 4L)))
+  }
+
+  test("groupedWeightedQuantile: cumulative-weight crossing picks " +
+       "the weighted median; zero-weight rows excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // g: values 1(w=1), 5(w=3), 9(w=2); W=6, ceil(6/2)=3 -> cum at
+    // 5 is 4 >= 3 and 4-3 < 3 -> median 5. Zero-weight 100 ignored.
+    val df = Seq(("g", 1L, 1L), ("g", 5L, 3L), ("g", 9L, 2L),
+                 ("g", 100L, 0L)).toDF("g", "v", "w")
+    val got = graft.operators.Histograms
+      .groupedWeightedQuantile(df, "g", "v", "w", 1, 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("g", 5L, 6L, 3L)))
+  }
+
   test("groupedTrendSums: exact sufficient statistics recover the " +
        "known slope") {
     val spark = TestSpark.spark
