@@ -1904,6 +1904,67 @@ object SparkEntry {
       out.toSeq.toDF("token", "term_freq")
     }),
 
+    "q_stream_hh" -> ((s, dir) => {
+      // END-TO-END streaming heavy hitters: the Misra-Gries aggregate
+      // ([[graft.functions.FreqAgg]]) lives INSIDE the streaming state
+      // store — complete-mode groupBy merges each trigger's partial
+      // sketches into per-group state (the mergeable-summaries rule
+      // keeps the error bound additive across any merge tree), so
+      // state stays O(capacity) per event type no matter how many
+      // distinct users stream past. The drained candidates then route
+      // a batch exact-verify (the q_heavy_hitters pattern): output is
+      // the EXACT >1/150-of-group user set — the sketch never reaches
+      // the oracle surface.
+      import graft.functions.FreqAgg
+      val e = T(s, dir, "events").where(col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val stage = tmpWorkDir("graft_shh_stage")
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val ckpt = tmpWorkDir("graft_shh_ckpt")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        staged.groupBy("event_type")
+          .agg(FreqAgg.freqLongs(col("user_id"), 256).as("cand"),
+               count(lit(1)).as("total"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("graft_stream_hh")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val candRows = s.table("graft_stream_hh")
+        .select(col("event_type"), explode(col("cand")).as("c"),
+                col("total"))
+        .select(col("event_type"), col("c.key").as("user_id"),
+                col("total"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      s.catalog.dropTempView("graft_stream_hh")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      val cand = candRows.toSeq.toDF("event_type", "user_id", "total")
+      e.join(broadcast(cand), Seq("event_type", "user_id"))
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), first(col("total")).as("__t"))
+        .where(col("n") * 150 > col("__t"))
+        .select(col("event_type"), col("user_id"), col("n"),
+                col("__t").as("group_total"))
+        .orderBy("event_type", "user_id")
+    }),
+
     "q_stream_curation" -> ((s, dir) => {
       // END-TO-END streaming curation monitor: the documents table
       // replays as a 3-file stream (stamped mtimes pin trigger order).
@@ -3203,6 +3264,58 @@ object SparkEntry {
         .heavyHitters(e, Seq("event_type"), "user_id",
                       thetaDen = 100, capacity = 128)
         .orderBy("event_type", "user_id")
+    }),
+
+    "q_kcore" -> ((s, dir) => {
+      // 3-round k=3 core peel of the repeat co-purchase graph:
+      // surviving parts + their within-subgraph degree (the dense
+      // catalog backbone) — bounded unrolled plan, integer-only
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = graft.operators.MarketBasket
+        .coOccurrence(li, "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+      graft.operators.Graph
+        .kCoreSurvivors(edges, "item_a", "item_b", k = 3, rounds = 3)
+        .orderBy("v") // caller releases pinned rounds via clearCache
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured projection: parse the events props JSON with
+      // an explicit schema (from_json — codegen'd JsonToStructs, no
+      // UDF, no inference scan) and aggregate the extracted integer
+      // per event type; malformed/missing keys parse to null and are
+      // excluded identically in both engines
+      val e = T(s, dir, "events")
+      e.select(col("event_type"),
+               from_json(col("props"),
+                         org.apache.spark.sql.types.StructType
+                           .fromDDL("k INT")).getField("k").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+             countDistinct(col("k")).as("nd_k"))
+        .orderBy("event_type")
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink+source: write the orders slice as ORC, read it back
+      // with an explicit schema, aggregate per priority — matching
+      // the direct-parquet oracle proves the round-trip preserves
+      // every value exactly (the q_jsonl_roundtrip contract, columnar
+      // format edition)
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tmp = tmpWorkDir("graft_orc_sink")
+      o.write.mode("overwrite").orc(tmp)
+      s.read.schema("o_orderkey LONG, o_orderpriority STRING, " +
+                    "cents LONG")
+        .orc(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+             sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -7630,7 +7743,77 @@ object SparkEntry {
                 t.tot::BIGINT AS group_total
          FROM c JOIN t USING (event_type)
          WHERE c.n * 100 > t.tot
-         ORDER BY event_type, user_id"""
+         ORDER BY event_type, user_id""",
+
+    // k-core replay: the same 3 peel rounds unrolled — degree
+    // aggregate, keep >= 3, edge filter — then final degrees
+    "q_kcore" ->
+      """WITH p AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         e0 AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         d0 AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e0
+                  UNION ALL SELECT b AS v FROM e0) GROUP BY 1),
+         k0 AS (SELECT v FROM d0 WHERE deg >= 3),
+         e1 AS (SELECT e.a, e.b FROM e0 e
+                JOIN k0 ka ON e.a = ka.v JOIN k0 kb ON e.b = kb.v),
+         d1 AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e1
+                  UNION ALL SELECT b AS v FROM e1) GROUP BY 1),
+         k1 AS (SELECT v FROM d1 WHERE deg >= 3),
+         e2 AS (SELECT e.a, e.b FROM e1 e
+                JOIN k1 ka ON e.a = ka.v JOIN k1 kb ON e.b = kb.v),
+         d2 AS (SELECT v, count(*) AS deg FROM (
+                  SELECT a AS v FROM e2
+                  UNION ALL SELECT b AS v FROM e2) GROUP BY 1),
+         k2 AS (SELECT v FROM d2 WHERE deg >= 3),
+         e3 AS (SELECT e.a, e.b FROM e2 e
+                JOIN k2 ka ON e.a = ka.v JOIN k2 kb ON e.b = kb.v)
+         SELECT v, count(*)::BIGINT AS deg FROM (
+           SELECT a AS v FROM e3
+           UNION ALL SELECT b AS v FROM e3) GROUP BY 1 ORDER BY v""",
+
+    // streaming heavy-hitters replay: sketch-free exact predicate —
+    // the streamed Misra-Gries state only bounded which users the
+    // engine's exact pass counted
+    "q_stream_hh" ->
+      """WITH c AS (
+           SELECT event_type, user_id, count(*) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.event_type, c.user_id, c.n::BIGINT AS n,
+                t.tot::BIGINT AS group_total
+         FROM c JOIN t USING (event_type)
+         WHERE c.n * 150 > t.tot
+         ORDER BY event_type, user_id""",
+
+    // JSON-extract replay: DuckDB's json_extract on the same path,
+    // same null-exclusion of unparseable rows
+    "q_json_extract" ->
+      """WITH j AS (
+           SELECT event_type,
+                  TRY_CAST(json_extract(props, '$.k') AS INTEGER) AS k
+           FROM events)
+         SELECT event_type, count(*)::BIGINT AS n,
+                sum(k)::BIGINT AS sum_k, min(k) AS min_k,
+                max(k) AS max_k, count(DISTINCT k)::BIGINT AS nd_k
+         FROM j WHERE k IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    // ORC round-trip replay: direct aggregates over the raw table —
+    // equality proves the ORC write/read preserved every value
+    "q_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+                sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
+                  AS sum_cents,
+                sum(o_orderkey)::BIGINT AS key_sum
+         FROM orders GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle CTE: portable hyperplane-LSH signature over the

@@ -153,6 +153,51 @@ object Graph {
     * the edge list and the visited set persist across iterations
     * (released via `spark.catalog.clearCache()`).
     */
+  /** Bounded k-core peeling: `rounds` synchronous iterations of
+    * "drop every vertex with degree < k, then re-derive degrees over
+    * the surviving subgraph" over the canonicalized undirected edge
+    * list (duplicates/reversals/self-loops removed). The true k-core
+    * is this peel run to fixpoint; a FIXED round count is the scale
+    * contract (the [[bfsDistances]] discipline: a bounded unrolled
+    * plan beats an unbounded convergence loop at 100 TB, and each
+    * round only shrinks the graph — the peel converges
+    * monotonically, most graphs within a handful of rounds). Returns
+    * `(v, deg)` for vertices surviving all rounds, with their degree
+    * in the surviving subgraph — deterministic and integer-only, so
+    * the whole peel replays as `rounds` unrolled SQL CTEs.
+    *
+    * Plan shape per round: one degree aggregate + two semi-joins of
+    * the (cached, shrinking) edge list against the kept vertex set —
+    * all equi-joins on integer keys; the kept set is a degree
+    * aggregate output, ≤ |V| rows, and AQE broadcast-converts it as
+    * it shrinks. Edges persist between rounds; release with
+    * `spark.catalog.clearCache()`.
+    */
+  def kCoreSurvivors(edges: DataFrame, aCol: String, bCol: String,
+                     k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(rounds >= 1, s"rounds must be >= 1; got $rounds")
+    def mat(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var e = mat(edges
+      .where(col(aCol).isNotNull && col(bCol).isNotNull &&
+             col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+              greatest(col(aCol), col(bCol)).as("b"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select("v")
+      e = mat(e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
+    }
+    degrees(e)
+  }
+
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
                    maxHops: Int): DataFrame = {

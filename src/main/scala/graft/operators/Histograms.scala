@@ -88,51 +88,121 @@ object Histograms {
                               qDen: Int): DataFrame = {
     require(qNum > 0 && qDen > 0 && qNum <= qDen,
       s"quantile must be a rational in (0, 1]; got $qNum/$qDen")
-    import org.apache.spark.sql.expressions.Window
     val h = df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .withColumn("__w", col("__c"))
+    bucketedCrossing(h, groupCol, qNum, qDen)
+      .select(col(groupCol), col("quantile"), col("n"))
+  }
+
+  /** Two-phase bucketed order-statistic pick, the shared scale core of
+    * the exact-quantile family. Input `h` is a (group, `__v`, `__w`,
+    * `__c`) weight histogram; output is one row per group with the
+    * smallest `__v` whose cumulative weight reaches
+    * `k = ceil(kNum/kDen · W)`, plus `w` (= W) and `n` (= Σ`__c`).
+    *
+    * The naive formulation windows the WHOLE per-group value histogram
+    * — a near-unique numeric column makes that one task sorting the
+    * group's full distinct-value set (the 100 TB killer). This one
+    * collapses the histogram onto an adaptive 4096-cell uniform grid
+    * per group first (same trick as [[gridCompress]]): the crossing
+    * CELL is found on a window over ≤4096 bucket rows per group, and
+    * only the single target cell's values see the second window — so
+    * no sort ever exceeds max(4096, one cell's occupancy) rows per
+    * group, at the cost of one extra (tiny) aggregate over the
+    * histogram. The grid is internal: the returned value is the exact
+    * k-th stored value, identical to the naive formulation, and no
+    * float bucketing ever reaches the result surface.
+    */
+  private def bucketedCrossing(h: DataFrame, groupCol: String,
+                               kNum: Int, kDen: Int): DataFrame =
+    bucketedCrossingK(h, groupCol, s"($kNum * __tw + $kDen - 1) div $kDen")
+
+  /** [[bucketedCrossing]] generalized to TWO order statistics picked
+    * in the same two-phase pass — `k` expressions over the group's
+    * total weight `__tw` (the upper median's `W div 2 + 1` isn't a
+    * fixed rational of W). Output per group: `pick_a`/`pick_b` (the
+    * two k-th smallest values), `w`, `n`. Both target cells ride the
+    * same bucket window and the same in-cell window (partitioned by
+    * (group, cell), so distinct target cells never interleave) — a
+    * doubled median costs ONE crossing, not two. */
+  private def bucketedCrossingK(h: DataFrame, groupCol: String,
+                                kSql: String): DataFrame =
+    bucketedCrossing2K(h, groupCol, kSql, kSql)
+      .select(col(groupCol), col("pick_a").as("quantile"),
+              col("w"), col("n"))
+
+  private def bucketedCrossing2K(h: DataFrame, groupCol: String,
+                                 kaSql: String,
+                                 kbSql: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = 4096
+    // adaptive per-group grid; single-value groups get width 1 (one
+    // bucket). Computed on the histogram, not the raw rows.
+    val ext = h.groupBy(groupCol)
+      .agg(min(col("__v").cast("double")).as("__mn"),
+           max(col("__v").cast("double")).as("__mx"))
+      .withColumn("__wd",
+        greatest((col("__mx") - col("__mn")) / cells,
+                 lit(java.lang.Double.MIN_NORMAL)))
+    val hb = h.join(broadcast(ext), Seq(groupCol))
+      .withColumn("__b",
+        least(floor((col("__v").cast("double") - col("__mn")) /
+                    col("__wd")).cast("long"), lit(cells.toLong)))
+    val bAgg = hb.groupBy(col(groupCol), col("__b"))
+      .agg(sum("__w").as("__bw"), sum("__c").as("__bc"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCol)
-    val k = expr(s"($qNum * __n + $qDen - 1) div $qDen")
-    h.withColumn("__cum", sum(col("__c")).over(wOrd))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .where(col("__cum") - col("__c") < k && k <= col("__cum"))
-      .select(col(groupCol), col("__v").as("quantile"),
-              col("__n").as("n"))
+    def covers(k: org.apache.spark.sql.Column, cum: String, w: String) =
+      col(cum) - col(w) < k && k <= col(cum)
+    val target = bAgg
+      .withColumn("__cumb", sum(col("__bw")).over(wOrd))
+      .withColumn("__tw", sum(col("__bw")).over(wAll))
+      .withColumn("__n", sum(col("__bc")).over(wAll))
+      .withColumn("__ka", expr(kaSql))
+      .withColumn("__kb", expr(kbSql))
+      .where(covers(col("__ka"), "__cumb", "__bw") ||
+             covers(col("__kb"), "__cumb", "__bw"))
+      .select(col(groupCol), col("__b"),
+              (col("__cumb") - col("__bw")).as("__below"),
+              col("__ka"), col("__kb"), col("__tw"), col("__n"))
+    // both target cells (1 or 2 per group) share one in-cell window,
+    // partitioned by (group, cell) so they never interleave
+    val wIn = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hb.join(broadcast(target), Seq(groupCol, "__b"))
+      .withColumn("__cum", col("__below") + sum(col("__w")).over(wIn))
+      .withColumn("__hitA", covers(col("__ka"), "__cum", "__w"))
+      .withColumn("__hitB", covers(col("__kb"), "__cum", "__w"))
+      .where(col("__hitA") || col("__hitB"))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("__hitA"), col("__v"))).as("pick_a"),
+           max(when(col("__hitB"), col("__v"))).as("pick_b"),
+           first(col("__tw")).as("w"), first(col("__n")).as("n"))
   }
 
   /** TWICE the exact per-group median — the sum of the lower- and
     * upper-median order statistics (equal for odd n), so the classic
     * interpolated median's `x.5` halves stay exact in integer
-    * arithmetic. Same histogram-first scale shape as
-    * [[groupedDiscreteQuantile]]: one (group, value)-count shuffle,
-    * one bounded window pass, one group aggregate; a histogram bucket
-    * straddling both middle positions contributes its value twice.
+    * arithmetic. Both picks ride ONE two-phase grid pass
+    * ([[bucketedCrossing2K]] — no whole-histogram window, no second
+    * crossing): lower k = ceil(n/2), upper k = n div 2 + 1.
     *
     * Returns one row per group: (groupCol, median2 = 2·median, n).
     */
   def groupedDoubledMedian(df: DataFrame, groupCol: String,
                            valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
-    val kl = expr("(__n + 1) div 2")
-    val ku = expr("__n div 2 + 1")
-    def covers(k: org.apache.spark.sql.Column) =
-      col("__cum") - col("__c") < k && k <= col("__cum")
-    h.withColumn("__cum", sum(col("__c")).over(wOrd))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .withColumn("__contrib",
-        when(covers(kl), col("__v")).otherwise(lit(0L)) +
-        when(covers(ku), col("__v")).otherwise(lit(0L)))
-      .groupBy(col(groupCol))
-      .agg(sum("__contrib").as("median2"), max("__n").as("n"))
+      .withColumn("__w", col("__c"))
+    bucketedCrossing2K(h, groupCol, "(__tw + 1) div 2",
+                       "__tw div 2 + 1")
+      .select(col(groupCol),
+              (col("pick_a") + col("pick_b")).as("median2"), col("n"))
   }
 
   /** Weighted discrete quantile per group: the smallest value whose
@@ -153,23 +223,13 @@ object Histograms {
                               qNum: Int, qDen: Int): DataFrame = {
     require(qNum > 0 && qDen > 0 && qNum <= qDen,
       s"quantile must be a rational in (0, 1]; got $qNum/$qDen")
-    import org.apache.spark.sql.expressions.Window
     val h = df
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
              col(weightCol) > 0)
       .groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(sum(col(weightCol).cast("long")).as("__w"),
            count(lit(1)).as("__c"))
-    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
-    val k = expr(s"($qNum * __tw + $qDen - 1) div $qDen")
-    h.withColumn("__cum", sum(col("__w")).over(wOrd))
-      .withColumn("__tw", sum(col("__w")).over(wAll))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .where(col("__cum") - col("__w") < k && k <= col("__cum"))
-      .select(col(groupCol), col("__v").as("quantile"),
-              col("__tw").as("w"), col("__n").as("n"))
+    bucketedCrossing(h, groupCol, qNum, qDen)
   }
 
   /** Deterministic mode per group: the most frequent value, ties

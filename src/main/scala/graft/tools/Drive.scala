@@ -8,7 +8,7 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q_heavy_hitters", "q_interval_union")) {
+    for (q <- Seq("q_weighted_median")) {
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
       val t0 = System.nanoTime()
       println(s"=== $q rows=${df.count()}")

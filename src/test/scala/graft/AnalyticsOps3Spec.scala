@@ -160,6 +160,28 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(("g", 5L, 6L, 3L)))
   }
 
+  test("kCoreSurvivors: cascading peel strips a tail chain round by " +
+       "round and keeps the triangle core") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // path 1-2-3-4 hanging off triangle {4,5,6}; k=2 peels one chain
+    // vertex per round: r1 drops 1, r2 drops 2, r3 drops 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+                    (5L, 6L), (6L, 5L)) // reversed dup canonicalized
+      .toDF("x", "y")
+    val got = graft.operators.Graph
+      .kCoreSurvivors(edges, "x", "y", k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got == Set((4L, 2L), (5L, 2L), (6L, 2L)))
+    // one fewer round leaves the last chain vertex still attached
+    val got2 = graft.operators.Graph
+      .kCoreSurvivors(edges, "x", "y", k = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got2 == Set((3L, 1L), (4L, 3L), (5L, 2L), (6L, 2L)))
+  }
+
   test("groupedTrendSums: exact sufficient statistics recover the " +
        "known slope") {
     val spark = TestSpark.spark
