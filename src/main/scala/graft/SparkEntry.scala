@@ -2993,6 +2993,73 @@ object SparkEntry {
                       Seq("spark", "window", "merge"), k = 10)
     }),
 
+    "q_phrase_search" -> ((s, dir) => {
+      // exact phrase retrieval (quote queries): positional-postings
+      // intersection — posexplode filtered to the phrase vocabulary
+      // inside the scan stage, m-way (id, pos) equi-join, per-doc
+      // occurrence counts
+      val d = T(s, dir, "documents")
+      Search.phraseSearch(d, "text", "doc_id", Seq("the", "query"))
+        .orderBy("id")
+    }),
+
+    "q_containment" -> ((s, dir) => {
+      // directed 3-gram containment (quote/boilerplate inclusion):
+      // pairs where >= 1/2 of a's distinct grams occur in b — the
+      // asymmetric overlap Jaccard misses; exact integer threshold and
+      // counts. Pair source here is the oracle-replayable sampled
+      // all-pairs block (production feeds minhashCandidates)
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
+      val ids = d.select("doc_id")
+      val pairs = ids.toDF("id_a")
+        .join(ids.toDF("id_b"), col("id_a") =!= col("id_b"))
+      Dedup.containmentPairs(d, "text", "doc_id", pairs,
+                             n = 3, minNum = 1L, minDen = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: for each of the first 5
+      // query vectors, the 5 most-similar corpus vectors with a
+      // DIFFERENT label — exact BIGINT dot products of 1e-6-quantized
+      // components, ties to the lower corpus id
+      val e = T(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 5),
+                               "embedding", "vec_id", "label",
+                               "vec_id", "embedding", "label", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    "q_kcenter_sample" -> ((s, dir) => {
+      // greedy k-center (farthest-point) diversity sample: seed at the
+      // lowest id, then 4 exact-integer-distance argmax picks — each
+      // round ONE narrow kernel projection over the corpus
+      val e = T(s, dir, "embeddings")
+      Similarity.kCenterSample(e, "embedding", "vec_id", dim = 64, k = 5)
+    }),
+
+    "q_isotonic" -> ((s, dir) => {
+      // isotonic (PAV) calibration of the return-rate over an 11-bin
+      // price grid: one bounded aggregate + exact driver PAV; fitted
+      // rate emitted as floor(rate * 1e16) — injective while n^2 <
+      // 1e16, so the SQL oracle replays it via the minimax identity
+      val li = liTarget(T(s, dir, "lineitem"))
+      graft.operators.Isotonic.isotonicEventRates(
+        li.withColumn("bin", least(floor(col("l_extendedprice") / 10000),
+                                   lit(10))),
+        "bin", "y").orderBy("bin")
+    }),
+
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      // seasonal burst monitor: hourly volumes vs the per-(type,
+      // hour-of-day) doubled-median baseline; flag hours at >= 3x the
+      // slot median (all-integer test, histogram-pass median)
+      val e = T(s, dir, "events")
+      graft.operators.Monitoring
+        .seasonalAnomalies(e, "event_type", "ts", kNum = 3L, kDen = 1L)
+        .orderBy("event_type", "hour_epoch")
+    }),
+
     "q_setsim_join" -> ((s, dir) => {
       // EXACT set-similarity self-join (prefix filter, no LSH): all
       // pairs with distinct-token Jaccard >= 19/20, verified with
@@ -7247,6 +7314,183 @@ object SparkEntry {
            FROM p JOIN dfc USING (token) CROSS JOIN stats)
          SELECT doc_id AS id, round(sum(part) / 1000000.0, 6) AS score
          FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 10""",
+
+    // sliding-window phrase scan — an INDEPENDENT formulation of the
+    // positional-postings intersection (window check per start offset)
+    "q_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  len(list_filter(range(1, len(tok)),
+                      i -> tok[i] = 'the' AND tok[i+1] = 'query'))
+                    ::BIGINT AS n_hits
+           FROM t WHERE len(tok) >= 2)
+         SELECT doc_id AS id, n_hits FROM h WHERE n_hits > 0
+         ORDER BY id""",
+
+    "q_containment" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'), ' ') AS tok
+           FROM documents WHERE doc_id < 200
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               for i in range(1, len(tok) - 1)])
+                  END AS sh
+           FROM norm)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.sh, b.sh))::BIGINT AS inter_grams,
+                len(a.sh)::BIGINT AS a_grams
+         FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(a.sh)
+         ORDER BY id_a, id_b""",
+
+    // exact BIGINT dot products over 1e-6-quantized components — the
+    // q_embed_clusters integer discipline, so no float fold anywhere
+    "q_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, label AS qlabel,
+                  [floor(x * 1e6)::BIGINT
+                   for x in embedding::DOUBLE[]] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT vec_id AS cid, label AS clabel,
+                  [floor(x * 1e6)::BIGINT
+                   for x in embedding::DOUBLE[]] AS cv
+           FROM embeddings),
+         s AS (
+           SELECT qid, cid,
+                  list_sum([qv[i] * cv[i]
+                            for i in range(1, 65)])::BIGINT AS dot_q
+           FROM q JOIN c ON qlabel != clabel),
+         r AS (
+           SELECT qid, cid, dot_q,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY dot_q DESC, cid) AS rank
+           FROM s)
+         SELECT qid, cid, dot_q, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
+
+    // greedy k-center replay: 4 unrolled argmax rounds over the
+    // incrementally-maintained exact integer min-distance column
+    "q_kcenter_sample" ->
+      """WITH e AS (
+           SELECT vec_id AS id,
+                  [floor(x * 1e6)::BIGINT
+                   for x in embedding::DOUBLE[]] AS q
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         c0 AS (SELECT id, q FROM e ORDER BY id LIMIT 1),
+         d0 AS (
+           SELECT e.id,
+                  list_sum([(e.q[i] - c.q[i]) * (e.q[i] - c.q[i])
+                            for i in range(1, 65)])::BIGINT AS dmin
+           FROM e, c0 c),
+         p1 AS (SELECT id, dmin FROM d0 ORDER BY dmin DESC, id LIMIT 1),
+         c1 AS (SELECT e.id, e.q FROM e JOIN p1 USING (id)),
+         d1 AS (
+           SELECT e.id,
+                  least(d0.dmin,
+                        list_sum([(e.q[i] - c.q[i]) * (e.q[i] - c.q[i])
+                                  for i in range(1, 65)])::BIGINT) AS dmin
+           FROM e JOIN d0 USING (id), c1 c),
+         p2 AS (SELECT id, dmin FROM d1 ORDER BY dmin DESC, id LIMIT 1),
+         c2 AS (SELECT e.id, e.q FROM e JOIN p2 USING (id)),
+         d2_ AS (
+           SELECT e.id,
+                  least(d1.dmin,
+                        list_sum([(e.q[i] - c.q[i]) * (e.q[i] - c.q[i])
+                                  for i in range(1, 65)])::BIGINT) AS dmin
+           FROM e JOIN d1 USING (id), c2 c),
+         p3 AS (SELECT id, dmin FROM d2_ ORDER BY dmin DESC, id LIMIT 1),
+         c3 AS (SELECT e.id, e.q FROM e JOIN p3 USING (id)),
+         d3 AS (
+           SELECT e.id,
+                  least(d2_.dmin,
+                        list_sum([(e.q[i] - c.q[i]) * (e.q[i] - c.q[i])
+                                  for i in range(1, 65)])::BIGINT) AS dmin
+           FROM e JOIN d2_ USING (id), c3 c),
+         p4 AS (SELECT id, dmin FROM d3 ORDER BY dmin DESC, id LIMIT 1)
+         SELECT 0 AS pick, (SELECT id FROM c0) AS id, 0::BIGINT AS d2
+         UNION ALL SELECT 1, (SELECT id FROM p1), (SELECT dmin FROM p1)
+         UNION ALL SELECT 2, (SELECT id FROM p2), (SELECT dmin FROM p2)
+         UNION ALL SELECT 3, (SELECT id FROM p3), (SELECT dmin FROM p3)
+         UNION ALL SELECT 4, (SELECT id FROM p4), (SELECT dmin FROM p4)
+         ORDER BY pick""",
+
+    // PAV replay via the minimax identity iso(i) = max_{j<=i}
+    // min_{k>=i} avg(j..k), computed on the order-preserving injective
+    // integer key floor(S * e / n) with S = 1e16 > totalN^2
+    "q_isotonic" ->
+      """WITH b AS (
+           SELECT LEAST(FLOOR(l_extendedprice / 10000), 10)::BIGINT
+                    AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         g AS (
+           SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS e
+           FROM b GROUP BY 1),
+         pre AS (
+           SELECT bin, n, e,
+                  sum(n) OVER (ORDER BY bin) AS cn,
+                  sum(e) OVER (ORDER BY bin) AS ce
+           FROM g),
+         seg AS (
+           SELECT j.bin AS jb, k.bin AS kb,
+                  (k.cn - j.cn + j.n) AS sn,
+                  (k.ce - j.ce + j.e) AS se
+           FROM pre j JOIN pre k ON j.bin <= k.bin),
+         key AS (
+           SELECT jb, kb,
+                  ((se::HUGEINT * 10000000000000000) // sn)::BIGINT AS kk
+           FROM seg),
+         cells AS (
+           SELECT g.bin AS i, key.jb, key.kk
+           FROM g JOIN key ON key.jb <= g.bin AND key.kb >= g.bin),
+         inner_min AS (
+           SELECT i, jb, min(kk) AS mk FROM cells GROUP BY 1, 2),
+         iso AS (
+           SELECT i AS bin, max(mk) AS iso_scaled
+           FROM inner_min GROUP BY 1)
+         SELECT g.bin, g.n, g.e AS events, iso.iso_scaled
+         FROM g JOIN iso USING (bin) ORDER BY bin""",
+
+    "q_seasonal_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  count(*) AS n
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, hour(h) AS hod, n,
+                  row_number() OVER (PARTITION BY event_type, hour(h)
+                                     ORDER BY n) AS rn,
+                  count(*) OVER (PARTITION BY event_type, hour(h))
+                    AS cnt
+           FROM hourly),
+         m AS (
+           SELECT event_type, hod,
+                  sum(CASE WHEN rn = (cnt + 1) // 2 THEN n ELSE 0 END
+                    + CASE WHEN rn = cnt // 2 + 1 THEN n ELSE 0 END)
+                    AS median2
+           FROM st GROUP BY 1, 2)
+         SELECT hourly.event_type,
+                epoch(hourly.h)::BIGINT AS hour_epoch,
+                hourly.n::BIGINT AS n, m.median2::BIGINT AS median2
+         FROM hourly JOIN m ON hourly.event_type = m.event_type
+                           AND hour(hourly.h) = m.hod
+         WHERE hourly.n * 2 >= 3 * m.median2
+         ORDER BY 1, 2""",
 
     // set-similarity replay: BRUTE-FORCE all pairs (no prefix filter)
     // with the same integer test 20*|a n b| >= 19*|a u b| — an

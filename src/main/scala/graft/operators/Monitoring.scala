@@ -133,4 +133,48 @@ object Monitoring {
               col("__m.ns").as("n_s_max"),
               col("n_periods"), col("total"))
   }
+
+  /** Seasonal burst detection: hourly event volumes judged against a
+    * per-(group, hour-of-day) robust baseline — the on-call anomaly
+    * monitor that does not page at 9am because 9am is always busy.
+    * The baseline is the exact doubled median of that slot's hourly
+    * counts across the window ([[graft.operators.Histograms
+    * .groupedDoubledMedian]] — a histogram crossing, no row sort), and
+    * a cell is flagged when `count >= (kNum/kDen) * median`, tested as
+    * the all-integer `2 * count * kDen >= kNum * median2`.
+    *
+    * Scale shape: ONE (group, hour) count aggregate (map-side partial;
+    * output rows = groups x hours — calendar-bounded, not data-
+    * bounded), a bounded profile aggregate over it (groups x 24 rows)
+    * broadcast back, and a flag projection. Nothing after the first
+    * aggregate scales with the event volume. Hours with zero events
+    * are absent from both baseline and flags: a burst monitor, not an
+    * outage monitor (pair with a densified spine for gap alerts).
+    *
+    * Returns flagged cells: (group, hour_epoch, n, median2).
+    */
+  def seasonalAnomalies(df: DataFrame, groupCol: String, tsCol: String,
+                        kNum: Long = 2L, kDen: Long = 1L): DataFrame = {
+    require(kNum > 0 && kDen > 0,
+            s"threshold must be a positive rational; got $kNum/$kDen")
+    // persist the calendar-bounded hourly table: the median's two
+    // histogram crossings and the final flag join are three plan
+    // branches — without this each one re-scans and re-aggregates the
+    // raw event table (4 full scans at 100 TB instead of 1). Released
+    // by the caller's clearCache (the nearDupPairs discipline).
+    val hourly = df.where(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+               date_trunc("hour", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__slot", concat_ws("#", col("g"), hour(col("h"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val profile = graft.operators.Histograms
+      .groupedDoubledMedian(hourly, "__slot", "n")
+      .select(col("__slot"), col("median2"))
+    hourly.join(broadcast(profile), Seq("__slot"))
+      .where(col("n") * (2L * kDen) >= lit(kNum) * col("median2"))
+      .select(col("g").as(groupCol),
+              unix_timestamp(col("h")).as("hour_epoch"),
+              col("n"), col("median2"))
+  }
 }

@@ -457,6 +457,45 @@ object Dedup {
   def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
     jaccardArrays(wordShingles(textA, n), wordShingles(textB, n))
 
+  /** Directed n-gram CONTAINMENT pairs: (a, b) where at least
+    * `minNum/minDen` of a's distinct word n-grams also occur in b —
+    * the asymmetric overlap Jaccard near-dup misses (a short document
+    * quoted inside a much longer one has tiny Jaccard but containment
+    * ≈ 1). The quote/boilerplate-inclusion detector of a curation
+    * pipeline.
+    *
+    * The threshold test and both emitted overlap columns are exact
+    * integers (`inter_grams * minDen >= minNum * a_grams` — no float
+    * division anywhere), so results replay bit-exactly in any engine.
+    *
+    * This form joins the given pairs frame (`id_a`, `id_b`) against
+    * materialized shingle arrays — feed it LSH candidates
+    * ([[minhashCandidates]]) or any blocked pair source; shingles are
+    * computed once per distinct member id (semi-join against the pair
+    * ids), never per pair. Pairs are directed: callers wanting both
+    * orientations pass both.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       pairs: DataFrame, n: Int = 3,
+                       minNum: Long = 1L, minDen: Long = 2L): DataFrame = {
+    require(minDen > 0 && minNum >= 0,
+            s"threshold must be a nonnegative rational; got $minNum/$minDen")
+    val ids = pairs.select(col("id_a").as("__id"))
+      .union(pairs.select(col("id_b").as("__id"))).distinct()
+    val sh = df.join(ids, col(idCol) === col("__id"), "left_semi")
+      .select(col(idCol).as("__sid"),
+              split(normalizeText(col(textCol)), " ").as("__tok"))
+      .select(col("__sid"), wordShinglesOf(col("__tok"), n).as("__sh"))
+    val a = sh.select(col("__sid").as("id_a"), col("__sh").as("__sha"))
+    val b = sh.select(col("__sid").as("id_b"), col("__sh").as("__shb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              size(array_intersect(col("__sha"), col("__shb")))
+                .cast("long").as("inter_grams"),
+              size(col("__sha")).cast("long").as("a_grams"))
+      .where(col("inter_grams") * minDen >= lit(minNum) * col("a_grams"))
+  }
+
   /** Verified near-dup pairs: LSH candidates filtered by n-gram Jaccard >=
     * threshold. Shingle arrays are materialized per doc BEFORE the joins
     * so tokenization runs once per document, not once per candidate pair

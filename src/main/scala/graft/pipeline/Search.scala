@@ -189,4 +189,70 @@ object Search {
       .orderBy(desc("rrf_ppm"), col("id"))
       .limit(k)
   }
+
+  /** Exact phrase search: documents containing the query terms as a
+    * CONTIGUOUS token run, with the per-document occurrence count —
+    * the retrieval primitive BM25's bag-of-words scoring cannot
+    * express (quote queries, boilerplate phrase hunting, template
+    * detection in a crawl).
+    *
+    * Plan shape — the positional-postings intersection every inverted
+    * index runs, expressed as relational operators so Catalyst keeps
+    * it distributed:
+    *  - ONE tokenize + posexplode per document, with the term filter
+    *    (`isInCollection` on the literal query vocabulary) fused into
+    *    the same codegen stage as the generator, so only positions of
+    *    query terms ever leave the scan task — for an m-term phrase
+    *    the exploded relation is O(matching positions), a sliver of
+    *    the token stream;
+    *  - the m-way positional intersection is a chain of equi-joins on
+    *    `(id, pos)` with term i's positions shifted by -i. Every join
+    *    key includes the doc id, so all stages hash-partition on the
+    *    same id-led key family and the tiny per-term sides broadcast
+    *    under AQE at typical phrase selectivities;
+    *  - occurrence count = one aggregate over surviving anchors.
+    * No global sort, no token-array shuffle, no per-pair recompute.
+    *
+    * Each `(id, pos)` pair is unique by construction (one token per
+    * position), so the inner joins cannot fan out: every surviving
+    * anchor row is exactly one phrase occurrence (overlapping
+    * occurrences of self-overlapping phrases included, matching the
+    * sliding-window definition).
+    */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val postings = df
+      .select(col(idCol).as("id"),
+              split(lower(trim(col(textCol))), "\\s+").as("__tok"))
+      .select(col("id"),
+              posexplode(col("__tok")).as(Seq("pos", "token")))
+      .where(col("token").isInCollection(terms.distinct))
+    val anchor = postings.where(col("token") === terms.head)
+      .select(col("id"), col("pos"))
+    val hits = terms.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val shifted = postings.where(col("token") === t)
+          .select(col("id"), (col("pos") - i).as("pos"))
+        acc.join(shifted, Seq("id", "pos"))
+    }
+    hits.groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Scan-side phrase-occurrence counter over a MATERIALIZED token
+    * array: number of windows where the phrase matches. The zero-
+    * shuffle formulation ([[phraseSearch]]'s parity oracle, and the
+    * right plan when the corpus has no posting index to exploit —
+    * one codegen'd projection pass, nothing leaves the scan task
+    * but a (id, count) row). */
+  def phraseHitsOf(tokens: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val m = phrase.size
+    when(size(tokens) < m, lit(0)).otherwise(
+      size(filter(sequence(lit(0), size(tokens) - m), i =>
+        phrase.map(_.toLowerCase).zipWithIndex.map { case (t, j) =>
+          element_at(tokens, i + j + 1) === lit(t)
+        }.reduce(_ && _))))
+  }
 }

@@ -825,6 +825,123 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the near-miss negatives that make embedding models learn
+    * boundaries (easy random negatives are uninformative; the hardest
+    * ones sit closest in embedding space on the wrong side of the
+    * label).
+    *
+    * Determinism: similarity is the EXACT BIGINT dot product of the
+    * 1e-6-quantized components (`floor(x*1e6)` per side — one IEEE
+    * multiply+floor, identical everywhere; the sum of 64 bounded long
+    * products is order-independent), ties break to the lower corpus
+    * id, so the ranking replays bit-exactly in any engine. For
+    * float-scored production mining swap the score column for the
+    * codegen'd [[cosine]] kernel — the plan shape is identical.
+    *
+    * Scale shape: the query side (a training batch, thousands of rows
+    * at most) broadcasts into the corpus scan — one pass over the
+    * corpus, no corpus self-join, no shuffle of corpus vectors; the
+    * per-query top-k is a window over candidate rows already reduced
+    * to |queries| x |corpus-partition| local heaps by the rank filter.
+    * For corpus-scale mining route queries through [[ivfTopKPortable]]
+    * first and only exact-score the probed cells — same contract,
+    * index-bounded candidates.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    embCol: String, idCol: String, labelCol: String,
+                    qidCol: String, qembCol: String, qlabelCol: String,
+                    k: Int): DataFrame = {
+    val quant: Column => Column = e =>
+      transform(e.cast("array<double>"),
+                x => floor(x * lit(1e6)).cast("long"))
+    val q = queries.select(col(qidCol).as("qid"),
+                           quant(col(qembCol)).as("__qv"),
+                           col(qlabelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("cid"),
+                          quant(col(embCol)).as("__cv"),
+                          col(labelCol).as("clabel"))
+    val dotQ = aggregate(zip_with(col("__qv"), col("__cv"),
+                                  (a, b) => a * b),
+                         lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dot_q").desc, col("cid"))
+    c.join(broadcast(q), col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("cid"), dotQ.as("dot_q"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("dot_q"), col("rank"))
+  }
+
+  /** Greedy k-center (farthest-point) coreset sampling: pick the seed
+    * (lowest id), then k-1 times the vector FARTHEST from everything
+    * picked so far — the classic 2-approximation to the k-center
+    * cover, and the diversity-sampling primitive of data curation
+    * (maximally-spread exemplars for labeling budgets, eval-set
+    * construction, pruning redundant mass).
+    *
+    * Determinism: distances are exact BIGINT squared distances over
+    * 1e-6-quantized components (the [[kmeansCentroidsQ]] discipline —
+    * the only float op is one IEEE multiply+floor per component);
+    * argmax ties break to the lower id. Every step replays bit-exactly
+    * in plain SQL.
+    *
+    * Scale shape: each of the k rounds is ONE narrow projection — the
+    * native [[graft.functions.VectorExprs.nearestCellD2Q]] kernel over
+    * the picked set as a broadcast literal (min-distance to picks and
+    * the argmax TakeOrdered fuse into one codegen stage) — so the loop
+    * costs k corpus scans and the driver holds k quantized vectors,
+    * never the corpus. Rows with null/ragged embeddings are excluded
+    * up front.
+    *
+    * Returns the picked rows in pick order: (pick, id, d2 = exact
+    * squared quantized distance to the previously-picked set; 0 for
+    * the seed).
+    */
+  def kCenterSample(df: DataFrame, embCol: String, idCol: String,
+                    dim: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val clean = df.where(col(embCol).isNotNull &&
+                         size(col(embCol)) === dim &&
+                         !exists(col(embCol), _.isNull))
+      .select(col(idCol).as("id"),
+              col(embCol).cast("array<double>").as("emb"))
+    // picks quantize on the driver with the SAME floor(x*1e6) the
+    // kernel applies to every scanned vector — one quantization step
+    // per component on either path
+    def quantized(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getSeq[Double](1).map(v => math.floor(v * 1e6).toLong).toArray
+    val seedRow = clean.orderBy("id").limit(1)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"kCenterSample: no usable rows (null/ragged $embCol everywhere)"))
+    var picked = Vector((seedRow.getLong(0), quantized(seedRow), 0L))
+    for (_ <- 1 until k) {
+      val centers = picked.map(_._2).toArray
+      val cd = graft.functions.VectorExprs
+        .nearestCellD2Q(col("emb"), centers)
+      val next = clean
+        .select(col("id"), col("emb"), cd.getItem(1).as("d2"))
+        .orderBy(col("d2").desc, col("id")).limit(1)
+        .collect().head
+      picked = picked :+ ((next.getLong(0), quantized(next), next.getLong(2)))
+    }
+    val rows = picked.zipWithIndex.map { case ((id, _, d2), i) =>
+      org.apache.spark.sql.Row(i, id, d2)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pick",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
     * bucket with cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
