@@ -465,6 +465,83 @@ object ScaleProbe {
       }
     }
     } // section("analytics")
+
+    // round-7 retrieval/sampling/calibration paths. Phrase search is
+    // postings-bound (the explode is filtered to the phrase vocabulary
+    // in the scan stage); hard negatives broadcast the bounded query
+    // batch into one corpus pass; k-center costs k narrow kernel
+    // scans; isotonic is one histogram aggregate + driver PAV;
+    // seasonal is one calendar-bounded aggregate + histogram medians.
+    section("round7") {
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_extendedprice", "l_returnflag")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_type", "ts")
+      Seq(1, 16).foreach { mult =>
+        def rep(df: org.apache.spark.sql.DataFrame, idCol: String) =
+          if (mult == 1) df
+          else df.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn(idCol,
+              col(idCol) * mult + col("__rep")).drop("__rep")
+        val d = rep(docs, "doc_id")
+        val e = rep(emb, "vec_id")
+        val li2 =
+          if (mult == 1) liRaw
+          else liRaw.crossJoin(
+            spark.range(mult.toLong).select(col("id").as("__rep")))
+            .drop("__rep")
+        // replicated events keep their timestamps: the hourly table
+        // stays calendar-bounded while its input grows mult-fold —
+        // exactly the claimed scale shape (the count aggregate is the
+        // only data-sized pass)
+        val e2 =
+          if (mult == 1) ev
+          else ev.crossJoin(
+            spark.range(mult.toLong).select(col("id").as("__rep")))
+            .drop("__rep")
+        val nd = d.count(); val ne = e.count()
+        val nl = li2.count(); val nev = e2.count()
+        (1 to 2).foreach { pass =>
+          val tPh = timed {
+            graft.pipeline.Search
+              .phraseSearch(d, "text", "doc_id", Seq("the", "query"))
+              .agg(sum(col("n_hits"))).collect()
+          }
+          val tHn = timed {
+            graft.pipeline.Similarity.hardNegatives(
+                e, e.where(col("vec_id") < 5),
+                "embedding", "vec_id", "vec_id", "vec_id", "embedding",
+                "vec_id", k = 5)
+              .agg(count(lit(1))).collect()
+          }
+          val tKc = timed {
+            graft.pipeline.Similarity
+              .kCenterSample(e, "embedding", "vec_id", dim = 64, k = 5)
+              .collect()
+          }
+          val tIso = timed {
+            graft.operators.Isotonic.isotonicEventRates(
+              li2.withColumn("y",
+                  when(col("l_returnflag") === "R", 1L).otherwise(0L))
+                .withColumn("bin",
+                  least(floor(col("l_extendedprice") / 10000), lit(10))),
+              "bin", "y").collect()
+          }
+          val tSea = timed {
+            graft.operators.Monitoring
+              .seasonalAnomalies(e2, "event_type", "ts", 3L, 1L)
+              .agg(count(lit(1))).collect()
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d docs=$nd%9d vecs=$ne%8d " +
+              f"lineitem=$nl%9d events=$nev%9d phrase=$tPh%6.2f s " +
+              f"hardneg=$tHn%6.2f s kcenter=$tKc%6.2f s " +
+              f"isotonic=$tIso%6.2f s seasonal=$tSea%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
     spark.stop()
   }
 }
