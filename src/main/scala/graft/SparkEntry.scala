@@ -3060,6 +3060,42 @@ object SparkEntry {
         .orderBy("event_type", "hour_epoch")
     }),
 
+    "q_group_split" -> ((s, dir) => {
+      // leakage-safe train/val/test: the split hashes the USER, so all
+      // of a user's events co-locate in one partition; per-split
+      // user/row/value totals prove the assignment
+      val e = T(s, dir, "events").where(col("value").isNotNull)
+      Curation.groupSplit(e, "user_id")
+        .groupBy("split")
+        .agg(countDistinct("user_id").as("n_users"),
+             count(lit(1)).as("n_rows"),
+             sum(floor(col("value") * 100).cast("long"))
+               .as("value_cents"))
+        .orderBy("split")
+    }),
+
+    "q_winsorized" -> ((s, dir) => {
+      // winsorized per-type value stats: tails clamped at the exact
+      // [p10, p90] discrete quantiles — both thresholds from ONE
+      // bucketed histogram crossing, all-integer output
+      val e = T(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Histograms
+        .winsorizedStats(e, "event_type", "cents", 1, 10, 9, 10)
+        .orderBy("event_type")
+    }),
+
+    "q_lsh_quality" -> ((s, dir) => {
+      // LSH tuning report: candidate volume + exact recall of the
+      // 32-hash/8-band MinHash stage against brute-force word-3-gram
+      // Jaccard >= 1/2 truth on the doc_id < 200 sample
+      val d = T(s, dir, "documents").where(col("doc_id") < 200)
+      Dedup.lshQualityReport(d, "text", "doc_id", numHashes = 32,
+                             bands = 8, thrNum = 1L, thrDen = 2L,
+                             ngram = 3)
+    }),
+
     "q_setsim_join" -> ((s, dir) => {
       // EXACT set-similarity self-join (prefix filter, no LSH): all
       // pairs with distinct-token Jaccard >= 19/20, verified with
@@ -7491,6 +7527,117 @@ object SparkEntry {
                            AND hour(hourly.h) = m.hod
          WHERE hourly.n * 2 >= 3 * m.median2
          ORDER BY 1, 2""",
+
+    "q_group_split" ->
+      """WITH s AS (
+           SELECT user_id, value,
+                  CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) <= 'b'
+                         THEN 'train'
+                       WHEN substr(md5(user_id::VARCHAR), 1, 1) <= 'd'
+                         THEN 'val'
+                       ELSE 'test' END AS split
+           FROM events WHERE value IS NOT NULL)
+         SELECT split, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_rows,
+                sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    // exact order statistics via row_number — an independent
+    // formulation of the bucketed-crossing picks
+    "q_winsorized" ->
+      """WITH x AS (
+           SELECT event_type, floor(value * 100)::BIGINT AS v
+           FROM events WHERE value IS NOT NULL),
+         st AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM x),
+         thr AS (
+           SELECT event_type,
+                  max(CASE WHEN rn = (n + 9) // 10 THEN v END) AS lo,
+                  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS hi
+           FROM st GROUP BY 1)
+         SELECT x.event_type, count(*) AS n, max(lo) AS lo,
+                max(hi) AS hi,
+                sum(greatest(least(v, hi), lo))::BIGINT
+                  AS winsorized_sum,
+                sum(v)::BIGINT AS raw_sum
+         FROM x JOIN thr USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+
+    // candidate CTEs replay q_minhash_bands (portable Rabin-Karp
+    // 5-char shingles, 32 hashes, 8 bands, star guard); truth is the
+    // q_ngram_jaccard brute force at the integer 1/2 threshold
+    "q_lsh_quality" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS nm
+           FROM documents WHERE doc_id < 200),
+         cp AS (
+           SELECT doc_id,
+                  [unicode(c)::BIGINT FOR c IN
+                   regexp_extract_all(nm, '(?s).')] AS cps,
+                  string_split(nm, ' ') AS tok
+           FROM n),
+         hs AS (
+           SELECT doc_id, tok,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM cp),
+         sigs AS (
+           SELECT doc_id, tok,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         bnd AS (
+           SELECT doc_id, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sigs, (SELECT unnest(range(0, 8)) AS b) b),
+         bsz AS (
+           SELECT doc_id, band, key,
+                  count(*) OVER (PARTITION BY band, key) AS bn,
+                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
+           FROM bnd),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bsz x JOIN bsz y
+             ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id
+           WHERE x.bn <= 256 OR x.doc_id = x.bmin),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tok) < 3
+                       THEN [array_to_string(tok, ' ')]
+                       ELSE list_distinct(
+                              [array_to_string(tok[i:i+2], ' ')
+                               FOR i IN range(1, len(tok) - 1)])
+                  END AS sh
+           FROM sigs),
+         truth AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 2 >=
+                 len(list_distinct(list_concat(a.sh, b.sh)))),
+         hits AS (
+           SELECT t.id_a, t.id_b
+           FROM truth t JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         SELECT (SELECT count(*) FROM cand) AS n_candidates,
+                (SELECT count(*) FROM truth) AS n_truth,
+                (SELECT coalesce(sum(id_a + id_b), 0)::BIGINT
+                 FROM truth) AS truth_id_sum,
+                (SELECT count(*) FROM hits) AS n_hits""",
 
     // set-similarity replay: BRUTE-FORCE all pairs (no prefix filter)
     // with the same integer test 20*|a n b| >= 19*|a u b| — an

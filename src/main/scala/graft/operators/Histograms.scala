@@ -184,6 +184,51 @@ object Histograms {
            first(col("__tw")).as("w"), first(col("__n")).as("n"))
   }
 
+  /** Winsorized robust statistics per group: values clamped to the
+    * exact [loNum/loDen, hiNum/hiDen] discrete-quantile thresholds
+    * before aggregation — the outlier-robust total/mean that keeps
+    * every row (unlike a gate, which drops tails and changes n), the
+    * standard treatment for heavy-tailed revenue/latency aggregates.
+    * All-integer on integer inputs: thresholds are raw stored values,
+    * the clamp is min/max, sums are exact BIGINTs.
+    *
+    * Scale shape: BOTH tail thresholds ride ONE bucketed histogram
+    * crossing ([[bucketedCrossing2K]] — no per-group sort wider than a
+    * grid cell), and the bounded (group, lo, hi) table broadcasts back
+    * into a single clamp-and-aggregate pass. Two corpus scans total at
+    * any scale.
+    *
+    * Returns (group, n, lo, hi, winsorized_sum, raw_sum).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      loNum: Int, loDen: Int,
+                      hiNum: Int, hiDen: Int): DataFrame = {
+    require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
+            loNum <= loDen && hiNum <= hiDen &&
+            loNum.toLong * hiDen <= hiNum.toLong * loDen,
+            s"tail levels must satisfy 0 < $loNum/$loDen <= $hiNum/$hiDen <= 1")
+    val v = col(valueCol)
+    val h = df.where(v.isNotNull)
+      .groupBy(col(groupCol), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__w", col("__c"))
+    val thr = bucketedCrossing2K(h, groupCol,
+        s"(__tw * $loNum + ${loDen - 1}) div $loDen",
+        s"(__tw * $hiNum + ${hiDen - 1}) div $hiDen")
+      .select(col(groupCol), col("pick_a").as("lo"),
+              col("pick_b").as("hi"))
+    df.where(v.isNotNull)
+      .join(broadcast(thr), Seq(groupCol))
+      .select(col(groupCol), col("lo"), col("hi"),
+              greatest(least(v, col("hi")), col("lo")).as("__wv"),
+              v.as("__raw"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), first("lo").as("lo"),
+           first("hi").as("hi"),
+           sum("__wv").as("winsorized_sum"),
+           sum("__raw").as("raw_sum"))
+  }
+
   /** TWICE the exact per-group median — the sum of the lower- and
     * upper-median order statistics (equal for odd n), so the classic
     * interpolated median's `x.5` halves stay exact in integer

@@ -25,6 +25,17 @@ object Curation {
     when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
   }
 
+  /** Leakage-safe grouped split: [[hashSplit]] keyed on the GROUP
+    * (user, session, document family) instead of the row, so every row
+    * of a group lands in the same train/val/test partition — the split
+    * discipline that keeps a user's history out of both train and
+    * eval at once (row-hashed splits leak group signal across the
+    * boundary and inflate eval metrics). A pure projection: no
+    * shuffle, no state, and structurally zero leakage — the split is
+    * a function of the group key alone. */
+  def groupSplit(df: DataFrame, groupCol: String): DataFrame =
+    df.withColumn("split", hashSplit(col(groupCol)))
+
   /** Exact percentile threshold of `metric` over `df` — ONE aggregate
     * job. Exact `percentile` buffers per-distinct-value counts: right
     * for metrics with bounded distinct values (token/subword counts,

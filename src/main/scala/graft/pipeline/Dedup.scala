@@ -496,6 +496,56 @@ object Dedup {
       .where(col("inter_grams") * minDen >= lit(minNum) * col("a_grams"))
   }
 
+  /** Candidate-stage quality report: RECALL of the MinHash-LSH
+    * candidate generator against the exact verification criterion
+    * (word n-gram Jaccard >= thrNum/thrDen), plus the candidate volume
+    * that recall costs — the measurement that tunes numHashes/bands
+    * before a 100 TB dedup run (more bands = higher recall = more
+    * candidate pairs to verify; this report prices the trade on a
+    * sample).
+    *
+    * `df` should be a bounded sample: the truth side is an exact
+    * all-pairs join by construction (that is the point — an
+    * LSH-independent ground truth). All emitted quantities are exact
+    * integers; the Jaccard threshold is the integer cross-multiply
+    * `inter * thrDen >= thrNum * union`.
+    *
+    * Returns one row: (n_candidates, n_truth, n_hits, truth_id_sum) —
+    * recall = n_hits / n_truth, and the id checksum pins the truth set
+    * itself, not just its size.
+    */
+  def lshQualityReport(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int = 32, bands: Int = 8,
+                       thrNum: Long = 1L, thrDen: Long = 2L,
+                       ngram: Int = 3): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands,
+                                 portable = true)
+      .select(col("id_a"), col("id_b")).distinct()
+    // materialization barrier (the q_ngram_jaccard discipline): without
+    // it the shingle projection is recomputed per PAIR above the join
+    val sh = df
+      .select(col(idCol).as("__sid"),
+              split(normalizeText(col(textCol)), " ").as("__tok"))
+      .select(col("__sid"), wordShinglesOf(col("__tok"), ngram).as("__sh"))
+      .repartition(8)
+    val a = sh.select(col("__sid").as("id_a"), col("__sh").as("__sha"))
+    val b = sh.select(col("__sid").as("id_b"), col("__sh").as("__shb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              size(array_intersect(col("__sha"), col("__shb")))
+                .cast("long").as("__i"),
+              size(array_union(col("__sha"), col("__shb")))
+                .cast("long").as("__u"))
+      .where(col("__i") * thrDen >= lit(thrNum) * col("__u"))
+      .select(col("id_a"), col("id_b"))
+    val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth"),
+                           coalesce(sum(col("id_a") + col("id_b")),
+                                    lit(0L)).as("truth_id_sum")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+  }
+
   /** Verified near-dup pairs: LSH candidates filtered by n-gram Jaccard >=
     * threshold. Shingle arrays are materialized per doc BEFORE the joins
     * so tokenization runs once per document, not once per candidate pair

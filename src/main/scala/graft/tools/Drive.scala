@@ -8,14 +8,12 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q_phrase_search", "q_containment", "q_hard_negatives",
-                  "q_kcenter_sample", "q_isotonic", "q_seasonal_anomaly")) {
+    for (q <- Seq("q_group_split", "q_winsorized", "q_lsh_quality")) {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
       println(s"=== $q rows=${df.count()}")
       println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      if (Seq("q_phrase_search", "q_seasonal_anomaly", "q_hard_negatives")
-            .contains(q))
+      if (Seq("q_winsorized", "q_lsh_quality").contains(q))
         df.explain("formatted")
     }
     spark.stop()

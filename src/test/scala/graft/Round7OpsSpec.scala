@@ -189,6 +189,87 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorizedStats matches a sort-and-clamp reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 500).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+       // heavy tail: occasional 100x spikes
+       (if (rnd.nextInt(20) == 0) rnd.nextInt(100000)
+        else rnd.nextInt(1000)).toLong))
+    val got = Histograms
+      .winsorizedStats(rows.toDF("g", "v"), "g", "v", 1, 10, 9, 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2).sorted
+      val n = vs.length
+      def pick(num: Int, den: Int) = vs((n * num + den - 1) / den - 1)
+      val lo = pick(1, 10); val hi = pick(9, 10)
+      val wsum = vs.map(v => math.max(lo, math.min(hi, v))).sum
+      assert(got(g) === ((n.toLong, lo, hi, wsum, vs.sum)))
+    }
+  }
+
+  test("groupSplit: all rows of a group land in one split") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => ((i % 37).toLong, i.toLong))
+    val out = Curation.groupSplit(rows.toDF("user_id", "event_id"),
+                                  "user_id")
+    // leakage = a user appearing in more than one split: structurally 0
+    val leaks = out.groupBy("user_id")
+      .agg(countDistinct("split").as("k"))
+      .where(col("k") > 1).count()
+    assert(leaks === 0L)
+    // and the assignment is hashSplit of the key itself
+    val direct = rows.map(_._1).distinct.map { u =>
+      u -> Seq(u).toDF("user_id")
+        .select(Curation.hashSplit(col("user_id"))).collect().head
+        .getString(0)
+    }.toMap
+    out.select("user_id", "split").distinct().collect().foreach { r =>
+      assert(direct(r.getLong(0)) === r.getString(1))
+    }
+  }
+
+  test("lshQualityReport: exact dups are always candidates; counts " +
+       "reconcile with brute force") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    def doc(): String =
+      (1 to 40).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+    val base = (0 until 60).map(i => (i.toLong, doc()))
+    // 10 exact dup pairs: identical text -> identical signatures ->
+    // guaranteed candidates AND truth
+    val dups = (0 until 10).map(i => (100L + i, base(i)._2))
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val rep = Dedup.lshQualityReport(df, "text", "doc_id",
+                                     numHashes = 32, bands = 8,
+                                     thrNum = 1L, thrDen = 2L, ngram = 3)
+      .collect().head
+    val (nCand, nTruth, idSum, nHits) =
+      (rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3))
+    assert(nTruth >= 10L)      // at least the planted exact dups
+    assert(nHits >= 10L)       // identical sigs can never be missed
+    assert(nHits <= nTruth && nHits <= nCand)
+    // truth checksum reconciles with a driver brute force
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = base ++ dups
+    val truthPairs = for {
+      i <- all.indices; j <- (i + 1) until all.length
+      a = grams(all(i)._2); b = grams(all(j)._2)
+      if (a & b).size * 2 >= (a | b).size
+    } yield (all(i)._1, all(j)._1)
+    assert(nTruth === truthPairs.length.toLong)
+    assert(idSum === truthPairs.map(p => p._1 + p._2).sum)
+  }
+
   test("seasonalAnomalies: bursts against the slot median, all-integer") {
     val spark = TestSpark.spark
     import spark.implicits._
