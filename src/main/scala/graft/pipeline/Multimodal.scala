@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * (the JVM analogue of `mapInPandas` batches — one decoder instance per
   * partition, amortized init, bounded memory).
   *
-  * Dimension decode is REAL for PNG/BMP/GIF payloads ([[Multimodal.ImageHeader]]
+  * Dimension decode is REAL for PNG/BMP/GIF/JPEG payloads ([[Multimodal.ImageHeader]]
   * parses the actual header byte layouts — pure JVM, no native codecs);
   * the PIXEL stage stays stubbed (`DecoderStub` emits a deterministic
   * hash-derived feature vector) because this container ships no image
@@ -31,7 +31,8 @@ object Multimodal {
 
   /** Honest pure-JVM image header decoder: parses width/height from the
     * REAL byte layout of PNG (8-byte signature + IHDR chunk,
-    * big-endian dims at offsets 16/20), BMP (`BM` magic + zeroed
+    * big-endian dims at offsets 16/20), JPEG (SOI + marker-segment
+    * walk to the first SOFn frame header), BMP (`BM` magic + zeroed
     * reserved words, little-endian BITMAPINFOHEADER dims at 18/22 —
     * a negative height encodes top-down row order), and GIF
     * (`GIF87a`/`GIF89a`, little-endian logical-screen dims at 6/8).
@@ -77,6 +78,42 @@ object Multimodal {
                p(2) == 'F' && p(3) == '8' &&
                (p(4) == '7' || p(4) == '9') && p(5) == 'a')
         Some(Info("gif", le16(6), le16(8)))
+      else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG: SOI, then walk the marker-segment chain to the first
+        // SOFn frame header (the REAL byte protocol — each non-
+        // standalone marker is FF xx + 16-bit big-endian length
+        // including itself; dims sit after the length and precision
+        // bytes, height before width). C4/C8/CC are DHT/JPG/DAC, not
+        // frame headers. Corrupt chains (non-FF where a marker must
+        // start, length < 2, truncation) fall to the stub rather than
+        // emit garbage.
+        def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+        var i = 2
+        var out: Option[Info] = None
+        var live = true
+        while (live && out.isEmpty && i + 3 < p.length) {
+          if (u8(i) != 0xff) live = false
+          else {
+            val m = u8(i + 1)
+            if (m == 0xff) i += 1 // fill byte
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+            else if (m == 0xd9 || m == 0xda) live = false // EOI/SOS
+            else {
+              val len = be16(i + 2)
+              if (len < 2) live = false
+              else if (m >= 0xc0 && m <= 0xcf &&
+                       m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (i + 8 < p.length && len >= 7) {
+                  val h = be16(i + 5); val w = be16(i + 7)
+                  if (w > 0 && h > 0) out = Some(Info("jpeg", w, h))
+                }
+                live = false // a malformed SOF ends the walk either way
+              } else i += 2 + len
+            }
+          }
+        }
+        out
+      }
       else None
     }
   }

@@ -31,6 +31,35 @@ class MultimodalSpec extends AnyFunSuite {
              .contains(Multimodal.ImageHeader.Info("bmp", 5, 9)))
   }
 
+  test("ImageHeader parses real JPEG bytes (SOF marker walk) and " +
+       "rejects corrupt marker chains") {
+    val jpg = imageBytes("jpg", 41, 19)
+    assert(Multimodal.ImageHeader.parse(jpg)
+             .contains(Multimodal.ImageHeader.Info("jpeg", 41, 19)))
+    // progressive-style SOF2 with leading fill bytes and a skipped APP0
+    val sof2 = Array[Int](
+      0xff, 0xd8,                         // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0 len 4
+      0xff, 0xff,                         // fill byte before marker
+      0xff, 0xc2, 0x00, 0x0b, 0x08,       // SOF2 len 11, precision 8
+      0x01, 0x00,                         // height 256
+      0x02, 0x03,                         // width 515
+      0x01, 0x11, 0x22, 0x00).map(_.toByte)
+    assert(Multimodal.ImageHeader.parse(sof2)
+             .contains(Multimodal.ImageHeader.Info("jpeg", 515, 256)))
+    // SOI then a non-marker byte where a marker must start: corrupt
+    val corrupt = Array[Int](0xff, 0xd8, 0x12, 0x34, 0x56, 0x78)
+      .map(_.toByte)
+    assert(Multimodal.ImageHeader.parse(corrupt).isEmpty)
+    // DHT (C4) must NOT be read as a frame header; chain that ends in
+    // SOS before any SOF yields no dims
+    val dhtOnly = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xc4, 0x00, 0x04, 0x00, 0x01, // DHT len 4
+      0xff, 0xda, 0x00, 0x02).map(_.toByte) // SOS: stop
+    assert(Multimodal.ImageHeader.parse(dhtOnly).isEmpty)
+  }
+
   test("ImageHeader parses a GIF logical screen descriptor") {
     // GIF89a, width 300 (0x012C LE), height 70 (0x46 LE) + padding
     val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
