@@ -3096,6 +3096,23 @@ object SparkEntry {
                              ngram = 3)
     }),
 
+    "q_er_clusters" -> ((s, dir) => {
+      // composed entity resolution over customer names: exact-name
+      // collapse -> FastSS edit-distance-1 blocking + levenshtein
+      // verify -> connected components; reported as the cluster-size
+      // histogram with a label checksum. The id%3 sample breaks the
+      // synthetic names' digit-adjacency chains so the closure yields
+      // a REAL size spectrum instead of one corpus-wide cluster
+      val c = T(s, dir, "customer").select("c_custkey", "c_name")
+        .where(col("c_custkey") % 3 === 0)
+      Dedup.entityClusters(c, "c_custkey", "c_name")
+        .groupBy("comp").agg(count(lit(1)).as("size"))
+        .groupBy("size")
+        .agg(count(lit(1)).as("n_clusters"),
+             sum(col("comp")).as("comp_checksum"))
+        .orderBy("size")
+    }),
+
     "q_setsim_join" -> ((s, dir) => {
       // EXACT set-similarity self-join (prefix filter, no LSH): all
       // pairs with distinct-token Jaccard >= 19/20, verified with
@@ -7638,6 +7655,36 @@ object SparkEntry {
                 (SELECT coalesce(sum(id_a + id_b), 0)::BIGINT
                  FROM truth) AS truth_id_sum,
                 (SELECT count(*) FROM hits) AS n_hits""",
+
+    // brute-force levenshtein truth (the q_fuzzy_pairs discipline) +
+    // min-reachable-label transitive closure (the q_dedup_clusters
+    // recursive-CTE pattern)
+    "q_er_clusters" ->
+      """WITH e AS (
+           SELECT min(c_custkey)::BIGINT AS node,
+                  lower(c_name) AS name
+           FROM customer
+           WHERE c_name IS NOT NULL AND c_custkey % 3 = 0
+           GROUP BY 2),
+         p AS (
+           SELECT a.node AS na, b.node AS nb
+           FROM e a JOIN e b
+             ON a.name < b.name
+            AND levenshtein(a.name, b.name) = 1),
+         sym AS (
+           SELECT na AS s, nb AS d FROM p
+           UNION ALL SELECT nb, na FROM p),
+         r AS (
+           WITH RECURSIVE r AS (
+             SELECT s AS id, s AS lab FROM sym
+             UNION
+             SELECT sym.d AS id, r.lab
+             FROM r JOIN sym ON sym.s = r.id)
+           SELECT id, min(lab) AS comp FROM r GROUP BY 1),
+         szs AS (SELECT comp, count(*) AS size FROM r GROUP BY 1)
+         SELECT size, count(*) AS n_clusters,
+                sum(comp)::BIGINT AS comp_checksum
+         FROM szs GROUP BY 1 ORDER BY 1""",
 
     // set-similarity replay: BRUTE-FORCE all pairs (no prefix filter)
     // with the same integer test 20*|a n b| >= 19*|a u b| — an

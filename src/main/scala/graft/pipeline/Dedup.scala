@@ -1010,6 +1010,46 @@ object Dedup {
       .where(levenshtein(col("a"), col("b")) === 1)
   }
 
+  /** Composed entity resolution: normalize → block → verify → cluster,
+    * the end-to-end chain that collapses near-identical entities
+    * (customer/vendor/product names) into canonical groups — the
+    * master-data-management counterpart of the document dedup chain.
+    *
+    * Stages, each the scale-safe primitive already proven on its own:
+    *  1. normalize: case-folded name, exact-duplicate names collapse to
+    *     one node keyed by the MINIMUM owning entity id (a bounded
+    *     groupBy — exact-entity dedup for free);
+    *  2. block + verify: edit-distance-1 name pairs via FastSS deletion
+    *     -neighborhood blocking ([[editDistance1Pairs]] — an equi-join
+    *     on deletion variants, never all-pairs, exact `levenshtein`
+    *     verify on the candidate sliver);
+    *  3. cluster: transitive closure over the verified edges
+    *     ([[connectedComponents]] — driver union-find under the edge
+    *     budget, distributed min-label propagation beyond).
+    *
+    * The bounded name-node table is persisted: it feeds the variant
+    * generator and both edge-endpoint joins, and re-deriving it would
+    * re-scan the entity table three times. Released by the caller's
+    * clearCache.
+    *
+    * Returns (id = name-node, comp = cluster label, both BIGINT);
+    * only entities participating in at least one fuzzy match appear
+    * (unmatched entities are their own implicit singleton clusters).
+    */
+  def entityClusters(df: DataFrame, idCol: String,
+                     nameCol: String): DataFrame = {
+    val names = df.where(col(nameCol).isNotNull)
+      .groupBy(lower(col(nameCol)).as("name"))
+      .agg(min(col(idCol).cast("long")).as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = editDistance1Pairs(names, "name")
+    val an = names.select(col("name").as("a"), col("node").as("na"))
+    val bn = names.select(col("name").as("b"), col("node").as("nb"))
+    val edges = pairs.join(an, Seq("a")).join(bn, Seq("b"))
+      .select(col("na").as("id_a"), col("nb").as("id_b"))
+    connectedComponents(edges)
+  }
+
   /** Corpus n-gram novelty per group (source/snapshot/shard): how much
     * of each group's shingle mass appears NOWHERE else in the corpus.
     * Per document, the distinct word n-grams ([[wordShinglesOf]]); a

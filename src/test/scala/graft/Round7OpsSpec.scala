@@ -270,6 +270,27 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(idSum === truthPairs.map(p => p._1 + p._2).sum)
   }
 
+  test("entityClusters: normalize -> block -> verify -> closure") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val entities = Seq(
+      (10L, "Acme Corp"),    // exact-dup of 11 after case fold
+      (11L, "ACME CORP"),
+      (12L, "Acme Corpx"),   // 1 edit from "acme corp"
+      (13L, "Acme Corpxy"),  // 1 edit from "acme corpx" -> same cluster
+      (20L, "Widget Inc"),
+      (21L, "Widget Ink"),   // 1 edit from "widget inc"
+      (30L, "Unrelated LLC") // singleton: no fuzzy match, not emitted
+    ).toDF("id", "name")
+    val out = Dedup.entityClusters(entities, "id", "name")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node ids are min-owner per folded name: acme corp -> 10
+    assert(out.keySet === Set(10L, 12L, 13L, 20L, 21L))
+    assert(out(10L) === 10L && out(12L) === 10L && out(13L) === 10L)
+    assert(out(20L) === 20L && out(21L) === 20L)
+    spark.catalog.clearCache()
+  }
+
   test("seasonalAnomalies: bursts against the slot median, all-integer") {
     val spark = TestSpark.spark
     import spark.implicits._
