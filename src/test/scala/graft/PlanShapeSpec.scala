@@ -403,4 +403,72 @@ class PlanShapeSpec extends AnyFunSuite {
     // exchange; the histogram path never range-partitions
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("phraseSearch: term filter sits inside the generate stage — " +
+       "non-matching tokens never reach an exchange") {
+    val spark = TestSpark.spark
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val plan = physical(
+      Search.phraseSearch(d, "text", "doc_id", Seq("the", "query")))
+    assert(plan.contains("Generate"), plan)
+    // the posexplode output is filtered before any exchange: in the
+    // toString rendering the first Exchange must appear ABOVE (earlier
+    // lines = later operators) the Generate, and a Filter on token
+    // must sit between them
+    val lines = plan.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val filtIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("token"))
+    assert(filtIdx >= 0 && filtIdx < genIdx,
+           s"token filter not fused below the generator\n$plan")
+    // no global sort anywhere (ranking is an aggregate, not a sort)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("hardNegatives: query side broadcasts; ONE window rank, no " +
+       "corpus self-join") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val plan = physical(Similarity.hardNegatives(
+      e, e.where(col("vec_id") < 5), "embedding", "vec_id", "label",
+      "vec_id", "embedding", "label", k = 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"), plan)
+    assert(countOccurrences(plan, "Window [") === 1, plan)
+    // the rank limit is pushed BELOW the shuffle (WindowGroupLimit
+    // partial+final): each map task forwards at most k rows per query
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the corpus is scanned once: a self-join would scan embeddings
+    // twice with the SAME pruned schema
+    assert(countOccurrences(plan, "Scan parquet") === 2, plan) // corpus + query side
+  }
+
+  test("winsorizedStats: windows only over grid cells, never a raw " +
+       "per-group row sort; thresholds broadcast back") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+              floor(col("value") * 100).cast("long").as("cents"))
+    val plan = physical(Histograms.winsorizedStats(
+      e, "event_type", "cents", 1, 10, 9, 10))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    // every window input is histogram/grid-sized: windows exist, but
+    // below each sits a HashAggregate (the histogram), never raw rows
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("entityClusters edge generation is equi-join only — no " +
+       "cartesian/nested-loop over the vocabulary") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ents = (0 until 50).map(i => (i.toLong, s"name$i"))
+      .toDF("id", "name")
+    val plan = physical(Dedup.entityClusters(ents, "id", "name"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    spark.catalog.clearCache()
+  }
 }

@@ -270,6 +270,53 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(idSum === truthPairs.map(p => p._1 + p._2).sum)
   }
 
+  test("round-7 operators: degenerate-input behavior") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // phraseSearch: empty corpus and all-miss corpus -> empty result
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Search.phraseSearch(empty, "text", "doc_id",
+                               Seq("a", "b")).count() === 0)
+    val miss = Seq((1L, "nothing here")).toDF("doc_id", "text")
+    assert(Search.phraseSearch(miss, "text", "doc_id",
+                               Seq("the", "query")).count() === 0)
+    // kCenterSample with k > corpus: no crash, later picks repeat the
+    // lowest id at distance 0 (all mass covered)
+    val tiny = Seq((5L, Array(1.0f, 0.0f)), (9L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ks = Similarity.kCenterSample(tiny, "embedding", "vec_id",
+                                      dim = 2, k = 4)
+      .orderBy("pick").collect()
+    assert(ks.length === 4)
+    assert(ks.take(2).map(_.getLong(1)).toSet === Set(5L, 9L))
+    assert(ks.drop(2).forall(_.getLong(2) === 0L))
+    // kCenterSample on an empty/ragged-only frame fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterSample(
+        Seq((1L, Array(1.0f))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", dim = 2, k = 1)
+    }
+    // isotonic: empty input -> empty output; single bin -> its own rate
+    assert(Isotonic.isotonicEventRates(
+      Seq.empty[(Long, Long)].toDF("bin", "y"), "bin", "y").count() === 0)
+    val one = Isotonic.isotonicEventRates(
+      Seq((0L, 1L), (0L, 0L)).toDF("bin", "y"), "bin", "y").collect()
+    assert(one.length === 1 &&
+           one.head.getLong(3) === (BigInt(10).pow(16) / 2).toLong)
+    // winsorized: one distinct value -> lo = hi = value, sums equal
+    val w = Histograms.winsorizedStats(
+      Seq(("g", 7L), ("g", 7L), ("g", 7L)).toDF("k", "v"),
+      "k", "v", 1, 10, 9, 10).collect().head
+    assert(w.getLong(2) === 7L && w.getLong(3) === 7L &&
+           w.getLong(4) === 21L && w.getLong(5) === 21L)
+    // seasonalAnomalies: empty input -> empty output, no NPE
+    val noEv = Seq.empty[(java.sql.Timestamp, String)]
+      .toDF("ts", "event_type")
+    assert(Monitoring.seasonalAnomalies(noEv, "event_type", "ts")
+             .count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("entityClusters: normalize -> block -> verify -> closure") {
     val spark = TestSpark.spark
     import spark.implicits._
