@@ -45,10 +45,12 @@ object Isotonic {
                          scaleS: BigInt = BigInt(10).pow(16)): DataFrame = {
     val spark = df.sparkSession
     import scala.jdk.CollectionConverters._
-    val y = col(yCol).cast("long")
-    val guarded = when(y === 0L || y === 1L, y).otherwise(
+    // guard the RAW value before any cast: a long cast would truncate
+    // fractional labels (0.9 -> 0) and defeat the fail-fast contract
+    val raw = col(yCol)
+    val guarded = when(raw === 0 || raw === 1, raw.cast("long")).otherwise(
       raise_error(concat(lit(s"isotonicEventRates: $yCol must be 0/1, got "),
-                         col(yCol).cast("string"))))
+                         raw.cast("string"))))
     val agg = df.where(col(binCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(binCol).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"), sum(guarded).as("events"))

@@ -205,12 +205,15 @@ object Search {
     *    query terms ever leave the scan task — for an m-term phrase
     *    the exploded relation is O(matching positions), a sliver of
     *    the token stream;
-    *  - the m-way positional intersection is a chain of equi-joins on
-    *    `(id, pos)` with term i's positions shifted by -i. Every join
-    *    key includes the doc id, so all stages hash-partition on the
-    *    same id-led key family and the tiny per-term sides broadcast
-    *    under AQE at typical phrase selectivities;
-    *  - occurrence count = one aggregate over surviving anchors.
+    *  - the matched postings repartition by doc id ONCE; every
+    *    per-term branch is a filter over that same reused exchange
+    *    (one scan + tokenize total, not one per term), and the m-way
+    *    positional intersection — equi-joins on `(id, pos)` with term
+    *    i's positions shifted by -i — inherits the id partitioning
+    *    (HashPartitioning(id) satisfies each join's clustered
+    *    distribution), so no further shuffle exists anywhere;
+    *  - occurrence count = one aggregate over surviving anchors,
+    *    again on the inherited id partitioning.
     * No global sort, no token-array shuffle, no per-pair recompute.
     *
     * Each `(id, pos)` pair is unique by construction (one token per
@@ -223,12 +226,23 @@ object Search {
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val terms = phrase.map(_.toLowerCase)
+    // repartition(id) + persist: the id co-partitioning serves every
+    // downstream (id, pos) join/aggregate (HashPartitioning(id)
+    // satisfies their clustered distributions — no further shuffle),
+    // and the persist is the materialization barrier. A bare
+    // repartition is NOT enough here: the per-term filters push
+    // THROUGH it, specializing each branch's exchange and re-planning
+    // m scan+tokenize passes for an m-term phrase. The cached sliver
+    // is only the query-term postings (tiny by construction); released
+    // by the caller's clearCache — the nearDupPairs discipline.
     val postings = df
       .select(col(idCol).as("id"),
               split(lower(trim(col(textCol))), "\\s+").as("__tok"))
       .select(col("id"),
               posexplode(col("__tok")).as(Seq("pos", "token")))
       .where(col("token").isInCollection(terms.distinct))
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchor = postings.where(col("token") === terms.head)
       .select(col("id"), col("pos"))
     val hits = terms.zipWithIndex.tail.foldLeft(anchor) {

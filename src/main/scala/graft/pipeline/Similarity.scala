@@ -848,6 +848,10 @@ object Similarity {
     * For corpus-scale mining route queries through [[ivfTopKPortable]]
     * first and only exact-score the probed cells — same contract,
     * index-bounded candidates.
+    *
+    * Rows with a NULL label (either side) are excluded up front: a
+    * null can never witness "different label", so unlabeled corpus
+    * mass is invisible to the miner by contract, not by accident.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
                     embCol: String, idCol: String, labelCol: String,
@@ -856,12 +860,17 @@ object Similarity {
     val quant: Column => Column = e =>
       transform(e.cast("array<double>"),
                 x => floor(x * lit(1e6)).cast("long"))
-    val q = queries.select(col(qidCol).as("qid"),
-                           quant(col(qembCol)).as("__qv"),
-                           col(qlabelCol).as("qlabel"))
-    val c = corpus.select(col(idCol).as("cid"),
-                          quant(col(embCol)).as("__cv"),
-                          col(labelCol).as("clabel"))
+    // null labels carry no "different label" evidence — exclude them
+    // EXPLICITLY (the join's =!= would drop them silently either way;
+    // this makes the contract visible in the plan and the doc)
+    val q = queries.where(col(qlabelCol).isNotNull)
+      .select(col(qidCol).as("qid"),
+              quant(col(qembCol)).as("__qv"),
+              col(qlabelCol).as("qlabel"))
+    val c = corpus.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("cid"),
+              quant(col(embCol)).as("__cv"),
+              col(labelCol).as("clabel"))
     val dotQ = aggregate(zip_with(col("__qv"), col("__cv"),
                                   (a, b) => a * b),
                          lit(0L), (acc, x) => acc + x)
@@ -907,7 +916,7 @@ object Similarity {
     val clean = df.where(col(embCol).isNotNull &&
                          size(col(embCol)) === dim &&
                          !exists(col(embCol), _.isNull))
-      .select(col(idCol).as("id"),
+      .select(col(idCol).cast("long").as("id"),
               col(embCol).cast("array<double>").as("emb"))
     // picks quantize on the driver with the SAME floor(x*1e6) the
     // kernel applies to every scanned vector — one quantization step

@@ -423,6 +423,13 @@ class PlanShapeSpec extends AnyFunSuite {
            s"token filter not fused below the generator\n$plan")
     // no global sort anywhere (ranking is an aggregate, not a sort)
     assert(!plan.contains("rangepartitioning"), plan)
+    // ONE scan + tokenize for the whole m-term intersection: both
+    // per-term branches are InMemoryTableScans over the SAME persisted
+    // repartition(id) relation (toString reprints the cached plan per
+    // reference; execution fills it once)
+    assert(countOccurrences(plan, "InMemoryTableScan") === 2, plan)
+    assert(plan.contains("REPARTITION_BY_COL"), plan)
+    spark.catalog.clearCache()
   }
 
   test("hardNegatives: query side broadcasts; ONE window rank, no " +
