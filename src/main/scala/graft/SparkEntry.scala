@@ -3096,6 +3096,18 @@ object SparkEntry {
                              ngram = 3)
     }),
 
+    "q_kappa" -> ((s, dir) => {
+      // exact-rational Cohen's kappa between the lang-ID heuristic and
+      // the gold lang column — chance-corrected agreement with no
+      // float division anywhere (divide kappa_num/kappa_den at
+      // display time)
+      val d = T(s, dir, "documents")
+      graft.operators.ModelMetrics.cohenKappaRational(
+        d.select(col("lang"),
+                 TextAnalysis.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
     "q_er_clusters" -> ((s, dir) => {
       // composed entity resolution over customer names: exact-name
       // collapse -> FastSS edit-distance-1 blocking + levenshtein
@@ -7655,6 +7667,61 @@ object SparkEntry {
                 (SELECT coalesce(sum(id_a + id_b), 0)::BIGINT
                  FROM truth) AS truth_id_sum,
                 (SELECT count(*) FROM hits) AS n_hits""",
+
+    // confusion CTEs replay q_lang_id; kappa is pure integer
+    // arithmetic over the bounded matrix
+    "q_kappa" ->
+      """WITH h AS (
+           SELECT lang, text IS NULL AS is_null,
+                  length(regexp_extract_all(text,
+                    '[\x{4e00}-\x{9fff}]')) AS cjk,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['the','and','of','to','a','in','is','that','for',
+                     'with'])) AS h_en,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['el','la','de','que','y','en','un','los','del',
+                     'las'])) AS h_es,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['der','die','und','das','ist','von','den','mit',
+                     'ein','zu'])) AS h_de,
+                  length(list_intersect(
+                    string_split_regex(lower(text), '\s+'),
+                    ['le','la','les','de','et','un','une','du','des',
+                     'est'])) AS h_fr
+           FROM documents),
+         p AS (
+           SELECT lang,
+                  CASE WHEN is_null THEN 'und'
+                       WHEN cjk > 0 THEN 'zh'
+                       WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                       WHEN h_en = greatest(h_en, h_es, h_de, h_fr)
+                         THEN 'en'
+                       WHEN h_es = greatest(h_en, h_es, h_de, h_fr)
+                         THEN 'es'
+                       WHEN h_de = greatest(h_en, h_es, h_de, h_fr)
+                         THEN 'de'
+                       ELSE 'fr' END AS pred
+           FROM h),
+         m AS (
+           SELECT lang AS g, pred AS pr, count(*) AS n
+           FROM p WHERE lang IS NOT NULL GROUP BY 1, 2),
+         tot AS (
+           SELECT sum(n)::BIGINT AS n_total,
+                  coalesce(sum(CASE WHEN g = pr THEN n END), 0)::BIGINT
+                    AS n_agree
+           FROM m),
+         rm AS (SELECT g, sum(n) AS rn FROM m GROUP BY 1),
+         cm AS (SELECT pr, sum(n) AS cn FROM m GROUP BY 1),
+         pe AS (
+           SELECT coalesce(sum(rn * cn), 0)::BIGINT AS pe_num
+           FROM rm JOIN cm ON rm.g = cm.pr)
+         SELECT n_total, n_agree, pe_num,
+                (n_total * n_agree - pe_num)::BIGINT AS kappa_num,
+                (n_total * n_total - pe_num)::BIGINT AS kappa_den
+         FROM tot, pe""",
 
     // brute-force levenshtein truth (the q_fuzzy_pairs discipline) +
     // min-reachable-label transitive closure (the q_dedup_clusters

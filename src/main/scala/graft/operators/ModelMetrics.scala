@@ -229,4 +229,42 @@ object ModelMetrics {
       "Explained variance" -> (1.0 - r.getDouble(4) / r.getDouble(5)),
       "R^2" -> (1.0 - sse / sst))
   }
+
+  /** Cohen's kappa as an EXACT rational — inter-rater / classifier-vs-
+    * gold agreement corrected for chance, the statistic a confusion
+    * matrix doesn't directly give. With n = total, a = agreeing rows,
+    * pe_num = Σ_k row_k · col_k (the chance-agreement numerator over
+    * n²): kappa = (n·a − pe_num) / (n² − pe_num). Both parts are
+    * emitted as BIGINTs — no float division anywhere, so the result
+    * hash-replays on any engine and callers divide at display time.
+    *
+    * Scale shape: ONE (gold, pred) count aggregate (bounded by the
+    * class-pair count), then marginal/total aggregates over that
+    * bounded matrix — nothing after the first shuffle scales with the
+    * data. Overflow bound: n² must fit a long (n ≤ ~3e9 rows).
+    *
+    * Returns one row: (n_total, n_agree, pe_num, kappa_num, kappa_den).
+    */
+  def cohenKappaRational(df: DataFrame, goldCol: String,
+                         predCol: String): DataFrame = {
+    val m = df.where(col(goldCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = m.agg(sum("__n").as("n_total"),
+                    coalesce(sum(when(col("__g") === col("__p"),
+                                      col("__n")).otherwise(0L)),
+                             lit(0L)).as("n_agree"))
+    val rows = m.groupBy("__g").agg(sum("__n").as("__rn"))
+    val cols = m.groupBy("__p").agg(sum("__n").as("__cn"))
+    // classes absent from one side contribute row·col = 0: inner join
+    val pe = rows.join(cols, col("__g") === col("__p"))
+      .agg(coalesce(sum(col("__rn") * col("__cn")), lit(0L))
+             .as("pe_num"))
+    tot.crossJoin(pe)
+      .select(col("n_total"), col("n_agree"), col("pe_num"),
+              (col("n_total") * col("n_agree") - col("pe_num"))
+                .as("kappa_num"),
+              (col("n_total") * col("n_total") - col("pe_num"))
+                .as("kappa_den"))
+  }
 }

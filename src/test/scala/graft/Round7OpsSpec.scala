@@ -270,6 +270,32 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(idSum === truthPairs.map(p => p._1 + p._2).sum)
   }
 
+  test("cohenKappaRational: exact rational vs hand computation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // classic 2x2: gold a/b vs pred, known kappa = (po-pe)/(1-pe)
+    // matrix: (a,a)=20 (a,b)=5 (b,a)=10 (b,b)=15, n=50
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = ModelMetrics
+      .cohenKappaRational(rows.toDF("gold", "pred"), "gold", "pred")
+      .collect().head
+    // n=50 a=35; rows: a=25 b=25; cols: a=30 b=20
+    // pe_num = 25*30 + 25*20 = 1250
+    // kappa_num = 50*35 - 1250 = 500; kappa_den = 2500 - 1250 = 1250
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)) === ((50L, 35L, 1250L, 500L,
+                                              1250L)))
+    // kappa = 0.4, matching the textbook formula
+    assert(math.abs(r.getLong(3).toDouble / r.getLong(4) - 0.4) < 1e-12)
+    // degenerate: single class both sides -> kappa_den = 0 (undefined),
+    // parts still exact
+    val one = ModelMetrics.cohenKappaRational(
+      Seq(("x", "x"), ("x", "x")).toDF("gold", "pred"), "gold", "pred")
+      .collect().head
+    assert(one.getLong(4) === 0L && one.getLong(3) === 0L)
+  }
+
   test("round-7 operators: degenerate-input behavior") {
     val spark = TestSpark.spark
     import spark.implicits._
