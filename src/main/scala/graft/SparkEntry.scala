@@ -3060,6 +3060,52 @@ object SparkEntry {
         .orderBy("event_type", "hour_epoch")
     }),
 
+    "q_stream_seasonal" -> ((s, dir) => {
+      // the seasonal monitor maintained INCREMENTALLY: events replay
+      // as a 3-file stream into a complete-mode hourly-count
+      // aggregation (exactly-once over the staged files); burst flags
+      // come from the final maintained snapshot. Hourly counts are
+      // additive, so stream == batch by construction — the oracle is
+      // the batch replay, verbatim q_seasonal_anomaly
+      val e = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select("event_id", "event_type", "ts")
+      val stage = tmpWorkDir("graft_seas_stage")
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val ckpt = tmpWorkDir("graft_seas_ckpt")
+      // 8 state-store partitions (q_stream_sessions discipline): the
+      // aggregation state is groups x hours, width buys nothing
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        staged.groupBy(col("event_type").as("g"),
+                       date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("graft_seasonal_hourly")
+          .option("checkpointLocation", ckpt).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable(); q.stop()
+      val out = graft.operators.Monitoring
+        .seasonalAnomaliesFromHourly(s.table("graft_seasonal_hourly"),
+                                     kNum = 3L, kDen = 1L)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type", "hour_epoch")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      out
+    }),
+
     "q_group_split" -> ((s, dir) => {
       // leakage-safe train/val/test: the split hashes the USER, so all
       // of a user's events co-locate in one partition; per-split
@@ -7529,33 +7575,11 @@ object SparkEntry {
          SELECT g.bin, g.n, g.e AS events, iso.iso_scaled
          FROM g JOIN iso USING (bin) ORDER BY bin""",
 
-    "q_seasonal_anomaly" ->
-      """WITH hourly AS (
-           SELECT event_type, date_trunc('hour', ts) AS h,
-                  count(*) AS n
-           FROM events
-           WHERE ts IS NOT NULL AND event_type IS NOT NULL
-           GROUP BY 1, 2),
-         st AS (
-           SELECT event_type, hour(h) AS hod, n,
-                  row_number() OVER (PARTITION BY event_type, hour(h)
-                                     ORDER BY n) AS rn,
-                  count(*) OVER (PARTITION BY event_type, hour(h))
-                    AS cnt
-           FROM hourly),
-         m AS (
-           SELECT event_type, hod,
-                  sum(CASE WHEN rn = (cnt + 1) // 2 THEN n ELSE 0 END
-                    + CASE WHEN rn = cnt // 2 + 1 THEN n ELSE 0 END)
-                    AS median2
-           FROM st GROUP BY 1, 2)
-         SELECT hourly.event_type,
-                epoch(hourly.h)::BIGINT AS hour_epoch,
-                hourly.n::BIGINT AS n, m.median2::BIGINT AS median2
-         FROM hourly JOIN m ON hourly.event_type = m.event_type
-                           AND hour(hourly.h) = m.hod
-         WHERE hourly.n * 2 >= 3 * m.median2
-         ORDER BY 1, 2""",
+    "q_seasonal_anomaly" -> seasonalAnomalySql,
+    // the streaming replay maintains the SAME hourly counts
+    // incrementally (complete-mode aggregation, exactly-once file
+    // stream), so its oracle is the batch replay verbatim
+    "q_stream_seasonal" -> seasonalAnomalySql,
 
     "q_group_split" ->
       """WITH s AS (
@@ -8325,6 +8349,34 @@ object SparkEntry {
     * embeddings table — integer Lehmer mix (quadratic then minstd 48271,
     * mod 2^31-1), identical bits to `LshSigExpr(portable = true)` with
     * nPlanes = 8. */
+  private def seasonalAnomalySql: String =
+    """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  count(*) AS n
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, hour(h) AS hod, n,
+                  row_number() OVER (PARTITION BY event_type, hour(h)
+                                     ORDER BY n) AS rn,
+                  count(*) OVER (PARTITION BY event_type, hour(h))
+                    AS cnt
+           FROM hourly),
+         m AS (
+           SELECT event_type, hod,
+                  sum(CASE WHEN rn = (cnt + 1) // 2 THEN n ELSE 0 END
+                    + CASE WHEN rn = cnt // 2 + 1 THEN n ELSE 0 END)
+                    AS median2
+           FROM st GROUP BY 1, 2)
+         SELECT hourly.event_type,
+                epoch(hourly.h)::BIGINT AS hour_epoch,
+                hourly.n::BIGINT AS n, m.median2::BIGINT AS median2
+         FROM hourly JOIN m ON hourly.event_type = m.event_type
+                           AND hour(hourly.h) = m.hod
+         WHERE hourly.n * 2 >= 3 * m.median2
+         ORDER BY 1, 2"""
+
   private def embedSigCte: String =
     """WITH sig AS (
          SELECT vec_id, embedding::DOUBLE[] AS emb,

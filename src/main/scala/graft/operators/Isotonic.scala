@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -89,4 +89,29 @@ object Isotonic {
       StructField("iso_scaled", LongType, nullable = false)))
     spark.createDataFrame(rows.toSeq.asJava, schema)
   }
+
+  /** Calibration transform from a fitted table: maps a bin column to
+    * its fitted probability (`iso_scaled / S` as double — display
+    * precision; the exact integer stays in the table). A generated
+    * CASE chain: one codegen projection, no join, no shuffle — the
+    * WoE-transform discipline. Bins outside the fitted set yield null
+    * (the caller's unknown-bin policy applies downstream).
+    */
+  def calibrationExpr(fit: Array[(Long, Long)], bin: Column,
+                      scaleS: BigInt = BigInt(10).pow(16)): org.apache.spark.sql.Column = {
+    require(fit.nonEmpty, "calibrationExpr needs at least one fitted bin")
+    val s = scaleS.toDouble
+    fit.foldLeft(lit(null).cast("double")) { case (acc, (b, isoScaled)) =>
+      when(bin === b, lit(isoScaled.toDouble / s)).otherwise(acc)
+    }
+  }
+
+  /** [[isotonicEventRates]] collected to (bin, iso_scaled) pairs for
+    * [[calibrationExpr]] — the fit table is bounded by construction,
+    * so this collect is the standard aggregate-then-solve driver hop. */
+  def fitPairs(df: DataFrame, binCol: String, yCol: String,
+               scaleS: BigInt = BigInt(10).pow(16)): Array[(Long, Long)] =
+    isotonicEventRates(df, binCol, yCol, scaleS)
+      .select("bin", "iso_scaled").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
 }

@@ -155,8 +155,6 @@ object Monitoring {
     */
   def seasonalAnomalies(df: DataFrame, groupCol: String, tsCol: String,
                         kNum: Long = 2L, kDen: Long = 1L): DataFrame = {
-    require(kNum > 0 && kDen > 0,
-            s"threshold must be a positive rational; got $kNum/$kDen")
     // persist the calendar-bounded hourly table: the median's two
     // histogram crossings and the final flag join are three plan
     // branches — without this each one re-scans and re-aggregates the
@@ -166,14 +164,29 @@ object Monitoring {
       .groupBy(col(groupCol).as("g"),
                date_trunc("hour", col(tsCol)).as("h"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("__slot", concat_ws("#", col("g"), hour(col("h"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    seasonalAnomaliesFromHourly(hourly, kNum, kDen)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** [[seasonalAnomalies]] over a PRE-AGGREGATED hourly table
+    * (g, h = hour-truncated timestamp, n) — the entry point for
+    * incrementally-maintained counts (a streaming complete-mode
+    * aggregation snapshot, a materialized rollup): hourly counts are
+    * additive, so flags over the maintained table equal flags over
+    * the raw events by construction. */
+  def seasonalAnomaliesFromHourly(hourly: DataFrame, kNum: Long,
+                                  kDen: Long): DataFrame = {
+    require(kNum > 0 && kDen > 0,
+            s"threshold must be a positive rational; got $kNum/$kDen")
+    val slotted = hourly
+      .withColumn("__slot", concat_ws("#", col("g"), hour(col("h"))))
     val profile = graft.operators.Histograms
-      .groupedDoubledMedian(hourly, "__slot", "n")
+      .groupedDoubledMedian(slotted, "__slot", "n")
       .select(col("__slot"), col("median2"))
-    hourly.join(broadcast(profile), Seq("__slot"))
+    slotted.join(broadcast(profile), Seq("__slot"))
       .where(col("n") * (2L * kDen) >= lit(kNum) * col("median2"))
-      .select(col("g").as(groupCol),
+      .select(col("g"),
               unix_timestamp(col("h")).as("hour_epoch"),
               col("n"), col("median2"))
   }

@@ -174,6 +174,28 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonic calibrationExpr: CASE-chain transform, shuffle-free") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 1L)).toDF("bin", "y")
+    val pairs = Isotonic.fitPairs(df, "bin", "y")
+    val out = df.select(col("bin"),
+                        Isotonic.calibrationExpr(pairs, col("bin"))
+                          .as("p"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(out(0L) === 0.5 && out(1L) === 1.0)
+    // unseen bin -> null
+    val unk = Seq(7L).toDF("bin")
+      .select(Isotonic.calibrationExpr(pairs, col("bin")).as("p"))
+      .collect().head
+    assert(unk.isNullAt(0))
+    // plan: one projection, no exchange/join
+    val plan = df.select(Isotonic.calibrationExpr(pairs, col("bin")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("isotonicEventRates: already-monotone input is returned as-is") {
     val spark = TestSpark.spark
     import spark.implicits._
