@@ -3060,6 +3060,35 @@ object SparkEntry {
         .orderBy("event_type", "hour_epoch")
     }),
 
+    "q_binaryfile_source" -> ((s, dir) => {
+      // binaryFile ingestion — the raw-asset source a multimodal
+      // pipeline starts from: 200 per-doc payload files staged on
+      // disk, read back via the built-in binaryFile source, doc id
+      // recovered from the path, bytes decoded back to text. Matching
+      // the parquet-side oracle byte-for-byte proves the round trip
+      // (the corpus is ASCII, so n_bytes == length(text))
+      val d = T(s, dir, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 200)
+        .select("doc_id", "text")
+      val stage = "target/tmp/graft_binf"
+      val dir0 = new java.io.File(stage)
+      // clean slate: stale files from another SF would join the scan
+      if (dir0.exists) dir0.listFiles().foreach(_.delete())
+      dir0.mkdirs()
+      d.collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$stage/doc_${r.getLong(0)}.txt"),
+          r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(s"$stage/*.txt")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1)
+                  .cast("long").as("doc_id"),
+                col("length").as("n_bytes"),
+                decode(col("content"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_stream_seasonal" -> ((s, dir) => {
       // the seasonal monitor maintained INCREMENTALLY: events replay
       // as a 3-file stream into a complete-mode hourly-count
@@ -7574,6 +7603,11 @@ object SparkEntry {
            FROM inner_min GROUP BY 1)
          SELECT g.bin, g.n, g.e AS events, iso.iso_scaled
          FROM g JOIN iso USING (bin) ORDER BY bin""",
+
+    "q_binaryfile_source" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_bytes, text
+         FROM documents WHERE text IS NOT NULL AND doc_id < 200
+         ORDER BY doc_id""",
 
     "q_seasonal_anomaly" -> seasonalAnomalySql,
     // the streaming replay maintains the SAME hourly counts
