@@ -3473,6 +3473,40 @@ object SparkEntry {
         .orderBy("event_type", "user_id")
     }),
 
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-cardinality sketch (k = 64 smallest 52-bit md5
+      // hashes, O(k) mergeable state) per order priority, with the
+      // exact distinct-customer count alongside and an ALL rollup row
+      // built by MERGING the per-group sketches — estimate, k-th
+      // hash, and truth are all BIGINT
+      val o = T(s, dir, "orders")
+      graft.operators.Cardinality
+        .kmvDistinct(o, "o_orderpriority", "o_custkey", k = 64)
+        .orderBy("grp")
+    }),
+
+    "q_benford" -> ((s, dir) => {
+      // Benford first-significant-digit audit of order totals: one
+      // 9-row grouped count + integer deviations against 1e9-scaled
+      // log10(1+1/d) literals (no engine computes a log)
+      val o = T(s, dir, "orders")
+      graft.operators.QualityChecks.benford(o, "o_totalprice")
+    }),
+
+    "q_ks_2samp" -> ((s, dir) => {
+      // exact two-sample Kolmogorov-Smirnov distance between returned
+      // and kept line-item price distributions (integer cents), as
+      // the exact rational d_num/(n1*n2) plus the smallest price
+      // attaining it — cumulative counts via the bucketed-prefix
+      // discipline, no global sort
+      val li = T(s, dir, "lineitem")
+        .withColumn("cents",
+                    round(col("l_extendedprice") * 100).cast("long"))
+      graft.operators.Monitoring
+        .ks2Sample(li, "cents", col("l_returnflag") === "R",
+                   bucketWidth = 100000L)
+    }),
+
     "q_kcore" -> ((s, dir) => {
       // 3-round k=3 core peel of the repeat co-purchase graph:
       // surviving parts + their within-subgraph degree (the dense
@@ -8307,6 +8341,94 @@ object SparkEntry {
          FROM c JOIN t USING (event_type)
          WHERE c.n * 100 > t.tot
          ORDER BY event_type, user_id""",
+
+    // KMV replay: the k-min set re-derived with a window rank over
+    // distinct keys; est = (k-1)*2^52 // kth = 63*4503599627370496 //
+    // kth. The ALL row is the plain global KMV — equal to the
+    // engine's per-group sketch MERGE because each global k-min hash
+    // is also among its own group's k smallest
+    "q_kmv_distinct" ->
+      """WITH keys AS (
+           SELECT DISTINCT o_orderpriority AS grp, o_custkey AS c
+           FROM orders WHERE o_custkey IS NOT NULL),
+         h AS (
+           SELECT grp, c,
+                  ('0x' || substr(md5(c::VARCHAR), 1, 13))::BIGINT AS h
+           FROM keys),
+         r AS (
+           SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp
+                                     ORDER BY h, c) AS rn,
+                  count(*) OVER (PARTITION BY grp) AS n_exact
+           FROM h),
+         g AS (
+           SELECT grp, max(n_exact) AS n_exact,
+                  max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+           FROM r GROUP BY grp),
+         ra AS (
+           SELECT h,
+                  row_number() OVER (ORDER BY h, c) AS rn,
+                  count(*) OVER () AS n_exact
+           FROM (SELECT DISTINCT o_custkey AS c,
+                        ('0x' || substr(md5(o_custkey::VARCHAR),
+                                        1, 13))::BIGINT AS h
+                 FROM orders WHERE o_custkey IS NOT NULL)),
+         ga AS (
+           SELECT 'ALL' AS grp, max(n_exact) AS n_exact,
+                  max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+           FROM ra),
+         u AS (SELECT * FROM g UNION ALL SELECT * FROM ga)
+         SELECT grp, n_exact::BIGINT AS n_exact, kth_hash,
+                CASE WHEN kth_hash IS NULL OR kth_hash = 0
+                       THEN n_exact::BIGINT
+                     ELSE 283726776524341248 // kth_hash END AS est
+         FROM u ORDER BY grp""",
+
+    // Benford replay: identical 1e9-scaled log10(1+1/d) literals —
+    // the deviation stays a pure-integer expression in both engines
+    "q_benford" ->
+      """WITH d AS (
+           SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR,
+                         1, 1)::INT AS digit
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+         c AS (SELECT digit, count(*) AS n_d FROM d GROUP BY digit),
+         t AS (SELECT digit, n_d, sum(n_d) OVER () AS n_total FROM c)
+         SELECT digit, n_d::BIGINT AS n_d, n_total::BIGINT AS n_total,
+                (n_d * 1000000000 - n_total *
+                 CASE digit
+                   WHEN 1 THEN 301029995 WHEN 2 THEN 176091259
+                   WHEN 3 THEN 124938736 WHEN 4 THEN 96910013
+                   WHEN 5 THEN 79181246 WHEN 6 THEN 66946789
+                   WHEN 7 THEN 57991946 WHEN 8 THEN 51152522
+                   ELSE 45757490 END)::BIGINT AS dev_scaled
+         FROM t ORDER BY digit""",
+
+    // two-sample KS replay: cumulative per-cohort counts over distinct
+    // integer cents; D's exact numerator max|n2*F1 - n1*F2| and the
+    // smallest value attaining it
+    "q_ks_2samp" ->
+      """WITH pv AS (
+           SELECT round(l_extendedprice * 100)::BIGINT AS v,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1
+                      ELSE 0 END) AS c1,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 0
+                      ELSE 1 END) AS c2
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         c AS (
+           SELECT v,
+                  sum(c1) OVER (ORDER BY v) AS f1,
+                  sum(c2) OVER (ORDER BY v) AS f2,
+                  sum(c1) OVER () AS n1,
+                  sum(c2) OVER () AS n2
+           FROM pv)
+         SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+                abs(n2 * f1 - n1 * f2)::BIGINT AS d_num,
+                v AS arg_value
+         FROM c
+         ORDER BY abs(n2 * f1 - n1 * f2) DESC, v ASC
+         LIMIT 1""",
 
     // k-core replay: the same 3 peel rounds unrolled — degree
     // aggregate, keep >= 3, edge filter — then final degrees

@@ -46,16 +46,20 @@ final class TopKBuffer(val k: Int) extends Serializable {
   var n = 0
 
   def insert(key: Long, id: Long): Unit = {
-    if (n == k) {
-      val wk = keys(n - 1)
-      if (key < wk || (key == wk && id >= ids(n - 1))) return
-      n -= 1
-    }
+    // find the insert position first (no mutation), so an exact
+    // (key, id) duplicate can be rejected — set semantics, which lets
+    // callers fold raw multiplicity-carrying streams (e.g. KMV hash
+    // sketches) without a pre-distinct pass
     var i = n
     while (i > 0 &&
            (keys(i - 1) < key || (keys(i - 1) == key && ids(i - 1) > id))) {
-      keys(i) = keys(i - 1); ids(i) = ids(i - 1); i -= 1
+      i -= 1
     }
+    if (i > 0 && keys(i - 1) == key && ids(i - 1) == id) return // held
+    if (i == k) return // sorts below a full buffer's tail
+    if (n == k) n -= 1 // evict the tail
+    var j = n
+    while (j > i) { keys(j) = keys(j - 1); ids(j) = ids(j - 1); j -= 1 }
     keys(i) = key; ids(i) = id; n += 1
   }
 

@@ -175,6 +175,71 @@ object Monitoring {
     * aggregation snapshot, a materialized rollup): hourly counts are
     * additive, so flags over the maintained table equal flags over
     * the raw events by construction. */
+  /** Exact two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of two cohorts (`flagCol` true vs false) — the
+    * distribution-level drift test that needs no binning choice, the
+    * raw-score sibling of [[psi]].
+    *
+    * All integer: with cohort sizes n1, n2 and cumulative counts
+    * F1(v), F2(v) over distinct values, `d_num = max_v |n2*F1(v) -
+    * n1*F2(v)|` and D = d_num/(n1*n2) exactly (emitted as the
+    * rational's numerator next to both denominile counts — fits a
+    * long through ~3e9 rows per cohort; go DECIMAL(38) beyond).
+    *
+    * Plan at scale: one grouped count per distinct value (map-side
+    * combined), then the [[DistributedRank]] bucketed-prefix
+    * discipline — per-bucket sums prefix-summed on ONE task over
+    * n_buckets rows and broadcast back, in-bucket cumulative windows
+    * partitioned by bucket — so no global sort ever happens; the
+    * final max is a single aggregate using the (diff desc, value asc)
+    * struct-max tie rule. Output one row: n1, n2, d_num, arg_value
+    * (the smallest value attaining the max).
+    */
+  def ks2Sample(df: DataFrame, valueCol: String, flag: Column,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"),
+              when(flag, 1L).otherwise(0L).as("__f"))
+      .groupBy("v")
+      .agg(sum("__f").as("c1"), (count(lit(1)) - sum("__f")).as("c2"))
+      .withColumn("__b",
+        expr(s"CASE WHEN v >= 0 THEN v div ${bucketWidth}L " +
+             s"ELSE -((-v + ${bucketWidth - 1}L) div ${bucketWidth}L) " +
+             "END"))
+      // persisted: the prefix table derives from this same aggregate —
+      // without the pin Catalyst recomputes it from a second full input
+      // scan (caller releases via clearCache)
+      .persist()
+    val wPfx = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prefix = perValue.groupBy("__b")
+      .agg(sum("c1").as("__s1"), sum("c2").as("__s2"))
+      .select(col("__b"),
+              coalesce(sum("__s1").over(wPfx), lit(0L)).as("__p1"),
+              coalesce(sum("__s2").over(wPfx), lit(0L)).as("__p2"),
+              sum("__s1").over(wAll).as("n1"),
+              sum("__s2").over(wAll).as("n2"))
+    val wIn = Window.partitionBy("__b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue.join(broadcast(prefix), Seq("__b"))
+      .select(col("v"), col("n1"), col("n2"),
+              (col("__p1") + sum("c1").over(wIn)).as("__F1"),
+              (col("__p2") + sum("c2").over(wIn)).as("__F2"))
+      .select(col("n1"), col("n2"),
+              abs(col("n2") * col("__F1") - col("n1") * col("__F2"))
+                .as("__d"),
+              col("v"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+           max(struct(col("__d").as("d"), negate(col("v")).as("nv")))
+             .as("__m"))
+      .select(col("n1"), col("n2"), col("__m.d").as("d_num"),
+              negate(col("__m.nv")).as("arg_value"))
+  }
+
   def seasonalAnomaliesFromHourly(hourly: DataFrame, kNum: Long,
                                   kDen: Long): DataFrame = {
     require(kNum > 0 && kDen > 0,

@@ -100,4 +100,39 @@ object QualityChecks {
              .as("n_risky_rows"),
            min("__c").as("min_combo_size"))
   }
+
+  /** Benford first-significant-digit deviations of `log10(1+1/d)`,
+    * 1e9-scaled and floored to integer literals — the SAME constants
+    * appear verbatim in the SQL oracle, so no engine ever computes a
+    * log. Index d-1 holds digit d's scaled expected share. */
+  private val BenfordScaled: Array[Long] = Array(
+    301029995L, 176091259L, 124938736L, 96910013L, 79181246L,
+    66946789L, 57991946L, 51152522L, 45757490L)
+
+  /** Benford's-law first-digit audit of a positive numeric column —
+    * the classic fabricated-amounts / unit-drift screen. Rows with
+    * `value >= 1` contribute the first digit of their integer part;
+    * one 9-row grouped count (map-side combined, no data shuffle to
+    * speak of) plus an unbounded window over those 9 rows. All
+    * integer: `dev_scaled = n_d * 1e9 - n_total * floor(log10(1+1/d)
+    * * 1e9)`, positive where the digit is over-represented. Absent
+    * digits are absent rows (identically in the oracle).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digits = df
+      .where(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+                        1, 1).cast("int").as("digit"))
+    val expected = element_at(
+      typedLit(BenfordScaled.toSeq), col("digit")) // 1-indexed by digit
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    digits.groupBy("digit").agg(count(lit(1)).as("n_d"))
+      .withColumn("n_total", sum("n_d").over(wAll))
+      .withColumn("dev_scaled",
+                  col("n_d") * lit(1000000000L) -
+                    col("n_total") * expected)
+      .orderBy("digit")
+  }
 }

@@ -8,12 +8,15 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q_er_clusters")) {
-      val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-      println(s"=== $q rows=${df.count()}")
-      println(f"sf0.1 time: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      spark.catalog.clearCache()
+    for (q <- Seq("q_kmv_distinct", "q_benford", "q_ks_2samp")) {
+      for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+        val n = df.count()
+        println(f"=== $q pass=$pass rows=$n " +
+                f"time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKBuffer
+import graft.operators.{Cardinality, Monitoring, QualityChecks}
+
+/** KMV cardinality sketch, Benford audit, two-sample KS. */
+class CardinalityAndKsSpec extends AnyFunSuite {
+
+  test("TopKBuffer: exact (key,id) duplicates are held once, " +
+       "including against a full buffer's interior and tail") {
+    val b = new TopKBuffer(3)
+    b.insert(10, 1); b.insert(10, 1)
+    assert(b.n === 1)
+    b.insert(9, 2); b.insert(8, 3) // full: [(10,1),(9,2),(8,3)]
+    b.insert(10, 1) // interior duplicate must not evict the tail
+    assert(b.n === 3 && b.keys.take(3).toSeq === Seq(10L, 9L, 8L))
+    b.insert(8, 3) // tail duplicate
+    assert(b.n === 3 && b.ids.take(3).toSeq === Seq(1L, 2L, 3L))
+    b.insert(11, 0) // genuine insert still evicts the tail
+    assert(b.keys.take(3).toSeq === Seq(11L, 10L, 9L))
+    b.insert(5, 9) // below the tail of a full buffer: dropped
+    assert(b.keys.take(3).toSeq === Seq(11L, 10L, 9L))
+  }
+
+  test("kmvDistinct: sketch is exact below k, estimate tracks truth " +
+       "above k, row multiplicity is invisible, ALL merges correctly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // group a: 3 distinct keys (< k=8) duplicated 5x each;
+    // group b: 200 distinct keys (> k)
+    val rows =
+      (1 to 5).flatMap(_ => Seq(("a", 101L), ("a", 102L), ("a", 103L))) ++
+        (1L to 200L).map(i => ("b", 1000L + i))
+    val df = rows.toDF("g", "key")
+    val out = Cardinality.kmvDistinct(df, "g", "key", k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString.toLong),
+         r.getLong(3))).toMap
+    val (nA, kthA, estA) = out("a")
+    assert(nA === 3L && kthA.isEmpty && estA === 3L) // below k: exact
+    val (nB, kthB, estB) = out("b")
+    assert(nB === 200L && kthB.nonEmpty)
+    // KMV with k=8 is noisy, but must land within a broad band
+    assert(estB > 50L && estB < 800L, s"est=$estB for truth 200")
+    // kth hash replays as the 8th smallest 52-bit md5 prefix
+    val kth = df.where($"g" === "b").select($"key").distinct()
+      .select(Cardinality.hash52($"key").as("h"))
+      .orderBy("h").limit(8).orderBy(desc("h")).limit(1)
+      .collect().head.getLong(0)
+    assert(kthB.get === kth)
+    // ALL row: merged per-group sketches == global KMV
+    val (nAll, kthAll, _) = out("ALL")
+    assert(nAll === 203L)
+    val kthGlobal = df.select($"key").distinct()
+      .select(Cardinality.hash52($"key").as("h"))
+      .orderBy("h").limit(8).orderBy(desc("h")).limit(1)
+      .collect().head.getLong(0)
+    assert(kthAll.get === kthGlobal)
+    // multiplicity never moves the sketch: dedup the input, same rows
+    val dedup = Cardinality.kmvDistinct(df.distinct(), "g", "key", k = 8)
+      .collect().map(_.toSeq).toSet
+    val full = Cardinality.kmvDistinct(df, "g", "key", k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(dedup === full)
+  }
+
+  test("benford: digit extraction, integer deviation identity, " +
+       "sub-1 and null rows excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (Seq(1.0, 1.5, 19.99, 123.45, 2.0, 0.5, 9000.01) ++
+      Seq.fill(3)(300.0)).toDF("v")
+      .unionByName(Seq(Option.empty[Double]).toDF("v"))
+    val rows = QualityChecks.benford(df, "v").collect()
+    val byDigit = rows.map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 0.5 and null dropped -> 9 rows total: digits 1x4, 2x1, 3x3, 9x1
+    assert(byDigit.keySet === Set(1, 2, 3, 9))
+    assert(byDigit(1)._1 === 4L && byDigit(3)._1 === 3L &&
+           byDigit(2)._1 === 1L && byDigit(9)._1 === 1L)
+    assert(rows.forall(_.getLong(2) == 9L)) // shared n_total
+    // dev identity for digit 1: 4*1e9 - 9*301029995
+    assert(byDigit(1)._3 === 4L * 1000000000L - 9L * 301029995L)
+    assert(byDigit(9)._3 === 1L * 1000000000L - 9L * 45757490L)
+  }
+
+  test("ks2Sample: exact rational D and smallest-arg tie rule; " +
+       "bucketed prefix path agrees across widths and signs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true), (3L, true),
+                 (2L, false), (3L, false), (4L, false)).toDF("v", "f")
+    val r = Monitoring.ks2Sample(df, "v", col("f"), bucketWidth = 2L)
+      .collect().head
+    // F1 over v=1,2,3,4: 1,2,3,3; F2: 0,1,2,3 -> |3F1-3F2| = 3,3,3,0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+           ((3L, 3L, 3L, 1L))) // max 3, first attained at v=1
+    // identical distributions -> D = 0 (arg = smallest value)
+    val same = Seq((5L, true), (7L, true), (5L, false), (7L, false))
+      .toDF("v", "f")
+    val r0 = Monitoring.ks2Sample(same, "v", col("f"), 10L)
+      .collect().head
+    assert(r0.getLong(2) === 0L && r0.getLong(3) === 5L)
+    // bucket width must not change the answer, negative values incl.
+    val shifted = df.select(($"v" - 3L).as("v"), $"f")
+    val wide = Monitoring.ks2Sample(shifted, "v", col("f"), 1000L)
+      .collect().head
+    val narrow = Monitoring.ks2Sample(shifted, "v", col("f"), 1L)
+      .collect().head
+    assert(wide.toSeq === narrow.toSeq)
+    assert(wide.getLong(3) === -2L) // arg shifts with the data
+  }
+}
