@@ -1083,6 +1083,27 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q_rfm_segments" -> ((s, dir) => {
+      // RFM customer segmentation: exact global quintile scores on
+      // recency/frequency/monetary via the bucketed-prefix row number
+      // (no global sort), rolled up per populated segment code
+      val o = T(s, dir, "orders")
+      graft.operators.Segmentation
+        .rfmSegments(o, "o_custkey", "o_orderdate", "o_totalprice")
+    }),
+
+    "q_fd_violations" -> ((s, dir) => {
+      // functional-dependency profiling: does X determine Y — group
+      // counts, violating groups/rows, and the worst fan-out per
+      // candidate dependency (one grouped aggregate each)
+      val li = T(s, dir, "lineitem")
+      graft.operators.QualityChecks
+        .fdAudit(li, Seq(("l_orderkey", "l_shipdate"),
+                         ("l_partkey", "l_suppkey"),
+                         ("l_orderkey", "l_returnflag")))
+        .orderBy("fd")
+    }),
+
     "q_rollup_hierarchy" -> ((s, dir) => {
       // hierarchical rollup over the dimension chain: customers per
       // (region, nation) with nation subtotals and the grand total —
@@ -4850,6 +4871,85 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // RFM replay: plain window row_numbers over the customer
+    // aggregate under the same (metric, cust) total orders; quintile
+    // band = ((rn-1)*5) // n + 1
+    "q_rfm_segments" ->
+      """WITH pc AS (
+           SELECT o_custkey AS cust,
+                  max(epoch_us(o_orderdate) // 1000000 // 86400)
+                    AS last_day,
+                  count(*) AS freq,
+                  sum(round(o_totalprice * 100)::BIGINT) AS cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+           GROUP BY 1),
+         r AS (
+           SELECT cust, cents,
+                  row_number() OVER (ORDER BY last_day, cust) AS rnr,
+                  row_number() OVER (ORDER BY freq, cust) AS rnf,
+                  row_number() OVER (ORDER BY cents, cust) AS rnm,
+                  count(*) OVER () AS n
+           FROM pc),
+         sc AS (
+           SELECT cents,
+                  ((rnr - 1) * 5) // n + 1 AS r_score,
+                  ((rnf - 1) * 5) // n + 1 AS f_score,
+                  ((rnm - 1) * 5) // n + 1 AS m_score
+           FROM r)
+         SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT
+                  AS segment,
+                count(*) AS n_customers,
+                sum(cents)::BIGINT AS sum_monetary_cents
+         FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // FD replay: count(distinct rhs) plus a null-world increment per
+    // lhs group, rolled up per candidate dependency
+    "q_fd_violations" ->
+      """WITH
+         g1 AS (
+           SELECT count(DISTINCT l_shipdate) +
+                  max(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS dy,
+                  count(*) AS n
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+           GROUP BY l_orderkey),
+         g2 AS (
+           SELECT count(DISTINCT l_suppkey) +
+                  max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                    AS dy,
+                  count(*) AS n
+           FROM lineitem WHERE l_partkey IS NOT NULL
+           GROUP BY l_partkey),
+         g3 AS (
+           SELECT count(DISTINCT l_returnflag) +
+                  max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                    AS dy,
+                  count(*) AS n
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+           GROUP BY l_orderkey)
+         SELECT 'l_orderkey->l_shipdate' AS fd,
+                count(*) AS n_groups,
+                sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_violating_groups,
+                sum(CASE WHEN dy > 1 THEN n ELSE 0 END)::BIGINT
+                  AS n_violating_rows,
+                max(dy)::BIGINT AS max_distinct_rhs
+         FROM g1
+         UNION ALL
+         SELECT 'l_partkey->l_suppkey', count(*),
+                sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END)::BIGINT,
+                sum(CASE WHEN dy > 1 THEN n ELSE 0 END)::BIGINT,
+                max(dy)::BIGINT
+         FROM g2
+         UNION ALL
+         SELECT 'l_orderkey->l_returnflag', count(*),
+                sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END)::BIGINT,
+                sum(CASE WHEN dy > 1 THEN n ELSE 0 END)::BIGINT,
+                max(dy)::BIGINT
+         FROM g3
+         ORDER BY fd""",
 
     // rollup replay: GROUP BY ROLLUP with the same grouping-id and
     // null-as-subtotal ordering

@@ -59,6 +59,34 @@ object DistributedRank {
       .drop("__b", "__pfx")
   }
 
+  /** Adds the exact global ROW NUMBER (1-based) under the total order
+    * `(valueCol, tieCol)` — both LONG, `tieCol` unique — plus the row
+    * count `__n`, without a global sort: the same bucketed-prefix
+    * discipline as [[withGlobalRank]], with the unique tie column
+    * extending the in-bucket ordering so every row gets a distinct
+    * position. The pair drives exact quantile scoring
+    * (`score = ((rn-1)*q) div n + 1` splits into q near-equal bands).
+    */
+  def withGlobalRowNumber(df: DataFrame, valueCol: String, tieCol: String,
+                          bucketWidth: Long,
+                          outCol: String): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    val pts = df.where(col(valueCol).isNotNull)
+      .withColumn("__b", floorDiv(valueCol, bucketWidth))
+    val wPfx = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = pts.groupBy("__b").agg(count(lit(1)).as("__bc"))
+      .select(col("__b"),
+              coalesce(sum("__bc").over(wPfx), lit(0L)).as("__pfx"),
+              sum("__bc").over(Window.orderBy(lit(1))
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)).as("__n"))
+    val wIn = Window.partitionBy("__b").orderBy(col(valueCol), col(tieCol))
+    pts.join(broadcast(prefix), Seq("__b"))
+      .withColumn(outCol, col("__pfx") + row_number().over(wIn))
+      .drop("__b", "__pfx")
+  }
+
   /** Adds TWICE the average rank (1-based) of `valueCol` within each
     * `groupCols` group as `outCol` — doubling keeps tied-average
     * ranks (the `x.5` halves) exact in integer arithmetic:

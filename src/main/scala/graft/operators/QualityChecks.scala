@@ -101,6 +101,42 @@ object QualityChecks {
            min("__c").as("min_combo_size"))
   }
 
+  /** Functional-dependency audit (the data-profiling "does X
+    * determine Y" question behind schema discovery and
+    * denormalization checks): for each candidate `lhs -> rhs`, count
+    * how many lhs groups map to MORE than one distinct rhs value, and
+    * how many rows sit inside those violating groups. One
+    * groupBy(lhs) per dependency (map-side combined) feeding a
+    * single-row rollup — the per-group distinct-rhs count uses the
+    * grouped `count(distinct)` form, never a self-join. Null lhs rows
+    * are excluded; a null rhs counts as a value of its own (two-world
+    * semantics match the SQL replay's `count(distinct rhs) +
+    * max(rhs is null)` form).
+    *
+    * Output per dependency: `fd`, `n_groups`, `n_violating_groups`,
+    * `n_violating_rows`, `max_distinct_rhs` — a dependency HOLDS when
+    * `n_violating_groups = 0`.
+    */
+  def fdAudit(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "need at least one candidate dependency")
+    deps.map { case (lhs, rhs) =>
+      df.where(col(lhs).isNotNull)
+        .groupBy(col(lhs))
+        .agg((countDistinct(col(rhs)) +
+               max(when(col(rhs).isNull, 1L).otherwise(0L))).as("__dy"),
+             count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_groups"),
+             sum(when(col("__dy") > 1, 1L).otherwise(0L))
+               .as("n_violating_groups"),
+             sum(when(col("__dy") > 1, col("__n")).otherwise(0L))
+               .as("n_violating_rows"),
+             max(col("__dy")).as("max_distinct_rhs"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_groups"),
+                col("n_violating_groups"), col("n_violating_rows"),
+                col("max_distinct_rhs"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Benford first-significant-digit deviations of `log10(1+1/d)`,
     * 1e9-scaled and floored to integer literals — the SAME constants
     * appear verbatim in the SQL oracle, so no engine ever computes a

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DistributedRank, QualityChecks, Segmentation}
+
+/** RFM segmentation, global row number, FD profiling. */
+class SegmentationSpec extends AnyFunSuite {
+
+  test("withGlobalRowNumber: equals the single-window row_number " +
+       "under (value, tie) for any bucket width") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((10L, 1L), (10L, 2L), (-5L, 3L), (7L, 4L), (10L, 0L),
+                 (-5L, 9L), (0L, 8L)).toDF("v", "id")
+    val expected = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v", "id")))
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    for (w <- Seq(1L, 3L, 100L)) {
+      val got = DistributedRank.withGlobalRowNumber(df, "v", "id", w, "rn")
+        .select(col("id"), col("rn"), col("__n")).collect()
+      assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected,
+             s"width=$w")
+      assert(got.forall(_.getLong(2) == 7L))
+    }
+  }
+
+  test("rfmSegments: monotone customer ladder lands in the diagonal " +
+       "segments; totals preserved") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // customer i (1..10): i orders of $i on day 2020-01-i — every
+    // metric ranks customers 1..10 in the same order, so scores agree
+    // across R/F/M and segments sit on the 111..555 diagonal, two
+    // customers per band
+    val rows = for {
+      i <- 1 to 10
+      _ <- 1 to i
+    } yield (i.toLong, Timestamp.valueOf(f"2020-01-$i%02d 12:00:00"),
+             i.toDouble)
+    val orders = rows.toDF("c", "d", "p")
+    val out = Segmentation.rfmSegments(orders, "c", "d", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(111L, 222L, 333L, 444L, 555L))
+    assert(out.map(_._2).toSeq === Seq(2L, 2L, 2L, 2L, 2L))
+    // customer i contributes i orders x i dollars = i*i*100 cents
+    def cents(is: Seq[Int]) = is.map(i => i.toLong * i * 100).sum
+    assert(out.map(_._3).toSeq ===
+           Seq(cents(Seq(1, 2)), cents(Seq(3, 4)), cents(Seq(5, 6)),
+               cents(Seq(7, 8)), cents(Seq(9, 10))))
+  }
+
+  test("fdAudit: holding and violated dependencies, null-rhs world, " +
+       "violating-row accounting") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(10L)), (1L, "a", Some(10L)), // group 1: clean
+      (2L, "b", Some(20L)), (2L, "c", Some(20L)), // 2: x->y violated
+      (3L, "d", None), (3L, "d", Some(30L)),      // 3: null+value = 2 worlds
+      (4L, "e", None)                             // 4: null only -> dy=1
+    ).toDF("x", "y", "z")
+    val out = QualityChecks
+      .fdAudit(df, Seq(("x", "y"), ("x", "z")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // x->y: group 2 violates (b,c); 4 groups, 2 rows inside
+    assert(out("x->y") === ((4L, 1L, 2L, 2L)))
+    // x->z: group 3 violates (null + 30); group 4 holds (dy = 1)
+    assert(out("x->z") === ((4L, 1L, 2L, 2L)))
+  }
+}
