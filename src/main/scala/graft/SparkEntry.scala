@@ -1986,6 +1986,71 @@ object SparkEntry {
         .orderBy("event_type", "user_id")
     }),
 
+    "q_stream_distinct" -> ((s, dir) => {
+      // END-TO-END streaming distinct-cardinality monitor: the KMV
+      // k-min sketch ([[graft.operators.Cardinality]]) lives INSIDE
+      // the streaming state store — complete-mode groupBy merges each
+      // trigger's partial k-min sets into per-group state (k smallest
+      // of a union = k smallest of the merged k-min sets, and the
+      // buffer's set semantics absorb re-seen keys), so state stays
+      // O(k) per event type across any number of triggers. The
+      // drained sketch is the SAME sketch the batch query computes —
+      // the oracle replays it with a window rank — while the exact
+      // truth column comes from one batch pass.
+      import graft.functions.TopKAgg
+      import graft.operators.Cardinality
+      val e = T(s, dir, "events").where(col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val stage = tmpWorkDir("graft_skmv_stage")
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val ckpt = tmpWorkDir("graft_skmv_ckpt")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        staged
+          .groupBy(col("event_type").as("grp"))
+          .agg(TopKAgg.topkLongs(negate(Cardinality.hash52(col("user_id"))),
+                                 col("user_id"), 64).as("sk"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("graft_stream_kmv")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable()
+      q.stop()
+      val kthRows = s.table("graft_stream_kmv")
+        .select(col("grp"),
+                when(size(col("sk")) >= 64,
+                     negate(element_at(col("sk"), 64).getField("key")))
+                  .as("kth_hash"))
+        .collect().map(r => (r.getString(0),
+                             if (r.isNullAt(1)) None
+                             else Some(r.getLong(1))))
+      s.catalog.dropTempView("graft_stream_kmv")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      import s.implicits._
+      val kth = kthRows.toSeq.toDF("grp", "kth_hash")
+      e.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(broadcast(kth), Seq("grp"))
+        .withColumn("est",
+          when(col("kth_hash").isNull || col("kth_hash") === 0L,
+               col("n_exact"))
+            .otherwise(expr("283726776524341248L DIV kth_hash")))
+        .orderBy("grp")
+    }),
+
     "q_stream_curation" -> ((s, dir) => {
       // END-TO-END streaming curation monitor: the documents table
       // replays as a 3-file stream (stamped mtimes pin trigger order).
@@ -8577,6 +8642,34 @@ object SparkEntry {
          FROM c JOIN t USING (event_type)
          WHERE c.n * 150 > t.tot
          ORDER BY event_type, user_id""",
+
+    // streaming KMV replay: the drained per-group k-min state equals
+    // the batch sketch (mergeable summaries), so the window-rank KMV
+    // of the full table replays it; truth column is the plain
+    // distinct count
+    "q_stream_distinct" ->
+      """WITH keys AS (
+           SELECT DISTINCT event_type AS grp, user_id AS c
+           FROM events WHERE user_id IS NOT NULL),
+         h AS (
+           SELECT grp, c,
+                  ('0x' || substr(md5(c::VARCHAR), 1, 13))::BIGINT AS h
+           FROM keys),
+         r AS (
+           SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp
+                                     ORDER BY h, c) AS rn,
+                  count(*) OVER (PARTITION BY grp) AS n_exact
+           FROM h),
+         g AS (
+           SELECT grp, max(n_exact) AS n_exact,
+                  max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+           FROM r GROUP BY grp)
+         SELECT grp, n_exact::BIGINT AS n_exact, kth_hash,
+                CASE WHEN kth_hash IS NULL OR kth_hash = 0
+                       THEN n_exact::BIGINT
+                     ELSE 283726776524341248 // kth_hash END AS est
+         FROM g ORDER BY grp""",
 
     // JSON-extract replay: DuckDB's json_extract on the same path,
     // same null-exclusion of unparseable rows
