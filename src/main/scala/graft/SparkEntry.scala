@@ -1104,6 +1104,37 @@ object SparkEntry {
         .orderBy("fd")
     }),
 
+    "q_skew_report" -> ((s, dir) => {
+      // join-key skew profile of lineitem.l_partkey: row/key totals,
+      // the heaviest key, and the exact discrete p90 per-key count —
+      // the pre-join report that decides salting vs broadcast
+      val li = T(s, dir, "lineitem")
+      graft.operators.QualityChecks.skewReport(li, "l_partkey")
+    }),
+
+    "q_join_cardinality" -> ((s, dir) => {
+      // exact join-output profile from per-key count aggregates only
+      // (never materializing the join): lineitem x returned-lineitem
+      // on partkey — total pairs, worst single key, common key count
+      val li = T(s, dir, "lineitem")
+      graft.operators.QualityChecks
+        .joinCardinality(li, "l_partkey",
+                         li.where(col("l_returnflag") === "R"),
+                         "l_partkey")
+    }),
+
+    "q_kmv_overlap" -> ((s, dir) => {
+      // KMV audience overlap: customers ordering before vs after the
+      // 1998 cutoff — union sketch = MERGE of the two k-min sets,
+      // intersection by inclusion-exclusion, exact truths alongside
+      val o = T(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      graft.operators.Cardinality
+        .kmvOverlap(o.where(col("o_orderdate") < cutoff),
+                    o.where(col("o_orderdate") >= cutoff),
+                    "o_custkey", k = 64)
+    }),
+
     "q_rollup_hierarchy" -> ((s, dir) => {
       // hierarchical rollup over the dimension chain: customers per
       // (region, nation) with nation subtotals and the grand total —
@@ -4936,6 +4967,111 @@ object SparkEntry {
                 count(DISTINCT a.user_id) AS n_keys
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // skew replay: per-key counts, (count desc, key asc) top pick,
+    // and the ceil(9n/10)-th smallest count — value at a rank is
+    // tie-order invariant
+    "q_skew_report" ->
+      """WITH c AS (
+           SELECT l_partkey AS k, count(*) AS c FROM lineitem
+           WHERE l_partkey IS NOT NULL GROUP BY 1),
+         t AS (
+           SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                  max(c)::BIGINT AS max_count
+           FROM c),
+         tk AS (
+           SELECT k AS top_key FROM c ORDER BY c DESC, k ASC LIMIT 1),
+         r AS (
+           SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                  count(*) OVER () AS n
+           FROM c),
+         p AS (
+           SELECT min(c)::BIGINT AS p90_count FROM r
+           WHERE rn = (9 * n + 9) // 10)
+         SELECT n_rows, n_keys, max_count, top_key, p90_count
+         FROM t, tk, p""",
+
+    // join-cardinality replay: the same two count tables joined on
+    // the key; (pairs desc, key asc) picks the worst key
+    "q_join_cardinality" ->
+      """WITH ca AS (
+           SELECT l_partkey AS k, count(*) AS ca FROM lineitem
+           WHERE l_partkey IS NOT NULL GROUP BY 1),
+         cb AS (
+           SELECT l_partkey AS k, count(*) AS cb FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_returnflag = 'R'
+           GROUP BY 1),
+         t AS (
+           SELECT (SELECT sum(ca) FROM ca)::BIGINT AS n_a,
+                  (SELECT sum(cb) FROM cb)::BIGINT AS n_b),
+         j AS (
+           SELECT ca.k, ca.ca * cb.cb AS p FROM ca JOIN cb USING (k)),
+         s AS (
+           SELECT count(*)::BIGINT AS n_common_keys,
+                  sum(p)::BIGINT AS join_rows
+           FROM j),
+         m AS (
+           SELECT p::BIGINT AS max_pair_count, k AS arg_key FROM j
+           ORDER BY p DESC, k ASC LIMIT 1)
+         SELECT n_a, n_b, n_common_keys, join_rows, max_pair_count,
+                arg_key
+         FROM t, s, m""",
+
+    // KMV-overlap replay: three window-rank KMVs (before, after,
+    // union of distinct keys); inclusion-exclusion on both the exact
+    // and estimated cardinalities
+    "q_kmv_overlap" ->
+      """WITH A AS (
+           SELECT DISTINCT o_custkey AS c FROM orders
+           WHERE o_custkey IS NOT NULL
+             AND o_orderdate < TIMESTAMP '1998-01-01'),
+         B AS (
+           SELECT DISTINCT o_custkey AS c FROM orders
+           WHERE o_custkey IS NOT NULL
+             AND o_orderdate >= TIMESTAMP '1998-01-01'),
+         U AS (SELECT c FROM A UNION SELECT c FROM B),
+         ra AS (
+           SELECT row_number() OVER (ORDER BY h, c) AS rn,
+                  count(*) OVER () AS n, h
+           FROM (SELECT c,
+                   ('0x' || substr(md5(c::VARCHAR), 1, 13))::BIGINT AS h
+                 FROM A)),
+         rb AS (
+           SELECT row_number() OVER (ORDER BY h, c) AS rn,
+                  count(*) OVER () AS n, h
+           FROM (SELECT c,
+                   ('0x' || substr(md5(c::VARCHAR), 1, 13))::BIGINT AS h
+                 FROM B)),
+         ru AS (
+           SELECT row_number() OVER (ORDER BY h, c) AS rn,
+                  count(*) OVER () AS n, h
+           FROM (SELECT c,
+                   ('0x' || substr(md5(c::VARCHAR), 1, 13))::BIGINT AS h
+                 FROM U)),
+         g AS (
+           SELECT (SELECT max(n) FROM ra) AS n_a,
+                  (SELECT max(CASE WHEN rn = 64 THEN h END) FROM ra)
+                    AS ka,
+                  (SELECT max(n) FROM rb) AS n_b,
+                  (SELECT max(CASE WHEN rn = 64 THEN h END) FROM rb)
+                    AS kb,
+                  (SELECT max(n) FROM ru) AS n_u,
+                  (SELECT max(CASE WHEN rn = 64 THEN h END) FROM ru)
+                    AS ku),
+         e AS (
+           SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                  n_u::BIGINT AS n_union,
+                  CASE WHEN ka IS NULL OR ka = 0 THEN n_a::BIGINT
+                       ELSE 283726776524341248 // ka END AS est_a,
+                  CASE WHEN kb IS NULL OR kb = 0 THEN n_b::BIGINT
+                       ELSE 283726776524341248 // kb END AS est_b,
+                  CASE WHEN ku IS NULL OR ku = 0 THEN n_u::BIGINT
+                       ELSE 283726776524341248 // ku END AS est_union
+           FROM g)
+         SELECT n_a, n_b, n_union, n_a + n_b - n_union AS n_inter,
+                est_a, est_b, est_union,
+                est_a + est_b - est_union AS est_inter
+         FROM e""",
 
     // RFM replay: plain window row_numbers over the customer
     // aggregate under the same (metric, cust) total orders; quintile

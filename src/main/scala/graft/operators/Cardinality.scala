@@ -46,6 +46,60 @@ object Cardinality {
     conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
       .cast("long")
 
+  /** The k-th smallest kept hash of a k-min array (null while the
+    * sketch holds fewer than k keys — it is then exact). */
+  private def kthOf(top: Column, k: Int): Column =
+    when(size(top) >= k, negate(element_at(top, k).getField("key")))
+
+  /** KMV set-overlap profile of two cohorts — the audience-overlap
+    * question (`|A∩B|`) answered from sketch ALGEBRA: the union
+    * sketch is the MERGE of the two k-min sets (k smallest of A∪B =
+    * k smallest of kminA ∪ kminB; duplicates collapse via the
+    * buffer's set semantics), and the intersection estimate is
+    * inclusion–exclusion `est_a + est_b - est_union` — no pairwise
+    * key comparison anywhere. Exact truths ride alongside from plain
+    * distinct passes. Output one row: `n_a, n_b, n_union, n_inter,
+    * est_a, est_b, est_union, est_inter` — all BIGINT (estimates can
+    * undershoot; `est_inter` may go negative on tiny overlaps, which
+    * is the estimator being honest, not a bug).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+                 k: Int): DataFrame = {
+    require(k > 1 && k <= 2047, s"k must be in [2, 2047]; got $k")
+    def sketch(df: DataFrame): DataFrame =
+      df.where(col(keyCol).isNotNull)
+        .select(col(keyCol).cast("long").as("__key"),
+                hash52(col(keyCol)).as("__h"))
+        .agg(TopKAgg.topkLongs(negate(col("__h")), col("__key"), k)
+               .as("top"),
+             countDistinct(col("__key")).as("nx"))
+    val sa = sketch(a).select(col("top").as("ta"), col("nx").as("n_a"))
+    val sb = sketch(b).select(col("top").as("tb"), col("nx").as("n_b"))
+    // union sketch by MERGING the two k-min sets — no third data scan
+    // for the estimate; only the exact truth reads the union
+    val merged = sa.crossJoin(sb)
+      .select(explode(concat(col("ta"), col("tb"))).as("__e"))
+      .agg(TopKAgg.topkLongs(col("__e.key"), col("__e.id"), k).as("tu"))
+    val nu = a.select(col(keyCol)).unionByName(b.select(col(keyCol)))
+      .where(col(keyCol).isNotNull)
+      .agg(countDistinct(col(keyCol)).as("n_union"))
+    val est = (kth: String, nx: String) =>
+      expr(s"CASE WHEN $kth IS NULL OR $kth = 0 THEN $nx " +
+           s"ELSE ${(k - 1) * Domain}L DIV $kth END")
+    sa.crossJoin(sb).crossJoin(merged).crossJoin(nu)
+      .withColumn("__ka", kthOf(col("ta"), k))
+      .withColumn("__kb", kthOf(col("tb"), k))
+      .withColumn("__ku", kthOf(col("tu"), k))
+      .withColumn("est_a", est("__ka", "n_a"))
+      .withColumn("est_b", est("__kb", "n_b"))
+      .withColumn("est_union", est("__ku", "n_union"))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+              (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+              col("est_a"), col("est_b"), col("est_union"),
+              (col("est_a") + col("est_b") - col("est_union"))
+                .as("est_inter"))
+  }
+
   /** Per-group KMV distinct estimate of `keyCol` next to the exact
     * distinct count. Output: `grp`, `n_exact`, `kth_hash` (null when
     * the group holds < k distinct keys — the sketch is then exact and

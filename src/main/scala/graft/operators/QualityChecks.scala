@@ -101,6 +101,65 @@ object QualityChecks {
            min("__c").as("min_combo_size"))
   }
 
+  /** Join-key skew report — the shuffle-planning profile to run
+    * BEFORE a big join: per-key count histogram reduced to one row of
+    * distribution facts. `top_key` is the heaviest key (smallest key
+    * on count ties), `p90_count` the exact discrete 90th-percentile
+    * per-key count via [[Histograms.groupedDiscreteQuantile]]'s
+    * bucketed crossing (no whole-histogram sort). A
+    * `max_count >> n_rows/n_keys` reading is the salting/AQE-skew
+    * trigger. One grouped count + tiny rollups; all BIGINT.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .persist() // two rollups below read it (caller clearCache)
+    val p90 = Histograms
+      .groupedDiscreteQuantile(counts.withColumn("__g", lit(1)),
+                               "__g", "__c", 9, 10)
+      .select(col("quantile").as("p90_count"))
+    counts
+      .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_keys"),
+           max(struct(col("__c").as("c"), negate(col("__k")).as("nk")))
+             .as("__m"))
+      .select(col("n_rows"), col("n_keys"),
+              col("__m.c").as("max_count"),
+              negate(col("__m.nk")).as("top_key"))
+      .crossJoin(broadcast(p90))
+  }
+
+  /** Exact join-cardinality profile of `a JOIN b ON keyA = keyB` —
+    * what the join WOULD produce, computed from the two per-key count
+    * aggregates alone (never the join itself): total output rows
+    * `sum(cntA*cntB)` over common keys, the worst single key's pair
+    * count, and that key. The aggregates shuffle each input once by
+    * key; the count-table join is keys-sized. Fits a long while both
+    * per-key counts stay under ~3e9. Output one row: `n_a, n_b,
+    * n_common_keys, join_rows, max_pair_count, arg_key`.
+    */
+  def joinCardinality(a: DataFrame, keyA: String,
+                      b: DataFrame, keyB: String): DataFrame = {
+    def counted(df: DataFrame, k: String, cnt: String) =
+      df.where(col(k).isNotNull)
+        .groupBy(col(k).cast("long").as("__k"))
+        .agg(count(lit(1)).as(cnt))
+    val ca = counted(a, keyA, "__ca").persist() // totals + key join
+    val cb = counted(b, keyB, "__cb").persist()
+    val totals = ca.agg(sum("__ca").as("n_a"))
+      .crossJoin(cb.agg(sum("__cb").as("n_b")))
+    ca.join(cb, Seq("__k"))
+      .select((col("__ca") * col("__cb")).as("__p"), col("__k"))
+      .agg(count(lit(1)).as("n_common_keys"),
+           sum("__p").as("join_rows"),
+           max(struct(col("__p").as("p"), negate(col("__k")).as("nk")))
+             .as("__m"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("n_common_keys"),
+              col("join_rows"), col("__m.p").as("max_pair_count"),
+              negate(col("__m.nk")).as("arg_key"))
+  }
+
   /** Functional-dependency audit (the data-profiling "does X
     * determine Y" question behind schema discovery and
     * denormalization checks): for each candidate `lhs -> rhs`, count

@@ -67,6 +67,55 @@ class CardinalityAndKsSpec extends AnyFunSuite {
     assert(dedup === full)
   }
 
+  test("kmvOverlap: exact inclusion-exclusion, sub-k sets fall back " +
+       "to exact, merged union sketch equals the direct union KMV") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = (1L to 100L).toDF("key")
+    val b = (51L to 150L).toDF("key")
+    val r = Cardinality.kmvOverlap(a, b, "key", k = 8).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+           ((100L, 100L, 150L, 50L)))
+    // est_union must equal the direct KMV of the union's keys
+    val kthU = (1L to 150L).toDF("key")
+      .select(Cardinality.hash52($"key").as("h"))
+      .orderBy("h").limit(8).orderBy(desc("h")).limit(1)
+      .collect().head.getLong(0)
+    assert(r.getLong(6) === (7L * (1L << 52)) / kthU)
+    assert(r.getLong(7) === r.getLong(4) + r.getLong(5) - r.getLong(6))
+    // both sets below k: every estimate is exact
+    val tiny = Cardinality
+      .kmvOverlap(Seq(1L, 2L, 2L).toDF("key"), Seq(3L).toDF("key"),
+                  "key", k = 8)
+      .collect().head
+    assert(tiny.toSeq === Seq(2L, 1L, 3L, 0L, 2L, 1L, 3L, 0L))
+  }
+
+  test("skewReport: totals, heaviest key, exact discrete p90 count") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ (3L to 7L))
+      .toDF("k")
+    val r = graft.operators.QualityChecks.skewReport(df, "k")
+      .collect().head
+    // counts per key: [5,3,1,1,1,1,1] -> p90 = 7th smallest = 5
+    assert(r.toSeq === Seq(13L, 7L, 5L, 1L, 5L))
+    spark.catalog.clearCache()
+  }
+
+  test("joinCardinality: exact pair totals and worst key from count " +
+       "aggregates only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 1L, 3L, 3L, 4L).toDF("k")
+    val r = graft.operators.QualityChecks
+      .joinCardinality(a, "k", b, "k").collect().head
+    // common keys {1, 3}: pairs 2*3 + 1*2 = 8, worst key 1 with 6
+    assert(r.toSeq === Seq(4L, 6L, 2L, 8L, 6L, 1L))
+    spark.catalog.clearCache()
+  }
+
   test("benford: digit extraction, integer deviation identity, " +
        "sub-1 and null rows excluded") {
     val spark = TestSpark.spark
