@@ -136,6 +136,34 @@ class CardinalityAndKsSpec extends AnyFunSuite {
     assert(byDigit(9)._3 === 1L * 1000000000L - 9L * 45757490L)
   }
 
+  test("plan shapes: KMV folds map-side before its exchange; " +
+       "joinCardinality never materializes the row join; ks2Sample " +
+       "broadcasts its prefix table") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i % 7, i)).toDF("g", "key")
+    val kmvPlan = Cardinality.kmvDistinct(big, "g", "key", 8)
+      .queryExecution.executedPlan.toString
+    // partial_topk before the exchange: sketch state combines map-side
+    assert(kmvPlan.contains("partial_topk_longs"), kmvPlan)
+    spark.catalog.clearCache()
+    val jc = graft.operators.QualityChecks
+      .joinCardinality(big, "key", big, "key")
+    val jcPlan = jc.queryExecution.executedPlan.toString
+    // the only joins are the keys-sized count-table join + the
+    // single-row totals cross join — row data never joins row data:
+    // both join inputs are aggregates
+    assert(!jcPlan.contains("SortMergeJoin") ||
+           jcPlan.contains("partial_count"), jcPlan)
+    jc.collect(); spark.catalog.clearCache()
+    val ks = Monitoring.ks2Sample(
+      big.select(col("key").as("v"), (col("g") === 0L).as("f")),
+      "v", col("f"), 100L)
+    val ksPlan = ks.queryExecution.executedPlan.toString
+    assert(ksPlan.contains("BroadcastExchange"), ksPlan) // prefix table
+    ks.collect(); spark.catalog.clearCache()
+  }
+
   test("ks2Sample: exact rational D and smallest-arg tie rule; " +
        "bucketed prefix path agrees across widths and signs") {
     val spark = TestSpark.spark
