@@ -1135,6 +1135,37 @@ object SparkEntry {
                     "o_custkey", k = 64)
     }),
 
+    "q_behavior_cohorts" -> ((s, dir) => {
+      // audience bitmask census over the trailing activity window
+      // (the long corpus saturates every flag): one bit per tracked
+      // event type (view=4, click=2, purchase=1), users counted per
+      // populated combination — one groupBy(user) + one tiny rollup
+      val e = T(s, dir, "events")
+        .where(col("ts").cast("timestamp") >=
+               lit("2024-01-29 12:00:00").cast("timestamp"))
+      graft.operators.Funnel
+        .behaviorCohorts(e, "user_id", "event_type",
+                         Seq("view", "click", "purchase"))
+    }),
+
+    "q_event_gaps" -> ((s, dir) => {
+      // inter-arrival gap profile: per-user consecutive gaps in whole
+      // seconds under the (ts, event_id) total order, reduced to one
+      // row of integer facts incl. the exact discrete median
+      val e = T(s, dir, "events")
+      graft.operators.Temporal
+        .eventGapProfile(e, "user_id", "ts", "event_id")
+    }),
+
+    "q_key_gaps" -> ((s, dir) => {
+      // surrogate-key continuity audit of o_orderkey: missing-id
+      // total, gap census, largest gap and the key it follows —
+      // bucketed adjacency, no global sort
+      val o = T(s, dir, "orders")
+      graft.operators.QualityChecks
+        .keyGapAudit(o, "o_orderkey", bucketWidth = 1000L)
+    }),
+
     "q_rollup_hierarchy" -> ((s, dir) => {
       // hierarchical rollup over the dimension chain: customers per
       // (region, nation) with nation subtotals and the grand total —
@@ -5072,6 +5103,76 @@ object SparkEntry {
                 est_a, est_b, est_union,
                 est_a + est_b - est_union AS est_inter
          FROM e""",
+
+    // cohort replay: identical max-flag bit folds per user over the
+    // same trailing window
+    "q_behavior_cohorts" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'view' THEN 4
+                      ELSE 0 END) +
+                  max(CASE WHEN event_type = 'click' THEN 2
+                      ELSE 0 END) +
+                  max(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS cohort
+           FROM events
+           WHERE user_id IS NOT NULL
+             AND ts >= TIMESTAMP '2024-01-29 12:00:00'
+           GROUP BY 1)
+         SELECT cohort::BIGINT AS cohort, count(*)::BIGINT AS n_users
+         FROM u GROUP BY 1 ORDER BY 1""",
+
+    // gap-profile replay: same per-user lag under (sec, event_id);
+    // the median is the ceil(n/2)-th smallest gap (rank-at-value is
+    // tie-order invariant)
+    "q_event_gaps" ->
+      """WITH g AS (
+           SELECT epoch_us(ts) // 1000000 -
+                  lag(epoch_us(ts) // 1000000) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts) // 1000000, event_id) AS gap
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+         t AS (
+           SELECT count(*)::BIGINT AS n_gaps,
+                  min(gap)::BIGINT AS min_gap_s,
+                  max(gap)::BIGINT AS max_gap_s,
+                  sum(gap)::BIGINT AS sum_gap_s
+           FROM gg),
+         r AS (
+           SELECT gap, row_number() OVER (ORDER BY gap) AS rn,
+                  count(*) OVER () AS n
+           FROM gg),
+         p AS (
+           SELECT min(gap)::BIGINT AS p50_gap_s FROM r
+           WHERE rn = (n + 1) // 2)
+         SELECT n_gaps, min_gap_s, max_gap_s, sum_gap_s, p50_gap_s
+         FROM t, p""",
+
+    // key-gap replay: one global lag over distinct keys; (gap desc,
+    // key asc) picks the reported worst gap
+    "q_key_gaps" ->
+      """WITH k AS (
+           SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderkey IS NOT NULL),
+         d AS (
+           SELECT k, k - lag(k) OVER (ORDER BY k) - 1 AS g,
+                  lag(k) OVER (ORDER BY k) AS p
+           FROM k),
+         gp AS (SELECT g, p FROM d WHERE g > 0),
+         t AS (
+           SELECT count(*)::BIGINT AS n_keys, min(k) AS min_key,
+                  max(k) AS max_key,
+                  (max(k) - min(k) + 1 - count(*))::BIGINT AS n_missing
+           FROM k),
+         m AS (SELECT count(*)::BIGINT AS n_gaps FROM gp),
+         x AS (
+           SELECT g::BIGINT AS max_gap, p AS gap_after_key FROM gp
+           ORDER BY g DESC, p ASC LIMIT 1)
+         SELECT n_keys, min_key, max_key, n_missing, n_gaps, max_gap,
+                gap_after_key
+         FROM t CROSS JOIN m LEFT JOIN x ON true""",
 
     // RFM replay: plain window row_numbers over the customer
     // aggregate under the same (metric, cust) total orders; quintile

@@ -185,4 +185,33 @@ object Funnel {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
   }
+
+  /** Behavioral cohort bitmask census — the audience-segmentation
+    * query ("users who purchased AND clicked but never viewed"): each
+    * user folds into one bit per tracked event type (bit i set iff
+    * the user has ≥1 event of `types(i)`; bit 0 = the LAST type), and
+    * the output counts users per populated bitmask. ONE groupBy(user)
+    * with max-flag aggregates (map-side combined) + one tiny rollup —
+    * the shuffle carries a single row per user, no per-type joins, no
+    * distinct explosion. All integer. Output: `cohort` (bitmask),
+    * `n_users`, ordered by cohort; users with none of the tracked
+    * types land in cohort 0.
+    */
+  def behaviorCohorts(events: DataFrame, keyCol: String,
+                      typeCol: String, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types.size <= 62, "1..62 tracked types")
+    val bits = types.zipWithIndex.map { case (t, i) =>
+      max(when(col(typeCol) === t,
+               lit(1L << (types.size - 1 - i))).otherwise(0L))
+        .as(s"__b$i")
+    }
+    events.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(bits.head, bits.tail: _*)
+      .select(types.indices.map(i => col(s"__b$i"))
+                .reduce(_ + _).as("cohort"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort")
+  }
 }

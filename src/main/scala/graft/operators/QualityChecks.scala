@@ -160,6 +160,57 @@ object QualityChecks {
               negate(col("__m.nk")).as("arg_key"))
   }
 
+  /** Surrogate-key continuity audit — gap detection in an
+    * id sequence (lost batches, purged ranges, generator skips): over
+    * the DISTINCT keys, report totals plus the gap census `n_gaps`
+    * (adjacent-key differences > 1), the largest gap, and the key it
+    * follows. Adjacency without a global sort: keys bucket by exact
+    * floor division, in-bucket lag windows find within-bucket
+    * neighbors, and a tiny per-bucket (min,max) aggregate stitched by
+    * a lag over the BUCKET list covers the boundary pairs — empty
+    * buckets stitch correctly because the lag skips to the previous
+    * populated bucket. Output one row: `n_keys, min_key, max_key,
+    * n_missing, n_gaps, max_gap, gap_after_key` (last two null when
+    * the sequence is dense).
+    */
+  def keyGapAudit(df: DataFrame, keyCol: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k")).distinct()
+      .withColumn("__b",
+        expr(s"CASE WHEN k >= 0 THEN k div ${bucketWidth}L " +
+             s"ELSE -((-k + ${bucketWidth - 1}L) div ${bucketWidth}L) " +
+             "END"))
+      .persist() // feeds the window pass AND both rollups
+    val wIn = Window.partitionBy("__b").orderBy("k")
+    val inBucket = keys
+      .withColumn("__p", lag(col("k"), 1).over(wIn))
+      .where(col("__p").isNotNull)
+      .select(col("k"), col("__p"))
+    val wB = Window.orderBy("__b")
+    val boundary = keys.groupBy("__b")
+      .agg(min("k").as("__mn"), max("k").as("__mx"))
+      .withColumn("__pmx", lag(col("__mx"), 1).over(wB))
+      .where(col("__pmx").isNotNull)
+      .select(col("__mn").as("k"), col("__pmx").as("__p"))
+    val gaps = inBucket.unionByName(boundary)
+      .select((col("k") - col("__p") - 1L).as("g"), col("__p"))
+      .where(col("g") > 0L)
+    keys.agg(count(lit(1)).as("n_keys"), min("k").as("min_key"),
+             max("k").as("max_key"))
+      .withColumn("n_missing",
+                  col("max_key") - col("min_key") + 1L - col("n_keys"))
+      .crossJoin(gaps.agg(
+        count(lit(1)).as("n_gaps"),
+        max(struct(col("g"), negate(col("__p")).as("np"))).as("__m")))
+      .select(col("n_keys"), col("min_key"), col("max_key"),
+              col("n_missing"), col("n_gaps"),
+              col("__m.g").as("max_gap"),
+              negate(col("__m.np")).as("gap_after_key"))
+  }
+
   /** Functional-dependency audit (the data-profiling "does X
     * determine Y" question behind schema discovery and
     * denormalization checks): for each candidate `lhs -> rhs`, count

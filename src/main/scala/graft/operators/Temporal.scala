@@ -417,4 +417,36 @@ object Temporal {
       .agg(max("__open").cast("long").as("peak"),
            expr("CAST(count(1) div 2 AS BIGINT)").as("n_segments"))
   }
+
+  /** Inter-arrival-gap profile — the traffic-modeling companion of
+    * [[Sessionize]]: per-key consecutive event gaps in whole seconds
+    * (total order `(ts, idCol)` inside the key, so simultaneous
+    * events replay identically), reduced to one corpus row of gap
+    * facts: `n_gaps`, `min_gap_s`, `max_gap_s`, `sum_gap_s`, and the
+    * exact discrete median `p50_gap_s` (the ceil(n/2)-th smallest
+    * stored gap via [[Histograms.groupedDiscreteQuantile]]'s bucketed
+    * crossing — no whole-histogram sort). One key shuffle covers the
+    * lag window; each key's history is one task's sort, the
+    * gaps-and-islands bound.
+    */
+  def eventGapProfile(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String): DataFrame = {
+    // NTZ parquet timestamps refuse a direct long cast — route via
+    // TIMESTAMP (the retention-matrix convention)
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val w = Window.partitionBy(keyCol).orderBy(sec, col(idCol))
+    val gaps = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__gap", sec - lag(sec, 1).over(w))
+      .where(col("__gap").isNotNull)
+      .select(col("__gap"))
+      .persist() // the median crossing re-reads it (caller clearCache)
+    val p50 = Histograms
+      .groupedDiscreteQuantile(gaps.withColumn("__g", lit(1)),
+                               "__g", "__gap", 1, 2)
+      .select(col("quantile").as("p50_gap_s"))
+    gaps.agg(count(lit(1)).as("n_gaps"), min("__gap").as("min_gap_s"),
+             max("__gap").as("max_gap_s"), sum("__gap").as("sum_gap_s"))
+      .crossJoin(broadcast(p50))
+  }
 }

@@ -55,6 +55,51 @@ class SegmentationSpec extends AnyFunSuite {
                cents(Seq(7, 8)), cents(Seq(9, 10))))
   }
 
+  test("behaviorCohorts: bit folds, untracked-only users land in " +
+       "cohort 0") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Seq((1L, "view"), (1L, "click"), (2L, "purchase"),
+                (3L, "view"), (3L, "click"), (3L, "purchase"),
+                (3L, "view"), (4L, "error")).toDF("u", "t")
+    val out = graft.operators.Funnel
+      .behaviorCohorts(e, "u", "t", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("eventGapProfile: per-key gaps under (ts, id) order; exact " +
+       "discrete median; single-event keys contribute nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 25L, 3L),
+                (2L, 100L, 4L))
+      .toDF("u", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = graft.operators.Temporal
+      .eventGapProfile(e, "u", "ts", "id").collect().head
+    // gaps: 10, 15 -> median = ceil(2/2) = 1st smallest = 10
+    assert(r.toSeq === Seq(2L, 10L, 15L, 25L, 10L))
+    spark.catalog.clearCache()
+  }
+
+  test("keyGapAudit: bucketed adjacency equals the global-sort gaps, " +
+       "empty buckets stitch, dense sequences report null gap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 7L, 20L, 20L).toDF("k")
+    val r = graft.operators.QualityChecks.keyGapAudit(df, "k", 5L)
+      .collect().head
+    // gaps: 4..6 after 3 (len 3), 8..19 after 7 (len 12)
+    assert(r.toSeq === Seq(5L, 1L, 20L, 15L, 2L, 12L, 7L))
+    val dense = graft.operators.QualityChecks
+      .keyGapAudit((5L to 9L).toDF("k"), "k", 3L).collect().head
+    assert((dense.getLong(0), dense.getLong(3), dense.getLong(4)) ===
+           ((5L, 0L, 0L)))
+    assert(dense.isNullAt(5) && dense.isNullAt(6))
+    spark.catalog.clearCache()
+  }
+
   test("fdAudit: holding and violated dependencies, null-rhs world, " +
        "violating-row accounting") {
     val spark = TestSpark.spark
