@@ -120,13 +120,16 @@ object QualityChecks {
                                "__g", "__c", 9, 10)
       .select(col("quantile").as("p90_count"))
     counts
-      .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_keys"),
+      .agg(coalesce(sum("__c"), lit(0L)).as("n_rows"),
+           count(lit(1)).as("n_keys"),
            max(struct(col("__c").as("c"), negate(col("__k")).as("nk")))
              .as("__m"))
       .select(col("n_rows"), col("n_keys"),
               col("__m.c").as("max_count"),
               negate(col("__m.nk")).as("top_key"))
-      .crossJoin(broadcast(p90))
+      // LEFT join: on an empty input the p90 table is empty and a
+      // cross join would erase the totals row with it
+      .join(broadcast(p90), lit(true), "left")
   }
 
   /** Exact join-cardinality profile of `a JOIN b ON keyA = keyB` —

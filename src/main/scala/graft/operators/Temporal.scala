@@ -445,8 +445,10 @@ object Temporal {
       .groupedDiscreteQuantile(gaps.withColumn("__g", lit(1)),
                                "__g", "__gap", 1, 2)
       .select(col("quantile").as("p50_gap_s"))
+    // LEFT join, not cross: a gap-free corpus leaves the median table
+    // EMPTY, and a cross join would erase the totals row with it
     gaps.agg(count(lit(1)).as("n_gaps"), min("__gap").as("min_gap_s"),
              max("__gap").as("max_gap_s"), sum("__gap").as("sum_gap_s"))
-      .crossJoin(broadcast(p50))
+      .join(broadcast(p50), lit(true), "left")
   }
 }

@@ -28,6 +28,43 @@ class EdgeCaseSpec extends AnyFunSuite {
       df, col("y"), col("x"), 0.5).count() == 0)
   }
 
+  test("round-7 profiling/cardinality operators degrade cleanly on " +
+       "empty and single-row inputs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "key")
+    // KMV over an empty frame: only the ALL row, everything zero
+    val kmv = Cardinality.kmvDistinct(empty, "g", "key", 8).collect()
+    assert(kmv.map(_.getString(0)).toSeq === Seq("ALL"))
+    assert(kmv.head.getLong(1) === 0L && kmv.head.getLong(3) === 0L)
+    // Benford with no qualifying rows: zero rows, no division anywhere
+    assert(QualityChecks.benford(
+      Seq(0.1, -5.0).toDF("v"), "v").count() === 0L)
+    // KS with one cohort empty: d_num = n1 * F1 max (all mass on one
+    // side), never a crash
+    val oneSided = Seq((1L, true), (2L, true)).toDF("v", "f")
+    val ks = Monitoring.ks2Sample(oneSided, "v", col("f"), 10L)
+      .collect().head
+    assert(ks.getLong(0) === 2L && ks.getLong(1) === 0L &&
+           ks.getLong(2) === 0L) // |0*F1 - 2*F2| with F2 = 0
+    // skew report on an empty frame: totals row survives the missing
+    // p90 table (left join, not cross)
+    val sr = QualityChecks.skewReport(empty, "key").collect().head
+    assert(sr.getLong(0) === 0L && sr.isNullAt(4))
+    // key-gap audit over one key: dense by definition
+    val kg = QualityChecks.keyGapAudit(Seq(42L).toDF("k"), "k", 10L)
+      .collect().head
+    assert(kg.toSeq.take(5) === Seq(1L, 42L, 42L, 0L, 0L))
+    assert(kg.isNullAt(5) && kg.isNullAt(6))
+    // gap profile with only single-event keys: zero gaps, null stats
+    val gp = Temporal.eventGapProfile(
+      Seq((1L, 5L, 1L), (2L, 9L, 2L)).toDF("u", "sec", "id")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "u", "ts", "id").collect().head
+    assert(gp.getLong(0) === 0L && gp.isNullAt(1))
+    spark.catalog.clearCache()
+  }
+
   test("BinningProcess: empty variable list no-ops instead of an " +
        "opaque empty.reduceLeft from the melt union") {
     val spark = TestSpark.spark
