@@ -542,6 +542,100 @@ object ScaleProbe {
         }
       }
     }
+    section("session8") {
+      // cardinality/profiling/segmentation operators at 1x/16x.
+      // Replicas spread over NEW keys (customers, orders, parts,
+      // users) so per-key state stays constant while rows scale; the
+      // KS probe replicates VALUES unchanged, so its distinct-cents
+      // histogram — the only windowed surface — stays fixed while the
+      // scan grows 16x (the claimed shape).
+      val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority", "o_totalprice")
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_partkey", "l_extendedprice", "l_returnflag")
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+      Seq(1, 16).foreach { mult =>
+        def withRep(df: org.apache.spark.sql.DataFrame) =
+          if (mult == 1) df.withColumn("__rep", lit(0L))
+          else df.crossJoin(
+            spark.range(mult.toLong).select(col("id").as("__rep")))
+        val o = withRep(ordRaw)
+          .withColumn("o_custkey",
+                      col("o_custkey") + col("__rep") * 10_000_000L)
+          .withColumn("o_orderkey",
+                      col("o_orderkey") + col("__rep") * 1_000_000_000L)
+          .drop("__rep")
+        val li2 = withRep(liRaw)
+          .withColumn("l_partkey",
+                      col("l_partkey") + col("__rep") * 1_000_000_000L)
+          .drop("__rep")
+        val e = withRep(evRaw)
+          .withColumn("user_id",
+                      col("user_id") + col("__rep") * 10_000_000L)
+          .withColumn("event_id",
+                      col("event_id") + col("__rep") * 1_000_000_000_000L)
+          .drop("__rep")
+        val no = o.count(); val nl = li2.count(); val nev = e.count()
+        (1 to 2).foreach { pass =>
+          val tKmv = timed {
+            graft.operators.Cardinality
+              .kmvDistinct(o, "o_orderpriority", "o_custkey", 64)
+              .collect()
+          }
+          spark.catalog.clearCache()
+          val tKs = timed {
+            graft.operators.Monitoring.ks2Sample(
+                li2.withColumn("cents",
+                  round(col("l_extendedprice") * 100).cast("long")),
+                "cents", col("l_returnflag") === "R", 100000L)
+              .collect()
+          }
+          spark.catalog.clearCache()
+          val tRfm = timed {
+            graft.operators.Segmentation
+              .rfmSegments(o, "o_custkey", "o_orderdate", "o_totalprice")
+              .collect()
+          }
+          val tSkew = timed {
+            graft.operators.QualityChecks
+              .skewReport(li2, "l_partkey").collect()
+          }
+          spark.catalog.clearCache()
+          val tJc = timed {
+            graft.operators.QualityChecks.joinCardinality(
+                li2, "l_partkey",
+                li2.where(col("l_returnflag") === "R"), "l_partkey")
+              .collect()
+          }
+          spark.catalog.clearCache()
+          val tKg = timed {
+            graft.operators.QualityChecks
+              .keyGapAudit(o, "o_orderkey", 1000L).collect()
+          }
+          spark.catalog.clearCache()
+          val tEg = timed {
+            graft.operators.Temporal
+              .eventGapProfile(e, "user_id", "ts", "event_id").collect()
+          }
+          spark.catalog.clearCache()
+          val tBc = timed {
+            graft.operators.Funnel
+              .behaviorCohorts(e, "user_id", "event_type",
+                               Seq("view", "click", "purchase"))
+              .collect()
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d orders=$no%9d " +
+              f"lineitem=$nl%9d events=$nev%9d kmv=$tKmv%6.2f s " +
+              f"ks=$tKs%6.2f s rfm=$tRfm%6.2f s skew=$tSkew%6.2f s " +
+              f"joincard=$tJc%6.2f s keygaps=$tKg%6.2f s " +
+              f"evgaps=$tEg%6.2f s cohorts=$tBc%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
     spark.stop()
   }
 }
