@@ -1135,6 +1135,33 @@ object SparkEntry {
                     "o_custkey", k = 64)
     }),
 
+    "q_wow_deltas" -> ((s, dir) => {
+      // week-over-week daily-count deltas per event type: value-keyed
+      // self-join (never a row-offset window across gaps), integer
+      // delta + truncated ppm rate
+      val e = T(s, dir, "events")
+      graft.operators.Temporal
+        .periodDeltas(e, "ts", "event_type",
+                      periodSeconds = 86400L, lagPeriods = 7)
+    }),
+
+    "q_rolling_active" -> ((s, dir) => {
+      // exact DAU + trailing-7-day WAU per observed day via the
+      // coverage explode (distinct-over-window is not decomposable;
+      // the x7 explode is)
+      val e = T(s, dir, "events")
+      graft.operators.Temporal.rollingActive(e, "user_id", "ts")
+    }),
+
+    "q_dup_by_source" -> ((s, dir) => {
+      // per-source duplicate-rate triage: within-source content-key
+      // groups, dup counts and the largest clone group
+      val d = T(s, dir, "documents")
+      graft.pipeline.Dedup
+        .dupStatsBySource(d, "text", "doc_id", "source",
+                          portable = true)
+    }),
+
     "q_behavior_cohorts" -> ((s, dir) => {
       // audience bitmask census over the trailing activity window
       // (the long corpus saturates every flag): one bit per tracked
@@ -5103,6 +5130,64 @@ object SparkEntry {
                 est_a, est_b, est_union,
                 est_a + est_b - est_union AS est_inter
          FROM e""",
+
+    // WoW replay: the same counts table self-joined on (type, day-7);
+    // DuckDB's // truncates toward zero exactly like Spark's div
+    "q_wow_deltas" ->
+      """WITH c AS (
+           SELECT event_type,
+                  epoch_us(ts) // 1000000 // 86400 AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+         SELECT c.event_type, c.day::BIGINT AS period,
+                c.n::BIGINT AS n, p.n::BIGINT AS prev_n,
+                (c.n - p.n)::BIGINT AS delta,
+                CASE WHEN p.n > 0
+                     THEN ((c.n - p.n) * 1000000) // p.n END AS delta_ppm
+         FROM c LEFT JOIN c p
+           ON p.event_type = c.event_type AND p.day = c.day - 7
+         ORDER BY 1, 2""",
+
+    // rolling-active replay: trailing-window distinct via a BETWEEN
+    // join against the observed-day list (the quadratic oracle form
+    // of the engine's x7 coverage explode)
+    "q_rolling_active" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 1000000 // 86400 AS day
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         wau AS (
+           SELECT d.day, count(DISTINCT u.user_id) AS wau7
+           FROM days d
+           JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+           GROUP BY 1)
+         SELECT d.day::BIGINT AS day, dau.dau::BIGINT AS dau,
+                wau.wau7::BIGINT AS wau7
+         FROM days d JOIN dau USING (day) JOIN wau USING (day)
+         ORDER BY 1""",
+
+    // dup-by-source replay: same two-world content key (null text ->
+    // id-keyed uniqueness), same per-source rollup
+    "q_dup_by_source" ->
+      """WITH k AS (
+           SELECT source,
+                  CASE WHEN text IS NULL THEN md5(doc_id::VARCHAR)
+                       ELSE md5(regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g')) END
+                    AS fp,
+                  (text IS NULL) AS null_world
+           FROM documents),
+         g AS (
+           SELECT source, fp, null_world, count(*) AS n
+           FROM k GROUP BY 1, 2, 3)
+         SELECT source, sum(n)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_unique,
+                (sum(n) - count(*))::BIGINT AS n_dups,
+                max(n)::BIGINT AS largest_group
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     // cohort replay: identical max-flag bit folds per user over the
     // same trailing window

@@ -418,6 +418,65 @@ object Temporal {
            expr("CAST(count(1) div 2 AS BIGINT)").as("n_segments"))
   }
 
+  /** Period-over-period deltas — the WoW/MoM trend report: per
+    * (group, period) counts self-joined against the period
+    * `lagPeriods` back BY VALUE (a row-offset window would silently
+    * compare against the wrong week across gaps), with the integer
+    * delta and a ppm rate (`delta*1e6 div prev`, truncated toward
+    * zero exactly like the SQL replay's `//`). Two copies of the same
+    * periods-sized aggregate join on (group, period) — the raw scan
+    * happens once, everything after is calendar-bounded. `prev_n`,
+    * `delta`, `delta_ppm` are null where no prior period exists.
+    */
+  def periodDeltas(events: DataFrame, tsCol: String, groupCol: String,
+                   periodSeconds: Long, lagPeriods: Int): DataFrame = {
+    require(periodSeconds > 0 && lagPeriods > 0, "positive period/lag")
+    val per = events.where(col(tsCol).isNotNull)
+      .groupBy(col(groupCol),
+               expr(s"cast(cast($tsCol as timestamp) as long) " +
+                    s"div ${periodSeconds}L").as("period"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // both join sides read it (caller clearCache)
+    val prev = per.select(col(groupCol),
+                          (col("period") + lagPeriods).as("period"),
+                          col("n").as("prev_n"))
+    per.join(prev, Seq(groupCol, "period"), "left")
+      .select(col(groupCol), col("period"), col("n"), col("prev_n"),
+              (col("n") - col("prev_n")).as("delta"),
+              when(col("prev_n") > 0,
+                   expr("((n - prev_n) * 1000000L) div prev_n"))
+                .as("delta_ppm"))
+      .orderBy(groupCol, "period")
+  }
+
+  /** Exact rolling 7-day actives — the DAU/WAU pair, computed WITHOUT
+    * a distinct-over-window (not decomposable) via the coverage
+    * explode: each distinct (user, day) covers days `[day, day+6]`,
+    * so `wau7(d) = |distinct (user, cover=d)|`. The explode factor is
+    * a constant 7; both distincts are ordinary grouped shuffles —
+    * this is the scale-safe shape for any trailing-window distinct.
+    * Output one row per OBSERVED day: `day` (epoch day), `dau`,
+    * `wau7` (trailing, partial at the range start by definition).
+    */
+  def rollingActive(events: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    val ud = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("u"),
+              expr(s"cast(cast($tsCol as timestamp) as long) div 86400")
+                .as("day"))
+      .distinct()
+      .persist() // dau, wau, and the observed-day set all read it
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("day"), col("day") + 6))
+                .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day")) // inner: only observed days emit
+      .orderBy("day")
+  }
+
   /** Inter-arrival-gap profile — the traffic-modeling companion of
     * [[Sessionize]]: per-key consecutive event gaps in whole seconds
     * (total order `(ts, idCol)` inside the key, so simultaneous

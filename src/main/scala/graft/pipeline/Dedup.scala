@@ -679,6 +679,26 @@ object Dedup {
       .unionByName(batch.where(col(textCol).isNull))
   }
 
+  /** Per-source duplicate-rate report — the corpus-triage view of
+    * [[exactDedup]] ("which crawl is feeding me copies"): WITHIN each
+    * source, group rows by the shared content key (null text rows stay
+    * unique via the id-keyed world) and report `n_docs`, `n_unique`,
+    * `n_dups`, and the largest duplicate group. One grouped count on
+    * (source, fp) + a per-source rollup — map-side combined, the
+    * shuffle carries one row per distinct (source, fingerprint).
+    */
+  def dupStatsBySource(df: DataFrame, textCol: String, idCol: String,
+                       srcCol: String,
+                       portable: Boolean = false): DataFrame =
+    withContentKey(df, textCol, idCol, portable)
+      .groupBy(col(srcCol), col("__fp"), col("__null"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(srcCol))
+      .agg(sum("__n").as("n_docs"), count(lit(1)).as("n_unique"),
+           (sum("__n") - count(lit(1))).as("n_dups"),
+           max("__n").as("largest_group"))
+      .orderBy(srcCol)
+
   /** Benchmark-contamination check (decontamination step of a training
     * pipeline): corpus documents sharing at least one word n-gram with
     * any benchmark/eval document. Returns (id, n_matched_grams) for

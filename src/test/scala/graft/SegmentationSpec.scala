@@ -100,6 +100,59 @@ class SegmentationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("periodDeltas: value-keyed lag skips gaps, truncated ppm on " +
+       "negative deltas, null prev at the range start") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // type a: days 0 (2 events), 1 (3), 8 (5); day 8's prior week is
+    // day 1; type b: day 8 (1) with prior-week day 1 (3)
+    val rows = Seq.fill(2)(("a", 0L)) ++ Seq.fill(3)(("a", 1L)) ++
+      Seq.fill(5)(("a", 8L)) ++ Seq.fill(3)(("b", 1L)) ++ Seq(("b", 8L))
+    val e = rows.toDF("t", "day")
+      .withColumn("ts", timestamp_seconds(col("day") * 86400L))
+    val out = graft.operators.Temporal
+      .periodDeltas(e, "ts", "t", 86400L, 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("a", 0L)).isNullAt(3)) // no prior week
+    val a8 = out(("a", 8L))
+    assert((a8.getLong(2), a8.getLong(3), a8.getLong(4), a8.getLong(5))
+           === ((5L, 3L, 2L, 666666L)))
+    val b8 = out(("b", 8L))
+    assert((b8.getLong(4), b8.getLong(5)) === ((-2L, -666666L)))
+    spark.catalog.clearCache()
+  }
+
+  test("rollingActive: coverage explode equals the window-distinct " +
+       "definition; unobserved days emit nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Seq((1L, 0L), (1L, 3L), (2L, 3L), (1L, 3L))
+      .toDF("u", "day")
+      .withColumn("ts", timestamp_seconds(col("day") * 86400L))
+    val out = graft.operators.Temporal.rollingActive(e, "u", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 1L, 1L), (3L, 2L, 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("dupStatsBySource: within-source groups, null-text uniqueness, " +
+       "largest clone group") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Seq(
+      ("A", 1L, Some("same text")), ("A", 2L, Some("same  TEXT ")),
+      ("A", 3L, Some("unique")), ("A", 4L, None),
+      ("B", 5L, Some("same text"))
+    ).toDF("source", "doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .dupStatsBySource(d, "text", "doc_id", "source", portable = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") === ((4L, 3L, 1L, 2L))) // whitespace/case fold dups
+    assert(out("B") === ((1L, 1L, 0L, 1L)))
+  }
+
   test("fdAudit: holding and violated dependencies, null-rhs world, " +
        "violating-row accounting") {
     val spark = TestSpark.spark
