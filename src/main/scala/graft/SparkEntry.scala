@@ -1153,6 +1153,14 @@ object SparkEntry {
       graft.operators.Temporal.rollingActive(e, "user_id", "ts")
     }),
 
+    "q_growth_accounting" -> ((s, dir) => {
+      // DAU decomposition per observed day: new + retained +
+      // resurrected = dau, churned(d) = dau(d-1) - retained(d) —
+      // distinct user-days, min-day join, yesterday self-join
+      val e = T(s, dir, "events")
+      graft.operators.Temporal.growthAccounting(e, "user_id", "ts")
+    }),
+
     "q_dup_by_source" -> ((s, dir) => {
       // per-source duplicate-rate triage: within-source content-key
       // groups, dup counts and the largest clone group
@@ -3526,6 +3534,50 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_lakehouse_pipeline" -> ((s, dir) => {
+      // composed lakehouse maintenance: changelog -> struct-max
+      // compaction stats -> MERGE apply -> snapshot-diff audit ->
+      // one reconciliation row. The merged table is persisted once
+      // and read by both the audit diff and the checksum; the diff's
+      // I/D/U counts must reconcile with the changelog by
+      // construction (inserts 0 here: every changed key exists in
+      // the base snapshot)
+      val c = T(s, dir, "customer")
+      val chg = T(s, dir, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey").as("c_custkey"),
+                concat(lit("cust-upd-"), col("o_orderkey")).as("c_name"),
+                (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+                col("o_totalprice").as("c_acctbal"),
+                lit("MERGED").as("c_mktsegment"),
+                when(col("o_custkey") % 10 === 0, "D").otherwise("U")
+                  .as("op"),
+                col("o_orderdate").as("ts"),
+                col("o_orderkey").as("oid"))
+      val merged = graft.operators.Temporal
+        .mergeUpsert(c, chg, Seq("c_custkey"), "op", Seq("ts", "oid"))
+        .persist()
+      val cstat = chg.groupBy("c_custkey")
+        .agg(count(lit(1)).as("__nv"))
+        .agg(count(lit(1)).as("n_keys_changed"),
+             sum("__nv").as("n_changes"),
+             max("__nv").as("max_versions"))
+      val aud = graft.operators.Temporal
+        .snapshotDiff(c, merged, Seq("c_custkey"),
+                      Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .agg(sum(when(col("change") === "I", 1L).otherwise(0L))
+               .as("n_inserted"),
+             sum(when(col("change") === "D", 1L).otherwise(0L))
+               .as("n_deleted"),
+             sum(when(col("change") === "U", 1L).otherwise(0L))
+               .as("n_updated"))
+      c.agg(count(lit(1)).as("n_base"))
+        .crossJoin(cstat)
+        .crossJoin(merged.agg(count(lit(1)).as("n_rows_after"),
+                              sum("c_custkey").as("key_checksum")))
+        .crossJoin(aud)
+    }),
+
     "q_life_table" -> ((s, dir) => {
       // survival life table over user activity lifetimes (hour
       // periods — the corpus spans 30 days, so hours give a real
@@ -5167,6 +5219,38 @@ object SparkEntry {
          SELECT d.day::BIGINT AS day, dau.dau::BIGINT AS dau,
                 wau.wau7::BIGINT AS wau7
          FROM days d JOIN dau USING (day) JOIN wau USING (day)
+         ORDER BY 1""",
+
+    // growth replay: same flags via min-day and yesterday-membership
+    "q_growth_accounting" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id AS u,
+                  epoch_us(ts) // 1000000 // 86400 AS day
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT u, min(day) AS first_day FROM ud GROUP BY 1),
+         fl AS (
+           SELECT ud.day,
+                  CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END
+                    AS is_new,
+                  CASE WHEN y.u IS NOT NULL THEN 1 ELSE 0 END AS is_ret
+           FROM ud
+           JOIN f USING (u)
+           LEFT JOIN ud y ON y.u = ud.u AND y.day = ud.day - 1),
+         pd AS (
+           SELECT day, count(*) AS dau, sum(is_new) AS n_new,
+                  sum(is_ret) AS n_retained,
+                  count(*) - sum(is_new) - sum(is_ret) AS n_resurrected
+           FROM fl GROUP BY 1)
+         SELECT pd.day::BIGINT AS day, pd.dau::BIGINT AS dau,
+                pd.n_new::BIGINT AS n_new,
+                pd.n_retained::BIGINT AS n_retained,
+                pd.n_resurrected::BIGINT AS n_resurrected,
+                (CASE WHEN pv.dau IS NULL THEN 0
+                      ELSE pv.dau - pd.n_retained END)::BIGINT
+                  AS n_churned
+         FROM pd
+         LEFT JOIN pd pv ON pv.day = pd.day - 1
          ORDER BY 1""",
 
     // dup-by-source replay: same two-world content key (null text ->
@@ -8599,6 +8683,67 @@ object SparkEntry {
                 c_mktsegment
          FROM l WHERE op = 'U'
          ORDER BY c_custkey""",
+
+    // lakehouse-pipeline replay: the MERGE CTEs extended with the
+    // compaction stats, post-merge checksum, and full-outer diff audit
+    "q_lakehouse_pipeline" ->
+      """WITH chg AS (
+           SELECT o_custkey AS c_custkey,
+                  'cust-upd-' || o_orderkey AS c_name,
+                  CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+                  o_totalprice AS c_acctbal,
+                  'MERGED' AS c_mktsegment,
+                  CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END
+                    AS op,
+                  o_orderdate AS ts, o_orderkey AS oid
+           FROM orders WHERE o_orderkey % 7 = 0),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY ts DESC, oid DESC) AS rn
+           FROM chg),
+         l AS (SELECT * FROM r WHERE rn = 1),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                  c_mktsegment
+           FROM customer
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM l)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                  c_mktsegment
+           FROM l WHERE op = 'U'),
+         ck AS (
+           SELECT c_custkey, count(*) AS nv FROM chg GROUP BY 1),
+         cstat AS (
+           SELECT count(*)::BIGINT AS n_keys_changed,
+                  sum(nv)::BIGINT AS n_changes,
+                  max(nv)::BIGINT AS max_versions
+           FROM ck),
+         base AS (SELECT count(*)::BIGINT AS n_base FROM customer),
+         aft AS (
+           SELECT count(*)::BIGINT AS n_rows_after,
+                  sum(c_custkey)::BIGINT AS key_checksum
+           FROM merged),
+         df AS (
+           SELECT CASE WHEN o.c_custkey IS NULL THEN 'I'
+                       WHEN m.c_custkey IS NULL THEN 'D'
+                       WHEN o.c_name IS DISTINCT FROM m.c_name
+                         OR o.c_acctbal IS DISTINCT FROM m.c_acctbal
+                         OR o.c_mktsegment IS DISTINCT FROM
+                              m.c_mktsegment THEN 'U' END AS change
+           FROM customer o
+           FULL OUTER JOIN merged m ON o.c_custkey = m.c_custkey),
+         aud AS (
+           SELECT sum(CASE WHEN change = 'I' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_inserted,
+                  sum(CASE WHEN change = 'D' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_deleted,
+                  sum(CASE WHEN change = 'U' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_updated
+           FROM df)
+         SELECT n_base, n_keys_changed, n_changes, max_versions,
+                n_rows_after, key_checksum, n_inserted, n_deleted,
+                n_updated
+         FROM base, cstat, aft, aud""",
 
     // life-table replay: same floor-division day periods, same
     // censoring horizon (corpus max last-period), suffix-sum at-risk

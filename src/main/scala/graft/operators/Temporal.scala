@@ -449,6 +449,58 @@ object Temporal {
       .orderBy(groupCol, "period")
   }
 
+  /** Growth accounting — the canonical DAU decomposition: every
+    * (user, day) active pair is exactly one of NEW (first day ever),
+    * RETAINED (also active the previous day), or RESURRECTED (seen
+    * before, but not yesterday); CHURNED at day d counts users active
+    * at d-1 and silent at d. Identities `new+retained+resurrected =
+    * dau` and `churned(d) = dau(d-1) - retained(d)` hold row-exactly.
+    *
+    * Shape: one distinct over (user, day), a per-user min-day
+    * aggregate joined back on user, a self-join on (user, day-1) for
+    * the yesterday flag, then a days-sized rollup — every join is a
+    * plain equi-join on already-aggregated rows. Output per observed
+    * day: `day, dau, n_new, n_retained, n_resurrected, n_churned`.
+    */
+  def growthAccounting(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val ud = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("u"),
+              expr(s"cast(cast($tsCol as timestamp) as long) div 86400")
+                .as("day"))
+      .distinct()
+      .persist() // four readers below (caller clearCache)
+    val firstDay = ud.groupBy("u").agg(min("day").as("__first"))
+    val yesterday = ud.select(col("u"), (col("day") + 1L).as("day"),
+                              lit(1L).as("__yday"))
+    val flagged = ud
+      .join(firstDay, Seq("u"))
+      .join(yesterday, Seq("u", "day"), "left")
+      .select(col("day"),
+              when(col("day") === col("__first"), 1L).otherwise(0L)
+                .as("__new"),
+              when(col("__yday").isNotNull, 1L).otherwise(0L)
+                .as("__ret"))
+    val perDay = flagged.groupBy("day")
+      .agg(count(lit(1)).as("dau"), sum("__new").as("n_new"),
+           sum("__ret").as("n_retained"),
+           (count(lit(1)) - sum("__new") - sum("__ret"))
+             .as("n_resurrected"))
+    // churned(d) = active(d-1) minus retained-into-d; emitted on day d
+    // for every observed day (0 when d-1 was unobserved)
+    val prevDau = perDay.select((col("day") + 1L).as("day"),
+                                col("dau").as("__prev_dau"))
+    perDay
+      .join(prevDau, Seq("day"), "left")
+      .withColumn("n_churned",
+        coalesce(col("__prev_dau"), lit(0L)) -
+          when(col("__prev_dau").isNull, 0L).otherwise(col("n_retained")))
+      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+              col("n_resurrected"), col("n_churned"))
+      .orderBy("day")
+  }
+
   /** Exact rolling 7-day actives — the DAU/WAU pair, computed WITHOUT
     * a distinct-over-window (not decomposable) via the coverage
     * explode: each distinct (user, day) covers days `[day, day+6]`,

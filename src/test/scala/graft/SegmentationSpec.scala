@@ -136,6 +136,25 @@ class SegmentationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("growthAccounting: new/retained/resurrected partition dau; " +
+       "churn equals yesterday's dau minus retained; gaps resurrect") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // u1 active d0,d1,d3; u2 active d1; u3 active d3
+    val e = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L), (3L, 3L))
+      .toDF("u", "day")
+      .withColumn("ts", timestamp_seconds(col("day") * 86400L))
+    val out = graft.operators.Temporal.growthAccounting(e, "u", "ts")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // d0: u1 new            -> dau 1, new 1, ret 0, res 0, churn 0
+    assert(out(0L) === Seq(1L, 1L, 0L, 0L, 0L))
+    // d1: u1 retained, u2 new -> churn = dau(0) - ret(1) = 0
+    assert(out(1L) === Seq(2L, 1L, 1L, 0L, 0L))
+    // d3: u1 resurrected (gap), u3 new; d2 unobserved -> churn 0
+    assert(out(3L) === Seq(2L, 1L, 0L, 1L, 0L))
+    spark.catalog.clearCache()
+  }
+
   test("dupStatsBySource: within-source groups, null-text uniqueness, " +
        "largest clone group") {
     val spark = TestSpark.spark
