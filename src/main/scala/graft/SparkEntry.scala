@@ -3784,6 +3784,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
              sum(col("o_orderkey")).as("key_sum"))
         .orderBy("o_orderpriority")
+    }),
+
+    "q_schema_merge" -> ((s, dir) => {
+      // schema evolution: two parquet parts written with DIFFERENT
+      // column sets (the v1/v2 producer situation), read back as one
+      // table via mergeSchema — each part's absent column reads null,
+      // and the unified aggregate matches the direct-source oracle
+      val o = T(s, dir, "orders")
+      val tmp = tmpWorkDir("graft_schema_merge")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+                floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/v1", s"$tmp/v2")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("o_orderkey")).as("key_sum"),
+             count(col("cents")).as("n_v1"),
+             count(col("o_orderpriority")).as("n_v2"),
+             sum(col("cents")).as("sum_cents"))
+    }),
+
+    "q_locf_fill" -> ((s, dir) => {
+      // LOCF imputation: per-type 2-hour event counts densified to
+      // the corpus period range, gaps carried forward from the
+      // latest earlier observation (null before a type's first) —
+      // checksum row over the filled series
+      val e = T(s, dir, "events")
+      graft.operators.Temporal
+        .locfFill(e, "event_type", "ts", periodSeconds = 7200L)
+        .agg(count(lit(1)).as("n_cells"),
+             sum(when(col("n").isNull, 1L).otherwise(0L))
+               .as("n_gap_cells"),
+             sum("filled").as("filled_sum"),
+             sum(col("period") * col("filled")).as("weighted_sum"))
     })
   )
 
@@ -8744,6 +8782,47 @@ object SparkEntry {
                 n_rows_after, key_checksum, n_inserted, n_deleted,
                 n_updated
          FROM base, cstat, aft, aud""",
+
+    // schema-merge replay: the two evolved parts partition orders by
+    // key parity, so the unified aggregate is direct conditional sums
+    "q_schema_merge" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                sum(o_orderkey)::BIGINT AS key_sum,
+                sum(CASE WHEN o_orderkey % 2 = 0 THEN 1
+                    ELSE 0 END)::BIGINT AS n_v1,
+                sum(CASE WHEN o_orderkey % 2 = 1 THEN 1
+                    ELSE 0 END)::BIGINT AS n_v2,
+                sum(CASE WHEN o_orderkey % 2 = 0
+                         THEN floor(o_totalprice * 100)::BIGINT
+                    END)::BIGINT AS sum_cents
+         FROM orders""",
+
+    // LOCF replay: same spine (list-form generate_series) and the
+    // same IGNORE NULLS carry window
+    "q_locf_fill" ->
+      """WITH per AS (
+           SELECT event_type AS k,
+                  epoch_us(ts) // 1000000 // 7200 AS period,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         b AS (SELECT min(period) AS mn, max(period) AS mx FROM per),
+         spine AS (
+           SELECT k, unnest(generate_series(b.mn, b.mx)) AS period
+           FROM (SELECT DISTINCT k FROM per) kk, b),
+         f AS (
+           SELECT s.k, s.period, p.n,
+                  last_value(p.n IGNORE NULLS) OVER (
+                    PARTITION BY s.k ORDER BY s.period
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS filled
+           FROM spine s
+           LEFT JOIN per p ON p.k = s.k AND p.period = s.period)
+         SELECT count(*)::BIGINT AS n_cells,
+                sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_gap_cells,
+                sum(filled)::BIGINT AS filled_sum,
+                sum(period * filled)::BIGINT AS weighted_sum
+         FROM f""",
 
     // life-table replay: same floor-division day periods, same
     // censoring horizon (corpus max last-period), suffix-sum at-risk

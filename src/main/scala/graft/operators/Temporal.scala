@@ -449,6 +449,38 @@ object Temporal {
       .orderBy(groupCol, "period")
   }
 
+  /** LOCF gap fill (last observation carried forward) — the
+    * time-series imputation step: densify each key's period spine to
+    * the CORPUS-WIDE [min, max] period range, then fill missing
+    * periods with the key's latest earlier observation. The fill is a
+    * `last_value(ignoreNulls)` window inside the key (one key shuffle,
+    * spine rows ride along); periods before a key's first observation
+    * stay null (nothing to carry). Output: `(key, period, n, filled)`
+    * where `filled` is the carried/observed value and `n` is null on
+    * spine rows — all integer.
+    */
+  def locfFill(events: DataFrame, keyCol: String, tsCol: String,
+               periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, "positive period")
+    val per = events.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol),
+               expr(s"cast(cast($tsCol as timestamp) as long) " +
+                    s"div ${periodSeconds}L").as("period"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // spine bounds + keys + observations all read it
+    val bounds = per.agg(min("period").as("__mn"), max("period").as("__mx"))
+    val spine = per.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+              explode(sequence(col("__mn"), col("__mx"))).as("period"))
+    val w = Window.partitionBy(keyCol).orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(per, Seq(keyCol.toString, "period"), "left")
+      .withColumn("filled",
+                  last(col("n"), ignoreNulls = true).over(w))
+      .orderBy(keyCol, "period")
+  }
+
   /** Growth accounting — the canonical DAU decomposition: every
     * (user, day) active pair is exactly one of NEW (first day ever),
     * RETAINED (also active the previous day), or RESURRECTED (seen

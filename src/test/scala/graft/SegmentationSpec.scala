@@ -155,6 +155,28 @@ class SegmentationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("locfFill: corpus spine, carry-forward across gaps, null " +
+       "before a key's first observation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // key a observes periods 0 (2 events) and 2 (1); key b period 1
+    // only -> corpus spine [0, 2]
+    val e = Seq(("a", 0L), ("a", 0L), ("a", 2L), ("b", 1L))
+      .toDF("k", "p")
+      .withColumn("ts", timestamp_seconds(col("p") * 100L))
+    val out = graft.operators.Temporal.locfFill(e, "k", "ts", 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(("a", 0L)) === ((Some(2L), Some(2L))))
+    assert(out(("a", 1L)) === ((None, Some(2L)))) // carried
+    assert(out(("a", 2L)) === ((Some(1L), Some(1L))))
+    assert(out(("b", 0L)) === ((None, None))) // before first obs
+    assert(out(("b", 1L)) === ((Some(1L), Some(1L))))
+    assert(out(("b", 2L)) === ((None, Some(1L)))) // carried
+    spark.catalog.clearCache()
+  }
+
   test("dupStatsBySource: within-source groups, null-text uniqueness, " +
        "largest clone group") {
     val spark = TestSpark.spark
