@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * partition, amortized init, bounded memory).
   *
   * Dimension decode is REAL for PNG/BMP/GIF/JPEG payloads ([[Multimodal.ImageHeader]]
-  * parses the actual header byte layouts — pure JVM, no native codecs);
+  * parses the actual header byte layouts — pure JVM, no native codecs)
+  * and for RIFF/WAVE audio ([[Multimodal.AudioHeader]]: chunk walk to
+  * the PCM fmt/data fields, exact frame count and duration);
   * the PIXEL stage stays stubbed (`DecoderStub` emits a deterministic
   * hash-derived feature vector) because this container ships no image
   * libraries. The Spark-side contract — schema, batching, partitioning,
@@ -115,6 +117,53 @@ object Multimodal {
         out
       }
       else None
+    }
+  }
+
+  /** Honest pure-JVM audio header decoder: parses the REAL RIFF/WAVE
+    * byte layout — `RIFF <size> WAVE`, then a word-aligned chunk walk
+    * collecting the PCM `fmt ` fields (channels/sample-rate/
+    * block-align/bits, all little-endian) and the `data` chunk size;
+    * frames = data bytes / block align, duration = frames*1000/rate
+    * (integer). Truncated or corrupt chunk chains return None and
+    * fall to the stub path, never garbage. The video sibling of
+    * [[ImageHeader]]: a real codec swap replaces only the sample
+    * stage, the header protocol is already exact.
+    */
+  object AudioHeader {
+    final case class Info(format: String, sampleRate: Int,
+                          channels: Int, bitsPerSample: Int,
+                          nFrames: Long, durationMs: Long)
+
+    def parse(p: Array[Byte]): Option[Info] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def le16(i: Int): Int = (u8(i + 1) << 8) | u8(i)
+      def le32(i: Int): Long =
+        ((u8(i + 3).toLong << 24) | (u8(i + 2) << 16) |
+          (u8(i + 1) << 8) | u8(i)) & 0xffffffffL
+      if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+          p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' ||
+          p(11) != 'E') None
+      else {
+        var i = 12L
+        var rate = -1; var ch = -1; var bits = -1; var block = -1
+        var dataSize = -1L
+        while (i + 8 <= p.length && (rate < 0 || dataSize < 0)) {
+          val ii = i.toInt
+          val cid = new String(p, ii, 4, "US-ASCII")
+          val sz = le32(ii + 4)
+          if (cid == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+            ch = le16(ii + 10); rate = le32(ii + 12).toInt
+            block = le16(ii + 20); bits = le16(ii + 22)
+          } else if (cid == "data") dataSize = sz
+          i += 8L + sz + (sz & 1L) // chunks are word-aligned
+        }
+        if (rate > 0 && ch > 0 && block > 0 && dataSize >= 0) {
+          val frames = dataSize / block
+          Some(Info("wav", rate, ch, bits, frames,
+                    frames * 1000L / rate))
+        } else None
+      }
     }
   }
 

@@ -125,4 +125,28 @@ class MultimodalSpec extends AnyFunSuite {
                             math.abs(bb.getInt(4) % 4096))))
     assert(out(3L).isEmpty) // null payload -> null dims
   }
+
+  test("AudioHeader parses a real RIFF/WAVE chunk chain; corrupt and " +
+       "foreign payloads return None") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+                                   (v >> 16).toByte, (v >> 24).toByte)
+    val dataBytes = 44100 * 4 // one second of 16-bit stereo
+    // LIST chunk before fmt to force a real chunk walk (odd size ->
+    // word-aligned skip)
+    val list = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes ++ le32(dataBytes)
+    val body = "WAVE".getBytes ++ list ++ fmt ++ data
+    val wav = "RIFF".getBytes ++ le32(body.length + dataBytes) ++ body
+    val info = Multimodal.AudioHeader.parse(wav)
+    assert(info.contains(Multimodal.AudioHeader
+      .Info("wav", 44100, 2, 16, 44100L, 1000L)))
+    // truncated mid-chunk: no fmt collected -> None
+    assert(Multimodal.AudioHeader.parse(wav.take(16)).isEmpty)
+    // foreign magic -> None
+    assert(Multimodal.AudioHeader.parse("RIFFxxxxAVI ".getBytes).isEmpty)
+    assert(Multimodal.AudioHeader.parse(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
