@@ -29,7 +29,14 @@ object TopKAgg {
 
   /** `array<struct<key:long, id:long>>` of the k largest keys in the
     * group, ordered (key desc, id asc); ties beyond position k drop
-    * the larger id, deterministically. */
+    * the larger id, deterministically.
+    *
+    * SET semantics: an exact (key, id) duplicate is held ONCE (what
+    * lets KMV sketches fold raw multiplicity-carrying streams). A
+    * caller whose oracle is a row_number window — which ranks
+    * duplicate rows separately — must therefore feed ids that are
+    * unique per row, or the two sides diverge on repeated
+    * (key, id) pairs. */
   def topkLongs(sortKey: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKLongsAgg(ExpressionUtils.expression(sortKey),

@@ -73,8 +73,13 @@ object Cardinality {
         .agg(TopKAgg.topkLongs(negate(col("__h")), col("__key"), k)
                .as("top"),
              countDistinct(col("__key")).as("nx"))
+    // persisted: each one-row sketch feeds BOTH the merge branch and
+    // the final assembly — without the pin Catalyst recomputes the
+    // full scan-and-fold per reference (caller clearCache)
     val sa = sketch(a).select(col("top").as("ta"), col("nx").as("n_a"))
+      .persist()
     val sb = sketch(b).select(col("top").as("tb"), col("nx").as("n_b"))
+      .persist()
     // union sketch by MERGING the two k-min sets — no third data scan
     // for the estimate; only the exact truth reads the union
     val merged = sa.crossJoin(sb)

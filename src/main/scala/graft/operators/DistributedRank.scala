@@ -35,6 +35,28 @@ object DistributedRank {
     expr(s"CASE WHEN $colName >= 0 THEN $colName div ${w}L " +
          s"ELSE -((-$colName + ${w - 1}L) div ${w}L) END")
 
+  /** Shared prefix stage of the global-rank family: bucket rows by
+    * exact floor division (`__b`), prefix-sum the per-bucket counts on
+    * one task over n_buckets rows, and broadcast-join `__pfx`/`__n`
+    * back — the caller adds its in-bucket window on top and drops the
+    * scaffolding. ONE home for the discipline so the rank()/
+    * row_number() entry points cannot drift apart. */
+  private def withBucketPrefix(df: DataFrame, valueCol: String,
+                               bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
+    val pts = df.where(col(valueCol).isNotNull)
+      .withColumn("__b", floorDiv(valueCol, bucketWidth))
+    val wPfx = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = pts.groupBy("__b").agg(count(lit(1)).as("__bc"))
+      .select(col("__b"),
+              coalesce(sum("__bc").over(wPfx), lit(0L)).as("__pfx"),
+              sum("__bc").over(Window.orderBy(lit(1))
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)).as("__n"))
+    pts.join(broadcast(prefix), Seq("__b"))
+  }
+
   /** Adds the exact global MIN-rank (1-based; ties share the lowest
     * rank, `rank()` semantics) of LONG column `valueCol`, plus the
     * total row count `__n` — the pair behind percentile/decile
@@ -42,27 +64,15 @@ object DistributedRank {
     */
   def withGlobalRank(df: DataFrame, valueCol: String, bucketWidth: Long,
                      rankCol: String = "rank"): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
-    val pts = df.where(col(valueCol).isNotNull)
-      .withColumn("__b", floorDiv(valueCol, bucketWidth))
-    val wPfx = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = pts.groupBy("__b").agg(count(lit(1)).as("__bc"))
-      .select(col("__b"),
-              coalesce(sum("__bc").over(wPfx), lit(0L)).as("__pfx"),
-              sum("__bc").over(Window.orderBy(lit(1))
-                .rowsBetween(Window.unboundedPreceding,
-                             Window.unboundedFollowing)).as("__n"))
     val wIn = Window.partitionBy("__b").orderBy(valueCol)
-    pts.join(broadcast(prefix), Seq("__b"))
+    withBucketPrefix(df, valueCol, bucketWidth)
       .withColumn(rankCol, col("__pfx") + rank().over(wIn))
       .drop("__b", "__pfx")
   }
 
   /** Adds the exact global ROW NUMBER (1-based) under the total order
     * `(valueCol, tieCol)` — both LONG, `tieCol` unique — plus the row
-    * count `__n`, without a global sort: the same bucketed-prefix
-    * discipline as [[withGlobalRank]], with the unique tie column
+    * count `__n`: [[withBucketPrefix]] with the unique tie column
     * extending the in-bucket ordering so every row gets a distinct
     * position. The pair drives exact quantile scoring
     * (`score = ((rn-1)*q) div n + 1` splits into q near-equal bands).
@@ -70,19 +80,8 @@ object DistributedRank {
   def withGlobalRowNumber(df: DataFrame, valueCol: String, tieCol: String,
                           bucketWidth: Long,
                           outCol: String): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
-    val pts = df.where(col(valueCol).isNotNull)
-      .withColumn("__b", floorDiv(valueCol, bucketWidth))
-    val wPfx = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = pts.groupBy("__b").agg(count(lit(1)).as("__bc"))
-      .select(col("__b"),
-              coalesce(sum("__bc").over(wPfx), lit(0L)).as("__pfx"),
-              sum("__bc").over(Window.orderBy(lit(1))
-                .rowsBetween(Window.unboundedPreceding,
-                             Window.unboundedFollowing)).as("__n"))
     val wIn = Window.partitionBy("__b").orderBy(col(valueCol), col(tieCol))
-    pts.join(broadcast(prefix), Seq("__b"))
+    withBucketPrefix(df, valueCol, bucketWidth)
       .withColumn(outCol, col("__pfx") + row_number().over(wIn))
       .drop("__b", "__pfx")
   }

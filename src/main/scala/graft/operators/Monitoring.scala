@@ -169,12 +169,6 @@ object Monitoring {
       .withColumnRenamed("g", groupCol)
   }
 
-  /** [[seasonalAnomalies]] over a PRE-AGGREGATED hourly table
-    * (g, h = hour-truncated timestamp, n) — the entry point for
-    * incrementally-maintained counts (a streaming complete-mode
-    * aggregation snapshot, a materialized rollup): hourly counts are
-    * additive, so flags over the maintained table equal flags over
-    * the raw events by construction. */
   /** Exact two-sample Kolmogorov–Smirnov distance between the value
     * distributions of two cohorts (`flagCol` true vs false) — the
     * distribution-level drift test that needs no binning choice, the
@@ -238,8 +232,17 @@ object Monitoring {
              .as("__m"))
       .select(col("n1"), col("n2"), col("__m.d").as("d_num"),
               negate(col("__m.nv")).as("arg_value"))
+      // empty/all-null input: the ungrouped agg still yields one
+      // all-null row, but the LIMIT 1 oracle yields none — align
+      .where(col("n1").isNotNull)
   }
 
+  /** [[seasonalAnomalies]] over a PRE-AGGREGATED hourly table
+    * (g, h = hour-truncated timestamp, n) — the entry point for
+    * incrementally-maintained counts (a streaming complete-mode
+    * aggregation snapshot, a materialized rollup): hourly counts are
+    * additive, so flags over the maintained table equal flags over
+    * the raw events by construction. */
   def seasonalAnomaliesFromHourly(hourly: DataFrame, kNum: Long,
                                   kDen: Long): DataFrame = {
     require(kNum > 0 && kDen > 0,

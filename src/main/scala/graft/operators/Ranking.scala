@@ -17,7 +17,10 @@ object Ranking {
     * then a bounded explode. Output: group cols + `rank` (1-based) +
     * idCol + metricCol, one row per kept item. Rows with a null
     * metric or id are ignored, matching the SQL-window replay's
-    * explicit NOT NULL filter. */
+    * explicit NOT NULL filter. `idCol` must identify rows uniquely:
+    * the aggregate holds an exact (metric, id) duplicate once (set
+    * semantics), while the row_number oracle would rank both copies —
+    * feed row-unique ids or pre-aggregate duplicates first. */
   def topkPerGroup(df: DataFrame, groupCols: Seq[String],
                    metricCol: String, idCol: String, k: Int): DataFrame = {
     val g = groupCols.map(col)

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   *
   * Dimension decode is REAL for PNG/BMP/GIF/JPEG payloads ([[Multimodal.ImageHeader]]
   * parses the actual header byte layouts — pure JVM, no native codecs)
-  * and for RIFF/WAVE audio ([[Multimodal.AudioHeader]]: chunk walk to
-  * the PCM fmt/data fields, exact frame count and duration);
+  * and RIFF/WAVE metadata is REAL via [[Multimodal.extractAudioInfo]]
+  * ([[Multimodal.AudioHeader]]: chunk walk to the PCM fmt/data fields,
+  * exact frame count and integer duration);
   * the PIXEL stage stays stubbed (`DecoderStub` emits a deterministic
   * hash-derived feature vector) because this container ships no image
   * libraries. The Spark-side contract — schema, batching, partitioning,
@@ -126,9 +127,10 @@ object Multimodal {
     * block-align/bits, all little-endian) and the `data` chunk size;
     * frames = data bytes / block align, duration = frames*1000/rate
     * (integer). Truncated or corrupt chunk chains return None and
-    * fall to the stub path, never garbage. The video sibling of
-    * [[ImageHeader]]: a real codec swap replaces only the sample
-    * stage, the header protocol is already exact.
+    * return None, never garbage. The audio sibling of
+    * [[ImageHeader]], driven by [[extractAudioInfo]]: a real codec
+    * swap replaces only the sample stage, the header protocol is
+    * already exact.
     */
   object AudioHeader {
     final case class Info(format: String, sampleRate: Int,
@@ -198,6 +200,44 @@ object Multimodal {
       }
       Decoded(w, h, feats)
     }
+  }
+
+  /** Output schema of audio metadata extraction. */
+  val audioInfoSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Batched audio-metadata extraction over a binary column — the
+    * [[extractFeatures]] sibling that drives [[AudioHeader]]: one
+    * parse per payload inside mapPartitions, null fields for null or
+    * non-WAV payloads (the caller's cue to route them elsewhere).
+    */
+  def extractAudioInfo(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioInfoSchema)
+    df.select(col(idCol).cast(LongType).as("id"),
+              col(payloadCol).as("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val parsed =
+            if (payload == null) None else AudioHeader.parse(payload)
+          parsed match {
+            case Some(a) =>
+              Row(id, payload.length, a.sampleRate, a.channels,
+                  a.bitsPerSample, a.nFrames, a.durationMs)
+            case None =>
+              Row(id, if (payload == null) 0 else payload.length,
+                  null, null, null, null, null)
+          }
+        }
+      }(enc)
   }
 
   /** Batched feature extraction over a binary column. Partition-parallel;

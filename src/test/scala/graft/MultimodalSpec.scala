@@ -148,5 +148,18 @@ class MultimodalSpec extends AnyFunSuite {
     // foreign magic -> None
     assert(Multimodal.AudioHeader.parse("RIFFxxxxAVI ".getBytes).isEmpty)
     assert(Multimodal.AudioHeader.parse(Array[Byte](1, 2, 3)).isEmpty)
+    // the Spark-side extraction drives the parser: WAV rows carry the
+    // parsed fields, foreign/null payloads null out
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, wav), (2L, "not a wav".getBytes),
+                 (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractAudioInfo(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) === 44100 && out(1L).getInt(3) === 2 &&
+           out(1L).getLong(6) === 1000L)
+    assert(out(2L).isNullAt(2) && out(3L).isNullAt(2))
+    assert(out(3L).getInt(1) === 0)
   }
 }
