@@ -721,6 +721,14 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q_embed_health" -> ((s, dir) => {
+      // vector data-quality audit: null/wrong-dim/NaN/zero counts and
+      // milli-quantized integer norm checksums (order-independent
+      // BIGINT sums — no float fold on the oracle surface)
+      val e = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.embeddingHealth(e, "embedding", 64)
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH buckets
       // (portable Lehmer-mix planes — bit-exact DuckDB oracle; threshold
@@ -6841,6 +6849,40 @@ object SparkEntry {
                          * sqrt(64.0)), 6) AS cosine
          FROM embeddings
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    // embed-health replay: same milli-quantized integer norms (double
+    // cast before the grid, integer sums commute)
+    "q_embed_health" ->
+      """WITH q AS (
+           SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END
+                    AS is_null,
+                  CASE WHEN embedding IS NOT NULL
+                        AND len(embedding) <> 64 THEN 1 ELSE 0 END
+                    AS is_dim,
+                  CASE WHEN embedding IS NOT NULL
+                        AND len(list_filter(embedding,
+                                            x -> isnan(x))) > 0
+                       THEN 1 ELSE 0 END AS is_nan,
+                  CASE WHEN embedding IS NOT NULL
+                        AND len(embedding) = 64
+                        AND len(list_filter(embedding,
+                                            x -> isnan(x))) = 0
+                       THEN list_sum(list_transform(
+                              embedding::DOUBLE[],
+                              x -> floor(x * 1000)::BIGINT *
+                                   floor(x * 1000)::BIGINT))
+                  END AS qn
+           FROM embeddings)
+         SELECT count(*)::BIGINT AS n_vecs,
+                sum(is_null)::BIGINT AS n_null,
+                sum(is_dim)::BIGINT AS n_wrong_dim,
+                sum(is_nan)::BIGINT AS n_nan,
+                sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_zero,
+                sum(qn)::BIGINT AS qnorm_sum,
+                min(qn)::BIGINT AS qnorm_min,
+                max(qn)::BIGINT AS qnorm_max
+         FROM q""",
 
     // portable-plane LSH buckets (Lehmer mix mod 2^31-1, bit-exact with
     // LshSigExpr portable mode), then in-bucket exact cosine

@@ -967,4 +967,38 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Embedding-health audit — the vector edition of the data-quality
+    * expectations report: one scan, one global aggregate, all BIGINT.
+    * Counts null vectors, wrong-dimension vectors, vectors carrying
+    * NaN, and zero vectors, and checksums the VALID vectors' norms on
+    * the milli-quantized integer grid (`q = floor(x*1000)`,
+    * `qnorm = Σ q²` — integer additions commute, so the totals are
+    * bit-exact under any partitioning and replay in any engine,
+    * unlike a float norm fold). A drifting producer shows up as a
+    * moving `qnorm_sum`/`qnorm_max` long before retrieval quality
+    * craters.
+    */
+  def embeddingHealth(df: DataFrame, embCol: String,
+                      dim: Int): DataFrame = {
+    val e = col(embCol)
+    val qnorm = aggregate(
+      transform(e.cast("array<double>"),
+                x => floor(x * 1000).cast("long")),
+      lit(0L), (acc, q) => acc + q * q)
+    val valid = e.isNotNull && size(e) === dim &&
+      !exists(e, x => isnan(x))
+    df.select(
+        when(e.isNull, 1L).otherwise(0L).as("__null"),
+        when(e.isNotNull && size(e) =!= dim, 1L).otherwise(0L)
+          .as("__dim"),
+        when(e.isNotNull && exists(e, x => isnan(x)), 1L).otherwise(0L)
+          .as("__nan"),
+        when(valid, qnorm).as("__q"))
+      .agg(count(lit(1)).as("n_vecs"), sum("__null").as("n_null"),
+           sum("__dim").as("n_wrong_dim"), sum("__nan").as("n_nan"),
+           sum(when(col("__q") === 0L, 1L).otherwise(0L)).as("n_zero"),
+           sum("__q").as("qnorm_sum"), min("__q").as("qnorm_min"),
+           max("__q").as("qnorm_max"))
+  }
 }

@@ -136,6 +136,21 @@ class CardinalityAndKsSpec extends AnyFunSuite {
     assert(byDigit(9)._3 === 1L * 1000000000L - 9L * 45757490L)
   }
 
+  test("embeddingHealth: null/dim/NaN/zero classification and exact " +
+       "quantized norm checksums") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val good = Array.fill(4)(0.5f)            // q=500, qnorm=1,000,000
+    val zero = Array.fill(4)(0.0f)
+    val nan = Array(1.0f, Float.NaN, 0f, 0f)
+    val short = Array(1.0f)
+    val df = Seq(Some(good), Some(zero), Some(nan), Some(short), None)
+      .toDF("embedding")
+    val r = graft.pipeline.Similarity
+      .embeddingHealth(df, "embedding", dim = 4).collect().head
+    assert(r.toSeq === Seq(5L, 1L, 1L, 1L, 1L, 1000000L, 0L, 1000000L))
+  }
+
   test("plan shapes: KMV folds map-side before its exchange; " +
        "joinCardinality never materializes the row join; ks2Sample " +
        "broadcasts its prefix table") {
