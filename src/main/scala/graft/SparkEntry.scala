@@ -6861,12 +6861,14 @@ object SparkEntry {
                     AS is_dim,
                   CASE WHEN embedding IS NOT NULL
                         AND len(list_filter(embedding,
-                                            x -> isnan(x))) > 0
-                       THEN 1 ELSE 0 END AS is_nan,
+                              x -> x IS NULL OR isnan(x)
+                                   OR abs(x) > 100000)) > 0
+                       THEN 1 ELSE 0 END AS is_bad,
                   CASE WHEN embedding IS NOT NULL
                         AND len(embedding) = 64
                         AND len(list_filter(embedding,
-                                            x -> isnan(x))) = 0
+                              x -> x IS NULL OR isnan(x)
+                                   OR abs(x) > 100000)) = 0
                        THEN list_sum(list_transform(
                               embedding::DOUBLE[],
                               x -> floor(x * 1000)::BIGINT *
@@ -6876,7 +6878,7 @@ object SparkEntry {
          SELECT count(*)::BIGINT AS n_vecs,
                 sum(is_null)::BIGINT AS n_null,
                 sum(is_dim)::BIGINT AS n_wrong_dim,
-                sum(is_nan)::BIGINT AS n_nan,
+                sum(is_bad)::BIGINT AS n_bad_vals,
                 sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END)::BIGINT
                   AS n_zero,
                 sum(qn)::BIGINT AS qnorm_sum,

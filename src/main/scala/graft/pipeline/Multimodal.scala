@@ -126,7 +126,7 @@ object Multimodal {
     * collecting the PCM `fmt ` fields (channels/sample-rate/
     * block-align/bits, all little-endian) and the `data` chunk size;
     * frames = data bytes / block align, duration = frames*1000/rate
-    * (integer). Truncated or corrupt chunk chains return None and
+    * (integer). Truncated or corrupt chunk chains
     * return None, never garbage. The audio sibling of
     * [[ImageHeader]], driven by [[extractAudioInfo]]: a real codec
     * swap replaces only the sample stage, the header protocol is

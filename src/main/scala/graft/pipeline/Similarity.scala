@@ -970,14 +970,17 @@ object Similarity {
 
   /** Embedding-health audit — the vector edition of the data-quality
     * expectations report: one scan, one global aggregate, all BIGINT.
-    * Counts null vectors, wrong-dimension vectors, vectors carrying
-    * NaN, and zero vectors, and checksums the VALID vectors' norms on
-    * the milli-quantized integer grid (`q = floor(x*1000)`,
-    * `qnorm = Σ q²` — integer additions commute, so the totals are
-    * bit-exact under any partitioning and replay in any engine,
-    * unlike a float norm fold). A drifting producer shows up as a
-    * moving `qnorm_sum`/`qnorm_max` long before retrieval quality
-    * craters.
+    * Counts null vectors, wrong-dimension vectors, vectors carrying a
+    * BAD VALUE (null element, NaN, Infinity, or |x| > 1e5 — the last
+    * bound also keeps every per-element q² at most 1e16, so a
+    * 64-dim integer norm can never wrap a long), and zero vectors,
+    * and checksums the VALID vectors' norms on the milli-quantized
+    * integer grid (`q = floor(x*1000)`, `qnorm = Σ q²` — integer
+    * additions commute, so the totals are bit-exact under any
+    * partitioning and replay in any engine, unlike a float norm
+    * fold). A drifting producer shows up as a moving
+    * `qnorm_sum`/`qnorm_max` — or as `n_bad_vals` when it starts
+    * emitting Inf/NaN — long before retrieval quality craters.
     */
   def embeddingHealth(df: DataFrame, embCol: String,
                       dim: Int): DataFrame = {
@@ -986,17 +989,17 @@ object Similarity {
       transform(e.cast("array<double>"),
                 x => floor(x * 1000).cast("long")),
       lit(0L), (acc, q) => acc + q * q)
-    val valid = e.isNotNull && size(e) === dim &&
-      !exists(e, x => isnan(x))
+    val bad = exists(e, x =>
+      x.isNull || isnan(x) || abs(x) > 100000.0d)
+    val valid = e.isNotNull && size(e) === dim && !bad
     df.select(
         when(e.isNull, 1L).otherwise(0L).as("__null"),
         when(e.isNotNull && size(e) =!= dim, 1L).otherwise(0L)
           .as("__dim"),
-        when(e.isNotNull && exists(e, x => isnan(x)), 1L).otherwise(0L)
-          .as("__nan"),
+        when(e.isNotNull && bad, 1L).otherwise(0L).as("__bad"),
         when(valid, qnorm).as("__q"))
       .agg(count(lit(1)).as("n_vecs"), sum("__null").as("n_null"),
-           sum("__dim").as("n_wrong_dim"), sum("__nan").as("n_nan"),
+           sum("__dim").as("n_wrong_dim"), sum("__bad").as("n_bad_vals"),
            sum(when(col("__q") === 0L, 1L).otherwise(0L)).as("n_zero"),
            sum("__q").as("qnorm_sum"), min("__q").as("qnorm_min"),
            max("__q").as("qnorm_max"))

@@ -140,15 +140,23 @@ class CardinalityAndKsSpec extends AnyFunSuite {
        "quantized norm checksums") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val good = Array.fill(4)(0.5f)            // q=500, qnorm=1,000,000
-    val zero = Array.fill(4)(0.0f)
-    val nan = Array(1.0f, Float.NaN, 0f, 0f)
-    val short = Array(1.0f)
-    val df = Seq(Some(good), Some(zero), Some(nan), Some(short), None)
-      .toDF("embedding")
+    def v(xs: Float*): Option[Seq[Option[Float]]] =
+      Some(xs.map(Option(_)).toSeq)
+    val rows: Seq[Option[Seq[Option[Float]]]] = Seq(
+      v(0.5f, 0.5f, 0.5f, 0.5f), // q=500 each, qnorm=1,000,000
+      v(0f, 0f, 0f, 0f), // zero vector
+      v(1f, Float.NaN, 0f, 0f), // NaN
+      v(Float.PositiveInfinity, 0f, 0f, 0f), // Inf
+      v(2e6f, 0f, 0f, 0f), // |x| > 1e5: checksum would wrap a long
+      Some(Seq(Option(1f), None, Option(0f), Option(0f))), // null elem
+      v(1.0f), // wrong dimension
+      None) // null vector
+    val df = rows.toDF("embedding")
     val r = graft.pipeline.Similarity
       .embeddingHealth(df, "embedding", dim = 4).collect().head
-    assert(r.toSeq === Seq(5L, 1L, 1L, 1L, 1L, 1000000L, 0L, 1000000L))
+    // 8 vecs: 1 null, 1 wrong-dim, 4 bad-value (NaN/Inf/huge/null
+    // element), 1 zero; checksum covers only the good and zero rows
+    assert(r.toSeq === Seq(8L, 1L, 1L, 4L, 1L, 1000000L, 0L, 1000000L))
   }
 
   test("plan shapes: KMV folds map-side before its exchange; " +
