@@ -1178,6 +1178,16 @@ object SparkEntry {
                           portable = true)
     }),
 
+    "q_cross_source_dupes" -> ((s, dir) => {
+      // cross-source duplication matrix: distinct content
+      // fingerprints shared by each source pair — the provenance
+      // complement of q_dup_by_source's within-source rates
+      val d = T(s, dir, "documents")
+      graft.pipeline.Dedup
+        .crossSourceDupes(d, "text", "doc_id", "source",
+                          portable = true)
+    }),
+
     "q_behavior_cohorts" -> ((s, dir) => {
       // audience bitmask census over the trailing activity window
       // (the long corpus saturates every flag): one bit per tracked
@@ -5318,6 +5328,21 @@ object SparkEntry {
                 (sum(n) - count(*))::BIGINT AS n_dups,
                 max(n)::BIGINT AS largest_group
          FROM g GROUP BY 1 ORDER BY 1""",
+
+    // cross-source replay: same distinct (fingerprint, source) pairs
+    // self-joined under src_a < src_b
+    "q_cross_source_dupes" ->
+      """WITH fs AS (
+           SELECT DISTINCT
+                  md5(regexp_replace(lower(trim(text)),
+                                     '\s+', ' ', 'g')) AS fp,
+                  source
+           FROM documents WHERE text IS NOT NULL)
+         SELECT a.source AS src_a, b.source AS src_b,
+                count(*)::BIGINT AS n_shared_fps
+         FROM fs a JOIN fs b
+           ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // cohort replay: identical max-flag bit folds per user over the
     // same trailing window

@@ -699,6 +699,33 @@ object Dedup {
            max("__n").as("largest_group"))
       .orderBy(srcCol)
 
+  /** Cross-source duplication matrix — the provenance question
+    * [[dupStatsBySource]] cannot answer: which source PAIRS share
+    * content. One row per unordered (src_a < src_b) pair with the
+    * number of distinct content fingerprints present in both. The
+    * distinct (fp, source) aggregate bounds the self-join: each side
+    * carries one row per fingerprint per source, so a fingerprint's
+    * pair fan-out is C(#sources, 2) ≤ C(n_sources, 2) — never a
+    * row-level blow-up however many copies each source holds. Null
+    * text stays out (a null row duplicates nothing).
+    */
+  def crossSourceDupes(df: DataFrame, textCol: String, idCol: String,
+                       srcCol: String,
+                       portable: Boolean = false): DataFrame = {
+    val fpSrc = df.where(col(textCol).isNotNull)
+      .select(contentFpStr(col(textCol), portable).as("__fp"),
+              col(srcCol).cast("string").as("__src"))
+      .distinct()
+      .persist() // both self-join sides (caller clearCache)
+    fpSrc.as("a")
+      .join(fpSrc.as("b"),
+            col("a.__fp") === col("b.__fp") &&
+              col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Benchmark-contamination check (decontamination step of a training
     * pipeline): corpus documents sharing at least one word n-gram with
     * any benchmark/eval document. Returns (id, n_matched_grams) for

@@ -194,6 +194,25 @@ class SegmentationSpec extends AnyFunSuite {
     assert(out("B") === ((1L, 1L, 0L, 1L)))
   }
 
+  test("crossSourceDupes: pair matrix over distinct fingerprints, " +
+       "within-source copies and null text contribute nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Seq(
+      ("A", 1L, Some("x")), ("A", 2L, Some("x")), // within-A copy
+      ("B", 3L, Some("x")), ("C", 4L, Some("x")), // x spans A,B,C
+      ("B", 5L, Some("y")), ("C", 6L, Some("y")), // y spans B,C
+      ("A", 7L, Some("z")), ("A", 8L, None), ("B", 9L, None)
+    ).toDF("source", "doc_id", "text")
+    val out = graft.pipeline.Dedup
+      .crossSourceDupes(d, "text", "doc_id", "source", portable = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("A", "B") -> 1L, ("A", "C") -> 1L,
+                       ("B", "C") -> 2L))
+    spark.catalog.clearCache()
+  }
+
   test("fdAudit: holding and violated dependencies, null-rhs world, " +
        "violating-row accounting") {
     val spark = TestSpark.spark
