@@ -1178,6 +1178,14 @@ object SparkEntry {
                           portable = true)
     }),
 
+    "q_length_histogram" -> ((s, dir) => {
+      // log2-bucketed document token-length histogram: exact integer
+      // floor(log2) via the binary rendering (no float log), empty
+      // docs in bucket -1
+      val d = T(s, dir, "documents")
+      graft.pipeline.TextAnalysis.lengthHistogram(d, "text")
+    }),
+
     "q_cross_source_dupes" -> ((s, dir) => {
       // cross-source duplication matrix: distinct content
       // fingerprints shared by each source pair — the provenance
@@ -5328,6 +5336,26 @@ object SparkEntry {
                 (sum(n) - count(*))::BIGINT AS n_dups,
                 max(n)::BIGINT AS largest_group
          FROM g GROUP BY 1 ORDER BY 1""",
+
+    // length-histogram replay: identical token count, bit-length log2
+    "q_length_histogram" ->
+      """WITH t AS (
+           SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0
+                         THEN 0
+                       ELSE length(regexp_split_to_array(trim(text),
+                                                         '\s+')) END
+                    AS n
+           FROM documents),
+         b AS (
+           SELECT CASE WHEN n = 0 THEN -1
+                       ELSE length(printf('%b', n)) - 1 END AS bucket,
+                  n
+           FROM t)
+         SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+                sum(n)::BIGINT AS sum_tokens,
+                min(n)::BIGINT AS min_tokens,
+                max(n)::BIGINT AS max_tokens
+         FROM b GROUP BY 1 ORDER BY 1""",
 
     // cross-source replay: same distinct (fingerprint, source) pairs
     // self-joined under src_a < src_b

@@ -393,4 +393,26 @@ object TextAnalysis {
       .orderBy(col("lift_scaled").desc, col("cnt").desc, col("bigram"))
       .limit(k)
   }
+
+  /** Log2-bucketed document-length histogram — the standard corpus
+    * report cut (power-of-two length bands keep the bucket count
+    * bounded at any corpus scale). The bucket is the EXACT integer
+    * `floor(log2(n_tokens))`, computed as the bit length of the count
+    * via its binary string rendering — no float log on either engine
+    * (`length(bin(n)) - 1` here, `length(printf('%b', n)) - 1` in the
+    * replay). Empty/null docs land in bucket -1. One 9ish-row grouped
+    * count, map-side combined.
+    */
+  def lengthHistogram(df: org.apache.spark.sql.DataFrame,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    df.select(tokenCount(col(textCol)).cast("long").as("__n"))
+      .select(when(col("__n") === 0L, lit(-1L))
+                .otherwise(length(bin(col("__n"))).cast("long") - 1L)
+                .as("bucket"),
+              col("__n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("sum_tokens"),
+           min("__n").as("min_tokens"), max("__n").as("max_tokens"))
+      .orderBy("bucket")
+  }
 }
