@@ -52,10 +52,50 @@ object Bench {
       // a failed query must not masquerade as a fast one
       name -> (if (failed) -1.0 else times.drop(1).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Two artifacts, by audience:
+    //  1. bench_times.json — the FULL per-query map at full precision,
+    //     written to a file the round harness can ingest whole. The
+    //     harness captures only the last ~2000 chars of stdout, so a
+    //     202-query map printed inline truncates mid-number and parses
+    //     as nothing (BENCH_r07 lost 135 of 202 query times that way).
+    //  2. ONE compact stdout JSON line that FITS in that tail window:
+    //     total + a fixed headline subset at ms precision, plus a
+    //     pointer to the full file. The headline list is stable across
+    //     rounds so the visible subset stays round-over-round
+    //     comparable.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""cpus":$cpus,"passes":4,"stat":"min_of_last_3",""" +
+        s""""n_queries":${results.size},"queries":$qs}"""
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    val headline = Seq(
+      "q_binning_table", "q_prebin_agg", "q_woe_transform", "q_cont_process",
+      "q_multiclass_fit", "q_2d_fit", "q_2d_cart", "q_cont_2d_fit",
+      "q_pw_monotone", "q_scorecard", "q_counterfactual", "q_psi",
+      "q_stability_report", "q_process_summary", "q_sketch_binning",
+      "q_mdlp_splits", "q_ks_gini", "q_dedup_exact", "q_minhash_bands",
+      "q_simhash", "q_ngram_jaccard", "q_semantic_dedup", "q_fuzzy_pairs",
+      "q_er_clusters", "q_setsim_join", "q_contamination", "q_dedup_clusters",
+      "q_embed_clusters", "q_ann_topk", "q_ivf_topk", "q_ivfpq_topk",
+      "q_curation_pipeline", "q_corpus_report", "q_token_budget",
+      "q_seq_packing", "q_text_stats", "q_lang_id", "q_bm25_topk",
+      "q_stream_sessions", "q_stream_rollup", "q_stream_binning",
+      "q_multimodal_features", "q_lakehouse_pipeline", "q_pagerank")
+    val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$outPath","queries":$head}""")
     spark.stop()
   }
 }

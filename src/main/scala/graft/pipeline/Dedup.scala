@@ -1036,25 +1036,47 @@ object Dedup {
     * `levenshtein` expression; the verify cost is the candidate
     * count, which blocking keeps near-linear in vocabulary size.
     *
+    * Shuffle discipline (the `contamination` lesson,
+    * [[decontaminate]]): the block join keys on `xxhash64` of the
+    * variant, NOT the variant string, and candidate pairs travel as
+    * 8-byte string-id pairs — strings re-enter only in the final
+    * verify join against the bounded distinct-string table. Each
+    * string emits |s|+1 variants, so at 100× vocabulary a
+    * string-keyed join would shuffle hundreds of GB of near-copies
+    * of every name; the hashed join shuffles 16 bytes per variant.
+    * Hash collisions only ever ADD candidates (false blocks), which
+    * the exact levenshtein verify removes; a 64-bit string-id
+    * collision (~1e-8 at 1M distinct strings) could at worst drop
+    * the colliding pair, the standard xxhash64-keying trade the
+    * dedup family already makes.
+    *
     * Input: one string column. Output: (`a`, `b`) with `a < b` and
     * edit distance exactly 1. Duplicate input strings dedupe first.
     */
   def editDistance1Pairs(strings: DataFrame, strCol: String): DataFrame = {
     val s = strings.where(col(strCol).isNotNull)
       .select(col(strCol).as("__s")).distinct()
-    val variants = s.select(col("__s"),
-      explode(array_union(
-        array(col("__s")),
-        transform(sequence(lit(1), length(col("__s"))),
-          i => concat(col("__s").substr(lit(1), i - 1),
-                      col("__s").substr(i + 1,
-                        length(col("__s")) - i))))).as("__v"))
-    val a = variants.select(col("__s").as("a"), col("__v"))
-    val b = variants.select(col("__s").as("b"), col("__v"))
-    a.join(b, Seq("__v"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
-      .where(levenshtein(col("a"), col("b")) === 1)
+      .withColumn("__sid", xxhash64(col("__s")))
+    val variants = s.select(col("__sid"), col("__s"))
+      .select(col("__sid"),
+        explode(array_union(
+          array(col("__s")),
+          transform(sequence(lit(1), length(col("__s"))),
+            i => concat(col("__s").substr(lit(1), i - 1),
+                        col("__s").substr(i + 1,
+                          length(col("__s")) - i))))).as("__v"))
+      .select(col("__sid"), xxhash64(col("__v")).as("__vh"))
+    val a = variants.select(col("__sid").as("__ida"), col("__vh"))
+    val b = variants.select(col("__sid").as("__idb"), col("__vh"))
+    val cand = a.join(b, Seq("__vh"))
+      .where(col("__ida") < col("__idb"))
+      .select("__ida", "__idb").distinct()
+    val sa = s.select(col("__sid").as("__ida"), col("__s").as("__a0"))
+    val sb = s.select(col("__sid").as("__idb"), col("__s").as("__b0"))
+    cand.join(sa, Seq("__ida")).join(sb, Seq("__idb"))
+      .where(levenshtein(col("__a0"), col("__b0")) === 1)
+      .select(least(col("__a0"), col("__b0")).as("a"),
+              greatest(col("__a0"), col("__b0")).as("b"))
   }
 
   /** Composed entity resolution: normalize → block → verify → cluster,

@@ -1,5 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -8,16 +9,11 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q_kmv_distinct", "q_benford", "q_ks_2samp")) {
-      for (pass <- 1 to 3) {
-        val t0 = System.nanoTime()
-        val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-        val n = df.count()
-        println(f"=== $q pass=$pass rows=$n " +
-                f"time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
-        spark.catalog.clearCache()
-      }
-    }
+    val c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(lower(col("c_name")).as("name"))
+    val pairs = graft.pipeline.Dedup.editDistance1Pairs(c, "name")
+    println(pairs.queryExecution.executedPlan.toString.take(6000))
+    println(s"=== n_pairs=${pairs.count()}")
     spark.stop()
   }
 }

@@ -636,6 +636,46 @@ object ScaleProbe {
         }
       }
     }
+    section("fuzzy") {
+      // fuzzy-match / entity-resolution chain at 1x/16x. The
+      // vocabulary itself must grow (identical replicas would
+      // collapse in the distinct() prefix), so each replica gets a
+      // one-to-two-char "#rep" suffix: within-rep edit-1 pairs
+      // replicate 16x and same-name cross-rep suffixes ("x#3"/"x#4")
+      // add one-substitution pairs, so the verified-pair output grows
+      // FASTER than the vocabulary — a deliberately harsh shape. The
+      // claimed scaling: variant generation linear in total name
+      // chars, candidate shuffle 16 bytes/variant (hash-keyed), verify
+      // linear in candidate pairs.
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(lower(col("c_name")).as("name"),
+                col("c_custkey").cast("long").as("id"))
+      Seq(1, 16).foreach { mult =>
+        val c =
+          if (mult == 1) cust
+          else cust.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .select(
+              concat(col("name"), lit("#"), col("__rep")).as("name"),
+              (col("id") * mult + col("__rep")).as("id"))
+        val n = c.count()
+        (1 to 2).foreach { pass =>
+          val tFz = timed {
+            Dedup.editDistance1Pairs(c, "name")
+              .agg(count(lit(1))).collect()
+          }
+          spark.catalog.clearCache()
+          val tEr = timed {
+            Dedup.entityClusters(c, "id", "name")
+              .agg(count(lit(1))).collect()
+          }
+          spark.catalog.clearCache()
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d names=$n%8d " +
+              f"fuzzy=$tFz%6.2f s er=$tEr%6.2f s")
+        }
+      }
+    }
     spark.stop()
   }
 }
