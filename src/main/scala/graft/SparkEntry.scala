@@ -83,6 +83,22 @@ object SparkEntry {
     * sink at 8 shuffle partitions, drain, then hand the drained table
     * to `finish` before tearing everything down. Any fix to the
     * replay discipline lives HERE once, not per query. */
+  /** Bind the RocksDB state-store provider around a streaming
+    * `start()` when `SPARK_GRAFT_STATESTORE=rocksdb` — one switch
+    * flips EVERY stateful driver-contract stream (sessionization,
+    * as-of, top-k, heavy hitters, KMV distinct, windowed aggs,
+    * dedup, seasonal) off the on-heap HDFS-backed store. Results are
+    * provider-independent (asserted at 1M keys by
+    * [[graft.tools.StateStoreProbe]]); the provider binds at
+    * checkpoint creation, and every contract stream creates a fresh
+    * checkpoint, so the flag is safe to toggle between runs. */
+  private[graft] def withConfiguredStateStore[T](s: SparkSession)
+                                                (body: => T): T =
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      graft.streaming.StreamingSessionize.withStateStoreProvider(
+        s, graft.streaming.StreamingSessionize.RocksDBProvider)(body)
+    else body
+
   private def replayThirds(s: SparkSession, ev: org.apache.spark.sql.DataFrame,
                            tsColName: String, schemaStr: String,
                            prefix: String)
@@ -114,10 +130,12 @@ object SparkEntry {
     val oldSp = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      out.writeStream.outputMode("append")
-        .format("memory").queryName(prefix)
-        .option("checkpointLocation", ckpt)
-        .start()
+      withConfiguredStateStore(s) {
+        out.writeStream.outputMode("append")
+          .format("memory").queryName(prefix)
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
     q.processAllAvailable()
     q.stop()
@@ -1978,10 +1996,12 @@ object SparkEntry {
       val sk = new graft.streaming.OptimalBinningSketch(
         BinningConfig(name = "value"), eps = 1e-3)
       var last: Option[graft.operators.FittedOptimalBinning] = None
-      val q = sk.streamingQuery(stream, "value", "y",
-                                f => last = Some(f))
-        .option("checkpointLocation", ckpt)
-        .start()
+      val q = withConfiguredStateStore(s) {
+        sk.streamingQuery(stream, "value", "y",
+                          f => last = Some(f))
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
       q.processAllAvailable()
       q.stop()
       // stage + checkpoint are throwaway /tmp artifacts
@@ -2029,11 +2049,13 @@ object SparkEntry {
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        toks.groupBy("token").agg(count(lit(1)).as("term_freq"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName("graft_stream_topk")
-          .option("checkpointLocation", ckpt)
-          .start()
+        withConfiguredStateStore(s) {
+          toks.groupBy("token").agg(count(lit(1)).as("term_freq"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("graft_stream_topk")
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       q.processAllAvailable()
       q.stop()
@@ -2078,13 +2100,15 @@ object SparkEntry {
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        staged.groupBy("event_type")
-          .agg(FreqAgg.freqLongs(col("user_id"), 256).as("cand"),
-               count(lit(1)).as("total"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName("graft_stream_hh")
-          .option("checkpointLocation", ckpt)
-          .start()
+        withConfiguredStateStore(s) {
+          staged.groupBy("event_type")
+            .agg(FreqAgg.freqLongs(col("user_id"), 256).as("cand"),
+                 count(lit(1)).as("total"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("graft_stream_hh")
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       q.processAllAvailable()
       q.stop()
@@ -2140,14 +2164,17 @@ object SparkEntry {
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        staged
-          .groupBy(col("event_type").as("grp"))
-          .agg(TopKAgg.topkLongs(negate(Cardinality.hash52(col("user_id"))),
-                                 col("user_id"), 64).as("sk"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName("graft_stream_kmv")
-          .option("checkpointLocation", ckpt)
-          .start()
+        withConfiguredStateStore(s) {
+          staged
+            .groupBy(col("event_type").as("grp"))
+            .agg(TopKAgg.topkLongs(
+                   negate(Cardinality.hash52(col("user_id"))),
+                   col("user_id"), 64).as("sk"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("graft_stream_kmv")
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       q.processAllAvailable()
       q.stop()
@@ -2214,6 +2241,7 @@ object SparkEntry {
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val qD = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        withConfiguredStateStore(s) {
         graft.streaming.StreamingCuration
           .exactDedup(staged, "text", "ts", "365 days", portable = true)
           .writeStream.outputMode("append")
@@ -2227,6 +2255,7 @@ object SparkEntry {
             fpSum += r.getLong(1)
           }
           .option("checkpointLocation", ckptD).start()
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       qD.processAllAvailable(); qD.stop()
       // stream 2: the raw replay through the drift monitor
@@ -3326,12 +3355,14 @@ object SparkEntry {
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        staged.groupBy(col("event_type").as("g"),
-                       date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName("graft_seasonal_hourly")
-          .option("checkpointLocation", ckpt).start()
+        withConfiguredStateStore(s) {
+          staged.groupBy(col("event_type").as("g"),
+                         date_trunc("hour", col("ts")).as("h"))
+            .agg(count(lit(1)).as("n"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("graft_seasonal_hourly")
+            .option("checkpointLocation", ckpt).start()
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       q.processAllAvailable(); q.stop()
       val out = graft.operators.Monitoring

@@ -85,6 +85,67 @@ object StateStoreProbe {
     assert(nDefault == nRocks && nDefault == nUsers,
            s"provider results diverge: $nDefault vs $nRocks ($nUsers)")
     SparkEntry.deleteRecursively(stage)
+
+    // Second scenario: complete-mode streaming AGGREGATION at nUsers
+    // distinct state keys — the state shape of q_stream_topk /
+    // q_stream_hh / q_stream_distinct (StateStoreSaveExec, one
+    // aggregate row per key) rather than flatMapGroupsWithState.
+    // Two triggers of disjoint key halves; both providers must emit
+    // the identical final (count, sum) table.
+    val aggStage = java.nio.file.Files
+      .createTempDirectory("graft_agg_stage").toString
+    spark.range(nUsers / 2).select(
+        col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(1).write.mode("overwrite").parquet(s"$aggStage/b0")
+    spark.range(nUsers / 2, nUsers).select(
+        col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(1).write.mode("overwrite").parquet(s"$aggStage/b1")
+    SparkEntry.stampStageMtimes(aggStage, 2)
+
+    def runAgg(tag: String, provider: Option[String]): (Long, Long) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_agg_ckpt_$tag").toString
+      val stream = spark.readStream
+        .schema("k BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(aggStage)
+      def start() = stream.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("vsum"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(s"agg_probe_$tag")
+        .option("checkpointLocation", ckpt).start()
+      val w0 = System.nanoTime()
+      val q = provider match {
+        case Some(p) =>
+          StreamingSessionize.withStateStoreProvider(spark, p)(start())
+        case None => start()
+      }
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - w0) / 1e9
+      val peakRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val peakMem = q.recentProgress
+        .flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+      q.stop()
+      val chk = spark.table(s"agg_probe_$tag")
+        .agg(count(lit(1)), sum(col("vsum"))).collect()(0)
+      val (rows, vsum) = (chk.getLong(0), chk.getLong(1))
+      spark.catalog.dropTempView(s"agg_probe_$tag")
+      SparkEntry.deleteRecursively(ckpt)
+      println(f"PROBE streaming-agg provider=$tag%-8s keys=$nUsers " +
+        f"wall=$wall%6.2f s peak_state_rows=$peakRows " +
+        f"peak_state_mem=${peakMem / 1048576.0}%8.1f MiB " +
+        f"table_rows=$rows vsum=$vsum")
+      (rows, vsum)
+    }
+
+    val aDefault = runAgg("hdfs", None)
+    val aRocks = runAgg("rocksdb",
+                        Some(StreamingSessionize.RocksDBProvider))
+    assert(aDefault == aRocks && aDefault._1 == nUsers,
+           s"agg provider results diverge: $aDefault vs $aRocks")
+    SparkEntry.deleteRecursively(aggStage)
     spark.stop()
   }
 }
