@@ -2446,6 +2446,60 @@ object SparkEntry {
       }.toDF("variable", "n_bins", "iv", "splits").orderBy("variable")
     }),
 
+    "q_ml_pipeline" -> ((s, dir) => {
+      // spark.ml Pipeline composition end-to-end: OptimalBinningEstimator
+      // (pinned splits -> generated WoE CASE column, no UDF) ->
+      // VectorAssembler -> LogisticRegression, the Spark-native analogue
+      // of the reference's sklearn-pipeline usage (binning.py:447).
+      // The q_scorecard closed form makes the whole chain oracle-able:
+      // a saturated single-variable WoE logistic has MLE coef = -1,
+      // intercept = ln(te/tne), so spark.ml's LBFGS (tol 1e-12) lands
+      // on the closed form and every prediction replays as the integer
+      // threshold test woe > ln(te/tne) <=> predict 0. Output per bin:
+      // counts, the transformed WoE (the binning stage's own column),
+      // integer prediction/accuracy tallies, and the fitted
+      // coef/intercept pinned at 4dp (far above LBFGS noise).
+      val li = liTarget(T(s, dir, "lineitem"))
+        .withColumn("label", col("y"))
+      val binStage = new graft.ml.OptimalBinningEstimator()
+        .setInputCol("l_extendedprice").setLabelCol("label")
+        .setOutputCol("woe").setMetric("woe")
+        .setConfig(BinningConfig(name = "l_extendedprice",
+          userSplits = Some(liSplits), monotonicTrend = None,
+          minNBins = Some(4), maxNBins = Some(4)))
+      val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("woe")).setOutputCol("features")
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(200).setTol(1e-12).setRegParam(0.0)
+      val model = new org.apache.spark.ml.Pipeline()
+        .setStages(Array(binStage, assembler, lr)).fit(li)
+      val lrm = model.stages(2)
+        .asInstanceOf[org.apache.spark.ml.classification
+                        .LogisticRegressionModel]
+      def r4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val bin = when(col("l_extendedprice") < liSplits(0), 0L)
+        .when(col("l_extendedprice") < liSplits(1), 1L)
+        .when(col("l_extendedprice") < liSplits(2), 2L)
+        .otherwise(3L)
+      model.transform(li)
+        .select(bin.as("bin"), col("woe"), col("label"),
+                col("prediction"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("count"),
+             first(col("woe")).as("__w"),
+             sum(col("prediction").cast("long")).as("n_pred_event"),
+             sum(when(col("prediction") === col("label"), 1L)
+                   .otherwise(0L)).as("n_correct"))
+        .select(col("bin"), col("count"),
+                round(col("__w"), 6).as("woe"),
+                col("n_pred_event"), col("n_correct"),
+                lit(r4(lrm.coefficients(0))).as("coef"),
+                lit(r4(lrm.intercept)).as("intercept"))
+        .orderBy("bin")
+    }),
+
     "q_scorecard" -> ((s, dir) => {
       // binary scorecard END-TO-END on one WoE-encoded variable with
       // pinned splits (`scorecard.py:177` fit -> :633-709 points ->
@@ -4222,6 +4276,36 @@ object SparkEntry {
          SELECT woe.woe, count(*) AS n
          FROM b JOIN woe USING (bin)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_ml_pipeline" ->
+      // spark.ml Pipeline replay: the binning stage's WoE column is the
+      // same CASE arithmetic as q_scorecard; the saturated logistic MLE
+      // is coef = -1, intercept = ln(te/tne), so LBFGS predictions
+      // reduce to the per-bin threshold test woe < b0 => predict event
+      // (then n_correct = e, else ne)
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         agg AS (
+           SELECT bin, count(*) AS n, sum(y) AS e, count(*) - sum(y) AS ne
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(e)::DOUBLE te, sum(ne)::DOUBLE tne FROM agg),
+         w AS (
+           SELECT bin, n, e, ne, ln((ne / tne) / (e / te)) AS woe,
+                  ln(te / tne) AS b0
+           FROM agg, tot)
+         SELECT bin::BIGINT AS bin, n::BIGINT AS count,
+                round(woe, 6) AS woe,
+                (CASE WHEN woe < b0 THEN n ELSE 0 END)::BIGINT
+                  AS n_pred_event,
+                (CASE WHEN woe < b0 THEN e ELSE ne END)::BIGINT
+                  AS n_correct,
+                -1.0 AS coef, round(b0, 4) AS intercept
+         FROM w ORDER BY bin""",
 
     "q_scorecard" ->
       // saturated single-variable WoE logistic fit: MLE is coef = -1,
