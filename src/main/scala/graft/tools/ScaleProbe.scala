@@ -636,6 +636,90 @@ object ScaleProbe {
         }
       }
     }
+    section("sf1stream") {
+      // sf1-equivalent STREAMING point: the sessionization replay at
+      // 1x and 10x event volume (replicas spread over NEW user keys,
+      // timestamps kept, so open-session state grows 10x with the
+      // data — the honest worst case for keyed state). Reports wall,
+      // peak state rows and peak state memory under both providers;
+      // both must close the identical session count. 8 state
+      // partitions, the q_stream_sessions discipline.
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                col("value"))
+      Seq(1, 10).foreach { mult =>
+        val ev =
+          if (mult == 1) evRaw
+          else evRaw.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn("user_id",
+                        col("user_id") + col("__rep") * 10_000_000L)
+            .drop("__rep")
+        val n = ev.count()
+        val Array(mn, mx) = ev
+          .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val (b1, b2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft_sf1s_stage").toString
+        val tsSec = col("ts").cast("long")
+        Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
+          .zipWithIndex.foreach { case (p, g) =>
+            ev.where(p).repartition(1)
+              .write.mode("overwrite").parquet(s"$stage/b$g")
+          }
+        graft.SparkEntry.stampStageMtimes(stage, 3)
+        var closedCounts = List.empty[Long]
+        Seq(("hdfs", Option.empty[String]),
+            ("rocksdb", Some(graft.streaming.StreamingSessionize
+                               .RocksDBProvider))).foreach {
+          case (tag, prov) =>
+            val ckpt = java.nio.file.Files
+              .createTempDirectory(s"graft_sf1s_ckpt_$tag").toString
+            val stream = spark.readStream
+              .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true")
+              .parquet(stage)
+            val sess = graft.streaming.StreamingSessionize.sessions(
+              stream, "user_id", "ts", "value",
+              gapSeconds = 3600L, watermarkDelay = "600 seconds")
+            val oldSp = spark.conf.get("spark.sql.shuffle.partitions")
+            def start() = sess.writeStream.outputMode("append")
+              .format("memory").queryName(s"sf1s_$tag")
+              .option("checkpointLocation", ckpt).start()
+            val w0 = System.nanoTime()
+            val q = try {
+              spark.conf.set("spark.sql.shuffle.partitions", "8")
+              prov match {
+                case Some(p) => graft.streaming.StreamingSessionize
+                  .withStateStoreProvider(spark, p)(start())
+                case None => start()
+              }
+            } finally spark.conf
+              .set("spark.sql.shuffle.partitions", oldSp)
+            q.processAllAvailable()
+            val wall = (System.nanoTime() - w0) / 1e9
+            val peakRows = q.recentProgress
+              .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+            val peakMem = q.recentProgress
+              .flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+            q.stop()
+            val closed = spark.table(s"sf1s_$tag").count()
+            closedCounts ::= closed
+            spark.catalog.dropTempView(s"sf1s_$tag")
+            graft.SparkEntry.deleteRecursively(ckpt)
+            println(f"PROBE sf1-stream mult=$mult%2d provider=$tag%-8s " +
+              f"events=$n%8d wall=$wall%6.2f s " +
+              f"peak_state_rows=$peakRows " +
+              f"peak_state_mem=${peakMem / 1048576.0}%8.1f MiB " +
+              f"closed_sessions=$closed")
+        }
+        assert(closedCounts.distinct.size == 1,
+               s"providers diverge at mult=$mult: $closedCounts")
+        graft.SparkEntry.deleteRecursively(stage)
+      }
+    }
     section("fuzzy") {
       // fuzzy-match / entity-resolution chain at 1x/16x. The
       // vocabulary itself must grow (identical replicas would
