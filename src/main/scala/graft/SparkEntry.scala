@@ -5304,7 +5304,7 @@ object SparkEntry {
            ORDER BY p DESC, k ASC LIMIT 1)
          SELECT n_a, n_b, n_common_keys, join_rows, max_pair_count,
                 arg_key
-         FROM t, s, m""",
+         FROM t CROSS JOIN s LEFT JOIN m ON true""",
 
     // KMV-overlap replay: three window-rank KMVs (before, after,
     // union of distinct keys); inclusion-exclusion on both the exact
@@ -5338,13 +5338,13 @@ object SparkEntry {
                    ('0x' || substr(md5(c::VARCHAR), 1, 13))::BIGINT AS h
                  FROM U)),
          g AS (
-           SELECT (SELECT max(n) FROM ra) AS n_a,
+           SELECT COALESCE((SELECT max(n) FROM ra), 0) AS n_a,
                   (SELECT max(CASE WHEN rn = 64 THEN h END) FROM ra)
                     AS ka,
-                  (SELECT max(n) FROM rb) AS n_b,
+                  COALESCE((SELECT max(n) FROM rb), 0) AS n_b,
                   (SELECT max(CASE WHEN rn = 64 THEN h END) FROM rb)
                     AS kb,
-                  (SELECT max(n) FROM ru) AS n_u,
+                  COALESCE((SELECT max(n) FROM ru), 0) AS n_u,
                   (SELECT max(CASE WHEN rn = 64 THEN h END) FROM ru)
                     AS ku),
          e AS (
@@ -9297,7 +9297,7 @@ object SparkEntry {
                                         1, 13))::BIGINT AS h
                  FROM orders WHERE o_custkey IS NOT NULL)),
          ga AS (
-           SELECT 'ALL' AS grp, max(n_exact) AS n_exact,
+           SELECT 'ALL' AS grp, COALESCE(max(n_exact), 0) AS n_exact,
                   max(CASE WHEN rn = 64 THEN h END) AS kth_hash
            FROM ra),
          u AS (SELECT * FROM g UNION ALL SELECT * FROM ga)

@@ -266,6 +266,12 @@ object QualityChecks {
     * integer: `dev_scaled = n_d * 1e9 - n_total * floor(log10(1+1/d)
     * * 1e9)`, positive where the digit is over-represented. Absent
     * digits are absent rows (identically in the oracle).
+    *
+    * Row bound (the ks2Sample/joinCardinality convention): the
+    * `n_total * 301029995` term wraps a signed long once `n_total`
+    * exceeds ~3.06e10 rows (Long.Max / 301029995). Past tens of
+    * billions of contributing rows, compute `dev_scaled` in
+    * DECIMAL(38,0) instead — the counts themselves are fine to 9.2e18.
     */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -126,8 +126,11 @@ object Multimodal {
     * collecting the PCM `fmt ` fields (channels/sample-rate/
     * block-align/bits, all little-endian) and the `data` chunk size;
     * frames = data bytes / block align, duration = frames*1000/rate
-    * (integer). Truncated or corrupt chunk chains
-    * return None, never garbage. The audio sibling of
+    * (integer). Corrupt or prematurely-ended chunk chains return
+    * None; a payload truncated INSIDE its data chunk clamps to the
+    * bytes actually present — never the declared (inflated) size, so
+    * reported durations are always backed by real bytes. The audio
+    * sibling of
     * [[ImageHeader]], driven by [[extractAudioInfo]]: a real codec
     * swap replaces only the sample stage, the header protocol is
     * already exact.
@@ -157,7 +160,13 @@ object Multimodal {
           if (cid == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
             ch = le16(ii + 10); rate = le32(ii + 12).toInt
             block = le16(ii + 20); bits = le16(ii + 22)
-          } else if (cid == "data") dataSize = sz
+          } else if (cid == "data") {
+            // clamp to the bytes actually present: a WAV truncated
+            // inside its data chunk must report the truncated frame
+            // count, not the declared one ("return None, never
+            // garbage" extends to never-inflated durations)
+            dataSize = math.min(sz, math.max(0L, p.length - (i + 8L)))
+          }
           i += 8L + sz + (sz & 1L) // chunks are word-aligned
         }
         if (rate > 0 && ch > 0 && block > 0 && dataSize >= 0) {

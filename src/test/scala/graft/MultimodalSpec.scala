@@ -139,12 +139,23 @@ class MultimodalSpec extends AnyFunSuite {
       le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
     val data = "data".getBytes ++ le32(dataBytes)
     val body = "WAVE".getBytes ++ list ++ fmt ++ data
-    val wav = "RIFF".getBytes ++ le32(body.length + dataBytes) ++ body
+    val header = "RIFF".getBytes ++ le32(body.length + dataBytes) ++ body
+    val wav = header ++ new Array[Byte](dataBytes)
     val info = Multimodal.AudioHeader.parse(wav)
     assert(info.contains(Multimodal.AudioHeader
       .Info("wav", 44100, 2, 16, 44100L, 1000L)))
+    // truncated INSIDE the data chunk: frames/duration clamp to the
+    // bytes actually present (declared size never inflates them)
+    val quarter = Multimodal.AudioHeader.parse(
+      header ++ new Array[Byte](dataBytes / 4))
+    assert(quarter.contains(Multimodal.AudioHeader
+      .Info("wav", 44100, 2, 16, 11025L, 250L)))
+    // header-only payload (declared data entirely absent) -> 0 frames
+    val headerOnly = Multimodal.AudioHeader.parse(header)
+    assert(headerOnly.contains(Multimodal.AudioHeader
+      .Info("wav", 44100, 2, 16, 0L, 0L)))
     // truncated mid-chunk: no fmt collected -> None
-    assert(Multimodal.AudioHeader.parse(wav.take(16)).isEmpty)
+    assert(Multimodal.AudioHeader.parse(header.take(16)).isEmpty)
     // foreign magic -> None
     assert(Multimodal.AudioHeader.parse("RIFFxxxxAVI ".getBytes).isEmpty)
     assert(Multimodal.AudioHeader.parse(Array[Byte](1, 2, 3)).isEmpty)

@@ -923,6 +923,25 @@ class PipelineOpsSpec extends AnyFunSuite {
                       ("a", 3, 8L, 9L), ("b", 1, 2L, 4L)), got.toString)
   }
 
+  test("topkPerGroup set semantics: an exact (metric, id) duplicate " +
+       "row is held ONCE (KMV contract); distinct ids at the same " +
+       "metric are all kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // (9, 7) appears twice -> one kept copy, so id 1 still makes the
+    // top-3; a row_number window over the raw rows would rank both
+    // copies and evict id 1. Callers feeding multiplicity-carrying
+    // streams must pre-aggregate if they want multiset ranks.
+    val df = Seq(("a", 9L, 7L), ("a", 9L, 7L), ("a", 9L, 3L),
+                 ("a", 5L, 1L)).toDF("g", "m", "id")
+    val got = graft.operators.Ranking
+      .topkPerGroup(df, Seq("g"), "m", "id", k = 3)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1, 3L, 9L), (2, 7L, 9L), (3, 1L, 5L)),
+           got.toString)
+  }
+
   test("TopKBuffer: bounded insert keeps exact order under random " +
        "interleave and merge equals sorted-take brute force") {
     val rnd = new scala.util.Random(42)

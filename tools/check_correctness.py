@@ -46,13 +46,89 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries whose oracle SQL pins SOLVER-DERIVED literals (optimal-bin
+# splits, counterfactual points, scenario solves) computed at the
+# driver's sf0.01 gate. The solve is not SQL-expressible, so the
+# oracle encodes the solved model for the GATE dataset; replaying that
+# SQL at any other SF compares an sf0.01 model against an sf0.1 fit
+# and mismatches by construction. At non-gate SFs these print SKIP
+# (sf-pinned) — their engine results remain hash-verified where the
+# pinned oracle is valid.
+SF_PINNED = {
+    "q_2d_cart", "q_2d_fit", "q_cat_sketch", "q_cont_2d_fit",
+    "q_cont_process", "q_cont_pw", "q_counterfactual",
+    "q_gamma_outlier_fit", "q_mdlp_splits", "q_multiclass_fit",
+    "q_process_summary", "q_pw_monotone", "q_pw_transform",
+    "q_scenario_fit", "q_sketch_binning", "q_stability_report",
+    "q_stream_binning",
+}
+GATE_SF_DIR = "sf0.01"
+
 # Bounded rewrites for oracles whose DRIVER-GATE form is deliberately
 # brute-force (completeness proofs, O(n²) pairs). Used only with
 # --scaled, only by this local tool — the driver's sf0.01 gate keeps
 # the brute-force originals. Each rewrite keeps the EXACT verify
 # arithmetic and output shape; only candidate generation switches to
 # the blocking whose completeness the sf0.01 brute-force run proves.
-SCALED_ORACLE: dict = {}
+# (q_kcore is NOT here: its oracle is already edge-blocked and merely
+# slow in DuckDB — ~3 min at sf0.1 — so it needs --timeout=300, not a
+# rewrite.)
+SCALED_ORACLE: dict = {
+    # prefix-filter blocking (Chaudhuri et al.): under one global token
+    # order, two sets with Jaccard >= 19/20 must share a token within
+    # each one's (ls - ceil(0.95*ls) + 1)-prefix; candidates then
+    # verify with the ORIGINAL exact intersection/union arithmetic.
+    "q_setsim_join": r"""
+        WITH t AS (
+          SELECT doc_id, list_sort(list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x <> ''))) AS s
+          FROM documents WHERE text IS NOT NULL),
+        tt AS (SELECT doc_id, s, len(s) AS ls FROM t WHERE len(s) > 0),
+        pre AS (
+          SELECT doc_id, ls,
+                 unnest(s[1 : ls - ((19 * ls + 19) // 20) + 1]) AS tok
+          FROM tt),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+          FROM pre a JOIN pre b ON a.tok = b.tok
+                                AND a.doc_id < b.doc_id
+          WHERE 20 * least(a.ls, b.ls) >= 19 * greatest(a.ls, b.ls)),
+        p AS (
+          SELECT ia, ib, len(list_intersect(a.s, b.s))::BIGINT AS i,
+                 len(list_distinct(a.s || b.s))::BIGINT AS u
+          FROM cand JOIN tt a ON a.doc_id = cand.ia
+                    JOIN tt b ON b.doc_id = cand.ib),
+        q AS (SELECT * FROM p WHERE 20 * i >= 19 * u)
+        SELECT count(*) AS n_pairs,
+               COALESCE(sum(ia + ib), 0)::BIGINT AS id_sum,
+               COALESCE(sum(i), 0)::BIGINT AS inter_sum,
+               COALESCE(sum(u), 0)::BIGINT AS uni_sum
+        FROM q""",
+    # O(n log n) skyline: survivor iff qty strictly exceeds the max
+    # qty at every strictly-lower price AND equals its own price
+    # group's max — the same dominance predicate as the NOT EXISTS
+    # original, evaluated with one group-max + one running window max.
+    "q_skyline": r"""
+        WITH p AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_fl,
+                 CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        g AS (SELECT price_fl, max(qty) AS mq FROM p GROUP BY 1),
+        r AS (SELECT price_fl, mq,
+                     max(mq) OVER (ORDER BY price_fl
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS m1
+              FROM g),
+        sky AS (SELECT price_fl, mq FROM r
+                WHERE m1 IS NULL OR mq > m1)
+        SELECT a.l_orderkey, a.l_linenumber, a.price_fl, a.qty
+        FROM p a JOIN sky s ON a.price_fl = s.price_fl
+                           AND a.qty = s.mq
+        ORDER BY a.price_fl, a.qty, a.l_orderkey, a.l_linenumber""",
+}
 
 
 def run_sql(con, sql: str, timeout_s):
@@ -135,7 +211,13 @@ def main(sf_dir: str, out_dir: str, only=None, strict=False,
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_fail = 0
     n_skip = 0
+    pinned_ok = GATE_SF_DIR in sf_dir
     for name, sql in sorted(oracle.items()):
+        if name in SF_PINNED and not pinned_ok:
+            print(f"SKIP {name}: sf-pinned oracle (solver-derived "
+                  f"literals valid at the {GATE_SF_DIR} gate only)")
+            n_skip += 1
+            continue
         try:
             expected = run_sql(con, sql, timeout)
             actual = pd.read_parquet(f"{out_dir}/{name}")
