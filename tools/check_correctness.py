@@ -251,7 +251,8 @@ def main(sf_dir: str, out_dir: str, only=None, strict=False,
             print(f"ERROR {name}: {exc}")
             n_fail += 1
     mode = " [strict]" if strict else ""
-    skip = f" ({n_skip} skipped on timeout)" if n_skip else ""
+    skip = f" ({n_skip} skipped: sf-pinned or oracle timeout)" \
+        if n_skip else ""
     print(f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}"
           f"{mode}{skip}")
     return 1 if n_fail else 0
