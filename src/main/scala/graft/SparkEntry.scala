@@ -256,9 +256,11 @@ object SparkEntry {
       Seq((scale2(m("Mean absolute error")),
            scale2(m("Median absolute error")),
            scale6(m("Mean absolute percentage error")),
+           scale6(m("Mean percentage error")),
            scale6(m("Symmetric mean absolute percentage error")),
+           scale6(m("Symmetric median absolute percentage error")),
            scale6(m("R^2"))))
-        .toDF("mae", "mdae", "mape", "smape", "r2")
+        .toDF("mae", "mdae", "mape", "mpe", "smape", "smdape", "r2")
     }),
 
     "q_class_metrics" -> ((s, dir) => {
@@ -2676,6 +2678,38 @@ object SparkEntry {
         .orderBy("rect")
     }),
 
+    "q_stability_cont" -> ((s, dir) => {
+      // continuous-target scorecard monitoring (`monitoring.py:456,
+      // 531-575` regression branch): regression-CART score bins fit on
+      // the expected cohort, per-bin PSI, per-bin target means. The
+      // variable bins on PINNED user splits (bin means the oracle
+      // re-derives as plain AVGs), the solved coefficient and the
+      // fitted score-bin splits are pinned literals in the oracle (the
+      // q_stability_report discipline), which replays
+      // score -> bins -> PSI/means end-to-end. Means pinned at 4dp
+      // (5e4-magnitude averages, the q_scorecard_cont lesson).
+      val li = T(s, dir, "lineitem")
+      val sc = Scorecard.fitContinuousTarget(li, Seq("l_quantity"),
+        "l_extendedprice",
+        BinningConfig(name = "l_quantity",
+                      userSplits = Some(Array(10.0, 25.0, 40.0)),
+                      monotonicTrend = None))
+      val expected = li.where(col("l_orderkey") % 2 === 0)
+      val actual = li.where(col("l_orderkey") % 2 === 1)
+      val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 10)
+      val st = mon.stabilityStats(expected, actual, "l_extendedprice")
+      import s.implicits._
+      def s4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      st.psiBins.toSeq.sortBy(_._1).map { case (b, ce, ca, psi) =>
+        val t = st.tests.find(_._1 == b).get
+        (b.toLong, ce.toLong, ca.toLong, scale6(psi), s4(t._2),
+         s4(t._3))
+      }.toDF("bin", "count_e", "count_a", "psi", "ymean_e", "ymean_a")
+        .orderBy("bin")
+    }),
+
     "q_stability_report" -> ((s, dir) => {
       // scorecard monitoring system report (`monitoring.py:166`): PSI on
       // cart score bins + per-bin significance + cohort performance.
@@ -4671,6 +4705,44 @@ object SparkEntry {
     // pinned stability report: WoEs from data at pinned splits; solved
     // coefficients + cart score-bin splits as literals; PSI, z-test
     // significance counts, and per-cohort Gini replayed end-to-end
+    // continuous monitoring replay: pinned variable splits -> exact
+    // AVG bin means -> pinned coef (slope-1 fit) -> pinned score-bin
+    // splits (np.digitize right=True: bin = #splits strictly below)
+    // -> per-bin counts, PSI and 4dp cohort means
+    "q_stability_cont" ->
+      """WITH b AS (
+           SELECT l_orderkey % 2 AS c, l_extendedprice AS y,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2 ELSE 3 END AS bq
+           FROM lineitem),
+         m AS (SELECT bq, avg(y) AS mq FROM b GROUP BY 1),
+         scored AS (
+           SELECT b.c, b.y, 1.0 * m.mq AS score
+           FROM b JOIN m USING (bq)),
+         sb AS (
+           SELECT c, y,
+                  CASE WHEN score > 52890.366844 THEN 1 ELSE 0 END
+                + CASE WHEN score > 53078.243887 THEN 1 ELSE 0 END
+                + CASE WHEN score > 53218.662428 THEN 1 ELSE 0 END
+                  AS bin
+           FROM scored),
+         bins AS (
+           SELECT bin,
+                  sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::DOUBLE ce,
+                  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE ca,
+                  sum(CASE WHEN c = 0 THEN y END) se,
+                  sum(CASE WHEN c = 1 THEN y END) sa
+           FROM sb GROUP BY 1),
+         bt AS (SELECT sum(ce) tce, sum(ca) tca FROM bins)
+         SELECT bin::BIGINT AS bin, ce::BIGINT AS count_e,
+                ca::BIGINT AS count_a,
+                round(CASE WHEN ce > 0 AND ca > 0
+                      THEN (ca/tca - ce/tce) * ln((ca/tca)/(ce/tce))
+                      ELSE 0 END, 6) AS psi,
+                round(se/ce, 4) AS ymean_e, round(sa/ca, 4) AS ymean_a
+         FROM bins, bt ORDER BY bin""",
+
     "q_stability_report" ->
       """WITH b AS (
            SELECT l_orderkey % 2 AS c,
@@ -6922,12 +6994,16 @@ object SparkEntry {
            SELECT avg(abs(y - p)) AS mae,
                   median(abs(y - p))::DOUBLE AS mdae,
                   avg(abs((y - p) / y)) AS mape,
-                  avg(abs(y - p) * 2.0 / (abs(y) + abs(p))) AS smape,
+                  avg((y - p) / y) AS mpe,
+                  avg(abs(y - p) / (abs(y) + abs(p))) AS smape,
+                  median(abs(y - p) / (abs(y) + abs(p)))::DOUBLE
+                    AS smdape,
                   sum((y - p) * (y - p)) AS sse,
                   sum(y * y) - sum(y) * sum(y) / count(*) AS sst
            FROM e)
          SELECT round(mae, 2) AS mae, round(mdae, 2) AS mdae,
-                round(mape, 6) AS mape, round(smape, 6) AS smape,
+                round(mape, 6) AS mape, round(mpe, 6) AS mpe,
+                round(smape, 6) AS smape, round(smdape, 6) AS smdape,
                 round(1.0 - sse / sst, 6) AS r2
          FROM agg""",
 

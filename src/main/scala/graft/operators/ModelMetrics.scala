@@ -174,39 +174,47 @@ object ModelMetrics {
     // (ANSI mode would otherwise raise DIVIDE_BY_ZERO) so averages and
     // medians run over the defined rows, like DuckDB's null-on-div-0
     val ape = when(y =!= 0.0, abs(err / y))
+    val pe = when(y =!= 0.0, err / y)
+    // reference convention (metrics/regression.py:70-105): SMAPE and
+    // SMdAPE use |e| / (|y| + |p|) WITHOUT the classic x2 factor
     val sden = abs(y) + abs(p)
-    val sape = when(sden =!= 0.0, abs(err) * lit(2.0) / sden)
+    val sape = when(sden =!= 0.0, abs(err) / sden)
     def interp(a: Array[Double], prob: Double): Double = {
       val pos = prob * (a.length - 1)
       val lo = math.floor(pos).toInt
       val hi = math.ceil(pos).toInt
       a(lo) + (pos - lo) * (a(hi) - a(lo))
     }
-    val (mdae, mdape) =
+    val (mdae, mdape, smdape) =
       if (approx) {
         val m = df.select(
           percentile_approx(abs(err), lit(0.5), lit(10000)).as("a"),
-          percentile_approx(ape, lit(0.5), lit(10000)).as("b"))
+          percentile_approx(ape, lit(0.5), lit(10000)).as("b"),
+          percentile_approx(sape, lit(0.5), lit(10000)).as("c"))
           .head
-        (m.getDouble(0), m.getDouble(1))
+        (m.getDouble(0), m.getDouble(1), m.getDouble(2))
       } else {
         // per-column null drops: y=0 rows null only err/y, and must stay
         // in the mdae median (median(abs(err)) semantics)
-        val rows = df.select(abs(err).as("a"), ape.as("b"))
+        val rows = df.select(abs(err).as("a"), ape.as("b"),
+                             sape.as("c"))
           .collect()
         require(rows.length <= MaxExactCollect,
                 s"exact median collects the error columns (n=${rows.length}); " +
                 "use approx = true at this scale")
         val a = rows.collect { case r if !r.isNullAt(0) => r.getDouble(0) }
         val b = rows.collect { case r if !r.isNullAt(1) => r.getDouble(1) }
+        val c = rows.collect { case r if !r.isNullAt(2) => r.getDouble(2) }
         java.util.Arrays.sort(a)
         java.util.Arrays.sort(b)
-        (interp(a, 0.5), interp(b, 0.5))
+        java.util.Arrays.sort(c)
+        (interp(a, 0.5), interp(b, 0.5), interp(c, 0.5))
       }
     val r = df.agg(
       avg(abs(err)).as("mae"),
       avg(err * err).as("mse"),
       avg(ape).as("mape"),
+      avg(pe).as("mpe"),
       avg(sape).as("smape"),
       variance(err).as("var_err"),
       variance(y).as("var_y"),
@@ -216,17 +224,19 @@ object ModelMetrics {
       sum(err * err).as("sse"),
       sum(y * y).as("syy"),
       sum(y).as("sy")).head
-    val n = r.getDouble(8)
-    val sse = r.getDouble(9)
-    val sst = r.getDouble(10) - r.getDouble(11) * r.getDouble(11) / n
+    val n = r.getDouble(9)
+    val sse = r.getDouble(10)
+    val sst = r.getDouble(11) - r.getDouble(12) * r.getDouble(12) / n
     Map(
       "Mean absolute error" -> r.getDouble(0),
       "Mean squared error" -> r.getDouble(1),
       "Mean absolute percentage error" -> r.getDouble(2),
+      "Mean percentage error" -> r.getDouble(3),
       "Median absolute error" -> mdae,
       "Median absolute percentage error" -> mdape,
-      "Symmetric mean absolute percentage error" -> r.getDouble(3),
-      "Explained variance" -> (1.0 - r.getDouble(4) / r.getDouble(5)),
+      "Symmetric mean absolute percentage error" -> r.getDouble(4),
+      "Symmetric median absolute percentage error" -> smdape,
+      "Explained variance" -> (1.0 - r.getDouble(5) / r.getDouble(6)),
       "R^2" -> (1.0 - sse / sst))
   }
 

@@ -368,4 +368,167 @@ object ScorecardMonitoring {
       tests: Array[(Int, Double, Double, Double, Double)],
       performance: Map[String, Double],
       targetAnalysis: Seq[(String, Double, Double)])
+
+  /** Bundle of [[ContinuousScorecardMonitoring.stabilityStats]]:
+    * `psiBins` rows are (bin, count_expected, count_actual, psi);
+    * `tests` rows are (bin, mean_expected, mean_actual, t, p-value)
+    * — Welch t-tests on the per-bin target means;
+    * `targetAnalysis` rows are (metric, expected, actual) for
+    * mean/std/p25/median/p75; `performanceExpected`/`performanceActual`
+    * are the reference's ten regression metrics per cohort. */
+  final case class ContinuousStabilityStats(
+      psiBins: Array[(Int, Double, Double, Double)],
+      psiTotal: Double,
+      tests: Array[(Int, Double, Double, Double, Double)],
+      targetAnalysis: Seq[(String, Double, Double)],
+      performanceExpected: Map[String, Double],
+      performanceActual: Map[String, Double],
+      /** The fitted regression-CART score-bin splits — exposed for
+        * pin-and-replay verification (the binary monitor's
+        * `fittedScoreSplits` role). */
+      scoreSplits: Array[Double])
+}
+
+/** Continuous-target scorecard monitoring — the regression branch of
+  * the reference's `ScorecardMonitoring` (`monitoring.py:456,531-575`):
+  * score bins come from a REGRESSION CART fit on the expected cohort's
+  * (score, y) (`monitoring.py:494-498`, problem_type="regression"),
+  * per-bin significance is Welch's t-test on the bin target means from
+  * summary stats (`monitoring.py:650-652`,
+  * `ttest_ind_from_stats(..., equal_var=False)` with numpy ddof=0
+  * stds), target analysis reports mean/std/p25/median/p75
+  * (`monitoring.py:696-709`), and performance is the ten-metric
+  * regression table (`metrics/regression.py:109`) on
+  * `FittedContinuousScorecard.predictColumn`.
+  *
+  * Scale shape mirrors the binary monitor: ONE tagged-union aggregate
+  * per (cohort, score) with count/sum/ssum — bounded by the
+  * scorecard's bin-combination count — feeds splits, PSI and t-tests
+  * driver-side; the target quantiles are one exact `percentile`
+  * aggregate per cohort and the performance table two
+  * [[ModelMetrics.regressionMetrics]] passes.
+  */
+final class ContinuousScorecardMonitoring(
+    val scorecard: FittedContinuousScorecard,
+    val psiNBins: Int = 20,
+    val psiMinBinSize: Double = 0.05) {
+
+  private val MaxScoreCollect = 2000000
+
+  def stabilityStats(expected: DataFrame, actual: DataFrame,
+                     yCol: String)
+      : ScorecardMonitoring.ContinuousStabilityStats = {
+    val sCol = scorecard.scoreColumn().cast("double")
+    def side(df: DataFrame, tag: Int) =
+      df.select(lit(tag).as("c"), sCol.as("s"),
+                col(yCol).cast("double").as("y"))
+    val agg = side(expected, 0).unionAll(side(actual, 1))
+      .groupBy("c", "s")
+      .agg(count(lit(1)).cast("double").as("n"), sum("y").as("sy"),
+           sum(col("y") * col("y")).as("syy"))
+      .limit(MaxScoreCollect + 1).collect()
+    require(agg.length <= MaxScoreCollect,
+            s"scorecard score cardinality exceeds $MaxScoreCollect " +
+            "distinct values")
+    case class R(c: Int, s: Double, n: Double, sy: Double, syy: Double)
+    val rows = agg.map(r => R(r.getInt(0), r.getDouble(1),
+                              r.getDouble(2), r.getDouble(3),
+                              r.getDouble(4)))
+
+    // regression CART on the expected slice (grid-compressed beyond
+    // 10k distinct scores, the binary monitor's discipline)
+    val exp = rows.filter(_.c == 0)
+    val nRows = exp.map(_.n).sum
+    val snap: Double => Double =
+      if (exp.length > 10000) {
+        val mn = exp.map(_.s).min
+        val mx = exp.map(_.s).max
+        val w = (mx - mn) / 10000
+        if (w > 0 && java.lang.Double.isFinite(w))
+          (s: Double) => mn + math.floor((s - mn) / w) * w
+        else identity
+      } else identity
+    val hist = exp.groupBy(r => snap(r.s)).toArray
+      .map { case (s, rs) =>
+        val nb = rs.map(_.n).sum
+        // regression cartSplits reads y0 as the bucket's total weight
+        graft.core.Prebinning.HistBucket(
+          s, nb.toLong, nb, 0.0,
+          sum = rs.map(_.sy).sum, ssum = rs.map(_.syy).sum)
+      }.sortBy(_.value)
+    val splits = graft.core.Prebinning.cartSplits(
+      hist, maxLeafNodes = psiNBins,
+      minSamplesLeaf = math.ceil(psiMinBinSize * nRows).toLong,
+      classification = false)
+
+    // np.digitize(score, splits, right=True): bin = #splits < s
+    def binOf(s: Double): Int = splits.count(_ < s)
+    def binAgg(c: Int): Map[Int, (Double, Double, Double)] =
+      rows.filter(_.c == c).groupBy(r => binOf(r.s))
+        .map { case (b, rs) =>
+          b -> ((rs.map(_.n).sum, rs.map(_.sy).sum,
+                 rs.map(_.syy).sum))
+        }
+    val eBins = binAgg(0)
+    val aBins = binAgg(1)
+    val te = eBins.values.map(_._1).sum
+    val ta = aBins.values.map(_._1).sum
+    val allBins = (eBins.keySet ++ aBins.keySet).toArray.sorted
+    val psiBins = allBins.map { b =>
+      val ce = eBins.getOrElse(b, (0.0, 0.0, 0.0))._1
+      val ca = aBins.getOrElse(b, (0.0, 0.0, 0.0))._1
+      val (pe, pa) = (ce / te, ca / ta)
+      val psi = if (pe > 0 && pa > 0) (pa - pe) * math.log(pa / pe)
+                else 0.0
+      (b, ce, ca, psi)
+    }
+    // Welch from ddof=0 summary stats, exactly the arrays the
+    // reference feeds scipy (`monitoring.py:531-544` y[mask].std())
+    val tests = allBins.map { b =>
+      val (n1, s1, ss1) = eBins.getOrElse(b, (0.0, 0.0, 0.0))
+      val (n2, s2, ss2) = aBins.getOrElse(b, (0.0, 0.0, 0.0))
+      val (m1, m2) = (s1 / n1, s2 / n2)
+      val sd1 = math.sqrt(math.max(0.0, ss1 / n1 - m1 * m1))
+      val sd2 = math.sqrt(math.max(0.0, ss2 / n2 - m2 * m2))
+      val (t, p) =
+        graft.core.Stats.ttestIndFromStats(m2, sd2, n2, m1, sd1, n1)
+      (b, m1, m2, t, p)
+    }
+
+    // target analysis: mean/std (ddof=0) from the collected aggregate,
+    // p25/median/p75 as one exact-percentile agg per cohort
+    // (numpy-style linear interpolation — Spark `percentile` matches)
+    def moments(c: Int): (Double, Double) = {
+      val rs = rows.filter(_.c == c)
+      val n = rs.map(_.n).sum
+      val m = rs.map(_.sy).sum / n
+      (m, math.sqrt(math.max(0.0, rs.map(_.syy).sum / n - m * m)))
+    }
+    def quantiles(df: DataFrame): Seq[Double] =
+      df.select(percentile(col(yCol).cast("double"),
+                           array(lit(0.25), lit(0.5), lit(0.75)))
+                  .as("q"))
+        .head.getSeq[Double](0)
+    val (me, sde) = moments(0)
+    val (ma, sda) = moments(1)
+    val qe = quantiles(expected)
+    val qa = quantiles(actual)
+    val target = Seq(
+      ("mean", me, ma), ("std", sde, sda), ("p25", qe(0), qa(0)),
+      ("median", qe(1), qa(1)), ("p75", qe(2), qa(2)))
+
+    def perf(df: DataFrame): Map[String, Double] =
+      ModelMetrics.regressionMetrics(
+        df.select(col(yCol).cast("double").as("__y"),
+                  scorecard.predictColumn().as("__p")),
+        "__y", "__p")
+    ScorecardMonitoring.ContinuousStabilityStats(
+      psiBins = psiBins,
+      psiTotal = psiBins.map(_._4).sum,
+      tests = tests,
+      targetAnalysis = target,
+      performanceExpected = perf(expected),
+      performanceActual = perf(actual),
+      scoreSplits = splits)
+  }
 }

@@ -9,11 +9,22 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
-      .select(lower(col("c_name")).as("name"))
-    val pairs = graft.pipeline.Dedup.editDistance1Pairs(c, "name")
-    println(pairs.queryExecution.executedPlan.toString.take(6000))
-    println(s"=== n_pairs=${pairs.count()}")
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val sc = graft.operators.Scorecard.fitContinuousTarget(
+      li, Seq("l_quantity"), "l_extendedprice",
+      graft.operators.BinningConfig(name = "l_quantity",
+        userSplits = Some(Array(10.0, 25.0, 40.0)),
+        monotonicTrend = None))
+    val expected = li.where(col("l_orderkey") % 2 === 0)
+    val actual = li.where(col("l_orderkey") % 2 === 1)
+    val mon = new graft.operators.ContinuousScorecardMonitoring(
+      sc, psiNBins = 10)
+    val st = mon.stabilityStats(expected, actual, "l_extendedprice")
+    println(s"COEF=${sc.coefficients.mkString(",")}")
+    println(s"INTERCEPT=${sc.estimatorIntercept}")
+    println(s"BASE=${sc.pointsTable.map(r => (r.binId, r.points)).mkString(";")}")
+    println(s"SPLITS=${st.scoreSplits.mkString(",")}")
+    println(s"PSIBINS=${st.psiBins.mkString(";")}")
     spark.stop()
   }
 }

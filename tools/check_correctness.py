@@ -59,8 +59,8 @@ SF_PINNED = {
     "q_cont_process", "q_cont_pw", "q_counterfactual",
     "q_gamma_outlier_fit", "q_mdlp_splits", "q_multiclass_fit",
     "q_process_summary", "q_pw_monotone", "q_pw_transform",
-    "q_scenario_fit", "q_sketch_binning", "q_stability_report",
-    "q_stream_binning",
+    "q_scenario_fit", "q_sketch_binning", "q_stability_cont",
+    "q_stability_report", "q_stream_binning",
 }
 GATE_SF_DIR = "sf0.01"
 
