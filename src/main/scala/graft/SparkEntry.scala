@@ -3171,6 +3171,25 @@ object SparkEntry {
                min(col("id")).as("first_doc"))
     }),
 
+    "q_split_leakage" -> ((s, dir) => {
+      // train/val/test leakage audit: exact-content fingerprints
+      // shared across hash-split folds — per fold pair, distinct
+      // shared fingerprints + docs carrying them on each side
+      val d = T(s, dir, "documents")
+      graft.pipeline.Curation
+        .splitLeakage(d, "doc_id", "text")
+        .orderBy("split_a", "split_b")
+    }),
+
+    "q_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-vocabulary OOV coverage per source against the
+      // corpus top-1000 token head — total/OOV instances + OOV types
+      val d = T(s, dir, "documents")
+      graft.pipeline.TextAnalysis
+        .vocabCoverage(d, "text", "source", k = 1000)
+        .orderBy("source")
+    }),
+
     "q_hash_split" -> ((s, dir) => {
       // deterministic content-addressed train/val/test assignment
       val d = T(s, dir, "documents")
@@ -8066,6 +8085,65 @@ object SparkEntry {
                 sum(n_matched)::BIGINT AS total_matched,
                 min(doc_id) AS first_doc
          FROM hits""",
+
+    // split-leakage replay: same md5 fold + rolling-fingerprint
+    // content key, (fp, split) counts, bounded fold-pair self-join
+    "q_split_leakage" ->
+      """WITH f AS (
+           SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'b'
+                         THEN 'train'
+                       WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'd'
+                         THEN 'val'
+                       ELSE 'test' END AS split,
+                  list_reduce(
+                    list_prepend(0::BIGINT,
+                      [unicode(c)::BIGINT FOR c IN regexp_extract_all(
+                         regexp_replace(lower(trim(text)), '\s+', ' ',
+                                        'g'),
+                         '(?s).')]),
+                    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+           FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT fp, split, count(*) AS n FROM f GROUP BY 1, 2),
+         lk AS (
+           SELECT a.split AS split_a, b.split AS split_b,
+                  count(*)::BIGINT AS fps,
+                  sum(a.n)::BIGINT AS da, sum(b.n)::BIGINT AS db
+           FROM g a JOIN g b ON a.fp = b.fp AND a.split < b.split
+           GROUP BY 1, 2),
+         sp AS (
+           SELECT * FROM (VALUES ('test', 'train'), ('test', 'val'),
+                                 ('train', 'val'))
+             AS t(split_a, split_b))
+         SELECT sp.split_a, sp.split_b,
+                coalesce(lk.fps, 0)::BIGINT AS n_shared_fps,
+                coalesce(lk.da, 0)::BIGINT AS n_docs_a,
+                coalesce(lk.db, 0)::BIGINT AS n_docs_b
+         FROM sp LEFT JOIN lk ON sp.split_a = lk.split_a
+                             AND sp.split_b = lk.split_b
+         ORDER BY 1, 2""",
+
+    // vocab-coverage replay: per-(source, token) counts, top-1000
+    // head by (tf desc, token asc), left join back for OOV tallies
+    "q_vocab_coverage" ->
+      """WITH t AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents WHERE text IS NOT NULL),
+         ps AS (
+           SELECT source, token, count(*) AS n FROM t
+           WHERE token <> '' GROUP BY 1, 2),
+         v AS (
+           SELECT token FROM (
+             SELECT token, sum(n) AS tf FROM ps GROUP BY 1
+             ORDER BY tf DESC, token LIMIT 1000))
+         SELECT source, sum(n)::BIGINT AS n_tokens,
+                coalesce(sum(CASE WHEN v.token IS NULL THEN n END),
+                         0)::BIGINT AS n_oov,
+                count(CASE WHEN v.token IS NULL THEN 1 END)::BIGINT
+                  AS n_oov_types
+         FROM ps LEFT JOIN v ON ps.token = v.token
+         GROUP BY 1 ORDER BY 1""",
 
     "q_hash_split" ->
       """WITH s AS (

@@ -25,6 +25,53 @@ object Curation {
     when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
   }
 
+  /** Train/val/test LEAKAGE audit: exact-content fingerprint
+    * collisions across [[hashSplit]] folds — the "is my eval split
+    * contaminated by training duplicates" check a pretraining pipeline
+    * runs after every split. The content key is
+    * [[TextAnalysis.rollingFingerprint]] (whitespace-normalized exact
+    * duplicates collide; route MinHash bands upstream for NEAR-dup
+    * leakage). Output one row per leaking fold pair
+    * (`split_a` < `split_b`): `n_shared_fps` distinct shared
+    * fingerprints and `n_docs_a`/`n_docs_b` documents carrying them on
+    * each side — all integers. Every fold pair is always present (a
+    * clean split reports explicit zeros, so "no leakage" is a positive
+    * assertion, not an absent row).
+    *
+    * Scale shape: one projection (fingerprint + split), one
+    * (fp, split) count aggregate (8-byte fingerprint keys in the
+    * shuffle, map-side combined), then a self-join bounded to
+    * C(3 splits, 2) rows per fingerprint — the q_cross_source_dupes
+    * discipline; never doc x doc.
+    */
+  def splitLeakage(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val fps = df.where(col(textCol).isNotNull)
+      .select(hashSplit(col(idCol)).as("split"),
+              TextAnalysis.rollingFingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp", "split")
+      .agg(count(lit(1)).as("__n"))
+    val a = fps.select(col("__fp"), col("split").as("split_a"),
+                       col("__n").as("__na"))
+    val b = fps.select(col("__fp"), col("split").as("split_b"),
+                       col("__n").as("__nb"))
+    val leaks = a.join(b, Seq("__fp"))
+      .where(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("__fps"),
+           sum("__na").as("__da"),
+           sum("__nb").as("__db"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = Seq(("test", "train"), ("test", "val"),
+                    ("train", "val")).toDF("split_a", "split_b")
+    spine.join(broadcast(leaks), Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+              coalesce(col("__fps"), lit(0L)).as("n_shared_fps"),
+              coalesce(col("__da"), lit(0L)).as("n_docs_a"),
+              coalesce(col("__db"), lit(0L)).as("n_docs_b"))
+  }
+
   /** Leakage-safe grouped split: [[hashSplit]] keyed on the GROUP
     * (user, session, document family) instead of the row, so every row
     * of a group lands in the same train/val/test partition — the split

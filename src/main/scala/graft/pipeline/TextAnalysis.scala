@@ -263,6 +263,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary OOV coverage per source: build the corpus's top-k
+    * token vocabulary (the [[vocabTopK]] head — term-frequency desc,
+    * token-asc ties, so the cut is deterministic in any engine) and
+    * report per source the total token instances, the OOV instances
+    * (tokens outside the head) and the distinct OOV types — the
+    * data-card numbers that decide whether a tokenizer's vocabulary
+    * fits a NEW source before it enters the mixture. All integers.
+    *
+    * Scale shape: one explode into a (source, token) count aggregate
+    * (map-side combined; bounded by |vocab| x |sources|, not corpus
+    * tokens), a vocab-sized rollup with TakeOrdered for the head
+    * (never a corpus sort), then a broadcast of the k-row vocabulary
+    * back onto the per-source table — the corpus is scanned once.
+    * The per-source table is persisted across its two uses (vocab
+    * rollup + coverage join); released by the caller's clearCache.
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    srcCol: String, k: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    val perSrc = df.where(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+              explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+                             t => t =!= "")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = perSrc.groupBy("token")
+      .agg(sum("__n").as("__tf"))
+      .orderBy(col("__tf").desc, col("token"))
+      .limit(k)
+      .select(col("token"), lit(1).as("__in"))
+    perSrc.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum("__n").as("n_tokens"),
+           coalesce(sum(when(col("__in").isNull, col("__n"))), lit(0L))
+             .as("n_oov"),
+           count(when(col("__in").isNull, 1)).as("n_oov_types"))
+  }
+
   /** CCNet-style language-model quality score: a unigram word LM with
     * add-one smoothing is trained on the corpus itself, and each
     * document is scored by its per-token negative log-likelihood

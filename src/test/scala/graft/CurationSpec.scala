@@ -491,4 +491,62 @@ class CurationSpec extends AnyFunSuite {
            s"sizes got=${got.size} want=${want.size}")
     assert(got.values.sum <= budget, got.values.sum.toString)
   }
+
+  test("splitLeakage: duplicated text across folds counted per fold " +
+       "pair; clean split reports explicit zero rows for all 3 pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 30 ids share one text -> they land in folds by md5(id); every
+    // fold pair sharing the fingerprint leaks exactly 1 fingerprint
+    // with the fold's doc counts on each side. A second, unique text
+    // per id adds no leakage.
+    val df = (0L until 30L).map(i => (i, "shared text body")) ++
+      (100L until 110L).map(i => (i, s"unique $i"))
+    val d = df.toDF("doc_id", "text")
+    val folds = d.where(col("text") === "shared text body")
+      .groupBy(Curation.hashSplit(col("doc_id")).as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Curation.splitLeakage(d, "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+             ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(("test", "train"), ("test", "val"),
+                             ("train", "val")))
+    def want(a: String, b: String) =
+      if (folds.contains(a) && folds.contains(b))
+        (1L, folds(a), folds(b))
+      else (0L, 0L, 0L)
+    assert(got(("test", "train")) == want("test", "train"), got.toString)
+    assert(got(("test", "val")) == want("test", "val"), got.toString)
+    assert(got(("train", "val")) == want("train", "val"), got.toString)
+    // clean corpus: all-unique texts -> three explicit zero rows
+    val clean = Curation.splitLeakage(
+        (0L until 10L).map(i => (i, s"only $i")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(clean.length == 3 && clean.forall(_ == ((0L, 0L, 0L))),
+           clean.mkString(","))
+  }
+
+  test("vocabCoverage: OOV instances and types per source against the " +
+       "top-k head with deterministic tie-break") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // global tf: the=4, cat=3, dog=2, emu=1 -> k=2 head = {the, cat}
+    val d = Seq(
+      ("s1", "the cat the dog"),
+      ("s2", "the cat cat emu the dog"))
+      .toDF("source", "text")
+    val got = graft.pipeline.TextAnalysis
+      .vocabCoverage(d, "text", "source", k = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+             ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // s1: 4 tokens, oov = dog(1) -> 1 instance, 1 type
+    // s2: 6 tokens, oov = emu(1) + dog(1) -> 2 instances, 2 types
+    assert(got("s1") == ((4L, 1L, 1L)), got.toString)
+    assert(got("s2") == ((6L, 2L, 2L)), got.toString)
+    spark.catalog.clearCache()
+  }
 }
