@@ -2697,7 +2697,10 @@ object SparkEntry {
       val expected = li.where(col("l_orderkey") % 2 === 0)
       val actual = li.where(col("l_orderkey") % 2 === 1)
       val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 10)
-      val st = mon.stabilityStats(expected, actual, "l_extendedprice")
+      // performance pass skipped: the query surfaces PSI/means only,
+      // and the regression-metric medians would collect error columns
+      val st = mon.stabilityStats(expected, actual, "l_extendedprice",
+                                  withPerformance = false)
       import s.implicits._
       def s4(v: Double): Double =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)

@@ -411,12 +411,24 @@ object ScorecardMonitoring {
 final class ContinuousScorecardMonitoring(
     val scorecard: FittedContinuousScorecard,
     val psiNBins: Int = 20,
+    /** "cart" (reference default) | "quantile" | "uniform" —
+      * `monitoring.py:195` psi_method, all three fit on the expected
+      * cohort's score histogram. */
+    val psiMethod: String = "cart",
     val psiMinBinSize: Double = 0.05) {
+
+  require(Set("quantile", "uniform", "cart")(psiMethod),
+          s"psi_method must be uniform, quantile or cart; got $psiMethod")
 
   private val MaxScoreCollect = 2000000
 
   def stabilityStats(expected: DataFrame, actual: DataFrame,
-                     yCol: String)
+                     yCol: String,
+                     /** false skips the two regression-performance
+                       * passes (each collects error columns for the
+                       * exact medians) when the caller only needs
+                       * PSI/tests/target analysis. */
+                     withPerformance: Boolean = true)
       : ScorecardMonitoring.ContinuousStabilityStats = {
     val sCol = scorecard.scoreColumn().cast("double")
     def side(df: DataFrame, tag: Int) =
@@ -456,10 +468,19 @@ final class ContinuousScorecardMonitoring(
           s, nb.toLong, nb, 0.0,
           sum = rs.map(_.sy).sum, ssum = rs.map(_.syy).sum)
       }.sortBy(_.value)
-    val splits = graft.core.Prebinning.cartSplits(
-      hist, maxLeafNodes = psiNBins,
-      minSamplesLeaf = math.ceil(psiMinBinSize * nRows).toLong,
-      classification = false)
+    val splits = psiMethod match {
+      case "cart" =>
+        graft.core.Prebinning.cartSplits(
+          hist, maxLeafNodes = psiNBins,
+          minSamplesLeaf = math.ceil(psiMinBinSize * nRows).toLong,
+          classification = false)
+      case "quantile" =>
+        graft.core.Prebinning.quantileSplits(hist, psiNBins)
+      case "uniform" =>
+        val (lo, hi) = (hist.head.value, hist.last.value)
+        (1 until psiNBins)
+          .map(i => lo + (hi - lo) * i / psiNBins).toArray
+    }
 
     // np.digitize(score, splits, right=True): bin = #splits < s
     def binOf(s: Double): Int = splits.count(_ < s)
@@ -488,11 +509,17 @@ final class ContinuousScorecardMonitoring(
       val (n1, s1, ss1) = eBins.getOrElse(b, (0.0, 0.0, 0.0))
       val (n2, s2, ss2) = aBins.getOrElse(b, (0.0, 0.0, 0.0))
       val (m1, m2) = (s1 / n1, s2 / n2)
-      val sd1 = math.sqrt(math.max(0.0, ss1 / n1 - m1 * m1))
-      val sd2 = math.sqrt(math.max(0.0, ss2 / n2 - m2 * m2))
-      val (t, p) =
-        graft.core.Stats.ttestIndFromStats(m2, sd2, n2, m1, sd1, n1)
-      (b, m1, m2, t, p)
+      // a bin present in only one cohort has no defined test — NaN
+      // like scipy's ttest_ind_from_stats with n=0, without feeding a
+      // NaN df into the t-distribution
+      if (n1 < 2 || n2 < 2) (b, m1, m2, Double.NaN, Double.NaN)
+      else {
+        val sd1 = math.sqrt(math.max(0.0, ss1 / n1 - m1 * m1))
+        val sd2 = math.sqrt(math.max(0.0, ss2 / n2 - m2 * m2))
+        val (t, p) =
+          graft.core.Stats.ttestIndFromStats(m2, sd2, n2, m1, sd1, n1)
+        (b, m1, m2, t, p)
+      }
     }
 
     // target analysis: mean/std (ddof=0) from the collected aggregate,
@@ -527,8 +554,10 @@ final class ContinuousScorecardMonitoring(
       psiTotal = psiBins.map(_._4).sum,
       tests = tests,
       targetAnalysis = target,
-      performanceExpected = perf(expected),
-      performanceActual = perf(actual),
+      performanceExpected =
+        if (withPerformance) perf(expected) else Map.empty,
+      performanceActual =
+        if (withPerformance) perf(actual) else Map.empty,
       scoreSplits = splits)
   }
 }

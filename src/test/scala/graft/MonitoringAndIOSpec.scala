@@ -310,6 +310,46 @@ class MonitoringAndIOSpec extends AnyFunSuite {
            rows(0)._4 == 1250000L + 2500000L, rows(0).toString)
   }
 
+  test("continuous monitoring: psi methods agree on cohort totals, " +
+       "quantile/uniform bins are valid partitions, one-cohort bins " +
+       "test as NaN") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val sc = Scorecard.fitContinuousTarget(li, Seq("l_quantity"),
+      "l_extendedprice",
+      BinningConfig(name = "l_quantity",
+                    userSplits = Some(Array(10.0, 25.0, 40.0)),
+                    monotonicTrend = None))
+    val e = li.where(col("l_orderkey") % 2 === 0)
+    val a = li.where(col("l_orderkey") % 2 === 1)
+    val (ne, na) = (e.count(), a.count())
+    Seq("cart", "quantile", "uniform").foreach { m =>
+      val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 4,
+                                                  psiMethod = m)
+      val st = mon.stabilityStats(e, a, "l_extendedprice")
+      assert(st.psiBins.map(_._2).sum.toLong == ne, m)
+      assert(st.psiBins.map(_._3).sum.toLong == na, m)
+      assert(st.psiTotal >= 0.0 && st.psiTotal < 0.05,
+             s"$m psi=${st.psiTotal}")
+      assert(st.tests.forall(t => t._5.isNaN || (t._5 >= 0 && t._5 <= 1)),
+             m)
+      // ten regression metrics, both cohorts, all finite
+      assert(st.performanceExpected.size == 10 &&
+             st.performanceActual.size == 10, m)
+      assert(st.performanceExpected.values.forall(v =>
+               java.lang.Double.isFinite(v)), m)
+    }
+    // a score bin present in only one cohort: expected cohort capped
+    // below the top quantity bin -> its bin exists only on the actual
+    // side; the test must be NaN, never an exception
+    val eCap = e.where(col("l_quantity") < 40.0)
+    val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 4)
+    val st = mon.stabilityStats(eCap, a, "l_extendedprice")
+    val lone = st.tests.filter(t => t._2.isNaN || t._3.isNaN)
+    assert(st.psiBins.map(_._3).sum.toLong == na)
+    assert(lone.forall(t => t._5.isNaN), st.tests.mkString(";"))
+  }
+
   test("system stability report and MDLP facade") {
     val spark = TestSpark.spark
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
