@@ -636,6 +636,66 @@ object ScaleProbe {
         }
       }
     }
+    section("round8") {
+      // round-8 additions at 1x/16x: split-leakage audit (fingerprint
+      // aggregate + bounded fold-pair join — replicated docs are exact
+      // copies, so cross-fold leakage GROWS with mult, the harsh
+      // shape), vocab OOV coverage (token-volume-bound explode into a
+      // |vocab| x |sources| aggregate), and the continuous scorecard
+      // monitor (fit + one tagged-union score aggregate; driver solve
+      // constant).
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      Seq(1, 16).foreach { mult =>
+        def rep(df: org.apache.spark.sql.DataFrame, idCol: String) =
+          if (mult == 1) df
+          else df.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn(idCol,
+              col(idCol) * mult + col("__rep")).drop("__rep")
+        val d = rep(docs, "doc_id")
+        val li2 =
+          if (mult == 1) liRaw
+          else liRaw.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn("l_orderkey",
+              col("l_orderkey") * mult + col("__rep")).drop("__rep")
+        val nd = d.count(); val nl = li2.count()
+        (1 to 2).foreach { pass =>
+          val tLk = timed {
+            graft.pipeline.Curation.splitLeakage(d, "doc_id", "text")
+              .agg(sum(col("n_shared_fps"))).collect()
+          }
+          spark.catalog.clearCache()
+          val tVc = timed {
+            graft.pipeline.TextAnalysis
+              .vocabCoverage(d.withColumn("source",
+                               pmod(col("doc_id"), lit(20))),
+                             "text", "source", k = 1000)
+              .agg(sum(col("n_oov"))).collect()
+          }
+          spark.catalog.clearCache()
+          val tCm = timed {
+            val sc = graft.operators.Scorecard.fitContinuousTarget(
+              li2, Seq("l_quantity"), "l_extendedprice",
+              graft.operators.BinningConfig(name = "l_quantity",
+                userSplits = Some(Array(10.0, 25.0, 40.0)),
+                monotonicTrend = None))
+            new graft.operators.ContinuousScorecardMonitoring(
+                sc, psiNBins = 10)
+              .stabilityStats(
+                li2.where(col("l_orderkey") % 2 === 0),
+                li2.where(col("l_orderkey") % 2 === 1),
+                "l_extendedprice", withPerformance = false)
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d docs=$nd%8d " +
+              f"lineitem=$nl%9d leakage=$tLk%6.2f s " +
+              f"vocab_cov=$tVc%6.2f s cont_monitor=$tCm%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
     section("sf1stream") {
       // sf1-equivalent STREAMING point: the sessionization replay at
       // 1x and 10x event volume (replicas spread over NEW user keys,

@@ -478,4 +478,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     spark.catalog.clearCache()
   }
+
+  test("editDistance1Pairs: the FastSS candidate join keys on " +
+       "xxhash64 longs — variant STRINGS never enter a join key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"word$i").toDF("w")
+    val plan = physical(Dedup.editDistance1Pairs(words, "w"))
+    // the variant-block join is keyed on __vh = xxhash64(variant):
+    // every join key in the plan is the hash column or a string-id
+    // long, so the candidate shuffle carries 16 bytes per variant
+    assert(plan.contains("xxhash64"), plan)
+    val joinKeyLines = plan.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toSeq
+    assert(joinKeyLines.nonEmpty, plan)
+    // join keys reference only long-typed hash/id columns (__vh/__ida/
+    // __idb) — a join keyed on the raw variant (__v, string) would
+    // reintroduce the r7 string-shuffle finding
+    assert(joinKeyLines.forall(l => !l.contains("[__v#")),
+           joinKeyLines.mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
