@@ -415,7 +415,12 @@ final class ContinuousScorecardMonitoring(
       * `monitoring.py:195` psi_method, all three fit on the expected
       * cohort's score histogram. */
     val psiMethod: String = "cart",
-    val psiMinBinSize: Double = 0.05) {
+    val psiMinBinSize: Double = 0.05,
+    /** true swaps the target-analysis percentiles to the GK sketch
+      * (`percentile_approx`): the exact percentile aggregate buffers a
+      * cohort's y values on one executor, which stops fitting long
+      * before 100 TB does. */
+    val approxQuantiles: Boolean = false) {
 
   require(Set("quantile", "uniform", "cart")(psiMethod),
           s"psi_method must be uniform, quantile or cart; got $psiMethod")
@@ -524,18 +529,25 @@ final class ContinuousScorecardMonitoring(
 
     // target analysis: mean/std (ddof=0) from the collected aggregate,
     // p25/median/p75 as one exact-percentile agg per cohort
-    // (numpy-style linear interpolation — Spark `percentile` matches)
+    // (numpy-style linear interpolation — Spark `percentile` matches;
+    // the exact aggregate BUFFERS the cohort's y values, so at data
+    // scales where that no longer fits an executor, construct with
+    // `approxQuantiles = true` for the sketch-based percentiles)
     def moments(c: Int): (Double, Double) = {
       val rs = rows.filter(_.c == c)
       val n = rs.map(_.n).sum
       val m = rs.map(_.sy).sum / n
       (m, math.sqrt(math.max(0.0, rs.map(_.syy).sum / n - m * m)))
     }
-    def quantiles(df: DataFrame): Seq[Double] =
-      df.select(percentile(col(yCol).cast("double"),
-                           array(lit(0.25), lit(0.5), lit(0.75)))
-                  .as("q"))
-        .head.getSeq[Double](0)
+    def quantiles(df: DataFrame): Seq[Double] = {
+      val y = col(yCol).cast("double")
+      val q =
+        if (approxQuantiles)
+          percentile_approx(y, array(lit(0.25), lit(0.5), lit(0.75)),
+                            lit(10000))
+        else percentile(y, array(lit(0.25), lit(0.5), lit(0.75)))
+      df.select(q.as("q")).head.getSeq[Double](0)
+    }
     val (me, sde) = moments(0)
     val (ma, sda) = moments(1)
     val qe = quantiles(expected)
