@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{CosineSimExpr, FreqLongsAgg, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg, ZOrder2Expr}
+import graft.functions.{CosineSimExpr, FreqLongsAgg, JaroWinklerExpr, LangIdExpr, LshSigExpr, MinHashSigExpr, RepetitionStatsExpr, SimHash64Expr, TopKLongsAgg, ZOrder2Expr}
 import graft.pipeline.TextAnalysis
 
 /** SQL surface for the native Catalyst kernels, registered via
@@ -127,6 +127,13 @@ object GraftExtensions {
          case Seq(key, cap) =>
            FreqLongsAgg(key, litInt(cap, "graft_freq_longs"))
          case other => bad("graft_freq_longs", other)
+       }),
+      (new FunctionIdentifier("graft_jaro_winkler"),
+       new ExpressionInfo(classOf[JaroWinklerExpr].getName,
+                          "graft_jaro_winkler"),
+       (args: Seq[Expression]) => args match {
+         case Seq(a, b) => JaroWinklerExpr(a, b)
+         case other => bad("graft_jaro_winkler", other)
        }),
       (new FunctionIdentifier("graft_lang_id"),
        new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),

@@ -1538,6 +1538,25 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_jaro_scores" -> ((s, dir) => {
+      // fuzzy-match SCORING: the blocked edit-distance-1 name pairs
+      // scored by the native Jaro-Winkler kernel
+      // (graft.functions.StringSimExprs — same variant as DuckDB's
+      // jaro_winkler_similarity), bucketed to BIGINT micro-units.
+      // The oracle brute-forces the same pair set (q_fuzzy_pairs
+      // discipline) and scores with DuckDB's own implementation, so a
+      // hash match proves the kernel's arithmetic end-to-end.
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(lower(col("c_name")).as("name"))
+      val pairs = graft.pipeline.Dedup.editDistance1Pairs(c, "name")
+      pairs.select(
+          round(graft.functions.StringSimExprs
+                  .jaroWinkler(col("a"), col("b")) * 1e6)
+            .cast("long").as("jw_micro"))
+        .groupBy("jw_micro").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("jw_micro")
+    }),
+
     "q_compact_latest" -> ((s, dir) => {
       // changelog compaction: latest event per user by the (sec, id)
       // total order — ONE aggregate with max_by over a struct key
@@ -6107,6 +6126,22 @@ object SparkEntry {
          FROM v a JOIN v b ON a.s < b.s
          WHERE levenshtein(a.s, b.s) = 1
          ORDER BY 1, 2""",
+
+    // jaro-scores replay: brute-force the same edit-1 pair set, score
+    // with DuckDB's own jaro_winkler_similarity (same Winkler variant:
+    // 0.1 weight, 4-cap prefix, 0.7 boost threshold), micro-bucket
+    "q_jaro_scores" ->
+      """WITH v AS (
+           SELECT DISTINCT lower(c_name) AS s FROM customer
+           WHERE c_name IS NOT NULL),
+         p AS (
+           SELECT a.s AS a, b.s AS b
+           FROM v a JOIN v b ON a.s < b.s
+           WHERE levenshtein(a.s, b.s) = 1)
+         SELECT CAST(round(jaro_winkler_similarity(a, b) * 1000000)
+                     AS BIGINT) AS jw_micro,
+                count(*) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     // compaction replay: row_number desc over the same (sec, id)
     // total order picks the identical latest row per key

@@ -80,6 +80,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(widened.length == 1)
   }
 
+  test("graft_jaro_winkler: textbook values, null/empty semantics, " +
+       "SQL registration") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val jw = graft.functions.StringSimExprs.jaroWinkler _
+    val got = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"),
+      ("jellyfish", "smellyfish"), ("abc", "abc"), ("", ""),
+      ("", "abc"), ("a", "b"), ("crate", "trace"),
+      // prefix present but jaro <= 0.7: NO Winkler boost (the DuckDB/
+      // rapidfuzz variant)
+      ("aaxxxxxxxx", "aayyyyyyyy"), ("abcdwxyz", "abcdefgh"))
+      .toDF("a", "b")
+      .select(jw(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val want = Seq(0.9611111111111111, 0.8133333333333332,
+                   0.8962962962962964, 1.0, 1.0, 0.0, 0.0,
+                   0.7333333333333334, 0.4666666666666666,
+                   0.6666666666666666)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"got $g want $w")
+    }
+    // nulls propagate
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(jw(col("a"), col("b"))).collect()
+    assert(n(0).isNullAt(0))
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta')").head.getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+  }
+
   test("non-literal config arguments are rejected with guidance") {
     val spark = TestSpark.spark
     import spark.implicits._
