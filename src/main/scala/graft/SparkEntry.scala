@@ -1538,6 +1538,22 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_knn_eval" -> ((s, dir) => {
+      // leave-one-out kNN label audit on the embedding column: 50
+      // query vectors, exact integer distances, majority-of-5 vote ->
+      // (label, predicted) confusion matrix. Every number is integer
+      // arithmetic after one quantization, so the oracle replays the
+      // whole chain (distances, rank, vote, confusion) in plain SQL
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"),
+                col("label"))
+      graft.pipeline.Similarity.knnLabelEval(
+          e, queries, "embedding", "vec_id", "label",
+          "qid", "embedding", "label", k = 5)
+        .orderBy("label", "predicted")
+    }),
+
     "q_jaro_scores" -> ((s, dir) => {
       // fuzzy-match SCORING: the blocked edit-distance-1 name pairs
       // scored by the native Jaro-Winkler kernel
@@ -6126,6 +6142,43 @@ object SparkEntry {
          FROM v a JOIN v b ON a.s < b.s
          WHERE levenshtein(a.s, b.s) = 1
          ORDER BY 1, 2""",
+
+    // knn-eval replay: same quantization, brute distances, rank
+    // window (d2 asc, cid asc), vote window (count desc, label asc),
+    // confusion rollup — bit-exact integers end to end
+    "q_knn_eval" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  [floor(x * 1000000)::BIGINT
+                   FOR x IN embedding::DOUBLE[]] AS qv
+           FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         q AS (SELECT vec_id AS qid, label::BIGINT AS qlabel, qv
+               FROM e WHERE vec_id < 50),
+         d AS (
+           SELECT q.qid, q.qlabel, c.vec_id AS cid,
+                  c.label::BIGINT AS clabel,
+                  list_reduce(list_prepend(0::BIGINT,
+                    [ (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])
+                      FOR i IN range(1, 65)]),
+                    (a, x) -> a + x) AS d2
+           FROM q JOIN e c ON c.vec_id <> q.qid),
+         r AS (
+           SELECT qid, qlabel, clabel,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY d2, cid) AS rn
+           FROM d),
+         v AS (
+           SELECT qid, qlabel, clabel, count(*) AS nv
+           FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+         p AS (
+           SELECT qid, qlabel, clabel AS predicted,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY nv DESC, clabel) AS pr
+           FROM v)
+         SELECT qlabel AS label, predicted, count(*) AS n
+         FROM p WHERE pr = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // jaro-scores replay: brute-force the same edit-1 pair set, score
     // with DuckDB's own jaro_winkler_similarity (same Winkler variant:

@@ -883,6 +883,59 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dot_q"), col("rank"))
   }
 
+  /** k-NN label-agreement evaluation — the embedding-quality audit a
+    * retrieval/classification pipeline runs before trusting a vector
+    * column: for each query vector, the k nearest corpus vectors by
+    * EXACT BIGINT squared distance over 1e-6-quantized components
+    * (the [[kmeansCentroidsQ]] discipline; self-matches excluded by
+    * id), predicted label = majority vote among the k (vote ties break
+    * to the smaller label, distance ties to the smaller id). Output is
+    * the (label, predicted) confusion matrix with integer counts —
+    * diagonal mass = leave-one-out kNN accuracy, off-diagonal cells
+    * name the confused classes.
+    *
+    * Scale shape: the bounded query batch broadcasts into ONE corpus
+    * pass (the [[hardNegatives]] shape); per-query state is the k-row
+    * window sliver, votes and the confusion matrix are label-bounded
+    * aggregates. Null labels and null embeddings are excluded on both
+    * sides.
+    */
+  def knnLabelEval(corpus: DataFrame, queries: DataFrame,
+                   embCol: String, idCol: String, labelCol: String,
+                   qidCol: String, qembCol: String, qlabelCol: String,
+                   k: Int): DataFrame = {
+    val quant: Column => Column = e =>
+      transform(e.cast("array<double>"),
+                x => floor(x * lit(1e6)).cast("long"))
+    val q = queries
+      .where(col(qlabelCol).isNotNull && col(qembCol).isNotNull)
+      .select(col(qidCol).as("qid"), quant(col(qembCol)).as("__qv"),
+              col(qlabelCol).cast("long").as("qlabel"))
+    val c = corpus
+      .where(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("cid"), quant(col(embCol)).as("__cv"),
+              col(labelCol).cast("long").as("clabel"))
+    val d2 = aggregate(zip_with(col("__qv"), col("__cv"),
+                                (a, b) => (a - b) * (a - b)),
+                       lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val topk = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+              d2.as("d2"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+    val pred = topk.groupBy("qid", "qlabel", "clabel")
+      .agg(count(lit(1)).as("__v"))
+      .groupBy("qid", "qlabel")
+      .agg(max(struct(col("__v").as("v"),
+                      negate(col("clabel")).as("nl"))).as("__m"))
+      .select(col("qlabel").as("label"),
+              negate(col("__m.nl")).as("predicted"))
+    pred.groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Greedy k-center (farthest-point) coreset sampling: pick the seed
     * (lowest id), then k-1 times the vector FARTHEST from everything
     * picked so far — the classic 2-approximation to the k-center

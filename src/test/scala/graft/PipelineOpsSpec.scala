@@ -923,6 +923,34 @@ class PipelineOpsSpec extends AnyFunSuite {
                       ("a", 3, 8L, 9L), ("b", 1, 2L, 4L)), got.toString)
   }
 
+  test("knnLabelEval: confusion matrix from majority-of-k neighbors, " +
+       "self excluded, vote ties to the smaller label") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two tight clusters in 2D (padded to dim 4): ids 0-2 near origin
+    // label 0, ids 3-5 near (1,1) label 1; one mislabeled point (id 6,
+    // label 1) sits in the origin cluster -> with k=3 its neighbors
+    // are label 0 -> confusion cell (1, 0)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val rows = Seq(
+      (0L, v(0.00, 0.01), 0), (1L, v(0.01, 0.00), 0),
+      (2L, v(0.00, 0.00), 0), (3L, v(1.00, 1.01), 1),
+      (4L, v(1.01, 1.00), 1), (5L, v(1.00, 1.00), 1),
+      (6L, v(0.02, 0.02), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.pipeline.Similarity.knnLabelEval(
+        df, df.select(col("vec_id").as("qid"), col("embedding"),
+                      col("label")),
+        "embedding", "vec_id", "label", "qid", "embedding", "label",
+        k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // queries 0,1,2 -> predicted 0 (true 0); 3,4,5 -> predicted 1
+    // (true 1); 6 (true 1) -> predicted 0
+    assert(got == Map((0L, 0L) -> 3L, (1L, 1L) -> 3L, (1L, 0L) -> 1L),
+           got.toString)
+  }
+
   test("topkPerGroup set semantics: an exact (metric, id) duplicate " +
        "row is held ONCE (KMV contract); distinct ids at the same " +
        "metric are all kept") {
