@@ -1538,6 +1538,19 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_ewma_anomaly" -> ((s, dir) => {
+      // EWMA burst gate: half-life-1-day decay makes every weight the
+      // dyadic 2^(W-j), so the whole chart — truncated EWMA numerator,
+      // constant denominator 2^W - 1, the 3x-baseline flag — is BIGINT
+      // arithmetic the oracle replays exactly (no float pow anywhere)
+      val e = T(s, dir, "events")
+      graft.operators.Monitoring
+        .ewmaAnomalies(e, "event_type", "ts", windowDays = 14,
+                       kNum = 6L, kDen = 5L)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }),
+
     "q_knn_eval" -> ((s, dir) => {
       // leave-one-out kNN label audit on the embedding column: 50
       // query vectors, exact integer distances, majority-of-5 vote ->
@@ -6142,6 +6155,46 @@ object SparkEntry {
          FROM v a JOIN v b ON a.s < b.s
          WHERE levenshtein(a.s, b.s) = 1
          ORDER BY 1, 2""",
+
+    // ewma replay: daily counts, W-day dyadic-weight window sum via a
+    // bounded day-range self-join (engine explodes forward — same
+    // calendar terms), constant denominator, identical flag + top pick
+    "q_ewma_anomaly" ->
+      """WITH d AS (
+           SELECT event_type AS g,
+                  epoch_us(ts) // 1000000 // 86400 AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         f AS (SELECT g, min(day) AS d0 FROM d GROUP BY 1),
+         ew AS (
+           SELECT a.g, a.day, a.n,
+                  COALESCE(sum(b.n * (CAST(1 AS BIGINT)
+                                      << (14 - (a.day - b.day)))),
+                           0)::BIGINT AS ew
+           FROM d a LEFT JOIN d b
+             ON b.g = a.g AND b.day >= a.day - 14 AND b.day < a.day
+           GROUP BY 1, 2, 3),
+         ev AS (
+           SELECT ew.g, ew.day, ew.n, ew.ew,
+                  (ew.n * 16383 * 5 > 6 * ew.ew) AS anom
+           FROM ew JOIN f ON ew.g = f.g
+           WHERE ew.day >= f.d0 + 14),
+         top AS (
+           SELECT g, day, n, ew,
+                  row_number() OVER (PARTITION BY g
+                                     ORDER BY n DESC, day) AS rn
+           FROM ev WHERE anom)
+         SELECT ev.g AS event_type,
+                count(*)::BIGINT AS n_days_eval,
+                sum(CASE WHEN anom THEN 1 ELSE 0 END)::BIGINT
+                  AS n_anomalies,
+                COALESCE(max(top.day), -1)::BIGINT AS top_day,
+                COALESCE(max(top.n), -1)::BIGINT AS top_n,
+                COALESCE(max(top.ew), -1)::BIGINT AS top_ewma_scaled
+         FROM ev LEFT JOIN top
+           ON ev.g = top.g AND ev.day = top.day AND top.rn = 1
+         GROUP BY 1 ORDER BY 1""",
 
     // knn-eval replay: same quantization, brute distances, rank
     // window (d2 asc, cid asc), vote window (count desc, label asc),

@@ -258,4 +258,75 @@ object Monitoring {
               unix_timestamp(col("h")).as("hour_epoch"),
               col("n"), col("median2"))
   }
+
+  /** EWMA burst gate over per-group daily counts — the classic
+    * exponentially-weighted control chart, made BIT-REPLAYABLE by the
+    * half-life choice: with decay 1/2 the day-at-gap-j weight is the
+    * dyadic 2^(W-j), so the W-day truncated EWMA numerator
+    * `ewma_scaled = sum_j n(t-j) * 2^(W-j)` is pure BIGINT arithmetic
+    * and the flag `n(t) * (2^W - 1) * kDen > kNum * ewma_scaled`
+    * (baseline = ewma_scaled / (2^W - 1), calendar semantics: a
+    * missing day is a zero-count day) replays exactly in any SQL
+    * engine — no float pow, no accumulation-order sensitivity. Only
+    * days with a FULL W-day history are evaluated, so the denominator
+    * is the constant 2^W - 1.
+    *
+    * Scale shape: one daily count aggregate (calendar-bounded), then
+    * each day's count EXPLODES onto its next W target days with its
+    * dyadic weight (the q_rolling_active x7-coverage pattern — a
+    * W-row bounded explode of the daily table, never an events
+    * range join), one (g, day) re-aggregate, and a group-bounded
+    * flag rollup. Output per group: `n_days_eval`, `n_anomalies`,
+    * and the largest flagged burst (`top_day` epoch-day, `top_n`,
+    * `top_ewma_scaled`; -1/-1/-1 when the group never flags).
+    */
+  def ewmaAnomalies(df: DataFrame, groupCol: String, tsCol: String,
+                    windowDays: Int = 14, kNum: Long = 3L,
+                    kDen: Long = 1L): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 60,
+            s"windowDays must be in [1, 60]; got $windowDays")
+    require(kNum > 0 && kDen > 0,
+            s"threshold must be a positive rational; got $kNum/$kDen")
+    val W = windowDays
+    val daily = df
+      .where(col(tsCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+               expr(s"CAST(CAST($tsCol AS TIMESTAMP) AS LONG) " +
+                    "div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contrib = daily
+      .select(col("g"), col("day"), col("n"),
+              explode(sequence(lit(1), lit(W))).as("gap"))
+      .select(col("g"), (col("day") + col("gap")).as("day"),
+              (col("n") *
+                expr(s"shiftleft(CAST(1 AS BIGINT), $W - gap)"))
+                .as("w"))
+    val base = contrib.groupBy("g", "day")
+      .agg(sum("w").as("ewma_scaled"))
+    val firstDay = daily.groupBy("g").agg(min("day").as("__d0"))
+    val denom = (1L << W) - 1L
+    val flagged = daily
+      .join(base, Seq("g", "day"), "left")
+      .join(broadcast(firstDay), Seq("g"))
+      .where(col("day") >= col("__d0") + W)
+      .select(col("g"), col("day"), col("n"),
+              coalesce(col("ewma_scaled"), lit(0L)).as("ew"))
+      .withColumn("__a",
+        col("n") * lit(denom) * lit(kDen) > lit(kNum) * col("ew"))
+    flagged.groupBy("g")
+      .agg(count(lit(1)).as("n_days_eval"),
+           sum(when(col("__a"), 1L).otherwise(0L)).as("n_anomalies"),
+           max(struct(
+             when(col("__a"), col("n")).otherwise(-1L).as("n"),
+             when(col("__a"), negate(col("day"))).otherwise(-1L)
+               .as("nd"),
+             when(col("__a"), col("ew")).otherwise(-1L).as("ew")))
+             .as("__t"))
+      .select(col("g"), col("n_days_eval"), col("n_anomalies"),
+              when(col("__t.n") >= 0, negate(col("__t.nd")))
+                .otherwise(-1L).as("top_day"),
+              col("__t.n").as("top_n"),
+              col("__t.ew").as("top_ewma_scaled"))
+  }
 }

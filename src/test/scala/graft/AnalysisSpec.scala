@@ -111,4 +111,41 @@ class AnalysisSpec extends AnyFunSuite {
     }
     assert(quality >= 0 && quality <= 1, s"quality $quality")
   }
+
+  test("ewmaAnomalies: dyadic weights flag a planted burst, quiet " +
+       "days pass, partial-history days excluded, missing days are " +
+       "zero-count days") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 20 calendar days of 10 events/day for group "a", except: day 17
+    // bursts to 100, and day 12 is MISSING entirely (a gap). W = 3.
+    val days = (0 until 20).filter(_ != 12)
+    val rows = days.flatMap { d =>
+      val n = if (d == 17) 100 else 10
+      (0 until n).map(i =>
+        ("a", java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(d.toLong * 86400 + i))))
+    }
+    val df = rows.toDF("g", "ts")
+    val got = graft.operators.Monitoring
+      .ewmaAnomalies(df, "g", "ts", windowDays = 3, kNum = 3L,
+                     kDen = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    assert(got.length == 1)
+    val (_, nEval, nAnom, topDay, topN, topEw) = got(0)
+    // evaluated days: day >= 0 + 3 and present -> 17 days minus the
+    // missing day 12 -> days 3..19 except 12 = 16
+    assert(nEval == 16, s"nEval $nEval")
+    // burst day 17: baseline (2^3-1=7 scaled) from days 14,15,16 all
+    // 10/day -> ew = 10*(4+2+1) = 70; 100*7 > 3*70 -> flagged.
+    // day 13 (window contains missing day 12 as zero): ew = 10*4
+    // (day 10? no: gaps 1,2,3 -> days 12,11,10 -> 0,10,10 -> weights
+    // 4,2,1 -> ew = 0*4 + 10*2 + 10*1 = 30; 10*7 = 70 <= 90 -> pass.
+    // day 18 after the burst: ew = 100*4 + 10*2 + 10*1 = 430;
+    // 10*7 = 70 <= 1290 -> pass.
+    assert(nAnom == 1 && topDay == 17 && topN == 100 && topEw == 70,
+           got(0).toString)
+  }
 }
