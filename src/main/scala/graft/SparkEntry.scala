@@ -3485,6 +3485,64 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_stream_ewma" -> ((s, dir) => {
+      // the EWMA burst chart maintained INCREMENTALLY: events replay
+      // as a 3-file stream into a complete-mode DAILY-count
+      // aggregation (exactly-once over the staged files); the dyadic
+      // integer chart runs on the final maintained snapshot. Daily
+      // counts are additive, so stream == batch by construction — the
+      // oracle is the batch replay, verbatim q_ewma_anomaly
+      val e = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select("event_id", "event_type", "ts")
+      val stage = tmpWorkDir("graft_ewma_stage")
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val ckpt = tmpWorkDir("graft_ewma_ckpt")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        withConfiguredStateStore(s) {
+          staged.groupBy(col("event_type").as("g"),
+                         expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) " +
+                              "div 86400").as("day"))
+            .agg(count(lit(1)).as("n"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("graft_ewma_daily")
+            .option("checkpointLocation", ckpt).start()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable(); q.stop()
+      // the maintained snapshot is groups x days rows — rebuild a
+      // fresh local frame (the sketch-state pattern) so the chart's
+      // self-joins see clean attribute ids, not the memory sink's
+      import s.implicits._
+      val dailySnap = s.table("graft_ewma_daily").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("g", "day", "n")
+      val out = graft.operators.Monitoring
+        .ewmaAnomaliesFromDaily(dailySnap, windowDays = 14,
+                                kNum = 6L, kDen = 5L)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type").collect().toSeq
+      s.catalog.dropTempView("graft_ewma_daily")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                    r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toDF("event_type", "n_days_eval", "n_anomalies", "top_day",
+              "top_n", "top_ewma_scaled")
+    }),
+
     "q_stream_seasonal" -> ((s, dir) => {
       // the seasonal monitor maintained INCREMENTALLY: events replay
       // as a 3-file stream into a complete-mode hourly-count
@@ -6159,42 +6217,12 @@ object SparkEntry {
     // ewma replay: daily counts, W-day dyadic-weight window sum via a
     // bounded day-range self-join (engine explodes forward — same
     // calendar terms), constant denominator, identical flag + top pick
-    "q_ewma_anomaly" ->
-      """WITH d AS (
-           SELECT event_type AS g,
-                  epoch_us(ts) // 1000000 // 86400 AS day,
-                  count(*) AS n
-           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-           GROUP BY 1, 2),
-         f AS (SELECT g, min(day) AS d0 FROM d GROUP BY 1),
-         ew AS (
-           SELECT a.g, a.day, a.n,
-                  COALESCE(sum(b.n * (CAST(1 AS BIGINT)
-                                      << (14 - (a.day - b.day)))),
-                           0)::BIGINT AS ew
-           FROM d a LEFT JOIN d b
-             ON b.g = a.g AND b.day >= a.day - 14 AND b.day < a.day
-           GROUP BY 1, 2, 3),
-         ev AS (
-           SELECT ew.g, ew.day, ew.n, ew.ew,
-                  (ew.n * 16383 * 5 > 6 * ew.ew) AS anom
-           FROM ew JOIN f ON ew.g = f.g
-           WHERE ew.day >= f.d0 + 14),
-         top AS (
-           SELECT g, day, n, ew,
-                  row_number() OVER (PARTITION BY g
-                                     ORDER BY n DESC, day) AS rn
-           FROM ev WHERE anom)
-         SELECT ev.g AS event_type,
-                count(*)::BIGINT AS n_days_eval,
-                sum(CASE WHEN anom THEN 1 ELSE 0 END)::BIGINT
-                  AS n_anomalies,
-                COALESCE(max(top.day), -1)::BIGINT AS top_day,
-                COALESCE(max(top.n), -1)::BIGINT AS top_n,
-                COALESCE(max(top.ew), -1)::BIGINT AS top_ewma_scaled
-         FROM ev LEFT JOIN top
-           ON ev.g = top.g AND ev.day = top.day AND top.rn = 1
-         GROUP BY 1 ORDER BY 1""",
+    "q_ewma_anomaly" -> ewmaAnomalySql,
+
+    // stream-ewma replay: daily counts are additive, so the maintained
+    // complete-mode snapshot equals the batch daily table — the oracle
+    // is the batch chart verbatim
+    "q_stream_ewma" -> ewmaAnomalySql,
 
     // knn-eval replay: same quantization, brute distances, rank
     // window (d2 asc, cid asc), vote window (count desc, label asc),
@@ -9749,6 +9777,47 @@ object SparkEntry {
                 sum(o_orderkey)::BIGINT AS key_sum
          FROM orders GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
+
+  /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,
+    * W-day dyadic-weight window sum via a bounded day-range self-join
+    * (the engine explodes forward — same calendar terms), constant
+    * 2^14-1 denominator, identical 6/5 flag and top-burst pick. */
+  private def ewmaAnomalySql: String =
+    """WITH d AS (
+           SELECT event_type AS g,
+                  epoch_us(ts) // 1000000 // 86400 AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         f AS (SELECT g, min(day) AS d0 FROM d GROUP BY 1),
+         ew AS (
+           SELECT a.g, a.day, a.n,
+                  COALESCE(sum(b.n * (CAST(1 AS BIGINT)
+                                      << (14 - (a.day - b.day)))),
+                           0)::BIGINT AS ew
+           FROM d a LEFT JOIN d b
+             ON b.g = a.g AND b.day >= a.day - 14 AND b.day < a.day
+           GROUP BY 1, 2, 3),
+         ev AS (
+           SELECT ew.g, ew.day, ew.n, ew.ew,
+                  (ew.n * 16383 * 5 > 6 * ew.ew) AS anom
+           FROM ew JOIN f ON ew.g = f.g
+           WHERE ew.day >= f.d0 + 14),
+         top AS (
+           SELECT g, day, n, ew,
+                  row_number() OVER (PARTITION BY g
+                                     ORDER BY n DESC, day) AS rn
+           FROM ev WHERE anom)
+         SELECT ev.g AS event_type,
+                count(*)::BIGINT AS n_days_eval,
+                sum(CASE WHEN anom THEN 1 ELSE 0 END)::BIGINT
+                  AS n_anomalies,
+                COALESCE(max(top.day), -1)::BIGINT AS top_day,
+                COALESCE(max(top.n), -1)::BIGINT AS top_n,
+                COALESCE(max(top.ew), -1)::BIGINT AS top_ewma_scaled
+         FROM ev LEFT JOIN top
+           ON ev.g = top.g AND ev.day = top.day AND top.rn = 1
+         GROUP BY 1 ORDER BY 1"""
 
   /** Shared oracle CTE: portable hyperplane-LSH signature over the
     * embeddings table — integer Lehmer mix (quadratic then minstd 48271,

@@ -283,17 +283,29 @@ object Monitoring {
   def ewmaAnomalies(df: DataFrame, groupCol: String, tsCol: String,
                     windowDays: Int = 14, kNum: Long = 3L,
                     kDen: Long = 1L): DataFrame = {
-    require(windowDays >= 1 && windowDays <= 60,
-            s"windowDays must be in [1, 60]; got $windowDays")
-    require(kNum > 0 && kDen > 0,
-            s"threshold must be a positive rational; got $kNum/$kDen")
-    val W = windowDays
     val daily = df
       .where(col(tsCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("g"),
                expr(s"CAST(CAST($tsCol AS TIMESTAMP) AS LONG) " +
                     "div 86400").as("day"))
       .agg(count(lit(1)).as("n"))
+    ewmaAnomaliesFromDaily(daily, windowDays, kNum, kDen)
+  }
+
+  /** [[ewmaAnomalies]] over a PRE-AGGREGATED daily table
+    * (g, day = epoch-day BIGINT, n) — the entry point for maintained
+    * counts (a streaming complete-mode aggregation snapshot, a
+    * materialized rollup): daily counts are additive, so the chart
+    * over the maintained table equals the chart over raw events by
+    * construction. */
+  def ewmaAnomaliesFromDaily(dailyIn: DataFrame, windowDays: Int,
+                             kNum: Long, kDen: Long): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 60,
+            s"windowDays must be in [1, 60]; got $windowDays")
+    require(kNum > 0 && kDen > 0,
+            s"threshold must be a positive rational; got $kNum/$kDen")
+    val W = windowDays
+    val daily = dailyIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contrib = daily
       .select(col("g"), col("day"), col("n"),
