@@ -1538,6 +1538,41 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_cycle_time" -> ((s, dir) => {
+      // order-fulfilment cycle time: the fact-fact orders x lineitem
+      // join (both orderkey-keyed — the co-location/bucketing shape at
+      // warehouse scale), then per priority: line count, 30-day SLA
+      // breaches, the EXACT doubled median of the order->ship gap
+      // (bucketed-crossing histogram, no per-group sort) and the
+      // worst gap — every output an integer
+      val li = T(s, dir, "lineitem")
+        .where(col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"),
+                col("l_shipdate").cast("timestamp").cast("long")
+                  .as("__ship"))
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"),
+                col("o_orderdate").cast("timestamp").cast("long")
+                  .as("__ord"),
+                col("o_orderpriority"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+                expr("(__ship - __ord) div 86400").as("gap"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val med = graft.operators.Histograms
+        .groupedDoubledMedian(j, "priority", "gap")
+        .select(col("priority"), col("median2"))
+      j.groupBy("priority")
+        .agg(count(lit(1)).as("n_lines"),
+             sum(when(col("gap") > 30, 1L).otherwise(0L))
+               .as("n_sla_breach"),
+             max("gap").as("max_gap"),
+             sum("gap").as("gap_sum"))
+        .join(broadcast(med), Seq("priority"))
+        .orderBy("priority")
+    }),
+
     "q_ewma_anomaly" -> ((s, dir) => {
       // EWMA burst gate: half-life-1-day decay makes every weight the
       // dyadic 2^(W-j), so the whole chart — truncated EWMA numerator,
@@ -6217,6 +6252,39 @@ object SparkEntry {
     // ewma replay: daily counts, W-day dyadic-weight window sum via a
     // bounded day-range self-join (engine explodes forward — same
     // calendar terms), constant denominator, identical flag + top pick
+    // cycle-time replay: same epoch-day gap, lower+upper order
+    // statistics for the doubled median, identical SLA flag
+    "q_cycle_time" ->
+      """WITH j AS (
+           SELECT o.o_orderpriority AS priority,
+                  (epoch_us(l.l_shipdate) // 1000000
+                   - epoch_us(o.o_orderdate) // 1000000) // 86400
+                    AS gap
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate IS NOT NULL
+             AND o.o_orderdate IS NOT NULL),
+         r AS (
+           SELECT priority, gap,
+                  row_number() OVER (PARTITION BY priority
+                                     ORDER BY gap) AS rn,
+                  count(*) OVER (PARTITION BY priority) AS n
+           FROM j),
+         m AS (
+           SELECT priority,
+                  sum(CASE WHEN rn = (n + 1) // 2 THEN gap ELSE 0 END
+                    + CASE WHEN rn = n // 2 + 1 THEN gap ELSE 0 END)
+                    ::BIGINT AS median2
+           FROM r GROUP BY 1)
+         SELECT j.priority, count(*)::BIGINT AS n_lines,
+                sum(CASE WHEN gap > 30 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_sla_breach,
+                max(gap)::BIGINT AS max_gap,
+                sum(gap)::BIGINT AS gap_sum,
+                max(m.median2)::BIGINT AS median2
+         FROM j JOIN m ON j.priority = m.priority
+         GROUP BY 1 ORDER BY 1""",
+
     "q_ewma_anomaly" -> ewmaAnomalySql,
 
     // stream-ewma replay: daily counts are additive, so the maintained
