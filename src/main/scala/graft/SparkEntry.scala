@@ -1538,6 +1538,38 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_snowflake_rollup" -> ((s, dir) => {
+      // snowflake-dimension revenue rollup (the TPC-H Q5 shape):
+      // lineitem enriches through supplier -> nation -> region (three
+      // BROADCAST hops — the dims are region-bounded) plus the part
+      // dimension on partkey (the one genuinely big dim: broadcast at
+      // this SF, a co-partitioned shuffle join at warehouse scale).
+      // Revenue stays integer: cents x (100 - discount_pct), summed
+      // as BIGINT — no float money anywhere
+      val li = T(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"),
+        round(col("l_discount") * 100).cast("long").as("__disc"))
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val reg = T(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val prt = T(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("r_name").as("region"),
+                 col("p_type").as("part_type"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("__cents") * (lit(100L) - col("__disc")))
+               .as("revenue_scaled"))
+        .orderBy("region", "part_type")
+    }),
+
     "q_cycle_time" -> ((s, dir) => {
       // order-fulfilment cycle time: the fact-fact orders x lineitem
       // join (both orderkey-keyed — the co-location/bucketing shape at
@@ -6252,6 +6284,21 @@ object SparkEntry {
     // ewma replay: daily counts, W-day dyadic-weight window sum via a
     // bounded day-range self-join (engine explodes forward — same
     // calendar terms), constant denominator, identical flag + top pick
+    // snowflake replay: identical join chain and the same integer
+    // cents x (100 - pct) revenue arithmetic
+    "q_snowflake_rollup" ->
+      """SELECT r.r_name AS region, p.p_type AS part_type,
+                count(*)::BIGINT AS n_lines,
+                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  ::BIGINT AS revenue_scaled
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // cycle-time replay: same epoch-day gap, lower+upper order
     // statistics for the doubled median, identical SLA flag
     "q_cycle_time" ->
