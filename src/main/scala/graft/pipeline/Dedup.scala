@@ -1054,9 +1054,14 @@ object Dedup {
     * edit distance exactly 1. Duplicate input strings dedupe first.
     */
   def editDistance1Pairs(strings: DataFrame, strCol: String): DataFrame = {
+    // persisted: the distinct-string table feeds the two variant
+    // generators AND both verify join-backs — without this the input
+    // scans + distinct shuffles run four times (released by the
+    // caller's clearCache, the nearDupPairs discipline)
     val s = strings.where(col(strCol).isNotNull)
       .select(col(strCol).as("__s")).distinct()
       .withColumn("__sid", xxhash64(col("__s")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val variants = s.select(col("__sid"), col("__s"))
       .select(col("__sid"),
         explode(array_union(
