@@ -895,15 +895,21 @@ object Similarity {
     * name the confused classes.
     *
     * Scale shape: the bounded query batch broadcasts into ONE corpus
-    * pass (the [[hardNegatives]] shape); per-query state is the k-row
-    * window sliver, votes and the confusion matrix are label-bounded
-    * aggregates. Null labels and null embeddings are excluded on both
-    * sides.
+    * pass (the [[hardNegatives]] shape), and the per-query k nearest
+    * ride the O(k)-state [[graft.functions.TopKAgg]] aggregate
+    * (map-side combined — never a per-query window sort over the
+    * corpus, the [[graft.operators.Ranking]] discipline); votes and
+    * the confusion matrix are label-bounded aggregates. Null labels,
+    * null embeddings, and labels outside [0, `labelSpace`) are
+    * excluded (the label rides the packed candidate id, so the label
+    * space must be declared; 1024 fits any classification fixture —
+    * raise it for larger vocabularies, keeping
+    * max_id * labelSpace < 2^63).
     */
   def knnLabelEval(corpus: DataFrame, queries: DataFrame,
                    embCol: String, idCol: String, labelCol: String,
                    qidCol: String, qembCol: String, qlabelCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, labelSpace: Long = 1024L): DataFrame = {
     val quant: Column => Column = e =>
       transform(e.cast("array<double>"),
                 x => floor(x * lit(1e6)).cast("long"))
@@ -912,19 +918,28 @@ object Similarity {
       .select(col(qidCol).as("qid"), quant(col(qembCol)).as("__qv"),
               col(qlabelCol).cast("long").as("qlabel"))
     val c = corpus
-      .where(col(labelCol).isNotNull && col(embCol).isNotNull)
+      .where(col(labelCol).isNotNull && col(embCol).isNotNull &&
+             col(labelCol).cast("long") >= 0 &&
+             col(labelCol).cast("long") < labelSpace)
       .select(col(idCol).as("cid"), quant(col(embCol)).as("__cv"),
               col(labelCol).cast("long").as("clabel"))
     val d2 = aggregate(zip_with(col("__qv"), col("__cv"),
                                 (a, b) => (a - b) * (a - b)),
                        lit(0L), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("d2"), col("cid"))
+    // k nearest per query as a bounded aggregate: key = -d2 (largest
+    // key = smallest distance; id-asc ties = cid-asc since the label
+    // rides the low bits and cid is unique per query)
     val topk = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+      .select(col("qid"), col("qlabel"),
+              (col("cid") * lit(labelSpace) + col("clabel"))
+                .as("__pid"),
               d2.as("d2"))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") <= k)
+      .groupBy("qid", "qlabel")
+      .agg(graft.functions.TopKAgg
+             .topkLongs(negate(col("d2")), col("__pid"), k).as("__t"))
+      .select(col("qid"), col("qlabel"), explode(col("__t")).as("__e"))
+      .select(col("qid"), col("qlabel"),
+              pmod(col("__e.id"), lit(labelSpace)).as("clabel"))
     val pred = topk.groupBy("qid", "qlabel", "clabel")
       .agg(count(lit(1)).as("__v"))
       .groupBy("qid", "qlabel")
