@@ -1538,6 +1538,60 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q_score_deploy" -> ((s, dir) => {
+      // the DEPLOYMENT flow as one row: fit on the train cohort, apply
+      // the TRAIN model to the test cohort, monitor the shift — the
+      // train/apply split no other scorecard query exercises (they fit
+      // and score the same data). Pinned splits + a saturated
+      // single-variable WoE logistic keep the whole chain closed-form
+      // (coef = -1, intercept = ln(te/tne) OF THE TRAIN COHORT), so
+      // the oracle replays train-fit -> test-apply -> per-bin
+      // monitoring at ANY SF — no solver literals, not sf-pinned.
+      // Output per bin: train/test counts, train WoE (the deployed
+      // model), test event tallies under the train model's default
+      // threshold, and the PSI contribution of the bin shift.
+      val li = liTarget(T(s, dir, "lineitem"))
+      val train = li.where(col("l_orderkey") % 2 === 0)
+      val test = li.where(col("l_orderkey") % 2 === 1)
+      val sc = Scorecard.fit(train, Seq("l_extendedprice"), "y",
+        binningConfig = BinningConfig(name = "l_extendedprice",
+          userSplits = Some(liSplits), monotonicTrend = None,
+          minNBins = Some(4), maxNBins = Some(4)))
+      val bin = when(col("l_extendedprice") < liSplits(0), 0L)
+        .when(col("l_extendedprice") < liSplits(1), 1L)
+        .when(col("l_extendedprice") < liSplits(2), 2L)
+        .otherwise(3L)
+      val p = sc.predictProbaColumn()
+      val tr = train.groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n_train"))
+      val te = test.groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n_test"),
+             sum(col("y").cast("long")).as("n_test_event"),
+             sum(when(col("y") === 1.0 && p >= 0.5, 1L)
+                   .otherwise(0L)).as("n_test_tp"),
+             sum(when(col("y") === 0.0 && p < 0.5, 1L)
+                   .otherwise(0L)).as("n_test_tn"))
+      val woeByBin = sc.process.fits("l_extendedprice").table.rows
+        .zipWithIndex.filter(_._1.count > 0)
+        .map { case (r, i) => (i.toLong, scale6(r.woe)) }.toSeq
+      import s.implicits._
+      val woeDf = woeByBin.toDF("bin", "woe_train")
+      val joined = tr.join(te, Seq("bin")).join(broadcast(woeDf),
+                                                Seq("bin"))
+      // PSI contribution per bin over the two cohort populations
+      val tots = joined.agg(sum("n_train"), sum("n_test")).head
+      val (tTr, tTe) = (tots.getLong(0), tots.getLong(1))
+      joined.select(col("bin"), col("n_train"), col("n_test"),
+          col("woe_train"), col("n_test_event"), col("n_test_tp"),
+          col("n_test_tn"),
+          round((col("n_test") / lit(tTe.toDouble) -
+                 col("n_train") / lit(tTr.toDouble)) *
+                log((col("n_test") / lit(tTe.toDouble)) /
+                    (col("n_train") / lit(tTr.toDouble))), 6)
+            .as("psi_bin"))
+        .orderBy("bin")
+    }),
+
     "q_snowflake_rollup" -> ((s, dir) => {
       // snowflake-dimension revenue rollup (the TPC-H Q5 shape):
       // lineitem enriches through supplier -> nation -> region (three
@@ -6284,6 +6338,53 @@ object SparkEntry {
     // ewma replay: daily counts, W-day dyadic-weight window sum via a
     // bounded day-range self-join (engine explodes forward — same
     // calendar terms), constant denominator, identical flag + top pick
+    // score-deploy replay: train-cohort binning/WoE, the closed-form
+    // saturated model (coef=-1, b0=ln(te/tne) of TRAIN), test tallies
+    // under the train threshold (p >= 0.5 <=> woe <= b0), per-bin PSI
+    "q_score_deploy" ->
+      """WITH b AS (
+           SELECT l_orderkey % 2 AS c,
+                  CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         tr AS (
+           SELECT bin, count(*) AS n, sum(y) AS e,
+                  count(*) - sum(y) AS ne
+           FROM b WHERE c = 0 GROUP BY 1),
+         tt AS (SELECT sum(e)::DOUBLE AS te, sum(ne)::DOUBLE AS tne
+                FROM tr),
+         w AS (
+           SELECT bin, n AS n_train,
+                  ln((ne / tne) / (e / te)) AS woe,
+                  ln(te / tne) AS b0
+           FROM tr, tt),
+         te2 AS (
+           SELECT b.bin, count(*) AS n_test,
+                  sum(b.y) AS n_test_event,
+                  sum(CASE WHEN b.y = 1 AND w.woe <= w.b0
+                      THEN 1 ELSE 0 END) AS n_test_tp,
+                  sum(CASE WHEN b.y = 0 AND w.woe > w.b0
+                      THEN 1 ELSE 0 END) AS n_test_tn
+           FROM b JOIN w ON b.bin = w.bin
+           WHERE b.c = 1 GROUP BY 1),
+         tots AS (
+           SELECT (SELECT sum(n_train) FROM w)::DOUBLE AS ttr,
+                  (SELECT sum(n_test) FROM te2)::DOUBLE AS tte)
+         SELECT w.bin::BIGINT AS bin, w.n_train::BIGINT AS n_train,
+                te2.n_test::BIGINT AS n_test,
+                round(w.woe, 6) AS woe_train,
+                te2.n_test_event::BIGINT AS n_test_event,
+                te2.n_test_tp::BIGINT AS n_test_tp,
+                te2.n_test_tn::BIGINT AS n_test_tn,
+                round((te2.n_test / tte - w.n_train / ttr)
+                      * ln((te2.n_test / tte) / (w.n_train / ttr)), 6)
+                  AS psi_bin
+         FROM w JOIN te2 ON w.bin = te2.bin CROSS JOIN tots
+         ORDER BY 1""",
+
     // snowflake replay: identical join chain and the same integer
     // cents x (100 - pct) revenue arithmetic
     "q_snowflake_rollup" ->

@@ -1,6 +1,5 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -9,22 +8,18 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val sc = graft.operators.Scorecard.fitContinuousTarget(
-      li, Seq("l_quantity"), "l_extendedprice",
-      graft.operators.BinningConfig(name = "l_quantity",
-        userSplits = Some(Array(10.0, 25.0, 40.0)),
-        monotonicTrend = None))
-    val expected = li.where(col("l_orderkey") % 2 === 0)
-    val actual = li.where(col("l_orderkey") % 2 === 1)
-    val mon = new graft.operators.ContinuousScorecardMonitoring(
-      sc, psiNBins = 10)
-    val st = mon.stabilityStats(expected, actual, "l_extendedprice")
-    println(s"COEF=${sc.coefficients.mkString(",")}")
-    println(s"INTERCEPT=${sc.estimatorIntercept}")
-    println(s"BASE=${sc.pointsTable.map(r => (r.binId, r.points)).mkString(";")}")
-    println(s"SPLITS=${st.scoreSplits.mkString(",")}")
-    println(s"PSIBINS=${st.psiBins.mkString(";")}")
+    val df = graft.SparkEntry.queries("q_snowflake_rollup")(
+      spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    println("BroadcastHashJoin count: " +
+      plan.linesIterator.count(_.contains("BroadcastHashJoin")))
+    println("SortMergeJoin count: " +
+      plan.linesIterator.count(_.contains("SortMergeJoin")))
+    println("partial agg: " + plan.contains("HashAggregate"))
+    println(plan.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Scan parquet") ||
+                   l.contains("HashAggregate"))
+      .map(_.take(150)).mkString("\n"))
     spark.stop()
   }
 }
