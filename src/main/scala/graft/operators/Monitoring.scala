@@ -269,7 +269,10 @@ object Monitoring {
     * missing day is a zero-count day) replays exactly in any SQL
     * engine — no float pow, no accumulation-order sensitivity. Only
     * days with a FULL W-day history are evaluated, so the denominator
-    * is the constant 2^W - 1.
+    * is the constant 2^W - 1. Epoch-day arithmetic assumes post-1970
+    * timestamps (Spark's `div` truncates toward zero, SQL `//` floors
+    * — they agree on non-negative epochs only, the ks2Sample
+    * convention).
     *
     * Scale shape: one daily count aggregate (calendar-bounded), then
     * each day's count EXPLODES onto its next W target days with its

@@ -904,7 +904,8 @@ object Similarity {
     * excluded (the label rides the packed candidate id, so the label
     * space must be declared; 1024 fits any classification fixture —
     * raise it for larger vocabularies, keeping
-    * max_id * labelSpace < 2^63).
+    * max_id * labelSpace < 2^63; ids must be non-negative for the
+    * packing's tie order to equal cid order).
     */
   def knnLabelEval(corpus: DataFrame, queries: DataFrame,
                    embCol: String, idCol: String, labelCol: String,

@@ -355,4 +355,61 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"q=$n/$d got=$got want=$want")
     }
   }
+
+  test("JaroWinkler properties: symmetric, bounded in [0,1], 1 iff " +
+       "equal, kernel equals a direct Scala reimplementation") {
+    // independent reference implementation (textbook Jaro + Winkler
+    // with the 0.7 boost threshold) to cross-check the Catalyst
+    // kernel's window/transposition bookkeeping
+    def ref(a: String, b: String): Double = {
+      val (la, lb) = (a.length, b.length)
+      if (la == 0 && lb == 0) return 1.0
+      if (la == 0 || lb == 0) return 0.0
+      val win = math.max(0, math.max(la, lb) / 2 - 1)
+      val am = Array.fill(la)(false); val bm = Array.fill(lb)(false)
+      var m = 0
+      for (i <- 0 until la) {
+        var j = math.max(0, i - win)
+        var done = false
+        while (!done && j <= math.min(lb - 1, i + win)) {
+          if (!bm(j) && a(i) == b(j)) {
+            am(i) = true; bm(j) = true; m += 1; done = true
+          }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var t = 0; var j = 0
+      for (i <- 0 until la if am(i)) {
+        while (!bm(j)) j += 1
+        if (a(i) != b(j)) t += 1
+        j += 1
+      }
+      val jaro = (m.toDouble / la + m.toDouble / lb +
+        (m - t / 2).toDouble / m) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        val l = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+        jaro + l * 0.1 * (1 - jaro)
+      }
+    }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until rnd.nextInt(12))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (0 until 300).map(_ => (word(), word()))
+    import org.apache.spark.sql.functions.col
+    val jw = graft.functions.StringSimExprs.jaroWinkler _
+    val got = pairs.toDF("a", "b")
+      .select(jw(col("a"), col("b")), jw(col("b"), col("a")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    pairs.zip(got).foreach { case ((a, b), (ab, ba)) =>
+      assert(ab == ba, s"asymmetric on ($a, $b)")
+      assert(ab >= 0.0 && ab <= 1.0, s"out of range on ($a, $b): $ab")
+      assert((ab == 1.0) == (a == b), s"unit iff equal on ($a, $b)")
+      assert(ab == ref(a, b), s"kernel ${ab} != ref ${ref(a, b)} " +
+        s"on ($a, $b)")
+    }
+  }
 }
