@@ -3343,6 +3343,18 @@ object SparkEntry {
                min(col("id")).as("first_doc"))
     }),
 
+    "q_span_dedup" -> ((s, dir) => {
+      // corpus-level repeated-span audit (the Lee et al. substring-
+      // dedup shape over word 10-grams): per source, the token mass a
+      // repeated-span removal pass would strip — merged-span counts
+      // and removed-token totals, all integers
+      val d = T(s, dir, "documents")
+      graft.pipeline.Dedup
+        .repeatedSpanAudit(d, "text", "doc_id", "source",
+                           gramN = 10, minOccurrences = 2L)
+        .orderBy("source")
+    }),
+
     "q_split_leakage" -> ((s, dir) => {
       // train/val/test leakage audit: exact-content fingerprints
       // shared across hash-split folds — per fold pair, distinct
@@ -8473,6 +8485,67 @@ object SparkEntry {
                 sum(n_matched)::BIGINT AS total_matched,
                 min(doc_id) AS first_doc
          FROM hits""",
+
+    // span-dedup replay: the same two-level polynomial (code points ->
+    // token hash -> gram hash), corpus occurrence counts, hash semi-
+    // join, per-doc island merge with the identical pos >= prev_end
+    // boundary, per-source rollup
+    "q_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    ' '), x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         th AS (
+           SELECT doc_id, source, len(toks)::BIGINT AS n,
+                  [list_reduce(list_prepend(0::BIGINT,
+                     [unicode(c)::BIGINT FOR c IN
+                        regexp_extract_all(tok, '(?s).')]),
+                     (a, b) -> (a * 131 + b) % 1000000007)
+                   FOR tok IN toks] AS th
+           FROM t),
+         g AS (
+           SELECT doc_id, i - 1 AS pos,
+                  list_reduce(list_prepend(0::BIGINT,
+                    th[i : i + 9]),
+                    (a, h) -> (a * 131 + h) % 1000000007) AS gh
+           FROM th, unnest(range(1, (n - 10 + 2)::INT)) AS u(i)
+           WHERE n >= 10),
+         hot AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         rep AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gh)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN max(pos + 10) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) IS NULL
+                       OR pos >= max(pos + 10) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS newf
+           FROM rep),
+         spans AS (
+           SELECT doc_id, isl,
+                  min(pos) AS s, max(pos) + 10 AS e
+           FROM (SELECT doc_id, pos,
+                        sum(newf) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS isl
+                 FROM isl)
+           GROUP BY 1, 2),
+         pd AS (
+           SELECT doc_id, count(*)::BIGINT AS spans,
+                  sum(e - s)::BIGINT AS removed
+           FROM spans GROUP BY 1)
+         SELECT th.source, count(*)::BIGINT AS n_docs,
+                sum(th.n)::BIGINT AS n_tokens,
+                count(pd.spans)::BIGINT AS n_docs_affected,
+                COALESCE(sum(pd.spans), 0)::BIGINT AS n_spans,
+                COALESCE(sum(pd.removed), 0)::BIGINT
+                  AS n_tokens_removed
+         FROM th LEFT JOIN pd ON th.doc_id = pd.doc_id
+         GROUP BY 1 ORDER BY 1""",
 
     // split-leakage replay: same md5 fold + rolling-fingerprint
     // content key, (fp, split) counts, bounded fold-pair self-join

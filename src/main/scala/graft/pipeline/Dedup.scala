@@ -1025,6 +1025,89 @@ object Dedup {
              lit(thrNum.toLong) * col("uni"))
   }
 
+  /** Corpus-level repeated-span audit (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring-dedup shape, over fixed-length word grams): every
+    * word `gramN`-gram occurring at least `minOccurrences` times in
+    * the WHOLE corpus marks its token span for removal; overlapping
+    * marked spans merge per document (gaps-and-islands over gram
+    * start positions), and the audit reports per source how much
+    * boilerplate mass removal would strip: `n_docs`, `n_tokens`,
+    * `n_docs_affected`, `n_spans` (merged), `n_tokens_removed` —
+    * all integers.
+    *
+    * Portability: token hashes are the code-point polynomial
+    * ([[graft.pipeline.TextAnalysis.rollingFingerprint]] per token)
+    * and gram hashes the same polynomial folded over the token
+    * hashes, so every count replays bit-exactly in SQL. The per-token
+    * HOF hashing is interpreted — fine for audit passes; kernelize
+    * via a positional variant of
+    * [[graft.functions.TextHashExprs.wordGramHashes]] if this ever
+    * sits on the hot path.
+    *
+    * Scale shape: one gram explode into a corpus-wide (gramHash ->
+    * occurrence count) aggregate (8-byte keys, map-side combined),
+    * one hash-keyed semi-join back onto the positional grams (only
+    * REPEATED grams survive into the window), then a per-document
+    * window over that sliver — bounded by the document's repeated
+    * grams, never the corpus. The tokenized base persists across its
+    * two uses (gram generation + per-doc totals); released by the
+    * caller's clearCache.
+    */
+  def repeatedSpanAudit(df: DataFrame, textCol: String, idCol: String,
+                        srcCol: String, gramN: Int = 10,
+                        minOccurrences: Long = 2L): DataFrame = {
+    require(gramN >= 2, s"gramN must be >= 2; got $gramN")
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000000007L
+    val toks = filter(split(normalizeText(col(textCol)), " "),
+                      t => t =!= "")
+    val tokH = transform(toks,
+      t => graft.pipeline.TextAnalysis.rollingFingerprint(t))
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(srcCol).as("source"),
+              tokH.as("__th"))
+      .withColumn("__n", size(col("__th")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramArr = when(col("__n") >= gramN,
+        transform(sequence(lit(0), col("__n") - gramN),
+          i => aggregate(slice(col("__th"), i + lit(1), lit(gramN)),
+                         lit(0L),
+                         (a, h) => (a * lit(131L) + h) % lit(P))))
+      .otherwise(array().cast("array<bigint>"))
+    val grams = base
+      .select(col("__id"), posexplode(gramArr))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__gh")
+    val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= minOccurrences)
+      .select("__gh")
+    val rep = grams.join(hot, Seq("__gh"))
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val prevEnd = max(col("__pos") + gramN)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = rep
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__pos") >= prevEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(w))
+    val perDoc = isl
+      .groupBy("__id", "__isl")
+      .agg(min("__pos").as("__s"),
+           (max(col("__pos")) + gramN).as("__e"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__spans"),
+           sum(col("__e") - col("__s")).as("__removed"))
+    base.select(col("__id"), col("source"), col("__n"))
+      .join(perDoc, Seq("__id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("__n").as("n_tokens"),
+           count(col("__spans")).as("n_docs_affected"),
+           coalesce(sum("__spans"), lit(0L)).as("n_spans"),
+           coalesce(sum("__removed"), lit(0L)).as("n_tokens_removed"))
+  }
+
   /** Edit-distance-1 string pairs by deletion-neighborhood blocking
     * (FastSS, Bocek et al. 2007): two strings are within one edit iff
     * they share a member of each other's {self} ∪ {one-char-deleted

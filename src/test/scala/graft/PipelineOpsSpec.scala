@@ -923,6 +923,34 @@ class PipelineOpsSpec extends AnyFunSuite {
                       ("a", 3, 8L, 9L), ("b", 1, 2L, 4L)), got.toString)
   }
 
+  test("repeatedSpanAudit: corpus-repeated 3-gram spans merge per doc " +
+       "and count their token mass; unique text is untouched") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the phrase "x y z w" (two overlapping 3-grams: xyz, yzw) appears
+    // in docs 1 and 2 -> both grams repeat corpus-wide; in doc 1 the
+    // two marked spans [2,5) and [3,6) merge into ONE island of 4
+    // tokens. doc 3 is all-unique -> unaffected. doc 4 is shorter than
+    // the gram -> counted in totals, never marked.
+    val d = Seq(
+      (1L, "sA", "a b x y z w c d"),
+      (2L, "sA", "p q x y z w r t"),
+      (3L, "sB", "u v m n o k l"),
+      (4L, "sB", "s t")).toDF("doc_id", "source", "text")
+    val got = graft.pipeline.Dedup
+      .repeatedSpanAudit(d, "text", "doc_id", "source", gramN = 3,
+                         minOccurrences = 2L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+             r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    spark.catalog.clearCache()
+    // sA: 2 docs, 16 tokens, both affected, 1 merged span each of
+    // 4 tokens ([2,6))
+    assert(got("sA") == ((2L, 16L, 2L, 2L, 8L)), got.toString)
+    // sB: 2 docs, 9 tokens, none affected
+    assert(got("sB") == ((2L, 9L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("knnLabelEval: confusion matrix from majority-of-k neighbors, " +
        "self excluded, vote ties to the smaller label") {
     val spark = TestSpark.spark
