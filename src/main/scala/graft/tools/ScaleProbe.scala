@@ -675,6 +675,15 @@ object ScaleProbe {
               .agg(sum(col("n_oov"))).collect()
           }
           spark.catalog.clearCache()
+          val tSp = timed {
+            graft.pipeline.Dedup
+              .repeatedSpanAudit(
+                d.withColumn("source", pmod(col("doc_id"), lit(20))),
+                "text", "doc_id", "source",
+                gramN = 10, minOccurrences = 2L)
+              .agg(sum(col("n_tokens_removed"))).collect()
+          }
+          spark.catalog.clearCache()
           val tCm = timed {
             val sc = graft.operators.Scorecard.fitContinuousTarget(
               li2, Seq("l_quantity"), "l_extendedprice",
@@ -691,7 +700,8 @@ object ScaleProbe {
           if (pass == 2)
             println(f"PROBE mult=$mult%2d docs=$nd%8d " +
               f"lineitem=$nl%9d leakage=$tLk%6.2f s " +
-              f"vocab_cov=$tVc%6.2f s cont_monitor=$tCm%6.2f s")
+              f"vocab_cov=$tVc%6.2f s span_dedup=$tSp%6.2f s " +
+              f"cont_monitor=$tCm%6.2f s")
           spark.catalog.clearCache()
         }
       }
