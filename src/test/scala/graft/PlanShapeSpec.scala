@@ -479,6 +479,40 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("repeatedSpanAudit: per-doc windows sit above the hash semi-" +
+       "join on gram hashes — never directly over the corpus explode") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = (0 until 40)
+      .map(i => (i.toLong, s"s${i % 3}", s"tok$i " * 15))
+      .toDF("doc_id", "source", "text")
+    val plan = physical(graft.pipeline.Dedup
+      .repeatedSpanAudit(d, "text", "doc_id", "source", gramN = 5))
+    assert(plan.contains("Window"), plan.take(2000))
+    // the repeated-gram filter is a join on the 8-byte __gh key; the
+    // window's input therefore passed through that join (sliver), and
+    // no plan branch windows the raw exploded grams
+    assert(plan.contains("__gh"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("vocabCoverage: the k-row vocabulary head broadcasts back onto " +
+       "the per-source table; the head is a TakeOrdered, not a sort") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = (0 until 40)
+      .map(i => (s"s${i % 4}", s"the quick tok$i fox"))
+      .toDF("source", "text")
+    val plan = physical(graft.pipeline.TextAnalysis
+      .vocabCoverage(d, "text", "source", k = 5))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("editDistance1Pairs: the FastSS candidate join keys on " +
        "xxhash64 longs — variant STRINGS never enter a join key") {
     val spark = TestSpark.spark
