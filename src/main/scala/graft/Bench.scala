@@ -92,7 +92,9 @@ object Bench {
       "q_curation_pipeline", "q_corpus_report", "q_token_budget",
       "q_seq_packing", "q_text_stats", "q_lang_id", "q_bm25_topk",
       "q_stream_sessions", "q_stream_rollup", "q_stream_binning",
-      "q_multimodal_features", "q_lakehouse_pipeline", "q_pagerank")
+      "q_multimodal_features", "q_lakehouse_pipeline", "q_pagerank",
+      "q_ml_pipeline", "q_stability_cont", "q_span_dedup",
+      "q_score_deploy", "q_knn_eval", "q_jaro_scores")
     val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$outPath","queries":$head}""")
