@@ -1578,9 +1578,14 @@ object SparkEntry {
       val woeDf = woeByBin.toDF("bin", "woe_train")
       val joined = tr.join(te, Seq("bin")).join(broadcast(woeDf),
                                                 Seq("bin"))
-      // PSI contribution per bin over the two cohort populations
+      // PSI contribution per bin over the two cohort populations.
+      // Empty-cohort guard (the joinCardinality empty-input lesson):
+      // sums are null on an empty join — the per-bin output is empty
+      // anyway, so any positive divisor keeps the plan valid
       val tots = joined.agg(sum("n_train"), sum("n_test")).head
-      val (tTr, tTe) = (tots.getLong(0), tots.getLong(1))
+      val (tTr, tTe) =
+        if (tots.isNullAt(0) || tots.isNullAt(1)) (1L, 1L)
+        else (tots.getLong(0), tots.getLong(1))
       joined.select(col("bin"), col("n_train"), col("n_test"),
           col("woe_train"), col("n_test_event"), col("n_test_tp"),
           col("n_test_tn"),
