@@ -1677,6 +1677,18 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_embed_drift" -> ((s, dir) => {
+      // centroid-drift audit between two embedding snapshots (vec_id
+      // halves): per label, both cohort sizes and the exact scaled L1
+      // centroid drift — cross-multiplied integers, no division
+      val e = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.centroidDrift(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1),
+          "embedding", "label")
+        .orderBy("label")
+    }),
+
     "q_knn_eval" -> ((s, dir) => {
       // leave-one-out kNN label audit on the embedding column: 50
       // query vectors, exact integer distances, majority-of-5 vote ->
@@ -6456,6 +6468,33 @@ object SparkEntry {
     // complete-mode snapshot equals the batch daily table — the oracle
     // is the batch chart verbatim
     "q_stream_ewma" -> ewmaAnomalySql,
+
+    // embed-drift replay: per-(label, dim) quantized sums per half,
+    // full-outer on (label, dim), the same cross-multiplied L1
+    "q_embed_drift" ->
+      """WITH e AS (
+           SELECT vec_id, label::BIGINT AS label,
+                  [floor(x * 1000000)::BIGINT
+                   FOR x IN embedding::DOUBLE[]] AS qv
+           FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         q AS (
+           SELECT vec_id % 2 AS h, label, d - 1 AS dim, qv[d] AS v
+           FROM e, unnest(range(1, (len(qv) + 1)::INT)) AS t(d)),
+         s AS (
+           SELECT h, label, dim, sum(v) AS sv, count(*) AS n
+           FROM q GROUP BY 1, 2, 3),
+         a AS (SELECT label, dim, sv, n FROM s WHERE h = 0),
+         b AS (SELECT label, dim, sv, n FROM s WHERE h = 1),
+         j AS (
+           SELECT COALESCE(a.label, b.label) AS label,
+                  COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb,
+                  COALESCE(a.sv, 0) AS sa, COALESCE(b.sv, 0) AS sb
+           FROM a FULL OUTER JOIN b
+             ON a.label = b.label AND a.dim = b.dim)
+         SELECT label, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                sum(abs(sa * nb - sb * na))::BIGINT AS drift_l1_scaled
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     // knn-eval replay: same quantization, brute distances, rank
     // window (d2 asc, cid asc), vote window (count desc, label asc),

@@ -952,6 +952,52 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Embedding centroid-drift audit between two corpus snapshots —
+    * the "did re-embedding / a new crawl move my classes" regression
+    * check: per label, both cohort sizes and the EXACT scaled L1
+    * centroid drift `sum_d |sumA_d * nB - sumB_d * nA|` over
+    * 1e-6-quantized components (the cross-multiplied form of
+    * `|meanA - meanB|` — no division, so the whole audit is BIGINT
+    * and replays bit-exactly; divide by `nA * nB * 1e6` at display
+    * time for the mean-space L1 distance). Labels present in only
+    * one snapshot report the missing side's count as 0 and drift 0 —
+    * there is no second mean to compare; the count columns flag the
+    * appearance/disappearance itself.
+    *
+    * Scale shape: one per-(label, dim) sum aggregate per snapshot
+    * (explode bounded by dim x labels after map-side combine) and a
+    * label-dim-bounded full-outer join — never a row-level join.
+    * Magnitude bound: |sum_d| <= n * 1e6 per dim, so the products
+    * stay inside a long while `nA * nB * 1e6 < 9.2e18` (~3e6 rows
+    * per cohort per label at dim 64); beyond that, pre-scale the
+    * quantization.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, embCol: String,
+                    labelCol: String): DataFrame = {
+    def sums(df: DataFrame, nCol: String, sCol: String) = {
+      val quantized = transform(col(embCol).cast("array<double>"),
+                                x => floor(x * lit(1e6)).cast("long"))
+      df.where(col(labelCol).isNotNull && col(embCol).isNotNull)
+        .select(col(labelCol).cast("long").as("label"),
+                posexplode(quantized))
+        .groupBy(col("label"), col("pos").as("dim"))
+        .agg(sum("col").as(sCol),
+             count(lit(1)).as(nCol))
+    }
+    val sa = sums(a, "__na", "__sa")
+    val sb = sums(b, "__nb", "__sb")
+    sa.join(sb, Seq("label", "dim"), "full_outer")
+      .select(col("label"),
+              coalesce(col("__na"), lit(0L)).as("__na"),
+              coalesce(col("__nb"), lit(0L)).as("__nb"),
+              coalesce(col("__sa"), lit(0L)).as("__sa"),
+              coalesce(col("__sb"), lit(0L)).as("__sb"))
+      .groupBy("label")
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+           sum(abs(col("__sa") * col("__nb") -
+                   col("__sb") * col("__na"))).as("drift_l1_scaled"))
+  }
+
   /** Greedy k-center (farthest-point) coreset sampling: pick the seed
     * (lowest id), then k-1 times the vector FARTHEST from everything
     * picked so far — the classic 2-approximation to the k-center

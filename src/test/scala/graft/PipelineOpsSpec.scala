@@ -923,6 +923,36 @@ class PipelineOpsSpec extends AnyFunSuite {
                       ("a", 3, 8L, 9L), ("b", 1, 2L, 4L)), got.toString)
   }
 
+  test("centroidDrift: cross-multiplied L1 equals the hand-computed " +
+       "mean drift; identical snapshots drift zero; one-sided labels " +
+       "flag via counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val a = Seq((1L, v(1.0, 2.0), 0), (2L, v(3.0, 4.0), 0),
+                (3L, v(0.5, 0.5), 7))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((4L, v(1.0, 2.0), 0), (5L, v(5.0, 6.0), 0),
+                (6L, v(9.0, 9.0), 8))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.pipeline.Similarity
+      .centroidDrift(a, b, "embedding", "label")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+                                  r.getLong(3)))).toMap
+    // label 0: sums(a) = (4e6, 6e6) n=2; sums(b) = (6e6, 8e6) n=2
+    // drift = |4e6*2 - 6e6*2| + |6e6*2 - 8e6*2| = 4e6 + 4e6 = 8e6
+    assert(got(0L) == ((2L, 2L, 8000000L)), got.toString)
+    // one-sided labels: counts flag, drift 0
+    assert(got(7L) == ((1L, 0L, 0L)) && got(8L) == ((0L, 1L, 0L)),
+           got.toString)
+    // identical snapshots: drift exactly zero
+    val same = graft.pipeline.Similarity
+      .centroidDrift(a, a, "embedding", "label")
+      .collect().map(_.getLong(3))
+    assert(same.forall(_ == 0L), same.mkString(","))
+  }
+
   test("repeatedSpanAudit: corpus-repeated 3-gram spans merge per doc " +
        "and count their token mass; unique text is untouched") {
     val spark = TestSpark.spark
