@@ -843,8 +843,10 @@ object Similarity {
     * Scale shape: the query side (a training batch, thousands of rows
     * at most) broadcasts into the corpus scan — one pass over the
     * corpus, no corpus self-join, no shuffle of corpus vectors; the
-    * per-query top-k is a window over candidate rows already reduced
-    * to |queries| x |corpus-partition| local heaps by the rank filter.
+    * per-query top-k rides the O(k)-state [[graft.functions.TopKAgg]]
+    * aggregate (map-side combined — the [[knnLabelEval]] shape), so
+    * the shuffle carries at most k (dot, cid) pairs per query per map
+    * task and NO per-query window sort over candidates ever runs.
     * For corpus-scale mining route queries through [[ivfTopKPortable]]
     * first and only exact-score the probed cells — same contract,
     * index-bounded candidates.
@@ -874,13 +876,19 @@ object Similarity {
     val dotQ = aggregate(zip_with(col("__qv"), col("__cv"),
                                   (a, b) => a * b),
                          lit(0L), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("dot_q").desc, col("cid"))
+    // top-k as the O(k)-state aggregate: key = dot (desc), id = cid
+    // (asc ties) — TopKAgg's ordering IS the miner's contract, and cid
+    // is unique per query so its set semantics can't drop a candidate.
+    // The dot product is the buffer key, so it comes back for free.
     c.join(broadcast(q), col("qlabel") =!= col("clabel"))
       .select(col("qid"), col("cid"), dotQ.as("dot_q"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("dot_q"), col("rank"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg
+             .topkLongs(col("dot_q"), col("cid"), k).as("__t"))
+      .select(col("qid"), posexplode(col("__t")).as(Seq("__p", "__e")))
+      .select(col("qid"), col("__e.id").as("cid"),
+              col("__e.key").as("dot_q"),
+              (col("__p") + lit(1)).as("rank"))
   }
 
   /** k-NN label-agreement evaluation — the embedding-quality audit a

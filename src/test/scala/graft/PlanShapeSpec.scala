@@ -432,8 +432,8 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("hardNegatives: query side broadcasts; ONE window rank, no " +
-       "corpus self-join") {
+  test("hardNegatives: query side broadcasts; NO window rank — the " +
+       "per-query top-k is the O(k)-state TopKAgg aggregate") {
     val spark = TestSpark.spark
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val plan = physical(Similarity.hardNegatives(
@@ -441,10 +441,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "vec_id", "embedding", "label", k = 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
            plan.contains("BroadcastExchange"), plan)
-    assert(countOccurrences(plan, "Window [") === 1, plan)
-    // the rank limit is pushed BELOW the shuffle (WindowGroupLimit
-    // partial+final): each map task forwards at most k rows per query
-    assert(plan.contains("WindowGroupLimit"), plan)
+    // no window, no sort: candidates fold into topk_longs partial
+    // aggregates map-side; the shuffle carries <= k rows per query per
+    // map task (the knnLabelEval shape, commit 3fee65b)
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("topk_longs"), plan)
+    // TypedImperativeAggregate lowers to ObjectHashAggregate
+    assert(plan.contains("ObjectHashAggregate"), plan)
     // the corpus is scanned once: a self-join would scan embeddings
     // twice with the SAME pruned schema
     assert(countOccurrences(plan, "Scan parquet") === 2, plan) // corpus + query side
