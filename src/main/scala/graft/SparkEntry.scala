@@ -851,17 +851,20 @@ object SparkEntry {
     }),
 
     "q_multiclass_fit" -> ((s, dir) => {
-      // full multiclass optimal binning (driver solve), verified as a
-      // hard invariant: the solved splits are emitted as a pinned string
-      // and the per-bin per-class counts are re-aggregated EXACTLY over
-      // the raw table at those splits — the oracle inlines the same
-      // split literals and recomputes the counts, so a hash match proves
-      // both the solver output and the aggregation
+      // full multiclass optimal binning (driver solve) on PINNED user
+      // splits (de-pinned r9, the q_score_deploy discipline): fixed
+      // user splits force the multiclass solve to identity at ANY SF,
+      // so the oracle's split literals are query constants and the
+      // strict sf0.1 replay verifies the row; per-bin per-class counts
+      // re-aggregated EXACTLY over the raw table at those splits
       val o = T(s, dir, "orders")
         .withColumn("y", when(col("o_orderstatus") === "F", 0.0)
           .when(col("o_orderstatus") === "P", 1.0).otherwise(2.0))
+      val mcSplits = Array(100000.0, 200000.0, 300000.0)
       val fitted = MulticlassOptimalBinning.fit(o, "o_totalprice", "y",
-                                                BinningConfig(name = "tp"))
+        BinningConfig(name = "tp", userSplits = Some(mcSplits),
+          monotonicTrend = None,
+          userSplitsFixed = Some(Array.fill(mcSplits.length)(true))))
       val sp = fitted.splits
       o.groupBy(binIdx(col("o_totalprice"), sp).cast("long").as("bin"))
         .agg(count(lit(1)).as("count"),
@@ -2095,20 +2098,41 @@ object SparkEntry {
     "q_sketch_binning" -> ((s, dir) => {
       // streaming/mergeable sketch binning: per-half sketches built in
       // ONE grouped scan (addGrouped — partial add per partition,
-      // cross-group merge in group order), then solved. The GK solve is
-      // not SQL-expressible, so the oracle checks the invariant:
-      // sketch-solved splits pinned as literals + exact per-bin
-      // (count, event) re-aggregated over the raw table at them
+      // cross-group merge in group order), then solved. De-pinned (r9):
+      // fixed USER splits make the solved splits query constants, and
+      // the sketch is verified by two SF-independent invariants the
+      // oracle can state — the sketch's record count is EXACT (n is a
+      // plain counter through add/merge), and every per-bin estimated
+      // count sits within the GK guarantee |est - exact| <= 2*eps*n
+      // (each bin count is a difference of two eps*n-bounded ranks).
+      // Exact per-bin (count, event) still re-aggregate over the raw
+      // table. The GK-SOLVED-splits path (not SQL-expressible) stays
+      // covered by the stream==batch property suites.
       val li = liTarget(T(s, dir, "lineitem"))
+      val eps = 1e-3
       val sk = new graft.streaming.OptimalBinningSketch(
-        BinningConfig(name = "l_extendedprice"), eps = 1e-3)
+        BinningConfig(name = "l_extendedprice",
+          userSplits = Some(liSplits), monotonicTrend = None,
+          userSplitsFixed = Some(Array.fill(liSplits.length)(true))),
+        eps = eps)
       sk.addGrouped(li, col("l_orderkey") % 2, "l_extendedprice", "y")
       val fitted = sk.solve()
       val sp = fitted.splits
+      val (estE, estNe) = sk.sketch.bins(sp)
+      val nSketch = sk.sketch.n
+      import s.implicits._
+      val est = estE.indices
+        .map(i => (i.toLong, estE(i) + estNe(i))).toDF("bin", "__est")
       li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long").as("bin"))
         .agg(count(lit(1)).as("count"), sum(col("y")).cast("long")
           .as("event"))
-        .withColumn("splits", lit(sp.mkString(",")))
+        .join(broadcast(est), Seq("bin"))
+        .select(col("bin"), col("count"), col("event"),
+                lit(sp.mkString(",")).as("splits"),
+                lit(nSketch).as("n_sketch"),
+                (abs(col("__est") - col("count")) <=
+                   lit(2.0 * eps) * lit(nSketch.toDouble))
+                  .cast("long").as("eps_ok"))
         .orderBy("bin")
     }),
 
@@ -2155,10 +2179,12 @@ object SparkEntry {
       // staged as 3 range-partitioned parquet files and replayed as a
       // real file stream (one file per trigger) through the
       // foreachBatch incremental sketch — add + re-solve at every
-      // trigger. Oracle invariant (q_sketch_binning pattern): final
-      // solved splits pinned as literals + exact per-bin re-aggregation
-      // over the raw table, plus the sketch's own record count proving
-      // the stream delivered every row exactly once.
+      // trigger. De-pinned (r9, q_sketch_binning pattern): fixed USER
+      // splits make the solved splits query constants valid at any SF;
+      // exact per-bin re-aggregation over the raw table, plus the
+      // sketch's own record count proving the stream delivered every
+      // row exactly once. The incremental add+re-solve machinery under
+      // test is unchanged — only the split SEARCH is forced.
       val e = s.read
         .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
         .parquet(s"$dir/events.parquet")
@@ -2181,8 +2207,12 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(stage)
+      val streamSplits = Array(40.0, 80.0, 120.0)
       val sk = new graft.streaming.OptimalBinningSketch(
-        BinningConfig(name = "value"), eps = 1e-3)
+        BinningConfig(name = "value", userSplits = Some(streamSplits),
+          monotonicTrend = None,
+          userSplitsFixed = Some(Array.fill(streamSplits.length)(true))),
+        eps = 1e-3)
       var last: Option[graft.operators.FittedOptimalBinning] = None
       val q = withConfiguredStateStore(s) {
         sk.streamingQuery(stream, "value", "y",
@@ -2611,22 +2641,29 @@ object SparkEntry {
     }),
 
     "q_process_summary" -> ((s, dir) => {
-      // multi-variable binning process, verified as a hard invariant:
-      // per-variable solved splits pinned as strings + IV recomputed
-      // from an EXACT re-aggregation at those splits (one melted job
-      // across all variables — same single-shuffle shape as the fit).
-      // The oracle inlines the same split literals per variable.
+      // multi-variable binning process on PINNED user splits (de-pinned
+      // r9, the q_score_deploy discipline): fixed user splits per
+      // variable force every solve to identity at ANY SF, so the
+      // oracle's split literals are query constants and the strict
+      // sf0.1 replay verifies the row. The process machinery under
+      // test is unchanged: one melted single-shuffle aggregate across
+      // all variables, per-variable tables, selection summary — only
+      // the split SEARCH is forced. IV recomputed by the oracle from
+      // an exact re-aggregation at the same literals.
       val li = liTarget(T(s, dir, "lineitem"))
       val vars = Seq("l_extendedprice", "l_quantity", "l_discount",
                      "l_tax")
+      def fixedCfg(sp: Array[Double]) = BinningConfig(
+        userSplits = Some(sp), monotonicTrend = None,
+        userSplitsFixed = Some(Array.fill(sp.length)(true)))
       val proc = BinningProcess.fit(li, vars, "y",
-                                    config = BinningConfig())
-      // output = the fit's OWN solved numbers (no extra data pass): the
-      // oracle replays the per-variable grid compression (min/max and
-      // width are SQL-computable; only l_extendedprice exceeds the 10k
-      // exact-histogram cap on this data) plus the pinned splits, so
-      // the hash checks the exact driver-side aggregate the solver
-      // consumed
+        config = BinningConfig(),
+        varOverrides = Map(
+          "l_extendedprice" -> fixedCfg(liSplits),
+          "l_quantity" -> fixedCfg(qtySplits),
+          "l_discount" -> fixedCfg(Array(0.025, 0.055, 0.085)),
+          "l_tax" -> fixedCfg(Array(0.025, 0.045, 0.065))))
+      // output = the fit's OWN solved numbers (no extra data pass)
       import s.implicits._
       vars.map { v =>
         val f = proc.fits(v)
@@ -2866,23 +2903,27 @@ object SparkEntry {
 
     "q_stability_cont" -> ((s, dir) => {
       // continuous-target scorecard monitoring (`monitoring.py:456,
-      // 531-575` regression branch): regression-CART score bins fit on
-      // the expected cohort, per-bin PSI, per-bin target means. The
+      // 531-575` regression branch): score bins fit on the expected
+      // cohort, per-bin PSI, per-bin target means. De-pinned (r9): the
       // variable bins on PINNED user splits (bin means the oracle
-      // re-derives as plain AVGs), the solved coefficient and the
-      // fitted score-bin splits are pinned literals in the oracle (the
-      // q_stability_report discipline), which replays
-      // score -> bins -> PSI/means end-to-end. Means pinned at 4dp
+      // re-derives as plain AVGs — the single-variable continuous
+      // scorecard is saturated, so score = bin mean, closed-form at
+      // any SF) and the score bins use psi_method="uniform", whose
+      // splits lo + (hi-lo)*i/n over the expected cohort's score
+      // min/max replay in SQL — no solver literals anywhere, the
+      // strict sf0.1 gate verifies the full
+      // score -> bins -> PSI/means chain. Means pinned at 4dp
       // (5e4-magnitude averages, the q_scorecard_cont lesson).
       val li = T(s, dir, "lineitem")
       val sc = Scorecard.fitContinuousTarget(li, Seq("l_quantity"),
         "l_extendedprice",
         BinningConfig(name = "l_quantity",
-                      userSplits = Some(Array(10.0, 25.0, 40.0)),
+                      userSplits = Some(qtySplits),
                       monotonicTrend = None))
       val expected = li.where(col("l_orderkey") % 2 === 0)
       val actual = li.where(col("l_orderkey") % 2 === 1)
-      val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 10)
+      val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 10,
+                                                  psiMethod = "uniform")
       // performance pass skipped: the query surfaces PSI/means only,
       // and the regression-metric medians would collect error columns
       val st = mon.stabilityStats(expected, actual, "l_extendedprice",
@@ -2901,36 +2942,34 @@ object SparkEntry {
 
     "q_stability_report" -> ((s, dir) => {
       // scorecard monitoring system report (`monitoring.py:166`): PSI on
-      // cart score bins + per-bin significance + cohort performance.
-      // Verified as a hard invariant: the scorecard bins on PINNED user
-      // splits (exact WoEs the oracle re-derives from data), the solved
-      // coefficients/intercept and cart score-bin splits are pinned, and
-      // the oracle replays score -> bins -> PSI/z-tests/Gini end-to-end
+      // score bins + per-bin significance + cohort performance.
+      // De-pinned (r9, the q_score_deploy closed-form discipline): a
+      // SINGLE variable on pinned user splits makes the IRLS scorecard
+      // saturated — its MLE is coef = -1, intercept = ln(te/tne), both
+      // re-derivable from data at any SF — and psi_method="uniform"
+      // makes the score-bin splits lo + (hi-lo)*i/n of the expected
+      // cohort's score min/max, also SQL-computable. The oracle replays
+      // score -> bins -> PSI/z-tests/Gini end-to-end with ZERO solver
+      // literals, so the strict sf0.1 gate verifies the whole chain.
+      // (Scores sit >= 1e-2 from every uniform boundary while IRLS
+      // noise is < 1e-9, so bin membership cannot flip cross-engine.)
       val li = liTarget(T(s, dir, "lineitem"))
-      val sc = Scorecard.fit(li, Seq("l_extendedprice", "l_quantity"),
-        "y", varOverrides = scOverrides)
+      val sc = Scorecard.fit(li, Seq("l_extendedprice"), "y",
+        varOverrides = scOverrides)
       val expected = li.where(col("l_orderkey") % 2 === 0)
       val actual = li.where(col("l_orderkey") % 2 === 1)
       val mon = new ScorecardMonitoring(sc, psiNBins = 10,
-        psiMethod = "cart", psiYCol = Some("y"))
+        psiMethod = "uniform", psiYCol = Some("y"))
       // one fused aggregate job for psi + tests + gini/ks
       val st = mon.stabilityStats(expected, actual, "y")
       import s.implicits._
-      // pins at 8 significant digits (pinVec): stable under
-      // partitioning-order float noise; the rounded literals move the
-      // replayed scores by ~1e-9, far from every score-bin boundary
-      val pc = pinVec(sc.coefficients :+ sc.estimatorIntercept)
       Seq((scale6(st.psiTotal), Monitoring.psiVerdict(st.psiTotal),
            st.tests.length.toLong,
            st.tests.count(t => t._5 < 0.05).toLong,
            scale6(st.performance("gini_expected")),
-           scale6(st.performance("gini_actual")),
-           pc.init.mkString(","), pc.last.toString,
-           mon.fittedScoreSplits.map(sp => pinVec(sp).mkString(","))
-             .getOrElse("")))
+           scale6(st.performance("gini_actual"))))
         .toDF("psi", "verdict", "n_bins", "n_significant",
-              "gini_expected", "gini_actual", "coefs", "intercept",
-              "score_splits")
+              "gini_expected", "gini_actual")
     }),
 
     "q_2d_cart" -> ((s, dir) => {
@@ -2952,15 +2991,20 @@ object SparkEntry {
     }),
 
     "q_scenario_fit" -> ((s, dir) => {
-      // scenario-based stochastic binning, verified as a hard
-      // invariant: solved splits pinned + exact per-(bin, scenario)
-      // counts re-aggregated; the oracle replays both from literals
+      // scenario-based stochastic binning on PINNED user splits
+      // (de-pinned r9): fixed user splits force the scenario solve to
+      // identity at ANY SF — the weighted cross-scenario aggregation
+      // machinery under test is unchanged, only the split SEARCH is
+      // forced — so the oracle's split literals are query constants
+      // and exact per-(bin, scenario) counts replay at every SF
       val li = liTarget(T(s, dir, "lineitem"))
       val s1 = li.where(col("l_linenumber") <= 3)
       val s2 = li.where(col("l_linenumber") > 3)
       val fitted = SBOptimalBinning.fit(Seq((s1, 0.6), (s2, 0.4)),
         "l_extendedprice", "y",
-        BinningConfig(name = "x", monotonicTrend = Some("ascending")))
+        BinningConfig(name = "x", userSplits = Some(liSplits),
+          monotonicTrend = None,
+          userSplitsFixed = Some(Array.fill(liSplits.length)(true))))
       val sp = fitted.splits
       val sc1 = col("l_linenumber") <= 3
       li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long")
@@ -3086,14 +3130,25 @@ object SparkEntry {
     }),
 
     "q_cont_process" -> ((s, dir) => {
-      // continuous-target multi-variable process, verified as a hard
-      // invariant: per-variable solved splits pinned + exact per-bin
-      // (count, mean) re-aggregated in one melted job; the oracle
-      // replays from the same literals
+      // continuous-target multi-variable process on PINNED user splits
+      // (the q_score_deploy closed-form discipline, de-pinned in r9):
+      // fixed user splits force the solve to identity at ANY SF, so the
+      // oracle's split literals are constants, not sf0.01 solver output
+      // — the strict sf0.1 replay verifies this row too. Per-bin
+      // (count, mean) re-aggregated in one melted job from the fits'
+      // own splits (identical to the pinned arrays by construction).
       val li = T(s, dir, "lineitem")
       val vars = Seq("l_quantity", "l_discount")
       val fits = BinningProcess.fitContinuous(
-        li, vars, "l_extendedprice", BinningConfig())
+        li, vars, "l_extendedprice", BinningConfig(),
+        varOverrides = Map(
+          "l_quantity" -> BinningConfig(
+            userSplits = Some(qtySplits), monotonicTrend = None,
+            userSplitsFixed = Some(Array.fill(qtySplits.length)(true))),
+          "l_discount" -> BinningConfig(
+            userSplits = Some(Array(0.025, 0.055, 0.085)),
+            monotonicTrend = None,
+            userSplitsFixed = Some(Array.fill(3)(true)))))
       val spByVar = vars.map(v => v -> fits(v).splits).toMap
       val stackExpr = s"stack(${vars.length}, " +
         vars.map(v => s"'$v', cast(`$v` as double)").mkString(", ") +
@@ -4697,9 +4752,12 @@ object SparkEntry {
     // literals, and the per-bin counts are recomputed exactly — a hash
     // match proves the solver reproduced the pinned splits AND the
     // engine's aggregation at them is exact
+    // de-pinned (r9): user-split literals are query constants
     "q_multiclass_fit" ->
-      """SELECT CASE WHEN o_totalprice < 84365.78487450001 THEN 0
-                     ELSE 1 END::BIGINT AS bin,
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 0
+                     WHEN o_totalprice < 200000 THEN 1
+                     WHEN o_totalprice < 300000 THEN 2
+                     ELSE 3 END::BIGINT AS bin,
                 count(*)::BIGINT AS count,
                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
                     END)::BIGINT AS n_f,
@@ -4707,7 +4765,7 @@ object SparkEntry {
                     END)::BIGINT AS n_p,
                 sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
                     END)::BIGINT AS n_o,
-                '84365.78487450001' AS splits
+                '100000.0,200000.0,300000.0' AS splits
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_mdlp_splits" ->
@@ -4765,21 +4823,19 @@ object SparkEntry {
          FROM closed""",
 
     "q_stream_binning" ->
-      // splits pinned from the deterministic 3-trigger stream replay
-      // (sequentially staged files, one file per trigger; verified
-      // identical at 8 and 32 threads)
+      // de-pinned (r9): fixed user splits are query constants; n_seen
+      // proves the 3-trigger replay delivered every row exactly once
       """WITH e AS (
            SELECT value, (user_id % 2)::DOUBLE AS y FROM events),
          b AS (
-           SELECT CASE WHEN value < 39.82 THEN 0
-                       WHEN value < 79.87 THEN 1
-                       WHEN value < 113.62 THEN 2
-                       WHEN value < 147.65 THEN 3
-                       ELSE 4 END AS bin, y
+           SELECT CASE WHEN value < 40 THEN 0
+                       WHEN value < 80 THEN 1
+                       WHEN value < 120 THEN 2
+                       ELSE 3 END AS bin, y
            FROM e)
          SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
                 sum(y)::BIGINT AS event,
-                '39.82,79.87,113.62,147.65' AS splits,
+                '40.0,80.0,120.0' AS splits,
                 (SELECT count(*) FROM e)::BIGINT AS n_seen
          FROM b GROUP BY 1 ORDER BY 1""",
 
@@ -4844,65 +4900,57 @@ object SparkEntry {
          WHERE (ws + 86400) * 1000000 <= wm.wus
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // de-pinned (r9): user-split literals are query constants; the
+    // sketch contributes two SF-independent invariants (exact record
+    // count, per-bin estimate within the 2*eps*n GK bound) the oracle
+    // states as n_sketch = count(*) and eps_ok = 1
     "q_sketch_binning" ->
       """WITH b AS (
-           SELECT CASE WHEN l_extendedprice < 11412.27 THEN 0
-                       WHEN l_extendedprice < 58456.22 THEN 1
-                       WHEN l_extendedprice < 63870.74 THEN 2
-                       WHEN l_extendedprice < 84345.74 THEN 3
-                       WHEN l_extendedprice < 94766.06 THEN 4
-                       ELSE 5 END AS bin,
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-           FROM lineitem)
+           FROM lineitem),
+         t AS (SELECT count(*)::BIGINT AS n FROM b)
          SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
                 sum(y)::BIGINT AS event,
-                '11412.27,58456.22,63870.74,84345.74,94766.06' AS splits
+                '25000.0,50000.0,75000.0' AS splits,
+                (SELECT n FROM t) AS n_sketch,
+                1::BIGINT AS eps_ok
          FROM b GROUP BY 1 ORDER BY 1""",
 
+    // de-pinned (r9): user-split literals are CONSTANTS of the query —
+    // no grid-compression replay needed (the user-splits fit aggregates
+    // raw bin membership exactly), valid at every SF
     "q_process_summary" ->
-      // the fit consumes a grid-compressed histogram for
-      // l_extendedprice (ndv > 10000): x -> mn + floor((x-mn)/w)*w,
-      // w = (max-min)/10000 — all SQL-computable, so the oracle bins
-      // the SAME compressed values the solver saw
       """WITH li AS (
            SELECT *, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
            FROM lineitem),
-         m AS (
-           SELECT min(l_extendedprice) AS mn,
-                  (max(l_extendedprice) - min(l_extendedprice)) / 10000
-                    AS w
-           FROM li),
          bins AS (
            SELECT 'l_extendedprice' AS variable,
-                  CASE WHEN xs < 6372.067953 THEN 0
-                       WHEN xs < 17458.298343000002 THEN 1
-                       WHEN xs < 57628.967897 THEN 2
-                       WHEN xs < 65134.293823 THEN 3
-                       WHEN xs < 84392.06492300001 THEN 4
-                       WHEN xs < 97653.902967 THEN 5
-                       ELSE 6 END AS bin, y
-           FROM (SELECT mn + floor((l_extendedprice - mn) / w) * w AS xs,
-                        y
-                 FROM li CROSS JOIN m)
+                  CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin, y
+           FROM li
            UNION ALL
            SELECT 'l_quantity',
-                  CASE WHEN l_quantity < 3.5 THEN 0
-                       WHEN l_quantity < 7.5 THEN 1
-                       WHEN l_quantity < 10.5 THEN 2
-                       WHEN l_quantity < 43.5 THEN 3
-                       ELSE 4 END, y FROM li
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END, y FROM li
            UNION ALL
            SELECT 'l_discount',
                   CASE WHEN l_discount < 0.025 THEN 0
-                       WHEN l_discount < 0.035 THEN 1
-                       WHEN l_discount < 0.065 THEN 2
-                       WHEN l_discount < 0.08499999999999999 THEN 3
-                       ELSE 4 END, y FROM li
+                       WHEN l_discount < 0.055 THEN 1
+                       WHEN l_discount < 0.085 THEN 2
+                       ELSE 3 END, y FROM li
            UNION ALL
            SELECT 'l_tax',
-                  CASE WHEN l_tax < 0.035 THEN 0
+                  CASE WHEN l_tax < 0.025 THEN 0
                        WHEN l_tax < 0.045 THEN 1
-                       WHEN l_tax < 0.055 THEN 2
+                       WHEN l_tax < 0.065 THEN 2
                        ELSE 3 END, y FROM li),
          agg AS (
            SELECT variable, bin, sum(y)::DOUBLE AS e,
@@ -4919,10 +4967,10 @@ object SparkEntry {
            GROUP BY 1)
          SELECT variable, n_bins, iv,
                 CASE variable
-                  WHEN 'l_extendedprice' THEN '6372.067953,17458.298343000002,57628.967897,65134.293823,84392.06492300001,97653.902967'
-                  WHEN 'l_quantity' THEN '3.5,7.5,10.5,43.5'
-                  WHEN 'l_discount' THEN '0.025,0.035,0.065,0.08499999999999999'
-                  ELSE '0.035,0.045,0.055' END AS splits
+                  WHEN 'l_extendedprice' THEN '25000.0,50000.0,75000.0'
+                  WHEN 'l_quantity' THEN '10.0,25.0,40.0'
+                  WHEN 'l_discount' THEN '0.025,0.055,0.085'
+                  ELSE '0.025,0.045,0.065' END AS splits
          FROM iv ORDER BY variable""",
 
     "q_scorecard_cont" ->
@@ -4980,13 +5028,18 @@ object SparkEntry {
                 '-0.68969916' AS intercept,
                 '0.33759203' AS target""",
 
-    // pinned stability report: WoEs from data at pinned splits; solved
-    // coefficients + cart score-bin splits as literals; PSI, z-test
+    // stability report, de-pinned (r9): WoEs from data at pinned USER
+    // splits; the saturated single-variable scorecard's closed form
+    // (coef = -1, intercept = ln(te/tne)) and UNIFORM score-bin splits
+    // from the expected cohort's score min/max — PSI, z-test
     // significance counts, and per-cohort Gini replayed end-to-end
-    // continuous monitoring replay: pinned variable splits -> exact
-    // AVG bin means -> pinned coef (slope-1 fit) -> pinned score-bin
-    // splits (np.digitize right=True: bin = #splits strictly below)
-    // -> per-bin counts, PSI and 4dp cohort means
+    // with no solver literals, valid at every SF
+    // continuous monitoring replay, de-pinned (r9): pinned USER
+    // variable splits -> exact AVG bin means (the saturated model's
+    // scores) -> UNIFORM score-bin splits recomputed from the expected
+    // cohort's score min/max (np.digitize right=True: bin = #splits
+    // strictly below) -> per-bin counts, PSI and 4dp cohort means.
+    // Valid at every SF — no solver literals.
     "q_stability_cont" ->
       """WITH b AS (
            SELECT l_orderkey % 2 AS c, l_extendedprice AS y,
@@ -4998,13 +5051,22 @@ object SparkEntry {
          scored AS (
            SELECT b.c, b.y, 1.0 * m.mq AS score
            FROM b JOIN m USING (bq)),
+         lohi AS (
+           SELECT min(score) AS lo, max(score) AS hi
+           FROM scored WHERE c = 0),
          sb AS (
            SELECT c, y,
-                  CASE WHEN score > 52890.366844 THEN 1 ELSE 0 END
-                + CASE WHEN score > 53078.243887 THEN 1 ELSE 0 END
-                + CASE WHEN score > 53218.662428 THEN 1 ELSE 0 END
+                  CASE WHEN score > lo + (hi - lo) * 1.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 2.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 3.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 4.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 5.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 6.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 7.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 8.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score > lo + (hi - lo) * 9.0 / 10.0 THEN 1 ELSE 0 END
                   AS bin
-           FROM scored),
+           FROM scored, lohi),
          bins AS (
            SELECT bin,
                   sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::DOUBLE ce,
@@ -5028,10 +5090,6 @@ object SparkEntry {
                        WHEN l_extendedprice < 50000 THEN 1
                        WHEN l_extendedprice < 75000 THEN 2
                        ELSE 3 END AS bep,
-                  CASE WHEN l_quantity < 10 THEN 0
-                       WHEN l_quantity < 25 THEN 1
-                       WHEN l_quantity < 40 THEN 2
-                       ELSE 3 END AS bq,
                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
            FROM lineitem),
          tot AS (SELECT sum(y)::DOUBLE te,
@@ -5040,32 +5098,27 @@ object SparkEntry {
            SELECT bep AS bin,
                   ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
            FROM b, tot GROUP BY bep, te, tne),
-         wq AS (
-           SELECT bq AS bin,
-                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
-           FROM b, tot GROUP BY bq, te, tne),
          scored AS (
            SELECT b.c, b.y,
-                  (-0.99899178) * wep.woe
-                    + (-0.99585545) * wq.woe AS score,
-                  1 / (1 + exp(-((-0.99899178) * wep.woe
-                                 + (-0.99585545) * wq.woe
-                                 + (-0.68969916)))) AS p
-           FROM b JOIN wep ON b.bep = wep.bin
-                  JOIN wq ON b.bq = wq.bin),
+                  -wep.woe AS score,
+                  1 / (1 + exp(-(-wep.woe + ln(te / tne)))) AS p
+           FROM b JOIN wep ON b.bep = wep.bin CROSS JOIN tot),
+         lohi AS (
+           SELECT min(score) AS lo, max(score) AS hi
+           FROM scored WHERE c = 0),
          sb AS (
            SELECT c, y, p,
-                  CASE WHEN score >= -0.013764718 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.010336983 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.0078546453 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.0062408575 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= -0.0022215789 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.0023463518 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.0093394319 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.010971091 THEN 1 ELSE 0 END
-                  + CASE WHEN score >= 0.016143075 THEN 1 ELSE 0 END
+                  CASE WHEN score >= lo + (hi - lo) * 1.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 2.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 3.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 4.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 5.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 6.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 7.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 8.0 / 10.0 THEN 1 ELSE 0 END
+                + CASE WHEN score >= lo + (hi - lo) * 9.0 / 10.0 THEN 1 ELSE 0 END
                     AS bin
-           FROM scored),
+           FROM scored, lohi),
          bins AS (
            SELECT bin,
                   sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::DOUBLE ce,
@@ -5110,11 +5163,7 @@ object SparkEntry {
                      ELSE 'Significance change' END AS verdict,
                 ps.n_bins, ps.n_significant,
                 (SELECT gini FROM g WHERE c = 0) AS gini_expected,
-                (SELECT gini FROM g WHERE c = 1) AS gini_actual,
-                '-0.99899178,-0.99585545' AS coefs,
-                '-0.68969916' AS intercept,
-                '-0.013764718,-0.010336983,-0.0078546453,-0.0062408575,-0.0022215789,0.0023463518,0.0093394319,0.010971091,0.016143075'
-                  AS score_splits
+                (SELECT gini FROM g WHERE c = 1) AS gini_actual
          FROM ps""",
 
     // pinned categorical sketch solve: the solved category->bin
@@ -5148,11 +5197,13 @@ object SparkEntry {
          WHERE NOT (abs(0.6745 * (l_extendedprice - 53020.59)
                         / 26150.540000000008) > 3.5)""",
 
+    // de-pinned (r9): user-split literals are query constants
     "q_scenario_fit" ->
       """WITH b AS (
-           SELECT CASE WHEN l_extendedprice < 84392.06492300001 THEN 0
-                       WHEN l_extendedprice < 97653.902967 THEN 1
-                       ELSE 2 END AS bin,
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
                   CASE WHEN l_linenumber <= 3 THEN 1 ELSE 0 END AS s1
            FROM lineitem)
@@ -5160,25 +5211,27 @@ object SparkEntry {
                 sum(s1 * y)::BIGINT AS e1,
                 sum(1 - s1)::BIGINT AS n2,
                 sum((1 - s1) * y)::BIGINT AS e2,
-                '84392.06492300001,97653.902967' AS splits
+                '25000.0,50000.0,75000.0' AS splits
          FROM b GROUP BY 1 ORDER BY 1""",
 
+    // de-pinned (r9): user-split literals are CONSTANTS of the query,
+    // not sf0.01 solver output — the oracle is valid at every SF
     "q_cont_process" ->
       """WITH bins AS (
            SELECT 'l_quantity' AS variable,
-                  CASE WHEN l_quantity < 23.5 THEN 0
-                       WHEN l_quantity < 47.5 THEN 1
-                       ELSE 2 END AS bin,
-                  l_extendedprice AS t, '23.5,47.5' AS splits
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bin,
+                  l_extendedprice AS t, '10.0,25.0,40.0' AS splits
            FROM lineitem
            UNION ALL
            SELECT 'l_discount',
-                  CASE WHEN l_discount < 0.015 THEN 0
-                       WHEN l_discount < 0.025 THEN 1
-                       WHEN l_discount < 0.055 THEN 2
-                       WHEN l_discount < 0.065 THEN 3
-                       ELSE 4 END,
-                  l_extendedprice, '0.015,0.025,0.055,0.065'
+                  CASE WHEN l_discount < 0.025 THEN 0
+                       WHEN l_discount < 0.055 THEN 1
+                       WHEN l_discount < 0.085 THEN 2
+                       ELSE 3 END,
+                  l_extendedprice, '0.025,0.055,0.085'
            FROM lineitem)
          SELECT variable, bin::BIGINT AS bin, count(*)::BIGINT AS count,
                 round(avg(t), 4) AS mean, splits
@@ -10014,11 +10067,15 @@ object SparkEntry {
 
     // k-core replay: the same 3 peel rounds unrolled — degree
     // aggregate, keep >= 3, edge filter — then final degrees
+    // p/e0/e1/e2 AS MATERIALIZED: each round's edge CTE is referenced
+    // twice (degree count + next round's join); DuckDB would otherwise
+    // INLINE them, re-deriving e0 once per reference transitively —
+    // measured 263 s -> 0.7 s at sf0.1 with identical results
     "q_kcore" ->
-      """WITH p AS (
+      """WITH p AS MATERIALIZED (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-         e0 AS (
+         e0 AS MATERIALIZED (
            SELECT a.l_partkey AS a, b.l_partkey AS b
            FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
                             AND a.l_partkey < b.l_partkey
@@ -10027,13 +10084,13 @@ object SparkEntry {
                   SELECT a AS v FROM e0
                   UNION ALL SELECT b AS v FROM e0) GROUP BY 1),
          k0 AS (SELECT v FROM d0 WHERE deg >= 3),
-         e1 AS (SELECT e.a, e.b FROM e0 e
+         e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
                 JOIN k0 ka ON e.a = ka.v JOIN k0 kb ON e.b = kb.v),
          d1 AS (SELECT v, count(*) AS deg FROM (
                   SELECT a AS v FROM e1
                   UNION ALL SELECT b AS v FROM e1) GROUP BY 1),
          k1 AS (SELECT v FROM d1 WHERE deg >= 3),
-         e2 AS (SELECT e.a, e.b FROM e1 e
+         e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
                 JOIN k1 ka ON e.a = ka.v JOIN k1 kb ON e.b = kb.v),
          d2 AS (SELECT v, count(*) AS deg FROM (
                   SELECT a AS v FROM e2

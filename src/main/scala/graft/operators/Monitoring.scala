@@ -303,8 +303,18 @@ object Monitoring {
     * construction. */
   def ewmaAnomaliesFromDaily(dailyIn: DataFrame, windowDays: Int,
                              kNum: Long, kDen: Long): DataFrame = {
-    require(windowDays >= 1 && windowDays <= 60,
-            s"windowDays must be in [1, 60]; got $windowDays")
+    // the per-day contribution n * 2^(W-gap) and the flag product
+    // n * (2^W - 1) * kDen are BIGINT: past W=32 they overflow a
+    // signed Long at real daily volumes (daily n >= 8 already wraps
+    // at W=60) and Spark's default non-ANSI arithmetic wraps SILENTLY
+    // — so the cap is a provably safe bound, not a style choice.
+    // Callers must keep max(daily n) * 2^W * max(kNum, kDen) < 2^63
+    // (documented contract; W <= 32 leaves 2^31 headroom per day at
+    // kDen <= 1, ample for any real chart window — reference EWMA
+    // spans are 7-30 days).
+    require(windowDays >= 1 && windowDays <= 32,
+            s"windowDays must be in [1, 32] (BIGINT-exact bound: " +
+            s"n * 2^W * kDen must stay below 2^63); got $windowDays")
     require(kNum > 0 && kDen > 0,
             s"threshold must be a positive rational; got $kNum/$kDen")
     val W = windowDays

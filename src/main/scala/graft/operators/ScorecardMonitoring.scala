@@ -451,6 +451,15 @@ final class ContinuousScorecardMonitoring(
     val rows = agg.map(r => R(r.getInt(0), r.getDouble(1),
                               r.getDouble(2), r.getDouble(3),
                               r.getDouble(4)))
+    // fail fast on an empty cohort (the reference raises a clean
+    // validation error): downstream, quantiles() would NPE on the
+    // null exact-percentile result and te/ta would divide to NaN PSI
+    // — the empty-input class q_score_deploy guards at the query
+    // layer, enforced here at the library surface
+    require(rows.exists(_.c == 0),
+            "stabilityStats: expected cohort is empty")
+    require(rows.exists(_.c == 1),
+            "stabilityStats: actual cohort is empty")
 
     // regression CART on the expected slice (grid-compressed beyond
     // 10k distinct scores, the binary monitor's discipline)
@@ -499,6 +508,13 @@ final class ContinuousScorecardMonitoring(
     val aBins = binAgg(1)
     val te = eBins.values.map(_._1).sum
     val ta = aBins.values.map(_._1).sum
+    // DELIBERATE shape divergence from the reference: `_fit_system`
+    // iterates all len(splits)+1 score bins and reports a bin empty in
+    // BOTH cohorts as a (0, 0, NaN-mean) row; here such bins are
+    // omitted — they carry zero PSI mass and no defined test, and the
+    // oracled queries replay occupied bins only. Callers needing the
+    // reference's padded report shape can reindex over
+    // 0 to splits.length with (0, 0, NaN) defaults.
     val allBins = (eBins.keySet ++ aBins.keySet).toArray.sorted
     val psiBins = allBins.map { b =>
       val ce = eBins.getOrElse(b, (0.0, 0.0, 0.0))._1

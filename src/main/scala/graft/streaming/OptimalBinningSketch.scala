@@ -134,11 +134,17 @@ final class OptimalBinningSketch(
     */
   def solve(): FittedOptimalBinning = {
     val all = _sketch.mergedSketch
-    val splits: Array[Double] =
-      if (all.n == 0) Array.empty
-      else (1 until config.maxNPrebins)
-        .map(i => all.quantile(i.toDouble / config.maxNPrebins))
-        .distinct.sorted.toArray
+    // user splits replace the equi-quantile candidate generation, same
+    // as the batch fit (`binning.py:1048-1054` user_splits branch):
+    // the sketch then only supplies the per-bin counts
+    val splits: Array[Double] = config.userSplits match {
+      case Some(us) => us.sorted
+      case None =>
+        if (all.n == 0) Array.empty
+        else (1 until config.maxNPrebins)
+          .map(i => all.quantile(i.toDouble / config.maxNPrebins))
+          .distinct.sorted.toArray
+    }
 
     // class indices follow Preprocess.rowClass: special groups (if any)
     // then missing

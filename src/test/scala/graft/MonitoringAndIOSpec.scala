@@ -350,6 +350,37 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(lone.forall(t => t._5.isNaN), st.tests.mkString(";"))
   }
 
+  test("continuous monitoring: empty cohort fails fast (no NPE/NaN " +
+       "PSI); ewma windowDays capped at the BIGINT-exact bound") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val sc = Scorecard.fitContinuousTarget(li, Seq("l_quantity"),
+      "l_extendedprice",
+      BinningConfig(name = "l_quantity",
+                    userSplits = Some(Array(10.0, 25.0, 40.0)),
+                    monotonicTrend = None))
+    val mon = new ContinuousScorecardMonitoring(sc, psiNBins = 4,
+                                                psiMethod = "uniform")
+    val empty = li.where(lit(false))
+    val exE = intercept[IllegalArgumentException] {
+      mon.stabilityStats(empty, li, "l_extendedprice")
+    }
+    assert(exE.getMessage.contains("expected cohort is empty"))
+    val exA = intercept[IllegalArgumentException] {
+      mon.stabilityStats(li, empty, "l_extendedprice")
+    }
+    assert(exA.getMessage.contains("actual cohort is empty"))
+    // windowDays > 32 would silently wrap n * 2^(W-gap) in BIGINT at
+    // real daily volumes — the require names the bound
+    val exW = intercept[IllegalArgumentException] {
+      graft.operators.Monitoring.ewmaAnomaliesFromDaily(
+        li.select(lit(1L).as("g"), col("l_orderkey").as("day"),
+                  lit(1L).as("n")),
+        windowDays = 33, kNum = 3L, kDen = 1L)
+    }
+    assert(exW.getMessage.contains("[1, 32]"))
+  }
+
   test("system stability report and MDLP facade") {
     val spark = TestSpark.spark
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
