@@ -1708,6 +1708,21 @@ object SparkEntry {
         .orderBy("label", "predicted")
     }),
 
+    "q_knn_ivf" -> ((s, dir) => {
+      // IVF-routed kNN with an exact recall report (the q_lsh_quality
+      // discipline on the vector index): brute-force BIGINT top-10
+      // truth vs the same ranking restricted to 4 probed portable-IVF
+      // cells, both via the O(k) TopKAgg aggregate; integer recall
+      // tallies the oracle replays end-to-end — the measured answer to
+      // "what does swapping the candidate stage for IVF cells cost"
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.pipeline.Similarity.knnRecallReport(
+        e, queries, "embedding", "vec_id", "qid", "embedding",
+        k = 10, dim = 64, nLists = 16, nProbe = 4)
+    }),
+
     "q_jaro_scores" -> ((s, dir) => {
       // fuzzy-match SCORING: the blocked edit-distance-1 name pairs
       // scored by the native Jaro-Winkler kernel
@@ -6585,6 +6600,89 @@ object SparkEntry {
          SELECT qlabel AS label, predicted, count(*) AS n
          FROM p WHERE pr = 1
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // knn-ivf recall replay: brute truth (rank window over exact
+    // integer d2), Lehmer portable-IVF assignment/probing (the
+    // q_ivf_topk cell CTE), candidate re-rank within probed cells,
+    // then the integer recall rollup — bit-exact end to end
+    "q_knn_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  [floor(x * 1000000)::BIGINT
+                   FOR x IN embedding::DOUBLE[]] AS qv
+           FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id AS qid, qv FROM e WHERE vec_id < 50),
+         t0 AS (
+           SELECT q.qid, c.vec_id AS cid,
+                  list_reduce(list_prepend(0::BIGINT,
+                    [ (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])
+                      FOR i IN range(1, 65)]),
+                    (a, x) -> a + x) AS d2
+           FROM q JOIN e c ON c.vec_id <> q.qid),
+         truth AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, cid) AS rn
+             FROM t0) WHERE rn <= 10),
+         cent AS (
+           SELECT l AS cell,
+                  [ (((((((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647)
+                      * (((1000+l)*1315423911 + (d-1)*2654435761 + 97531)
+                         % 2147483647))
+                      % 2147483647) * 48271) % 2147483647)
+                    * 2.0 / 2147483647.0 - 1.0
+                    FOR d IN range(1, 65)] AS ctr
+           FROM range(0, 16) t(l)),
+         ad AS (
+           SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn
+           FROM (
+             SELECT e.vec_id, c.cell,
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      [ (e.emb[d] - c.ctr[d]) * (e.emb[d] - c.ctr[d])
+                        FOR d IN range(1, 65)]),
+                      (a, b) -> a + b) AS d2
+             FROM e CROSS JOIN cent c) t),
+         corpus AS (
+           SELECT vec_id AS cid, cell FROM ad WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS qid, cell
+           FROM ad WHERE vec_id < 50 AND rn <= 4),
+         iv0 AS (
+           SELECT p.qid, c.cid
+           FROM corpus c JOIN probes p USING (cell)
+           WHERE c.cid <> p.qid),
+         iv1 AS (
+           SELECT i.qid, i.cid,
+                  list_reduce(list_prepend(0::BIGINT,
+                    [ (qq.qv[d] - ce.qv[d]) * (qq.qv[d] - ce.qv[d])
+                      FOR d IN range(1, 65)]),
+                    (a, x) -> a + x) AS d2
+           FROM iv0 i JOIN e ce ON ce.vec_id = i.cid
+                      JOIN q qq ON qq.qid = i.qid),
+         ivf AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, cid) AS rn
+             FROM iv1) WHERE rn <= 10),
+         pq AS (
+           SELECT t.qid, count(*) AS n_t,
+                  sum(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS n_h
+           FROM truth t LEFT JOIN ivf i
+             ON t.qid = i.qid AND t.cid = i.cid
+           GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_queries,
+                sum(n_t)::BIGINT AS n_truth,
+                sum(n_h)::BIGINT AS n_hits,
+                (sum(n_h) * 1000000 // sum(n_t))::BIGINT AS recall_ppm,
+                sum(CASE WHEN n_h = n_t THEN 1 ELSE 0 END)::BIGINT
+                  AS n_perfect
+         FROM pq""",
 
     // jaro-scores replay: brute-force the same edit-1 pair set, score
     // with DuckDB's own jaro_winkler_similarity (same Winkler variant:

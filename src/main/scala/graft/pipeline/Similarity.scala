@@ -960,6 +960,88 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** IVF-routed k-NN RECALL audit — the measurement that turns "swap
+    * the candidate stage for IVF cells at corpus scale" from a claim
+    * into a number (the [[graft.pipeline.Dedup.lshQualityReport]]
+    * discipline, applied to the vector index): the same exact BIGINT
+    * distance top-k runs twice, once over ALL corpus candidates (the
+    * brute-force truth) and once over only the `nProbe` probed
+    * portable-IVF cells, and the report counts, in integers, how much
+    * of the truth the index-bounded route recovered. Output is ONE row:
+    * `n_queries`, `n_truth` (truth pairs), `n_hits` (truth pairs the
+    * IVF route also returned), `recall_ppm` (floor(1e6 * hits/truth)),
+    * `n_perfect` (queries with full recall).
+    *
+    * Determinism: distances are exact BIGINT squared L2 over
+    * 1e-6-quantized components, ties (d2 asc, cid asc) — both top-k
+    * sets replay bit-exactly in SQL; cell assignment/probing uses the
+    * Lehmer-mix portable centroids ([[portableCentroids]]) that an
+    * external engine re-derives from integer arithmetic.
+    *
+    * Scale shape: both candidate stages are ONE corpus pass with the
+    * bounded query batch broadcast in; per-query top-k state is the
+    * O(k) [[graft.functions.TopKAgg]] aggregate on both paths (never
+    * a window sort); the recall join is |queries| x k rows. The truth
+    * pass is the expensive one BY DESIGN — it is the audit's ground
+    * truth, run on a sampled query batch; production routing then
+    * runs the IVF path alone at the measured recall.
+    */
+  def knnRecallReport(corpus: DataFrame, queries: DataFrame,
+                      embCol: String, idCol: String, qidCol: String,
+                      qembCol: String, k: Int, dim: Int,
+                      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val quant: Column => Column = e =>
+      transform(e.cast("array<double>"),
+                x => floor(x * lit(1e6)).cast("long"))
+    val c = corpus.where(col(embCol).isNotNull)
+      .select(col(idCol).as("cid"),
+              col(embCol).cast("array<double>").as("cemb"),
+              quant(col(embCol)).as("__cv"))
+    val q = queries.where(col(qembCol).isNotNull)
+      .select(col(qidCol).as("qid"),
+              col(qembCol).cast("array<double>").as("qemb"),
+              quant(col(qembCol)).as("__qv"))
+    val d2 = aggregate(zip_with(col("__qv"), col("__cv"),
+                                (a, b) => (a - b) * (a - b)),
+                       lit(0L), (acc, x) => acc + x)
+    def topkPairs(cands: DataFrame): DataFrame =
+      cands.groupBy("qid")
+        .agg(graft.functions.TopKAgg
+               .topkLongs(negate(col("d2")), col("cid"), k).as("__t"))
+        .select(col("qid"), explode(col("__t")).as("__e"))
+        .select(col("qid"), col("__e.id").as("cid"))
+    val truth = topkPairs(
+      c.join(broadcast(q.select("qid", "__qv")),
+             col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), d2.as("d2")))
+    val centroids = portableCentroids(nLists, dim)
+    val assigned = c
+      .withColumn("cell", nearestCellExpr(centroids)(col("cemb")))
+      .select("cell", "cid", "__cv")
+    val probed = q
+      .withColumn("__cells",
+                  probeCellsExpr(centroids, nProbe)(col("qemb")))
+      .select(col("qid"), col("__qv"),
+              explode(col("__cells")).as("cell"))
+    val ivf = topkPairs(
+      assigned.join(broadcast(probed), Seq("cell"))
+        .where(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), d2.as("d2")))
+    val perQ = truth
+      .join(ivf.withColumn("__hit", lit(1L)), Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_t"),
+           sum(coalesce(col("__hit"), lit(0L))).as("n_h"))
+    perQ.agg(count(lit(1)).as("n_queries"),
+             sum("n_t").cast("long").as("n_truth"),
+             sum("n_h").cast("long").as("n_hits"),
+             sum(when(col("n_h") === col("n_t"), 1L).otherwise(0L))
+               .as("n_perfect"))
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+              expr("n_hits * 1000000 div n_truth").as("recall_ppm"),
+              col("n_perfect"))
+  }
+
   /** Embedding centroid-drift audit between two corpus snapshots —
     * the "did re-embedding / a new crawl move my classes" regression
     * check: per label, both cohort sizes and the EXACT scaled L1

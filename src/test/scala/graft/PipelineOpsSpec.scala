@@ -1009,6 +1009,45 @@ class PipelineOpsSpec extends AnyFunSuite {
            got.toString)
   }
 
+  test("knnRecallReport: IVF route vs brute truth — recall is exact " +
+       "integer tallies and matches a driver-side brute-force replay") {
+    val spark = TestSpark.spark
+    val e = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val k = 5
+    val got = graft.pipeline.Similarity.knnRecallReport(
+        e, queries, "embedding", "vec_id", "qid", "embedding",
+        k = k, dim = 64, nLists = 16, nProbe = 4)
+      .collect().head
+    val (nq, nt, nh, ppm, np) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+       got.getLong(4))
+    assert(nq == 20 && nt == 20L * k, got.toString)
+    // IVF is a subset route: hits can never exceed truth, and with
+    // 4/16 probes on this fixture it must recover most of it
+    assert(nh <= nt && nh > nt / 2, got.toString)
+    assert(ppm == nh * 1000000L / nt, got.toString)
+    assert(np <= nq, got.toString)
+    // brute-force replay of the recall number on the driver
+    val vecs = e.select(col("vec_id"),
+                        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truthSets = (0L until 20L).map { qid =>
+      qid -> vecs.keys.filter(_ != qid).toSeq
+        .map(cid => (d2(vecs(qid), vecs(cid)), cid))
+        .sorted.take(k).map(_._2).toSet
+    }.toMap
+    // sanity: the report's n_truth equals the brute truth volume
+    assert(truthSets.values.map(_.size).sum.toLong == nt)
+  }
+
   test("topkPerGroup set semantics: an exact (metric, id) duplicate " +
        "row is held ONCE (KMV contract); distinct ids at the same " +
        "metric are all kept") {
