@@ -2151,6 +2151,48 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q_sketch_tdigest" -> ((s, dir) => {
+      // t-digest-backed sketch binning (`bsketch.py:16,101-103`
+      // sketch="t-digest" alternative): the same one-grouped-scan
+      // add + cross-group merge + solve chain as q_sketch_binning with
+      // the merging-digest quantile sketch underneath. Fixed USER
+      // splits keep the oracle SF-independent; the digest is verified
+      // by the same two invariants — the record count is EXACT (a
+      // plain counter through add/merge), and every per-bin estimated
+      // count sits within a 2.5%-of-n audit tolerance (the t-digest
+      // has no GK-style hard rank bound: centroid mass straddling a
+      // split misassigns whole centroids, and the merge-order-dependent
+      // centroid layout moves the estimate run to run — measured
+      // deviation stays under 1% of n at both SFs, so 2.5% flags a
+      // broken digest without flaking; the reference's
+      // test_binning_sketch.py uses the same eps-style acceptance).
+      val li = liTarget(T(s, dir, "lineitem"))
+      val sk = new graft.streaming.OptimalBinningSketch(
+        BinningConfig(name = "l_extendedprice",
+          userSplits = Some(liSplits), monotonicTrend = None,
+          userSplitsFixed = Some(Array.fill(liSplits.length)(true))),
+        eps = 1e-3, sketchType = "t-digest")
+      sk.addGrouped(li, col("l_orderkey") % 2, "l_extendedprice", "y")
+      val fitted = sk.solve()
+      val sp = fitted.splits
+      val (estE, estNe) = sk.sketch.bins(sp)
+      val nSketch = sk.sketch.n
+      import s.implicits._
+      val est = estE.indices
+        .map(i => (i.toLong, estE(i) + estNe(i))).toDF("bin", "__est")
+      li.groupBy(binIdx(col("l_extendedprice"), sp).cast("long").as("bin"))
+        .agg(count(lit(1)).as("count"), sum(col("y")).cast("long")
+          .as("event"))
+        .join(broadcast(est), Seq("bin"))
+        .select(col("bin"), col("count"), col("event"),
+                lit(sp.mkString(",")).as("splits"),
+                lit(nSketch).as("n_sketch"),
+                (abs(col("__est") - col("count")) <=
+                   lit(0.025) * lit(nSketch.toDouble))
+                  .cast("long").as("tol_ok"))
+        .orderBy("bin")
+    }),
+
     "q_stream_sessions" -> ((s, dir) => {
       // END-TO-END stateful streaming sessionization: the events table
       // replays as a time-ordered file stream (3 sequential range
@@ -4933,6 +4975,25 @@ object SparkEntry {
                 '25000.0,50000.0,75000.0' AS splits,
                 (SELECT n FROM t) AS n_sketch,
                 1::BIGINT AS eps_ok
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    // t-digest variant: same SF-independent invariants (exact record
+    // count, per-bin estimate within the documented 2.5%-of-n audit
+    // tolerance — measured < 1% at both SFs)
+    "q_sketch_tdigest" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         t AS (SELECT count(*)::BIGINT AS n FROM b)
+         SELECT bin::BIGINT AS bin, count(*)::BIGINT AS count,
+                sum(y)::BIGINT AS event,
+                '25000.0,50000.0,75000.0' AS splits,
+                (SELECT n FROM t) AS n_sketch,
+                1::BIGINT AS tol_ok
          FROM b GROUP BY 1 ORDER BY 1""",
 
     // de-pinned (r9): user-split literals are CONSTANTS of the query —

@@ -790,6 +790,119 @@ object ScaleProbe {
         graft.SparkEntry.deleteRecursively(stage)
       }
     }
+    section("hh1m") {
+      // 1M-KEY state probe for the sketch-in-state aggregation shape
+      // (q_stream_hh's FreqAgg in complete-mode groupBy state): the
+      // events stream replicated 10x with rep-salted group keys gives
+      // ONE MILLION distinct state keys, each holding a small
+      // Misra-Gries buffer — per-key state-store overhead dominates,
+      // which is exactly what the RocksDB provider must absorb at
+      // cluster scale (the in-memory HDFS provider holds every
+      // (key, buffer) pair on-heap). Both providers must drain the
+      // identical group count.
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        .where(col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val ev = evRaw.crossJoin(
+          spark.range(10L).select(col("id").as("__rep")))
+        .select(
+          (col("event_id") * 10 + col("__rep")).as("event_id"),
+          concat(col("event_type"), lit("#"),
+                 col("event_id") * 10 + col("__rep")).as("gkey"),
+          col("user_id"))
+      val n = ev.count()
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_hh1m_stage").toString
+      (0 until 3).foreach { g =>
+        ev.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      graft.SparkEntry.stampStageMtimes(stage, 3)
+      var groupCounts = List.empty[Long]
+      Seq(("hdfs", Option.empty[String]),
+          ("rocksdb", Some(graft.streaming.StreamingSessionize
+                             .RocksDBProvider))).foreach {
+        case (tag, prov) =>
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft_hh1m_ckpt_$tag").toString
+          val stream = spark.readStream
+            .schema("event_id BIGINT, gkey STRING, user_id BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+          val oldSp = spark.conf.get("spark.sql.shuffle.partitions")
+          def start() = stream.groupBy("gkey")
+            .agg(graft.functions.FreqAgg
+                   .freqLongs(col("user_id"), 256).as("cand"),
+                 count(lit(1)).as("total"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(s"hh1m_$tag")
+            .option("checkpointLocation", ckpt).start()
+          val w0 = System.nanoTime()
+          val q = try {
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            prov match {
+              case Some(p) => graft.streaming.StreamingSessionize
+                .withStateStoreProvider(spark, p)(start())
+              case None => start()
+            }
+          } finally spark.conf
+            .set("spark.sql.shuffle.partitions", oldSp)
+          q.processAllAvailable()
+          val wall = (System.nanoTime() - w0) / 1e9
+          val peakRows = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+          val peakMem = q.recentProgress
+            .flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+          q.stop()
+          val groups = spark.table(s"hh1m_$tag").count()
+          groupCounts ::= groups
+          spark.catalog.dropTempView(s"hh1m_$tag")
+          graft.SparkEntry.deleteRecursively(ckpt)
+          println(f"PROBE hh1m provider=$tag%-8s events=$n%8d " +
+            f"wall=$wall%6.2f s peak_state_rows=$peakRows " +
+            f"peak_state_mem=${peakMem / 1048576.0}%8.1f MiB " +
+            f"groups=$groups")
+      }
+      assert(groupCounts.distinct.size == 1,
+             s"providers diverge: $groupCounts")
+      graft.SparkEntry.deleteRecursively(stage)
+    }
+    section("json") {
+      // q_json_extract at 1x/16x: schema'd from_json over the events
+      // props column (the suite's most expensive single query, 7.5 s
+      // at sf0.1) — the claim under test is that cost is the raw JSON
+      // PARSE, linear in input volume, with nothing super-linear
+      // hiding in the aggregate (5 integer aggs over a 5-key groupBy).
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_type", "props")
+      Seq(1, 16).foreach { mult =>
+        val df =
+          if (mult == 1) evRaw
+          else evRaw.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .drop("__rep")
+        val n = df.count()
+        (1 to 2).foreach { pass =>
+          val tJs = timed {
+            df.select(col("event_type"),
+                from_json(col("props"),
+                          org.apache.spark.sql.types.StructType
+                            .fromDDL("k INT")).getField("k").as("k"))
+              .where(col("k").isNotNull)
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+                   min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+                   countDistinct(col("k")).as("nd_k"))
+              .collect()
+          }
+          if (pass == 2)
+            println(f"PROBE json mult=$mult%2d events=$n%9d " +
+              f"json_extract=$tJs%6.2f s")
+        }
+      }
+    }
     section("fuzzy") {
       // fuzzy-match / entity-resolution chain at 1x/16x. The
       // vocabulary itself must grow (identical replicas would
