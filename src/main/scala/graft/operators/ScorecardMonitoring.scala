@@ -174,6 +174,18 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
 
   private val MaxScoreCollect = 2000000
 
+  /** Reference-shaped `information()` statistics block
+    * (`tests/results/test_scorecard_monitoring_information.txt`
+    * surface, `monitoring.py` print_level >= 1): cohort record counts,
+    * scorecard variable count, target type. Timing lines are
+    * intentionally omitted — they are run-dependent and the reference
+    * golden itself cannot pin them. Counts come from an already-run
+    * [[stabilityStats]] so the report costs no extra job. */
+  def information(st: ScorecardMonitoring.StabilityStats): String =
+    ScorecardMonitoring.informationBlock(
+      st.psiBins.map(_._3).sum.toLong, st.psiBins.map(_._2).sum.toLong,
+      scorecard.selected.length, "binary")
+
   /** Everything the stability report needs from ONE tagged-union
     * aggregate job: per-(cohort, score, proba) target counts, from which
     * the driver derives the per-bin PSI table, per-bin 2-proportion
@@ -387,6 +399,21 @@ object ScorecardMonitoring {
         * pin-and-replay verification (the binary monitor's
         * `fittedScoreSplits` role). */
       scoreSplits: Array[Double])
+
+  /** The reference's information() "Statistics" block
+    * (`test_scorecard_monitoring_information.txt`): label column
+    * left-aligned, value column right-aligned to a fixed width. */
+  private[operators] def informationBlock(nActual: Long, nExpected: Long,
+                                          nVariables: Int,
+                                          targetType: String): String = {
+    def row(label: String, v: String): String =
+      f"    $label%-30s${v}%10s"
+    Seq("  Statistics",
+        row("Number of records Actual", nActual.toString),
+        row("Number of records Expected", nExpected.toString),
+        row("Number of scorecard variables", nVariables.toString),
+        row("Target type", targetType)).mkString("\n")
+  }
 }
 
 /** Continuous-target scorecard monitoring — the regression branch of
@@ -426,6 +453,16 @@ final class ContinuousScorecardMonitoring(
           s"psi_method must be uniform, quantile or cart; got $psiMethod")
 
   private val MaxScoreCollect = 2000000
+
+  /** Reference-shaped `information()` statistics block (the continuous
+    * variant of [[ScorecardMonitoring.information]] — see
+    * `test_scorecard_monitoring_information.txt`); timing lines are
+    * intentionally omitted (run-dependent). */
+  def information(st: ScorecardMonitoring.ContinuousStabilityStats)
+      : String =
+    ScorecardMonitoring.informationBlock(
+      st.psiBins.map(_._3).sum.toLong, st.psiBins.map(_._2).sum.toLong,
+      scorecard.selected.length, "continuous")
 
   def stabilityStats(expected: DataFrame, actual: DataFrame,
                      yCol: String,

@@ -12,7 +12,14 @@ final class BSketch(val eps: Double,
 
   private def mkSketch(): QuantileSketch = sketchType match {
     case "gk"       => new GKSketch(eps)
-    case "t-digest" => new TDigest()
+    // the reference passes eps straight through as the tdigest
+    // package's delta (`bsketch.py:102` TDigest(eps, K)); the
+    // merging-digest equivalent is compression ~ 1/delta — a
+    // hardcoded compression would silently IGNORE the caller's
+    // accuracy request (eps=1e-4 used to get the same digest as
+    // eps=1e-1). Floor of 20 keeps a degenerate eps from collapsing
+    // the digest to a handful of centroids.
+    case "t-digest" => new TDigest(math.max(20.0, 1.0 / eps))
     case other => throw new IllegalArgumentException(
       s"sketch must be gk or t-digest; got $other")
   }
