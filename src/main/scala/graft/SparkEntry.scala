@@ -2672,27 +2672,33 @@ object SparkEntry {
       // mergeable categorical sketch binning: per-half sketches built in
       // ONE grouped scan (partial add per partition + cross-group merge
       // — identical state to sequential split-adds, counter addition is
-      // commutative), then solved. The categorical sketch is EXACT, so
-      // the output per-bin counts are the sketch's own aggregate — no
-      // second data pass; the oracle replays the solved IN-list grouping
+      // commutative), then solved. De-pinned (r9): PINNED user category
+      // GROUPS with fixed boundaries force the solve to identity at ANY
+      // SF (`binning.py:781-816` user-splits categorical path) — only
+      // the BIN ORDER stays data-dependent (groups rank by pooled event
+      // rate), and that ordering is one SQL window over exact integer
+      // counts, so the oracle replays grouping + order + counts at
+      // every SF. The categorical sketch is EXACT, so the output
+      // per-bin counts are the sketch's own aggregate — no second pass.
       val o = T(s, dir, "orders")
         .withColumn("y", when(col("o_orderstatus") === "F", 1.0)
           .otherwise(0.0))
       val cfg = BinningConfig(name = "o_orderpriority",
-                              dtype = "categorical")
+        dtype = "categorical",
+        userSplitsCategorical = Some(Array(
+          Array("1-URGENT", "2-HIGH"), Array("3-MEDIUM"),
+          Array("4-NOT SPECIFIED", "5-LOW"))),
+        monotonicTrend = None,
+        userSplitsFixed = Some(Array(true, true)))
       val sk = new graft.streaming.OptimalBinningCatSketch(cfg)
       sk.addGrouped(o, col("o_orderkey") % 2, "o_orderpriority", "y")
       val fitted = sk.solve()
-      val cats = fitted.categories
-      val sp = fitted.splits
-      val catsPerBin: Array[Array[String]] = cats.indices
-        .groupBy(j => sp.count(_ <= j.toDouble)).toSeq.sortBy(_._1)
-        .map(_._2.map(cats(_)).toArray).toArray
       val cnt = sk.sketch.counts // category -> (n, w0, w1), exact
       import s.implicits._
-      catsPerBin.indices.map { i =>
-        val es = catsPerBin(i).map(c => cnt.getOrElse(c, (0L, 0.0, 0.0)))
-        (i.toLong, catsPerBin(i).sorted.mkString("|"),
+      fitted.catBins.indices.map { i =>
+        val es = fitted.catBins(i)
+          .map(c => cnt.getOrElse(c, (0L, 0.0, 0.0)))
+        (i.toLong, fitted.catBins(i).sorted.mkString("|"),
          es.map(_._1).sum, es.map(_._3).sum.toLong)
       }.toDF("bin", "cats", "count", "event").orderBy("bin")
     }),
@@ -2906,25 +2912,26 @@ object SparkEntry {
     }),
 
     "q_gamma_outlier_fit" -> ((s, dir) => {
-      // gamma-regularized fit with pre-fit outlier filtering, verified
-      // as a hard invariant: the detector's med/MAD and the solved
-      // splits are pinned, per-bin counts re-aggregated exactly over
-      // the FILTERED rows; the oracle replays filter + binning from the
-      // same literals
+      // gamma-regularized fit with pre-fit outlier filtering. De-pinned
+      // (r9): the detector's med/MAD are EXACT medians here (Spark's
+      // linear-interpolation percentile == DuckDB quantile_cont, so the
+      // oracle re-derives both at any SF; the approx-sketch route stays
+      // the library's 100 TB default — `Outliers.fitZScore(approx)` —
+      // and its stats pass-through is still exercised), and the gamma
+      // solve's one-bin collapse is an invariant of the size-uniformity
+      // penalty on this target, not an sf0.01 literal: gamma = 2.0
+      // dominates the IV spread at every SF, so splits = '' replays.
+      // Per-bin counts re-aggregate exactly over the FILTERED rows.
       val li = liTarget(T(s, dir, "lineitem"))
       val x = col("l_extendedprice")
-      // same approx med/MAD route the fit's detector takes
-      // (`Outliers.fitZScore(approx = true)`)
       def med1(c: org.apache.spark.sql.Column): Double =
-        li.select(percentile_approx(c, lit(0.5), lit(10000))
-          .cast("double")).head.getDouble(0)
+        li.select(percentile(c, lit(0.5)).cast("double"))
+          .head.getDouble(0)
       val med = med1(x)
       val mad = med1(abs(x - lit(med)))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "x", gamma = 2.0,
                       outlierDetector = Some("zscore"),
-                      // mergeable-sketch medians: the 100 TB path (exact
-                      // median is a single-buffer global sort); the
                       // already-derived stats pass through so the fit
                       // does not repeat the two percentile jobs
                       outlierParams = Map("approx" -> true,
@@ -2934,7 +2941,8 @@ object SparkEntry {
         .groupBy(binIdx(x, sp).cast("long").as("bin"))
         .agg(count(lit(1)).as("count"),
              sum(col("y")).cast("long").as("event"))
-        .withColumn("med_mad", lit(s"$med,$mad"))
+        .withColumn("med", lit(med))
+        .withColumn("mad", lit(mad))
         .withColumn("splits", lit(sp.mkString(",")))
         .orderBy("bin")
     }),
@@ -5244,34 +5252,49 @@ object SparkEntry {
 
     // pinned categorical sketch solve: the solved category->bin
     // grouping replayed as an IN-list CASE
+    // de-pinned (r9): pinned user category groups; the event-rate bin
+    // ordering replays as one window over exact integer counts
     "q_cat_sketch" ->
       """WITH b AS (
-           SELECT CASE WHEN o_orderpriority = '2-HIGH' THEN 1
-                       WHEN o_orderpriority = '3-MEDIUM' THEN 2
-                       WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 3
-                       WHEN o_orderpriority = '1-URGENT' THEN 4
-                       ELSE 0 END AS bin,
+           SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0
+                       WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                       ELSE 2 END AS g,
                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-           FROM orders)
+           FROM orders),
+         gs AS (SELECT g, count(*) AS n, sum(y) AS e FROM b GROUP BY 1),
+         r AS (
+           SELECT g, n, e,
+                  row_number() OVER (
+                    ORDER BY e::DOUBLE / n::DOUBLE, g) - 1 AS bin
+           FROM gs)
          SELECT bin::BIGINT AS bin,
-                CASE bin WHEN 0 THEN '5-LOW' WHEN 1 THEN '2-HIGH'
-                         WHEN 2 THEN '3-MEDIUM'
-                         WHEN 3 THEN '4-NOT SPECIFIED'
-                         ELSE '1-URGENT' END AS cats,
-                count(*)::BIGINT AS count, sum(y)::BIGINT AS event
-         FROM b GROUP BY bin ORDER BY bin""",
+                CASE g WHEN 0 THEN '1-URGENT|2-HIGH'
+                       WHEN 1 THEN '3-MEDIUM'
+                       ELSE '4-NOT SPECIFIED|5-LOW' END AS cats,
+                n::BIGINT AS count, e::BIGINT AS event
+         FROM r ORDER BY bin""",
 
-    // pinned zscore outlier filter (approx med/MAD literals) + solved
-    // splits (empty: the filtered noise target solves to one bin)
+    // de-pinned (r9): exact med/MAD re-derived in SQL (quantile_cont ==
+    // Spark's linear-interpolation percentile); splits = '' is the
+    // gamma penalty's one-bin collapse, an invariant at every SF
     "q_gamma_outlier_fit" ->
-      """SELECT 0::BIGINT AS bin, count(*)::BIGINT AS count,
+      """WITH m AS (
+           SELECT quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem),
+         m2 AS (
+           SELECT med,
+                  (SELECT quantile_cont(abs(l_extendedprice - m.med), 0.5)
+                   FROM lineitem) AS mad
+           FROM m)
+         SELECT 0::BIGINT AS bin, count(*)::BIGINT AS count,
                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
                     END)::BIGINT AS event,
-                '53020.59,26150.540000000008' AS med_mad,
+                max(med) AS med, max(mad) AS mad,
                 '' AS splits
-         FROM lineitem
-         WHERE NOT (abs(0.6745 * (l_extendedprice - 53020.59)
-                        / 26150.540000000008) > 3.5)""",
+         FROM lineitem, m2
+         WHERE NOT (abs(0.6745 * (l_extendedprice - med) / mad)
+                    > 3.5)""",
 
     // de-pinned (r9): user-split literals are query constants
     "q_scenario_fit" ->

@@ -55,9 +55,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # (sf-pinned) — their engine results remain hash-verified where the
 # pinned oracle is valid.
 SF_PINNED = {
-    "q_2d_cart", "q_2d_fit", "q_cat_sketch", "q_cont_2d_fit",
+    "q_2d_cart", "q_2d_fit", "q_cont_2d_fit",
     "q_cont_pw", "q_counterfactual",
-    "q_gamma_outlier_fit", "q_mdlp_splits",
+    "q_mdlp_splits",
     "q_pw_monotone", "q_pw_transform",
 
 }
