@@ -94,7 +94,10 @@ object Bench {
       "q_stream_sessions", "q_stream_rollup", "q_stream_binning",
       "q_multimodal_features", "q_lakehouse_pipeline", "q_pagerank",
       "q_ml_pipeline", "q_stability_cont", "q_span_dedup",
-      "q_score_deploy", "q_knn_eval", "q_jaro_scores")
+      "q_score_deploy", "q_knn_eval", "q_jaro_scores",
+      // round-9 flagships
+      "q_knn_ivf", "q_sketch_tdigest", "q_json_audit",
+      "q_hard_negatives")
     val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$outPath","queries":$head}""")

@@ -4277,6 +4277,41 @@ object SparkEntry {
                    bucketWidth = 100000L)
     }),
 
+    "q_json_audit" -> ((s, dir) => {
+      // production JSON data-quality audit: schema'd from_json in
+      // PERMISSIVE mode with a columnNameOfCorruptRecord audit column,
+      // so malformed payloads are COUNTED per event type instead of
+      // silently nulled — the operational twin of q_json_extract (whose
+      // README probe documents this as the 100 TB tie-in). The
+      // synthetic props are all clean, so the query plants
+      // DETERMINISTIC damage first (event_id % 7 -> truncated JSON,
+      // event_id % 11 -> key renamed away), exercising all three
+      // outcomes: corrupt record, valid-but-missing key, clean parse.
+      // Same plan discipline as q_json_extract: codegen'd JsonToStructs
+      // over a pruned column, one hash aggregate, no UDFs.
+      val e = T(s, dir, "events")
+      val damaged = when(pmod(col("event_id"), lit(7)) === 0,
+                         expr("substring(props, 1, length(props) - 1)"))
+        .when(pmod(col("event_id"), lit(11)) === 0,
+              regexp_replace(col("props"), "\"k\"", "\"x\""))
+        .otherwise(col("props"))
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("k INT, _corrupt STRING")
+      val parsed = e.select(col("event_type"),
+        from_json(damaged, schema,
+                  Map("columnNameOfCorruptRecord" -> "_corrupt",
+                      "mode" -> "PERMISSIVE")).as("j"))
+      parsed.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("j._corrupt").isNotNull, 1L).otherwise(0L))
+               .as("n_corrupt"),
+             sum(when(col("j._corrupt").isNull && col("j.k").isNull,
+                      1L).otherwise(0L)).as("n_missing_key"),
+             sum(coalesce(col("j.k").cast("long"), lit(0L)))
+               .as("sum_k_parsed"))
+        .orderBy("event_type")
+    }),
+
     "q_kcore" -> ((s, dir) => {
       // 3-round k=3 core peel of the repeat co-purchase graph:
       // surviving parts + their within-subgraph degree (the dense
@@ -10326,6 +10361,33 @@ object SparkEntry {
                        THEN n_exact::BIGINT
                      ELSE 283726776524341248 // kth_hash END AS est
          FROM g ORDER BY grp""",
+
+    // JSON-audit replay: the same deterministic damage, then
+    // json_valid for the corrupt census and json_extract for the
+    // missing-key census — Spark's PERMISSIVE corrupt-record column is
+    // set exactly when the payload fails to parse
+    "q_json_audit" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 7 = 0
+                         THEN substring(props, 1, length(props) - 1)
+                       WHEN event_id % 11 = 0
+                         THEN replace(props, '"k"', '"x"')
+                       ELSE props END AS p
+           FROM events),
+         j AS (
+           SELECT event_type,
+                  CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END AS corrupt,
+                  CASE WHEN json_valid(p)
+                       THEN TRY_CAST(json_extract(p, '$.k') AS INTEGER)
+                       END AS k
+           FROM d)
+         SELECT event_type, count(*)::BIGINT AS n_rows,
+                sum(corrupt)::BIGINT AS n_corrupt,
+                sum(CASE WHEN corrupt = 0 AND k IS NULL THEN 1
+                         ELSE 0 END)::BIGINT AS n_missing_key,
+                COALESCE(sum(k), 0)::BIGINT AS sum_k_parsed
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     // JSON-extract replay: DuckDB's json_extract on the same path,
     // same null-exclusion of unparseable rows
