@@ -454,6 +454,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(plan, "Scan parquet") === 2, plan) // corpus + query side
   }
 
+  test("knnRecallReport: BOTH candidate paths fold through topk_longs " +
+       "aggregates — no window, no sort; query side broadcasts twice") {
+    val spark = TestSpark.spark
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val plan = physical(Similarity.knnRecallReport(
+      e, e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding")),
+      "embedding", "vec_id", "qid", "embedding",
+      k = 5, dim = 64, nLists = 16, nProbe = 4))
+    // truth pass + IVF pass: two O(k)-state aggregates, zero windows
+    assert(countOccurrences(plan, "topk_longs") >= 2, plan)
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    // bounded query batch broadcasts into both corpus passes
+    assert(countOccurrences(plan, "BroadcastExchange") >= 2, plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("winsorizedStats: windows only over grid cells, never a raw " +
        "per-group row sort; thresholds broadcast back") {
     val spark = TestSpark.spark
