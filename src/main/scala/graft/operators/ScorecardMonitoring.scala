@@ -213,6 +213,13 @@ final class ScorecardMonitoring(val scorecard: FittedScorecard,
     case class R(c: Int, s: Double, p: Double, n: Double, e: Double)
     val rows = agg.map(r => R(r.getInt(0), r.getDouble(1), r.getDouble(2),
                               r.getDouble(3), r.getDouble(4)))
+    // fail fast on an empty cohort (mirrors the continuous monitor's
+    // guard): psiMethod="quantile"/"uniform" would otherwise NPE on the
+    // null percentile/min-max row and the PSI denominators go 0/0
+    require(rows.exists(_.c == 0),
+            "stabilityStats: expected cohort is empty")
+    require(rows.exists(_.c == 1),
+            "stabilityStats: actual cohort is empty")
 
     // cart score bins fit on the expected slice of this same aggregate
     // (no extra jobs). The SAME >10k-row grid compression

@@ -370,6 +370,20 @@ class MonitoringAndIOSpec extends AnyFunSuite {
       mon.stabilityStats(li, empty, "l_extendedprice")
     }
     assert(exA.getMessage.contains("actual cohort is empty"))
+    // the BINARY monitor carries the same guard (psiMethod="quantile"
+    // would NPE on the null percentile row of an empty cohort)
+    val liY = li.withColumn("y",
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val scB = Scorecard.fit(liY, Seq("l_quantity"), "y",
+      varOverrides = Map("l_quantity" -> BinningConfig(
+        name = "l_quantity", userSplits = Some(Array(10.0, 25.0, 40.0)),
+        monotonicTrend = None)))
+    val monB = new ScorecardMonitoring(scB, psiNBins = 4,
+                                       psiMethod = "quantile")
+    val exB = intercept[IllegalArgumentException] {
+      monB.stabilityStats(liY.where(lit(false)), liY, "y")
+    }
+    assert(exB.getMessage.contains("expected cohort is empty"))
     // windowDays > 32 would silently wrap n * 2^(W-gap) in BIGINT at
     // real daily volumes — the require names the bound
     val exW = intercept[IllegalArgumentException] {
