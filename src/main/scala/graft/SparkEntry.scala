@@ -2913,22 +2913,35 @@ object SparkEntry {
 
     "q_gamma_outlier_fit" -> ((s, dir) => {
       // gamma-regularized fit with pre-fit outlier filtering. De-pinned
-      // (r9): the detector's med/MAD are EXACT medians here (Spark's
-      // linear-interpolation percentile == DuckDB quantile_cont, so the
-      // oracle re-derives both at any SF; the approx-sketch route stays
-      // the library's 100 TB default — `Outliers.fitZScore(approx)` —
-      // and its stats pass-through is still exercised), and the gamma
+      // (r9): the detector's med/MAD are the EXACT lower weighted
+      // medians of the GRID-SNAPPED value histogram (the engine's own
+      // histogramMaxBuckets discipline — one min/max pass + two
+      // 10k-bucket aggregates, never a column-buffering exact
+      // percentile, so the stat is scale-safe AND the oracle re-derives
+      // it in SQL at any SF: snap arithmetic, cumulative counts, and
+      // the 2*cum >= n median rule are all deterministic). The gamma
       // solve's one-bin collapse is an invariant of the size-uniformity
       // penalty on this target, not an sf0.01 literal: gamma = 2.0
       // dominates the IV spread at every SF, so splits = '' replays.
       // Per-bin counts re-aggregate exactly over the FILTERED rows.
       val li = liTarget(T(s, dir, "lineitem"))
       val x = col("l_extendedprice")
-      def med1(c: org.apache.spark.sql.Column): Double =
-        li.select(percentile(c, lit(0.5)).cast("double"))
-          .head.getDouble(0)
-      val med = med1(x)
-      val mad = med1(abs(x - lit(med)))
+      val mm = li.agg(min(x).cast("double"), max(x).cast("double")).head
+      val (mn, w) = (mm.getDouble(0), (mm.getDouble(1) - mm.getDouble(0)) / 10000)
+      def snapOf(c: org.apache.spark.sql.Column) =
+        lit(mn) + floor((c - lit(mn)) / lit(w)) * lit(w)
+      // lower weighted median over a bounded histogram: smallest
+      // snapped value whose cumulative count reaches half the rows
+      def histMedian(c: org.apache.spark.sql.Column): Double = {
+        val h = li.groupBy(c.as("v")).agg(count(lit(1)).as("n"))
+          .orderBy("v").collect()
+        val total = h.map(_.getLong(1)).sum
+        var cum = 0L
+        h.find { r => cum += r.getLong(1); 2 * cum >= total }
+          .get.getDouble(0)
+      }
+      val med = histMedian(snapOf(x))
+      val mad = histMedian(abs(snapOf(x) - lit(med)))
       val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
         BinningConfig(name = "x", gamma = 2.0,
                       outlierDetector = Some("zscore"),
@@ -5310,24 +5323,35 @@ object SparkEntry {
                 n::BIGINT AS count, e::BIGINT AS event
          FROM r ORDER BY bin""",
 
-    // de-pinned (r9): exact med/MAD re-derived in SQL (quantile_cont ==
-    // Spark's linear-interpolation percentile); splits = '' is the
-    // gamma penalty's one-bin collapse, an invariant at every SF
+    // de-pinned (r9): med/MAD are exact lower weighted medians of the
+    // 10k-grid-snapped histogram, re-derived in SQL (same snap
+    // arithmetic and the 2*cum >= n rule); splits = '' is the gamma
+    // penalty's one-bin collapse, an invariant at every SF
     "q_gamma_outlier_fit" ->
-      """WITH m AS (
-           SELECT quantile_cont(l_extendedprice, 0.5) AS med
+      """WITH mm AS (
+           SELECT min(l_extendedprice) AS mn,
+                  (max(l_extendedprice) - min(l_extendedprice)) / 10000
+                    AS w,
+                  count(*) AS tot
            FROM lineitem),
-         m2 AS (
-           SELECT med,
-                  (SELECT quantile_cont(abs(l_extendedprice - m.med), 0.5)
-                   FROM lineitem) AS mad
-           FROM m)
+         s AS (
+           SELECT mn + floor((l_extendedprice - mn) / w) * w AS v
+           FROM lineitem, mm),
+         h AS (SELECT v, count(*) AS n FROM s GROUP BY 1),
+         c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM h),
+         med AS (SELECT min(v) AS med FROM c, mm
+                 WHERE 2 * cum >= tot),
+         s2 AS (SELECT abs(v - med) AS v FROM s, med),
+         h2 AS (SELECT v, count(*) AS n FROM s2 GROUP BY 1),
+         c2 AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM h2),
+         mad AS (SELECT min(v) AS mad FROM c2, mm
+                 WHERE 2 * cum >= tot)
          SELECT 0::BIGINT AS bin, count(*)::BIGINT AS count,
                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
                     END)::BIGINT AS event,
                 max(med) AS med, max(mad) AS mad,
                 '' AS splits
-         FROM lineitem, m2
+         FROM lineitem, med, mad
          WHERE NOT (abs(0.6745 * (l_extendedprice - med) / mad)
                     > 3.5)""",
 

@@ -571,6 +571,29 @@ final class FittedScorecard(
     val metricMissing: Any = 0.0)
     extends Serializable {
 
+  /** Reference-shaped `information()` statistics block
+    * (`test_scorecard_information.txt` / `scorecard.py` print_level
+    * >= 1 surface): record count (every fitted table totals the full
+    * fit input), variable counts by dtype and selection, target type.
+    * Timing lines are run-dependent and intentionally omitted. */
+  def information(): String = {
+    val all = process.variables
+    val nNum = all.count(v => process.fits(v).config.dtype == "numerical")
+    val n = all.headOption
+      .map(v => process.fits(v).table.tRecords.toLong).getOrElse(0L)
+    def row(label: String, v: String): String =
+      f"    $label%-24s${v}%10s"
+    Seq("  Statistics",
+        row("Number of records", n.toString),
+        row("Number of variables", all.length.toString),
+        row("Target type", "binary"),
+        "",
+        row("Number of numerical", nNum.toString),
+        row("Number of categorical", (all.length - nNum).toString),
+        row("Number of selected", selected.length.toString))
+      .mkString("\n")
+  }
+
   /** Per-variable points expression: a FLAT per-bin CASE over the raw
     * column (points indexed by table bin id). Flat matters: nesting the
     * indices chain inside a points lookup would make every score

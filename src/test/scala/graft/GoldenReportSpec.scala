@@ -109,6 +109,22 @@ class GoldenReportSpec extends AnyFunSuite {
     assert(n == 569.0, n.toString)
   }
 
+  test("scorecard information golden: breast-cancer 30-variable fit " +
+       "reproduces test_scorecard_information.txt statistics " +
+       "(569 records / 30 variables / binary / 30-0-30)") {
+    val df = bc.withColumn("y", col("target").cast("double"))
+    val vars = bc.columns.filterNot(_ == "target").toSeq
+    val sc = Scorecard.fit(df, vars, "y")
+    val info = sc.information()
+    def collapsed = info.replaceAll("\\s+", " ").trim
+    assert(collapsed.contains("Number of records 569"), info)
+    assert(collapsed.contains("Number of variables 30"), info)
+    assert(collapsed.contains("Target type binary"), info)
+    assert(collapsed.contains("Number of numerical 30"), info)
+    assert(collapsed.contains("Number of categorical 0"), info)
+    assert(collapsed.contains("Number of selected 30"), info)
+  }
+
   test("scorecard monitoring information golden: boston split42 " +
        "reproduces test_scorecard_monitoring_information.txt " +
        "(A 152 / E 354 / 13 variables / continuous)") {
