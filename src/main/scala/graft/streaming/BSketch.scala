@@ -19,7 +19,11 @@ final class BSketch(val eps: Double,
     // accuracy request (eps=1e-4 used to get the same digest as
     // eps=1e-1). Floor of 20 keeps a degenerate eps from collapsing
     // the digest to a handful of centroids.
-    case "t-digest" => new TDigest(math.max(20.0, 1.0 / eps))
+    // clamped: eps -> 0 would make the compression infinite and the
+    // digest never compress (unbounded centroids); 1e6 centroids is
+    // already far beyond any accuracy a caller can mean by eps
+    case "t-digest" =>
+      new TDigest(math.min(1e6, math.max(20.0, 1.0 / math.max(eps, 1e-9))))
     case other => throw new IllegalArgumentException(
       s"sketch must be gk or t-digest; got $other")
   }
