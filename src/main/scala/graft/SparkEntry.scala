@@ -4290,6 +4290,19 @@ object SparkEntry {
                    bucketWidth = 100000L)
     }),
 
+    "q_iv_folds" -> ((s, dir) => {
+      // binning-stability diagnostic: 8 disjoint deterministic folds,
+      // per-fold EXACT IV at the pinned user splits — the subsampling
+      // spread that says whether a variable's IV is a property of the
+      // data or an artifact of one slice. One (fold, bin) aggregate;
+      // everything after runs on the 32-row table.
+      val li = liTarget(T(s, dir, "lineitem"))
+      graft.operators.Monitoring.ivByFold(li,
+        binIdx(col("l_extendedprice"), liSplits),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(8)),
+        "y").orderBy("fold")
+    }),
+
     "q_json_audit" -> ((s, dir) => {
       // production JSON data-quality audit: schema'd from_json in
       // PERMISSIVE mode with a columnNameOfCorruptRecord audit column,
@@ -10385,6 +10398,31 @@ object SparkEntry {
                        THEN n_exact::BIGINT
                      ELSE 283726776524341248 // kth_hash END AS est
          FROM g ORDER BY grp""",
+
+    // iv-folds replay: same deterministic fold key, per-(fold, bin)
+    // counts, per-fold totals, the xlogy-convention IV sum at 6dp
+    "q_iv_folds" ->
+      """WITH b AS (
+           SELECT (l_orderkey + l_linenumber) % 8 AS fold,
+                  CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         a AS (
+           SELECT fold, bin, sum(y)::DOUBLE AS e,
+                  (count(*) - sum(y))::DOUBLE AS ne
+           FROM b GROUP BY 1, 2),
+         t AS (SELECT fold, sum(e) AS te, sum(ne) AS tne
+               FROM a GROUP BY 1)
+         SELECT a.fold::BIGINT AS fold,
+                sum(e + ne)::BIGINT AS n, sum(e)::BIGINT AS n_event,
+                round(sum(CASE WHEN e > 0 AND ne > 0
+                          THEN (ne / tne - e / te)
+                               * ln((ne / tne) / (e / te))
+                          ELSE 0 END), 6) AS iv
+         FROM a JOIN t USING (fold) GROUP BY 1 ORDER BY 1""",
 
     // JSON-audit replay: the same deterministic damage, then
     // json_valid for the corrupt census and json_extract for the

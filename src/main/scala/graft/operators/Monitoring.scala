@@ -354,4 +354,44 @@ object Monitoring {
               col("__t.n").as("top_n"),
               col("__t.ew").as("top_ewma_scaled"))
   }
+
+  /** Binning-stability diagnostic by disjoint subsampling: the data
+    * splits into hash folds and each fold's Information Value is
+    * computed EXACTLY at the caller's (fixed) binning — the "is this
+    * variable's IV an artifact of one slice" check a monitoring
+    * pipeline runs before trusting a fitted binning (the subsampling
+    * variance-estimation idea, Politis-Romano style, applied to the
+    * binning table's own statistic). Folds with a pure bin contribute
+    * that bin as 0 IV mass (the standard xlogy convention), so the
+    * diagnostic never divides by zero.
+    *
+    * Scale shape: ONE row-level aggregate (groupBy(fold, bin),
+    * map-side combined — shuffle bounded by folds x bins), then the
+    * IV arithmetic runs on that bounded table: per-fold totals come
+    * from a (folds)-row broadcast self-aggregate, never a second data
+    * pass or a window over raw rows.
+    *
+    * Output per fold: `n`, `n_event`, `iv` (6dp). The caller supplies
+    * the fold expression so the fold key is replayable (an audit wants
+    * deterministic folds, not a random split).
+    */
+  def ivByFold(df: DataFrame, binCol: Column, foldCol: Column,
+               yCol: String): DataFrame = {
+    val base = df.groupBy(foldCol.cast("long").as("fold"),
+                          binCol.cast("long").as("bin"))
+      .agg(sum(col(yCol).cast("double")).as("e"),
+           (count(lit(1)) - sum(col(yCol).cast("double"))).as("ne"))
+    val tot = base.groupBy("fold")
+      .agg(sum("e").as("te"), sum("ne").as("tne"))
+    val term = when(col("e") > 0 && col("ne") > 0,
+                    (col("ne") / col("tne") - col("e") / col("te")) *
+                      log((col("ne") / col("tne")) /
+                          (col("e") / col("te"))))
+      .otherwise(lit(0.0))
+    base.join(broadcast(tot), Seq("fold"))
+      .groupBy("fold")
+      .agg((sum("e") + sum("ne")).cast("long").as("n"),
+           sum("e").cast("long").as("n_event"),
+           round(sum(term), 6).as("iv"))
+  }
 }

