@@ -670,7 +670,8 @@ object SparkEntry {
         jaccardNgram = 3, portable = true)
       pairs.agg(count(lit(1)).as("n_pairs"),
                 countDistinct(col("id_a")).as("n_left_docs"),
-                round(avg(round(col("jaccard"), 6)), 6).as("avg_jaccard"))
+                sum(round(col("jaccard") * 1e6).cast("long"))
+                  .as("sum_jaccard_micro"))
     }),
 
     "q_cross_neardup" -> ((s, dir) => {
@@ -760,7 +761,8 @@ object SparkEntry {
                                     threshold = 0.3, nPlanes = 8,
                                     portable = true)
         .agg(count(lit(1)).as("n_pairs"),
-             round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
+             sum(round(col("cosine") * 1e6).cast("long"))
+               .as("sum_cosine_micro"))
     }),
 
     // --- pipeline: text analysis ------------------------------------
@@ -3264,7 +3266,8 @@ object SparkEntry {
                                    portable = true)
       res.agg(count(lit(1)).as("n_results"),
               countDistinct(col("qid")).as("n_queries"),
-              round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
+              sum(round(col("cosine") * 1e6).cast("long"))
+                .as("sum_cosine_micro"))
     }),
 
     "q_ivf_topk" -> ((s, dir) => {
@@ -3281,7 +3284,8 @@ object SparkEntry {
                                            nProbe = 4)
       res.agg(count(lit(1)).as("n_results"),
               countDistinct(col("qid")).as("n_queries"),
-              round(avg(round(col("cosine"), 6)), 6).as("avg_cosine"))
+              sum(round(col("cosine") * 1e6).cast("long"))
+                .as("sum_cosine_micro"))
     }),
 
     "q_pq_topk" -> ((s, dir) => {
@@ -3299,8 +3303,8 @@ object SparkEntry {
                                           dim = 64, m = 4, ksub = 16)
       res.agg(count(lit(1)).as("n_results"),
               countDistinct(col("qid")).as("n_queries"),
-              round(avg(round(col("cosine_pq"), 6)), 6)
-                .as("avg_cosine_pq"))
+              sum(round(col("cosine_pq") * 1e6).cast("long"))
+                .as("sum_cosine_pq_micro"))
     }),
 
     "q_ann_refined" -> ((s, dir) => {
@@ -3333,8 +3337,8 @@ object SparkEntry {
                                              ksub = 16)
       res.agg(count(lit(1)).as("n_results"),
               countDistinct(col("qid")).as("n_queries"),
-              round(avg(round(col("cosine_pq"), 6)), 6)
-                .as("avg_cosine_pq"))
+              sum(round(col("cosine_pq") * 1e6).cast("long"))
+                .as("sum_cosine_pq_micro"))
     }),
 
     "q_semantic_dedup" -> ((s, dir) => {
@@ -7913,7 +7917,8 @@ object SparkEntry {
            FROM sig a JOIN sig b
              ON a.sig = b.sig AND a.vec_id < b.vec_id)
          SELECT count(*) AS n_pairs,
-                round(avg(round(cosine, 6)), 6) AS avg_cosine
+                sum(CAST(round(cosine * 1000000) AS BIGINT))::BIGINT
+                  AS sum_cosine_micro
          FROM pairs WHERE cosine >= 0.3"""),
 
     "q_ann_topk" ->
@@ -7934,7 +7939,8 @@ object SparkEntry {
            FROM cand)
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
-                round(avg(round(cosine, 6)), 6) AS avg_cosine
+                sum(CAST(round(cosine * 1000000) AS BIGINT))::BIGINT
+                  AS sum_cosine_micro
          FROM rk WHERE rank <= 5"""),
 
     // portable IVF: centroid component = Lehmer mix of (1000+cell, dim)
@@ -7983,7 +7989,8 @@ object SparkEntry {
            FROM cand)
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
-                round(avg(round(cosine, 6)), 6) AS avg_cosine
+                sum(CAST(round(cosine * 1000000) AS BIGINT))::BIGINT
+                  AS sum_cosine_micro
          FROM rk WHERE rank <= 5""",
 
     // SemDeDup replay: same Lehmer IVF cell assignment as q_ivf_topk,
@@ -8338,7 +8345,8 @@ object SparkEntry {
                  FROM sc s JOIN qn q USING (qid)))
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
-                round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq
+                sum(CAST(round(cosine_pq * 1000000) AS BIGINT))::BIGINT
+                  AS sum_cosine_pq_micro
          FROM rk WHERE rank <= 5""",
 
     "q_ann_refined" ->
@@ -8519,7 +8527,8 @@ object SparkEntry {
                  FROM sc s JOIN qn q USING (qid)))
          SELECT count(*) AS n_results,
                 count(DISTINCT qid) AS n_queries,
-                round(avg(round(cosine_pq, 6)), 6) AS avg_cosine_pq
+                sum(CAST(round(cosine_pq * 1000000) AS BIGINT))::BIGINT
+                  AS sum_cosine_pq_micro
          FROM rk WHERE rank <= 5""",
 
     // portable SimHash: token hash = (rk131 mod 1e9+7) << 30 | (rk137 mod
@@ -8668,7 +8677,8 @@ object SparkEntry {
                      JOIN sh b ON cand.id_b = b.doc_id)
          SELECT count(*) AS n_pairs,
                 count(DISTINCT id_a) AS n_left_docs,
-                round(avg(round(jaccard, 6)), 6) AS avg_jaccard
+                sum(CAST(round(jaccard * 1000000) AS BIGINT))::BIGINT
+                  AS sum_jaccard_micro
          FROM ver WHERE jaccard >= 0.5""",
 
     // cross-corpus near-dup replay: the q_neardup_pairs MinHash chain
