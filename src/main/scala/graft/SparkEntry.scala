@@ -22,6 +22,17 @@ object SparkEntry {
 
   private val liSplits = Array(25000.0, 50000.0, 75000.0)
   private val qtySplits = Array(10.0, 25.0, 40.0)
+  /** Finer 8-band split for the deployment-analytics queries (gains /
+    * threshold sweep), where 4 bands make a degenerate depth curve. */
+  private val liSplits8 =
+    Array(12500.0, 25000.0, 37500.0, 50000.0, 62500.0, 75000.0, 87500.0)
+  /** The 8-band CASE in oracle SQL form (kept literal-identical to
+    * `binIdx(col("l_extendedprice"), liSplits8)`). */
+  private val liBand8Sql: String =
+    liSplits8.zipWithIndex
+      .map { case (sp, i) =>
+        s"WHEN l_extendedprice < ${sp.toLong} THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${liSplits8.length} END")
 
   /** Pinned per-variable binning for the oracled scorecard queries:
     * user splits take the exact aggregation path, so the oracle can
@@ -4430,6 +4441,70 @@ object SparkEntry {
                .as("n_gap_cells"),
              sum("filled").as("filled_sum"),
              sum(col("period") * col("filled")).as("weighted_sum"))
+    }),
+
+    "q_gains_table" -> ((s, dir) => {
+      // deployment-side gains/lift table: 8 pinned score bands ranked
+      // by event rate, cumulative population depth vs event capture
+      // at each depth — ONE full-data aggregate, then every cumsum
+      // runs on the 8-row band table. Truncated-ppm BIGINT shares.
+      val li = liTarget(T(s, dir, "lineitem"))
+      ScorecardAnalytics.gainsTable(
+        li, binIdx(col("l_extendedprice"), liSplits8).cast("long"), "y")
+    }),
+
+    "q_threshold_sweep" -> ((s, dir) => {
+      // cost-optimal operating threshold: classify the top-k rate-
+      // ranked bands positive for every k, integer confusion matrix
+      // from the same cumulative sums, flag the smallest k minimizing
+      // 5*FN + 1*FP — the argmin is exact integer arithmetic.
+      val li = liTarget(T(s, dir, "lineitem"))
+      ScorecardAnalytics.thresholdSweep(
+        li, binIdx(col("l_extendedprice"), liSplits8).cast("long"), "y",
+        fnCost = 5L, fpCost = 1L)
+    }),
+
+    "q_char_analysis" -> ((s, dir) => {
+      // characteristic analysis: decompose the train->test population
+      // shift into per-variable per-bin score-shift mass
+      // (pct_test - pct_train) * woe_train at the pinned splits —
+      // closed-form WoE (the q_score_deploy discipline), so the
+      // oracle replays at ANY SF. One aggregate per cohort per
+      // variable; the report frame is bounded by bins x variables.
+      val li = liTarget(T(s, dir, "lineitem"))
+      val train = li.where(col("l_orderkey") % 2 === 0)
+      val test = li.where(col("l_orderkey") % 2 === 1)
+      ScorecardAnalytics.characteristicShift(train, test,
+        Seq("l_extendedprice" ->
+              binIdx(col("l_extendedprice"), liSplits).cast("long"),
+            "l_quantity" ->
+              binIdx(col("l_quantity"), qtySplits).cast("long")), "y")
+    }),
+
+    "q_migration_matrix" -> ((s, dir) => {
+      // score-band migration matrix between two time snapshots:
+      // per-customer integer-cents spend bands in each half of the
+      // order history, counted by (band_then, band_now) over the
+      // customers present in both — two keyed aggregates, one shuffle
+      // join on the entity key, then a bands^2-bounded matrix with
+      // truncated-ppm row shares. Integer cents keep the band
+      // assignment order-independent (a double spend sum could flip
+      // a boundary customer between engines).
+      val o = T(s, dir, "orders")
+      def bands(df: DataFrame): DataFrame = df
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+               .as("sp"))
+        .select(col("o_custkey"),
+                when(col("sp") < 15000000L, 0L)
+                  .when(col("sp") < 30000000L, 1L)
+                  .when(col("sp") < 45000000L, 2L)
+                  .otherwise(3L).as("band"))
+      val pivot = lit("1998-06-01").cast("timestamp")
+      ScorecardAnalytics.bandMigration(
+        bands(o.where(col("o_orderdate") < pivot)),
+        bands(o.where(col("o_orderdate") >= pivot)),
+        "o_custkey", "band")
     })
   )
 
@@ -10481,7 +10556,156 @@ object SparkEntry {
                 sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
                   AS sum_cents,
                 sum(o_orderkey)::BIGINT AS key_sum
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // Gains replay: same 8-band CASE, rate-desc rank (one IEEE
+    // division on both engines), bounded-window cumsums, truncated-ppm
+    // integer shares; lift as a single rounded double
+    "q_gains_table" ->
+      s"""WITH b AS (
+           SELECT $liBand8Sql AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         a AS (SELECT bin, count(*) AS n, sum(y) AS e FROM b GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY e::DOUBLE / n DESC, bin) AS rank FROM a),
+         c AS (SELECT rank, bin, n, e,
+                      sum(n) OVER w AS cum_n, sum(e) OVER w AS cum_e,
+                      sum(n) OVER () AS tot_n, sum(e) OVER () AS tot_e
+               FROM r WINDOW w AS (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT rank::BIGINT AS rank, bin::BIGINT AS bin,
+                n::BIGINT AS n, e::BIGINT AS n_event,
+                cum_n::BIGINT AS cum_n, cum_e::BIGINT AS cum_event,
+                ((1000000 * cum_e) // tot_e)::BIGINT AS capture_ppm,
+                ((1000000 * cum_n) // tot_n)::BIGINT AS depth_ppm,
+                round((cum_e * tot_n)::DOUBLE / (cum_n * tot_e), 6)
+                  AS lift6
+         FROM c ORDER BY rank""",
+
+    // Threshold-sweep replay: identical ranked cumsums, then the
+    // integer confusion matrix and 5*FN + 1*FP argmin (smallest k)
+    "q_threshold_sweep" ->
+      s"""WITH b AS (
+           SELECT $liBand8Sql AS bin,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         a AS (SELECT bin, count(*) AS n, sum(y) AS e FROM b GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY e::DOUBLE / n DESC, bin) AS k FROM a),
+         c AS (SELECT k, bin,
+                      sum(e) OVER w AS tp,
+                      sum(n) OVER w - sum(e) OVER w AS fp,
+                      sum(e) OVER () - sum(e) OVER w AS fn,
+                      (sum(n) OVER () - sum(e) OVER ())
+                        - (sum(n) OVER w - sum(e) OVER w) AS tn
+               FROM r WINDOW w AS (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         co AS (SELECT *, 5 * fn + 1 * fp AS cost FROM c),
+         mc AS (SELECT *, min(cost) OVER () AS min_cost FROM co),
+         m AS (SELECT *,
+                      min(CASE WHEN cost = min_cost THEN k END)
+                        OVER () AS best_k
+               FROM mc)
+         SELECT k::BIGINT AS k, bin::BIGINT AS bin, tp::BIGINT AS tp,
+                fp::BIGINT AS fp, fn::BIGINT AS fn, tn::BIGINT AS tn,
+                cost::BIGINT AS cost,
+                (CASE WHEN k = best_k THEN 1 ELSE 0 END)::BIGINT
+                  AS is_best
+         FROM m ORDER BY k""",
+
+    // Characteristic-analysis replay: per variable, train-cohort
+    // closed-form WoE at the pinned splits (rounded to 6 FIRST — the
+    // engine multiplies the rounded woe), truncated-ppm population
+    // shares, rounded shift mass
+    "q_char_analysis" ->
+      """WITH li AS (
+           SELECT l_orderkey % 2 AS half,
+                  CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bin_p,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bin_q,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         u AS (
+           SELECT 'l_extendedprice' AS variable, half, bin_p AS bin, y
+           FROM li
+           UNION ALL
+           SELECT 'l_quantity' AS variable, half, bin_q AS bin, y
+           FROM li),
+         tr AS (SELECT variable, bin, count(*) AS n_train,
+                       sum(y) AS e_train
+                FROM u WHERE half = 0 GROUP BY 1, 2),
+         te AS (SELECT variable, bin, count(*) AS n_test
+                FROM u WHERE half = 1 GROUP BY 1, 2),
+         j AS (
+           SELECT COALESCE(tr.variable, te.variable) AS variable,
+                  COALESCE(tr.bin, te.bin) AS bin,
+                  COALESCE(n_train, 0) AS n_train,
+                  COALESCE(e_train, 0) AS e_train,
+                  COALESCE(n_test, 0) AS n_test
+           FROM tr FULL OUTER JOIN te
+             ON tr.variable = te.variable AND tr.bin = te.bin),
+         t AS (
+           SELECT *, sum(n_train) OVER pv AS tot_train,
+                  sum(e_train) OVER pv AS tot_e,
+                  sum(n_test) OVER pv AS tot_test,
+                  n_train - e_train AS ne_train,
+                  sum(n_train) OVER pv - sum(e_train) OVER pv AS tot_ne
+           FROM j WINDOW pv AS (PARTITION BY variable)),
+         w AS (
+           SELECT *, round(CASE WHEN e_train > 0 AND ne_train > 0
+                  THEN ln((ne_train::DOUBLE / tot_ne) /
+                          (e_train::DOUBLE / tot_e))
+                  ELSE 0.0 END, 6) AS woe6
+           FROM t)
+         SELECT variable, bin::BIGINT AS bin, n_train::BIGINT AS n_train,
+                n_test::BIGINT AS n_test,
+                ((1000000 * n_train) // tot_train)::BIGINT
+                  AS pct_train_ppm,
+                ((1000000 * n_test) // tot_test)::BIGINT AS pct_test_ppm,
+                woe6,
+                round((n_test::DOUBLE / tot_test -
+                       n_train::DOUBLE / tot_train) * woe6, 6) AS shift6
+         FROM w ORDER BY variable, bin""",
+
+    // Migration-matrix replay: integer-cents spend bands per customer
+    // in each half, inner join on the customer, ppm row shares
+    "q_migration_matrix" ->
+      """WITH a AS (
+           SELECT o_custkey,
+                  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sp
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'
+           GROUP BY 1),
+         b AS (
+           SELECT o_custkey,
+                  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sp
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+           GROUP BY 1),
+         ba AS (SELECT o_custkey,
+                       CASE WHEN sp < 15000000 THEN 0
+                            WHEN sp < 30000000 THEN 1
+                            WHEN sp < 45000000 THEN 2
+                            ELSE 3 END AS band_from
+                FROM a),
+         bb AS (SELECT o_custkey,
+                       CASE WHEN sp < 15000000 THEN 0
+                            WHEN sp < 30000000 THEN 1
+                            WHEN sp < 45000000 THEN 2
+                            ELSE 3 END AS band_to
+                FROM b),
+         m AS (SELECT band_from, band_to, count(*) AS n
+               FROM ba JOIN bb USING (o_custkey) GROUP BY 1, 2)
+         SELECT band_from::BIGINT AS band_from,
+                band_to::BIGINT AS band_to, n::BIGINT AS n,
+                ((1000000 * n) //
+                 sum(n) OVER (PARTITION BY band_from))::BIGINT
+                  AS share_ppm
+         FROM m ORDER BY 1, 2"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

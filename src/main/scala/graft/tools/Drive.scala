@@ -8,18 +8,21 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries("q_snowflake_rollup")(
-      spark, "/root/testdata/sf0.01")
-    val plan = df.queryExecution.executedPlan.toString
-    println("BroadcastHashJoin count: " +
-      plan.linesIterator.count(_.contains("BroadcastHashJoin")))
-    println("SortMergeJoin count: " +
-      plan.linesIterator.count(_.contains("SortMergeJoin")))
-    println("partial agg: " + plan.contains("HashAggregate"))
-    println(plan.linesIterator
-      .filter(l => l.contains("Join") || l.contains("Scan parquet") ||
-                   l.contains("HashAggregate"))
-      .map(_.take(150)).mkString("\n"))
+    Seq("q_gains_table", "q_threshold_sweep", "q_char_analysis",
+        "q_migration_matrix").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"=== $q ===")
+      println("  scans: " + plan.linesIterator
+        .filter(_.contains("Scan parquet"))
+        .map(l => l.slice(l.indexOf("ReadSchema"), l.indexOf("ReadSchema") + 120))
+        .mkString(" | "))
+      println("  exchanges: " +
+        plan.linesIterator.count(_.contains("Exchange")))
+      println("  codegen spans: " +
+        plan.linesIterator.count(_.contains("WholeStageCodegen")))
+      df.show(20, truncate = false)
+    }
     spark.stop()
   }
 }
