@@ -4505,7 +4505,43 @@ object SparkEntry {
         bands(o.where(col("o_orderdate") < pivot)),
         bands(o.where(col("o_orderdate") >= pivot)),
         "o_custkey", "band")
-    })
+    }),
+
+    "q_vintage" -> ((s, dir) => {
+      // vintage analysis: cumulative return rate by months-on-book
+      // per origination-month cohort — the credit-risk curve family.
+      // Orderkey fact-fact join (co-partition/bucket both sides at
+      // scale, the q_cycle_time recipe), ONE (cohort, age) aggregate,
+      // then cohort-partitioned cumsums on the bounded curve table.
+      val o = T(s, dir, "orders").select(
+        col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("cohort"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("om"))
+      val li = T(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .as("sm"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ev"))
+      // the synthetic shipdates are not anchored to their order date,
+      // so clamp to observations at/after origination (age >= 0) —
+      // the standard vintage exposure definition
+      val f = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .where(col("sm") >= col("om"))
+      graft.operators.Temporal.vintageCurves(
+        f, col("cohort"), (col("sm") - col("om")).cast("long"),
+        col("ev"))
+    }),
+
+    "q_seasonal_decompose" -> ((s, dir) =>
+      // pure-BIGINT additive seasonal decomposition of the per-type
+      // daily event series: centered 7-day moving-sum trend over the
+      // zero-filled calendar spine, 7-scaled detrended mass rolled up
+      // to a day-of-week profile (interior days only; numerator /
+      // denominator integers — no truncating division on negatives)
+      graft.operators.Monitoring.seasonalDecomposeDaily(
+        T(s, dir, "events"), "event_type", "ts"))
   )
 
   private def scale6(v: Double): Double =
@@ -10705,7 +10741,71 @@ object SparkEntry {
                 ((1000000 * n) //
                  sum(n) OVER (PARTITION BY band_from))::BIGINT
                   AS share_ppm
-         FROM m ORDER BY 1, 2"""
+         FROM m ORDER BY 1, 2""",
+
+    // Vintage replay: same cohort/age month arithmetic, cohort-
+    // partitioned cumulative events, truncated-ppm rate of
+    // non-negative integers
+    "q_vintage" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  date_part('year', o_orderdate) * 100 +
+                    date_part('month', o_orderdate) AS cohort,
+                  date_part('year', o_orderdate) * 12 +
+                    date_part('month', o_orderdate) AS om
+           FROM orders),
+         f AS (
+           SELECT cohort,
+                  (date_part('year', l_shipdate) * 12 +
+                   date_part('month', l_shipdate)) - om AS age,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev
+           FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+         a AS (SELECT cohort, age, count(*) AS n, sum(ev) AS e
+               FROM f WHERE age >= 0 GROUP BY 1, 2),
+         c AS (SELECT cohort, age, n, e,
+                      sum(e) OVER (PARTITION BY cohort ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS cum_e,
+                      sum(n) OVER (PARTITION BY cohort) AS n_cohort
+               FROM a)
+         SELECT cohort::BIGINT AS cohort, age::BIGINT AS age,
+                n::BIGINT AS n, e::BIGINT AS n_event,
+                cum_e::BIGINT AS cum_event,
+                n_cohort::BIGINT AS n_cohort,
+                ((1000000 * cum_e) // n_cohort)::BIGINT AS rate_ppm
+         FROM c ORDER BY 1, 2""",
+
+    // Seasonal-decomposition replay: per-type daily counts, zero-
+    // filled corpus-range spine, centered 7-day window sum, interior
+    // days only, dow rollup (DuckDB dow: Sunday=0 — the engine emits
+    // dayofweek-1 to match)
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+         spine AS (
+           SELECT g, CAST(unnest(generate_series(r.mn, r.mx,
+                            INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT DISTINCT g FROM daily) gg, r),
+         filled AS (
+           SELECT s.g, s.d, COALESCE(daily.n, 0) AS n
+           FROM spine s LEFT JOIN daily USING (g, d)),
+         wnd AS (
+           SELECT g, d, n,
+                  sum(n) OVER (PARTITION BY g ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS trend7,
+                  row_number() OVER (PARTITION BY g ORDER BY d) AS i,
+                  count(*) OVER (PARTITION BY g) AS days
+           FROM filled)
+         SELECT g AS event_type, dayofweek(d)::BIGINT AS dow,
+                count(*)::BIGINT AS n_days, sum(n)::BIGINT AS sum_count,
+                sum(7 * n - trend7)::BIGINT AS sum_detr_x7,
+                sum(trend7)::BIGINT AS trend7_sum
+         FROM wnd WHERE i > 3 AND i <= days - 3
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

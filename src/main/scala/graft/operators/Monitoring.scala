@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Population-stability monitoring (`optbinning/scorecard/monitoring.py`):
@@ -393,5 +394,59 @@ object Monitoring {
       .agg((sum("e") + sum("ne")).cast("long").as("n"),
            sum("e").cast("long").as("n_event"),
            round(sum(term), 6).as("iv"))
+  }
+
+  /** Additive seasonal decomposition of a per-group daily count
+    * series, pure-BIGINT: trend is the centered 7-day moving SUM over
+    * the zero-filled calendar spine, the detrended series is scaled
+    * by 7 to stay integral (`detr_x7 = 7*count - trend7_sum`), and
+    * the day-of-week seasonal profile reports the integer numerator
+    * and denominator of the mean detrended mass (no division — a
+    * truncating div on negative values floors differently across
+    * engines, so callers divide, not the report).
+    *
+    * Shape: ONE full-data aggregate to (group, day); the spine, the
+    * 7-day window (PARTITIONED by group, calendar-bounded rows) and
+    * the day-of-week rollup all run on the bounded daily table. Edge
+    * days without a full +-3-day window are excluded from the profile
+    * (interior days only), so every contribution is a true centered
+    * window.
+    *
+    * `dow` is 0=Sunday..6=Saturday. Output per (group, dow):
+    * `n_days` interior days, `sum_count` their raw counts,
+    * `sum_detr_x7` the 7-scaled detrended mass, and `trend7_sum`
+    * checksum of their window sums.
+    */
+  def seasonalDecomposeDaily(df: DataFrame, groupCol: String,
+                             tsCol: String): DataFrame = {
+    val daily = df
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+               to_date(col(tsCol).cast("timestamp")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    // zero-filled calendar spine per group over the CORPUS day range:
+    // a group silent on a day contributes a true zero to the window
+    val range = daily.agg(min("d").as("mn"), max("d").as("mx"))
+    val groups = daily.select("g").distinct()
+    val spine = groups.join(broadcast(range), lit(true))
+      .select(col("g"), explode(expr("sequence(mn, mx)")).as("d"))
+    val filled = spine.join(daily, Seq("g", "d"), "left")
+      .na.fill(0L, Seq("n"))
+    val w7 = Window.partitionBy("g").orderBy("d").rowsBetween(-3, 3)
+    val pos = Window.partitionBy("g").orderBy("d")
+    val nDays = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled
+      .withColumn("trend7", sum("n").over(w7))
+      .withColumn("i", row_number().over(pos))
+      .withColumn("days", count(lit(1)).over(nDays))
+      .where(col("i") > 3 && col("i") <= col("days") - 3)
+      .withColumn("detr_x7", lit(7L) * col("n") - col("trend7"))
+      .withColumn("dow", (dayofweek(col("d")) - 1).cast("long"))
+      .groupBy(col("g").as(groupCol), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("n").as("sum_count"),
+           sum("detr_x7").as("sum_detr_x7"),
+           sum("trend7").as("trend7_sum"))
+      .orderBy(groupCol, "dow")
   }
 }

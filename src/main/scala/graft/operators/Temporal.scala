@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -593,5 +593,38 @@ object Temporal {
     gaps.agg(count(lit(1)).as("n_gaps"), min("__gap").as("min_gap_s"),
              max("__gap").as("max_gap_s"), sum("__gap").as("sum_gap_s"))
       .join(broadcast(p50), lit(true), "left")
+  }
+
+  /** Vintage curves: cumulative event rate by age for each
+    * origination cohort — the credit-risk "vintage analysis" view
+    * (does the 2024-03 cohort default faster at month 6 than the
+    * 2024-01 cohort did?). Input is one row per exposure with its
+    * cohort key, integer age at observation, and 0/1 event flag.
+    *
+    * ONE aggregate keyed on (cohort, age), then the cumulative sum
+    * and cohort totals run on the (cohorts x ages)-bounded table with
+    * windows PARTITIONED by cohort — never a window over raw rows.
+    * Rates are truncated-ppm BIGINTs of non-negative integers (no
+    * float division, no floor-vs-truncate ambiguity). Ages with zero
+    * exposures emit no row (the curve is read as a step function);
+    * callers needing a dense age spine can densify the bounded output.
+    */
+  def vintageCurves(facts: DataFrame, cohortCol: Column, ageCol: Column,
+                    eventCol: Column): DataFrame = {
+    val byCell = facts
+      .groupBy(cohortCol.as("cohort"), ageCol.as("age"))
+      .agg(count(lit(1)).as("n"),
+           sum(eventCol.cast("long")).as("n_event"))
+    val cum = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("cohort")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byCell
+      .withColumn("cum_event", sum("n_event").over(cum))
+      .withColumn("n_cohort", sum("n").over(tot))
+      .select(col("cohort"), col("age"), col("n"), col("n_event"),
+              col("cum_event"), col("n_cohort"),
+              expr("(1000000 * cum_event) div n_cohort").as("rate_ppm"))
+      .orderBy("cohort", "age")
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-9 session additions beyond the scorecard
+  * analytics family: vintage curves and the pure-BIGINT seasonal
+  * decomposition. */
+class Round9OpsSpec extends AnyFunSuite {
+
+  test("vintageCurves: per-cohort cumulative events, cohort totals, " +
+       "truncated-ppm rate; age gaps emit no row") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // cohort A: ages 0 (n=2 e=1), 2 (n=1 e=1)   -- age 1 absent
+    // cohort B: age 0 (n=3 e=0)
+    val facts = Seq(
+      ("A", 0L, 1L), ("A", 0L, 0L), ("A", 2L, 1L),
+      ("B", 0L, 0L), ("B", 0L, 0L), ("B", 0L, 0L)
+    ).toDF("cohort", "age", "ev")
+    val got = graft.operators.Temporal
+      .vintageCurves(facts, col("cohort"), col("age"), col("ev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5),
+                 r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("A", 0L, 2L, 1L, 1L, 3L, 333333L),
+      ("A", 2L, 1L, 1L, 2L, 3L, 666666L),
+      ("B", 0L, 3L, 0L, 0L, 3L, 0L)))
+  }
+
+  test("seasonalDecomposeDaily: zero-filled spine, centered 7-day " +
+       "trend, interior-days-only dow profile, exact integers") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // group g over 9 consecutive days (2024-01-01 Mon .. 01-09 Tue),
+    // counts: 1,2,3,4,5,6,7,0,9 (day 8 silent -> zero-filled).
+    // Interior days are d4..d6 (i in 4..6 of 9):
+    //   d4 (Thu): n=4, trend7=1+2+3+4+5+6+7=28, detr=28-28=0
+    //   d5 (Fri): n=5, trend7=2+..+7+0=27,      detr=35-27=8
+    //   d6 (Sat): n=6, trend7=3+..+7+0+9=34,    detr=42-34=8
+    val counts = Seq(1, 2, 3, 4, 5, 6, 7, 9)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      val day = if (n == 9) 9 else i + 1 // day 8 silent
+      Seq.fill(n)(("g", Timestamp.valueOf(f"2024-01-0$day 12:00:00")))
+    }
+    val got = graft.operators.Monitoring
+      .seasonalDecomposeDaily(rows.toDF("event_type", "ts"),
+                              "event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5)))
+    // dow: 2024-01-04 is Thursday=4, 05 Fri=5, 06 Sat=6 (Sunday=0)
+    assert(got.toSeq == Seq(
+      ("g", 4L, 1L, 4L, 0L, 28L),
+      ("g", 5L, 1L, 5L, 8L, 27L),
+      ("g", 6L, 1L, 6L, 8L, 34L)))
+  }
+
+  test("seasonalDecomposeDaily: a series shorter than 7 days yields " +
+       "no interior rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 5).map(d =>
+      ("g", Timestamp.valueOf(f"2024-01-0$d 00:00:01")))
+    val got = graft.operators.Monitoring
+      .seasonalDecomposeDaily(rows.toDF("event_type", "ts"),
+                              "event_type", "ts")
+    assert(got.count() == 0L)
+  }
+}
