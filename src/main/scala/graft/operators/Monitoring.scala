@@ -424,6 +424,11 @@ object Monitoring {
       .groupBy(col(groupCol).as("g"),
                to_date(col(tsCol).cast("timestamp")).as("d"))
       .agg(count(lit(1)).as("n"))
+      // re-read three times (range, group list, spine join) — persist
+      // the calendar-bounded aggregate so the RAW table is scanned
+      // once (caller releases via clearCache, the eventGapProfile
+      // convention)
+      .persist()
     // zero-filled calendar spine per group over the CORPUS day range:
     // a group silent on a day contributes a true zero to the window
     val range = daily.agg(min("d").as("mn"), max("d").as("mx"))

@@ -8,8 +8,7 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("q_gains_table", "q_threshold_sweep", "q_char_analysis",
-        "q_migration_matrix").foreach { q =>
+    Seq("q_vintage", "q_seasonal_decompose").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
       println(s"=== $q ===")
@@ -21,7 +20,9 @@ object Drive {
         plan.linesIterator.count(_.contains("Exchange")))
       println("  codegen spans: " +
         plan.linesIterator.count(_.contains("WholeStageCodegen")))
-      df.show(20, truncate = false)
+      println("  inmem scans: " +
+        plan.linesIterator.count(_.contains("InMemoryTableScan")))
+      df.show(8, truncate = false)
     }
     spark.stop()
   }
