@@ -4541,7 +4541,33 @@ object SparkEntry {
       // to a day-of-week profile (interior days only; numerator /
       // denominator integers — no truncating division on negatives)
       graft.operators.Monitoring.seasonalDecomposeDaily(
-        T(s, dir, "events"), "event_type", "ts"))
+        T(s, dir, "events"), "event_type", "ts")),
+
+    "q_item_neighbors" -> ((s, dir) => {
+      // "customers also bought": top-3 basket-Jaccard neighbors per
+      // item via the O(k)-state TopKAgg (never a window rank over the
+      // pair fan-out), candidates from within-basket pair generation
+      // (never an all-pairs item join). Report restricted to the 20
+      // highest-support items (ties: smaller partkey).
+      val li = T(s, dir, "lineitem")
+      val nb = graft.operators.MarketBasket
+        .itemNeighbors(li, "l_orderkey", "l_partkey", k = 3)
+        .persist() // read twice: head selection + final restrict
+      val head = nb.select("item", "c_item").distinct()
+        .orderBy(col("c_item").desc, col("item").asc).limit(20)
+      nb.join(broadcast(head.select("item")), Seq("item"))
+        .orderBy("item", "rank")
+    }),
+
+    "q_bpe_merges" -> ((s, dir) =>
+      // BPE tokenizer-training merge loop: ONE corpus pass builds the
+      // weighted word vocabulary; 4 merge rounds then iterate on that
+      // bounded table (count adjacent symbol pairs with within-word
+      // multiplicity, argmax with the (freq desc, left, right)
+      // tie-break, apply the left-to-right non-overlapping replace —
+      // SQL replace() semantics, so every round replays exactly).
+      graft.pipeline.Tokenizer.bpeMerges(
+        T(s, dir, "documents"), "text", rounds = 4))
   )
 
   private def scale6(v: Double): Double =
@@ -10805,7 +10831,127 @@ object SparkEntry {
                 sum(7 * n - trend7)::BIGINT AS sum_detr_x7,
                 sum(trend7)::BIGINT AS trend7_sum
          FROM wnd WHERE i > 3 AND i <= days - 3
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Item-neighbor replay: distinct (basket, item), brute pair
+    // self-join (the engine's within-basket generator proves the same
+    // set), Jaccard ppm, row_number rank, 20-item head
+    "q_item_neighbors" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+         ci AS (SELECT i, count(*) AS c FROM bi GROUP BY 1),
+         p AS (SELECT a.i AS ia, bb.i AS ib, count(*) AS cij
+               FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2),
+         sym AS (SELECT ia AS item, ib AS neighbor, cij FROM p
+                 UNION ALL SELECT ib, ia, cij FROM p),
+         jac AS (SELECT item, neighbor, cij, ca.c AS c_item,
+                        cb.c AS c_neighbor,
+                        (1000000 * cij) // (ca.c + cb.c - cij)
+                          AS jaccard_ppm
+                 FROM sym JOIN ci ca ON sym.item = ca.i
+                          JOIN ci cb ON sym.neighbor = cb.i),
+         r AS (SELECT *, row_number() OVER (PARTITION BY item
+                 ORDER BY jaccard_ppm DESC, neighbor) AS rank
+               FROM jac),
+         head AS (SELECT ci.i FROM ci
+                  JOIN (SELECT DISTINCT item FROM jac) t
+                    ON ci.i = t.item
+                  ORDER BY ci.c DESC, ci.i LIMIT 20)
+         SELECT item::BIGINT AS item, rank::BIGINT AS rank,
+                neighbor::BIGINT AS neighbor,
+                jaccard_ppm::BIGINT AS jaccard_ppm,
+                cij::BIGINT AS c_pair, c_item::BIGINT AS c_item,
+                c_neighbor::BIGINT AS c_neighbor
+         FROM r JOIN head ON r.item = head.i
+         WHERE rank <= 3 ORDER BY item, rank""",
+
+    // BPE replay: weighted char-split vocabulary, then 4 unrolled
+    // merge rounds — pair counts via 1-based adjacent indexing,
+    // argmax with the same tie-break, replace() with the same
+    // left-to-right non-overlapping semantics as the engine
+    "q_bpe_merges" ->
+      """WITH words AS (
+           SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         v0 AS (
+           SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+                  count(*) AS cnt
+           FROM words WHERE length(w) > 0 GROUP BY 1),
+         pf1 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt,
+                        unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v0) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b1 AS (SELECT p1, p2, f FROM pf1
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v1 AS (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b1.p1 || ' ' || b1.p2 || ' ',
+                         ' ' || b1.p1 || b1.p2 || ' ')) AS syms, cnt
+                FROM v0, b1),
+         pf2 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v1) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b2 AS (SELECT p1, p2, f FROM pf2
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v2 AS (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b2.p1 || ' ' || b2.p2 || ' ',
+                         ' ' || b2.p1 || b2.p2 || ' ')) AS syms, cnt
+                FROM v1, b2),
+         pf3 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v2) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b3 AS (SELECT p1, p2, f FROM pf3
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v3 AS (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b3.p1 || ' ' || b3.p2 || ' ',
+                         ' ' || b3.p1 || b3.p2 || ' ')) AS syms, cnt
+                FROM v2, b3),
+         pf4 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v3) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b4 AS (SELECT p1, p2, f FROM pf4
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v4 AS (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b4.p1 || ' ' || b4.p2 || ' ',
+                         ' ' || b4.p1 || b4.p2 || ' ')) AS syms, cnt
+                FROM v3, b4)
+         SELECT 1::BIGINT AS round, p1 AS pair_left, p2 AS pair_right,
+                p1 || p2 AS merged, f::BIGINT AS freq,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM v1)::BIGINT AS corpus_tokens_after
+         FROM b1
+         UNION ALL
+         SELECT 2, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM v2)::BIGINT
+         FROM b2
+         UNION ALL
+         SELECT 3, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM v3)::BIGINT
+         FROM b3
+         UNION ALL
+         SELECT 4, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM v4)::BIGINT
+         FROM b4
+         ORDER BY round"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

@@ -47,4 +47,98 @@ object MarketBasket {
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** "Customers also bought": the top-k most-similar items per item by
+    * basket Jaccard, as exact truncated-ppm integers
+    * `1e6 * c_ij div (c_i + c_j - c_ij)`.
+    *
+    * Candidates come from [[coOccurrence]] (within-basket pair
+    * generation — never an all-pairs item join), item supports from
+    * one distinct-(basket, item) aggregate, and the per-item top-k is
+    * the O(k)-state `topkLongs` aggregate (map-side combined; a
+    * mega-item with millions of co-occurring neighbors never lands on
+    * one task's sort — the knnLabelEval discipline, no window rank).
+    * Ties order (jaccard desc, neighbor asc) — identical to the SQL
+    * `row_number` replay. The pair support `c_pair` is re-attached by
+    * joining the k-bounded exploded result back to the pair table, so
+    * no packing-width bound on item ids is imposed.
+    */
+  def itemNeighbors(df: DataFrame, basketCol: String, itemCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // ONE raw-table shuffle builds the per-basket distinct item sets;
+    // both the pair generation and the item supports derive from it
+    // (a separate distinct+count would re-shuffle the raw table)
+    val baskets = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol).as("__b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .persist()
+    val support = baskets
+      .select(explode(col("__items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("c_item"))
+      .persist() // read by the scoring join and the k-bounded re-attach
+    val pairs = baskets
+      .where(size(col("__items")) >= 2)
+      .select(
+        explode(flatten(transform(
+          sequence(lit(0), size(col("__items")) - 2),
+          i => transform(
+            sequence(i + 1, size(col("__items")) - 1),
+            j => struct(element_at(col("__items"), i + 1).as("item_a"),
+                        element_at(col("__items"), j + 1).as("item_b"))))))
+          .as("__p"))
+      .select(col("__p.item_a").as("item_a"),
+              col("__p.item_b").as("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n"))
+      // the canonical (a < b) pair aggregate is the HALF-size table;
+      // persist THIS (not the symmetrized/scored 2x expansion): it is
+      // read by the scoring pass and by the k-bounded re-attach join
+      // (caller releases via clearCache)
+      .persist()
+    // symmetrize in ONE pass over the cached pair aggregate, score
+    // single-use (no persist of the 2x table). The support joins
+    // auto-broadcast under AQE whenever the item dimension fits; at a
+    // catalog too large to broadcast they degrade to shuffle joins on
+    // the pair aggregate — still never the raw basket table.
+    val scored = pairs
+      .select(explode(array(
+        struct(col("item_a").as("item"), col("item_b").as("neighbor")),
+        struct(col("item_b").as("item"), col("item_a").as("neighbor"))))
+        .as("__e"), col("n").as("c_pair"))
+      .select(col("__e.item").as("item"),
+              col("__e.neighbor").as("neighbor"), col("c_pair"))
+      .join(support, Seq("item"))
+      .join(support.select(col("item").as("neighbor"),
+                           col("c_item").as("c_neighbor")),
+            Seq("neighbor"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * c_pair) div (c_item + c_neighbor - c_pair)"))
+    val topk = scored
+      .groupBy("item")
+      .agg(graft.functions.TopKAgg
+             .topkLongs(col("jaccard_ppm"), col("neighbor"), k)
+             .as("__top"))
+      .select(col("item"),
+              posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("item"), (col("__pos") + 1).cast("long").as("rank"),
+              col("__t.id").as("neighbor"),
+              col("__t.key").as("jaccard_ppm"))
+    // k-bounded output side re-attaches the pair count from the
+    // canonical half-size table and the supports from the dimension
+    topk
+      .withColumn("__a", least(col("item"), col("neighbor")))
+      .withColumn("__b", greatest(col("item"), col("neighbor")))
+      .join(pairs.select(col("item_a").as("__a"),
+                         col("item_b").as("__b"),
+                         col("n").as("c_pair")),
+            Seq("__a", "__b"))
+      .join(support, Seq("item"))
+      .join(support.select(col("item").as("neighbor"),
+                           col("c_item").as("c_neighbor")),
+            Seq("neighbor"))
+      .select("item", "rank", "neighbor", "jaccard_ppm", "c_pair",
+              "c_item", "c_neighbor")
+  }
 }

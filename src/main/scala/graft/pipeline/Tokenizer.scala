@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tokenizer-training primitives: the byte-pair-encoding merge loop
+  * over a corpus, run the way BPE trainers actually run at scale —
+  * ONE corpus pass builds the weighted word vocabulary (distinct
+  * words + occurrence counts), and every merge round then iterates on
+  * that vocabulary table, which is bounded by the language (millions
+  * of distinct words against trillions of corpus tokens). The corpus
+  * is never rescanned.
+  *
+  * Merge semantics: each round counts adjacent symbol pairs weighted
+  * by word frequency (with within-word multiplicity, the standard BPE
+  * count), picks the most frequent pair with the deterministic
+  * tie-break (freq desc, left asc, right asc), and applies the merge
+  * as a left-to-right non-overlapping replace on the space-delimited
+  * symbol string — the exact semantics of SQL `replace()`, so every
+  * round replays bit-identically in ANSI SQL. (True BPE re-scans
+  * overlaps after each merge within a word; the left-to-right
+  * non-overlapping variant is the documented, replayable choice and
+  * matches what `replace` does in both engines.)
+  */
+object Tokenizer {
+
+  /** Run `rounds` BPE merges; returns one row per round:
+    * `(round, pair_left, pair_right, merged, freq,
+    * corpus_tokens_after)` where `freq` is the merged pair's weighted
+    * occurrence count and `corpus_tokens_after` the total corpus
+    * symbol count after applying the merge.
+    *
+    * The per-round argmax is ONE collected row (freq-ordered
+    * take-1 over the bounded vocabulary-pair aggregate — the
+    * budget-gated driver-step discipline shared with the fit
+    * solvers); everything else stays distributed on the vocabulary
+    * table, persisted between rounds with the previous round's
+    * lineage cut. */
+  def bpeMerges(docs: DataFrame, textCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+            "rounds must be in [1, 16] — each round is a driver step")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .where(col(textCol).isNotNull)
+      .select(explode(split(lower(col(textCol)), " +")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // char-split into the space-delimited symbol string
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+              col("cnt"))
+      .persist()
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var vocab = vocab0
+    (1 to rounds).foreach { r =>
+      val pairFreq = vocab
+        .select(split(col("syms"), " ").as("a"), col("cnt"))
+        // single-symbol words first: sequence(0, -1) is a DESCENDING
+        // range in Spark, not empty (the coOccurrence lesson)
+        .where(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(a) - 2),
+             i -> struct(a[i] AS p1, a[i + 1] AS p2))""")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum("cnt").as("f"))
+      val best = pairFreq
+        .orderBy(col("f").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (p1, p2, f) = (best(0).getString(0), best(0).getString(1),
+                           best(0).getLong(2))
+        val merged = p1 + p2
+        val next = vocab
+          .select(trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+                               lit(s" $p1 $p2 "), lit(s" $merged ")))
+                    .as("syms"),
+                  col("cnt"))
+          .persist()
+        val tokensAfter = next
+          .agg(sum(col("cnt") * size(split(col("syms"), " "))))
+          .head.getLong(0)
+        vocab.unpersist()
+        vocab = next
+        out += Row(r.toLong, p1, p2, merged, f, tokensAfter)
+      }
+    }
+    vocab.unpersist()
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("pair_left", StringType, nullable = false),
+      StructField("pair_right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("corpus_tokens_after", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+}

@@ -70,5 +70,77 @@ class Round9OpsSpec extends AnyFunSuite {
       .seasonalDecomposeDaily(rows.toDF("event_type", "ts"),
                               "event_type", "ts")
     assert(got.count() == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("itemNeighbors: basket-Jaccard top-k per item, exact ppm, " +
+       "rate ties impossible by construction here") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // b1:{1,2,3} b2:{1,2} b3:{2,3} b4:{1}; supports c1=3 c2=3 c3=2
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+                 (30L, 2L), (30L, 3L), (40L, 1L))
+      .toDF("basket", "item")
+    val got = graft.operators.MarketBasket
+      .itemNeighbors(df, "basket", "item", k = 2)
+      .orderBy("item", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 500000L, 2L, 3L, 3L),   // j(1,2)=2/4
+      (1L, 2L, 3L, 250000L, 1L, 3L, 2L),   // j(1,3)=1/4
+      (2L, 1L, 3L, 666666L, 2L, 3L, 2L),   // j(2,3)=2/3
+      (2L, 2L, 1L, 500000L, 2L, 3L, 3L),
+      (3L, 1L, 2L, 666666L, 2L, 2L, 3L),
+      (3L, 2L, 1L, 250000L, 1L, 2L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("itemNeighbors: jaccard ties rank the smaller neighbor first " +
+       "(the topkLongs id-asc tie-break)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // item 1 co-occurs once with each of 5 and 9, all supports equal:
+    // identical jaccard, so rank 1 must be neighbor 5
+    val df = Seq((10L, 1L), (10L, 5L), (20L, 1L), (20L, 9L),
+                 (30L, 5L), (30L, 9L))
+      .toDF("basket", "item")
+    val got = graft.operators.MarketBasket
+      .itemNeighbors(df, "basket", "item", k = 2)
+      .where(col("item") === 1L).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 5L), (2L, 9L)))
+    spark.catalog.clearCache()
+  }
+
+  test("bpeMerges: textbook two-round merge with weighted counts and " +
+       "corpus token totals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // vocab: "ab" x3, "abc" x3 -> round 1 merges (a,b) f=6,
+    // round 2 merges (ab,c) f=3
+    val docs = Seq("ab ab abc", "ab abc abc").toDF("text")
+    val got = graft.pipeline.Tokenizer.bpeMerges(docs, "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "ab", 6L, 9L),
+      (2L, "ab", "c", "abc", 3L, 6L)))
+  }
+
+  test("bpeMerges: frequency ties break lexicographically; repeated " +
+       "symbols merge left-to-right non-overlapping") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // "xy" and "zw" tie at f=1 -> (x,y) wins; "aaa" has pair (a,a)
+    // f=2 and merges to "aa a" (non-overlapping), 2 symbols left
+    val tie = graft.pipeline.Tokenizer
+      .bpeMerges(Seq("xy zw").toDF("text"), "text", 1).collect()(0)
+    assert((tie.getString(1), tie.getString(2)) == (("x", "y")))
+    val tri = graft.pipeline.Tokenizer
+      .bpeMerges(Seq("aaa").toDF("text"), "text", 1).collect()(0)
+    assert((tri.getString(3), tri.getLong(4), tri.getLong(5)) ==
+           (("aa", 2L, 2L)))
   }
 }
