@@ -706,6 +706,87 @@ object ScaleProbe {
         }
       }
     }
+    section("round9") {
+      // round-9 additions at 1x/16x. Replication shapes chosen to be
+      // honest per operator: itemNeighbors gets DISJOINT basket copies
+      // (remapped orderkeys — pair-aggregate input scales 16x, the
+      // candidate pair SET stays the catalog's, supports scale);
+      // bpeMerges gets exact doc replicas (the vocabulary is
+      // IDENTICAL, so the corpus pass scales with tokens while every
+      // merge round iterates the same bounded vocab — the design
+      // claim); bandMigration gets remapped customers (16x entities,
+      // same matrix shape); vintageCurves remaps orderkeys on BOTH
+      // fact sides (join cardinality scales linearly, curve table
+      // bounded by calendar).
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+      Seq(1, 16).foreach { mult =>
+        def remap(df: org.apache.spark.sql.DataFrame, idCol: String) =
+          if (mult == 1) df
+          else df.crossJoin(
+              spark.range(mult.toLong).select(col("id").as("__rep")))
+            .withColumn(idCol,
+              col(idCol) * mult + col("__rep")).drop("__rep")
+        val li2 = remap(liRaw, "l_orderkey")
+        val ord2 = remap(ordRaw, "o_orderkey")
+        val cust2 = remap(ordRaw, "o_custkey")
+        val d = if (mult == 1) docs
+                else docs.crossJoin(spark.range(mult.toLong)
+                  .select(col("id").as("__rep"))).drop("__rep")
+        val nl = li2.count(); val nd = d.count()
+        (1 to 2).foreach { pass =>
+          val tIn = timed {
+            graft.operators.MarketBasket
+              .itemNeighbors(li2, "l_orderkey", "l_partkey", k = 3)
+              .agg(sum(col("jaccard_ppm"))).collect()
+          }
+          spark.catalog.clearCache()
+          val tBpe = timed {
+            graft.pipeline.Tokenizer.bpeMerges(d, "text", rounds = 4)
+              .agg(sum(col("freq"))).collect()
+          }
+          spark.catalog.clearCache()
+          val tMig = timed {
+            def bands(df: org.apache.spark.sql.DataFrame) = df
+              .groupBy("o_custkey")
+              .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+                     .as("sp"))
+              .select(col("o_custkey"),
+                      (col("sp") / 15000000L).cast("long").as("band"))
+            val pivot = lit("1998-06-01").cast("timestamp")
+            graft.operators.ScorecardAnalytics.bandMigration(
+              bands(cust2.where(col("o_orderdate") < pivot)),
+              bands(cust2.where(col("o_orderdate") >= pivot)),
+              "o_custkey", "band")
+              .agg(sum(col("n"))).collect()
+          }
+          spark.catalog.clearCache()
+          val tVin = timed {
+            val o = ord2.select(col("o_orderkey"),
+              (year(col("o_orderdate")) * 100 +
+               month(col("o_orderdate"))).cast("long").as("cohort"),
+              (year(col("o_orderdate")) * 12 +
+               month(col("o_orderdate"))).as("om"))
+            val lf = li2.select(col("l_orderkey"),
+              (year(col("l_shipdate")) * 12 +
+               month(col("l_shipdate"))).as("sm"),
+              when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                .as("ev"))
+            graft.operators.Temporal.vintageCurves(
+              lf.join(o, lf("l_orderkey") === o("o_orderkey"))
+                .where(col("sm") >= col("om")),
+              col("cohort"), (col("sm") - col("om")).cast("long"),
+              col("ev"))
+              .agg(sum(col("n_event"))).collect()
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d lineitem=$nl%9d docs=$nd%8d " +
+              f"item_neighbors=$tIn%6.2f s bpe=$tBpe%6.2f s " +
+              f"migration=$tMig%6.2f s vintage=$tVin%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
     section("sf1stream") {
       // sf1-equivalent STREAMING point: the sessionization replay at
       // 1x and 10x event volume (replicas spread over NEW user keys,

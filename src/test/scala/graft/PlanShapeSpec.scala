@@ -556,4 +556,45 @@ class PlanShapeSpec extends AnyFunSuite {
            joinKeyLines.mkString("\n"))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("itemNeighbors: per-item top-k is the O(k) topk_longs " +
+       "aggregate — no window rank over the pair fan-out, no " +
+       "cartesian; one basket pass feeds pairs AND supports") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val plan = physical(MarketBasket.itemNeighbors(
+      li, "l_orderkey", "l_partkey", k = 3))
+    assert(plan.contains("topk_longs"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the basket aggregate and the canonical pair aggregate are the
+    // cached frames both downstream passes read
+    assert(plan.contains("InMemoryTableScan"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("gainsTable/thresholdSweep: ONE pruned full-data scan and one " +
+       "hash aggregate; every window sits above the bounded band " +
+       "table") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("y",
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val bin = when(col("l_extendedprice") < 50000, 0L).otherwise(1L)
+    Seq(ScorecardAnalytics.gainsTable(li, bin, "y"),
+        ScorecardAnalytics.thresholdSweep(li, bin, "y", 5L, 1L))
+      .foreach { df =>
+        val plan = physical(df)
+        assert(countOccurrences(plan, "Scan parquet") === 1, plan)
+        val readSchema = plan.linesIterator
+          .find(_.contains("ReadSchema")).getOrElse("")
+        // only the band source and the target reach the scan
+        assert(readSchema.contains("l_extendedprice") &&
+               readSchema.contains("l_returnflag") &&
+               !readSchema.contains("l_quantity"), readSchema)
+        assert(!plan.contains("CartesianProduct"), plan)
+      }
+  }
 }
