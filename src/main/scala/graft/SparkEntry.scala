@@ -4567,7 +4567,21 @@ object SparkEntry {
       // tie-break, apply the left-to-right non-overlapping replace —
       // SQL replace() semantics, so every round replays exactly).
       graft.pipeline.Tokenizer.bpeMerges(
-        T(s, dir, "documents"), "text", rounds = 4))
+        T(s, dir, "documents"), "text", rounds = 4)),
+
+    "q_lpa_communities" -> ((s, dir) => {
+      // synchronous label-propagation communities on the repeat
+      // co-purchase graph (the q_kcore edge set): 3 fixed rounds,
+      // most-frequent neighbor label with min-label ties — fully
+      // deterministic, argmax folded into the round aggregate via
+      // max(struct(cnt, MaxValue - lbl)), no window, no sort.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = graft.operators.MarketBasket
+        .coOccurrence(li, "l_orderkey", "l_partkey")
+        .where(col("n") >= 2)
+      graft.operators.Graph
+        .lpaCommunities(edges, "item_a", "item_b", rounds = 3)
+    })
   )
 
   private def scale6(v: Double): Double =
@@ -10951,7 +10965,49 @@ object SparkEntry {
                 (SELECT sum(cnt * len(string_split(syms, ' ')))
                  FROM v4)::BIGINT
          FROM b4
-         ORDER BY round"""
+         ORDER BY round""",
+
+    // LPA replay: the q_kcore co-purchase edge set, 3 unrolled
+    // synchronous rounds with the (count desc, label asc) argmax as a
+    // row_number pick. AS MATERIALIZED pins each multiply-referenced
+    // CTE (the q_kcore lesson — DuckDB otherwise re-derives the edge
+    // list per reference, transitively)
+    "q_lpa_communities" ->
+      """WITH bi AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.i AS x, bb.i AS y, count(*) AS c
+           FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+           GROUP BY 1, 2),
+         sym AS MATERIALIZED (
+           SELECT x AS src, y AS dst FROM e0 WHERE c >= 2
+           UNION
+           SELECT y, x FROM e0 WHERE c >= 2),
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+         c1 AS (SELECT s.dst AS v, l.lbl, count(*) AS c
+                FROM sym s JOIN l0 l ON s.src = l.v GROUP BY 1, 2),
+         l1 AS MATERIALIZED (
+           SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+         c2 AS (SELECT s.dst AS v, l.lbl, count(*) AS c
+                FROM sym s JOIN l1 l ON s.src = l.v GROUP BY 1, 2),
+         l2 AS MATERIALIZED (
+           SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+         c3 AS (SELECT s.dst AS v, l.lbl, count(*) AS c
+                FROM sym s JOIN l2 l ON s.src = l.v GROUP BY 1, 2),
+         l3 AS (
+           SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl) AS rn FROM c3) WHERE rn = 1)
+         SELECT lbl::BIGINT AS community,
+                count(*)::BIGINT AS n_members,
+                min(v)::BIGINT AS min_member,
+                max(v)::BIGINT AS max_member
+         FROM l3 GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

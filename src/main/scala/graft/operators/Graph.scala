@@ -222,4 +222,57 @@ object Graph {
     }
     visited
   }
+
+  /** Synchronous label-propagation communities, `rounds` fixed
+    * iterations: every node starts as its own label; each round every
+    * node adopts the most frequent label among its neighbors, ties to
+    * the SMALLEST label — fully deterministic (the classic async LPA
+    * is order-dependent; the synchronous min-tie variant replays
+    * bit-identically in SQL).
+    *
+    * Per round: one shuffle join (edges x labels) and one aggregate to
+    * (node, label) counts; the argmax folds into the same aggregate
+    * via `max(struct(cnt, MaxValue - label))` — integer-exact
+    * (cnt desc, label asc), no window, no sort. Labels persist per
+    * round with the previous round released (the bfs/kcore lineage-cut
+    * discipline). Output: one row per community
+    * `(community, n_members, min_member, max_member)`.
+    */
+  def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+            s"rounds must be in [1, 8]; got $rounds")
+    def mat(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symmetric distinct edge list, self-loops dropped
+    val sym = mat(edges
+      .where(col(aCol).isNotNull && col(bCol).isNotNull &&
+             col(aCol) =!= col(bCol))
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges
+        .where(col(aCol).isNotNull && col(bCol).isNotNull &&
+               col(aCol) =!= col(bCol))
+        .select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct())
+    var labels = mat(sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
+    for (_ <- 1 to rounds) {
+      val counted = sym
+        .join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = mat(counted
+        .groupBy("v")
+        .agg(max(struct(col("cnt"),
+                        (lit(Long.MaxValue) - col("lbl")).as("nl")))
+               .as("m"))
+        .select(col("v"), (lit(Long.MaxValue) - col("m.nl")).as("lbl")))
+      labels.unpersist()
+      labels = next
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min("v").as("min_member"),
+           max("v").as("max_member"))
+      .orderBy("community")
+  }
 }

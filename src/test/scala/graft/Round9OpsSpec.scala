@@ -143,4 +143,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert((tri.getString(3), tri.getLong(4), tri.getLong(5)) ==
            (("aa", 2L, 2L)))
   }
+
+  test("lpaCommunities: a triangle converges to the min label; the " +
+       "synchronous min-tie rounds replay exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val got = graft.operators.Graph.lpaCommunities(tri, "a", "b", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("lpaCommunities: the 3-path after 3 synchronous rounds lands " +
+       "on the hand-computed oscillation state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // path 1-2-3: r1 (2,1,2) r2 (1,2,1) r3 (2,1,2) — deterministic
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = graft.operators.Graph.lpaCommunities(path, "a", "b", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 2L, 2L), (2L, 2L, 1L, 3L)))
+    spark.catalog.clearCache()
+  }
 }
