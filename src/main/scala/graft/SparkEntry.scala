@@ -4581,6 +4581,35 @@ object SparkEntry {
         .where(col("n") >= 2)
       graft.operators.Graph
         .lpaCommunities(edges, "item_a", "item_b", rounds = 3)
+    }),
+
+    "q_freshness" -> ((s, dir) =>
+      // multi-source ingest freshness audit: per event type, last
+      // delivery, lag behind the freshest source, last-calendar-day
+      // volume, 6h staleness flag — one (source, day) aggregate, all
+      // maxima/lags on the calendar-bounded cell table
+      graft.operators.QualityChecks.freshness(
+        T(s, dir, "events"), "event_type", "ts", staleAfterS = 21600L)),
+
+    "q_tokenizer_pipeline" -> ((s, dir) => {
+      // composed tokenizer-training pipeline (the q_curation_pipeline
+      // discipline, tokenizer edition): quality gate (>= 20 tokens)
+      // -> exact dedup (smallest doc_id per identical text) -> BPE
+      // merge rounds on the deduped corpus, with the stage censuses
+      // attached to every merge row. The census aggregate and the BPE
+      // vocab build both read the persisted dedup output once.
+      val d = T(s, dir, "documents")
+      val tc = graft.pipeline.TextAnalysis.tokenCount(col("text"))
+      val kept = d.where(tc >= 20)
+      val uniq = kept.groupBy("text")
+        .agg(min("doc_id").as("doc_id")).persist()
+      val census = d
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(tc >= 20, 1L).otherwise(0L)).as("n_kept"))
+        .crossJoin(uniq.agg(count(lit(1)).as("n_unique")))
+      graft.pipeline.Tokenizer.bpeMerges(uniq, "text", rounds = 2)
+        .crossJoin(broadcast(census))
+        .orderBy("round")
     })
   )
 
@@ -11007,7 +11036,92 @@ object SparkEntry {
                 count(*)::BIGINT AS n_members,
                 min(v)::BIGINT AS min_member,
                 max(v)::BIGINT AS max_member
-         FROM l3 GROUP BY 1 ORDER BY 1"""
+         FROM l3 GROUP BY 1 ORDER BY 1""",
+
+    // Freshness replay: per-(source, epoch-day) cells, corpus maxima
+    // as windows over the bounded cell table, integer lags
+    "q_freshness" ->
+      """WITH cells AS (
+           SELECT event_type AS source,
+                  epoch_us(ts) // 1000000 // 86400 AS day,
+                  count(*) AS n,
+                  max(epoch_us(ts) // 1000000) AS max_s
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         g AS (SELECT *, max(max_s) OVER () AS cms,
+                      max(day) OVER () AS cmd
+               FROM cells)
+         SELECT source, sum(n)::BIGINT AS n_events,
+                max(max_s)::BIGINT AS last_epoch_s,
+                (max(cms) - max(max_s))::BIGINT AS lag_s,
+                sum(CASE WHEN day = cmd THEN n ELSE 0 END)::BIGINT
+                  AS n_on_last_day,
+                (CASE WHEN max(cms) - max(max_s) > 21600
+                 THEN 1 ELSE 0 END)::BIGINT AS stale
+         FROM g GROUP BY 1 ORDER BY 1""",
+
+    // Tokenizer-pipeline replay: quality gate (same whitespace token
+    // count), min-doc_id exact dedup, then the 2-round BPE chain over
+    // the deduped corpus with the censuses cross-joined in
+    "q_tokenizer_pipeline" ->
+      """WITH kept AS MATERIALIZED (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL
+             AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+                 >= 20),
+         uniq AS MATERIALIZED (
+           SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+         census AS (
+           SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT count(*) FROM kept) AS n_kept,
+                  (SELECT count(*) FROM uniq) AS n_unique),
+         words AS (
+           SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+           FROM uniq),
+         v0 AS (
+           SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+                  count(*) AS cnt
+           FROM words WHERE length(w) > 0 GROUP BY 1),
+         pf1 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v0) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b1 AS (SELECT p1, p2, f FROM pf1
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v1 AS (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b1.p1 || ' ' || b1.p2 || ' ',
+                         ' ' || b1.p1 || b1.p2 || ' ')) AS syms, cnt
+                FROM v0, b1),
+         pf2 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v1) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b2 AS (SELECT p1, p2, f FROM pf2
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v2 AS (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b2.p1 || ' ' || b2.p2 || ' ',
+                         ' ' || b2.p1 || b2.p2 || ' ')) AS syms, cnt
+                FROM v1, b2)
+         SELECT 1::BIGINT AS round, p1 AS pair_left, p2 AS pair_right,
+                p1 || p2 AS merged, f::BIGINT AS freq,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM v1)::BIGINT AS corpus_tokens_after,
+                n_docs::BIGINT AS n_docs, n_kept::BIGINT AS n_kept,
+                n_unique::BIGINT AS n_unique
+         FROM b1, census
+         UNION ALL
+         SELECT 2, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM v2)::BIGINT,
+                n_docs::BIGINT, n_kept::BIGINT, n_unique::BIGINT
+         FROM b2, census
+         ORDER BY round"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

@@ -290,4 +290,40 @@ object QualityChecks {
                     col("n_total") * expected)
       .orderBy("digit")
   }
+
+  /** Data-freshness audit: per pipeline source, when did it last
+    * deliver, how far behind the freshest source is it, and did it
+    * deliver on the corpus's last calendar day — the staleness report
+    * a multi-source ingest runs before training.
+    *
+    * ONE full-data aggregate to (source, epoch-day) cells; the corpus
+    * maxima, per-source lag and last-day tallies all run on that
+    * calendar-bounded table (windows over bounded rows — the
+    * benford()/gains discipline). All epoch-second integers.
+    */
+  def freshness(df: DataFrame, sourceCol: String, tsCol: String,
+                staleAfterS: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(staleAfterS > 0, "staleAfterS must be positive")
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val cells = df
+      .where(col(sourceCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"),
+               (sec / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), max(sec).as("max_s"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("corpus_max_s", max("max_s").over(wAll))
+      .withColumn("corpus_max_day", max("day").over(wAll))
+      .groupBy("source")
+      .agg(sum("n").as("n_events"),
+           max("max_s").as("last_epoch_s"),
+           (max("corpus_max_s") - max("max_s")).as("lag_s"),
+           sum(when(col("day") === col("corpus_max_day"), col("n"))
+                 .otherwise(0L)).as("n_on_last_day"))
+      .withColumn("stale",
+                  when(col("lag_s") > staleAfterS, 1L).otherwise(0L))
+      .orderBy("source")
+  }
 }

@@ -168,4 +168,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 2L, 2L), (2L, 2L, 1L, 3L)))
     spark.catalog.clearCache()
   }
+
+  test("freshness: per-source lag vs the freshest source, last-" +
+       "calendar-day volume, stale flag at the exact boundary") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // corpus max = day 2 12:00 (source b). source a last delivered
+    // day 1 12:00 -> lag exactly 86400s (> 21600 -> stale). a has 2
+    // events on day 1, none on the last day; b has 1 on each day.
+    val rows = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 11:00:00")),
+      ("a", Timestamp.valueOf("2024-01-01 12:00:00")),
+      ("b", Timestamp.valueOf("2024-01-01 09:00:00")),
+      ("b", Timestamp.valueOf("2024-01-02 12:00:00")))
+      .toDF("source", "ts")
+    val got = graft.operators.QualityChecks
+      .freshness(rows, "source", "ts", staleAfterS = 21600L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("a", 2L, 86400L, 0L, 1L),
+                            ("b", 2L, 0L, 1L, 0L)))
+  }
 }
