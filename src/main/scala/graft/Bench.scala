@@ -97,7 +97,10 @@ object Bench {
       "q_score_deploy", "q_knn_eval", "q_jaro_scores",
       // round-9 flagships
       "q_knn_ivf", "q_sketch_tdigest", "q_json_audit",
-      "q_hard_negatives")
+      "q_hard_negatives",
+      // round-9 session-2 flagships
+      "q_item_neighbors", "q_bpe_merges", "q_lpa_communities",
+      "q_gains_table", "q_migration_matrix", "q_tokenizer_pipeline")
     val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$outPath","queries":$head}""")

@@ -4610,6 +4610,60 @@ object SparkEntry {
       graft.pipeline.Tokenizer.bpeMerges(uniq, "text", rounds = 2)
         .crossJoin(broadcast(census))
         .orderBy("round")
+    }),
+
+    "q_forecast_eval" -> ((s, dir) =>
+      // seasonal-naive forecast backtest: predict each day's count
+      // with the count 7 days earlier on the zero-filled spine,
+      // pure-BIGINT error profile per type with the worst day folded
+      // into the aggregate (no window rank) — the baseline a real
+      // forecaster must beat, and a weekly-pattern drift tripwire
+      graft.operators.Monitoring.forecastEval(
+        T(s, dir, "events"), "event_type", "ts", lagDays = 7)),
+
+    "q_stream_freshness" -> ((s, dir) => {
+      // the freshness monitor maintained INCREMENTALLY: events replay
+      // as a 3-file stream into a complete-mode (source, day) cell
+      // aggregation; the staleness report reads the final maintained
+      // snapshot. Daily cells are additive, so stream == batch by
+      // construction — the oracle is q_freshness's, verbatim.
+      val e = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select("event_id", "event_type", "ts")
+      val stage = tmpWorkDir("graft_fresh_stage")
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("event_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val ckpt = tmpWorkDir("graft_fresh_ckpt")
+      val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        withConfiguredStateStore(s) {
+          val sec = col("ts").cast("timestamp").cast("long")
+          staged.groupBy(col("event_type").as("source"),
+                         (sec / 86400L).cast("long").as("day"))
+            .agg(count(lit(1)).as("n"), max(sec).as("max_s"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("graft_fresh_cells")
+            .option("checkpointLocation", ckpt).start()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      q.processAllAvailable(); q.stop()
+      val out = graft.operators.QualityChecks
+        .freshnessFromCells(s.table("graft_fresh_cells"),
+                            staleAfterS = 21600L)
+        .orderBy("source")
+      deleteRecursively(stage)
+      deleteRecursively(ckpt)
+      out
     })
   )
 
@@ -11039,25 +11093,11 @@ object SparkEntry {
          FROM l3 GROUP BY 1 ORDER BY 1""",
 
     // Freshness replay: per-(source, epoch-day) cells, corpus maxima
-    // as windows over the bounded cell table, integer lags
-    "q_freshness" ->
-      """WITH cells AS (
-           SELECT event_type AS source,
-                  epoch_us(ts) // 1000000 // 86400 AS day,
-                  count(*) AS n,
-                  max(epoch_us(ts) // 1000000) AS max_s
-           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-         g AS (SELECT *, max(max_s) OVER () AS cms,
-                      max(day) OVER () AS cmd
-               FROM cells)
-         SELECT source, sum(n)::BIGINT AS n_events,
-                max(max_s)::BIGINT AS last_epoch_s,
-                (max(cms) - max(max_s))::BIGINT AS lag_s,
-                sum(CASE WHEN day = cmd THEN n ELSE 0 END)::BIGINT
-                  AS n_on_last_day,
-                (CASE WHEN max(cms) - max(max_s) > 21600
-                 THEN 1 ELSE 0 END)::BIGINT AS stale
-         FROM g GROUP BY 1 ORDER BY 1""",
+    // as windows over the bounded cell table, integer lags. The
+    // streaming twin maintains the same additive cells, so both map
+    // to the same SQL.
+    "q_freshness" -> freshnessSql,
+    "q_stream_freshness" -> freshnessSql,
 
     // Tokenizer-pipeline replay: quality gate (same whitespace token
     // count), min-doc_id exact dedup, then the 2-round BPE chain over
@@ -11121,7 +11161,38 @@ object SparkEntry {
                  FROM v2)::BIGINT,
                 n_docs::BIGINT, n_kept::BIGINT, n_unique::BIGINT
          FROM b2, census
-         ORDER BY round"""
+         ORDER BY round""",
+
+    // Forecast-eval replay: the same zero-filled spine, lag-7
+    // prediction, integer error sums, first_value argmax for the
+    // worst day (abs_err desc, day asc)
+    "q_forecast_eval" ->
+      """WITH daily AS (
+           SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+         spine AS (
+           SELECT g, CAST(unnest(generate_series(r.mn, r.mx,
+                            INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT DISTINCT g FROM daily) gg, r),
+         filled AS (
+           SELECT s.g, s.d, COALESCE(daily.n, 0) AS n
+           FROM spine s LEFT JOIN daily USING (g, d)),
+         p AS (SELECT g, d, n,
+                      lag(n, 7) OVER (PARTITION BY g ORDER BY d) AS pred
+               FROM filled),
+         e AS (SELECT g, n, n - pred AS err, abs(n - pred) AS abs_err,
+                      datediff('day', DATE '1970-01-01', d) AS day_s
+               FROM p WHERE pred IS NOT NULL),
+         w2 AS (SELECT *, first_value(day_s) OVER (PARTITION BY g
+                  ORDER BY abs_err DESC, day_s) AS wd
+                FROM e)
+         SELECT g AS event_type, count(*)::BIGINT AS n_days_scored,
+                sum(n)::BIGINT AS sum_actual,
+                sum(abs_err)::BIGINT AS sum_abs_err,
+                sum(err)::BIGINT AS sum_err,
+                max(wd)::BIGINT AS worst_day_epoch_d
+         FROM w2 GROUP BY 1 ORDER BY 1"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,
@@ -11169,6 +11240,28 @@ object SparkEntry {
     * embeddings table — integer Lehmer mix (quadratic then minstd 48271,
     * mod 2^31-1), identical bits to `LshSigExpr(portable = true)` with
     * nPlanes = 8. */
+  /** Shared oracle (q_freshness + q_stream_freshness): per-(source,
+    * epoch-day) cells, corpus maxima as windows over the bounded cell
+    * table, integer lags, 6h stale flag. */
+  private def freshnessSql: String =
+    """WITH cells AS (
+           SELECT event_type AS source,
+                  epoch_us(ts) // 1000000 // 86400 AS day,
+                  count(*) AS n,
+                  max(epoch_us(ts) // 1000000) AS max_s
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         g AS (SELECT *, max(max_s) OVER () AS cms,
+                      max(day) OVER () AS cmd
+               FROM cells)
+         SELECT source, sum(n)::BIGINT AS n_events,
+                max(max_s)::BIGINT AS last_epoch_s,
+                (max(cms) - max(max_s))::BIGINT AS lag_s,
+                sum(CASE WHEN day = cmd THEN n ELSE 0 END)::BIGINT
+                  AS n_on_last_day,
+                (CASE WHEN max(cms) - max(max_s) > 21600
+                 THEN 1 ELSE 0 END)::BIGINT AS stale
+         FROM g GROUP BY 1 ORDER BY 1"""
+
   private def seasonalAnomalySql: String =
     """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,

@@ -417,26 +417,31 @@ object Monitoring {
     * `sum_detr_x7` the 7-scaled detrended mass, and `trend7_sum`
     * checksum of their window sums.
     */
-  def seasonalDecomposeDaily(df: DataFrame, groupCol: String,
-                             tsCol: String): DataFrame = {
+  /** Zero-filled per-group daily count spine over the CORPUS day
+    * range: ONE full-data aggregate to (group, day), persisted (it is
+    * re-read by the range, the group list and the spine join — the
+    * raw table scans once; caller releases via clearCache), then the
+    * calendar spine left-join. A group silent on a day contributes a
+    * true zero. */
+  private[operators] def dailyFilled(df: DataFrame, groupCol: String,
+                                     tsCol: String): DataFrame = {
     val daily = df
       .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(groupCol).as("g"),
                to_date(col(tsCol).cast("timestamp")).as("d"))
       .agg(count(lit(1)).as("n"))
-      // re-read three times (range, group list, spine join) — persist
-      // the calendar-bounded aggregate so the RAW table is scanned
-      // once (caller releases via clearCache, the eventGapProfile
-      // convention)
       .persist()
-    // zero-filled calendar spine per group over the CORPUS day range:
-    // a group silent on a day contributes a true zero to the window
     val range = daily.agg(min("d").as("mn"), max("d").as("mx"))
     val groups = daily.select("g").distinct()
     val spine = groups.join(broadcast(range), lit(true))
       .select(col("g"), explode(expr("sequence(mn, mx)")).as("d"))
-    val filled = spine.join(daily, Seq("g", "d"), "left")
+    spine.join(daily, Seq("g", "d"), "left")
       .na.fill(0L, Seq("n"))
+  }
+
+  def seasonalDecomposeDaily(df: DataFrame, groupCol: String,
+                             tsCol: String): DataFrame = {
+    val filled = dailyFilled(df, groupCol, tsCol)
     val w7 = Window.partitionBy("g").orderBy("d").rowsBetween(-3, 3)
     val pos = Window.partitionBy("g").orderBy("d")
     val nDays = Window.partitionBy("g")
@@ -453,5 +458,41 @@ object Monitoring {
            sum("detr_x7").as("sum_detr_x7"),
            sum("trend7").as("trend7_sum"))
       .orderBy(groupCol, "dow")
+  }
+
+  /** Seasonal-naive forecast backtest, pure-BIGINT: predict each
+    * day's count with the count `lagDays` earlier on the zero-filled
+    * spine, score only days with a full lag available, and report the
+    * per-group integer error profile — total/|error| sums, signed
+    * bias, and the worst day (largest |error|, earliest day on ties,
+    * argmax folded into the aggregate — no window rank). The baseline
+    * every real forecaster must beat, and a drift tripwire on its
+    * own: a shifted weekly pattern shows up as a jump in `sum_abs_err`.
+    */
+  def forecastEval(df: DataFrame, groupCol: String, tsCol: String,
+                   lagDays: Int): DataFrame = {
+    require(lagDays >= 1 && lagDays <= 366,
+            s"lagDays must be in [1, 366]; got $lagDays")
+    val filled = dailyFilled(df, groupCol, tsCol)
+    val w = Window.partitionBy("g").orderBy("d")
+    filled
+      .withColumn("pred", lag("n", lagDays).over(w))
+      .where(col("pred").isNotNull)
+      .withColumn("err", col("n") - col("pred"))
+      .withColumn("abs_err", abs(col("err")))
+      .withColumn("day_s",
+                  datediff(col("d"), lit("1970-01-01").cast("date"))
+                    .cast("long"))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_days_scored"),
+           sum("n").as("sum_actual"),
+           sum("abs_err").as("sum_abs_err"),
+           sum("err").as("sum_err"),
+           (lit(Long.MaxValue) -
+            max(struct(col("abs_err"),
+                       (lit(Long.MaxValue) - col("day_s").cast("long"))
+                         .as("nd"))).getField("nd"))
+             .as("worst_day_epoch_d"))
+      .orderBy(groupCol)
   }
 }

@@ -303,14 +303,23 @@ object QualityChecks {
     */
   def freshness(df: DataFrame, sourceCol: String, tsCol: String,
                 staleAfterS: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(staleAfterS > 0, "staleAfterS must be positive")
     val sec = col(tsCol).cast("timestamp").cast("long")
     val cells = df
       .where(col(sourceCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(sourceCol).as("source"),
                (sec / 86400L).cast("long").as("day"))
       .agg(count(lit(1)).as("n"), max(sec).as("max_s"))
+    freshnessFromCells(cells, staleAfterS)
+  }
+
+  /** [[freshness]] report stage over an already-maintained
+    * `(source, day, n, max_s)` cell table — the streaming twin feeds
+    * its complete-mode state snapshot here, so stream == batch by
+    * construction (daily cells are additive). */
+  def freshnessFromCells(cells: DataFrame,
+                         staleAfterS: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(staleAfterS > 0, "staleAfterS must be positive")
     val wAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cells

@@ -190,4 +190,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 2L, 86400L, 0L, 1L),
                             ("b", 2L, 0L, 1L, 0L)))
   }
+
+  test("forecastEval: lag-7 naive errors on the zero-filled spine; " +
+       "|error| ties pick the earliest worst day") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 9 consecutive days with counts 1..9: only days 8 and 9 score
+    // (full lag), both with error +7 — worst day is the EARLIER one
+    val rows = (1 to 9).flatMap(d =>
+      Seq.fill(d)(("g", Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"))))
+    val got = graft.operators.Monitoring
+      .forecastEval(rows.toDF("event_type", "ts"), "event_type", "ts",
+                    lagDays = 7)
+      .collect()(0)
+    // 2024-01-08 is epoch day 19730
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+            got.getLong(4), got.getLong(5)) ==
+           ((2L, 17L, 14L, 14L, 19730L)))
+    spark.catalog.clearCache()
+  }
 }
