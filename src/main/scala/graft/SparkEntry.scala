@@ -4664,6 +4664,28 @@ object SparkEntry {
       deleteRecursively(stage)
       deleteRecursively(ckpt)
       out
+    }),
+
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B readout: units are customers
+      // (treatment = custkey parity), metric = post-period integer-
+      // dollar spend, covariate = pre-period spend; absent-side units
+      // fill zero (full outer). One keyed aggregate of BIGINT
+      // sufficient statistics; theta and adjusted means are single
+      // IEEE expressions over exactly-agreed integers.
+      val o = T(s, dir, "orders")
+      val pivot = lit("1998-06-01").cast("timestamp")
+      def spend(p: Column) = o.where(p)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("v"))
+      val pre = spend(col("o_orderdate") < pivot)
+        .withColumnRenamed("v", "x")
+      val post = spend(col("o_orderdate") >= pivot)
+        .withColumnRenamed("v", "y")
+      val units = pre.join(post, Seq("o_custkey"), "full_outer")
+        .na.fill(0L, Seq("x", "y"))
+        .withColumn("t", pmod(col("o_custkey"), lit(2)))
+      graft.operators.Experiment.cuped(units, "t", "x", "y")
     })
   )
 
@@ -11192,7 +11214,55 @@ object SparkEntry {
                 sum(abs_err)::BIGINT AS sum_abs_err,
                 sum(err)::BIGINT AS sum_err,
                 max(wd)::BIGINT AS worst_day_epoch_d
-         FROM w2 GROUP BY 1 ORDER BY 1"""
+         FROM w2 GROUP BY 1 ORDER BY 1""",
+
+    // CUPED replay: the same integer sufficient statistics, pooled
+    // via windows over the arms table, the same fully-cast IEEE
+    // expressions for theta and the adjusted means (rounded theta
+    // feeds the adjustment, the char-analysis convention)
+    "q_cuped" ->
+      """WITH pre AS (
+           SELECT o_custkey,
+                  sum(CAST(floor(o_totalprice) AS BIGINT)) AS x
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'
+           GROUP BY 1),
+         post AS (
+           SELECT o_custkey,
+                  sum(CAST(floor(o_totalprice) AS BIGINT)) AS y
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+           GROUP BY 1),
+         u AS (
+           SELECT COALESCE(pre.o_custkey, post.o_custkey) AS c,
+                  COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+           FROM pre FULL OUTER JOIN post
+             ON pre.o_custkey = post.o_custkey),
+         g AS (SELECT c % 2 AS t, count(*) AS n_g, sum(x) AS sx_g,
+                      sum(y) AS sy_g, sum(x * y) AS sxy_g,
+                      sum(x * x) AS sxx_g
+               FROM u GROUP BY 1),
+         w AS (SELECT *, sum(n_g) OVER () AS n, sum(sx_g) OVER () AS sx,
+                      sum(sy_g) OVER () AS sy,
+                      sum(sxy_g) OVER () AS sxy,
+                      sum(sxx_g) OVER () AS sxx
+               FROM g),
+         th AS (SELECT *,
+                  round(CASE WHEN n::DOUBLE * sxx::DOUBLE -
+                                  sx::DOUBLE * sx::DOUBLE = 0.0
+                        THEN 0.0
+                        ELSE (n::DOUBLE * sxy::DOUBLE -
+                              sx::DOUBLE * sy::DOUBLE) /
+                             (n::DOUBLE * sxx::DOUBLE -
+                              sx::DOUBLE * sx::DOUBLE) END, 6)
+                    AS theta6
+                FROM w)
+         SELECT t::BIGINT AS t, n_g::BIGINT AS n,
+                sx_g::BIGINT AS sum_x, sy_g::BIGINT AS sum_y, theta6,
+                round(sy_g::DOUBLE / n_g::DOUBLE, 6) AS mean_y6,
+                round(sy_g::DOUBLE / n_g::DOUBLE -
+                      theta6 * (sx_g::DOUBLE / n_g::DOUBLE -
+                                sx::DOUBLE / n::DOUBLE), 6)
+                  AS adj_mean_y6
+         FROM th ORDER BY t"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

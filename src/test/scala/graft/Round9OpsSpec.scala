@@ -209,4 +209,30 @@ class Round9OpsSpec extends AnyFunSuite {
            ((2L, 17L, 14L, 14L, 19730L)))
     spark.catalog.clearCache()
   }
+
+  test("cuped: pooled theta from integer sufficient statistics and " +
+       "covariate-adjusted arm means, hand-exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // n=4 Sx=6 Sy=8 Sxy=18 Sxx=14 -> theta = 24/20 = 1.2
+    // t0: mean_y 1, adj 1 - 1.2*(1 - 1.5) = 1.6
+    // t1: mean_y 3, adj 3 - 1.2*(2 - 1.5) = 2.4
+    val units = Seq((0L, 0L, 0L), (0L, 2L, 2L), (1L, 1L, 2L),
+                    (1L, 3L, 4L)).toDF("t", "x", "y")
+    val got = graft.operators.Experiment.cuped(units, "t", "x", "y")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq((0L, 2L, 2L, 2L, 1.2, 1.0, 1.6),
+                            (1L, 2L, 4L, 6L, 1.2, 3.0, 2.4)))
+  }
+
+  test("cuped: zero covariate variance takes theta 0 (plain means)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val units = Seq((0L, 5L, 1L), (1L, 5L, 3L)).toDF("t", "x", "y")
+    val got = graft.operators.Experiment.cuped(units, "t", "x", "y")
+      .collect().map(r => (r.getDouble(4), r.getDouble(6)))
+    assert(got.toSeq == Seq((0.0, 1.0), (0.0, 3.0)))
+  }
 }
