@@ -4686,6 +4686,31 @@ object SparkEntry {
         .na.fill(0L, Seq("x", "y"))
         .withColumn("t", pmod(col("o_custkey"), lit(2)))
       graft.operators.Experiment.cuped(units, "t", "x", "y")
+    }),
+
+    "q_ab_srm" -> ((s, dir) => {
+      // sample-ratio-mismatch gate on the cuped experiment's unit
+      // population: customers with any order, arms by custkey parity;
+      // 1-df chi-square vs the intended 50/50 as one IEEE expression
+      // over the two BIGINT arm counts
+      val units = T(s, dir, "orders").select("o_custkey").distinct()
+        .withColumn("t", pmod(col("o_custkey"), lit(2)))
+      graft.operators.Experiment.srmCheck(units, "t")
+    }),
+
+    "q_did" -> ((s, dir) => {
+      // difference-in-differences on order-level integer-dollar
+      // spend: arms by custkey parity, periods split at the cuped
+      // pivot — one (arm, period) aggregate, 2x2 means + interaction
+      // effect on the 4-cell table
+      val o = T(s, dir, "orders")
+      val pivot = lit("1998-06-01").cast("timestamp")
+      graft.operators.Experiment.diffInDiff(
+        o.withColumn("t", pmod(col("o_custkey"), lit(2)))
+          .withColumn("p",
+            when(col("o_orderdate") >= pivot, 1L).otherwise(0L))
+          .withColumn("y", floor(col("o_totalprice")).cast("long")),
+        "t", "p", "y")
     })
   )
 
@@ -11262,7 +11287,58 @@ object SparkEntry {
                       theta6 * (sx_g::DOUBLE / n_g::DOUBLE -
                                 sx::DOUBLE / n::DOUBLE), 6)
                   AS adj_mean_y6
-         FROM th ORDER BY t"""
+         FROM th ORDER BY t""",
+
+    // SRM replay: the same two arm counts and the same IEEE
+    // (n0-n1)^2/n chi-square with the 3.841459 critical value
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders),
+         c AS (SELECT sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0
+                           END) AS n0,
+                      sum(CASE WHEN o_custkey % 2 = 0 THEN 0 ELSE 1
+                           END) AS n1
+               FROM u)
+         SELECT n0::BIGINT AS n0, n1::BIGINT AS n1,
+                (n0 + n1)::BIGINT AS n,
+                round((n0 - n1)::DOUBLE * (n0 - n1)::DOUBLE /
+                      (n0 + n1)::DOUBLE, 6) AS chi2_6,
+                (CASE WHEN round((n0 - n1)::DOUBLE * (n0 - n1)::DOUBLE
+                             / (n0 + n1)::DOUBLE, 6) > 3.841459
+                 THEN 1 ELSE 0 END)::BIGINT AS srm_flag
+         FROM c""",
+
+    // DiD replay: one (arm, period) aggregate, conditional 2x2 cell
+    // sums, fully-cast means and the interaction effect
+    "q_did" ->
+      """WITH cells AS (
+           SELECT o_custkey % 2 AS t,
+                  CASE WHEN o_orderdate >= TIMESTAMP '1998-06-01'
+                       THEN 1 ELSE 0 END AS p,
+                  count(*) AS n,
+                  sum(CAST(floor(o_totalprice) AS BIGINT)) AS sy
+           FROM orders GROUP BY 1, 2),
+         a AS (
+           SELECT
+             sum(CASE WHEN t = 0 AND p = 0 THEN n ELSE 0 END) AS n_00,
+             sum(CASE WHEN t = 0 AND p = 1 THEN n ELSE 0 END) AS n_01,
+             sum(CASE WHEN t = 1 AND p = 0 THEN n ELSE 0 END) AS n_10,
+             sum(CASE WHEN t = 1 AND p = 1 THEN n ELSE 0 END) AS n_11,
+             sum(CASE WHEN t = 0 AND p = 0 THEN sy ELSE 0 END) AS s_00,
+             sum(CASE WHEN t = 0 AND p = 1 THEN sy ELSE 0 END) AS s_01,
+             sum(CASE WHEN t = 1 AND p = 0 THEN sy ELSE 0 END) AS s_10,
+             sum(CASE WHEN t = 1 AND p = 1 THEN sy ELSE 0 END) AS s_11
+           FROM cells)
+         SELECT n_00::BIGINT AS n_00, n_01::BIGINT AS n_01,
+                n_10::BIGINT AS n_10, n_11::BIGINT AS n_11,
+                round(s_00::DOUBLE / n_00::DOUBLE, 6) AS mean_00_6,
+                round(s_01::DOUBLE / n_01::DOUBLE, 6) AS mean_01_6,
+                round(s_10::DOUBLE / n_10::DOUBLE, 6) AS mean_10_6,
+                round(s_11::DOUBLE / n_11::DOUBLE, 6) AS mean_11_6,
+                round((s_11::DOUBLE / n_11::DOUBLE -
+                       s_10::DOUBLE / n_10::DOUBLE) -
+                      (s_01::DOUBLE / n_01::DOUBLE -
+                       s_00::DOUBLE / n_00::DOUBLE), 6) AS did6
+         FROM a"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

@@ -61,4 +61,55 @@ object Experiment {
                 .as("adj_mean_y6"))
       .orderBy("t")
   }
+
+  /** Sample-ratio-mismatch check for an intended 50/50 split: the
+    * 1-df chi-square against equal arms simplifies to
+    * `(n0 - n1)^2 / n`, computed as one IEEE expression over the two
+    * BIGINT arm counts; flagged past the 95% critical value 3.841459.
+    * An SRM flag invalidates the experiment readout BEFORE any metric
+    * is compared — the first gate a trustworthy A/B system runs.
+    * ONE count aggregate; everything else is arithmetic on two longs.
+    */
+  def srmCheck(units: DataFrame, tCol: String): DataFrame = {
+    units
+      .agg(sum(when(col(tCol).cast("long") === 0L, 1L).otherwise(0L))
+             .as("n0"),
+           sum(when(col(tCol).cast("long") === 0L, 0L).otherwise(1L))
+             .as("n1"))
+      .select(col("n0"), col("n1"), (col("n0") + col("n1")).as("n"),
+              round((col("n0") - col("n1")).cast("double") *
+                    (col("n0") - col("n1")).cast("double") /
+                    (col("n0") + col("n1")).cast("double"), 6)
+                .as("chi2_6"))
+      .withColumn("srm_flag",
+                  when(col("chi2_6") > 3.841459, 1L).otherwise(0L))
+  }
+
+  /** Difference-in-differences readout: arm x period integer metric
+    * sums in ONE keyed aggregate, then the 2x2 means and the
+    * interaction effect `(m11 - m10) - (m01 - m00)` as fully-cast
+    * IEEE expressions over the 4-cell table (conditional sums — no
+    * pivot, no join). Output is a single row with the four cell
+    * counts/means and the DiD estimate. */
+  def diffInDiff(df: DataFrame, tCol: String, periodCol: String,
+                 yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(tCol).cast("long").as("t"),
+               col(periodCol).cast("long").as("p"))
+      .agg(count(lit(1)).as("n"),
+           sum(col(yCol).cast("long")).as("sy"))
+    def cell(t: Int, p: Int, c: String) =
+      sum(when(col("t") === t && col("p") === p, col(c))
+            .otherwise(0L))
+    def m(t: Int, p: Int) =
+      cell(t, p, "sy").cast("double") / cell(t, p, "n").cast("double")
+    cells.agg(
+      cell(0, 0, "n").as("n_00"), cell(0, 1, "n").as("n_01"),
+      cell(1, 0, "n").as("n_10"), cell(1, 1, "n").as("n_11"),
+      round(m(0, 0), 6).as("mean_00_6"),
+      round(m(0, 1), 6).as("mean_01_6"),
+      round(m(1, 0), 6).as("mean_10_6"),
+      round(m(1, 1), 6).as("mean_11_6"),
+      round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did6"))
+  }
 }

@@ -779,10 +779,32 @@ object ScaleProbe {
               col("ev"))
               .agg(sum(col("n_event"))).collect()
           }
+          // LPA on genuinely DISJOINT graph copies (both the basket
+          // and the item ids remapped per replica IN ONE crossJoin —
+          // two remap() calls would multiply twice and mix keys):
+          // community count scales 16x, round count stays fixed
+          val tLpa = timed {
+            val liG =
+              if (mult == 1) liRaw
+              else liRaw.crossJoin(
+                  spark.range(mult.toLong).select(col("id").as("__rep")))
+                .withColumn("l_orderkey",
+                  col("l_orderkey") * mult + col("__rep"))
+                .withColumn("l_partkey",
+                  col("l_partkey") * mult + col("__rep"))
+                .drop("__rep")
+            val edges = graft.operators.MarketBasket
+              .coOccurrence(liG, "l_orderkey", "l_partkey")
+              .where(col("n") >= 2)
+            graft.operators.Graph
+              .lpaCommunities(edges, "item_a", "item_b", rounds = 3)
+              .agg(sum(col("n_members"))).collect()
+          }
           if (pass == 2)
             println(f"PROBE mult=$mult%2d lineitem=$nl%9d docs=$nd%8d " +
               f"item_neighbors=$tIn%6.2f s bpe=$tBpe%6.2f s " +
-              f"migration=$tMig%6.2f s vintage=$tVin%6.2f s")
+              f"migration=$tMig%6.2f s vintage=$tVin%6.2f s " +
+              f"lpa=$tLpa%6.2f s")
           spark.catalog.clearCache()
         }
       }

@@ -235,4 +235,33 @@ class Round9OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getDouble(4), r.getDouble(6)))
     assert(got.toSeq == Seq((0.0, 1.0), (0.0, 3.0)))
   }
+
+  test("srmCheck: chi-square vs the 50/50 split; flags only past " +
+       "the 95% critical value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ok = graft.operators.Experiment
+      .srmCheck(Seq(0L, 0L, 0L, 1L).toDF("t"), "t").collect()(0)
+    assert((ok.getLong(0), ok.getLong(1), ok.getDouble(3),
+            ok.getLong(4)) == ((3L, 1L, 1.0, 0L)))
+    val bad = graft.operators.Experiment
+      .srmCheck((Seq.fill(30)(0L) ++ Seq.fill(10)(1L)).toDF("t"), "t")
+      .collect()(0)
+    assert((bad.getDouble(3), bad.getLong(4)) == ((10.0, 1L)))
+  }
+
+  test("diffInDiff: 2x2 cell means and the interaction effect, " +
+       "hand-exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((0L, 0L, 1L), (0L, 0L, 3L), (0L, 1L, 4L),
+                 (1L, 0L, 2L), (1L, 1L, 7L)).toDF("t", "p", "y")
+    val got = graft.operators.Experiment.diffInDiff(df, "t", "p", "y")
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+            got.getLong(3)) == ((2L, 1L, 1L, 1L)))
+    assert((got.getDouble(4), got.getDouble(5), got.getDouble(6),
+            got.getDouble(7), got.getDouble(8)) ==
+           ((2.0, 4.0, 2.0, 7.0, 3.0)))
+  }
 }
