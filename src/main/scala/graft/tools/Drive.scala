@@ -8,7 +8,7 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("q_item_neighbors").foreach { q =>
+    Seq("q_ab_srm", "q_did").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       val plan = df.queryExecution.executedPlan.toString
       println(s"=== $q ===")

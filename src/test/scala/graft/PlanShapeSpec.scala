@@ -575,6 +575,20 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("lpaCommunities: the per-round argmax folds into the round " +
+       "aggregate — no window, no sort, no cartesian") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val plan = physical(Graph.lpaCommunities(edges, "a", "b", 2))
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // labels persist per round (lineage cut); the final community
+    // rollup reads the cached last-round labels
+    assert(plan.contains("InMemoryTableScan"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("gainsTable/thresholdSweep: ONE pruned full-data scan and one " +
        "hash aggregate; every window sits above the bounded band " +
        "table") {
