@@ -4711,6 +4711,38 @@ object SparkEntry {
             when(col("o_orderdate") >= pivot, 1L).otherwise(0L))
           .withColumn("y", floor(col("o_totalprice")).cast("long")),
         "t", "p", "y")
+    }),
+
+    "q_did_segments" -> ((s, dir) => {
+      // heterogeneous treatment effects: the same DiD folded per
+      // market segment (orders joined to the customer dimension) —
+      // one (segment, arm, period) aggregate, per-segment 2x2 cells
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val pivot = lit("1998-06-01").cast("timestamp")
+      graft.operators.Experiment.diffInDiffBySegment(
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .withColumn("t", pmod(col("o_custkey"), lit(2)))
+          .withColumn("p",
+            when(col("o_orderdate") >= pivot, 1L).otherwise(0L))
+          .withColumn("y", floor(col("o_totalprice")).cast("long")),
+        "c_mktsegment", "t", "p", "y")
+    }),
+
+    "q_ab_power" -> ((s, dir) => {
+      // post-hoc power readout: customers as units (arm by custkey
+      // parity), binary conversion = any post-pivot order; pooled
+      // rate, 80%-power/5%-alpha minimal detectable effect (IEEE
+      // sqrt — correctly rounded in both engines), and whether the
+      // observed arm difference clears it
+      val o = T(s, dir, "orders")
+      val pivot = lit("1998-06-01").cast("timestamp")
+      val units = o.groupBy("o_custkey")
+        .agg(max(when(col("o_orderdate") >= pivot, 1L).otherwise(0L))
+               .as("conv"))
+        .withColumn("t", pmod(col("o_custkey"), lit(2)))
+      graft.operators.Experiment.abPower(units, "t", "conv")
     })
   )
 
@@ -11338,7 +11370,81 @@ object SparkEntry {
                        s_10::DOUBLE / n_10::DOUBLE) -
                       (s_01::DOUBLE / n_01::DOUBLE -
                        s_00::DOUBLE / n_00::DOUBLE), 6) AS did6
-         FROM a"""
+         FROM a""",
+
+    // Per-segment DiD replay: the same conditional 2x2 folded per
+    // market segment over the customer-dimension join
+    "q_did_segments" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS segment, o_custkey % 2 AS t,
+                  CASE WHEN o_orderdate >= TIMESTAMP '1998-06-01'
+                       THEN 1 ELSE 0 END AS p,
+                  CAST(floor(o_totalprice) AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT segment, t, p, count(*) AS n, sum(y) AS sy
+                   FROM j GROUP BY 1, 2, 3),
+         a AS (
+           SELECT segment,
+             sum(CASE WHEN t = 0 AND p = 0 THEN n ELSE 0 END) AS n_00,
+             sum(CASE WHEN t = 0 AND p = 1 THEN n ELSE 0 END) AS n_01,
+             sum(CASE WHEN t = 1 AND p = 0 THEN n ELSE 0 END) AS n_10,
+             sum(CASE WHEN t = 1 AND p = 1 THEN n ELSE 0 END) AS n_11,
+             sum(CASE WHEN t = 0 AND p = 0 THEN sy ELSE 0 END) AS s_00,
+             sum(CASE WHEN t = 0 AND p = 1 THEN sy ELSE 0 END) AS s_01,
+             sum(CASE WHEN t = 1 AND p = 0 THEN sy ELSE 0 END) AS s_10,
+             sum(CASE WHEN t = 1 AND p = 1 THEN sy ELSE 0 END) AS s_11
+           FROM cells GROUP BY 1)
+         SELECT segment, n_00::BIGINT AS n_00, n_01::BIGINT AS n_01,
+                n_10::BIGINT AS n_10, n_11::BIGINT AS n_11,
+                round(s_00::DOUBLE / n_00::DOUBLE, 6) AS mean_00_6,
+                round(s_01::DOUBLE / n_01::DOUBLE, 6) AS mean_01_6,
+                round(s_10::DOUBLE / n_10::DOUBLE, 6) AS mean_10_6,
+                round(s_11::DOUBLE / n_11::DOUBLE, 6) AS mean_11_6,
+                round((s_11::DOUBLE / n_11::DOUBLE -
+                       s_10::DOUBLE / n_10::DOUBLE) -
+                      (s_01::DOUBLE / n_01::DOUBLE -
+                       s_00::DOUBLE / n_00::DOUBLE), 6) AS did6
+         FROM a ORDER BY segment""",
+
+    // Power replay: identical pooled-rate and MDE expressions — the
+    // z-sum literal kept as the same explicit addition, sqrt is
+    // IEEE-correctly-rounded in both engines, and the powered flag
+    // compares the two ROUNDED readouts
+    "q_ab_power" ->
+      """WITH u AS (
+           SELECT o_custkey,
+                  max(CASE WHEN o_orderdate >= TIMESTAMP '1998-06-01'
+                       THEN 1 ELSE 0 END) AS conv
+           FROM orders GROUP BY 1),
+         a AS (
+           SELECT
+             sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN o_custkey % 2 = 0 THEN conv ELSE 0 END)
+               AS conv0,
+             sum(CASE WHEN o_custkey % 2 = 0 THEN 0 ELSE 1 END) AS n1,
+             sum(CASE WHEN o_custkey % 2 = 0 THEN 0 ELSE conv END)
+               AS conv1
+           FROM u),
+         b AS (
+           SELECT *,
+             (conv0 + conv1)::DOUBLE / (n0 + n1)::DOUBLE AS pp,
+             least(n0, n1)::DOUBLE AS nmin
+           FROM a),
+         r AS (
+           SELECT *,
+             round((1.959964 + 0.841621) *
+                   sqrt(2.0 * pp * (1.0 - pp) / nmin), 6) AS mde_abs6,
+             round(abs(conv1::DOUBLE / n1::DOUBLE -
+                       conv0::DOUBLE / n0::DOUBLE), 6) AS obs_diff6
+           FROM b)
+         SELECT n0::BIGINT AS n0, conv0::BIGINT AS conv0,
+                n1::BIGINT AS n1, conv1::BIGINT AS conv1,
+                ((1000000 * (conv0 + conv1)) // (n0 + n1))::BIGINT
+                  AS p_pooled_ppm,
+                mde_abs6, obs_diff6,
+                (CASE WHEN obs_diff6 > mde_abs6 THEN 1 ELSE 0
+                 END)::BIGINT AS powered
+         FROM r"""
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle (q_ewma_anomaly + q_stream_ewma): daily counts,

@@ -101,8 +101,13 @@ object Experiment {
     def cell(t: Int, p: Int, c: String) =
       sum(when(col("t") === t && col("p") === p, col(c))
             .otherwise(0L))
+    // explicit empty-cell guard: ANSI mode (the Spark 4 default)
+    // raises DIVIDE_BY_ZERO even for double division, so an absent
+    // cell must take NaN through a branch, not through 0.0/0.0
     def m(t: Int, p: Int) =
-      cell(t, p, "sy").cast("double") / cell(t, p, "n").cast("double")
+      when(cell(t, p, "n") === 0L, lit(Double.NaN))
+        .otherwise(cell(t, p, "sy").cast("double") /
+                   cell(t, p, "n").cast("double"))
     cells.agg(
       cell(0, 0, "n").as("n_00"), cell(0, 1, "n").as("n_01"),
       cell(1, 0, "n").as("n_10"), cell(1, 1, "n").as("n_11"),
@@ -111,5 +116,74 @@ object Experiment {
       round(m(1, 0), 6).as("mean_10_6"),
       round(m(1, 1), 6).as("mean_11_6"),
       round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did6"))
+  }
+
+  /** [[diffInDiff]] per segment — the heterogeneous-treatment-effect
+    * readout. ONE aggregate keyed (segment, arm, period); the 2x2
+    * cells and the interaction effect then fold per segment with the
+    * same conditional sums (no pivot, no join, no window). Segments
+    * with an empty cell emit NaN means/effect (undefined by
+    * construction) rather than being dropped. */
+  def diffInDiffBySegment(df: DataFrame, segCol: String, tCol: String,
+                          periodCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(segCol).as("segment"),
+               col(tCol).cast("long").as("t"),
+               col(periodCol).cast("long").as("p"))
+      .agg(count(lit(1)).as("n"),
+           sum(col(yCol).cast("long")).as("sy"))
+    def cell(t: Int, p: Int, c: String) =
+      sum(when(col("t") === t && col("p") === p, col(c))
+            .otherwise(0L))
+    // explicit empty-cell guard: ANSI mode (the Spark 4 default)
+    // raises DIVIDE_BY_ZERO even for double division, so an absent
+    // cell must take NaN through a branch, not through 0.0/0.0
+    def m(t: Int, p: Int) =
+      when(cell(t, p, "n") === 0L, lit(Double.NaN))
+        .otherwise(cell(t, p, "sy").cast("double") /
+                   cell(t, p, "n").cast("double"))
+    cells.groupBy("segment").agg(
+      cell(0, 0, "n").as("n_00"), cell(0, 1, "n").as("n_01"),
+      cell(1, 0, "n").as("n_10"), cell(1, 1, "n").as("n_11"),
+      round(m(0, 0), 6).as("mean_00_6"),
+      round(m(0, 1), 6).as("mean_01_6"),
+      round(m(1, 0), 6).as("mean_10_6"),
+      round(m(1, 1), 6).as("mean_11_6"),
+      round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did6"))
+      .orderBy("segment")
+  }
+
+  /** Post-hoc power readout for a binary-conversion A/B: from the two
+    * arm sizes and conversion counts, the pooled rate and the minimal
+    * detectable absolute effect at 80% power / 5% two-sided alpha —
+    * `(z_{a/2} + z_b) * sqrt(2 p (1-p) / n_min)` with the z literals
+    * scaled to 6dp (1.959964, 0.841621, the benford literal
+    * convention). `sqrt` is IEEE-correctly-rounded in both engines,
+    * so the rounded readout replays exactly. Flags whether the
+    * OBSERVED |rate difference| clears the MDE. One count aggregate.
+    */
+  def abPower(units: DataFrame, tCol: String,
+              convCol: String): DataFrame = {
+    val t = col(tCol).cast("long")
+    val c = col(convCol).cast("long")
+    val agg = units.agg(
+      sum(when(t === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(t === 0L, c).otherwise(0L)).as("conv0"),
+      sum(when(t === 0L, 0L).otherwise(1L)).as("n1"),
+      sum(when(t === 0L, 0L).otherwise(c)).as("conv1"))
+    def d(s: String) = col(s).cast("double")
+    val p = (d("conv0") + d("conv1")) / (d("n0") + d("n1"))
+    val nMin = least(col("n0"), col("n1")).cast("double")
+    val mde = lit(1.959964 + 0.841621) *
+      sqrt(lit(2.0) * p * (lit(1.0) - p) / nMin)
+    val diff = abs(d("conv1") / d("n1") - d("conv0") / d("n0"))
+    agg.select(col("n0"), col("conv0"), col("n1"), col("conv1"),
+               expr("(1000000 * (conv0 + conv1)) div (n0 + n1)")
+                 .as("p_pooled_ppm"),
+               round(mde, 6).as("mde_abs6"),
+               round(diff, 6).as("obs_diff6"))
+      .withColumn("powered",
+                  when(col("obs_diff6") > col("mde_abs6"), 1L)
+                    .otherwise(0L))
   }
 }

@@ -264,4 +264,40 @@ class Round9OpsSpec extends AnyFunSuite {
             got.getDouble(7), got.getDouble(8)) ==
            ((2.0, 4.0, 2.0, 7.0, 3.0)))
   }
+
+  test("diffInDiffBySegment: per-segment 2x2; an empty cell yields " +
+       "NaN effect instead of dropping the segment") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("A", 0L, 0L, 1L), ("A", 0L, 0L, 3L), ("A", 0L, 1L, 4L),
+                 ("A", 1L, 0L, 2L), ("A", 1L, 1L, 7L),
+                 ("B", 0L, 0L, 5L), ("B", 1L, 1L, 9L))
+      .toDF("seg", "t", "p", "y")
+    val got = graft.operators.Experiment
+      .diffInDiffBySegment(df, "seg", "t", "p", "y")
+      .collect()
+    assert(got(0).getString(0) == "A" && got(0).getDouble(9) == 3.0)
+    assert(got(1).getString(0) == "B" &&
+           got(1).getDouble(9).isNaN && got(1).getLong(2) == 0L)
+  }
+
+  test("abPower: pooled rate, MDE via IEEE sqrt, powered flag on the " +
+       "rounded readouts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // n0=100 conv0=10, n1=100 conv1=30 -> p=0.2, obs diff 0.2
+    val units = (Seq.fill(10)((0L, 1L)) ++ Seq.fill(90)((0L, 0L)) ++
+                 Seq.fill(30)((1L, 1L)) ++ Seq.fill(70)((1L, 0L)))
+      .toDF("t", "conv")
+    val got = graft.operators.Experiment.abPower(units, "t", "conv")
+      .collect()(0)
+    val mde = BigDecimal((1.959964 + 0.841621) *
+        math.sqrt(2.0 * 0.2 * 0.8 / 100.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+            got.getLong(3), got.getLong(4)) ==
+           ((100L, 10L, 100L, 30L, 200000L)))
+    assert((got.getDouble(5), got.getDouble(6), got.getLong(7)) ==
+           ((mde, 0.2, 1L)))
+  }
 }
