@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // keep Windows.bounded's constant partition key: with the rule
+      // active, Spark folds it away and every INTENTIONAL bounded
+      // window prints the WindowExec single-partition warning, burying
+      // real findings; excluded, only accidental unpartitioned windows
+      // warn (plan cost identical — one partition either way)
+      .config("spark.sql.optimizer.excludedRules",
+              "org.apache.spark.sql.catalyst.optimizer." +
+                "EliminateWindowPartitions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up outside timing: parquet footers, then every query once on the

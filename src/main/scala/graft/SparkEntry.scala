@@ -221,10 +221,9 @@ object SparkEntry {
           .otherwise(0.0))
       val agg = o.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(avg("y"), 6).as("event_rate"))
-      import org.apache.spark.sql.expressions.Window
       agg.withColumn("ordinal",
-          row_number().over(Window.orderBy(col("event_rate"),
-                                           col("o_orderpriority"))) - 1)
+          row_number().over(graft.core.Windows.bounded(
+            col("event_rate"), col("o_orderpriority"))) - 1)
         .orderBy("ordinal")
     }),
 
@@ -944,11 +943,11 @@ object SparkEntry {
         .groupBy(binIdx(col("l_extendedprice"), liSplits).as("bin"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("ev"))
         .withColumn("event_rate", round(col("ev") / col("n"), 6))
-      val w = Window.orderBy(desc("event_rate"), col("bin"))
+      val w = graft.core.Windows.bounded(desc("event_rate"), col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // total via an unbounded window frame: one job, no driver round-trip
-      val wAll = Window.rowsBetween(Window.unboundedPreceding,
-                                    Window.unboundedFollowing)
+      val wAll = graft.core.Windows.boundedAll
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       agg.withColumn("cum_capture",
                      round(sum("ev").over(w) / sum("ev").over(wAll), 6))
         .select(col("bin"), col("n"), col("ev").cast("long").as("ev"),
@@ -967,10 +966,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("y")).as("ev"))
         .withColumn("ne", col("n") - col("ev"))
         .withColumn("event_rate", round(col("ev") / col("n"), 6))
-      val w = Window.orderBy(desc("event_rate"), col("bin"))
+      val w = graft.core.Windows.bounded(desc("event_rate"), col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.rowsBetween(Window.unboundedPreceding,
-                                    Window.unboundedFollowing)
+      val wAll = graft.core.Windows.boundedAll
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       agg.withColumn("tpr",
                      round(sum("ev").over(w) / sum("ev").over(wAll), 6))
         .withColumn("fpr",
@@ -10815,10 +10814,14 @@ object SparkEntry {
          SELECT rank::BIGINT AS rank, bin::BIGINT AS bin,
                 n::BIGINT AS n, e::BIGINT AS n_event,
                 cum_n::BIGINT AS cum_n, cum_e::BIGINT AS cum_event,
-                ((1000000 * cum_e) // tot_e)::BIGINT AS capture_ppm,
+                CASE WHEN tot_e > 0
+                     THEN ((1000000 * cum_e) // tot_e)::BIGINT END
+                  AS capture_ppm,
                 ((1000000 * cum_n) // tot_n)::BIGINT AS depth_ppm,
-                round((cum_e * tot_n)::DOUBLE / (cum_n * tot_e), 6)
-                  AS lift6
+                CASE WHEN tot_e > 0
+                     THEN round(cum_e::DOUBLE * tot_n::DOUBLE
+                                / (cum_n::DOUBLE * tot_e::DOUBLE), 6)
+                END AS lift6
          FROM c ORDER BY rank""",
 
     // Threshold-sweep replay: identical ranked cumsums, then the
@@ -10903,12 +10906,17 @@ object SparkEntry {
            FROM t)
          SELECT variable, bin::BIGINT AS bin, n_train::BIGINT AS n_train,
                 n_test::BIGINT AS n_test,
-                ((1000000 * n_train) // tot_train)::BIGINT
+                CASE WHEN tot_train > 0
+                     THEN ((1000000 * n_train) // tot_train)::BIGINT END
                   AS pct_train_ppm,
-                ((1000000 * n_test) // tot_test)::BIGINT AS pct_test_ppm,
+                CASE WHEN tot_test > 0
+                     THEN ((1000000 * n_test) // tot_test)::BIGINT END
+                  AS pct_test_ppm,
                 woe6,
-                round((n_test::DOUBLE / tot_test -
-                       n_train::DOUBLE / tot_train) * woe6, 6) AS shift6
+                CASE WHEN tot_train > 0 AND tot_test > 0
+                     THEN round((n_test::DOUBLE / tot_test -
+                                 n_train::DOUBLE / tot_train) * woe6, 6)
+                END AS shift6
          FROM w ORDER BY variable, bin""",
 
     // Migration-matrix replay: integer-cents spend bands per customer

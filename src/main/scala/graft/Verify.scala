@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench: keep Windows.bounded's constant partition key so
+      // intentional bounded windows stay warning-free
+      .config("spark.sql.optimizer.excludedRules",
+              "org.apache.spark.sql.catalyst.optimizer." +
+                "EliminateWindowPartitions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

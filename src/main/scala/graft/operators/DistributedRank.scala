@@ -46,12 +46,12 @@ object DistributedRank {
     require(bucketWidth > 0, s"bucketWidth must be > 0; got $bucketWidth")
     val pts = df.where(col(valueCol).isNotNull)
       .withColumn("__b", floorDiv(valueCol, bucketWidth))
-    val wPfx = Window.orderBy("__b")
+    val wPfx = graft.core.Windows.bounded(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = pts.groupBy("__b").agg(count(lit(1)).as("__bc"))
       .select(col("__b"),
               coalesce(sum("__bc").over(wPfx), lit(0L)).as("__pfx"),
-              sum("__bc").over(Window.orderBy(lit(1))
+              sum("__bc").over(graft.core.Windows.boundedAll
                 .rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)).as("__n"))
     pts.join(broadcast(prefix), Seq("__b"))

@@ -232,8 +232,8 @@ object Graph {
     *
     * Per round: one shuffle join (edges x labels) and one aggregate to
     * (node, label) counts; the argmax folds into the same aggregate
-    * via `max(struct(cnt, MaxValue - label))` — integer-exact
-    * (cnt desc, label asc), no window, no sort. Labels persist per
+    * via `min(struct(-cnt, label))` — integer-exact (cnt desc, label
+    * asc) for arbitrary long ids, no window, no sort. Labels persist per
     * round with the previous round released (the bfs/kcore lineage-cut
     * discipline). Output: one row per community
     * `(community, n_members, min_member, max_member)`.
@@ -261,12 +261,14 @@ object Graph {
         .join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
+      // argmax via min(struct(-cnt, lbl)): cnt is a count (>= 1, never
+      // near Long.MinValue) so the negation is ANSI-safe for ARBITRARY
+      // label ids — the previous MaxValue - lbl encoding overflowed for
+      // negative ids, and node ids are caller-provided longs
       val next = mat(counted
         .groupBy("v")
-        .agg(max(struct(col("cnt"),
-                        (lit(Long.MaxValue) - col("lbl")).as("nl")))
-               .as("m"))
-        .select(col("v"), (lit(Long.MaxValue) - col("m.nl")).as("lbl")))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
+        .select(col("v"), col("m.lbl").as("lbl")))
       labels.unpersist()
       labels = next
     }

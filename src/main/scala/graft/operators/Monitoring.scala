@@ -207,9 +207,9 @@ object Monitoring {
       // without the pin Catalyst recomputes it from a second full input
       // scan (caller releases via clearCache)
       .persist()
-    val wPfx = Window.orderBy("__b")
+    val wPfx = graft.core.Windows.bounded(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(lit(1))
+    val wAll = graft.core.Windows.boundedAll
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prefix = perValue.groupBy("__b")
       .agg(sum("c1").as("__s1"), sum("c2").as("__s2"))
@@ -488,11 +488,13 @@ object Monitoring {
            sum("n").as("sum_actual"),
            sum("abs_err").as("sum_abs_err"),
            sum("err").as("sum_err"),
-           (lit(Long.MaxValue) -
-            max(struct(col("abs_err"),
-                       (lit(Long.MaxValue) - col("day_s").cast("long"))
-                         .as("nd"))).getField("nd"))
-             .as("worst_day_epoch_d"))
+           // argmax abs_err, ties -> earliest day, via min(struct(
+           // -abs_err, day_s)): abs_err >= 0 so the negation is
+           // ANSI-safe, and day_s may be legitimately negative
+           // (pre-1970 epochs) — the previous MaxValue - day_s
+           // encoding overflowed there
+           min(struct((-col("abs_err")).as("ne"), col("day_s")))
+             .getField("day_s").as("worst_day_epoch_d"))
       .orderBy(groupCol)
   }
 }

@@ -192,7 +192,7 @@ object QualityChecks {
       .withColumn("__p", lag(col("k"), 1).over(wIn))
       .where(col("__p").isNotNull)
       .select(col("k"), col("__p"))
-    val wB = Window.orderBy("__b")
+    val wB = graft.core.Windows.bounded(col("__b"))
     val boundary = keys.groupBy("__b")
       .agg(min("k").as("__mn"), max("k").as("__mx"))
       .withColumn("__pmx", lag(col("__mx"), 1).over(wB))
@@ -281,7 +281,7 @@ object QualityChecks {
                         1, 1).cast("int").as("digit"))
     val expected = element_at(
       typedLit(BenfordScaled.toSeq), col("digit")) // 1-indexed by digit
-    val wAll = Window.orderBy(lit(1))
+    val wAll = graft.core.Windows.boundedAll
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     digits.groupBy("digit").agg(count(lit(1)).as("n_d"))
       .withColumn("n_total", sum("n_d").over(wAll))

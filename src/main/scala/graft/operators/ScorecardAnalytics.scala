@@ -41,12 +41,17 @@ object ScorecardAnalytics {
       .agg(count(lit(1)).as("n"),
            sum(col(yCol).cast("long")).as("n_event"))
     // bounded frame from here on: one row per band
-    val ord = Window.orderBy(
+    val ord = graft.core.Windows.bounded(
       (col("n_event").cast("double") / col("n")).desc, col("bin").asc)
-    val all = Window.partitionBy(lit(1))
+    val all = graft.core.Windows.boundedAll
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = Window.orderBy("rank")
+    val cum = graft.core.Windows.bounded(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a zero-event population degrades to null capture/lift instead of
+    // raising DIVIDE_BY_ZERO under ANSI (the diffInDiff empty-cell
+    // discipline); lift multiplies DOUBLE factors, never BIGINTs —
+    // cum_event * tot_n as BIGINT overflows past ~3e9 rows, far below
+    // the ppm arithmetic's own ~9.2e12 bound
     byBin
       .withColumn("rank", row_number().over(ord))
       .withColumn("cum_n", sum("n").over(cum))
@@ -56,10 +61,16 @@ object ScorecardAnalytics {
       .select(
         col("rank"), col("bin"), col("n"), col("n_event"),
         col("cum_n"), col("cum_event"),
-        expr("(1000000 * cum_event) div tot_event").as("capture_ppm"),
+        when(col("tot_event") > 0,
+             expr("(1000000 * cum_event) div tot_event"))
+          .as("capture_ppm"),
         expr("(1000000 * cum_n) div tot_n").as("depth_ppm"),
-        round((col("cum_event") * col("tot_n")).cast("double") /
-              (col("cum_n") * col("tot_event")), 6).as("lift6"))
+        when(col("tot_event") > 0,
+             round(col("cum_event").cast("double") *
+                   col("tot_n").cast("double") /
+                   (col("cum_n").cast("double") *
+                    col("tot_event").cast("double")), 6))
+          .as("lift6"))
       .orderBy("rank")
   }
 
@@ -75,11 +86,11 @@ object ScorecardAnalytics {
       .groupBy(binCol.as("bin"))
       .agg(count(lit(1)).as("n"),
            sum(col(yCol).cast("long")).as("n_event"))
-    val ord = Window.orderBy(
+    val ord = graft.core.Windows.bounded(
       (col("n_event").cast("double") / col("n")).desc, col("bin").asc)
-    val all = Window.partitionBy(lit(1))
+    val all = graft.core.Windows.boundedAll
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = Window.orderBy("k")
+    val cum = graft.core.Windows.bounded(col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = byBin
       .withColumn("k", row_number().over(ord))
@@ -140,12 +151,20 @@ object ScorecardAnalytics {
         .select(
           lit(name).as("variable"), col("bin"),
           col("n_train"), col("n_test"),
-          expr("(1000000 * n_train) div tot_train").as("pct_train_ppm"),
-          expr("(1000000 * n_test) div tot_test").as("pct_test_ppm"),
+          // empty-cohort guard: an all-null cohort degrades to null
+          // shares instead of an ANSI DIVIDE_BY_ZERO
+          when(col("tot_train") > 0,
+               expr("(1000000 * n_train) div tot_train"))
+            .as("pct_train_ppm"),
+          when(col("tot_test") > 0,
+               expr("(1000000 * n_test) div tot_test"))
+            .as("pct_test_ppm"),
           col("woe6"),
-          round((col("n_test").cast("double") / col("tot_test") -
-                 col("n_train").cast("double") / col("tot_train")) *
-                col("woe6"), 6).as("shift6"))
+          when(col("tot_train") > 0 && col("tot_test") > 0,
+               round((col("n_test").cast("double") / col("tot_test") -
+                      col("n_train").cast("double") / col("tot_train")) *
+                     col("woe6"), 6))
+            .as("shift6"))
     }
     perVar.reduce(_.unionByName(_)).orderBy("variable", "bin")
   }

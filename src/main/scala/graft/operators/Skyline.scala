@@ -73,7 +73,7 @@ object Skyline {
     // pass 1: per-bucket best maximize value -> prefix over LOWER buckets.
     // The unpartitioned window runs on ONE task over n_buckets rows — the
     // deliberate tiny sequential step of the two-pass prefix pattern.
-    val wPfx = Window.orderBy("__b")
+    val wPfx = graft.core.Windows.bounded(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = pts.groupBy("__b").agg(max("__mx").as("__bmax"))
       .select(col("__b"), max("__bmax").over(wPfx).as("__pfx"))

@@ -375,7 +375,7 @@ object Temporal {
       .agg(sum("churn").as("n_events"),
            (count(lit(1)) - sum("churn")).as("n_censored"))
     // at-risk(d) = every key whose lifetime reaches d = suffix sum
-    val wSuffix = Window.orderBy(col("duration").desc)
+    val wSuffix = graft.core.Windows.bounded(col("duration").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDur
       .withColumn("n_risk",

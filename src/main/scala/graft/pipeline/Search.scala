@@ -170,7 +170,7 @@ object Search {
     // run before it
     val bm = bm25TopK(docs, textCol, idCol, query, kList)
       .withColumn("r", row_number().over(
-        Window.orderBy(desc("score"), col("id"))))
+        graft.core.Windows.bounded(desc("score"), col("id"))))
       .select(col("id"), col("r").as("__rt"))
     val qv = array(queryVec.map(lit(_)): _*)
     val ve = embeddings
@@ -179,7 +179,7 @@ object Search {
                                       qv), 6).as("cosine"))
       .orderBy(desc("cosine"), col("id")).limit(kList)
       .withColumn("r", row_number().over(
-        Window.orderBy(desc("cosine"), col("id"))))
+        graft.core.Windows.bounded(desc("cosine"), col("id"))))
       .select(col("id"), col("r").as("__rv"))
     bm.join(ve, Seq("id"), "full_outer")
       .select(col("id"),

@@ -16,12 +16,22 @@ import org.apache.spark.sql.types._
   * by word frequency (with within-word multiplicity, the standard BPE
   * count), picks the most frequent pair with the deterministic
   * tie-break (freq desc, left asc, right asc), and applies the merge
-  * as a left-to-right non-overlapping replace on the space-delimited
-  * symbol string — the exact semantics of SQL `replace()`, so every
-  * round replays bit-identically in ANSI SQL. (True BPE re-scans
-  * overlaps after each merge within a word; the left-to-right
-  * non-overlapping variant is the documented, replayable choice and
-  * matches what `replace` does in both engines.)
+  * via `replace(' '||syms||' ', ' p1 p2 ', ' merged ')` on the
+  * space-delimited symbol string — the exact semantics of SQL
+  * `replace()`, so every round replays bit-identically in ANSI SQL.
+  * Two documented deviations from textbook BPE follow from that
+  * replace: (a) true BPE re-scans overlaps after each merge within a
+  * word — here a round applies the merge once per non-overlapping
+  * occurrence; (b) BACK-TO-BACK occurrences sharing a delimiter
+  * space merge only alternately within a round, because the shared
+  * boundary space is consumed by the previous replacement: for the
+  * winning pair (a, a), `a a a a` becomes `aa a a` (one merge, not
+  * two — the second occurrence's leading ` a a ` pattern lost its
+  * leading space), and for (a, b), `a b a b` becomes `ab a b`. The
+  * skipped occurrences remain candidates for the NEXT round, and
+  * `freq` reports the full adjacent-pair count (every adjacency,
+  * including ones the replace leaves unmerged this round). Oracle
+  * parity is unconditional — both engines share the same `replace`.
   */
 object Tokenizer {
 

@@ -15,6 +15,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // see Bench: keep Windows.bounded's constant partition key so
+      // intentional bounded windows stay warning-free
+      .config("spark.sql.optimizer.excludedRules",
+              "org.apache.spark.sql.catalyst.optimizer." +
+                "EliminateWindowPartitions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
