@@ -180,6 +180,20 @@ object SparkEntry {
     }
   }
 
+  /** Round-10 exact piecewise specs: knots are PINNED INPUTS (like
+    * userSplits); the l2 solve derives from data identically in both
+    * engines via [[graft.core.ExactFit]]'s shared expression IR, so
+    * the pw oracles replay at ANY SF (de-pinned). */
+  private val pwContSpec = graft.core.ExactFit.PWSpec(
+    Array(23.5, 47.5), 10L, 100L, 512.0, None)
+  private val pwMonoSpec = graft.core.ExactFit.PWSpec(
+    Array(23.5, 47.5), 10L, 100L, 512.0, Some("ascending"))
+  private val pwRateSpec = graft.core.ExactFit.PWSpec(
+    Array(25000.0, 50000.0, 75000.0), 100L, 1L, 8388608.0, None)
+  private val pwWhereQty =
+    " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+  private val pwWherePrice = " WHERE l_extendedprice IS NOT NULL"
+
   /** Flagship: full optimal-binning fit (CART prebinning + DP solve) on
     * sf0.001 lineitem, returning the binning table. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2903,24 +2917,27 @@ object SparkEntry {
     }),
 
     "q_cont_pw" -> ((s, dir) => {
-      // continuous piecewise prediction curve, verified as a hard
-      // invariant: the fitted truncated-power curve (splits +
-      // coefficients) is pinned and the oracle recomputes the same
-      // prediction stats from those literals over the raw table
+      // continuous-target piecewise-linear curve at PINNED user knots,
+      // DE-PINNED (r10): ExactFit solves the l2 normal equations from
+      // ONE exact DECIMAL(38,0) moment aggregate (the 100 TB path — no
+      // histogram, no raw-data collect) and the oracle re-derives the
+      // SAME bit-identical coefficients from data via the shared
+      // expression IR; every output is a moment closed form or an
+      // exact knot value, so the oracle replays at ANY SF with zero
+      // float-summation noise
       val li = T(s, dir, "lineitem")
-      val pw = PWBinning.fitContinuous(li, "l_quantity", "l_extendedprice",
-                                       BinningConfig(name = "x"))
-      // predictions rebuilt from the PINNED curve (see q_pw_transform)
-      val cv = pw.curve.copy(coefs = pw.curve.coefs.map(pinVec))
-      li.agg(count(lit(1)).as("n"),
-             // 4 decimals: 5e4-magnitude means put the 6th decimal
-             // inside cross-engine averaging noise
-             round(avg(cv.predict(col("l_quantity"))), 4)
-               .as("avg_pred"),
-             round(avg(col("l_extendedprice")), 4).as("avg_actual"))
-        .withColumn("curve", lit(
-          cv.splits.mkString(",") + ";" +
-          cv.coefs.map(_.mkString(",")).mkString("|")))
+      val f = graft.core.ExactFit.fit(
+        li, col("l_quantity"), col("l_extendedprice"), pwContSpec)
+      li.where(col("l_quantity").isNotNull &&
+               col("l_extendedprice").isNotNull)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("avg_pred", round(lit(f.values("w_avg")), 4))
+        .withColumn("avg_actual", round(lit(f.values("w_avgy")), 4))
+        .withColumn("v1", round(lit(f.knotValue(1)), 4))
+        .withColumn("v2", round(lit(f.knotValue(2)), 4))
+        .withColumn("slope0", round(lit(f.slope(0) * 10.0 / 100.0), 6))
+        .withColumn("slope1", round(lit(f.slope(1) * 10.0 / 100.0), 6))
+        .withColumn("slope2", round(lit(f.slope(2) * 10.0 / 100.0), 6))
     }),
 
     "q_gamma_outlier_fit" -> ((s, dir) => {
@@ -3110,70 +3127,49 @@ object SparkEntry {
     }),
 
     "q_pw_transform" -> ((s, dir) => {
-      // piecewise event-rate curve, verified as a hard invariant: the
-      // fitted curve (splits + coefficients + [lb, ub] clip) is pinned
-      // and the oracle recomputes the prediction stats from those
-      // literals over the raw table
+      // piecewise event-rate curve at PINNED knots (liSplits),
+      // DE-PINNED (r10): the l2 fit of the 0/1 target derives from
+      // exact moments in BOTH engines (see q_cont_pw); min/max of the
+      // [1e-6, 0.999999]-clipped prediction are row-level min/max of
+      // bit-identical doubles (order-independent, exact), avg_pred is
+      // the unclipped curve mean in moment closed form (the clip
+      // never binds on a curve inside (0, 1); min/max carry the clip)
       val li = liTarget(T(s, dir, "lineitem"))
-      val pw = PWBinning.fit(li, "l_extendedprice", "y",
-                             BinningConfig(name = "x"))
-      // the raw truncated-power coefficients are collinear (knot deltas
-      // ~1e-11 carry ~1e-5 relative accumulation noise), but the curve
-      // itself is stable — so pin it in PREDICTION space: knot values +
-      // per-segment slopes (partial coefficient sums, noise-cancelling),
-      // and rebuild the piecewise-linear predictor from those pins so
-      // the oracle's literal replay is term-for-term identical
-      val c = pw.curve.coefs(0)
-      val t = pw.curve.splits
-      require(pw.curve.degree == 1 && pw.curve.continuous)
-      def predAt(v: Double): Double =
-        c(0) + c(1) * v +
-          t.indices.map(j => c(2 + j) * math.max(0.0, v - t(j))).sum
-      val vs = pinVec(t.map(predAt))
-      val slopes = pinVec(
-        (0 to t.length).map(m => c(1) + (0 until m).map(j => c(2 + j)).sum)
-          .toArray)
-      def pred(x: Column): Column = {
-        val k = t.length
-        val last = lit(vs(k - 1)) + lit(slopes(k)) * (x - lit(t(k - 1)))
-        val mids = (1 until k).foldRight(last) { (m, acc) =>
-          when(x < t(m),
-               lit(vs(m - 1)) + lit(slopes(m)) * (x - lit(t(m - 1))))
-            .otherwise(acc)
-        }
-        val lin = when(x < t(0),
-                       lit(vs(0)) + lit(slopes(0)) * (x - lit(t(0))))
-          .otherwise(mids)
-        least(greatest(lin, lit(pw.lb)), lit(pw.ub))
-      }
-      li.agg(count(lit(1)).as("n"),
-             round(avg(pred(col("l_extendedprice"))), 6).as("avg_pred"),
-             round(min(pred(col("l_extendedprice"))), 6).as("min_pred"),
-             round(max(pred(col("l_extendedprice"))), 6).as("max_pred"))
-        .withColumn("curve", lit(
-          t.mkString(",") + ";" + vs.mkString(",") + ";" +
-          slopes.mkString(",") + ";" + pw.lb + "," + pw.ub))
+      val f = graft.core.ExactFit.fit(
+        li, col("l_extendedprice"), col("y"), pwRateSpec)
+      val pred = least(greatest(
+        f.predictColumn(col("l_extendedprice")), lit(1.0E-6)),
+        lit(0.999999))
+      li.where(col("l_extendedprice").isNotNull)
+        .agg(count(lit(1)).as("n"),
+             round(min(pred), 6).as("min_pred"),
+             round(max(pred), 6).as("max_pred"))
+        .withColumn("avg_pred", round(lit(f.values("w_avg")), 6))
+        .withColumn("c0", round(lit(f.a), 6))
+        .withColumn("v1", round(lit(f.knotValue(1)), 6))
+        .withColumn("v2", round(lit(f.knotValue(2)), 6))
+        .withColumn("v3", round(lit(f.knotValue(3)), 6))
     }),
 
     "q_pw_monotone" -> ((s, dir) => {
-      // monotone-constrained robust piecewise fit (degree 1, huber,
-      // ascending slope QP), verified as a hard invariant: the QP's
-      // solved curve is pinned and the oracle replays the prediction
-      // grid from the same literals
+      // monotone-ascending piecewise-linear l2 QP at PINNED knots,
+      // DE-PINNED (r10): ExactFit enumerates the 2^3 equality active
+      // sets on the exact moments and the winner selection (min SSE
+      // among feasible, ties -> lowest mask) REPLAYS in SQL as
+      // comparisons over the same bit-identical doubles — no discrete
+      // pin; the chosen active set is itself oracle-derived at any SF.
+      // The grid predictions and slope readouts are exact expressions
+      // of the winning coefficients.
       val li = T(s, dir, "lineitem")
-      val pw = PWBinning.fitContinuous(li, "l_quantity",
-        "l_extendedprice", BinningConfig(name = "x"),
-        objective = "huber", monotonicTrend = Some("ascending"))
-      // predictions rebuilt from the PINNED curve (see q_pw_transform);
-      // the pin's zero floor also collapses the QP's ~1e-15 noise slope
-      // around the active monotonicity constraint to an exact 0
-      val cv = pw.curve.copy(coefs = pw.curve.coefs.map(pinVec))
+      val f = graft.core.ExactFit.fit(
+        li, col("l_quantity"), col("l_extendedprice"), pwMonoSpec)
       import s.implicits._
       (5 to 45 by 5).map(_.toDouble).toDF("x")
-        .select(col("x"), round(cv.predict(col("x")), 6).as("pred"))
-        .withColumn("curve", lit(
-          cv.splits.mkString(",") + ";" +
-          cv.coefs.map(_.mkString(",")).mkString("|")))
+        .select(col("x"), round(f.predictColumn(col("x")), 6).as("pred"))
+        .withColumn("active_mask", lit(f.mask.toLong))
+        .withColumn("slope0", round(lit(f.slope(0) * 10.0 / 100.0), 6))
+        .withColumn("slope1", round(lit(f.slope(1) * 10.0 / 100.0), 6))
+        .withColumn("slope2", round(lit(f.slope(2) * 10.0 / 100.0), 6))
         .orderBy("x")
     }),
 
@@ -5725,68 +5721,65 @@ object SparkEntry {
          FROM bins GROUP BY variable, bin, splits
          ORDER BY variable, bin""",
 
-    // pinned truncated-power piecewise curves: predictions recomputed
-    // from the solved coefficient literals (same left-to-right term
-    // order as the generated Spark expression)
-    "q_pw_transform" ->
-      """WITH p AS (
+    // DE-PINNED piecewise oracles (r10): the l2 solve itself replays
+    // in SQL — exact HUGEINT moment sums, then graft.core.ExactFit's
+    // shared expression IR rendered as lateral-aliased columns, giving
+    // the SAME bit-identical coefficients the engine computed. Valid
+    // at ANY SF; no solver literals anywhere.
+    "q_pw_transform" -> {
+      import graft.core.ExactFit
+      val ySql = "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END"
+      s"""WITH ${ExactFit.coefCtes(pwRateSpec, "lineitem",
+                                   "l_extendedprice", ySql,
+                                   pwWherePrice)},
+         p AS (
            SELECT least(greatest(
-             CASE
-               WHEN l_extendedprice < 6372.067953
-                 THEN 0.33211068
-                      + 4.2547536E-8 * (l_extendedprice - 6372.067953)
-               WHEN l_extendedprice < 17458.298343000002
-                 THEN 0.33211068
-                      + 4.2509786E-8 * (l_extendedprice - 6372.067953)
-               WHEN l_extendedprice < 57628.967897
-                 THEN 0.33258195
-                      + 4.2615259E-8 * (l_extendedprice - 17458.298343000002)
-               WHEN l_extendedprice < 65134.293823
-                 THEN 0.33429384
-                      + 4.2722408E-8 * (l_extendedprice - 57628.967897)
-               WHEN l_extendedprice < 84392.06492300001
-                 THEN 0.33461448
-                      + 4.2712924E-8 * (l_extendedprice - 65134.293823)
-               WHEN l_extendedprice < 97653.902967
-                 THEN 0.33543704
-                      + 4.2766305E-8 * (l_extendedprice - 84392.06492300001)
-               ELSE 0.3360042
-                    + 4.2788535E-8 * (l_extendedprice - 97653.902967)
-             END, 1.0E-6), 0.999999) AS pred
-           FROM lineitem)
-         SELECT count(*)::BIGINT AS n, round(avg(pred), 6) AS avg_pred,
-                round(min(pred), 6) AS min_pred,
-                round(max(pred), 6) AS max_pred,
-                '6372.067953,17458.298343000002,57628.967897,65134.293823,84392.06492300001,97653.902967;0.33211068,0.33258195,0.33429384,0.33461448,0.33543704,0.3360042;4.2547536E-8,4.2509786E-8,4.2615259E-8,4.2722408E-8,4.2712924E-8,4.2766305E-8,4.2788535E-8;1.0E-6,0.999999'
-                  AS curve
-         FROM p""",
+                    ${ExactFit.predictSql(pwRateSpec,
+                                          "l_extendedprice")},
+                    0.000001), 0.999999) AS pred
+           FROM lineitem, kf$pwWherePrice),
+         ag AS (
+           SELECT count(*)::BIGINT AS n,
+                  round(min(pred), 6) AS min_pred,
+                  round(max(pred), 6) AS max_pred
+           FROM p)
+         SELECT ag.n, round(kf.w_avg, 6) AS avg_pred, ag.min_pred,
+                ag.max_pred, round(kf.w_a, 6) AS c0,
+                round(kf.w_v1, 6) AS v1, round(kf.w_v2, 6) AS v2,
+                round(kf.w_v3, 6) AS v3
+         FROM ag, kf"""
+    },
 
-    "q_cont_pw" ->
-      """WITH p AS (
-           SELECT 52912.803
-                  + 4.9048159 * l_quantity
-                  + -4.9048159 * greatest(0.0, l_quantity - 23.5)
-                  + 589.51939 * greatest(0.0, l_quantity - 47.5)
-                    AS pred,
-                  l_extendedprice AS t
-           FROM lineitem)
-         SELECT count(*)::BIGINT AS n, round(avg(pred), 4) AS avg_pred,
-                round(avg(t), 4) AS avg_actual,
-                '23.5,47.5;52912.803,4.9048159,-4.9048159,589.51939'
-                  AS curve
-         FROM p""",
+    "q_cont_pw" -> {
+      import graft.core.ExactFit
+      s"""WITH ${ExactFit.coefCtes(pwContSpec, "lineitem",
+                                   "l_quantity", "l_extendedprice",
+                                   pwWhereQty)}
+         SELECT m.n::BIGINT AS n,
+                round(kf.w_avg, 4) AS avg_pred,
+                round(kf.w_avgy, 4) AS avg_actual,
+                round(kf.w_v1, 4) AS v1, round(kf.w_v2, 4) AS v2,
+                round((kf.w_s0 * 10.0) / 100.0, 6) AS slope0,
+                round((kf.w_s1 * 10.0) / 100.0, 6) AS slope1,
+                round((kf.w_s2 * 10.0) / 100.0, 6) AS slope2
+         FROM kf, m"""
+    },
 
-    "q_pw_monotone" ->
-      """SELECT (5.0 * g)::DOUBLE AS x,
-                round(52989.391
-                      + 0.0 * (5.0 * g)
-                      + 12.691372
-                        * greatest(0.0, 5.0 * g - 23.5)
-                      + 247.24871
-                        * greatest(0.0, 5.0 * g - 47.5), 6) AS pred,
-                '23.5,47.5;52989.391,0.0,12.691372,247.24871'
-                  AS curve
-         FROM range(1, 10) t(g) ORDER BY x""",
+    "q_pw_monotone" -> {
+      import graft.core.ExactFit
+      s"""WITH ${ExactFit.coefCtes(pwMonoSpec, "lineitem",
+                                   "l_quantity", "l_extendedprice",
+                                   pwWhereQty)}
+         SELECT (5 * g)::DOUBLE AS x,
+                round(${ExactFit.predictSql(pwMonoSpec,
+                                            "(5 * g)::DOUBLE")}, 6)
+                  AS pred,
+                kf.w_m::BIGINT AS active_mask,
+                round((kf.w_s0 * 10.0) / 100.0, 6) AS slope0,
+                round((kf.w_s1 * 10.0) / 100.0, 6) AS slope1,
+                round((kf.w_s2 * 10.0) / 100.0, 6) AS slope2
+         FROM range(1, 10) t(g), kf ORDER BY x"""
+    },
 
     // pinned 2D fits: solved splits inlined as literals; the solved
     // layout is all singleton cells (IV is superadditive under

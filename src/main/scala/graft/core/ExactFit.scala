@@ -1,0 +1,449 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{lit => flit}
+
+/** Exact distributed piecewise-linear least squares at PINNED knots —
+  * the scale path of the piecewise binning family
+  * (`optbinning/binning/piecewise/base.py:459-476`: the objective is
+  * deterministic given the knots; the reference delegates to a convex
+  * solver, here the pinned-knot degree-1 case is solved in closed
+  * form from sufficient statistics).
+  *
+  * Why this exists next to [[graft.operators.PWBinning]]'s
+  * histogram+IRLS solver: at 100 TB the fit should be ONE distributed
+  * aggregate, not a value-histogram collect. With integer-scaled
+  * inputs (cents, tenths) every basis value is an exact BIGINT, the
+  * sufficient statistics are exact DECIMAL(38,0)/HUGEINT sums —
+  * bit-identical in any engine — and the (k+2)-dim normal-equation
+  * solve is a deterministic double-precision expression over them.
+  * The whole fit therefore replays EXACTLY in ANSI SQL at any scale
+  * factor: the same expression tree is evaluated on the driver and
+  * rendered as oracle SQL (one shared IR, so the op order is
+  * identical by construction), which is what de-pins the piecewise
+  * driver oracles.
+  *
+  * Basis: segment-coverage lengths. For knots t_1 < .. < t_k (scaled
+  * to integers T_j), `len_0(X) = min(X, T_1)`,
+  * `len_m(X) = max(0, min(X, T_{m+1}) - T_m)`,
+  * `len_k(X) = max(0, X - T_k)`; the curve is
+  * `f(X) = a + sum_m s_m * len_m(X)` — continuous piecewise-linear
+  * with per-segment slopes `s_m` (an exact reparametrization of the
+  * truncated-power basis, much better conditioned). Monotone
+  * ascending/descending solves the convex QP `s_m >= 0` (resp
+  * `<= 0`) EXACTLY by enumerating equality active sets (2^(k+1)
+  * candidates, k <= 6): the optimum's active set appears, every
+  * feasible candidate's SSE is >= the optimum, and the winner
+  * selection (min score, ties -> lowest mask) is replayed in SQL as
+  * comparisons over the same bit-identical doubles.
+  *
+  * Conditioning: x-like moment columns are scaled by a caller-pinned
+  * POWER OF TWO before the solve — exact in IEEE doubles, so parity
+  * is untouched while the Cramer determinants stay well-conditioned.
+  */
+object ExactFit {
+
+  // ------------------------------------------------------------------
+  // shared scalar-expression IR: evaluated on the driver AND rendered
+  // to SQL from the same tree, so both engines run the identical IEEE
+  // op sequence over identical inputs
+  // ------------------------------------------------------------------
+  sealed trait Ex
+  final case class R(name: String) extends Ex
+  final case class Cst(v: Double) extends Ex
+  final case class Op(op: Char, a: Ex, b: Ex) extends Ex
+  final case class Pick(cases: Seq[(Bx, Ex)], otherwise: Ex) extends Ex
+
+  sealed trait Bx
+  final case class RB(name: String) extends Bx
+  final case class Cmp(op: String, a: Ex, b: Ex) extends Bx
+  final case class All(xs: Seq[Bx]) extends Bx
+  final case class AnyB(xs: Seq[Bx]) extends Bx
+  final case class NotB(x: Bx) extends Bx
+
+  sealed trait Def
+  final case class DefD(name: String, ex: Ex) extends Def
+  final case class DefB(name: String, bx: Bx) extends Def
+
+  final case class Env(d: collection.mutable.Map[String, Double],
+                       b: collection.mutable.Map[String, Boolean])
+
+  def ev(e: Ex, env: Env): Double = e match {
+    case R(n)          => env.d(n)
+    case Cst(v)        => v
+    case Op('+', a, b) => ev(a, env) + ev(b, env)
+    case Op('-', a, b) => ev(a, env) - ev(b, env)
+    case Op('*', a, b) => ev(a, env) * ev(b, env)
+    case Op('/', a, b) => ev(a, env) / ev(b, env)
+    case Op(o, _, _)   => throw new IllegalArgumentException(o.toString)
+    case Pick(cs, o) =>
+      cs.find(c => bv(c._1, env)).map(c => ev(c._2, env))
+        .getOrElse(ev(o, env))
+  }
+
+  def bv(x: Bx, env: Env): Boolean = x match {
+    case RB(n)          => env.b(n)
+    case Cmp(">=", a, b) => ev(a, env) >= ev(b, env)
+    case Cmp("<=", a, b) => ev(a, env) <= ev(b, env)
+    case Cmp("<", a, b)  => ev(a, env) < ev(b, env)
+    case Cmp(o, _, _)    => throw new IllegalArgumentException(o)
+    case All(xs)        => xs.forall(bv(_, env))
+    case AnyB(xs)       => xs.exists(bv(_, env))
+    case NotB(y)        => !bv(y, env)
+  }
+
+  /** Exact decimal expansion of the double — parses back to the same
+    * bits in any correctly-rounding reader. */
+  def dlit(v: Double): String =
+    if (v == 0.0) "0.0"
+    else if (v == v.toLong.toDouble && math.abs(v) < 9.0e15)
+      s"${v.toLong}.0"
+    else new java.math.BigDecimal(v).toPlainString
+
+  def sqlEx(e: Ex): String = e match {
+    case R(n)        => n
+    case Cst(v)      => dlit(v)
+    case Op(o, a, b) => s"(${sqlEx(a)} $o ${sqlEx(b)})"
+    case Pick(cs, o) =>
+      cs.map { case (c, v) => s"WHEN ${sqlBx(c)} THEN ${sqlEx(v)}" }
+        .mkString("CASE ", " ", s" ELSE ${sqlEx(o)} END")
+  }
+
+  def sqlBx(x: Bx): String = x match {
+    case RB(n)        => n
+    case Cmp(o, a, b) => s"(${sqlEx(a)} $o ${sqlEx(b)})"
+    case All(xs)  => if (xs.isEmpty) "TRUE"
+                     else xs.map(sqlBx).mkString("(", " AND ", ")")
+    case AnyB(xs) => if (xs.isEmpty) "FALSE"
+                     else xs.map(sqlBx).mkString("(", " OR ", ")")
+    case NotB(y)  => s"(NOT ${sqlBx(y)})"
+  }
+
+  // fixed-order helpers (left fold keeps the op sequence deterministic)
+  private def sumEx(xs: Seq[Ex]): Ex = xs.reduceLeft(Op('+', _, _))
+  private def mul(a: Ex, b: Ex): Ex = Op('*', a, b)
+
+  /** Determinant by first-row cofactor expansion in a FIXED order —
+    * the same tree evaluates on the driver and renders to SQL. */
+  private def det(m: Vector[Vector[Ex]]): Ex = m.length match {
+    case 1 => m(0)(0)
+    case n =>
+      val terms = (0 until n).map { j =>
+        val minor = m.tail.map(row =>
+          row.zipWithIndex.collect { case (e, c) if c != j => e })
+        (j % 2 == 0, mul(m(0)(j), det(minor)))
+      }
+      terms.tail.foldLeft(terms.head._2) {
+        case (acc, (pos, t)) =>
+          if (pos) Op('+', acc, t) else Op('-', acc, t)
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // piecewise-linear spec
+  // ------------------------------------------------------------------
+
+  /** @param knots      pinned knot positions in RAW x units; must be
+    *                   exactly representable once scaled by xScale
+    * @param xScale     integer scaling making x exact (100 for cents)
+    * @param yScale     integer scaling making y exact (1 for a 0/1
+    *                   target, 100 for money)
+    * @param condPow2   power-of-two column equilibration for the
+    *                   solve (pick near max |len|) — exact in IEEE
+    * @param trend      None | Some("ascending") | Some("descending")
+    */
+  final case class PWSpec(knots: Array[Double], xScale: Long,
+                          yScale: Long, condPow2: Double,
+                          trend: Option[String]) {
+    require(knots.nonEmpty && knots.sameElements(knots.sorted),
+            "knots must be non-empty ascending")
+    require(trend.forall(t => t == "ascending" || t == "descending"),
+            s"trend $trend not supported")
+    val tInt: Array[Long] = knots.map { t =>
+      val s = t * xScale
+      require(s == math.rint(s),
+              s"knot $t not exact at scale $xScale")
+      s.toLong
+    }
+    require({
+      val b = java.lang.Double.doubleToLongBits(condPow2)
+      condPow2 > 0 && (b & 0x000fffffffffffffL) == 0L
+    }, "condPow2 must be a positive power of two")
+    val nSeg: Int = knots.length + 1
+    require(nSeg <= 7, "at most 6 knots (active-set enumeration)")
+    val masks: Seq[Int] =
+      if (trend.isDefined) 0 until (1 << nSeg) else Seq(0)
+  }
+
+  /** Segment-coverage length of segment m at integer point x (exact —
+    * used for knot-value constants). */
+  def lenAt(spec: PWSpec, m: Int, x: Long): Long = {
+    val t = spec.tInt
+    if (m == 0) math.min(x, t(0))
+    else if (m < t.length)
+      math.max(0L, math.min(x, t(m)) - t(m - 1))
+    else math.max(0L, x - t(t.length - 1))
+  }
+
+  // ---------------- moment layer (must match 1:1 across engines) ----
+
+  def momentNames(spec: PWSpec): Seq[String] = {
+    val k = spec.nSeg
+    Seq("n", "sy") ++
+      (0 until k).map(i => s"s$i") ++
+      (0 until k).map(i => s"sy$i") ++
+      (for (i <- 0 until k; j <- i until k) yield s"s${i}_$j")
+  }
+
+  /** Spark-side exact moment aggregate expressions (DECIMAL(38,0)
+    * sums of exact BIGINT products — bit-reproducible regardless of
+    * partitioning). */
+  def momentAggs(spec: PWSpec, xCol: Column, yCol: Column)
+      : Seq[Column] = {
+    val x = round(xCol * spec.xScale).cast("long")
+    val y = round(yCol * spec.yScale).cast("long")
+    val t = spec.tInt
+    def len(m: Int): Column =
+      if (m == 0) least(x, flit(t(0)))
+      else if (m < t.length)
+        greatest(flit(0L),
+                 least(x, flit(t(m))) - flit(t(m - 1)))
+      else greatest(flit(0L), x - flit(t(t.length - 1)))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val k = spec.nSeg
+    Seq(count(flit(1)).as("n"), dec(y).as("sy")) ++
+      (0 until k).map(i => dec(len(i)).as(s"s$i")) ++
+      (0 until k).map(i => dec(len(i) * y).as(s"sy$i")) ++
+      (for (i <- 0 until k; j <- i until k)
+        yield dec(len(i) * len(j)).as(s"s${i}_$j"))
+  }
+
+  /** DuckDB-side moment CTE body — the same exact sums (HUGEINT),
+    * cast to DOUBLE exactly like the driver's BigDecimal→double. */
+  def momentSql(spec: PWSpec, table: String, xSql: String,
+                ySql: String, where: String = ""): String = {
+    val x = s"CAST(round(($xSql) * ${spec.xScale}) AS BIGINT)"
+    val y = s"CAST(round(($ySql) * ${spec.yScale}) AS BIGINT)"
+    val t = spec.tInt
+    def len(m: Int): String =
+      if (m == 0) s"least($x, ${t(0)})"
+      else if (m < t.length)
+        s"greatest(0, least($x, ${t(m)}) - ${t(m - 1)})"
+      else s"greatest(0, $x - ${t(t.length - 1)})"
+    def dec(e: String): String = s"sum(CAST($e AS HUGEINT))::DOUBLE"
+    val k = spec.nSeg
+    val cols = Seq(s"count(*)::DOUBLE AS n", s"${dec(y)} AS sy") ++
+      (0 until k).map(i => s"${dec(len(i))} AS s$i") ++
+      (0 until k).map(i => s"${dec(s"${len(i)} * $y")} AS sy$i") ++
+      (for (i <- 0 until k; j <- i until k)
+        yield s"${dec(s"${len(i)} * ${len(j)}")} AS s${i}_$j")
+    s"SELECT ${cols.mkString(",\n                ")}\n" +
+      s"         FROM $table$where"
+  }
+
+  // ---------------- solve program (shared tree) ---------------------
+
+  /** The full solve as an ordered definition list over the moment
+    * columns: scaled normal equations, per-active-set Cramer solves,
+    * feasibility + score, winner CASE, final intercept `w_a`, segment
+    * slopes `w_s<m>` (scaled-unit), winning mask `w_m`. */
+  def program(spec: PWSpec): Seq[Def] = {
+    val k = spec.nSeg
+    val d = Cst(spec.condPow2)
+    val defs = collection.mutable.ArrayBuffer.empty[Def]
+    // scaled first/second moments (exact power-of-two divisions)
+    for (i <- 0 until k)
+      defs += DefD(s"b$i", Op('/', R(s"s$i"), d))
+    for (i <- 0 until k)
+      defs += DefD(s"by$i", Op('/', R(s"sy$i"), d))
+    for (i <- 0 until k; j <- i until k)
+      defs += DefD(s"b${i}_$j", Op('/', Op('/', R(s"s${i}_$j"), d), d))
+    def bb(i: Int, j: Int): Ex =
+      R(s"b${math.min(i, j)}_${math.max(i, j)}")
+
+    val asc = spec.trend.forall(_ == "ascending")
+    for (mask <- spec.masks) {
+      val free = (0 until k).filter(m => (mask & (1 << m)) == 0)
+      val dim = 1 + free.length
+      // normal-equation matrix over [a] ++ free scaled slopes
+      val mat = Vector.tabulate(dim, dim) { (r, c) =>
+        (r, c) match {
+          case (0, 0) => R("n")
+          case (0, cc) => R(s"b${free(cc - 1)}")
+          case (rr, 0) => R(s"b${free(rr - 1)}")
+          case (rr, cc) => bb(free(rr - 1), free(cc - 1))
+        }
+      }
+      val rhs = Vector(R("sy")) ++ free.map(f => R(s"by$f"))
+      defs += DefD(s"c${mask}_d", det(mat))
+      for (u <- 0 until dim) {
+        val rep = Vector.tabulate(dim, dim) { (r, c) =>
+          if (c == u) rhs(r) else mat(r)(c)
+        }
+        defs += DefD(s"c${mask}_n$u", det(rep))
+      }
+      defs += DefD(s"c${mask}_a",
+                   Op('/', R(s"c${mask}_n0"), R(s"c${mask}_d")))
+      for ((f, fi) <- free.zipWithIndex)
+        defs += DefD(s"c${mask}_z$f",
+                     Op('/', R(s"c${mask}_n${fi + 1}"),
+                        R(s"c${mask}_d")))
+      for (m <- 0 until k)
+        defs += DefD(s"c${mask}_s$m",
+          if (free.contains(m)) Op('/', R(s"c${mask}_z$m"), d)
+          else Cst(0.0))
+      if (spec.trend.isDefined) {
+        defs += DefB(s"c${mask}_ok",
+          All(free.map(f =>
+            Cmp(if (asc) ">=" else "<=", R(s"c${mask}_s$f"),
+                Cst(0.0)))))
+        // score = SSE - Syy over the RAW moments (lower is better):
+        // -2(a*sy + sum s_m sy_m) + a^2 n + 2a sum s_m S_m
+        //   + sum_{m,m'} s_m s_m' S_{mm'}
+        val a = R(s"c${mask}_a")
+        def s(m: Int) = R(s"c${mask}_s$m")
+        def raw(i: Int, j: Int): Ex =
+          R(s"s${math.min(i, j)}_${math.max(i, j)}")
+        val lin = sumEx(mul(a, R("sy")) +:
+                        (0 until k).map(m => mul(s(m), R(s"sy$m"))))
+        val quad = sumEx(
+          Seq(mul(mul(a, a), R("n")),
+              mul(Cst(2.0),
+                  mul(a, sumEx((0 until k).map(m =>
+                    mul(s(m), R(s"s$m"))))))) ++
+          (for (i <- 0 until k; j <- 0 until k)
+            yield mul(mul(s(i), s(j)), raw(i, j))))
+        defs += DefD(s"c${mask}_j",
+                     Op('+', mul(Cst(-2.0), lin), quad))
+      }
+    }
+    // winner: min score among feasible; ties -> lowest mask
+    if (spec.trend.isDefined) {
+      def beats(i: Int): Bx = All(
+        RB(s"c${i}_ok") +: spec.masks.filter(_ != i).map { j =>
+          val cmp = if (j < i) Cmp("<", R(s"c${i}_j"), R(s"c${j}_j"))
+                    else Cmp("<=", R(s"c${i}_j"), R(s"c${j}_j"))
+          AnyB(Seq(NotB(RB(s"c${j}_ok")), cmp))
+        })
+      for (i <- spec.masks) defs += DefB(s"win$i", beats(i))
+      val last = spec.masks.last
+      def pick(f: Int => Ex): Ex =
+        Pick(spec.masks.init.map(i => (RB(s"win$i"): Bx, f(i))),
+             f(last))
+      defs += DefD("w_m", pick(i => Cst(i.toDouble)))
+      defs += DefD("w_a", pick(i => R(s"c${i}_a")))
+      for (m <- 0 until k)
+        defs += DefD(s"w_s$m", pick(i => R(s"c${i}_s$m")))
+    } else {
+      defs += DefD("w_m", Cst(0.0))
+      defs += DefD("w_a", R("c0_a"))
+      for (m <- 0 until k) defs += DefD(s"w_s$m", R(s"c0_s$m"))
+    }
+    // curve values at the knots, in RAW y units (exact len constants)
+    for (j <- spec.knots.indices) {
+      val f = sumEx(R("w_a") +: (0 until k).map(m =>
+        mul(R(s"w_s$m"), Cst(lenAt(spec, m, spec.tInt(j)).toDouble))))
+      defs += DefD(s"w_v${j + 1}", Op('/', f, Cst(spec.yScale.toDouble)))
+    }
+    // exact output aggregates: the mean of a piecewise-linear curve is
+    // a closed form of the SAME moments — (a n + sum s_m S_m)/n — so
+    // avg_pred / avg_actual carry NO row-level float-summation noise
+    // (they are bit-identical across engines like the coefficients)
+    defs += DefD("w_avg",
+      Op('/', Op('/',
+        sumEx(mul(R("w_a"), R("n")) +:
+              (0 until k).map(m => mul(R(s"w_s$m"), R(s"s$m")))),
+        R("n")), Cst(spec.yScale.toDouble)))
+    defs += DefD("w_avgy",
+      Op('/', Op('/', R("sy"), R("n")), Cst(spec.yScale.toDouble)))
+    defs.toSeq
+  }
+
+  // ---------------- two renderings of the same program --------------
+
+  final case class Solved(spec: PWSpec, values: Map[String, Double]) {
+    def a: Double = values("w_a")
+    def slope(m: Int): Double = values(s"w_s$m")
+    def mask: Int = values("w_m").toInt
+    def knotValue(j: Int): Double = values(s"w_v$j")
+
+    /** Engine-side prediction in RAW y units: the identical
+      * `a + sum s_m len_m(round(x * xScale))` over exact integer
+      * lens, divided by yScale. */
+    def predictColumn(xCol: Column): Column = {
+      val x = round(xCol * spec.xScale).cast("long")
+      val t = spec.tInt
+      def len(m: Int): Column =
+        if (m == 0) least(x, flit(t(0)))
+        else if (m < t.length)
+          greatest(flit(0L),
+                   least(x, flit(t(m))) -
+                     flit(t(m - 1)))
+        else greatest(flit(0L),
+                      x - flit(t(t.length - 1)))
+      val f = (0 until spec.nSeg).foldLeft(
+        flit(a): Column) { (acc, m) =>
+        acc + flit(slope(m)) * len(m).cast("double")
+      }
+      f / flit(spec.yScale.toDouble)
+    }
+  }
+
+  /** Driver-side solve: ONE exact aggregate then the shared program. */
+  def fit(df: DataFrame, xCol: Column, yCol: Column,
+          spec: PWSpec): Solved = {
+    val clean = df.where(xCol.isNotNull && yCol.isNotNull)
+    val aggs = momentAggs(spec, xCol, yCol)
+    val row: Row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val names = momentNames(spec)
+    val env = Env(collection.mutable.Map.empty,
+                  collection.mutable.Map.empty)
+    names.zipWithIndex.foreach { case (nm, i) =>
+      env.d(nm) = row.get(i) match {
+        case l: java.lang.Long            => l.toDouble
+        case d: java.math.BigDecimal      => d.doubleValue
+        case d: scala.math.BigDecimal     => d.doubleValue
+        case x => throw new IllegalStateException(s"$nm: $x")
+      }
+    }
+    program(spec).foreach {
+      case DefD(n, e) => env.d(n) = ev(e, env)
+      case DefB(n, b) => env.b(n) = bv(b, env)
+    }
+    Solved(spec, env.d.toMap)
+  }
+
+  /** Oracle CTEs `m` (exact moments) and `kf` (the solved program as
+    * lateral-aliased columns — DuckDB evaluates the identical op
+    * sequence). Compose as
+    * `WITH ${coefCtes(...)}, p AS (SELECT ... FROM table, kf ...)`. */
+  def coefCtes(spec: PWSpec, table: String, xSql: String,
+               ySql: String, where: String = ""): String = {
+    val progCols = program(spec).map {
+      case DefD(n, e) => s"${sqlEx(e)} AS $n"
+      case DefB(n, b) => s"${sqlBx(b)} AS $n"
+    }
+    s"""m AS (
+         ${momentSql(spec, table, xSql, ySql, where)}),
+       kf AS (
+         SELECT ${progCols.mkString(",\n                ")}
+         FROM m)"""
+  }
+
+  /** Oracle-side prediction expression in RAW y units (references the
+    * `kf` CTE columns). */
+  def predictSql(spec: PWSpec, xSql: String): String = {
+    val x = s"CAST(round(($xSql) * ${spec.xScale}) AS BIGINT)"
+    val t = spec.tInt
+    def len(m: Int): String =
+      if (m == 0) s"least($x, ${t(0)})"
+      else if (m < t.length)
+        s"greatest(0, least($x, ${t(m)}) - ${t(m - 1)})"
+      else s"greatest(0, $x - ${t(t.length - 1)})"
+    val f = (0 until spec.nSeg).foldLeft("kf.w_a") { (acc, m) =>
+      s"($acc + (kf.w_s$m * ${len(m)}::DOUBLE))"
+    }
+    s"($f / ${dlit(spec.yScale.toDouble)})"
+  }
+}

@@ -69,6 +69,85 @@ class Round10OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ExactFit: data exactly on a piecewise line is recovered " +
+       "exactly (intercept, per-segment slopes, knot values)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // knots 10, 20; slopes 2, 0.5, 3 from intercept 7 (y at x=0)
+    def curve(x: Double): Double =
+      7.0 + 2.0 * math.min(x, 10.0) +
+        0.5 * math.max(0.0, math.min(x, 20.0) - 10.0) +
+        3.0 * math.max(0.0, x - 20.0)
+    val xs = (0 to 30).map(_.toDouble)
+    val df = xs.map(x => (x, curve(x))).toDF("x", "y")
+    // yScale 2: the 0.5-slope segment makes half-integer targets, and
+    // the moment layer is exact only at the declared integer scale
+    val spec = graft.core.ExactFit.PWSpec(
+      Array(10.0, 20.0), 1L, 2L, 32.0, None)
+    val f = graft.core.ExactFit.fit(df, col("x"), col("y"), spec)
+    // intercept/slopes come back in SCALED units: a = 7 * yScale,
+    // s_m = realSlope * yScale / xScale (the queries unscale explicitly)
+    assert(math.abs(f.a - 14.0) < 1e-9)
+    assert(math.abs(f.slope(0) - 4.0) < 1e-10)
+    assert(math.abs(f.slope(1) - 1.0) < 1e-10)
+    assert(math.abs(f.slope(2) - 6.0) < 1e-10)
+    assert(math.abs(f.knotValue(1) - curve(10.0)) < 1e-8)
+    assert(math.abs(f.knotValue(2) - curve(20.0)) < 1e-8)
+    // moment closed-form mean equals the construction mean
+    val mean = xs.map(curve).sum / xs.length
+    assert(math.abs(f.values("w_avg") - mean) < 1e-8)
+  }
+
+  test("ExactFit ascending: a descending middle segment activates its " +
+       "constraint; all reported slopes are non-negative and the " +
+       "winner beats the flat fit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // middle segment slopes hard down; outer segments rise
+    def y(x: Double): Double =
+      if (x < 10) 2.0 * x
+      else if (x < 20) 20.0 - 5.0 * (x - 10)
+      else -30.0 + 4.0 * (x - 20)
+    val df = (0 to 30).map(i => (i.toDouble, y(i))).toDF("x", "t")
+    val spec = graft.core.ExactFit.PWSpec(
+      Array(10.0, 20.0), 1L, 1L, 32.0, Some("ascending"))
+    val f = graft.core.ExactFit.fit(df, col("x"), col("t"), spec)
+    assert((f.mask & 2) != 0, s"middle segment not active: ${f.mask}")
+    (0 to 2).foreach(m => assert(f.slope(m) >= 0.0))
+    // unconstrained fit on the same data HAS a negative middle slope
+    val u = graft.core.ExactFit.fit(df, col("x"), col("t"),
+                                    spec.copy(trend = None))
+    assert(u.slope(1) < 0.0)
+  }
+
+  test("ExactFit agrees with PWBinning.fitContinuous (l2, pinned user " +
+       "splits, unconstrained) on real data to solver tolerance") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(TestSpark.sf0001 + "/lineitem.parquet")
+    val spec = graft.core.ExactFit.PWSpec(
+      Array(23.5, 47.5), 10L, 100L, 512.0, None)
+    val ef = graft.core.ExactFit.fit(
+      li, col("l_quantity"), col("l_extendedprice"), spec)
+    val pw = graft.operators.PWBinning.fitContinuous(
+      li, "l_quantity", "l_extendedprice",
+      graft.operators.BinningConfig(
+        name = "x", userSplits = Some(Array(23.5, 47.5))),
+      monotonicTrend = None)
+    // same math, two solvers: compare predictions across the range
+    val grid = (1 to 50).map(_.toDouble)
+    import spark.implicits._
+    val both = grid.toDF("x")
+      .select(ef.predictColumn(col("x")).as("e"),
+              pw.curve.predict(col("x")).as("p"))
+      .collect()
+    both.foreach { r =>
+      val (e, p) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(e - p) <= 1e-6 * math.max(1.0, math.abs(p)),
+             s"exact $e vs histogram-LSQ $p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gainsTable: a zero-event population degrades to null " +
        "capture/lift instead of an ANSI divide-by-zero") {
     val spark = TestSpark.spark

@@ -56,10 +56,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # pinned oracle is valid.
 SF_PINNED = {
     "q_2d_cart", "q_2d_fit", "q_cont_2d_fit",
-    "q_cont_pw", "q_counterfactual",
+    "q_counterfactual",
     "q_mdlp_splits",
-    "q_pw_monotone", "q_pw_transform",
-
 }
 GATE_SF_DIR = "sf0.01"
 
