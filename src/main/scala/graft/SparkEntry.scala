@@ -4564,6 +4564,21 @@ object SparkEntry {
       graft.pipeline.Tokenizer.bpeMerges(
         T(s, dir, "documents"), "text", rounds = 4)),
 
+    "q_bpe_encode" -> ((s, dir) => {
+      // tokenizer train -> APPLY: learn 4 merges (the q_bpe_merges
+      // contract) then encode the corpus with them — tokens/doc,
+      // compression vs the char-split base, effective-vocabulary and
+      // merged/single symbol census. All exact BIGINT tallies over the
+      // bounded vocabulary table; the oracle replays training AND
+      // encode at any SF (born de-pinned). The 4-row collect is the
+      // training loop's driver-step, bounded by rounds.
+      val d = T(s, dir, "documents")
+      val merges = graft.pipeline.Tokenizer
+        .bpeMerges(d, "text", rounds = 4).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.pipeline.Tokenizer.bpeEncode(d, "text", merges)
+    }),
+
     "q_lpa_communities" -> ((s, dir) => {
       // synchronous label-propagation communities on the repeat
       // co-purchase graph (the q_kcore edge set): 3 fixed rounds,
@@ -4750,6 +4765,74 @@ object SparkEntry {
   private def scale2(v: Double): Double =
     if (!java.lang.Double.isFinite(v)) v
     else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Shared DuckDB replay of the 4-round BPE training chain (words ->
+    * weighted vocab v0 -> per-round pair argmax b_i + replace v_i) —
+    * used by BOTH the q_bpe_merges and q_bpe_encode oracles. The
+    * vocabulary CTEs are MATERIALIZED: v1..v4 are multiply
+    * referenced and DuckDB would otherwise re-derive the whole chain
+    * transitively (the q_kcore lesson). */
+  private val bpeTrainCtes: String =
+    """words AS (
+           SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         v0 AS MATERIALIZED (
+           SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
+                  count(*) AS cnt
+           FROM words WHERE length(w) > 0 GROUP BY 1),
+         pf1 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt,
+                        unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v0) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b1 AS (SELECT p1, p2, f FROM pf1
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v1 AS MATERIALIZED (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b1.p1 || ' ' || b1.p2 || ' ',
+                         ' ' || b1.p1 || b1.p2 || ' ')) AS syms, cnt
+                FROM v0, b1),
+         pf2 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v1) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b2 AS (SELECT p1, p2, f FROM pf2
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v2 AS MATERIALIZED (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b2.p1 || ' ' || b2.p2 || ' ',
+                         ' ' || b2.p1 || b2.p2 || ' ')) AS syms, cnt
+                FROM v1, b2),
+         pf3 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v2) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b3 AS (SELECT p1, p2, f FROM pf3
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v3 AS MATERIALIZED (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b3.p1 || ' ' || b3.p2 || ' ',
+                         ' ' || b3.p1 || b3.p2 || ' ')) AS syms, cnt
+                FROM v2, b3),
+         pf4 AS (
+           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM v3) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         b4 AS (SELECT p1, p2, f FROM pf4
+                ORDER BY f DESC, p1, p2 LIMIT 1),
+         v4 AS MATERIALIZED (SELECT trim(replace(' ' || syms || ' ',
+                         ' ' || b4.p1 || ' ' || b4.p2 || ' ',
+                         ' ' || b4.p1 || b4.p2 || ' ')) AS syms, cnt
+                FROM v3, b4)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_split_classes" ->
@@ -11048,66 +11131,7 @@ object SparkEntry {
     // argmax with the same tie-break, replace() with the same
     // left-to-right non-overlapping semantics as the engine
     "q_bpe_merges" ->
-      """WITH words AS (
-           SELECT unnest(string_split_regex(lower(text), ' +')) AS w
-           FROM documents WHERE text IS NOT NULL),
-         v0 AS (
-           SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS syms,
-                  count(*) AS cnt
-           FROM words WHERE length(w) > 0 GROUP BY 1),
-         pf1 AS (
-           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
-           FROM (SELECT a, cnt,
-                        unnest(range(1, len(a))) AS i
-                 FROM (SELECT string_split(syms, ' ') AS a, cnt
-                       FROM v0) t
-                 WHERE len(a) >= 2)
-           GROUP BY 1, 2),
-         b1 AS (SELECT p1, p2, f FROM pf1
-                ORDER BY f DESC, p1, p2 LIMIT 1),
-         v1 AS (SELECT trim(replace(' ' || syms || ' ',
-                         ' ' || b1.p1 || ' ' || b1.p2 || ' ',
-                         ' ' || b1.p1 || b1.p2 || ' ')) AS syms, cnt
-                FROM v0, b1),
-         pf2 AS (
-           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
-           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
-                 FROM (SELECT string_split(syms, ' ') AS a, cnt
-                       FROM v1) t
-                 WHERE len(a) >= 2)
-           GROUP BY 1, 2),
-         b2 AS (SELECT p1, p2, f FROM pf2
-                ORDER BY f DESC, p1, p2 LIMIT 1),
-         v2 AS (SELECT trim(replace(' ' || syms || ' ',
-                         ' ' || b2.p1 || ' ' || b2.p2 || ' ',
-                         ' ' || b2.p1 || b2.p2 || ' ')) AS syms, cnt
-                FROM v1, b2),
-         pf3 AS (
-           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
-           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
-                 FROM (SELECT string_split(syms, ' ') AS a, cnt
-                       FROM v2) t
-                 WHERE len(a) >= 2)
-           GROUP BY 1, 2),
-         b3 AS (SELECT p1, p2, f FROM pf3
-                ORDER BY f DESC, p1, p2 LIMIT 1),
-         v3 AS (SELECT trim(replace(' ' || syms || ' ',
-                         ' ' || b3.p1 || ' ' || b3.p2 || ' ',
-                         ' ' || b3.p1 || b3.p2 || ' ')) AS syms, cnt
-                FROM v2, b3),
-         pf4 AS (
-           SELECT a[i] AS p1, a[i + 1] AS p2, sum(cnt) AS f
-           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS i
-                 FROM (SELECT string_split(syms, ' ') AS a, cnt
-                       FROM v3) t
-                 WHERE len(a) >= 2)
-           GROUP BY 1, 2),
-         b4 AS (SELECT p1, p2, f FROM pf4
-                ORDER BY f DESC, p1, p2 LIMIT 1),
-         v4 AS (SELECT trim(replace(' ' || syms || ' ',
-                         ' ' || b4.p1 || ' ' || b4.p2 || ' ',
-                         ' ' || b4.p1 || b4.p2 || ' ')) AS syms, cnt
-                FROM v3, b4)
+      s"""WITH $bpeTrainCtes
          SELECT 1::BIGINT AS round, p1 AS pair_left, p2 AS pair_right,
                 p1 || p2 AS merged, f::BIGINT AS freq,
                 (SELECT sum(cnt * len(string_split(syms, ' ')))
@@ -11129,6 +11153,41 @@ object SparkEntry {
                  FROM v4)::BIGINT
          FROM b4
          ORDER BY round""",
+
+    // tokenizer APPLY replay: the SAME training chain, then exact
+    // BIGINT encode tallies over the final vocabulary v4 (base chars
+    // = symbols minus spaces; merges only delete delimiters)
+    "q_bpe_encode" ->
+      s"""WITH $bpeTrainCtes,
+         ag AS (
+           SELECT sum(cnt)::BIGINT AS total_words,
+                  sum(cnt * length(replace(syms, ' ', '')))::BIGINT
+                    AS base_tokens,
+                  sum(cnt * len(string_split(syms, ' ')))::BIGINT
+                    AS encoded_tokens,
+                  sum(cnt * len(list_filter(string_split(syms, ' '),
+                                            x -> length(x) > 1)))
+                    ::BIGINT AS merged_occurrences
+           FROM v4),
+         ds AS (
+           SELECT count(DISTINCT s)::BIGINT AS distinct_symbols
+           FROM (SELECT unnest(string_split(syms, ' ')) AS s FROM v4)),
+         nd AS (
+           SELECT count(*)::BIGINT AS n_docs FROM documents
+           WHERE text IS NOT NULL)
+         SELECT nd.n_docs, ag.total_words, ag.base_tokens,
+                ag.encoded_tokens, ag.merged_occurrences,
+                (ag.encoded_tokens - ag.merged_occurrences)::BIGINT
+                  AS single_char_occurrences,
+                ds.distinct_symbols,
+                (CASE WHEN ag.base_tokens > 0
+                      THEN (1000000 * ag.encoded_tokens)
+                           // ag.base_tokens
+                      ELSE 0 END)::BIGINT AS compression_ppm,
+                (CASE WHEN nd.n_docs > 0
+                      THEN (1000 * ag.encoded_tokens) // nd.n_docs
+                      ELSE 0 END)::BIGINT AS tokens_per_doc_milli
+         FROM ag, ds, nd""",
 
     // LPA replay: the q_kcore co-purchase edge set, 3 unrolled
     // synchronous rounds with the (count desc, label asc) argmax as a

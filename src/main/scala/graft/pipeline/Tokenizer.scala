@@ -108,4 +108,77 @@ object Tokenizer {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
+
+  /** Tokenizer APPLY pass — encode the corpus with a trained merge
+    * list (the other half of train->apply; [[bpeMerges]] trains).
+    *
+    * The merges are applied IN ORDER with the identical space-padded
+    * `replace` semantics as training (including the documented
+    * shared-delimiter behavior), over the same bounded weighted word
+    * vocabulary — one corpus pass builds the vocab, every merge then
+    * rewrites the vocabulary table only; the corpus is never
+    * re-tokenized row by row. All readouts are exact BIGINT corpus
+    * tallies, so the whole encode replays bit-identically in SQL.
+    *
+    * One summary row:
+    *  - `n_docs`, `total_words` (corpus occurrences),
+    *  - `base_tokens` (char-split baseline symbol count),
+    *  - `encoded_tokens` (after the merges), and the split into
+    *    `merged_occurrences` (multi-char symbols) +
+    *    `single_char_occurrences`,
+    *  - `distinct_symbols` (the effective vocabulary: base chars
+    *    still in use + applied merge products),
+    *  - `compression_ppm` = 1e6 * encoded div base (truncated ppm),
+    *  - `tokens_per_doc_milli` = 1e3 * encoded div n_docs. */
+  def bpeEncode(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+            "merges must be in [1, 64]")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .where(col(textCol).isNotNull)
+      .select(explode(split(lower(col(textCol)), " +")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+              col("cnt"))
+    val enc = merges.foldLeft(vocab0) { case (v, (p1, p2)) =>
+      v.select(trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+                            lit(s" $p1 $p2 "), lit(s" $p1$p2 ")))
+                 .as("syms"),
+               col("cnt"))
+    }.persist()
+    val agg = enc.agg(
+      sum(col("cnt")).as("total_words"),
+      sum(col("cnt") * length(replace(col("syms"), lit(" "), lit(""))))
+        .as("base_tokens"),
+      sum(col("cnt") * size(split(col("syms"), " ")))
+        .as("encoded_tokens"),
+      sum(col("cnt") * size(filter(split(col("syms"), " "),
+                                   s => length(s) > 1)))
+        .as("merged_occurrences")).head
+    val distinctSymbols = enc
+      .select(explode(split(col("syms"), " ")).as("s"))
+      .distinct().count()
+    enc.unpersist()
+    val nDocs = docs.where(col(textCol).isNotNull).count()
+    val (tw, base, encTok, mergedOcc) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val row = Row(nDocs, tw, base, encTok, mergedOcc,
+                  encTok - mergedOcc, distinctSymbols,
+                  if (base > 0) 1000000L * encTok / base else 0L,
+                  if (nDocs > 0) 1000L * encTok / nDocs else 0L)
+    val schema = StructType(Seq(
+      StructField("n_docs", LongType, nullable = false),
+      StructField("total_words", LongType, nullable = false),
+      StructField("base_tokens", LongType, nullable = false),
+      StructField("encoded_tokens", LongType, nullable = false),
+      StructField("merged_occurrences", LongType, nullable = false),
+      StructField("single_char_occurrences", LongType, nullable = false),
+      StructField("distinct_symbols", LongType, nullable = false),
+      StructField("compression_ppm", LongType, nullable = false),
+      StructField("tokens_per_doc_milli", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+  }
 }

@@ -809,6 +809,44 @@ object ScaleProbe {
         }
       }
     }
+    section("round10") {
+      // round-10 additions at 1x/16x: bpeEncode on exact doc replicas
+      // (identical vocabulary — the corpus pass scales with tokens,
+      // the merge-apply chain rewrites the same bounded vocab) and
+      // ExactFit's exact-moment piecewise solve (ONE aggregate over
+      // rows; expect near-linear scan-bound scaling, driver solve
+      // constant microseconds).
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      Seq(1, 16).foreach { mult =>
+        val d = if (mult == 1) docs
+                else docs.crossJoin(spark.range(mult.toLong)
+                  .select(col("id").as("__rep"))).drop("__rep")
+        val li2 = if (mult == 1) liRaw
+                  else liRaw.crossJoin(spark.range(mult.toLong)
+                    .select(col("id").as("__rep"))).drop("__rep")
+        val nd = d.count(); val nl = li2.count()
+        (1 to 2).foreach { pass =>
+          val tEnc = timed {
+            val merges = graft.pipeline.Tokenizer
+              .bpeMerges(d, "text", rounds = 4).collect()
+              .map(r => (r.getString(1), r.getString(2))).toSeq
+            graft.pipeline.Tokenizer.bpeEncode(d, "text", merges)
+              .collect()
+          }
+          spark.catalog.clearCache()
+          val tPw = timed {
+            graft.core.ExactFit.fit(li2, col("l_quantity"),
+              col("l_extendedprice"),
+              graft.core.ExactFit.PWSpec(Array(23.5, 47.5), 10L, 100L,
+                                         512.0, Some("ascending")))
+          }
+          if (pass == 2)
+            println(f"PROBE mult=$mult%2d docs=$nd%8d lineitem=$nl%9d " +
+              f"bpe_encode=$tEnc%6.2f s exact_pw=$tPw%6.2f s")
+          spark.catalog.clearCache()
+        }
+      }
+    }
     section("sf1stream") {
       // sf1-equivalent STREAMING point: the sessionization replay at
       // 1x and 10x event volume (replicas spread over NEW user keys,

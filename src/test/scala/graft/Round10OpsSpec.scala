@@ -37,6 +37,26 @@ class Round10OpsSpec extends AnyFunSuite {
            (("a", "b", "ab", 2L, 3L)))
   }
 
+  test("bpeEncode golden: merge list applied in order; exact corpus " +
+       "tallies, compression and symbol census") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // vocab: "ab" x3, "abc" x3; one merge (a,b):
+    // "a b" -> "ab" (1 sym), "a b c" -> "ab c" (2 syms)
+    val docs = Seq("ab ab abc", "ab abc abc").toDF("text")
+    val got = graft.pipeline.Tokenizer
+      .bpeEncode(docs, "text", Seq(("a", "b"))).collect()(0)
+    assert(got.getLong(0) == 2L)   // n_docs
+    assert(got.getLong(1) == 6L)   // total_words
+    assert(got.getLong(2) == 15L)  // base_tokens (chars)
+    assert(got.getLong(3) == 9L)   // encoded_tokens
+    assert(got.getLong(4) == 6L)   // merged_occurrences
+    assert(got.getLong(5) == 3L)   // single_char_occurrences
+    assert(got.getLong(6) == 2L)   // distinct symbols {ab, c}
+    assert(got.getLong(7) == 600000L)  // 9/15 compression ppm
+    assert(got.getLong(8) == 4500L)    // 9 tokens / 2 docs, milli
+  }
+
   test("lpaCommunities: NEGATIVE node ids are ANSI-safe and the " +
        "cnt-desc/label-asc argmax still holds") {
     val spark = TestSpark.spark
