@@ -101,6 +101,139 @@ object ModelIO {
     case _        => false
   }
 
+  // ------------------------------------------------------------------
+  // full BinningConfig round-trip — the spark.ml Pipeline stage
+  // persists its configuration through this codec (DefaultParamsWriter
+  // only persists Params, so the config travels as one JSON string
+  // Param). Every field serializes; a config that loads back must fit
+  // identically.
+  // ------------------------------------------------------------------
+
+  def configToJson(c: BinningConfig): String = {
+    val json: JObject =
+      ("name" -> c.name) ~
+      ("dtype" -> c.dtype) ~
+      ("prebinning_method" -> c.prebinningMethod) ~
+      ("divergence" -> c.divergence) ~
+      ("max_n_prebins" -> c.maxNPrebins) ~
+      ("min_prebin_size" -> c.minPrebinSize) ~
+      ("min_n_bins" -> c.minNBins) ~
+      ("max_n_bins" -> c.maxNBins) ~
+      ("min_bin_size" -> c.minBinSize) ~
+      ("max_bin_size" -> c.maxBinSize) ~
+      ("min_bin_n_event" -> c.minBinNEvent) ~
+      ("max_bin_n_event" -> c.maxBinNEvent) ~
+      ("min_bin_n_nonevent" -> c.minBinNNonevent) ~
+      ("max_bin_n_nonevent" -> c.maxBinNNonevent) ~
+      ("monotonic_trend" -> c.monotonicTrend) ~
+      ("min_event_rate_diff" -> c.minEventRateDiff) ~
+      ("max_pvalue" -> c.maxPvalue) ~
+      ("max_pvalue_policy" -> c.maxPvaluePolicy) ~
+      ("gamma" -> c.gamma) ~
+      ("outlier_detector" -> c.outlierDetector) ~
+      ("outlier_params" -> JObject(
+        c.outlierParams.toList.sortBy(_._1).map { case (k, v) =>
+          k -> specialValueJson(v) })) ~
+      ("fix_lb" -> c.fixLb) ~
+      ("fix_ub" -> c.fixUb) ~
+      ("cat_cutoff" -> c.catCutoff) ~
+      ("cat_unknown" ->
+        c.catUnknown.map(specialValueJson).getOrElse(JNothing)) ~
+      ("user_splits" -> c.userSplits.map(_.toList)) ~
+      ("user_splits_categorical" ->
+        c.userSplitsCategorical.map(_.map(_.toList).toList)) ~
+      ("user_splits_fixed" -> c.userSplitsFixed.map(_.toList)) ~
+      ("special_codes" -> specialCodesJson(c.specialCodes)) ~
+      ("split_digits" -> c.splitDigits) ~
+      ("class_weight" -> c.classWeight.map(m => JObject(
+        m.toList.sortBy(_._1).map { case (k, v) =>
+          k.toString -> (JDouble(v): JValue) }))) ~
+      ("time_limit_ms" -> c.timeLimitMs) ~
+      ("histogram_max_buckets" -> c.histogramMaxBuckets)
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  def configFromJson(s: String): BinningConfig = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val dflt = BinningConfig()
+    def optD(k: String) = (j \ k).extractOpt[Double]
+    def optI(k: String) = (j \ k).extractOpt[Int]
+    def optL(k: String) = (j \ k).extractOpt[Long]
+    def optS(k: String) = (j \ k).extractOpt[String]
+    BinningConfig(
+      name = optS("name").getOrElse(dflt.name),
+      dtype = optS("dtype").getOrElse(dflt.dtype),
+      prebinningMethod =
+        optS("prebinning_method").getOrElse(dflt.prebinningMethod),
+      divergence = optS("divergence").getOrElse(dflt.divergence),
+      maxNPrebins = optI("max_n_prebins").getOrElse(dflt.maxNPrebins),
+      minPrebinSize =
+        optD("min_prebin_size").getOrElse(dflt.minPrebinSize),
+      minNBins = optI("min_n_bins"),
+      maxNBins = optI("max_n_bins"),
+      minBinSize = optD("min_bin_size"),
+      maxBinSize = optD("max_bin_size"),
+      minBinNEvent = optL("min_bin_n_event"),
+      maxBinNEvent = optL("max_bin_n_event"),
+      minBinNNonevent = optL("min_bin_n_nonevent"),
+      maxBinNNonevent = optL("max_bin_n_nonevent"),
+      monotonicTrend = optS("monotonic_trend"),
+      minEventRateDiff =
+        optD("min_event_rate_diff").getOrElse(dflt.minEventRateDiff),
+      maxPvalue = optD("max_pvalue"),
+      maxPvaluePolicy =
+        optS("max_pvalue_policy").getOrElse(dflt.maxPvaluePolicy),
+      gamma = optD("gamma").getOrElse(dflt.gamma),
+      outlierDetector = optS("outlier_detector"),
+      outlierParams = (j \ "outlier_params") match {
+        case JObject(fields) =>
+          fields.map { case (k, v) => k -> specialValueFromJson(v) }
+            .toMap
+        case _ => Map.empty
+      },
+      fixLb = optD("fix_lb"),
+      fixUb = optD("fix_ub"),
+      catCutoff = optD("cat_cutoff"),
+      catUnknown = (j \ "cat_unknown") match {
+        case JNothing | JNull => None
+        case v                => Some(specialValueFromJson(v))
+      },
+      // NOTE: json4s extracts a MISSING field as an empty list, which
+      // would load None as Some(Array()) — match JNothing explicitly
+      userSplits = (j \ "user_splits") match {
+        case JNothing | JNull => None
+        case v => Some(v.extract[List[Double]].toArray)
+      },
+      userSplitsCategorical = (j \ "user_splits_categorical") match {
+        case JNothing | JNull => None
+        case v => Some(v.extract[List[List[String]]]
+                        .map(_.toArray).toArray)
+      },
+      userSplitsFixed = (j \ "user_splits_fixed") match {
+        case JNothing | JNull => None
+        case v => Some(v.extract[List[Boolean]].toArray)
+      },
+      specialCodes = specialCodesFromJson(j \ "special_codes"),
+      splitDigits = optI("split_digits"),
+      classWeight = (j \ "class_weight") match {
+        case JObject(fields) if fields.nonEmpty =>
+          Some(fields.map { case (k, v) =>
+            k.toDouble -> (v match {
+              case JDouble(d)  => d
+              case JInt(i)     => i.toDouble
+              case JDecimal(d) => d.toDouble
+              case other => throw new IllegalArgumentException(
+                s"class_weight: $other")
+            })
+          }.toMap)
+        case _ => None
+      },
+      timeLimitMs = optL("time_limit_ms").getOrElse(dflt.timeLimitMs),
+      histogramMaxBuckets = optI("histogram_max_buckets")
+        .getOrElse(dflt.histogramMaxBuckets))
+  }
+
   def toJson(f: FittedOptimalBinning): String = {
     val json: JObject =
       ("name" -> f.config.name) ~
