@@ -64,16 +64,48 @@ object MarketBasket {
     * no packing-width bound on item ids is imposed.
     */
   def itemNeighbors(df: DataFrame, basketCol: String, itemCol: String,
-                    k: Int): DataFrame = {
+                    k: Int,
+                    /** Mega-basket guard: baskets with MORE distinct
+                      * items are dropped from BOTH pair generation and
+                      * supports (pair fan-out is quadratic in basket
+                      * size — one bot account or default basket id
+                      * would otherwise dominate a single task). Never
+                      * silent: when anything is dropped the operator
+                      * logs the dropped-basket/occurrence mass, and
+                      * [[basketCapReport]] exposes the same tallies as
+                      * a one-row DataFrame for pipelines that must
+                      * record it. */
+                    maxBasketSize: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxBasketSize.forall(_ >= 2),
+            "maxBasketSize must be >= 2 when set")
     // ONE raw-table shuffle builds the per-basket distinct item sets;
     // both the pair generation and the item supports derive from it
     // (a separate distinct+count would re-shuffle the raw table)
-    val baskets = df
+    val basketsAll = df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .groupBy(col(basketCol).as("__b"))
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
       .persist()
+    val baskets = maxBasketSize match {
+      case None => basketsAll
+      case Some(cap) =>
+        val r = basketsAll.agg(
+          count(lit(1)).as("nb"),
+          sum(when(size(col("__items")) > cap, 1L).otherwise(0L))
+            .as("nd"),
+          sum(when(size(col("__items")) > cap,
+                   size(col("__items")).cast("long")).otherwise(0L))
+            .as("occ"),
+          max(size(col("__items"))).as("mx")).head
+        if (!r.isNullAt(1) && r.getLong(1) > 0L)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"itemNeighbors maxBasketSize=$cap dropped " +
+            s"${r.getLong(1)} of ${r.getLong(0)} baskets " +
+            s"(${r.getLong(2)} item occurrences; largest basket " +
+            s"${r.getInt(3)})")
+        basketsAll.where(size(col("__items")) <= cap)
+    }
     val support = baskets
       .select(explode(col("__items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("c_item"))
@@ -140,5 +172,24 @@ object MarketBasket {
             Seq("neighbor"))
       .select("item", "rank", "neighbor", "jaccard_ppm", "c_pair",
               "c_item", "c_neighbor")
+  }
+
+  /** Dropped-mass report for [[itemNeighbors]]' mega-basket guard —
+    * the no-silent-caps companion: one row
+    * `(n_baskets, n_baskets_dropped, occurrences_dropped,
+    * max_basket_size)` for the given cap, so a pipeline can RECORD
+    * what the guard excluded instead of trusting a log line. */
+  def basketCapReport(df: DataFrame, basketCol: String, itemCol: String,
+                      maxBasketSize: Int): DataFrame = {
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol).as("__b"))
+      .agg(count_distinct(col(itemCol)).as("__sz"))
+      .agg(count(lit(1)).as("n_baskets"),
+           sum(when(col("__sz") > maxBasketSize, 1L).otherwise(0L))
+             .as("n_baskets_dropped"),
+           sum(when(col("__sz") > maxBasketSize, col("__sz"))
+                 .otherwise(0L)).as("occurrences_dropped"),
+           max(col("__sz")).as("max_basket_size"))
   }
 }

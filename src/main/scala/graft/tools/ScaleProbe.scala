@@ -846,6 +846,33 @@ object ScaleProbe {
           spark.catalog.clearCache()
         }
       }
+      // SKEWED basket probe: the catalog's baskets plus ONE synthetic
+      // 10k-item bot basket. Uncapped, that basket alone fans out
+      // C(10k,2) = 50M pairs on a single task; with maxBasketSize=64
+      // the guard drops it (logged + reportable) and the plan stays
+      // bounded by real basket sizes.
+      val skewed = liRaw.select(col("l_orderkey").as("b"),
+                                col("l_partkey").as("i"))
+        .unionByName(spark.range(10000)
+          .select(lit(-1L).as("b"), col("id").as("i")))
+      (1 to 2).foreach { pass =>
+        val tCap = timed {
+          graft.operators.MarketBasket
+            .itemNeighbors(skewed, "b", "i", k = 3,
+                           maxBasketSize = Some(64))
+            .agg(sum(col("jaccard_ppm"))).collect()
+        }
+        spark.catalog.clearCache()
+        val tUncap = timed {
+          graft.operators.MarketBasket
+            .itemNeighbors(skewed, "b", "i", k = 3)
+            .agg(sum(col("jaccard_ppm"))).collect()
+        }
+        spark.catalog.clearCache()
+        if (pass == 2)
+          println(f"PROBE skew10k capped=$tCap%6.2f s " +
+            f"uncapped=$tUncap%6.2f s")
+      }
     }
     section("sf1stream") {
       // sf1-equivalent STREAMING point: the sessionization replay at

@@ -37,6 +37,42 @@ class Round10OpsSpec extends AnyFunSuite {
            (("a", "b", "ab", 2L, 3L)))
   }
 
+  test("itemNeighbors maxBasketSize: oversized baskets drop from " +
+       "pairs AND supports; basketCapReport tallies the dropped mass") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 40L), (3L, 50L)
+    ).toDF("basket", "item")
+    val capped = graft.operators.MarketBasket
+      .itemNeighbors(df, "basket", "item", k = 3,
+                     maxBasketSize = Some(4))
+      .collect()
+    // only baskets 1,2 survive: supports 10->2, 20->2, pair n=2,
+    // jaccard 1e6*2/(2+2-2) = 1_000_000; items 30/40/50 never appear
+    assert(capped.length == 2)
+    capped.foreach { r =>
+      assert(r.getAs[Long]("jaccard_ppm") == 1000000L)
+      assert(r.getAs[Long]("c_item") == 2L)
+      assert(r.getAs[Long]("c_pair") == 2L)
+    }
+    assert(!capped.exists(r => Set(30L, 40L, 50L)(
+      r.getAs[Long]("neighbor"))))
+    val rep = graft.operators.MarketBasket
+      .basketCapReport(df, "basket", "item", maxBasketSize = 4)
+      .collect()(0)
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2),
+            rep.getLong(3)) == ((3L, 1L, 5L, 5L)))
+    // uncapped keeps the behavior unchanged (mega-basket included)
+    val un = graft.operators.MarketBasket
+      .itemNeighbors(df, "basket", "item", k = 5)
+      .where(col("item") === 30L).collect()
+    assert(un.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("bpeEncode golden: merge list applied in order; exact corpus " +
        "tallies, compression and symbol census") {
     val spark = TestSpark.spark
