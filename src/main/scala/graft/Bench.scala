@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Calibration reference: min-of-last-3 wall seconds of the fixed
+    * pure-CPU workload (sum of xxhash64 over range(200M), codegen'd,
+    * no I/O, data-independent) measured on this host in a quiet
+    * round-10 window (0.31-0.38 s over 4 repeats; pinned to the
+    * midpoint). `jitter` in the bench artifacts is
+    * calibration_sec / this — regression triage divides per-query
+    * times by it instead of re-deriving host drift from a manual
+    * round-over-round diff (the r8->r9 +11% investigation). */
+  val CalibrationRef = 0.35
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +43,21 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // fixed pure-CPU calibration, measured exactly like a query
+    // (4 passes, min of last 3): data-independent, so round-over-round
+    // movement in THIS number is host jitter, not a plan change
+    val calib = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      (1 to 4).map { _ =>
+        val t0 = System.nanoTime()
+        // modulo keeps the ANSI sum inside BIGINT (raw xxhash64 sums
+        // overflow); the hash work dominates, the mod is noise
+        spark.range(200000000L)
+          .select(sum(xxhash64(col("id")) % 1000000L)).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).min
+    }
+    val jitter = calib / CalibrationRef
     // three timed passes per query; the FIRST is discarded (it absorbs
     // the query's one-time codegen/Janino/C2 compilation at the target
     // SF — the warmup above runs at sf0.001 so plan shapes can differ)
@@ -79,6 +103,8 @@ object Bench {
         .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""cpus":$cpus,"passes":4,"stat":"min_of_last_3",""" +
+        s""""calibration_sec":$calib,"calibration_ref":$CalibrationRef,""" +
+        s""""jitter":$jitter,""" +
         s""""n_queries":${results.size},"queries":$qs}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
@@ -111,7 +137,7 @@ object Bench {
       "q_gains_table", "q_migration_matrix", "q_tokenizer_pipeline")
     val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$outPath","queries":$head}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib":${r3(calib)},"jitter":${r3(jitter)},"queries_file":"$outPath","queries":$head}""")
     spark.stop()
   }
 }
