@@ -146,6 +146,70 @@ object StateStoreProbe {
     assert(aDefault == aRocks && aDefault._1 == nUsers,
            s"agg provider results diverge: $aDefault vs $aRocks")
     SparkEntry.deleteRecursively(aggStage)
+
+    // Third scenario (r10): CALENDAR-KEYED complete-mode freshness
+    // state — the q_stream_freshness shape: one aggregate row per
+    // (source, epoch-day) cell holding max event time + volume.
+    // nUsers distinct cells over two triggers (1000 sources x
+    // nUsers/1000 days); both providers must agree on the final
+    // (cells, sum of max-times) readout.
+    val frStage = java.nio.file.Files
+      .createTempDirectory("graft_fr_stage").toString
+    def frBatch(lo: Long, hi: Long, path: String): Unit =
+      spark.range(lo, hi).select(
+          (col("id") % 1000L).as("src"),
+          expr("id div 1000").as("day"),
+          (lit(t0) + col("id") % 86400L).as("sec"))
+        .repartition(1).write.mode("overwrite").parquet(path)
+    frBatch(0L, nUsers / 2, s"$frStage/b0")
+    frBatch(nUsers / 2, nUsers, s"$frStage/b1")
+    SparkEntry.stampStageMtimes(frStage, 2)
+
+    def runFreshness(tag: String,
+                     provider: Option[String]): (Long, Long) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_fr_ckpt_$tag").toString
+      val stream = spark.readStream
+        .schema("src BIGINT, day BIGINT, sec BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(frStage)
+      def start() = stream.groupBy("src", "day")
+        .agg(count(lit(1)).as("n"), max("sec").as("latest"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(s"fr_probe_$tag")
+        .option("checkpointLocation", ckpt).start()
+      val w0 = System.nanoTime()
+      val q = provider match {
+        case Some(p) =>
+          StreamingSessionize.withStateStoreProvider(spark, p)(start())
+        case None => start()
+      }
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - w0) / 1e9
+      val peakRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val peakMem = q.recentProgress
+        .flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
+      q.stop()
+      val chk = spark.table(s"fr_probe_$tag")
+        .agg(count(lit(1)), sum(col("latest"))).collect()(0)
+      val out = (chk.getLong(0), chk.getLong(1))
+      spark.catalog.dropTempView(s"fr_probe_$tag")
+      SparkEntry.deleteRecursively(ckpt)
+      println(f"PROBE streaming-freshness provider=$tag%-8s " +
+        f"cells=$nUsers wall=$wall%6.2f s peak_state_rows=$peakRows " +
+        f"peak_state_mem=${peakMem / 1048576.0}%8.1f MiB " +
+        f"table_rows=${out._1} latest_sum=${out._2}")
+      out
+    }
+
+    val fDefault = runFreshness("hdfs", None)
+    val fRocks = runFreshness("rocksdb",
+                              Some(StreamingSessionize.RocksDBProvider))
+    assert(fDefault == fRocks && fDefault._1 == nUsers,
+           s"freshness provider results diverge: $fDefault vs $fRocks")
+    SparkEntry.deleteRecursively(frStage)
     spark.stop()
   }
 }

@@ -47,13 +47,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # Queries whose oracle SQL pins SOLVER-DERIVED literals (optimal-bin
-# splits, counterfactual points, scenario solves) computed at the
-# driver's sf0.01 gate. The solve is not SQL-expressible, so the
-# oracle encodes the solved model for the GATE dataset; replaying that
-# SQL at any other SF compares an sf0.01 model against an sf0.1 fit
-# and mismatches by construction. At non-gate SFs these print SKIP
-# (sf-pinned) — their engine results remain hash-verified where the
-# pinned oracle is valid.
+# splits, counterfactual points) computed at the driver's sf0.01
+# gate. The solve is not SQL-expressible, so the oracle encodes the
+# solved model for the GATE dataset; replaying that SQL at any other
+# SF compares an sf0.01 model against an sf0.1 fit and mismatches by
+# construction. At non-gate SFs these print SKIP (sf-pinned) — their
+# engine results remain hash-verified where the pinned oracle is
+# valid.
+#
+# Why each remaining row is irreducibly solver-literal (r10 audit,
+# after the piecewise family was de-pinned via ExactFit's shared
+# expression IR):
+#  - q_2d_fit / q_2d_cart / q_cont_2d_fit: the 2D rectangle solver's
+#    output is a branch-and-bound SEARCH RESULT over exponentially
+#    many rectangle layouts; there is no closed form to replay, and
+#    enumerating layouts in SQL is the solver itself.
+#  - q_counterfactual: same class — the found counterfactual is a
+#    B&B search output over bin assignments.
+#  - q_mdlp_splits: MDLP is a RECURSION whose structure (which
+#    segment splits next, when the MDL criterion stops) is decided by
+#    comparisons of entropies — transcendental functions of the
+#    counts. A recursive-CTE replay would hinge on DuckDB's ln() and
+#    the JVM's Math.log() agreeing to the last ulp on every argmin
+#    comparison, an assumption the engine's exact-parity discipline
+#    exists to avoid (the de-pinned fits compare only doubles both
+#    engines DERIVED through identical IEEE +,-,*,/ sequences; ln
+#    is correctly-rounded in neither engine). The pinned oracle
+#    instead verifies the invariant exactly: per-bin (count, event)
+#    re-aggregated from raw data at the solved cut points.
 SF_PINNED = {
     "q_2d_cart", "q_2d_fit", "q_cont_2d_fit",
     "q_counterfactual",
