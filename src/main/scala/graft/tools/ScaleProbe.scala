@@ -840,9 +840,26 @@ object ScaleProbe {
               graft.core.ExactFit.PWSpec(Array(23.5, 47.5), 10L, 100L,
                                          512.0, Some("ascending")))
           }
+          spark.catalog.clearCache()
+          // q_stability_cont's shape: continuous scorecard on pinned
+          // splits, then the fused expected/actual stability aggregate
+          val tStab = timed {
+            val sc = graft.operators.Scorecard.fitContinuousTarget(
+              li2, Seq("l_quantity"), "l_extendedprice",
+              graft.operators.BinningConfig(name = "l_quantity",
+                userSplits = Some(Array(10.0, 25.0, 40.0)),
+                monotonicTrend = None))
+            val mon = new graft.operators.ContinuousScorecardMonitoring(
+              sc, psiNBins = 10, psiMethod = "uniform")
+            mon.stabilityStats(
+              li2.where(col("l_orderkey") % 2 === 0),
+              li2.where(col("l_orderkey") % 2 === 1),
+              "l_extendedprice", withPerformance = false)
+          }
           if (pass == 2)
             println(f"PROBE mult=$mult%2d docs=$nd%8d lineitem=$nl%9d " +
-              f"bpe_encode=$tEnc%6.2f s exact_pw=$tPw%6.2f s")
+              f"bpe_encode=$tEnc%6.2f s exact_pw=$tPw%6.2f s " +
+              f"stability_cont=$tStab%6.2f s")
           spark.catalog.clearCache()
         }
       }
