@@ -194,6 +194,13 @@ object SparkEntry {
     " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
   private val pwWherePrice = " WHERE l_extendedprice IS NOT NULL"
 
+  /** Attribution model config (round 10): the events table's
+    * non-conversion channels in fixed order; journeys are (user, day)
+    * sessions, conversion = purchase. */
+  private val attrChannels = Seq("click", "error", "signup", "view")
+  private val attrKeySql =
+    "user_id::VARCHAR || '_' || (ts::DATE)::VARCHAR"
+
   /** Flagship: full optimal-binning fit (CART prebinning + DP solve) on
     * sf0.001 lineitem, returning the binning table. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2032,6 +2039,39 @@ object SparkEntry {
       graft.pipeline.Dedup
         .ngramNovelty(d, "doc_id", "text", "source", n = 3)
         .orderBy("source")
+    }),
+
+    "q_markov_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution over (user, day) journeys:
+      // exact BIGINT transition counts from ONE user-sharded lag
+      // window (journeys truncated at the first purchase), then the
+      // absorption solve — (I-Q)x = r base chain + one removal chain
+      // per channel — runs as the shared-IR program, so the oracle
+      // re-derives the SAME bit-identical effects/shares from data at
+      // ANY SF (born de-pinned; the ExactFit discipline applied to a
+      // Markov linear system)
+      val ev = T(s, dir, "events")
+      val key = concat(col("user_id").cast("string"), lit("_"),
+                       to_date(col("ts")).cast("string"))
+      MarkovAttribution.removalAttribution(
+        ev, key, "event_type", "ts", "event_id", attrChannels,
+        "purchase")
+    }),
+
+    "q_shapley_attribution" -> ((s, dir) => {
+      // Shapley-value attribution on the same (user, day) journeys:
+      // per-journey exposure bitmask + converted flag (one aggregate),
+      // per-exact-set counts (<= 2^k rows), then the coalition values
+      // v(S) = converted-journeys-with-set-subset-of-S / journeys and
+      // the factorial-weighted marginal sums as the shared-IR program
+      // — every number an exact-integer ratio both engines derive
+      // identically at any SF
+      val ev = T(s, dir, "events")
+      val key = concat(col("user_id").cast("string"), lit("_"),
+                       to_date(col("ts")).cast("string"))
+      MarkovAttribution.shapleyAttribution(
+        ev, key, "event_type", "ts", "event_id", attrChannels,
+        "purchase")
     }),
 
     "q_attribution" -> ((s, dir) => {
@@ -7532,6 +7572,34 @@ object SparkEntry {
 
     // attribution replay: identical (sec, id) total order; both
     // last_value IGNORE NULLS windows pick from the same last touch row
+    // Markov removal-effect replay: the journey/transition SQL mirrors
+    // journeyTransitions exactly and the absorption solves are the
+    // SAME layered IR program — bit-identical at any SF
+    "q_markov_attribution" -> {
+      val ctes = MarkovAttribution.removalOracleCtes(
+        "events", attrKeySql, "event_type", "ts", "event_id",
+        attrChannels, "purchase")
+      val sel = attrChannels.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS channel, round(kf.base_conv, 6) AS " +
+        s"base_conv6, round(kf.eff_${i + 1}, 6) AS effect6, " +
+        s"round(kf.share_${i + 1}, 6) AS share6 FROM kf"
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$sel ORDER BY channel"
+    },
+
+    "q_shapley_attribution" -> {
+      val ctes = MarkovAttribution.shapleyOracleCtes(
+        "events", attrKeySql, "event_type", "ts", "event_id",
+        attrChannels, "purchase")
+      val full = (1 << attrChannels.length) - 1
+      val sel = attrChannels.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS channel, round(sf.v_$full, 6) AS v_full6, " +
+        s"round(sf.phi_$i, 6) AS shapley6, " +
+        s"round(sf.shs_$i, 6) AS share6 FROM sf"
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$sel ORDER BY channel"
+    },
+
     "q_attribution" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type,

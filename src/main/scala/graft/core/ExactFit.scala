@@ -125,8 +125,10 @@ object ExactFit {
   private def mul(a: Ex, b: Ex): Ex = Op('*', a, b)
 
   /** Determinant by first-row cofactor expansion in a FIXED order —
-    * the same tree evaluates on the driver and renders to SQL. */
-  private def det(m: Vector[Vector[Ex]]): Ex = m.length match {
+    * the same tree evaluates on the driver and renders to SQL.
+    * Public: the IR is a general exact-replay engine (the Markov
+    * attribution solve reuses it). */
+  def det(m: Vector[Vector[Ex]]): Ex = m.length match {
     case 1 => m(0)(0)
     case n =>
       val terms = (0 until n).map { j =>
@@ -414,21 +416,75 @@ object ExactFit {
     Solved(spec, env.d.toMap)
   }
 
-  /** Oracle CTEs `m` (exact moments) and `kf` (the solved program as
-    * lateral-aliased columns — DuckDB evaluates the identical op
-    * sequence). Compose as
+  // ------------------------------------------------------------------
+  // layered SQL rendering of a Def program. Lateral column aliases
+  // would EXPAND textually through reference chains (each alias
+  // substitutes its full expression — a def referencing two earlier
+  // defs doubles their trees), which for deep programs (Cramer solves
+  // feeding effects feeding shares) blows the planner up
+  // exponentially. Instead each dependency layer becomes its own CTE
+  // with `SELECT *, <defs> FROM prev`: every def is materialized ONCE
+  // as a real column. Identical arithmetic, linear SQL size.
+  // ------------------------------------------------------------------
+
+  private def refsOf(e: Ex): Set[String] = e match {
+    case R(n)        => Set(n)
+    case Cst(_)      => Set.empty
+    case Op(_, a, b) => refsOf(a) ++ refsOf(b)
+    case Pick(cs, o) =>
+      cs.flatMap(c => refsOfB(c._1) ++ refsOf(c._2)).toSet ++ refsOf(o)
+  }
+  private def refsOfB(x: Bx): Set[String] = x match {
+    case RB(n)        => Set(n)
+    case Cmp(_, a, b) => refsOf(a) ++ refsOf(b)
+    case All(xs)      => xs.flatMap(refsOfB).toSet
+    case AnyB(xs)     => xs.flatMap(refsOfB).toSet
+    case NotB(y)      => refsOfB(y)
+  }
+
+  /** Render an ordered Def program as a chain of CTEs over `baseCte`
+    * (whose columns are the moment refs); the FINAL CTE is named
+    * `lastName` and carries every defined column. */
+  def layeredCtes(defs: Seq[Def], baseCte: String, prefix: String,
+                  lastName: String): String = {
+    val layer = collection.mutable.Map.empty[String, Int]
+    val grouped = collection.mutable.ArrayBuffer
+      .empty[collection.mutable.ArrayBuffer[Def]]
+    defs.foreach { d =>
+      val (name, refs) = d match {
+        case DefD(n, e) => (n, refsOf(e))
+        case DefB(n, b) => (n, refsOfB(b))
+      }
+      val l = refs.flatMap(layer.get).foldLeft(0)(math.max) + 1
+      layer(name) = l
+      while (grouped.size < l)
+        grouped += collection.mutable.ArrayBuffer.empty[Def]
+      grouped(l - 1) += d
+    }
+    val ctes = grouped.zipWithIndex.map { case (ds, i) =>
+      val cols = ds.map {
+        case DefD(n, e) => s"${sqlEx(e)} AS $n"
+        case DefB(n, b) => s"${sqlBx(b)} AS $n"
+      }
+      val name = if (i == grouped.size - 1) lastName
+                 else s"$prefix${i + 1}"
+      val from = if (i == 0) baseCte else s"$prefix$i"
+      s"""$name AS (
+         SELECT *, ${cols.mkString(",\n                ")}
+         FROM $from)"""
+    }
+    ctes.mkString(",\n       ")
+  }
+
+  /** Oracle CTEs `m` (exact moments) and `kf` (the solved program,
+    * layered — DuckDB evaluates the identical op sequence once per
+    * def). Compose as
     * `WITH ${coefCtes(...)}, p AS (SELECT ... FROM table, kf ...)`. */
   def coefCtes(spec: PWSpec, table: String, xSql: String,
                ySql: String, where: String = ""): String = {
-    val progCols = program(spec).map {
-      case DefD(n, e) => s"${sqlEx(e)} AS $n"
-      case DefB(n, b) => s"${sqlBx(b)} AS $n"
-    }
     s"""m AS (
          ${momentSql(spec, table, xSql, ySql, where)}),
-       kf AS (
-         SELECT ${progCols.mkString(",\n                ")}
-         FROM m)"""
+       ${layeredCtes(program(spec), "m", "kl", "kf")}"""
   }
 
   /** Oracle-side prediction expression in RAW y units (references the

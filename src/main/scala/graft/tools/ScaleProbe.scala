@@ -856,10 +856,32 @@ object ScaleProbe {
               li2.where(col("l_orderkey") % 2 === 1),
               "l_extendedprice", withPerformance = false)
           }
+          spark.catalog.clearCache()
+          // attribution: journeys shuffle by (user, day) key only;
+          // replicas remap user ids so the journey COUNT scales 16x
+          // while the chain/coalition tables stay model-bounded
+          val tAttr = timed {
+            val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+            val ev2 = if (mult == 1) ev0
+              else ev0.crossJoin(spark.range(mult.toLong)
+                .select(col("id").as("__rep")))
+                .withColumn("user_id",
+                  col("user_id") * mult + col("__rep")).drop("__rep")
+            val key = concat(col("user_id").cast("string"), lit("_"),
+                             to_date(col("ts")).cast("string"))
+            graft.operators.MarkovAttribution.removalAttribution(
+              ev2, key, "event_type", "ts", "event_id",
+              Seq("click", "error", "signup", "view"), "purchase")
+              .collect()
+            graft.operators.MarkovAttribution.shapleyAttribution(
+              ev2, key, "event_type", "ts", "event_id",
+              Seq("click", "error", "signup", "view"), "purchase")
+              .collect()
+          }
           if (pass == 2)
             println(f"PROBE mult=$mult%2d docs=$nd%8d lineitem=$nl%9d " +
               f"bpe_encode=$tEnc%6.2f s exact_pw=$tPw%6.2f s " +
-              f"stability_cont=$tStab%6.2f s")
+              f"stability_cont=$tStab%6.2f s attribution=$tAttr%6.2f s")
           spark.catalog.clearCache()
         }
       }

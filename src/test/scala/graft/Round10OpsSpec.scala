@@ -204,6 +204,71 @@ class Round10OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("Markov removal attribution golden: hand-solved 2-channel " +
+       "chain (base 2/3, effects 3/4 and 1/2, shares 0.6/0.4)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // u1: A -> conv ; u2: A -> B -> null ; u3: B -> conv
+    val ev = Seq(
+      (1L, "A", 1L), (1L, "purchase", 2L),
+      (2L, "A", 1L), (2L, "B", 2L),
+      (3L, "B", 1L), (3L, "purchase", 2L)
+    ).map { case (u, c, t) =>
+      (u, c, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$t"), t)
+    }.toDF("u", "ch", "ts", "tie")
+    val got = graft.operators.MarkovAttribution.removalAttribution(
+      ev, col("u"), "ch", "ts", "tie", Seq("A", "B"), "purchase")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+                           r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", 0.666667, 0.75, 0.6),
+      ("B", 0.666667, 0.5, 0.4)))
+    spark.catalog.clearCache()
+  }
+
+  test("Shapley attribution golden: hand-solved 2-channel coalition " +
+       "values (phi = 1/4 each, equal shares)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // journeys: {A}+conv, {A}, {B}+conv, {A,B}+conv, {}+conv, {B}
+    val ev = Seq(
+      (1L, Seq("A", "purchase")), (2L, Seq("A")),
+      (3L, Seq("B", "purchase")), (4L, Seq("A", "B", "purchase")),
+      (5L, Seq("purchase")), (6L, Seq("B"))
+    ).flatMap { case (u, chs) =>
+      chs.zipWithIndex.map { case (c, i) =>
+        (u, c, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$i"),
+         i.toLong)
+      }
+    }.toDF("u", "ch", "ts", "tie")
+    val got = graft.operators.MarkovAttribution.shapleyAttribution(
+      ev, col("u"), "ch", "ts", "tie", Seq("A", "B"), "purchase")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+                           r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", 0.666667, 0.25, 0.5),
+      ("B", 0.666667, 0.25, 0.5)))
+    spark.catalog.clearCache()
+  }
+
+  test("Markov attribution: events AFTER the first conversion are " +
+       "ignored (journey truncation)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // u1: A -> conv -> B(ignored): chain must be identical to A -> conv
+    val ev = Seq(
+      (1L, "A", 1L), (1L, "purchase", 2L), (1L, "B", 3L)
+    ).map { case (u, c, t) =>
+      (u, c, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$t"), t)
+    }.toDF("u", "ch", "ts", "tie")
+    val tr = graft.operators.MarkovAttribution.journeyTransitions(
+      ev, col("u"), "ch", "ts", "tie", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(tr == Set(("start", "A", 1L), ("A", "conv", 1L)))
+    spark.catalog.clearCache()
+  }
+
   test("gainsTable: a zero-event population degrades to null " +
        "capture/lift instead of an ANSI divide-by-zero") {
     val spark = TestSpark.spark
