@@ -2074,6 +2074,34 @@ object SparkEntry {
         "purchase")
     }),
 
+    "q_linreg_exact" -> ((s, dir) => {
+      // exact distributed multiple linear regression on the per-order
+      // rollup (order revenue ~ line count + total quantity, R^2 ~.74
+      // on this data): one keyed pre-aggregate, then the integer-
+      // scaled moments in ONE DECIMAL aggregate and the shared-IR
+      // Cramer solve + R^2 — the oracle re-runs the identical solve
+      // from data, bit-identical at any SF (born de-pinned; the
+      // ExactFit OLS surface)
+      val li = T(s, dir, "lineitem")
+      val po = li
+        .where(col("l_quantity").isNotNull &&
+               col("l_extendedprice").isNotNull)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_quantity")).as("sq"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("cents"))
+      val spec = graft.core.ExactFit.OLSSpec(
+        Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
+      val f = graft.core.ExactFit.fitOLS(
+        po, Seq(col("cnt"), col("sq")), col("cents"), spec)
+      po.agg(count(lit(1)).as("n"))
+        .withColumn("intercept4", round(lit(f.intercept / 100.0), 4))
+        .withColumn("b_lines4", round(lit(f.slope(0) / 100.0), 4))
+        .withColumn("b_qty4", round(lit(f.slope(1) / 100.0), 4))
+        .withColumn("r2_6", round(lit(f.r2), 6))
+    }),
+
     "q_attribution" -> ((s, dir) => {
       // last-touch attribution: purchases credited to the user's most
       // recent view/click within a 1-day lookback, else 'direct';
@@ -7572,6 +7600,31 @@ object SparkEntry {
 
     // attribution replay: identical (sec, id) total order; both
     // last_value IGNORE NULLS windows pick from the same last touch row
+    // Exact-OLS replay: identical per-order rollup, identical integer
+    // moments + the layered IR solve — bit-identical coefficients and
+    // R^2 at any SF
+    "q_linreg_exact" -> {
+      val spec = graft.core.ExactFit.OLSSpec(
+        Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
+      s"""WITH po AS MATERIALIZED (
+           SELECT l_orderkey, count(*) AS cnt,
+                  sum(l_quantity) AS sq,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS cents
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         ${graft.core.ExactFit.olsCtes(spec, "po",
+             Seq("cnt", "sq"), "cents")}
+         SELECT om.n::BIGINT AS n,
+                round((of.w_a / 1.0) / 100.0, 4) AS intercept4,
+                round(((of.w_b0 * 1.0) / 1.0) / 100.0, 4) AS b_lines4,
+                round(((of.w_b1 * 10.0) / 1.0) / 100.0, 4) AS b_qty4,
+                round(of.w_r2, 6) AS r2_6
+         FROM of, om"""
+    },
+
     // Markov removal-effect replay: the journey/transition SQL mirrors
     // journeyTransitions exactly and the absorption solves are the
     // SAME layered IR program — bit-identical at any SF

@@ -487,6 +487,178 @@ object ExactFit {
        ${layeredCtes(program(spec), "m", "kl", "kf")}"""
   }
 
+  // ------------------------------------------------------------------
+  // exact multiple linear regression (same discipline, plain feature
+  // basis instead of segment lengths): y ~ intercept + sum b_i x_i,
+  // all inputs integer-scaled, ONE DECIMAL moment aggregate, Cramer
+  // solve + R^2 in the shared IR — bit-identical in both engines.
+  // ------------------------------------------------------------------
+
+  /** @param xScales  integer scale per feature (x_i * scale exact)
+    * @param yScale   integer scale for the target
+    * @param condPow2 power-of-two equilibration per feature */
+  final case class OLSSpec(xScales: Seq[Long], yScale: Long,
+                           condPow2: Seq[Double]) {
+    require(xScales.nonEmpty && xScales.length == condPow2.length)
+    require(xScales.length <= 5, "at most 5 features (Cramer)")
+    condPow2.foreach { d =>
+      val b = java.lang.Double.doubleToLongBits(d)
+      require(d > 0 && (b & 0x000fffffffffffffL) == 0L,
+              "condPow2 must be positive powers of two")
+    }
+    val k: Int = xScales.length
+  }
+
+  def olsMomentNames(spec: OLSSpec): Seq[String] = {
+    val k = spec.k
+    Seq("n", "sy", "syy") ++
+      (0 until k).map(i => s"f$i") ++
+      (0 until k).map(i => s"fy$i") ++
+      (for (i <- 0 until k; j <- i until k) yield s"f${i}_$j")
+  }
+
+  def olsMomentAggs(spec: OLSSpec, xCols: Seq[Column], yCol: Column)
+      : Seq[Column] = {
+    require(xCols.length == spec.k)
+    val xs = xCols.zip(spec.xScales).map { case (c, s) =>
+      round(c * s).cast("long")
+    }
+    val y = round(yCol * spec.yScale).cast("long")
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    Seq(count(flit(1)).as("n"), dec(y).as("sy"),
+        dec(y * y).as("syy")) ++
+      xs.zipWithIndex.map { case (x, i) => dec(x).as(s"f$i") } ++
+      xs.zipWithIndex.map { case (x, i) => dec(x * y).as(s"fy$i") } ++
+      (for (i <- 0 until spec.k; j <- i until spec.k)
+        yield dec(xs(i) * xs(j)).as(s"f${i}_$j"))
+  }
+
+  def olsMomentSql(spec: OLSSpec, table: String, xSqls: Seq[String],
+                   ySql: String, where: String = ""): String = {
+    val xs = xSqls.zip(spec.xScales).map { case (x, s) =>
+      s"CAST(round(($x) * $s) AS BIGINT)"
+    }
+    val y = s"CAST(round(($ySql) * ${spec.yScale}) AS BIGINT)"
+    def dec(e: String): String = s"sum(CAST($e AS HUGEINT))::DOUBLE"
+    val cols = Seq(s"count(*)::DOUBLE AS n", s"${dec(y)} AS sy",
+                   s"${dec(s"$y * $y")} AS syy") ++
+      xs.zipWithIndex.map { case (x, i) => s"${dec(x)} AS f$i" } ++
+      xs.zipWithIndex.map { case (x, i) =>
+        s"${dec(s"$x * $y")} AS fy$i" } ++
+      (for (i <- 0 until spec.k; j <- i until spec.k)
+        yield s"${dec(s"${xs(i)} * ${xs(j)}")} AS f${i}_$j")
+    s"SELECT ${cols.mkString(",\n                ")}\n" +
+      s"         FROM $table$where"
+  }
+
+  /** Solve program: intercept `w_a` (scaled-y units), scaled slopes
+    * `w_b<i>`, and `w_r2` = 1 - SSE/SST (guarded). */
+  def olsProgram(spec: OLSSpec): Seq[Def] = {
+    val k = spec.k
+    val defs = collection.mutable.ArrayBuffer.empty[Def]
+    for (i <- 0 until k)
+      defs += DefD(s"a$i", Op('/', R(s"f$i"), Cst(spec.condPow2(i))))
+    for (i <- 0 until k)
+      defs += DefD(s"ay$i", Op('/', R(s"fy$i"), Cst(spec.condPow2(i))))
+    for (i <- 0 until k; j <- i until k)
+      defs += DefD(s"a${i}_$j",
+        Op('/', Op('/', R(s"f${i}_$j"), Cst(spec.condPow2(i))),
+           Cst(spec.condPow2(j))))
+    def aa(i: Int, j: Int): Ex =
+      R(s"a${math.min(i, j)}_${math.max(i, j)}")
+    val dim = 1 + k
+    val mat = Vector.tabulate(dim, dim) { (r, c) =>
+      (r, c) match {
+        case (0, 0)   => R("n")
+        case (0, cc)  => R(s"a${cc - 1}")
+        case (rr, 0)  => R(s"a${rr - 1}")
+        case (rr, cc) => aa(rr - 1, cc - 1)
+      }
+    }
+    val rhs = Vector(R("sy")) ++ (0 until k).map(i => R(s"ay$i"))
+    defs += DefD("ols_d", det(mat))
+    for (u <- 0 until dim) {
+      val rep = Vector.tabulate(dim, dim) { (r, c) =>
+        if (c == u) rhs(r) else mat(r)(c)
+      }
+      defs += DefD(s"ols_n$u", det(rep))
+    }
+    defs += DefD("w_a", Op('/', R("ols_n0"), R("ols_d")))
+    for (i <- 0 until k) {
+      defs += DefD(s"z$i", Op('/', R(s"ols_n${i + 1}"), R("ols_d")))
+      defs += DefD(s"w_b$i",
+        Op('/', R(s"z$i"), Cst(spec.condPow2(i))))
+    }
+    // SSE = syy - 2(a sy + sum b_i fy_i)
+    //       + a^2 n + 2a sum b_i f_i + sum b_i b_j f_ij
+    val a = R("w_a")
+    def b(i: Int) = R(s"w_b$i")
+    def raw(i: Int, j: Int): Ex =
+      R(s"f${math.min(i, j)}_${math.max(i, j)}")
+    val lin = (mul(a, R("sy")) +:
+      (0 until k).map(i => mul(b(i), R(s"fy$i"))))
+      .reduceLeft(Op('+', _, _))
+    val quad = (Seq(mul(mul(a, a), R("n")),
+                    mul(Cst(2.0), mul(a,
+                      (0 until k).map(i => mul(b(i), R(s"f$i")))
+                        .reduceLeft(Op('+', _, _))))) ++
+      (for (i <- 0 until k; j <- 0 until k)
+        yield mul(mul(b(i), b(j)), raw(i, j))))
+      .reduceLeft(Op('+', _, _))
+    defs += DefD("w_sse",
+      Op('+', Op('-', R("syy"), mul(Cst(2.0), lin)), quad))
+    defs += DefD("w_sst",
+      Op('-', R("syy"), Op('/', mul(R("sy"), R("sy")), R("n"))))
+    defs += DefD("w_r2",
+      Pick(Seq((Cmp(">=", R("w_sst"), Cst(1e-9)): Bx) ->
+                 Op('-', Cst(1.0), Op('/', R("w_sse"), R("w_sst")))),
+           Cst(0.0)))
+    defs.toSeq
+  }
+
+  final case class OLSSolved(spec: OLSSpec,
+                             values: Map[String, Double]) {
+    /** Intercept in RAW y units. */
+    def intercept: Double = values("w_a") / spec.yScale
+    /** Slope of feature i in RAW y-per-RAW-x units
+      * (b_scaled * xScale / yScale — the caller rounds). */
+    def slope(i: Int): Double =
+      values(s"w_b$i") * spec.xScales(i).toDouble / spec.yScale
+    def r2: Double = values("w_r2")
+  }
+
+  /** Exact distributed OLS: one moment aggregate + the shared-IR
+    * solve. */
+  def fitOLS(df: DataFrame, xCols: Seq[Column], yCol: Column,
+             spec: OLSSpec): OLSSolved = {
+    val clean = df.where(
+      xCols.map(_.isNotNull).reduce(_ && _) && yCol.isNotNull)
+    val aggs = olsMomentAggs(spec, xCols, yCol)
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val env = Env(collection.mutable.Map.empty,
+                  collection.mutable.Map.empty)
+    olsMomentNames(spec).zipWithIndex.foreach { case (nm, i) =>
+      env.d(nm) = row.get(i) match {
+        case l: java.lang.Long        => l.toDouble
+        case d: java.math.BigDecimal  => d.doubleValue
+        case d: scala.math.BigDecimal => d.doubleValue
+        case x => throw new IllegalStateException(s"$nm: $x")
+      }
+    }
+    olsProgram(spec).foreach {
+      case DefD(n, e) => env.d(n) = ev(e, env)
+      case DefB(n, b) => env.b(n) = bv(b, env)
+    }
+    OLSSolved(spec, env.d.toMap)
+  }
+
+  /** Oracle CTEs `om` (exact moments) + layered program CTE `of`. */
+  def olsCtes(spec: OLSSpec, table: String, xSqls: Seq[String],
+              ySql: String, where: String = ""): String =
+    s"""om AS (
+         ${olsMomentSql(spec, table, xSqls, ySql, where)}),
+       ${layeredCtes(olsProgram(spec), "om", "ol", "of")}"""
+
   /** Oracle-side prediction expression in RAW y units (references the
     * `kf` CTE columns). */
   def predictSql(spec: PWSpec, xSql: String): String = {

@@ -204,6 +204,31 @@ class Round10OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ExactFit OLS: exactly-linear data is recovered with r2 = 1; " +
+       "noise drops r2 below 1") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // y = 3 + 2*x1 - 0.5*x2 on an integer grid (x2 scale 2 for the
+    // half-unit slope; y scale 2 keeps targets exact)
+    val pts = for (a <- 0 to 9; b <- 0 to 9)
+      yield (a.toDouble, b.toDouble, 3.0 + 2.0 * a - 0.5 * b)
+    val df = pts.toDF("x1", "x2", "y")
+    val spec = graft.core.ExactFit.OLSSpec(
+      Seq(1L, 1L), 2L, Seq(16.0, 16.0))
+    val f = graft.core.ExactFit.fitOLS(
+      df, Seq(col("x1"), col("x2")), col("y"), spec)
+    assert(math.abs(f.intercept - 3.0) < 1e-9)
+    assert(math.abs(f.slope(0) - 2.0) < 1e-10)
+    assert(math.abs(f.slope(1) + 0.5) < 1e-10)
+    assert(math.abs(f.r2 - 1.0) < 1e-12)
+    // perturb one point: r2 strictly below 1
+    val df2 = (pts.init :+ (9.0, 9.0, pts.last._3 + 10.0)).toDF(
+      "x1", "x2", "y")
+    val f2 = graft.core.ExactFit.fitOLS(
+      df2, Seq(col("x1"), col("x2")), col("y"), spec)
+    assert(f2.r2 < 0.999 && f2.r2 > 0.5)
+  }
+
   test("Markov removal attribution golden: hand-solved 2-channel " +
        "chain (base 2/3, effects 3/4 and 1/2, shares 0.6/0.4)") {
     val spark = TestSpark.spark
