@@ -2,14 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Calibration reference: min-of-last-3 wall seconds of the fixed
-    * pure-CPU workload (sum of xxhash64 over range(200M), codegen'd,
-    * no I/O, data-independent) measured on this host in a quiet
-    * round-10 window (0.31-0.38 s over 4 repeats; pinned to the
-    * midpoint). `jitter` in the bench artifacts is
+    * pure-CPU workload (sum of xxhash64 over a SINGLE-TASK
+    * range(200M) — codegen'd, no I/O, data- and cpu-count-independent)
+    * measured on this host in a quiet round-10 window (0.703-0.719 s
+    * over 3 repeats at the driver's local[32] config; 0.85 s at
+    * local[4] — executor-thread contention adds ~20%, so compare
+    * like-for-like configs). `jitter` in the bench artifacts is
     * calibration_sec / this — regression triage divides per-query
     * times by it instead of re-deriving host drift from a manual
     * round-over-round diff (the r8->r9 +11% investigation). */
-  val CalibrationRef = 0.35
+  val CalibrationRef = 0.70
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,15 +46,18 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // fixed pure-CPU calibration, measured exactly like a query
-    // (4 passes, min of last 3): data-independent, so round-over-round
-    // movement in THIS number is host jitter, not a plan change
+    // (4 passes, min of last 3): data-independent AND single-task
+    // (numPartitions = 1), so the number is independent of the cpu
+    // count and measures exactly the per-core drift (hypervisor
+    // steal) that moves per-query times — round-over-round movement
+    // in THIS number is host jitter, not a plan change
     val calib = {
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
       (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         // modulo keeps the ANSI sum inside BIGINT (raw xxhash64 sums
         // overflow); the hash work dominates, the mod is noise
-        spark.range(200000000L)
+        spark.range(0L, 200000000L, 1L, 1)
           .select(sum(xxhash64(col("id")) % 1000000L)).collect()
         (System.nanoTime() - t0) / 1e9
       }.drop(1).min
@@ -134,7 +139,10 @@ object Bench {
       "q_hard_negatives",
       // round-9 session-2 flagships
       "q_item_neighbors", "q_bpe_merges", "q_lpa_communities",
-      "q_gains_table", "q_migration_matrix", "q_tokenizer_pipeline")
+      "q_gains_table", "q_migration_matrix", "q_tokenizer_pipeline",
+      // round-10 flagships
+      "q_bpe_encode", "q_markov_attribution", "q_shapley_attribution",
+      "q_linreg_exact")
     val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib":${r3(calib)},"jitter":${r3(jitter)},"queries_file":"$outPath","queries":$head}""")
