@@ -200,6 +200,17 @@ object SparkEntry {
   private val attrChannels = Seq("click", "error", "signup", "view")
   private val attrKeySql =
     "user_id::VARCHAR || '_' || (ts::DATE)::VARCHAR"
+  private lazy val markovAttributionOracle: String = {
+    val ctes = MarkovAttribution.removalOracleCtes(
+      "events", attrKeySql, "event_type", "ts", "event_id",
+      attrChannels, "purchase")
+    val sel = attrChannels.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, round(kf.base_conv, 6) AS " +
+      s"base_conv6, round(kf.eff_${i + 1}, 6) AS effect6, " +
+      s"round(kf.share_${i + 1}, 6) AS share6 FROM kf"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$sel ORDER BY channel"
+  }
 
   /** Flagship: full optimal-binning fit (CART prebinning + DP solve) on
     * sf0.001 lineitem, returning the binning table. */
@@ -2072,6 +2083,57 @@ object SparkEntry {
       MarkovAttribution.shapleyAttribution(
         ev, key, "event_type", "ts", "event_id", attrChannels,
         "purchase")
+    }),
+
+    "q_stream_attrib" -> ((s, dir) => {
+      // Markov attribution maintained INCREMENTALLY: events replay as
+      // a 3-trigger file stream SPLIT BY USER (journeys are
+      // (user, day)-scoped, so every trigger carries complete
+      // journeys); foreachBatch computes each batch's exact
+      // transition counts with the BATCH operator and accumulates
+      // them driver-side (the q_stream_rollup sketch-state pattern —
+      // transition counts over complete journeys are additive), and
+      // the final attribution is the identical IR solve. Stream ==
+      // batch by construction: the oracle is q_markov_attribution's,
+      // verbatim.
+      val e = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull &&
+               col("user_id").isNotNull)
+        .select("event_id", "user_id", "event_type", "ts")
+      val stage = tmpWorkDir("graft_attr_stage")
+      (0 until 3).foreach { g =>
+        e.where(pmod(col("user_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, " +
+                "event_type STRING, ts TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      // foreachBatch runs on the driver; the accumulated map is
+      // bounded by (states x states), never data
+      val acc = scala.collection.mutable
+        .Map.empty[(String, String), Long]
+      val ckpt = tmpWorkDir("graft_attr_ckpt")
+      val q = staged.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val key = concat(col("user_id").cast("string"), lit("_"),
+                           to_date(col("ts")).cast("string"))
+          MarkovAttribution.journeyTransitions(
+            batch, key, "event_type", "ts", "event_id", "purchase")
+            .collect().foreach { r =>
+              val k0 = (r.getString(0), r.getString(1))
+              acc(k0) = acc.getOrElse(k0, 0L) + r.getLong(2)
+            }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(stage); deleteRecursively(ckpt)
+      MarkovAttribution.fromTransitionCounts(s, acc.toMap, attrChannels)
     }),
 
     "q_linreg_exact" -> ((s, dir) => {
@@ -7628,17 +7690,12 @@ object SparkEntry {
     // Markov removal-effect replay: the journey/transition SQL mirrors
     // journeyTransitions exactly and the absorption solves are the
     // SAME layered IR program — bit-identical at any SF
-    "q_markov_attribution" -> {
-      val ctes = MarkovAttribution.removalOracleCtes(
-        "events", attrKeySql, "event_type", "ts", "event_id",
-        attrChannels, "purchase")
-      val sel = attrChannels.zipWithIndex.map { case (c, i) =>
-        s"SELECT '$c' AS channel, round(kf.base_conv, 6) AS " +
-        s"base_conv6, round(kf.eff_${i + 1}, 6) AS effect6, " +
-        s"round(kf.share_${i + 1}, 6) AS share6 FROM kf"
-      }.mkString("\nUNION ALL\n")
-      s"WITH $ctes\n$sel ORDER BY channel"
-    },
+    "q_markov_attribution" -> markovAttributionOracle,
+
+    // the streaming twin accumulates the SAME transition counts over
+    // journey-disjoint triggers (additive by construction), so its
+    // oracle is the batch replay verbatim
+    "q_stream_attrib" -> markovAttributionOracle,
 
     "q_shapley_attribution" -> {
       val ctes = MarkovAttribution.shapleyOracleCtes(

@@ -144,14 +144,23 @@ object MarkovAttribution {
                          channelCol: String, tsCol: String,
                          tieCol: String, channels: Seq[String],
                          convValue: String): DataFrame = {
-    val k = channels.length
-    val idx = channels.zipWithIndex.toMap // channel -> 0-based
-    val spark = df.sparkSession
     val counts = journeyTransitions(df, userKey, channelCol, tsCol,
                                     tieCol, convValue)
       .collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
       .toMap
+    fromTransitionCounts(df.sparkSession, counts, channels)
+  }
+
+  /** Solve + attribute from already-aggregated transition counts —
+    * the streaming entry point: transition counts over COMPLETE
+    * journeys are additive, so a foreachBatch accumulator over
+    * journey-disjoint triggers feeds the IDENTICAL solve. */
+  def fromTransitionCounts(spark: SparkSession,
+                           counts: Map[(String, String), Long],
+                           channels: Seq[String]): DataFrame = {
+    val k = channels.length
+    val idx = channels.zipWithIndex.toMap // channel -> 0-based
     def stateName(s: String): Option[String] = s match {
       case "start" => Some("0")
       case "conv"  => Some("conv")

@@ -294,6 +294,57 @@ class Round10OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("journeyTransitions is additive over user-disjoint splits — " +
+       "the streaming twin's correctness argument") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", 1L), (1L, "purchase", 2L),
+      (2L, "A", 1L), (2L, "B", 2L),
+      (3L, "B", 1L), (3L, "purchase", 2L),
+      (4L, "B", 1L), (4L, "A", 2L), (4L, "purchase", 3L)
+    ).map { case (u, c, t) =>
+      (u, c, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$t"), t)
+    }.toDF("u", "ch", "ts", "tie")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.MarkovAttribution.journeyTransitions(
+        df, col("u"), "ch", "ts", "tie", "purchase")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val full = counts(ev)
+    val a = counts(ev.where(col("u") % 2 === 0))
+    val b = counts(ev.where(col("u") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == full)
+    spark.catalog.clearCache()
+  }
+
+  test("layeredCtes: defs group into dependency layers, each name " +
+       "appears exactly once, final CTE carries the last layer") {
+    import graft.core.ExactFit._
+    val defs = Seq(
+      DefD("a", Op('+', R("m1"), R("m2"))),
+      DefD("b", Op('*', R("a"), Cst(2.0))),
+      DefD("b2", R("m1")),
+      DefD("c", Op('-', R("b"), R("a"))))
+    val sql = layeredCtes(defs, "m", "x", "last")
+    // a and b2 are layer 1, b layer 2, c layer 3
+    assert(sql.contains("x1 AS (") && sql.contains("x2 AS (") &&
+           sql.contains("last AS ("))
+    Seq("AS a", "AS b", "AS b2", "AS c").foreach { n =>
+      assert(sql.split(java.util.regex.Pattern.quote(n + ",")).length +
+             sql.split(java.util.regex.Pattern.quote(n + "\n")).length
+             >= 2 || sql.contains(n), n)
+    }
+    val l1 = sql.substring(sql.indexOf("x1 AS ("), sql.indexOf("x2 AS ("))
+    assert(l1.contains("AS a") && l1.contains("AS b2") &&
+           !l1.contains("AS b\n") && !l1.contains("AS c"))
+    val l3 = sql.substring(sql.indexOf("last AS ("))
+    assert(l3.contains("AS c") && l3.contains("FROM x2"))
+  }
+
   test("gainsTable: a zero-event population degrades to null " +
        "capture/lift instead of an ANSI divide-by-zero") {
     val spark = TestSpark.spark
