@@ -48,32 +48,38 @@ object MarkovAttribution {
                          userKey: org.apache.spark.sql.Column,
                          channelCol: String, tsCol: String,
                          tieCol: String, convValue: String): DataFrame = {
-    val w = Window.partitionBy(userKey)
-      .orderBy(col(tsCol), col(tieCol))
     val conv = col(channelCol) === convValue
-    // first-conversion cut: (ts, tie) of the journey's first conv event
-    val cut = Window.partitionBy(userKey)
-    val marked = df
+    // materialize the journey key ONCE: every window clusters on the
+    // same attribute, so Catalyst reuses a single journey shuffle for
+    // the first-conversion cut AND the lag/lead pass (a computed key
+    // inside each windowspec would re-exchange per window)
+    val base = df
       .where(userKey.isNotNull && col(channelCol).isNotNull &&
              col(tsCol).isNotNull)
-      .withColumn("__cts", min(when(conv, col(tsCol))).over(cut))
+      .withColumn("__jk", userKey)
+    val cut = Window.partitionBy(col("__jk"))
+    val w = Window.partitionBy(col("__jk"))
+      .orderBy(col(tsCol), col(tieCol))
+    val jt = base
       .withColumn("__ctie",
         min(when(conv, struct(col(tsCol), col(tieCol)))).over(cut))
-      .where(col("__cts").isNull ||
+      .where(col("__ctie").isNull ||
              struct(col(tsCol), col(tieCol)) <= col("__ctie"))
-    val stepped = marked
       .withColumn("__prev", lag(col(channelCol), 1).over(w))
       .withColumn("__next", lead(col(channelCol), 1).over(w))
-      .withColumn("from",
-        when(col("__prev").isNull, lit("start")).otherwise(col("__prev")))
-      .withColumn("to",
-        when(conv, lit("conv")).otherwise(col(channelCol)))
-    val steps = stepped.select(col("from"), col("to"))
-    val tails = stepped
-      .where(col("__next").isNull && !conv)
-      .select(col(channelCol).as("from"), lit("null").as("to"))
-    steps.unionByName(tails)
-      .groupBy("from", "to").agg(count(lit(1)).as("n"))
+    // ONE pass emits the step row and, for a non-converting journey's
+    // last event, the closing (channel -> null) row — no union (a
+    // union would re-derive the whole windowed chain per branch)
+    val step = struct(
+      when(col("__prev").isNull, lit("start")).otherwise(col("__prev"))
+        .as("f"),
+      when(conv, lit("conv")).otherwise(col(channelCol)).as("t"))
+    val tail = struct(col(channelCol).as("f"), lit("null").as("t"))
+    jt.select(explode(
+        when(col("__next").isNull && !conv, array(step, tail))
+          .otherwise(array(step))).as("__e"))
+      .groupBy(col("__e.f").as("from"), col("__e.t").as("to"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** The IR program over transition-count refs `t_<from>_<to>`
@@ -261,10 +267,14 @@ object MarkovAttribution {
     require(k >= 1 && k <= 6, "1..6 channels")
     val spark = df.sparkSession
     val conv = col(channelCol) === convValue
-    val cut = Window.partitionBy(userKey)
-    val jt = df
+    // materialized journey key: the cut window and the per-journey
+    // aggregate share ONE journey shuffle (see journeyTransitions)
+    val base = df
       .where(userKey.isNotNull && col(channelCol).isNotNull &&
              col(tsCol).isNotNull)
+      .withColumn("__jk", userKey)
+    val cut = Window.partitionBy(col("__jk"))
+    val jt = base
       .withColumn("__ctie",
         min(when(conv, struct(col(tsCol), col(tieCol)))).over(cut))
       .where(col("__ctie").isNull ||
@@ -273,7 +283,7 @@ object MarkovAttribution {
       max(when(col(channelCol) === ch, 1L).otherwise(0L)) *
         lit(1L << i)
     }.reduceLeft(_ + _)
-    val perJourney = jt.groupBy(userKey.as("__u"))
+    val perJourney = jt.groupBy(col("__jk").as("__u"))
       .agg(maskCol.as("mask"),
            max(when(conv, 1L).otherwise(0L)).as("cv"))
     val sets = perJourney.groupBy("mask")

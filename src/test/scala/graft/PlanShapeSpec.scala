@@ -611,4 +611,59 @@ class PlanShapeSpec extends AnyFunSuite {
         assert(!plan.contains("CartesianProduct"), plan)
       }
   }
+
+  test("ExactFit moment aggregates (piecewise and OLS): partial " +
+       "aggregation, ONE exchange, pruned scan") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val pwSpec = graft.core.ExactFit.PWSpec(
+      Array(23.5, 47.5), 10L, 100L, 512.0, None)
+    val aggs = graft.core.ExactFit.momentAggs(
+      pwSpec, col("l_quantity"), col("l_extendedprice"))
+    val mdf = li
+      .where(col("l_quantity").isNotNull &&
+             col("l_extendedprice").isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    val plan = physical(mdf)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(countOccurrences(plan, "Exchange") == 1, plan)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") &&
+           readSchema.contains("l_extendedprice") &&
+           !readSchema.contains("l_orderkey"), readSchema)
+
+    val olsSpec = graft.core.ExactFit.OLSSpec(
+      Seq(10L, 100L), 100L, Seq(512.0, 8.0))
+    val oAggs = graft.core.ExactFit.olsMomentAggs(
+      olsSpec, Seq(col("l_quantity"), col("l_discount")),
+      col("l_extendedprice"))
+    val oPlan = physical(li.agg(oAggs.head, oAggs.tail: _*))
+    assert(oPlan.contains("HashAggregate"), oPlan)
+    assert(countOccurrences(oPlan, "Exchange") == 1, oPlan)
+  }
+
+  test("journeyTransitions: the journey windows shuffle ONCE on the " +
+       "journey key; the output aggregate is the only other exchange") {
+    val spark = TestSpark.spark
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val key = concat(col("user_id").cast("string"), lit("_"),
+                     to_date(col("ts")).cast("string"))
+    val tr = graft.operators.MarkovAttribution.journeyTransitions(
+      ev, key, "event_type", "ts", "event_id", "purchase")
+    val plan = physical(tr)
+    // both window passes (cut + lag/lead) cluster on the materialized
+    // journey key: ONE exchange feeds them (no union, no re-derive),
+    // and the only other shuffle is the final (from, to) aggregate
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Union"), plan)
+    val exchanges = countOccurrences(plan, "Exchange hashpartitioning")
+    assert(exchanges == 2, s"$exchanges exchanges:\n$plan")
+    // no exchange between the two window operators (same clustering)
+    val body = plan.substring(plan.indexOf("Window"))
+    assert(!body.substring(0, math.max(0, body.lastIndexOf("Window")))
+             .contains("Exchange"),
+           "re-shuffle between journey windows:\n" + plan)
+  }
 }
