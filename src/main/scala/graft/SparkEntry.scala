@@ -200,6 +200,28 @@ object SparkEntry {
   private val attrChannels = Seq("click", "error", "signup", "view")
   private val attrKeySql =
     "user_id::VARCHAR || '_' || (ts::DATE)::VARCHAR"
+  private lazy val linregOracle: String = {
+    val spec = graft.core.ExactFit.OLSSpec(
+      Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
+    s"""WITH po AS MATERIALIZED (
+         SELECT l_orderkey, count(*) AS cnt,
+                sum(l_quantity) AS sq,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS cents
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL
+           AND l_extendedprice IS NOT NULL
+         GROUP BY 1),
+       ${graft.core.ExactFit.olsCtes(spec, "po",
+           Seq("cnt", "sq"), "cents")}
+       SELECT om.n::BIGINT AS n,
+              round((of.w_a / 1.0) / 100.0, 4) AS intercept4,
+              round(((of.w_b0 * 1.0) / 1.0) / 100.0, 4) AS b_lines4,
+              round(((of.w_b1 * 10.0) / 1.0) / 100.0, 4) AS b_qty4,
+              round(of.w_r2, 6) AS r2_6
+       FROM of, om"""
+  }
+
   private lazy val markovAttributionOracle: String = {
     val ctes = MarkovAttribution.removalOracleCtes(
       "events", attrKeySql, "event_type", "ts", "event_id",
@@ -2134,6 +2156,68 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       deleteRecursively(stage); deleteRecursively(ckpt)
       MarkovAttribution.fromTransitionCounts(s, acc.toMap, attrChannels)
+    }),
+
+    "q_stream_linreg" -> ((s, dir) => {
+      // the exact OLS maintained INCREMENTALLY: lineitem replays as a
+      // 3-trigger file stream split by ORDER (the regression's unit —
+      // each trigger carries complete per-order rollups), foreachBatch
+      // accumulates the batch's exact DECIMAL moments as BigDecimals
+      // (exact integer sums — additive across disjoint batches by
+      // construction), and the final fit is the identical IR solve.
+      // Stream == batch exactly, so the oracle is q_linreg_exact's
+      // verbatim.
+      val li = T(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull &&
+               col("l_extendedprice").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice")
+      val stage = tmpWorkDir("graft_linreg_stage")
+      (0 until 3).foreach { g =>
+        li.where(pmod(col("l_orderkey"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("l_orderkey",
+                                               "l_linenumber")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("l_orderkey BIGINT, l_linenumber INT, " +
+                "l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val spec = graft.core.ExactFit.OLSSpec(
+        Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
+      // driver-held exact accumulator, bounded by the moment count
+      val acc = scala.collection.mutable
+        .Map.empty[String, java.math.BigDecimal]
+      val ckpt = tmpWorkDir("graft_linreg_ckpt")
+      val q = staged.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val po = batch.groupBy(col("l_orderkey"))
+            .agg(count(lit(1)).as("cnt"),
+                 sum(col("l_quantity")).as("sq"),
+                 sum(round(col("l_extendedprice") * 100).cast("long"))
+                   .as("cents"))
+          graft.core.ExactFit.olsMomentRow(
+            po, Seq(col("cnt"), col("sq")), col("cents"), spec)
+            .foreach { case (k, v) =>
+              acc(k) = acc.getOrElse(k, java.math.BigDecimal.ZERO)
+                .add(v)
+            }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(stage); deleteRecursively(ckpt)
+      val f = graft.core.ExactFit.fitOLSFromMoments(acc.toMap, spec)
+      import s.implicits._
+      Seq(acc.getOrElse("n", java.math.BigDecimal.ZERO).longValue)
+        .toDF("n")
+        .withColumn("intercept4", round(lit(f.intercept / 100.0), 4))
+        .withColumn("b_lines4", round(lit(f.slope(0) / 100.0), 4))
+        .withColumn("b_qty4", round(lit(f.slope(1) / 100.0), 4))
+        .withColumn("r2_6", round(lit(f.r2), 6))
     }),
 
     "q_linreg_exact" -> ((s, dir) => {
@@ -7665,27 +7749,12 @@ object SparkEntry {
     // Exact-OLS replay: identical per-order rollup, identical integer
     // moments + the layered IR solve — bit-identical coefficients and
     // R^2 at any SF
-    "q_linreg_exact" -> {
-      val spec = graft.core.ExactFit.OLSSpec(
-        Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
-      s"""WITH po AS MATERIALIZED (
-           SELECT l_orderkey, count(*) AS cnt,
-                  sum(l_quantity) AS sq,
-                  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                    AS cents
-           FROM lineitem
-           WHERE l_quantity IS NOT NULL
-             AND l_extendedprice IS NOT NULL
-           GROUP BY 1),
-         ${graft.core.ExactFit.olsCtes(spec, "po",
-             Seq("cnt", "sq"), "cents")}
-         SELECT om.n::BIGINT AS n,
-                round((of.w_a / 1.0) / 100.0, 4) AS intercept4,
-                round(((of.w_b0 * 1.0) / 1.0) / 100.0, 4) AS b_lines4,
-                round(((of.w_b1 * 10.0) / 1.0) / 100.0, 4) AS b_qty4,
-                round(of.w_r2, 6) AS r2_6
-         FROM of, om"""
-    },
+    "q_linreg_exact" -> linregOracle,
+
+    // the streaming twin sums the SAME exact DECIMAL moments over
+    // order-disjoint triggers (additive by construction), so its
+    // oracle is the batch replay verbatim
+    "q_stream_linreg" -> linregOracle,
 
     // Markov removal-effect replay: the journey/transition SQL mirrors
     // journeyTransitions exactly and the absorption solves are the

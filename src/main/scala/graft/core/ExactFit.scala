@@ -627,23 +627,37 @@ object ExactFit {
     def r2: Double = values("w_r2")
   }
 
-  /** Exact distributed OLS: one moment aggregate + the shared-IR
-    * solve. */
-  def fitOLS(df: DataFrame, xCols: Seq[Column], yCol: Column,
-             spec: OLSSpec): OLSSolved = {
+  /** Collect one batch's exact moments as BigDecimals (exact integer
+    * arithmetic — ADDITIVE across disjoint batches, the streaming
+    * accumulation unit). */
+  def olsMomentRow(df: DataFrame, xCols: Seq[Column], yCol: Column,
+                   spec: OLSSpec): Map[String, java.math.BigDecimal] = {
     val clean = df.where(
       xCols.map(_.isNotNull).reduce(_ && _) && yCol.isNotNull)
     val aggs = olsMomentAggs(spec, xCols, yCol)
     val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    olsMomentNames(spec).zipWithIndex.map { case (nm, i) =>
+      nm -> (row.get(i) match {
+        case l: java.lang.Long        => java.math.BigDecimal.valueOf(l)
+        case d: java.math.BigDecimal  => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+        case null => java.math.BigDecimal.ZERO // empty batch
+        case x => throw new IllegalStateException(s"$nm: $x")
+      })
+    }.toMap
+  }
+
+  /** Solve from exact moments — the streaming entry point: summed
+    * BigDecimal moments over disjoint batches equal the one-pass
+    * aggregate exactly, so the derived doubles (and therefore the
+    * fit) are IDENTICAL to the batch path. */
+  def fitOLSFromMoments(moments: Map[String, java.math.BigDecimal],
+                        spec: OLSSpec): OLSSolved = {
     val env = Env(collection.mutable.Map.empty,
                   collection.mutable.Map.empty)
-    olsMomentNames(spec).zipWithIndex.foreach { case (nm, i) =>
-      env.d(nm) = row.get(i) match {
-        case l: java.lang.Long        => l.toDouble
-        case d: java.math.BigDecimal  => d.doubleValue
-        case d: scala.math.BigDecimal => d.doubleValue
-        case x => throw new IllegalStateException(s"$nm: $x")
-      }
+    olsMomentNames(spec).foreach { nm =>
+      env.d(nm) = moments.getOrElse(nm, java.math.BigDecimal.ZERO)
+        .doubleValue
     }
     olsProgram(spec).foreach {
       case DefD(n, e) => env.d(n) = ev(e, env)
@@ -651,6 +665,12 @@ object ExactFit {
     }
     OLSSolved(spec, env.d.toMap)
   }
+
+  /** Exact distributed OLS: one moment aggregate + the shared-IR
+    * solve. */
+  def fitOLS(df: DataFrame, xCols: Seq[Column], yCol: Column,
+             spec: OLSSpec): OLSSolved =
+    fitOLSFromMoments(olsMomentRow(df, xCols, yCol, spec), spec)
 
   /** Oracle CTEs `om` (exact moments) + layered program CTE `of`. */
   def olsCtes(spec: OLSSpec, table: String, xSqls: Seq[String],

@@ -229,6 +229,39 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(f2.r2 < 0.999 && f2.r2 > 0.5)
   }
 
+  test("ExactFit OLS moments are additive: BigDecimal-summed disjoint " +
+       "batches solve IDENTICALLY to the one-pass fit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pts = for (a <- 0 to 9; b <- 0 to 9)
+      yield (a.toLong, a.toDouble, b.toDouble, 3.0 + 2.0 * a - 1.0 * b)
+    val df = pts.toDF("id", "x1", "x2", "y")
+    val spec = graft.core.ExactFit.OLSSpec(
+      Seq(1L, 1L), 1L, Seq(16.0, 16.0))
+    val one = graft.core.ExactFit.fitOLS(
+      df, Seq(col("x1"), col("x2")), col("y"), spec)
+    val acc = scala.collection.mutable
+      .Map.empty[String, java.math.BigDecimal]
+    (0 until 3).foreach { g =>
+      graft.core.ExactFit.olsMomentRow(
+        df.where(col("id") % 3 === g),
+        Seq(col("x1"), col("x2")), col("y"), spec)
+        .foreach { case (k, v) =>
+          acc(k) = acc.getOrElse(k, java.math.BigDecimal.ZERO).add(v)
+        }
+    }
+    val streamed = graft.core.ExactFit.fitOLSFromMoments(acc.toMap, spec)
+    // bit-identical, not just close: the moments are exact integers
+    assert(java.lang.Double.doubleToLongBits(one.intercept) ==
+           java.lang.Double.doubleToLongBits(streamed.intercept))
+    (0 to 1).foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(one.slope(i)) ==
+             java.lang.Double.doubleToLongBits(streamed.slope(i)))
+    }
+    assert(java.lang.Double.doubleToLongBits(one.r2) ==
+           java.lang.Double.doubleToLongBits(streamed.r2))
+  }
+
   test("Markov removal attribution golden: hand-solved 2-channel " +
        "chain (base 2/3, effects 3/4 and 1/2, shares 0.6/0.4)") {
     val spark = TestSpark.spark
