@@ -2140,21 +2140,26 @@ object SparkEntry {
       val acc = scala.collection.mutable
         .Map.empty[(String, String), Long]
       val ckpt = tmpWorkDir("graft_attr_ckpt")
-      val q = staged.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val key = concat(col("user_id").cast("string"), lit("_"),
-                           to_date(col("ts")).cast("string"))
-          MarkovAttribution.journeyTransitions(
-            batch, key, "event_type", "ts", "event_id", "purchase")
-            .collect().foreach { r =>
-              val k0 = (r.getString(0), r.getString(1))
-              acc(k0) = acc.getOrElse(k0, 0L) + r.getLong(2)
-            }
-          ()
-        }
-        .option("checkpointLocation", ckpt).start()
-      q.processAllAvailable(); q.stop()
-      deleteRecursively(stage); deleteRecursively(ckpt)
+      try {
+        val q = staged.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val key = concat(col("user_id").cast("string"), lit("_"),
+                             to_date(col("ts")).cast("string"))
+            MarkovAttribution.journeyTransitions(
+              batch, key, "event_type", "ts", "event_id", "purchase")
+              .collect().foreach { r =>
+                val k0 = (r.getString(0), r.getString(1))
+                acc(k0) = acc.getOrElse(k0, 0L) + r.getLong(2)
+              }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try { q.processAllAvailable() } finally q.stop()
+      } finally {
+        // /dev/shm space must not leak across bench iterations even
+        // when the stream throws
+        deleteRecursively(stage); deleteRecursively(ckpt)
+      }
       MarkovAttribution.fromTransitionCounts(s, acc.toMap, attrChannels)
     }),
 
@@ -2192,24 +2197,27 @@ object SparkEntry {
       val acc = scala.collection.mutable
         .Map.empty[String, java.math.BigDecimal]
       val ckpt = tmpWorkDir("graft_linreg_ckpt")
-      val q = staged.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val po = batch.groupBy(col("l_orderkey"))
-            .agg(count(lit(1)).as("cnt"),
-                 sum(col("l_quantity")).as("sq"),
-                 sum(round(col("l_extendedprice") * 100).cast("long"))
-                   .as("cents"))
-          graft.core.ExactFit.olsMomentRow(
-            po, Seq(col("cnt"), col("sq")), col("cents"), spec)
-            .foreach { case (k, v) =>
-              acc(k) = acc.getOrElse(k, java.math.BigDecimal.ZERO)
-                .add(v)
-            }
-          ()
-        }
-        .option("checkpointLocation", ckpt).start()
-      q.processAllAvailable(); q.stop()
-      deleteRecursively(stage); deleteRecursively(ckpt)
+      try {
+        val q = staged.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val po = batch.groupBy(col("l_orderkey"))
+              .agg(count(lit(1)).as("cnt"),
+                   sum(col("l_quantity")).as("sq"),
+                   sum(round(col("l_extendedprice") * 100)
+                         .cast("long")).as("cents"))
+            graft.core.ExactFit.olsMomentRow(
+              po, Seq(col("cnt"), col("sq")), col("cents"), spec)
+              .foreach { case (k, v) =>
+                acc(k) = acc.getOrElse(k, java.math.BigDecimal.ZERO)
+                  .add(v)
+              }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try { q.processAllAvailable() } finally q.stop()
+      } finally {
+        deleteRecursively(stage); deleteRecursively(ckpt)
+      }
       val f = graft.core.ExactFit.fitOLSFromMoments(acc.toMap, spec)
       import s.implicits._
       Seq(acc.getOrElse("n", java.math.BigDecimal.ZERO).longValue)
@@ -4789,6 +4797,7 @@ object SparkEntry {
       val d = T(s, dir, "documents")
       val merges = graft.pipeline.Tokenizer
         .bpeMerges(d, "text", rounds = 4).collect()
+        .sortBy(_.getLong(0)) // merge order = round order, explicitly
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.pipeline.Tokenizer.bpeEncode(d, "text", merges)
     }),

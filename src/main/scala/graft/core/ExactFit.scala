@@ -285,19 +285,29 @@ object ExactFit {
         }
         defs += DefD(s"c${mask}_n$u", det(rep))
       }
+      // singular normal matrix (empty segment at some SF/filter):
+      // both engines take the SAME guarded branch -> zero
+      // coefficients, and the mask is marked infeasible below, so
+      // winner selection stays bit-identical on degenerate inputs
+      // (JVM NaN compares false, DuckDB NULL/NaN order differently —
+      // neither may ever reach a comparison).
+      val nsing: Bx = Cmp(">=", Op('*', R(s"c${mask}_d"),
+                                   R(s"c${mask}_d")), Cst(1e-24))
       defs += DefD(s"c${mask}_a",
-                   Op('/', R(s"c${mask}_n0"), R(s"c${mask}_d")))
+                   Pick(Seq(nsing -> Op('/', R(s"c${mask}_n0"),
+                                        R(s"c${mask}_d"))), Cst(0.0)))
       for ((f, fi) <- free.zipWithIndex)
         defs += DefD(s"c${mask}_z$f",
-                     Op('/', R(s"c${mask}_n${fi + 1}"),
-                        R(s"c${mask}_d")))
+                     Pick(Seq(nsing ->
+                                Op('/', R(s"c${mask}_n${fi + 1}"),
+                                   R(s"c${mask}_d"))), Cst(0.0)))
       for (m <- 0 until k)
         defs += DefD(s"c${mask}_s$m",
           if (free.contains(m)) Op('/', R(s"c${mask}_z$m"), d)
           else Cst(0.0))
       if (spec.trend.isDefined) {
         defs += DefB(s"c${mask}_ok",
-          All(free.map(f =>
+          All(nsing +: free.map(f =>
             Cmp(if (asc) ">=" else "<=", R(s"c${mask}_s$f"),
                 Cst(0.0)))))
         // score = SSE - Syy over the RAW moments (lower is better):
@@ -406,6 +416,9 @@ object ExactFit {
         case l: java.lang.Long            => l.toDouble
         case d: java.math.BigDecimal      => d.doubleValue
         case d: scala.math.BigDecimal     => d.doubleValue
+        case null                         => 0.0 // empty input: sums
+        // are null when count=0 — treat as zero like olsMomentRow,
+        // so the guarded program returns the zero fit, not a crash
         case x => throw new IllegalStateException(s"$nm: $x")
       }
     }
@@ -583,9 +596,16 @@ object ExactFit {
       }
       defs += DefD(s"ols_n$u", det(rep))
     }
-    defs += DefD("w_a", Op('/', R("ols_n0"), R("ols_d")))
+    // singular-guard every Cramer division (empty/degenerate input):
+    // guarded branch identical in both engines, zero fallback
+    val nsing: Bx =
+      Cmp(">=", Op('*', R("ols_d"), R("ols_d")), Cst(1e-24))
+    defs += DefD("w_a",
+      Pick(Seq(nsing -> Op('/', R("ols_n0"), R("ols_d"))), Cst(0.0)))
     for (i <- 0 until k) {
-      defs += DefD(s"z$i", Op('/', R(s"ols_n${i + 1}"), R("ols_d")))
+      defs += DefD(s"z$i",
+        Pick(Seq(nsing -> Op('/', R(s"ols_n${i + 1}"), R("ols_d"))),
+             Cst(0.0)))
       defs += DefD(s"w_b$i",
         Op('/', R(s"z$i"), Cst(spec.condPow2(i))))
     }
@@ -608,7 +628,10 @@ object ExactFit {
     defs += DefD("w_sse",
       Op('+', Op('-', R("syy"), mul(Cst(2.0), lin)), quad))
     defs += DefD("w_sst",
-      Op('-', R("syy"), Op('/', mul(R("sy"), R("sy")), R("n"))))
+      Pick(Seq((Cmp(">=", R("n"), Cst(1.0)): Bx) ->
+                 Op('-', R("syy"),
+                    Op('/', mul(R("sy"), R("sy")), R("n")))),
+           Cst(0.0)))
     defs += DefD("w_r2",
       Pick(Seq((Cmp(">=", R("w_sst"), Cst(1e-9)): Bx) ->
                  Op('-', Cst(1.0), Op('/', R("w_sse"), R("w_sst")))),

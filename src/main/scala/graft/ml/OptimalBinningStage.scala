@@ -53,7 +53,15 @@ class OptimalBinningEstimator(override val uid: String)
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setOutputCol(v: String): this.type = set(outputCol, v)
   def setMetric(v: String): this.type = set(metric, v)
-  /** Full binning configuration (trend, constraints, special codes…). */
+  /** Full binning configuration (trend, constraints, special codes…).
+    *
+    * The config is stored as JSON (the persistence format), which
+    * normalizes numeric special values to their widest type: Int /
+    * Short / Byte special codes, `outlierParams` and `catUnknown`
+    * come back as `Long`, `Float` as `Double`. `getConfig` (and a
+    * reloaded pipeline) therefore returns the NORMALIZED config —
+    * compare against `getConfig`, not the pre-`setConfig` instance,
+    * when special values use narrow numeric types. */
   def setConfig(c: BinningConfig): this.type =
     set(configJson, ModelIO.configToJson(c))
   def getConfig: BinningConfig = ModelIO.configFromJson($(configJson))

@@ -132,8 +132,10 @@ object Tokenizer {
     *  - `tokens_per_doc_milli` = 1e3 * encoded div n_docs. */
   def bpeEncode(docs: DataFrame, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty && merges.size <= 64,
-            "merges must be in [1, 64]")
+    // an EMPTY merge list is valid (a corpus of single-character
+    // words trains zero merges): the encode is then exactly the
+    // char-split baseline
+    require(merges.size <= 64, "at most 64 merges")
     val spark = docs.sparkSession
     val vocab0 = docs
       .where(col(textCol).isNotNull)

@@ -78,6 +78,16 @@ class MLPersistenceSpec extends AnyFunSuite {
     assert(d.userSplits.isEmpty && d.userSplitsCategorical.isEmpty &&
            d.userSplitsFixed.isEmpty && d.specialCodes.isEmpty &&
            d.classWeight.isEmpty && d.catUnknown.isEmpty)
+    // narrow numeric special values NORMALIZE through JSON (the
+    // documented contract): Int/Short/Byte -> Long, Float -> Double
+    val narrow = BinningConfig(
+      outlierParams = Map("k" -> 3, "f" -> 1.5f),
+      catUnknown = Some(7),
+      specialCodes = Some(SpecialList(Seq(-9, 2.5f, "N/A"))))
+    val nr = ModelIO.configFromJson(ModelIO.configToJson(narrow))
+    assert(nr.outlierParams == Map("k" -> 3L, "f" -> 1.5))
+    assert(nr.catUnknown == Some(7L))
+    assert(nr.specialCodes == Some(SpecialList(Seq(-9L, 2.5, "N/A"))))
   }
 
   test("unfitted Pipeline.save / Pipeline.load keeps the FULL config " +
