@@ -51,7 +51,7 @@ object Bench {
     // count and measures exactly the per-core drift (hypervisor
     // steal) that moves per-query times — round-over-round movement
     // in THIS number is host jitter, not a plan change
-    val calib = {
+    def calibPasses(): Seq[Double] = {
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
       (1 to 4).map { _ =>
         val t0 = System.nanoTime()
@@ -60,8 +60,10 @@ object Bench {
         spark.range(0L, 200000000L, 1L, 1)
           .select(sum(xxhash64(col("id")) % 1000000L)).collect()
         (System.nanoTime() - t0) / 1e9
-      }.drop(1).min
+      }
     }
+    val calibStart = calibPasses()
+    val calib = calibStart.drop(1).min
     val jitter = calib / CalibrationRef
     // three timed passes per query; the FIRST is discarded (it absorbs
     // the query's one-time codegen/Janino/C2 compilation at the target
@@ -87,7 +89,68 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // a failed query must not masquerade as a fast one
-      name -> (if (failed) -1.0 else times.drop(1).min)
+      name -> (if (failed) Seq(-1.0) else times)
+    }
+    // a 30+-minute run drifts WITHIN the run: the end calibration
+    // bounds how much the host moved while the queries were timed
+    // (one calibration instant cannot represent the window — the
+    // r9->r10 +19% phantom took a manual re-run to adjudicate)
+    val calibEnd = calibPasses()
+    def minOf(ts: Seq[Double]): Double =
+      if (ts.head < 0) -1.0 else ts.drop(1).min
+    def medOf(ts: Seq[Double]): Double =
+      if (ts.head < 0) -1.0 else ts.drop(1).sorted.apply(1)
+    val mins = results.map { case (k, ts) => k -> minOf(ts) }
+    // ---- mechanical drift triage against the previous artifact ----
+    // a query is a drift SUSPECT when jitter-normalized min AND
+    // median both moved > 1.3x vs the previous full map; host noise
+    // moves one statistic or the calibration, a plan regression
+    // moves both. Suspects still need a git-diff check (Bench cannot
+    // see code changes) — but the list makes triage mechanical.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
+    val driftSuspects: Seq[String] = try {
+      val f = new java.io.File(prevPath)
+      if (!f.isFile) Nil else {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+                     java.nio.charset.StandardCharsets.UTF_8))
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d)  => Some(d)
+          case JInt(i)     => Some(i.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case JLong(l)    => Some(l.toDouble)
+          case _           => None
+        }
+        val prevJitter = num(j \ "jitter").filter(_ > 0).getOrElse(1.0)
+        val prevMins = (j \ "queries") match {
+          case JObject(fs) => fs.flatMap { case (k, v) =>
+            num(v).map(k -> _) }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        val prevMeds = (j \ "medians") match {
+          case JObject(fs) => fs.flatMap { case (k, v) =>
+            num(v).map(k -> _) }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        results.toSeq.flatMap { case (k, ts) =>
+          val nowMin = minOf(ts); val nowMed = medOf(ts)
+          prevMins.get(k).filter(p => p > 0.05 && nowMin > 0)
+            .flatMap { pMin =>
+              // older artifacts carry no medians — fall back to the
+              // previous min so the rule degrades to min-only there
+              val pMed = prevMeds.getOrElse(k, pMin)
+              val minR = (nowMin / jitter) / (pMin / prevJitter)
+              val medR = (nowMed / jitter) / (pMed / prevJitter)
+              if (minR > 1.3 && medR > 1.3) Some(k) else None
+            }
+        }.sorted
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] drift triage skipped: ${e.getMessage}")
+      Nil
     }
     // Two artifacts, by audience:
     //  1. bench_times.json — the FULL per-query map at full precision,
@@ -102,17 +165,25 @@ object Bench {
     //     comparable.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (mins.nonEmpty) mins.values.sum else 0.0
     val fullJson = {
-      val qs = results.toSeq.sortBy(_._1)
+      def m(vals: Map[String, Double]): String = vals.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      val passes = results.toSeq.sortBy(_._1)
+        .map { case (k, ts) =>
+          s"\"$k\":${ts.map(r3).mkString("[", ",", "]")}" }
+        .mkString("{", ",", "}")
+      val meds = results.map { case (k, ts) => k -> medOf(ts) }
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""cpus":$cpus,"passes":4,"stat":"min_of_last_3",""" +
         s""""calibration_sec":$calib,"calibration_ref":$CalibrationRef,""" +
         s""""jitter":$jitter,""" +
-        s""""n_queries":${results.size},"queries":$qs}"""
+        s""""calibration_passes":${calibStart.map(r3).mkString("[", ",", "]")},""" +
+        s""""calibration_end_passes":${calibEnd.map(r3).mkString("[", ",", "]")},""" +
+        s""""drift_suspects":${driftSuspects.map(q => s"\"$q\"").mkString("[", ",", "]")},""" +
+        s""""n_queries":${results.size},"queries":${m(mins)},""" +
+        s""""medians":${m(meds)},"passes_sec":$passes}"""
     }
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -143,9 +214,11 @@ object Bench {
       // round-10 flagships
       "q_bpe_encode", "q_markov_attribution", "q_shapley_attribution",
       "q_linreg_exact")
-    val head = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
+    val head = headline.flatMap(k => mins.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib":${r3(calib)},"jitter":${r3(jitter)},"queries_file":"$outPath","queries":$head}""")
+    val suspectsHead = driftSuspects.take(10)
+      .map(q => s"\"$q\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib":${r3(calib)},"calib_end":${r3(calibEnd.drop(1).min)},"jitter":${r3(jitter)},"n_drift_suspects":${driftSuspects.size},"drift_suspects":$suspectsHead,"queries_file":"$outPath","queries":$head}""")
     spark.stop()
   }
 }
