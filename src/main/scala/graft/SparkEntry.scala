@@ -200,6 +200,57 @@ object SparkEntry {
   private val attrChannels = Seq("click", "error", "signup", "view")
   private val attrKeySql =
     "user_id::VARCHAR || '_' || (ts::DATE)::VARCHAR"
+  // portable one-permutation minhash (rk131 shingle hashes, 32 slots,
+  // global-min densify) + 8 string band keys + full pair expansion --
+  // bit-exact with MinHashSigExpr portable + lshBandsPortable; shared
+  // VERBATIM by q_minhash_bands and its incremental streaming twin
+  // q_stream_neardup (stream == batch by construction)
+  private val minhashBandsOracle: String =
+    """WITH n AS (
+           SELECT doc_id,
+                  [unicode(c)::BIGINT FOR c IN regexp_extract_all(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                     '(?s).')] AS cps
+           FROM documents),
+         hs AS (
+           SELECT doc_id,
+                  CASE WHEN len(cps) < 5
+                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
+                              (a, b) -> ((a * 131) + b) % 1000000007)]
+                       ELSE [list_reduce(list_prepend(0::BIGINT,
+                               cps[i:i+4]),
+                              (a, b) -> ((a * 131) + b) % 1000000007)
+                             FOR i IN range(1, len(cps) - 3)]
+                  END AS hs
+           FROM n),
+         sigs AS (
+           SELECT doc_id,
+                  [coalesce(list_min(list_filter(hs,
+                              h -> (h % 32) = j)),
+                            list_min(hs))
+                   FOR j IN range(0, 32)] AS sig
+           FROM hs),
+         bnd AS (
+           SELECT doc_id, b.b AS band,
+                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
+           FROM sigs, (SELECT unnest(range(0, 8)) AS b) b),
+         bsz AS (
+           SELECT doc_id, band, key,
+                  count(*) OVER (PARTITION BY band, key) AS n,
+                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
+           FROM bnd),
+         cand AS (
+           -- star-expansion guard replay: buckets larger than 256 pair
+           -- every member with the bucket minimum only
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.band
+           FROM bsz x JOIN bsz y
+             ON x.band = y.band AND x.key = y.key
+                AND x.doc_id < y.doc_id
+           WHERE x.n <= 256 OR x.doc_id = x.bmin)
+         SELECT count(*) AS n_candidate_pairs,
+                count(DISTINCT id_a) AS n_left_docs
+         FROM cand"""
+
   private lazy val linregOracle: String = {
     val spec = graft.core.ExactFit.OLSSpec(
       Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
@@ -2161,6 +2212,65 @@ object SparkEntry {
         deleteRecursively(stage); deleteRecursively(ckpt)
       }
       MarkovAttribution.fromTransitionCounts(s, acc.toMap, attrChannels)
+    }),
+
+    "q_stream_neardup" -> ((s, dir) => {
+      // MinHash-LSH near-dup detection maintained INCREMENTALLY — the
+      // 100-TB ingest shape: documents replay as a 3-trigger file
+      // stream, foreachBatch computes each NEW batch's banded
+      // signatures (each document shingled + minhashed exactly ONCE,
+      // on arrival) and APPENDS them to an incremental signature
+      // store; banding is a stateless per-row map, so the store's
+      // union of per-batch rows == the one-shot batch banding
+      // EXACTLY, and candidate generation over the accumulated store
+      // (one bucketed shuffle, star-guarded) is the identical batch
+      // operator. Stream == batch by construction: the oracle is
+      // q_minhash_bands' verbatim. At scale the signature store is
+      // ~numHashes longs per doc — the corpus is never re-read.
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val stage = tmpWorkDir("graft_neardup_stage")
+      (0 until 3).foreach { g =>
+        d.where(pmod(col("doc_id"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val sigStore = tmpWorkDir("graft_neardup_sigs")
+      val ckpt = tmpWorkDir("graft_neardup_ckpt")
+      val out = try {
+        val q = staged.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            Dedup.withMinhashBands(batch, "text", "doc_id",
+                                   numHashes = 32, bands = 8,
+                                   shingleLen = 5, portable = true)
+              .write.mode("append").parquet(s"$sigStore/sig")
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try { q.processAllAvailable() } finally q.stop()
+        Dedup.candidatesFromBanded(
+            s.read.parquet(s"$sigStore/sig"))
+          .agg(count(lit(1)).as("n_candidate_pairs"),
+               countDistinct(col("id_a")).as("n_left_docs"))
+          .collect()
+      } finally {
+        deleteRecursively(stage); deleteRecursively(ckpt)
+        deleteRecursively(sigStore)
+      }
+      s.createDataFrame(
+        s.sparkContext.parallelize(out.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "n_candidate_pairs",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "n_left_docs",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     }),
 
     "q_stream_linreg" -> ((s, dir) => {
@@ -7775,6 +7885,10 @@ object SparkEntry {
     // oracle is the batch replay verbatim
     "q_stream_attrib" -> markovAttributionOracle,
 
+    // incremental LSH banding == batch banding (stateless per-row
+    // band map, append-only signature store) — batch oracle verbatim
+    "q_stream_neardup" -> minhashBandsOracle,
+
     "q_shapley_attribution" -> {
       val ctes = MarkovAttribution.shapleyOracleCtes(
         "events", attrKeySql, "event_type", "ts", "event_id",
@@ -9202,54 +9316,7 @@ object SparkEntry {
          SELECT bit_count(sig)::INT AS popcount, count(*) AS n
          FROM s GROUP BY 1 ORDER BY 1""",
 
-    // portable one-permutation minhash (rk131 shingle hashes, 32 slots,
-    // global-min densify) + 8 string band keys + full pair expansion —
-    // bit-exact with MinHashSigExpr portable + lshBandsPortable
-    "q_minhash_bands" ->
-      """WITH n AS (
-           SELECT doc_id,
-                  [unicode(c)::BIGINT FOR c IN regexp_extract_all(
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                     '(?s).')] AS cps
-           FROM documents),
-         hs AS (
-           SELECT doc_id,
-                  CASE WHEN len(cps) < 5
-                       THEN [list_reduce(list_prepend(0::BIGINT, cps),
-                              (a, b) -> ((a * 131) + b) % 1000000007)]
-                       ELSE [list_reduce(list_prepend(0::BIGINT,
-                               cps[i:i+4]),
-                              (a, b) -> ((a * 131) + b) % 1000000007)
-                             FOR i IN range(1, len(cps) - 3)]
-                  END AS hs
-           FROM n),
-         sigs AS (
-           SELECT doc_id,
-                  [coalesce(list_min(list_filter(hs,
-                              h -> (h % 32) = j)),
-                            list_min(hs))
-                   FOR j IN range(0, 32)] AS sig
-           FROM hs),
-         bnd AS (
-           SELECT doc_id, b.b AS band,
-                  array_to_string(sig[b.b*4+1 : b.b*4+4], ',') AS key
-           FROM sigs, (SELECT unnest(range(0, 8)) AS b) b),
-         bsz AS (
-           SELECT doc_id, band, key,
-                  count(*) OVER (PARTITION BY band, key) AS n,
-                  min(doc_id) OVER (PARTITION BY band, key) AS bmin
-           FROM bnd),
-         cand AS (
-           -- star-expansion guard replay: buckets larger than 256 pair
-           -- every member with the bucket minimum only
-           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.band
-           FROM bsz x JOIN bsz y
-             ON x.band = y.band AND x.key = y.key
-                AND x.doc_id < y.doc_id
-           WHERE x.n <= 256 OR x.doc_id = x.bmin)
-         SELECT count(*) AS n_candidate_pairs,
-                count(DISTINCT id_a) AS n_left_docs
-         FROM cand""",
+    "q_minhash_bands" -> minhashBandsOracle,
 
     // production LSH -> verify chain: minhash candidates (as in
     // q_minhash_bands) filtered by word-3-gram Jaccard >= 0.5 (as in

@@ -509,9 +509,15 @@ object ExactFit {
 
   /** @param xScales  integer scale per feature (x_i * scale exact)
     * @param yScale   integer scale for the target
-    * @param condPow2 power-of-two equilibration per feature */
+    * @param condPow2 power-of-two equilibration per feature
+    * @param ridgeLambda L2 penalty on the EQUILIBRATED slopes (the
+    *   z_i, i.e. after condPow2 scaling — documented semantics; the
+    *   intercept is never penalized). Added as an exact constant to
+    *   the normal-matrix diagonal, so the solve stays inside the
+    *   IR's +,-,*,/ closure and both engines remain bit-identical. */
   final case class OLSSpec(xScales: Seq[Long], yScale: Long,
-                           condPow2: Seq[Double]) {
+                           condPow2: Seq[Double],
+                           ridgeLambda: Double = 0.0) {
     require(xScales.nonEmpty && xScales.length == condPow2.length)
     require(xScales.length <= 5, "at most 5 features (Cramer)")
     condPow2.foreach { d =>
@@ -545,6 +551,84 @@ object ExactFit {
       (for (i <- 0 until spec.k; j <- i until spec.k)
         yield dec(xs(i) * xs(j)).as(s"f${i}_$j"))
   }
+
+  /** Sample-WEIGHTED moments (`model_data.py:75-90` weighted-stats
+    * precedent): every moment is multiplied by an integer weight and
+    * `n` becomes the weight total, so the weighted normal equations
+    * are still exact DECIMAL(38,0) sums — the weighted fit keeps the
+    * full bit-parity contract. Weights must be non-negative integers
+    * (they are cast via round(); a weight of w is exactly "this row
+    * counted w times"). */
+  def olsMomentAggsWeighted(spec: OLSSpec, xCols: Seq[Column],
+                            yCol: Column, wCol: Column): Seq[Column] = {
+    require(xCols.length == spec.k)
+    val xs = xCols.zip(spec.xScales).map { case (c, s) =>
+      round(c * s).cast("long")
+    }
+    val y = round(yCol * spec.yScale).cast("long")
+    val w = round(wCol).cast("long")
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    Seq(dec(w).as("n"), dec(w * y).as("sy"),
+        dec(w * y * y).as("syy")) ++
+      xs.zipWithIndex.map { case (x, i) => dec(w * x).as(s"f$i") } ++
+      xs.zipWithIndex.map { case (x, i) =>
+        dec(w * x * y).as(s"fy$i") } ++
+      (for (i <- 0 until spec.k; j <- i until spec.k)
+        yield dec(w * xs(i) * xs(j)).as(s"f${i}_$j"))
+  }
+
+  /** Weighted-moment oracle SQL — the DuckDB rendering of
+    * [[olsMomentAggsWeighted]]. */
+  def olsMomentSqlWeighted(spec: OLSSpec, table: String,
+                           xSqls: Seq[String], ySql: String,
+                           wSql: String,
+                           where: String = ""): String = {
+    val xs = xSqls.zip(spec.xScales).map { case (x, s) =>
+      s"CAST(round(($x) * $s) AS BIGINT)"
+    }
+    val y = s"CAST(round(($ySql) * ${spec.yScale}) AS BIGINT)"
+    val w = s"CAST(round($wSql) AS BIGINT)"
+    def dec(e: String): String = s"sum(CAST($e AS HUGEINT))::DOUBLE"
+    val cols = Seq(s"${dec(w)} AS n", s"${dec(s"$w * $y")} AS sy",
+                   s"${dec(s"$w * $y * $y")} AS syy") ++
+      xs.zipWithIndex.map { case (x, i) =>
+        s"${dec(s"$w * $x")} AS f$i" } ++
+      xs.zipWithIndex.map { case (x, i) =>
+        s"${dec(s"$w * $x * $y")} AS fy$i" } ++
+      (for (i <- 0 until spec.k; j <- i until spec.k)
+        yield s"${dec(s"$w * ${xs(i)} * ${xs(j)}")} AS f${i}_$j")
+    s"SELECT ${cols.mkString(",\n                ")}\n" +
+      s"         FROM $table$where"
+  }
+
+  /** Weighted exact OLS: one weighted moment aggregate + the shared
+    * solve (with optional ridge from the spec). */
+  def fitOLSWeighted(df: DataFrame, xCols: Seq[Column], yCol: Column,
+                     wCol: Column, spec: OLSSpec): OLSSolved = {
+    val clean = df.where(
+      (xCols :+ yCol :+ wCol).map(_.isNotNull).reduce(_ && _))
+    val aggs = olsMomentAggsWeighted(spec, xCols, yCol, wCol)
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val moments = olsMomentNames(spec).zipWithIndex.map {
+      case (nm, i) =>
+        nm -> (row.get(i) match {
+          case l: java.lang.Long        => java.math.BigDecimal.valueOf(l)
+          case d: java.math.BigDecimal  => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+          case null => java.math.BigDecimal.ZERO // empty input
+          case x => throw new IllegalStateException(s"$nm: $x")
+        })
+    }.toMap
+    fitOLSFromMoments(moments, spec)
+  }
+
+  /** Oracle CTEs for the weighted fit (`om` moments + `of` solve). */
+  def olsCtesWeighted(spec: OLSSpec, table: String,
+                      xSqls: Seq[String], ySql: String, wSql: String,
+                      where: String = ""): String =
+    s"""om AS (
+         ${olsMomentSqlWeighted(spec, table, xSqls, ySql, wSql, where)}),
+       ${layeredCtes(olsProgram(spec), "om", "ol", "of")}"""
 
   def olsMomentSql(spec: OLSSpec, table: String, xSqls: Seq[String],
                    ySql: String, where: String = ""): String = {
@@ -585,6 +669,10 @@ object ExactFit {
         case (0, 0)   => R("n")
         case (0, cc)  => R(s"a${cc - 1}")
         case (rr, 0)  => R(s"a${rr - 1}")
+        case (rr, cc) if rr == cc && spec.ridgeLambda != 0.0 =>
+          // ridge on the equilibrated slope diagonal (intercept
+          // excluded) — an exact-constant addition, same IR both sides
+          Op('+', aa(rr - 1, cc - 1), Cst(spec.ridgeLambda))
         case (rr, cc) => aa(rr - 1, cc - 1)
       }
     }

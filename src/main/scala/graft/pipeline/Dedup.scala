@@ -368,9 +368,21 @@ object Dedup {
                         shingleLen: Int = 5,
                         starThreshold: Int = 256,
                         portable: Boolean = false,
-                        keepBand: Boolean = true): DataFrame = {
-    val banded = withMinhashBands(df, textCol, idCol, numHashes, bands,
-                                  shingleLen, portable)
+                        keepBand: Boolean = true): DataFrame =
+    candidatesFromBanded(
+      withMinhashBands(df, textCol, idCol, numHashes, bands,
+                       shingleLen, portable),
+      starThreshold, keepBand)
+
+  /** Pair generation over an ALREADY-BANDED `(id, band, bh)` table —
+    * the incremental-ingest entry point: banding is a stateless
+    * per-row map, so per-batch banded rows appended to a signature
+    * store union to EXACTLY the batch banding, and this operator over
+    * the accumulated store equals the one-shot
+    * [[minhashCandidates]]. */
+  def candidatesFromBanded(banded: DataFrame,
+                           starThreshold: Int = 256,
+                           keepBand: Boolean = true): DataFrame = {
     // Bucket size + min id annotated per member by ONE window over the
     // (band, bh) shuffle. Unlike a bucket-wide collect_list — whose
     // single aggregation buffer must hold an entire mega-bucket in
