@@ -273,6 +273,46 @@ object SparkEntry {
        FROM of, om"""
   }
 
+  private lazy val linregWeightedOracle: String = {
+    val spec = graft.core.ExactFit.OLSSpec(
+      Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
+    val specRidge = spec.copy(ridgeLambda = 1000.0)
+    // one weighted-moment CTE (om), TWO layered solve programs over
+    // it: plain (of) and ridge (rf) — exactly the engine's
+    // one-aggregate-two-solves shape
+    s"""WITH po AS MATERIALIZED (
+         SELECT l.l_orderkey, l.cnt, l.sq, l.cents,
+                CASE WHEN o.o_orderpriority = '1-URGENT' THEN 3
+                     WHEN o.o_orderpriority = '2-HIGH' THEN 2
+                     ELSE 1 END AS w
+         FROM (
+           SELECT l_orderkey, count(*) AS cnt,
+                  sum(l_quantity) AS sq,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS cents
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+           GROUP BY 1) l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       ${graft.core.ExactFit.olsCtesWeighted(spec, "po",
+           Seq("cnt", "sq"), "cents", "w")},
+       ${graft.core.ExactFit.layeredCtes(
+           graft.core.ExactFit.olsProgram(specRidge), "om", "rl", "rf")}
+       SELECT om.n::BIGINT AS w_total,
+              round((of.w_a / 1.0) / 100.0, 4) AS intercept4,
+              round(((of.w_b0 * 1.0) / 1.0) / 100.0, 4) AS b_lines4,
+              round(((of.w_b1 * 10.0) / 1.0) / 100.0, 4) AS b_qty4,
+              round(of.w_r2, 6) AS r2_6,
+              round((rf.w_a / 1.0) / 100.0, 4) AS ridge_intercept4,
+              round(((rf.w_b0 * 1.0) / 1.0) / 100.0, 4)
+                AS ridge_b_lines4,
+              round(((rf.w_b1 * 10.0) / 1.0) / 100.0, 4)
+                AS ridge_b_qty4,
+              round(rf.w_r2, 6) AS ridge_r2_6
+       FROM of, rf, om"""
+  }
+
   private lazy val markovAttributionOracle: String = {
     val ctes = MarkovAttribution.removalOracleCtes(
       "events", attrKeySql, "event_type", "ts", "event_id",
@@ -2364,6 +2404,66 @@ object SparkEntry {
         .withColumn("b_lines4", round(lit(f.slope(0) / 100.0), 4))
         .withColumn("b_qty4", round(lit(f.slope(1) / 100.0), 4))
         .withColumn("r2_6", round(lit(f.r2), 6))
+    }),
+
+    "q_linreg_weighted" -> ((s, dir) => {
+      // sample-WEIGHTED exact OLS + ridge, BOTH solved from the SAME
+      // single moment aggregate: the q_linreg_exact per-order rollup
+      // importance-weighted by order priority (urgent 3x, high 2x,
+      // rest 1x — the `model_data.py:75-90` weighted-stats
+      // precedent). Integer weights keep every moment an exact
+      // DECIMAL sum, and the ridge solve only adds an exact constant
+      // to the equilibrated normal diagonal, so both fits stay
+      // inside the shared-IR +,-,*,/ closure — bit-identical in SQL
+      // at any SF. The priority lookup is a broadcast-sized column
+      // already on orders; the join is 1:1 on the rollup key.
+      val li = T(s, dir, "lineitem")
+      val w = when(col("o_orderpriority") === "1-URGENT", 3L)
+        .when(col("o_orderpriority") === "2-HIGH", 2L)
+        .otherwise(1L)
+      val po = li
+        .where(col("l_quantity").isNotNull &&
+               col("l_extendedprice").isNotNull)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_quantity")).as("sq"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("cents"))
+        .join(T(s, dir, "orders")
+                .select(col("o_orderkey"), w.as("w")),
+              col("l_orderkey") === col("o_orderkey"))
+      val spec = graft.core.ExactFit.OLSSpec(
+        Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
+      val specRidge = spec.copy(ridgeLambda = 1000.0)
+      val aggs = graft.core.ExactFit
+        .olsMomentAggsWeighted(spec, Seq(col("cnt"), col("sq")),
+                               col("cents"), col("w"))
+      val row = po.agg(aggs.head, aggs.tail: _*).head()
+      val moments = graft.core.ExactFit.olsMomentNames(spec)
+        .zipWithIndex.map { case (nm, i) =>
+          nm -> (row.get(i) match {
+            case d: java.math.BigDecimal  => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+            case l: java.lang.Long => java.math.BigDecimal.valueOf(l)
+            case null => java.math.BigDecimal.ZERO
+            case x => throw new IllegalStateException(s"$nm: $x")
+          })
+        }.toMap
+      val f = graft.core.ExactFit.fitOLSFromMoments(moments, spec)
+      val fr = graft.core.ExactFit.fitOLSFromMoments(moments, specRidge)
+      import s.implicits._
+      Seq(moments("n").longValue).toDF("w_total")
+        .withColumn("intercept4", round(lit(f.intercept / 100.0), 4))
+        .withColumn("b_lines4", round(lit(f.slope(0) / 100.0), 4))
+        .withColumn("b_qty4", round(lit(f.slope(1) / 100.0), 4))
+        .withColumn("r2_6", round(lit(f.r2), 6))
+        .withColumn("ridge_intercept4",
+                    round(lit(fr.intercept / 100.0), 4))
+        .withColumn("ridge_b_lines4",
+                    round(lit(fr.slope(0) / 100.0), 4))
+        .withColumn("ridge_b_qty4",
+                    round(lit(fr.slope(1) / 100.0), 4))
+        .withColumn("ridge_r2_6", round(lit(fr.r2), 6))
     }),
 
     "q_attribution" -> ((s, dir) => {
@@ -7869,6 +7969,9 @@ object SparkEntry {
     // moments + the layered IR solve — bit-identical coefficients and
     // R^2 at any SF
     "q_linreg_exact" -> linregOracle,
+
+    // weighted moments + plain/ridge twin solves over ONE moment CTE
+    "q_linreg_weighted" -> linregWeightedOracle,
 
     // the streaming twin sums the SAME exact DECIMAL moments over
     // order-disjoint triggers (additive by construction), so its

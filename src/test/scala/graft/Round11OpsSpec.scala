@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-11 session additions: singular-guarded
+  * ExactFit solves, weighted + ridge OLS, the incremental MinHash
+  * banding equivalence behind q_stream_neardup, and the empty-merge
+  * bpeEncode degradation. */
+class Round11OpsSpec extends AnyFunSuite {
+
+  test("ExactFit on EMPTY input returns the guarded zero fit " +
+       "(null DECIMAL sums, singular Cramer systems) — no NaN, " +
+       "no crash, both entry points consistent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val pw = graft.core.ExactFit.PWSpec(
+      Array(1.0, 2.0), 10L, 10L, 16.0, Some("ascending"))
+    val zp = graft.core.ExactFit.fit(empty, col("x"), col("y"), pw)
+    assert(zp.a == 0.0 && zp.slope(0) == 0.0 && zp.slope(1) == 0.0)
+    val spec = graft.core.ExactFit.OLSSpec(Seq(1L), 1L, Seq(1.0))
+    val zo = graft.core.ExactFit.fitOLS(empty, Seq(col("x")),
+                                        col("y"), spec)
+    assert(zo.intercept == 0.0 && zo.slope(0) == 0.0 && zo.r2 == 0.0)
+    // a COLLINEAR (rank-deficient) system is also guarded: x2 = 2*x1
+    // makes the 2-feature normal matrix singular
+    val collin = (1 to 20).map(i =>
+      (i.toDouble, 2.0 * i, 3.0 + i)).toDF("x1", "x2", "y")
+    val s2 = graft.core.ExactFit.OLSSpec(Seq(1L, 1L), 1L,
+                                         Seq(1.0, 1.0))
+    val fc = graft.core.ExactFit.fitOLS(
+      collin, Seq(col("x1"), col("x2")), col("y"), s2)
+    assert(!fc.intercept.isNaN && !fc.slope(0).isNaN &&
+           !fc.slope(1).isNaN)
+    assert(fc.intercept == 0.0) // guarded fallback, not garbage
+  }
+
+  test("weighted OLS == plain OLS on the row-replicated frame " +
+       "(weight w is exactly 'this row counted w times'), and " +
+       "weighted moments are ADDITIVE across disjoint batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = for (i <- 1 to 30)
+      yield (i.toLong, i.toDouble, 5.0 + 2.0 * i + (i % 7) - 3.0,
+             (i % 3 + 1).toLong) // weights 1..3
+    val wdf = base.toDF("id", "x", "y", "w")
+    val rep = base.flatMap { case (id, x, y, w) =>
+      Seq.fill(w.toInt)((id, x, y)) }.toDF("id", "x", "y")
+    val spec = graft.core.ExactFit.OLSSpec(Seq(1L), 1L, Seq(4.0))
+    val fw = graft.core.ExactFit.fitOLSWeighted(
+      wdf, Seq(col("x")), col("y"), col("w"), spec)
+    val fp = graft.core.ExactFit.fitOLS(
+      rep, Seq(col("x")), col("y"), spec)
+    // bit-identical: the weighted moments ARE the replicated sums
+    assert(java.lang.Double.doubleToLongBits(fw.intercept) ==
+           java.lang.Double.doubleToLongBits(fp.intercept))
+    assert(java.lang.Double.doubleToLongBits(fw.slope(0)) ==
+           java.lang.Double.doubleToLongBits(fp.slope(0)))
+    assert(java.lang.Double.doubleToLongBits(fw.r2) ==
+           java.lang.Double.doubleToLongBits(fp.r2))
+    // additivity (the q_stream_linreg accumulator argument, weighted
+    // edition): per-batch weighted moments sum to the one-pass fit
+    val acc = scala.collection.mutable
+      .Map.empty[String, java.math.BigDecimal]
+    (0 until 3).foreach { g =>
+      val batch = wdf.where(col("id") % 3 === g)
+      val aggs = graft.core.ExactFit.olsMomentAggsWeighted(
+        spec, Seq(col("x")), col("y"), col("w"))
+      val row = batch.agg(aggs.head, aggs.tail: _*).head()
+      graft.core.ExactFit.olsMomentNames(spec).zipWithIndex.foreach {
+        case (nm, i) =>
+          val v = row.get(i) match {
+            case d: java.math.BigDecimal  => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+            case null => java.math.BigDecimal.ZERO
+            case x => java.math.BigDecimal.valueOf(
+              x.asInstanceOf[java.lang.Long])
+          }
+          acc(nm) = acc.getOrElse(nm, java.math.BigDecimal.ZERO).add(v)
+      }
+    }
+    val fs = graft.core.ExactFit.fitOLSFromMoments(acc.toMap, spec)
+    assert(java.lang.Double.doubleToLongBits(fw.slope(0)) ==
+           java.lang.Double.doubleToLongBits(fs.slope(0)))
+  }
+
+  test("ridge shrinks the equilibrated slopes toward zero and " +
+       "lambda=0 reproduces the plain solve exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pts = (1 to 40).map(i =>
+      (i.toDouble, 10.0 + 3.0 * i + (i % 5) - 2.0))
+    val df = pts.toDF("x", "y")
+    val spec = graft.core.ExactFit.OLSSpec(Seq(1L), 1L, Seq(4.0))
+    val plain = graft.core.ExactFit.fitOLS(
+      df, Seq(col("x")), col("y"), spec)
+    val zero = graft.core.ExactFit.fitOLS(
+      df, Seq(col("x")), col("y"), spec.copy(ridgeLambda = 0.0))
+    assert(java.lang.Double.doubleToLongBits(plain.slope(0)) ==
+           java.lang.Double.doubleToLongBits(zero.slope(0)))
+    val r1 = graft.core.ExactFit.fitOLS(
+      df, Seq(col("x")), col("y"), spec.copy(ridgeLambda = 100.0))
+    val r2 = graft.core.ExactFit.fitOLS(
+      df, Seq(col("x")), col("y"), spec.copy(ridgeLambda = 10000.0))
+    assert(math.abs(r1.slope(0)) < math.abs(plain.slope(0)))
+    assert(math.abs(r2.slope(0)) < math.abs(r1.slope(0)))
+    // penalized fits explain no more variance than the LS optimum
+    assert(r1.r2 <= plain.r2 + 1e-12 && r2.r2 <= r1.r2 + 1e-12)
+  }
+
+  test("incremental MinHash banding: per-batch banded rows unioned " +
+       "into a store yield IDENTICAL candidates to the one-shot " +
+       "batch operator (q_stream_neardup's correctness argument)") {
+    val spark = TestSpark.spark
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val one = graft.pipeline.Dedup.minhashCandidates(
+      d, "text", "doc_id", numHashes = 32, bands = 8,
+      portable = true).collect().map(_.toString).sorted
+    val banded = (0 until 3).map { g =>
+      graft.pipeline.Dedup.withMinhashBands(
+        d.where(col("doc_id") % 3 === g), "text", "doc_id",
+        numHashes = 32, bands = 8, shingleLen = 5, portable = true)
+    }.reduce(_ unionAll _)
+    val inc = graft.pipeline.Dedup.candidatesFromBanded(banded)
+      .collect().map(_.toString).sorted
+    assert(one.nonEmpty && one.sameElements(inc))
+  }
+
+  test("bpeEncode with an empty merge list equals the char-split " +
+       "baseline (zero-merge training degrades, not crashes)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq("a b c d", "e f", "a a").toDF("text")
+    val r = graft.pipeline.Tokenizer.bpeEncode(docs, "text", Nil)
+      .collect()(0)
+    assert(r.getAs[Long]("encoded_tokens") ==
+           r.getAs[Long]("base_tokens"))
+    assert(r.getAs[Long]("merged_occurrences") == 0L)
+    assert(r.getAs[Long]("compression_ppm") == 1000000L)
+  }
+}
