@@ -3440,6 +3440,62 @@ object SparkEntry {
         .orderBy("rect")
     }),
 
+    "q_2d_deploy" -> ((s, dir) => {
+      // pinned-MODEL deployment twin for the 2D family (the
+      // q_score_deploy discipline): the rectangle LAYOUT is the
+      // deployed model — a constant 6-rect tiling of the 4x4
+      // (price, qty) grid, shipped as a broadcast model TABLE the
+      // way a solved layout ships to production — and every
+      // per-rectangle statistic (count / event / nonevent / WoE /
+      // IV term, `binning_2d.py:813-945` semantics) is re-derived
+      // from RAW rows. No solver literals: oracle-exact at ANY SF,
+      // giving the sf-pinned 2D family its scale-verified row.
+      // Plan: rows pre-aggregate to <= 16 grid cells BEFORE the
+      // layout join, so the rect join touches 16 rows, not the scan.
+      val li = liTarget(T(s, dir, "lineitem"))
+      import s.implicits._
+      val rects = Seq(
+        ("x0-2:y0-2", 0, 2, 0, 2), ("x0-2:y2-4", 0, 2, 2, 4),
+        ("x2-4:y0-1", 2, 4, 0, 1), ("x2-3:y1-4", 2, 3, 1, 4),
+        ("x3-4:y1-3", 3, 4, 1, 3), ("x3-4:y3-4", 3, 4, 3, 4))
+        .toDF("rect", "rx1", "rx2", "ry1", "ry2")
+      val xb = when(col("l_extendedprice") < liSplits(0), 0)
+        .when(col("l_extendedprice") < liSplits(1), 1)
+        .when(col("l_extendedprice") < liSplits(2), 2).otherwise(3)
+      val yb = when(col("l_quantity") < qtySplits(0), 0)
+        .when(col("l_quantity") < qtySplits(1), 1)
+        .when(col("l_quantity") < qtySplits(2), 2).otherwise(3)
+      val cells = li.groupBy(xb.as("xb"), yb.as("yb"))
+        .agg(count(lit(1)).as("cn"),
+             sum(col("y").cast("long")).as("cev"))
+      val byRect = cells
+        .join(broadcast(rects),
+              col("xb") >= col("rx1") && col("xb") < col("rx2") &&
+              col("yb") >= col("ry1") && col("yb") < col("ry2"))
+        .groupBy("rect")
+        .agg(sum("cn").as("n"), sum("cev").as("event"))
+        .withColumn("nonevent", col("n") - col("event"))
+      // totals via a bounded window over the <= 6-row rect table —
+      // ONE lineitem scan (a crossJoin-with-agg branch would
+      // re-derive the whole subtree: a second 100-TB scan)
+      val p = col("event").cast("double") / col("tev")
+      val q = col("nonevent").cast("double") / col("tne")
+      val ok = col("event") >= 1 && col("nonevent") >= 1
+      byRect
+        .withColumn("tev", sum("event")
+                      .over(graft.core.Windows.boundedAll)
+                      .cast("double"))
+        .withColumn("tne", sum("nonevent")
+                      .over(graft.core.Windows.boundedAll)
+                      .cast("double"))
+        .select(col("rect"), col("n"), col("event"), col("nonevent"),
+                round(when(ok, log(q / p)).otherwise(0.0), 6)
+                  .as("woe6"),
+                round(when(ok, (p - q) * log(p / q)).otherwise(0.0), 6)
+                  .as("iv6"))
+        .orderBy("rect")
+    }),
+
     "q_stability_cont" -> ((s, dir) => {
       // continuous-target scorecard monitoring (`monitoring.py:456,
       // 531-575` regression branch): score bins fit on the expected
@@ -3645,6 +3701,62 @@ object SparkEntry {
          pc.last.toString, pinVec(Array(target)).head.toString)
       }.toDF("n_changes", "probability", "cf_bins", "coefs",
              "intercept", "target")
+    }),
+
+    "q_cf_verify" -> ((s, dir) => {
+      // counterfactual DEPLOYMENT verification (the q_score_deploy
+      // discipline applied to q_counterfactual's solve): the
+      // scorecard (pinned user splits + the gate-solved coefficients/
+      // intercept), the found counterfactual (bins 3,0 vs base 0,0)
+      // and its target are DEPLOYED CONSTANTS; the verification —
+      // WoEs re-derived from raw data, the cf's probability, its
+      // margin over the target and the crosses/changed-count/bin-
+      // distance readouts — replays in SQL at ANY SF (+,-,*,/ plus
+      // one guarded ln/exp pair, outputs rounded 6dp with ~1e-3
+      // margins). At the gate SF the cf crosses its target; at other
+      // SFs the row measures whether the deployed artifact STILL
+      // crosses on that data — the production drift question.
+      val li = liTarget(T(s, dir, "lineitem"))
+      val bep = when(col("l_extendedprice") < liSplits(0), 0)
+        .when(col("l_extendedprice") < liSplits(1), 1)
+        .when(col("l_extendedprice") < liSplits(2), 2).otherwise(3)
+      val bq = when(col("l_quantity") < qtySplits(0), 0)
+        .when(col("l_quantity") < qtySplits(1), 1)
+        .when(col("l_quantity") < qtySplits(2), 2).otherwise(3)
+      // ONE distributed aggregate (<= 16 grid cells, the bounded
+      // driver-solve boundary) + constant driver arithmetic — a
+      // tot/wep/wq branch structure would re-derive the scan subtree
+      // three times (three 100-TB scans); from exact cell LONGs,
+      // every derived double is order-free and engine-identical
+      val cells = li.groupBy(bep.as("bep"), bq.as("bq"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("y").cast("long")).as("ev")).collect()
+      val te = cells.map(_.getLong(3)).sum.toDouble
+      val tne = (cells.map(_.getLong(2)).sum -
+                 cells.map(_.getLong(3)).sum).toDouble
+      def woe(sel: org.apache.spark.sql.Row => Boolean): Double = {
+        val n = cells.filter(sel).map(_.getLong(2)).sum
+        val ev = cells.filter(sel).map(_.getLong(3)).sum
+        math.log((((n - ev).toDouble) / tne) / (ev.toDouble / te))
+      }
+      val wEp3 = woe(_.getInt(0) == 3); val wEp0 = woe(_.getInt(0) == 0)
+      val wQ0 = woe(_.getInt(1) == 0)
+      val (cP, cQ, icept, target) =
+        (-0.99899178, -0.99585545, -0.68969916, 0.33759203)
+      def proba(wEp: Double) =
+        1.0 / (1.0 + math.exp(-(cP * wEp + cQ * wQ0 + icept)))
+      val (pCf, pBase) = (proba(wEp3), proba(wEp0))
+      import s.implicits._
+      Seq(("0,0", "3,0", 1L, 3L)).toDF(
+          "base_bins", "cf_bins", "n_changes", "dist_bins")
+        .withColumn("woe_cf_price6", round(lit(wEp3), 6))
+        .withColumn("woe_cf_qty6", round(lit(wQ0), 6))
+        .withColumn("proba_base6", round(lit(pBase), 6))
+        .withColumn("proba_cf6", round(lit(pCf), 6))
+        .withColumn("delta_proba6", round(lit(pCf - pBase), 6))
+        .withColumn("margin6", round(lit(pCf - target), 6))
+        .withColumn("crosses_target",
+                    lit(if (pCf >= target) 1L else 0L))
     }),
 
     "q_cont_process" -> ((s, dir) => {
@@ -5967,6 +6079,55 @@ object SparkEntry {
     // pinned counterfactual: WoEs re-derived from data at the pinned
     // user splits; solved coefficients/intercept and the found
     // counterfactual's bins inlined as literals
+    // deployed-constants verification replay — valid at ANY SF (the
+    // model/cf/target are constants; only WoEs come from data)
+    "q_cf_verify" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS bep,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS bq,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         tot AS (SELECT sum(y)::DOUBLE te,
+                        (count(*) - sum(y))::DOUBLE tne FROM b),
+         wep AS (
+           SELECT bep AS bin,
+                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
+           FROM b, tot GROUP BY bep, te, tne),
+         wq AS (
+           SELECT bq AS bin,
+                  ln(((count(*) - sum(y)) / tne) / (sum(y) / te)) AS woe
+           FROM b, tot GROUP BY bq, te, tne),
+         w AS (
+           SELECT (SELECT woe FROM wep WHERE bin = 3) AS w_ep3,
+                  (SELECT woe FROM wep WHERE bin = 0) AS w_ep0,
+                  (SELECT woe FROM wq WHERE bin = 0) AS w_q0),
+         p AS (
+           SELECT w_ep3, w_q0,
+                  1 / (1 + exp(-((-0.99899178) * w_ep3
+                               + (-0.99585545) * w_q0
+                               + (-0.68969916)))) AS p_cf,
+                  1 / (1 + exp(-((-0.99899178) * w_ep0
+                               + (-0.99585545) * w_q0
+                               + (-0.68969916)))) AS p_base
+           FROM w)
+         SELECT '0,0' AS base_bins, '3,0' AS cf_bins,
+                1::BIGINT AS n_changes, 3::BIGINT AS dist_bins,
+                round(w_ep3, 6) AS woe_cf_price6,
+                round(w_q0, 6) AS woe_cf_qty6,
+                round(p_base, 6) AS proba_base6,
+                round(p_cf, 6) AS proba_cf6,
+                round(p_cf - p_base, 6) AS delta_proba6,
+                round(p_cf - 0.33759203, 6) AS margin6,
+                CASE WHEN p_cf >= 0.33759203 THEN 1 ELSE 0
+                  END::BIGINT AS crosses_target
+         FROM p""",
+
     "q_counterfactual" ->
       """WITH b AS (
            SELECT CASE WHEN l_extendedprice < 25000 THEN 0
@@ -6302,6 +6463,53 @@ object SparkEntry {
     // splitting, so the unconstrained optimum is the finest partition),
     // which the rect key concat replays — a merged layout would change
     // the expected keys and hash-fail
+    // pinned LAYOUT (constants in both engines), stats re-derived
+    // from raw rows — replays at ANY SF, unlike the solver-literal
+    // q_2d_fit pin
+    "q_2d_deploy" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS xb,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS yb,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         cells AS (
+           SELECT xb, yb, count(*) AS cn, sum(y) AS cev
+           FROM b GROUP BY 1, 2),
+         r(rect, rx1, rx2, ry1, ry2) AS (
+           VALUES ('x0-2:y0-2', 0, 2, 0, 2),
+                  ('x0-2:y2-4', 0, 2, 2, 4),
+                  ('x2-4:y0-1', 2, 4, 0, 1),
+                  ('x2-3:y1-4', 2, 3, 1, 4),
+                  ('x3-4:y1-3', 3, 4, 1, 3),
+                  ('x3-4:y3-4', 3, 4, 3, 4)),
+         agg AS (
+           SELECT rect, sum(cn)::BIGINT AS n,
+                  sum(cev)::BIGINT AS event,
+                  (sum(cn) - sum(cev))::BIGINT AS nonevent
+           FROM cells JOIN r
+             ON xb >= rx1 AND xb < rx2 AND yb >= ry1 AND yb < ry2
+           GROUP BY 1),
+         t AS (SELECT sum(event) AS tev, sum(nonevent) AS tne
+               FROM agg)
+         SELECT rect, n, event, nonevent,
+                round(CASE WHEN event >= 1 AND nonevent >= 1
+                       THEN ln((nonevent::DOUBLE / tne) /
+                               (event::DOUBLE / tev)) ELSE 0.0 END, 6)
+                  AS woe6,
+                round(CASE WHEN event >= 1 AND nonevent >= 1
+                       THEN (event::DOUBLE / tev -
+                             nonevent::DOUBLE / tne) *
+                            ln((event::DOUBLE / tev) /
+                               (nonevent::DOUBLE / tne))
+                       ELSE 0.0 END, 6) AS iv6
+         FROM agg, t ORDER BY rect""",
+
     "q_2d_fit" ->
       """WITH b AS (
            SELECT CASE WHEN l_extendedprice < 6372.067953 THEN 0

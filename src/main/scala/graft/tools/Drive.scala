@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -10,31 +9,12 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // plan audit: q_linreg_weighted's weighted-moment aggregate —
-    // expect ONE hash-agg pair (partial/final) over the rollup, the
-    // orders priority column joined, pruned ReadSchema on both scans
-    val dir = "/root/testdata/sf0.01"
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val w = when(col("o_orderpriority") === "1-URGENT", 3L)
-      .when(col("o_orderpriority") === "2-HIGH", 2L)
-      .otherwise(1L)
-    val po = li
-      .where(col("l_quantity").isNotNull &&
-             col("l_extendedprice").isNotNull)
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("cnt"),
-           sum(col("l_quantity")).as("sq"),
-           sum(round(col("l_extendedprice") * 100).cast("long"))
-             .as("cents"))
-      .join(spark.read.parquet(s"$dir/orders.parquet")
-              .select(col("o_orderkey"), w.as("w")),
-            col("l_orderkey") === col("o_orderkey"))
-    val spec = graft.core.ExactFit.OLSSpec(
-      Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
-    val aggs = graft.core.ExactFit.olsMomentAggsWeighted(
-      spec, Seq(col("cnt"), col("sq")), col("cents"), col("w"))
-    val plan = po.agg(aggs.head, aggs.tail: _*)
-    plan.explain("formatted")
+    // plan audit for the two deployment twins: expect a pruned
+    // 3-column lineitem scan, partial+final cell aggregate (ONE
+    // exchange on <=16 grid keys), and the 6-row layout joined via
+    // BroadcastNestedLoopJoin (range predicate, tiny build side)
+    val q = graft.SparkEntry.queries("q_2d_deploy")
+    q(spark, "/root/testdata/sf0.01").explain("formatted")
     println("[info] DRIVE OK")
     spark.stop()
   }
