@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,8 +47,56 @@ object Tokenizer {
     * solvers); everything else stays distributed on the vocabulary
     * table, persisted between rounds with the previous round's
     * lineage cut. */
+  /** One space-padded replace pass of a merge over a symbol column.
+    * The pass consumes the shared boundary space, so back-to-back
+    * even repeats merge once per PASS (the documented `a a a a`
+    * behavior of the single-pass default). */
+  private def mergeOnce(syms: Column, p1: String, p2: String): Column =
+    trim(replace(concat(lit(" "), syms, lit(" ")),
+                 lit(s" $p1 $p2 "), lit(s" $p1$p2 ")))
+
+  /** Replace-until-FIXPOINT merge application on the bounded vocab
+    * table (`syms`, `cnt`): repeats [[mergeOnce]] until no row
+    * changes — `a a a a` -> `aa aa` in one round, the classical
+    * non-overlapping left-to-right BPE. Each inner step is one small
+    * job over the vocabulary (never the corpus); the step count is
+    * bounded by the longest pair-run in any word. */
+  private def mergeToFixpoint(vocab: DataFrame, p1: String,
+                              p2: String): DataFrame = {
+    var cur = vocab // the caller's frame — never unpersisted here
+    var own = false // whether cur is an intermediate this loop owns
+    var done = false
+    while (!done) {
+      val stepped = cur
+        .select(col("syms").as("__prev"),
+                mergeOnce(col("syms"), p1, p2).as("syms"),
+                col("cnt"))
+        .persist()
+      done = stepped.where(col("syms") =!= col("__prev")).isEmpty
+      if (!done) {
+        val next = stepped.select("syms", "cnt").persist()
+        next.count() // materialize before cutting lineage
+        if (own) cur.unpersist()
+        cur = next; own = true
+      }
+      stepped.unpersist()
+    }
+    if (!own) { // zero-change edge: hand back an owned copy anyway
+      cur = cur.select("syms", "cnt").persist(); cur.count()
+    }
+    cur
+  }
+
   def bpeMerges(docs: DataFrame, textCol: String,
-                rounds: Int): DataFrame = {
+                rounds: Int): DataFrame =
+    bpeMerges(docs, textCol, rounds, exactMerge = false)
+
+  /** `exactMerge = true` switches every round's replace to the
+    * fixpoint variant (see [[applyMerge]]); the DEFAULT stays the
+    * single-pass replace for oracle continuity with the q_bpe_merges
+    * contract. */
+  def bpeMerges(docs: DataFrame, textCol: String,
+                rounds: Int, exactMerge: Boolean): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
             "rounds must be in [1, 16] — each round is a driver step")
     val spark = docs.sparkSession
@@ -83,12 +131,12 @@ object Tokenizer {
         val (p1, p2, f) = (best(0).getString(0), best(0).getString(1),
                            best(0).getLong(2))
         val merged = p1 + p2
-        val next = vocab
-          .select(trim(replace(concat(lit(" "), col("syms"), lit(" ")),
-                               lit(s" $p1 $p2 "), lit(s" $merged ")))
-                    .as("syms"),
-                  col("cnt"))
-          .persist()
+        val next =
+          if (exactMerge) mergeToFixpoint(vocab, p1, p2)
+          else vocab
+            .select(mergeOnce(col("syms"), p1, p2).as("syms"),
+                    col("cnt"))
+            .persist()
         val tokensAfter = next
           .agg(sum(col("cnt") * size(split(col("syms"), " "))))
           .head.getLong(0)
@@ -131,7 +179,15 @@ object Tokenizer {
     *  - `compression_ppm` = 1e6 * encoded div base (truncated ppm),
     *  - `tokens_per_doc_milli` = 1e3 * encoded div n_docs. */
   def bpeEncode(docs: DataFrame, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(docs, textCol, merges, exactMerge = false)
+
+  /** `exactMerge = true` applies each merge to its per-word fixpoint
+    * (pair with [[bpeMerges]]' exactMerge-trained chain); the
+    * default single-pass replace matches the q_bpe_encode oracle. */
+  def bpeEncode(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)],
+                exactMerge: Boolean): DataFrame = {
     // an EMPTY merge list is valid (a corpus of single-character
     // words trains zero merges): the encode is then exactly the
     // char-split baseline
@@ -144,12 +200,19 @@ object Tokenizer {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
               col("cnt"))
-    val enc = merges.foldLeft(vocab0) { case (v, (p1, p2)) =>
-      v.select(trim(replace(concat(lit(" "), col("syms"), lit(" ")),
-                            lit(s" $p1 $p2 "), lit(s" $p1$p2 ")))
-                 .as("syms"),
-               col("cnt"))
-    }.persist()
+    val enc = (
+      if (exactMerge)
+        merges.foldLeft(vocab0) { case (v, (p1, p2)) =>
+          val n = mergeToFixpoint(v, p1, p2)
+          if (v ne vocab0) v.unpersist() // n is materialized already
+          n
+        }
+      else
+        merges.foldLeft(vocab0) { case (v, (p1, p2)) =>
+          v.select(mergeOnce(col("syms"), p1, p2).as("syms"),
+                   col("cnt"))
+        }
+    ).persist()
     val agg = enc.agg(
       sum(col("cnt")).as("total_words"),
       sum(col("cnt") * length(replace(col("syms"), lit(" "), lit(""))))

@@ -129,6 +129,34 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(one.nonEmpty && one.sameElements(inc))
   }
 
+  test("exactMerge golden: 'a a a a' merges FULLY in one round " +
+       "('aa aa' — replace-until-fixpoint), where the single-pass " +
+       "default leaves 'aa a a'; encode agrees") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq("aaaa").toDF("text")
+    val exact = graft.pipeline.Tokenizer
+      .bpeMerges(docs, "text", rounds = 1, exactMerge = true)
+      .collect()(0)
+    assert(exact.getAs[String]("pair_left") == "a" &&
+           exact.getAs[String]("pair_right") == "a")
+    assert(exact.getAs[Long]("corpus_tokens_after") == 2L) // aa aa
+    val single = graft.pipeline.Tokenizer
+      .bpeMerges(docs, "text", rounds = 1).collect()(0)
+    assert(single.getAs[Long]("corpus_tokens_after") == 3L) // aa a a
+    // encode with the exact chain: 2 tokens, both merged symbols
+    val enc = graft.pipeline.Tokenizer
+      .bpeEncode(docs, "text", Seq(("a", "a")), exactMerge = true)
+      .collect()(0)
+    assert(enc.getAs[Long]("encoded_tokens") == 2L)
+    assert(enc.getAs[Long]("merged_occurrences") == 2L)
+    // an odd run still leaves the tail singleton: 'aaaaa' -> 'aa aa a'
+    val odd = graft.pipeline.Tokenizer
+      .bpeEncode(Seq("aaaaa").toDF("text"), "text", Seq(("a", "a")),
+                 exactMerge = true).collect()(0)
+    assert(odd.getAs[Long]("encoded_tokens") == 3L)
+  }
+
   test("bpeEncode with an empty merge list equals the char-split " +
        "baseline (zero-merge training degrades, not crashes)") {
     val spark = TestSpark.spark
