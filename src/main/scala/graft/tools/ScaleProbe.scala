@@ -997,6 +997,85 @@ object ScaleProbe {
         graft.SparkEntry.deleteRecursively(stage)
       }
     }
+    section("round11") {
+      // state-store-resident attribution accumulator (the recovery
+      // shape behind Round11OpsSpec's kill+restart test): per-shard
+      // transition EXTRACTION runs the batch operator (scales with
+      // events — the heavy stage), and the (from, to) counts then
+      // accumulate in a streaming agg whose state lives in the store
+      // (bounded by states² — what survives driver loss at cluster
+      // scale). Both providers must drain identical counts.
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        .where(col("ts").isNotNull && col("event_type").isNotNull &&
+               col("user_id").isNotNull)
+        .select("event_id", "user_id", "event_type", "ts")
+      Seq(1, 16).foreach { mult =>
+        val ev2 = if (mult == 1) evRaw
+          else evRaw.crossJoin(spark.range(mult.toLong)
+            .select(col("id").as("__rep")))
+            .withColumn("user_id",
+              col("user_id") * mult + col("__rep")).drop("__rep")
+        val n = ev2.count()
+        val key = concat(col("user_id").cast("string"), lit("_"),
+                         to_date(col("ts")).cast("string"))
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft_r11_stage").toString
+        val tExtract = timed {
+          (0 until 3).foreach { g =>
+            graft.operators.MarkovAttribution.journeyTransitions(
+              ev2.where(pmod(col("user_id"), lit(3)) === g), key,
+              "event_type", "ts", "event_id", "purchase")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stage/b$g")
+          }
+        }
+        graft.SparkEntry.stampStageMtimes(stage, 3)
+        var finals = List.empty[Map[(String, String), Long]]
+        Seq(("hdfs", Option.empty[String]),
+            ("rocksdb", Some(graft.streaming.StreamingSessionize
+                               .RocksDBProvider))).foreach {
+          case (tag, prov) =>
+            val ckpt = java.nio.file.Files
+              .createTempDirectory(s"graft_r11_ckpt_$tag").toString
+            val acc = scala.collection.mutable
+              .Map.empty[(String, String), Long]
+            val wall = timed {
+              def start() = spark.readStream
+                .schema("`from` STRING, `to` STRING, n BIGINT")
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true").parquet(stage)
+                .groupBy("from", "to").agg(sum("n").as("total"))
+                .writeStream.outputMode("update")
+                .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                                 _: Long) =>
+                  b.collect().foreach { r =>
+                    acc((r.getString(0), r.getString(1))) =
+                      r.getLong(2)
+                  }
+                  ()
+                }
+                .option("checkpointLocation", ckpt).start()
+              val q = prov match {
+                case Some(p) => graft.streaming.StreamingSessionize
+                  .withStateStoreProvider(spark, p)(start())
+                case None => start()
+              }
+              try q.processAllAvailable() finally q.stop()
+            }
+            finals ::= acc.toMap
+            graft.SparkEntry.deleteRecursively(ckpt)
+            println(f"PROBE round11-attrib mult=$mult%2d " +
+              f"provider=$tag%-8s events=$n%9d " +
+              f"extract=$tExtract%6.2f s stream=$wall%6.2f s " +
+              f"transitions=${acc.values.sum}%9d " +
+              f"state_keys=${acc.size}%3d")
+        }
+        assert(finals.distinct.size == 1,
+               s"providers diverge at mult=$mult")
+        graft.SparkEntry.deleteRecursively(stage)
+        spark.catalog.clearCache()
+      }
+    }
     section("hh1m") {
       // 1M-KEY state probe for the sketch-in-state aggregation shape
       // (q_stream_hh's FreqAgg in complete-mode groupBy state): the

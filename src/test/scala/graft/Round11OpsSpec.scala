@@ -157,6 +157,75 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(odd.getAs[Long]("encoded_tokens") == 3L)
   }
 
+  test("state-store-resident transition counts survive a kill + " +
+       "restart: RocksDB-backed streaming aggregation keyed by " +
+       "(from, to) recovers from its checkpoint and finishes " +
+       "IDENTICAL to the batch operator") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-recov").toFile.getAbsolutePath
+    val stage = s"$base/stage"; val ckpt = s"$base/ckpt"
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .where(col("ts").isNotNull && col("event_type").isNotNull &&
+             col("user_id").isNotNull)
+    val key = concat(col("user_id").cast("string"), lit("_"),
+                     to_date(col("ts")).cast("string"))
+    def trans(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.MarkovAttribution.journeyTransitions(
+        df, key, "event_type", "ts", "event_id", "purchase")
+    val truth = trans(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // the transition-count state lives in the STATE STORE (a
+    // streaming agg keyed by (from, to) — bounded by states², the
+    // shape that survives driver loss), not in a driver map
+    val acc = scala.collection.mutable
+      .Map.empty[(String, String), Long]
+    def runOnce(): Unit = {
+      val staged = spark.readStream
+        .schema("`from` STRING, `to` STRING, n BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(stage)
+      val q = staged.groupBy("from", "to")
+        .agg(sum("n").as("total"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                         _: Long) =>
+          b.collect().foreach { r =>
+            acc((r.getString(0), r.getString(1))) = r.getLong(2)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val rocks = graft.streaming.StreamingSessionize.RocksDBProvider
+    // phase 1: two user-shards staged, then the query is STOPPED
+    trans(ev.where(pmod(col("user_id"), lit(3)) === 0))
+      .coalesce(1).write.parquet(s"$stage/b0")
+    trans(ev.where(pmod(col("user_id"), lit(3)) === 1))
+      .coalesce(1).write.parquet(s"$stage/b1")
+    graft.streaming.StreamingSessionize
+      .withStateStoreProvider(spark, rocks) { runOnce() }
+    val partial = acc.toMap
+    assert(partial.values.sum < truth.values.sum) // genuinely partial
+    // phase 2: third shard arrives AFTER the kill; a fresh query on
+    // the SAME checkpoint must recover the RocksDB state and finish
+    trans(ev.where(pmod(col("user_id"), lit(3)) === 2))
+      .coalesce(1).write.parquet(s"$stage/b2")
+    graft.streaming.StreamingSessionize
+      .withStateStoreProvider(spark, rocks) { runOnce() }
+    assert(acc.toMap == truth)
+    // and the recovered counts solve to the identical attribution
+    val channels = Seq("click", "error", "signup", "view")
+    val a = graft.operators.MarkovAttribution
+      .fromTransitionCounts(spark, acc.toMap, channels).collect()
+    val b = graft.operators.MarkovAttribution
+      .fromTransitionCounts(spark, truth, channels).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("bpeEncode with an empty merge list equals the char-split " +
        "baseline (zero-merge training degrades, not crashes)") {
     val spark = TestSpark.spark
