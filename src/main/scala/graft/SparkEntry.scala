@@ -3372,6 +3372,37 @@ object SparkEntry {
         .withColumn("slope2", round(lit(f.slope(2) * 10.0 / 100.0), 6))
     }),
 
+    "q_pw_weighted" -> ((s, dir) => {
+      // sample-WEIGHTED monotone piecewise fit — the binning family's
+      // sample_weight surface on the ExactFit scale path: the same
+      // pinned-knot ascending QP as q_pw_monotone, with every row
+      // counted priority-many times (urgent 3x, high 2x). Integer
+      // weights keep all moments exact DECIMAL sums, so the weighted
+      // active-set winner and coefficients replay bit-identically in
+      // SQL at any SF. The weight rides in on a broadcast-at-this-SF
+      // / co-partitioned-at-scale orderkey join.
+      val li = T(s, dir, "lineitem")
+      val w = when(col("o_orderpriority") === "1-URGENT", 3L)
+        .when(col("o_orderpriority") === "2-HIGH", 2L)
+        .otherwise(1L)
+      val j = li.join(T(s, dir, "orders")
+                        .select(col("o_orderkey"), w.as("w")),
+                      col("l_orderkey") === col("o_orderkey"))
+      val f = graft.core.ExactFit.fitWeighted(
+        j, col("l_quantity"), col("l_extendedprice"), col("w"),
+        pwMonoSpec)
+      import s.implicits._
+      Seq(f.values("n").toLong).toDF("w_total")
+        .withColumn("active_mask", lit(f.mask.toLong))
+        .withColumn("avg_pred", round(lit(f.values("w_avg")), 4))
+        .withColumn("avg_actual", round(lit(f.values("w_avgy")), 4))
+        .withColumn("v1", round(lit(f.knotValue(1)), 4))
+        .withColumn("v2", round(lit(f.knotValue(2)), 4))
+        .withColumn("slope0", round(lit(f.slope(0) * 10.0 / 100.0), 6))
+        .withColumn("slope1", round(lit(f.slope(1) * 10.0 / 100.0), 6))
+        .withColumn("slope2", round(lit(f.slope(2) * 10.0 / 100.0), 6))
+    }),
+
     "q_gamma_outlier_fit" -> ((s, dir) => {
       // gamma-regularized fit with pre-fit outlier filtering. De-pinned
       // (r9): the detector's med/MAD are the EXACT lower weighted
@@ -6433,6 +6464,25 @@ object SparkEntry {
                                    "l_quantity", "l_extendedprice",
                                    pwWhereQty)}
          SELECT m.n::BIGINT AS n,
+                round(kf.w_avg, 4) AS avg_pred,
+                round(kf.w_avgy, 4) AS avg_actual,
+                round(kf.w_v1, 4) AS v1, round(kf.w_v2, 4) AS v2,
+                round((kf.w_s0 * 10.0) / 100.0, 6) AS slope0,
+                round((kf.w_s1 * 10.0) / 100.0, 6) AS slope1,
+                round((kf.w_s2 * 10.0) / 100.0, 6) AS slope2
+         FROM kf, m"""
+    },
+
+    "q_pw_weighted" -> {
+      import graft.core.ExactFit
+      s"""WITH ${ExactFit.coefCtesWeighted(pwMonoSpec,
+           "lineitem JOIN orders ON l_orderkey = o_orderkey",
+           "l_quantity", "l_extendedprice",
+           "CASE WHEN o_orderpriority = '1-URGENT' THEN 3 " +
+             "WHEN o_orderpriority = '2-HIGH' THEN 2 ELSE 1 END",
+           pwWhereQty)}
+         SELECT m.n::BIGINT AS w_total,
+                kf.w_m::BIGINT AS active_mask,
                 round(kf.w_avg, 4) AS avg_pred,
                 round(kf.w_avgy, 4) AS avg_actual,
                 round(kf.w_v1, 4) AS v1, round(kf.w_v2, 4) AS v2,

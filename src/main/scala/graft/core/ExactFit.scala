@@ -221,6 +221,92 @@ object ExactFit {
         yield dec(len(i) * len(j)).as(s"s${i}_$j"))
   }
 
+  /** Sample-WEIGHTED piecewise moments (the binning family's
+    * sample_weight, `model_data.py:75-90`): every moment multiplied
+    * by an integer weight, `n` = the weight total — exact DECIMAL
+    * sums, so the weighted piecewise fit keeps full bit-parity. */
+  def momentAggsWeighted(spec: PWSpec, xCol: Column, yCol: Column,
+                         wCol: Column): Seq[Column] = {
+    val x = round(xCol * spec.xScale).cast("long")
+    val y = round(yCol * spec.yScale).cast("long")
+    val w = round(wCol).cast("long")
+    val t = spec.tInt
+    def len(m: Int): Column =
+      if (m == 0) least(x, flit(t(0)))
+      else if (m < t.length)
+        greatest(flit(0L),
+                 least(x, flit(t(m))) - flit(t(m - 1)))
+      else greatest(flit(0L), x - flit(t(t.length - 1)))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val k = spec.nSeg
+    Seq(dec(w).as("n"), dec(w * y).as("sy")) ++
+      (0 until k).map(i => dec(w * len(i)).as(s"s$i")) ++
+      (0 until k).map(i => dec(w * len(i) * y).as(s"sy$i")) ++
+      (for (i <- 0 until k; j <- i until k)
+        yield dec(w * len(i) * len(j)).as(s"s${i}_$j"))
+  }
+
+  /** Weighted-moment oracle SQL (HUGEINT rendering of
+    * [[momentAggsWeighted]]). */
+  def momentSqlWeighted(spec: PWSpec, table: String, xSql: String,
+                        ySql: String, wSql: String,
+                        where: String = ""): String = {
+    val x = s"CAST(round(($xSql) * ${spec.xScale}) AS BIGINT)"
+    val y = s"CAST(round(($ySql) * ${spec.yScale}) AS BIGINT)"
+    val w = s"CAST(round($wSql) AS BIGINT)"
+    val t = spec.tInt
+    def len(m: Int): String =
+      if (m == 0) s"least($x, ${t(0)})"
+      else if (m < t.length)
+        s"greatest(0, least($x, ${t(m)}) - ${t(m - 1)})"
+      else s"greatest(0, $x - ${t(t.length - 1)})"
+    def dec(e: String): String = s"sum(CAST($e AS HUGEINT))::DOUBLE"
+    val k = spec.nSeg
+    val cols = Seq(s"${dec(w)} AS n", s"${dec(s"$w * $y")} AS sy") ++
+      (0 until k).map(i => s"${dec(s"$w * ${len(i)}")} AS s$i") ++
+      (0 until k).map(i =>
+        s"${dec(s"$w * ${len(i)} * $y")} AS sy$i") ++
+      (for (i <- 0 until k; j <- i until k)
+        yield s"${dec(s"$w * ${len(i)} * ${len(j)}")} AS s${i}_$j")
+    s"SELECT ${cols.mkString(",\n                ")}\n" +
+      s"         FROM $table$where"
+  }
+
+  /** Weighted fit: one weighted moment aggregate + the shared
+    * program (trend/QP supported — only the moments change). */
+  def fitWeighted(df: DataFrame, xCol: Column, yCol: Column,
+                  wCol: Column, spec: PWSpec): Solved = {
+    val clean = df.where(xCol.isNotNull && yCol.isNotNull &&
+                         wCol.isNotNull)
+    val aggs = momentAggsWeighted(spec, xCol, yCol, wCol)
+    val row: Row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val names = momentNames(spec)
+    val env = Env(collection.mutable.Map.empty,
+                  collection.mutable.Map.empty)
+    names.zipWithIndex.foreach { case (nm, i) =>
+      env.d(nm) = row.get(i) match {
+        case l: java.lang.Long            => l.toDouble
+        case d: java.math.BigDecimal      => d.doubleValue
+        case d: scala.math.BigDecimal     => d.doubleValue
+        case null                         => 0.0 // empty input
+        case x => throw new IllegalStateException(s"$nm: $x")
+      }
+    }
+    program(spec).foreach {
+      case DefD(n, e) => env.d(n) = ev(e, env)
+      case DefB(n, b) => env.b(n) = bv(b, env)
+    }
+    Solved(spec, env.d.toMap)
+  }
+
+  /** Weighted oracle CTEs `m` + `kf`. */
+  def coefCtesWeighted(spec: PWSpec, table: String, xSql: String,
+                       ySql: String, wSql: String,
+                       where: String = ""): String =
+    s"""m AS (
+         ${momentSqlWeighted(spec, table, xSql, ySql, wSql, where)}),
+       ${layeredCtes(program(spec), "m", "kl", "kf")}"""
+
   /** DuckDB-side moment CTE body — the same exact sums (HUGEINT),
     * cast to DOUBLE exactly like the driver's BigDecimal→double. */
   def momentSql(spec: PWSpec, table: String, xSql: String,

@@ -85,6 +85,31 @@ class Round11OpsSpec extends AnyFunSuite {
            java.lang.Double.doubleToLongBits(fs.slope(0)))
   }
 
+  test("weighted piecewise fit == plain fit on the row-replicated " +
+       "frame, bit-identically (monotone QP included)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = for (i <- 1 to 60) yield
+      (i.toLong, i.toDouble / 2.0,
+       math.min(i, 20).toDouble + 0.25 * math.max(0, i - 40) +
+         (i % 5), (i % 3 + 1).toLong)
+    val wdf = base.toDF("id", "x", "y", "w")
+    val rep = base.flatMap { case (id, x, y, w) =>
+      Seq.fill(w.toInt)((id, x, y)) }.toDF("id", "x", "y")
+    val spec = graft.core.ExactFit.PWSpec(
+      Array(10.0, 20.0), 2L, 4L, 16.0, Some("ascending"))
+    val fw = graft.core.ExactFit.fitWeighted(
+      wdf, col("x"), col("y"), col("w"), spec)
+    val fp = graft.core.ExactFit.fit(rep, col("x"), col("y"), spec)
+    assert(fw.mask == fp.mask)
+    assert(java.lang.Double.doubleToLongBits(fw.a) ==
+           java.lang.Double.doubleToLongBits(fp.a))
+    (0 until spec.nSeg).foreach { m =>
+      assert(java.lang.Double.doubleToLongBits(fw.slope(m)) ==
+             java.lang.Double.doubleToLongBits(fp.slope(m)))
+    }
+  }
+
   test("ridge shrinks the equilibrated slopes toward zero and " +
        "lambda=0 reproduces the plain solve exactly") {
     val spark = TestSpark.spark
