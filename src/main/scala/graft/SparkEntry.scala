@@ -192,6 +192,58 @@ object SparkEntry {
     Array(25000.0, 50000.0, 75000.0), 100L, 1L, 8388608.0, None)
   private val pwWhereQty =
     " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+
+  /** The deployed 2D model's grid (q_2d_deploy + its streaming twin):
+    * 4x4 CASE bins over (price, qty) at the pinned user splits. */
+  private def grid2dXb: Column =
+    when(col("l_extendedprice") < liSplits(0), 0)
+      .when(col("l_extendedprice") < liSplits(1), 1)
+      .when(col("l_extendedprice") < liSplits(2), 2).otherwise(3)
+  private def grid2dYb: Column =
+    when(col("l_quantity") < qtySplits(0), 0)
+      .when(col("l_quantity") < qtySplits(1), 1)
+      .when(col("l_quantity") < qtySplits(2), 2).otherwise(3)
+
+  /** Per-rectangle deployment stats over a `(xb, yb, cn, cev)` cell
+    * table — the shared back half of q_2d_deploy (distributed cells)
+    * and q_stream_2d (incrementally accumulated cells): broadcast
+    * layout join, per-rect tallies, WoE/IV via bounded-window totals
+    * (ONE pass over the <= 16-row cell table). */
+  private def rects2dDeploy(s: SparkSession,
+                            cells: DataFrame): DataFrame = {
+    import s.implicits._
+    val rects = Seq(
+      ("x0-2:y0-2", 0, 2, 0, 2), ("x0-2:y2-4", 0, 2, 2, 4),
+      ("x2-4:y0-1", 2, 4, 0, 1), ("x2-3:y1-4", 2, 3, 1, 4),
+      ("x3-4:y1-3", 3, 4, 1, 3), ("x3-4:y3-4", 3, 4, 3, 4))
+      .toDF("rect", "rx1", "rx2", "ry1", "ry2")
+    val byRect = cells
+      .join(broadcast(rects),
+            col("xb") >= col("rx1") && col("xb") < col("rx2") &&
+            col("yb") >= col("ry1") && col("yb") < col("ry2"))
+      .groupBy("rect")
+      .agg(sum("cn").as("n"), sum("cev").as("event"))
+      .withColumn("nonevent", col("n") - col("event"))
+    // totals via a bounded window over the <= 6-row rect table —
+    // ONE source scan (a crossJoin-with-agg branch would re-derive
+    // the whole subtree: a second 100-TB scan)
+    val p = col("event").cast("double") / col("tev")
+    val q = col("nonevent").cast("double") / col("tne")
+    val ok = col("event") >= 1 && col("nonevent") >= 1
+    byRect
+      .withColumn("tev", sum("event")
+                    .over(graft.core.Windows.boundedAll)
+                    .cast("double"))
+      .withColumn("tne", sum("nonevent")
+                    .over(graft.core.Windows.boundedAll)
+                    .cast("double"))
+      .select(col("rect"), col("n"), col("event"), col("nonevent"),
+              round(when(ok, log(q / p)).otherwise(0.0), 6)
+                .as("woe6"),
+              round(when(ok, (p - q) * log(p / q)).otherwise(0.0), 6)
+                .as("iv6"))
+      .orderBy("rect")
+  }
   private val pwWherePrice = " WHERE l_extendedprice IS NOT NULL"
 
   /** Attribution model config (round 10): the events table's
@@ -250,6 +302,54 @@ object SparkEntry {
          SELECT count(*) AS n_candidate_pairs,
                 count(DISTINCT id_a) AS n_left_docs
          FROM cand"""
+
+  // pinned LAYOUT (constants in both engines), stats re-derived from
+  // raw rows — replays at ANY SF; shared VERBATIM by q_2d_deploy and
+  // its incremental streaming twin q_stream_2d (cells are an
+  // additive monoid, stream == batch by construction)
+  private val deploy2dOracle: String =
+    """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
+                       WHEN l_extendedprice < 50000 THEN 1
+                       WHEN l_extendedprice < 75000 THEN 2
+                       ELSE 3 END AS xb,
+                  CASE WHEN l_quantity < 10 THEN 0
+                       WHEN l_quantity < 25 THEN 1
+                       WHEN l_quantity < 40 THEN 2
+                       ELSE 3 END AS yb,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         cells AS (
+           SELECT xb, yb, count(*) AS cn, sum(y) AS cev
+           FROM b GROUP BY 1, 2),
+         r(rect, rx1, rx2, ry1, ry2) AS (
+           VALUES ('x0-2:y0-2', 0, 2, 0, 2),
+                  ('x0-2:y2-4', 0, 2, 2, 4),
+                  ('x2-4:y0-1', 2, 4, 0, 1),
+                  ('x2-3:y1-4', 2, 3, 1, 4),
+                  ('x3-4:y1-3', 3, 4, 1, 3),
+                  ('x3-4:y3-4', 3, 4, 3, 4)),
+         agg AS (
+           SELECT rect, sum(cn)::BIGINT AS n,
+                  sum(cev)::BIGINT AS event,
+                  (sum(cn) - sum(cev))::BIGINT AS nonevent
+           FROM cells JOIN r
+             ON xb >= rx1 AND xb < rx2 AND yb >= ry1 AND yb < ry2
+           GROUP BY 1),
+         t AS (SELECT sum(event) AS tev, sum(nonevent) AS tne
+               FROM agg)
+         SELECT rect, n, event, nonevent,
+                round(CASE WHEN event >= 1 AND nonevent >= 1
+                       THEN ln((nonevent::DOUBLE / tne) /
+                               (event::DOUBLE / tev)) ELSE 0.0 END, 6)
+                  AS woe6,
+                round(CASE WHEN event >= 1 AND nonevent >= 1
+                       THEN (event::DOUBLE / tev -
+                             nonevent::DOUBLE / tne) *
+                            ln((event::DOUBLE / tev) /
+                               (nonevent::DOUBLE / tne))
+                       ELSE 0.0 END, 6) AS iv6
+         FROM agg, t ORDER BY rect"""
 
   private lazy val linregOracle: String = {
     val spec = graft.core.ExactFit.OLSSpec(
@@ -3484,47 +3584,69 @@ object SparkEntry {
       // Plan: rows pre-aggregate to <= 16 grid cells BEFORE the
       // layout join, so the rect join touches 16 rows, not the scan.
       val li = liTarget(T(s, dir, "lineitem"))
-      import s.implicits._
-      val rects = Seq(
-        ("x0-2:y0-2", 0, 2, 0, 2), ("x0-2:y2-4", 0, 2, 2, 4),
-        ("x2-4:y0-1", 2, 4, 0, 1), ("x2-3:y1-4", 2, 3, 1, 4),
-        ("x3-4:y1-3", 3, 4, 1, 3), ("x3-4:y3-4", 3, 4, 3, 4))
-        .toDF("rect", "rx1", "rx2", "ry1", "ry2")
-      val xb = when(col("l_extendedprice") < liSplits(0), 0)
-        .when(col("l_extendedprice") < liSplits(1), 1)
-        .when(col("l_extendedprice") < liSplits(2), 2).otherwise(3)
-      val yb = when(col("l_quantity") < qtySplits(0), 0)
-        .when(col("l_quantity") < qtySplits(1), 1)
-        .when(col("l_quantity") < qtySplits(2), 2).otherwise(3)
-      val cells = li.groupBy(xb.as("xb"), yb.as("yb"))
+      val cells = li.groupBy(grid2dXb.as("xb"), grid2dYb.as("yb"))
         .agg(count(lit(1)).as("cn"),
              sum(col("y").cast("long")).as("cev"))
-      val byRect = cells
-        .join(broadcast(rects),
-              col("xb") >= col("rx1") && col("xb") < col("rx2") &&
-              col("yb") >= col("ry1") && col("yb") < col("ry2"))
-        .groupBy("rect")
-        .agg(sum("cn").as("n"), sum("cev").as("event"))
-        .withColumn("nonevent", col("n") - col("event"))
-      // totals via a bounded window over the <= 6-row rect table —
-      // ONE lineitem scan (a crossJoin-with-agg branch would
-      // re-derive the whole subtree: a second 100-TB scan)
-      val p = col("event").cast("double") / col("tev")
-      val q = col("nonevent").cast("double") / col("tne")
-      val ok = col("event") >= 1 && col("nonevent") >= 1
-      byRect
-        .withColumn("tev", sum("event")
-                      .over(graft.core.Windows.boundedAll)
-                      .cast("double"))
-        .withColumn("tne", sum("nonevent")
-                      .over(graft.core.Windows.boundedAll)
-                      .cast("double"))
-        .select(col("rect"), col("n"), col("event"), col("nonevent"),
-                round(when(ok, log(q / p)).otherwise(0.0), 6)
-                  .as("woe6"),
-                round(when(ok, (p - q) * log(p / q)).otherwise(0.0), 6)
-                  .as("iv6"))
-        .orderBy("rect")
+      rects2dDeploy(s, cells)
+    }),
+
+    "q_stream_2d" -> ((s, dir) => {
+      // the 2D deployment twin maintained INCREMENTALLY: grid cells
+      // are an additive monoid (exact LONG count/event per (xb, yb)),
+      // so lineitem replays as a 3-trigger file stream and
+      // foreachBatch folds each batch's <= 16-cell aggregate into a
+      // driver map — bounded by the GRID, never data. The final
+      // per-rectangle stats run the identical deployment pipeline on
+      // the accumulated cells. Stream == batch by construction:
+      // the oracle is q_2d_deploy's verbatim.
+      val li = T(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull &&
+               col("l_quantity").isNotNull &&
+               col("l_returnflag").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_quantity", "l_returnflag")
+      val stage = tmpWorkDir("graft_2d_stage")
+      (0 until 3).foreach { g =>
+        li.where(pmod(col("l_orderkey"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("l_orderkey",
+                                               "l_linenumber")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("l_orderkey BIGINT, l_linenumber INT, " +
+                "l_extendedprice DOUBLE, l_quantity DOUBLE, " +
+                "l_returnflag STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val acc = scala.collection.mutable
+        .Map.empty[(Int, Int), (Long, Long)]
+      val ckpt = tmpWorkDir("graft_2d_ckpt")
+      try {
+        val q = staged.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            liTarget(batch)
+              .groupBy(grid2dXb.as("xb"), grid2dYb.as("yb"))
+              .agg(count(lit(1)).as("cn"),
+                   sum(col("y").cast("long")).as("cev"))
+              .collect().foreach { r =>
+                val k0 = (r.getInt(0), r.getInt(1))
+                val (n0, e0) = acc.getOrElse(k0, (0L, 0L))
+                acc(k0) = (n0 + r.getLong(2), e0 + r.getLong(3))
+              }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try { q.processAllAvailable() } finally q.stop()
+      } finally {
+        deleteRecursively(stage); deleteRecursively(ckpt)
+      }
+      import s.implicits._
+      val cells = acc.toSeq
+        .map { case ((x, y), (n, e)) => (x, y, n, e) }
+        .toDF("xb", "yb", "cn", "cev")
+      rects2dDeploy(s, cells)
     }),
 
     "q_stability_cont" -> ((s, dir) => {
@@ -6513,52 +6635,9 @@ object SparkEntry {
     // splitting, so the unconstrained optimum is the finest partition),
     // which the rect key concat replays — a merged layout would change
     // the expected keys and hash-fail
-    // pinned LAYOUT (constants in both engines), stats re-derived
-    // from raw rows — replays at ANY SF, unlike the solver-literal
-    // q_2d_fit pin
-    "q_2d_deploy" ->
-      """WITH b AS (
-           SELECT CASE WHEN l_extendedprice < 25000 THEN 0
-                       WHEN l_extendedprice < 50000 THEN 1
-                       WHEN l_extendedprice < 75000 THEN 2
-                       ELSE 3 END AS xb,
-                  CASE WHEN l_quantity < 10 THEN 0
-                       WHEN l_quantity < 25 THEN 1
-                       WHEN l_quantity < 40 THEN 2
-                       ELSE 3 END AS yb,
-                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-           FROM lineitem),
-         cells AS (
-           SELECT xb, yb, count(*) AS cn, sum(y) AS cev
-           FROM b GROUP BY 1, 2),
-         r(rect, rx1, rx2, ry1, ry2) AS (
-           VALUES ('x0-2:y0-2', 0, 2, 0, 2),
-                  ('x0-2:y2-4', 0, 2, 2, 4),
-                  ('x2-4:y0-1', 2, 4, 0, 1),
-                  ('x2-3:y1-4', 2, 3, 1, 4),
-                  ('x3-4:y1-3', 3, 4, 1, 3),
-                  ('x3-4:y3-4', 3, 4, 3, 4)),
-         agg AS (
-           SELECT rect, sum(cn)::BIGINT AS n,
-                  sum(cev)::BIGINT AS event,
-                  (sum(cn) - sum(cev))::BIGINT AS nonevent
-           FROM cells JOIN r
-             ON xb >= rx1 AND xb < rx2 AND yb >= ry1 AND yb < ry2
-           GROUP BY 1),
-         t AS (SELECT sum(event) AS tev, sum(nonevent) AS tne
-               FROM agg)
-         SELECT rect, n, event, nonevent,
-                round(CASE WHEN event >= 1 AND nonevent >= 1
-                       THEN ln((nonevent::DOUBLE / tne) /
-                               (event::DOUBLE / tev)) ELSE 0.0 END, 6)
-                  AS woe6,
-                round(CASE WHEN event >= 1 AND nonevent >= 1
-                       THEN (event::DOUBLE / tev -
-                             nonevent::DOUBLE / tne) *
-                            ln((event::DOUBLE / tev) /
-                               (nonevent::DOUBLE / tne))
-                       ELSE 0.0 END, 6) AS iv6
-         FROM agg, t ORDER BY rect""",
+    "q_2d_deploy" -> deploy2dOracle,
+
+    "q_stream_2d" -> deploy2dOracle,
 
     "q_2d_fit" ->
       """WITH b AS (
