@@ -1153,6 +1153,55 @@ object SparkEntry {
           round(col("mn") + (col("mx") - col("mn")) * 0.75, 6).as("s3"))
     }),
 
+    "q_mdlp_deploy" -> ((s, dir) => {
+      // pinned-MODEL deployment twin for the MDLP family (completing
+      // the q_2d_deploy / q_cf_verify set — all three solver-pinned
+      // families now have a scale-verified row): the gate-solved
+      // entropy cuts are the deployed MODEL (constants in both
+      // engines), and the per-bin tallies PLUS the quantities the
+      // MDL criterion is made of — bin entropies and the partition's
+      // information gain over the root — are re-derived from RAW
+      // rows at whatever SF the query runs. The recursion stays
+      // irreducible (documented at SF_PINNED); its SOLUTION deployed
+      // as data is fully replayable. One scan-bound aggregate to
+      // <= 6 bins; gain via bounded-window sums over that table.
+      val cuts = Array(40807.044601, 41192.200023, 42139.474169,
+                       43305.350041, 43950.745613)
+      val li = T(s, dir, "lineitem")
+        .withColumn("y",
+          when(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            >= 40000, 1L).otherwise(0L))
+      val byBin = li
+        .groupBy(binIdx(col("l_extendedprice"), cuts).cast("long")
+                   .as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("event"))
+        .withColumn("nonevent", col("n") - col("event"))
+      def entropy(ev: Column, ne: Column): Column = {
+        val n = (ev + ne).cast("double")
+        val p = ev.cast("double") / n; val q = ne.cast("double") / n
+        val tp = when(ev >= 1, -p * log(p)).otherwise(0.0)
+        val tq = when(ne >= 1, -q * log(q)).otherwise(0.0)
+        tp + tq
+      }
+      val all = graft.core.Windows.boundedAll
+      byBin
+        .withColumn("ent", entropy(col("event"), col("nonevent")))
+        .withColumn("tn", sum("n").over(all))
+        .withColumn("tev", sum("event").over(all))
+        .withColumn("wsum", sum(col("ent") *
+                                (col("n").cast("double"))).over(all))
+        .select(col("bin"), col("n"), col("event"), col("nonevent"),
+                round(col("event").cast("double") / col("n"), 6)
+                  .as("rate6"),
+                round(col("ent"), 6).as("entropy6"),
+                round(entropy(col("tev"), col("tn") - col("tev")), 6)
+                  .as("root_entropy6"),
+                round(entropy(col("tev"), col("tn") - col("tev")) -
+                        col("wsum") / col("tn").cast("double"), 6)
+                  .as("gain6"))
+        .orderBy("bin")
+    }),
+
     "q_mdlp_splits" -> ((s, dir) => {
       // MDLP entropy discretization as the prebinning method, full fit.
       // The recursive MDL stopping rule is not SQL-expressible, so the
@@ -5986,6 +6035,54 @@ object SparkEntry {
                     END)::BIGINT AS n_o,
                 '100000.0,200000.0,300000.0' AS splits
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // deployed-cuts verification replay — valid at ANY SF (the cuts
+    // are constants; tallies, entropies and gain come from data)
+    "q_mdlp_deploy" ->
+      """WITH b AS (
+           SELECT CASE WHEN l_extendedprice < 40807.044601 THEN 0
+                       WHEN l_extendedprice < 41192.200023 THEN 1
+                       WHEN l_extendedprice < 42139.474169 THEN 2
+                       WHEN l_extendedprice < 43305.350041 THEN 3
+                       WHEN l_extendedprice < 43950.745613 THEN 4
+                       ELSE 5 END AS bin,
+                  CASE WHEN l_extendedprice * (1.0 - l_discount) >= 40000
+                       THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         g AS (
+           SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS event,
+                  (count(*) - sum(y))::BIGINT AS nonevent
+           FROM b GROUP BY 1),
+         e AS (
+           SELECT *,
+                  (CASE WHEN event >= 1
+                    THEN -(event::DOUBLE / n) * ln(event::DOUBLE / n)
+                    ELSE 0.0 END
+                   + CASE WHEN nonevent >= 1
+                    THEN -(nonevent::DOUBLE / n)
+                          * ln(nonevent::DOUBLE / n)
+                    ELSE 0.0 END) AS ent
+           FROM g),
+         t AS (
+           SELECT sum(n)::BIGINT AS tn, sum(event)::BIGINT AS tev,
+                  sum(ent * n::DOUBLE) AS wsum
+           FROM e),
+         r AS (
+           SELECT tn, tev, wsum,
+                  (CASE WHEN tev >= 1
+                    THEN -(tev::DOUBLE / tn) * ln(tev::DOUBLE / tn)
+                    ELSE 0.0 END
+                   + CASE WHEN tn - tev >= 1
+                    THEN -((tn - tev)::DOUBLE / tn)
+                          * ln((tn - tev)::DOUBLE / tn)
+                    ELSE 0.0 END) AS rent
+           FROM t)
+         SELECT bin::BIGINT AS bin, n, event, nonevent,
+                round(event::DOUBLE / n, 6) AS rate6,
+                round(ent, 6) AS entropy6,
+                round(rent, 6) AS root_entropy6,
+                round(rent - wsum / tn::DOUBLE, 6) AS gain6
+         FROM e, r ORDER BY bin""",
 
     "q_mdlp_splits" ->
       // pins reflect the reference's max_candidates=32 boundary
