@@ -373,6 +373,33 @@ object SparkEntry {
        FROM of, om"""
   }
 
+  private lazy val pwQuadraticOracle: String = {
+    val spec = graft.core.ExactFit.OLSSpec(
+      Seq(1L, 1L, 1L, 1L), 100L,
+      Seq(256.0, 65536.0, 32768.0, 512.0))
+    val x = "CAST(round(l_quantity * 10) AS BIGINT)"
+    val basis = Seq(
+      x, s"($x * $x)",
+      s"(greatest(0, $x - 235) * greatest(0, $x - 235))",
+      s"(greatest(0, $x - 475) * greatest(0, $x - 475))")
+    def curve(x0: Long): String = {
+      val b = Seq(x0, x0 * x0,
+                  math.max(0L, x0 - 235L) * math.max(0L, x0 - 235L),
+                  math.max(0L, x0 - 475L) * math.max(0L, x0 - 475L))
+      val terms = b.zipWithIndex
+        .map { case (v, i) => s"of.w_b$i * $v.0" }.mkString(" + ")
+      s"((of.w_a + $terms) / 100.0)"
+    }
+    s"""WITH ${graft.core.ExactFit.olsCtes(spec, "lineitem", basis,
+           "l_extendedprice", pwWhereQty)}
+       SELECT round(of.w_a / 100.0, 4) AS intercept4,
+              round(${curve(100L)}, 4) AS at_qty10,
+              round(${curve(300L)}, 4) AS at_qty30,
+              round(${curve(500L)}, 4) AS at_qty50,
+              round(of.w_r2, 6) AS r2_6
+       FROM of"""
+  }
+
   private lazy val linregWeightedOracle: String = {
     val spec = graft.core.ExactFit.OLSSpec(
       Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
@@ -2553,6 +2580,48 @@ object SparkEntry {
         .withColumn("b_lines4", round(lit(f.slope(0) / 100.0), 4))
         .withColumn("b_qty4", round(lit(f.slope(1) / 100.0), 4))
         .withColumn("r2_6", round(lit(f.r2), 6))
+    }),
+
+    "q_pw_quadratic" -> ((s, dir) => {
+      // exact distributed QUADRATIC spline fit — the ExactFit OLS
+      // surface COMPOSES: a C¹ piecewise-quadratic at the pinned
+      // knots is ordinary least squares on the truncated-power basis
+      // {X, X², (X-T1)²₊, (X-T2)²₊}, and every basis value is an
+      // exact INTEGER (X = 10·qty ≤ 500, squares ≤ 2.5e5), so the
+      // whole curve fit is ONE DECIMAL moment aggregate + the shared
+      // Cramer IR — bit-identical in SQL at any SF, zero new solver
+      // code. Curve values at probe points are closed forms of the
+      // coefficients over integer basis constants.
+      val li = T(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull &&
+               col("l_extendedprice").isNotNull)
+      val X = round(col("l_quantity") * 10).cast("long")
+      def sq(c: Column): Column = c * c
+      val basis = Seq(
+        X, sq(X), sq(greatest(lit(0L), X - 235L)),
+        sq(greatest(lit(0L), X - 475L)))
+      val spec = graft.core.ExactFit.OLSSpec(
+        Seq(1L, 1L, 1L, 1L), 100L,
+        Seq(256.0, 65536.0, 32768.0, 512.0))
+      val f = graft.core.ExactFit.fitOLS(
+        li, basis.map(_.cast("double")), col("l_extendedprice"), spec)
+      // curve in RAW dollars at X0 = {100, 300, 500} (qty 10/30/50):
+      // (w_a + sum w_b_i * B_i(X0)) / yScale — integer basis consts
+      def curve(x0: Long): Double = {
+        val b = Seq(x0, x0 * x0,
+                    math.max(0L, x0 - 235L) * math.max(0L, x0 - 235L),
+                    math.max(0L, x0 - 475L) * math.max(0L, x0 - 475L))
+        (f.values("w_a") +
+         b.zipWithIndex.map { case (v, i) =>
+           f.values(s"w_b$i") * v.toDouble }.sum) / 100.0
+      }
+      import s.implicits._
+      Seq(1).toDF("one").select(
+        round(lit(f.values("w_a") / 100.0), 4).as("intercept4"),
+        round(lit(curve(100L)), 4).as("at_qty10"),
+        round(lit(curve(300L)), 4).as("at_qty30"),
+        round(lit(curve(500L)), 4).as("at_qty50"),
+        round(lit(f.r2), 6).as("r2_6"))
     }),
 
     "q_linreg_weighted" -> ((s, dir) => {
@@ -8406,6 +8475,10 @@ object SparkEntry {
 
     // weighted moments + plain/ridge twin solves over ONE moment CTE
     "q_linreg_weighted" -> linregWeightedOracle,
+
+    // quadratic spline = OLS on the integer truncated-power basis —
+    // the shared IR composes with zero new solver code
+    "q_pw_quadratic" -> pwQuadraticOracle,
 
     // the streaming twin sums the SAME exact DECIMAL moments over
     // order-disjoint triggers (additive by construction), so its
