@@ -110,6 +110,35 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-weight rows are exactly invisible: weighted fit == " +
+       "plain fit on the w>0 subset (OLS and piecewise)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = for (i <- 1 to 40) yield
+      (i.toDouble, 2.0 + 3.0 * i + (i % 4), if (i % 5 == 0) 0L else 1L)
+    val wdf = base.toDF("x", "y", "w")
+    val sub = base.filter(_._3 > 0L).map(t => (t._1, t._2))
+      .toDF("x", "y")
+    val ospec = graft.core.ExactFit.OLSSpec(Seq(1L), 1L, Seq(4.0))
+    val fw = graft.core.ExactFit.fitOLSWeighted(
+      wdf, Seq(col("x")), col("y"), col("w"), ospec)
+    val fp = graft.core.ExactFit.fitOLS(
+      sub, Seq(col("x")), col("y"), ospec)
+    assert(java.lang.Double.doubleToLongBits(fw.slope(0)) ==
+           java.lang.Double.doubleToLongBits(fp.slope(0)))
+    assert(java.lang.Double.doubleToLongBits(fw.r2) ==
+           java.lang.Double.doubleToLongBits(fp.r2))
+    val pspec = graft.core.ExactFit.PWSpec(
+      Array(15.0), 2L, 4L, 16.0, None)
+    val pw = graft.core.ExactFit.fitWeighted(
+      wdf, col("x"), col("y"), col("w"), pspec)
+    val pp = graft.core.ExactFit.fit(sub, col("x"), col("y"), pspec)
+    assert(java.lang.Double.doubleToLongBits(pw.a) ==
+           java.lang.Double.doubleToLongBits(pp.a))
+    assert(java.lang.Double.doubleToLongBits(pw.slope(0)) ==
+           java.lang.Double.doubleToLongBits(pp.slope(0)))
+  }
+
   test("ridge shrinks the equilibrated slopes toward zero and " +
        "lambda=0 reproduces the plain solve exactly") {
     val spark = TestSpark.spark
