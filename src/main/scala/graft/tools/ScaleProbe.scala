@@ -998,6 +998,55 @@ object ScaleProbe {
       }
     }
     section("round11") {
+      // the round-11 ExactFit variants at 1x/16x: weighted monotone
+      // QP, weighted+ridge OLS, quadratic spline — each is ONE
+      // DECIMAL moment aggregate + a constant driver solve, so wall
+      // time must track the scan, not the model
+      {
+        val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+        Seq(1, 16).foreach { mult =>
+          val li2 = if (mult == 1) liRaw
+            else liRaw.crossJoin(spark.range(mult.toLong)
+              .select(col("id").as("__rep"))).drop("__rep")
+          val n = li2.count()
+          val w = when(col("o_orderpriority") === "1-URGENT", 3L)
+            .when(col("o_orderpriority") === "2-HIGH", 2L)
+            .otherwise(1L)
+          val joined = li2.join(
+            ordRaw.select(col("o_orderkey"), w.as("w")),
+            col("l_orderkey") === col("o_orderkey"))
+          (1 to 2).foreach { pass =>
+            val tW = timed {
+              graft.core.ExactFit.fitWeighted(
+                joined, col("l_quantity"), col("l_extendedprice"),
+                col("w"),
+                graft.core.ExactFit.PWSpec(Array(23.5, 47.5), 10L,
+                                           100L, 512.0,
+                                           Some("ascending")))
+            }
+            spark.catalog.clearCache()
+            val tQ = timed {
+              val x = round(col("l_quantity") * 10).cast("long")
+              def sq(c: org.apache.spark.sql.Column) = c * c
+              graft.core.ExactFit.fitOLS(
+                li2,
+                Seq(x, sq(x), sq(greatest(lit(0L), x - 235L)),
+                    sq(greatest(lit(0L), x - 475L)))
+                  .map(_.cast("double")),
+                col("l_extendedprice"),
+                graft.core.ExactFit.OLSSpec(
+                  Seq(1L, 1L, 1L, 1L), 100L,
+                  Seq(256.0, 65536.0, 32768.0, 512.0)))
+            }
+            if (pass == 2)
+              println(f"PROBE round11-exactfit mult=$mult%2d " +
+                f"rows=$n%9d weighted_qp=$tW%6.2f s " +
+                f"quad_spline=$tQ%6.2f s")
+            spark.catalog.clearCache()
+          }
+        }
+      }
       // state-store-resident attribution accumulator (the recovery
       // shape behind Round11OpsSpec's kill+restart test): per-shard
       // transition EXTRACTION runs the batch operator (scales with
