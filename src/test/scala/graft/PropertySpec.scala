@@ -412,4 +412,76 @@ class PropertySpec extends AnyFunSuite {
         s"on ($a, $b)")
     }
   }
+
+  private val pwDataGen: Gen[(Array[Long], Array[Long], String)] = for {
+    n <- Gen.choose(8, 40)
+    xs <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    ys <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    trend <- Gen.oneOf("ascending", "descending")
+  } yield (xs.toArray, ys.toArray, trend)
+
+  test("ExactFit monotone QP properties on random integer data: the " +
+       "winner is feasible, argmin over feasible candidates, and its " +
+       "closed-form SSE expansion equals the direct per-point SSE") {
+    import graft.core.ExactFit
+    val spec0 = ExactFit.PWSpec(Array(10.0, 20.0), 1L, 1L, 16.0,
+                                Some("ascending"))
+    forAll(pwDataGen, n = 60) { case (xs, ys, trend) =>
+      val spec = spec0.copy(trend = Some(trend))
+      // exact driver-side moments (mirrors momentAggs arithmetic:
+      // integer lens, integer y, BigDecimal-exact sums)
+      def len(m: Int, x: Long): Long = {
+        val t = spec.tInt
+        if (m == 0) math.min(x, t(0))
+        else if (m < t.length)
+          math.max(0L, math.min(x, t(m)) - t(m - 1))
+        else math.max(0L, x - t(t.length - 1))
+      }
+      val k = spec.nSeg
+      val env = ExactFit.Env(collection.mutable.Map.empty,
+                             collection.mutable.Map.empty)
+      env.d("n") = xs.length.toDouble
+      env.d("sy") = ys.sum.toDouble
+      for (i <- 0 until k) {
+        env.d(s"s$i") = xs.map(len(i, _)).sum.toDouble
+        env.d(s"sy$i") = xs.zip(ys)
+          .map { case (x, y) => len(i, x) * y }.sum.toDouble
+      }
+      for (i <- 0 until k; j <- i until k)
+        env.d(s"s${i}_$j") = xs
+          .map(x => len(i, x) * len(j, x)).sum.toDouble
+      ExactFit.program(spec).foreach {
+        case ExactFit.DefD(nm, e) => env.d(nm) = ExactFit.ev(e, env)
+        case ExactFit.DefB(nm, b) => env.b(nm) = ExactFit.bv(b, env)
+      }
+      val win = env.d("w_m").toInt
+      val feas = spec.masks.filter(m => env.b(s"c${m}_ok"))
+      if (feas.nonEmpty) {
+        // winner is feasible and attains the minimum score
+        assert(env.b(s"c${win}_ok"), s"winner $win infeasible")
+        val best = feas.map(m => env.d(s"c${m}_j")).min
+        assert(env.d(s"c${win}_j") <= best + 1e-9,
+               s"winner $win score ${env.d(s"c${win}_j")} > $best")
+        // trend holds on the winner's slopes
+        (0 until k).foreach { m =>
+          val sl = env.d(s"w_s$m")
+          if (trend == "ascending") assert(sl >= -1e-12)
+          else assert(sl <= 1e-12)
+        }
+        // closed-form score == direct SSE - sum(y^2), within float
+        // tolerance scaled to the data magnitude
+        val a = env.d("w_a")
+        val direct = xs.zip(ys).map { case (x, y) =>
+          val p = a + (0 until k)
+            .map(m => env.d(s"w_s$m") * len(m, x)).sum
+          val r = y - p; r * r
+        }.sum
+        val syy = ys.map(y => y.toDouble * y).sum
+        val score = env.d(s"c${win}_j")
+        assert(math.abs((score + syy) - direct) <=
+                 1e-6 * math.max(1.0, syy),
+               s"SSE expansion ${score + syy} != direct $direct")
+      }
+    }
+  }
 }
