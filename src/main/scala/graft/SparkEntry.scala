@@ -2461,16 +2461,23 @@ object SparkEntry {
       val out = try {
         val q = staged.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, bid: Long) =>
+            // batchId-keyed overwrite, NOT append: foreachBatch is
+            // at-least-once, and a retried append would duplicate
+            // signature rows (inflating bucket sizes past the star
+            // guard); overwriting the batch's own directory makes
+            // the signature store idempotent under replay
             Dedup.withMinhashBands(batch, "text", "doc_id",
                                    numHashes = 32, bands = 8,
                                    shingleLen = 5, portable = true)
-              .write.mode("append").parquet(s"$sigStore/sig")
+              .write.mode("overwrite")
+              .parquet(s"$sigStore/sig/batch=$bid")
             ()
           }
           .option("checkpointLocation", ckpt).start()
         try { q.processAllAvailable() } finally q.stop()
         Dedup.candidatesFromBanded(
-            s.read.parquet(s"$sigStore/sig"))
+            s.read.parquet(s"$sigStore/sig")
+              .select("id", "band", "bh")) // drop the batch= key
           .agg(count(lit(1)).as("n_candidate_pairs"),
                countDistinct(col("id_a")).as("n_left_docs"))
           .collect()
