@@ -461,6 +461,11 @@ object ExactFit {
   // ---------------- two renderings of the same program --------------
 
   final case class Solved(spec: PWSpec, values: Map[String, Double]) {
+    /** Per-phase wall times (`binning.py:670-702` information()
+      * convention, like every other fit surface): `data_pass` = the
+      * one moment aggregate, `solver` = the driver program, `total`.
+      * Empty when the Solved came from pre-computed moments. */
+    @transient var timings: Map[String, Double] = Map.empty
     def a: Double = values("w_a")
     def slope(m: Int): Double = values(s"w_s$m")
     def mask: Int = values("w_m").toInt
@@ -491,9 +496,11 @@ object ExactFit {
   /** Driver-side solve: ONE exact aggregate then the shared program. */
   def fit(df: DataFrame, xCol: Column, yCol: Column,
           spec: PWSpec): Solved = {
+    val t0 = System.nanoTime()
     val clean = df.where(xCol.isNotNull && yCol.isNotNull)
     val aggs = momentAggs(spec, xCol, yCol)
     val row: Row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val tData = (System.nanoTime() - t0) / 1e9
     val names = momentNames(spec)
     val env = Env(collection.mutable.Map.empty,
                   collection.mutable.Map.empty)
@@ -508,11 +515,16 @@ object ExactFit {
         case x => throw new IllegalStateException(s"$nm: $x")
       }
     }
+    val t1 = System.nanoTime()
     program(spec).foreach {
       case DefD(n, e) => env.d(n) = ev(e, env)
       case DefB(n, b) => env.b(n) = bv(b, env)
     }
-    Solved(spec, env.d.toMap)
+    val tSolve = (System.nanoTime() - t1) / 1e9
+    val s = Solved(spec, env.d.toMap)
+    s.timings = Map("data_pass" -> tData, "solver" -> tSolve,
+                    "total" -> (tData + tSolve))
+    s
   }
 
   // ------------------------------------------------------------------
