@@ -98,8 +98,16 @@ object Bench {
     val calibEnd = calibPasses()
     def minOf(ts: Seq[Double]): Double =
       if (ts.head < 0) -1.0 else ts.drop(1).min
+    // median of the retained (post-JIT) passes, index derived from
+    // the retained length — NOT hard-coded to the 4-pass layout, so
+    // changing the pass count cannot silently turn this into a
+    // non-median order statistic (lower median for even lengths)
     def medOf(ts: Seq[Double]): Double =
-      if (ts.head < 0) -1.0 else ts.drop(1).sorted.apply(1)
+      if (ts.head < 0) -1.0
+      else {
+        val kept = ts.drop(1).sorted
+        kept((kept.length - 1) / 2)
+      }
     val mins = results.map { case (k, ts) => k -> minOf(ts) }
     // ---- mechanical drift triage against the previous artifact ----
     // a query is a drift SUSPECT when jitter-normalized min AND
@@ -152,6 +160,49 @@ object Bench {
       System.err.println(s"[bench] drift triage skipped: ${e.getMessage}")
       Nil
     }
+    // ---- self-adjudicating re-measure of the drift suspects ----
+    // every r11 suspect (67/67) was host noise, and closing each one
+    // still cost a manual clean-window session. Adjudicate inside the
+    // SAME run instead: after the main passes, re-calibrate and — if
+    // the window is clean (jitter <= 1.05) — re-run each suspect for
+    // 3 passes (first discarded, min of 2) and record the re-measure
+    // next to the artifact. A suspect whose re-measure lands back at
+    // the previous jitter-normalized min was noise; one that stays
+    // high survives a clean window and is a REAL regression to chase.
+    val adjMax = sys.env.get("SPARK_GRAFT_ADJUDICATE_MAX")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(24)
+    var adjCalib = -1.0
+    val driftAdjudicated: Seq[(String, Double)] =
+      if (driftSuspects.isEmpty) Nil
+      else {
+        // wait (up to 3 calibration attempts, 15 s apart) for a clean
+        // window; if the host never settles, adjudicate anyway — the
+        // recorded adjudication_jitter lets the consumer normalize,
+        // and a dirty-but-recorded re-measure still beats a skipped
+        // one (the whole point is no manual follow-up session)
+        var attempt = 0
+        adjCalib = calibPasses().drop(1).min
+        while (adjCalib / CalibrationRef > 1.05 && attempt < 2) {
+          attempt += 1
+          System.err.println(
+            s"[bench] adjudication window dirty (jitter ${
+              "%.3f".format(adjCalib / CalibrationRef)}), retrying")
+          Thread.sleep(15000)
+          adjCalib = calibPasses().drop(1).min
+        }
+        driftSuspects.take(adjMax).flatMap { name =>
+          queries.get(name).map { fn =>
+            val ts = (1 to 3).map { _ =>
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              try fn(spark, sfDir).count()
+              catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> ts.drop(1).min
+          }
+        }
+      }
     // Two artifacts, by audience:
     //  1. bench_times.json — the FULL per-query map at full precision,
     //     written to a file the round harness can ingest whole. The
@@ -181,6 +232,13 @@ object Bench {
         s""""calibration_passes":${calibStart.map(r3).mkString("[", ",", "]")},""" +
         s""""calibration_end_passes":${calibEnd.map(r3).mkString("[", ",", "]")},""" +
         s""""drift_suspects":${driftSuspects.map(q => s"\"$q\"").mkString("[", ",", "]")},""" +
+        s""""drift_adjudicated":${
+          driftAdjudicated.sortBy(_._1)
+            .map { case (k, v) => s"\"$k\":${r3(v)}" }
+            .mkString("{", ",", "}")},""" +
+        s""""adjudication_calibration_sec":${r3(adjCalib)},""" +
+        s""""adjudication_jitter":${
+          r3(if (adjCalib > 0) adjCalib / CalibrationRef else -1.0)},""" +
         s""""n_queries":${results.size},"queries":${m(mins)},""" +
         s""""medians":${m(meds)},"passes_sec":$passes}"""
     }
@@ -214,11 +272,18 @@ object Bench {
       // round-10 flagships
       "q_bpe_encode", "q_markov_attribution", "q_shapley_attribution",
       "q_linreg_exact")
-    val head = headline.flatMap(k => mins.get(k).map(v => s"\"$k\":${r3(v)}"))
+    // filtered local runs time only a handful of queries — show ALL
+    // of them inline (the fixed headline list may not intersect the
+    // filter at all: an r11 2-query run printed "queries":{} while
+    // the times sat only in the file, making spot-adjudication
+    // needlessly indirect). Full runs keep the stable headline subset
+    // so the visible numbers stay round-over-round comparable.
+    val headKeys = if (only.isDefined) mins.keys.toSeq.sorted else headline
+    val head = headKeys.flatMap(k => mins.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val suspectsHead = driftSuspects.take(10)
       .map(q => s"\"$q\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib":${r3(calib)},"calib_end":${r3(calibEnd.drop(1).min)},"jitter":${r3(jitter)},"n_drift_suspects":${driftSuspects.size},"drift_suspects":$suspectsHead,"queries_file":"$outPath","queries":$head}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib":${r3(calib)},"calib_end":${r3(calibEnd.drop(1).min)},"jitter":${r3(jitter)},"n_drift_suspects":${driftSuspects.size},"n_adjudicated":${driftAdjudicated.size},"drift_suspects":$suspectsHead,"queries_file":"$outPath","queries":$head}""")
     spark.stop()
   }
 }

@@ -3724,10 +3724,14 @@ object SparkEntry {
       // per-rectangle stats run the identical deployment pipeline on
       // the accumulated cells. Stream == batch by construction:
       // the oracle is q_2d_deploy's verbatim.
+      // NO null pre-filter: the deployed grid's CASE chains route a
+      // NULL price/qty to the open top bin and a NULL returnflag to
+      // y=0 — identical in the batch twin (q_2d_deploy) and the
+      // shared deploy2dOracle, so on null-bearing data stream ==
+      // batch == oracle (a pre-stage isNotNull here would silently
+      // diverge the twins; current testdata has no nulls but the
+      // contract must not depend on that).
       val li = T(s, dir, "lineitem")
-        .where(col("l_extendedprice").isNotNull &&
-               col("l_quantity").isNotNull &&
-               col("l_returnflag").isNotNull)
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
                 "l_quantity", "l_returnflag")
       val stage = tmpWorkDir("graft_2d_stage")
@@ -5386,6 +5390,19 @@ object SparkEntry {
       graft.pipeline.Tokenizer.bpeMerges(
         T(s, dir, "documents"), "text", rounds = 4)),
 
+    "q_bpe_exact" -> ((s, dir) =>
+      // classical (fixpoint) BPE merge loop — the exactMerge variant
+      // of q_bpe_merges: each round's winning pair is replaced to its
+      // per-word FIXPOINT (`a a a a` -> `aa aa` in ONE round, the
+      // textbook non-overlapping left-to-right semantics), not the
+      // single space-padded replace pass. Every inner step is one
+      // small job over the bounded vocabulary table; the oracle
+      // replays the fixpoint as a per-word recursive CTE, so the
+      // variant carries the same DuckDB hash contract as the default.
+      graft.pipeline.Tokenizer.bpeMerges(
+        T(s, dir, "documents"), "text", rounds = 4,
+        exactMerge = true)),
+
     "q_bpe_encode" -> ((s, dir) => {
       // tokenizer train -> APPLY: learn 4 merges (the q_bpe_merges
       // contract) then encode the corpus with them — tokens/doc,
@@ -5656,6 +5673,54 @@ object SparkEntry {
                          ' ' || b4.p1 || ' ' || b4.p2 || ' ',
                          ' ' || b4.p1 || b4.p2 || ' ')) AS syms, cnt
                 FROM v3, b4)"""
+
+  /** DuckDB replay of the 4-round EXACT-merge (fixpoint) BPE training
+    * chain — q_bpe_exact's oracle. Differs from [[bpeTrainCtes]] in
+    * exactly one way: each round's replace iterates to the per-word
+    * fixpoint via a recursive CTE instead of one pass. The vocabulary
+    * is keyed by the original word `w` throughout so the recursion's
+    * UNION dedup can never collapse two distinct words whose symbol
+    * strings converge (the per-row multiset must survive for the
+    * weighted pair counts). */
+  private val bpeExactTrainCtes: String = {
+    def rnd(i: Int): String = {
+      val prev = s"e${i - 1}"
+      // the replace expression is repeated rather than bound: a
+      // lateral alias inside a recursive member confuses the planner
+      def rep(syms: String) =
+        s"""trim(replace(' ' || $syms || ' ',
+                 ' ' || b.p1 || ' ' || b.p2 || ' ',
+                 ' ' || b.p1 || b.p2 || ' '))"""
+      s"""pfx$i AS (
+           SELECT a[j] AS p1, a[j + 1] AS p2, sum(cnt) AS f
+           FROM (SELECT a, cnt, unnest(range(1, len(a))) AS j
+                 FROM (SELECT string_split(syms, ' ') AS a, cnt
+                       FROM $prev) t
+                 WHERE len(a) >= 2)
+           GROUP BY 1, 2),
+         bx$i AS (SELECT p1, p2, f FROM pfx$i
+                  ORDER BY f DESC, p1, p2 LIMIT 1),
+         fx$i AS (
+           SELECT w, syms, cnt FROM $prev
+           UNION
+           SELECT f.w, ${rep("f.syms")} AS syms, f.cnt
+           FROM fx$i f, bx$i b
+           WHERE ${rep("f.syms")} <> f.syms),
+         e$i AS MATERIALIZED (
+           SELECT f.w, f.syms, f.cnt
+           FROM fx$i f, bx$i b
+           WHERE ${rep("f.syms")} = f.syms)"""
+    }
+    s"""wordsx AS (
+           SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         e0 AS MATERIALIZED (
+           SELECT w,
+                  trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms,
+                  count(*) AS cnt
+           FROM wordsx WHERE length(w) > 0 GROUP BY 1, 2),
+         ${(1 to 4).map(rnd).mkString(",\n         ")}"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_split_classes" ->
@@ -12092,6 +12157,33 @@ object SparkEntry {
                 (SELECT sum(cnt * len(string_split(syms, ' ')))
                  FROM v4)::BIGINT
          FROM b4
+         ORDER BY round""",
+
+    // exact-merge BPE replay: the same 4-round chain with each
+    // round's replace iterated to the per-word FIXPOINT (recursive
+    // CTE keyed by the original word — see bpeExactTrainCtes)
+    "q_bpe_exact" ->
+      s"""WITH RECURSIVE $bpeExactTrainCtes
+         SELECT 1::BIGINT AS round, p1 AS pair_left, p2 AS pair_right,
+                p1 || p2 AS merged, f::BIGINT AS freq,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM e1)::BIGINT AS corpus_tokens_after
+         FROM bx1
+         UNION ALL
+         SELECT 2, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM e2)::BIGINT
+         FROM bx2
+         UNION ALL
+         SELECT 3, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM e3)::BIGINT
+         FROM bx3
+         UNION ALL
+         SELECT 4, p1, p2, p1 || p2, f::BIGINT,
+                (SELECT sum(cnt * len(string_split(syms, ' ')))
+                 FROM e4)::BIGINT
+         FROM bx4
          ORDER BY round""",
 
     // tokenizer APPLY replay: the SAME training chain, then exact

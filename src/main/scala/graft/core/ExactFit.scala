@@ -376,7 +376,9 @@ object ExactFit {
       // coefficients, and the mask is marked infeasible below, so
       // winner selection stays bit-identical on degenerate inputs
       // (JVM NaN compares false, DuckDB NULL/NaN order differently —
-      // neither may ever reach a comparison).
+      // neither may ever reach a comparison). The absolute threshold
+      // covers exactly-singular/empty inputs only — see the scope
+      // note at the OLS guard below for why it is not made relative.
       val nsing: Bx = Cmp(">=", Op('*', R(s"c${mask}_d"),
                                    R(s"c${mask}_d")), Cst(1e-24))
       defs += DefD(s"c${mask}_a",
@@ -650,8 +652,10 @@ object ExactFit {
         yield dec(xs(i) * xs(j)).as(s"f${i}_$j"))
   }
 
-  /** Sample-WEIGHTED moments (`model_data.py:75-90` weighted-stats
-    * precedent): every moment is multiplied by an integer weight and
+  /** Sample-WEIGHTED moments (reference precedent: the estimators'
+    * `sample_weight` fit parameter, `binning.py:538-562,704-735` —
+    * a weight of w means "this row counted w times"): every moment
+    * is multiplied by an integer weight and
     * `n` becomes the weight total, so the weighted normal equations
     * are still exact DECIMAL(38,0) sums — the weighted fit keeps the
     * full bit-parity contract. Weights must be non-negative integers
@@ -783,7 +787,19 @@ object ExactFit {
       defs += DefD(s"ols_n$u", det(rep))
     }
     // singular-guard every Cramer division (empty/degenerate input):
-    // guarded branch identical in both engines, zero fallback
+    // guarded branch identical in both engines, zero fallback.
+    // SCOPE: the absolute d^2 >= 1e-24 threshold covers the
+    // exactly-singular / empty-input cases only (duplicate columns,
+    // zero rows — where the exact-integer determinant rounds to a
+    // double that is 0 or denormal in BOTH engines identically). It
+    // is deliberately NOT scale-invariant: a relative threshold
+    // (eps^2 * prod of normal diagonals) would itself be a product
+    // of moment-magnitude doubles that can overflow to Inf on wide
+    // specs, and ANY threshold is evaluated on the same IR in both
+    // engines, so near-singular-but-nonzero systems take the SAME
+    // (possibly ill-conditioned) Cramer branch on both sides —
+    // bit-parity holds regardless; conditioning is the caller's
+    // contract via OLSSpec.condPow2 equilibration.
     val nsing: Bx =
       Cmp(">=", Op('*', R("ols_d"), R("ols_d")), Cst(1e-24))
     defs += DefD("w_a",

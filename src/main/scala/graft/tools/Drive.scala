@@ -9,12 +9,24 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // plan audit for the two deployment twins: expect a pruned
-    // 3-column lineitem scan, partial+final cell aggregate (ONE
-    // exchange on <=16 grid keys), and the 6-row layout joined via
-    // BroadcastNestedLoopJoin (range predicate, tiny build side)
-    val q = graft.SparkEntry.queries("q_2d_deploy")
-    q(spark, "/root/testdata/sf0.01").explain("formatted")
+    import spark.implicits._
+    // exact-merge semantics check at the library surface: the
+    // fixpoint variant merges back-to-back repeats fully in one
+    // round (`a a a a` -> `aa aa`), the single-pass default only
+    // alternately (`aa a a`)
+    val docs = Seq("aaaa aaaa", "aaaa aaaa").toDF("text")
+    val exact = graft.pipeline.Tokenizer
+      .bpeMerges(docs, "text", rounds = 1, exactMerge = true)
+      .collect()(0)
+    val loose = graft.pipeline.Tokenizer
+      .bpeMerges(docs, "text", rounds = 1, exactMerge = false)
+      .collect()(0)
+    println(s"[info] exact round1: ${exact.mkString(",")}")
+    println(s"[info] loose round1: ${loose.mkString(",")}")
+    assert(exact.getLong(5) == 4 * 2,
+           "exact: 4 occurrences x 2 syms ('aa aa')")
+    assert(loose.getLong(5) == 4 * 3,
+           "loose: 4 occurrences x 3 syms ('aa a a')")
     println("[info] DRIVE OK")
     spark.stop()
   }
