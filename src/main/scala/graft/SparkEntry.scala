@@ -4341,6 +4341,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_span_audit" -> ((s, dir) => {
+      // suffix-array-fidelity audit for q_span_dedup (the Lee et al.
+      // exact semantics the word-gram pass approximates): exact
+      // char-level repeated-substring removal mass — computable
+      // WITHOUT a suffix array as the merged union of corpus-repeated
+      // 50-char-gram spans (literal substring keys) — next to the
+      // word-10-gram spans in char space, with their per-document
+      // interval intersection. recall_ppm = how much of the exact
+      // removal mass the production gram pass captures.
+      val d = T(s, dir, "documents")
+      graft.pipeline.Dedup
+        .spanFidelityAudit(d, "text", "doc_id", "source",
+                           charGramLen = 50, wordGramN = 10,
+                           minOccurrences = 2L)
+        .orderBy("source")
+    }),
+
     "q_split_leakage" -> ((s, dir) => {
       // train/val/test leakage audit: exact-content fingerprints
       // shared across hash-split folds — per fold pair, distinct
@@ -10300,6 +10317,124 @@ object SparkEntry {
                   AS n_tokens_removed
          FROM th LEFT JOIN pd ON th.doc_id = pd.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    // suffix-array-fidelity replay: exact char-50-gram span union
+    // (literal substring keys) + word-10-gram spans in char space
+    // (token starts via per-token prefix sums over the single-spaced
+    // norm) + per-doc interval intersection; ppm via BIGINT floor
+    // division (non-negative masses on both sides)
+    "q_span_audit" ->
+      """WITH base AS MATERIALIZED (
+           SELECT doc_id, source,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                    AS norm
+           FROM documents WHERE text IS NOT NULL),
+         cg AS (
+           SELECT doc_id, p, substr(norm, (p + 1)::INT, 50) AS k
+           FROM (SELECT doc_id, norm,
+                        unnest(range(0, length(norm) - 50 + 1)) AS p
+                 FROM base WHERE length(norm) >= 50)),
+         hotc AS (SELECT k FROM cg GROUP BY k HAVING count(*) >= 2),
+         repc AS (SELECT cg.doc_id, cg.p FROM cg
+                  JOIN hotc USING (k)),
+         exi AS (
+           SELECT doc_id, p,
+                  CASE WHEN max(p + 50) OVER (
+                         PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) IS NULL
+                       OR p >= max(p + 50) OVER (
+                         PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS newf
+           FROM repc),
+         exsp AS MATERIALIZED (
+           SELECT doc_id, isl, min(p) AS s, max(p) + 50 AS e
+           FROM (SELECT doc_id, p,
+                        sum(newf) OVER (PARTITION BY doc_id
+                          ORDER BY p) AS isl
+                 FROM exi)
+           GROUP BY 1, 2),
+         st AS (
+           SELECT doc_id, norm, tk, len(tk) AS nt,
+                  [(i - 1)::BIGINT +
+                   coalesce(list_sum(
+                     [length(x) FOR x IN tk[1:i-1]]), 0)
+                   FOR i IN range(1, len(tk) + 1)] AS starts
+           FROM (SELECT doc_id, norm,
+                        string_split(norm, ' ') AS tk
+                 FROM base WHERE length(norm) > 0)),
+         wg AS (
+           SELECT doc_id, starts[i] AS s,
+                  starts[i + 9] + length(tk[i + 9]) AS e,
+                  substr(norm, (starts[i] + 1)::INT,
+                         (starts[i + 9] + length(tk[i + 9])
+                          - starts[i])::INT) AS k
+           FROM st, unnest(range(1, (nt - 10 + 2)::INT)) AS u(i)
+           WHERE nt >= 10),
+         hotw AS (SELECT k FROM wg GROUP BY k HAVING count(*) >= 2),
+         repw AS (SELECT wg.doc_id, wg.s, wg.e FROM wg
+                  JOIN hotw USING (k)),
+         api AS (
+           SELECT doc_id, s, e,
+                  CASE WHEN max(e) OVER (
+                         PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) IS NULL
+                       OR s >= max(e) OVER (
+                         PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS newf
+           FROM repw),
+         apsp AS MATERIALIZED (
+           SELECT doc_id, isl, min(s) AS s, max(e) AS e
+           FROM (SELECT doc_id, s, e,
+                        sum(newf) OVER (PARTITION BY doc_id
+                          ORDER BY s) AS isl
+                 FROM api)
+           GROUP BY 1, 2),
+         exd AS (SELECT doc_id, count(*) AS exs,
+                        sum(e - s) AS exm
+                 FROM exsp GROUP BY 1),
+         apd AS (SELECT doc_id, count(*) AS aps,
+                        sum(e - s) AS apm
+                 FROM apsp GROUP BY 1),
+         ovd AS (
+           SELECT a.doc_id,
+                  sum(least(a.e, b.e) - greatest(a.s, b.s)) AS ovm
+           FROM exsp a JOIN apsp b
+             ON a.doc_id = b.doc_id AND a.s < b.e AND b.s < a.e
+           GROUP BY 1),
+         agg AS (
+           SELECT base.source,
+                  count(*)::BIGINT AS n_docs,
+                  sum(length(base.norm))::BIGINT AS n_chars,
+                  coalesce(sum(exd.exs), 0)::BIGINT AS n_spans_exact,
+                  coalesce(sum(exd.exm), 0)::BIGINT
+                    AS n_chars_removed_exact,
+                  coalesce(sum(apd.aps), 0)::BIGINT AS n_spans_approx,
+                  coalesce(sum(apd.apm), 0)::BIGINT
+                    AS n_chars_removed_approx,
+                  coalesce(sum(ovd.ovm), 0)::BIGINT AS n_chars_overlap
+           FROM base
+           LEFT JOIN exd ON base.doc_id = exd.doc_id
+           LEFT JOIN apd ON base.doc_id = apd.doc_id
+           LEFT JOIN ovd ON base.doc_id = ovd.doc_id
+           GROUP BY 1)
+         SELECT source, n_docs, n_chars, n_spans_exact,
+                n_chars_removed_exact, n_spans_approx,
+                n_chars_removed_approx, n_chars_overlap,
+                (CASE WHEN n_chars_removed_exact > 0
+                      THEN (n_chars_overlap * 1000000)
+                           // n_chars_removed_exact
+                      ELSE 0 END)::BIGINT AS recall_ppm,
+                (CASE WHEN n_chars_removed_approx > 0
+                      THEN (n_chars_overlap * 1000000)
+                           // n_chars_removed_approx
+                      ELSE 0 END)::BIGINT AS precision_ppm
+         FROM agg ORDER BY source""",
 
     // split-leakage replay: same md5 fold + rolling-fingerprint
     // content key, (fp, split) counts, bounded fold-pair self-join

@@ -108,7 +108,8 @@ object BinningProcess {
     * Per-var value/cls expressions sit in the chunk's projection, so
     * per-row work is O(1) per (row, var) — no when(var === v) chains.
     */
-  private def chunkedMelt(df: DataFrame, vars: Seq[String], y: Column,
+  private[graft] def chunkedMelt(df: DataFrame, vars: Seq[String],
+                          y: Column,
                           w: Column, valExpr: String => Column,
                           clsExpr: String => Column,
                           chunkSize: Int = 16): DataFrame = {

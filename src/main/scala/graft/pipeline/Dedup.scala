@@ -1120,6 +1120,157 @@ object Dedup {
            coalesce(sum("__removed"), lit(0L)).as("n_tokens_removed"))
   }
 
+  /** Suffix-array-fidelity audit for [[repeatedSpanAudit]] (the Lee
+    * et al. 2022 gap the word-gram approximation leaves open): the
+    * paper's exact semantics removes every corpus-repeated substring
+    * of length >= L CHARACTERS, built single-node via a suffix
+    * array. The removal MASS of that rule has a distributed
+    * closed form with no suffix array at all: a character position
+    * is removal-marked iff some repeated substring of length >= L
+    * covers it, and every repeated substring of length >= L is a
+    * union of repeated length-L windows — so the exact removed set
+    * is EXACTLY the merged union of length-L char-gram spans whose
+    * gram repeats corpus-wide. This operator computes that exact
+    * char-level mass (gram keys are the literal substrings — no
+    * hashing, so no collision caveat) NEXT TO the word-`wordGramN`-
+    * gram approximation's spans converted to char extents, plus
+    * their per-document interval intersection, and reports per
+    * source:
+    * `n_docs, n_chars, n_spans_exact, n_chars_removed_exact,
+    * n_spans_approx, n_chars_removed_approx, n_chars_overlap,
+    * recall_ppm, precision_ppm` — recall = how much of the exact
+    * suffix-array-grade removal mass the production word-gram pass
+    * captures (truncated ppm, integer div on non-negative masses).
+    *
+    * Scale shape: two gram explodes over the normalized corpus (char
+    * grams ~len rows/doc, word grams ~tokens rows/doc), each into a
+    * corpus-wide repeated-key aggregate (map-side combined) and a
+    * key semi-join back; islands merge per document under a window
+    * bounded by the doc's repeated grams; the interval intersection
+    * joins the two bounded per-doc island sets. The 50-char gram
+    * keys shuffle as strings — an AUDIT pass by design (run it on a
+    * bounded sample at corpus scale); the production removal path
+    * stays the hashed [[repeatedSpanAudit]]. The per-token prefix-sum
+    * HOF (token char starts) is O(tokens^2) per document — fine for
+    * audit docs, same caveat as repeatedSpanAudit's HOF hashing. */
+  def spanFidelityAudit(df: DataFrame, textCol: String, idCol: String,
+                        srcCol: String, charGramLen: Int = 50,
+                        wordGramN: Int = 10,
+                        minOccurrences: Long = 2L): DataFrame = {
+    require(charGramLen >= 2 && wordGramN >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val L = charGramLen
+    val N = wordGramN
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(srcCol).as("source"),
+              normalizeText(col(textCol)).as("__t"))
+      .withColumn("__len", length(col("__t")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def mergedIslands(rows: DataFrame, spanEnd: Column): DataFrame = {
+      // gaps-and-islands over (possibly variable-length) intervals:
+      // a row starts a new island iff its start clears the running
+      // max end of everything before it
+      val w = Window.partitionBy("__id").orderBy("__s")
+      val prevEnd = max(spanEnd)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      rows
+        .withColumn("__new",
+          when(prevEnd.isNull || col("__s") >= prevEnd, 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum("__new").over(w))
+        .groupBy("__id", "__isl")
+        .agg(min("__s").as("s"), max(spanEnd).as("e"))
+        .select("__id", "s", "e")
+    }
+
+    // ---- exact: corpus-repeated length-L char grams ----
+    val cgArr = when(col("__len") >= L,
+        transform(sequence(lit(0L), col("__len") - L),
+          p => col("__t").substr((p + lit(1L)).cast("int"), lit(L))))
+      .otherwise(array().cast("array<string>"))
+    val cg = base.select(col("__id"), posexplode(cgArr))
+      .select(col("__id"), col("pos").cast("long").as("__s"),
+              col("col").as("__k"))
+    val hotC = cg.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minOccurrences).select("__k")
+    val exIsl = mergedIslands(cg.join(hotC, Seq("__k")),
+                              col("__s") + L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- approx: the word-gram spans in char space ----
+    // norm is single-spaced, so a word gram's char extent IS the
+    // substring between its first token's start and its last
+    // token's end, and two grams are token-equal iff those
+    // substrings are equal — the production audit's semantics with
+    // literal keys instead of hashes
+    val toks = split(col("__t"), " ")
+    val nt = size(toks).cast("long")
+    val starts = transform(sequence(lit(0L), nt - 1),
+      i => i + aggregate(slice(toks, lit(1), i), lit(0L),
+                         (a, t) => a + length(t)))
+    val wgArr = when(col("__len") > 0 && nt >= N,
+        transform(sequence(lit(0L), nt - N), i => {
+          val last = (i + N).cast("int") // 1-based idx of token i+N-1
+          val s = element_at(col("__st"), (i + lit(1L)).cast("int"))
+          val e = element_at(col("__st"), last) +
+            length(element_at(col("__tk"), last))
+          struct(s.as("s"), e.cast("long").as("e"))
+        }))
+      .otherwise(array().cast("array<struct<s:bigint,e:bigint>>"))
+    val wg = base
+      .withColumn("__tk", toks).withColumn("__st", starts)
+      .select(col("__id"), col("__t"), explode(wgArr).as("__g"))
+      .select(col("__id"), col("__g.s").as("__s"),
+              col("__g.e").as("__e"),
+              col("__t").substr((col("__g.s") + 1).cast("int"),
+                                (col("__g.e") - col("__g.s"))
+                                  .cast("int")).as("__k"))
+    val hotW = wg.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minOccurrences).select("__k")
+    val apIsl = mergedIslands(wg.join(hotW, Seq("__k"))
+                                .select("__id", "__s", "__e"),
+                              col("__e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- per-doc masses + interval intersection ----
+    val exDoc = exIsl.groupBy("__id")
+      .agg(count(lit(1)).as("__exs"),
+           sum(col("e") - col("s")).as("__exm"))
+    val apDoc = apIsl.groupBy("__id")
+      .agg(count(lit(1)).as("__aps"),
+           sum(col("e") - col("s")).as("__apm"))
+    val ovDoc = exIsl.as("a")
+      .join(apIsl.as("b"),
+            col("a.__id") === col("b.__id") &&
+            col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .groupBy(col("a.__id").as("__id"))
+      .agg(sum(least(col("a.e"), col("b.e")) -
+               greatest(col("a.s"), col("b.s"))).as("__ovm"))
+
+    base.select("__id", "source", "__len")
+      .join(exDoc, Seq("__id"), "left")
+      .join(apDoc, Seq("__id"), "left")
+      .join(ovDoc, Seq("__id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("__len").as("n_chars"),
+           coalesce(sum("__exs"), lit(0L)).as("n_spans_exact"),
+           coalesce(sum("__exm"), lit(0L)).as("n_chars_removed_exact"),
+           coalesce(sum("__aps"), lit(0L)).as("n_spans_approx"),
+           coalesce(sum("__apm"), lit(0L))
+             .as("n_chars_removed_approx"),
+           coalesce(sum("__ovm"), lit(0L)).as("n_chars_overlap"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_chars_removed_exact > 0 THEN " +
+             "(n_chars_overlap * 1000000) div n_chars_removed_exact " +
+             "ELSE 0 END"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_chars_removed_approx > 0 THEN " +
+             "(n_chars_overlap * 1000000) div n_chars_removed_approx" +
+             " ELSE 0 END"))
+  }
+
   /** Edit-distance-1 string pairs by deletion-neighborhood blocking
     * (FastSS, Bocek et al. 2007): two strings are within one edit iff
     * they share a member of each other's {self} ∪ {one-char-deleted

@@ -1204,6 +1204,162 @@ object ScaleProbe {
              s"providers diverge: $groupCounts")
       graft.SparkEntry.deleteRecursively(stage)
     }
+    section("round12") {
+      // (1) incremental near-dup SIGNATURE STORE growth — the
+      // q_stream_neardup shape at 16x docs over FIVE ingest batches:
+      // each batch is banded once on arrival (cost tracks the batch
+      // scan) and appended to the store; candidate generation then
+      // runs over the WHOLE accumulated store. The claim under test:
+      // the candidate stage is bucket-bounded — its cost tracks the
+      // store's row count (one window over the (band, bh) shuffle,
+      // star-guarded pairs), never batches^2 and never corpus^2.
+      {
+        val docsRep = docs.crossJoin(
+            spark.range(16L).select(col("id").as("__rep")))
+          .select((col("doc_id") * 16 + col("__rep")).as("doc_id"),
+                  col("text"))
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_r12_sigstore").toString
+        try {
+          var storeRows = 0L
+          (0 until 5).foreach { b =>
+            val batch = docsRep.where(pmod(col("doc_id"), lit(5)) === b)
+            val nb = batch.count()
+            val tBand = timed {
+              Dedup.withMinhashBands(batch, "text", "doc_id",
+                                     numHashes = 32, bands = 8,
+                                     shingleLen = 5, portable = true)
+                .write.mode("overwrite").parquet(s"$store/batch=$b")
+            }
+            val acc = spark.read.parquet(store)
+              .select("id", "band", "bh")
+            storeRows = acc.count()
+            var pairs = 0L
+            val tCand = timed {
+              pairs = Dedup.candidatesFromBanded(acc)
+                .agg(count(lit(1))).head.getLong(0)
+            }
+            println(f"PROBE round12-neardup batch=$b batch_docs=$nb%8d " +
+              f"band=$tBand%6.2f s store_rows=$storeRows%9d " +
+              f"candidates=$tCand%6.2f s pairs=$pairs%9d")
+            spark.catalog.clearCache()
+          }
+        } finally graft.SparkEntry.deleteRecursively(store)
+      }
+      // (2) the 2D deployment twins' grid-cell monoid at 1x/16x: the
+      // per-batch aggregate folds ANY input volume to <= 16 exact
+      // LONG cells (the accumulated state is bounded by the GRID,
+      // never the data), so batch cost must track the scan alone.
+      {
+        val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_extendedprice", "l_quantity", "l_returnflag")
+        val xb = when(col("l_extendedprice") < 25000, 0)
+          .when(col("l_extendedprice") < 50000, 1)
+          .when(col("l_extendedprice") < 75000, 2).otherwise(3)
+        val yb = when(col("l_quantity") < 10, 0)
+          .when(col("l_quantity") < 25, 1)
+          .when(col("l_quantity") < 40, 2).otherwise(3)
+        Seq(1, 16).foreach { mult =>
+          val df = if (mult == 1) liRaw
+            else liRaw.crossJoin(spark.range(mult.toLong)
+              .select(col("id").as("__rep"))).drop("__rep")
+          val n = df.count()
+          (1 to 2).foreach { pass =>
+            var cells = 0L
+            val tCells = timed {
+              cells = df.groupBy(xb.as("xb"), yb.as("yb"))
+                .agg(count(lit(1)).as("cn"),
+                     sum(when(col("l_returnflag") === "R", 1L)
+                           .otherwise(0L)).as("cev"))
+                .count()
+            }
+            if (pass == 2)
+              println(f"PROBE round12-grid2d mult=$mult%2d rows=$n%9d " +
+                f"cells_agg=$tCells%6.2f s cells=$cells%2d")
+            spark.catalog.clearCache()
+          }
+        }
+      }
+      // (3) the MDLP deployment twin at 1x/16x: the gate-solved cuts
+      // are constants; the entropy/gain re-derivation is ONE
+      // scan-bound aggregate to <= 6 bins + bounded-window readouts.
+      {
+        val cuts = Array(40807.044601, 41192.200023, 42139.474169,
+                         43305.350041, 43950.745613)
+        val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_extendedprice", "l_discount")
+        val bin = cuts.indices.foldRight(lit(cuts.length)
+            : org.apache.spark.sql.Column) { (i, acc) =>
+          when(col("l_extendedprice") < cuts(i), lit(i)).otherwise(acc)
+        }
+        Seq(1, 16).foreach { mult =>
+          val df = if (mult == 1) liRaw
+            else liRaw.crossJoin(spark.range(mult.toLong)
+              .select(col("id").as("__rep"))).drop("__rep")
+          val n = df.count()
+          (1 to 2).foreach { pass =>
+            var bins = 0L
+            val tAgg = timed {
+              bins = df
+                .withColumn("y",
+                  when(col("l_extendedprice") *
+                         (lit(1.0) - col("l_discount")) >= 40000, 1L)
+                    .otherwise(0L))
+                .groupBy(bin.cast("long").as("bin"))
+                .agg(count(lit(1)).as("n"), sum(col("y")).as("event"))
+                .count()
+            }
+            if (pass == 2)
+              println(f"PROBE round12-mdlp mult=$mult%2d rows=$n%9d " +
+                f"deploy_agg=$tAgg%6.2f s bins=$bins%2d")
+            spark.catalog.clearCache()
+          }
+        }
+      }
+      // (4) WIDE BinningProcess — 30 numeric variables (the
+      // reference's breast-cancer width, binning_process.py:1066) at
+      // 1x/16x: the chunked melt (16-var stack chunks unioned into
+      // ONE downstream shuffle) and the chunked no-shuffle Pass A
+      // must hold at realistic width, with the per-variable interval
+      // DP solved on the driver in a .par loop. Cost claim: fit wall
+      // time tracks rows x vars scan work, not vars^2.
+      {
+        val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_extendedprice", "l_quantity", "l_discount",
+                  "l_tax", "l_returnflag")
+        val vars = (0 until 30).map(i => s"v$i")
+        val bases = Seq(col("l_extendedprice"), col("l_quantity") * 1000,
+                        col("l_discount") * 400000, col("l_tax") * 800000)
+        val wide0 = vars.zipWithIndex.foldLeft(
+            liRaw.withColumn("y",
+              when(col("l_returnflag") === "R", 1.0).otherwise(0.0))) {
+          case (d, (v, i)) =>
+            // distinct monotone blends so the 30 fits see 30 genuinely
+            // different value distributions over the same scan
+            d.withColumn(v, bases(i % 4) * (1.0 + 0.03 * i) +
+                            bases((i + 1) % 4) * (0.11 * (i % 7)))
+        }
+        val wide = wide0.select(("y" +: vars).map(col): _*)
+        Seq(1, 16).foreach { mult =>
+          val df = if (mult == 1) wide
+            else wide.crossJoin(spark.range(mult.toLong)
+              .select(col("id").as("__rep"))).drop("__rep")
+          val n = df.count()
+          (1 to 2).foreach { pass =>
+            var fitted = 0
+            val tFit = timed {
+              fitted = graft.operators.BinningProcess
+                .fit(df, vars, "y").fits.size
+            }
+            if (pass == 2)
+              println(f"PROBE round12-wide30 mult=$mult%2d rows=$n%9d " +
+                f"vars=${vars.size}%2d fit=$tFit%6.2f s " +
+                f"fitted=$fitted%2d")
+            spark.catalog.clearCache()
+          }
+        }
+      }
+    }
     section("json") {
       // q_json_extract at 1x/16x: schema'd from_json over the events
       // props column (the suite's most expensive single query, 7.5 s

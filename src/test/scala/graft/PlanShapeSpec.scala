@@ -61,6 +61,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("30-variable chunked melt still feeds exactly ONE shuffle") {
+    // the operator's own melt (BinningProcess.chunkedMelt) at the
+    // reference's breast-cancer width: 30 vars = two 16-var stack
+    // chunks UNIONed — union is not a shuffle boundary, so the
+    // downstream histogram aggregate must keep a single Exchange
+    // regardless of variable count, with map-side partial
+    // aggregation on every chunk branch.
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val vars = (0 until 30).map(i => s"v$i")
+    val df = vars.zipWithIndex.foldLeft(li) { case (d, (v, i)) =>
+      d.withColumn(v, col("l_extendedprice") * (1.0 + 0.03 * i))
+    }
+    val melted = graft.operators.BinningProcess.chunkedMelt(
+      df, vars,
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
+      lit(1.0),
+      v => col(v).cast("double"),
+      _ => lit(0))
+    val agg = melted.groupBy("var", "x")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("y") === 0.0, col("w"))).as("w0"))
+    val plan = physical(agg)
+    assert(countOccurrences(plan, "Exchange") == 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("minhash LSH candidates: one scan, one reused corpus shuffle, " +
        "no join") {
     val spark = TestSpark.spark

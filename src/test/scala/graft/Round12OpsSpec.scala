@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-12 session additions: the suffix-array-
+  * fidelity span audit and the exact-merge BPE contract row. */
+class Round12OpsSpec extends AnyFunSuite {
+
+  private def audit(rows: Seq[(Long, String, String)],
+                    gramLen: Int = 50) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.pipeline.Dedup.spanFidelityAudit(
+      rows.toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source",
+      charGramLen = gramLen, wordGramN = 10, minOccurrences = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("span fidelity: a repeated LONG single-token substring is " +
+       "EXACT-only (word grams need 10 tokens) — recall names the " +
+       "word-gram pass's miss") {
+    val blob = "z" * 60 // one 60-char token, repeated across docs
+    val m = audit(Seq((1L, "s", blob), (2L, "s", blob)))
+    val r = m("s")
+    // exact: the 60-char run is repeated -> whole token marked in
+    // both docs; approx: 1 token < 10 -> no word grams at all
+    assert(r.getLong(r.fieldIndex("n_chars_removed_exact")) == 120L, r)
+    assert(r.getLong(r.fieldIndex("n_chars_removed_approx")) == 0L, r)
+    assert(r.getLong(r.fieldIndex("recall_ppm")) == 0L, r)
+  }
+
+  test("span fidelity: a repeated SHORT 10-token gram is " +
+       "APPROX-only (under the 50-char exact threshold) — the " +
+       "over-marking direction") {
+    val shared = "a b c d e f g h i j" // 19 chars, 10 tokens
+    val m = audit(Seq((1L, "s", s"unique1 $shared"),
+                      (2L, "s", s"unique2 $shared")))
+    val r = m("s")
+    // word grams: tokens 1..10 repeat across docs (the gram starting
+    // at token 0 differs via the unique prefix) -> 19 chars marked
+    // per doc; exact: docs are 27 chars < 50 -> no char grams
+    assert(r.getLong(r.fieldIndex("n_chars_removed_exact")) == 0L, r)
+    assert(r.getLong(r.fieldIndex("n_chars_removed_approx")) == 38L, r)
+    assert(r.getLong(r.fieldIndex("precision_ppm")) == 0L, r)
+  }
+
+  test("span fidelity: identical multi-token docs agree exactly — " +
+       "recall and precision both 1e6 and masses equal") {
+    val doc = Array.tabulate(20)(i => s"tok$i%02d").mkString(" ")
+    assert(doc.length >= 50)
+    val m = audit(Seq((1L, "s", doc), (2L, "s", doc)))
+    val r = m("s")
+    val ex = r.getLong(r.fieldIndex("n_chars_removed_exact"))
+    val ap = r.getLong(r.fieldIndex("n_chars_removed_approx"))
+    val ov = r.getLong(r.fieldIndex("n_chars_overlap"))
+    assert(ex == 2L * doc.length, r)
+    assert(ap == ex && ov == ex, r)
+    assert(r.getLong(r.fieldIndex("recall_ppm")) == 1000000L, r)
+    assert(r.getLong(r.fieldIndex("precision_ppm")) == 1000000L, r)
+  }
+
+  test("span fidelity: unique docs mark nothing and ppm guards " +
+       "return 0 instead of dividing by zero") {
+    val m = audit(Seq(
+      (1L, "s", Array.tabulate(15)(i => s"aa$i").mkString(" ")),
+      (2L, "s", Array.tabulate(15)(i => s"bb$i").mkString(" "))))
+    val r = m("s")
+    assert(r.getLong(r.fieldIndex("n_chars_removed_exact")) == 0L, r)
+    assert(r.getLong(r.fieldIndex("n_chars_removed_approx")) == 0L, r)
+    assert(r.getLong(r.fieldIndex("recall_ppm")) == 0L, r)
+    assert(r.getLong(r.fieldIndex("precision_ppm")) == 0L, r)
+  }
+
+  test("exact-merge BPE: back-to-back repeats merge to the per-word " +
+       "fixpoint in one round; the single-pass default alternates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq("aaaa aaaa", "aaaa aaaa").toDF("text")
+    val exact = graft.pipeline.Tokenizer
+      .bpeMerges(docs, "text", rounds = 1, exactMerge = true)
+      .collect()(0)
+    val loose = graft.pipeline.Tokenizer
+      .bpeMerges(docs, "text", rounds = 1, exactMerge = false)
+      .collect()(0)
+    // both rounds pick (a, a) with the full adjacency count 12
+    assert(exact.getString(3) == "aa" && loose.getString(3) == "aa")
+    assert(exact.getLong(4) == 12L && loose.getLong(4) == 12L)
+    // fixpoint: 'a a a a' -> 'aa aa' (2 syms x 4 occurrences);
+    // single pass: 'aa a a' (3 syms x 4)
+    assert(exact.getLong(5) == 8L, exact.toString)
+    assert(loose.getLong(5) == 12L, loose.toString)
+  }
+}
