@@ -2589,6 +2589,29 @@ object SparkEntry {
         .withColumn("r2_6", round(lit(f.r2), 6))
     }),
 
+    "q_logreg_exact" -> ((s, dir) => {
+      // exact distributed LOGISTIC regression (return-flag ~
+      // quantity): the last fitted-model family whose driver solve
+      // was not IR-replayed. Transcendentals never run in either
+      // engine — the sigmoid evaluates on a 1/256 eta grid via 12
+      // StrictMath.exp CONSTANTS (bit-decomposition product, pure
+      // +,*,/ and CASE per row), IRLS weights/residuals quantize to
+      // 2^-24 integers so each Newton step's moments are exact
+      // DECIMAL sums, and the 2x2 Cramer step replays in the oracle's
+      // CTE chain. Coefficients ship at FULL precision — the oracle
+      // re-derives bit-identical doubles from raw rows at any SF.
+      // 3 Newton steps + 1 readout = 4 scan-bound aggregates.
+      val li = T(s, dir, "lineitem")
+      val f = graft.core.ExactLogit.fit(
+        li.where(col("l_quantity").isNotNull),
+        round(col("l_quantity")),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L),
+        iters = 3)
+      import s.implicits._
+      Seq((f.n, f.beta0, f.beta1, f.sumMuQ.longValueExact))
+        .toDF("n", "beta0", "beta_qty", "sum_mu_q24")
+    }),
+
     "q_pw_quadratic" -> ((s, dir) => {
       // exact distributed QUADRATIC spline fit — the ExactFit OLS
       // surface COMPOSES: a C¹ piecewise-quadratic at the pinned
@@ -8561,6 +8584,18 @@ object SparkEntry {
     // moments + the layered IR solve — bit-identical coefficients and
     // R^2 at any SF
     "q_linreg_exact" -> linregOracle,
+
+    // quantized-Newton logistic replay: the sigmoid-constant product,
+    // 2^-24 integer moments and the Cramer steps all re-run in SQL —
+    // full-precision coefficient parity (see ExactLogit.scala)
+    "q_logreg_exact" ->
+      s"""WITH ${graft.core.ExactLogit.oracleCtes(
+             "lineitem", "round(l_quantity)",
+             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+             " WHERE l_quantity IS NOT NULL", iters = 3)}
+         SELECT mt4.n AS n, bt3.b0 AS beta0, bt3.b1 AS beta_qty,
+                mt4.smu::BIGINT AS sum_mu_q24
+         FROM bt3, mt4""",
 
     // weighted moments + plain/ridge twin solves over ONE moment CTE
     "q_linreg_weighted" -> linregWeightedOracle,

@@ -73,6 +73,48 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("precision_ppm")) == 0L, r)
   }
 
+  test("ExactLogit: two-group data converges near the closed-form " +
+       "MLE (logit of the group rates) in 3 quantized Newton steps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // x=0: 250/1000 events (logit -ln 3), x=1: 750/1000 (logit ln 3)
+    val rows = Seq.tabulate(2000) { i =>
+      val x = i / 1000
+      val r = i % 1000
+      (x.toLong, if (x == 0) (if (r < 250) 1L else 0L)
+                 else (if (r < 750) 1L else 0L))
+    }
+    val df = rows.toDF("x", "y")
+    val f = graft.core.ExactLogit.fit(df, col("x"), col("y"), 3)
+    val l3 = math.log(3.0)
+    assert(math.abs(f.beta0 - (-l3)) < 0.01, f.toString)
+    assert(math.abs(f.beta1 - 2 * l3) < 0.03, f.toString)
+    assert(f.n == 2000L)
+    // predicted event mass tracks the observed 1000 events
+    assert(math.abs(f.sumMuQ.doubleValue / 16777216.0 - 1000.0) < 2.0)
+    // deterministic: a refit reproduces the exact same bits
+    val g = graft.core.ExactLogit.fit(df, col("x"), col("y"), 3)
+    assert(java.lang.Double.doubleToLongBits(f.beta0) ==
+           java.lang.Double.doubleToLongBits(g.beta0))
+    assert(java.lang.Double.doubleToLongBits(f.beta1) ==
+           java.lang.Double.doubleToLongBits(g.beta1))
+  }
+
+  test("ExactLogit: empty and degenerate inputs take the singular " +
+       "guard — beta stays 0, no NaN") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val f = graft.core.ExactLogit.fit(empty, col("x"), col("y"), 3)
+    assert(f.beta0 == 0.0 && f.beta1 == 0.0 && f.n == 0L)
+    // constant x: the 2x2 normal matrix is rank-1 on the slope —
+    // n*sxx - sx^2 = 0 exactly -> guarded, finite outputs
+    val const = Seq.tabulate(100)(i =>
+      (5L, (i % 4 == 0).compareTo(false).toLong)).toDF("x", "y")
+    val g = graft.core.ExactLogit.fit(const, col("x"), col("y"), 3)
+    assert(!g.beta0.isNaN && !g.beta1.isNaN, g.toString)
+  }
+
   test("exact-merge BPE: back-to-back repeats merge to the per-word " +
        "fixpoint in one round; the single-pass default alternates") {
     val spark = TestSpark.spark
