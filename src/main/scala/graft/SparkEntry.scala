@@ -351,6 +351,15 @@ object SparkEntry {
                        ELSE 0.0 END, 6) AS iv6
          FROM agg, t ORDER BY rect"""
 
+  private lazy val logregOracle: String =
+    s"""WITH ${graft.core.ExactLogit.oracleCtes(
+           "lineitem", "round(l_quantity)",
+           "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+           " WHERE l_quantity IS NOT NULL", iters = 3)}
+       SELECT mt4.n AS n, bt3.b0 AS beta0, bt3.b1 AS beta_qty,
+              mt4.smu::BIGINT AS sum_mu_q24
+       FROM bt3, mt4"""
+
   private lazy val linregOracle: String = {
     val spec = graft.core.ExactFit.OLSSpec(
       Seq(1L, 10L), 1L, Seq(8.0, 4096.0))
@@ -2494,6 +2503,66 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField(
             "n_left_docs",
             org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
+
+    "q_stream_logreg" -> ((s, dir) => {
+      // the exact logistic maintained INCREMENTALLY: every per-row
+      // quantity in ExactLogit depends only on (x, y), so the
+      // (x, y) HISTOGRAM is a sufficient statistic — and it is a
+      // bounded additive monoid (|quantity domain| x 2 cells, ~100
+      // here), so lineitem replays as a 3-trigger file stream,
+      // foreachBatch folds each batch's cell counts into a driver
+      // map bounded by the DOMAIN (never the data), and the final
+      // fit runs the identical quantized-Newton chain on weighted
+      // cells (an exact integer identity with the row fit — see
+      // ExactLogit.fitFromCells). Stream == batch by construction:
+      // the oracle is q_logreg_exact's verbatim. At 100 TB this is
+      // also the cheap path: ONE corpus pass ever, all Newton
+      // iterations on the cell table.
+      val li = T(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                round(col("l_quantity")).cast("long").as("x"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                  .as("y"))
+      val stage = tmpWorkDir("graft_logreg_stage")
+      (0 until 3).foreach { g =>
+        li.where(pmod(col("l_orderkey"), lit(3)) === g)
+          .repartition(1).sortWithinPartitions("l_orderkey",
+                                               "l_linenumber")
+          .write.mode("overwrite").parquet(s"$stage/b$g")
+      }
+      stampStageMtimes(stage, 3)
+      val staged = s.readStream
+        .schema("l_orderkey BIGINT, l_linenumber INT, " +
+                "x BIGINT, y BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+      val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      val ckpt = tmpWorkDir("graft_logreg_ckpt")
+      try {
+        val q = staged.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy("x", "y").agg(count(lit(1)).as("c"))
+              .collect().foreach { r =>
+                val k = (r.getLong(0), r.getLong(1))
+                acc(k) = acc.getOrElse(k, 0L) + r.getLong(2)
+              }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try { q.processAllAvailable() } finally q.stop()
+      } finally {
+        deleteRecursively(stage); deleteRecursively(ckpt)
+      }
+      import s.implicits._
+      val cells = acc.toSeq.map { case ((x, y), c) => (x, y, c) }
+        .toDF("x", "y", "c")
+      val f = graft.core.ExactLogit.fitFromCells(
+        cells, col("x"), col("y"), col("c"), iters = 3)
+      Seq((f.n, f.beta0, f.beta1, f.sumMuQ.longValueExact))
+        .toDF("n", "beta0", "beta_qty", "sum_mu_q24")
     }),
 
     "q_stream_linreg" -> ((s, dir) => {
@@ -8588,14 +8657,12 @@ object SparkEntry {
     // quantized-Newton logistic replay: the sigmoid-constant product,
     // 2^-24 integer moments and the Cramer steps all re-run in SQL —
     // full-precision coefficient parity (see ExactLogit.scala)
-    "q_logreg_exact" ->
-      s"""WITH ${graft.core.ExactLogit.oracleCtes(
-             "lineitem", "round(l_quantity)",
-             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
-             " WHERE l_quantity IS NOT NULL", iters = 3)}
-         SELECT mt4.n AS n, bt3.b0 AS beta0, bt3.b1 AS beta_qty,
-                mt4.smu::BIGINT AS sum_mu_q24
-         FROM bt3, mt4""",
+    "q_logreg_exact" -> logregOracle,
+
+    // the incremental (x, y)-histogram twin is an exact integer
+    // identity with the row fit — stream == batch by construction,
+    // oracle shared verbatim
+    "q_stream_logreg" -> logregOracle,
 
     // weighted moments + plain/ridge twin solves over ONE moment CTE
     "q_linreg_weighted" -> linregWeightedOracle,

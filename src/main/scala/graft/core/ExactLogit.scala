@@ -207,6 +207,48 @@ object ExactLogit {
     Fit(b0, b1, r.getLong(0), smu)
   }
 
+  /** The identical fit from an (x, y, cnt) HISTOGRAM — every per-row
+    * quantity depends only on (x, y), so the row-level moments factor
+    * EXACTLY through the cell table: sum_rows wq(x_i) =
+    * sum_cells cnt * wq(x), an integer identity, making this
+    * bit-identical to [[fit]] on the expanded rows. Two uses at
+    * scale: (a) the streaming twin — cells are a bounded additive
+    * monoid (|x domain| * 2 entries), so incremental ingest
+    * accumulates cells and the fit never re-reads the corpus;
+    * (b) bounded-cardinality x collapses the iters+1 corpus scans of
+    * [[fit]] to ONE histogram scan plus driver-sized cell passes. */
+  def fitFromCells(cells: DataFrame, xCol: Column, yCol: Column,
+                   cntCol: Column, iters: Int = 3): Fit = {
+    require(iters >= 1 && iters <= 8, "iters in [1, 8]")
+    val clean = cells
+      .where(xCol.isNotNull && yCol.isNotNull && cntCol.isNotNull)
+      .select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"),
+              cntCol.cast("long").as("__c"))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val cnt = col("__c")
+    var b0 = 0.0; var b1 = 0.0
+    (1 to iters).foreach { _ =>
+      val (wq, gq, _) = rowCols(col("__x"), col("__y"), b0, b1)
+      val m = clean.agg(
+        dec(cnt).as("n"), dec(cnt * wq).as("sw"),
+        dec((cnt * wq) * col("__x")).as("swx"),
+        dec(((cnt * wq) * col("__x")) * col("__x")).as("swxx"),
+        dec(cnt * gq).as("sg"),
+        dec((cnt * gq) * col("__x")).as("sgx")).head()
+      val (n0, n1) = step(b0, b1, m); b0 = n0; b1 = n1
+    }
+    val (_, _, muq) = rowCols(col("__x"), col("__y"), b0, b1)
+    val r = clean.agg(dec(cnt).as("n"), dec(cnt * muq).as("smu"))
+      .head()
+    def big(v: Any): java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal  => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case null                     => java.math.BigDecimal.ZERO
+      case x => throw new IllegalStateException(s"cell sum: $x")
+    }
+    Fit(b0, b1, big(r.get(0)).longValueExact, big(r.get(1)))
+  }
+
   /** Full oracle CTE chain: `lgd` (integer inputs) + per-iteration
     * row/moment/step blocks + the `mt${iters + 1}` readout. Compose
     * the final SELECT over `bt$iters` (b0, b1) and

@@ -100,6 +100,29 @@ class Round12OpsSpec extends AnyFunSuite {
            java.lang.Double.doubleToLongBits(g.beta1))
   }
 
+  test("ExactLogit: the (x, y)-histogram fit is BIT-identical to " +
+       "the row fit — the streaming twin's exactness claim") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val rows = Seq.tabulate(5000) { _ =>
+      val x = (rnd.nextInt(50) + 1).toLong
+      // event rate rises with x so the slope is genuinely nonzero
+      (x, if (rnd.nextDouble() < 0.1 + 0.012 * x) 1L else 0L)
+    }
+    val df = rows.toDF("x", "y")
+    val cells = df.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val a = graft.core.ExactLogit.fit(df, col("x"), col("y"), 3)
+    val b = graft.core.ExactLogit.fitFromCells(
+      cells, col("x"), col("y"), col("c"), 3)
+    assert(java.lang.Double.doubleToLongBits(a.beta0) ==
+           java.lang.Double.doubleToLongBits(b.beta0), s"$a vs $b")
+    assert(java.lang.Double.doubleToLongBits(a.beta1) ==
+           java.lang.Double.doubleToLongBits(b.beta1), s"$a vs $b")
+    assert(a.n == b.n && a.sumMuQ.compareTo(b.sumMuQ) == 0)
+    assert(a.beta1 > 0.0, a.toString)
+  }
+
   test("ExactLogit: empty and degenerate inputs take the singular " +
        "guard — beta stays 0, no NaN") {
     val spark = TestSpark.spark
