@@ -271,7 +271,9 @@ object Bench {
       "q_gains_table", "q_migration_matrix", "q_tokenizer_pipeline",
       // round-10 flagships
       "q_bpe_encode", "q_markov_attribution", "q_shapley_attribution",
-      "q_linreg_exact")
+      "q_linreg_exact",
+      // round-12 flagships
+      "q_logreg_exact", "q_span_audit", "q_bpe_exact")
     // filtered local runs time only a handful of queries — show ALL
     // of them inline (the fixed headline list may not intersect the
     // filter at all: an r11 2-query run printed "queries":{} while

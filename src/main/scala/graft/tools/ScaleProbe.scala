@@ -1316,6 +1316,50 @@ object ScaleProbe {
           }
         }
       }
+      // (3b) exact logistic at 1x/16x: the row path pays iters+1
+      // scan-bound aggregates; the histogram path pays ONE corpus
+      // scan + Newton passes over the ~100-cell table (bit-identical
+      // result — Round12OpsSpec). At 100 TB the histogram path is
+      // the default whenever x has bounded cardinality.
+      {
+        val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .where(col("l_quantity").isNotNull)
+          .select(round(col("l_quantity")).cast("long").as("x"),
+                  when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                    .as("y"))
+        Seq(1, 16).foreach { mult =>
+          val df = if (mult == 1) liRaw
+            else liRaw.crossJoin(spark.range(mult.toLong)
+              .select(col("id").as("__rep"))).drop("__rep")
+          val n = df.count()
+          (1 to 2).foreach { pass =>
+            var fr: graft.core.ExactLogit.Fit = null
+            var fc: graft.core.ExactLogit.Fit = null
+            val tRows = timed {
+              fr = graft.core.ExactLogit.fit(df, col("x"), col("y"), 3)
+            }
+            spark.catalog.clearCache()
+            val tCells = timed {
+              val cells = df.groupBy("x", "y")
+                .agg(count(lit(1)).as("c"))
+                .persist()
+              fc = graft.core.ExactLogit.fitFromCells(
+                cells, col("x"), col("y"), col("c"), 3)
+              cells.unpersist()
+            }
+            assert(java.lang.Double.doubleToLongBits(fr.beta0) ==
+                   java.lang.Double.doubleToLongBits(fc.beta0) &&
+                   java.lang.Double.doubleToLongBits(fr.beta1) ==
+                   java.lang.Double.doubleToLongBits(fc.beta1),
+                   s"row vs cell fit diverge at mult=$mult")
+            if (pass == 2)
+              println(f"PROBE round12-logreg mult=$mult%2d rows=$n%9d " +
+                f"row_fit=$tRows%6.2f s cell_fit=$tCells%6.2f s " +
+                f"beta0=${fr.beta0}%.6f")
+            spark.catalog.clearCache()
+          }
+        }
+      }
       // (4) WIDE BinningProcess — 30 numeric variables (the
       // reference's breast-cancer width, binning_process.py:1066) at
       // 1x/16x: the chunked melt (16-var stack chunks unioned into
