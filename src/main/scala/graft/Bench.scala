@@ -169,8 +169,12 @@ object Bench {
     // next to the artifact. A suspect whose re-measure lands back at
     // the previous jitter-normalized min was noise; one that stays
     // high survives a clean window and is a REAL regression to chase.
+    // default cap high enough that "every suspect carries a
+    // same-session re-measure" holds even on a regime-shifted round
+    // (r12's first run flagged 61 — a 24 cap left 37 unadjudicated);
+    // worst case cost is suspects x 3 short passes
     val adjMax = sys.env.get("SPARK_GRAFT_ADJUDICATE_MAX")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(24)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
     var adjCalib = -1.0
     val driftAdjudicated: Seq[(String, Double)] =
       if (driftSuspects.isEmpty) Nil

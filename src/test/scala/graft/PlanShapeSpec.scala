@@ -528,6 +528,25 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("spanFidelityAudit: island windows sit above the repeated-key " +
+       "joins; the interval intersection is an equi-join on the doc " +
+       "id — no cartesian anywhere") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = (0 until 40)
+      .map(i => (i.toLong, s"s${i % 3}", s"tok$i " * 15))
+      .toDF("doc_id", "source", "text")
+    val plan = physical(graft.pipeline.Dedup
+      .spanFidelityAudit(d, "text", "doc_id", "source",
+                         charGramLen = 20, wordGramN = 5))
+    assert(plan.contains("Window"), plan.take(2000))
+    // both hot-key filters join on __k; the ex/ap interval overlap
+    // join keys on __id with the range predicate as a filter
+    assert(plan.contains("__k"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("repeatedSpanAudit: per-doc windows sit above the hash semi-" +
        "join on gram hashes — never directly over the corpus explode") {
     val spark = TestSpark.spark
