@@ -2681,6 +2681,28 @@ object SparkEntry {
         .toDF("n", "beta0", "beta_qty", "sum_mu_q24")
     }),
 
+    "q_logreg_multi" -> ((s, dir) => {
+      // MULTI-feature exact logistic (return-flag ~ quantity +
+      // discount-pct): the quantized-Newton chain with the 3x3
+      // Cramer step expressed in ExactFit's shared IR — one Def
+      // program evaluated on the driver and rendered to the oracle's
+      // layered CTEs, so the step generalizes to any k with zero new
+      // hand-paired formulas. Full-precision coefficient parity at
+      // any SF, same contract as q_logreg_exact.
+      val li = T(s, dir, "lineitem")
+      val f = graft.core.ExactLogit.fitMulti(
+        li.where(col("l_quantity").isNotNull &&
+                 col("l_discount").isNotNull),
+        Seq(round(col("l_quantity")),
+            round(col("l_discount") * 100)),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L),
+        iters = 3)
+      import s.implicits._
+      Seq((f.n, f.beta(0), f.beta(1), f.beta(2),
+           f.sumMuQ.longValueExact))
+        .toDF("n", "beta0", "beta_qty", "beta_disc", "sum_mu_q24")
+    }),
+
     "q_pw_quadratic" -> ((s, dir) => {
       // exact distributed QUADRATIC spline fit — the ExactFit OLS
       // surface COMPOSES: a C¹ piecewise-quadratic at the pinned
@@ -8663,6 +8685,19 @@ object SparkEntry {
     // identity with the row fit — stream == batch by construction,
     // oracle shared verbatim
     "q_stream_logreg" -> logregOracle,
+
+    // k-feature replay: the IR-rendered 3x3 Cramer step over the
+    // (moments x prev beta) cross join, layered per iteration
+    "q_logreg_multi" ->
+      s"""WITH ${graft.core.ExactLogit.oracleCtesK(
+             "lineitem",
+             Seq("round(l_quantity)", "round(l_discount * 100)"),
+             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+             " WHERE l_quantity IS NOT NULL" +
+               " AND l_discount IS NOT NULL", iters = 3)}
+         SELECT mt4.n AS n, bt3.b0 AS beta0, bt3.b1 AS beta_qty,
+                bt3.b2 AS beta_disc, mt4.smu::BIGINT AS sum_mu_q24
+         FROM bt3, mt4""",
 
     // weighted moments + plain/ridge twin solves over ONE moment CTE
     "q_linreg_weighted" -> linregWeightedOracle,

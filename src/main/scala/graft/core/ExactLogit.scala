@@ -249,6 +249,222 @@ object ExactLogit {
     Fit(b0, b1, big(r.get(0)).longValueExact, big(r.get(1)))
   }
 
+  // ------------------------------------------------------------------
+  // MULTI-FEATURE logistic (k >= 1): the same quantized-Newton chain
+  // with the (k+1)x(k+1) Cramer step expressed in ExactFit's shared
+  // IR — ONE Def program evaluated on the driver and rendered to the
+  // oracle's layered CTEs, so the step generalizes without a second
+  // hand-paired formula. The k = 1 entry points above stay as the
+  // documented lockstep pair behind the original q_logreg_exact
+  // contract.
+  // ------------------------------------------------------------------
+
+  /** Per-row (wq, gq, muq) under beta(0..k) for feature columns
+    * `xs` — the k-ary twin of [[rowCols]]; keep in LOCKSTEP with
+    * [[rowSqlK]] (same fold order: b0, then + b_i * x_i left to
+    * right). */
+  def rowColsK(xs: Seq[Column], y: Column, beta: Seq[Double])
+      : (Column, Column, Column) = {
+    require(beta.length == xs.length + 1)
+    val eta = xs.zipWithIndex.foldLeft(lit(beta(0)): Column) {
+      case (acc, (x, i)) => acc + (lit(beta(i + 1)) * x.cast("double"))
+    }
+    val q = floor(greatest(lit(-EtaMaxQ),
+                           least(lit(EtaMaxQ), eta * lit(EtaScale))))
+    val aq = abs(q)
+    val e = (0 until NBits).map { k =>
+      when(shiftright(aq, k).bitwiseAND(lit(1L)) === 1L, lit(C(k)))
+        .otherwise(lit(1.0))
+    }.reduceLeft(_ * _)
+    val mu = when(q >= 0, lit(1.0) / (lit(1.0) + e))
+      .otherwise(e / (lit(1.0) + e))
+    val wq = floor((mu * (lit(1.0) - mu)) * lit(QScale))
+    val gq = floor((y.cast("double") - mu) * lit(QScale))
+    val muq = floor(mu * lit(QScale))
+    (wq, gq, muq)
+  }
+
+  /** DuckDB rendering of [[rowColsK]] over `dataCte(x0..x{k-1}, y)`
+    * and `betaCte(b0..bk)`; final CTE `${p}f` carries the features,
+    * y, wq, gq, muq. */
+  def rowSqlK(p: String, dataCte: String, betaCte: String,
+              k: Int): String = {
+    val xCols = (0 until k).map(i => s"d.x$i").mkString(", ")
+    val eta = (0 until k).foldLeft("b.b0") { (acc, i) =>
+      s"($acc + (b.b${i + 1} * CAST(d.x$i AS DOUBLE)))"
+    }
+    val keep = (0 until k).map(i => s"x$i").mkString(", ")
+    s"""${p}a AS (
+           SELECT $xCols, d.y, $eta AS eta
+           FROM $dataCte d, $betaCte b),
+         ${p}b AS (
+           SELECT *, CAST(floor(greatest(${dlit(-EtaMaxQ)},
+                  least(${dlit(EtaMaxQ)}, (eta * ${dlit(EtaScale)}))))
+                  AS BIGINT) AS q
+           FROM ${p}a),
+         ${p}c AS (SELECT *, abs(q) AS aq FROM ${p}b),
+         ${p}d AS (
+           SELECT *, ${(0 until NBits).map { j =>
+             s"(CASE WHEN ((aq >> $j) & 1) = 1 THEN ${dlit(C(j))} " +
+               "ELSE 1.0e0 END)"
+           }.reduceLeft((a, b) => s"($a * $b)")} AS ex
+           FROM ${p}c),
+         ${p}e AS (
+           SELECT *, CASE WHEN q >= 0 THEN (1.0e0 / (1.0e0 + ex))
+                          ELSE (ex / (1.0e0 + ex)) END AS mu
+           FROM ${p}d),
+         ${p}f AS (
+           SELECT $keep, y,
+                  CAST(floor((mu * (1.0e0 - mu)) * ${dlit(QScale)})
+                       AS BIGINT) AS wq,
+                  CAST(floor((CAST(y AS DOUBLE) - mu) *
+                             ${dlit(QScale)}) AS BIGINT) AS gq,
+                  CAST(floor(mu * ${dlit(QScale)}) AS BIGINT) AS muq
+           FROM ${p}e)"""
+  }
+
+  /** The (k+1)x(k+1) Newton step as a shared IR program over the
+    * moment refs (sw, swx_i, sww_i_j, sg, sgx_i) and the previous
+    * beta refs (b0..bk): defines nb0..nbk. ONE tree — evaluated on
+    * the driver with ExactFit.ev and rendered to SQL with
+    * ExactFit.layeredCtes, so both engines run the identical op
+    * sequence (the fitOLS precedent). */
+  def stepDefs(k: Int): Seq[ExactFit.Def] = {
+    import ExactFit._
+    def w(i: Int, j: Int): Ex = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      R(s"sww_${a}_$b")
+    }
+    val dim = k + 1
+    val mat = Vector.tabulate(dim, dim) { (r, c) =>
+      (r, c) match {
+        case (0, 0)   => R("sw")
+        case (0, cc)  => R(s"swx${cc - 1}")
+        case (rr, 0)  => R(s"swx${rr - 1}")
+        case (rr, cc) => w(rr - 1, cc - 1)
+      }
+    }
+    val rhs = Vector(R("sg"): Ex) ++
+      (0 until k).map(i => R(s"sgx$i"): Ex)
+    val defs = collection.mutable.ArrayBuffer.empty[Def]
+    defs += DefD("lg_d", det(mat))
+    for (u <- 0 until dim) {
+      val rep = Vector.tabulate(dim, dim) { (r, c) =>
+        if (c == u) rhs(r) else mat(r)(c)
+      }
+      defs += DefD(s"lg_n$u", det(rep))
+    }
+    val ok: Bx =
+      Cmp(">=", Op('*', R("lg_d"), R("lg_d")), Cst(1e-24))
+    for (u <- 0 until dim)
+      defs += DefD(s"nb$u",
+        Pick(Seq(ok -> Op('+', R(s"b$u"),
+                          Op('/', R(s"lg_n$u"), R("lg_d")))),
+             R(s"b$u")))
+    defs.toSeq
+  }
+
+  final case class FitK(beta: Vector[Double], n: Long,
+                        sumMuQ: java.math.BigDecimal)
+
+  /** k-feature fit: `iters` IR-stepped Newton iterations from
+    * beta = 0, then one readout aggregate. Feature columns must be
+    * integer-valued with |x_i * x_j| * 2^22 inside BIGINT. */
+  def fitMulti(df: DataFrame, xCols: Seq[Column], yCol: Column,
+               iters: Int = 3): FitK = {
+    require(iters >= 1 && iters <= 8 && xCols.nonEmpty)
+    val k = xCols.length
+    val clean = df.where(xCols.map(_.isNotNull)
+                           .reduceLeft(_ && _) && yCol.isNotNull)
+      .select(xCols.zipWithIndex.map { case (c, i) =>
+                c.cast("long").as(s"__x$i") } :+
+              yCol.cast("long").as("__y"): _*)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val xs = (0 until k).map(i => col(s"__x$i"))
+    var beta = Vector.fill(k + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val (wq, gq, _) = rowColsK(xs, col("__y"), beta)
+      val aggs = Seq(dec(wq).as("sw")) ++
+        xs.zipWithIndex.map { case (x, i) =>
+          dec(wq * x).as(s"swx$i") } ++
+        (for (i <- 0 until k; j <- i until k)
+          yield dec((wq * xs(i)) * xs(j)).as(s"sww_${i}_$j")) ++
+        Seq(dec(gq).as("sg")) ++
+        xs.zipWithIndex.map { case (x, i) => dec(gq * x).as(s"sgx$i") }
+      val row = clean.agg(aggs.head, aggs.tail: _*).head()
+      val env = ExactFit.Env(collection.mutable.Map.empty,
+                             collection.mutable.Map.empty)
+      row.schema.fieldNames.zipWithIndex.foreach { case (nm, i) =>
+        env.d(nm) = toD(row.get(i))
+      }
+      beta.zipWithIndex.foreach { case (b, u) => env.d(s"b$u") = b }
+      stepDefs(k).foreach {
+        case ExactFit.DefD(n, e) => env.d(n) = ExactFit.ev(e, env)
+        case ExactFit.DefB(n, b) => env.b(n) = ExactFit.bv(b, env)
+      }
+      beta = Vector.tabulate(k + 1)(u => env.d(s"nb$u"))
+    }
+    val (_, _, muq) = rowColsK(xs, col("__y"), beta)
+    val r = clean.agg(count(lit(1)).as("n"), dec(muq).as("smu")).head()
+    val smu = r.get(1) match {
+      case d: java.math.BigDecimal  => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case null                     => java.math.BigDecimal.ZERO
+      case x => throw new IllegalStateException(s"smu: $x")
+    }
+    FitK(beta, r.getLong(0), smu)
+  }
+
+  /** k-feature oracle chain: per-iteration row block + moment CTE +
+    * the IR step rendered via layeredCtes over the (moments x prev
+    * beta) cross join; final beta CTE `bt$iters` (b0..bk) and
+    * readout `mt${iters + 1}` (n, smu). */
+  def oracleCtesK(table: String, xSqls: Seq[String], ySql: String,
+                  where: String, iters: Int = 3): String = {
+    val k = xSqls.length
+    def momentK(t: Int): String = {
+      val cols = Seq(s"sum(CAST(wq AS HUGEINT))::DOUBLE AS sw") ++
+        (0 until k).map(i =>
+          s"sum(CAST(wq * x$i AS HUGEINT))::DOUBLE AS swx$i") ++
+        (for (i <- 0 until k; j <- i until k) yield
+          s"sum(CAST((wq * x$i) * x$j AS HUGEINT))::DOUBLE" +
+            s" AS sww_${i}_$j") ++
+        Seq("sum(CAST(gq AS HUGEINT))::DOUBLE AS sg") ++
+        (0 until k).map(i =>
+          s"sum(CAST(gq * x$i AS HUGEINT))::DOUBLE AS sgx$i")
+      s"""mt$t AS (
+           SELECT ${cols.mkString(",\n                  ")}
+           FROM rt${t}f)"""
+    }
+    def stepK(t: Int): String = {
+      val stepped = ExactFit.layeredCtes(
+        stepDefs(k), s"ct$t", s"cl${t}_", s"cf$t")
+      s"""ct$t AS (SELECT * FROM mt$t, bt${t - 1}),
+         $stepped,
+         bt$t AS (SELECT ${(0 to k).map(u => s"nb$u AS b$u")
+             .mkString(", ")} FROM cf$t)"""
+    }
+    val blocks = (1 to iters).map { t =>
+      s"""${rowSqlK(s"rt$t", "lgd", s"bt${t - 1}", k)},
+         ${momentK(t)},
+         ${stepK(t)}"""
+    }
+    val ro = iters + 1
+    s"""lgd AS MATERIALIZED (
+           SELECT ${xSqls.zipWithIndex.map { case (x, i) =>
+             s"CAST($x AS BIGINT) AS x$i" }.mkString(",\n                  ")},
+                  CAST($ySql AS BIGINT) AS y
+           FROM $table$where),
+         bt0 AS (SELECT ${(0 to k).map(u => s"0.0e0 AS b$u")
+             .mkString(", ")}),
+         ${blocks.mkString(",\n         ")},
+         ${rowSqlK(s"rt$ro", "lgd", s"bt$iters", k)},
+         mt$ro AS (
+           SELECT count(*)::BIGINT AS n,
+                  coalesce(sum(CAST(muq AS HUGEINT)), 0) AS smu
+           FROM rt${ro}f)"""
+  }
+
   /** Full oracle CTE chain: `lgd` (integer inputs) + per-iteration
     * row/moment/step blocks + the `mt${iters + 1}` readout. Compose
     * the final SELECT over `bt$iters` (b0, b1) and

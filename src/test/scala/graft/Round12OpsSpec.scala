@@ -123,6 +123,49 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(a.beta1 > 0.0, a.toString)
   }
 
+  test("ExactLogit: fitMulti at k=1 is BIT-identical to the " +
+       "hand-paired fit — the IR step and the lockstep formula are " +
+       "the same op sequence (multiplication commutes exactly)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(3000) { _ =>
+      val x = (rnd.nextInt(40) + 1).toLong
+      (x, if (rnd.nextDouble() < 0.15 + 0.01 * x) 1L else 0L)
+    }.toDF("x", "y")
+    val a = graft.core.ExactLogit.fit(df, col("x"), col("y"), 3)
+    val m = graft.core.ExactLogit.fitMulti(
+      df, Seq(col("x")), col("y"), 3)
+    assert(java.lang.Double.doubleToLongBits(a.beta0) ==
+           java.lang.Double.doubleToLongBits(m.beta(0)))
+    assert(java.lang.Double.doubleToLongBits(a.beta1) ==
+           java.lang.Double.doubleToLongBits(m.beta(1)))
+    assert(a.n == m.n && a.sumMuQ.compareTo(m.sumMuQ) == 0)
+  }
+
+  test("ExactLogit: two-feature fitMulti recovers both closed-form " +
+       "group logits on a 2x2 design") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // independent binary features, multiplicative-in-logit rates:
+    // logit = -1 + 1*x1 + 0.5*x2 -> rates sigmoid(-1,-0.5,0,0.5)
+    val sig = (v: Double) => 1.0 / (1.0 + math.exp(-v))
+    val rows = for {
+      x1 <- 0 to 1; x2 <- 0 to 1; i <- 0 until 2000
+    } yield {
+      val p = sig(-1.0 + 1.0 * x1 + 0.5 * x2)
+      (x1.toLong, x2.toLong, if (i < (p * 2000).round) 1L else 0L)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val f = graft.core.ExactLogit.fitMulti(
+      df, Seq(col("x1"), col("x2")), col("y"), 4)
+    // saturated 2x2 logistic: empirical cell rates are within 1/4000
+    // of the target, so the MLE sits near the generating coefficients
+    assert(math.abs(f.beta(0) - (-1.0)) < 0.02, f.toString)
+    assert(math.abs(f.beta(1) - 1.0) < 0.03, f.toString)
+    assert(math.abs(f.beta(2) - 0.5) < 0.03, f.toString)
+  }
+
   test("ExactLogit: empty and degenerate inputs take the singular " +
        "guard — beta stays 0, no NaN") {
     val spark = TestSpark.spark
