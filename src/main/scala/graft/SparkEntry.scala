@@ -2681,6 +2681,30 @@ object SparkEntry {
         .toDF("n", "beta0", "beta_qty", "sum_mu_q24")
     }),
 
+    "q_logreg_weighted" -> ((s, dir) => {
+      // sample-WEIGHTED exact logistic (the weighted-OLS/QP
+      // discipline applied to the quantized-Newton chain): the
+      // order-priority weight rides into every moment as an exact
+      // integer multiplier — weighted == row-replicated
+      // bit-identically (unit-proven), zero-weight rows invisible.
+      // n and the predicted-event mass are weight totals.
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      val w = when(col("o_orderpriority") === "1-URGENT", 3L)
+        .when(col("o_orderpriority") === "2-HIGH", 2L).otherwise(1L)
+      val joined = li.join(
+        ord.select(col("o_orderkey"), w.as("w")),
+        col("l_orderkey") === col("o_orderkey"))
+      val f = graft.core.ExactLogit.fitMultiWeighted(
+        joined.where(col("l_quantity").isNotNull),
+        Seq(round(col("l_quantity"))),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L),
+        col("w"), iters = 3)
+      import s.implicits._
+      Seq((f.n, f.beta(0), f.beta(1), f.sumMuQ.longValueExact))
+        .toDF("w_total", "beta0", "beta_qty", "sum_mu_q24")
+    }),
+
     "q_logreg_multi" -> ((s, dir) => {
       // MULTI-feature exact logistic (return-flag ~ quantity +
       // discount-pct): the quantized-Newton chain with the 3x3
@@ -8685,6 +8709,21 @@ object SparkEntry {
     // identity with the row fit — stream == batch by construction,
     // oracle shared verbatim
     "q_stream_logreg" -> logregOracle,
+
+    // weighted replay: the priority weight multiplies every moment
+    // inside the HUGEINT casts; n/smu are weight totals
+    "q_logreg_weighted" ->
+      s"""WITH ${graft.core.ExactLogit.oracleCtesKWeighted(
+             "lineitem JOIN orders ON l_orderkey = o_orderkey",
+             Seq("round(l_quantity)"),
+             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+             "CASE WHEN o_orderpriority = '1-URGENT' THEN 3 " +
+               "WHEN o_orderpriority = '2-HIGH' THEN 2 ELSE 1 END",
+             " WHERE l_quantity IS NOT NULL", iters = 3)}
+         SELECT mt4.n AS w_total, bt3.b0 AS beta0,
+                bt3.b1 AS beta_qty,
+                mt4.smu::BIGINT AS sum_mu_q24
+         FROM bt3, mt4""",
 
     // k-feature replay: the IR-rendered 3x3 Cramer step over the
     // (moments x prev beta) cross join, layered per iteration

@@ -288,12 +288,13 @@ object ExactLogit {
     * and `betaCte(b0..bk)`; final CTE `${p}f` carries the features,
     * y, wq, gq, muq. */
   def rowSqlK(p: String, dataCte: String, betaCte: String,
-              k: Int): String = {
-    val xCols = (0 until k).map(i => s"d.x$i").mkString(", ")
+              k: Int, extra: Seq[String] = Nil): String = {
+    val xCols = ((0 until k).map(i => s"d.x$i") ++
+      extra.map(c => s"d.$c")).mkString(", ")
     val eta = (0 until k).foldLeft("b.b0") { (acc, i) =>
       s"($acc + (b.b${i + 1} * CAST(d.x$i AS DOUBLE)))"
     }
-    val keep = (0 until k).map(i => s"x$i").mkString(", ")
+    val keep = ((0 until k).map(i => s"x$i") ++ extra).mkString(", ")
     s"""${p}a AS (
            SELECT $xCols, d.y, $eta AS eta
            FROM $dataCte d, $betaCte b),
@@ -413,6 +414,115 @@ object ExactLogit {
       case x => throw new IllegalStateException(s"smu: $x")
     }
     FitK(beta, r.getLong(0), smu)
+  }
+
+  /** Sample-WEIGHTED k-feature fit (the weighted-OLS/QP discipline:
+    * an integer weight w means "this row counted w times", so every
+    * moment multiplies by w and stays an exact DECIMAL sum —
+    * weighted == row-replicated bit-identically, and zero-weight
+    * rows are exactly invisible). The per-row sigmoid chain is
+    * untouched: weights enter at the aggregate only. */
+  def fitMultiWeighted(df: DataFrame, xCols: Seq[Column],
+                       yCol: Column, wCol: Column,
+                       iters: Int = 3): FitK = {
+    require(iters >= 1 && iters <= 8 && xCols.nonEmpty)
+    val k = xCols.length
+    val clean = df.where(xCols.map(_.isNotNull)
+                           .reduceLeft(_ && _) && yCol.isNotNull &&
+                         wCol.isNotNull)
+      .select(xCols.zipWithIndex.map { case (c, i) =>
+                c.cast("long").as(s"__x$i") } ++
+              Seq(yCol.cast("long").as("__y"),
+                  round(wCol).cast("long").as("__w")): _*)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val xs = (0 until k).map(i => col(s"__x$i"))
+    val w = col("__w")
+    var beta = Vector.fill(k + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val (wq, gq, _) = rowColsK(xs, col("__y"), beta)
+      val aggs = Seq(dec(w * wq).as("sw")) ++
+        xs.zipWithIndex.map { case (x, i) =>
+          dec((w * wq) * x).as(s"swx$i") } ++
+        (for (i <- 0 until k; j <- i until k)
+          yield dec(((w * wq) * xs(i)) * xs(j)).as(s"sww_${i}_$j")) ++
+        Seq(dec(w * gq).as("sg")) ++
+        xs.zipWithIndex.map { case (x, i) =>
+          dec((w * gq) * x).as(s"sgx$i") }
+      val row = clean.agg(aggs.head, aggs.tail: _*).head()
+      val env = ExactFit.Env(collection.mutable.Map.empty,
+                             collection.mutable.Map.empty)
+      row.schema.fieldNames.zipWithIndex.foreach { case (nm, i) =>
+        env.d(nm) = toD(row.get(i))
+      }
+      beta.zipWithIndex.foreach { case (b, u) => env.d(s"b$u") = b }
+      stepDefs(k).foreach {
+        case ExactFit.DefD(n, e) => env.d(n) = ExactFit.ev(e, env)
+        case ExactFit.DefB(n, b) => env.b(n) = ExactFit.bv(b, env)
+      }
+      beta = Vector.tabulate(k + 1)(u => env.d(s"nb$u"))
+    }
+    val (_, _, muq) = rowColsK(xs, col("__y"), beta)
+    val r = clean.agg(dec(w).as("n"), dec(w * muq).as("smu")).head()
+    def big(v: Any): java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal  => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case null                     => java.math.BigDecimal.ZERO
+      case x => throw new IllegalStateException(s"wsum: $x")
+    }
+    FitK(beta, big(r.get(0)).longValueExact, big(r.get(1)))
+  }
+
+  /** Weighted k-feature oracle chain — [[oracleCtesK]] with a weight
+    * expression riding into every moment (`lgd` gains a `w` column;
+    * the row blocks pass it through untouched). */
+  def oracleCtesKWeighted(table: String, xSqls: Seq[String],
+                          ySql: String, wSql: String, where: String,
+                          iters: Int = 3): String = {
+    val k = xSqls.length
+    def momentK(t: Int): String = {
+      val cols = Seq(s"sum(CAST(w * wq AS HUGEINT))::DOUBLE AS sw") ++
+        (0 until k).map(i =>
+          s"sum(CAST((w * wq) * x$i AS HUGEINT))::DOUBLE AS swx$i") ++
+        (for (i <- 0 until k; j <- i until k) yield
+          s"sum(CAST(((w * wq) * x$i) * x$j AS HUGEINT))::DOUBLE" +
+            s" AS sww_${i}_$j") ++
+        Seq("sum(CAST(w * gq AS HUGEINT))::DOUBLE AS sg") ++
+        (0 until k).map(i =>
+          s"sum(CAST((w * gq) * x$i AS HUGEINT))::DOUBLE AS sgx$i")
+      s"""mt$t AS (
+           SELECT ${cols.mkString(",\n                  ")}
+           FROM rt${t}f)"""
+    }
+    def stepK(t: Int): String = {
+      val stepped = ExactFit.layeredCtes(
+        stepDefs(k), s"ct$t", s"cl${t}_", s"cf$t")
+      s"""ct$t AS (SELECT * FROM mt$t, bt${t - 1}),
+         $stepped,
+         bt$t AS (SELECT ${(0 to k).map(u => s"nb$u AS b$u")
+             .mkString(", ")} FROM cf$t)"""
+    }
+    def rowBlock(p: String, betaCte: String): String =
+      rowSqlK(p, "lgd", betaCte, k, extra = Seq("w"))
+    val blocks = (1 to iters).map { t =>
+      s"""${rowBlock(s"rt$t", s"bt${t - 1}")},
+         ${momentK(t)},
+         ${stepK(t)}"""
+    }
+    val ro = iters + 1
+    s"""lgd AS MATERIALIZED (
+           SELECT ${xSqls.zipWithIndex.map { case (x, i) =>
+             s"CAST($x AS BIGINT) AS x$i" }.mkString(",\n                  ")},
+                  CAST($ySql AS BIGINT) AS y,
+                  CAST(round($wSql) AS BIGINT) AS w
+           FROM $table$where),
+         bt0 AS (SELECT ${(0 to k).map(u => s"0.0e0 AS b$u")
+             .mkString(", ")}),
+         ${blocks.mkString(",\n         ")},
+         ${rowBlock(s"rt$ro", s"bt$iters")},
+         mt$ro AS (
+           SELECT coalesce(sum(CAST(w AS HUGEINT)), 0)::BIGINT AS n,
+                  coalesce(sum(CAST(w * muq AS HUGEINT)), 0) AS smu
+           FROM rt${ro}f)"""
   }
 
   /** k-feature oracle chain: per-iteration row block + moment CTE +

@@ -166,6 +166,37 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(math.abs(f.beta(2) - 0.5) < 0.03, f.toString)
   }
 
+  test("ExactLogit: weighted fit == row-replicated fit bit-for-bit, " +
+       "and zero-weight rows are exactly invisible") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Seq.tabulate(800) { _ =>
+      val x = (rnd.nextInt(30) + 1).toLong
+      (x, if (rnd.nextDouble() < 0.2 + 0.015 * x) 1L else 0L,
+       (rnd.nextInt(3) + 1).toLong)
+    }
+    val wdf = base.toDF("x", "y", "w")
+    val repl = base.flatMap { case (x, y, w) =>
+      Seq.fill(w.toInt)((x, y)) }.toDF("x", "y")
+    val fw = graft.core.ExactLogit.fitMultiWeighted(
+      wdf, Seq(col("x")), col("y"), col("w"), 3)
+    val fr = graft.core.ExactLogit.fitMulti(
+      repl, Seq(col("x")), col("y"), 3)
+    assert(java.lang.Double.doubleToLongBits(fw.beta(0)) ==
+           java.lang.Double.doubleToLongBits(fr.beta(0)), s"$fw $fr")
+    assert(java.lang.Double.doubleToLongBits(fw.beta(1)) ==
+           java.lang.Double.doubleToLongBits(fr.beta(1)), s"$fw $fr")
+    assert(fw.n == fr.n && fw.sumMuQ.compareTo(fr.sumMuQ) == 0)
+    // zero-weight rows change nothing
+    val withZero = (base :+ (7L, 1L, 0L)).toDF("x", "y", "w")
+    val fz = graft.core.ExactLogit.fitMultiWeighted(
+      withZero, Seq(col("x")), col("y"), col("w"), 3)
+    assert(java.lang.Double.doubleToLongBits(fz.beta(1)) ==
+           java.lang.Double.doubleToLongBits(fw.beta(1)))
+    assert(fz.n == fw.n)
+  }
+
   test("ExactLogit: empty and degenerate inputs take the singular " +
        "guard — beta stays 0, no NaN") {
     val spark = TestSpark.spark
