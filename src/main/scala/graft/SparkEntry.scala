@@ -2705,6 +2705,45 @@ object SparkEntry {
         .toDF("w_total", "beta0", "beta_qty", "sum_mu_q24")
     }),
 
+    "q_score_calibrate" -> ((s, dir) => {
+      // SCORECARD CALIBRATION as an exact distributed fit: a deployed
+      // integer-point scorecard (bin -> points CASE chains — the
+      // artifact a scorecard actually ships, cf. the reference's
+      // rounded points surface, scorecard.py rounding_mip) is
+      // re-calibrated to PD on fresh rows via the quantized-Newton
+      // logistic (PD ~ points), then audited per score band:
+      // observed events vs the model's predicted event mass (the
+      // exact 2^-24 integer muq — a Hosmer-Lemeshow readout with
+      // zero float-summation noise). Betas replay bit-identically in
+      // the oracle's IR chain and every band row is re-derived from
+      // raw rows, so the whole thing is strict at ANY SF.
+      val li = T(s, dir, "lineitem")
+      val pricePts = when(col("l_extendedprice") < 25000.0, 12L)
+        .when(col("l_extendedprice") < 50000.0, 35L)
+        .when(col("l_extendedprice") < 75000.0, 58L).otherwise(80L)
+      val qtyPts = when(col("l_quantity") < 10.0, 20L)
+        .when(col("l_quantity") < 25.0, 45L)
+        .when(col("l_quantity") < 40.0, 65L).otherwise(85L)
+      val clean = li.where(col("l_extendedprice").isNotNull &&
+                           col("l_quantity").isNotNull)
+      val y = when(col("l_returnflag") === "R", 1L).otherwise(0L)
+      val f = graft.core.ExactLogit.fitMulti(
+        clean, Seq(pricePts, qtyPts), y, iters = 3)
+      val (_, _, muq) = graft.core.ExactLogit.rowColsK(
+        Seq(pricePts, qtyPts), y, f.beta)
+      val pts = pricePts + qtyPts
+      val band = when(pts < 80, 0L).when(pts < 110, 1L)
+        .when(pts < 140, 2L).otherwise(3L)
+      clean.groupBy(band.as("band"))
+        .agg(count(lit(1)).as("n"), sum(y).as("events"),
+             sum(muq.cast("decimal(38,0)")).cast("long")
+               .as("pred_q24"))
+        .withColumn("beta0", lit(f.beta(0)))
+        .withColumn("beta_price", lit(f.beta(1)))
+        .withColumn("beta_qty", lit(f.beta(2)))
+        .orderBy("band")
+    }),
+
     "q_logreg_multi" -> ((s, dir) => {
       // MULTI-feature exact logistic (return-flag ~ quantity +
       // discount-pct): the quantized-Newton chain with the 3x3
@@ -8724,6 +8763,33 @@ object SparkEntry {
                 bt3.b1 AS beta_qty,
                 mt4.smu::BIGINT AS sum_mu_q24
          FROM bt3, mt4""",
+
+    // calibration replay: the fitted bt3 betas feed the final row
+    // block rt4f, whose per-row exact muq aggregates per score band
+    "q_score_calibrate" ->
+      s"""WITH ${graft.core.ExactLogit.oracleCtesK(
+             "lineitem",
+             Seq("CASE WHEN l_extendedprice < 25000.0 THEN 12 " +
+                   "WHEN l_extendedprice < 50000.0 THEN 35 " +
+                   "WHEN l_extendedprice < 75000.0 THEN 58 " +
+                   "ELSE 80 END",
+                 "CASE WHEN l_quantity < 10.0 THEN 20 " +
+                   "WHEN l_quantity < 25.0 THEN 45 " +
+                   "WHEN l_quantity < 40.0 THEN 65 ELSE 85 END"),
+             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+             " WHERE l_extendedprice IS NOT NULL" +
+               " AND l_quantity IS NOT NULL", iters = 3)}
+         SELECT b.band, b.n, b.events, b.pred_q24,
+                bt3.b0 AS beta0, bt3.b1 AS beta_price,
+                bt3.b2 AS beta_qty
+         FROM (
+           SELECT CASE WHEN x0 + x1 < 80 THEN 0
+                       WHEN x0 + x1 < 110 THEN 1
+                       WHEN x0 + x1 < 140 THEN 2 ELSE 3 END AS band,
+                  count(*) AS n, sum(y)::BIGINT AS events,
+                  sum(CAST(muq AS HUGEINT))::BIGINT AS pred_q24
+           FROM rt4f GROUP BY 1) b, bt3
+         ORDER BY b.band""",
 
     // k-feature replay: the IR-rendered 3x3 Cramer step over the
     // (moments x prev beta) cross join, layered per iteration

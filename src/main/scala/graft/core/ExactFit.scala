@@ -222,7 +222,8 @@ object ExactFit {
   }
 
   /** Sample-WEIGHTED piecewise moments (the binning family's
-    * sample_weight, `model_data.py:75-90`): every moment multiplied
+    * `sample_weight` fit parameter, `binning.py:538-562`): every
+    * moment multiplied
     * by an integer weight, `n` = the weight total — exact DECIMAL
     * sums, so the weighted piecewise fit keeps full bit-parity. */
   def momentAggsWeighted(spec: PWSpec, xCol: Column, yCol: Column,

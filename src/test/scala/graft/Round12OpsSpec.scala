@@ -231,4 +231,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(exact.getLong(5) == 8L, exact.toString)
     assert(loose.getLong(5) == 12L, loose.toString)
   }
+
+  test("q_score_calibrate: bands partition the rows and the " +
+       "calibrated predicted mass tracks observed events") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("q_score_calibrate")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val n = rows.map(_.getLong(1)).sum
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert(n == li.where(
+      org.apache.spark.sql.functions.col("l_extendedprice").isNotNull &&
+      org.apache.spark.sql.functions.col("l_quantity").isNotNull).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // events <= n per band
+      assert(!r.getDouble(4).isNaN && !r.getDouble(5).isNaN &&
+             !r.getDouble(6).isNaN)
+    }
+    // Newton calibration: TOTAL predicted event mass (sum muq / 2^24)
+    // lands within 1% of total observed events after 3 steps
+    val pred = rows.map(_.getLong(3)).sum.toDouble / (1L << 24)
+    val obs = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(pred - obs) / obs < 0.01, s"pred=$pred obs=$obs")
+  }
 }
