@@ -1403,6 +1403,58 @@ object ScaleProbe {
           }
         }
       }
+      // (5) WEIGHTED logistic — the weighted Newton chain is still
+      // ONE scan-bound moment aggregate per step (the weight is one
+      // extra multiply inside the DECIMAL casts), so fit wall time
+      // tracks rows. Scale-invariance claim probed EXACTLY: fitting
+      // the 16x-replicated rows at weight w is bit-identical to
+      // fitting the 1x rows at weight 16w (integer moments are equal
+      // as exact decimals, so the Newton chains are the same doubles).
+      {
+        val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .where(col("l_quantity").isNotNull)
+          .join(spark.read.parquet(s"$sfDir/orders.parquet")
+            .select(col("o_orderkey"),
+              when(col("o_orderpriority") === "1-URGENT", 3L)
+                .when(col("o_orderpriority") === "2-HIGH", 2L)
+                .otherwise(1L).as("w")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(round(col("l_quantity")).cast("long").as("x"),
+                  when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                    .as("y"),
+                  col("w"))
+        var f16w: graft.core.ExactLogit.FitK = null
+        Seq(1, 16).foreach { mult =>
+          val df = if (mult == 1) liRaw
+            else liRaw.crossJoin(spark.range(mult.toLong)
+              .select(col("id").as("__rep"))).drop("__rep")
+          val n = df.count()
+          (1 to 2).foreach { pass =>
+            var f: graft.core.ExactLogit.FitK = null
+            val tFit = timed {
+              f = graft.core.ExactLogit.fitMultiWeighted(
+                df, Seq(col("x")), col("y"), col("w"), 3)
+            }
+            if (pass == 2) {
+              if (mult == 1) {
+                f16w = graft.core.ExactLogit.fitMultiWeighted(
+                  df, Seq(col("x")), col("y"), col("w") * 16, 3)
+              } else {
+                assert(f.beta.zip(f16w.beta).forall { case (a, b) =>
+                  java.lang.Double.doubleToLongBits(a) ==
+                    java.lang.Double.doubleToLongBits(b) } &&
+                  f.n == f16w.n &&
+                  f.sumMuQ.compareTo(f16w.sumMuQ) == 0,
+                  s"16x-replicated-at-w != 1x-at-16w: $f vs $f16w")
+              }
+              println(f"PROBE round12-wlogreg mult=$mult%2d rows=$n%9d " +
+                f"fit=$tFit%6.2f s beta1=${f.beta(1)}%.8f " +
+                f"w_total=${f.n}%11d")
+            }
+            spark.catalog.clearCache()
+          }
+        }
+      }
     }
     section("json") {
       // q_json_extract at 1x/16x: schema'd from_json over the events
