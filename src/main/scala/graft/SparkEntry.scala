@@ -34,6 +34,24 @@ object SparkEntry {
         s"WHEN l_extendedprice < ${sp.toLong} THEN $i" }
       .mkString("CASE ", " ", s" ELSE ${liSplits8.length} END")
 
+  /** Cumulative Poisson(1) CDF thresholds on the md5-uniform 32-bit
+    * hex grid, k = 0..6 (the tail mass, ~8.3e-5, collapses to w=7 —
+    * the standard truncated Poisson bootstrap): the only
+    * transcendental (exp) is evaluated ONCE here on the driver and
+    * shipped as the SAME 8-char lowercase-hex literals into both
+    * engines — the logistic's shipped-constants discipline applied
+    * to resampling. Fixed-width lowercase hex compares
+    * lexicographically == numerically in Spark and DuckDB alike. */
+  private val poissonCdfHex: IndexedSeq[String] = {
+    var pk = StrictMath.exp(-1.0)
+    var cdf = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) pk = pk / k
+      cdf += pk
+      f"${math.floor(cdf * 4294967296.0).toLong}%08x"
+    }
+  }
+
   /** Pinned per-variable binning for the oracled scorecard queries:
     * user splits take the exact aggregation path, so the oracle can
     * re-derive every WoE from the raw data at the same literals. */
@@ -2742,6 +2760,52 @@ object SparkEntry {
         .withColumn("beta_price", lit(f.beta(1)))
         .withColumn("beta_qty", lit(f.beta(2)))
         .orderBy("band")
+    }),
+
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // ONE-PASS POISSON BOOTSTRAP: 32 bootstrap replicas of the
+      // mean order value WITHOUT resampling the data — each
+      // (row, replica) draws a Poisson(1) replication weight from an
+      // md5-uniform (deterministic, engine-portable), via the
+      // shipped cumulative-CDF hex constants (poissonCdfHex). One
+      // scan fans out 32x inside the aggregate (broadcast spine, no
+      // extra shuffle; 32 groups, map-side combined), sums stay
+      // exact integers (cents x weight in DECIMAL), and the per-
+      // replica mean is ONE double division of identical integers —
+      // every replica row and the order-statistic 90% CI bounds are
+      // bit-identical across engines at any SF. The 100 TB story:
+      // uncertainty quantification in one pass, driver sees 32 rows.
+      val li = T(s, dir, "lineitem")
+      val reps = 32
+      val base = li.where(col("l_extendedprice").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                round(col("l_extendedprice") * 100).cast("long")
+                  .as("v"))
+        .crossJoin(broadcast(
+          s.range(reps.toLong).select(col("id").as("b"))))
+      val key = concat(col("l_orderkey").cast("string"), lit(":"),
+                       col("l_linenumber").cast("string"), lit(":"),
+                       col("b").cast("string"))
+      val h8 = substring(md5(key.cast("binary")), 1, 8)
+      val w = poissonCdfHex.zipWithIndex
+        .foldRight(lit(7L): Column) { case ((t, k), acc) =>
+          when(h8 < lit(t), k.toLong).otherwise(acc)
+        }
+      val stats = base.groupBy("b")
+        .agg(sum(w).as("n_eff"),
+             sum((w * col("v")).cast("decimal(38,0)")).cast("long")
+               .as("sum_cents"))
+        .withColumn("mean_cents",
+          when(col("n_eff") > 0,
+            col("sum_cents").cast("double") /
+              col("n_eff").cast("double")))
+        .persist()
+      // bounded driver gate: 32 replica means -> order-stat CI
+      val means = stats.select("mean_cents").collect()
+        .map(_.getDouble(0)).sorted
+      stats.withColumn("ci90_lo", lit(means(1)))
+        .withColumn("ci90_hi", lit(means(reps - 2)))
+        .orderBy("b")
     }),
 
     "q_logreg_multi" -> ((s, dir) => {
@@ -8763,6 +8827,42 @@ object SparkEntry {
                 bt3.b1 AS beta_qty,
                 mt4.smu::BIGINT AS sum_mu_q24
          FROM bt3, mt4""",
+
+    // bootstrap replay: the SAME md5-uniform + shipped Poisson-CDF
+    // hex thresholds; exact integer sums per replica; the CI bounds
+    // are order statistics of the 32 identical replica means
+    "q_bootstrap_ci" -> {
+      val caseW = poissonCdfHex.zipWithIndex
+        .map { case (t, k) => s"WHEN h8 < '$t' THEN $k" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      s"""WITH base AS MATERIALIZED (
+             SELECT l_orderkey, l_linenumber,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+           reps AS (SELECT unnest(range(0, 32)) AS b),
+           rh AS MATERIALIZED (
+             SELECT b, v,
+                    substring(md5(l_orderkey::VARCHAR || ':' ||
+                                  l_linenumber::VARCHAR || ':' ||
+                                  b::VARCHAR), 1, 8) AS h8
+             FROM base CROSS JOIN reps),
+           st AS (
+             SELECT b, sum(w)::BIGINT AS n_eff,
+                    sum(CAST(w * v AS HUGEINT))::BIGINT AS sum_cents
+             FROM (SELECT b, v, $caseW AS w FROM rh) GROUP BY b),
+           stm AS MATERIALIZED (
+             SELECT b, n_eff, sum_cents,
+                    CASE WHEN n_eff > 0
+                         THEN sum_cents::DOUBLE / n_eff::DOUBLE
+                    END AS mean_cents
+             FROM st)
+         SELECT stm.b, stm.n_eff, stm.sum_cents, stm.mean_cents,
+                (SELECT mean_cents FROM stm ORDER BY mean_cents
+                 LIMIT 1 OFFSET 1) AS ci90_lo,
+                (SELECT mean_cents FROM stm ORDER BY mean_cents
+                 LIMIT 1 OFFSET 30) AS ci90_hi
+         FROM stm ORDER BY stm.b"""
+    },
 
     // calibration replay: the fitted bt3 betas feed the final row
     // block rt4f, whose per-row exact muq aggregates per score band

@@ -255,4 +255,33 @@ class Round12OpsSpec extends AnyFunSuite {
     val obs = rows.map(_.getLong(2)).sum.toDouble
     assert(math.abs(pred - obs) / obs < 0.01, s"pred=$pred obs=$obs")
   }
+
+  test("q_bootstrap_ci: 32 Poisson replicas with n_eff ~ n, CI " +
+       "bracketing the sample mean") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, round => sqlRound}
+    val rows = SparkEntry.queries("q_bootstrap_ci")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 32L))
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .where(col("l_extendedprice").isNotNull)
+    val n = li.count().toDouble
+    // Poisson(1) total: mean n, sd sqrt(n) — 6 sigma bounds
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - n) < 6 * math.sqrt(n),
+             s"n_eff=${r.getLong(1)} vs n=$n")
+    }
+    val lo = rows.head.getDouble(4); val hi = rows.head.getDouble(5)
+    assert(lo < hi)
+    val sampleMean = li
+      .agg(org.apache.spark.sql.functions.sum(
+        sqlRound(col("l_extendedprice") * 100).cast("long")))
+      .head().getLong(0).toDouble / n
+    assert(lo < sampleMean && sampleMean < hi,
+           s"mean=$sampleMean not in [$lo, $hi]")
+    // CI constants identical on every replica row
+    assert(rows.forall(r => r.getDouble(4) == lo &&
+                            r.getDouble(5) == hi))
+  }
 }
