@@ -712,4 +712,28 @@ class PlanShapeSpec extends AnyFunSuite {
              .contains("Exchange"),
            "re-shuffle between journey windows:\n" + plan)
   }
+
+  test("bootstrap CI: broadcast replica spine, map-side-combined " +
+       "aggregate, pruned pushed-filter scan") {
+    val spark = TestSpark.spark
+    val df = SparkEntry.queries("q_bootstrap_ci")(
+      spark, TestSpark.sf0001)
+    val plan = physical(df)
+    // the 32-row replica spine must BROADCAST (a shuffle join or a
+    // cartesian would be the 100 TB scale-killer here)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+    // partial_sum before the single 32-group exchange
+    assert(plan.contains("partial_sum"), plan)
+    // scan reads only the 3 needed columns with the filter pushed
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+           readSchema.contains("l_linenumber") &&
+           readSchema.contains("l_extendedprice") &&
+           !readSchema.contains("l_quantity"), readSchema)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_extendedprice)]"),
+           plan)
+  }
 }
