@@ -2791,10 +2791,15 @@ object SparkEntry {
         .foldRight(lit(7L): Column) { case ((t, k), acc) =>
           when(h8 < lit(t), k.toLong).otherwise(acc)
         }
-      val stats = base.groupBy("b")
-        .agg(sum(w).as("n_eff"),
-             sum((w * col("v")).cast("decimal(38,0)")).cast("long")
-               .as("sum_cents"))
+      // materialize the weight ONCE per (row, replica) in a project
+      // below the aggregate — passing the CASE expression into both
+      // aggregates would re-evaluate the md5 chain per branch per
+      // aggregate (measured 27 s vs ~3 s at sf0.1)
+      val weighted = base.select(col("b"), col("v"), w.as("w"))
+      val stats = weighted.groupBy("b")
+        .agg(sum(col("w")).as("n_eff"),
+             sum((col("w") * col("v")).cast("decimal(38,0)"))
+               .cast("long").as("sum_cents"))
         .withColumn("mean_cents",
           when(col("n_eff") > 0,
             col("sum_cents").cast("double") /

@@ -726,6 +726,13 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("CartesianProduct"), plan)
     // partial_sum before the single 32-group exchange
     assert(plan.contains("partial_sum"), plan)
+    // the md5 weight chain is a Project below the aggregate — inside
+    // the aggregate functions it re-evaluates per CASE branch per
+    // aggregate (measured 27 s -> 0.6 s at sf0.1)
+    val aggLines = plan.linesIterator
+      .filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("md5")),
+           "md5 leaked into the aggregate functions:\n" + plan)
     // scan reads only the 3 needed columns with the filter pushed
     val readSchema = plan.linesIterator
       .find(_.contains("ReadSchema")).getOrElse("")
