@@ -52,6 +52,50 @@ object SparkEntry {
     }
   }
 
+  /** The bootstrap's distributed stage (everything before the
+    * 32-row driver gate): broadcast replica spine, weight CASE
+    * materialized ONCE per (row, replica) in a project below the
+    * aggregate (inside the aggregate functions the md5 chain would
+    * re-evaluate per branch per aggregate), exact integer sums.
+    * Exposed so the plan-shape spec pins this stage directly. */
+  private[graft] def bootstrapStats(s: SparkSession, dir: String,
+                                    reps: Int): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val proj = li.where(col("l_extendedprice").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              round(col("l_extendedprice") * 100).cast("long")
+                .as("v"))
+    // the reps-x md5 fan-out runs per INPUT SPLIT of the streamed
+    // side: a single-file scan (the small-SF case) would serialize
+    // 19M md5 rows onto one core (measured 20-80 s vs ~2 s wide).
+    // Repartition the narrow 3-column projection only when the scan
+    // yields fewer splits than cores — at real scale the scan is
+    // already wide and no shuffle is added.
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (proj.rdd.getNumPartitions < par)
+      proj.repartition(par) else proj
+    val base = wide
+      .crossJoin(broadcast(
+        s.range(reps.toLong).select(col("id").as("b"))))
+    val key = concat(col("l_orderkey").cast("string"), lit(":"),
+                     col("l_linenumber").cast("string"), lit(":"),
+                     col("b").cast("string"))
+    val h8 = substring(md5(key.cast("binary")), 1, 8)
+    val w = poissonCdfHex.zipWithIndex
+      .foldRight(lit(7L): Column) { case ((t, k), acc) =>
+        when(h8 < lit(t), k.toLong).otherwise(acc)
+      }
+    base.select(col("b"), col("v"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+           sum((col("w") * col("v")).cast("decimal(38,0)"))
+             .cast("long").as("sum_cents"))
+      .withColumn("mean_cents",
+        when(col("n_eff") > 0,
+          col("sum_cents").cast("double") /
+            col("n_eff").cast("double")))
+  }
+
   /** Pinned per-variable binning for the oracled scorecard queries:
     * user splits take the exact aggregation path, so the oracle can
     * re-derive every WoE from the raw data at the same literals. */
@@ -2775,41 +2819,20 @@ object SparkEntry {
       // every replica row and the order-statistic 90% CI bounds are
       // bit-identical across engines at any SF. The 100 TB story:
       // uncertainty quantification in one pass, driver sees 32 rows.
-      val li = T(s, dir, "lineitem")
       val reps = 32
-      val base = li.where(col("l_extendedprice").isNotNull)
-        .select(col("l_orderkey"), col("l_linenumber"),
-                round(col("l_extendedprice") * 100).cast("long")
-                  .as("v"))
-        .crossJoin(broadcast(
-          s.range(reps.toLong).select(col("id").as("b"))))
-      val key = concat(col("l_orderkey").cast("string"), lit(":"),
-                       col("l_linenumber").cast("string"), lit(":"),
-                       col("b").cast("string"))
-      val h8 = substring(md5(key.cast("binary")), 1, 8)
-      val w = poissonCdfHex.zipWithIndex
-        .foldRight(lit(7L): Column) { case ((t, k), acc) =>
-          when(h8 < lit(t), k.toLong).otherwise(acc)
-        }
-      // materialize the weight ONCE per (row, replica) in a project
-      // below the aggregate — passing the CASE expression into both
-      // aggregates would re-evaluate the md5 chain per branch per
-      // aggregate (measured 27 s vs ~3 s at sf0.1)
-      val weighted = base.select(col("b"), col("v"), w.as("w"))
-      val stats = weighted.groupBy("b")
-        .agg(sum(col("w")).as("n_eff"),
-             sum((col("w") * col("v")).cast("decimal(38,0)"))
-               .cast("long").as("sum_cents"))
-        .withColumn("mean_cents",
-          when(col("n_eff") > 0,
-            col("sum_cents").cast("double") /
-              col("n_eff").cast("double")))
-        .persist()
-      // bounded driver gate: 32 replica means -> order-stat CI
-      val means = stats.select("mean_cents").collect()
-        .map(_.getDouble(0)).sorted
-      stats.withColumn("ci90_lo", lit(means(1)))
-        .withColumn("ci90_hi", lit(means(reps - 2)))
+      // bounded driver gate: ONE aggregate pass collects the 32
+      // replica rows; the order-stat CI and the returned frame are
+      // built from them on the driver (persist-free — materializing
+      // a cache runs the child plan interpreted, measured 17.8 s vs
+      // 1.9 s codegen'd for this md5-heavy scan)
+      val rows = bootstrapStats(s, dir, reps).collect()
+      val means = rows.map(_.getDouble(3)).sorted
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                     r.getDouble(3), means(1), means(reps - 2)))
+        .toSeq
+        .toDF("b", "n_eff", "sum_cents", "mean_cents",
+              "ci90_lo", "ci90_hi")
         .orderBy("b")
     }),
 

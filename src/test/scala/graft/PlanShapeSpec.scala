@@ -716,8 +716,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("bootstrap CI: broadcast replica spine, map-side-combined " +
        "aggregate, pruned pushed-filter scan") {
     val spark = TestSpark.spark
-    val df = SparkEntry.queries("q_bootstrap_ci")(
-      spark, TestSpark.sf0001)
+    // the distributed stage (the query itself driver-stages the
+    // 32-row result, so its returned plan is a LocalRelation)
+    val df = SparkEntry.bootstrapStats(spark, TestSpark.sf0001, 32)
     val plan = physical(df)
     // the 32-row replica spine must BROADCAST (a shuffle join or a
     // cartesian would be the 100 TB scale-killer here)
