@@ -472,6 +472,73 @@ object ExactLogit {
     FitK(beta, big(r.get(0)).longValueExact, big(r.get(1)))
   }
 
+  /** The identical k-feature fit from an (x0..x{k-1}, y, cnt)
+    * HISTOGRAM — [[fitFromCells]]' factoring applied to [[fitMulti]]
+    * / [[fitMultiWeighted]]: every per-row quantity depends only on
+    * (x_vec, y), so each row-level moment factors EXACTLY through
+    * the cell table (sum_rows f = sum_cells cnt * f — the proven
+    * weighted==replicated identity with cnt as the weight). For a
+    * weighted fit, pass cnt = sum of the integer weights per cell:
+    * sum_rows w_i * f(x_i, y_i) = sum_cells (sum w) * f(x, y) by the
+    * same identity. The cnt multiply runs in DECIMAL, not DOUBLE:
+    * per-row integer quantities stay < 2^53 by the [[fitMulti]]
+    * precondition, but cnt * wq * x_i * x_j can pass 2^53 on large
+    * cells, so each per-row product is cast to DECIMAL(38,0) BEFORE
+    * the cnt multiply — the sum is the same exact integer
+    * [[fitMulti]] accumulates row-wise, hence bit-identical betas
+    * and readouts. Collapses the iters + 1 corpus scans to ONE
+    * histogram scan plus cell-table passes whenever the x-domain is
+    * bounded (guide §2.3/§2.4: aggregate before you iterate). */
+  def fitMultiFromCells(cells: DataFrame, xCols: Seq[Column],
+                        yCol: Column, cntCol: Column,
+                        iters: Int = 3): FitK = {
+    require(iters >= 1 && iters <= 8 && xCols.nonEmpty)
+    val k = xCols.length
+    val clean = cells.where(xCols.map(_.isNotNull)
+                              .reduceLeft(_ && _) && yCol.isNotNull &&
+                            cntCol.isNotNull)
+      .select(xCols.zipWithIndex.map { case (c, i) =>
+                c.cast("long").as(s"__x$i") } ++
+              Seq(yCol.cast("long").as("__y"),
+                  cntCol.cast("decimal(38,0)").as("__c")): _*)
+    val cnt = col("__c")
+    // exact cell moment: per-row quantity -> DECIMAL, then * cnt
+    def dec(c: Column): Column = sum(cnt * c.cast("decimal(38,0)"))
+    val xs = (0 until k).map(i => col(s"__x$i"))
+    var beta = Vector.fill(k + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val (wq, gq, _) = rowColsK(xs, col("__y"), beta)
+      val aggs = Seq(dec(wq).as("sw")) ++
+        xs.zipWithIndex.map { case (x, i) =>
+          dec(wq * x).as(s"swx$i") } ++
+        (for (i <- 0 until k; j <- i until k)
+          yield dec((wq * xs(i)) * xs(j)).as(s"sww_${i}_$j")) ++
+        Seq(dec(gq).as("sg")) ++
+        xs.zipWithIndex.map { case (x, i) => dec(gq * x).as(s"sgx$i") }
+      val row = clean.agg(aggs.head, aggs.tail: _*).head()
+      val env = ExactFit.Env(collection.mutable.Map.empty,
+                             collection.mutable.Map.empty)
+      row.schema.fieldNames.zipWithIndex.foreach { case (nm, i) =>
+        env.d(nm) = toD(row.get(i))
+      }
+      beta.zipWithIndex.foreach { case (b, u) => env.d(s"b$u") = b }
+      stepDefs(k).foreach {
+        case ExactFit.DefD(n, e) => env.d(n) = ExactFit.ev(e, env)
+        case ExactFit.DefB(n, b) => env.b(n) = ExactFit.bv(b, env)
+      }
+      beta = Vector.tabulate(k + 1)(u => env.d(s"nb$u"))
+    }
+    val (_, _, muq) = rowColsK(xs, col("__y"), beta)
+    val r = clean.agg(sum(cnt).as("n"), dec(muq).as("smu")).head()
+    def big(v: Any): java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal  => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case null                     => java.math.BigDecimal.ZERO
+      case x => throw new IllegalStateException(s"cell sum: $x")
+    }
+    FitK(beta, big(r.get(0)).longValueExact, big(r.get(1)))
+  }
+
   /** Weighted k-feature oracle chain — [[oracleCtesK]] with a weight
     * expression riding into every moment (`lgd` gains a `w` column;
     * the row blocks pass it through untouched). */

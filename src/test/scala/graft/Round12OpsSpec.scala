@@ -197,6 +197,50 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(fz.n == fw.n)
   }
 
+  test("ExactLogit: fitMultiFromCells is BIT-identical to fitMulti " +
+       "(k=2 histogram factoring) and to fitMultiWeighted (cnt = " +
+       "sum of weights) — the one-scan rewrite's exactness claim") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(4000) { _ =>
+      val x0 = (rnd.nextInt(50) + 1).toLong
+      val x1 = rnd.nextInt(11).toLong
+      (x0, x1,
+       if (rnd.nextDouble() < 0.1 + 0.01 * x0 - 0.02 * x1) 1L else 0L)
+    }
+    val df = rows.toDF("x0", "x1", "y")
+    val cells = df.groupBy("x0", "x1", "y")
+      .agg(count(lit(1)).as("c"))
+    val a = graft.core.ExactLogit.fitMulti(
+      df, Seq(col("x0"), col("x1")), col("y"), 3)
+    val b = graft.core.ExactLogit.fitMultiFromCells(
+      cells, Seq(col("x0"), col("x1")), col("y"), col("c"), 3)
+    (0 to 2).foreach { u =>
+      assert(java.lang.Double.doubleToLongBits(a.beta(u)) ==
+             java.lang.Double.doubleToLongBits(b.beta(u)), s"$a vs $b")
+    }
+    assert(a.n == b.n && a.sumMuQ.compareTo(b.sumMuQ) == 0)
+    // weighted: cells with cnt = sum(w) == row-level weighted fit
+    val wrows = Seq.tabulate(900) { _ =>
+      val x = (rnd.nextInt(30) + 1).toLong
+      (x, if (rnd.nextDouble() < 0.2 + 0.015 * x) 1L else 0L,
+       (rnd.nextInt(3) + 1).toLong)
+    }
+    val wdf = wrows.toDF("x", "y", "w")
+    val wcells = wdf.groupBy("x", "y").agg(sum(col("w")).as("c"))
+    val fw = graft.core.ExactLogit.fitMultiWeighted(
+      wdf, Seq(col("x")), col("y"), col("w"), 3)
+    val fc = graft.core.ExactLogit.fitMultiFromCells(
+      wcells, Seq(col("x")), col("y"), col("c"), 3)
+    (0 to 1).foreach { u =>
+      assert(java.lang.Double.doubleToLongBits(fw.beta(u)) ==
+             java.lang.Double.doubleToLongBits(fc.beta(u)),
+             s"$fw vs $fc")
+    }
+    assert(fw.n == fc.n && fw.sumMuQ.compareTo(fc.sumMuQ) == 0)
+  }
+
   test("ExactLogit: empty and degenerate inputs take the singular " +
        "guard — beta stays 0, no NaN") {
     val spark = TestSpark.spark
