@@ -148,6 +148,51 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
+  /** Single-job batch staging (r12 optimization, guide §2.4 "remove
+    * shuffles outright"): write the nBatches trigger files of a
+    * staged replay in ONE pass — tag each row with its batch index
+    * `gExpr`, shuffle once keyed on it (each batch value owns exactly
+    * one task, so exactly one file per batch), sort within the task
+    * by (batch, orderCols) and `write.partitionBy`. Replaces the
+    * previous nBatches separate `where(p).repartition(1).write` jobs
+    * — nBatches input scans and one-partition shuffles became one of
+    * each. The partition dirs are then renamed to the `b<g>` layout
+    * [[stampStageMtimes]] and the file stream expect (partitionBy
+    * drops the tag from the file schema, matching the per-batch
+    * writer's output). A batch value missing from the data gets a
+    * zero-row fallback file so the trigger count — and with it the
+    * watermark sequencing — is identical to the per-batch writer.
+    * Rows whose gExpr is NULL are unstaged, exactly as they were
+    * dropped by every per-batch predicate. Batch composition is
+    * identical by construction, so every stream result is unchanged. */
+  private[graft] def stageBatchesOnePass(df: DataFrame, gExpr: Column,
+                                         nBatches: Int, stage: String,
+                                         orderCols: Seq[String]): Unit = {
+    val tmp = s"$stage/_onepass"
+    df.withColumn("__g", gExpr.cast("int"))
+      .repartition(nBatches, col("__g"))
+      .sortWithinPartitions(col("__g") +: orderCols.map(col): _*)
+      .write.mode("overwrite").partitionBy("__g").parquet(tmp)
+    val stageP = java.nio.file.Paths.get(stage)
+    (0 until nBatches).foreach { g =>
+      val src = java.nio.file.Paths.get(s"$tmp/__g=$g")
+      val dst = stageP.resolve(s"b$g")
+      if (java.nio.file.Files.isDirectory(src)) {
+        java.nio.file.Files.createDirectories(dst)
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        files.foreach(p => java.nio.file.Files.move(
+          p, dst.resolve(p.getFileName.toString)))
+      } else {
+        // empty batch: a zero-row file keeps the trigger count
+        df.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(dst.toString)
+      }
+    }
+    deleteRecursively(tmp)
+  }
+
   /** Staged time-ordered stream replay, the shared harness of the
     * single-input streaming queries: split `ev` into three event-time
     * thirds, stage them as separate files with strictly increasing
@@ -187,11 +232,12 @@ object SparkEntry {
     val (b1, b2) = (mnR + (mxR - mnR) / 3, mnR + 2 * ((mxR - mnR) / 3))
     val stage = tmpWorkDir(s"${prefix}_stage")
     val tsSec = col(tsColName).cast("long")
-    Seq(tsSec < b1, tsSec >= b1 && tsSec < b2, tsSec >= b2)
-      .zipWithIndex.foreach { case (p, g) =>
-        ev.where(p).repartition(1)
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+    // one staging job (was 3 scan+shuffle+write jobs); a NULL ts maps
+    // to a NULL batch tag = unstaged, as the 3 predicates dropped it
+    stageBatchesOnePass(ev,
+      when(tsSec < b1, 0).when(tsSec < b2, 1)
+        .when(tsSec >= b2, 2),
+      3, stage, Seq(tsColName))
     stampStageMtimes(stage, 3)
     val ckpt = tmpWorkDir(s"${prefix}_ckpt")
     val stream = s.readStream
@@ -1782,10 +1828,17 @@ object SparkEntry {
       val edges = graft.operators.MarketBasket
         .coOccurrence(li, "l_orderkey", "l_partkey")
         .where(col("n") >= 2)
+      // r12: persist the symmetrized edge list BEFORE deriving seeds —
+      // the seed frontier materializes first inside bfsDistances, and
+      // without the shared cache its lineage re-executed the entire
+      // co-occurrence subtree (2 shuffles over lineitem) a second
+      // time (guide §5 persist-when-reused; released per bench pass
+      // via clearCache like every graph cache here)
       val sym = edges.select(col("item_a").as("src"),
                              col("item_b").as("dst"))
         .unionByName(edges.select(col("item_b").as("src"),
                                   col("item_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = sym.select(col("src").as("v"))
         .where(col("v") % 25 === 0).distinct()
       graft.operators.Graph
@@ -1850,11 +1903,8 @@ object SparkEntry {
       val delta = nw.exceptAll(old).withColumn("op", lit("I"))
         .unionByName(old.exceptAll(nw).withColumn("op", lit("D")))
       val stage = tmpWorkDir("graft_srollup_stage")
-      (0 until 3).foreach { g =>
-        delta.where(pmod(col("o_orderkey"), lit(3)) === g)
-          .repartition(1)
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(delta, pmod(col("o_orderkey"), lit(3)), 3,
+                          stage, Seq.empty)
       stampStageMtimes(stage, 3)
       val ckpt = tmpWorkDir("graft_srollup_ckpt")
       val keys = Seq("o_orderstatus")
@@ -2461,11 +2511,8 @@ object SparkEntry {
                col("user_id").isNotNull)
         .select("event_id", "user_id", "event_type", "ts")
       val stage = tmpWorkDir("graft_attr_stage")
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("user_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(e, pmod(col("user_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, " +
@@ -2516,11 +2563,8 @@ object SparkEntry {
       // ~numHashes longs per doc — the corpus is never re-read.
       val d = T(s, dir, "documents").select("doc_id", "text")
       val stage = tmpWorkDir("graft_neardup_stage")
-      (0 until 3).foreach { g =>
-        d.where(pmod(col("doc_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(d, pmod(col("doc_id"), lit(3)), 3, stage,
+                          Seq("doc_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("doc_id BIGINT, text STRING")
@@ -2588,12 +2632,8 @@ object SparkEntry {
                 when(col("l_returnflag") === "R", 1L).otherwise(0L)
                   .as("y"))
       val stage = tmpWorkDir("graft_logreg_stage")
-      (0 until 3).foreach { g =>
-        li.where(pmod(col("l_orderkey"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("l_orderkey",
-                                               "l_linenumber")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(li, pmod(col("l_orderkey"), lit(3)), 3,
+                          stage, Seq("l_orderkey", "l_linenumber"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("l_orderkey BIGINT, l_linenumber INT, " +
@@ -2642,12 +2682,8 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity",
                 "l_extendedprice")
       val stage = tmpWorkDir("graft_linreg_stage")
-      (0 until 3).foreach { g =>
-        li.where(pmod(col("l_orderkey"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("l_orderkey",
-                                               "l_linenumber")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(li, pmod(col("l_orderkey"), lit(3)), 3,
+                          stage, Seq("l_orderkey", "l_linenumber"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("l_orderkey BIGINT, l_linenumber INT, " +
@@ -2731,14 +2767,26 @@ object SparkEntry {
       // DECIMAL sums, and the 2x2 Cramer step replays in the oracle's
       // CTE chain. Coefficients ship at FULL precision — the oracle
       // re-derives bit-identical doubles from raw rows at any SF.
-      // 3 Newton steps + 1 readout = 4 scan-bound aggregates.
+      // ONE corpus scan (r12 optimization, guide §2.3/§2.4): x is the
+      // rounded quantity — a DOMAIN-bounded integer — so the (x, y)
+      // histogram is a sufficient statistic and the fit factors
+      // bit-identically through it (ExactLogit.fitFromCells, the
+      // q_stream_logreg identity, oracle-proven at 3 SFs). The 4
+      // scan-bound aggregates of the row fit collapse to one
+      // histogram scan + driver-sized cell passes (<= ~100 cells,
+      // inside the documented bounded-aggregate driver gate).
       val li = T(s, dir, "lineitem")
-      val f = graft.core.ExactLogit.fit(
-        li.where(col("l_quantity").isNotNull),
-        round(col("l_quantity")),
-        when(col("l_returnflag") === "R", 1L).otherwise(0L),
-        iters = 3)
       import s.implicits._
+      val cells = li.where(col("l_quantity").isNotNull)
+        .groupBy(round(col("l_quantity")).cast("long").as("x"),
+                 when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                   .as("y"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("x", "y", "c")
+      val f = graft.core.ExactLogit.fitFromCells(
+        cells, col("x"), col("y"), col("c"), iters = 3)
       Seq((f.n, f.beta0, f.beta1, f.sumMuQ.longValueExact))
         .toDF("n", "beta0", "beta_qty", "sum_mu_q24")
     }),
@@ -2750,6 +2798,12 @@ object SparkEntry {
       // integer multiplier — weighted == row-replicated
       // bit-identically (unit-proven), zero-weight rows invisible.
       // n and the predicted-event mass are weight totals.
+      // ONE join pass (r12 optimization): the weight is an integer
+      // replication count, so sum_rows w*f(x,y) = sum_cells (sum w)*f
+      // — the weighted histogram keyed (x, y) with cnt = sum(w) is a
+      // sufficient statistic, and fitMultiFromCells replays the
+      // identical quantized-Newton chain on <= ~100 cells instead of
+      // re-running the join for every Newton step (was 4 join scans).
       val li = T(s, dir, "lineitem")
       val ord = T(s, dir, "orders")
       val w = when(col("o_orderpriority") === "1-URGENT", 3L)
@@ -2757,12 +2811,18 @@ object SparkEntry {
       val joined = li.join(
         ord.select(col("o_orderkey"), w.as("w")),
         col("l_orderkey") === col("o_orderkey"))
-      val f = graft.core.ExactLogit.fitMultiWeighted(
-        joined.where(col("l_quantity").isNotNull),
-        Seq(round(col("l_quantity"))),
-        when(col("l_returnflag") === "R", 1L).otherwise(0L),
-        col("w"), iters = 3)
       import s.implicits._
+      val cells = joined.where(col("l_quantity").isNotNull)
+        .groupBy(round(col("l_quantity")).cast("long").as("x"),
+                 when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                   .as("y"))
+        .agg(sum(col("w")).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("x", "y", "c")
+      val f = graft.core.ExactLogit.fitMultiFromCells(
+        cells, Seq(col("x")),
+        col("y"), col("c"), iters = 3)
       Seq((f.n, f.beta(0), f.beta(1), f.sumMuQ.longValueExact))
         .toDF("w_total", "beta0", "beta_qty", "sum_mu_q24")
     }),
@@ -2789,16 +2849,37 @@ object SparkEntry {
       val clean = li.where(col("l_extendedprice").isNotNull &&
                            col("l_quantity").isNotNull)
       val y = when(col("l_returnflag") === "R", 1L).otherwise(0L)
-      val f = graft.core.ExactLogit.fitMulti(
-        clean, Seq(pricePts, qtyPts), y, iters = 3)
+      // ONE corpus scan (r12 optimization): the scorecard's points
+      // are 4x4 CASE bins, so the (pricePts, qtyPts, y) histogram —
+      // <= 32 cells, domain-bounded — is a sufficient statistic for
+      // BOTH the quantized-Newton fit (fitMultiFromCells, the proven
+      // cnt==replication identity) AND the per-band audit readout
+      // (band, n, events, muq all depend only on the cell key). Was
+      // 5 corpus scans: 3 Newton + 1 readout + 1 band aggregate.
+      import s.implicits._
+      val cells = clean
+        .groupBy(pricePts.as("x0"), qtyPts.as("x1"), y.as("y"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getLong(3))).toSeq
+        .toDF("x0", "x1", "y", "c")
+      val f = graft.core.ExactLogit.fitMultiFromCells(
+        cells, Seq(col("x0"), col("x1")), col("y"), col("c"),
+        iters = 3)
       val (_, _, muq) = graft.core.ExactLogit.rowColsK(
-        Seq(pricePts, qtyPts), y, f.beta)
-      val pts = pricePts + qtyPts
+        Seq(col("x0"), col("x1")), col("y"), f.beta)
+      val pts = col("x0") + col("x1")
       val band = when(pts < 80, 0L).when(pts < 110, 1L)
         .when(pts < 140, 2L).otherwise(3L)
-      clean.groupBy(band.as("band"))
-        .agg(count(lit(1)).as("n"), sum(y).as("events"),
-             sum(muq.cast("decimal(38,0)")).cast("long")
+      // per-row sums factor through the cells exactly: n = sum c,
+      // events = sum c*y, pred = sum c*muq (muq is a function of the
+      // cell key alone; the c multiply runs in DECIMAL like the fit)
+      cells.groupBy(band.as("band"))
+        .agg(sum(col("c")).as("n"),
+             sum(col("c") * col("y")).as("events"),
+             sum(col("c").cast("decimal(38,0)") *
+                 muq.cast("decimal(38,0)")).cast("long")
                .as("pred_q24"))
         .withColumn("beta0", lit(f.beta(0)))
         .withColumn("beta_price", lit(f.beta(1)))
@@ -2844,15 +2925,27 @@ object SparkEntry {
       // layered CTEs, so the step generalizes to any k with zero new
       // hand-paired formulas. Full-precision coefficient parity at
       // any SF, same contract as q_logreg_exact.
+      // ONE corpus scan (r12 optimization): both features are
+      // domain-bounded integers (qty <= ~50, disc-pct <= ~10), so
+      // the (x0, x1, y) histogram — ~1000 cells — is a sufficient
+      // statistic and fitMultiFromCells replays the identical
+      // IR-stepped chain on the cells (was 4 corpus scans).
       val li = T(s, dir, "lineitem")
-      val f = graft.core.ExactLogit.fitMulti(
-        li.where(col("l_quantity").isNotNull &&
-                 col("l_discount").isNotNull),
-        Seq(round(col("l_quantity")),
-            round(col("l_discount") * 100)),
-        when(col("l_returnflag") === "R", 1L).otherwise(0L),
-        iters = 3)
       import s.implicits._
+      val cells = li.where(col("l_quantity").isNotNull &&
+                           col("l_discount").isNotNull)
+        .groupBy(round(col("l_quantity")).cast("long").as("x0"),
+                 round(col("l_discount") * 100).cast("long").as("x1"),
+                 when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                   .as("y"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getLong(3))).toSeq
+        .toDF("x0", "x1", "y", "c")
+      val f = graft.core.ExactLogit.fitMultiFromCells(
+        cells, Seq(col("x0"), col("x1")), col("y"), col("c"),
+        iters = 3)
       Seq((f.n, f.beta(0), f.beta(1), f.beta(2),
            f.sumMuQ.longValueExact))
         .toDF("n", "beta0", "beta_qty", "beta_disc", "sum_mu_q24")
@@ -3199,16 +3292,12 @@ object SparkEntry {
         .parquet(s"$dir/events.parquet")
         .withColumn("y", (col("user_id") % 2).cast("double"))
       val stage = tmpWorkDir("graft_stream_stage")
-      // three SEQUENTIAL single-file writes: batch contents are a pure
-      // function of the data (a parallel repartition write would leave
-      // trigger order to task-completion mtimes, and repartitionByRange
-      // would sample boundaries by input parallelism — both de-pin the
-      // oracle), and strictly increasing mtimes fix the replay order
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("event_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      // batch contents are a pure function of the data (the pmod tag —
+      // never a sampled range boundary), and stampStageMtimes pins the
+      // replay order after the write, so the one-pass stager changes
+      // neither composition nor trigger order
+      stageBatchesOnePass(e, pmod(col("event_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val ckpt = tmpWorkDir("graft_stream_ckpt")
       val stream = s.readStream
@@ -3258,11 +3347,8 @@ object SparkEntry {
       val d = T(s, dir, "documents").where(col("text").isNotNull)
         .select("doc_id", "text")
       val stage = tmpWorkDir("graft_topk_stage")
-      (0 until 3).foreach { g =>
-        d.where(pmod(col("doc_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(d, pmod(col("doc_id"), lit(3)), 3, stage,
+                          Seq("doc_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("doc_id BIGINT, text STRING")
@@ -3312,11 +3398,8 @@ object SparkEntry {
       val e = T(s, dir, "events").where(col("user_id").isNotNull)
         .select("event_id", "event_type", "user_id")
       val stage = tmpWorkDir("graft_shh_stage")
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("event_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(e, pmod(col("event_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
@@ -3376,11 +3459,8 @@ object SparkEntry {
       val e = T(s, dir, "events").where(col("user_id").isNotNull)
         .select("event_id", "event_type", "user_id")
       val stage = tmpWorkDir("graft_skmv_stage")
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("event_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(e, pmod(col("event_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
@@ -3445,11 +3525,8 @@ object SparkEntry {
                     timestamp_seconds(lit(1700000000L) + col("doc_id")))
         .select("doc_id", "text", "ts")
       val stage = tmpWorkDir("graft_cur_stage")
-      (0 until 3).foreach { g =>
-        d.where(pmod(col("doc_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(d, pmod(col("doc_id"), lit(3)), 3, stage,
+                          Seq("doc_id"))
       stampStageMtimes(stage, 3)
       def staged = s.readStream
         .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
@@ -3484,8 +3561,12 @@ object SparkEntry {
           .option("checkpointLocation", ckptD).start()
         }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-      qD.processAllAvailable(); qD.stop()
-      // stream 2: the raw replay through the drift monitor
+      // stream 2 — the raw replay through the drift monitor — is
+      // INDEPENDENT of stream 1 (separate checkpoint, separate driver
+      // accumulator), so it runs CONCURRENTLY (r12 optimization,
+      // guide §2.6 "overlap independent jobs"): its triggers
+      // back-fill the cores stream 1's trigger tail leaves idle.
+      // Each monitor only ever mutates from its own query thread.
       val mon = graft.streaming.StreamingDriftMonitor.fromExpected(
         d.where(col("doc_id") % 3 === 0)
           .select(graft.pipeline.TextAnalysis.tokenCount(col("text"))
@@ -3498,6 +3579,7 @@ object SparkEntry {
         .writeStream.outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) => mon.add(b) }
         .option("checkpointLocation", ckptM).start()
+      qD.processAllAvailable(); qD.stop()
       qM.processAllAvailable(); qM.stop()
       deleteRecursively(stage)
       deleteRecursively(ckptD)
@@ -4004,12 +4086,8 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
                 "l_quantity", "l_returnflag")
       val stage = tmpWorkDir("graft_2d_stage")
-      (0 until 3).foreach { g =>
-        li.where(pmod(col("l_orderkey"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("l_orderkey",
-                                               "l_linenumber")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(li, pmod(col("l_orderkey"), lit(3)), 3,
+                          stage, Seq("l_orderkey", "l_linenumber"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("l_orderkey BIGINT, l_linenumber INT, " +
@@ -4901,11 +4979,8 @@ object SparkEntry {
         .where(col("ts").isNotNull && col("event_type").isNotNull)
         .select("event_id", "event_type", "ts")
       val stage = tmpWorkDir("graft_ewma_stage")
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("event_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(e, pmod(col("event_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ")
@@ -4959,11 +5034,8 @@ object SparkEntry {
         .where(col("ts").isNotNull && col("event_type").isNotNull)
         .select("event_id", "event_type", "ts")
       val stage = tmpWorkDir("graft_seas_stage")
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("event_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(e, pmod(col("event_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ")
@@ -5767,11 +5839,8 @@ object SparkEntry {
         .where(col("ts").isNotNull && col("event_type").isNotNull)
         .select("event_id", "event_type", "ts")
       val stage = tmpWorkDir("graft_fresh_stage")
-      (0 until 3).foreach { g =>
-        e.where(pmod(col("event_id"), lit(3)) === g)
-          .repartition(1).sortWithinPartitions("event_id")
-          .write.mode("overwrite").parquet(s"$stage/b$g")
-      }
+      stageBatchesOnePass(e, pmod(col("event_id"), lit(3)), 3, stage,
+                          Seq("event_id"))
       stampStageMtimes(stage, 3)
       val staged = s.readStream
         .schema("event_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ")

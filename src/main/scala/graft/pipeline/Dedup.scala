@@ -980,9 +980,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val tokArr = array_distinct(filter(
       split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
-    val sets = df.where(col(textCol).isNotNull)
+    val setsRaw = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), array_sort(tokArr).as("__set"))
       .where(size(col("__set")) > 0)
+    // r12: the tokenized set table feeds THREE plan branches (the
+    // prefix ranking and both verify sides) — without materialization
+    // each branch re-tokenizes the corpus (3 full split+sort passes
+    // measured). Same persist/release discipline as `pre` below.
+    val sets =
+      if (materialize)
+        setsRaw.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
+      else setsRaw
     // |T| rides along from size(__set) — a whole-partition count
     // window here would re-pass the exploded token table for a value
     // the array already knows
