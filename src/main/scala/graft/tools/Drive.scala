@@ -3,10 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Scratch driver (see .claude/skills/verify): exercises the r12
+  * optimization-round changes end-to-end on the local testdata —
+  * the one-scan histogram logistic rewrites, the one-pass batch
+  * stager behind every staged streaming replay, and the persisted
+  * set table in the exact set-similarity join. */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,44 +20,40 @@ object Drive {
     }
     val dir = "/root/testdata/sf0.1"
     spark.read.parquet(s"$dir/lineitem.parquet").count()
-    // (1) the shared helper as the query uses it
-    (1 to 2).foreach { p =>
-      val t = timed {
-        graft.SparkEntry.bootstrapStats(spark, dir, 32).collect()
-      }
-      println(f"[info] helper collect pass $p: $t%6.2f s")
+
+    // (1) the rewritten logistic family — run each query fn as the
+    // bench does and print its full (small) result
+    Seq("q_logreg_exact", "q_logreg_multi", "q_logreg_weighted",
+        "q_score_calibrate").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      var rows: Array[org.apache.spark.sql.Row] = Array.empty
+      val t = timed { rows = fn(spark, dir).collect() }
+      println(f"[info] $q%-20s $t%6.2f s  ${rows.length} rows; " +
+              s"head=${rows.headOption.getOrElse("-")}")
+      spark.catalog.clearCache()
     }
-    // (2) inline flat when-chain version
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .where(col("l_extendedprice").isNotNull)
-      .select(col("l_orderkey"), col("l_linenumber"),
-              round(col("l_extendedprice") * 100).cast("long").as("v"))
-    val base = li.crossJoin(broadcast(
-      spark.range(32L).select(col("id").as("b"))))
-    val key = concat(col("l_orderkey").cast("string"), lit(":"),
-                     col("l_linenumber").cast("string"), lit(":"),
-                     col("b").cast("string"))
-    val h8 = substring(md5(key.cast("binary")), 1, 8)
-    val wFlat = when(h8 < "5e2d58d8", 0L).when(h8 < "bc5ab1b1", 1L)
-      .when(h8 < "eb715e1d", 2L).when(h8 < "fb239797", 3L)
-      .when(h8 < "ff1025f5", 4L).when(h8 < "ffd90f3b", 5L)
-      .when(h8 < "fffa8b71", 6L).otherwise(7L)
-    (1 to 2).foreach { p =>
-      val t = timed {
-        base.select(col("b"), col("v"), wFlat.as("w"))
-          .groupBy("b")
-          .agg(sum(col("w")).as("n_eff"),
-               sum((col("w") * col("v")).cast("decimal(38,0)"))
-                 .cast("long").as("sum_cents"))
-          .withColumn("mean_cents",
-            when(col("n_eff") > 0,
-              col("sum_cents").cast("double") /
-                col("n_eff").cast("double")))
-          .collect()
-      }
-      println(f"[info] flat-chain collect pass $p: $t%6.2f s")
+
+    // (2) a staged streaming replay through the new one-pass stager
+    Seq("q_stream_topk", "q_stream_windows").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      var n = 0L
+      val t = timed { n = fn(spark, dir).count() }
+      println(f"[info] $q%-20s $t%6.2f s  $n rows")
+      spark.catalog.clearCache()
     }
-    println("[info] DRIVE OK")
+
+    // (3) the exact set-sim join with the persisted set table
+    val fn = graft.SparkEntry.queries("q_setsim_join")
+    var r: org.apache.spark.sql.Row = null
+    val t = timed { r = fn(spark, dir).collect()(0) }
+    println(f"[info] q_setsim_join $t%6.2f s  $r")
+    spark.catalog.clearCache()
+
+    // (4) q_bfs_hops with the shared symmetrized-edge cache
+    val fb = graft.SparkEntry.queries("q_bfs_hops")
+    var rb: Array[org.apache.spark.sql.Row] = Array.empty
+    val tb = timed { rb = fb(spark, dir).collect() }
+    println(f"[info] q_bfs_hops $tb%6.2f s  ${rb.mkString(" | ")}")
     spark.stop()
   }
 }
