@@ -228,8 +228,14 @@ object ExactLogit {
     val cnt = col("__c")
     var b0 = 0.0; var b1 = 0.0
     (1 to iters).foreach { _ =>
-      val (wq, gq, _) = rowCols(col("__x"), col("__y"), b0, b1)
-      val m = clean.agg(
+      // sigmoid chain computed once per cell in a project below the
+      // aggregate (see fitMultiFromCells) — identical doubles, the
+      // aggregate's multiply structure is unchanged
+      val (wqE, gqE, _) = rowCols(col("__x"), col("__y"), b0, b1)
+      val proj = clean.select(cnt, col("__x"),
+                              wqE.as("__wq"), gqE.as("__gq"))
+      val wq = col("__wq"); val gq = col("__gq")
+      val m = proj.agg(
         dec(cnt).as("n"), dec(cnt * wq).as("sw"),
         dec((cnt * wq) * col("__x")).as("swx"),
         dec(((cnt * wq) * col("__x")) * col("__x")).as("swxx"),
@@ -507,7 +513,16 @@ object ExactLogit {
     val xs = (0 until k).map(i => col(s"__x$i"))
     var beta = Vector.fill(k + 1)(0.0)
     (1 to iters).foreach { _ =>
-      val (wq, gq, _) = rowColsK(xs, col("__y"), beta)
+      // the ~40-op sigmoid chain is materialized ONCE per cell in a
+      // project below the aggregate (the bootstrapStats lesson) —
+      // inlined into all (k+1)(k+4)/2 aggregate arguments it blows
+      // the expression tree up ~10x, and Catalyst re-analyzes that
+      // tree on the driver for every Newton job. Same doubles: the
+      // aggregate multiplies the projected value exactly as before.
+      val (wqE, gqE, _) = rowColsK(xs, col("__y"), beta)
+      val proj = clean.select(
+        (cnt +: xs) ++ Seq(wqE.as("__wq"), gqE.as("__gq")): _*)
+      val wq = col("__wq"); val gq = col("__gq")
       val aggs = Seq(dec(wq).as("sw")) ++
         xs.zipWithIndex.map { case (x, i) =>
           dec(wq * x).as(s"swx$i") } ++
@@ -515,7 +530,7 @@ object ExactLogit {
           yield dec((wq * xs(i)) * xs(j)).as(s"sww_${i}_$j")) ++
         Seq(dec(gq).as("sg")) ++
         xs.zipWithIndex.map { case (x, i) => dec(gq * x).as(s"sgx$i") }
-      val row = clean.agg(aggs.head, aggs.tail: _*).head()
+      val row = proj.agg(aggs.head, aggs.tail: _*).head()
       val env = ExactFit.Env(collection.mutable.Map.empty,
                              collection.mutable.Map.empty)
       row.schema.fieldNames.zipWithIndex.foreach { case (nm, i) =>
