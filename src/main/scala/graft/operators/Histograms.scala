@@ -138,6 +138,16 @@ object Histograms {
                                  kbSql: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = 4096
+    // NOTE (r12 audit): the histogram feeds three plan branches (grid
+    // extent, bucket aggregate, in-cell pick) and the FORMATTED plan
+    // prints the producing subtree once per branch (q_anomaly_mad's
+    // nested median renders 50 parquet scans). Persisting h here was
+    // tried and MEASURED SLOWER (q_anomaly_mad 1.55 -> 2.68 s,
+    // q_rfm_segments 1.01 -> 3.09 s at sf0.1): the identical
+    // histogram exchanges are deduped at runtime by exchange/stage
+    // reuse, so the visible duplication largely never executes, and
+    // the InMemoryRelation build cost exceeds the residual recompute.
+    // Left unpersisted deliberately.
     // adaptive per-group grid; single-value groups get width 1 (one
     // bucket). Computed on the histogram, not the raw rows.
     val ext = h.groupBy(groupCol)

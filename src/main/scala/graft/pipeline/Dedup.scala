@@ -530,9 +530,16 @@ object Dedup {
                        numHashes: Int = 32, bands: Int = 8,
                        thrNum: Long = 1L, thrDen: Long = 2L,
                        ngram: Int = 3): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands,
-                                 portable = true)
-      .select(col("id_a"), col("id_b")).distinct()
+    // r12: cand and truth each feed TWO branches of the final
+    // crossJoined report (their own tallies + the hit semi-join);
+    // unpersisted, the LSH chain ran twice and the brute-force truth
+    // join TWICE (16 parquet scans in the final plan). Both are
+    // sample-bounded; released by the caller's clearCache.
+    def mat(x: DataFrame): DataFrame = x.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = mat(minhashCandidates(df, textCol, idCol, numHashes,
+                                     bands, portable = true)
+      .select(col("id_a"), col("id_b")).distinct())
     // materialization barrier (the q_ngram_jaccard discipline): without
     // it the shingle projection is recomputed per PAIR above the join
     val sh = df
@@ -542,14 +549,14 @@ object Dedup {
       .repartition(8)
     val a = sh.select(col("__sid").as("id_a"), col("__sh").as("__sha"))
     val b = sh.select(col("__sid").as("id_b"), col("__sh").as("__shb"))
-    val truth = a.join(b, col("id_a") < col("id_b"))
+    val truth = mat(a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               size(array_intersect(col("__sha"), col("__shb")))
                 .cast("long").as("__i"),
               size(array_union(col("__sha"), col("__shb")))
                 .cast("long").as("__u"))
       .where(col("__i") * thrDen >= lit(thrNum) * col("__u"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")))
     val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
     cand.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth"),
