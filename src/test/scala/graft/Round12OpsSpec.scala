@@ -241,6 +241,52 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(fw.n == fc.n && fw.sumMuQ.compareTo(fc.sumMuQ) == 0)
   }
 
+  test("stageBatchesOnePass: batch composition equals the per-batch " +
+       "predicates, one file per batch, NULL tags unstaged, missing " +
+       "batch values still yield a staged dir") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq.tabulate(90) { i =>
+      (i.toLong, s"v$i")
+    }.toDF("id", "s")
+      // id 7 gets a NULL tag: must be unstaged, like the old
+      // per-batch predicate loop dropped it
+      .withColumn("id", when(col("id") === 7L, lit(null)).otherwise(col("id")))
+    val stage = SparkEntry.tmpWorkDir("graft_stage_test")
+    try {
+      SparkEntry.stageBatchesOnePass(
+        df, pmod(col("id"), lit(3)), 3, stage, Seq("id"))
+      SparkEntry.stampStageMtimes(stage, 3)
+      (0 until 3).foreach { g =>
+        val got = spark.read.parquet(s"$stage/b$g")
+        val want = df.where(pmod(col("id"), lit(3)) === g)
+        assert(got.count() == want.count(), s"batch $g row count")
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+               s"batch $g content")
+        val files = new java.io.File(s"$stage/b$g").listFiles()
+          .filter(_.getName.startsWith("part-"))
+        assert(files.length == 1, s"batch $g file count")
+      }
+      // total staged = all non-null-tag rows (the id=7 row dropped)
+      val total = (0 until 3).map(g =>
+        spark.read.parquet(s"$stage/b$g").count()).sum
+      assert(total == 89L, s"total staged $total")
+    } finally SparkEntry.deleteRecursively(stage)
+    // a batch value absent from the data still gets its dir (trigger
+    // count preserved): tag everything 0, ask for 3 batches
+    val stage2 = SparkEntry.tmpWorkDir("graft_stage_test2")
+    try {
+      SparkEntry.stageBatchesOnePass(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+        lit(0), 3, stage2, Seq("id"))
+      (0 until 3).foreach { g =>
+        assert(new java.io.File(s"$stage2/b$g").isDirectory,
+               s"batch dir b$g exists")
+      }
+      assert(spark.read.parquet(s"$stage2/b0").count() == 2L)
+    } finally SparkEntry.deleteRecursively(stage2)
+  }
+
   test("ExactLogit: empty and degenerate inputs take the singular " +
        "guard — beta stays 0, no NaN") {
     val spark = TestSpark.spark
