@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the bench's one-line stdout JSON. With sbt's
+// default LoggedOutput strategy every forked-process line is re-emitted
+// with an "[info] " prefix, which is not valid JSON — the driver's parse
+// came back null twelve rounds running (BENCH_r01..r12 all have
+// parsed:null while the JSON line sits complete-but-prefixed in the
+// stored tail). StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop the "[success] Total time ..." trailer so the JSON line is
+// the last thing on stdout for parsers that only read the final line.
+// (Read by sbt's command layer, not a task — excluded from lintUnused.)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -252,40 +252,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    val headline = Seq(
-      "q_binning_table", "q_prebin_agg", "q_woe_transform", "q_cont_process",
-      "q_multiclass_fit", "q_2d_fit", "q_2d_cart", "q_cont_2d_fit",
-      "q_pw_monotone", "q_scorecard", "q_counterfactual", "q_psi",
-      "q_stability_report", "q_process_summary", "q_sketch_binning",
-      "q_mdlp_splits", "q_ks_gini", "q_dedup_exact", "q_minhash_bands",
-      "q_simhash", "q_ngram_jaccard", "q_semantic_dedup", "q_fuzzy_pairs",
-      "q_er_clusters", "q_setsim_join", "q_contamination", "q_dedup_clusters",
-      "q_embed_clusters", "q_ann_topk", "q_ivf_topk", "q_ivfpq_topk",
-      "q_curation_pipeline", "q_corpus_report", "q_token_budget",
-      "q_seq_packing", "q_text_stats", "q_lang_id", "q_bm25_topk",
-      "q_stream_sessions", "q_stream_rollup", "q_stream_binning",
-      "q_multimodal_features", "q_lakehouse_pipeline", "q_pagerank",
-      "q_ml_pipeline", "q_stability_cont", "q_span_dedup",
-      "q_score_deploy", "q_knn_eval", "q_jaro_scores",
-      // round-9 flagships
-      "q_knn_ivf", "q_sketch_tdigest", "q_json_audit",
-      "q_hard_negatives",
-      // round-9 session-2 flagships
-      "q_item_neighbors", "q_bpe_merges", "q_lpa_communities",
-      "q_gains_table", "q_migration_matrix", "q_tokenizer_pipeline",
-      // round-10 flagships
-      "q_bpe_encode", "q_markov_attribution", "q_shapley_attribution",
-      "q_linreg_exact",
-      // round-12 flagships
-      "q_logreg_exact", "q_span_audit", "q_bpe_exact")
-    // filtered local runs time only a handful of queries — show ALL
-    // of them inline (the fixed headline list may not intersect the
-    // filter at all: an r11 2-query run printed "queries":{} while
-    // the times sat only in the file, making spot-adjudication
-    // needlessly indirect). Full runs keep the stable headline subset
-    // so the visible numbers stay round-over-round comparable.
-    val headKeys = if (only.isDefined) mins.keys.toSeq.sorted else headline
-    val head = headKeys.flatMap(k => mins.get(k).map(v => s"\"$k\":${r3(v)}"))
+    // The stdout line carries the COMPLETE per-query map (round-13
+    // contract fix): the round driver's per-query comparison came back
+    // empty every round (PERF per_query {}) while the inline map was a
+    // ~67-name headline subset — the full map previously lived only in
+    // bench_times.json, which each run overwrites. ms precision keeps
+    // the line ~6 KB. bench_times.json stays the full-precision,
+    // passes-included artifact for humans.
+    val head = mins.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
     val suspectsHead = driftSuspects.take(10)
       .map(q => s"\"$q\"").mkString("[", ",", "]")

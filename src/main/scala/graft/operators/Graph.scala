@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 /** Distributed graph diagnostics over an edge list. */
 object Graph {
 
+  /** Per-iteration lineage cut for the bounded loops (r13, guide §3.3
+    * "materialising an intermediate truncates the plan" / §5
+    * localCheckpoint): `persist` alone substitutes InMemoryRelations
+    * at PLANNING time but keeps the full logical chain, so the
+    * analyzer/optimizer re-walks a plan that GROWS with every round
+    * (the r12 kcore after-plan was ~7,000 formatted lines with 329
+    * InMemoryRelation references) — driver planning cost scales with
+    * iteration count even though the data work is cached. An eager
+    * `localCheckpoint` materializes the round's output once and
+    * replaces its lineage with the computed RDD: each round's plan is
+    * O(one round), not O(all rounds so far). Executor-loss recompute
+    * of a checkpointed round is not possible — on a fault-tolerant
+    * production run use durable `checkpoint` dirs instead; for these
+    * bounded diagnostic loops the data per round is the (shrinking)
+    * edge/label/rank table. Old rounds' blocks are released by the
+    * ContextCleaner once unreferenced (or session `clearCache`). */
+  private def cut(df: DataFrame): DataFrame =
+    df.localCheckpoint()
+
   /** Exact triangle count (plus node/edge totals) of the undirected
     * graph given as an edge list — duplicate edges, reversed copies,
     * and self-loops are canonicalized away first.
@@ -83,13 +102,13 @@ object Graph {
     * distribution.
     *
     * Plan shape per iteration: one equi-join of the rank table onto
-    * the out-degree-annotated edges (both sides hash-partitioned on
-    * the same key, so the edge side's exchange is planned once and
-    * reused across iterations) and one map-side-partial sum by dst.
-    * Iteration count is a query constant — the loop unrolls into a
-    * bounded chain Catalyst sees whole; persist-per-iteration is
-    * deliberately NOT done because each iteration's input is the
-    * previous aggregate output (k × 16-byte rows), already shuffled.
+    * the out-degree-annotated edges and one map-side-partial sum by
+    * dst. Iteration count is a query constant; each iteration's rank
+    * table is lineage-CUT (see [[cut]], r13) — the unrolled chain's
+    * logical plan previously grew by one join+aggregate per
+    * iteration, so driver analysis/planning cost scaled with the
+    * iteration count even though each iteration's data is only the
+    * (v, rank) aggregate output.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampNum: Long = 85L,
@@ -107,9 +126,7 @@ object Graph {
     require(dampNum > 0 && dampDen > dampNum,
       s"damping must be a rational in (0, 1); got $dampNum/$dampDen")
     def mat(df: DataFrame): DataFrame =
-      if (materialize)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) cut(df) else df
     val e = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -121,15 +138,19 @@ object Graph {
       .unionByName(ed.select(col("dst").as("v"))).distinct())
     val base = (scale * (dampDen - dampNum)) / dampDen
     val r0 = nodes.select(col("v"), lit(scale).as("rank"))
-    (1 to iterations).foldLeft(r0) { (r, _) =>
+    (1 to iterations).foldLeft(r0) { (r, it) =>
       val contrib = ed
         .join(r.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(expr(s"($dampNum * rank) div ($dampDen * __od)"))
                .as("__in"))
-      nodes.join(contrib, Seq("v"), "left")
+      val next = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"),
                 (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+      // cut every iteration but the last (the caller's action
+      // materializes that one); without the cut the logical plan is
+      // the whole unrolled chain
+      if (materialize && it < iterations) cut(next) else next
     }
   }
 
@@ -149,9 +170,9 @@ object Graph {
     *
     * The hop bound is the scale contract: unbounded iteration on a
     * 100 TB graph belongs to a Pregel loop with convergence checks;
-    * a fixed small k unrolls into one bounded Catalyst plan. Both
-    * the edge list and the visited set persist across iterations
-    * (released via `spark.catalog.clearCache()`).
+    * a fixed small k unrolls into one bounded Catalyst plan — with
+    * each hop's frontier/visited lineage-cut ([[cut]]) so the plan
+    * stays O(one hop).
     */
   /** Bounded k-core peeling: `rounds` synchronous iterations of
     * "drop every vertex with degree < k, then re-derive degrees over
@@ -170,20 +191,22 @@ object Graph {
     * the (cached, shrinking) edge list against the kept vertex set —
     * all equi-joins on integer keys; the kept set is a degree
     * aggregate output, ≤ |V| rows, and AQE broadcast-converts it as
-    * it shrinks. Edges persist between rounds; release with
-    * `spark.catalog.clearCache()`.
+    * it shrinks. Each round's surviving edges are lineage-cut
+    * ([[cut]]); blocks release via the ContextCleaner.
     */
   def kCoreSurvivors(edges: DataFrame, aCol: String, bCol: String,
                      k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     require(rounds >= 1, s"rounds must be >= 1; got $rounds")
-    def mat(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v"))
         .unionByName(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-    var e = mat(edges
+    // each round's surviving edge list is lineage-CUT (see [[cut]]):
+    // it feeds 3 consumers (degrees + both semi-joins of the next
+    // round), and under plain persist the logical plan grew by one
+    // round's joins every round
+    var e = cut(edges
       .where(col(aCol).isNotNull && col(bCol).isNotNull &&
              col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"),
@@ -191,7 +214,7 @@ object Graph {
       .distinct())
     for (_ <- 1 to rounds) {
       val keep = degrees(e).where(col("deg") >= k).select("v")
-      e = mat(e
+      e = cut(e
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
     }
@@ -202,22 +225,23 @@ object Graph {
                    seeds: DataFrame, seedCol: String,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0; got $maxHops")
-    def mat(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = mat(edges
+    // per-hop lineage cut (see [[cut]]): frontier/visited both feed
+    // the next hop's join + anti-join, and under plain persist the
+    // visited chain accumulated every hop's subtree in the final plan
+    val e = cut(edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val d0 = mat(seeds.select(col(seedCol).as("v")).distinct()
+    val d0 = cut(seeds.select(col(seedCol).as("v")).distinct()
       .withColumn("dist", lit(0L)))
     var visited = d0
     var frontier = d0
     for (h <- 1 to maxHops) {
-      val next = mat(frontier
+      val next = cut(frontier
         .join(e, frontier("v") === e("src"))
         .select(col("dst").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("dist", lit(h.toLong)))
-      visited = mat(visited.unionByName(next))
+      visited = cut(visited.unionByName(next))
       frontier = next
     }
     visited
@@ -233,17 +257,19 @@ object Graph {
     * Per round: one shuffle join (edges x labels) and one aggregate to
     * (node, label) counts; the argmax folds into the same aggregate
     * via `min(struct(-cnt, label))` — integer-exact (cnt desc, label
-    * asc) for arbitrary long ids, no window, no sort. Labels persist per
-    * round with the previous round released (the bfs/kcore lineage-cut
-    * discipline). Output: one row per community
+    * asc) for arbitrary long ids, no window, no sort. Labels are
+    * lineage-cut per round ([[cut]], the bfs/kcore discipline).
+    * Output: one row per community
     * `(community, n_members, min_member, max_member)`.
     */
   def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
                      rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8,
             s"rounds must be in [1, 8]; got $rounds")
-    def mat(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-round lineage cut (see [[cut]]); the old explicit
+    // labels.unpersist() release is subsumed by the ContextCleaner
+    // collecting the unreferenced checkpoint RDDs
+    def mat(df: DataFrame): DataFrame = cut(df)
     // symmetric distinct edge list, self-loops dropped
     val sym = mat(edges
       .where(col(aCol).isNotNull && col(bCol).isNotNull &&
@@ -269,7 +295,6 @@ object Graph {
         .groupBy("v")
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
         .select(col("v"), col("m.lbl").as("lbl")))
-      labels.unpersist()
       labels = next
     }
     labels.groupBy(col("lbl").as("community"))

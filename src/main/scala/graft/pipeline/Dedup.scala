@@ -529,14 +529,22 @@ object Dedup {
   def lshQualityReport(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int = 32, bands: Int = 8,
                        thrNum: Long = 1L, thrDen: Long = 2L,
-                       ngram: Int = 3): DataFrame = {
-    // r12: cand and truth each feed TWO branches of the final
-    // crossJoined report (their own tallies + the hit semi-join);
-    // unpersisted, the LSH chain ran twice and the brute-force truth
-    // join TWICE (16 parquet scans in the final plan). Both are
-    // sample-bounded; released by the caller's clearCache.
-    def mat(x: DataFrame): DataFrame = x.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                       ngram: Int = 3,
+                       /** persist the candidate and truth tables — each
+                         * feeds TWO branches of the crossJoined report
+                         * (its own tallies + the hit semi-join);
+                         * unpersisted, the LSH chain and the brute-force
+                         * truth join each run twice (16 parquet scans in
+                         * the final plan). Both are sample-bounded; as
+                         * with [[setSimJoinExact]]/[[nearDupPairs]],
+                         * release via `spark.catalog.clearCache()` (or
+                         * unpersist) when the report is consumed, or
+                         * pass false for a fully lazy plan. */
+                       materialize: Boolean = true): DataFrame = {
+    def mat(x: DataFrame): DataFrame =
+      if (materialize) x.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else x
     val cand = mat(minhashCandidates(df, textCol, idCol, numHashes,
                                      bands, portable = true)
       .select(col("id_a"), col("id_b")).distinct())

@@ -629,9 +629,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physical(Graph.lpaCommunities(edges, "a", "b", 2))
     assert(!plan.contains("Window ["), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // labels persist per round (lineage cut); the final community
-    // rollup reads the cached last-round labels
-    assert(plan.contains("InMemoryTableScan"), plan)
+    // labels are lineage-cut per round (r13: localCheckpoint, not
+    // persist); the final community rollup reads the checkpointed
+    // last-round labels as an RDD scan
+    assert(plan.contains("ExistingRDD"), plan)
     spark.catalog.clearCache()
   }
 
