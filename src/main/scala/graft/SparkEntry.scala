@@ -202,6 +202,17 @@ object SparkEntry {
     deleteRecursively(tmp)
   }
 
+  /** Stream state-partition count for the staged replays (was a
+    * per-site literal 8). State partitioning is sized by STATE
+    * breadth, not core count — the repo-wide pinned discipline — and
+    * every contract stream creates a fresh checkpoint, so the value
+    * binds per run. Parameterized (r13, VERDICT item 7) so the
+    * state-commit share of the replay floor can be measured at
+    * different widths without touching 8 call sites; results are
+    * partition-count-independent (oracle-verified). */
+  private[graft] val streamStatePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+
   /** Guard for the bounded-domain histogram collects of the exact-
     * logistic family (r13, VERDICT item 6): the one-scan rewrites
     * argue the (x⃗, y) cell histogram is bounded by the feature
@@ -276,7 +287,7 @@ object SparkEntry {
     val out = xform(stream)
     val oldSp = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
       withConfiguredStateStore(s) {
         out.writeStream.outputMode("append")
           .format("memory").queryName(prefix)
@@ -3398,7 +3409,7 @@ object SparkEntry {
       val ckpt = tmpWorkDir("graft_topk_ckpt")
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
           toks.groupBy("token").agg(count(lit(1)).as("term_freq"))
             .writeStream.outputMode("complete")
@@ -3446,7 +3457,7 @@ object SparkEntry {
       val ckpt = tmpWorkDir("graft_shh_ckpt")
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
           staged.groupBy("event_type")
             .agg(FreqAgg.freqLongs(col("user_id"), 256).as("cand"),
@@ -3507,7 +3518,7 @@ object SparkEntry {
       val ckpt = tmpWorkDir("graft_skmv_ckpt")
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
           staged
             .groupBy(col("event_type").as("grp"))
@@ -3581,7 +3592,7 @@ object SparkEntry {
       // binds at checkpoint creation, scoped via finally.
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val qD = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
         graft.streaming.StreamingCuration
           .exactDedup(staged, "text", "ts", "365 days", portable = true)
@@ -5027,7 +5038,7 @@ object SparkEntry {
       val ckpt = tmpWorkDir("graft_ewma_ckpt")
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
           staged.groupBy(col("event_type").as("g"),
                          expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) " +
@@ -5084,7 +5095,7 @@ object SparkEntry {
       // aggregation state is groups x hours, width buys nothing
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
           staged.groupBy(col("event_type").as("g"),
                          date_trunc("hour", col("ts")).as("h"))
@@ -5887,7 +5898,7 @@ object SparkEntry {
       val ckpt = tmpWorkDir("graft_fresh_ckpt")
       val oldSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
         withConfiguredStateStore(s) {
           val sec = col("ts").cast("timestamp").cast("long")
           staged.groupBy(col("event_type").as("source"),

@@ -58,11 +58,7 @@ object Graph {
       .select(least(col(aCol), col(bCol)).as("a"),
               greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
-    val e =
-      if (materialize)
-        eRaw.persist(org.apache.spark.storage.StorageLevel
-          .MEMORY_AND_DISK)
-      else eRaw
+    val e = if (materialize) cut(eRaw) else eRaw
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -72,13 +68,17 @@ object Graph {
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"),
             Seq("b"))
     // orient low rank -> high rank; rank = (degree, id) lexicographic
-    val o = ranked.select(
+    val oRaw = ranked.select(
       when(col("da") < col("db") ||
            (col("da") === col("db") && col("a") < col("b")),
            struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst")))
         .as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+    // r13: the oriented list feeds BOTH sides of the wedge self-join;
+    // cutting it materializes the degree-attach joins once instead of
+    // once per side (and keeps the wedge plan flat)
+    val o = if (materialize) cut(oRaw) else oRaw
     val wedges = o.select(col("src"), col("dst").as("v1"))
       .join(o.select(col("src"), col("dst").as("v2")), Seq("src"))
       .where(col("v1") < col("v2"))

@@ -81,7 +81,14 @@ object MarketBasket {
             "maxBasketSize must be >= 2 when set")
     // ONE raw-table shuffle builds the per-basket distinct item sets;
     // both the pair generation and the item supports derive from it
-    // (a separate distinct+count would re-shuffle the raw table)
+    // (a separate distinct+count would re-shuffle the raw table).
+    // r13 negative result: swapping these three persists for eager
+    // localCheckpoints was MEASURED SLOWER (3.03 -> 3.79 s at 32
+    // cores, clean windows) — the cuts serialize three
+    // materialization jobs that the single final action otherwise
+    // overlaps through the cached lazy plan; unlike the iterative
+    // graph loops there is no plan growth here to pay for. Keep
+    // persist.
     val basketsAll = df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .groupBy(col(basketCol).as("__b"))

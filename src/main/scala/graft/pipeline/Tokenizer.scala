@@ -63,26 +63,23 @@ object Tokenizer {
     * bounded by the longest pair-run in any word. */
   private def mergeToFixpoint(vocab: DataFrame, p1: String,
                               p2: String): DataFrame = {
-    var cur = vocab // the caller's frame — never unpersisted here
-    var own = false // whether cur is an intermediate this loop owns
+    // r13: each step lineage-cuts with an eager localCheckpoint — the
+    // previous persist+count pattern materialized the step too, but
+    // kept the full LOGICAL chain, so every later round's plan (and
+    // its analysis/codegen between jobs) grew with the total step
+    // count across rounds; the checkpoint keeps each step's plan
+    // O(one step) and drops one materialization job per step
+    // (isEmpty probes the already-computed checkpoint directly).
+    var cur = vocab
     var done = false
     while (!done) {
       val stepped = cur
         .select(col("syms").as("__prev"),
                 mergeOnce(col("syms"), p1, p2).as("syms"),
                 col("cnt"))
-        .persist()
+        .localCheckpoint()
       done = stepped.where(col("syms") =!= col("__prev")).isEmpty
-      if (!done) {
-        val next = stepped.select("syms", "cnt").persist()
-        next.count() // materialize before cutting lineage
-        if (own) cur.unpersist()
-        cur = next; own = true
-      }
-      stepped.unpersist()
-    }
-    if (!own) { // zero-change edge: hand back an owned copy anyway
-      cur = cur.select("syms", "cnt").persist(); cur.count()
+      cur = stepped.select("syms", "cnt")
     }
     cur
   }
@@ -108,7 +105,7 @@ object Tokenizer {
       // char-split into the space-delimited symbol string
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
               col("cnt"))
-      .persist()
+      .localCheckpoint() // r13 lineage cut, see mergeToFixpoint
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var vocab = vocab0
@@ -136,16 +133,14 @@ object Tokenizer {
           else vocab
             .select(mergeOnce(col("syms"), p1, p2).as("syms"),
                     col("cnt"))
-            .persist()
+            .localCheckpoint() // r13 lineage cut, see mergeToFixpoint
         val tokensAfter = next
           .agg(sum(col("cnt") * size(split(col("syms"), " "))))
           .head.getLong(0)
-        vocab.unpersist()
         vocab = next
         out += Row(r.toLong, p1, p2, merged, f, tokensAfter)
       }
     }
-    vocab.unpersist()
     val schema = StructType(Seq(
       StructField("round", LongType, nullable = false),
       StructField("pair_left", StringType, nullable = false),
@@ -202,11 +197,10 @@ object Tokenizer {
               col("cnt"))
     val enc = (
       if (exactMerge)
-        merges.foldLeft(vocab0) { case (v, (p1, p2)) =>
-          val n = mergeToFixpoint(v, p1, p2)
-          if (v ne vocab0) v.unpersist() // n is materialized already
-          n
-        }
+        // each fixpoint output is already checkpoint-materialized;
+        // old steps' blocks release via the ContextCleaner
+        merges.foldLeft(vocab0)((v, m) =>
+          mergeToFixpoint(v, m._1, m._2))
       else
         merges.foldLeft(vocab0) { case (v, (p1, p2)) =>
           v.select(mergeOnce(col("syms"), p1, p2).as("syms"),

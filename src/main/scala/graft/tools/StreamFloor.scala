@@ -29,13 +29,14 @@ object StreamFloor {
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         import scala.jdk.CollectionConverters._
         val p = e.progress
-        val dur = p.durationMs.asScala.map { case (k, v) =>
-          k -> v.longValue }.toMap
+        val dur = (Option(p.durationMs).map(_.asScala).getOrElse(Nil))
+          .map { case (k, v) => (k: String) -> v.longValue }.toMap
         val commit = Option(p.stateOperators).toSeq.flatten
           .map(_.commitTimeMs).sum
         val rows = Option(p.stateOperators).toSeq.flatten
           .map(_.numRowsTotal).sum
-        progress.add((p.name, p.batchId, dur, commit, rows))
+        progress.add((Option(p.name).getOrElse("?"), p.batchId, dur,
+                      commit, rows))
       }
     })
     val names = if (args.nonEmpty) args.toSeq
