@@ -156,16 +156,21 @@ object Monitoring {
     */
   def seasonalAnomalies(df: DataFrame, groupCol: String, tsCol: String,
                         kNum: Long = 2L, kDen: Long = 1L): DataFrame = {
-    // persist the calendar-bounded hourly table: the median's two
-    // histogram crossings and the final flag join are three plan
-    // branches — without this each one re-scans and re-aggregates the
-    // raw event table (4 full scans at 100 TB instead of 1). Released
-    // by the caller's clearCache (the nearDupPairs discipline).
+    // the calendar-bounded hourly table feeds three plan branches (the
+    // median's two histogram crossings and the final flag join) but is
+    // deliberately NOT persisted (r13, reversing an earlier persist):
+    // every branch consumes hourly through the IDENTICAL scan+partial-
+    // agg+exchange subtree, which runtime exchange reuse dedupes to
+    // ONE events scan within the single action — the same measured
+    // result as the bucketedCrossing2K histogram (r12 audit note
+    // there; the STATIC formatted plan still prints the subtree once
+    // per branch). The persist added an InMemoryRelation build plus
+    // cpus-wide cached-read tasks per branch job: measured 2.89 ->
+    // 1.14-1.23 s at local[32], flat-within-noise at local[4].
     val hourly = df.where(col(tsCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("g"),
                date_trunc("hour", col(tsCol)).as("h"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     seasonalAnomaliesFromHourly(hourly, kNum, kDen)
       .withColumnRenamed("g", groupCol)
   }
