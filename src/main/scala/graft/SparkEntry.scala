@@ -2152,10 +2152,15 @@ object SparkEntry {
                 col("o_orderdate").cast("timestamp").cast("long")
                   .as("__ord"),
                 col("o_orderpriority"))
+      // NOT persisted (r13): the median's histogram crossings and the
+      // final rollup consume the join through identical subtrees — the
+      // two scan-side Exchanges are runtime-reused, so only the cheap
+      // SMJ probe re-runs per branch, cheaper than the 600k-row
+      // InMemoryRelation build the old persist paid (the
+      // seasonalAnomalies finding)
       val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority").as("priority"),
                 expr("(__ship - __ord) div 86400").as("gap"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val med = graft.operators.Histograms
         .groupedDoubledMedian(j, "priority", "gap")
         .select(col("priority"), col("median2"))

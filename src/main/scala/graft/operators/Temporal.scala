@@ -502,7 +502,11 @@ object Temporal {
               expr(s"cast(cast($tsCol as timestamp) as long) div 86400")
                 .as("day"))
       .distinct()
-      .persist() // four readers below (caller clearCache)
+    // NOT persisted (r13): all four readers consume `ud` through the
+    // IDENTICAL scan+partial-agg+Exchange(u,day) subtree, which runtime
+    // exchange reuse dedupes to one events scan within the single
+    // action — the persist only added an InMemoryRelation build plus
+    // cached-read tasks per reader (the seasonalAnomalies finding)
     val firstDay = ud.groupBy("u").agg(min("day").as("__first"))
     val yesterday = ud.select(col("u"), (col("day") + 1L).as("day"),
                               lit(1L).as("__yday"))
@@ -550,7 +554,9 @@ object Temporal {
               expr(s"cast(cast($tsCol as timestamp) as long) div 86400")
                 .as("day"))
       .distinct()
-      .persist() // dau, wau, and the observed-day set all read it
+    // NOT persisted (r13): dau and wau read `ud` through the identical
+    // distinct subtree — exchange reuse dedupes to one scan (see
+    // growthAccounting)
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("u"), explode(sequence(col("day"), col("day") + 6))
@@ -583,7 +589,11 @@ object Temporal {
       .withColumn("__gap", sec - lag(sec, 1).over(w))
       .where(col("__gap").isNotNull)
       .select(col("__gap"))
-      .persist() // the median crossing re-reads it (caller clearCache)
+    // NOT persisted (r13): the median crossing and the totals row both
+    // consume the window output through the identical
+    // scan+Exchange(key) subtree — exchange reuse dedupes the scan; the
+    // lag window re-runs per branch but is cheap next to the cache
+    // build it replaces (see growthAccounting)
     val p50 = Histograms
       .groupedDiscreteQuantile(gaps.withColumn("__g", lit(1)),
                                "__g", "__gap", 1, 2)
