@@ -73,13 +73,12 @@ object Cardinality {
         .agg(TopKAgg.topkLongs(negate(col("__h")), col("__key"), k)
                .as("top"),
              countDistinct(col("__key")).as("nx"))
-    // persisted: each one-row sketch feeds BOTH the merge branch and
-    // the final assembly — without the pin Catalyst recomputes the
-    // full scan-and-fold per reference (caller clearCache)
+    // NOT persisted (r13): the merge branch and the final assembly
+    // read each sketch through the identical scan+agg+Exchange subtree
+    // — runtime exchange reuse dedupes to one scan-and-fold per side
+    // within the single action (the seasonalAnomalies finding)
     val sa = sketch(a).select(col("top").as("ta"), col("nx").as("n_a"))
-      .persist()
     val sb = sketch(b).select(col("top").as("tb"), col("nx").as("n_b"))
-      .persist()
     // union sketch by MERGING the two k-min sets — no third data scan
     // for the estimate; only the exact truth reads the union
     val merged = sa.crossJoin(sb)
@@ -127,15 +126,14 @@ object Cardinality {
     // the exact count rides a distinct pre-pass only because the
     // truth column demands one — drop n_exact and the whole distinct
     // shuffle disappears
-    // persisted: groups-sized, and the ALL rollup re-reads it — without
-    // the pin the merge branch would recompute the sketch from a second
-    // full input scan (caller releases via clearCache, the [[Graph]]
-    // unrolled-rounds convention)
+    // NOT persisted (r13): the ALL-rollup merge branch and the main
+    // output read the identical groupBy(grp) sketch subtree — runtime
+    // exchange reuse dedupes to one scan-and-fold within the single
+    // action (the seasonalAnomalies finding)
     val perGroup = rows.groupBy("grp")
       .agg(TopKAgg.topkLongs(negate(col("__h")), col("__key"), k)
              .as("__top"),
            countDistinct(col("__key")).as("n_exact"))
-      .persist()
     // ALL row: merge the per-group sketches (explode + re-aggregate);
     // exact truth needs its own global distinct
     val merged = perGroup

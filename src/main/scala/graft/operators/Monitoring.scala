@@ -208,10 +208,11 @@ object Monitoring {
         expr(s"CASE WHEN v >= 0 THEN v div ${bucketWidth}L " +
              s"ELSE -((-v + ${bucketWidth - 1}L) div ${bucketWidth}L) " +
              "END"))
-      // persisted: the prefix table derives from this same aggregate —
-      // without the pin Catalyst recomputes it from a second full input
-      // scan (caller releases via clearCache)
-      .persist()
+    // NOT persisted (r13): the prefix table and the probe side read
+    // the identical grouped-count subtree — runtime exchange reuse
+    // dedupes to one input scan within the single action (the
+    // seasonalAnomalies finding; the static plan prints the subtree
+    // twice, the runtime plan reuses the exchange)
     val wPfx = graft.core.Windows.bounded(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = graft.core.Windows.boundedAll

@@ -114,7 +114,9 @@ object QualityChecks {
     val counts = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("long").as("__k"))
       .agg(count(lit(1)).as("__c"))
-      .persist() // two rollups below read it (caller clearCache)
+    // NOT persisted (r13): both rollups read the identical grouped-
+    // count subtree — runtime exchange reuse dedupes to one scan
+    // within the single action (the seasonalAnomalies finding)
     val p90 = Histograms
       .groupedDiscreteQuantile(counts.withColumn("__g", lit(1)),
                                "__g", "__c", 9, 10)
@@ -147,8 +149,11 @@ object QualityChecks {
       df.where(col(k).isNotNull)
         .groupBy(col(k).cast("long").as("__k"))
         .agg(count(lit(1)).as(cnt))
-    val ca = counted(a, keyA, "__ca").persist() // totals + key join
-    val cb = counted(b, keyB, "__cb").persist()
+    // NOT persisted (r13): totals and the key join read each side's
+    // identical grouped-count subtree — exchange reuse dedupes the
+    // scans (see skewReport)
+    val ca = counted(a, keyA, "__ca")
+    val cb = counted(b, keyB, "__cb")
     val totals = ca.agg(sum("__ca").as("n_a"))
       .crossJoin(cb.agg(sum("__cb").as("n_b")))
     ca.join(cb, Seq("__k"))
@@ -186,7 +191,9 @@ object QualityChecks {
         expr(s"CASE WHEN k >= 0 THEN k div ${bucketWidth}L " +
              s"ELSE -((-k + ${bucketWidth - 1}L) div ${bucketWidth}L) " +
              "END"))
-      .persist() // feeds the window pass AND both rollups
+    // NOT persisted (r13): the window pass and both rollups read the
+    // identical distinct-key subtree — exchange reuse dedupes the
+    // scans (see skewReport)
     val wIn = Window.partitionBy("__b").orderBy("k")
     val inBucket = keys
       .withColumn("__p", lag(col("k"), 1).over(wIn))

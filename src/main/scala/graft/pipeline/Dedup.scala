@@ -1323,15 +1323,28 @@ object Dedup {
     * Input: one string column. Output: (`a`, `b`) with `a < b` and
     * edit distance exactly 1. Duplicate input strings dedupe first.
     */
-  def editDistance1Pairs(strings: DataFrame, strCol: String): DataFrame = {
-    // persisted: the distinct-string table feeds the two variant
-    // generators AND both verify join-backs — without this the input
-    // scans + distinct shuffles run four times (released by the
-    // caller's clearCache, the nearDupPairs discipline)
-    val s = strings.where(col(strCol).isNotNull)
+  def editDistance1Pairs(strings: DataFrame, strCol: String,
+                         /** persist the distinct-string table (it
+                           * feeds the two variant generators AND both
+                           * verify join-backs; released by the
+                           * caller's clearCache, the nearDupPairs
+                           * discipline). r13 MEASURED the trade both
+                           * ways at local[32]: removal is SLOWER for
+                           * raw-column callers (q_fuzzy_pairs 1.57 ->
+                           * 2.27 s, q_jaro_scores 1.59 -> 2.50 s) but
+                           * FASTER when the input is itself an
+                           * unpersisted aggregate whose exchange the
+                           * readers can share ([[entityClusters]]
+                           * passes false: 1.70 -> 1.34 s — a cached
+                           * subtree here blocks that runtime exchange
+                           * reuse). */
+                         materialize: Boolean = true): DataFrame = {
+    val s0 = strings.where(col(strCol).isNotNull)
       .select(col(strCol).as("__s")).distinct()
       .withColumn("__sid", xxhash64(col("__s")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = if (materialize)
+      s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else s0
     val variants = s.select(col("__sid"), col("__s"))
       .select(col("__sid"),
         explode(array_union(
@@ -1371,10 +1384,10 @@ object Dedup {
     *     ([[connectedComponents]] — driver union-find under the edge
     *     budget, distributed min-label propagation beyond).
     *
-    * The bounded name-node table is persisted: it feeds the variant
-    * generator and both edge-endpoint joins, and re-deriving it would
-    * re-scan the entity table three times. Released by the caller's
-    * clearCache.
+    * The bounded name-node table feeds the variant generator and both
+    * edge-endpoint joins; all three read the identical aggregate
+    * subtree, which runtime exchange reuse dedupes to one entity scan
+    * (so the table is NOT persisted — r13).
     *
     * Returns (id = name-node, comp = cluster label, both BIGINT);
     * only entities participating in at least one fuzzy match appear
@@ -1382,11 +1395,15 @@ object Dedup {
     */
   def entityClusters(df: DataFrame, idCol: String,
                      nameCol: String): DataFrame = {
+    // NOT persisted (r13): the variant generator and both edge-endpoint
+    // joins read the identical bounded groupBy(name) subtree — runtime
+    // exchange reuse dedupes to one entity scan within the action (the
+    // seasonalAnomalies finding; connectedComponents consumes the edge
+    // list in one pass before its own lineage cuts take over)
     val names = df.where(col(nameCol).isNotNull)
       .groupBy(lower(col(nameCol)).as("name"))
       .agg(min(col(idCol).cast("long")).as("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = editDistance1Pairs(names, "name")
+    val pairs = editDistance1Pairs(names, "name", materialize = false)
     val an = names.select(col("name").as("a"), col("node").as("na"))
     val bn = names.select(col("name").as("b"), col("node").as("nb"))
     val edges = pairs.join(an, Seq("a")).join(bn, Seq("b"))
