@@ -436,7 +436,9 @@ object Temporal {
                expr(s"cast(cast($tsCol as timestamp) as long) " +
                     s"div ${periodSeconds}L").as("period"))
       .agg(count(lit(1)).as("n"))
-      .persist() // both join sides read it (caller clearCache)
+    // NOT persisted (r13): both self-join sides read the identical
+    // grouped-count subtree — exchange reuse dedupes to one scan (see
+    // growthAccounting)
     val prev = per.select(col(groupCol),
                           (col("period") + lagPeriods).as("period"),
                           col("n").as("prev_n"))
@@ -467,7 +469,9 @@ object Temporal {
                expr(s"cast(cast($tsCol as timestamp) as long) " +
                     s"div ${periodSeconds}L").as("period"))
       .agg(count(lit(1)).as("n"))
-      .persist() // spine bounds + keys + observations all read it
+    // NOT persisted (r13): spine bounds, keys and observations all
+    // read the identical grouped-count subtree — exchange reuse
+    // dedupes to one scan (see growthAccounting)
     val bounds = per.agg(min("period").as("__mn"), max("period").as("__mx"))
     val spine = per.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))

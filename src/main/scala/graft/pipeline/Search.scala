@@ -242,7 +242,10 @@ object Search {
               posexplode(col("__tok")).as(Seq("pos", "token")))
       .where(col("token").isInCollection(terms.distinct))
       .repartition(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted (r13): every per-term filter reads the identical
+    // explode+repartition(id) subtree — runtime exchange reuse dedupes
+    // to one corpus scan across the fold's joins within the single
+    // action (the seasonalAnomalies finding)
     val anchor = postings.where(col("token") === terms.head)
       .select(col("id"), col("pos"))
     val hits = terms.zipWithIndex.tail.foldLeft(anchor) {

@@ -288,7 +288,10 @@ object TextAnalysis {
                              t => t =!= "")).as("token"))
       .groupBy("source", "token")
       .agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT persisted (r13): the vocab top-k and the coverage join read
+    // the identical (source, token) aggregate subtree — runtime
+    // exchange reuse dedupes to one corpus scan within the single
+    // action (the seasonalAnomalies finding)
     val vocab = perSrc.groupBy("token")
       .agg(sum("__n").as("__tf"))
       .orderBy(col("__tf").desc, col("token"))
