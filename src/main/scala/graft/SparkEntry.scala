@@ -1093,14 +1093,16 @@ object SparkEntry {
       val sh = d
         .select(col("doc_id"),
                 split(Dedup.normalizeText(col("text")), " ").as("__tok"))
+        // sorted once per doc: the all-pairs scoring runs the codegen
+        // merge kernel, not interpreted array_intersect hash sets
         .select(col("doc_id"),
-                Dedup.wordShinglesOf(col("__tok"), 3).as("sh"))
+                array_sort(Dedup.wordShinglesOf(col("__tok"), 3)).as("sh"))
         .repartition(8)
       val a = sh.toDF("id_a", "sh_a")
       val b = sh.toDF("id_b", "sh_b")
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-                round(Dedup.jaccardArrays(col("sh_a"), col("sh_b")), 6)
+                round(Dedup.sortedJaccardArrays(col("sh_a"), col("sh_b")), 6)
                   .as("jaccard"))
         .where(col("jaccard") > 0.05)
         .orderBy("id_a", "id_b")

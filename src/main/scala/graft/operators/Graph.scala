@@ -21,7 +21,18 @@ object Graph {
     * production run use durable `checkpoint` dirs instead; for these
     * bounded diagnostic loops the data per round is the (shrinking)
     * edge/label/rank table. Old rounds' blocks are released by the
-    * ContextCleaner once unreferenced (or session `clearCache`). */
+    * ContextCleaner once unreferenced (or session `clearCache`).
+    *
+    * EAGER on purpose (r13 second wave, negative result): lazy cuts
+    * (`eager = false`) were tried to fold the per-round
+    * materialization jobs into the final action — and MEASURED WORSE
+    * on this family (same 32-core window: pagerank 2.74 -> 4.17 s
+    * with 8-27 s spikes, bfs 2.15 -> 2.61, kcore 1.53 -> 1.76,
+    * untouched controls flat). Deferred checkpoint materialization
+    * stacks every round's AQE stage submission into one action and
+    * re-runs the checkpoint-fill pass per marked RDD; the dedicated
+    * eager job per round is cheaper and far more stable. Don't
+    * re-try. */
   private def cut(df: DataFrame): DataFrame =
     df.localCheckpoint()
 

@@ -463,6 +463,22 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
+  /** [[jaccardArrays]] for SORTED no-null-element arrays, via the
+    * one-pass merge kernel ([[graft.functions.ArraySetExprs]]):
+    * value-identical (same distinct int sizes, same double division,
+    * same null/empty fallback to 0.0) but JIT-compiled per pair
+    * instead of Spark's interpreted per-row `SQLOpenHashSet` build —
+    * the r13 fix for verify joins whose entire cost was
+    * `ArrayIntersect.nullSafeEval` over millions of candidate pairs.
+    * Callers sort each side ONCE per document (`array_sort`), never
+    * per pair. */
+  def sortedJaccardArrays(sa: Column, sb: Column): Column = {
+    val iu = graft.functions.ArraySetExprs.sortedInterUnion(sa, sb)
+    val inter = shiftright(iu, 32).cast("int").cast("double")
+    val union = iu.bitwiseAND(lit(0xffffffffL)).cast("int").cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
   /** n-gram Jaccard similarity between two texts. For joins, precompute
     * `wordShingles` per side first and use `jaccardArrays` — this form
     * re-tokenizes per comparison. */
@@ -497,12 +513,15 @@ object Dedup {
     val sh = df.join(ids, col(idCol) === col("__id"), "left_semi")
       .select(col(idCol).as("__sid"),
               split(normalizeText(col(textCol)), " ").as("__tok"))
-      .select(col("__sid"), wordShinglesOf(col("__tok"), n).as("__sh"))
+      // sorted once per doc for the per-pair codegen merge kernel
+      .select(col("__sid"),
+              array_sort(wordShinglesOf(col("__tok"), n)).as("__sh"))
     val a = sh.select(col("__sid").as("id_a"), col("__sh").as("__sha"))
     val b = sh.select(col("__sid").as("id_b"), col("__sh").as("__shb"))
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-              size(array_intersect(col("__sha"), col("__shb")))
+              graft.functions.ArraySetExprs
+                .sortedInterSize(col("__sha"), col("__shb"))
                 .cast("long").as("inter_grams"),
               size(col("__sha")).cast("long").as("a_grams"))
       .where(col("inter_grams") * minDen >= lit(minNum) * col("a_grams"))
@@ -553,15 +572,21 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("__sid"),
               split(normalizeText(col(textCol)), " ").as("__tok"))
-      .select(col("__sid"), wordShinglesOf(col("__tok"), ngram).as("__sh"))
+      // sorted once per doc: the all-pairs truth join then verifies
+      // each pair with the codegen merge kernel, not interpreted
+      // array_intersect/array_union hash sets
+      .select(col("__sid"),
+              array_sort(wordShinglesOf(col("__tok"), ngram)).as("__sh"))
       .repartition(8)
     val a = sh.select(col("__sid").as("id_a"), col("__sh").as("__sha"))
     val b = sh.select(col("__sid").as("id_b"), col("__sh").as("__shb"))
+    val iu = graft.functions.ArraySetExprs
+      .sortedInterUnion(col("__sha"), col("__shb"))
     val truth = mat(a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-              size(array_intersect(col("__sha"), col("__shb")))
+              shiftright(iu, 32).cast("int")
                 .cast("long").as("__i"),
-              size(array_union(col("__sha"), col("__shb")))
+              iu.bitwiseAND(lit(0xffffffffL)).cast("int")
                 .cast("long").as("__u"))
       .where(col("__i") * thrDen >= lit(thrNum) * col("__u"))
       .select(col("id_a"), col("id_b")))
@@ -617,16 +642,20 @@ object Dedup {
     // hashes equals Jaccard over distinct shingle strings (collisions
     // are ~n^2/2^64), while the pair join shuffles 8-byte longs instead
     // of full n-gram strings and intersects on long equality
+    // hashes are SORTED once per doc so the per-pair verify runs the
+    // codegen merge kernel (sortedJaccardArrays), not the interpreted
+    // per-pair hash-set build of array_intersect/array_union
     val sh = mat(df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("id"),
               split(normalizeText(col(textCol)), " ").as("__tok"))
       .select(col("id"),
-              shingleHashes(wordShinglesOf(col("__tok"), jaccardNgram))
+              array_sort(
+                shingleHashes(wordShinglesOf(col("__tok"), jaccardNgram)))
                 .as("sh")))
     cands
       .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccardArrays(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -691,15 +720,16 @@ object Dedup {
       mat(df.select(col(idCol).as(idName), col(textCol).as("__text"))
         .join(ids.distinct(), Seq(idName), "left_semi")
         .select(col(idName),
-                shingleHashes(wordShinglesOf(
+                // sorted once per doc for the codegen merge verify
+                array_sort(shingleHashes(wordShinglesOf(
                   split(normalizeText(col("__text")), " "),
-                  jaccardNgram)).as("__sh")))
+                  jaccardNgram))).as("__sh")))
     val bSh = shOf(hasText, cand.select("id_b"), "id_b")
       .withColumnRenamed("__sh", "sh_b")
     val sSh = shOf(snapText, cand.select("id_s"), "id_s")
       .withColumnRenamed("__sh", "sh_s")
     val flagged = cand.join(bSh, Seq("id_b")).join(sSh, Seq("id_s"))
-      .where(jaccardArrays(col("sh_b"), col("sh_s"))
+      .where(sortedJaccardArrays(col("sh_b"), col("sh_s"))
                >= jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     hasText.join(flagged, Seq(idCol), "left_anti")
@@ -1048,10 +1078,14 @@ object Dedup {
     val bSets = sets.select(col("__id").as("id_b"),
                             col("__set").as("__sb"))
     // union derives from sizes (|a|+|b|-inter) — the arrays are
-    // distinct, so one intersect pass is the whole verify cost
+    // distinct, so one intersect pass is the whole verify cost; the
+    // sets are array_sort'ed above, so the intersect is the codegen
+    // merge kernel (r13 — interpreted ArrayIntersect built a hash set
+    // per candidate pair and was this query's entire cost)
     cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-              size(array_intersect(col("__sa"), col("__sb")))
+              graft.functions.ArraySetExprs
+                .sortedInterSize(col("__sa"), col("__sb"))
                 .cast("long").as("inter"),
               (size(col("__sa")) + size(col("__sb"))).cast("long")
                 .as("__ss"))

@@ -3,11 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch driver (see .claude/skills/verify): exercises the r12
-  * optimization-round changes end-to-end on the local testdata —
-  * the one-scan histogram logistic rewrites, the one-pass batch
-  * stager behind every staged streaming replay, and the persisted
-  * set table in the exact set-similarity join. */
+/** Scratch driver (see .claude/skills/verify): exercises the r13
+  * second-wave changes end-to-end on the local testdata — the sorted
+  * merge kernel behind every pairwise set-similarity verify (exact
+  * set-sim join, near-dup Jaccard, LSH quality truth, containment),
+  * plus a graph-loop control on the eager lineage cuts. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -19,12 +19,26 @@ object Drive {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val dir = "/root/testdata/sf0.1"
-    spark.read.parquet(s"$dir/lineitem.parquet").count()
+    spark.read.parquet(s"$dir/documents.parquet").count()
 
-    // (1) the rewritten logistic family — run each query fn as the
-    // bench does and print its full (small) result
-    Seq("q_logreg_exact", "q_logreg_multi", "q_logreg_weighted",
-        "q_score_calibrate").foreach { q =>
+    // (1) the kernel itself, directly at the library surface
+    import spark.implicits._
+    val demo = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("x")),
+      (Seq[String](), Seq("q"))).toDF("a", "b")
+    println("[info] kernel demo (inter, union, jaccard):")
+    demo.select(
+      graft.functions.ArraySetExprs.sortedInterSize(col("a"), col("b")),
+      graft.functions.ArraySetExprs.sortedUnionSize(col("a"), col("b")),
+      graft.pipeline.Dedup.sortedJaccardArrays(col("a"), col("b")))
+      .collect().foreach(r => println(s"[info]   $r"))
+
+    // (2) every query whose verify now runs the kernel, as the bench
+    // runs them, with full (small) results printed
+    Seq("q_setsim_join", "q_neardup_pairs", "q_dedup_clusters",
+        "q_dedup_survivors", "q_cross_neardup", "q_lsh_quality",
+        "q_ngram_jaccard", "q_containment").foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       var rows: Array[org.apache.spark.sql.Row] = Array.empty
       val t = timed { rows = fn(spark, dir).collect() }
@@ -33,27 +47,14 @@ object Drive {
       spark.catalog.clearCache()
     }
 
-    // (2) a staged streaming replay through the new one-pass stager
-    Seq("q_stream_topk", "q_stream_windows").foreach { q =>
+    // (3) a graph-loop control (eager per-round cuts retained)
+    Seq("q_pagerank", "q_kcore").foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       var n = 0L
       val t = timed { n = fn(spark, dir).count() }
       println(f"[info] $q%-20s $t%6.2f s  $n rows")
       spark.catalog.clearCache()
     }
-
-    // (3) the exact set-sim join with the persisted set table
-    val fn = graft.SparkEntry.queries("q_setsim_join")
-    var r: org.apache.spark.sql.Row = null
-    val t = timed { r = fn(spark, dir).collect()(0) }
-    println(f"[info] q_setsim_join $t%6.2f s  $r")
-    spark.catalog.clearCache()
-
-    // (4) q_bfs_hops with the shared symmetrized-edge cache
-    val fb = graft.SparkEntry.queries("q_bfs_hops")
-    var rb: Array[org.apache.spark.sql.Row] = Array.empty
-    val tb = timed { rb = fb(spark, dir).collect() }
-    println(f"[info] q_bfs_hops $tb%6.2f s  ${rb.mkString(" | ")}")
     spark.stop()
   }
 }

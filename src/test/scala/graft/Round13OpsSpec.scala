@@ -30,4 +30,97 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bounded"), e.getMessage)
   }
+
+  test("sorted inter/union kernel == array_intersect/array_union sizes " +
+       "on random LONG arrays (dupes, empties, disjoint, identical)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val cases = (0 until 200).map { i =>
+      def arr(n: Int, dom: Int) =
+        Array.fill(n)(rnd.nextInt(dom).toLong).sorted.toSeq
+      val a = arr(rnd.nextInt(30), 1 + rnd.nextInt(40))
+      val b = if (i % 7 == 0) a else arr(rnd.nextInt(30), 1 + rnd.nextInt(40))
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = cases.toDF("a", "b")
+    val checked = df.select(
+      graft.functions.ArraySetExprs.sortedInterSize(col("a"), col("b"))
+        .as("ki"),
+      graft.functions.ArraySetExprs.sortedUnionSize(col("a"), col("b"))
+        .as("ku"),
+      size(array_intersect(col("a"), col("b"))).as("si"),
+      size(array_union(col("a"), col("b"))).as("su")).collect()
+    checked.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2), s"inter mismatch: $r")
+      assert(r.getInt(1) == r.getInt(3), s"union mismatch: $r")
+    }
+  }
+
+  test("sorted inter/union kernel == built-ins on STRING arrays, and " +
+       "sortedJaccardArrays == jaccardArrays bit-for-bit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Array("a", "ab", "abc", "b", "ba", "z", "zz", "", "0", "é")
+    val cases = (0 until 200).map { i =>
+      def arr(n: Int) =
+        Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+          .sorted(Ordering.String).toSeq
+      val a = arr(rnd.nextInt(12))
+      val b = if (i % 5 == 0) a else arr(rnd.nextInt(12))
+      (a, b)
+    }
+    val df = cases.toDF("a", "b")
+    val checked = df.select(
+      graft.functions.ArraySetExprs.sortedInterSize(col("a"), col("b"))
+        .as("ki"),
+      graft.functions.ArraySetExprs.sortedUnionSize(col("a"), col("b"))
+        .as("ku"),
+      size(array_intersect(col("a"), col("b"))).as("si"),
+      size(array_union(col("a"), col("b"))).as("su"),
+      graft.pipeline.Dedup.sortedJaccardArrays(col("a"), col("b"))
+        .as("kj"),
+      graft.pipeline.Dedup.jaccardArrays(col("a"), col("b")).as("sj"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2), s"inter mismatch: $r")
+      assert(r.getInt(1) == r.getInt(3), s"union mismatch: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(4)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(5)),
+             s"jaccard mismatch: $r")
+    }
+  }
+
+  test("sorted kernel matches built-ins in INTERPRETED eval too (the " +
+       "non-codegen fallback path)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 5L, 9L), Seq(2L, 5L, 6L)))
+      .toDF("a", "b")
+    // force the interpreted path by evaluating via the expression's
+    // eval on a literal row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val conv = CatalystTypeConverters
+      .createToCatalystConverter(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))
+    val e = graft.functions.SortedInterUnionExpr(
+      Literal.create(conv(Seq(1L, 2L, 5L, 9L)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      Literal.create(conv(Seq(2L, 5L, 6L)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    val packed = e.eval(null).asInstanceOf[Long]
+    assert((packed >> 32).toInt == 2)           // {2, 5}
+    assert((packed & 0xffffffffL).toInt == 5)   // {1,2,5,6,9}
+    // and the codegen path over the same frame agrees
+    val r = df.select(
+      graft.functions.ArraySetExprs.sortedInterSize(col("a"), col("b")),
+      graft.functions.ArraySetExprs.sortedUnionSize(col("a"), col("b")))
+      .head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 5)
+  }
 }
