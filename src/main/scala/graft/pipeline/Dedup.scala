@@ -62,12 +62,12 @@ object Dedup {
     * element work must be trivial. Empty slots densify to the doc's
     * global min hash (keeps band semantics deterministic for short docs).
     */
-  def minhashSignatureFromHashes(hashArr: Column, k: Int): Column = {
-    val globalMin = array_min(hashArr)
-    transform(sequence(lit(0), lit(k - 1)),
-      j => coalesce(array_min(filter(hashArr, h => pmod(h, lit(k)) === j)),
-                    globalMin))
-  }
+  def minhashSignatureFromHashes(hashArr: Column, k: Int): Column =
+    // r13: one codegen pass (graft_minhash_slots) instead of the
+    // transform/filter/array_min HOF chain — the expression form ran
+    // k interpreted filter+min passes over the array per document
+    // (O(k*n) boxed lambda calls); value-identical, see MinHashExprs
+    graft.functions.MinHashExprs.minhashSlots(hashArr, k)
 
   /** k minhash values over a shingle array (convenience; for performance
     * stage `shingleHashes` as a column first). */

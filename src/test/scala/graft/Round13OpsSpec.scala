@@ -92,6 +92,31 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash-slots kernel == the transform/filter/array_min HOF " +
+       "form on random hash arrays (negatives, empties, nulls)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 100).map { _ =>
+      Seq.fill(rnd.nextInt(40))(
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong()))
+    } :+ Seq.empty[java.lang.Long] :+ Seq[java.lang.Long](null, null)
+    val df = cases.toDF("h")
+    Seq(1, 3, 32).foreach { k =>
+      val hofForm = transform(sequence(lit(0), lit(k - 1)),
+        j => coalesce(array_min(filter(col("h"),
+                                       x => pmod(x, lit(k)) === j)),
+                      array_min(col("h"))))
+      val rows = df.select(
+        graft.functions.MinHashExprs.minhashSlots(col("h"), k).as("a"),
+        hofForm.as("b")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1), s"k=$k: $r")
+      }
+    }
+  }
+
   test("sorted kernel matches built-ins in INTERPRETED eval too (the " +
        "non-codegen fallback path)") {
     val spark = TestSpark.spark
