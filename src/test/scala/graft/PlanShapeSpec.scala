@@ -450,11 +450,11 @@ class PlanShapeSpec extends AnyFunSuite {
            s"token filter not fused below the generator\n$plan")
     // no global sort anywhere (ranking is an aggregate, not a sort)
     assert(!plan.contains("rangepartitioning"), plan)
-    // ONE scan + tokenize for the whole m-term intersection: both
-    // per-term branches are InMemoryTableScans over the SAME persisted
-    // repartition(id) relation (toString reprints the cached plan per
-    // reference; execution fills it once)
-    assert(countOccurrences(plan, "InMemoryTableScan") === 2, plan)
+    // r13: the postings persist was dropped (measured slower than the
+    // m bounded re-scans) — each term's filter now pushes BELOW its
+    // branch's repartition(id) exchange, so every branch shuffles only
+    // its own term's postings sliver; no cached relation remains
+    assert(countOccurrences(plan, "InMemoryTableScan") === 0, plan)
     assert(plan.contains("REPARTITION_BY_COL"), plan)
     spark.catalog.clearCache()
   }
